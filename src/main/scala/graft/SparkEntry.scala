@@ -1,13 +1,556 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{ContentTypes, DedupFunctions, FileNames, Slugify, TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Each `queries` entry exercises one operator family of the engine
+  * (SURVEY.md §2 plus the LLM-pipeline extensions) over the driver's
+  * TPC-H-ish parquet; each SQL-expressible one carries a DuckDB oracle with
+  * IDENTICAL column names and deterministic ordering/rounding.
+  *
+  * Portability rules used throughout (so value hashes match DuckDB):
+  * money sums are rounded at the grid of the underlying data (2-decimal
+  * columns → round 2; 2×2-decimal products → round 4); float vector math is
+  * cast to double before accumulating; possibly-empty result sets are
+  * emitted as counts; raw doubles are only emitted when they come straight
+  * from parquet or from identical-operand arithmetic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS) which Spark only
+    * reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`). The data
+    * has no sub-microsecond components, so `ts div 1000` microseconds is a
+    * lossless conversion back to a TimestampType column. Integer `div` is
+    * required: epoch-nanos (~1.7e18) exceed double's exact range.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue per region: the full dim-join chain with broadcast dims.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = T(spark, dir, "lineitem")
+    val sup = T(spark, dir, "supplier")
+    val nat = T(spark, dir, "nation")
+    val reg = T(spark, dir, "region")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  // Shared token expression for the documents table (matches the DuckDB
+  // fragment `TOKS` below).
+  private def toks(c: Column): Column = TF.tokens(c)
+  private val ToksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter($ToksSql, t -> t IN ${inList(words)}))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core --------------------------------------------
+
+    "q01_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_pushdown" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n_rows"))
+    }),
+
+    "q03_join_agg" -> ((s, dir) => {
+      T(s, dir, "customer").join(T(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q04_topk" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q05_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q06_region_revenue" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q07_explode_wordcount" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    }),
+
+    // U2-style broadcast dispatch join over a tiny action table.
+    "q08_dispatch_join" -> ((s, dir) => {
+      val actions = s.createDataFrame(Seq(
+        ("view", "count"), ("click", "count"), ("error", "alert"),
+        ("purchase", "revenue"), ("signup", "onboard")))
+        .toDF("event_type", "action")
+      events(s, dir)
+        .join(broadcast(actions), Seq("event_type"), "left")
+        .na.fill("ignore", Seq("action"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("action"))
+    }),
+
+    // U3-style per-group short-circuit: an 'error' event supersedes the
+    // rest of the group's activity.
+    "q09_priority_shortcircuit" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      events(s, dir)
+        .withColumn("has_err",
+          max(when(col("event_type") === "error", 1).otherwise(0)).over(w))
+        .filter(col("has_err") === 0 || col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q10_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- ingest-engine primitives (C7/C8/C9, O4) --------------------
+
+    "q11_md5_cdn_key" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("source"), lit("/"), md5(col("text")), lit(".pdf"))
+            .as("cdn_object"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q12_slugify" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          Slugify.slug(substring(col("text"), 1, 40)).as("slug"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q13_upload_filename" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          FileNames.uploadFileName(md5(col("text")),
+            Slugify.slug(substring(col("text"), 1, 300)),
+            lit(".pdf"), concat(lit("docs/"), col("lang"))).as("upload_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q14_report_union" -> ((s, dir) => {
+      val newDocs = T(s, dir, "documents")
+        .select(lit("new").as("ingest_type"))
+      val updated = events(s, dir).filter(col("event_id") < 2000)
+        .select(lit("updated").as("ingest_type"))
+      newDocs.unionByName(updated)
+        .groupBy(col("ingest_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("ingest_type"))
+    }),
+
+    // ---- dedup suite ------------------------------------------------
+
+    "q15_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_key"))),
+
+    "q16_dedup_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprintDedup(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))),
+
+    "q17_minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignatures(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("sig").getItem(0).as("minhash0"),
+          col("sig").getItem(15).as("minhash15"))
+        .orderBy(col("doc_id"))),
+
+    "q18_minhash_candidates" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("n_candidate_pairs"))),
+
+    "q19_simhash" -> ((s, dir) =>
+      Dedup.simhashes(T(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("simhash")).as("n_distinct_sigs"))),
+
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      val t = T(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks"))
+      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          DedupFunctions.jaccard(col("a.toks"), col("b.toks")).as("jac"))
+        .filter(col("jac") >= 0.2)
+        .withColumn("jac", round(col("jac"), 4))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q21_embedding_dup_pairs" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(
+        T(s, dir, "embeddings").filter(col("vec_id") < 2000),
+        "vec_id", "embedding", threshold = 0.4)
+        .agg(count(lit(1)).as("n_pairs"))),
+
+    // ---- similarity search ------------------------------------------
+
+    "q22_ann_topk" -> ((s, dir) =>
+      Similarity.neighborsOf(T(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0L, k = 10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))),
+
+    "q23_ann_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBucketStats(T(s, dir, "embeddings"), "embedding")
+        .agg(count(lit(1)).as("n_buckets"), max(col("n_vectors")).as("max_bucket"))),
+
+    // ---- text analysis ----------------------------------------------
+
+    "q24_token_stats" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.distinctTokenCount(col("text")).as("n_distinct"),
+          TF.punctCount(col("text")).as("n_punct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q25_quality_score" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.qualityScore(col("text"), col("n_chars")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q26_langid" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q27_fingerprint_hash" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- further relational coverage --------------------------------
+
+    "q28_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q29_anti_join" -> ((s, dir) => {
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_customers_no_orders"))
+    }),
+
+    "q30_semi_join" -> ((s, dir) => {
+      T(s, dir, "part")
+        .join(T(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_parts_used"))
+    }),
+
+    "q31_window_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    "q32_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+            1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- multimodal plumbing (stubbed codec, real dataflow) ---------
+
+    "q33_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(T(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes"), col("byte_entropy_q"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  /** DuckDB oracles — same column names, same ordering, same rounding. */
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |  AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q06_region_revenue" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q07_explode_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM (
+         |  SELECT unnest($ToksSql) AS word FROM documents)
+         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q08_dispatch_join" ->
+      """SELECT action, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM (SELECT value, CASE event_type
+        |  WHEN 'view' THEN 'count' WHEN 'click' THEN 'count'
+        |  WHEN 'error' THEN 'alert' WHEN 'purchase' THEN 'revenue'
+        |  WHEN 'signup' THEN 'onboard' ELSE 'ignore' END AS action
+        | FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_priority_shortcircuit" ->
+      """SELECT user_id, count(*) AS n_kept FROM (
+        |  SELECT user_id, event_type,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id) AS has_err
+        |  FROM events)
+        |WHERE has_err = 0 OR event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10
+        |   AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_md5_cdn_key" ->
+      """SELECT doc_id, source || '/' || md5(text) || '.pdf' AS cdn_object
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q12_slugify" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(lower(substr(text, 1, 40)), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q13_upload_filename" ->
+      """SELECT doc_id,
+        | 'docs/' || lang || '/' ||
+        |  left(trim(regexp_replace(lower(substr(text, 1, 300)), '[^a-z0-9]+', '-', 'g'), '-'), 200)
+        |  || '_' || md5(text) || '.pdf' AS upload_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q14_report_union" ->
+      """SELECT ingest_type, count(*) AS n FROM (
+        |  SELECT 'new' AS ingest_type FROM documents
+        |  UNION ALL
+        |  SELECT 'updated' AS ingest_type FROM events WHERE event_id < 2000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_dedup_exact" ->
+      """SELECT md5(lower(text)) AS content_key, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_dedup_fingerprint" ->
+      s"""SELECT md5(array_to_string(list_sort(list_distinct($ToksSql)), ' '))
+         |  AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+         |FROM t a, t b
+         |WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q21_embedding_dup_pairs" ->
+      """SELECT count(*) AS n_pairs
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) > 0.4""".stripMargin,
+
+    "q22_ann_topk" ->
+      """SELECT b.vec_id,
+        | round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |   CAST(a.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id = 0 AND b.vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |   CAST(a.embedding AS DOUBLE[])) DESC, b.vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q24_token_stats" ->
+      s"""SELECT doc_id, len($ToksSql) AS n_tokens,
+         | len(list_distinct($ToksSql)) AS n_distinct,
+         | length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))
+         |   AS n_punct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_quality_score" ->
+      s"""SELECT doc_id,
+         | 2 * ${hitsSql(TF.EnStop)}
+         | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END
+         | + CASE WHEN 20 * (length(text) -
+         |     length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) <= n_chars
+         |   THEN 3 ELSE 0 END AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_langid" ->
+      s"""SELECT doc_id, CASE
+         | WHEN ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.DeStop)}
+         |  AND ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.FrStop)}
+         |  AND ${hitsSql(TF.EnStop)} > 0 THEN 'en'
+         | WHEN ${hitsSql(TF.DeStop)} >= ${hitsSql(TF.FrStop)}
+         |  AND ${hitsSql(TF.DeStop)} > 0 THEN 'de'
+         | WHEN ${hitsSql(TF.FrStop)} > 0 THEN 'fr'
+         | ELSE 'und' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_fingerprint_hash" ->
+      s"""SELECT doc_id,
+         | md5(array_to_string(list_sort(list_distinct($ToksSql)), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q29_anti_join" ->
+      """SELECT count(*) AS n_customers_no_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q30_semi_join" ->
+      """SELECT count(*) AS n_parts_used FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q31_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q32_sessionize" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(new_sess) AS BIGINT) AS n_sessions
+        |FROM (SELECT user_id, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('microsecond', prev_ts, ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts, event_id,
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS prev_ts
+        |    FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

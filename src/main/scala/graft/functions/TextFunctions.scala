@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale document pipelines: tokenizing,
+  * token statistics, quality scoring, canonical fingerprinting, n-gram
+  * shingling and a stopword-profile language heuristic.
+  *
+  * All of these are pure `Column` combinators over Spark builtins — no UDFs
+  * — so they stay inside Catalyst's expression space (prunable, pushable,
+  * parallel by row with no serialization overhead).
+  */
+object TextFunctions {
+
+  /** Stopword profiles for the language-ID heuristic. */
+  val EnStop: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "this", "by", "at", "or", "be", "are")
+  val DeStop: Seq[String] = Seq(
+    "der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "den",
+    "von", "mit", "auf", "für", "im", "dem", "sich", "des", "ich", "es")
+  val FrStop: Seq[String] = Seq(
+    "le", "la", "les", "et", "est", "un", "une", "des", "du", "que", "qui",
+    "dans", "pour", "pas", "sur", "avec", "au", "il", "elle", "ne")
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** BPE-ish sub-word count: words plus digit runs and punctuation marks
+    * counted as separate tokens.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "([^a-z0-9]+)|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"),
+      t => length(t) > 0))
+
+  /** How many tokens fall inside `words` (a literal set). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Ratio-free integer quality signals: (#stopword hits, #tokens,
+    * #punctuation chars, #chars). Downstream thresholds stay on an integer
+    * grid so results are engine-portable.
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?'\"()-]", ""))
+
+  /** Integer quality score: stopword evidence + length band + low-punct
+    * bonus. Deterministic, oracle-checkable.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val toks = tokens(text)
+    val stop = stopwordHits(toks, EnStop)
+    stop * lit(2) +
+      when(nChars.between(100, 2000), 5).otherwise(0) +
+      when(punctCount(text) * lit(20) <= nChars, 3).otherwise(0)
+  }
+
+  /** Canonical key-collision fingerprint (OpenRefine-style): md5 of the
+    * sorted distinct token list. Two documents that differ only in token
+    * order/duplication/whitespace collide.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Word n-gram shingles (arrays of `n` consecutive tokens joined by a
+    * space) — the dedup unit for MinHash / Jaccard.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)) )
+    array_distinct(
+      when(size(toks) >= n,
+        transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array(array_join(toks, " "))))
+  }
+
+  /** Stopword-profile language heuristic over en/de/fr; "und" when no
+    * profile matches. Ties resolve en > de > fr (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopwordHits(toks, EnStop)
+    val de = stopwordHits(toks, DeStop)
+    val fr = stopwordHits(toks, FrStop)
+    when(en >= de && en >= fr && en > 0, "en")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** 64-bit polynomial rolling hash of the token stream (base 31, wrapping
+    * long arithmetic) — an order-sensitive document fingerprint.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns, built
+  * from Spark's higher-order array functions (`zip_with` / `aggregate`) —
+  * no UDF, no serialization, runs inside the expression interpreter.
+  *
+  * Elements are cast to double before multiplying so accumulation is
+  * double-precision end-to-end (portable against the DuckDB oracle).
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  /** Sequential double-precision dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe on zero norms. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Squared Euclidean distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH signature: `planes` is a literal matrix (rows =
+    * hyperplanes); the signature packs sign bits into a long. Used to bucket
+    * vectors so approximate-NN joins become equi-joins on the signature
+    * (scale path: the self-join never goes quadratic).
+    */
+  def hyperplaneSignature(v: Column, planes: Seq[Seq[Double]]): Column = {
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(asDouble(v), typedLit(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (hash-seeded, no RNG state —
+    * reproducible across runs and engines).
+    */
+  def deterministicPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+        (h.toDouble / Int.MaxValue)
+      }
+    }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.functions.{DedupFunctions => DF, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-level deduplication operators, designed for the 100 TB path:
+  *
+  *  - exact / fingerprint dedup are single hash-shuffles (map-side partial
+  *    aggregation keeps the shuffle at one row per distinct key);
+  *  - MinHash-LSH candidate generation is shingles → signatures → band
+  *    explode → *equi-join on band key* — never a cross join, so cost is
+  *    O(rows·bands + bucket collisions), not O(rows²);
+  *  - SimHash near-dup joins on signature prefixes (bucketing) before the
+  *    Hamming check;
+  *  - embedding near-dup buckets by random-hyperplane LSH signature.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized content hash: keeps the smallest id per
+    * distinct content. One shuffle on a 16-byte key.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(lower(col(textCol))).as("content_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Canonical-fingerprint dedup (token-order/duplication insensitive). */
+  def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TF.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** MinHash signatures (k slots over `shingleLen`-word shingles). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleLen: Int = 3): DataFrame =
+    df.select(col(idCol),
+      DF.minhashSignature(TF.shingles(col(textCol), shingleLen), k).as("sig"))
+
+  /** LSH candidate pairs: ids sharing at least one MinHash band key.
+    * `bands * rowsPerBand` must equal `k`. Returns distinct (a_id, b_id)
+    * with a_id < b_id.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, k, shingleLen)
+    val banded = sig.select(col(idCol).as("id"),
+      explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs verified by exact Jaccard ≥ `threshold` over
+    * distinct tokens (candidates from LSH, so the verify join is sparse).
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 16, shingleLen: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, k, shingleLen, bands)
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(TF.tokens(col(textCol))).as("toks"))
+    cands
+      .join(toks.withColumnRenamed("id", "a_id")
+        .withColumnRenamed("toks", "a_toks"), "a_id")
+      .join(toks.withColumnRenamed("id", "b_id")
+        .withColumnRenamed("toks", "b_toks"), "b_id")
+      .withColumn("jaccard", DF.jaccard(col("a_toks"), col("b_toks")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), DF.simhash(TF.tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`. Buckets
+    * on the high 16 bits first (near-dups almost always share them), so the
+    * pair join is bucket-local; an exact variant would rotate-and-rebucket.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val s = simhashes(df, idCol, textCol)
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+    s.as("a").join(s.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("hamming",
+        DF.hamming64(col("a.simhash"), col("b.simhash")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        col("hamming"))
+  }
+
+  /** Embedding near-dup pairs: cosine > `threshold`. `bucketed = true`
+    * pre-buckets by hyperplane-LSH signature (the 100 TB path: candidate
+    * pairs only within a bucket); `false` is the exact quadratic baseline
+    * for small inputs / verification.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucketed: Boolean = false,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val base =
+      if (!bucketed) {
+        val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        t.as("a").join(t.as("b"), col("a.id") < col("b.id"))
+      } else {
+        val planes = VF.deterministicPlanes(nPlanes, dim)
+        val t = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+          VF.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+        t.as("a").join(t.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      }
+    base
+      .withColumn("cos", VF.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") > threshold)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cos"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; one pass, no shuffle beyond
+  * the final top-k, which Spark plans as TakeOrderedAndProject — per
+  * partition heaps, never a full sort). Scale path: hyperplane-LSH
+  * bucketing so each query only scores its bucket (IVF-style coarse
+  * quantization via deterministic hyperplanes).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for one query vector (given as a 1-row DF with
+    * column `q_emb`). The query side is broadcast; the big side streams.
+    */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int): DataFrame =
+    vectors.crossJoin(broadcast(query))
+      .select(col(idCol), VF.cosine(col(vecCol), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** Top-k neighbors of an in-table vector id (excluded from results). */
+  def neighborsOf(vectors: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = vectors.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_emb"))
+    bruteForceTopK(vectors.filter(col(idCol) =!= queryId),
+      idCol, vecCol, q, k)
+  }
+
+  /** LSH-bucketed ANN: per-bucket brute force. Vectors and queries are
+    * signed with the same deterministic hyperplanes; the join is an
+    * equi-join on the signature, so work is O(bucket size), not O(n).
+    * Recall < 1 by construction (a neighbor in another bucket is missed);
+    * increase recall by probing with fewer planes or multiple tables.
+    */
+  def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = VF.deterministicPlanes(nPlanes, dim)
+    val signed = vectors.withColumn("bucket",
+      VF.hyperplaneSignature(col(vecCol), planes))
+    val q = query.withColumn("bucket",
+      VF.hyperplaneSignature(col("q_emb"), planes))
+    signed.join(broadcast(q), "bucket")
+      .select(col(idCol), VF.cosine(col(vecCol), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Bucket histogram of the LSH index (diagnostics / balance check). */
+  def lshBucketStats(vectors: DataFrame, vecCol: String, nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = VF.deterministicPlanes(nPlanes, dim)
+    vectors
+      .groupBy(VF.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+}

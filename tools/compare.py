@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Reads each /tmp/verify_out/<q> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB against the same sf dir, sorts
+columns by name and rows by value, and compares cell-by-cell with a small
+float tolerance. Queries without an oracle get a rows-only report.
+"""
+import json, math, sys
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r)), \
+        [cols[i] for i in order]
+
+fails = []
+import os
+for q in sorted(os.listdir(out_dir)):
+    if not os.path.isdir(f"{out_dir}/{q}"):
+        continue
+    r = con.execute(f"SELECT * FROM '{out_dir}/{q}/*.parquet'")
+    scols = [d[0] for d in r.description]
+    srows = r.fetchall()
+    if q not in oracles:
+        print(f"{q:28s} rows-only: {len(srows)} rows "
+              f"{'OK' if len(srows) > 0 else 'EMPTY!'}")
+        if len(srows) == 0:
+            fails.append(q)
+        continue
+    try:
+        o = con.execute(oracles[q])
+        ocols = [d[0] for d in o.description]
+        orows = o.fetchall()
+    except Exception as e:
+        print(f"{q:28s} ORACLE ERROR: {e}")
+        fails.append(q)
+        continue
+    s, sc = canon(srows, scols)
+    t, oc = canon(orows, ocols)
+    if sc != oc:
+        print(f"{q:28s} SCHEMA MISMATCH spark={sc} oracle={oc}")
+        fails.append(q)
+        continue
+    if len(s) != len(t):
+        print(f"{q:28s} ROWCOUNT {len(s)} vs {len(t)}")
+        fails.append(q)
+        continue
+    bad = None
+    for i, (a, b) in enumerate(zip(s, t)):
+        for x, y in zip(a, b):
+            ok = (x == y or (isinstance(x, float) and isinstance(y, float)
+                  and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6)))
+            if not ok:
+                bad = (i, a, b)
+                break
+        if bad:
+            break
+    if bad:
+        print(f"{q:28s} VALUE MISMATCH row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+        fails.append(q)
+    else:
+        print(f"{q:28s} OK ({len(s)} rows)")
+
+print(f"\n{len(fails)} failures: {fails}" if fails else "\nALL OK")
+sys.exit(1 if fails else 0)
