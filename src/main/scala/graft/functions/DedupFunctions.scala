@@ -42,6 +42,56 @@ object DedupFunctions {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** splitmix64 finalizer — cheap, well-mixed 64-bit permutation. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One-pass MinHash over a token array: builds each `shingleLen`-word
+    * shingle once and folds it into all `k` signature slots (hash family:
+    * splitmix64 over per-slot seeds). The Column-combinator
+    * [[minhashSignature]] re-evaluates the shingle expression per slot —
+    * fine for correctness, 16× too slow for the bench path; this UDF is
+    * the production signature.
+    */
+  def minhashSigFast(tokens: Seq[String], k: Int, shingleLen: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (tokens == null || tokens.isEmpty) return sig
+    val seeds = Array.tabulate(k)(i => mix64(i.toLong * 0xff51afd7ed558ccdL))
+    val nShingles = math.max(1, tokens.length - shingleLen + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      val end = math.min(tokens.length, i + shingleLen)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      val h = fnv1a64(sb.toString)
+      var s = 0
+      while (s < k) {
+        val hv = mix64(h ^ seeds(s))
+        if (hv < sig(s)) sig(s) = hv
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private val minhashUdf =
+    udf((toks: Seq[String], k: Int, len: Int) => minhashSigFast(toks, k, len))
+
+  /** Column form of the one-pass MinHash signature. */
+  def minhashFast(tokens: Column, k: Int, shingleLen: Int): Column =
+    minhashUdf(tokens, lit(k), lit(shingleLen))
+
   /** Stable 64-bit FNV-1a hash (engine-independent, no JVM hashCode). */
   def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L

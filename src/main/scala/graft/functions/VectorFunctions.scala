@@ -30,6 +30,25 @@ object VectorFunctions {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
+  /** Dot product over pre-cast double arrays via the native codegen'd
+    * [[graft.expressions.DotProduct]] expression. Same left-fold
+    * accumulation order as [[dot]] (bit-identical result), but a primitive
+    * double[] loop inside whole-stage codegen — the choice for pair joins
+    * where the expression runs O(pairs) times.
+    */
+  def fastDot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.dotProduct(a, b)
+
+  /** Projection for pair joins: id, double-cast vector, precomputed norm.
+    * Norm accumulation order matches [[l2Norm]]. Computing this ONCE per
+    * row (not per pair) turns an O(pairs·dim·3) cosine into O(pairs·dim).
+    */
+  def prepForPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vd"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+
   /** Squared Euclidean distance. */
   def l2DistanceSq(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),

@@ -29,11 +29,13 @@ object Dedup {
     df.groupBy(TF.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** MinHash signatures (k slots over `shingleLen`-word shingles). */
+  /** MinHash signatures (k slots over `shingleLen`-word shingles),
+    * computed in one pass per document (DF.minhashSigFast).
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleLen: Int = 3): DataFrame =
     df.select(col(idCol),
-      DF.minhashSignature(TF.shingles(col(textCol), shingleLen), k).as("sig"))
+      DF.minhashFast(TF.tokens(col(textCol)), k, shingleLen).as("sig"))
 
   /** LSH candidate pairs: ids sharing at least one MinHash band key.
     * `bands * rowsPerBand` must equal `k`. Returns distinct (a_id, b_id)
@@ -100,19 +102,23 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bucketed: Boolean = false,
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val prepped = VF.prepForPairs(df, idCol, vecCol)
     val base =
       if (!bucketed) {
-        val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        t.as("a").join(t.as("b"), col("a.id") < col("b.id"))
+        prepped.as("a").join(prepped.as("b"), col("a.id") < col("b.id"))
       } else {
         val planes = VF.deterministicPlanes(nPlanes, dim)
-        val t = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-          VF.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+        val t = prepped.withColumn("bucket",
+          VF.hyperplaneSignature(col("vd"), planes))
         t.as("a").join(t.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       }
+    // norms precomputed per row; per pair only the tight-loop dot runs
     base
-      .withColumn("cos", VF.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+            (col("a.nrm") * col("b.nrm"))))
       .filter(col("cos") > threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cos"))
   }
