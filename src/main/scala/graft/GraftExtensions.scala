@@ -1,0 +1,28 @@
+package graft
+
+import graft.expressions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions so `spark.sql("SELECT graft_dot(a, b)")`
+  * works anywhere the library is on the classpath.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * idiomatic extension hook for a Spark-native library (no session
+  * patching, works under Connect's classic mode and spark-submit alike).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

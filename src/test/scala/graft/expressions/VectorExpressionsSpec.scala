@@ -1,0 +1,45 @@
+package graft.expressions
+
+import graft.functions.{VectorFunctions => VF}
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The native DotProduct expression: value parity with the higher-order
+  * form, null handling, and SQL-surface registration via GraftExtensions.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("DotProduct matches the higher-order aggregate form bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (Seq(0.1f, -0.2f), Seq(0.3f, 0.4f)),
+      (Seq.empty[Float], Seq.empty[Float])
+    ).toDF("a", "b")
+      .select(
+        transform(col("a"), _.cast("double")).as("ad"),
+        transform(col("b"), _.cast("double")).as("bd"))
+    val rows = df.select(
+      VectorExpressions.dotProduct(col("ad"), col("bd")).as("fast"),
+      VF.dot(col("ad"), col("bd")).as("slow")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("DotProduct is null-intolerant (null input -> null output)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorExpressions.dotProduct(col("a"), col("b")).as("d")).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("graft_dot is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()
+    assert(r.head.getDouble(0) === 11.0)
+  }
+}
