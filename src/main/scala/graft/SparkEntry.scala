@@ -349,6 +349,88 @@ object SparkEntry {
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("n_bytes"), col("byte_entropy_q"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- session windows (native session_window operator) -----------
+
+    "q34_session_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---- grouping sets / cube ---------------------------------------
+
+    "q35_cube" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- string function suite --------------------------------------
+
+    "q36_string_funcs" -> ((s, dir) => {
+      T(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).as("name_len"),
+          levenshtein(col("c_name"), col("c_mktsegment")).as("lev"),
+          substring(col("c_name"), 1, 8).as("name_prefix"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- exact percentiles ------------------------------------------
+
+    "q37_percentiles" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- U4-style artifact-key expansion (generator) ----------------
+
+    "q38_key_expansion" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(array(
+          concat(lit("parser_input/"), col("doc_id"), lit(".json")),
+          concat(lit("parser_input/"), col("doc_id"), lit("_translated_en.json")),
+          concat(lit("indexer_input/"), col("doc_id"), lit(".npy")),
+          concat(lit("indexer_input/"), col("doc_id"), lit("_translated_en.npy"))
+        )).as("artifact_key"))
+        .orderBy(col("doc_id"), col("artifact_key"))
+    }),
+
+    // ---- C1 stage-2: extension → content-type lookup ----------------
+
+    "q39_content_type_ext" -> ((s, dir) => {
+      val url = concat(lit("https://example.com/"), col("doc_id"),
+        when(col("lang") === "en", ".pdf")
+          .when(col("lang") === "de", ".docx").otherwise(".html"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          ContentTypes.fromExtensionCol(url).as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- running windows --------------------------------------------
+
+    "q40_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
   )
 
@@ -551,6 +633,66 @@ object SparkEntry {
         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |        AS prev_ts
         |    FROM events))
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Spark's session_window(gap) ≡ gap-merge sessions: new session when
+    // the previous event is more than `gap` older; start = min(ts).
+    "q34_session_window" ->
+      """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM (SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) IS NULL
+        |        OR date_diff('microsecond',
+        |             lag(ts) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id), ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |    FROM events))
+        |GROUP BY user_id, session_id ORDER BY 1, 2""".stripMargin,
+
+    "q35_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS sum_base
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q36_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        | length(c_name) AS name_len,
+        | levenshtein(c_name, c_mktsegment) AS lev,
+        | substr(c_name, 1, 8) AS name_prefix
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q37_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q38_key_expansion" ->
+      """SELECT doc_id, 'parser_input/' || doc_id || s AS artifact_key
+        |FROM documents, (VALUES ('.json'), ('_translated_en.json')) v(s)
+        |UNION ALL
+        |SELECT doc_id, 'indexer_input/' || doc_id || s AS artifact_key
+        |FROM documents, (VALUES ('.npy'), ('_translated_en.npy')) v(s)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q39_content_type_ext" ->
+      """SELECT doc_id, CASE
+        | WHEN lang = 'en' THEN 'application/pdf'
+        | WHEN lang = 'de' THEN
+        |  'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+        | ELSE 'text/html' END AS content_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ingest.SparkSpec
+
+/** Physical-plan assertions for the scale-critical queries: these encode
+  * the 100 TB design intent (pushdown, broadcast, top-k heaps, no cross
+  * joins) so a regression in plan shape fails CI even while row-level
+  * results stay correct at test scale.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed into the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual"), p)
+    // column pruning: only the needed columns are read
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment"), "scan reads unneeded columns:\n" + p)
+  }
+
+  test("q06: all three dimension joins broadcast (no shuffle join)") {
+    val p = plan("q06_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q04_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q18: LSH candidate join is an equi-join, never a cross product") {
+    val p = plan("q18_minhash_candidates")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("entry: whole-stage codegen covers the join+agg pipeline") {
+    val df = SparkEntry.entry(spark)
+    df.collect() // let AQE finalize so codegen stages are visible
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n)" in the simple plan string
+    assert(p.contains("*("), p)
+  }
+}
