@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ContentTypes, DedupFunctions, FileNames, Slugify, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, SkewJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -423,6 +423,20 @@ object SparkEntry {
 
     // ---- running windows --------------------------------------------
 
+    // Skew-safe salted join: identical rows to the plain equi-join (the
+    // oracle IS the plain join), but the hot l_suppkey fan-out spreads
+    // over 8 shuffle splits.
+    "q41_salted_join" -> ((s, dir) => {
+      SkewJoins.saltedJoin(
+        T(s, dir, "lineitem"), T(s, dir, "supplier"),
+        "l_suppkey", "s_suppkey",
+        saltCols = Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "q40_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -686,6 +700,13 @@ object SparkEntry {
         |  'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
         | ELSE 'text/html' END AS content_type
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // oracle is the PLAIN join — salting must not change any row
+    "q41_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q40_running_sum" ->
       """SELECT o_custkey, o_orderkey,

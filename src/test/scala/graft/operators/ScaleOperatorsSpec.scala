@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale-path behaviors that sf-small correctness alone can't show:
+  * salted joins must be row-identical to plain joins, and bucketed tables
+  * must co-locate their join (no Exchange on either side).
+  */
+class ScaleOperatorsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val salted = SkewJoins.saltedJoin(li, sup, "l_suppkey", "s_suppkey",
+        Seq(col("l_orderkey"), col("l_linenumber")), saltFactor = 5)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    val wh = Files.createTempDirectory("graft-warehouse")
+    val s = spark
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val ords = s.read.parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$wh/li_b")
+      .saveAsTable("li_bucketed")
+    ords.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$wh/ord_b")
+      .saveAsTable("ord_bucketed")
+
+    // disable broadcast so the co-location is what avoids the shuffle
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table("li_bucketed")
+        .join(s.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val full = joined.queryExecution.executedPlan.toString
+      // AQE prints Final Plan then Initial Plan; judge only the final one
+      val plan = full.split("== Initial Plan ==").head
+      // the join itself must not be preceded by a shuffle exchange;
+      // only the final groupBy may shuffle
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS li_bucketed")
+      s.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
