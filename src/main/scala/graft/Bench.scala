@@ -18,6 +18,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.parquet is TIMESTAMP(NANOS): without this the warmup read
+    // below throws (and the first events query re-absorbs the warmup)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     // warmup: touch every table (footer + codegen paths), one tiny agg
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -528,15 +528,17 @@ object SparkEntry {
       """SELECT doc_id, source || '/' || md5(text) || '.pdf' AS cdn_object
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // strip_accents ≈ the engine's NFKD ASCII fold for accented latin
+    // (special ligatures like ß differ, none occur in the corpus)
     "q12_slugify" ->
       """SELECT doc_id,
-        | trim(regexp_replace(lower(substr(text, 1, 40)), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+        | trim(regexp_replace(lower(strip_accents(substr(text, 1, 40))), '[^a-z0-9]+', '-', 'g'), '-') AS slug
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q13_upload_filename" ->
       """SELECT doc_id,
         | 'docs/' || lang || '/' ||
-        |  left(trim(regexp_replace(lower(substr(text, 1, 300)), '[^a-z0-9]+', '-', 'g'), '-'), 200)
+        |  left(trim(regexp_replace(lower(strip_accents(substr(text, 1, 300))), '[^a-z0-9]+', '-', 'g'), '-'), 200)
         |  || '_' || md5(text) || '.pdf' AS upload_key
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -13,15 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
-  /** k-permutation MinHash signature of a shingle array: element i is
-    * `min_s xxhash64(s, i)`. Empty shingle sets hash to Long.MaxValue.
-    */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      coalesce(array_min(transform(shingleCol, s => xxhash64(s, lit(i)))),
-        lit(Long.MaxValue))
-    }: _*)
-
   /** LSH band keys for a MinHash signature: `bands` hashes, each over a
     * contiguous run of `rowsPerBand` signature slots. Documents sharing any
     * band key become candidate pairs — an equi-join, never a cross join.

@@ -13,6 +13,12 @@ import org.apache.spark.sql.types._
   * reference fixture `new_and_updated_documents.json:786-1030`) are read
   * as `VariantType` and re-serialized to canonical JSON strings, keeping
   * the schema fixed while values stay faithful (SURVEY.md §1.2).
+  *
+  * Known canonicalization nuance: variant parsing normalizes
+  * integer-valued decimals, so a literal `10000000.0` inside a
+  * polymorphic value re-serializes as `10000000` (Python's json round
+  * trip would keep the `.0`). Semantically equal; byte-parity holds for
+  * every value shape in the reference corpus.
   */
 object ControlFile {
 

@@ -49,7 +49,16 @@ object IngestJob {
       val c = conf.value
       rows.map { case (documentId, docUpdates) =>
         try {
-          Updates.updateDocument(documentId, docUpdates, cfg, runTs, c)
+          val actionResults =
+            Updates.updateDocument(documentId, docUpdates, cfg, runTs, c)
+          // faithful report semantics: per-action error lists do NOT fail
+          // the document (reference main.py:184-196 discards them too),
+          // but they must not vanish silently — surface them in the log
+          actionResults.filter(_.error != "[]").foreach { r =>
+            System.err.println(
+              s"[ingest] update action '${r.update_type}' on $documentId " +
+                s"reported errors: ${r.error}")
+          }
           IngestResult(documentId, "updated", None)
         } catch {
           case e: Exception =>

@@ -80,16 +80,26 @@ object PyJson {
       case other => sb.append(other.toString)
     }
 
-  /** Python float repr: "1.0" stays "1.0"; exponents use e±dd. Java's
-    * Double.toString differs only for exponent formatting ("1.0E10" vs
-    * "1e+10"), normalized here.
+  /** Python float repr. Java's Double.toString goes scientific for
+    * |v| ≥ 1e7 or < 1e-3, Python only outside [1e-4, 1e16) — values in
+    * between must be re-rendered as plain decimal ("12345678.5", not
+    * "1.23456785e+07"); true scientific values normalize to e±dd form.
     */
   private def pyFloat(d: Double): String = {
     val s = java.lang.Double.toString(d)
-    if (!s.contains("E")) s
-    else {
-      val Array(m, e) = s.split("E")
-      val exp = e.toInt
+    if (!s.contains("E")) return s
+    val Array(m, e) = s.split("E")
+    val exp = e.toInt
+    if (exp < 16 && exp >= -4) {
+      // Python renders this range as plain decimal
+      var plain = new java.math.BigDecimal(s).toPlainString
+      if (!plain.contains('.')) plain = plain + ".0"
+      else {
+        plain = plain.replaceAll("0+$", "")
+        if (plain.endsWith(".")) plain = plain + "0"
+      }
+      plain
+    } else {
       val mantissa = if (m.endsWith(".0")) m.dropRight(2) else m
       val expStr = f"${math.abs(exp)}%02d"
       s"${mantissa}e${if (exp < 0) "-" else "+"}$expStr"

@@ -38,10 +38,14 @@ object Npy {
     (Header(shape, fortran), 10 + headerLen)
   }
 
-  /** Read a `<f4` npy blob into a flat float array + its shape. */
+  /** Read a C-order `<f4` npy blob into a flat float array + its shape.
+    * Fortran-order blobs are rejected (consumers slice rows out assuming
+    * row-major layout; silently returning column-major data would
+    * scramble embeddings).
+    */
   def read(bytes: Array[Byte]): (Array[Float], Seq[Int]) = {
     val (h, off) = readHeader(bytes)
-    val n = h.shape.product max 1
+    require(!h.fortranOrder, "fortran-order npy arrays are not supported")
     val buf = ByteBuffer.wrap(bytes, off, bytes.length - off)
       .order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Float](if (h.shape.isEmpty) 1 else h.shape.product)

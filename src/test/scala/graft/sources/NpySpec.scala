@@ -4,6 +4,20 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
+class NpyDataFramesSpec extends graft.ingest.SparkSpec {
+  test("binaryFile + npy decode loads the reference's indexer artifacts") {
+    val df = NpyDataFrames.readEmbeddings(spark,
+      "/root/reference/src/navigator_data_ingest/tests/fixtures/" +
+        "pipeline_in/indexer_input")
+    val rows = df.collect()
+    assert(rows.length === 5)
+    val first = df.filter(org.apache.spark.sql.functions.col("doc_id") ===
+      "TESTCCLW.executive.1.1").head()
+    assert(first.getAs[Seq[Int]]("shape") === Seq(8, 768))
+    assert(first.getAs[Seq[Float]]("embedding").length === 8 * 768)
+  }
+}
+
 class NpySpec extends AnyFunSuite {
 
   test("reads the reference's real indexer npy fixture") {
