@@ -53,6 +53,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: coarse-quantize vectors to `nLists` deterministic
+    * centroids (hash-seeded pseudo-random directions — reproducible, no
+    * RNG state, no training pass), then answer queries by probing the
+    * `nProbe` nearest lists only. The assignment join is an equi-join on
+    * `list_id`, so query cost is O(nProbe/nLists · n) instead of O(n);
+    * recall rises with nProbe (nProbe = nLists degenerates to exact).
+    *
+    * At 100 TB the inverted lists would be written partitioned by
+    * `list_id` (`assignLists(...).write.partitionBy("list_id")`) so a
+    * probe reads only its lists' files — the same pruning this operator
+    * exercises in-memory.
+    */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val centroids = VF.deterministicPlanes(nLists, dim)
+    def bestLists(v: org.apache.spark.sql.Column, take: Int) = {
+      // score against every centroid, keep the `take` most aligned
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          VF.dot(transform(v, x => x.cast("double")), typedLit(c)).as("score"),
+          lit(i).as("list_id"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, take)
+    }
+    val assigned = vectors.withColumn("list_id",
+      bestLists(col(vecCol), 1).getItem(0).getField("list_id"))
+    val probes = query.select(col("q_emb"),
+      explode(transform(bestLists(col("q_emb"), nProbe),
+        s => s.getField("list_id"))).as("list_id"))
+    assigned.join(broadcast(probes), "list_id")
+      .select(col(idCol), VF.cosine(col(vecCol), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Inverted-list assignment alone (the write-side of an IVF index). */
+  def assignLists(vectors: DataFrame, vecCol: String, nLists: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val centroids = VF.deterministicPlanes(nLists, dim)
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        VF.dot(transform(col(vecCol), x => x.cast("double")), typedLit(c))
+          .as("score"),
+        lit(i).as("list_id"))
+    }: _*)
+    vectors.withColumn("list_id",
+      slice(reverse(array_sort(scored)), 1, 1)
+        .getItem(0).getField("list_id"))
+  }
+
   /** Bucket histogram of the LSH index (diagnostics / balance check). */
   def lshBucketStats(vectors: DataFrame, vecCol: String, nPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
