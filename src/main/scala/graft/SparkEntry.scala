@@ -437,6 +437,18 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // Element-wise mean of embedding vectors per group (the centroid op
+    // of IVF training / class prototypes): posexplode → per-position avg.
+    "q42_embedding_centroid" -> ((s, dir) => {
+      T(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select((col("vec_id") % 10).as("grp"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("grp"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("mean_x"))
+        .filter(col("pos") < 4)
+        .orderBy(col("grp"), col("pos"))
+    }),
+
     "q40_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -709,6 +721,13 @@ object SparkEntry {
         | round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q42_embedding_centroid" ->
+      """SELECT vec_id % 10 AS grp, pos - 1 AS pos,
+        | round(avg(CAST(list_extract(embedding, pos) AS DOUBLE)), 6) AS mean_x
+        |FROM embeddings, generate_series(1, 4) AS t(pos)
+        |WHERE vec_id < 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q40_running_sum" ->
       """SELECT o_custkey, o_orderkey,
