@@ -254,6 +254,19 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.4)
         .agg(count(lit(1)).as("n_pairs"))),
 
+    // Transitive dup clusters over the (oracle-expressible) q20 Jaccard
+    // pairs: connected components, component = min reachable id.
+    "q43_dup_clusters" -> ((s, dir) => {
+      val t = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks"))
+      val pairs = t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          DedupFunctions.jaccard(col("a.toks"), col("b.toks")).as("jac"))
+        .filter(col("jac") >= 0.9)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .orderBy(col("id"))
+    }),
+
     // ---- similarity search ------------------------------------------
 
     "q22_ann_topk" -> ((s, dir) =>
@@ -589,6 +602,26 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) > 0.4""".stripMargin,
+
+    "q43_dup_clusters" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks
+         |  FROM documents WHERE doc_id < 200),
+         |edges0 AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a, t b WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM edges0
+         |  UNION SELECT b_id, a_id FROM edges0),
+         |nodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach AS (
+         |  WITH RECURSIVE r(node, lbl) AS (
+         |    SELECT node, node FROM nodes
+         |    UNION
+         |    SELECT e.d, r.lbl FROM r JOIN edges e ON e.s = r.node
+         |  ) SELECT * FROM r)
+         |SELECT node AS id, min(lbl) AS component FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q22_ann_topk" ->
       """SELECT b.vec_id,

@@ -94,6 +94,70 @@ object Dedup {
         col("hamming"))
   }
 
+  /** Connected components over near-dup candidate pairs — the transitive
+    * closure step a real dedup needs (A~B and B~C must dedup A,B,C
+    * together even when A~C was never emitted as a pair).
+    *
+    * Hash-min label propagation: every node starts labeled with its own
+    * id; each round joins labels across edges and keeps the minimum seen;
+    * stops when a round changes nothing. Per round: one shuffle join +
+    * one aggregation, state persisted and the lineage cut each iteration
+    * (at 100 TB the alternative — letting the plan grow per round — is
+    * what kills iterative jobs). Converges in O(diameter) rounds; dup
+    * clusters are near-cliques, so 2-4 rounds in practice.
+    *
+    * @return (id, component) where component = min id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for each node: the min of its neighbors' labels
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels
+        .join(viaNeighbors, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"),
+            col("component"))).as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "prev"),
+          "id")
+        .filter(col("component") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end corpus dedup: MinHash-LSH candidates → Jaccard verify →
+    * transitive clusters → keep the minimum id per cluster. Returns the
+    * input with `component` and `is_canonical` columns.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, k: Int = 16, shingleLen: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val pairs =
+      minhashNearDupPairs(df, idCol, textCol, threshold, k, shingleLen, bands)
+    val comps = connectedComponents(pairs, "a_id", "b_id")
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("is_canonical", col("component") === col(idCol))
+  }
+
   /** Embedding near-dup pairs: cosine > `threshold`. `bucketed = true`
     * pre-buckets by hyperplane-LSH signature (the 100 TB path: candidate
     * pairs only within a bucket); `false` is the exact quadratic baseline
