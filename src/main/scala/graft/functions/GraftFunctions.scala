@@ -26,7 +26,10 @@ object GraftFunctions {
         DedupFunctions.minhashSigFast(toks, k, shingleLen))
     spark.udf.register("graft_upload_filename",
       (hash: String, name: String, suffix: String, prefix: String) =>
-        FileNames.createFileNameForUpload(hash, name, suffix, prefix))
+        // null-safe like the rest of the suite: any NULL arg -> NULL
+        if (hash == null || name == null || suffix == null || prefix == null)
+          null
+        else FileNames.createFileNameForUpload(hash, name, suffix, prefix))
     spark.udf.register("graft_content_type",
       (content: Array[Byte], url: String, header: String) =>
         ContentTypes.determine(content, url, header))

@@ -109,9 +109,14 @@ object Dedup {
     * @return (id, component) where component = min id in the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      maxIter: Int = 50): DataFrame = {
+    // both edge orientations in ONE pass over pairs (a union of two
+    // selects would re-evaluate the caller's candidate pipeline twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -139,6 +144,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // partial labels would silently leave duplicates un-clustered
+      System.err.println(s"[dedup] connectedComponents did NOT converge " +
+        s"in $maxIter rounds; labels may be non-minimal (graph diameter " +
+        s"> maxIter). Increase maxIter.")
     edges.unpersist()
     labels
   }

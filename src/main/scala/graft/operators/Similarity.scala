@@ -65,24 +65,27 @@ object Similarity {
     * probe reads only its lists' files — the same pruning this operator
     * exercises in-memory.
     */
+  /** The `take` best-aligned centroid list ids for a vector — the ONE
+    * scoring definition shared by the index write path ([[assignLists]])
+    * and the query probe path ([[ivfTopK]]); a divergence between the
+    * two would silently destroy probe recall.
+    */
+  private def bestLists(v: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]], take: Int) = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(VF.dot(v, typedLit(c)).as("score"), lit(i).as("list_id"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, take),
+      s => s.getField("list_id"))
+  }
+
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 4,
       dim: Int = 64): DataFrame = {
     val centroids = VF.deterministicPlanes(nLists, dim)
-    def bestLists(v: org.apache.spark.sql.Column, take: Int) = {
-      // score against every centroid, keep the `take` most aligned
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(
-          VF.dot(transform(v, x => x.cast("double")), typedLit(c)).as("score"),
-          lit(i).as("list_id"))
-      }: _*)
-      slice(reverse(array_sort(scored)), 1, take)
-    }
-    val assigned = vectors.withColumn("list_id",
-      bestLists(col(vecCol), 1).getItem(0).getField("list_id"))
+    val assigned = assignLists(vectors, vecCol, nLists, dim)
     val probes = query.select(col("q_emb"),
-      explode(transform(bestLists(col("q_emb"), nProbe),
-        s => s.getField("list_id"))).as("list_id"))
+      explode(bestLists(col("q_emb"), centroids, nProbe)).as("list_id"))
     assigned.join(broadcast(probes), "list_id")
       .select(col(idCol), VF.cosine(col(vecCol), col("q_emb")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
@@ -93,15 +96,8 @@ object Similarity {
   def assignLists(vectors: DataFrame, vecCol: String, nLists: Int = 16,
       dim: Int = 64): DataFrame = {
     val centroids = VF.deterministicPlanes(nLists, dim)
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        VF.dot(transform(col(vecCol), x => x.cast("double")), typedLit(c))
-          .as("score"),
-        lit(i).as("list_id"))
-    }: _*)
     vectors.withColumn("list_id",
-      slice(reverse(array_sort(scored)), 1, 1)
-        .getItem(0).getField("list_id"))
+      bestLists(col(vecCol), centroids, 1).getItem(0))
   }
 
   /** Bucket histogram of the LSH index (diagnostics / balance check). */

@@ -22,9 +22,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("extractFeatures emits the declared schema, one row per media") {
     val feats = Multimodal.extractFeatures(media, dim = 8)
-    assert(feats.schema === Multimodal.featureSchema
-      .copy(fields = Multimodal.featureSchema.fields.map(f =>
-        if (f.name == "feature") f.copy(dataType = f.dataType) else f)))
+    assert(feats.schema === Multimodal.featureSchema)
     assert(feats.count() === media.count())
     val f = feats.head()
     assert(f.getAs[Seq[Float]]("feature").length === 8)

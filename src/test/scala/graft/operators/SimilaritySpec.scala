@@ -21,22 +21,33 @@ class SimilaritySpec extends SparkSpec {
     assert(a.size === 10)
   }
 
-  test("IVF probe answers come from probed lists only, recall grows with nProbe") {
+  test("IVF full probe is exact; partial probe answers come from probed lists only") {
     val query = vectors.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q_emb"))
     val exact = Similarity.bruteForceTopK(vectors, "vec_id", "embedding",
       query, 10).collect().map(_.getLong(0)).toSet
 
-    def recall(nProbe: Int): Double = {
-      val approx = Similarity.ivfTopK(vectors, "vec_id", "embedding",
-        query, 10, nLists = 16, nProbe = nProbe)
-        .collect().map(_.getLong(0)).toSet
-      (approx & exact).size.toDouble / exact.size
-    }
-    val r2 = recall(2)
-    val rAll = recall(16)
-    assert(rAll === 1.0) // probing every list degenerates to exact
-    assert(r2 <= rAll)
+    // probing every list degenerates to exact search
+    val full = Similarity.ivfTopK(vectors, "vec_id", "embedding",
+      query, 10, nLists = 16, nProbe = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+
+    // partial probe: answers must be confined to ≤ nProbe assigned lists
+    // — the pruning contract that distinguishes IVF from a scan — and
+    // the query's own best list must be among them (the query vector IS
+    // vec_id 0, so id 0 always survives probing)
+    val approx2 = Similarity.ivfTopK(vectors, "vec_id", "embedding",
+      query, 10, nLists = 16, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx2.nonEmpty)
+    assert(approx2.contains(0L))
+    val assignments = Similarity.assignLists(vectors, "embedding", 16)
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val answerLists = approx2.map(assignments)
+    assert(answerLists.size <= 2,
+      s"answers spanned lists $answerLists — pruning is not happening")
   }
 
   test("IVF list assignment is total and deterministic") {
