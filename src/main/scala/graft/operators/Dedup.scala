@@ -125,22 +125,23 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate label for each node: the min of its neighbors' labels
+      // candidate label for each node: the min of its neighbors' labels;
+      // the previous label rides along so convergence is checked in the
+      // SAME job (no second join per round)
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("component")).as("nbr_component"))
       val next = labels
         .join(viaNeighbors, labels("id") === col("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_component"),
             col("component"))).as("component"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("component", "prev"),
-          "id")
-        .filter(col("component") =!= col("prev")).limit(1).count()
+      val changed =
+        next.filter(col("component") =!= col("prev")).limit(1).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("prev")
       converged = changed == 0
       iter += 1
     }
