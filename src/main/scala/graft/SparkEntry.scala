@@ -364,6 +364,38 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- pivot / set ops / conditional aggregation ------------------
+
+    "q44_pivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(round(sum(col("value")), 2))
+        .na.fill(0.0, Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q45_set_ops" -> ((s, dir) => {
+      val withOrders = T(s, dir, "orders").select(col("o_custkey").as("k"))
+      val all = T(s, dir, "customer").select(col("c_custkey").as("k"))
+      val both = all.intersect(withOrders).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect"))
+      val only = all.except(withOrders).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except"))
+      both.unionByName(only).select(col("op"), col("n")).orderBy(col("op"))
+    }),
+
+    "q46_conditional_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          round(sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+            .otherwise(0.0)), 2).as("bulk_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- session windows (native session_window operator) -----------
 
     "q34_session_window" -> ((s, dir) => {
@@ -695,6 +727,31 @@ object SparkEntry {
         |        AS prev_ts
         |    FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44_pivot" ->
+      """SELECT user_id,
+        | round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS view,
+        | round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click,
+        | round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_set_ops" ->
+      """SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |ORDER BY 1""".stripMargin,
+
+    "q46_conditional_agg" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        | round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END), 2)
+        |   AS bulk_price,
+        | round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Spark's session_window(gap) ≡ gap-merge sessions: new session when
     // the previous event is more than `gap` older; start = min(ts).
