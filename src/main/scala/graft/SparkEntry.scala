@@ -364,6 +364,32 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Context-window chunking: one row per 64-token chunk (8 overlap).
+    "q47_chunking" -> ((s, dir) => {
+      T(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(TF.chunks(col("text"), chunkSize = 64, overlap = 8))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_chars"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Token-budget batch packing: running token count per language,
+    // batch = floor(cumsum/budget) — greedy sequential packing.
+    "q48_token_packing" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "documents")
+        .withColumn("n_tokens", TF.tokenCount(col("text")))
+        .withColumn("batch_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+            / lit(4096)).cast("bigint"))
+        .groupBy(col("lang"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+        .orderBy(col("lang"), col("batch_id"))
+    }),
+
     // ---- pivot / set ops / conditional aggregation ------------------
 
     "q44_pivot" -> ((s, dir) => {
@@ -727,6 +753,33 @@ object SparkEntry {
         |        AS prev_ts
         |    FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |n AS (SELECT doc_id, toks,
+         |    greatest(CAST(ceil(CAST(len(toks) - 8 AS DOUBLE)/56) AS BIGINT), 1)
+         |      AS nc
+         |  FROM t),
+         |c AS (SELECT doc_id,
+         |    unnest(range(0, nc)) AS chunk_idx,
+         |    unnest(list_transform(range(0, nc),
+         |      i -> array_to_string(list_slice(toks, i*56 + 1, i*56 + 64), ' ')))
+         |      AS chunk
+         |  FROM n)
+         |SELECT doc_id, chunk_idx, length(chunk) AS chunk_chars
+         |FROM c ORDER BY 1, 2""".stripMargin,
+
+    "q48_token_packing" ->
+      s"""SELECT lang, batch_id, count(*) AS n_docs,
+         | sum(n_tokens) AS batch_tokens
+         |FROM (SELECT lang, doc_id, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096) AS BIGINT)
+         |      AS batch_id
+         |  FROM (SELECT lang, doc_id, len($ToksSql) AS n_tokens
+         |    FROM documents))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q44_pivot" ->
       """SELECT user_id,

@@ -95,6 +95,23 @@ object TextFunctions {
       .otherwise("und")
   }
 
+  /** Fixed-size token chunks with overlap — the standard unit for
+    * context-window-bounded training/embedding. Chunk i covers tokens
+    * `[i·stride, i·stride + size)` where `stride = size - overlap`; the
+    * last partial chunk is kept. Pure Column combinator: pairs with
+    * `posexplode` to one row per chunk.
+    */
+  def chunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap < chunkSize, "overlap must be smaller than chunk size")
+    val stride = chunkSize - overlap
+    val toks = tokens(text)
+    val nChunks = greatest(
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"),
+      lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))
+  }
+
   /** 64-bit polynomial rolling hash of the token stream (base 31, wrapping
     * long arithmetic) — an order-sensitive document fingerprint.
     */
