@@ -1,13 +1,14 @@
 package graft
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, DotProductRewrite}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers graft's native
-  * expressions as SQL functions so `spark.sql("SELECT graft_dot(a, b)")`
-  * works anywhere the library is on the classpath.
+  * expressions as SQL functions (`spark.sql("SELECT graft_dot(a, b)")`)
+  * and the [[DotProductRewrite]] optimizer rule that turns the
+  * higher-order dot-product pattern into the codegen'd expression.
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
@@ -24,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

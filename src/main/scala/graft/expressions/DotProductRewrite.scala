@@ -1,0 +1,62 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule: rewrite the declarative dot-product pattern
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v) }}}
+  *
+  * into the codegen'd [[DotProduct]] expression. Users (and
+  * `VectorFunctions.dot`) write the readable higher-order form; plans
+  * execute the primitive-loop form — the Catalyst-native way to optimize
+  * a hot scalar pattern without changing any call site. Registered via
+  * `GraftExtensions` (`spark.sql.extensions`).
+  *
+  * The match is deliberately conservative: exact shape, double element
+  * types, literal 0.0 seed, identity finish — anything else is left
+  * untouched (bit-identical results are guaranteed because DotProduct
+  * uses the same left-fold accumulation order).
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def isMulOfVars(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      (x.exprId == a.exprId && y.exprId == b.exprId) ||
+        (x.exprId == b.exprId && y.exprId == a.exprId)
+    case _ => false
+  }
+
+  private def isAddOfVars(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      (x.exprId == a.exprId && y.exprId == b.exprId) ||
+        (x.exprId == b.exprId && y.exprId == a.exprId)
+    case _ => false
+  }
+
+  private def isIdentity(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(x: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>
+      x.exprId == a.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(left, right, mul: LambdaFunction),
+            Literal(0.0, DoubleType),
+            add: LambdaFunction,
+            finish: LambdaFunction)
+          if isMulOfVars(mul) && isAddOfVars(add) && isIdentity(finish) &&
+            left.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType == DoubleType &&
+            right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType == DoubleType =>
+        DotProduct(left, right)
+    }
+}

@@ -36,6 +36,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("optimizer rule rewrites the higher-order dot pattern to graft_dot") {
+    // non-literal input so constant folding can't collapse the plan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val df = emb.select(VF.dot(col("v"), col("v")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"),
+      s"rewrite did not fire:\n$optimized")
+    assert(!optimized.contains("aggregate("), optimized)
+    // bit-identical to the unrewritten form (squared L2 norm)
+    val viaNorm = emb.select((VF.l2Norm(col("v")) * VF.l2Norm(col("v"))).as("d"))
+    assert(df.head().getDouble(0) > 0.0)
+    assert(math.abs(df.head().getDouble(0) - viaNorm.head().getDouble(0)) < 1e-9)
+  }
+
+  test("rewrite leaves non-matching aggregate patterns untouched") {
+    val s = spark
+    import s.implicits._
+    // sum of squares: zip_with against ITSELF with addition seed 1.0 —
+    // shape differs, must not be rewritten
+    val df = Seq(Seq(2.0, 3.0)).toDF("a")
+      .select(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
+        lit(1.0), (acc, v) => acc + v).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_dot"), optimized)
+    assert(df.head().getDouble(0) === 14.0)
+  }
+
   test("graft_dot is callable from SQL via GraftExtensions") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
