@@ -63,12 +63,12 @@ class StubConverter extends Converter {
     fakePdf("doc2pdf", content)
 
   // Real browser captures embed creation timestamps, so every capture is
-  // byte-unique even for the same URL; the nonce reproduces that property
-  // (the reference's integration counts depend on it).
-  private val captureNonce = new java.util.concurrent.atomic.AtomicLong()
-
+  // byte-unique even for the same URL; a per-call UUID reproduces that
+  // property GLOBALLY (a plain counter restarts in every deserialized
+  // task copy and collides across partitions — the reference's
+  // integration counts depend on uniqueness).
   override def capturePdfFromUrl(url: String): (Array[Byte], Option[String]) =
-    (fakePdf(s"capture:${captureNonce.incrementAndGet()}",
+    (fakePdf(s"capture:${java.util.UUID.randomUUID()}",
       url.getBytes(java.nio.charset.StandardCharsets.UTF_8)), None)
 
   override def addLastPageWatermark(pdf: Array[Byte], text: String): Array[Byte] =

@@ -71,8 +71,14 @@ object IngestJob {
     val updateReport = updateResults.collect().toSeq
 
     // ---- phase 2: new documents ------------------------------------
+    // the control file is ONE json file -> one input partition; without a
+    // repartition every fetch would run serially in a single task. The
+    // shuffle moves only document metadata (bytes arrive later, inside
+    // the fetch stage), so it is cheap at any scale.
+    val slots = spark.sparkContext.defaultParallelism
     val newDocs: Dataset[BackendDocument] =
       ControlFile.newDocuments(control).as[BackendDocument]
+        .repartition(slots)
     val processed = NewDocuments.process(
       newDocs, cfg.documentRoot, fetcher, converter, runTs, conf)
     // materialize the effectful stage once so the sink and the report

@@ -49,7 +49,10 @@ object IngestStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // same single-file-partition hazard as the batch job: spread the
+        // fetch work over the executor slots
         val newDocs = ControlFile.newDocuments(batch).as[BackendDocument]
+          .repartition(spark.sparkContext.defaultParallelism)
         val processed = NewDocuments.process(
           newDocs, cfg.documentRoot, fetcher, converter, runTs, conf)
         processed.persist()
