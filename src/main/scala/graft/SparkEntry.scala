@@ -390,6 +390,41 @@ object SparkEntry {
         .orderBy(col("lang"), col("batch_id"))
     }),
 
+    // first/last window frames over each customer's order history
+    "q49_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // array aggregation ops: per-language sorted token vocabulary sample
+    "q50_array_ops" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(slice(array_sort(array_distinct(flatten(
+          collect_list(slice(toks(col("text")), 1, 5))))), 1, 10)
+          .as("vocab_sample"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"), array_join(col("vocab_sample"), " ").as("vocab"),
+          col("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // end-to-end corpus dedup (LSH -> verify -> clusters -> canonical):
+    // minhash signatures aren't SQL-expressible -> rows-only gate entry
+    "q51_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(
+        T(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", threshold = 0.9)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canonical"),
+          countDistinct(col("component")).as("n_clusters"))),
+
     // ---- pivot / set ops / conditional aggregation ------------------
 
     "q44_pivot" -> ((s, dir) => {
@@ -753,6 +788,22 @@ object SparkEntry {
         |        AS prev_ts
         |    FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | last_value(o_orderkey) OVER w AS last_order
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q50_array_ops" ->
+      s"""SELECT lang,
+         | array_to_string(list_slice(list_sort(list_distinct(
+         |   flatten(list(list_slice($ToksSql, 1, 5))))), 1, 10), ' ') AS vocab,
+         | count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q47_chunking" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks
