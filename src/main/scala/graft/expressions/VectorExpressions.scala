@@ -15,9 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * this runs O(pairs) times; a Scala UDF pays ArrayData→Seq conversion and
   * breaks whole-stage codegen, an interpreted higher-order
   * (`aggregate(zip_with(...))`) pays per-element lambda dispatch. This
-  * expression compiles to a primitive double[] loop inside the generated
-  * stage. Accumulation order is the same left fold as the higher-order
-  * form, so results are bit-identical.
+  * expression compiles to a primitive double loop inside the generated
+  * stage.
+  *
+  * Semantics are EXACTLY those of
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`:
+  * same left-fold accumulation order (bit-identical sums), NULL when the
+  * lengths differ (zip_with pads the short side with nulls) and NULL when
+  * any element is null — so the [[DotProductRewrite]] optimizer rule can
+  * substitute this expression without changing any result, including on
+  * ragged or corrupt embedding rows.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,33 +42,44 @@ case class DotProduct(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // can produce NULL even from non-null inputs (ragged lengths / null
+  // elements) — without this override Catalyst assumes non-nullable for
+  // non-null children and drops the null flag (reads a garbage 0.0)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("xArr")
-      val y = ctx.freshName("yArr")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
-         |double[] $x = $a.toDoubleArray();
-         |double[] $y = $b.toDoubleArray();
-         |int $n = Math.min($x.length, $y.length);
-         |double ${ev.value}Acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}Acc += $x[$i] * $y[$i];
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = ${ev.value}Acc;
        """.stripMargin
     })
 

@@ -71,26 +71,9 @@ object IngestJob {
     val updateReport = updateResults.collect().toSeq
 
     // ---- phase 2: new documents ------------------------------------
-    // the control file is ONE json file -> one input partition; without a
-    // repartition every fetch would run serially in a single task. The
-    // shuffle moves only document metadata (bytes arrive later, inside
-    // the fetch stage), so it is cheap at any scale.
-    val slots = spark.sparkContext.defaultParallelism
-    val newDocs: Dataset[BackendDocument] =
-      ControlFile.newDocuments(control).as[BackendDocument]
-        .repartition(slots)
-    val processed = NewDocuments.process(
-      newDocs, cfg.documentRoot, fetcher, converter, runTs, conf)
-    // materialize the effectful stage once so the sink and the report
-    // never re-trigger fetches (SURVEY.md §4.1)
-    processed.persist(StorageLevel.MEMORY_AND_DISK)
-    processed.count()
-    NewDocuments.writeParserInputs(processed,
-      s"${cfg.pipelineRoot}/${cfg.parserInputPrefix}", conf)
-    val newReport = processed.collect().toSeq.map { p =>
-      IngestResult(p.doc.import_id, "new", p.error)
-    }
-    processed.unpersist()
+    val newReport = NewDocuments
+      .ingestBatch(control, cfg, fetcher, converter, runTs, conf)
+      .map(p => IngestResult(p.doc.import_id, "new", p.error))
     control.unpersist()
 
     // ---- report (O4/K3): one JSON array, deterministic order --------

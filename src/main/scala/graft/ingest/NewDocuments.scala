@@ -139,6 +139,35 @@ object NewDocuments {
     }
   }
 
+  /** Phase-2 pipeline over a control DataFrame, shared by the batch job
+    * and the streaming foreachBatch: explode → repartition (the control
+    * file is ONE json file → one input partition; without this every
+    * fetch runs serially in a single task — the shuffle moves only
+    * document metadata) → effectful fetch stage → materialize once →
+    * parser-input sink. Returns the per-document outcomes.
+    */
+  def ingestBatch(
+      control: org.apache.spark.sql.DataFrame,
+      cfg: graft.model.Schemas.UpdateConfig,
+      fetcher: Fetcher,
+      converter: Converter,
+      runTs: Instant,
+      conf: SerializableConf): Seq[Processed] = {
+    val spark = control.sparkSession
+    import spark.implicits._
+    val newDocs = ControlFile.newDocuments(control).as[BackendDocument]
+      .repartition(spark.sparkContext.defaultParallelism)
+    val processed = process(
+      newDocs, cfg.documentRoot, fetcher, converter, runTs, conf)
+    processed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    processed.count()
+    writeParserInputs(processed,
+      s"${cfg.pipelineRoot}/${cfg.parserInputPrefix}", conf)
+    val out = processed.collect().toSeq
+    processed.unpersist()
+    out
+  }
+
   /** K2 sink: one pretty-printed JSON per document at
     * `{outputLocation}/{document_id}.json`, exact field order
     * (reference `api_client.py:180-193`). Only non-errored rows are

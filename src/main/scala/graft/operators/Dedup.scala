@@ -107,6 +107,11 @@ object Dedup {
     * clusters are near-cliques, so 2-4 rounds in practice.
     *
     * @return (id, component) where component = min id in the component.
+    *         The result is PERSISTED (its lineage is the whole iterative
+    *         loop — recomputing it would replay every round): callers
+    *         that keep a session alive should `unpersist()` it once
+    *         their downstream result is materialized, as [[dedupCorpus]]
+    *         does.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
@@ -164,9 +169,13 @@ object Dedup {
     val pairs =
       minhashNearDupPairs(df, idCol, textCol, threshold, k, shingleLen, bands)
     val comps = connectedComponents(pairs, "a_id", "b_id")
-    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val out = df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .withColumn("is_canonical", col("component") === col(idCol))
+      .persist()
+    out.count() // materialize, then release the iterative labels cache
+    comps.unpersist()
+    out
   }
 
   /** Embedding near-dup pairs: cosine > `threshold`. `bucketed = true`

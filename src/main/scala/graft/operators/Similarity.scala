@@ -79,6 +79,10 @@ object Similarity {
       s => s.getField("list_id"))
   }
 
+  /** @param query one-row DataFrame whose embedding column is named
+    *              `q_emb` (same contract as [[bruteForceTopK]] /
+    *              [[lshTopK]]: `df.select(col(vecCol).as("q_emb"))`)
+    */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 4,
       dim: Int = 64): DataFrame = {

@@ -27,6 +27,11 @@ object IngestStream {
   /** Start the stream. Control files appearing under
     * `{pipelineRoot}/{inputGlob}` are parsed and their new documents
     * ingested each micro-batch.
+    *
+    * @param clock per-BATCH run timestamp (watermark text / archive
+    *              paths) — evaluated for every micro-batch, matching the
+    *              batch-per-run model where each run gets a fresh
+    *              timestamp; tests pass a fixed supplier
     */
   def start(
       spark: SparkSession,
@@ -35,35 +40,26 @@ object IngestStream {
       checkpointDir: String,
       fetcher: Fetcher,
       converter: Converter,
-      runTs: Instant,
+      clock: () => Instant = () => Instant.now(),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val conf = new SerializableConf(spark.sparkContext.hadoopConfiguration)
     val control = spark.readStream
       .schema(ControlFile.pipelineUpdatesSchema)
       .option("multiLine", true)
+      // strict like the batch path: a malformed control file must fail
+      // the batch loudly, not be checkpoint-committed as 0 documents
+      .option("mode", "FAILFAST")
       .json(s"${cfg.pipelineRoot}/$inputGlob")
 
     control.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        // same single-file-partition hazard as the batch job: spread the
-        // fetch work over the executor slots
-        val newDocs = ControlFile.newDocuments(batch).as[BackendDocument]
-          .repartition(spark.sparkContext.defaultParallelism)
-        val processed = NewDocuments.process(
-          newDocs, cfg.documentRoot, fetcher, converter, runTs, conf)
-        processed.persist()
-        val n = processed.count()
-        NewDocuments.writeParserInputs(processed,
-          s"${cfg.pipelineRoot}/${cfg.parserInputPrefix}", conf)
-        val errs = processed.filter((p: NewDocuments.Processed) =>
-          p.error.isDefined).count()
-        processed.unpersist()
-        System.err.println(
-          s"[ingest-stream] batch $batchId: $n documents, $errs errors")
+        val outcomes = NewDocuments.ingestBatch(
+          batch, cfg, fetcher, converter, clock(), conf)
+        System.err.println(s"[ingest-stream] batch $batchId: " +
+          s"${outcomes.size} documents, " +
+          s"${outcomes.count(_.error.isDefined)} errors")
         ()
       }
       .start()

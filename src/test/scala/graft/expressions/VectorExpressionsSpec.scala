@@ -26,6 +26,24 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("DotProduct matches zip_with semantics on ragged and null-element arrays") {
+    // ragged lengths: higher-order form null-pads the short side -> NULL
+    val ragged = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D)) AS d").head()
+    assert(ragged.isNullAt(0))
+    // a null element poisons the sum in both forms
+    val nullElem = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS d")
+      .head()
+    assert(nullElem.isNullAt(0))
+    // the reference higher-order behavior, for the record
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0D, 2.0D), array(3.0D),
+        |  (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) AS d""".stripMargin)
+      .head()
+    assert(hof.isNullAt(0))
+  }
+
   test("DotProduct is null-intolerant (null input -> null output)") {
     val s = spark
     import s.implicits._

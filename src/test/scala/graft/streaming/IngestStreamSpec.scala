@@ -32,7 +32,7 @@ class IngestStreamSpec extends SparkSpec {
 
     val q = IngestStream.start(spark, cfg, "incoming/*.json",
       s"$tmp/ckpt", new IngestIntegrationSpec.FixtureFetcher,
-      new StubConverter, Instant.parse("2023-11-21T14:02:40Z"),
+      new StubConverter, clock = () => Instant.parse("2023-11-21T14:02:40Z"),
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
     q.processAllAvailable()
 
