@@ -278,6 +278,26 @@ object SparkEntry {
       Similarity.lshBucketStats(T(s, dir, "embeddings"), "embedding")
         .agg(count(lit(1)).as("n_buckets"), max(col("n_vectors")).as("max_bucket"))),
 
+    // SimHash near-dup pairs (bit-bucket join + Hamming verify);
+    // signature hashes aren't SQL-expressible -> rows-only entry
+    "q52_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(
+        T(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", maxHamming = 16)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))),
+
+    // LSH-bucketed ANN for one query vector (equi-join on signature);
+    // hyperplane signatures aren't SQL-expressible -> rows-only entry
+    "q53_lsh_topk" -> ((s, dir) => {
+      val vectors = T(s, dir, "embeddings")
+      val q = vectors.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_emb"))
+      Similarity.lshTopK(vectors, "vec_id", "embedding", q, k = 10)
+        .agg(count(lit(1)).as("n_results"),
+          round(max(col("cos")), 4).as("best_cos"))
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
