@@ -843,7 +843,7 @@ object SparkEntry {
 
     "q48_token_packing" ->
       s"""SELECT lang, batch_id, count(*) AS n_docs,
-         | sum(n_tokens) AS batch_tokens
+         | CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
          |FROM (SELECT lang, doc_id, n_tokens,
          |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096) AS BIGINT)

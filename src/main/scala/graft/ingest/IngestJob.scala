@@ -73,7 +73,6 @@ object IngestJob {
     // ---- phase 2: new documents ------------------------------------
     val newReport = NewDocuments
       .ingestBatch(control, cfg, fetcher, converter, runTs, conf)
-      .map(p => IngestResult(p.doc.import_id, "new", p.error))
     control.unpersist()
 
     // ---- report (O4/K3): one JSON array, deterministic order --------

@@ -152,7 +152,7 @@ object NewDocuments {
       fetcher: Fetcher,
       converter: Converter,
       runTs: Instant,
-      conf: SerializableConf): Seq[Processed] = {
+      conf: SerializableConf): Seq[Schemas.IngestResult] = {
     val spark = control.sparkSession
     import spark.implicits._
     val newDocs = ControlFile.newDocuments(control).as[BackendDocument]
@@ -163,7 +163,13 @@ object NewDocuments {
     processed.count()
     writeParserInputs(processed,
       s"${cfg.pipelineRoot}/${cfg.parserInputPrefix}", conf)
-    val out = processed.collect().toSeq
+    // scale-safe report: project to the three report fields BEFORE the
+    // driver collect — the full Processed row (whole BackendDocument
+    // struct) never leaves the executors; at 10^8 docs the driver holds
+    // ~3 short strings per row, not the document metadata
+    val out = processed
+      .map(p => Schemas.IngestResult(p.doc.import_id, "new", p.error))
+      .collect().toSeq
     processed.unpersist()
     out
   }

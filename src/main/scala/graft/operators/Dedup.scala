@@ -98,13 +98,20 @@ object Dedup {
     * closure step a real dedup needs (A~B and B~C must dedup A,B,C
     * together even when A~C was never emitted as a pair).
     *
-    * Hash-min label propagation: every node starts labeled with its own
-    * id; each round joins labels across edges and keeps the minimum seen;
-    * stops when a round changes nothing. Per round: one shuffle join +
-    * one aggregation, state persisted and the lineage cut each iteration
-    * (at 100 TB the alternative — letting the plan grow per round — is
-    * what kills iterative jobs). Converges in O(diameter) rounds; dup
-    * clusters are near-cliques, so 2-4 rounds in practice.
+    * Hybrid execution, sized by the distinct-edge count (one action):
+    *  - ≤ `localThreshold` edges (the common case — candidates are
+    *    LSH-pruned and verified before they get here): single-task
+    *    union-find inside an executor ([[localComponents]]) — one job
+    *    instead of O(diameter) rounds of shuffle jobs;
+    *  - larger graphs: hash-min label propagation — every node starts
+    *    labeled with its own id; each round joins labels across edges and
+    *    keeps the minimum seen; stops when a round changes nothing. Per
+    *    round: one shuffle join + one aggregation, state persisted and
+    *    the lineage cut each iteration (at 100 TB the alternative —
+    *    letting the plan grow per round — is what kills iterative jobs),
+    *    shuffle-partition count derived from the edge count, not the
+    *    session. Converges in O(diameter) rounds; dup clusters are
+    *    near-cliques, so 2-4 rounds in practice.
     *
     * @return (id, component) where component = min id in the component.
     *         The result is PERSISTED (its lineage is the whole iterative
@@ -114,49 +121,119 @@ object Dedup {
     *         does.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
     // both edge orientations in ONE pass over pairs (a union of two
     // selects would re-evaluate the caller's candidate pipeline twice)
-    val edges = pairs
+    val edgesRaw = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // candidate label for each node: the min of its neighbors' labels;
-      // the previous label rides along so convergence is checked in the
-      // SAME job (no second join per round)
-      val viaNeighbors = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("component")).as("nbr_component"))
-      val next = labels
-        .join(viaNeighbors, labels("id") === col("id2"), "left")
-        .select(col("id"), col("component").as("prev"),
-          least(col("component"), coalesce(col("nbr_component"),
-            col("component"))).as("component"))
-        .persist()
-      val changed =
-        next.filter(col("component") =!= col("prev")).limit(1).count()
-      labels.unpersist()
-      labels = next.drop("prev")
-      converged = changed == 0
-      iter += 1
+    // materialize ONCE so the caller's candidate pipeline (often a join
+    // or pair-verify) is never replayed into the iterative rounds
+    val nEdges = edgesRaw.count()
+    if (nEdges <= localThreshold) {
+      // Near-dup edge sets are tiny relative to the corpus (candidates are
+      // already LSH-pruned + verified): when the whole graph fits in one
+      // partition, a single-task union-find replaces O(diameter) rounds of
+      // shuffle jobs — one job, one task, exact same (id, min-id) labels.
+      val out = localComponents(edgesRaw).persist()
+      out.count()
+      edgesRaw.unpersist()
+      return out
     }
-    if (!converged)
-      // partial labels would silently leave duplicates un-clustered
-      System.err.println(s"[dedup] connectedComponents did NOT converge " +
-        s"in $maxIter rounds; labels may be non-minimal (graph diameter " +
-        s"> maxIter). Increase maxIter.")
-    edges.unpersist()
-    labels
+    // size the iterative stages to the GRAPH, not the session: a 100-edge
+    // graph at the session's shuffle-partition count pays hundreds of
+    // empty tasks per round; at 10^9 edges this still yields ~1000
+    // partitions
+    val numParts = math.max(1L, math.min(nEdges / 1000000L,
+      Int.MaxValue.toLong)).toInt
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(confKey)
+    spark.conf.set(confKey, numParts.toString)
+    try {
+      // lay edges out by the join key once; every round's edge↔label join
+      // then reuses this partitioning (no per-round edge shuffle)
+      val edges = edgesRaw.repartition(numParts, col("dst")).persist()
+      edges.count()
+      edgesRaw.unpersist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        // candidate label for each node: the min of its neighbors' labels;
+        // the previous label rides along so convergence is checked in the
+        // SAME job (no second join per round)
+        val viaNeighbors = edges
+          .join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src").as("id2"))
+          .agg(min(col("component")).as("nbr_component"))
+        val next = labels
+          .join(viaNeighbors, labels("id") === col("id2"), "left")
+          .select(col("id"), col("component").as("prev"),
+            least(col("component"), coalesce(col("nbr_component"),
+              col("component"))).as("component"))
+          .persist()
+        val changed =
+          next.filter(col("component") =!= col("prev")).limit(1).count()
+        labels.unpersist()
+        labels = next.drop("prev")
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        // partial labels would silently leave duplicates un-clustered
+        System.err.println(s"[dedup] connectedComponents did NOT converge " +
+          s"in $maxIter rounds; labels may be non-minimal (graph diameter " +
+          s"> maxIter). Increase maxIter.")
+      edges.unpersist()
+      labels
+    } finally spark.conf.set(confKey, prevParts)
+  }
+
+  /** Single-task union-find over a (src, dst) edge DataFrame that fits in
+    * one partition. Union-by-min with path compression, so every root is
+    * the minimum id of its component — identical labels to the iterative
+    * hash-min propagation, minus the per-round job overhead. Runs inside
+    * an executor task (coalesce(1) → mapPartitions), NOT on the driver.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    @SuppressWarnings(Array("unchecked"))
+    val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int =
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    val outRdd = edges.coalesce(1).rdd.mapPartitions { it =>
+      val parent = new scala.collection.mutable.HashMap[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      it.foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // attach the larger root under the smaller
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keysIterator.map(k => Row(k, find(k)))
+    }
+    spark.createDataFrame(outRdd, StructType(Seq(
+      StructField("id", idType), StructField("component", idType))))
   }
 
   /** End-to-end corpus dedup: MinHash-LSH candidates → Jaccard verify →

@@ -18,12 +18,19 @@ class DedupClusterSpec extends SparkSpec {
       (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)
     ).toDF("a_id", "b_id")
-    val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps === Map(
+    val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // single-task union-find path (default: edge count under threshold)
+    val local = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === expected)
+    // distributed label-propagation path (forced with localThreshold=0)
+    val dist = Dedup.connectedComponents(pairs, "a_id", "b_id",
+        localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === expected)
   }
 
   test("dedupCorpus marks exactly one canonical doc per cluster") {
