@@ -30,6 +30,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.range(1000).selectExpr("sum(id)").collect()
+    // JIT warmup: run representative queries UNTIMED so measured numbers
+    // compare plans, not JVM state. (Round 2 lesson: removing one slow
+    // query un-warmed everything after it in bench order — every
+    // join/window/codegen-heavy query looked 2-5x slower, purely JIT.)
+    Seq("q03_join_agg", "q07_explode_wordcount", "q32_sessionize",
+      "q48_token_packing", "q18_minhash_candidates", "q51_dedup_corpus")
+      .foreach { n =>
+        SparkEntry.queries.get(n).foreach { fn =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,278 @@
+package graft
+
+/** DuckDB oracle SQL for the MinHash / SimHash / hyperplane-LSH family.
+  *
+  * The whole hash family was chosen to be engine-independent — splitmix64
+  * ([[graft.functions.DedupFunctions.splitmix64]]) and FNV-1a
+  * (`DedupFunctions.fnv1a64`) are pure 64-bit integer permutations — so
+  * DuckDB can recompute the *exact* signatures with HUGEINT arithmetic
+  * mod 2^64 and bitwise `xor`. Each generator below emits a single
+  * statement (the driver executes one statement per oracle): a CTE chain
+  * that tokenizes, shingles, hashes, and aggregates entirely in SQL.
+  *
+  * Arithmetic notes (all values held as HUGEINT in `[0, 2^64)`):
+  *  - `x * C mod 2^64` for a 64-bit constant C is done by 32-bit split —
+  *    every partial product stays under 2^65, inside HUGEINT range;
+  *  - `>>> s` is `x // 2^s` (values are non-negative by representation);
+  *  - signed results convert back via `x - 2^64` when `x >= 2^63`.
+  */
+object HashOracles {
+
+  private val P64 = "18446744073709551616" // 2^64
+  private val Gold = "11400714819323198485" // 0x9e3779b97f4a7c15
+  private val M1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
+  private val M2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
+  private val FnvOffset = "14695981039346656037" // 0xcbf29ce484222325
+  private val FnvPrime = "1099511628211" // 0x100000001b3
+  private val SeedMult = java.lang.Long.parseUnsignedLong("ff51afd7ed558ccd", 16)
+
+  /** The MinHash per-slot seed, computed on the JVM (same code path the
+    * Spark UDF uses) and embedded as a literal — the oracle only needs to
+    * replay the per-shingle mixing, not the seed derivation.
+    */
+  private def seed(i: Int): String = {
+    val u = functions.DedupFunctions.splitmix64(i.toLong * SeedMult)
+    if (u >= 0) u.toString else s"($u + $P64)" // as unsigned literal
+  }
+
+  /** SQL for `(a * b) mod 2^64`, `b` a compile-time 64-bit constant. */
+  private def umul(a: String, b: Long): String = {
+    val blo = b & 0xffffffffL
+    val bhi = b >>> 32
+    s"((($a) % 4294967296) * $blo" +
+      s" + (((($a) % 4294967296) * $bhi" +
+      s" + (($a) // 4294967296) * $blo) % 4294967296) * 4294967296) % $P64"
+  }
+
+  /** CTE stages applying splitmix64 in place to every column in `cols`
+    * (seed-xor happens before these stages). Stepwise so each stage is a
+    * readable projection instead of one thousand-char expression.
+    */
+  private def mixStages(cols: Seq[String], passthrough: Seq[String])
+      : Seq[String] = {
+    def stage(f: String => String): String = {
+      val keep = if (passthrough.isEmpty) "" else passthrough.mkString("", ", ", ", ")
+      s"SELECT $keep" + cols.map(c => s"${f(c)} AS $c").mkString(", ")
+    }
+    Seq(
+      stage(c => s"($c + $Gold) % $P64"),
+      stage(c => s"xor($c, $c // 1073741824)"), // >>> 30
+      stage(c => umul(c, M1)),
+      stage(c => s"xor($c, $c // 134217728)"), // >>> 27
+      stage(c => umul(c, M2)),
+      stage(c => s"xor($c, $c // 2147483648)") // >>> 31
+    )
+  }
+
+  private val Toks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  /** FNV-1a 64 over a string column, one `list_reduce` fold per row.
+    * `unicode()` yields the codepoint — identical to Java's
+    * `charAt & 0xffff` for the BMP text this corpus carries.
+    */
+  private def fnv(s: String): String =
+    s"list_reduce(list_prepend(CAST($FnvOffset AS HUGEINT), " +
+      s"list_transform(range(1, length($s) + 1), " +
+      s"i -> CAST(unicode(substring($s, i, 1)) AS HUGEINT))), " +
+      s"(h, c) -> (xor(h, c) * $FnvPrime) % $P64)"
+
+  private def toSigned(v: String): String =
+    s"CAST(CASE WHEN $v >= 9223372036854775808 THEN $v - $P64 " +
+      s"ELSE $v END AS BIGINT)"
+
+  /** CTE chain ending in `sigs(doc_id, s<i>...)`: signed MinHash slots
+    * (k = 16, shingleLen = 3 — the [[operators.Dedup]] defaults). Docs with
+    * zero tokens get Long.MaxValue slots, matching `minhashSigFast`.
+    */
+  private def minhashCtes(slots: Seq[Int], docFilter: String): Seq[String] = {
+    val cols = slots.map(i => s"s$i")
+    val seedXors = slots
+      .map(i => s"xor(hv, CAST(${seed(i)} AS HUGEINT)) AS s$i").mkString(", ")
+    val head = Seq(
+      s"tok AS (SELECT doc_id, $Toks AS t FROM documents$docFilter)",
+      "shp AS (SELECT doc_id, len(t) AS n, t, " +
+        "unnest(range(0, greatest(1, len(t) - 2))) AS i FROM tok " +
+        "WHERE len(t) > 0)",
+      "sh AS (SELECT doc_id, " +
+        "array_to_string(t[i + 1 : least(n, i + 3)], ' ') AS sh FROM shp)",
+      s"h0 AS (SELECT doc_id, ${fnv("sh")} AS hv FROM sh)",
+      s"hx AS (SELECT doc_id, $seedXors FROM h0)"
+    )
+    val mixed = mixStages(cols, Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "hx" else s"mx${n - 1}"
+        s"mx$n AS ($body FROM $prev)"
+    }
+    val mins = cols.map(c => s"min(${toSigned(c)}) AS $c").mkString(", ")
+    val coal = cols
+      .map(c => s"coalesce(s.$c, 9223372036854775807) AS $c").mkString(", ")
+    head ++ mixed ++ Seq(
+      s"sigs0 AS (SELECT doc_id, $mins FROM mx5 GROUP BY doc_id)",
+      s"sigs AS (SELECT d.doc_id, $coal " +
+        s"FROM (SELECT doc_id FROM documents$docFilter) d " +
+        "LEFT JOIN sigs0 s USING (doc_id))"
+    )
+  }
+
+  /** CTE chain ending in `cand(a_id, b_id)`: distinct LSH candidate pairs
+    * (4 bands x 4 rows). Band-key equality in Spark is `xxhash64(slice)`
+    * equality, which is slice equality (the oracle joins on the slice
+    * itself; an xxhash64 collision across distinct slices is the only
+    * divergence and is ~2^-64 per bucket).
+    */
+  private def bandedCtes(docFilter: String): Seq[String] = {
+    val sig = minhashCtes(0 until 16, docFilter)
+    val bands = (0 until 4).map { b =>
+      val key = (0 until 4)
+        .map(r => s"CAST(s${4 * b + r} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    sig ++ Seq(
+      s"banded AS ($bands)",
+      "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key " +
+        "AND a.doc_id < b.doc_id)"
+    )
+  }
+
+  /** CTE chain ending in `simh(doc_id, simhash, usim)` — signed SimHash
+    * plus its unsigned form (for the `>>> 48` bucket).
+    */
+  private def simhashCtes(docFilter: String): Seq[String] = Seq(
+    s"tok AS (SELECT doc_id, $Toks AS t FROM documents$docFilter)",
+    "tw AS (SELECT doc_id, unnest(t) AS w FROM tok)",
+    s"th AS (SELECT doc_id, ${fnv("w")} AS hv FROM tw)",
+    "bits AS (SELECT doc_id, unnest(range(0, 64)) AS b, hv FROM th)",
+    "bc AS (SELECT doc_id, b, sum(CASE WHEN " +
+      "(hv // (CAST(1 AS HUGEINT) << CAST(b AS INTEGER))) % 2 = 1 " +
+      "THEN 1 ELSE -1 END) AS cnt FROM bits GROUP BY doc_id, b)",
+    "sig0 AS (SELECT doc_id, sum(CASE WHEN cnt > 0 " +
+      "THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER) " +
+      "ELSE CAST(0 AS HUGEINT) END) AS u FROM bc GROUP BY doc_id)",
+    s"simh AS (SELECT d.doc_id, coalesce(${toSigned("u")}, 0) AS simhash, " +
+      "coalesce(u, CAST(0 AS HUGEINT)) AS usim " +
+      s"FROM (SELECT doc_id FROM documents$docFilter) d " +
+      "LEFT JOIN sig0 s USING (doc_id))"
+  )
+
+  /** CTE chain ending in `pv(p, vec)`: the deterministic hyperplane matrix
+    * of [[functions.VectorFunctions.deterministicPlanes]] (nPlanes = 8,
+    * dim = 64), value = signed splitmix64(p*1000003 + d) / Long.MaxValue.
+    */
+  private def planesCtes(nPlanes: Int = 8, dim: Int = 64): Seq[String] = {
+    val head = Seq(
+      s"pd AS (SELECT p, unnest(range(0, $dim)) AS d " +
+        s"FROM (SELECT unnest(range(0, $nPlanes)) AS p))",
+      "pz AS (SELECT p, d, CAST(p * 1000003 + d AS HUGEINT) AS z FROM pd)"
+    )
+    val mixed = mixStages(Seq("z"), Seq("p", "d")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "pz" else s"pm${n - 1}"
+        s"pm$n AS ($body FROM $prev)"
+    }
+    head ++ mixed ++ Seq(
+      s"pv AS (SELECT p, list(CAST(${toSigned("z")} AS DOUBLE) " +
+        "/ 9223372036854775807 ORDER BY d) AS vec FROM pm5 GROUP BY p)"
+    )
+  }
+
+  /** Left-fold projection of a vector onto plane `pv.vec` — the same
+    * accumulation order as `aggregate(zip_with(...))` on the Spark side,
+    * so the IEEE sums are bit-identical and sign tests agree.
+    */
+  private def projection(vec: String): String =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), j -> CAST($vec[j] AS DOUBLE) * pv.vec[j])), " +
+      "(a, x) -> a + x)"
+
+  private def bucketCtes(extraCols: String = ""): Seq[String] =
+    planesCtes() ++ Seq(
+      s"proj AS (SELECT e.vec_id$extraCols, pv.p, " +
+        s"${projection("e.embedding")} AS pr FROM embeddings e CROSS JOIN pv pv)",
+      "sigs AS (SELECT vec_id" +
+        (if (extraCols.nonEmpty) ", any_value(embedding) AS embedding" else "") +
+        ", sum(CASE WHEN pr >= 0.0 " +
+        "THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER) ELSE 0 END) AS bucket " +
+        "FROM proj GROUP BY vec_id)"
+    )
+
+  private def withClause(parts: Seq[String], select: String): String =
+    parts.mkString("WITH ", ",\n", "\n") + select
+
+  // ---- public: one oracle per rows-only gate entry ---------------------
+
+  val q17MinhashSignatures: String = withClause(
+    minhashCtes(Seq(0, 15), ""),
+    "SELECT doc_id, s0 AS minhash0, s15 AS minhash15 FROM sigs ORDER BY doc_id")
+
+  val q18MinhashCandidates: String = withClause(
+    bandedCtes(""),
+    "SELECT count(*) AS n_candidate_pairs FROM cand")
+
+  val q19Simhash: String = withClause(
+    simhashCtes(""),
+    "SELECT count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct_sigs FROM simh")
+
+  val q52SimhashPairs: String = withClause(
+    simhashCtes(" WHERE doc_id < 300") :+
+      ("pairs AS (SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming " +
+        "FROM simh a JOIN simh b " +
+        "ON a.usim // 281474976710656 = b.usim // 281474976710656 " + // >>> 48
+        "AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 16)"),
+    "SELECT count(*) AS n_pairs, coalesce(min(hamming), -1) AS min_hamming FROM pairs")
+
+  val q51DedupCorpus: String = withClause(
+    bandedCtes(" WHERE doc_id < 300") ++ Seq(
+      s"dt AS (SELECT doc_id, list_distinct($Toks) AS toks " +
+        "FROM documents WHERE doc_id < 300)",
+      "ver AS (SELECT c.a_id, c.b_id FROM cand c " +
+        "JOIN dt a ON a.doc_id = c.a_id JOIN dt b ON b.doc_id = c.b_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
+        "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)",
+      "edges AS (SELECT a_id AS s, b_id AS d FROM ver " +
+        "UNION SELECT b_id, a_id FROM ver)",
+      "nodes AS (SELECT DISTINCT s AS node FROM edges)",
+      "reach AS (WITH RECURSIVE r(node, lbl) AS (" +
+        "SELECT node, node FROM nodes UNION " +
+        "SELECT e.d, r.lbl FROM r JOIN edges e ON e.s = r.node) " +
+        "SELECT node, min(lbl) AS component FROM r GROUP BY node)",
+      "lab AS (SELECT d.doc_id, coalesce(r.component, d.doc_id) AS component " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d " +
+        "LEFT JOIN reach r ON r.node = d.doc_id)"),
+    "SELECT count(*) AS n_docs, " +
+      "sum(CASE WHEN component = doc_id THEN 1 ELSE 0 END) AS n_canonical, " +
+      "count(DISTINCT component) AS n_clusters FROM lab")
+
+  val q23LshBuckets: String = withClause(
+    bucketCtes() :+
+      "bk AS (SELECT bucket, count(*) AS n_vectors FROM sigs GROUP BY bucket)",
+    "SELECT count(*) AS n_buckets, max(n_vectors) AS max_bucket FROM bk")
+
+  val q53LshTopK: String = withClause(
+    bucketCtes(", e.embedding") ++ Seq(
+      "qv AS (SELECT bucket, embedding AS q_emb FROM sigs WHERE vec_id = 0)",
+      "res AS (SELECT s.vec_id, list_cosine_similarity(" +
+        "CAST(s.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])) AS cos " +
+        "FROM sigs s JOIN qv q ON s.bucket = q.bucket " +
+        "ORDER BY cos DESC, s.vec_id LIMIT 10)"),
+    "SELECT count(*) AS n_results, round(max(cos), 4) AS best_cos FROM res")
+
+  /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,
+    * byte_entropy_q = number of occupied histogram buckets = distinct
+    * `byte % 16` values (a bucket count is > 0 iff some byte lands in it).
+    */
+  val q33MultimodalFeatures: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n FROM documents),
+      |byi AS (SELECT doc_id, n, unnest(range(0, n)) AS i, hx FROM b),
+      |bv AS (SELECT doc_id, n,
+      |  (strpos('0123456789ABCDEF', substring(hx, 2 * i + 1, 1)) - 1) * 16
+      |  + (strpos('0123456789ABCDEF', substring(hx, 2 * i + 2, 1)) - 1) AS byte
+      |  FROM byi)
+      |SELECT doc_id AS media_id, CAST(any_value(n) AS INTEGER) AS n_bytes,
+      |  CAST(count(DISTINCT byte % 16) AS INTEGER) AS byte_entropy_q
+      |FROM bv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

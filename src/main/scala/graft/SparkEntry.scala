@@ -279,7 +279,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_buckets"), max(col("n_vectors")).as("max_bucket"))),
 
     // SimHash near-dup pairs (bit-bucket join + Hamming verify);
-    // signature hashes aren't SQL-expressible -> rows-only entry
+    // oracle: exact FNV-1a replay in DuckDB (HashOracles.q52SimhashPairs)
     "q52_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(
         T(s, dir, "documents").filter(col("doc_id") < 300),
@@ -288,7 +288,7 @@ object SparkEntry {
           coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))),
 
     // LSH-bucketed ANN for one query vector (equi-join on signature);
-    // hyperplane signatures aren't SQL-expressible -> rows-only entry
+    // oracle: exact splitmix64 plane replay (HashOracles.q53LshTopK)
     "q53_lsh_topk" -> ((s, dir) => {
       val vectors = T(s, dir, "embeddings")
       val q = vectors.filter(col("vec_id") === 0L)
@@ -949,6 +949,17 @@ object SparkEntry {
         |   ORDER BY o_orderdate, o_orderkey
         |   ROWS UNBOUNDED PRECEDING), 2) AS running_total
         |FROM orders WHERE o_custkey < 100
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // ---- hash-family oracles (exact 64-bit replays; see HashOracles) --
+
+    "q17_minhash_signatures" -> HashOracles.q17MinhashSignatures,
+    "q18_minhash_candidates" -> HashOracles.q18MinhashCandidates,
+    "q19_simhash" -> HashOracles.q19Simhash,
+    "q23_ann_lsh_buckets" -> HashOracles.q23LshBuckets,
+    "q33_multimodal_features" -> HashOracles.q33MultimodalFeatures,
+    "q51_dedup_corpus" -> HashOracles.q51DedupCorpus,
+    "q52_simhash_pairs" -> HashOracles.q52SimhashPairs,
+    "q53_lsh_topk" -> HashOracles.q53LshTopK
   )
 }

@@ -33,7 +33,13 @@ object DedupFunctions {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** splitmix64 finalizer — cheap, well-mixed 64-bit permutation. */
+  /** splitmix64 finalizer — cheap, well-mixed 64-bit permutation. Public:
+    * it is the engine-independent hash shared by MinHash seeds and the
+    * deterministic LSH hyperplanes (and mirrored in SQL by
+    * [[graft.HashOracles]]).
+    */
+  def splitmix64(z0: Long): Long = mix64(z0)
+
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

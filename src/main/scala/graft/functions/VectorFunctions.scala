@@ -69,13 +69,16 @@ object VectorFunctions {
   }
 
   /** Deterministic pseudo-random hyperplanes (hash-seeded, no RNG state —
-    * reproducible across runs and engines).
+    * reproducible across runs and engines). The hash is splitmix64 — the
+    * same engine-independent 64-bit permutation the MinHash family uses —
+    * so an external oracle (e.g. DuckDB, see [[graft.HashOracles]]) can
+    * reproduce the exact plane matrix with integer arithmetic alone.
     */
   def deterministicPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, d))
-        (h.toDouble / Int.MaxValue)
+        val h = DedupFunctions.splitmix64(p.toLong * 1000003L + d)
+        h.toDouble / Long.MaxValue
       }
     }
 }

@@ -124,8 +124,12 @@ object Dedup {
       maxIter: Int = 50, localThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     // both edge orientations in ONE pass over pairs (a union of two
-    // selects would re-evaluate the caller's candidate pipeline twice)
+    // selects would re-evaluate the caller's candidate pipeline twice).
+    // Null ids are dropped EXPLICITLY so both execution paths agree (the
+    // distributed path would silently drop them as null join keys; the
+    // local union-find would NPE).
     val edgesRaw = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
@@ -135,7 +139,7 @@ object Dedup {
     // materialize ONCE so the caller's candidate pipeline (often a join
     // or pair-verify) is never replayed into the iterative rounds
     val nEdges = edgesRaw.count()
-    if (nEdges <= localThreshold) {
+    if (nEdges <= localThreshold && localOrdering(edgesRaw).isDefined) {
       // Near-dup edge sets are tiny relative to the corpus (candidates are
       // already LSH-pruned + verified): when the whole graph fits in one
       // partition, a single-task union-find replaces O(diameter) rounds of
@@ -145,55 +149,79 @@ object Dedup {
       edgesRaw.unpersist()
       return out
     }
-    // size the iterative stages to the GRAPH, not the session: a 100-edge
-    // graph at the session's shuffle-partition count pays hundreds of
-    // empty tasks per round; at 10^9 edges this still yields ~1000
-    // partitions
-    val numParts = math.max(1L, math.min(nEdges / 1000000L,
-      Int.MaxValue.toLong)).toInt
-    val confKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(confKey)
-    spark.conf.set(confKey, numParts.toString)
-    try {
-      // lay edges out by the join key once; every round's edge↔label join
-      // then reuses this partitioning (no per-round edge shuffle)
-      val edges = edgesRaw.repartition(numParts, col("dst")).persist()
-      edges.count()
-      edgesRaw.unpersist()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id"))
+    // size the iterative stages to the GRAPH, not the session — but never
+    // below the cluster's parallelism (nEdges/1e6 would give ONE partition
+    // for a 2M-edge graph on a 32-core machine). Both loop inputs carry
+    // this partitioning EXPLICITLY (repartition below); the session conf
+    // is never touched, so concurrent queries on the same session are
+    // unaffected and cache-eviction replays see the same plan.
+    val numParts = math.max(spark.sparkContext.defaultParallelism.toLong,
+      math.min(nEdges / 1000000L, Int.MaxValue.toLong)).toInt
+    // lay edges out by the join key once; every round's edge↔label join
+    // then reuses this partitioning (no per-round edge shuffle)
+    val edges = edgesRaw.repartition(numParts, col("dst")).persist()
+    edges.count()
+    edgesRaw.unpersist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .repartition(numParts, col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for each node: the min of its neighbors' labels;
+      // the previous label rides along so convergence is checked in the
+      // SAME job (no second join per round)
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels
+        .join(viaNeighbors, labels("id") === col("id2"), "left")
+        .select(col("id"), col("component").as("prev"),
+          least(col("component"), coalesce(col("nbr_component"),
+            col("component"))).as("component"))
+        .repartition(numParts, col("id"))
         .persist()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIter) {
-        // candidate label for each node: the min of its neighbors' labels;
-        // the previous label rides along so convergence is checked in the
-        // SAME job (no second join per round)
-        val viaNeighbors = edges
-          .join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src").as("id2"))
-          .agg(min(col("component")).as("nbr_component"))
-        val next = labels
-          .join(viaNeighbors, labels("id") === col("id2"), "left")
-          .select(col("id"), col("component").as("prev"),
-            least(col("component"), coalesce(col("nbr_component"),
-              col("component"))).as("component"))
-          .persist()
-        val changed =
-          next.filter(col("component") =!= col("prev")).limit(1).count()
-        labels.unpersist()
-        labels = next.drop("prev")
-        converged = changed == 0
-        iter += 1
-      }
-      if (!converged)
-        // partial labels would silently leave duplicates un-clustered
-        System.err.println(s"[dedup] connectedComponents did NOT converge " +
-          s"in $maxIter rounds; labels may be non-minimal (graph diameter " +
-          s"> maxIter). Increase maxIter.")
-      edges.unpersist()
-      labels
-    } finally spark.conf.set(confKey, prevParts)
+      val changed =
+        next.filter(col("component") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next.drop("prev")
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      // partial labels would silently leave duplicates un-clustered
+      System.err.println(s"[dedup] connectedComponents did NOT converge " +
+        s"in $maxIter rounds; labels may be non-minimal (graph diameter " +
+        s"> maxIter). Increase maxIter.")
+    edges.unpersist()
+    labels
+  }
+
+  /** The ordering the local union-find must use to agree with the
+    * distributed path's `min(component)`: Spark's `min` over StringType
+    * compares UTF8String bytes (codepoint order), NOT Java's UTF-16
+    * `String.compareTo` — they diverge on supplementary characters. Only
+    * id types whose JVM ordering provably matches Spark's take the local
+    * path; anything else (structs, arrays, decimals...) falls back to the
+    * distributed propagation, which uses Spark's own comparators.
+    */
+  private def localOrdering(edges: DataFrame): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    val cmp: Option[(Any, Any) => Int] = edges.schema("src").dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+          FloatType | BooleanType | DateType | TimestampType =>
+        Some((x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y))
+      case StringType => // UTF-8 byte order == Spark's UTF8String order
+        Some((x, y) => java.util.Arrays.compareUnsigned(
+          x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    }
+    cmp.map(f => new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = f(x, y)
+    })
   }
 
   /** Single-task union-find over a (src, dst) edge DataFrame that fits in
@@ -201,17 +229,16 @@ object Dedup {
     * the minimum id of its component — identical labels to the iterative
     * hash-min propagation, minus the per-round job overhead. Runs inside
     * an executor task (coalesce(1) → mapPartitions), NOT on the driver.
+    * Caller guarantees ids are non-null and [[localOrdering]]-comparable.
     */
   private def localComponents(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     val spark = edges.sparkSession
     val idType = edges.schema("src").dataType
-    @SuppressWarnings(Array("unchecked"))
-    val ord: Ordering[Any] = new Ordering[Any] {
-      def compare(x: Any, y: Any): Int =
-        x.asInstanceOf[Comparable[Any]].compareTo(y)
-    }
+    val ord = localOrdering(edges).getOrElse(
+      throw new IllegalArgumentException(
+        s"localComponents: unsupported id type $idType"))
     val outRdd = edges.coalesce(1).rdd.mapPartitions { it =>
       val parent = new scala.collection.mutable.HashMap[Any, Any]
       def find(x: Any): Any = {
@@ -230,7 +257,11 @@ object Dedup {
           if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
         }
       }
-      parent.keysIterator.map(k => Row(k, find(k)))
+      // materialize the key set BEFORE emitting: find() path-compresses
+      // (writes into the map), and mutating a HashMap while iterating its
+      // keysIterator is undefined by the collection contract
+      val keys = parent.keys.toArray
+      keys.iterator.map(k => Row(k, find(k)))
     }
     spark.createDataFrame(outRdd, StructType(Seq(
       StructField("id", idType), StructField("component", idType))))
