@@ -39,16 +39,91 @@ object Converter {
     * (determinism under task retries — SURVEY.md §4.2).
     */
   def watermarkText(sourceUrl: String, runTs: Instant): String = {
-    val date = DateTimeFormatter.ofPattern("d MMMM yyyy", Locale.ENGLISH)
+    // reference strftime "%d %B %Y" — zero-padded day, full month name
+    val date = DateTimeFormatter.ofPattern("dd MMMM yyyy", Locale.ENGLISH)
       .withZone(ZoneOffset.UTC).format(runTs)
-    s"Document downloaded from $sourceUrl\n\n" +
-      s"This PDF was created by Climate Policy Radar on $date."
+    s"Original publicly accessible source: $sourceUrl.\n\n" +
+      "This PDF was created by Climate Policy Radar " +
+      s"(climatepolicyradar.org) on $date.\n\n" +
+      "For non-commercial use only. Reach out to us at " +
+      "support@climatepolicyradar.org if you have any enquiries."
   }
+}
+
+/** Production converter: LibreOffice for DOC(X)→PDF (the reference's
+  * `convert_doc_to_pdf`, `pdf_conversion.py:17-54` — same `soffice
+  * --headless --convert-to pdf` invocation, same per-call temp "worker"
+  * directory for thread/task safety), headless Chromium for URL→PDF
+  * capture (the process-level equivalent of the reference's Playwright
+  * drive, `pdf_conversion.py:57-106`), and the hand-rolled
+  * [[PdfWatermark]] appender for the last-page watermark
+  * (`pdf_conversion.py:125-160`).
+  *
+  * Instantiate only where the binaries exist on the executor image
+  * (reference `Dockerfile:3-6` installs libreoffice + playwright deps);
+  * [[ProcessConverter.available]] probes for them, and [[IngestMain]]
+  * falls back to [[StubConverter]] when absent — which keeps this
+  * container's tests hermetic (zero egress, no office suite).
+  */
+class ProcessConverter(
+    sofficeBin: String = "soffice",
+    chromiumBin: String = "chromium") extends Converter {
+  import scala.sys.process._
+
+  override def docToPdf(content: Array[Byte]): Array[Byte] = {
+    // unique worker dir per call: soffice derives the output name from
+    // the input name, so concurrent tasks must not share a directory
+    val dir = java.nio.file.Files.createTempDirectory("worker_")
+    try {
+      val in = dir.resolve("doc.docx")
+      java.nio.file.Files.write(in, content)
+      val err = new StringBuilder
+      val rc = Seq(sofficeBin, "--headless", "--convert-to", "pdf",
+        "--outdir", dir.toString, in.toString)
+        .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
+      if (rc != 0)
+        throw new RuntimeException(s"Conversion failed: $err")
+      java.nio.file.Files.readAllBytes(dir.resolve("doc.pdf"))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  override def capturePdfFromUrl(url: String): (Array[Byte], Option[String]) = {
+    val dir = java.nio.file.Files.createTempDirectory("capture_")
+    try {
+      val out = dir.resolve("page.pdf")
+      val err = new StringBuilder
+      val rc = Seq(chromiumBin, "--headless", "--disable-gpu", "--no-sandbox",
+        s"--print-to-pdf=$out", "--print-to-pdf-no-header", url)
+        .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
+      if (rc != 0)
+        throw new RuntimeException(s"Capture failed for $url: $err")
+      // the CLI drive exposes no response headers; content type unknown
+      (java.nio.file.Files.readAllBytes(out), None)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  override def addLastPageWatermark(pdf: Array[Byte], text: String): Array[Byte] =
+    PdfWatermark.addLastPageWatermark(pdf, text)
+}
+
+object ProcessConverter {
+  /** True when `bin` resolves on PATH (executor-image probe). */
+  def available(bin: String): Boolean =
+    sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
+      .exists(p => java.nio.file.Files.isExecutable(
+        java.nio.file.Paths.get(p, bin)))
 }
 
 /** Deterministic stand-in converter: produces valid-looking, stable PDF
   * bytes derived from the input so content hashes are reproducible.
-  * Clearly a STUB — the real adapters shell out to soffice/Chromium.
+  * Clearly a STUB — the real adapters shell out to soffice/Chromium
+  * ([[ProcessConverter]]).
   */
 class StubConverter extends Converter {
 

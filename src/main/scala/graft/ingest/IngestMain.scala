@@ -54,7 +54,12 @@ object IngestMain {
       updatesFileName =
         opts.getOrElse("updates-file-name", "new_and_updated_documents.json"),
       fetcher = new JdkHttpFetcher(),
-      converter = new StubConverter(),
+      // real converters only where the executor image ships the binaries
+      // (reference Dockerfile installs libreoffice + browser deps); the
+      // deterministic stub keeps binary-less environments runnable
+      converter =
+        if (ProcessConverter.available("soffice")) new ProcessConverter()
+        else new StubConverter(),
       runTs = Instant.now())
 
     val errs = report.results.count(_.error.isDefined)
