@@ -259,6 +259,42 @@ object HashOracles {
         "ORDER BY cos DESC, s.vec_id LIMIT 10)"),
     "SELECT count(*) AS n_results, round(max(cos), 4) AS best_cos FROM res")
 
+  /** The block-rotation variant is pigeonhole-exact (4 tables > 3 max
+    * differing bits), so its oracle is the brute-force all-pairs scan —
+    * the strongest possible check that the banded join loses nothing.
+    */
+  val q54SimhashBlocked: String = withClause(
+    simhashCtes(" WHERE doc_id < 300") :+
+      ("pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "bit_count(xor(a.simhash, b.simhash)) AS hamming " +
+        "FROM simh a JOIN simh b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"),
+    "SELECT a_id, b_id, hamming FROM pairs ORDER BY 1, 2")
+
+  /** Multi-probe LSH replay: perturbation masks scored by the summed
+    * |projection| of their flipped planes, folded in ascending-bit order
+    * (the same left fold as `VectorFunctions.multiProbeBuckets` — adding
+    * 0.0 for unset bits is IEEE-exact), ranked by (score, mask).
+    */
+  val q55LshMultiprobe: String = withClause(
+    bucketCtes(", e.embedding") ++ Seq(
+      "qp AS (SELECT list(pr ORDER BY p) AS prs FROM proj WHERE vec_id = 0)",
+      "qb AS (SELECT bucket, embedding AS q_emb FROM sigs WHERE vec_id = 0)",
+      "scored AS (SELECT m, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(0, 8), b -> CASE " +
+        "WHEN (m // (1 << CAST(b AS INTEGER))) % 2 = 1 " +
+        "THEN abs(prs[CAST(b AS INTEGER) + 1]) ELSE CAST(0.0 AS DOUBLE) END)), " +
+        "(a, x) -> a + x) AS score " +
+        "FROM (SELECT unnest(range(1, 256)) AS m), qp)",
+      "probes AS (SELECT xor(qb.bucket, f.m) AS bucket FROM " +
+        "(SELECT m FROM scored ORDER BY score, m LIMIT 7) f, qb " +
+        "UNION SELECT bucket FROM qb)",
+      "res AS (SELECT s.vec_id, list_cosine_similarity(" +
+        "CAST(s.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])) AS cos " +
+        "FROM sigs s JOIN probes USING (bucket) CROSS JOIN qb q " +
+        "ORDER BY cos DESC, s.vec_id LIMIT 10)"),
+    "SELECT count(*) AS n_results, round(max(cos), 4) AS best_cos FROM res")
+
   /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,
     * byte_entropy_q = number of occupied histogram buckets = distinct
     * `byte % 16` values (a bucket count is > 0 iff some byte lands in it).

@@ -298,6 +298,27 @@ object SparkEntry {
           round(max(col("cos")), 4).as("best_cos"))
     }),
 
+    // Block-rotation SimHash (4 tables x 16 bits, maxHamming 3 < tables):
+    // pigeonhole-EXACT, so the oracle is plain all-pairs SQL — equality
+    // proves the banded equi-join loses nothing
+    "q54_simhash_blocked" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(
+        T(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", maxHamming = 3, nTables = 4)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // Multi-probe LSH: 8 probe buckets ranked by flipped-plane proximity;
+    // oracle replays the probe selection (HashOracles.q55LshMultiprobe)
+    "q55_lsh_multiprobe" -> ((s, dir) => {
+      val vectors = T(s, dir, "embeddings")
+      val q = vectors.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_emb"))
+      Similarity.lshTopK(vectors, "vec_id", "embedding", q, k = 10,
+          nProbes = 8)
+        .agg(count(lit(1)).as("n_results"),
+          round(max(col("cos")), 4).as("best_cos"))
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
@@ -960,6 +981,8 @@ object SparkEntry {
     "q33_multimodal_features" -> HashOracles.q33MultimodalFeatures,
     "q51_dedup_corpus" -> HashOracles.q51DedupCorpus,
     "q52_simhash_pairs" -> HashOracles.q52SimhashPairs,
-    "q53_lsh_topk" -> HashOracles.q53LshTopK
+    "q53_lsh_topk" -> HashOracles.q53LshTopK,
+    "q54_simhash_blocked" -> HashOracles.q54SimhashBlocked,
+    "q55_lsh_multiprobe" -> HashOracles.q55LshMultiprobe
   )
 }

@@ -68,6 +68,43 @@ object VectorFunctions {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Multi-probe LSH probe sequence for one query vector: the base bucket
+    * first, then buckets reached by flipping the sign bits whose
+    * projections have the smallest magnitudes — a near-zero projection
+    * means the vector sits close to that hyperplane, so its true
+    * neighbors plausibly landed on the other side. Probing `nProbes`
+    * buckets is the standard recall lever for hyperplane LSH (recall
+    * rises with nProbes; nProbes = 2^nPlanes degenerates to a full scan).
+    *
+    * Perturbation masks are ranked by the summed |projection| of their
+    * flipped bits (the likelihood the neighbor crossed exactly those
+    * planes), enumerated exhaustively — nPlanes is small by construction
+    * (a 64-bucket..64K-bucket index), so 2^nPlanes enumeration on the
+    * QUERY side is negligible next to one bucket scan.
+    */
+  def multiProbeBuckets(v: Seq[Double], planes: Seq[Seq[Double]],
+      nProbes: Int): Seq[Long] = {
+    require(planes.size <= 20,
+      s"multi-probe enumeration supports <= 20 planes, got ${planes.size}")
+    // same left-fold accumulation order as [[hyperplaneSignature]]
+    val projs = planes.map(_.zip(v).foldLeft(0.0) {
+      case (acc, (p, x)) => acc + x * p
+    })
+    val base = projs.zipWithIndex.foldLeft(0L) { case (b, (pr, i)) =>
+      if (pr >= 0.0) b | (1L << i) else b
+    }
+    if (nProbes <= 1) Seq(base)
+    else {
+      val flips = (1 until (1 << planes.size)).map { m =>
+        val score = projs.zipWithIndex.collect {
+          case (pr, i) if (m & (1 << i)) != 0 => math.abs(pr)
+        }.sum
+        (score, m)
+      }.sorted.take(nProbes - 1)
+      base +: flips.map { case (_, m) => base ^ m.toLong }
+    }
+  }
+
   /** Deterministic pseudo-random hyperplanes (hash-seeded, no RNG state —
     * reproducible across runs and engines). The hash is splitmix64 — the
     * same engine-independent 64-bit permutation the MinHash family uses —

@@ -76,22 +76,54 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), DF.simhash(TF.tokens(col(textCol))).as("simhash"))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`. Buckets
-    * on the high 16 bits first (near-dups almost always share them), so the
-    * pair join is bucket-local; an exact variant would rotate-and-rebucket.
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    *
+    * `nTables = 0` (default): bucket on the high 16 bits — ONE bucket per
+    * doc, cheapest join, but a heuristic: a pair differing anywhere in the
+    * top 16 bits is missed (recall measured in DedupClusterSpec; weak for
+    * large `maxHamming`).
+    *
+    * `nTables > 0`: the standard block-rotation scheme (Manku et al.,
+    * WWW'07 near-duplicate detection): split the 64-bit signature into
+    * `nTables` contiguous blocks and bucket once per block. A pair within
+    * Hamming distance `maxHamming < nTables` has fewer differing bits
+    * than blocks, so BY PIGEONHOLE some block is identical — recall is
+    * exactly 1. Cost: `nTables` bucket rows per doc (still equi-joins,
+    * never all-pairs); choose `nTables = maxHamming + 1` with blocks wide
+    * enough (64/nTables bits) that buckets stay selective.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, nTables: Int = 0): DataFrame = {
     val s = simhashes(df, idCol, textCol)
-      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
-    s.as("a").join(s.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+    val banded =
+      if (nTables <= 0)
+        s.withColumn("tbl", lit(0))
+          .withColumn("key", shiftrightunsigned(col("simhash"), 48))
+      else {
+        require(nTables <= 32, s"nTables $nTables leaves blocks under 2 bits")
+        val width = 64 / nTables
+        val blocks = (0 until nTables).map { i =>
+          val hi = if (i == nTables - 1) 64 else (i + 1) * width
+          val mask = if (hi - i * width >= 64) -1L else (1L << (hi - i * width)) - 1
+          struct(lit(i).as("tbl"),
+            shiftrightunsigned(col("simhash"), i * width)
+              .bitwiseAND(lit(mask)).as("key"))
+        }
+        s.select(col(idCol), col("simhash"),
+            explode(array(blocks: _*)).as("blk"))
+          .select(col(idCol), col("simhash"),
+            col("blk.tbl").as("tbl"), col("blk.key").as("key"))
+      }
+    val joined = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("hamming",
         DF.hamming64(col("a.simhash"), col("b.simhash")))
       .filter(col("hamming") <= maxHamming)
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
         col("hamming"))
+    // multi-table banding can surface the same pair through several blocks
+    if (nTables <= 0) joined else joined.distinct()
   }
 
   /** Connected components over near-dup candidate pairs — the transitive

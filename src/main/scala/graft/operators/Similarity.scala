@@ -35,22 +35,46 @@ object Similarity {
 
   /** LSH-bucketed ANN: per-bucket brute force. Vectors and queries are
     * signed with the same deterministic hyperplanes; the join is an
-    * equi-join on the signature, so work is O(bucket size), not O(n).
-    * Recall < 1 by construction (a neighbor in another bucket is missed);
-    * increase recall by probing with fewer planes or multiple tables.
+    * equi-join on the signature, so work is O(probed bucket sizes), not
+    * O(n). Recall < 1 by construction (a neighbor in another bucket is
+    * missed); `nProbes > 1` probes the buckets across the query's
+    * nearest hyperplanes too ([[VF.multiProbeBuckets]]) — the standard
+    * recall lever, measured in SimilaritySpec. The probe expansion runs
+    * on the tiny QUERY side only; the vector side still computes exactly
+    * one signature per row.
     */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, k: Int, nPlanes: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, nProbes: Int = 1): DataFrame = {
     val planes = VF.deterministicPlanes(nPlanes, dim)
     val signed = vectors.withColumn("bucket",
       VF.hyperplaneSignature(col(vecCol), planes))
+    val probes = udf((v: Seq[Double]) =>
+      VF.multiProbeBuckets(v, planes, nProbes))
     val q = query.withColumn("bucket",
-      VF.hyperplaneSignature(col("q_emb"), planes))
+      explode(probes(transform(col("q_emb"), _.cast("double")))))
+    // no dedup needed: probe buckets are distinct (base ^ distinct masks)
+    // and each vector carries exactly one bucket, so it matches <= 1 probe
     signed.join(broadcast(q), "bucket")
       .select(col(idCol), VF.cosine(col(vecCol), col("q_emb")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Fraction of `exact`'s rows found by `approx`, matched on `keyCols` —
+    * the recall measure the approximate paths (LSH, IVF, SimHash buckets)
+    * are graded by in the specs.
+    */
+  def recall(approx: DataFrame, exact: DataFrame,
+      keyCols: Seq[String]): Double = {
+    val total = exact.count()
+    if (total == 0) 1.0
+    else {
+      val keys = keyCols.map(col)
+      val hit = exact.select(keys: _*)
+        .join(approx.select(keys: _*), keyCols, "left_semi").count()
+      hit.toDouble / total
+    }
   }
 
   /** IVF-style ANN: coarse-quantize vectors to `nLists` deterministic

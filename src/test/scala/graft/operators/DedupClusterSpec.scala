@@ -33,6 +33,43 @@ class DedupClusterSpec extends SparkSpec {
     assert(dist === expected)
   }
 
+  test("SimHash recall: block-rotation is pigeonhole-exact; the high-16 " +
+      "bucket heuristic's recall is measured") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val maxH = 3
+    // exact baseline: every pair within maxHamming, no bucketing
+    val sigs = Dedup.simhashes(docs, "doc_id", "text")
+    val exact = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", graft.functions.DedupFunctions.hamming64(
+        col("a.simhash"), col("b.simhash")))
+      .filter(col("hamming") <= maxH)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .persist()
+    val nExact = exact.count()
+    assert(nExact > 0, "baseline found no near-dup pairs to measure against")
+
+    // nTables = maxHamming + 1 > differing bits: some block must match,
+    // so recall is EXACTLY 1 (and no false pairs survive the Hamming
+    // verify — the result equals the baseline, not just covers it)
+    val blocked = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = maxH, nTables = maxH + 1)
+    assert(Similarity.recall(blocked, exact, Seq("a_id", "b_id")) === 1.0)
+    assert(blocked.count() === nExact)
+
+    // the single high-16-bucket heuristic: cheaper (one bucket per doc),
+    // recall < 1 by construction — measured here so the trade-off is a
+    // number, not a guess (~0.55 on this corpus at maxHamming=3)
+    val bucketed = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = maxH)
+    val r = Similarity.recall(bucketed, exact, Seq("a_id", "b_id"))
+    info(f"high-16 bucket recall at hamming<=$maxH: $r%.3f " +
+      f"($nExact exact pairs)")
+    assert(r >= 0.3, s"bucket-heuristic recall $r fell under 0.3")
+    exact.unpersist()
+  }
+
   test("dedupCorpus marks exactly one canonical doc per cluster") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

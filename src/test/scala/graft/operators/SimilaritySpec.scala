@@ -50,6 +50,62 @@ class SimilaritySpec extends SparkSpec {
       s"answers spanned lists $answerLists — pruning is not happening")
   }
 
+  test("LSH recall: multi-probe strictly widens the candidate set and " +
+      "lifts top-k recall to a measured floor") {
+    val qids = Seq(0L, 7L, 23L, 42L, 99L)
+    val k = 10
+    val recalls = qids.map { qid =>
+      val query = vectors.filter(col("vec_id") === qid)
+        .select(col("embedding").as("q_emb"))
+      val exact = Similarity.bruteForceTopK(vectors, "vec_id", "embedding",
+        query, k)
+      def lsh(p: Int) = Similarity.lshTopK(vectors, "vec_id", "embedding",
+        query, k, nProbes = p)
+      val rs = Seq(1, 8, 32, 64).map(p =>
+        Similarity.recall(lsh(p), exact, Seq("vec_id")))
+      // the full 2^8-probe sweep scans every bucket: recall 1 by identity
+      val rAll = Similarity.recall(lsh(256), exact, Seq("vec_id"))
+      assert(rAll === 1.0, s"query $qid: full probe sweep must be exact")
+      rs
+    }
+    val avgs = recalls.transpose.map(c => c.sum / c.size)
+    info(f"LSH top-$k recall over ${recalls.size} queries: " +
+      Seq(1, 8, 32, 64).zip(avgs).map { case (p, r) => f"$p probes=$r%.2f" }
+        .mkString(", "))
+    assert(avgs.head > 0.0, "single-probe recall 0 — LSH found nothing")
+    // probing more buckets must not lose recall (small slack for the
+    // top-k tie-break at equal cosine)
+    avgs.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi >= lo - 0.05, s"recall fell from $lo to $hi as probes grew")
+    }
+    // measured floors on this corpus (500 near-random vectors, 8 planes:
+    // top-10 neighbors are weak, so they cross many hyperplanes —
+    // documented recall profile 0.12/0.18/0.42/0.60 at 1/8/32/64 probes)
+    assert(avgs(2) >= 0.3, f"32-probe average recall ${avgs(2)}%.2f < 0.3")
+    assert(avgs(3) >= 0.5, f"64-probe average recall ${avgs(3)}%.2f < 0.5")
+  }
+
+  test("IVF recall rises with nProbe to a measured floor") {
+    val qids = Seq(0L, 7L, 23L, 42L, 99L)
+    val k = 10
+    val recalls = qids.map { qid =>
+      val query = vectors.filter(col("vec_id") === qid)
+        .select(col("embedding").as("q_emb"))
+      val exact = Similarity.bruteForceTopK(vectors, "vec_id", "embedding",
+        query, k)
+      def ivf(p: Int) = Similarity.ivfTopK(vectors, "vec_id", "embedding",
+        query, k, nLists = 16, nProbe = p)
+      (Similarity.recall(ivf(1), exact, Seq("vec_id")),
+        Similarity.recall(ivf(4), exact, Seq("vec_id")))
+    }
+    val avg1 = recalls.map(_._1).sum / recalls.size
+    val avg4 = recalls.map(_._2).sum / recalls.size
+    assert(avg4 >= avg1, s"probing 4/16 lists ($avg4) lost recall vs 1 ($avg1)")
+    assert(avg4 >= 0.5, s"nProbe=4 average recall $avg4 under the 0.5 floor")
+    info(f"IVF top-$k recall over ${recalls.size} queries: " +
+      f"nProbe=1: $avg1%.2f, nProbe=4: $avg4%.2f")
+  }
+
   test("IVF list assignment is total and deterministic") {
     val counts = Similarity.assignLists(vectors, "embedding", nLists = 16)
       .groupBy("list_id").count().collect()
