@@ -75,7 +75,9 @@ class JdkHttpFetcher(timeoutSeconds: Int = 30, attempts: Int = 4)
     Fetcher.withRetry(attempts) {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofSeconds(timeoutSeconds))
-        .header("User-Agent", "graft-ingest/0.1 (Spark data ingestion)")
+        // exact reference header set (api_client.py:36-41; the JDK client
+        // manages Connection itself)
+        .header("User-Agent", "Climate Policy Radar Data Ingestion Service")
         .header("Accept",
           "text/html,application/xhtml+xml,application/xml;q=0.9,image/webp,*/*;q=0.8")
         .header("Accept-Language", "en-US,en;q=0.5")

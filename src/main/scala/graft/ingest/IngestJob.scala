@@ -55,9 +55,10 @@ object IngestJob {
           // the document (reference main.py:184-196 discards them too),
           // but they must not vanish silently — surface them in the log
           actionResults.filter(_.error != "[]").foreach { r =>
-            System.err.println(
-              s"[ingest] update action '${r.update_type}' on $documentId " +
-                s"reported errors: ${r.error}")
+            JsonLog.error("updated_document_actions",
+              s"update action '${r.update_type}' on $documentId " +
+                s"reported errors: ${r.error}",
+              "document_id" -> documentId)
           }
           IngestResult(documentId, "updated", None)
         } catch {

@@ -58,10 +58,18 @@ object NewDocuments {
       runTs: Instant,
       conf: org.apache.hadoop.conf.Configuration): Processed = {
     try {
+      // O6: structured per-document logging (reference
+      // new_document_actions.py:74,84,102)
+      JsonLog.info("new_document_actions", s"Handling document: ${doc.name}",
+        "document_id" -> doc.import_id)
       // P3: source-URL validation — invalid → row error, job continues
       doc.source_url.filter(_.nonEmpty).foreach { u =>
-        if (!isValidHttpUrl(u))
+        if (!isValidHttpUrl(u)) {
+          JsonLog.error("new_document_actions",
+            s"Invalid source URL for document '${doc.import_id}'",
+            "document_id" -> doc.import_id)
           throw new IllegalArgumentException(s"Invalid source_url: $u")
+        }
       }
 
       // P2: upload-or-skip decision
@@ -113,10 +121,17 @@ object NewDocuments {
             Storage.writeBytes(s"$documentRoot/navigator/$cleanName",
               pdfBytes, conf)
           }
+          JsonLog.info("new_document_actions",
+            s"Uploaded content for '${doc.import_id}'",
+            "document_id" -> doc.import_id)
           Processed(doc, Some(cleanName), Some(hash), Some(contentType), None)
       }
     } catch {
       case e: Exception =>
+        JsonLog.error("new_document_actions",
+          s"Ingest failed for '${doc.import_id}': " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}",
+          "document_id" -> doc.import_id)
         Processed(doc, None, None, None,
           Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }

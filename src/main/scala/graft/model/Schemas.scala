@@ -49,6 +49,13 @@ object Schemas {
       family_slug: String
   )
 
+  /** An event associated with a document (reference `types.py:55-60`). */
+  case class Event(
+      name: String,
+      description: String,
+      created_ts: java.sql.Timestamp
+  )
+
   /** One update instruction for an already-ingested document.
     * `s3Value`/`dbValue` are canonical JSON text (string|object|null).
     */

@@ -99,12 +99,34 @@ class IngestIntegrationSpec extends SparkSpec {
     val cfg = UpdateConfig(
       pipelineRoot = s"file://$pipeline",
       documentRoot = s"file://$cdn")
-    val report = IngestJob.run(spark, cfg,
-      inputDirPath = "input/2022-11-01T21.53.26.945831",
-      updatesFileName = "new_and_updated_documents.json",
-      fetcher = new IngestIntegrationSpec.FixtureFetcher,
-      converter = new StubConverter,
-      runTs = Instant.parse("2023-11-21T14:02:40Z"))
+    // O6: capture the structured JSON log stream for the run
+    val logLines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val prevSink = JsonLog.sink
+    JsonLog.sink = line => logLines.add(line)
+    val report =
+      try IngestJob.run(spark, cfg,
+        inputDirPath = "input/2022-11-01T21.53.26.945831",
+        updatesFileName = "new_and_updated_documents.json",
+        fetcher = new IngestIntegrationSpec.FixtureFetcher,
+        converter = new StubConverter,
+        runTs = Instant.parse("2023-11-21T14:02:40Z"))
+      finally JsonLog.sink = prevSink
+
+    // every log record is one structured JSON object (reference
+    // main.py:22-61) tagging the document it concerns
+    val parsed = logLines.asScala.toSeq.map(PyJson.parse)
+    assert(parsed.nonEmpty)
+    parsed.foreach { n =>
+      assert(n.has("written_at") && n.has("level") && n.has("msg"),
+        s"log line missing required fields: $n")
+    }
+    val handled = parsed.filter(_.get("msg").asText.startsWith("Handling document"))
+    assert(handled.size === 18) // one per new document
+    assert(handled.forall(n => n.get("document_id").asText.nonEmpty))
+    val uploaded = parsed.filter(_.get("msg").asText.startsWith("Uploaded content"))
+    assert(uploaded.size === 17) // 1 of the 18 is a no-URL skip
+    assert(parsed.forall(_.get("level").asText != "ERROR"))
 
     // report: 18 new + 6 updated, zero errors (test_integration.py:282-296)
     assert(report.results.count(_.ingest_type == "new") === 18)
