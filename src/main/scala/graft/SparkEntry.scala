@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ContentTypes, DedupFunctions, FileNames, Slugify, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Similarity, SkewJoins}
+import graft.operators.{Contamination, Dedup, Multimodal, Similarity, SkewJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -318,6 +318,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_results"),
           round(max(col("cos")), 4).as("best_cos"))
     }),
+
+    // Benchmark decontamination: corpus docs sharing any 5-gram with the
+    // "benchmark" slice are flagged (broadcast semi-join on n-grams)
+    "q56_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 10)
+      val corpus = docs.filter(col("doc_id") >= 10)
+      Contamination.flagContaminated(corpus, "doc_id", "text",
+          bench, "text", n = 5)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_contaminated"), 1).otherwise(0))
+            .as("n_contaminated"))
+    }),
+
+    // Repetition quality signal: duplicated-n-gram fraction per doc
+    "q57_repetition" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TF.dupNgramFraction(col("text"), 2), 4).as("dup2"),
+          round(TF.dupNgramFraction(col("text"), 3), 4).as("dup3"))
+        .orderBy(col("doc_id"))),
 
     // ---- text analysis ----------------------------------------------
 
@@ -983,6 +1004,40 @@ object SparkEntry {
     "q52_simhash_pairs" -> HashOracles.q52SimhashPairs,
     "q53_lsh_topk" -> HashOracles.q53LshTopK,
     "q54_simhash_blocked" -> HashOracles.q54SimhashBlocked,
-    "q55_lsh_multiprobe" -> HashOracles.q55LshMultiprobe
+    "q55_lsh_multiprobe" -> HashOracles.q55LshMultiprobe,
+
+    // n-gram CASE mirrors TF.shingles/ngrams: >= n tokens -> sliding
+    // window of n, else the single whole-token-list gram
+    "q56_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+         |    THEN list_transform(range(0, len(t) - 4),
+         |      i -> array_to_string(t[i + 1 : i + 5], ' '))
+         |    ELSE [array_to_string(t, ' ')] END) AS gram FROM tk),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+         |corpus AS (SELECT doc_id FROM documents WHERE doc_id >= 10),
+         |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+         |  WHERE g.doc_id >= 10)
+         |SELECT count(*) AS n_docs,
+         |  sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS n_contaminated
+         |FROM corpus LEFT JOIN bad USING (doc_id)""".stripMargin,
+
+    "q57_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t) - 1),
+         |    i -> array_to_string(t[i + 1 : i + 2], ' '))
+         |    ELSE [array_to_string(t, ' ')] END AS g2,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2),
+         |    i -> array_to_string(t[i + 1 : i + 3], ' '))
+         |    ELSE [array_to_string(t, ' ')] END AS g3
+         |  FROM tk)
+         |SELECT doc_id,
+         |  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+         |    AS dup2,
+         |  round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+         |    AS dup3
+         |FROM g ORDER BY doc_id""".stripMargin
   )
 }

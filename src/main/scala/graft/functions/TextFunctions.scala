@@ -118,4 +118,29 @@ object TextFunctions {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** ALL word n-grams, duplicates kept — the counting base for repetition
+    * metrics (unlike [[shingles]], which deduplicates for set-collision
+    * use). Fewer than `n` tokens → the single whole-document gram.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Duplicated-n-gram fraction (the C4/Gopher-style repetition quality
+    * signal): share of n-gram occurrences that are repeats of an earlier
+    * occurrence, `(total - distinct) / total`. 0 = no repetition; near 1 =
+    * the document is one phrase looping. Pure Column combinator — O(grams)
+    * per row, no shuffle, no UDF.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val grams = ngrams(text, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams))
+  }
 }

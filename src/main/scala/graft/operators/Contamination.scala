@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data hygiene step that drops
+  * (or flags) corpus documents overlapping an evaluation set, so test
+  * questions never leak into training text. Standard practice for LLM
+  * corpora: exact n-gram collision against the benchmark text (the
+  * GPT-3/PaLM-style "13-gram overlap" rule, here with configurable n).
+  *
+  * 100 TB shape: benchmarks are megabytes while the corpus is the 100 TB
+  * side, so the benchmark n-gram set is built once, deduplicated, and
+  * BROADCAST; the corpus side is a shingle-explode followed by a
+  * broadcast LEFT SEMI join (no shuffle of the corpus, no state beyond
+  * the broadcast map) and a single aggregation back to document grain.
+  */
+object Contamination {
+
+  /** Corpus rows tagged `is_contaminated` = shares at least one `n`-gram
+    * with any benchmark row. All columns of `corpus` are preserved.
+    */
+  def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TF.shingles(col(benchTextCol), n)).as("gram"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(TF.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .select(col(idCol)).distinct()
+      .withColumn("is_contaminated", lit(true))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("is_contaminated",
+        coalesce(col("is_contaminated"), lit(false)))
+  }
+
+  /** The filter form: corpus minus contaminated docs (broadcast anti-join
+    * against the flagged id set).
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    flagContaminated(corpus, idCol, textCol, benchmark, benchTextCol, n)
+      .filter(!col("is_contaminated"))
+      .drop("is_contaminated")
+}

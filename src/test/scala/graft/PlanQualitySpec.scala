@@ -40,6 +40,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q54: block-rotation SimHash join is an equi-join on (table, key)") {
+    val p = plan("q54_simhash_blocked")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q55: multi-probe LSH broadcasts the probe side; vectors stream") {
+    val p = plan("q55_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the top-k stays a heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
