@@ -295,6 +295,35 @@ object HashOracles {
         "ORDER BY cos DESC, s.vec_id LIMIT 10)"),
     "SELECT count(*) AS n_results, round(max(cos), 4) AS best_cos FROM res")
 
+  /** Rolling hash replay: per token FNV-1a (nested lambda), then the
+    * base-31 left fold in HUGEINT mod 2^64 (JVM long wrap-around).
+    */
+  val q58RollingHash: String = withClause(
+    Seq(
+      s"tk AS (SELECT doc_id, $Toks AS t FROM documents)",
+      s"hs AS (SELECT doc_id, list_transform(t, w -> ${fnv("w")}) AS hv FROM tk)",
+      "acc AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), hv), " +
+        s"(a, h) -> (a * 31 + h) % $P64) AS r FROM hs)"),
+    s"SELECT doc_id, ${toSigned("r")} AS rhash FROM acc ORDER BY doc_id")
+
+  /** Stratified-sample replay: splitmix64(doc_id) mod 10000 against the
+    * per-language thresholds (en 50%, de 25%, default 10%).
+    */
+  val q59StratifiedSample: String = {
+    val head = Seq(
+      "dz AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "lang")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    withClause(head ++ mixed ++ Seq(
+      "kept AS (SELECT doc_id, lang FROM dm5 WHERE z % 10000 < " +
+        "CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 " +
+        "ELSE 1000 END)"),
+      "SELECT lang, count(*) AS n_sampled FROM kept GROUP BY lang ORDER BY lang")
+  }
+
   /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,
     * byte_entropy_q = number of occupied histogram buckets = distinct
     * `byte % 16` values (a bucket count is > 0 iff some byte lands in it).

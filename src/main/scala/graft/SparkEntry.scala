@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ContentTypes, DedupFunctions, FileNames, Slugify, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Contamination, Dedup, Multimodal, Similarity, SkewJoins}
+import graft.operators.{Contamination, Dedup, Multimodal, Sampling, Similarity, SkewJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -339,6 +339,21 @@ object SparkEntry {
           round(TF.dupNgramFraction(col("text"), 2), 4).as("dup2"),
           round(TF.dupNgramFraction(col("text"), 3), 4).as("dup3"))
         .orderBy(col("doc_id"))),
+
+    // Order-sensitive rolling-hash fingerprint (wrapping base-31 over
+    // FNV-1a token hashes; oracle replays it in HUGEINT mod 2^64)
+    "q58_rolling_hash" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TF.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic stratified sampling (data mixing): en 50%, de 25%,
+    // rest 10%, keyed on splitmix64(doc_id) — stable across runs/engines
+    "q59_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))),
 
     // ---- text analysis ----------------------------------------------
 
@@ -1038,6 +1053,9 @@ object SparkEntry {
          |    AS dup2,
          |  round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
          |    AS dup3
-         |FROM g ORDER BY doc_id""".stripMargin
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q58_rolling_hash" -> HashOracles.q58RollingHash,
+    "q59_stratified_sample" -> HashOracles.q59StratifiedSample
   )
 }

@@ -112,12 +112,22 @@ object TextFunctions {
       i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))
   }
 
-  /** 64-bit polynomial rolling hash of the token stream (base 31, wrapping
-    * long arithmetic) — an order-sensitive document fingerprint.
+  /** 64-bit polynomial rolling hash of the token stream (base 31 over
+    * FNV-1a token hashes, wrapping long arithmetic) — an order-sensitive
+    * document fingerprint. A UDF, not a Column fold: under ANSI mode
+    * (Spark 4 default) SQL long arithmetic THROWS on overflow, while a
+    * rolling hash requires wrap-around; JVM arithmetic wraps, and the
+    * FNV-1a token hash keeps the value engine-independent (DuckDB oracle
+    * replays it in HUGEINT mod 2^64 — gate query q58).
     */
-  def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+  def rollingHash(text: Column): Column = rollingUdf(tokens(text))
+
+  private val rollingUdf = udf { (toks: Seq[String]) =>
+    var acc = 0L
+    if (toks != null)
+      toks.foreach(t => acc = acc * 31L + DedupFunctions.fnv1a64(t))
+    acc
+  }
 
   /** ALL word n-grams, duplicates kept — the counting base for repetition
     * metrics (unlike [[shingles]], which deduplicates for set-collision
