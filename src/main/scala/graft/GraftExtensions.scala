@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite}
+import graft.expressions.{DotProduct, DotProductRewrite, SplitMix64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_splitmix64"),
+      new ExpressionInfo(classOf[SplitMix64].getName, "graft_splitmix64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_splitmix64 takes exactly 1 argument")
+        SplitMix64(children.head)
       }))
     ext.injectOptimizerRule(_ => DotProductRewrite)
   }

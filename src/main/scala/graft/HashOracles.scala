@@ -306,8 +306,8 @@ object HashOracles {
         s"(a, h) -> (a * 31 + h) % $P64) AS r FROM hs)"),
     s"SELECT doc_id, ${toSigned("r")} AS rhash FROM acc ORDER BY doc_id")
 
-  /** Stratified-sample replay: splitmix64(doc_id) mod 10000 against the
-    * per-language thresholds (en 50%, de 25%, default 10%).
+  /** Stratified-sample replay: pmod(signed splitmix64(doc_id), 10000)
+    * against the per-language thresholds (en 50%, de 25%, default 10%).
     */
   val q59StratifiedSample: String = {
     val head = Seq(
@@ -317,8 +317,9 @@ object HashOracles {
         val prev = if (n == 0) "dz" else s"dm${n - 1}"
         s"dm$n AS ($body FROM $prev)"
     }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
     withClause(head ++ mixed ++ Seq(
-      "kept AS (SELECT doc_id, lang FROM dm5 WHERE z % 10000 < " +
+      s"kept AS (SELECT doc_id, lang FROM dm5 WHERE $signedMod < " +
         "CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 " +
         "ELSE 1000 END)"),
       "SELECT lang, count(*) AS n_sampled FROM kept GROUP BY lang ORDER BY lang")

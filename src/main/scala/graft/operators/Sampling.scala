@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.DedupFunctions
+import graft.expressions.HashExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -22,18 +22,15 @@ object Sampling {
 
   private val Buckets = 10000
 
-  private val bucketUdf = udf { (id: Long) =>
-    // unsigned remainder so the SQL replay is a plain `mod` on the
-    // unsigned hash (signed % would need sign fixups on both sides)
-    java.lang.Long.remainderUnsigned(
-      DedupFunctions.splitmix64(id), Buckets).toInt
-  }
-
   /** Stable bucket in [0, 10000) for an id — the one hash both [[sample]]
     * and [[stratifiedSample]] consult, also usable directly for
     * train/validation/test splits (`bucket < 9800` / `< 9900` / rest).
+    * `pmod` of the codegen'd [[HashExpressions.splitmix64]]: the whole
+    * keep-decision stays inside whole-stage codegen (no UDF boxing per
+    * corpus row).
     */
-  def hashBucket(id: Column): Column = bucketUdf(id)
+  def hashBucket(id: Column): Column =
+    pmod(HashExpressions.splitmix64(id), lit(Buckets.toLong)).cast("int")
 
   /** Keep ~`fraction` of rows, deterministically in the id. */
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
