@@ -64,7 +64,10 @@ object HashOracles {
     )
   }
 
-  private val Toks =
+  /** The canonical DuckDB tokenizer fragment — ONE definition shared with
+    * `SparkEntry.oracleSql` (both must mirror `TextFunctions.tokens`).
+    */
+  val Toks: String =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
   /** FNV-1a 64 over a string column, one `list_reduce` fold per row.
@@ -337,8 +340,12 @@ object HashOracles {
       |bv AS (SELECT doc_id, n,
       |  (strpos('0123456789ABCDEF', substring(hx, 2 * i + 1, 1)) - 1) * 16
       |  + (strpos('0123456789ABCDEF', substring(hx, 2 * i + 2, 1)) - 1) AS byte
-      |  FROM byi)
-      |SELECT doc_id AS media_id, CAST(any_value(n) AS INTEGER) AS n_bytes,
+      |  FROM byi),
+      |agg AS (SELECT doc_id, CAST(any_value(n) AS INTEGER) AS n_bytes,
       |  CAST(count(DISTINCT byte % 16) AS INTEGER) AS byte_entropy_q
-      |FROM bv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  FROM bv GROUP BY doc_id)
+      |-- empty/NULL text yields no byte rows but Spark still emits the doc
+      |SELECT d.doc_id AS media_id, coalesce(a.n_bytes, 0) AS n_bytes,
+      |  coalesce(a.byte_entropy_q, 0) AS byte_entropy_q
+      |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
 }

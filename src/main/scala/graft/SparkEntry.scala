@@ -57,8 +57,7 @@ object SparkEntry {
   // Shared token expression for the documents table (matches the DuckDB
   // fragment `TOKS` below).
   private def toks(c: Column): Column = TF.tokens(c)
-  private val ToksSql =
-    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+  private val ToksSql = HashOracles.Toks // ONE canonical tokenizer fragment
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")

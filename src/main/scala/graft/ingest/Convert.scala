@@ -78,16 +78,19 @@ class ProcessConverter(
       val in = dir.resolve("doc.docx")
       java.nio.file.Files.write(in, content)
       val err = new StringBuilder
-      val rc = Seq(sofficeBin, "--headless", "--convert-to", "pdf",
+      // -env:UserInstallation: concurrent executor tasks must NOT share
+      // the default LibreOffice profile — its lock makes the second
+      // instance exit (sometimes rc 0 with no output). A per-call profile
+      // under the worker dir makes invocations truly independent.
+      val rc = Seq(sofficeBin, "--headless",
+        s"-env:UserInstallation=file://$dir/profile",
+        "--convert-to", "pdf",
         "--outdir", dir.toString, in.toString)
         .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
       if (rc != 0)
         throw new RuntimeException(s"Conversion failed: $err")
       java.nio.file.Files.readAllBytes(dir.resolve("doc.pdf"))
-    } finally {
-      dir.toFile.listFiles().foreach(_.delete())
-      java.nio.file.Files.deleteIfExists(dir)
-    }
+    } finally deleteRecursively(dir)
   }
 
   override def capturePdfFromUrl(url: String): (Array[Byte], Option[String]) = {
@@ -95,17 +98,24 @@ class ProcessConverter(
     try {
       val out = dir.resolve("page.pdf")
       val err = new StringBuilder
+      // per-call --user-data-dir for the same reason as the soffice
+      // profile: the default profile dir is locked by the first instance
       val rc = Seq(chromiumBin, "--headless", "--disable-gpu", "--no-sandbox",
+        s"--user-data-dir=$dir/profile",
         s"--print-to-pdf=$out", "--print-to-pdf-no-header", url)
         .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
       if (rc != 0)
         throw new RuntimeException(s"Capture failed for $url: $err")
       // the CLI drive exposes no response headers; content type unknown
       (java.nio.file.Files.readAllBytes(out), None)
-    } finally {
-      dir.toFile.listFiles().foreach(_.delete())
-      java.nio.file.Files.deleteIfExists(dir)
-    }
+    } finally deleteRecursively(dir)
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    // deepest-first so the per-call profile subtree goes too
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   override def addLastPageWatermark(pdf: Array[Byte], text: String): Array[Byte] =

@@ -215,6 +215,8 @@ object PdfWatermark {
   private sealed trait XEntry
   private case class XOffset(off: Long, gen: Int) extends XEntry
   private case class XInStream(container: Int, idx: Int) extends XEntry
+  /** Freed in some revision — must SHADOW older sections' live entries. */
+  private case object XFree extends XEntry
 
   /** Random-access reader over one PDF byte array: xref map + object
     * loader + page-tree walk.
@@ -249,18 +251,25 @@ object PdfWatermark {
             val line = new String(data, p.pos, 18, ISO_8859_1)
             p.pos += 20
             val objNum = start + i
-            if (line.charAt(17) == 'n' && !xref.contains(objNum))
-              xref(objNum) = XOffset(line.substring(0, 10).toLong,
-                line.substring(11, 16).toInt)
+            // newest-section-wins INCLUDING free entries: an object freed
+            // by a later revision must not resurrect from an older section
+            if (!xref.contains(objNum))
+              xref(objNum) =
+                if (line.charAt(17) == 'n')
+                  XOffset(line.substring(0, 10).toLong,
+                    line.substring(11, 16).toInt)
+                else XFree
           }
           p.skipWs()
         }
         p.expect("trailer")
         val t = p.parseValue().asInstanceOf[PDict]
         if (trailer.entries.isEmpty) trailer = t
-        t.get("Prev").foreach(v => loadXref(num(v).toLong, isNewest = false))
-        // hybrid files: /XRefStm points at a stream with the same section
+        // hybrid files: /XRefStm entries take PRECEDENCE over this
+        // section's /Prev chain (ISO 32000 §7.5.8.4) — load it first so
+        // first-seen-wins resolves to the hybrid stream's entries
         t.get("XRefStm").foreach(v => loadXref(num(v).toLong, isNewest = false))
+        t.get("Prev").foreach(v => loadXref(num(v).toLong, isNewest = false))
       } else {
         // cross-reference stream: "N G obj << ... >> stream"
         if (isNewest) xrefIsStream = true
@@ -294,7 +303,7 @@ object PdfWatermark {
               if (!xref.contains(objNum)) tpe match {
                 case 1 => xref(objNum) = XOffset(field(1), field(2).toInt)
                 case 2 => xref(objNum) = XInStream(field(1).toInt, field(2).toInt)
-                case _ => () // free
+                case _ => xref(objNum) = XFree // shadows older sections
               }
             }
           case _ => ()
@@ -412,7 +421,7 @@ object PdfWatermark {
         val op = new Parser(bytes)
         op.pos = first + off
         op.parseValue()
-      case None => PNull
+      case Some(XFree) | None => PNull
     })
 
     def resolve(v: PVal): PVal = v match {
@@ -436,7 +445,8 @@ object PdfWatermark {
     def pageLeafCount: Int = {
       def walk(ref: PRef): Int = resolve(ref) match {
         case d: PDict if d.get("Type").contains(PName("Pages")) =>
-          d.get("Kids").get match {
+          // /Kids may itself be an indirect reference to the array
+          resolve(d.get("Kids").get) match {
             case PArr(kids) => kids.collect { case r: PRef => walk(r) }.sum
             case _ => 0
           }

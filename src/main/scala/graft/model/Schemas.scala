@@ -49,7 +49,11 @@ object Schemas {
       family_slug: String
   )
 
-  /** An event associated with a document (reference `types.py:55-60`). */
+  /** An event associated with a document (reference `types.py:55-60`).
+    * Deliberately unreferenced: the reference declares this record without
+    * using it either — it is part of the schema SURFACE being mirrored
+    * (SURVEY §1.2), available to control files that carry event lists.
+    */
   case class Event(
       name: String,
       description: String,

@@ -31,7 +31,10 @@ object Contamination {
       .join(broadcast(benchGrams), "gram")
       .select(col(idCol)).distinct()
       .withColumn("is_contaminated", lit(true))
-    corpus.join(hits, Seq(idCol), "left")
+    // the flagged-id set is at most benchmark-sized collisions — broadcast
+    // it too, or a stats misestimate plans a sort-merge join that shuffles
+    // the full corpus (the exact cost this operator exists to avoid)
+    corpus.join(broadcast(hits), Seq(idCol), "left")
       .withColumn("is_contaminated",
         coalesce(col("is_contaminated"), lit(false)))
   }

@@ -203,9 +203,15 @@ object Dedup {
     while (!converged && iter < maxIter) {
       // candidate label for each node: the min of its neighbors' labels;
       // the previous label rides along so convergence is checked in the
-      // SAME job (no second join per round)
+      // SAME job (no second join per round). The explicit repartition
+      // before the groupBy sizes the aggregation's shuffle to the GRAPH
+      // (the join output satisfies the agg's required distribution, so no
+      // session-partition-count exchange is inserted) and leaves
+      // viaNeighbors hash-partitioned on id2 at numParts — co-partitioned
+      // with labels for the join below
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
+        .repartition(numParts, col("src"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("component")).as("nbr_component"))
       val next = labels

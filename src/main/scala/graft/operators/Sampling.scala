@@ -35,7 +35,8 @@ object Sampling {
   /** Keep ~`fraction` of rows, deterministically in the id. */
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
-    df.filter(hashBucket(col(idCol)) < (fraction * Buckets).toInt)
+    // round, don't truncate: 0.29 * 10000 is 2899.999... in binary
+    df.filter(hashBucket(col(idCol)) < math.round(fraction * Buckets).toInt)
   }
 
   /** Per-stratum sampling rates (data mixing): rows in a stratum listed in
@@ -45,8 +46,9 @@ object Sampling {
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0): DataFrame = {
     val threshold = fractions.foldLeft(
-      lit((defaultFraction * Buckets).toInt)) { case (acc, (k, f)) =>
-      when(col(stratumCol) === k, lit((f * Buckets).toInt)).otherwise(acc)
+      lit(math.round(defaultFraction * Buckets).toInt)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k,
+        lit(math.round(f * Buckets).toInt)).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
