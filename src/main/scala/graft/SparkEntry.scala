@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ContentTypes, DedupFunctions, FileNames, Slugify, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Contamination, Dedup, Multimodal, Sampling, Similarity, SkewJoins}
+import graft.operators.{Contamination, Dedup, Multimodal, QualityFilters, Sampling, Similarity, SkewJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -353,6 +353,22 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("lang"))),
+
+    // Quality-filter audit: per-drop-reason volume accounting (first
+    // failing rule names the reason; null = kept)
+    "q60_quality_audit" -> ((s, dir) =>
+      QualityFilters.audit(T(s, dir, "documents"), "text",
+          QualityFilters.standardRules(col("text"), minTokens = 30,
+            maxTokens = 10000, maxDupNgramFraction = 0.05))
+        .orderBy(col("drop_reason").asc_nulls_first)),
+
+    // Corpus vocabulary: global top-20 tokens (partial agg + top-k heap)
+    "q61_vocab_topk" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
 
     // ---- text analysis ----------------------------------------------
 
@@ -1055,6 +1071,30 @@ object SparkEntry {
          |FROM g ORDER BY doc_id""".stripMargin,
 
     "q58_rolling_hash" -> HashOracles.q58RollingHash,
-    "q59_stratified_sample" -> HashOracles.q59StratifiedSample
+    "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
+
+    // first-failing-rule CASE chain mirrors QualityFilters.standardRules
+    "q60_quality_audit" ->
+      s"""WITH tk AS (SELECT doc_id, text, $ToksSql AS t FROM documents),
+         |g AS (SELECT doc_id, text, len(t) AS n,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2),
+         |    i -> array_to_string(t[i + 1 : i + 3], ' '))
+         |    ELSE [array_to_string(t, ' ')] END AS g3 FROM tk),
+         |r AS (SELECT CASE
+         |  WHEN n < 30 THEN 'min_tokens'
+         |  WHEN n > 10000 THEN 'max_tokens'
+         |  WHEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+         |    > 0.05 THEN 'repetition'
+         |  WHEN CAST(length(text) - length(regexp_replace(text,
+         |      '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) > n * 0.5
+         |    THEN 'punct_ratio'
+         |  ELSE NULL END AS drop_reason FROM g)
+         |SELECT drop_reason, count(*) AS n FROM r
+         |GROUP BY drop_reason ORDER BY drop_reason NULLS FIRST""".stripMargin,
+
+    "q61_vocab_topk" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($ToksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
   )
 }
