@@ -456,6 +456,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Frame sampling plumbing: every 4th 64-byte pseudo-frame per media
+    // row (one row per sampled frame — the explode shape a real frame
+    // sampler needs)
+    "q62_frame_sampling" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Context-window chunking: one row per 64-token chunk (8 overlap).
     "q47_chunking" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 100)
@@ -1095,6 +1107,19 @@ object SparkEntry {
     "q61_vocab_topk" ->
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest($ToksSql) AS token FROM documents)
-         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // ASCII corpus: byte offsets == char offsets, so substring replays
+    // the binary frame slicing exactly
+    "q62_frame_sampling" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, text,
+        |  unnest(range(0, greatest(CAST(floor(n / 64) AS BIGINT) - 1, 0) + 1,
+        |    4)) AS frame_idx FROM m)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  length(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
+        |    AS frame_bytes
+        |FROM f ORDER BY 1, 2""".stripMargin
   )
 }

@@ -54,6 +54,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q59: the sampling keep-decision stays inside codegen (no UDF)") {
+    val p = plan("q59_stratified_sample")
+    assert(!p.contains("ScalaUDF"), "sampling fell back to a UDF:\n" + p)
+    assert(p.contains("graft_splitmix64"), p)
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming near-dup detection through a MemoryStream: an arriving copy
+  * collides against the bucket canonical; distinct docs pass silently;
+  * re-deliveries don't re-collide.
+  */
+class DedupStreamSpec extends SparkSpec {
+
+  import DedupStream.Doc
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("copies collide with the first-seen canonical; distinct docs do not") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textC = "completely different content about distributed query engines"
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.nearDupCollisions(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("collisions")
+      .outputMode(OutputMode.Append()).start()
+
+    mem.addData(Doc(1L, textA, ts(0)))
+    q.processAllAvailable()
+    // exact copy -> identical signature -> collides in EVERY band
+    mem.addData(Doc(2L, textA, ts(1)), Doc(3L, textC, ts(1)))
+    q.processAllAvailable()
+    // same copy re-delivered: already in bucket state, no new collisions
+    mem.addData(Doc(2L, textA, ts(2)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.sql("SELECT * FROM collisions").collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === Set(2L))
+    val hits = byDoc(2L)
+    assert(hits.length === 4, s"copy should collide in all 4 bands: ${hits.toSeq}")
+    assert(hits.forall(_.getAs[Long]("canonical_id") === 1L))
+    assert(hits.map(_.getAs[Int]("band")).toSet === Set(0, 1, 2, 3))
+  }
+}
