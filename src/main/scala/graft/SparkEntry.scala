@@ -358,8 +358,8 @@ object SparkEntry {
     // failing rule names the reason; null = kept)
     "q60_quality_audit" -> ((s, dir) =>
       QualityFilters.audit(T(s, dir, "documents"), "text",
-          QualityFilters.standardRules(col("text"), minTokens = 30,
-            maxTokens = 10000, maxDupNgramFraction = 0.05))
+          QualityFilters.Thresholds(minTokens = 30, maxTokens = 10000,
+            maxDupNgramFraction = 0.05))
         .orderBy(col("drop_reason").asc_nulls_first)),
 
     // Corpus vocabulary: global top-20 tokens (partial agg + top-k heap)

@@ -132,14 +132,19 @@ object TextFunctions {
   /** ALL word n-grams, duplicates kept — the counting base for repetition
     * metrics (unlike [[shingles]], which deduplicates for set-collision
     * use). Fewer than `n` tokens → the single whole-document gram.
+    *
+    * Prefer [[ngramsOf]] over a pre-materialized token COLUMN when the
+    * result feeds several expressions: passing `tokens(text)` inline
+    * means the regexp split re-runs per lambda element.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def ngrams(text: Column, n: Int): Column = ngramsOf(tokens(text), n)
+
+  /** [[ngrams]] over an already-computed token array column. */
+  def ngramsOf(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
-  }
 
   /** Duplicated-n-gram fraction (the C4/Gopher-style repetition quality
     * signal): share of n-gram occurrences that are repeats of an earlier

@@ -5,56 +5,79 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Composable document-quality filtering — the C4/Gopher-style keep/drop
-  * stage of a training-data pipeline. Each rule is a named predicate over
-  * the text column; [[annotate]] tags every row with the FIRST failing
-  * rule (or null = keep), so a pipeline can audit exactly why volume was
-  * dropped — at 100 TB, "we lost 31% to min_tokens" must be a queryable
-  * fact, not a guess. [[keep]] is the filter form.
+  * stage of a training-data pipeline. Each document is tagged with the
+  * FIRST failing rule (or null = keep), so a pipeline can audit exactly
+  * why volume was dropped — at 100 TB, "we lost 31% to min_tokens" must
+  * be a queryable fact, not a guess.
   *
-  * All rules are pure Column predicates: the whole stage is one narrow
-  * projection + filter inside whole-stage codegen — no shuffle, no UDF.
+  * The token array and n-gram list are materialized ONCE per row in a
+  * separate projection before the rule expressions consume them: inlining
+  * `tokens(text)` into every rule would re-run the regexp split per
+  * n-gram lambda element (higher-order functions re-evaluate argument
+  * subtrees), which measured 30x slower at sf0.1. CollapseProject leaves
+  * the split alone because the alias is expensive and multiply
+  * referenced. No shuffle, no UDF.
   */
 object QualityFilters {
 
-  /** One named drop rule: `fails` is TRUE when the document fails it. */
+  /** Tunable thresholds for the standard rule set. Rule order (first
+    * failure names the reason): min_tokens, max_tokens, repetition,
+    * punct_ratio.
+    */
+  final case class Thresholds(
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      maxDupNgramFraction: Double = 0.6,
+      maxPunctPerToken: Double = 0.5)
+
+  /** One named drop rule: `fails` is TRUE when the document fails it.
+    * For custom rule sets via [[annotateWith]]; prefer [[annotate]] and
+    * [[Thresholds]] for the standard rules (it shares the tokenization).
+    */
   final case class Rule(name: String, fails: Column)
 
-  /** The standard rule set, tunable thresholds. Order matters: the first
-    * failing rule names the drop reason.
-    */
-  def standardRules(text: Column,
-      minTokens: Int = 10, maxTokens: Int = 100000,
-      maxDupNgramFraction: Double = 0.6,
-      maxPunctPerToken: Double = 0.5): Seq[Rule] = {
-    val nToks = TF.tokenCount(text)
-    Seq(
-      Rule("min_tokens", nToks < minTokens),
-      Rule("max_tokens", nToks > maxTokens),
-      Rule("repetition",
-        TF.dupNgramFraction(text, 3) > maxDupNgramFraction),
-      Rule("punct_ratio",
-        TF.punctCount(text).cast("double") > nToks * maxPunctPerToken))
-  }
+  private def firstFailing(rules: Seq[Rule]): Column =
+    rules.foldRight(lit(null).cast("string")) { (r, acc) =>
+      when(r.fails, r.name).otherwise(acc)
+    }
 
   /** Tag every row with `drop_reason` (null = keeps all rules). */
   def annotate(df: DataFrame, textCol: String,
-      rules: Seq[Rule] = null): DataFrame = {
-    val rs = Option(rules).getOrElse(standardRules(col(textCol)))
-    val reason = rs.foldRight(lit(null).cast("string")) { (r, acc) =>
-      when(r.fails, r.name).otherwise(acc)
-    }
-    df.withColumn("drop_reason", reason)
+      t: Thresholds = Thresholds()): DataFrame = {
+    val toksCol = "__qf_toks"
+    val gramsCol = "__qf_g3"
+    val nToks = size(col(toksCol))
+    val dupFrac = when(size(col(gramsCol)) === 0, lit(0.0)).otherwise(
+      (size(col(gramsCol)) - size(array_distinct(col(gramsCol))))
+        .cast("double") / size(col(gramsCol)))
+    val rules = Seq(
+      Rule("min_tokens", nToks < t.minTokens),
+      Rule("max_tokens", nToks > t.maxTokens),
+      Rule("repetition", dupFrac > t.maxDupNgramFraction),
+      Rule("punct_ratio", TF.punctCount(col(textCol)).cast("double") >
+        nToks * t.maxPunctPerToken))
+    df.withColumn(toksCol, TF.tokens(col(textCol)))
+      .withColumn(gramsCol, TF.ngramsOf(col(toksCol), 3))
+      .withColumn("drop_reason", firstFailing(rules))
+      .drop(toksCol, gramsCol)
   }
+
+  /** Custom-rule form: caller-supplied predicates over their own columns.
+    * Callers referencing `tokens(text)` in several rules should project
+    * it to a column first (see the class doc).
+    */
+  def annotateWith(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.withColumn("drop_reason", firstFailing(rules))
 
   /** Rows passing every rule (the production filter form). */
   def keep(df: DataFrame, textCol: String,
-      rules: Seq[Rule] = null): DataFrame =
-    annotate(df, textCol, rules)
+      t: Thresholds = Thresholds()): DataFrame =
+    annotate(df, textCol, t)
       .filter(col("drop_reason").isNull).drop("drop_reason")
 
   /** Per-reason drop accounting: (drop_reason, n) with null = kept. */
   def audit(df: DataFrame, textCol: String,
-      rules: Seq[Rule] = null): DataFrame =
-    annotate(df, textCol, rules)
+      t: Thresholds = Thresholds()): DataFrame =
+    annotate(df, textCol, t)
       .groupBy(col("drop_reason")).agg(count(lit(1)).as("n"))
 }
