@@ -146,11 +146,11 @@ object Dedup {
     *    near-cliques, so 2-4 rounds in practice.
     *
     * @return (id, component) where component = min id in the component.
-    *         The result is PERSISTED (its lineage is the whole iterative
-    *         loop — recomputing it would replay every round): callers
-    *         that keep a session alive should `unpersist()` it once
-    *         their downstream result is materialized, as [[dedupCorpus]]
-    *         does.
+    *         The result is MATERIALIZED (local path: persisted; loop
+    *         path: locally checkpointed — the iterative lineage is cut,
+    *         so nothing replays). Callers that keep a session alive may
+    *         `unpersist()` the local-path result once downstream output
+    *         is materialized, as [[dedupCorpus]] does.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, localThreshold: Long = 1000000L): DataFrame = {
@@ -194,10 +194,17 @@ object Dedup {
     val edges = edgesRaw.repartition(numParts, col("dst")).persist()
     edges.count()
     edgesRaw.unpersist()
+    // localCheckpoint (NOT persist): persist caches data but the logical
+    // plan still grows by one join+agg per round — at graph-diameter
+    // round counts (chains of near-dups do occur) the accumulated plan
+    // OOMs the driver just STRINGIFYING it for AQE. Checkpointing
+    // re-roots each round's plan at the materialized RDD, so plan size
+    // is O(1) in rounds. Old rounds' blocks are released by the context
+    // cleaner once unreferenced.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .repartition(numParts, col("id"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -220,10 +227,9 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_component"),
             col("component"))).as("component"))
         .repartition(numParts, col("id"))
-        .persist()
+        .localCheckpoint(true) // materialize + cut the plan (see above)
       val changed =
         next.filter(col("component") =!= col("prev")).limit(1).count()
-      labels.unpersist()
       labels = next.drop("prev")
       converged = changed == 0
       iter += 1

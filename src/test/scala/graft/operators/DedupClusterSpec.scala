@@ -33,6 +33,26 @@ class DedupClusterSpec extends SparkSpec {
     assert(dist === expected)
   }
 
+  test("distributed propagation converges over many rounds (long chain)") {
+    val s = spark
+    import s.implicits._
+    // a 60-node chain needs O(log or diameter) label-propagation rounds —
+    // exercises the per-round explicit repartitioning + convergence check
+    // through MANY iterations, plus a disjoint triangle as a control
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("a_id", "b_id")
+    // hash-min propagation moves labels 1 hop per round: a 60-node chain
+    // needs ~59 rounds, above the 50-round default (which suits the
+    // near-clique graphs dedup produces)
+    val got = Dedup.connectedComponents(pairs, "a_id", "b_id",
+        maxIter = 100, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 59L).forall(got(_) == 0L), "chain must collapse to min id")
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(got.size === 63)
+  }
+
   test("SimHash recall: block-rotation is pigeonhole-exact; the high-16 " +
       "bucket heuristic's recall is measured") {
     val docs = spark.read
