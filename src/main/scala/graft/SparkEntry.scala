@@ -339,6 +339,25 @@ object SparkEntry {
           round(TF.dupNgramFraction(col("text"), 3), 4).as("dup3"))
         .orderBy(col("doc_id"))),
 
+    // PII scrubbing: the corpus carries no PII, so the query PLANTS a
+    // synthetic email + account number per doc and verifies the masking
+    // strips exactly them (counts + masked length checked by the oracle)
+    "q63_pii_masking" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.maskPii(concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com"),
+            lit(" acct 90210"), col("doc_id"), lit("77001")))
+            .as("masked"))
+        .select(col("doc_id"), length(col("masked")).as("masked_len"),
+          (length(col("masked")) -
+            length(regexp_replace(col("masked"), "\\[EMAIL\\]", "")))
+            .divide(7).cast("long").as("n_emails"),
+          (length(col("masked")) -
+            length(regexp_replace(col("masked"), "\\[NUM\\]", "")))
+            .divide(5).cast("long").as("n_nums"))
+        .orderBy(col("doc_id"))),
+
     // Order-sensitive rolling-hash fingerprint (wrapping base-31 over
     // FNV-1a token hashes; oracle replays it in HUGEINT mod 2^64)
     "q58_rolling_hash" -> ((s, dir) =>
@@ -1081,6 +1100,21 @@ object SparkEntry {
          |  round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
          |    AS dup3
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q63_pii_masking" ->
+      """WITH m AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com'
+        |      || ' acct 90210' || doc_id || '77001',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{9,}', '[NUM]', 'g') AS masked
+        |  FROM documents)
+        |SELECT doc_id, length(masked) AS masked_len,
+        |  CAST((length(masked) - length(replace(masked, '[EMAIL]', ''))) / 7
+        |    AS BIGINT) AS n_emails,
+        |  CAST((length(masked) - length(replace(masked, '[NUM]', ''))) / 5
+        |    AS BIGINT) AS n_nums
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q58_rolling_hash" -> HashOracles.q58RollingHash,
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,

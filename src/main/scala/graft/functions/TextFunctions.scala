@@ -146,6 +146,18 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
 
+  /** PII scrubbing for training text: emails → `[EMAIL]`, 9+-digit runs
+    * (phone/account/ssn-shaped) → `[NUM]`. Patterns are deliberately
+    * lookaround-free so Java regex (Spark) and RE2 (DuckDB oracle, most
+    * scale-out scanners) agree byte-for-byte. Pure `regexp_replace`
+    * chain — codegen'd, no UDF.
+    */
+  def maskPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    regexp_replace(noEmail, "[0-9]{9,}", "[NUM]")
+  }
+
   /** Duplicated-n-gram fraction (the C4/Gopher-style repetition quality
     * signal): share of n-gram occurrences that are repeats of an earlier
     * occurrence, `(total - distinct) / total`. 0 = no repetition; near 1 =

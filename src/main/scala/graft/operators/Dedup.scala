@@ -142,8 +142,10 @@ object Dedup {
     *    the lineage cut each iteration (at 100 TB the alternative —
     *    letting the plan grow per round — is what kills iterative jobs),
     *    shuffle-partition count derived from the edge count, not the
-    *    session. Converges in O(diameter) rounds; dup clusters are
-    *    near-cliques, so 2-4 rounds in practice.
+    *    session. Each round also POINTER-JUMPS (adopts the label of the
+    *    current label), so convergence is O(log diameter) rounds — 2-4
+    *    for the near-clique graphs dedup produces, and still ~7 for a
+    *    60-node chain that plain propagation would take 59 rounds on.
     *
     * @return (id, component) where component = min id in the component.
     *         The result is MATERIALIZED (local path: persisted; loop
@@ -221,10 +223,22 @@ object Dedup {
         .repartition(numParts, col("src"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("component")).as("nbr_component"))
-      val next = labels
+      val stepped = labels
         .join(viaNeighbors, labels("id") === col("id2"), "left")
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_component"),
+            col("component"))).as("component"))
+      // pointer jump: also adopt the label OF the current label
+      // (labels always name a node in the same component, so this
+      // preserves correctness while halving the remaining distance —
+      // rounds drop from O(diameter) to O(log diameter), which is what
+      // survives chain-shaped dup graphs at scale)
+      val jump = stepped.select(col("id").as("jid"),
+        col("component").as("jcomponent"))
+      val next = stepped
+        .join(jump, stepped("component") === col("jid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("component"), coalesce(col("jcomponent"),
             col("component"))).as("component"))
         .repartition(numParts, col("id"))
         .localCheckpoint(true) // materialize + cut the plan (see above)

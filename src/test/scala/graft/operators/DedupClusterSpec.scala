@@ -42,11 +42,11 @@ class DedupClusterSpec extends SparkSpec {
     val chain = (0L until 59L).map(i => (i, i + 1))
     val pairs = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
       .toDF("a_id", "b_id")
-    // hash-min propagation moves labels 1 hop per round: a 60-node chain
-    // needs ~59 rounds, above the 50-round default (which suits the
-    // near-clique graphs dedup produces)
+    // neighbor-min + pointer jumping: the 60-node chain must converge in
+    // O(log diameter) rounds, comfortably inside the 50-round default
+    // (plain 1-hop propagation would need ~59)
     val got = Dedup.connectedComponents(pairs, "a_id", "b_id",
-        maxIter = 100, localThreshold = 0L)
+        localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 59L).forall(got(_) == 0L), "chain must collapse to min id")
     assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
