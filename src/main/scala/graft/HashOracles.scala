@@ -87,13 +87,16 @@ object HashOracles {
   /** CTE chain ending in `sigs(doc_id, s<i>...)`: signed MinHash slots
     * (k = 16, shingleLen = 3 — the [[operators.Dedup]] defaults). Docs with
     * zero tokens get Long.MaxValue slots, matching `minhashSigFast`.
+    * `base` is the doc-set SQL (a table name or parenthesized subquery
+    * with doc_id + text) so composed pipelines can band a filtered set.
     */
-  private def minhashCtes(slots: Seq[Int], docFilter: String): Seq[String] = {
+  private def minhashCtes(slots: Seq[Int], docFilter: String,
+      base: String = "documents"): Seq[String] = {
     val cols = slots.map(i => s"s$i")
     val seedXors = slots
       .map(i => s"xor(hv, CAST(${seed(i)} AS HUGEINT)) AS s$i").mkString(", ")
     val head = Seq(
-      s"tok AS (SELECT doc_id, $Toks AS t FROM documents$docFilter)",
+      s"tok AS (SELECT doc_id, $Toks AS t FROM $base$docFilter)",
       "shp AS (SELECT doc_id, len(t) AS n, t, " +
         "unnest(range(0, greatest(1, len(t) - 2))) AS i FROM tok " +
         "WHERE len(t) > 0)",
@@ -113,7 +116,7 @@ object HashOracles {
     head ++ mixed ++ Seq(
       s"sigs0 AS (SELECT doc_id, $mins FROM mx5 GROUP BY doc_id)",
       s"sigs AS (SELECT d.doc_id, $coal " +
-        s"FROM (SELECT doc_id FROM documents$docFilter) d " +
+        s"FROM (SELECT doc_id FROM $base$docFilter) d " +
         "LEFT JOIN sigs0 s USING (doc_id))"
     )
   }
@@ -124,8 +127,9 @@ object HashOracles {
     * itself; an xxhash64 collision across distinct slices is the only
     * divergence and is ~2^-64 per bucket).
     */
-  private def bandedCtes(docFilter: String): Seq[String] = {
-    val sig = minhashCtes(0 until 16, docFilter)
+  private def bandedCtes(docFilter: String,
+      base: String = "documents"): Seq[String] = {
+    val sig = minhashCtes(0 until 16, docFilter, base)
     val bands = (0 until 4).map { b =>
       val key = (0 until 4)
         .map(r => s"CAST(s${4 * b + r} AS VARCHAR)").mkString(" || '_' || ")
@@ -326,6 +330,71 @@ object HashOracles {
         "CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 " +
         "ELSE 1000 END)"),
       "SELECT lang, count(*) AS n_sampled FROM kept GROUP BY lang ORDER BY lang")
+  }
+
+  /** End-to-end corpus-pipeline replay (quality keep → benchmark
+    * decontamination → MinHash-LSH dedup canonical → deterministic 50%
+    * sample), reusing every verified fragment: threshold CASE logic,
+    * n-gram collision, the banded-signature chain over the CLEAN doc
+    * set, the recursive-CTE closure, and the splitmix64 sample replay.
+    */
+  val q64CorpusPipeline: String = {
+    val pre = Seq(
+      // quality keep over the corpus slice (doc_id >= 10)
+      s"qtk AS (SELECT doc_id, text, $Toks AS t FROM documents " +
+        "WHERE doc_id >= 10)",
+      "qg AS (SELECT doc_id, text, len(t) AS n, " +
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2), " +
+        "i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END AS g3 FROM qtk)",
+      "qual AS (SELECT doc_id FROM qg WHERE n >= 30 AND n <= 10000 " +
+        "AND CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) " +
+        "<= 0.05 AND CAST(length(text) - length(regexp_replace(text, " +
+        "'[.,;:!?''\"()-]', '', 'g')) AS DOUBLE) <= n * 0.5)",
+      // benchmark 5-gram set (raw docs < 10) and collision-based removal
+      s"btk AS (SELECT doc_id, $Toks AS t FROM documents WHERE doc_id < 10)",
+      "bgr AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 5 " +
+        "THEN list_transform(range(0, len(t) - 4), " +
+        "i -> array_to_string(t[i + 1 : i + 5], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END) AS gram FROM btk)",
+      "cgr AS (SELECT q.doc_id, unnest(CASE WHEN len(k.t) >= 5 " +
+        "THEN list_transform(range(0, len(k.t) - 4), " +
+        "i -> array_to_string(k.t[i + 1 : i + 5], ' ')) " +
+        "ELSE [array_to_string(k.t, ' ')] END) AS gram " +
+        "FROM qual q JOIN qtk k USING (doc_id))",
+      "bad AS (SELECT DISTINCT cgr.doc_id FROM cgr JOIN bgr USING (gram))",
+      "clean AS (SELECT doc_id FROM qual WHERE doc_id NOT IN " +
+        "(SELECT doc_id FROM bad))")
+    val banded = bandedCtes("",
+      base = "(SELECT d.doc_id, d.text FROM documents d JOIN clean USING (doc_id))")
+    val post = Seq(
+      s"dt AS (SELECT doc_id, list_distinct($Toks) AS toks " +
+        "FROM documents JOIN clean USING (doc_id))",
+      "ver AS (SELECT c.a_id, c.b_id FROM cand c " +
+        "JOIN dt a ON a.doc_id = c.a_id JOIN dt b ON b.doc_id = c.b_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
+        "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)",
+      "edges AS (SELECT a_id AS s, b_id AS d FROM ver " +
+        "UNION SELECT b_id, a_id FROM ver)",
+      "nodes AS (SELECT DISTINCT s AS node FROM edges)",
+      "reach AS (WITH RECURSIVE r(node, lbl) AS (" +
+        "SELECT node, node FROM nodes UNION " +
+        "SELECT e.d, r.lbl FROM r JOIN edges e ON e.s = r.node) " +
+        "SELECT node, min(lbl) AS component FROM r GROUP BY node)",
+      "canon AS (SELECT c.doc_id FROM clean c LEFT JOIN reach r " +
+        "ON r.node = c.doc_id WHERE coalesce(r.component, c.doc_id) = c.doc_id)",
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM canon)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val sampled = Seq(
+      s"sampled AS (SELECT doc_id FROM dm5 WHERE " +
+        s"(((${toSigned("z")}) % 10000 + 10000) % 10000) < 5000)")
+    withClause(pre ++ banded ++ post ++ mixed ++ sampled,
+      s"SELECT count(*) AS n_docs, CAST(coalesce(sum(len($Toks)), 0) AS BIGINT) " +
+        "AS total_tokens FROM documents JOIN sampled USING (doc_id)")
   }
 
   /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,

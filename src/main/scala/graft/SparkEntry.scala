@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ContentTypes, DedupFunctions, FileNames, Slugify, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Contamination, Dedup, Multimodal, QualityFilters, Sampling, Similarity, SkewJoins}
+import graft.operators.{Contamination, CorpusPipeline, Dedup, Multimodal, QualityFilters, Sampling, Similarity, SkewJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -547,6 +547,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canonical"),
           countDistinct(col("component")).as("n_clusters"))),
+
+    // THE capstone composition: quality -> decontaminate -> dedup
+    // canonical -> deterministic sample, end-to-end, one declarative
+    // pipeline — oracle replays every stage in one CTE chain
+    "q64_corpus_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      CorpusPipeline.prepare(
+          docs.filter(col("doc_id") >= 10), "doc_id", "text",
+          benchmark = docs.filter(col("doc_id") < 10),
+          benchTextCol = "text",
+          CorpusPipeline.Config(
+            quality = QualityFilters.Thresholds(minTokens = 30,
+              maxTokens = 10000, maxDupNgramFraction = 0.05),
+            benchNgram = 5, dedupThreshold = 0.9, sampleFraction = 0.5))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("total_tokens"))
+    }),
 
     // ---- pivot / set ops / conditional aggregation ------------------
 
@@ -1118,6 +1135,7 @@ object SparkEntry {
 
     "q58_rolling_hash" -> HashOracles.q58RollingHash,
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
+    "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
 
     // first-failing-rule CASE chain mirrors QualityFilters.standardRules
     "q60_quality_audit" ->

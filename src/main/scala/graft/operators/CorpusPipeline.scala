@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus preparation recipe, composed from the
+  * library's individually-verified stages in the canonical order:
+  *
+  *  1. [[QualityFilters.keep]] — drop low-quality docs (length,
+  *     repetition, punctuation);
+  *  2. [[Contamination.decontaminate]] — drop docs overlapping the
+  *     evaluation benchmark (broadcast n-gram collision);
+  *  3. [[Dedup.dedupCorpus]] — MinHash-LSH near-dup clustering, keep one
+  *     canonical doc per cluster;
+  *  4. [[Sampling.sample]] — deterministic down-sample to the target
+  *     fraction.
+  *
+  * Order matters and is the standard one: quality first (cheapest, cuts
+  * volume before the expensive stages), decontamination before dedup (a
+  * contaminated canonical must not suppress a clean near-copy that would
+  * then vanish with it), sampling last (sampling first would weaken dedup
+  * by splitting clusters). Every stage is a narrow filter or an equi-join
+  * candidate pipeline — nothing all-pairs, nothing driver-side — so the
+  * composition inherits each stage's 100 TB shape.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      quality: QualityFilters.Thresholds = QualityFilters.Thresholds(),
+      benchNgram: Int = 8,
+      dedupThreshold: Double = 0.9,
+      sampleFraction: Double = 1.0)
+
+  /** The prepared corpus: quality-kept, decontaminated, near-dup
+    * canonical, sampled. Keeps `docs`'s columns.
+    */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val kept = QualityFilters.keep(docs, textCol, cfg.quality)
+    val clean = Contamination.decontaminate(kept, idCol, textCol,
+      benchmark, benchTextCol, cfg.benchNgram)
+    val canonical = Dedup
+      .dedupCorpus(clean, idCol, textCol, cfg.dedupThreshold)
+      .filter(col("is_canonical"))
+      .drop("component", "is_canonical")
+    Sampling.sample(canonical, idCol, cfg.sampleFraction)
+  }
+}
