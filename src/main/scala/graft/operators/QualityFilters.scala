@@ -69,11 +69,23 @@ object QualityFilters {
   def annotateWith(df: DataFrame, rules: Seq[Rule]): DataFrame =
     df.withColumn("drop_reason", firstFailing(rules))
 
-  /** Rows passing every rule (the production filter form). */
+  /** Rows passing every rule (the production filter form).
+    *
+    * The filter is a TYPED predicate on the computed `drop_reason`
+    * column, NOT `col("drop_reason").isNull`: predicate pushdown inlines
+    * a Column predicate through the aliasing projections (it has no cost
+    * model), reconstructing the token split ~15 times inside one
+    * mega-predicate at the scan — measured 22 s vs 1 s on sf0.1. A typed
+    * filter is a pushdown barrier, so the projection keeps computing the
+    * reason once per row.
+    */
   def keep(df: DataFrame, textCol: String,
-      t: Thresholds = Thresholds()): DataFrame =
-    annotate(df, textCol, t)
-      .filter(col("drop_reason").isNull).drop("drop_reason")
+      t: Thresholds = Thresholds()): DataFrame = {
+    val tagged = annotate(df, textCol, t)
+    val idx = tagged.schema.fieldIndex("drop_reason")
+    tagged.filter((r: org.apache.spark.sql.Row) => r.isNullAt(idx))
+      .drop("drop_reason")
+  }
 
   /** Per-reason drop accounting: (drop_reason, n) with null = kept. */
   def audit(df: DataFrame, textCol: String,
