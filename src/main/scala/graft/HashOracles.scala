@@ -230,21 +230,29 @@ object HashOracles {
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 16)"),
     "SELECT count(*) AS n_pairs, coalesce(min(hamming), -1) AS min_hamming FROM pairs")
 
+  /** Jaccard-verify (>= 0.9 over distinct tokens) + recursive transitive
+    * closure over `cand`, ending in `reach(node, component)`. `docSetSql`
+    * restricts the doc universe (a WHERE or JOIN clause suffix on
+    * `documents`). Shared by the q51 and q64 oracles.
+    */
+  private def closureCtes(docSetSql: String): Seq[String] = Seq(
+    s"dt AS (SELECT doc_id, list_distinct($Toks) AS toks " +
+      s"FROM documents $docSetSql)",
+    "ver AS (SELECT c.a_id, c.b_id FROM cand c " +
+      "JOIN dt a ON a.doc_id = c.a_id JOIN dt b ON b.doc_id = c.b_id " +
+      "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
+      "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)",
+    "edges AS (SELECT a_id AS s, b_id AS d FROM ver " +
+      "UNION SELECT b_id, a_id FROM ver)",
+    "nodes AS (SELECT DISTINCT s AS node FROM edges)",
+    "reach AS (WITH RECURSIVE r(node, lbl) AS (" +
+      "SELECT node, node FROM nodes UNION " +
+      "SELECT e.d, r.lbl FROM r JOIN edges e ON e.s = r.node) " +
+      "SELECT node, min(lbl) AS component FROM r GROUP BY node)")
+
   val q51DedupCorpus: String = withClause(
-    bandedCtes(" WHERE doc_id < 300") ++ Seq(
-      s"dt AS (SELECT doc_id, list_distinct($Toks) AS toks " +
-        "FROM documents WHERE doc_id < 300)",
-      "ver AS (SELECT c.a_id, c.b_id FROM cand c " +
-        "JOIN dt a ON a.doc_id = c.a_id JOIN dt b ON b.doc_id = c.b_id " +
-        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
-        "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)",
-      "edges AS (SELECT a_id AS s, b_id AS d FROM ver " +
-        "UNION SELECT b_id, a_id FROM ver)",
-      "nodes AS (SELECT DISTINCT s AS node FROM edges)",
-      "reach AS (WITH RECURSIVE r(node, lbl) AS (" +
-        "SELECT node, node FROM nodes UNION " +
-        "SELECT e.d, r.lbl FROM r JOIN edges e ON e.s = r.node) " +
-        "SELECT node, min(lbl) AS component FROM r GROUP BY node)",
+    bandedCtes(" WHERE doc_id < 300") ++
+      closureCtes("WHERE doc_id < 300") ++ Seq(
       "lab AS (SELECT d.doc_id, coalesce(r.component, d.doc_id) AS component " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d " +
         "LEFT JOIN reach r ON r.node = d.doc_id)"),
@@ -367,20 +375,7 @@ object HashOracles {
         "(SELECT doc_id FROM bad))")
     val banded = bandedCtes("",
       base = "(SELECT d.doc_id, d.text FROM documents d JOIN clean USING (doc_id))")
-    val post = Seq(
-      s"dt AS (SELECT doc_id, list_distinct($Toks) AS toks " +
-        "FROM documents JOIN clean USING (doc_id))",
-      "ver AS (SELECT c.a_id, c.b_id FROM cand c " +
-        "JOIN dt a ON a.doc_id = c.a_id JOIN dt b ON b.doc_id = c.b_id " +
-        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
-        "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)",
-      "edges AS (SELECT a_id AS s, b_id AS d FROM ver " +
-        "UNION SELECT b_id, a_id FROM ver)",
-      "nodes AS (SELECT DISTINCT s AS node FROM edges)",
-      "reach AS (WITH RECURSIVE r(node, lbl) AS (" +
-        "SELECT node, node FROM nodes UNION " +
-        "SELECT e.d, r.lbl FROM r JOIN edges e ON e.s = r.node) " +
-        "SELECT node, min(lbl) AS component FROM r GROUP BY node)",
+    val post = closureCtes("JOIN clean USING (doc_id)") ++ Seq(
       "canon AS (SELECT c.doc_id FROM clean c LEFT JOIN reach r " +
         "ON r.node = c.doc_id WHERE coalesce(r.component, c.doc_id) = c.doc_id)",
       "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM canon)")

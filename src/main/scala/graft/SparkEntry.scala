@@ -562,7 +562,8 @@ object SparkEntry {
               maxTokens = 10000, maxDupNgramFraction = 0.05),
             benchNgram = 5, dedupThreshold = 0.9, sampleFraction = 0.5))
         .agg(count(lit(1)).as("n_docs"),
-          sum(TF.tokenCount(col("text"))).as("total_tokens"))
+          coalesce(sum(TF.tokenCount(col("text"))), lit(0L))
+            .as("total_tokens")) // empty pipeline -> 0, matching the oracle
     }),
 
     // ---- pivot / set ops / conditional aggregation ------------------
@@ -1145,6 +1146,7 @@ object SparkEntry {
          |    i -> array_to_string(t[i + 1 : i + 3], ' '))
          |    ELSE [array_to_string(t, ' ')] END AS g3 FROM tk),
          |r AS (SELECT CASE
+         |  WHEN text IS NULL THEN 'null_text'
          |  WHEN n < 30 THEN 'min_tokens'
          |  WHEN n > 10000 THEN 'max_tokens'
          |  WHEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)

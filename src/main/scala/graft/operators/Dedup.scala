@@ -201,8 +201,11 @@ object Dedup {
     // round counts (chains of near-dups do occur) the accumulated plan
     // OOMs the driver just STRINGIFYING it for AQE. Checkpointing
     // re-roots each round's plan at the materialized RDD, so plan size
-    // is O(1) in rounds. Old rounds' blocks are released by the context
-    // cleaner once unreferenced.
+    // is O(1) in rounds. Tradeoff: checkpoint blocks are released by the
+    // context cleaner when the driver-side handle is GC'd (not by an
+    // explicit unpersist) — acceptable because labels are the SMALL side
+    // (2 ids per node vs the edge set) and pointer jumping caps live
+    // rounds at O(log diameter), so at most ~10 snapshots coexist.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .repartition(numParts, col("id"))
@@ -228,6 +231,7 @@ object Dedup {
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_component"),
             col("component"))).as("component"))
+        .localCheckpoint(true) // both jump-join sides read this once
       // pointer jump: also adopt the label OF the current label
       // (labels always name a node in the same component, so this
       // preserves correctness while halving the remaining distance —

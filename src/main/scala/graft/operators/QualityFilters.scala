@@ -51,6 +51,9 @@ object QualityFilters {
       (size(col(gramsCol)) - size(array_distinct(col(gramsCol))))
         .cast("double") / size(col(gramsCol)))
     val rules = Seq(
+      // explicit: NULL text must not sail through (every other rule
+      // evaluates to NULL on it, which when() treats as not-failing)
+      Rule("null_text", col(textCol).isNull),
       Rule("min_tokens", nToks < t.minTokens),
       Rule("max_tokens", nToks > t.maxTokens),
       Rule("repetition", dupFrac > t.maxDupNgramFraction),

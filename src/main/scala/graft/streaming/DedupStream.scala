@@ -77,14 +77,23 @@ object DedupStream {
             sorted.foreach { r =>
               cur match {
                 case Some(s) =>
+                  val bumped = s.copy(lastTs = math.max(s.lastTs, r.ts.getTime))
                   if (!s.ids.contains(r.doc_id)) {
                     out += Collision(r.doc_id, s.canonicalId, bk._1, bk._2,
                       r.ts)
+                    // at the cap the id is NOT remembered: a re-delivery
+                    // of a capped id re-emits (at-least-once at the cap;
+                    // consumers dedup on doc_id — see scaladoc). The cap
+                    // bounds state for adversarial hot buckets.
                     val ids =
                       if (s.ids.size < maxBucketIds) r.doc_id :: s.ids
                       else s.ids
-                    cur = Some(s.copy(ids = ids,
-                      lastTs = math.max(s.lastTs, r.ts.getTime)))
+                    cur = Some(bumped.copy(ids = ids))
+                  } else {
+                    // STILL bump lastTs: leaving it stale lets the
+                    // timeout below land before the advancing watermark,
+                    // which Spark rejects (query-killing exception)
+                    cur = Some(bumped)
                   }
                 case None =>
                   cur = Some(BucketState(r.doc_id, List(r.doc_id),
