@@ -310,6 +310,29 @@ object HashOracles {
         "ORDER BY cos DESC, s.vec_id LIMIT 10)"),
     "SELECT count(*) AS n_results, round(max(cos), 4) AS best_cos FROM res")
 
+  /** Incremental-dedup replay: band join restricted to new x existing,
+    * verify = slot-equality count / 16 (the MinHash Jaccard estimator).
+    */
+  val q65IncrementalDedup: String = {
+    val eq = (0 until 16)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    withClause(bandedCtes("") ++ Seq(
+      "cands AS (SELECT a.doc_id AS new_id, b.doc_id AS index_id, " +
+        s"($eq) / 16.0 AS est " +
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key " +
+        "AND a.doc_id >= 250 AND b.doc_id < 250 " +
+        "JOIN sigs sa ON sa.doc_id = a.doc_id " +
+        "JOIN sigs sb ON sb.doc_id = b.doc_id)",
+      "m AS (SELECT new_id, min(index_id) AS matched FROM cands " +
+        "WHERE est >= 0.5 GROUP BY new_id)"),
+      "SELECT count(*) AS n_new, " +
+        "sum(CASE WHEN m.matched IS NOT NULL THEN 1 ELSE 0 END) AS n_dup, " +
+        "coalesce(min(m.matched), -1) AS first_match " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d " +
+        "LEFT JOIN m ON m.new_id = d.doc_id")
+  }
+
   /** Rolling hash replay: per token FNV-1a (nested lambda), then the
     * base-31 left fold in HUGEINT mod 2^64 (JVM long wrap-around).
     */

@@ -548,6 +548,21 @@ object SparkEntry {
           sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canonical"),
           countDistinct(col("component")).as("n_clusters"))),
 
+    // Incremental dedup: the daily-delta path — new docs (id >= 250)
+    // joined against the PERSISTED index of the existing corpus
+    // (id < 250); verify = MinHash slot-equality estimate, so the
+    // existing corpus text is never re-read
+    "q65_incremental_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val index = Dedup.buildDedupIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      Dedup.incrementalDedup(docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", index, threshold = 0.5)
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("is_dup"), 1).otherwise(0)).as("n_dup"),
+          coalesce(min(col("matched_id")), lit(-1L)).as("first_match"))
+    }),
+
     // THE capstone composition: quality -> decontaminate -> dedup
     // canonical -> deterministic sample, end-to-end, one declarative
     // pipeline — oracle replays every stage in one CTE chain
@@ -1137,6 +1152,7 @@ object SparkEntry {
     "q58_rolling_hash" -> HashOracles.q58RollingHash,
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
     "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
+    "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,
 
     // first-failing-rule CASE chain mirrors QualityFilters.standardRules
     "q60_quality_audit" ->

@@ -357,6 +357,52 @@ object Dedup {
     out
   }
 
+  /** The persistent dedup index of a corpus: one row per (doc, band) with
+    * the band key AND the full MinHash signature. Written once (at 100 TB:
+    * `write.partitionBy` a band-key prefix so delta joins prune files);
+    * daily deltas then join against it — the corpus text is NEVER re-read.
+    */
+  def buildDedupIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    minhashSignatures(df, idCol, textCol, k, shingleLen)
+      .select(col(idCol).as("index_id"), col("sig"),
+        explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("index_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Incremental near-dup: flag `newDocs` that near-duplicate an indexed
+    * corpus ([[buildDedupIndex]]) WITHOUT re-clustering it. Candidates
+    * come from the band-key equi-join; the verify step is the MinHash
+    * Jaccard ESTIMATE (fraction of equal signature slots) — signatures
+    * travel in the index, so the existing corpus's text is never touched.
+    * Returns `newDocs` plus `is_dup` and `matched_id` (the smallest
+    * colliding index id, null when fresh).
+    */
+  def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, threshold: Double, k: Int = 16,
+      shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val newBanded = minhashSignatures(newDocs, idCol, textCol, k, shingleLen)
+      .select(col(idCol).as("new_id"), col("sig").as("new_sig"),
+        explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("new_id"), col("new_sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // est. Jaccard = |equal slots| / k (the MinHash estimator itself)
+    val estJaccard = size(filter(
+      zip_with(col("new_sig"), col("sig"), (a, b) => a === b),
+      x => x)).cast("double") / k
+    val matches = newBanded
+      .join(index, Seq("band", "key"))
+      .withColumn("est_jaccard", estJaccard)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(min(col("index_id")).as("matched_id"))
+    newDocs.join(matches.withColumnRenamed("new_id", idCol), Seq(idCol), "left")
+      .withColumn("is_dup", col("matched_id").isNotNull)
+  }
+
   /** Embedding near-dup pairs: cosine > `threshold`. `bucketed = true`
     * pre-buckets by hyperplane-LSH signature (the 100 TB path: candidate
     * pairs only within a bucket); `false` is the exact quadratic baseline

@@ -90,6 +90,33 @@ class DedupClusterSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  test("incrementalDedup flags copies against the index without " +
+      "touching existing text") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every day"),
+      (2L, "a completely different document about spark query planning")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(existing, "doc_id", "text")
+      // the index carries ONLY ids + signatures + band keys — no text
+      .persist()
+    assert(index.columns.toSeq === Seq("index_id", "sig", "band", "key"))
+
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog every day"), // copy of 1
+      (11L, "entirely novel content that matches nothing in the corpus here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, "doc_id", "text", index,
+        threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_dup"), Option(r.getAs[Any]("matched_id"))))
+      .toMap
+    assert(out(10L) === ((true, Some(1L))))
+    assert(out(11L) === ((false, None)))
+    index.unpersist()
+  }
+
   test("dedupCorpus marks exactly one canonical doc per cluster") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
