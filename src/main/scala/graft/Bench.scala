@@ -34,17 +34,29 @@ object Bench {
     // compare plans, not JVM state. (Round 2 lesson: removing one slow
     // query un-warmed everything after it in bench order — every
     // join/window/codegen-heavy query looked 2-5x slower, purely JIT.)
+    // One representative per query family, INCLUDING the round-3 additions
+    // (q54-q65): q64 warms the whole corpus-pipeline composition (quality +
+    // decontaminate + dedup + sample), q61/q62 the vocab-heap and
+    // frame-explode paths. Round-3 lesson: un-warmed families compare JVM
+    // state, not plans (q60 measured 4.0 s in-bench vs 0.73 s warm).
     Seq("q03_join_agg", "q07_explode_wordcount", "q32_sessionize",
-      "q48_token_packing", "q18_minhash_candidates", "q51_dedup_corpus")
+      "q48_token_packing", "q18_minhash_candidates", "q51_dedup_corpus",
+      "q64_corpus_pipeline", "q61_vocab_topk", "q62_frame_sampling")
       .foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          try CacheScope.scoped { fn(spark, sfDir).count() }
+          catch { case _: Throwable => () }
         }
       }
 
+    // Each query runs in its own CacheScope: operator-persisted caches
+    // (dedupCorpus's materialized output) are released as soon as the
+    // query's action finishes, so later queries measure their own plan,
+    // not the accumulated storage pressure of every query before them.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try CacheScope.scoped { fn(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -257,7 +257,7 @@ object HashOracles {
         "FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d " +
         "LEFT JOIN reach r ON r.node = d.doc_id)"),
     "SELECT count(*) AS n_docs, " +
-      "sum(CASE WHEN component = doc_id THEN 1 ELSE 0 END) AS n_canonical, " +
+      "CAST(sum(CASE WHEN component = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical, " +
       "count(DISTINCT component) AS n_clusters FROM lab")
 
   val q23LshBuckets: String = withClause(
@@ -327,7 +327,7 @@ object HashOracles {
       "m AS (SELECT new_id, min(index_id) AS matched FROM cands " +
         "WHERE est >= 0.5 GROUP BY new_id)"),
       "SELECT count(*) AS n_new, " +
-        "sum(CASE WHEN m.matched IS NOT NULL THEN 1 ELSE 0 END) AS n_dup, " +
+        "CAST(sum(CASE WHEN m.matched IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
         "coalesce(min(m.matched), -1) AS first_match " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d " +
         "LEFT JOIN m ON m.new_id = d.doc_id")

@@ -1113,8 +1113,8 @@ object SparkEntry {
          |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
          |  WHERE g.doc_id >= 10)
          |SELECT count(*) AS n_docs,
-         |  sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS n_contaminated
+         |  CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated
          |FROM corpus LEFT JOIN bad USING (doc_id)""".stripMargin,
 
     "q57_repetition" ->

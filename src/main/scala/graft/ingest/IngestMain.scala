@@ -54,11 +54,15 @@ object IngestMain {
       updatesFileName =
         opts.getOrElse("updates-file-name", "new_and_updated_documents.json"),
       fetcher = new JdkHttpFetcher(),
-      // real converters only where the executor image ships the binaries
-      // (reference Dockerfile installs libreoffice + browser deps); the
-      // deterministic stub keeps binary-less environments runnable
+      // real converters only where the executor image ships BOTH binaries
+      // (reference Dockerfile installs libreoffice + browser deps):
+      // probing soffice alone would select ProcessConverter on a
+      // LibreOffice-only image and then fail every HTML-capture document
+      // at runtime in capturePdfFromUrl. The deterministic stub keeps
+      // partial/binary-less environments runnable
       converter =
-        if (ProcessConverter.available("soffice")) new ProcessConverter()
+        if (ProcessConverter.available("soffice") &&
+            ProcessConverter.available("chromium")) new ProcessConverter()
         else new StubConverter(),
       runTs = Instant.now())
 

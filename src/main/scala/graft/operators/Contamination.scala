@@ -23,11 +23,17 @@ object Contamination {
     */
   def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    // tokens are materialized in their own projection BEFORE the shingle
+    // explode: inlining tokens(text) into the shingle lambda re-runs the
+    // regexp split per shingle element (higher-order functions re-evaluate
+    // argument subtrees) — measured 4.5 s vs 0.2 s on the sf0.1 corpus
     val benchGrams = benchmark
-      .select(explode(TF.shingles(col(benchTextCol), n)).as("gram"))
+      .withColumn("__ct_toks", TF.tokens(col(benchTextCol)))
+      .select(explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
       .distinct()
     val hits = corpus
-      .select(col(idCol), explode(TF.shingles(col(textCol), n)).as("gram"))
+      .withColumn("__ct_toks", TF.tokens(col(textCol)))
+      .select(col(idCol), explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .select(col(idCol)).distinct()
       .withColumn("is_contaminated", lit(true))

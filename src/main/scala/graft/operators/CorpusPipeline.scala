@@ -33,6 +33,14 @@ object CorpusPipeline {
 
   /** The prepared corpus: quality-kept, decontaminated, near-dup
     * canonical, sampled. Keeps `docs`'s columns.
+    *
+    * Cache ownership: the result references [[Dedup.dedupCorpus]]'s
+    * persisted output (which must outlive the caller's action — the
+    * sampling filter reads it). Run your action inside
+    * `CacheScope.scoped { ... }` to have that cache released afterwards;
+    * without a scope, the session keeps it until the caller unpersists
+    * (see the dedupCorpus Scaladoc — leaking one per invocation is a
+    * real long-session regression, measured in round 3's bench).
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,

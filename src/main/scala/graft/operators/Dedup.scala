@@ -59,9 +59,31 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 16, shingleLen: Int = 3,
       bands: Int = 4): DataFrame = {
-    val cands = minhashCandidatePairs(df, idCol, textCol, k, shingleLen, bands)
-    val toks = df.select(col(idCol).as("id"),
-      array_distinct(TF.tokens(col(textCol))).as("toks"))
+    val t = TF.tokens(col(textCol))
+    nearDupPairsFromTokens(df, idCol, t, array_distinct(t), threshold, k,
+      shingleLen, bands)
+  }
+
+  /** The LSH-candidates + Jaccard-verify pipeline over caller-supplied
+    * token expressions — `toks` feeds the signatures (ordered, duplicated
+    * tokens, as shingles need), `dtoks` the verify join. [[dedupCorpus]]
+    * passes columns MATERIALIZED in its persisted input so the regexp
+    * tokenization runs once per document, not once per pipeline stage
+    * that references the text.
+    */
+  private def nearDupPairsFromTokens(df: DataFrame, idCol: String,
+      toksC: Column, dtoksC: Column, threshold: Double, k: Int,
+      shingleLen: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      DF.minhashFast(toksC, k, shingleLen).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"), dtoksC.as("toks"))
     cands
       .join(toks.withColumnRenamed("id", "a_id")
         .withColumnRenamed("toks", "a_toks"), "a_id")
@@ -332,6 +354,16 @@ object Dedup {
   /** End-to-end corpus dedup: MinHash-LSH candidates → Jaccard verify →
     * transitive clusters → keep the minimum id per cluster. Returns the
     * input with `component` and `is_canonical` columns.
+    *
+    * The returned frame is MATERIALIZED AND PERSISTED (the upstream
+    * caches are released only after it exists, so nothing recomputes).
+    * Ownership of that cache passes to the innermost active
+    * [[graft.CacheScope]] — wrap "dedupCorpus + your action" in
+    * `CacheScope.scoped { ... }` and it is released for you after the
+    * action. Without a scope the CALLER must `unpersist()` the result
+    * once downstream output is materialized; in a long-lived session,
+    * leaking one of these per invocation is what made round 3's bench
+    * q64 4× slower than the same plan in a fresh session.
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 16, shingleLen: Int = 3,
@@ -341,12 +373,18 @@ object Dedup {
     // sides, the final join back) — when `df` is itself a pipeline (e.g.
     // CorpusPipeline's quality + decontamination stages), re-executing
     // that subtree per reference measured 90+ s where the cached form
-    // runs in ~2 s
-    val input = df.persist()
-    val pairs = minhashNearDupPairs(input, idCol, textCol, threshold, k,
-      shingleLen, bands)
+    // runs in ~2 s. The token array (and its distinct form, which the
+    // verify join consumes) is materialized INTO the cache, so the
+    // regexp tokenization runs once per document instead of once per
+    // referencing stage (signatures + both verify sides).
+    val input = df
+      .withColumn("__toks", TF.tokens(col(textCol)))
+      .withColumn("__dtoks", array_distinct(col("__toks")))
+      .persist()
+    val pairs = nearDupPairsFromTokens(input, idCol, col("__toks"),
+      col("__dtoks"), threshold, k, shingleLen, bands)
     val comps = connectedComponents(pairs, "a_id", "b_id")
-    val out = input
+    val out = input.drop("__toks", "__dtoks")
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .withColumn("is_canonical", col("component") === col(idCol))
@@ -354,22 +392,37 @@ object Dedup {
     out.count() // materialize, then release the upstream caches
     comps.unpersist()
     input.unpersist()
-    out
+    graft.CacheScope.register(out)
   }
 
-  /** The persistent dedup index of a corpus: one row per (doc, band) with
-    * the band key AND the full MinHash signature. Written once (at 100 TB:
-    * `write.partitionBy` a band-key prefix so delta joins prune files);
-    * daily deltas then join against it — the corpus text is NEVER re-read.
+  /** The persistent dedup index of a corpus, NORMALIZED into its two
+    * access paths so the signature is stored once per document, not once
+    * per band row (inline duplication costs `bands`× the signature volume
+    * — at 100 TB and 4 bands that is ~3 extra copies of 16 longs per
+    * document, tens of TB of pure redundancy):
+    *
+    *  - `bands` (band, key, index_id): the candidate-lookup side — at
+    *    100 TB, `write.partitionBy("band")` + bucket by `key` so delta
+    *    joins prune files;
+    *  - `signatures` (index_id, sig): joined only for the CANDIDATES the
+    *    band join surfaces — a tiny fraction of the corpus, so the extra
+    *    equi-join touches little data.
+    *
+    * Daily deltas join against both; the corpus text is NEVER re-read.
     */
+  final case class DedupIndex(signatures: DataFrame, bands: DataFrame)
+
   def buildDedupIndex(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+      k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DedupIndex = {
     val rows = k / bands
-    minhashSignatures(df, idCol, textCol, k, shingleLen)
-      .select(col(idCol).as("index_id"), col("sig"),
+    val sig = minhashSignatures(df, idCol, textCol, k, shingleLen)
+      .select(col(idCol).as("index_id"), col("sig"))
+    val banded = sig
+      .select(col("index_id"),
         explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("index_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("index_id"))
+    DedupIndex(sig, banded)
   }
 
   /** Incremental near-dup: flag `newDocs` that near-duplicate an indexed
@@ -381,7 +434,7 @@ object Dedup {
     * colliding index id, null when fresh).
     */
   def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
-      index: DataFrame, threshold: Double, k: Int = 16,
+      index: DedupIndex, threshold: Double, k: Int = 16,
       shingleLen: Int = 3, bands: Int = 4): DataFrame = {
     val rows = k / bands
     val newBanded = minhashSignatures(newDocs, idCol, textCol, k, shingleLen)
@@ -389,12 +442,17 @@ object Dedup {
         explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("new_id"), col("new_sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    // est. Jaccard = |equal slots| / k (the MinHash estimator itself)
+    // est. Jaccard = |equal slots| / k (the MinHash estimator itself).
+    // The signature join runs AFTER the band join has cut the corpus to
+    // candidates only — (band,key) collisions — so the index's signature
+    // side is touched once per candidate, not per band row.
     val estJaccard = size(filter(
       zip_with(col("new_sig"), col("sig"), (a, b) => a === b),
       x => x)).cast("double") / k
     val matches = newBanded
-      .join(index, Seq("band", "key"))
+      .join(index.bands, Seq("band", "key"))
+      .select(col("new_id"), col("new_sig"), col("index_id")).distinct()
+      .join(index.signatures, Seq("index_id"))
       .withColumn("est_jaccard", estJaccard)
       .filter(col("est_jaccard") >= threshold)
       .groupBy(col("new_id"))

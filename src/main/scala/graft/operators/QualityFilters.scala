@@ -74,21 +74,28 @@ object QualityFilters {
 
   /** Rows passing every rule (the production filter form).
     *
-    * The filter is a TYPED predicate on the computed `drop_reason`
-    * column, NOT `col("drop_reason").isNull`: predicate pushdown inlines
-    * a Column predicate through the aliasing projections (it has no cost
-    * model), reconstructing the token split ~15 times inside one
-    * mega-predicate at the scan — measured 22 s vs 1 s on sf0.1. A typed
-    * filter is a pushdown barrier, so the projection keeps computing the
-    * reason once per row.
+    * The keep decision is PROJECTED through
+    * [[graft.expressions.PushdownBarrier]] and the filter tests only that
+    * column, instead of filtering `col("drop_reason").isNull` directly:
+    * `PushPredicateThroughNonJoin` substitutes aliases into any filter
+    * above a fully-deterministic projection with no cost model (the
+    * CONDITION's determinism is irrelevant — a per-row predicate commutes
+    * with a deterministic projection), reconstructing the token split
+    * ~15 times inside one mega-predicate at the scan — measured 22 s vs
+    * 1 s on sf0.1. Marking the PROJECTED FIELD non-deterministic is what
+    * fails the rule's `fields.forall(_.deterministic)` guard and pins the
+    * filter above the projection, while the barrier code-generates as the
+    * plain null check — unlike the previous typed `Row => Boolean`
+    * filter, which also blocked substitution but deserialized every row
+    * out of Tungsten and ended the whole-stage-codegen span.
     */
   def keep(df: DataFrame, textCol: String,
-      t: Thresholds = Thresholds()): DataFrame = {
-    val tagged = annotate(df, textCol, t)
-    val idx = tagged.schema.fieldIndex("drop_reason")
-    tagged.filter((r: org.apache.spark.sql.Row) => r.isNullAt(idx))
-      .drop("drop_reason")
-  }
+      t: Thresholds = Thresholds()): DataFrame =
+    annotate(df, textCol, t)
+      .withColumn("__keep_ok",
+        graft.expressions.PushdownBarrier.barrier(col("drop_reason")).isNull)
+      .filter(col("__keep_ok"))
+      .drop("__keep_ok", "drop_reason")
 
   /** Per-reason drop accounting: (drop_reason, n) with null = kept. */
   def audit(df: DataFrame, textCol: String,

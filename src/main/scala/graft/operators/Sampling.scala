@@ -30,7 +30,10 @@ object Sampling {
     * corpus row).
     */
   def hashBucket(id: Column): Column =
-    pmod(HashExpressions.splitmix64(id), lit(Buckets.toLong)).cast("int")
+    // cast first: splitmix64 hard-rejects non-bigint ids at analysis time
+    // (an int or string doc id would throw) — same move as Export.shardOf
+    pmod(HashExpressions.splitmix64(id.cast("long")), lit(Buckets.toLong))
+      .cast("int")
 
   /** Keep ~`fraction` of rows, deterministically in the id. */
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {

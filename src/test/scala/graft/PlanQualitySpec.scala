@@ -60,6 +60,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("graft_splitmix64"), p)
   }
 
+  test("quality keep: barrier pins the filter without leaving codegen") {
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+    val df = graft.operators.QualityFilters.keep(docs, "text")
+    val p = df.queryExecution.executedPlan.toString
+    // the barrier expression carries the null-check where the caller put it
+    assert(p.contains("pushdown_barrier"), p)
+    // no typed Row filter: nothing deserializes out of Tungsten
+    assert(!p.contains("DeserializeToObject") && !p.contains("<function1>"),
+      "typed filter came back:\n" + p)
+    // the filter stage is inside a whole-stage-codegen span ("*(n) Filter")
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)

@@ -99,9 +99,12 @@ class DedupClusterSpec extends SparkSpec {
       (2L, "a completely different document about spark query planning")
     ).toDF("doc_id", "text")
     val index = Dedup.buildDedupIndex(existing, "doc_id", "text")
-      // the index carries ONLY ids + signatures + band keys — no text
-      .persist()
-    assert(index.columns.toSeq === Seq("index_id", "sig", "band", "key"))
+    // the index carries ONLY ids + signatures + band keys — no text; the
+    // signature is stored ONCE per doc (normalized out of the band rows)
+    index.signatures.persist(); index.bands.persist()
+    assert(index.signatures.columns.toSeq === Seq("index_id", "sig"))
+    assert(index.bands.columns.toSeq === Seq("band", "key", "index_id"))
+    assert(index.signatures.count() === existing.count())
 
     val incoming = Seq(
       (10L, "the quick brown fox jumps over the lazy dog every day"), // copy of 1
@@ -114,7 +117,7 @@ class DedupClusterSpec extends SparkSpec {
       .toMap
     assert(out(10L) === ((true, Some(1L))))
     assert(out(11L) === ((false, None)))
-    index.unpersist()
+    index.signatures.unpersist(); index.bands.unpersist()
   }
 
   test("dedupCorpus marks exactly one canonical doc per cluster") {
