@@ -363,6 +363,53 @@ object HashOracles {
       "SELECT lang, count(*) AS n_sampled FROM kept GROUP BY lang ORDER BY lang")
   }
 
+  /** Temperature-mixing replay (T = 0.5 over lang strata): per-stratum
+    * keep threshold = `sqrt(c_min / c_s) * 10000` in DOUBLE — sqrt and
+    * division are IEEE-correctly-rounded, so DuckDB's doubles equal the
+    * JVM's bit-for-bit and the bucket comparison replays exactly
+    * ([[operators.Sampling.temperatureRates]]).
+    */
+  val q66TemperatureSample: String = {
+    val head = Seq(
+      "cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang)",
+      "ref AS (SELECT min(c) AS cref FROM cnt)",
+      "rates AS (SELECT lang, sqrt(CAST(cref AS DOUBLE) / CAST(c AS DOUBLE)) " +
+        "* 10000 AS thr FROM cnt, ref)",
+      "dz AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "lang")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ mixed ++ Seq(
+      s"kept AS (SELECT d.doc_id, d.lang FROM dm5 d JOIN rates r " +
+        s"USING (lang) WHERE $signedMod < r.thr)"),
+      "SELECT lang, count(*) AS n_sampled FROM kept GROUP BY lang ORDER BY lang")
+  }
+
+  /** Epoch-order replay: key = splitmix64(splitmix64(doc_id) XOR epoch).
+    * XOR acts on raw bits, so the unsigned HUGEINT replay and the JVM's
+    * signed-long path agree; the 10-row prefix pins the full permutation
+    * prefix (key AND id order).
+    */
+  def q67EpochOrder(epoch: Int): String = {
+    val head = Seq(
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    def rounds(tag: String, from: String): Seq[String] =
+      mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) from else s"$tag${n - 1}"
+        s"$tag$n AS ($body FROM $prev)"
+      }
+    val first = rounds("ma", "dz")
+    val xorStage = Seq(
+      s"mx AS (SELECT doc_id, xor(z, $epoch) AS z FROM ma5)")
+    val second = rounds("mb", "mx")
+    withClause(head ++ first ++ xorStage ++ second,
+      s"SELECT doc_id, ${toSigned("z")} AS epoch_key FROM mb5 " +
+        "ORDER BY epoch_key, doc_id LIMIT 10")
+  }
+
   /** End-to-end corpus-pipeline replay (quality keep → benchmark
     * decontamination → MinHash-LSH dedup canonical → deterministic 50%
     * sample), reusing every verified fragment: threshold CASE logic,

@@ -389,6 +389,64 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
 
+    // Temperature-flattened source mixing (XLM-R/mT5 recipe, T = 0.5
+    // over languages): rates = sqrt(c_min/c_s), realized by the same
+    // deterministic splitmix64 bucket — the stratum counts are the one
+    // driver-side fact (5 rows), the per-row decision stays codegen'd
+    "q66_temperature_mix" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Sampling.temperatureSample(docs, "doc_id", "lang", counts,
+          temperature = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    // Deterministic per-epoch training order: a reproducible permutation
+    // per epoch with no RNG state; the bounded prefix plans as a top-k
+    // heap (TakeOrderedAndProject), not a global sort
+    "q67_epoch_order" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.epochKey(col("doc_id"), epoch = 3).as("epoch_key"))
+        .orderBy(col("epoch_key"), col("doc_id"))
+        .limit(10)),
+
+    // Corpus-frequent n-gram (boilerplate) accounting: gram df is one
+    // partial-agg shuffle; the frequent set broadcasts; per-doc counts
+    // are one aggregation on the doc id
+    "q68_boilerplate" -> ((s, dir) =>
+      graft.operators.Boilerplate.flagBoilerplate(
+          T(s, dir, "documents"), "doc_id", "text",
+          n = 5, minDf = 3, maxFraction = 0.5)
+        .select(col("doc_id"), col("n_grams"), col("n_frequent"),
+          col("is_boilerplate"))
+        .orderBy(col("doc_id"))),
+
+    // Per-document TF-IDF keywords (top-3, ranked on the rounded grid so
+    // libm ln differences can't reorder ties across engines)
+    "q69_tfidf_terms" -> ((s, dir) =>
+      graft.operators.Keywords.tfIdfTopTerms(
+          T(s, dir, "documents").filter(col("doc_id") < 20),
+          "doc_id", "text", k = 3)
+        .withColumnRenamed("rank", "term_rank")
+        .orderBy(col("doc_id"), col("term_rank"))),
+
+    // Vocabulary coverage audit: per-doc OOV counts against the global
+    // top-20 vocabulary (integer grid — no float division in the gate)
+    "q70_oov_rate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val vocab = docs.select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+        .select(col("token"))
+      graft.operators.Keywords.oovAgainstVocab(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("oov_per_1000"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
@@ -1153,6 +1211,62 @@ object SparkEntry {
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
     "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
     "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,
+    "q66_temperature_mix" -> HashOracles.q66TemperatureSample,
+    "q67_epoch_order" -> HashOracles.q67EpochOrder(3),
+
+    // distinct-gram document frequencies -> broadcastable frequent set ->
+    // per-doc boilerplate accounting (mirrors Boilerplate.flagBoilerplate)
+    "q68_boilerplate" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) >= 5 THEN list_transform(range(0, len(t) - 4),
+         |    i -> array_to_string(t[i + 1 : i + 5], ' '))
+         |  ELSE [array_to_string(t, ' ')] END)) AS gram FROM tk),
+         |dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+         |freq AS (SELECT gram FROM dfq WHERE df >= 3),
+         |per AS (SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_frequent
+         |  FROM g LEFT JOIN freq f USING (gram) GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, n_frequent,
+         |  CAST(n_frequent AS DOUBLE) > CAST(n_grams AS DOUBLE) * 0.5
+         |    AS is_boilerplate
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // tf * ln(N/df) rounded to 4 decimals BEFORE ranking, ties by token —
+    // the rounded grid is what makes rank order engine-independent
+    "q69_tfidf_terms" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+         |tk AS (SELECT doc_id, unnest($ToksSql) AS token FROM d),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS nd FROM d),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         |  round(tf.tf * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 4)
+         |    AS tfidf
+         |  FROM tf JOIN dfq USING (token), n),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY tfidf DESC, token) AS term_rank FROM sc)
+         |SELECT doc_id, token, tf, df, tfidf, term_rank FROM rk
+         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+
+    // per-doc OOV counts vs the global top-20 vocabulary (same
+    // deterministic top-k as q61); integer-grid per-1000 rate
+    "q70_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($ToksSql) AS token
+         |  FROM documents),
+         |voc AS (SELECT token FROM (SELECT token, count(*) AS n FROM tk
+         |  GROUP BY token ORDER BY n DESC, token LIMIT 20)),
+         |per AS (SELECT tk.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_oov
+         |  FROM tk LEFT JOIN voc v USING (token) GROUP BY tk.doc_id)
+         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(n_oov, 0) AS n_oov,
+         |  coalesce(CAST(floor((n_oov * 1000) / CAST(n_tokens AS DOUBLE))
+         |    AS BIGINT), 0) AS oov_per_1000
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // first-failing-rule CASE chain mirrors QualityFilters.standardRules
     "q60_quality_audit" ->

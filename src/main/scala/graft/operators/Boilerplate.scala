@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequent n-gram ("boilerplate") detection — the C4/RefinedWeb
+  * hygiene step that catches templated text (navigation chrome, cookie
+  * banners, license headers) which per-document quality rules miss: a
+  * document is flagged when too many of its n-grams are SHARED with many
+  * other documents.
+  *
+  * 100 TB shape: one shuffle computes the gram → document-frequency map
+  * (partial aggregation keeps the shuffle at one row per distinct gram);
+  * the frequent-gram set (grams in ≥ `minDf` docs) is orders of magnitude
+  * smaller than the corpus and broadcasts; per-document accounting is then
+  * a broadcast join + one aggregation on the doc id. Nothing all-pairs,
+  * nothing driver-side. When a corpus is templated enough that the
+  * frequent set itself outgrows a broadcast, raise `minDf` or let the
+  * join degrade to a shuffle — the plan stays an equi-join either way.
+  */
+object Boilerplate {
+
+  /** Document frequency per distinct n-gram: (gram, df) where df counts
+    * DOCUMENTS containing the gram (each doc contributes each gram once —
+    * shingles are per-doc distinct).
+    */
+  def gramDocFrequencies(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    grams(corpus, idCol, textCol, n)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+
+  /** Every row of `corpus` with per-doc boilerplate accounting:
+    * `n_grams` (distinct n-grams in the doc), `n_frequent` (of those, how
+    * many appear in ≥ `minDf` docs corpus-wide), and `is_boilerplate`
+    * (`n_frequent / n_grams > maxFraction`).
+    */
+  def flagBoilerplate(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDf: Long = 3, maxFraction: Double = 0.5): DataFrame = {
+    val g = grams(corpus, idCol, textCol, n)
+    val frequent = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"), lit(1).as("__freq"))
+    // one aggregation does both counts: total grams and frequent grams
+    val perDoc = g
+      .join(broadcast(frequent), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__freq"), lit(0))).cast("long").as("n_frequent"))
+      .withColumn("is_boilerplate",
+        col("n_frequent").cast("double") >
+          col("n_grams").cast("double") * maxFraction)
+    corpus.join(perDoc, Seq(idCol), "left")
+      // zero-token docs produce one empty-string gram, so every doc HAS
+      // grams; the left join is belt-and-braces for null text
+      .na.fill(0L, Seq("n_grams", "n_frequent"))
+      .na.fill(false, Seq("is_boilerplate"))
+  }
+
+  /** (id, gram) pairs, one row per DISTINCT gram per doc. Tokens are
+    * materialized in their own projection before the shingle transform
+    * (the higher-order-function re-evaluation trap — see
+    * [[graft.functions.TextFunctions.shinglesOf]]).
+    */
+  private def grams(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    corpus
+      .withColumn("__bp_toks", TF.tokens(col(textCol)))
+      .select(col(idCol),
+        explode(TF.shinglesOf(col("__bp_toks"), n)).as("gram"))
+}

@@ -55,4 +55,68 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
+
+  /** Temperature-flattened per-stratum keep rates — the standard
+    * multi-source mixing recipe (XLM-R / mT5 style): the target share of
+    * stratum `s` is `count_s^T / Σ count^T`, so `T = 1` preserves the
+    * natural mix and `T → 0` flattens toward uniform. Realized as one
+    * deterministic keep-rate per stratum, scaled so the most-upweighted
+    * stratum keeps everything (rates are RELATIVE — compose with
+    * [[sample]] for an absolute volume target):
+    * `rate_s = (c_ref / c_s)^(1-T)` with `c_ref` the smallest stratum
+    * for `T < 1` (the largest for `T > 1`).
+    *
+    * `counts` comes from one tiny aggregation (strata are few — sources,
+    * languages); at 100 TB that is the one DRIVER-SIDE fact this
+    * operator needs, and the per-row decision stays a pure codegen'd
+    * hash filter. `T = 0.5` (the common choice) uses `sqrt`, which IEEE
+    * defines as correctly rounded — rates replay bit-exactly in any
+    * engine; other temperatures go through `pow`, whose last-ulp
+    * behavior is libm-specific (fine in practice, stated for oracle
+    * authors).
+    */
+  def temperatureRates(counts: Map[String, Long],
+      temperature: Double): Map[String, Double] = {
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      "temperatureRates needs positive stratum counts")
+    require(temperature > 0, s"bad temperature $temperature")
+    val cRef = if (temperature < 1.0) counts.values.min else counts.values.max
+    counts.map { case (k, c) =>
+      val ratio = cRef.toDouble / c.toDouble
+      val e = 1.0 - temperature
+      // sqrt over pow when exponents allow: sqrt is correctly rounded
+      val r =
+        if (e == 0.5) math.sqrt(ratio)
+        else if (e == 0.0) 1.0
+        else math.pow(ratio, e)
+      k -> r
+    }
+  }
+
+  /** Keep each stratum at its [[temperatureRates]] rate, deterministically
+    * in the id (double-precision thresholds — no integer-grid rounding, so
+    * an oracle replaying `bucket < rate * 10000` matches bit-exactly).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      counts: Map[String, Long], temperature: Double): DataFrame = {
+    val rates = temperatureRates(counts, temperature)
+    val threshold = rates.foldLeft(lit(0.0)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r * Buckets)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+
+  /** Deterministic per-epoch global training order: the sort key is
+    * `splitmix64(splitmix64(id) XOR epoch)` — a pure function of
+    * (id, epoch), so every epoch is a DIFFERENT but REPRODUCIBLE
+    * permutation (re-runs, retries, and other engines agree), with no
+    * RNG state to checkpoint. Returns the key column; callers
+    * `orderBy(epochKey, id)` for a full epoch (range-partitioned sort —
+    * exactly what writing a training order requires) or `TakeOrdered`
+    * for a bounded prefix.
+    */
+  def epochKey(id: Column, epoch: Int): Column =
+    HashExpressions.splitmix64(
+      HashExpressions.splitmix64(id.cast("long"))
+        .bitwiseXOR(lit(epoch.toLong)))
 }

@@ -73,6 +73,21 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\*\(\d+\) Filter""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q67: epoch-order prefix is a top-k heap over codegen'd hashing") {
+    val p = plan("q67_epoch_order")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("graft_splitmix64"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("q68/q70: frequent-set and vocab joins broadcast; no cross joins") {
+    Seq("q68_boilerplate", "q70_oov_rate").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)

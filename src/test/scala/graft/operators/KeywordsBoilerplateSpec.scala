@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction, OOV accounting, and boilerplate flagging
+  * on corpora small enough to verify by hand.
+  */
+class KeywordsBoilerplateSpec extends SparkSpec {
+
+  test("tfIdfTopTerms: corpus-wide terms score zero, distinctive terms " +
+      "rank first") {
+    val s = spark
+    import s.implicits._
+    // "common" appears in every doc (idf = ln(1) = 0); each doc has one
+    // distinctive repeated term that must rank first
+    val docs = Seq(
+      (1L, "common alpha alpha alpha common"),
+      (2L, "common beta beta common filler"),
+      (3L, "common gamma gamma gamma gamma")
+    ).toDF("doc_id", "text")
+    val top = Keywords.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    val all = Keywords.tfIdfTopTerms(docs, "doc_id", "text", k = 10)
+    val commonScores = all.filter(col("token") === "common")
+      .select("tfidf").collect().map(_.getDouble(0))
+    assert(commonScores.nonEmpty && commonScores.forall(_ === 0.0),
+      "a token in every document must score ln(N/N) = 0")
+  }
+
+  test("oovAgainstVocab counts exactly the tokens outside the vocab") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd"), // 2 OOV of 4
+      (2L, "aa aa aa"),    // 0 OOV
+      (3L, "zz yy")        // all OOV
+    ).toDF("doc_id", "text")
+    val vocab = Seq("aa", "bb").toDF("token")
+    val out = Keywords.oovAgainstVocab(docs, "doc_id", "text", vocab)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("oov_per_1000"))))
+      .toMap
+    assert(out(1L) === ((4L, 2L, 500L)))
+    assert(out(2L) === ((3L, 0L, 0L)))
+    assert(out(3L) === ((2L, 2L, 1000L)))
+  }
+
+  test("flagBoilerplate: templated docs flagged, unique docs not") {
+    val s = spark
+    import s.implicits._
+    val template = "all rights reserved cookie banner"
+    // 4 docs share the template 5-gram; two are ONLY template (flagged),
+    // two bury it under enough unique grams to stay clean
+    val docs = Seq(
+      (1L, template),
+      (2L, template),
+      (3L, s"$template unique alpha beta gamma delta epsilon zeta eta " +
+        "theta iota kappa"),
+      (4L, s"$template other words entirely different content here too " +
+        "again more"),
+      (5L, "completely unique document with no shared phrasing at all ok")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.flagBoilerplate(docs, "doc_id", "text",
+        n = 5, minDf = 3, maxFraction = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_boilerplate"))
+      .toMap
+    assert(out(1L) && out(2L), "pure-template docs must be flagged")
+    assert(!out(3L) && !out(4L) && !out(5L),
+      s"diluted/unique docs must pass: $out")
+  }
+
+  test("gramDocFrequencies counts documents, not occurrences") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e a b c d e"), // gram "a b c d e" twice in ONE doc
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val df5 = Boilerplate.gramDocFrequencies(docs, "doc_id", "text", 5)
+      .filter(col("gram") === "a b c d e")
+      .select("df").collect().map(_.getLong(0))
+    assert(df5.toSeq === Seq(2L),
+      "per-doc distinct shingles: df counts docs")
+  }
+}

@@ -22,6 +22,59 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("temperature rates: T=1 is the natural mix, T<1 flattens, " +
+      "smallest stratum pins at 1.0") {
+    val counts = Map("big" -> 900L, "mid" -> 100L, "small" -> 25L)
+    val t1 = Sampling.temperatureRates(counts, 1.0)
+    assert(t1.values.forall(_ === 1.0)) // natural mix: keep everything
+    val t05 = Sampling.temperatureRates(counts, 0.5)
+    assert(t05("small") === 1.0) // most-upweighted stratum keeps all
+    assert(t05("mid") === math.sqrt(25.0 / 100.0))
+    assert(t05("big") === math.sqrt(25.0 / 900.0))
+    // flattening: expected kept counts move closer together than raw
+    val kept = counts.map { case (k, c) => k -> c * t05(k) }
+    assert(kept("big") / kept("small") < 900.0 / 25.0)
+  }
+
+  test("temperature sample keeps rare strata whole and is deterministic") {
+    val counts = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = counts.minBy(_._2)._1
+    val out = Sampling.temperatureSample(docs, "doc_id", "lang", counts, 0.5)
+    val keptByLang = out.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptByLang(minLang) === counts(minLang), "rate-1.0 stratum " +
+      "must keep every row")
+    // deterministic: same rows under a different partitioning
+    val a = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling
+      .temperatureSample(docs.repartition(7), "doc_id", "lang", counts, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a === b)
+  }
+
+  test("epoch key: stable within an epoch, a different permutation " +
+      "across epochs") {
+    val e3a = docs.select(col("doc_id"),
+        Sampling.epochKey(col("doc_id"), 3).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .collect().map(_.getLong(0))
+    val e3b = docs.repartition(11).select(col("doc_id"),
+        Sampling.epochKey(col("doc_id"), 3).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .collect().map(_.getLong(0))
+    val e4 = docs.select(col("doc_id"),
+        Sampling.epochKey(col("doc_id"), 4).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(e3a.toSeq === e3b.toSeq, "epoch order must not depend on " +
+      "partitioning")
+    assert(e3a.toSeq !== e4.toSeq, "different epochs must permute " +
+      "differently")
+    assert(e3a.sorted.toSeq === e4.sorted.toSeq, "every epoch covers the " +
+      "same rows")
+  }
+
   test("sampled fraction lands near the requested rate") {
     val n = docs.count().toDouble
     val k = Sampling.sample(docs, "doc_id", 0.3).count().toDouble
