@@ -20,9 +20,15 @@ object Contamination {
 
   /** Corpus rows tagged `is_contaminated` = shares at least one `n`-gram
     * with any benchmark row. All columns of `corpus` are preserved.
+    *
+    * `tokensCol`: name of an already-materialized corpus token-array
+    * column to shingle from (the tokenize-once contract — see
+    * [[CorpusPipeline.prepare]]); the benchmark side always tokenizes
+    * itself (it is megabytes).
     */
   def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8,
+      tokensCol: Option[String] = None): DataFrame = {
     // tokens are materialized in their own projection BEFORE the shingle
     // explode: inlining tokens(text) into the shingle lambda re-runs the
     // regexp split per shingle element (higher-order functions re-evaluate
@@ -32,7 +38,8 @@ object Contamination {
       .select(explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
       .distinct()
     val hits = corpus
-      .withColumn("__ct_toks", TF.tokens(col(textCol)))
+      .withColumn("__ct_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
       .select(col(idCol), explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .select(col(idCol)).distinct()
@@ -49,8 +56,10 @@ object Contamination {
     * against the flagged id set).
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
-    flagContaminated(corpus, idCol, textCol, benchmark, benchTextCol, n)
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8,
+      tokensCol: Option[String] = None): DataFrame =
+    flagContaminated(corpus, idCol, textCol, benchmark, benchTextCol, n,
+        tokensCol)
       .filter(!col("is_contaminated"))
       .drop("is_contaminated")
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -45,17 +46,31 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
       cfg: Config = Config()): DataFrame = {
+    // TOKENIZE ONCE: the corpus token array is materialized here and
+    // threaded through every stage (quality rules, decontamination
+    // shingles, dedup signatures + verify) via each operator's
+    // `tokensCol` parameter — without it each stage re-runs the regexp
+    // split over the full corpus, which at 100 TB is two extra
+    // whole-corpus passes. The column rides inside the quality-kept
+    // cache (tokens ≈ text volume: the cache roughly doubles, a
+    // deliberate space-for-passes trade; both caches here are
+    // spill-aware MEMORY_AND_DISK).
+    val toksCol = "__cp_toks"
+    val withToks = docs.withColumn(toksCol, TF.tokens(col(textCol)))
     // cache the quality-kept set: decontamination references it twice
     // (gram-collision subtree + main join) and dedup materializes right
     // after, so the cache pays for itself within this call and can be
     // released as soon as dedup's own persisted output exists
-    val kept = QualityFilters.keep(docs, textCol, cfg.quality).persist()
+    val kept = QualityFilters
+      .keep(withToks, textCol, cfg.quality, tokensCol = Some(toksCol))
+      .persist()
     val clean = Contamination.decontaminate(kept, idCol, textCol,
-      benchmark, benchTextCol, cfg.benchNgram)
+      benchmark, benchTextCol, cfg.benchNgram, tokensCol = Some(toksCol))
     val canonical = Dedup
-      .dedupCorpus(clean, idCol, textCol, cfg.dedupThreshold)
+      .dedupCorpus(clean, idCol, textCol, cfg.dedupThreshold,
+        tokensCol = Some(toksCol))
       .filter(col("is_canonical"))
-      .drop("component", "is_canonical")
+      .drop("component", "is_canonical", toksCol)
     kept.unpersist() // dedupCorpus's output is materialized + persisted
     Sampling.sample(canonical, idCol, cfg.sampleFraction)
   }

@@ -367,7 +367,7 @@ object Dedup {
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 16, shingleLen: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, tokensCol: Option[String] = None): DataFrame = {
     // materialize the input ONCE: the stages below reference it ~6 times
     // (signature build, both candidate self-join sides, both token-verify
     // sides, the final join back) — when `df` is itself a pipeline (e.g.
@@ -376,12 +376,18 @@ object Dedup {
     // runs in ~2 s. The token array (and its distinct form, which the
     // verify join consumes) is materialized INTO the cache, so the
     // regexp tokenization runs once per document instead of once per
-    // referencing stage (signatures + both verify sides).
-    val input = df
-      .withColumn("__toks", TF.tokens(col(textCol)))
-      .withColumn("__dtoks", array_distinct(col("__toks")))
+    // referencing stage (signatures + both verify sides). With
+    // `tokensCol` (the tokenize-once contract) the caller's column is
+    // used as-is — no second token copy enters the cache.
+    val toksName = tokensCol.getOrElse("__toks")
+    val withToks = tokensCol match {
+      case Some(_) => df
+      case None    => df.withColumn("__toks", TF.tokens(col(textCol)))
+    }
+    val input = withToks
+      .withColumn("__dtoks", array_distinct(col(toksName)))
       .persist()
-    val pairs = nearDupPairsFromTokens(input, idCol, col("__toks"),
+    val pairs = nearDupPairsFromTokens(input, idCol, col(toksName),
       col("__dtoks"), threshold, k, shingleLen, bands)
     val comps = connectedComponents(pairs, "a_id", "b_id")
     val out = input.drop("__toks", "__dtoks")

@@ -41,9 +41,18 @@ object QualityFilters {
       when(r.fails, r.name).otherwise(acc)
     }
 
-  /** Tag every row with `drop_reason` (null = keeps all rules). */
+  /** Tag every row with `drop_reason` (null = keeps all rules).
+    *
+    * `tokensCol`: name of an ALREADY-MATERIALIZED token-array column to
+    * rule on instead of re-tokenizing `textCol` — the tokenize-once
+    * contract ([[CorpusPipeline.prepare]] tokenizes the corpus a single
+    * time and threads the column through quality, decontamination, and
+    * dedup; at 100 TB each avoided re-tokenization is a full-corpus
+    * regexp pass).
+    */
   def annotate(df: DataFrame, textCol: String,
-      t: Thresholds = Thresholds()): DataFrame = {
+      t: Thresholds = Thresholds(),
+      tokensCol: Option[String] = None): DataFrame = {
     val toksCol = "__qf_toks"
     val gramsCol = "__qf_g3"
     val nToks = size(col(toksCol))
@@ -59,7 +68,8 @@ object QualityFilters {
       Rule("repetition", dupFrac > t.maxDupNgramFraction),
       Rule("punct_ratio", TF.punctCount(col(textCol)).cast("double") >
         nToks * t.maxPunctPerToken))
-    df.withColumn(toksCol, TF.tokens(col(textCol)))
+    df.withColumn(toksCol,
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
       .withColumn(gramsCol, TF.ngramsOf(col(toksCol), 3))
       .withColumn("drop_reason", firstFailing(rules))
       .drop(toksCol, gramsCol)
@@ -90,8 +100,9 @@ object QualityFilters {
     * out of Tungsten and ended the whole-stage-codegen span.
     */
   def keep(df: DataFrame, textCol: String,
-      t: Thresholds = Thresholds()): DataFrame =
-    annotate(df, textCol, t)
+      t: Thresholds = Thresholds(),
+      tokensCol: Option[String] = None): DataFrame =
+    annotate(df, textCol, t, tokensCol)
       .withColumn("__keep_ok",
         graft.expressions.PushdownBarrier.barrier(col("drop_reason")).isNull)
       .filter(col("__keep_ok"))
