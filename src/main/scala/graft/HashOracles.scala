@@ -410,6 +410,78 @@ object HashOracles {
         "ORDER BY epoch_key, doc_id LIMIT 10")
   }
 
+  /** Curriculum-order replay: quality-score decile bands (integer grid,
+    * `scoreSql` supplied by the caller — the same fragment the q25 oracle
+    * uses), epoch-permuted within each band via the q67 double-mix.
+    */
+  def q73CurriculumOrder(scoreSql: String, epoch: Int): String = {
+    val head = Seq(
+      s"sc AS (SELECT doc_id, $scoreSql AS score FROM documents)",
+      "dz AS (SELECT doc_id, score, CAST(doc_id AS HUGEINT) AS z FROM sc)")
+    def rounds(tag: String, from: String): Seq[String] =
+      mixStages(Seq("z"), Seq("doc_id", "score")).zipWithIndex.map {
+        case (body, n) =>
+          val prev = if (n == 0) from else s"$tag${n - 1}"
+          s"$tag$n AS ($body FROM $prev)"
+      }
+    val first = rounds("ma", "dz")
+    val xorStage = Seq(
+      s"mx AS (SELECT doc_id, score, xor(z, $epoch) AS z FROM ma5)")
+    val second = rounds("mb", "mx")
+    withClause(head ++ first ++ xorStage ++ second,
+      "SELECT doc_id, score, CAST(score // 10 AS BIGINT) AS bucket, " +
+        s"${toSigned("z")} AS epoch_key FROM mb5 " +
+        "ORDER BY bucket DESC, epoch_key, doc_id LIMIT 15")
+  }
+
+  /** Bloom-decontamination replay: rebuilds the EXACT bitmap the Spark
+    * side builds (bit j of gram g at `splitmix64(fnv1a64(g) XOR j) mod
+    * 2^16`, k = 4) as a distinct-position set, then flags corpus docs
+    * with any gram whose 4 positions are all present — INCLUDING any
+    * deterministic false positives, which is the point: the one-sided
+    * error is part of the operator's contract and both engines must
+    * agree on it bit-for-bit.
+    */
+  val q71BloomDecontaminate: String = {
+    val K = 4
+    val M = 65536
+    def grams5(src: String): String =
+      s"CASE WHEN len($src) >= 5 THEN list_transform(range(0, len($src) - 4), " +
+        s"i -> array_to_string($src[i + 1 : i + 5], ' ')) " +
+        s"ELSE [array_to_string($src, ' ')] END"
+    val head = Seq(
+      s"btk AS (SELECT $Toks AS t FROM documents WHERE doc_id < 10)",
+      s"bgr AS (SELECT DISTINCT unnest(${grams5("t")}) AS gram FROM btk)",
+      s"bh AS (SELECT xor(${fnv("gram")}, CAST(j AS HUGEINT)) AS z " +
+        s"FROM bgr, (SELECT unnest(range(0, $K)) AS j))")
+    val bmix = mixStages(Seq("z"), Seq()).zipWithIndex.map { case (b, i) =>
+      s"bm$i AS ($b FROM ${if (i == 0) "bh" else s"bm${i - 1}"})"
+    }
+    val bp = Seq(s"bp AS (SELECT DISTINCT z % $M AS pos FROM bm5)")
+    val corp = Seq(
+      s"ctk AS (SELECT doc_id, $Toks AS t FROM documents WHERE doc_id >= 10)",
+      s"cgr AS (SELECT doc_id, unnest(list_distinct(${grams5("t")})) " +
+        "AS gram FROM ctk)",
+      s"ch AS (SELECT doc_id, gram, j, " +
+        s"xor(${fnv("gram")}, CAST(j AS HUGEINT)) AS z " +
+        s"FROM cgr, (SELECT unnest(range(0, $K)) AS j))")
+    val cmix = mixStages(Seq("z"), Seq("doc_id", "gram", "j"))
+      .zipWithIndex.map { case (b, i) =>
+        s"cm$i AS ($b FROM ${if (i == 0) "ch" else s"cm${i - 1}"})"
+      }
+    val tail = Seq(
+      s"cp AS (SELECT doc_id, gram, z % $M AS pos FROM cm5)",
+      "hit AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, gram " +
+        s"FROM cp JOIN bp USING (pos) GROUP BY doc_id, gram " +
+        s"HAVING count(*) = $K))")
+    withClause(head ++ bmix ++ bp ++ corp ++ cmix ++ tail,
+      "SELECT count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_flagged " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d " +
+        "LEFT JOIN hit h USING (doc_id)")
+  }
+
   /** End-to-end corpus-pipeline replay (quality keep → benchmark
     * decontamination → MinHash-LSH dedup canonical → deterministic 50%
     * sample), reusing every verified fragment: threshold CASE logic,

@@ -447,6 +447,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter decontamination: the benchmark gram set compressed to
+    // a 64 Kbit deterministic bitmap (bits/gram instead of bytes/gram);
+    // the corpus side probes k bits per gram — no join at all. The
+    // oracle rebuilds the same bitmap, so even false positives must match
+    "q71_bloom_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bloom = Contamination.benchmarkBloom(
+        docs.filter(col("doc_id") < 10), "text", n = 5)
+      Contamination.flagContaminatedBloom(
+          docs.filter(col("doc_id") >= 10), "doc_id", "text", bloom, n = 5)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_contaminated"), 1).otherwise(0)).as("n_flagged"))
+    }),
+
+    // Per-source corpus profile — the "which sources are worth keeping"
+    // dashboard: volume, token mass, and quality-drop accounting per
+    // source in ONE pass (annotate tags, one aggregation)
+    "q72_source_profile" -> ((s, dir) =>
+      QualityFilters.annotate(T(s, dir, "documents"), "text",
+          QualityFilters.Thresholds(minTokens = 30, maxTokens = 10000,
+            maxDupNgramFraction = 0.05))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("drop_reason").isNull, 1).otherwise(0)).as("n_kept"))
+        .orderBy(col("source"))),
+
+    // Curriculum ordering: quality-score decile first, then the
+    // deterministic epoch permutation WITHIN each band — reproducible
+    // quality-first training order with no RNG state
+    "q73_curriculum_order" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.qualityScore(col("text"), col("n_chars")).as("score"),
+          Sampling.epochKey(col("doc_id"), epoch = 1).as("epoch_key"))
+        .withColumn("bucket", (col("score") / lit(10)).cast("long"))
+        .orderBy(col("bucket").desc, col("epoch_key"), col("doc_id"))
+        .limit(15)
+        .select(col("doc_id"), col("score"), col("bucket"),
+          col("epoch_key"))),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
@@ -1213,6 +1255,38 @@ object SparkEntry {
     "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,
     "q66_temperature_mix" -> HashOracles.q66TemperatureSample,
     "q67_epoch_order" -> HashOracles.q67EpochOrder(3),
+    "q71_bloom_decontaminate" -> HashOracles.q71BloomDecontaminate,
+    "q73_curriculum_order" -> HashOracles.q73CurriculumOrder(
+      s"""2 * ${hitsSql(TF.EnStop)}
+         | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END
+         | + CASE WHEN 20 * (length(text) -
+         |     length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) <= n_chars
+         |   THEN 3 ELSE 0 END""".stripMargin, epoch = 1),
+
+    // q60's first-failing CASE chain, aggregated per source in one pass
+    "q72_source_profile" ->
+      s"""WITH tk AS (SELECT doc_id, text, source, lang, $ToksSql AS t
+         |  FROM documents),
+         |g AS (SELECT source, lang, text, len(t) AS n,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2),
+         |    i -> array_to_string(t[i + 1 : i + 3], ' '))
+         |    ELSE [array_to_string(t, ' ')] END AS g3 FROM tk),
+         |r AS (SELECT source, lang, n, CASE
+         |  WHEN text IS NULL THEN 'null_text'
+         |  WHEN n < 30 THEN 'min_tokens'
+         |  WHEN n > 10000 THEN 'max_tokens'
+         |  WHEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+         |    > 0.05 THEN 'repetition'
+         |  WHEN CAST(length(text) - length(regexp_replace(text,
+         |      '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) > n * 0.5
+         |    THEN 'punct_ratio'
+         |  ELSE NULL END AS drop_reason FROM g)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // distinct-gram document frequencies -> broadcastable frequent set ->
     // per-doc boilerplate accounting (mirrors Boilerplate.flagBoilerplate)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{DedupFunctions, TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -62,4 +62,88 @@ object Contamination {
         tokensCol)
       .filter(!col("is_contaminated"))
       .drop("is_contaminated")
+
+  // ---- Bloom-filter variant (compact benchmark representation) --------
+
+  /** Deterministic Bloom bitmap of the benchmark's n-gram set — the scale
+    * path when the benchmark SUITE is itself large (a full eval harness is
+    * millions of grams; the string set broadcasts at ~50 B/gram, the
+    * bitmap at ~1-2 BITS/gram for the same job). One-sided error: a set
+    * bit pattern may flag a clean doc (false positive — over-removal,
+    * acceptable for hygiene), never the reverse.
+    *
+    * Everything is engine-independent by construction: bit `j` of gram
+    * `g` lives at `splitmix64(fnv1a64(g) XOR j) & (numBits - 1)`, so an
+    * oracle (or a second engine) rebuilds the exact bitmap and replays
+    * membership INCLUDING the false positives. Built with one
+    * `treeAggregate` (per-partition bitmaps OR-merged up a tree — no
+    * driver bottleneck beyond the final `numBits/8`-byte array).
+    */
+  def benchmarkBloom(benchmark: DataFrame, benchTextCol: String, n: Int,
+      numBits: Int = 1 << 16, kHashes: Int = 4): Array[Long] = {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+      s"numBits $numBits must be a power of two")
+    val grams = benchmark
+      .withColumn("__bl_toks", TF.tokens(col(benchTextCol)))
+      .select(explode(TF.shinglesOf(col("__bl_toks"), n)).as("gram"))
+      .distinct()
+    val bits = numBits
+    val k = kHashes
+    grams.select(col("gram")).na.drop()
+      .rdd.map(_.getString(0))
+      .treeAggregate(new Array[Long](bits / 64))(
+        seqOp = (bm, g) => { setBits(bm, g, bits, k); bm },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+  }
+
+  private def setBits(bm: Array[Long], gram: String, numBits: Int,
+      kHashes: Int): Unit = {
+    val h = DedupFunctions.fnv1a64(gram)
+    var j = 0
+    while (j < kHashes) {
+      val pos = (DedupFunctions.splitmix64(h ^ j) & (numBits - 1)).toInt
+      bm(pos >>> 6) |= 1L << (pos & 63)
+      j += 1
+    }
+  }
+
+  /** [[flagContaminated]] against a [[benchmarkBloom]] bitmap instead of
+    * the broadcast gram set: the corpus side probes `kHashes` bits per
+    * gram — no shuffle, no join, one UDF call per document (a bitmap
+    * probe has no Column-combinator form; the UDF is the documented
+    * exception, and the per-row work is a few cache-resident AND/SHIFTs).
+    */
+  def flagContaminatedBloom(corpus: DataFrame, idCol: String,
+      textCol: String, bloom: Array[Long], n: Int = 8,
+      numBits: Int = 1 << 16, kHashes: Int = 4,
+      tokensCol: Option[String] = None): DataFrame = {
+    require(bloom.length == numBits / 64,
+      s"bitmap length ${bloom.length} != numBits/64 (${numBits / 64})")
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val bits = numBits
+    val k = kHashes
+    val anyGramHits = udf { grams: Seq[String] =>
+      grams != null && grams.exists { g =>
+        val h = DedupFunctions.fnv1a64(g)
+        var j = 0
+        var all = true
+        while (all && j < k) {
+          val pos = (DedupFunctions.splitmix64(h ^ j) & (bits - 1)).toInt
+          all = (bc.value(pos >>> 6) & (1L << (pos & 63))) != 0
+          j += 1
+        }
+        all
+      }
+    }
+    corpus
+      .withColumn("__bl_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .withColumn("is_contaminated",
+        anyGramHits(TF.shinglesOf(col("__bl_toks"), n)))
+      .drop("__bl_toks")
+  }
 }
