@@ -434,6 +434,23 @@ object HashOracles {
         "ORDER BY bucket DESC, epoch_key, doc_id LIMIT 15")
   }
 
+  /** Fixed-count-per-stratum replay: row_number within each stratum over
+    * (signed splitmix64(doc_id), doc_id), keep rank ≤ n.
+    */
+  def q75FixedPerStratum(n: Int): String = {
+    val head = Seq(
+      "dz AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "lang")).zipWithIndex.map {
+      case (body, i) =>
+        val prev = if (i == 0) "dz" else s"dm${i - 1}"
+        s"dm$i AS ($body FROM $prev)"
+    }
+    withClause(head ++ mixed :+
+      ("rk AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        s"ORDER BY ${toSigned("z")}, doc_id) AS rk FROM dm5)"),
+      s"SELECT lang, doc_id FROM rk WHERE rk <= $n ORDER BY lang, doc_id")
+  }
+
   /** Bloom-decontamination replay: rebuilds the EXACT bitmap the Spark
     * side builds (bit j of gram g at `splitmix64(fnv1a64(g) XOR j) mod
     * 2^16`, k = 4) as a distinct-position set, then flags corpus docs

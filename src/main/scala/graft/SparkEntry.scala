@@ -489,6 +489,29 @@ object SparkEntry {
         .select(col("doc_id"), col("score"), col("bucket"),
           col("epoch_key"))),
 
+    // int8 scalar quantization of the embedding table (the 4x ANN-index
+    // memory cut): scale materialized to its own column before the
+    // per-element lambda (HOF re-evaluation trap), codes on an integer
+    // grid so the checksum replays exactly
+    "q74_quantize_int8" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .filter(col("vec_id") < 200)
+        .withColumn("scale", VF.quantScale(col("embedding")))
+        .withColumn("q", VF.quantizeWith(col("embedding"), col("scale")))
+        .select(col("vec_id"), size(col("q")).as("n_dims"),
+          round(col("scale"), 6).as("scale_r"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_max(col("q")).as("q_max"))
+        .orderBy(col("vec_id"))),
+
+    // exactly-10-per-language deterministic sample (eval-set
+    // construction): rank by (splitmix64(id), id) within each stratum —
+    // membership is engine-stable and monotone in n
+    "q75_fixed_per_stratum" -> ((s, dir) =>
+      Sampling.fixedPerStratum(T(s, dir, "documents"), "doc_id", "lang", 10)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
@@ -1256,6 +1279,24 @@ object SparkEntry {
     "q66_temperature_mix" -> HashOracles.q66TemperatureSample,
     "q67_epoch_order" -> HashOracles.q67EpochOrder(3),
     "q71_bloom_decontaminate" -> HashOracles.q71BloomDecontaminate,
+    "q75_fixed_per_stratum" -> HashOracles.q75FixedPerStratum(10),
+
+    // int8 quantization replay: IEEE double scale + round-half-away —
+    // identical in both engines, so codes and checksums match exactly
+    "q74_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, scale, list_transform(v, x ->
+        |  CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(round(x / scale) AS INTEGER) END) AS q FROM s)
+        |SELECT vec_id, len(q) AS n_dims, round(scale, 6) AS scale_r,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+        |    (a, x) -> a + x) AS BIGINT) AS q_sum,
+        |  CAST(list_max(q) AS INTEGER) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q73_curriculum_order" -> HashOracles.q73CurriculumOrder(
       s"""2 * ${hitsSql(TF.EnStop)}
          | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END

@@ -54,6 +54,27 @@ object VectorFunctions {
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Per-vector int8 scalar quantization scale: `max|x| / 127` — the 4×
+    * memory cut that makes a 100 TB ANN index fit. MATERIALIZE this to
+    * its own column before passing it to [[quantizeWith]]: referencing
+    * the scale EXPRESSION inside the quantize lambda would re-evaluate
+    * the max-abs scan per element (the higher-order-function
+    * re-evaluation trap — O(dim²) per vector at 1k dims).
+    */
+  def quantScale(v: Column): Column =
+    array_max(transform(asDouble(v), x => abs(x))) / lit(127.0)
+
+  /** Quantized int8 codes for `v` at a precomputed [[quantScale]] column:
+    * `q_i = round(x_i / scale)` (zero vectors → all-zero at scale 0).
+    * IEEE double division + round-half-away-from-zero, identical in the
+    * JVM and DuckDB, so codes replay exactly in an oracle. Dequantize
+    * with `q_i * scale` for the rescored refine step of a quantized ANN.
+    */
+  def quantizeWith(v: Column, scale: Column): Column =
+    transform(asDouble(v), x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(round(x / scale).cast("int")))
+
   /** Random-hyperplane LSH signature: `planes` is a literal matrix (rows =
     * hyperplanes); the signature packs sign bits into a long. Used to bucket
     * vectors so approximate-NN joins become equi-joins on the signature

@@ -106,6 +106,26 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold)
   }
 
+  /** Exactly-`n`-per-stratum sampling (eval/calibration set construction:
+    * "1000 docs per source, reproducibly"): rank rows within each stratum
+    * by `(splitmix64(id), id)` and keep the first `n` — a pure function
+    * of the ids, so membership is stable across runs, partitionings, and
+    * engines, and REMAINS a subset when `n` grows (rank order never
+    * changes). One shuffle on the stratum key + a window; for strata of
+    * millions of rows prefer [[sample]] with a rate — a global per-
+    * stratum rank concentrates each stratum in one task by design.
+    */
+  def fixedPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(HashExpressions.splitmix64(col(idCol).cast("long")),
+        col(idCol))
+    df.withColumn("__fs_rk", row_number().over(w))
+      .filter(col("__fs_rk") <= n)
+      .drop("__fs_rk")
+  }
+
   /** Deterministic per-epoch global training order: the sort key is
     * `splitmix64(splitmix64(id) XOR epoch)` — a pure function of
     * (id, epoch), so every epoch is a DIFFERENT but REPRODUCIBLE

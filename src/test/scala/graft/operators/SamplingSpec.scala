@@ -75,6 +75,20 @@ class SamplingSpec extends SparkSpec {
       "same rows")
   }
 
+  test("fixedPerStratum: exact counts, partition-stable, monotone in n") {
+    val five = Sampling.fixedPerStratum(docs, "doc_id", "lang", 5)
+    val byLang = five.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ === 5L), s"expected 5 per lang: $byLang")
+    val a = five.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.fixedPerStratum(docs.repartition(13), "doc_id", "lang", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "membership must not depend on partitioning")
+    val ten = Sampling.fixedPerStratum(docs, "doc_id", "lang", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(ten), "growing n must only ADD rows")
+  }
+
   test("sampled fraction lands near the requested rate") {
     val n = docs.count().toDouble
     val k = Sampling.sample(docs, "doc_id", 0.3).count().toDouble
