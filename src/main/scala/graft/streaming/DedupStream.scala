@@ -39,6 +39,50 @@ object DedupStream {
 
   case class BucketState(canonicalId: Long, ids: List[Long], lastTs: Long)
 
+  /** Matches of a document STREAM against a STATIC corpus dedup index
+    * ([[graft.operators.Dedup.buildDedupIndex]]) — the streaming half of
+    * the incremental-dedup story: yesterday's corpus is indexed once
+    * (signatures + band keys, text never re-read); today's docs arrive
+    * as a stream and each is flagged the moment it lands.
+    *
+    * Plan shape: stream-side signatures + band explode, then a
+    * STREAM-STATIC equi-join on (band, key) — Spark executes the static
+    * side as a regular batch relation per micro-batch, no state, no
+    * watermark needed for correctness (the join carries no streaming
+    * state at all; at 100 TB the static side is the partition-pruned
+    * index read, see buildDedupIndex). Verify = MinHash slot-equality
+    * estimate, exactly the batch [[graft.operators.Dedup.incrementalDedup]]
+    * semantics. Emits one row per (doc, matched index id, band) ≥
+    * threshold — a doc matching an index entry in several bands emits
+    * once per band (the join stays completely STATELESS; collapsing
+    * per-band duplicates would need a dedup state store). Same
+    * at-least-once contract as [[nearDupCollisions]]'s cap: consumers
+    * dedup on (doc_id, index_id) or simply drop flagged docs.
+    */
+  def indexCollisions(docs: DataFrame,
+      index: graft.operators.Dedup.DedupIndex, threshold: Double,
+      k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val banded = docs
+      .withColumn("sig",
+        DF.minhashFast(TF.tokens(col("text")), k, shingleLen))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val est = size(filter(
+      zip_with(col("sig"), col("index_sig"), (a, b) => a === b),
+      x => x)).cast("double") / k
+    banded
+      .join(index.bands, Seq("band", "key")) // stream-static equi-join
+      .join(index.signatures.withColumnRenamed("sig", "index_sig"),
+        Seq("index_id"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_id"), col("index_id"), col("band"),
+        col("est_jaccard"), col("ts"))
+  }
+
   /** Collisions stream for `docs` (columns doc_id, text, ts). A doc
     * colliding in several bands emits one row per band; downstream
     * dedups on doc_id (or verifies once). `evictAfterMs` is the bucket

@@ -17,6 +17,40 @@ class DedupStreamSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("stream-static index collisions flag arriving copies of an " +
+      "indexed corpus, stateless") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val existing = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every day"),
+      (200L, "a completely different document about spark query planning")
+    ).toDF("doc_id", "text")
+    val index = graft.operators.Dedup
+      .buildDedupIndex(existing, "doc_id", "text")
+    index.signatures.persist(); index.bands.persist()
+
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.indexCollisions(mem.toDF(), index, threshold = 0.5)
+      .writeStream.format("memory").queryName("idx_collisions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Doc(1L, "the quick brown fox jumps over the lazy dog every day", ts(0)),
+      Doc(2L, "entirely novel content matching nothing in the corpus", ts(0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.sql("SELECT * FROM idx_collisions").collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === Set(1L), s"only the copy flags: ${out.toSeq}")
+    assert(byDoc(1L).forall(_.getAs[Long]("index_id") === 100L))
+    // exact copy -> identical signature -> every band collides (4 rows,
+    // the documented per-band at-least-once emission)
+    assert(byDoc(1L).map(_.getAs[Int]("band")).toSet === Set(0, 1, 2, 3))
+    assert(byDoc(1L).forall(_.getAs[Double]("est_jaccard") === 1.0))
+    index.signatures.unpersist(); index.bands.unpersist()
+  }
+
   test("copies collide with the first-seen canonical; distinct docs do not") {
     val s = spark
     import s.implicits._
