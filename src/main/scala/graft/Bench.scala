@@ -41,7 +41,10 @@ object Bench {
     // state, not plans (q60 measured 4.0 s in-bench vs 0.73 s warm).
     Seq("q03_join_agg", "q07_explode_wordcount", "q32_sessionize",
       "q48_token_packing", "q18_minhash_candidates", "q51_dedup_corpus",
-      "q64_corpus_pipeline", "q61_vocab_topk", "q62_frame_sampling")
+      "q64_corpus_pipeline", "q61_vocab_topk", "q62_frame_sampling",
+      // round-4 families: quantization HOF path, bloom UDF+treeAggregate,
+      // window+broadcast keyword path
+      "q76_quantized_ann", "q71_bloom_decontaminate", "q69_tfidf_terms")
       .foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try CacheScope.scoped { fn(spark, sfDir).count() }

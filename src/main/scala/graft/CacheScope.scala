@@ -36,6 +36,13 @@ object CacheScope {
           List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
     }
 
+  /** Whether a scope is open on this thread — operators whose persisted
+    * state would otherwise be unreachable to callers (e.g. buried under
+    * derived frames, as in `CorpusPipeline.prepare`) use this to warn
+    * when they are about to strand a cache.
+    */
+  def isActive: Boolean = stack.get().nonEmpty
+
   /** Hand ownership of an operator-persisted `df` to the innermost active
     * scope; no-op without one. Returns `df` for chaining.
     */

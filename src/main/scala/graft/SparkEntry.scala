@@ -463,14 +463,19 @@ object SparkEntry {
 
     // Per-source corpus profile — the "which sources are worth keeping"
     // dashboard: volume, token mass, and quality-drop accounting per
-    // source in ONE pass (annotate tags, one aggregation)
+    // source in ONE pass (tokens projected once, threaded into annotate
+    // AND the token-mass sum — no second regexp pass)
     "q72_source_profile" -> ((s, dir) =>
-      QualityFilters.annotate(T(s, dir, "documents"), "text",
+      QualityFilters.annotate(
+          T(s, dir, "documents")
+            .withColumn("__toks", toks(col("text"))),
+          "text",
           QualityFilters.Thresholds(minTokens = 30, maxTokens = 10000,
-            maxDupNgramFraction = 0.05))
+            maxDupNgramFraction = 0.05),
+          tokensCol = Some("__toks"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(TF.tokenCount(col("text"))).as("total_tokens"),
+          sum(size(col("__toks")).cast("long")).as("total_tokens"),
           countDistinct(col("lang")).as("n_langs"),
           sum(when(col("drop_reason").isNull, 1).otherwise(0)).as("n_kept"))
         .orderBy(col("source"))),

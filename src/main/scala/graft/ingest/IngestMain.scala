@@ -54,16 +54,32 @@ object IngestMain {
       updatesFileName =
         opts.getOrElse("updates-file-name", "new_and_updated_documents.json"),
       fetcher = new JdkHttpFetcher(),
-      // real converters only where the executor image ships BOTH binaries
-      // (reference Dockerfile installs libreoffice + browser deps):
-      // probing soffice alone would select ProcessConverter on a
-      // LibreOffice-only image and then fail every HTML-capture document
-      // at runtime in capturePdfFromUrl. The deterministic stub keeps
-      // partial/binary-less environments runnable
-      converter =
-        if (ProcessConverter.available("soffice") &&
-            ProcessConverter.available("chromium")) new ProcessConverter()
-        else new StubConverter(),
+      // per-CAPABILITY converter selection (reference Dockerfile installs
+      // libreoffice + browser deps): a LibreOffice-only image still
+      // converts DOC(X) for real and only HTML capture takes the
+      // deterministic stub — probing one binary for both capabilities
+      // would either fail every capture at runtime or needlessly stub
+      // conversions the image can perform
+      converter = {
+        val real = new ProcessConverter()
+        val stub = new StubConverter()
+        val haveSoffice = ProcessConverter.available("soffice")
+        val haveChromium = ProcessConverter.available("chromium")
+        (haveSoffice, haveChromium) match {
+          case (true, true)   => real
+          case (false, false) => stub
+          case _ => new Converter {
+            private val docSide = if (haveSoffice) real else stub
+            private val capSide = if (haveChromium) real else stub
+            def docToPdf(content: Array[Byte]): Array[Byte] =
+              docSide.docToPdf(content)
+            def capturePdfFromUrl(url: String): (Array[Byte], Option[String]) =
+              capSide.capturePdfFromUrl(url)
+            def addLastPageWatermark(pdf: Array[Byte], text: String): Array[Byte] =
+              real.addLastPageWatermark(pdf, text) // PdfWatermark: no binary
+          }
+        }
+      },
       runTs = Instant.now())
 
     val errs = report.results.count(_.error.isDefined)

@@ -26,18 +26,27 @@ object Boilerplate {
     * shingles are per-doc distinct).
     */
   def gramDocFrequencies(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    grams(corpus, idCol, textCol, n)
+      n: Int, tokensCol: Option[String] = None): DataFrame =
+    grams(corpus, idCol, textCol, n, tokensCol)
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
 
   /** Every row of `corpus` with per-doc boilerplate accounting:
     * `n_grams` (distinct n-grams in the doc), `n_frequent` (of those, how
     * many appear in ≥ `minDf` docs corpus-wide), and `is_boilerplate`
     * (`n_frequent / n_grams > maxFraction`).
+    *
+    * The (id, gram) explode feeds BOTH the df aggregation and the per-doc
+    * accounting, so it is persisted for the duration of the call and its
+    * ownership registered with the active [[graft.CacheScope]] (same
+    * contract as `Dedup.dedupCorpus`) — without the cache the corpus
+    * would be tokenized and shingled twice. `tokensCol` joins the
+    * tokenize-once pipeline (see [[CorpusPipeline.prepare]]).
     */
   def flagBoilerplate(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDf: Long = 3, maxFraction: Double = 0.5): DataFrame = {
-    val g = grams(corpus, idCol, textCol, n)
+      n: Int = 5, minDf: Long = 3, maxFraction: Double = 0.5,
+      tokensCol: Option[String] = None): DataFrame = {
+    val g = graft.CacheScope.register(
+      grams(corpus, idCol, textCol, n, tokensCol).persist())
     val frequent = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("gram"), lit(1).as("__freq"))
@@ -60,12 +69,14 @@ object Boilerplate {
   /** (id, gram) pairs, one row per DISTINCT gram per doc. Tokens are
     * materialized in their own projection before the shingle transform
     * (the higher-order-function re-evaluation trap — see
-    * [[graft.functions.TextFunctions.shinglesOf]]).
+    * [[graft.functions.TextFunctions.shinglesOf]]), or taken from the
+    * caller's `tokensCol` under the tokenize-once contract.
     */
   private def grams(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int, tokensCol: Option[String]): DataFrame =
     corpus
-      .withColumn("__bp_toks", TF.tokens(col(textCol)))
+      .withColumn("__bp_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
       .select(col(idCol),
         explode(TF.shinglesOf(col("__bp_toks"), n)).as("gram"))
 }

@@ -37,11 +37,12 @@ object CorpusPipeline {
     *
     * Cache ownership: the result references [[Dedup.dedupCorpus]]'s
     * persisted output (which must outlive the caller's action — the
-    * sampling filter reads it). Run your action inside
-    * `CacheScope.scoped { ... }` to have that cache released afterwards;
-    * without a scope, the session keeps it until the caller unpersists
-    * (see the dedupCorpus Scaladoc — leaking one per invocation is a
-    * real long-session regression, measured in round 3's bench).
+    * sampling filter reads it), and that cache is NOT reachable from the
+    * returned (derived) frame — `unpersist()` on the result will not
+    * release it. Callers MUST run their action inside
+    * `CacheScope.scoped { ... }`; without a scope the cache is stranded
+    * for the session's lifetime (the exact q64 regression round 3's
+    * bench measured), and prepare logs a warning to that effect.
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
@@ -55,6 +56,11 @@ object CorpusPipeline {
     // cache (tokens ≈ text volume: the cache roughly doubles, a
     // deliberate space-for-passes trade; both caches here are
     // spill-aware MEMORY_AND_DISK).
+    if (!graft.CacheScope.isActive)
+      System.err.println("[graft] CorpusPipeline.prepare called without " +
+        "an active CacheScope: the internal dedup cache cannot be " +
+        "released by the caller and will be stranded for the session " +
+        "- wrap the action in CacheScope.scoped { ... }")
     val toksCol = "__cp_toks"
     val withToks = docs.withColumn(toksCol, TF.tokens(col(textCol)))
     // cache the quality-kept set: decontamination references it twice

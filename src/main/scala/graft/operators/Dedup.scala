@@ -42,10 +42,20 @@ object Dedup {
     * with a_id < b_id.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, k, shingleLen)
-    val banded = sig.select(col(idCol).as("id"),
+      k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DataFrame =
+    candidatePairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, k, shingleLen)
+        .select(col(idCol).as("id"), col("sig")),
+      bands, k / bands)
+
+  /** THE candidate-pair construction (band explode → equi-join on the
+    * band key → a_id < b_id → distinct), shared by every LSH entry point
+    * so banding/tie-break changes cannot silently diverge between the
+    * text-column and token-column paths. `sig` is (id, sig).
+    */
+  private def candidatePairsFromSignatures(sig: DataFrame, bands: Int,
+      rows: Int): DataFrame = {
+    val banded = sig.select(col("id"),
       explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
@@ -74,15 +84,10 @@ object Dedup {
   private def nearDupPairsFromTokens(df: DataFrame, idCol: String,
       toksC: Column, dtoksC: Column, threshold: Double, k: Int,
       shingleLen: Int, bands: Int): DataFrame = {
-    val rows = k / bands
-    val sig = df.select(col(idCol).as("id"),
-      DF.minhashFast(toksC, k, shingleLen).as("sig"))
-    val banded = sig.select(col("id"),
-      explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+    val cands = candidatePairsFromSignatures(
+      df.select(col(idCol).as("id"),
+        DF.minhashFast(toksC, k, shingleLen).as("sig")),
+      bands, k / bands)
     val toks = df.select(col(idCol).as("id"), dtoksC.as("toks"))
     cands
       .join(toks.withColumnRenamed("id", "a_id")

@@ -31,7 +31,11 @@ object Sampling {
     */
   def hashBucket(id: Column): Column =
     // cast first: splitmix64 hard-rejects non-bigint ids at analysis time
-    // (an int or string doc id would throw) — same move as Export.shardOf
+    // (an int or string doc id would throw) — same move as Export.shardOf.
+    // Cast semantics for exotic ids: Spark 4 runs ANSI mode, so a
+    // non-numeric string id FAILS the job at runtime (loud, not a silent
+    // NULL); fractional ids truncate — hash the raw id bytes yourself if
+    // you have those.
     pmod(HashExpressions.splitmix64(id.cast("long")), lit(Buckets.toLong))
       .cast("int")
 

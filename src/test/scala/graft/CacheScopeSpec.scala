@@ -18,37 +18,39 @@ class CacheScopeSpec extends SparkSpec {
     .parquet("/root/testdata/sf0.001/documents.parquet")
     .filter(col("doc_id") < 100)
 
+  // Compare RDD-id SETS, not counts: the ContextCleaner may release
+  // other suites' GC'd checkpoint blocks at any moment, so "nothing NEW
+  // remains" is the stable invariant — a shrinking background set is not.
+  private def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+
   test("scoped releases dedupCorpus's persisted output after the action") {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
+    val before = cachedIds
     CacheScope.scoped {
       val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.9)
       assert(out.count() > 0)
-      assert(sc.getPersistentRDDs.size > before,
+      assert(cachedIds.diff(before).nonEmpty,
         "dedupCorpus's output should be cached while the scope is open")
     }
-    assert(sc.getPersistentRDDs.size === before,
+    assert(cachedIds.diff(before).isEmpty,
       "scope exit must release every operator-registered cache")
   }
 
   test("without a scope the caller owns the cache") {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
+    val before = cachedIds
     val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.9)
     assert(out.count() > 0)
-    assert(sc.getPersistentRDDs.size > before)
+    assert(cachedIds.diff(before).nonEmpty)
     out.unpersist(true)
-    assert(sc.getPersistentRDDs.size === before)
+    assert(cachedIds.diff(before).isEmpty)
   }
 
   test("scopes nest: inner registrations release at inner exit") {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
+    val before = cachedIds
     CacheScope.scoped {
       CacheScope.scoped {
         Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.9).count()
       }
-      assert(sc.getPersistentRDDs.size === before,
+      assert(cachedIds.diff(before).isEmpty,
         "inner scope must release its own registrations at its exit")
     }
   }

@@ -31,9 +31,8 @@ class SimilaritySpec extends SparkSpec {
       .quantizedTopK(rest, "vec_id", "embedding", query, 10)
     val r = Similarity.recall(quant, exact, Seq("vec_id"))
     info(f"int8-quantized recall@10: $r%.2f")
-    // int8 over 64 dims loses little: the top set should survive nearly
-    // intact (observed 1.0 on this table; 0.8 guards against platform
-    // rounding wiggle, not an expected loss)
+    // int8 over 64 dims loses little: observed 0.90 on this table; the
+    // 0.8 floor guards the property, not the exact figure
     assert(r >= 0.8, f"quantized recall@10 $r%.2f fell under 0.8")
     // scores are cosine-scale dots: bounded by |a||q| ~ same grid
     assert(quant.collect().length === 10)
