@@ -527,6 +527,23 @@ object SparkEntry {
         k = 10)
     }),
 
+    // Corpus snapshot diff (incremental-pipeline bookkeeping): two
+    // simulated crawl versions of the same table — "old" drops ids
+    // divisible by 7, "new" drops ids divisible by 10 and rewrites text
+    // for ids divisible by 13 — classified added/removed/changed/
+    // unchanged by scan-side md5 + one full-outer equi-join
+    "q77_snapshot_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
@@ -1295,6 +1312,23 @@ object SparkEntry {
     "q67_epoch_order" -> HashOracles.q67EpochOrder(3),
     "q71_bloom_decontaminate" -> HashOracles.q71BloomDecontaminate,
     "q75_fixed_per_stratum" -> HashOracles.q75FixedPerStratum(10),
+
+    // snapshot-diff replay: same simulated versions, md5 over the text
+    // bytes (ASCII corpus: DuckDB md5(text) == Spark md5(cast binary))
+    "q77_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0
+        |    THEN text || ' v2' ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN old_hash = new_hash THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n FROM d
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // quantized-ANN replay: same int8 codes as q74, integer dot via
     // 1-based list indexing, rescaled with the same association order
