@@ -88,6 +88,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q66/q74/q77: new-family plans stay UDF-free and join-sane") {
+    val p66 = plan("q66_temperature_mix")
+    assert(p66.contains("graft_splitmix64") && !p66.contains("ScalaUDF"), p66)
+    val p74 = plan("q74_quantize_int8")
+    assert(!p74.contains("ScalaUDF"),
+      "quantization fell back to a UDF:\n" + p74)
+    val p77 = plan("q77_snapshot_diff")
+    assert(!p77.contains("CartesianProduct") &&
+      !p77.contains("BroadcastNestedLoopJoin"), p77)
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
