@@ -43,8 +43,9 @@ object Bench {
       "q48_token_packing", "q18_minhash_candidates", "q51_dedup_corpus",
       "q64_corpus_pipeline", "q61_vocab_topk", "q62_frame_sampling",
       // round-4 families: quantization HOF path, bloom UDF+treeAggregate,
-      // window+broadcast keyword path
-      "q76_quantized_ann", "q71_bloom_decontaminate", "q69_tfidf_terms")
+      // window+broadcast keyword path, capstone-2 composition
+      "q76_quantized_ann", "q71_bloom_decontaminate", "q69_tfidf_terms",
+      "q78_corpus_pipeline_v2")
       .foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try CacheScope.scoped { fn(spark, sfDir).count() }

@@ -499,6 +499,79 @@ object HashOracles {
         "LEFT JOIN hit h USING (doc_id)")
   }
 
+  /** Capstone-2 replay — the round-4 stages chained: per-doc boilerplate
+    * accounting → bloom-bitmap decontamination over the kept set →
+    * temperature-0.5 mixing with rates computed from the CLEAN set.
+    * Every fragment is the one its standalone oracle (q68/q71/q66)
+    * already verifies; the chain pins that the COMPOSITION matches too.
+    */
+  val q78CorpusPipelineV2: String = {
+    val K = 4
+    val M = 65536
+    def grams5(src: String): String =
+      s"CASE WHEN len($src) >= 5 THEN list_transform(range(0, len($src) - 4), " +
+        s"i -> array_to_string($src[i + 1 : i + 5], ' ')) " +
+        s"ELSE [array_to_string($src, ' ')] END"
+    val head = Seq(
+      s"tk AS (SELECT doc_id, lang, $Toks AS t FROM documents " +
+        "WHERE doc_id >= 10)",
+      // boilerplate accounting over the corpus (q68 fragment)
+      s"g AS (SELECT doc_id, unnest(list_distinct(${grams5("t")})) " +
+        "AS gram FROM tk)",
+      "dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)",
+      "freq AS (SELECT gram FROM dfq WHERE df >= 3)",
+      "per AS (SELECT g.doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_frequent " +
+        "FROM g LEFT JOIN freq f USING (gram) GROUP BY g.doc_id)",
+      "bpk AS (SELECT doc_id FROM per WHERE NOT " +
+        "(CAST(n_frequent AS DOUBLE) > CAST(n_grams AS DOUBLE) * 0.5))",
+      // bench bloom bitmap (q71 fragment)
+      s"btk AS (SELECT $Toks AS t FROM documents WHERE doc_id < 10)",
+      s"bgr AS (SELECT DISTINCT unnest(${grams5("t")}) AS gram FROM btk)",
+      s"bh AS (SELECT xor(${fnv("gram")}, CAST(j AS HUGEINT)) AS z " +
+        s"FROM bgr, (SELECT unnest(range(0, $K)) AS j))")
+    val bmix = mixStages(Seq("z"), Seq()).zipWithIndex.map { case (b, i) =>
+      s"bm$i AS ($b FROM ${if (i == 0) "bh" else s"bm${i - 1}"})"
+    }
+    val bposCte = Seq(s"bpos AS (SELECT DISTINCT z % $M AS pos FROM bm5)")
+    val corp = Seq(
+      // probe only boilerplate survivors (g is already per-doc distinct)
+      "cgr AS (SELECT g.doc_id, g.gram FROM g JOIN bpk USING (doc_id))",
+      s"ch AS (SELECT doc_id, gram, j, " +
+        s"xor(${fnv("gram")}, CAST(j AS HUGEINT)) AS z " +
+        s"FROM cgr, (SELECT unnest(range(0, $K)) AS j))")
+    val cmix = mixStages(Seq("z"), Seq("doc_id", "gram", "j"))
+      .zipWithIndex.map { case (b, i) =>
+        s"cm$i AS ($b FROM ${if (i == 0) "ch" else s"cm${i - 1}"})"
+      }
+    val mid = Seq(
+      s"cp AS (SELECT doc_id, gram, z % $M AS pos FROM cm5)",
+      "hit AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, gram " +
+        s"FROM cp JOIN bpos USING (pos) GROUP BY doc_id, gram " +
+        s"HAVING count(*) = $K))",
+      "clean AS (SELECT b.doc_id FROM bpk b WHERE b.doc_id NOT IN " +
+        "(SELECT doc_id FROM hit))",
+      "cl AS (SELECT c.doc_id, tk.lang, len(tk.t) AS n " +
+        "FROM clean c JOIN tk USING (doc_id))",
+      // temperature-0.5 rates from the CLEAN set (q66 fragment)
+      "cnt AS (SELECT lang, count(*) AS c FROM cl GROUP BY lang)",
+      "ref AS (SELECT min(c) AS cref FROM cnt)",
+      "rates AS (SELECT lang, sqrt(CAST(cref AS DOUBLE) / " +
+        "CAST(c AS DOUBLE)) * 10000 AS thr FROM cnt, ref)",
+      "kz AS (SELECT doc_id, lang, n, CAST(doc_id AS HUGEINT) AS z FROM cl)")
+    val kmix = mixStages(Seq("z"), Seq("doc_id", "lang", "n"))
+      .zipWithIndex.map { case (b, i) =>
+        s"km$i AS ($b FROM ${if (i == 0) "kz" else s"km${i - 1}"})"
+      }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ bmix ++ bposCte ++ corp ++ cmix ++ mid ++ kmix,
+      "SELECT count(*) AS n_docs, " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) AS total_tokens " +
+        "FROM km5 k JOIN rates r USING (lang) " +
+        s"WHERE $signedMod < r.thr")
+  }
+
   /** End-to-end corpus-pipeline replay (quality keep → benchmark
     * decontamination → MinHash-LSH dedup canonical → deterministic 50%
     * sample), reusing every verified fragment: threshold CASE logic,

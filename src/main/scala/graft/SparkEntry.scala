@@ -544,6 +544,45 @@ object SparkEntry {
         .orderBy(col("status"))
     }),
 
+    // Capstone #2 — the ROUND-4 stages composed end-to-end: boilerplate
+    // filter -> Bloom decontamination -> temperature-flattened source
+    // mix, with the token array materialized ONCE and threaded through
+    // every stage (no stage re-tokenizes). Oracle replays the whole
+    // chain, including the bloom bitmap and the sqrt mixing rates.
+    "q78_corpus_pipeline_v2" -> ((s, dir) => {
+      val all = T(s, dir, "documents")
+      // tokenize ONCE and persist under the caller's scope: the corpus
+      // is referenced by the gram explode, the accounting join-back, and
+      // the bloom probe — unpersisted, each branch re-runs the regexp
+      val corpus = graft.CacheScope.register(
+        all.filter(col("doc_id") >= 10)
+          .withColumn("__toks", toks(col("text")))
+          .persist())
+      val bench = all.filter(col("doc_id") < 10)
+      val bp = graft.operators.Boilerplate
+        .flagBoilerplate(corpus, "doc_id", "text", n = 5, minDf = 3,
+          maxFraction = 0.5, tokensCol = Some("__toks"))
+        .filter(!col("is_boilerplate"))
+        .drop("n_grams", "n_frequent", "is_boilerplate")
+      val bloom = Contamination.benchmarkBloom(bench, "text", n = 5)
+      val clean = Contamination
+        .flagContaminatedBloom(bp, "doc_id", "text", bloom, n = 5,
+          tokensCol = Some("__toks"))
+        .filter(!col("is_contaminated"))
+        .drop("is_contaminated")
+      // clean is read twice (stratum counts + the sampled aggregate):
+      // persist under the caller's CacheScope, same contract as the
+      // other pipeline operators
+      val cleanP = graft.CacheScope.register(clean.persist())
+      val counts = cleanP.groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Sampling.temperatureSample(cleanP, "doc_id", "lang", counts,
+          temperature = 0.5)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("__toks")).cast("long")), lit(0L))
+            .as("total_tokens"))
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
@@ -1312,6 +1351,7 @@ object SparkEntry {
     "q67_epoch_order" -> HashOracles.q67EpochOrder(3),
     "q71_bloom_decontaminate" -> HashOracles.q71BloomDecontaminate,
     "q75_fixed_per_stratum" -> HashOracles.q75FixedPerStratum(10),
+    "q78_corpus_pipeline_v2" -> HashOracles.q78CorpusPipelineV2,
 
     // snapshot-diff replay: same simulated versions, md5 over the text
     // bytes (ASCII corpus: DuckDB md5(text) == Spark md5(cast binary))
