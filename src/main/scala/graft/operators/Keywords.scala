@@ -75,8 +75,7 @@ object Keywords {
         sum(when(col("__in_vocab").isNull, 1).otherwise(0)).cast("long")
           .as("n_oov"))
       .withColumn("oov_per_1000",
-        (col("n_oov") * lit(1000L)) / col("n_tokens"))
-      .withColumn("oov_per_1000", floor(col("oov_per_1000")).cast("long"))
+        floor((col("n_oov") * lit(1000L)) / col("n_tokens")).cast("long"))
     docs.join(perDoc, Seq(idCol), "left")
       .na.fill(0L, Seq("n_tokens", "n_oov", "oov_per_1000"))
   }
