@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.ingest.SparkSpec
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{QualityFilters, Sampling}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The per-row (stateless) corpus operators must work UNCHANGED on a
+  * stream — that is the point of keeping them pure Column transforms.
+  * This spec drives quality filtering (including the PushdownBarrier
+  * expression, which declares itself non-deterministic — a property the
+  * streaming analyzer could reject if it were mis-classified), PII
+  * masking, language ID, and deterministic sampling through a
+  * MemoryStream and checks batch-identical results.
+  */
+// top-level: encoder codegen cannot reach a class nested in the suite
+case class SDoc(doc_id: Long, text: String, ts: Timestamp)
+
+class StatelessOpsStreamSpec extends SparkSpec {
+
+  private def ts0 = Timestamp.valueOf("2026-01-01 10:00:00")
+
+  test("quality keep + maskPii + langId + sample run on a stream, " +
+      "batch-identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Seq(
+      SDoc(1L, "the quick brown fox jumps over the lazy dog and then " +
+        "keeps running through the field with plenty distinct words " +
+        "to pass the minimum threshold set here today", ts0),
+      SDoc(2L, "too short", ts0),
+      SDoc(3L, "mail me at someone@example.com with account 123456789012 " +
+        "and the rest of this sentence is long enough to stay above the " +
+        "minimum token threshold for keeping documents in place", ts0))
+    val t = QualityFilters.Thresholds(minTokens = 20)
+
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      Sampling.sample(
+        QualityFilters.keep(df, "text", t)
+          .withColumn("masked", TF.maskPii(col("text")))
+          .withColumn("lang_pred", TF.langId(col("text"))),
+        "doc_id", fraction = 1.0)
+        .select(col("doc_id"), col("masked"), col("lang_pred"))
+
+    val mem = MemoryStream[SDoc]
+    val q = pipeline(mem.toDF())
+      .writeStream.format("memory").queryName("stateless_ops")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.sql("SELECT * FROM stateless_ops").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val batch = pipeline(docs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(streamed.nonEmpty, "stream produced nothing")
+    assert(streamed.toSeq === batch.toSeq,
+      "stream and batch must agree row-for-row")
+    assert(!streamed.map(_._1).contains(2L), "quality filter must drop " +
+      "the short doc on the stream too")
+    assert(streamed.find(_._1 == 3L).exists(r =>
+      r._2.contains("[EMAIL]") && r._2.contains("[NUM]")))
+  }
+}
