@@ -451,6 +451,47 @@ object HashOracles {
       s"SELECT lang, doc_id FROM rk WHERE rk <= $n ORDER BY lang, doc_id")
   }
 
+  /** Token-budget selection replay (two-phase, mirroring
+    * [[operators.CorpusSelection.selectByTokenBudget]]): per-score token
+    * totals cumulated in descending score order; buckets with
+    * cumulative ≤ budget taken whole; the single boundary bucket ranked
+    * by (signed splitmix64(doc_id), doc_id) with a running token sum
+    * against the remaining budget.
+    */
+  def q79TokenBudget(scoreSql: String, budget: Long): String = {
+    val head = Seq(
+      s"base AS (SELECT doc_id, $scoreSql AS score, " +
+        s"len($Toks) AS n FROM documents)",
+      "bt AS (SELECT score, CAST(sum(n) AS BIGINT) AS btok " +
+        "FROM base GROUP BY score)",
+      "cum AS (SELECT score, btok, CAST(sum(btok) OVER " +
+        "(ORDER BY score DESC) AS BIGINT) AS cumtok FROM bt)",
+      s"fullb AS (SELECT score FROM cum WHERE cumtok <= $budget)",
+      s"co AS (SELECT score AS cscore, $budget - (cumtok - btok) " +
+        s"AS remaining FROM cum WHERE cumtok > $budget " +
+        "ORDER BY score DESC LIMIT 1)",
+      "bd AS (SELECT b.doc_id, b.score, b.n, " +
+        "CAST(b.doc_id AS HUGEINT) AS z FROM base b " +
+        "JOIN co ON b.score = co.cscore)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "score", "n"))
+      .zipWithIndex.map { case (body, i) =>
+        val prev = if (i == 0) "bd" else s"bm${i - 1}"
+        s"bm$i AS ($body FROM $prev)"
+      }
+    val tail = Seq(
+      s"bsel AS (SELECT r.doc_id, r.score, r.n FROM " +
+        s"(SELECT doc_id, score, n, sum(n) OVER (ORDER BY " +
+        s"${toSigned("z")}, doc_id ROWS UNBOUNDED PRECEDING) AS cumn " +
+        "FROM bm5) r, co WHERE r.cumn <= co.remaining)",
+      "sel AS (SELECT b.doc_id, b.score, b.n FROM base b " +
+        "JOIN fullb USING (score) " +
+        "UNION ALL SELECT doc_id, score, n FROM bsel)")
+    withClause(head ++ mixed ++ tail,
+      "SELECT count(*) AS n_selected, " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) AS total_tokens, " +
+        "coalesce(min(score), -1) AS min_score FROM sel")
+  }
+
   /** Bloom-decontamination replay: rebuilds the EXACT bitmap the Spark
     * side builds (bit j of gram g at `splitmix64(fnv1a64(g) XOR j) mod
     * 2^16`, k = 4) as a distinct-position set, then flags corpus docs

@@ -583,6 +583,22 @@ object SparkEntry {
             .as("total_tokens"))
     }),
 
+    // Token-budget corpus selection ("the best docs that fit N tokens"):
+    // two-phase — per-score totals cumulated driver-side (a few hundred
+    // bookkeeping rows), full buckets taken with a plain filter, ONLY
+    // the boundary score bucket pays a window (hash-ranked, running sum)
+    "q79_token_budget" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("score", TF.qualityScore(col("text"), col("n_chars")))
+        .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+      graft.operators.CorpusSelection
+        .selectByTokenBudget(docs, "doc_id", "score", "n_tokens",
+          budget = 20000L)
+        .agg(count(lit(1)).as("n_selected"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+          coalesce(min(col("score")), lit(-1)).as("min_score"))
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
@@ -1352,6 +1368,12 @@ object SparkEntry {
     "q71_bloom_decontaminate" -> HashOracles.q71BloomDecontaminate,
     "q75_fixed_per_stratum" -> HashOracles.q75FixedPerStratum(10),
     "q78_corpus_pipeline_v2" -> HashOracles.q78CorpusPipelineV2,
+    "q79_token_budget" -> HashOracles.q79TokenBudget(
+      s"""2 * ${hitsSql(TF.EnStop)}
+         | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END
+         | + CASE WHEN 20 * (length(text) -
+         |     length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) <= n_chars
+         |   THEN 3 ELSE 0 END""".stripMargin, budget = 20000L),
 
     // snapshot-diff replay: same simulated versions, md5 over the text
     // bytes (ASCII corpus: DuckDB md5(text) == Spark md5(cast binary))

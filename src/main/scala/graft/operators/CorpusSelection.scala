@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.expressions.HashExpressions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget-constrained corpus selection — "the best documents that
+  * fit N tokens": keep documents in descending quality order until the
+  * token budget is exhausted. The final training-mix step once quality
+  * scores exist.
+  *
+  * A naive global sort + running sum is inherently sequential (one
+  * window over the whole corpus). This implementation is the
+  * scale-correct two-phase shape:
+  *
+  *  1. per-SCORE token totals (one partial-agg shuffle over a small
+  *     integer score domain), cumulated driver-side — a few hundred
+  *     rows of bookkeeping, like the stratum counts in
+  *     [[Sampling.temperatureSample]];
+  *  2. every bucket strictly better than the cutoff score is taken
+  *     WHOLE (a plain filter — no ordering work at all); only the ONE
+  *     boundary bucket is ranked, by `(splitmix64(id), id)` (stable,
+  *     engine-independent — no preference among equal-quality docs, so
+  *     the tie-break is the deterministic hash), with a running token
+  *     sum deciding who fits the remaining budget.
+  *
+  * Only the boundary bucket pays a window, and it is a single score
+  * partition — bounded by the score grid's resolution, not the corpus.
+  * No partial documents: a doc either fits the remainder or is dropped.
+  */
+object CorpusSelection {
+
+  /** Rows of `df` selected under `budget` total tokens. `scoreCol` must
+    * be integer-grid (e.g. [[graft.functions.TextFunctions.qualityScore]]),
+    * `tokenCountCol` a per-row token count.
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      tokenCountCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"bad budget $budget")
+    val totals = df.groupBy(col(scoreCol))
+      .agg(sum(col(tokenCountCol).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
+      .sortBy(-_._1)
+    var acc = 0L
+    var cutoff: Option[Long] = None
+    var remaining = 0L
+    totals.foreach { case (s, t) =>
+      if (cutoff.isEmpty) {
+        if (acc + t <= budget) acc += t
+        else { cutoff = Some(s); remaining = budget - acc }
+      }
+    }
+    cutoff match {
+      case None => df // everything fits
+      case Some(c) =>
+        val full = df.filter(col(scoreCol) > c)
+        val w = Window.partitionBy(col(scoreCol))
+          .orderBy(HashExpressions.splitmix64(col(idCol).cast("long")),
+            col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val boundary = df.filter(col(scoreCol) === c)
+          .withColumn("__cum",
+            sum(col(tokenCountCol).cast("long")).over(w))
+          .filter(col("__cum") <= remaining)
+          .drop("__cum")
+        full.unionByName(boundary)
+    }
+  }
+}
