@@ -451,6 +451,21 @@ object HashOracles {
       s"SELECT lang, doc_id FROM rk WHERE rk <= $n ORDER BY lang, doc_id")
   }
 
+  /** Cross-source duplication matrix: LSH candidates → Jaccard ≥ 0.9
+    * verify (the shared `ver` fragment), pair sources normalized with
+    * least/greatest, counted. ASCII source names order identically under
+    * UTF-8 (DuckDB) and UTF-16 (JVM).
+    */
+  val q80SourceDupMatrix: String = withClause(
+    bandedCtes(" WHERE doc_id < 300") ++
+      closureCtes("WHERE doc_id < 300").take(2) ++ Seq( // dt + ver only
+      "sp AS (SELECT least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b " +
+        "FROM ver v JOIN documents da ON da.doc_id = v.a_id " +
+        "JOIN documents db ON db.doc_id = v.b_id)"),
+    "SELECT source_a, source_b, count(*) AS n_pairs FROM sp " +
+      "GROUP BY source_a, source_b ORDER BY source_a, source_b")
+
   /** Token-budget selection replay (two-phase, mirroring
     * [[operators.CorpusSelection.selectByTokenBudget]]): per-score token
     * totals cumulated in descending score order; buckets with

@@ -599,6 +599,27 @@ object SparkEntry {
           coalesce(min(col("score")), lit(-1)).as("min_score"))
     }),
 
+    // Cross-source duplication matrix — which sources duplicate which:
+    // LSH-verified near-dup pairs joined with their source labels,
+    // normalized (least, greatest) and counted. The provenance
+    // diagnostic behind source-level dedup/licensing decisions
+    "q80_source_dup_matrix" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup
+        .minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.9)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("source", "sa"), "a_id")
+        .join(src.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("source", "sb"), "b_id")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q24_token_stats" -> ((s, dir) => {
@@ -1368,6 +1389,7 @@ object SparkEntry {
     "q71_bloom_decontaminate" -> HashOracles.q71BloomDecontaminate,
     "q75_fixed_per_stratum" -> HashOracles.q75FixedPerStratum(10),
     "q78_corpus_pipeline_v2" -> HashOracles.q78CorpusPipelineV2,
+    "q80_source_dup_matrix" -> HashOracles.q80SourceDupMatrix,
     "q79_token_budget" -> HashOracles.q79TokenBudget(
       s"""2 * ${hitsSql(TF.EnStop)}
          | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END
