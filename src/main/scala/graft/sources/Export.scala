@@ -42,4 +42,33 @@ object Export {
     df.withColumn("shard", shardOf(col(idCol), nShards))
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** One manifest row per shard: (shard, n_rows, content_hash), where
+    * content_hash is an ORDER-INDEPENDENT digest of the shard's rows:
+    * `bit_xor` of per-row `xxhash64(id)` — commutative (task/file
+    * ordering inside a shard cannot change it) and overflow-free under
+    * ANSI, unlike a wrapping sum. XOR cancels DUPLICATE ids; ids are the
+    * shard-membership identity and unique by contract, so a cancelled
+    * pair would itself be a corruption worth failing on.
+    */
+  def manifestOf(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    df.withColumn("shard", shardOf(col(idCol), nShards))
+      .withColumn("__mh", xxhash64(col(idCol)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__mh)").as("content_hash"))
+
+  /** Write the sharded export AND its manifest (`path.manifest`): a
+    * consumer first reads the manifest, then verifies each shard's row
+    * count/digest before trusting a resumed or concurrent export — the
+    * cheap end-to-end completeness check a training job runs at startup.
+    * The manifest is written AFTER the data (ordering is the atomicity
+    * seam on an object store: manifest-present implies data-complete).
+    */
+  def shardedParquetWithManifest(df: DataFrame, idCol: String,
+      path: String, nShards: Int): Unit = {
+    shardedParquet(df, idCol, path, nShards)
+    manifestOf(df, idCol, nShards)
+      .coalesce(1).write.mode("overwrite").parquet(path + ".manifest")
+  }
 }

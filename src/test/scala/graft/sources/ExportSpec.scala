@@ -32,6 +32,32 @@ class ExportSpec extends SparkSpec {
     assert(am.values.toSet.size === 8, "all 8 shards populated")
   }
 
+  test("manifest verifies a complete export and catches tampering") {
+    val dir = Files.createTempDirectory("graft-export").toString
+    Export.shardedParquetWithManifest(docs, "doc_id", s"$dir/m", nShards = 4)
+    val data = spark.read.parquet(s"$dir/m")
+    val manifest = spark.read.parquet(s"$dir/m.manifest")
+    assert(manifest.count() === 4)
+    // recompute the digest from what was actually written: must match
+    val recomputed = Export.manifestOf(data.drop("shard"), "doc_id", 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val declared = manifest
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(recomputed === declared)
+    // a lost row flips BOTH the count and the digest of its shard
+    val tampered = Export
+      .manifestOf(data.drop("shard").filter(col("doc_id") =!= 0L),
+        "doc_id", 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val shard0 = declared.keySet.find(s =>
+      tampered(s) != declared(s)).get
+    assert(tampered(shard0)._1 === declared(shard0)._1 - 1)
+    assert(tampered(shard0)._2 !== declared(shard0)._2)
+  }
+
   test("a single-shard read prunes to that shard's directory") {
     val dir = Files.createTempDirectory("graft-export-p").toString
     Export.shardedParquet(docs, "doc_id", s"$dir/p", nShards = 4)
