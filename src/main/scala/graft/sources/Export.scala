@@ -71,4 +71,25 @@ object Export {
     manifestOf(df, idCol, nShards)
       .coalesce(1).write.mode("overwrite").parquet(path + ".manifest")
   }
+
+  /** Consumer-side startup check: recompute every shard's (n_rows,
+    * content_hash) from the DATA at `path` and compare to the declared
+    * manifest. Returns the mismatching shards — empty means the export
+    * is complete and untampered. One scan of the export; run it before
+    * the first training step, not after the last.
+    */
+  def verifyManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, nShards: Int): Seq[Int] = {
+    val declared = spark.read.parquet(path + ".manifest")
+      .select(col("shard"), col("n_rows"), col("content_hash"))
+    val actual = manifestOf(
+      spark.read.parquet(path).drop("shard"), idCol, nShards)
+    declared.as("d")
+      .join(actual.as("a"), col("d.shard") === col("a.shard"), "full_outer")
+      .filter(col("d.shard").isNull || col("a.shard").isNull ||
+        col("d.n_rows") =!= col("a.n_rows") ||
+        col("d.content_hash") =!= col("a.content_hash"))
+      .select(coalesce(col("d.shard"), col("a.shard")))
+      .collect().map(_.getInt(0)).toSeq.sorted
+  }
 }

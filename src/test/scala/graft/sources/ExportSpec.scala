@@ -56,6 +56,8 @@ class ExportSpec extends SparkSpec {
       tampered(s) != declared(s)).get
     assert(tampered(shard0)._1 === declared(shard0)._1 - 1)
     assert(tampered(shard0)._2 !== declared(shard0)._2)
+    // consumer-side verifier: clean export -> no mismatches
+    assert(Export.verifyManifest(spark, s"$dir/m", "doc_id", 4) === Seq())
   }
 
   test("a single-shard read prunes to that shard's directory") {
