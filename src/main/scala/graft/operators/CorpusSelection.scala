@@ -33,12 +33,25 @@ object CorpusSelection {
 
   /** Rows of `df` selected under `budget` total tokens. `scoreCol` must
     * be integer-grid (e.g. [[graft.functions.TextFunctions.qualityScore]]),
-    * `tokenCountCol` a per-row token count.
+    * `tokenCountCol` a per-row token count. Rows with a NULL score or
+    * token count are never selected (they cannot be budgeted or ranked —
+    * at the input they signal null text, which a quality stage upstream
+    * should have dropped already).
+    *
+    * The input is referenced three times (totals action, full-bucket
+    * filter, boundary window), so it is persisted for the duration of
+    * the call with ownership registered to the active
+    * [[graft.CacheScope]] — the same contract as `Dedup.dedupCorpus`;
+    * when `df` is itself a pipeline, re-running it per reference is the
+    * operator-cost class measured at 10× on dedupCorpus.
     */
   def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
       tokenCountCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"bad budget $budget")
-    val totals = df.groupBy(col(scoreCol))
+    val base = graft.CacheScope.register(
+      df.filter(col(scoreCol).isNotNull && col(tokenCountCol).isNotNull)
+        .persist())
+    val totals = base.groupBy(col(scoreCol))
       .agg(sum(col(tokenCountCol).cast("long")).as("t"))
       .collect()
       .map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
@@ -53,14 +66,14 @@ object CorpusSelection {
       }
     }
     cutoff match {
-      case None => df // everything fits
+      case None => base // everything fits
       case Some(c) =>
-        val full = df.filter(col(scoreCol) > c)
+        val full = base.filter(col(scoreCol) > c)
         val w = Window.partitionBy(col(scoreCol))
           .orderBy(HashExpressions.splitmix64(col(idCol).cast("long")),
             col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val boundary = df.filter(col(scoreCol) === c)
+        val boundary = base.filter(col(scoreCol) === c)
           .withColumn("__cum",
             sum(col(tokenCountCol).cast("long")).over(w))
           .filter(col("__cum") <= remaining)

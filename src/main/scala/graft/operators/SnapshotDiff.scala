@@ -20,17 +20,29 @@ object SnapshotDiff {
 
   /** (id, status, old_hash, new_hash) for every id in either snapshot;
     * status ∈ added | removed | changed | unchanged.
+    *
+    * Presence comes from EXPLICIT side markers, not hash nullability — a
+    * null-text row hashes to null, and inferring "missing" from a null
+    * hash would misclassify it (a deleted null-text doc would report
+    * 'added'). Null texts compare as: null ↔ null unchanged, null ↔
+    * text changed.
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val o = oldSnap.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("old_hash"))
+      md5(col(textCol).cast("binary")).as("old_hash"),
+      lit(true).as("__in_old"))
     val n = newSnap.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("new_hash"))
+      md5(col(textCol).cast("binary")).as("new_hash"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("old_hash").isNull && col("new_hash").isNull,
+            "unchanged")
+          .when(col("old_hash").isNull || col("new_hash").isNull,
+            "changed")
           .when(col("old_hash") === col("new_hash"), "unchanged")
           .otherwise("changed"))
       .select(col(idCol), col("status"), col("old_hash"), col("new_hash"))

@@ -73,17 +73,23 @@ object Export {
   }
 
   /** Consumer-side startup check: recompute every shard's (n_rows,
-    * content_hash) from the DATA at `path` and compare to the declared
-    * manifest. Returns the mismatching shards — empty means the export
-    * is complete and untampered. One scan of the export; run it before
-    * the first training step, not after the last.
+    * content_hash) from the DATA at `path` — grouped by the DIRECTORY
+    * partition column, NOT recomputed from the id, so a row sitting in
+    * the wrong `shard=N/` directory (partial re-export, copy bug) shows
+    * up as a mismatch in both affected shards instead of verifying clean
+    * — and compare to the declared manifest. Returns the mismatching
+    * shard ids — empty means the export is complete, correctly placed,
+    * and untampered. One scan; run it before the first training step.
     */
   def verifyManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String, nShards: Int): Seq[Int] = {
+      path: String, idCol: String): Seq[Int] = {
     val declared = spark.read.parquet(path + ".manifest")
       .select(col("shard"), col("n_rows"), col("content_hash"))
-    val actual = manifestOf(
-      spark.read.parquet(path).drop("shard"), idCol, nShards)
+    val actual = spark.read.parquet(path)
+      .withColumn("__mh", xxhash64(col(idCol)))
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__mh)").as("content_hash"))
     declared.as("d")
       .join(actual.as("a"), col("d.shard") === col("a.shard"), "full_outer")
       .filter(col("d.shard").isNull || col("a.shard").isNull ||

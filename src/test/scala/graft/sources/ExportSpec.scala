@@ -57,7 +57,15 @@ class ExportSpec extends SparkSpec {
     assert(tampered(shard0)._1 === declared(shard0)._1 - 1)
     assert(tampered(shard0)._2 !== declared(shard0)._2)
     // consumer-side verifier: clean export -> no mismatches
-    assert(Export.verifyManifest(spark, s"$dir/m", "doc_id", 4) === Seq())
+    assert(Export.verifyManifest(spark, s"$dir/m", "doc_id") === Seq())
+    // NEGATIVE path: delete one shard directory; the verifier must name
+    // exactly that shard (declared side unmatched in the full-outer join)
+    val victim = new java.io.File(s"$dir/m").listFiles()
+      .filter(_.getName.startsWith("shard=")).head
+    val victimId = victim.getName.stripPrefix("shard=").toInt
+    victim.listFiles().foreach(_.delete()); victim.delete()
+    assert(Export.verifyManifest(spark, s"$dir/m", "doc_id")
+      === Seq(victimId))
   }
 
   test("a single-shard read prunes to that shard's directory") {
