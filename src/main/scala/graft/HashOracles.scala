@@ -451,6 +451,20 @@ object HashOracles {
       s"SELECT lang, doc_id FROM rk WHERE rk <= $n ORDER BY lang, doc_id")
   }
 
+  /** Cluster-size histogram over the verified near-dup closure: size →
+    * number of clusters (singletons included — docs untouched by any
+    * verified pair count as size-1 clusters).
+    */
+  val q81ClusterHistogram: String = withClause(
+    bandedCtes(" WHERE doc_id < 300") ++
+      closureCtes("WHERE doc_id < 300") ++ Seq(
+      "lab AS (SELECT d.doc_id, coalesce(r.component, d.doc_id) " +
+        "AS component FROM (SELECT doc_id FROM documents " +
+        "WHERE doc_id < 300) d LEFT JOIN reach r ON r.node = d.doc_id)",
+      "cs AS (SELECT component, count(*) AS sz FROM lab GROUP BY component)"),
+    "SELECT sz AS cluster_size, count(*) AS n_clusters FROM cs " +
+      "GROUP BY sz ORDER BY sz")
+
   /** Cross-source duplication matrix: LSH candidates → Jaccard ≥ 0.9
     * verify (the shared `ver` fragment), pair sources normalized with
     * least/greatest, counted. ASCII source names order identically under

@@ -599,6 +599,18 @@ object SparkEntry {
           coalesce(min(col("score")), lit(-1)).as("min_score"))
     }),
 
+    // Dedup cluster-size histogram — the shape diagnostic behind
+    // threshold tuning (a fat tail of giant clusters means the
+    // threshold is too loose); singletons count as size-1 clusters
+    "q81_cluster_histogram" -> ((s, dir) =>
+      Dedup.dedupCorpus(
+          T(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", threshold = 0.9)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))),
+
     // Cross-source duplication matrix — which sources duplicate which:
     // LSH-verified near-dup pairs joined with their source labels,
     // normalized (least, greatest) and counted. The provenance
@@ -1390,6 +1402,7 @@ object SparkEntry {
     "q75_fixed_per_stratum" -> HashOracles.q75FixedPerStratum(10),
     "q78_corpus_pipeline_v2" -> HashOracles.q78CorpusPipelineV2,
     "q80_source_dup_matrix" -> HashOracles.q80SourceDupMatrix,
+    "q81_cluster_histogram" -> HashOracles.q81ClusterHistogram,
     "q79_token_budget" -> HashOracles.q79TokenBudget(
       s"""2 * ${hitsSql(TF.EnStop)}
          | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END
