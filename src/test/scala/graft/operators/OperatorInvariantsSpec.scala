@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Seeded property-style invariants over the round-4 operators — the
+  * contracts that must hold for ANY input, checked across several
+  * deterministic random corpora (no scalacheck in the offline cache;
+  * seeded loops per repo convention).
+  */
+class OperatorInvariantsSpec extends SparkSpec {
+
+  private def corpus(seed: Long, n: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    Seq.tabulate(n) { i =>
+      val len = 5 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.length)))
+        .mkString(" "),
+        Seq("en", "de", "fr")(rnd.nextInt(3)))
+    }.toDF("doc_id", "text", "lang")
+  }
+
+  test("dedupCorpus: exactly one canonical per component, all rows kept") {
+    Seq(7L, 21L).foreach { seed =>
+      val docs = corpus(seed, 120)
+      graft.CacheScope.scoped {
+        val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.8)
+        assert(out.count() === docs.count(), s"seed $seed dropped rows")
+        val perComp = out.groupBy("component")
+          .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("n"))
+          .select("n").collect().map(_.getLong(0))
+        assert(perComp.forall(_ === 1L),
+          s"seed $seed: a component without exactly one canonical")
+        // the canonical is the component id itself (min-id contract)
+        val bad = out.filter(col("is_canonical") &&
+          col("component") =!= col("doc_id")).count()
+        assert(bad === 0, s"seed $seed: canonical != component id")
+      }
+    }
+  }
+
+  test("temperature rates: always in (0, 1], monotone in stratum size " +
+      "for T<1") {
+    Seq(3L, 13L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val counts = (1 to 6)
+        .map(i => s"s$i" -> (1L + rnd.nextInt(100000))).toMap
+      val r = Sampling.temperatureRates(counts, 0.5)
+      assert(r.values.forall(v => v > 0.0 && v <= 1.0), s"$r")
+      // bigger stratum -> smaller (or equal) keep rate
+      val byCount = counts.toSeq.sortBy(_._2).map { case (k, _) => r(k) }
+      assert(byCount.zip(byCount.tail).forall { case (a, b) => a >= b },
+        s"rates not monotone: $byCount")
+    }
+  }
+
+  test("fixedPerStratum: n >= stratum size keeps the whole stratum") {
+    val docs = corpus(5L, 60)
+    val out = Sampling.fixedPerStratum(docs, "doc_id", "lang", 1000)
+    assert(out.count() === docs.count())
+  }
+
+  test("selectByTokenBudget: never exceeds the budget, never selects " +
+      "below-cutoff quality over above-cutoff") {
+    Seq(11L, 29L).foreach { seed =>
+      val docs = corpus(seed, 150)
+        .withColumn("score",
+          graft.functions.TextFunctions
+            .qualityScore(col("text"), length(col("text"))))
+        .withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long"))
+      graft.CacheScope.scoped {
+        val budget = 1500L
+        val sel = CorpusSelection
+          .selectByTokenBudget(docs, "doc_id", "score", "n_tokens", budget)
+        val rows = sel.select("doc_id", "score", "n_tokens").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        assert(rows.map(_._3).sum <= budget, s"seed $seed busted budget")
+        if (rows.nonEmpty) {
+          val minSel = rows.map(_._2).min
+          // no unselected doc with score STRICTLY above every selected
+          // score may exist (quality-first contract)
+          val selectedIds = rows.map(_._1).toSet
+          val skippedBetter = docs
+            .filter(col("score") > minSel + 1)
+            .collect()
+            .map(_.getAs[Long]("doc_id"))
+            .filterNot(selectedIds)
+          assert(skippedBetter.isEmpty,
+            s"seed $seed skipped higher-quality docs: $skippedBetter")
+        }
+      }
+    }
+  }
+
+  test("bloom decontamination: never misses an exact-join hit (any seed)") {
+    Seq(17L, 41L).foreach { seed =>
+      val docs = corpus(seed, 80)
+      val bench = docs.filter(col("doc_id") < 8)
+      val rest = docs.filter(col("doc_id") >= 8)
+      val bloom = Contamination.benchmarkBloom(bench, "text", n = 3)
+      val approx = Contamination
+        .flagContaminatedBloom(rest, "doc_id", "text", bloom, n = 3)
+        .filter(col("is_contaminated"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val exact = Contamination
+        .flagContaminated(rest, "doc_id", "text", bench, "text", n = 3)
+        .filter(col("is_contaminated"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(exact.subsetOf(approx), s"seed $seed: one-sided error " +
+        s"violated, missing ${exact -- approx}")
+    }
+  }
+}
