@@ -45,7 +45,13 @@ object Bench {
       // round-4 families: quantization HOF path, bloom UDF+treeAggregate,
       // window+broadcast keyword path, capstone-2 composition
       "q76_quantized_ann", "q71_bloom_decontaminate", "q69_tfidf_terms",
-      "q78_corpus_pipeline_v2")
+      "q78_corpus_pipeline_v2",
+      // round-5: the simhash / LSH-topk plan family had NO warmup
+      // representative — round 4's driver bench showed q52-q55 at 3-7x
+      // their warm cost, all first-touch codegen (judge re-timed q54 at
+      // 0.50 s warm vs 3.32 s in-bench). Warm both plan shapes so the
+      // bench compares plans, not JIT state.
+      "q54_simhash_blocked", "q53_lsh_topk")
       .foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try CacheScope.scoped { fn(spark, sfDir).count() }

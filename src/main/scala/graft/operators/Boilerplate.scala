@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: one shuffle computes the gram → document-frequency map
   * (partial aggregation keeps the shuffle at one row per distinct gram);
-  * the frequent-gram set (grams in ≥ `minDf` docs) is orders of magnitude
-  * smaller than the corpus and broadcasts; per-document accounting is then
-  * a broadcast join + one aggregation on the doc id. Nothing all-pairs,
-  * nothing driver-side. When a corpus is templated enough that the
-  * frequent set itself outgrows a broadcast, raise `minDf` or let the
-  * join degrade to a shuffle — the plan stays an equi-join either way.
+  * the frequent-gram set (grams in ≥ `minDf` docs) joins back as a PLAIN
+  * equi-join — at web scale even the ≥3-doc gram set is huge (templated
+  * text is why this operator exists), so the join must be allowed to
+  * degrade to a shuffle; AQE broadcasts it whenever the runtime size
+  * fits (as it does at test scale). Per-document accounting is then one
+  * aggregation on the doc id. Nothing all-pairs, nothing driver-side.
   */
 object Boilerplate {
 
@@ -50,9 +50,15 @@ object Boilerplate {
     val frequent = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("gram"), lit(1).as("__freq"))
-    // one aggregation does both counts: total grams and frequent grams
+    // one aggregation does both counts: total grams and frequent grams.
+    // NO broadcast hint on `frequent`: its cardinality is the count of
+    // grams shared by >= minDf documents — for a heavily templated
+    // 100 TB corpus that is corpus-scale, and a forced hint never
+    // degrades (the driver would build the table and die). The plain
+    // equi-join lets AQE pick broadcast exactly when the runtime size
+    // fits, which is the degrade-to-shuffle story documented above.
     val perDoc = g
-      .join(broadcast(frequent), Seq("gram"), "left")
+      .join(frequent, Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__freq"), lit(0))).cast("long").as("n_frequent"))

@@ -4,6 +4,7 @@ import graft.expressions.HashExpressions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Token-budget-constrained corpus selection — "the best documents that
   * fit N tokens": keep documents in descending quality order until the
@@ -46,14 +47,34 @@ object CorpusSelection {
     * operator-cost class measured at 10× on dedupCorpus.
     */
   def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
-      tokenCountCol: String, budget: Long): DataFrame = {
+      tokenCountCol: String, budget: Long,
+      maxScoreBuckets: Int = 100000): DataFrame = {
     require(budget >= 0, s"bad budget $budget")
+    // the driver-side cumulation is safe ONLY while scoreCol is a small
+    // integer grid: enforce both halves loudly. (1) an integral type —
+    // a continuous double score would both collect one row per distinct
+    // value and mis-bucket under the long conversion below; (2) a
+    // cardinality cap — collect one row MORE than the cap so the
+    // overflow is detected without ever pulling an unbounded result to
+    // the driver.
+    val scoreType = df.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(scoreType),
+      s"scoreCol '$scoreCol' must be an integer-grid column (small, " +
+        s"countable score domain); got $scoreType — bucket or round the " +
+        "score to integers first")
     val base = graft.CacheScope.register(
       df.filter(col(scoreCol).isNotNull && col(tokenCountCol).isNotNull)
         .persist())
-    val totals = base.groupBy(col(scoreCol))
+    val collected = base.groupBy(col(scoreCol))
       .agg(sum(col(tokenCountCol).cast("long")).as("t"))
+      .limit(maxScoreBuckets + 1)
       .collect()
+    require(collected.length <= maxScoreBuckets,
+      s"scoreCol '$scoreCol' has more than $maxScoreBuckets distinct " +
+        "values - the per-score cumulation is driver-side bookkeeping " +
+        "and only sound over a small score grid")
+    val totals = collected
       .map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
       .sortBy(-_._1)
     var acc = 0L

@@ -1,7 +1,8 @@
 package graft.operators
 
+import graft.expressions.HashExpressions
 import graft.functions.{DedupFunctions => DF, TextFunctions => TF, VectorFunctions => VF}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document-level deduplication operators, designed for the 100 TB path:
@@ -435,6 +436,62 @@ object Dedup {
         col("index_id"))
     DedupIndex(sig, banded)
   }
+
+  /** Persist a [[DedupIndex]] under `path` in the delta-join-prunable
+    * layout the index design promises:
+    *
+    *  - `bands/` is directory-partitioned by `band` AND `key_bucket`
+    *    (= splitmix64(key) mod `keyBuckets`) — a catalog-free stand-in
+    *    for hive bucketing that works on any path-based store: a delta
+    *    join that derives the same bucket on its side prunes to
+    *    1/`keyBuckets` of each band's files (statically for literal
+    *    probes, dynamically via DPP for joins), and rows are sorted by
+    *    `key` within each file;
+    *  - `signatures/` is directory-partitioned by `id_shard`
+    *    (= splitmix64(index_id) mod `idShards`) so point lookups and
+    *    shard-local maintenance touch one directory.
+    *
+    * Each (band, key_bucket) group hash-partitions to exactly one task
+    * before the write, so every leaf directory holds ONE file — at
+    * 100 TB, raise `keyBuckets`/`idShards`, never the file-per-dir count.
+    */
+  def writeIndex(index: DedupIndex, path: String, keyBuckets: Int = 64,
+      idShards: Int = 16): Unit = {
+    index.bands
+      .withColumn("key_bucket", keyBucketOf(col("key"), keyBuckets))
+      .repartition(col("band"), col("key_bucket"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite").partitionBy("band", "key_bucket")
+      .parquet(s"$path/bands")
+    index.signatures
+      .withColumn("id_shard",
+        pmod(HashExpressions.splitmix64(col("index_id").cast("long")),
+          lit(idShards.toLong)).cast("int"))
+      .repartition(col("id_shard"))
+      .write.mode("overwrite").partitionBy("id_shard")
+      .parquet(s"$path/signatures")
+  }
+
+  /** Re-open a persisted [[DedupIndex]]. The layout columns (`key_bucket`,
+    * `id_shard`) stay on the frames so filters/joins on them reach the
+    * directory partitioning; the index consumers select the columns they
+    * need, so the extras never travel through a shuffle.
+    */
+  def readIndex(spark: SparkSession, path: String): DedupIndex = {
+    val bands = spark.read.parquet(s"$path/bands")
+      .select(col("band").cast("int").as("band"), col("key"),
+        col("index_id"), col("key_bucket"))
+    val sigs = spark.read.parquet(s"$path/signatures")
+      .select(col("index_id"), col("sig"), col("id_shard"))
+    DedupIndex(sigs, bands)
+  }
+
+  /** The bucket function `writeIndex` lays files out by — public so a
+    * delta side can derive the same bucket and let the optimizer prune
+    * band files instead of listing a whole band.
+    */
+  def keyBucketOf(key: Column, keyBuckets: Int): Column =
+    pmod(HashExpressions.splitmix64(key), lit(keyBuckets.toLong)).cast("int")
 
   /** Incremental near-dup: flag `newDocs` that near-duplicate an indexed
     * corpus ([[buildDedupIndex]]) WITHOUT re-clustering it. Candidates

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: term frequencies are one hash-shuffle on (doc, token)
   * with map-side combine; document frequencies one more on token. The
-  * idf side (one row per distinct token above the df floor) joins back
-  * broadcast for real vocabulary sizes; the per-doc top-k is a window
-  * over the doc key — partitioned by document, so no global sort.
+  * idf side joins back as a plain equi-join on `token` — its
+  * cardinality is the DISTINCT-TOKEN count of the corpus, which for web
+  * text is dominated by hapaxes and grows into the billions at 100 TB,
+  * so the join must be ALLOWED to be a shuffle; AQE broadcasts it
+  * whenever the actual size fits (as it does at test scale). The
+  * per-doc top-k is a window over the doc key — partitioned by
+  * document, so no global sort.
   */
 object Keywords {
 
@@ -27,18 +31,27 @@ object Keywords {
     * the cosine scores elsewhere in this library).
     *
     * Returns (id, token, tf, df, tfidf, rank) with rank in [1, k].
+    *
+    * `tokensCol` joins the tokenize-once contract (see
+    * [[CorpusPipeline.prepare]]): when the caller already materialized a
+    * token-array column, pass its name and the whole-corpus regexp pass
+    * is skipped — same parameter every other corpus operator takes.
     */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val toks = docs
-      .withColumn("__kw_toks", TF.tokens(col(textCol)))
-      .select(col(idCol), explode(col("__kw_toks")).as("token"))
+      k: Int, tokensCol: Option[String] = None): DataFrame = {
+    val toks = tokenRows(docs, idCol, textCol, tokensCol)
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("__N"))
+    // NO broadcast hint on df: one row per distinct corpus token means
+    // corpus-scale cardinality (hapax-dominated — hundreds of millions
+    // to billions of rows at 100 TB). A forced hint bypasses AQE's size
+    // check and builds the table on the driver; the plain equi-join
+    // lets AQE broadcast exactly when the actual size fits. `total` is
+    // one row — that broadcast is unconditional by construction.
     val scored = tf
-      .join(broadcast(df), Seq("token"))
+      .join(df, Seq("token"))
       .crossJoin(broadcast(total))
       .withColumn("tfidf",
         round(col("tf") * log(col("__N").cast("double") /
@@ -59,13 +72,13 @@ object Keywords {
     * without float division).
     *
     * The vocab side broadcasts — tokenizer vocabularies are ≤ a few
-    * hundred thousand rows against a corpus of billions.
+    * hundred thousand rows against a corpus of billions (this hint is
+    * deliberate and BOUNDED, unlike a distinct-corpus-token table).
+    * `tokensCol` joins the tokenize-once contract as above.
     */
   def oovAgainstVocab(docs: DataFrame, idCol: String, textCol: String,
-      vocab: DataFrame): DataFrame = {
-    val toks = docs
-      .withColumn("__kw_toks", TF.tokens(col(textCol)))
-      .select(col(idCol), explode(col("__kw_toks")).as("token"))
+      vocab: DataFrame, tokensCol: Option[String] = None): DataFrame = {
+    val toks = tokenRows(docs, idCol, textCol, tokensCol)
     val v = vocab.select(col("token")).distinct()
       .withColumn("__in_vocab", lit(1))
     val perDoc = toks
@@ -79,4 +92,14 @@ object Keywords {
     docs.join(perDoc, Seq(idCol), "left")
       .na.fill(0L, Seq("n_tokens", "n_oov", "oov_per_1000"))
   }
+
+  /** (id, token) rows — from the caller's pre-tokenized column when the
+    * tokenize-once contract is in play, else one regexp pass here.
+    */
+  private def tokenRows(docs: DataFrame, idCol: String, textCol: String,
+      tokensCol: Option[String]): DataFrame =
+    docs
+      .withColumn("__kw_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol), explode(col("__kw_toks")).as("token"))
 }

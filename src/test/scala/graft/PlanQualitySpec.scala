@@ -80,12 +80,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p)
   }
 
-  test("q68/q70: frequent-set and vocab joins broadcast; no cross joins") {
-    Seq("q68_boilerplate", "q70_oov_rate").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
-      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+  test("q68/q69: corpus-cardinality joins carry NO forced broadcast; " +
+      "q70's bounded vocab side does broadcast") {
+    // q68's frequent-gram set and q69's distinct-token df table are
+    // corpus-cardinality at 100 TB — the join must be an equi-join that
+    // AQE is FREE to pick a strategy for (either BroadcastHashJoin at
+    // test scale or SortMergeJoin at corpus scale is acceptable; what is
+    // NOT acceptable is a cross product, or a hint in the logical plan
+    // forcing the broadcast regardless of size).
+    // hint budget per query: q68's plan must carry NO hint at all; q69
+    // may carry exactly ONE (the single-row `total` count, broadcast
+    // unconditionally by construction) — a second hint would be the df
+    // table creeping back in.
+    Seq("q68_boilerplate" -> 0, "q69_tfidf_terms" -> 1).foreach {
+      case (q, allowedHints) =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        val logical = df.queryExecution.analyzed.toString
+        val hints = "ResolvedHint".r.findAllIn(logical).size
+        assert(hints <= allowedHints,
+          s"$q forces a corpus-cardinality broadcast " +
+            s"($hints hints, allowed $allowedHints):\n$logical")
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
+    val p70 = plan("q70_oov_rate")
+    assert(p70.contains("BroadcastHashJoin"), p70)
+    assert(!p70.contains("CartesianProduct"), p70)
   }
 
   test("q66/q74/q77: new-family plans stay UDF-free and join-sane") {

@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted form of the dedup index: round-trip fidelity, the
+  * incremental path running unchanged against a re-read index, and the
+  * partition layout actually pruning — the Scaladoc's 100 TB claim
+  * ("partitionBy(band) + bucket by key so delta joins prune files"),
+  * made real and asserted.
+  */
+class DedupIndexPersistSpec extends SparkSpec {
+
+  private def corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L until 40L).map { i =>
+      val text =
+        if (i % 10 == 3) "the quick brown fox jumps over the lazy dog " +
+          s"variant $i"
+        else s"document $i entirely distinct content stream alpha beta " +
+          s"gamma ${i * 7} delta ${i * 13} epsilon"
+      (i, text)
+    }.toDF("doc_id", "text")
+  }
+
+  private def delta: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (100L, "the quick brown fox jumps over the lazy dog variant 3"),
+      (101L, "completely fresh never seen before text about volcanoes " +
+        "and glaciers")
+    ).toDF("doc_id", "text")
+  }
+
+  test("writeIndex/readIndex round-trips both sides exactly") {
+    val idx = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dedup-idx").toString
+    Dedup.writeIndex(idx, dir, keyBuckets = 8, idShards = 4)
+    val back = Dedup.readIndex(spark, dir)
+
+    def bandSet(df: DataFrame) = df.select("band", "key", "index_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bandSet(back.bands) === bandSet(idx.bands))
+
+    def sigSet(df: DataFrame) = df.select("index_id", "sig")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSet
+    assert(sigSet(back.signatures) === sigSet(idx.signatures))
+
+    // the layout columns round-trip consistently with their derivations
+    val badBuckets = back.bands
+      .filter(Dedup.keyBucketOf(col("key"), 8) =!= col("key_bucket"))
+      .count()
+    assert(badBuckets === 0L, "key_bucket must be splitmix64(key) mod 8")
+  }
+
+  test("incrementalDedup against the re-read index matches in-memory") {
+    val idx = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dedup-idx2").toString
+    Dedup.writeIndex(idx, dir, keyBuckets = 8, idShards = 4)
+    val back = Dedup.readIndex(spark, dir)
+
+    def run(i: Dedup.DedupIndex) =
+      Dedup.incrementalDedup(delta, "doc_id", "text", i, threshold = 0.7)
+        .select("doc_id", "is_dup", "matched_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(_._1)
+        .toSeq
+    val mem = run(idx)
+    val disk = run(back)
+    assert(disk === mem)
+    // and the fixture actually exercises both outcomes
+    assert(mem.find(_._1 == 100L).exists(_._2), "near-dup must be flagged")
+    assert(mem.find(_._1 == 101L).exists(!_._2), "fresh doc must pass")
+  }
+
+  test("bands reads prune on the (band, key_bucket) directory partitions") {
+    val idx = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dedup-idx3").toString
+    Dedup.writeIndex(idx, dir, keyBuckets = 8, idShards = 4)
+
+    val bands = spark.read.parquet(s"$dir/bands")
+    val probe = bands.filter(col("band") === 0 && col("key_bucket") === 3)
+    val p = probe.queryExecution.executedPlan.toString
+    // both layout columns are PARTITION filters (pruned at file listing),
+    // not data filters evaluated per row after a full scan
+    assert(p.contains("PartitionFilters: ["), p)
+    assert("PartitionFilters: \\[[^\\]]*band".r.findFirstIn(p).isDefined, p)
+    assert("PartitionFilters: \\[[^\\]]*key_bucket".r.findFirstIn(p).isDefined,
+      p)
+    assert(!p.contains("PushedFilters: [IsNotNull(band"),
+      "band reached the data-filter side - partitioning did not apply:\n" + p)
+
+    // behavioral check: the probe's scan READS strictly fewer files than
+    // the index holds (each leaf dir is one file, so pruning shows up
+    // directly in the scan's numFiles metric)
+    val allFiles = bands.inputFiles.length
+    assert(allFiles > 8,
+      s"fixture too small to demonstrate pruning ($allFiles files)")
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in probe plan:\n" + p))
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < allFiles,
+      s"scan read $readFiles of $allFiles files - no pruning happened")
+  }
+}
