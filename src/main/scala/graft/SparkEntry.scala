@@ -414,8 +414,11 @@ object SparkEntry {
         .limit(10)),
 
     // Corpus-frequent n-gram (boilerplate) accounting: gram df is one
-    // partial-agg shuffle; the frequent set broadcasts; per-doc counts
-    // are one aggregation on the doc id
+    // partial-agg shuffle; the frequent set joins back as a PLAIN
+    // equi-join (no hint — AQE broadcasts when the runtime size fits,
+    // degrades to a shuffle when it doesn't; PlanQualitySpec asserts
+    // the query carries zero forced hints); per-doc counts are one
+    // aggregation on the doc id
     "q68_boilerplate" -> ((s, dir) =>
       graft.operators.Boilerplate.flagBoilerplate(
           T(s, dir, "documents"), "doc_id", "text",

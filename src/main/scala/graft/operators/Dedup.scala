@@ -460,7 +460,14 @@ object Dedup {
     index.bands
       .withColumn("key_bucket", keyBucketOf(col("key"), keyBuckets))
       .repartition(col("band"), col("key_bucket"))
-      .sortWithinPartitions(col("key"))
+      // the dynamic-partition writer REQUIRES its input ordered by the
+      // partition columns and inserts its own (non-stable) sort when the
+      // child doesn't provide one — sorting by `key` alone would be
+      // destroyed by that inserted sort. Leading with the partition
+      // columns satisfies the writer's required ordering as a prefix, so
+      // THIS sort is the one the files are written in and the per-file
+      // key order actually holds (asserted in DedupIndexPersistSpec).
+      .sortWithinPartitions(col("band"), col("key_bucket"), col("key"))
       .write.mode("overwrite").partitionBy("band", "key_bucket")
       .parquet(s"$path/bands")
     index.signatures
@@ -470,7 +477,46 @@ object Dedup {
       .repartition(col("id_shard"))
       .write.mode("overwrite").partitionBy("id_shard")
       .parquet(s"$path/signatures")
+    // layout metadata rides WITH the index: a delta side must derive
+    // key_bucket with the exact modulus used at write time — an
+    // out-of-band mismatch would silently prune to the wrong bucket
+    // (a silent-miss, not an error). The underscore prefix keeps every
+    // parquet reader from picking the file up as data.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/$MetaFile"),
+      s"""{"keyBuckets":$keyBuckets,"idShards":$idShards}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  private val MetaFile = "_graft_index.json"
+
+  /** Layout parameters a persisted index was written with. */
+  final case class DedupIndexMeta(keyBuckets: Int, idShards: Int)
+
+  /** Read and validate `_graft_index.json` — the ONLY sound source of
+    * the bucket modulus for a delta-side [[keyBucketOf]] derivation.
+    */
+  def readIndexMeta(path: String): DedupIndexMeta = {
+    val p = java.nio.file.Paths.get(s"$path/$MetaFile")
+    require(java.nio.file.Files.exists(p),
+      s"no $MetaFile under $path - not a graft dedup index " +
+        "(or written by a pre-metadata version; rewrite with writeIndex)")
+    val text = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def intField(name: String): Int =
+      ("\"" + name + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$MetaFile under $path lacks integer field '$name': $text"))
+    DedupIndexMeta(intField("keyBuckets"), intField("idShards"))
+  }
+
+  /** The delta-side bucket column for a persisted index: reads the
+    * modulus from the index's own metadata so the derivation can never
+    * drift from the layout on disk.
+    */
+  def deltaKeyBucket(indexPath: String, key: Column): Column =
+    keyBucketOf(key, readIndexMeta(indexPath).keyBuckets)
 
   /** Re-open a persisted [[DedupIndex]]. The layout columns (`key_bucket`,
     * `id_shard`) stay on the frames so filters/joins on them reach the
@@ -478,6 +524,7 @@ object Dedup {
     * need, so the extras never travel through a shuffle.
     */
   def readIndex(spark: SparkSession, path: String): DedupIndex = {
+    readIndexMeta(path) // validate the layout sidecar before touching data
     val bands = spark.read.parquet(s"$path/bands")
       .select(col("band").cast("int").as("band"), col("key"),
         col("index_id"), col("key_bucket"))

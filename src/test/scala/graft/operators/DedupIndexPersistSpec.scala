@@ -57,6 +57,45 @@ class DedupIndexPersistSpec extends SparkSpec {
       .filter(Dedup.keyBucketOf(col("key"), 8) =!= col("key_bucket"))
       .count()
     assert(badBuckets === 0L, "key_bucket must be splitmix64(key) mod 8")
+
+    // the layout sidecar rides with the index and is the delta side's
+    // source of truth for the bucket modulus
+    val meta = Dedup.readIndexMeta(dir)
+    assert(meta === Dedup.DedupIndexMeta(keyBuckets = 8, idShards = 4))
+    val deltaBucketMismatch = back.bands
+      .filter(Dedup.deltaKeyBucket(dir, col("key")) =!= col("key_bucket"))
+      .count()
+    assert(deltaBucketMismatch === 0L,
+      "deltaKeyBucket(path, key) must reproduce the on-disk layout")
+  }
+
+  test("readIndex refuses a directory without the layout sidecar") {
+    val idx = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dedup-idx-nometa").toString
+    Dedup.writeIndex(idx, dir, keyBuckets = 8, idShards = 4)
+    Files.delete(java.nio.file.Paths.get(s"$dir/_graft_index.json"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("_graft_index.json"))
+  }
+
+  test("rows are sorted by key within each written band file") {
+    val idx = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dedup-idx-order").toString
+    Dedup.writeIndex(idx, dir, keyBuckets = 8, idShards = 4)
+    // every leaf file individually: the dynamic-partition writer inserts
+    // its own sort on the partition columns when the child ordering
+    // doesn't already satisfy them — writeIndex's sort leads with (band,
+    // key_bucket) exactly so the trailing `key` order SURVIVES that
+    // requirement. Read each file alone (no merge) and assert the order.
+    val files = spark.read.parquet(s"$dir/bands").inputFiles
+    assert(files.length > 8, s"fixture too small (${files.length} files)")
+    files.foreach { f =>
+      val keys = spark.read.parquet(f).select("key")
+        .collect().map(_.getLong(0)).toSeq
+      assert(keys === keys.sorted, s"keys out of order in $f")
+    }
   }
 
   test("incrementalDedup against the re-read index matches in-memory") {
