@@ -545,6 +545,11 @@ object Dedup {
     * come from the band-key equi-join; the verify step is the MinHash
     * Jaccard ESTIMATE (fraction of equal signature slots) — signatures
     * travel in the index, so the existing corpus's text is never touched.
+    * The estimate is quantized to 1/k steps; its error band is MEASURED
+    * in IncrementalDedupEstimatorSpec (k = 16: mean abs error 0.085,
+    * boundary precision/recall 0.78/0.83, and essentially no flips
+    * outside ±2 sd of the threshold). When exactness matters more than
+    * never re-reading corpus text, use [[incrementalDedupExact]].
     * Returns `newDocs` plus `is_dup` and `matched_id` (the smallest
     * colliding index id, null when fresh).
     */
@@ -570,6 +575,47 @@ object Dedup {
       .join(index.signatures, Seq("index_id"))
       .withColumn("est_jaccard", estJaccard)
       .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(min(col("index_id")).as("matched_id"))
+    newDocs.join(matches.withColumnRenamed("new_id", idCol), Seq(idCol), "left")
+      .withColumn("is_dup", col("matched_id").isNotNull)
+  }
+
+  /** [[incrementalDedup]] with EXACT verification — the trade the
+    * estimator mode refuses: candidates still come from the index's band
+    * join (no re-clustering), but instead of the k-slot MinHash estimate
+    * (quantized to 1/k steps; error band measured in
+    * IncrementalDedupEstimatorSpec) the candidates join back to the
+    * corpus TEXT and verify with the same exact distinct-token Jaccard
+    * the batch path ([[minhashNearDupPairs]]) uses — so incremental and
+    * batch agree exactly on what a duplicate is.
+    *
+    * Cost: one extra equi-join that re-reads corpus text for CANDIDATE
+    * ids only (LSH-sparse). At 100 TB keep the corpus id-partitioned so
+    * the candidate join prunes; when even that scan is too dear, use the
+    * estimator mode and accept the measured error band.
+    */
+  def incrementalDedupExact(newDocs: DataFrame, idCol: String,
+      textCol: String, index: DedupIndex, corpus: DataFrame,
+      corpusIdCol: String, corpusTextCol: String, threshold: Double,
+      k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val newBanded = minhashSignatures(newDocs, idCol, textCol, k, shingleLen)
+      .select(col(idCol).as("new_id"),
+        explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("new_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cands = newBanded.join(index.bands, Seq("band", "key"))
+      .select(col("new_id"), col("index_id")).distinct()
+    val newToks = newDocs.select(col(idCol).as("new_id"),
+      array_distinct(TF.tokens(col(textCol))).as("new_toks"))
+    val corpToks = corpus.select(col(corpusIdCol).as("index_id"),
+      array_distinct(TF.tokens(col(corpusTextCol))).as("idx_toks"))
+    val matches = cands
+      .join(newToks, "new_id")
+      .join(corpToks, Seq("index_id")) // sparse: candidate ids only
+      .withColumn("jaccard", DF.jaccard(col("new_toks"), col("idx_toks")))
+      .filter(col("jaccard") >= threshold)
       .groupBy(col("new_id"))
       .agg(min(col("index_id")).as("matched_id"))
     newDocs.join(matches.withColumnRenamed("new_id", idCol), Seq(idCol), "left")
