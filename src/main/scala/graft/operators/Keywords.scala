@@ -49,7 +49,12 @@ object Keywords {
     // to billions of rows at 100 TB). A forced hint bypasses AQE's size
     // check and builds the table on the driver; the plain equi-join
     // lets AQE broadcast exactly when the actual size fits. `total` is
-    // one row — that broadcast is unconditional by construction.
+    // one row — that broadcast is unconditional by construction: the
+    // resulting BroadcastNestedLoopJoin over a ONE-ROW build side is the
+    // scalar-subquery shape (each stream row probes a single cached row;
+    // a constant-key equi-join folds back to exactly this, so there is
+    // no BHJ spelling of it). PlanQualitySpec budgets q69 one such
+    // single-row BNLJ and zero cartesians.
     val scored = tf
       .join(df, Seq("token"))
       .crossJoin(broadcast(total))

@@ -91,18 +91,34 @@ class PlanQualitySpec extends SparkSpec {
     // hint budget per query: q68's plan must carry NO hint at all; q69
     // may carry exactly ONE (the single-row `total` count, broadcast
     // unconditionally by construction) — a second hint would be the df
-    // table creeping back in.
+    // table creeping back in. The same budget applies to
+    // BroadcastNestedLoopJoin: q69's one-row `total` side has no join
+    // key, so its broadcast is NECESSARILY a BNLJ (the scalar-subquery
+    // shape — a constant-key equi-join folds back to a cross join);
+    // exactly one is the intended plan, a second would be a real
+    // corpus-scale nested loop. Its build side must be the broadcast of
+    // a global (no-grouping-key) aggregate, i.e. provably one row.
     Seq("q68_boilerplate" -> 0, "q69_tfidf_terms" -> 1).foreach {
-      case (q, allowedHints) =>
+      case (q, allowed) =>
         val df = SparkEntry.queries(q)(spark, dir)
         val logical = df.queryExecution.analyzed.toString
         val hints = "ResolvedHint".r.findAllIn(logical).size
-        assert(hints <= allowedHints,
+        assert(hints <= allowed,
           s"$q forces a corpus-cardinality broadcast " +
-            s"($hints hints, allowed $allowedHints):\n$logical")
+            s"($hints hints, allowed $allowed):\n$logical")
         val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("CartesianProduct"), s"$q:\n$p")
-        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+        assert(bnlj <= allowed,
+          s"$q has $bnlj nested-loop joins (allowed $allowed):\n$p")
+        if (bnlj > 0) {
+          // the one allowed BNLJ must be the scalar shape: a global
+          // aggregate (count with no grouping keys) feeds the broadcast
+          val opt = df.queryExecution.optimizedPlan.toString
+          assert("Aggregate \\[count\\(1\\)".r
+              .findFirstIn(opt).isDefined,
+            s"$q BNLJ build side is not a single-row global aggregate:\n$opt")
+        }
     }
     val p70 = plan("q70_oov_rate")
     assert(p70.contains("BroadcastHashJoin"), p70)
