@@ -965,7 +965,16 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
-    })
+    }),
+
+    // Exact span-level dedup (the k-token verbatim-passage criterion
+    // from the published LLM-corpus dedup recipes): distinct 12-token
+    // spans per doc, hub-capped inverted index, pair join on the span
+    // hash — never all-pairs
+    "q82_span_dedup" -> ((s, dir) =>
+      graft.operators.SpanDedup.sharedSpanPairs(
+          T(s, dir, "documents"), "doc_id", "text", spanTokens = 12)
+        .orderBy(col("a_id"), col("b_id")))
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -1590,6 +1599,28 @@ object SparkEntry {
         |SELECT doc_id AS media_id, frame_idx,
         |  length(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
         |    AS frame_bytes
-        |FROM f ORDER BY 1, 2""".stripMargin
+        |FROM f ORDER BY 1, 2""".stripMargin,
+
+    // span identity: Spark joins on xxhash64(span), the oracle on the
+    // span STRING itself — same accepted ~2^-64 divergence as the LSH
+    // band keys. Short docs (< 12 tokens) replay ngramsOf's whole-doc
+    // fallback via the UNION branch.
+    "q82_span_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |spw AS (SELECT doc_id,
+         |    array_to_string(t[i + 1 : i + 12], ' ') AS span
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 11)) AS i
+         |        FROM tok WHERE len(t) >= 12)),
+         |sps AS (SELECT doc_id, array_to_string(t, ' ') AS span
+         |  FROM tok WHERE len(t) < 12),
+         |sp AS (SELECT DISTINCT doc_id, span
+         |  FROM (SELECT * FROM spw UNION ALL SELECT * FROM sps)),
+         |elig AS (SELECT span FROM sp GROUP BY span
+         |  HAVING count(*) BETWEEN 2 AND 50),
+         |es AS (SELECT s.doc_id, s.span FROM sp s JOIN elig USING (span))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(count(*) AS BIGINT) AS n_shared_spans
+         |FROM es a JOIN es b ON a.span = b.span AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact span-level dedup: pair counts, the whole-doc fallback for short
+  * documents, the hub cap, and the doc-level flag agreeing with the pair
+  * form.
+  */
+class SpanDedupSpec extends SparkSpec {
+
+  // spans of 4 tokens; the copied passage is 6 tokens -> 3 shared spans
+  private val passage = "one two three four five six"
+
+  private def docs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, s"intro a1 b1 $passage outro c1"),
+      (2L, s"other d2 e2 f2 $passage tail"),
+      (3L, "nothing shared here at all in this document whatsoever"),
+      (4L, "tiny doc"), // < 4 tokens: whole-doc fallback span
+      (5L, "tiny doc") // exact short dup -> pairs via the fallback span
+    ).toDF("doc_id", "text")
+  }
+
+  test("sharedSpanPairs counts distinct shared k-spans; short docs pair " +
+      "via the whole-doc fallback") {
+    val pairs = SpanDedup
+      .sharedSpanPairs(docs, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    // docs 1,2 share the 6-token passage: sliding 4-grams of it that are
+    // intact in both = 3 ("one two three four", "two three four five",
+    // "three four five six"); docs 4,5 share their single fallback span
+    assert(pairs === Seq((1L, 2L, 3L), (4L, 5L, 1L)))
+  }
+
+  test("hub cap excludes template spans from pair generation") {
+    val s = spark
+    import s.implicits._
+    // 5 docs all carrying the same span: with maxDf=4 the span is a hub
+    // and generates NO pairs; with the default it generates all C(5,2)
+    val hub = (1L to 5L).map(i => (i, s"$passage filler$i pad$i more$i"))
+      .toDF("doc_id", "text")
+    val capped = SpanDedup
+      .sharedSpanPairs(hub, "doc_id", "text", spanTokens = 4, maxDf = 4)
+      .count()
+    assert(capped === 0L)
+    val uncapped = SpanDedup
+      .sharedSpanPairs(hub, "doc_id", "text", spanTokens = 4, maxDf = 50)
+      .groupBy().agg(countDistinct(col("a_id"), col("b_id"))).collect()
+      .head.getLong(0)
+    assert(uncapped === 10L)
+  }
+
+  test("flagSpanDuplicated agrees with the pair form and keeps all rows") {
+    val flagged = SpanDedup
+      .flagSpanDuplicated(docs, "doc_id", "text", spanTokens = 4)
+    assert(flagged.count() === docs.count())
+    val dupIds = flagged.filter(col("has_dup_span"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairIds = SpanDedup
+      .sharedSpanPairs(docs, "doc_id", "text", spanTokens = 4)
+      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dupIds === pairIds)
+    // per-doc distinct shared-span count matches the passage arithmetic
+    val n1 = flagged.filter(col("doc_id") === 1L)
+      .select("n_dup_spans").collect().head.getLong(0)
+    assert(n1 === 3L)
+  }
+}
