@@ -51,7 +51,11 @@ object Bench {
       // their warm cost, all first-touch codegen (judge re-timed q54 at
       // 0.50 s warm vs 3.32 s in-bench). Warm both plan shapes so the
       // bench compares plans, not JIT state.
-      "q54_simhash_blocked", "q53_lsh_topk")
+      "q54_simhash_blocked", "q53_lsh_topk",
+      // round-6: the verified-closure diagnostics (q80/q81) had no rep —
+      // BENCH_r05 measured q81 at 4.0 s in-bench vs 1.0 s warm (QTime,
+      // fresh sessions); warm the closure-fragment plan family too.
+      "q81_cluster_histogram")
       .foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try CacheScope.scoped { fn(spark, sfDir).count() }
