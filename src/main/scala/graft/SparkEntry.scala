@@ -974,7 +974,64 @@ object SparkEntry {
     "q82_span_dedup" -> ((s, dir) =>
       graft.operators.SpanDedup.sharedSpanPairs(
           T(s, dir, "documents"), "doc_id", "text", spanTokens = 12)
-        .orderBy(col("a_id"), col("b_id")))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // First-occurrence n-gram novelty: share of each doc's distinct
+    // 3-grams whose first corpus occurrence (min doc_id) is this doc —
+    // integer grid; the first-seen map joins back un-hinted (corpus-scale
+    // gram cardinality, AQE decides)
+    "q83_gram_novelty" -> ((s, dir) =>
+      graft.operators.Novelty.gramNovelty(
+          T(s, dir, "documents"), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"))
+        .orderBy(col("doc_id"))),
+
+    // BPE merge-step statistic: top-20 adjacent token pairs by
+    // occurrence count (duplicates kept — BPE counts occurrences, not
+    // docs), ties on pair text; plans as one partial-agg shuffle + a
+    // TakeOrdered heap
+    "q84_bpe_pair_stats" -> ((s, dir) =>
+      graft.operators.TokenizerTraining.topPairs(
+          T(s, dir, "documents"), "doc_id", "text", k = 20)),
+
+    // SemDeDup: IVF-cluster embeddings (deterministic centroids), pair
+    // cosine within list only — candidate generation is the list_id
+    // equi-join, never the n² cross
+    "q85_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDupPairs(T(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, nLists = 8)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_dropped"),
+          round(coalesce(max(col("cos")), lit(-1)), 4).as("best_cos"))),
+
+    // Embedding-space decontamination: corpus vectors too close to any
+    // benchmark vector (label 0 plays the eval suite); benchmark side
+    // broadcast — eval-set cardinality is bounded by construction
+    "q86_embedding_decontaminate" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Contamination.flagContaminatedByEmbedding(
+          e.filter(col("label") =!= 0), "vec_id", "embedding",
+          e.filter(col("label") === 0).select(col("embedding")),
+          "embedding", threshold = 0.35)
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(when(col("is_contaminated"), 1).otherwise(0)).cast("long")
+            .as("n_flagged"))
+    }),
+
+    // Lloyd's k-means (k=4, 2 updates + final assignment): map-only
+    // assignment passes with the k×dim centroid literal, one partial-agg
+    // shuffle per update; centroids on the 1e-6 grid between iterations
+    // (cross-engine determinism — see Clustering)
+    "q87_kmeans" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      graft.operators.Clustering.assign(e, "vec_id", "embedding", cents)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("dist_sq")), 2).as("inertia"))
+        .orderBy(col("cluster"))
+    })
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -1621,6 +1678,48 @@ object SparkEntry {
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(count(*) AS BIGINT) AS n_shared_spans
          |FROM es a JOIN es b ON a.span = b.span AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // distinct 3-grams per doc (whole-doc fallback below 3 tokens —
+    // the shinglesOf contract), first-seen = min(doc_id) per gram
+    "q83_gram_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2),
+         |      i -> array_to_string(t[i + 1 : i + 3], ' '))
+         |    ELSE [array_to_string(t, ' ')] END)) AS gram FROM tok),
+         |f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel
+         |FROM g JOIN f USING (gram)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // adjacent pairs duplicates-kept, no whole-doc fallback (a lone
+    // token is not a pair) — matches TokenizerTraining.adjacentPairs
+    "q84_bpe_pair_stats" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |p AS (SELECT unnest(list_transform(range(0, len(t) - 1),
+         |    i -> array_to_string(t[i + 1 : i + 2], ' '))) AS pair
+         |  FROM tok WHERE len(t) >= 2)
+         |SELECT pair, count(*) AS n FROM p
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q85_semantic_dedup" -> HashOracles.q85SemanticDedup,
+
+    // same cosine precedent as q21 (list_cosine_similarity classifies
+    // identically at this corpus's pair spacing)
+    "q86_embedding_decontaminate" ->
+      """WITH b AS (SELECT embedding FROM embeddings WHERE label = 0),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+        |hit AS (SELECT DISTINCT c.vec_id FROM c, b
+        |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.35)
+        |SELECT count(*) AS n_corpus,
+        |  CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged
+        |FROM c LEFT JOIN hit h USING (vec_id)""".stripMargin,
+
+    "q87_kmeans" -> HashOracles.q87Kmeans(4)
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** First-occurrence n-gram novelty and the BPE tokenizer-training
+  * statistics, on corpora small enough to verify by hand.
+  */
+class NoveltyTokenizerSpec extends SparkSpec {
+
+  test("gramNovelty: the first doc is all-novel, a verbatim re-crawl " +
+      "contributes nothing, partial overlap counts the new grams only") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // 2 distinct 3-grams, both novel
+      (2L, "alpha beta gamma delta"),   // verbatim copy: 0 novel
+      (3L, "alpha beta gamma epsilon"), // shares "alpha beta gamma" only
+      (4L, "zz")                        // short doc: whole-doc fallback gram
+    ).toDF("doc_id", "text")
+    val out = Novelty.gramNovelty(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))))
+      .toMap
+    assert(out(1L) === ((2L, 2L)))
+    assert(out(2L) === ((2L, 0L)))
+    assert(out(3L) === ((2L, 1L)), "\"beta gamma epsilon\" is the new gram")
+    assert(out(4L) === ((1L, 1L)))
+  }
+
+  test("pairFrequencies counts occurrences (not documents) and topPairs " +
+      "ranks by count with text tie-break") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // "a b" x2, "b a" x1
+      (2L, "a b c"),   // "a b", "b c"
+      (3L, "solo")     // no pairs
+    ).toDF("doc_id", "text")
+    val top = TokenizerTraining.topPairs(docs, "doc_id", "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.head === ("a b" -> 3L))
+    assert(top.toMap === Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    // tie between "b a" and "b c" resolves on pair text
+    assert(top.map(_._1).toSeq === Seq("a b", "b a", "b c"))
+  }
+
+  test("applyMerge rewrites adjacent pairs left-to-right, overlapping " +
+      "occurrences merge leftmost-first") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Seq("a", "b", "c", "a", "b"),
+      Seq("a", "a", "a"),
+      Seq("x"),
+      Seq.empty[String]
+    ).toDF("toks")
+    val out = df.select(
+      TokenizerTraining.applyMerge(col("toks"), "a", "b").as("m1"),
+      TokenizerTraining.applyMerge(col("toks"), "a", "a").as("m2"))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    assert(out(0)._1 === Seq("a b", "c", "a b"))
+    // "a a a" under (a, a): leftmost pair merges; the merged token
+    // "a a" does not re-pair with the trailing "a"
+    assert(out(1)._2 === Seq("a a", "a"))
+    assert(out(2)._1 === Seq("x"))
+    assert(out(3)._1 === Seq.empty)
+  }
+
+  test("applyMerge round: merging the top pair strictly reduces total " +
+      "token count by that pair's occurrence count") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat ran"),
+      (2L, "the cat is the cat")
+    ).toDF("doc_id", "text")
+    val toksed = docs.withColumn("toks",
+      graft.functions.TextFunctions.tokens(col("text")))
+    val Array(pair, n) = TokenizerTraining
+      .topPairs(docs, "doc_id", "text", k = 1)
+      .collect().map(r => Array(r.getString(0), r.getLong(1).toString)).head
+    val Array(a, b) = pair.split(" ")
+    val before = toksed.select(sum(size(col("toks")))).collect().head.getLong(0)
+    val after = toksed.select(
+        sum(size(TokenizerTraining.applyMerge(col("toks"), a, b))))
+      .collect().head.getLong(0)
+    assert(before - after === n.toLong)
+  }
+}
