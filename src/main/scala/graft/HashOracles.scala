@@ -694,6 +694,70 @@ object HashOracles {
         "AS total_tokens FROM documents JOIN sampled USING (doc_id)")
   }
 
+  /** SemDeDup replay: every vector's IVF list = argmax centroid dot
+    * (projection fold is IEEE-exact; ties break to the LARGER list id,
+    * mirroring `Similarity.bestLists`'s reverse(array_sort) pick), then
+    * within-list pairwise cosine. Cosine itself uses DuckDB's
+    * list_cosine_similarity — the q21 precedent: at this corpus's
+    * pair-cosine spacing (~1e-5 around any threshold) both engines
+    * classify identically.
+    */
+  val q85SemanticDedup: String = withClause(
+    planesCtes() ++ Seq(
+      "proj AS (SELECT e.vec_id, e.embedding, pv.p, " +
+        s"${projection("e.embedding")} AS pr " +
+        "FROM embeddings e CROSS JOIN pv pv)",
+      "asg AS (SELECT vec_id, embedding, p AS list_id FROM " +
+        "(SELECT vec_id, embedding, p, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk FROM proj) " +
+        "WHERE rk = 1)",
+      "pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])) AS cos " +
+        "FROM asg a JOIN asg b ON a.list_id = b.list_id " +
+        "AND a.vec_id < b.vec_id)",
+      "hit AS (SELECT * FROM pairs WHERE cos >= 0.4)"),
+    "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
+      "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
+
+  /** Lloyd's k-means replay (k clusters, 2 updates, then a final
+    * assignment): init = the k smallest vec_ids, distance = the same
+    * left-fold (x-c)² accumulation as `VectorFunctions.l2DistanceSq`
+    * (IEEE-exact), ties to the smaller cluster id, updated centroids
+    * rounded to the 1e-6 grid exactly like
+    * [[operators.Clustering.kmeansCentroids]] — the rounding is what
+    * makes the unordered double averages safe to feed into the next
+    * iteration's assignment on both engines.
+    */
+  def q87Kmeans(k: Int): String = {
+    def dist(v: String, c: String): String =
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), j -> ($v[j] - $c[j]) * ($v[j] - $c[j]))), " +
+        "(a, x) -> a + x)"
+    def assignCte(name: String, cents: String): String =
+      s"$name AS (SELECT vec_id, v, cid, dist FROM " +
+        "(SELECT vec_id, v, cid, dist, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM " +
+        s"(SELECT e.vec_id, e.v, c.cid, ${dist("e.v", "c.vec")} AS dist " +
+        s"FROM e CROSS JOIN $cents c)) WHERE rk = 1)"
+    def updateCte(name: String, assigned: String): String =
+      s"$name AS (SELECT cid, list(m ORDER BY pos) AS vec FROM " +
+        s"(SELECT cid, j AS pos, round(avg(v[j]), 6) AS m FROM $assigned, " +
+        "(SELECT unnest(range(1, 65)) AS j) GROUP BY cid, j) GROUP BY cid)"
+    withClause(Seq(
+      "e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 " +
+        "AS INTEGER) AS cid, v AS vec FROM " +
+        s"(SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))",
+      assignCte("a1", "c0"), updateCte("c1", "a1"),
+      assignCte("a2", "c1"), updateCte("c2", "a2"),
+      assignCte("a3", "c2")),
+      "SELECT cid AS cluster, count(*) AS n, " +
+        "round(sum(dist), 2) AS inertia FROM a3 " +
+        "GROUP BY cid ORDER BY cid")
+  }
+
   /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,
     * byte_entropy_q = number of occupied histogram buckets = distinct
     * `byte % 16` values (a bucket count is > 0 iff some byte lands in it).

@@ -146,4 +146,41 @@ object Contamination {
         anyGramHits(TF.shinglesOf(col("__bl_toks"), n)))
       .drop("__bl_toks")
   }
+
+  /** Embedding-space decontamination: flag corpus vectors whose cosine to
+    * ANY benchmark vector reaches `threshold` — the semantic complement
+    * of the n-gram rules above, catching paraphrased or translated
+    * benchmark leakage that shares no verbatim n-gram (the
+    * phi-series-style "semantic decontamination" step).
+    *
+    * Scale shape mirrors [[flagContaminated]]: the benchmark embedding
+    * table is eval-suite-sized (thousands of rows, bounded by
+    * construction — NOT corpus-derived), so broadcasting it is correct,
+    * and the corpus side streams through one codegen'd dot-product loop
+    * per (row × benchmark vector) with norms precomputed per row. No
+    * corpus shuffle; the flagged-id set is benchmark-bounded and
+    * broadcasts back the same way.
+    */
+  def flagContaminatedByEmbedding(corpus: DataFrame, idCol: String,
+      vecCol: String, benchmark: DataFrame, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val corpusPrepped = VF.prepForPairs(corpus, idCol, vecCol)
+    val benchPrepped = VF.prepForPairs(
+      benchmark.select(col(benchVecCol).as("__b_vec"),
+        monotonically_increasing_id().as("__b_id")),
+      "__b_id", "__b_vec")
+      .select(col("vd").as("b_vd"), col("nrm").as("b_nrm"))
+    val hits = corpusPrepped.crossJoin(broadcast(benchPrepped))
+      .withColumn("cos",
+        when(col("nrm") * col("b_nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("vd"), col("b_vd")) /
+            (col("nrm") * col("b_nrm"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id").as(idCol)).distinct()
+      .withColumn("is_contaminated", lit(true))
+    corpus.join(broadcast(hits), Seq(idCol), "left")
+      .withColumn("is_contaminated",
+        coalesce(col("is_contaminated"), lit(false)))
+  }
 }

@@ -161,6 +161,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic near-dup pairs: coarse-cluster every vector
+    * to its best IVF list ([[assignLists]] — deterministic centroids, no
+    * training pass), then score pairwise cosine WITHIN each list only.
+    * The published recipe (Abbas et al., SemDeDup): embeddings that land
+    * in the same semantic cluster and exceed the cosine threshold are
+    * re-phrasings, translations-of-each-other, or templated variants that
+    * token-level MinHash misses.
+    *
+    * 100 TB shape: candidate generation is the `list_id` equi-join, so
+    * pair cost is Σ(per-list sizes²), not n² — the same bound the IVF
+    * query path exploits; norms are precomputed per ROW (not per pair)
+    * and the pair loop is the codegen'd [[VF.fastDot]]. Cross-list near
+    * dups are missed by construction (recall rises with fewer, larger
+    * lists — `nLists` is the recall/cost dial, same trade the paper
+    * makes with its k-means k).
+    */
+  def semanticDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nLists: Int = 8, dim: Int = 64): DataFrame = {
+    // prepForPairs shape (id, vd, nrm) + the list assignment: norms are
+    // computed once per row with the same accumulation order as l2Norm
+    val prepped = assignLists(vectors, vecCol, nLists, dim)
+      .select(col(idCol).as("id"), col("list_id"),
+        transform(col(vecCol), x => x.cast("double")).as("vd"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+    prepped.as("a").join(prepped.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+            (col("a.nrm") * col("b.nrm"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.list_id").as("list_id"), col("cos"))
+  }
+
+  /** The keep set under semantic dedup: drop every vector that is the
+    * HIGHER id of some [[semanticDupPairs]] pair (keeps the lowest id of
+    * each within-list chain — deterministic, engine-independent). Planned
+    * as a left-anti join on the pair table's b-side.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nLists: Int = 8, dim: Int = 64): DataFrame = {
+    val drops = semanticDupPairs(vectors, idCol, vecCol, threshold,
+      nLists, dim).select(col("b_id"))
+    vectors.join(drops.distinct(), col(idCol) === col("b_id"), "left_anti")
+  }
+
   /** Bucket histogram of the LSH index (diagnostics / balance check). */
   def lshBucketStats(vectors: DataFrame, vecCol: String, nPlanes: Int = 8,
       dim: Int = 64): DataFrame = {

@@ -132,4 +132,52 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.map(r => r.getInt(0) -> r.getLong(1)).toMap ===
       again.map(r => r.getInt(0) -> r.getLong(1)).toMap)
   }
+
+  test("semantic dedup: pairs are within-list and a subset of the " +
+      "brute-force pairs at the same threshold; dedup drops b-sides") {
+    val tau = 0.3
+    val pairs = Similarity.semanticDupPairs(vectors, "vec_id", "embedding",
+      threshold = tau, nLists = 8).collect()
+    // every pair really is same-list (join key) and above threshold
+    assert(pairs.forall(_.getAs[Double]("cos") >= tau))
+    // subset of the exact all-pairs result (the recall trade is cross-
+    // list misses, never false admissions)
+    val exact = Dedup.embeddingNearDupPairs(vectors, "vec_id", "embedding",
+        threshold = tau - 1e-12)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = pairs.map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(approx.subsetOf(exact),
+      s"semantic pairs not a subset: ${approx.diff(exact)}")
+    val kept = Similarity.semanticDedup(vectors, "vec_id", "embedding",
+      threshold = tau, nLists = 8)
+    val dropped = approx.map(_._2)
+    assert(kept.count() === vectors.count() - dropped.size)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.forall(!keptIds.contains(_)))
+  }
+
+  test("embedding decontamination flags exactly the corpus vectors with " +
+      "a benchmark neighbor at the threshold") {
+    val tau = 0.3
+    val bench = vectors.filter(col("label") === 0)
+    val corpus = vectors.filter(col("label") =!= 0)
+    val flagged = Contamination.flagContaminatedByEmbedding(
+        corpus, "vec_id", "embedding",
+        bench.select(col("embedding")), "embedding", tau)
+      .filter(col("is_contaminated"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // brute-force reference: any bench vector at cos >= tau
+    val b = bench.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val expected = corpus.crossJoin(b)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(
+          col("embedding"), col("b_emb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged === expected)
+    assert(flagged.nonEmpty, "fixture threshold should catch something")
+  }
 }
