@@ -136,6 +136,38 @@ class PlanQualitySpec extends SparkSpec {
       !p77.contains("BroadcastNestedLoopJoin"), p77)
   }
 
+  test("q83-q87: round-6 family plan shapes — un-hinted corpus joins, " +
+      "heaps, equi-join candidates, bounded broadcasts, map-only assign") {
+    // q83: first-seen map is corpus-cardinality (distinct grams) — same
+    // zero-hint budget as q68; candidate generation stays an equi-join
+    val df83 = SparkEntry.queries("q83_gram_novelty")(spark, dir)
+    assert(!df83.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q83 forces a corpus-cardinality broadcast")
+    val p83 = df83.queryExecution.executedPlan.toString
+    assert(!p83.contains("CartesianProduct"), p83)
+    // q84: global top-k pairs is a heap, not a full sort
+    val p84 = plan("q84_bpe_pair_stats")
+    assert(p84.contains("TakeOrderedAndProject"), p84)
+    assert(!p84.contains("ScalaUDF"), p84)
+    // q85: within-list pair generation is the list_id equi-join — the
+    // SemDeDup scale claim; never a cross product
+    val p85 = plan("q85_semantic_dedup")
+    assert(!p85.contains("CartesianProduct"), p85)
+    assert(!p85.contains("BroadcastNestedLoopJoin"), p85)
+    // q86: the ONE nested-loop is the broadcast of the bounded benchmark
+    // side (eval-suite cardinality by construction) — the corpus streams
+    val p86 = plan("q86_embedding_decontaminate")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p86).size === 1, p86)
+    assert(!p86.contains("SortMergeJoin"),
+      "q86 shuffled the corpus for a benchmark-bounded probe:\n" + p86)
+    // q87: the final assignment is map-only (centroid literals) — no
+    // join operator of any kind feeds the per-cluster aggregation
+    val p87 = plan("q87_kmeans")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+      "BroadcastNestedLoopJoin").foreach(op =>
+      assert(!p87.contains(op), s"q87 assignment is not map-only:\n$p87"))
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)

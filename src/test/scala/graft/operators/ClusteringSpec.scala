@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means determinism and convergence, plus the LSH parameter
+  * planner's S-curve algebra.
+  */
+class ClusteringSpec extends SparkSpec {
+
+  private lazy val vectors =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("kmeans assignment is total, deterministic, and ids every cluster " +
+      "in [0, k)") {
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 4, iters = 2)
+    assert(cents.size === 4 && cents.forall(_.size === 64))
+    val again = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 4, iters = 2)
+    assert(cents === again, "two runs must produce identical centroids")
+    val assigned = Clustering.assign(vectors, "vec_id", "embedding", cents)
+    assert(assigned.count() === vectors.count())
+    val ids = assigned.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(ids.subsetOf((0 until 4).toSet))
+  }
+
+  test("Lloyd updates do not increase inertia (up to the 1e-6 centroid " +
+      "grid)") {
+    def inertia(iters: Int): Double = {
+      val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+        k = 4, iters = iters)
+      Clustering.assign(vectors, "vec_id", "embedding", cents)
+        .agg(sum(col("dist_sq"))).collect().head.getDouble(0)
+    }
+    val i0 = inertia(0)
+    val i1 = inertia(1)
+    val i2 = inertia(2)
+    assert(i1 <= i0 + 1e-3, s"update 1 raised inertia: $i0 -> $i1")
+    assert(i2 <= i1 + 1e-3, s"update 2 raised inertia: $i1 -> $i2")
+    info(f"inertia: init $i0%.1f -> iter1 $i1%.1f -> iter2 $i2%.1f")
+  }
+
+  test("empty clusters keep their previous centroid") {
+    val s = spark
+    import s.implicits._
+    // two far-apart groups of near-identical vectors (dim-64 padded),
+    // k=3: the third centroid (init = third-smallest id, inside group A)
+    // captures nothing after the first update and must persist unchanged
+    def vec(base: Double): Seq[Float] =
+      (0 until 64).map(j => (base + j * 1e-4).toFloat)
+    val rows = Seq(
+      (0L, vec(0.0)), (1L, vec(0.001)), (2L, vec(100.0)),
+      (3L, vec(0.002)), (4L, vec(100.001)), (5L, vec(100.002)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Clustering.kmeansCentroids(df, "vec_id", "embedding",
+      k = 3, iters = 2)
+    assert(cents.size === 3)
+    // cluster 2's init is vec(100.0); after update it still centers there
+    assert(math.abs(cents(2).head - 100.0) < 1.0)
+  }
+
+  test("LshPlanner: 16 slots at threshold 0.7 split 4x4, and the S-curve " +
+      "separates the threshold's two sides") {
+    val p = LshPlanner.plan(16, 0.7)
+    assert((p.bands, p.rows) === ((4, 4)))
+    assert(math.abs(p.midpoint - 0.707) < 0.01)
+    // steepness: collision prob is high above the midpoint, low below
+    assert(p.collisionProbability(0.9) > 0.9)
+    assert(p.collisionProbability(0.4) < 0.1)
+    assert(p.missProbability(0.9) + p.collisionProbability(0.9) === 1.0)
+    // a 0.9-threshold plan shifts to fewer bands x more rows
+    val tight = LshPlanner.plan(16, 0.9)
+    assert(tight.rows > p.rows)
+    // monotone in s
+    val probs = (1 to 9).map(i => p.collisionProbability(i / 10.0))
+    assert(probs === probs.sorted)
+  }
+}
