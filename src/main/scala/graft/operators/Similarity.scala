@@ -209,6 +209,84 @@ object Similarity {
     vectors.join(drops.distinct(), col(idCol) === col("b_id"), "left_anti")
   }
 
+  // ---- persisted IVF index --------------------------------------------
+
+  /** Sidecar filename for the persisted IVF layout (underscore prefix so
+    * parquet readers skip it as data).
+    */
+  val IvfMetaFile = "_graft_ivf.json"
+
+  /** Persist an IVF-ANN index: every vector assigned to its nearest
+    * centroid by squared L2 ([[Clustering.assign]] — the trained-
+    * quantizer convention; pass [[Clustering.kmeansCentroids]] output
+    * for a trained index or any fixed matrix for an untrained one) and
+    * written `partitionBy(list_id)`, so a probe reads ONLY its lists'
+    * files — the pruning the in-memory operator's Scaladoc promises,
+    * made real (asserted in IvfIndexSpec).
+    *
+    * The centroid matrix rides WITH the index in [[IvfMetaFile]]: the
+    * query side must rank lists with the exact matrix used at write
+    * time — an out-of-band mismatch would probe the wrong lists, a
+    * silent recall collapse rather than an error. `Double.toString` /
+    * `parseDouble` round-trip is exact, so the re-read matrix is
+    * bit-identical.
+    */
+  def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Seq[Seq[Double]]): Unit = {
+    Clustering.assign(vectors, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("cluster").as("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/lists")
+    val body = centroids
+      .map(_.map(d => java.lang.Double.toString(d)).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/$IvfMetaFile"),
+      (s"""{"nLists":${centroids.size},"dim":${centroids.head.size},""" +
+        s""""centroids":$body}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The centroid matrix a persisted index was written with. */
+  def readIvfCentroids(path: String): Seq[Seq[Double]] = {
+    val p = java.nio.file.Paths.get(s"$path/$IvfMetaFile")
+    require(java.nio.file.Files.exists(p),
+      s"no $IvfMetaFile under $path - not a graft IVF index")
+    val text = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val start = text.indexOf("\"centroids\":[[")
+    require(start >= 0, s"$IvfMetaFile under $path lacks centroids: $text")
+    text.substring(start + 14, text.lastIndexOf("]]"))
+      .split("\\],\\[").toSeq
+      .map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
+  }
+
+  /** Top-k by cosine against a persisted index, probing the `nProbe`
+    * lists whose centroids are L2-nearest to the query vector. List
+    * choice is driver-side arithmetic over the sidecar matrix (k×dim —
+    * a bounded fact, same rule as the stratum counts), which makes the
+    * probe set a LITERAL `isin` filter — static partition pruning at
+    * file-listing time, no join needed. `nProbe = nLists` is exact.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val cents = readIvfCentroids(path)
+    val probes = cents.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }
+      .sortBy { case (d, i) => (d, i) }
+      .take(nProbe).map(_._2)
+    spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probes: _*))
+      .select(col("id"),
+        VF.cosine(col("vec"), typedLit(query)).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Bucket histogram of the LSH index (diagnostics / balance check). */
   def lshBucketStats(vectors: DataFrame, vecCol: String, nPlanes: Int = 8,
       dim: Int = 64): DataFrame = {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF index: round-trip fidelity of the centroid sidecar,
+  * exactness at full probe, recall growth with nProbe, and the
+  * partitionBy(list_id) layout actually pruning files.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val vectors =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private lazy val queryVec: Seq[Double] =
+    vectors.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect().head.getSeq[Double](0).toSeq
+
+  test("sidecar centroids round-trip bit-identically") {
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val dir = Files.createTempDirectory("graft-ivf1").toString
+    Similarity.writeIvfIndex(vectors, "vec_id", "embedding", dir, cents)
+    val back = Similarity.readIvfCentroids(dir)
+    assert(back === cents)
+  }
+
+  test("full probe is exact; recall grows with nProbe on a trained index") {
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val dir = Files.createTempDirectory("graft-ivf2").toString
+    Similarity.writeIvfIndex(vectors, "vec_id", "embedding", dir, cents)
+
+    val exact = Similarity.bruteForceTopK(vectors, "vec_id", "embedding",
+      vectors.filter(col("vec_id") === 0).select(col("embedding").as("q_emb")),
+      k = 10)
+    def recallAt(nProbe: Int): Double = Similarity.recall(
+      Similarity.ivfTopKIndexed(spark, dir, queryVec, k = 10, nProbe)
+        .withColumnRenamed("id", "vec_id"),
+      exact, Seq("vec_id"))
+
+    // probing every list degenerates to the exact scan
+    assert(recallAt(8) === 1.0)
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    assert(r4 >= r1, s"recall fell with more probes: $r1 -> $r4")
+    info(f"trained-IVF recall@10: nProbe=1 $r1%.2f, nProbe=4 $r4%.2f")
+  }
+
+  test("probe reads prune on the list_id directory partitions") {
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val dir = Files.createTempDirectory("graft-ivf3").toString
+    Similarity.writeIvfIndex(vectors, "vec_id", "embedding", dir, cents)
+
+    val probe = Similarity.ivfTopKIndexed(spark, dir, queryVec,
+      k = 10, nProbe = 2)
+    val p = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(p).isDefined,
+      "list_id reached the data-filter side - partitioning did not " +
+        "apply:\n" + p)
+    probe.collect()
+    val lists = spark.read.parquet(s"$dir/lists")
+    val allFiles = lists.inputFiles.length
+    val scanned = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    assert(scanned.exists(_ < allFiles),
+      s"probe scanned $scanned of $allFiles files - no pruning")
+  }
+
+  test("a mismatched path fails fast instead of probing wrong lists") {
+    val dir = Files.createTempDirectory("graft-ivf4").toString
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(spark, dir, queryVec, k = 10, nProbe = 1)
+    }
+    assert(e.getMessage.contains("not a graft IVF index"))
+  }
+}
