@@ -51,6 +51,61 @@ object TokenizerTraining {
         i => array_join(slice(toks, i + 1, lit(2)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Adjacent pairs as (left, right) STRUCTS — the multi-round counting
+    * form: after a merge the stream contains tokens with embedded
+    * spaces, so the space-joined pair text of [[adjacentPairs]] becomes
+    * ambiguous ("a b c" could be ("a b", "c") or ("a", "b c")); structs
+    * keep the boundary exact.
+    */
+  def adjacentPairStructs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(get(toks, i).as("left"), get(toks, i + 1).as("right"))))
+      .otherwise(
+        array().cast("array<struct<left:string,right:string>>"))
+
+  /** `rounds` of BPE training: each round counts adjacent pairs over the
+    * CURRENT token stream (one partial-agg shuffle + a 1-row TakeOrdered
+    * pick), merges the most frequent pair (ties on pair text), and
+    * rewrites the stream with [[applyMerge]] — a lazy map-only Column
+    * rewrite, so a round costs exactly one aggregation pass over the
+    * corpus. Stops early when no pair reaches `minCount`. Returns the
+    * ordered merge list (the BPE vocabulary delta).
+    *
+    * `checkpointEvery` bounds plan depth: each round nests one more
+    * `aggregate` fold into the token expression, so every few rounds the
+    * stream is localCheckpoint'd (lineage cut, same device as the
+    * connected-components loop in [[Dedup]]).
+    */
+  def trainMerges(corpus: DataFrame, idCol: String, textCol: String,
+      rounds: Int, minCount: Long = 2, tokensCol: Option[String] = None,
+      checkpointEvery: Int = 8): Seq[(String, String)] = {
+    var stream = corpus.select(
+      tokensCol.map(col).getOrElse(TF.tokens(col(textCol))).as("__bpe"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val top = stream
+        .select(explode(adjacentPairStructs(col("__bpe"))).as("p"))
+        .groupBy(col("p.left").as("l"), col("p.right").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minCount) exhausted = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        stream = stream.withColumn("__bpe",
+          applyMerge(col("__bpe"), a, b))
+        if ((r + 1) % checkpointEvery == 0)
+          stream = stream.localCheckpoint()
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
   /** One BPE merge applied to a token array: every adjacent occurrence of
     * (`a`, `b`) becomes the single token `a + " " + b`, scanning left to
     * right — after a merge the merged token is what the next input token

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.operators.{Clustering, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming embedding near-dup / semantic-contamination checks: a vector
+  * STREAM matched against a persisted IVF index
+  * ([[Similarity.writeIvfIndex]]) — the embedding-space half of the
+  * stream-static incremental story [[DedupStream.indexCollisions]] tells
+  * for MinHash: yesterday's corpus is indexed once; today's vectors are
+  * flagged the moment they arrive.
+  *
+  * Plan shape: the arriving vector is assigned to its nearest centroid
+  * map-only (the k×dim sidecar matrix travels as a literal — no join, no
+  * state), then a STREAM-STATIC equi-join on `list_id` scores cosine
+  * against that list's vectors only. Completely stateless — no watermark
+  * needed for correctness; per-batch cost is the micro-batch size times
+  * its probed list sizes, never the index size. The static side re-reads
+  * per micro-batch as a normal batch relation, so index refreshes (a
+  * nightly rebuild swapping the directory) are picked up without
+  * restarting the query.
+  */
+object AnnStream {
+
+  /** Matches of streaming `vectors` (columns `idCol`, `vecCol`, any
+    * passthroughs) against the index at `indexPath`: one row per
+    * (arriving id, index id) with cosine ≥ `threshold`. Arriving vectors
+    * probe their single nearest list (nProbe = 1 — the streaming-latency
+    * trade; raise recall by rebuilding with fewer, larger lists).
+    */
+  def indexMatches(vectors: DataFrame, indexPath: String, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    val centroids = Similarity.readIvfCentroids(indexPath)
+    val lists = spark.read.parquet(s"$indexPath/lists")
+      .select(col("id").as("index_id"), col("vec"), col("list_id"))
+    Clustering.assign(vectors, idCol, vecCol, centroids)
+      .withColumnRenamed("cluster", "list_id")
+      .drop("dist_sq")
+      .join(lists, Seq("list_id")) // stream-static equi-join
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col(vecCol), col("vec")))
+      .filter(col("cos") >= threshold)
+      .select(col(idCol), col("index_id"), col("list_id"), col("cos"))
+  }
+}

@@ -69,6 +69,24 @@ class NoveltyTokenizerSpec extends SparkSpec {
     assert(out(3)._1 === Seq.empty)
   }
 
+  test("trainMerges: the classic char-level BPE sequence, and early " +
+      "stop when no pair reaches minCount") {
+    val s = spark
+    import s.implicits._
+    // "symbols" are single letters; round 1 must merge (a, b) — 4
+    // occurrences — and round 2 the merged token with itself
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    val merges = TokenizerTraining.trainMerges(docs, "doc_id", "text",
+      rounds = 10, minCount = 2)
+    assert(merges.take(2) === Seq(("a", "b"), ("a b", "a b")))
+    // after those two merges the streams are ["a b a b", "a b"] and
+    // ["a b", "c"]: no remaining pair occurs twice -> early stop
+    assert(merges.size === 2)
+  }
+
   test("applyMerge round: merging the top pair strictly reduces total " +
       "token count by that pair's occurrence count") {
     val s = spark
