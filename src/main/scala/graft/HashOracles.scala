@@ -720,6 +720,51 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** Capstone-3 replay — the round-6 stages chained: first-occurrence
+    * novelty filter (keep docs whose distinct 3-grams are majority-novel)
+    * → SemDeDup over the survivors' embeddings (IVF argmax assignment +
+    * within-list cosine, drop the higher id of each pair) → token
+    * accounting. Every fragment is the one its standalone oracle
+    * (q83/q85) verifies; the chain pins the COMPOSITION. Assignment runs
+    * over ALL vectors (it is per-vector, independent of the subset) and
+    * pairs are then restricted to novel ids — identical semantics to the
+    * Spark side's subset-input dedup, without duplicating the fragment.
+    */
+  val q88CorpusPipelineV3: String = {
+    val novelty = Seq(
+      s"tok AS (SELECT doc_id, $Toks AS t FROM documents)",
+      "g AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2), " +
+        "i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END)) AS gram FROM tok)",
+      "f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram)",
+      "nov AS (SELECT g.doc_id FROM g JOIN f USING (gram) " +
+        "GROUP BY g.doc_id HAVING 2 * sum(CASE WHEN g.doc_id = f.first_id " +
+        "THEN 1 ELSE 0 END) >= count(*))")
+    val semantic = planesCtes() ++ Seq(
+      "proj AS (SELECT e.vec_id, e.embedding, pv.p, " +
+        s"${projection("e.embedding")} AS pr " +
+        "FROM embeddings e CROSS JOIN pv pv)",
+      "asg AS (SELECT vec_id, embedding, p AS list_id FROM " +
+        "(SELECT vec_id, embedding, p, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk FROM proj) " +
+        "WHERE rk = 1)",
+      "drops AS (SELECT DISTINCT b.vec_id AS b_id " +
+        "FROM asg a JOIN asg b ON a.list_id = b.list_id " +
+        "AND a.vec_id < b.vec_id " +
+        "JOIN nov na ON na.doc_id = a.vec_id " +
+        "JOIN nov nb ON nb.doc_id = b.vec_id " +
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4)",
+      "kept AS (SELECT n.doc_id FROM nov n " +
+        "JOIN embeddings e ON e.vec_id = n.doc_id " +
+        "WHERE n.doc_id NOT IN (SELECT b_id FROM drops))")
+    withClause(novelty ++ semantic,
+      "SELECT count(*) AS n_docs, " +
+        "CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS total_tokens " +
+        "FROM tok JOIN kept USING (doc_id)")
+  }
+
   /** Lloyd's k-means replay (k clusters, 2 updates, then a final
     * assignment): init = the k smallest vec_ids, distance = the same
     * left-fold (x-c)² accumulation as `VectorFunctions.l2DistanceSq`

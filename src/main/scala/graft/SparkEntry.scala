@@ -1018,6 +1018,26 @@ object SparkEntry {
             .as("n_flagged"))
     }),
 
+    // Capstone #3 — the round-6 stages composed, tokens materialized
+    // once and threaded through novelty + the final accounting: novelty
+    // filter (majority-novel 3-grams, integer predicate) → SemDeDup over
+    // the survivors' embeddings (doc_id = vec_id) → token accounting
+    "q88_corpus_pipeline_v3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("toks", toks(col("text")))
+      val novel = graft.operators.Novelty
+        .gramNovelty(docs, "doc_id", "text", n = 3,
+          tokensCol = Some("toks"))
+        .filter(col("n_novel") * 2 >= col("n_grams"))
+      val emb = T(s, dir, "embeddings")
+        .join(novel.select(col("doc_id").as("vec_id")), "vec_id")
+      val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.4, nLists = 8)
+      novel.join(kept.select(col("vec_id").as("doc_id")), "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("total_tokens"))
+    }),
+
     // Lloyd's k-means (k=4, 2 updates + final assignment): map-only
     // assignment passes with the k×dim centroid literal, one partial-agg
     // shuffle per update; centroids on the 1e-6 grid between iterations
@@ -1720,6 +1740,8 @@ object SparkEntry {
         |    AS BIGINT) AS n_flagged
         |FROM c LEFT JOIN hit h USING (vec_id)""".stripMargin,
 
-    "q87_kmeans" -> HashOracles.q87Kmeans(4)
+    "q87_kmeans" -> HashOracles.q87Kmeans(4),
+
+    "q88_corpus_pipeline_v3" -> HashOracles.q88CorpusPipelineV3
   )
 }
