@@ -1022,6 +1022,36 @@ object SparkEntry {
     // once and threaded through novelty + the final accounting: novelty
     // filter (majority-novel 3-grams, integer predicate) → SemDeDup over
     // the survivors' embeddings (doc_id = vec_id) → token accounting
+    // Asymmetric containment dedup (|a∩b| / |a| over distinct tokens):
+    // catches excerpt/wrapper duplication symmetric Jaccard misses.
+    // Capped quadratic ORACLE BASELINE like q20 — the production path
+    // generates candidates with LSH bands (q18) or shared spans (q82)
+    // and containment-verifies only those
+    "q89_containment_pairs" -> ((s, dir) => {
+      val t = T(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks"))
+      t.as("a").join(t.as("b"),
+          col("a.doc_id") =!= col("b.doc_id")) // asymmetric: both directions
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          DedupFunctions.containment(col("a.toks"), col("b.toks"))
+            .as("cont"))
+        .filter(col("cont") >= 0.8)
+        .withColumn("cont", round(col("cont"), 4))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Per-source marginal novelty: which sources still ADD first-seen
+    // content — the q83 accounting rolled up on provenance (integer grid)
+    "q90_source_novelty" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.operators.Novelty.gramNovelty(docs, "doc_id", "text", n = 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).cast("long").as("sum_grams"),
+          sum(col("n_novel")).cast("long").as("sum_novel"))
+        .orderBy(col("source"))
+    }),
+
     "q88_corpus_pipeline_v3" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
         .withColumn("toks", toks(col("text")))
@@ -1742,6 +1772,35 @@ object SparkEntry {
 
     "q87_kmeans" -> HashOracles.q87Kmeans(4),
 
-    "q88_corpus_pipeline_v3" -> HashOracles.q88CorpusPipelineV3
+    "q88_corpus_pipeline_v3" -> HashOracles.q88CorpusPipelineV3,
+
+    "q89_containment_pairs" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / len(a.toks), 4) AS cont
+         |FROM t a, t b
+         |WHERE a.doc_id <> b.doc_id
+         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / len(a.toks) >= 0.8
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q90_source_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, source, $ToksSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2),
+         |      i -> array_to_string(t[i + 1 : i + 3], ' '))
+         |    ELSE [array_to_string(t, ' ')] END)) AS gram FROM tok),
+         |f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+         |per AS (SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel
+         |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(p.n_grams) AS BIGINT) AS sum_grams,
+         |  CAST(sum(p.n_novel) AS BIGINT) AS sum_novel
+         |FROM documents d JOIN per p USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }

@@ -33,6 +33,17 @@ object DedupFunctions {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** Jaccard CONTAINMENT of `a` in `b`: |a ∩ b| / |a| — the asymmetric
+    * form that catches excerpt/wrapper duplication symmetric Jaccard
+    * misses (a short quote inside a long page scores near 1 here but
+    * near 0 on jaccard). Integer grid, same cross-engine safety.
+    */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val na = size(a).cast("double")
+    when(na === 0.0, lit(0.0)).otherwise(inter / na)
+  }
+
   /** splitmix64 finalizer — cheap, well-mixed 64-bit permutation. Public:
     * it is the engine-independent hash shared by MinHash seeds and the
     * deterministic LSH hyperplanes (and mirrored in SQL by

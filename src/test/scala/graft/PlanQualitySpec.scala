@@ -166,6 +166,19 @@ class PlanQualitySpec extends SparkSpec {
     Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
       "BroadcastNestedLoopJoin").foreach(op =>
       assert(!p87.contains(op), s"q87 assignment is not map-only:\n$p87"))
+    // q88 (capstone-3) and q90 (source novelty): every join is an
+    // equi-join, and no corpus-cardinality side is hint-forced.
+    // (q89 is deliberately absent here: like q20/q43 it IS the capped
+    // quadratic oracle baseline — the production path containment-
+    // verifies LSH/span candidates instead.)
+    Seq("q88_corpus_pipeline_v3", "q90_source_novelty").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        s"$q forces a corpus-cardinality broadcast")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
   }
 
   test("q01: aggregation is partial (map-side combine) before the shuffle") {

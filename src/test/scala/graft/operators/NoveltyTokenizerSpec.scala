@@ -69,6 +69,25 @@ class NoveltyTokenizerSpec extends SparkSpec {
     assert(out(3)._1 === Seq.empty)
   }
 
+  test("containment is asymmetric: an excerpt scores ~1 against its " +
+      "host but the host scores low against the excerpt") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (Seq.empty[String], Seq("a"))
+    ).toDF("small", "big")
+    val out = df.select(
+      graft.functions.DedupFunctions.containment(col("small"), col("big"))
+        .as("fwd"),
+      graft.functions.DedupFunctions.containment(col("big"), col("small"))
+        .as("bwd"))
+      .collect()
+    assert(out(0).getDouble(0) === 1.0)
+    assert(out(0).getDouble(1) === 3.0 / 8.0)
+    assert(out(1).getDouble(0) === 0.0, "empty side is defined as 0")
+  }
+
   test("trainMerges: the classic char-level BPE sequence, and early " +
       "stop when no pair reaches minCount") {
     val s = spark
