@@ -55,7 +55,11 @@ object Bench {
       // round-6: the verified-closure diagnostics (q80/q81) had no rep —
       // BENCH_r05 measured q81 at 4.0 s in-bench vs 1.0 s warm (QTime,
       // fresh sessions); warm the closure-fragment plan family too.
-      "q81_cluster_histogram")
+      "q81_cluster_histogram",
+      // the span-index family's first touch costs ~5 s of codegen/JIT
+      // (QTime: rep1 8.9 s, rep2+ 0.6 s with the identical plan) — warm
+      // it so the measured number is the plan, not the first touch
+      "q82_span_dedup")
       .foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try CacheScope.scoped { fn(spark, sfDir).count() }

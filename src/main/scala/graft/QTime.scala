@@ -32,7 +32,10 @@ object QTime {
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // scoped like Bench/Verify: without it, operator-persisted caches
+      // survive into the next rep and reps 2+ silently measure cache
+      // hits instead of the plan
+      val n = CacheScope.scoped { fn(spark, sfDir).count() }
       println(f"QTIME $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     spark.stop()

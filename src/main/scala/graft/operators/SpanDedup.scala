@@ -28,12 +28,16 @@ object SpanDedup {
     * construction (up to the accepted 2⁻⁶⁴ within-doc hash collision).
     */
   private def spanRows(df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int, tokensCol: Option[String]): DataFrame = {
-    val toks = tokensCol.map(col).getOrElse(TF.tokens(col(textCol)))
-    df.select(col(idCol).as("id"),
-        explode(TF.shinglesOf(toks, spanTokens)).as("span"))
+      spanTokens: Int, tokensCol: Option[String]): DataFrame =
+    // tokens materialized in their own projection BEFORE the shingle
+    // lambda — inlining tokens(text) re-runs the regexp split per
+    // shingle element (the HOF re-evaluation trap; q82 4.3 s -> 0.6 s
+    // at sf0.1, the same measured fix as Contamination's)
+    df.withColumn("__sp_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol).as("id"),
+        explode(TF.shinglesOf(col("__sp_toks"), spanTokens)).as("span"))
       .select(col("id"), xxhash64(col("span")).as("h"))
-  }
 
   /** Document pairs sharing ≥1 exact `spanTokens`-token span, with the
     * count of distinct shared spans per pair. Spans present in more than

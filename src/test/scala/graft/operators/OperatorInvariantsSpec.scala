@@ -116,4 +116,40 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"violated, missing ${exact -- approx}")
     }
   }
+
+  test("gramNovelty: every distinct corpus gram is novel exactly once, " +
+      "so sum(n_novel) == |distinct grams| and novelty <= grams per doc") {
+    Seq(13L, 37L).foreach { seed =>
+      val docs = corpus(seed, 90)
+      val out = graft.CacheScope.scoped {
+        Novelty.gramNovelty(docs, "doc_id", "text", n = 3).collect()
+      }
+      assert(out.forall(r =>
+        r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams")),
+        s"seed $seed: novelty exceeded gram count")
+      val sumNovel = out.map(_.getAs[Long]("n_novel")).sum
+      val distinctGrams = docs
+        .select(explode(graft.functions.TextFunctions.shingles(
+          col("text"), 3)).as("g"))
+        .distinct().count()
+      assert(sumNovel === distinctGrams,
+        s"seed $seed: $sumNovel novel vs $distinctGrams distinct grams — " +
+          "a gram must be novel exactly at its first doc")
+    }
+  }
+
+  test("semanticDedup: keep set plus distinct pair b-sides partitions " +
+      "the vector set (nothing lost, nothing double-counted)") {
+    val vectors =
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Seq(0.25, 0.35).foreach { tau =>
+      val pairs = Similarity.semanticDupPairs(vectors, "vec_id",
+        "embedding", threshold = tau, nLists = 8)
+        .select("b_id").distinct().count()
+      val kept = Similarity.semanticDedup(vectors, "vec_id", "embedding",
+        threshold = tau, nLists = 8).count()
+      assert(kept + pairs === vectors.count(),
+        s"tau=$tau: kept $kept + dropped $pairs != total")
+    }
+  }
 }
