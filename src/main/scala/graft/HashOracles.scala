@@ -773,6 +773,13 @@ object HashOracles {
     * [[operators.Clustering.kmeansCentroids]] — the rounding is what
     * makes the unordered double averages safe to feed into the next
     * iteration's assignment on both engines.
+    *
+    * Divergence bound: the Scala side keeps a previous centroid when a
+    * cluster goes EMPTY; this replay simply omits the empty cid from the
+    * next update (no row to aggregate). The two agree whenever every
+    * cluster stays populated — which holds for this fixture (k = 4 real
+    * vectors as seeds over the sf0.01 embeddings; the gate would go red
+    * if a data regeneration ever broke it, which is the desired signal).
     */
   def q87Kmeans(k: Int): String = {
     def dist(v: String, c: String): String =
