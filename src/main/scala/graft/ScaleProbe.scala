@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: empirical scaling probe for the corpus operators' scale
+  * paths — id-shifted self-unions of the sf tables (the round-4 dedup
+  * probe's device) swept over replica counts, each op timed WARM (one
+  * untimed run first). The numbers back COVERAGE.md's sub-quadratic
+  * claims with measurements, not just plan shapes.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir]
+  *
+  * What each sweep claims:
+  *  - gramNovelty: first-seen map + join back are linear in corpus size
+  *    (the gram table is the corpus's distinct grams — replicas add rows,
+  *    not grams).
+  *  - flagSpanDuplicated: the doc-level span verdict never materializes
+  *    pairs (the df table already knows which spans are shared), so
+  *    exact-duplicate replicas — the worst case for the PAIR form —
+  *    leave it linear.
+  *  - semanticDupPairs with nLists ∝ n: per-list size stays constant, so
+  *    the Σ size² pair cost stays linear in the corpus — the SemDeDup
+  *    paper's own k ~ √n scaling argument, measured.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").cache()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    val nDocs = docs.count()
+    val nVecs = emb.count()
+
+    def replicateDocs(r: Int): DataFrame =
+      (0 until r).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 10_000_000L))
+          .as("doc_id"), col("text"))
+      }.reduce(_ unionAll _)
+
+    def replicateVecs(r: Int): DataFrame =
+      (0 until r).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 10_000_000L))
+          .as("vec_id"), col("embedding"))
+      }.reduce(_ unionAll _)
+
+    def timeWarm(label: String, build: () => DataFrame): Unit = {
+      CacheScope.scoped { build().count() } // warm: codegen + JIT
+      val t0 = System.nanoTime()
+      val n = CacheScope.scoped { build().count() }
+      println(f"PROBE $label rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"novelty r=$r docs=${nDocs * r}", () =>
+        operators.Novelty.gramNovelty(replicateDocs(r), "doc_id", "text",
+          n = 3))
+    }
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"span_flag r=$r docs=${nDocs * r}", () =>
+        operators.SpanDedup.flagSpanDuplicated(replicateDocs(r),
+          "doc_id", "text", spanTokens = 12))
+    }
+    Seq((1, 8), (2, 16), (4, 32)).foreach { case (r, lists) =>
+      timeWarm(s"semantic r=$r vecs=${nVecs * r} nLists=$lists", () =>
+        operators.Similarity.semanticDupPairs(replicateVecs(r),
+          "vec_id", "embedding", threshold = 0.4, nLists = lists))
+    }
+    spark.stop()
+  }
+}
