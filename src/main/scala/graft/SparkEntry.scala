@@ -1055,10 +1055,14 @@ object SparkEntry {
     "q88_corpus_pipeline_v3" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
         .withColumn("toks", toks(col("text")))
-      val novel = graft.operators.Novelty
-        .gramNovelty(docs, "doc_id", "text", n = 3,
-          tokensCol = Some("toks"))
-        .filter(col("n_novel") * 2 >= col("n_grams"))
+      // the novelty stage feeds BOTH the embedding restriction and the
+      // final accounting join — scope-cached so it runs once
+      val novel = graft.CacheScope.register(
+        graft.operators.Novelty
+          .gramNovelty(docs, "doc_id", "text", n = 3,
+            tokensCol = Some("toks"))
+          .filter(col("n_novel") * 2 >= col("n_grams"))
+          .persist())
       val emb = T(s, dir, "embeddings")
         .join(novel.select(col("doc_id").as("vec_id")), "vec_id")
       val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",

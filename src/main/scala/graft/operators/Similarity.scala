@@ -180,12 +180,16 @@ object Similarity {
   def semanticDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nLists: Int = 8, dim: Int = 64): DataFrame = {
     // prepForPairs shape (id, vd, nrm) + the list assignment: norms are
-    // computed once per row with the same accumulation order as l2Norm
-    val prepped = assignLists(vectors, vecCol, nLists, dim)
-      .select(col(idCol).as("id"), col("list_id"),
-        transform(col(vecCol), x => x.cast("double")).as("vd"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+    // computed once per row with the same accumulation order as l2Norm.
+    // Scope-cached: the self-join reads it twice, and recomputing means
+    // paying the nLists-dot assignment and the norm per side
+    val prepped = graft.CacheScope.register(
+      assignLists(vectors, vecCol, nLists, dim)
+        .select(col(idCol).as("id"), col("list_id"),
+          transform(col(vecCol), x => x.cast("double")).as("vd"))
+        .withColumn("nrm",
+          sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+        .persist())
     prepped.as("a").join(prepped.as("b"),
         col("a.list_id") === col("b.list_id") && col("a.id") < col("b.id"))
       .withColumn("cos",

@@ -111,15 +111,28 @@ object TokenizerTraining {
     * right — after a merge the merged token is what the next input token
     * is compared against, so overlapping occurrences ("a a a" under
     * (a, a)) merge leftmost-first exactly like the reference BPE scan.
-    * Pure Column fold (no UDF): stays inside codegen.
+    *
+    * Deliberately a UDF, not a Column `aggregate` fold: the fold's
+    * per-element `concat(acc, array(x))` copies the accumulator each
+    * step — O(n²) array allocation per document, pathological at
+    * book-length token counts — while the UDF is one linear buffer scan
+    * (same justification as [[TF.rollingHash]]: a linear UDF beats a
+    * quadratic codegen expression; the function is pure and
+    * deterministic either way).
     */
-  def applyMerge(toks: Column, a: String, b: String): Column = {
-    val merged = a + " " + b
-    aggregate(toks, array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-          .otherwise(concat(acc, array(x))))
+  def applyMerge(toks: Column, a: String, b: String): Column =
+    mergeUdf(toks, lit(a), lit(b))
+
+  private val mergeUdf = udf { (toks: Seq[String], a: String, b: String) =>
+    if (toks == null) null
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      toks.foreach { t =>
+        if (out.nonEmpty && out.last == a && t == b)
+          out(out.length - 1) = a + " " + b
+        else out += t
+      }
+      out.toSeq
+    }
   }
 }
