@@ -1040,6 +1040,24 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Mixture water-filling: per-source token allocations under a total
+    // budget with saturation redistribution (src0/src1 upweighted 3x);
+    // the windows run over the 20-row stratum table, the corpus pays one
+    // distributed aggregation
+    "q91_mixture_waterfill" -> ((s, dir) => {
+      val perSource = T(s, dir, "documents")
+        .select(col("source"), size(toks(col("text"))).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("c_tokens"))
+        .withColumn("weight",
+          when(col("source").isin("src0", "src1"), 3.0).otherwise(1.0))
+      graft.operators.Mixture.waterfill(perSource, "source", "c_tokens",
+          "weight", budget = 15000.0)
+        .select(col("source"), col("c_tokens"),
+          round(col("alloc"), 2).as("alloc"))
+        .orderBy(col("source"))
+    }),
+
     // Per-source marginal novelty: which sources still ADD first-seen
     // content — the q83 accounting rolled up on provenance (integer grid)
     "q90_source_novelty" -> ((s, dir) => {
@@ -1805,6 +1823,33 @@ object SparkEntry {
          |  CAST(sum(p.n_grams) AS BIGINT) AS sum_grams,
          |  CAST(sum(p.n_novel) AS BIGINT) AS sum_novel
          |FROM documents d JOIN per p USING (doc_id)
-         |GROUP BY d.source ORDER BY d.source""".stripMargin
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // ordered window sums + IEEE division replay bit-for-bit; the FIRST
+    // feasible candidate (not min) fixes the water level
+    "q91_mixture_waterfill" ->
+      s"""WITH t AS (SELECT source, len($ToksSql) AS n FROM documents),
+         |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS c FROM t
+         |  GROUP BY source),
+         |w AS (SELECT source, c, CASE WHEN source IN ('src0', 'src1')
+         |  THEN 3.0 ELSE 1.0 END AS wt FROM s),
+         |r AS (SELECT source, c, wt, CAST(c AS DOUBLE) / wt AS ratio
+         |  FROM w),
+         |x AS (SELECT source, c, wt, ratio,
+         |  coalesce(sum(CAST(c AS DOUBLE)) OVER (ORDER BY ratio, source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+         |    AS cumb,
+         |  sum(wt) OVER (ORDER BY ratio, source
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tailw
+         |  FROM r),
+         |y AS (SELECT *, (15000.0 - cumb) / tailw AS tc FROM x),
+         |z AS (SELECT *, first_value(CASE WHEN ratio >= tc THEN tc END
+         |  IGNORE NULLS) OVER (ORDER BY ratio, source
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |  AS ts FROM y)
+         |SELECT source, c AS c_tokens,
+         |  round(CASE WHEN ts IS NULL THEN CAST(c AS DOUBLE)
+         |    ELSE least(CAST(c AS DOUBLE), wt * ts) END, 2) AS alloc
+         |FROM z ORDER BY source""".stripMargin
   )
 }

@@ -138,6 +138,40 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("waterfill: allocations sum to min(budget, total capacity), " +
+      "never exceed capacity, and unsaturated sources split by weight") {
+    val s = spark
+    import s.implicits._
+    Seq(5L, 23L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val strata = Seq.tabulate(12) { i =>
+        (s"src$i", 100L + rnd.nextInt(2000).toLong,
+          0.5 + rnd.nextInt(5).toDouble)
+      }.toDF("source", "cap", "w")
+      val totalCap = strata.select(sum(col("cap")))
+        .collect().head.getLong(0).toDouble
+      Seq(totalCap * 0.4, totalCap * 0.9, totalCap * 2.0).foreach { b =>
+        val out = Mixture.waterfill(strata, "source", "cap", "w", b)
+          .collect()
+          .map(r => (r.getAs[String]("source"), r.getAs[Long]("cap"),
+            r.getAs[Double]("w"), r.getAs[Double]("alloc")))
+        assert(out.forall { case (_, c, _, a) => a <= c + 1e-6 },
+          s"seed $seed b=$b: allocation over capacity")
+        val total = out.map(_._4).sum
+        assert(math.abs(total - math.min(b, totalCap)) < 1e-6,
+          s"seed $seed b=$b: allocations sum $total != " +
+            s"${math.min(b, totalCap)}")
+        // unsaturated sources allocate proportionally to weight: the
+        // implied level alloc/w is one shared constant across them
+        val levels = out.filter { case (_, c, _, a) => a < c - 1e-6 }
+          .map { case (_, _, w, a) => a / w }
+        if (levels.nonEmpty)
+          assert(levels.max - levels.min < 1e-6,
+            s"seed $seed b=$b: unsaturated levels diverge: $levels")
+      }
+    }
+  }
+
   test("semanticDedup: keep set plus distinct pair b-sides partitions " +
       "the vector set (nothing lost, nothing double-counted)") {
     val vectors =
