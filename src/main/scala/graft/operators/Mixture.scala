@@ -55,7 +55,11 @@ object Mixture {
           ignoreNulls = true).over(full))
       .withColumn("alloc",
         when(col("__tstar").isNull, col("__cap")) // budget >= total
-          .otherwise(least(col("__cap"), col(weightCol) * col("__tstar"))))
+          // clamp at 0: a budget below even the first stratum's share
+          // yields a negative level, which must mean "allocate nothing",
+          // never a negative allocation
+          .otherwise(greatest(lit(0.0),
+            least(col("__cap"), col(weightCol) * col("__tstar")))))
       .drop("__cap", "__ratio", "__cumBefore", "__tailW", "__tcand",
         "__tstar")
   }

@@ -150,13 +150,14 @@ class OperatorInvariantsSpec extends SparkSpec {
       }.toDF("source", "cap", "w")
       val totalCap = strata.select(sum(col("cap")))
         .collect().head.getLong(0).toDouble
-      Seq(totalCap * 0.4, totalCap * 0.9, totalCap * 2.0).foreach { b =>
+      // b = 0 pins the negative-level clamp: allocations are never < 0
+      Seq(0.0, totalCap * 0.4, totalCap * 0.9, totalCap * 2.0).foreach { b =>
         val out = Mixture.waterfill(strata, "source", "cap", "w", b)
           .collect()
           .map(r => (r.getAs[String]("source"), r.getAs[Long]("cap"),
             r.getAs[Double]("w"), r.getAs[Double]("alloc")))
-        assert(out.forall { case (_, c, _, a) => a <= c + 1e-6 },
-          s"seed $seed b=$b: allocation over capacity")
+        assert(out.forall { case (_, c, _, a) => a >= 0.0 && a <= c + 1e-6 },
+          s"seed $seed b=$b: allocation negative or over capacity")
         val total = out.map(_._4).sum
         assert(math.abs(total - math.min(b, totalCap)) < 1e-6,
           s"seed $seed b=$b: allocations sum $total != " +
