@@ -736,8 +736,9 @@ object SparkEntry {
     // Context-window chunking: one row per 64-token chunk (8 overlap).
     "q47_chunking" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("__toks", toks(col("text"))) // tokenize-once
         .select(col("doc_id"),
-          posexplode(TF.chunks(col("text"), chunkSize = 64, overlap = 8))
+          posexplode(TF.chunksOf(col("__toks"), chunkSize = 64, overlap = 8))
             .as(Seq("chunk_idx", "chunk")))
         .select(col("doc_id"), col("chunk_idx"),
           length(col("chunk")).as("chunk_chars"))

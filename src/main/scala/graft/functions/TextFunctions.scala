@@ -109,10 +109,18 @@ object TextFunctions {
     * last partial chunk is kept. Pure Column combinator: pairs with
     * `posexplode` to one row per chunk.
     */
-  def chunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+  def chunks(text: Column, chunkSize: Int, overlap: Int): Column =
+    chunksOf(tokens(text), chunkSize, overlap)
+
+  /** [[chunks]] over an already-materialized token array COLUMN — the
+    * hot-path form (tokenize-once contract): the chunk lambda references
+    * `toks` per element, so passing the inline `tokens(text)` expression
+    * re-runs the regexp split once per chunk (the HOF re-evaluation
+    * trap); pass a materialized column and it is a row-field read.
+    */
+  def chunksOf(toks: Column, chunkSize: Int, overlap: Int): Column = {
     require(overlap < chunkSize, "overlap must be smaller than chunk size")
     val stride = chunkSize - overlap
-    val toks = tokens(text)
     val nChunks = greatest(
       ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"),
       lit(1))
