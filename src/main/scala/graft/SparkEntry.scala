@@ -1041,6 +1041,21 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Token-rarity mass: per-doc sum of its tokens' corpus frequencies
+    // (integer grid — the log-free CCNet-style frequency prior: low mass
+    // = rare/garbled text, high mass = boilerplate-common). Same
+    // un-hinted corpus-frequency join shape as q83
+    "q92_token_rarity" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      tok.join(freq, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("tf")).cast("long").as("freq_mass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Mixture water-filling: per-source token allocations under a total
     // budget with saturation redistribution (src0/src1 upweighted 3x);
     // the windows run over the 20-row stratum table, the corpus pays one
@@ -1851,6 +1866,15 @@ object SparkEntry {
          |SELECT source, c AS c_tokens,
          |  round(CASE WHEN ts IS NULL THEN CAST(c AS DOUBLE)
          |    ELSE least(CAST(c AS DOUBLE), wt * ts) END, 2) AS alloc
-         |FROM z ORDER BY source""".stripMargin
+         |FROM z ORDER BY source""".stripMargin,
+
+    "q92_token_rarity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token
+         |  FROM documents),
+         |f AS (SELECT token, count(*) AS tf FROM tok GROUP BY token)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(f.tf) AS BIGINT) AS freq_mass
+         |FROM tok JOIN f USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -150,6 +150,17 @@ class SimilaritySpec extends SparkSpec {
       (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(approx.subsetOf(exact),
       s"semantic pairs not a subset: ${approx.diff(exact)}")
+    // the recall lever: fewer, larger lists recover cross-list misses
+    val approx4 = Similarity.semanticDupPairs(vectors, "vec_id",
+        "embedding", threshold = tau, nLists = 4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r8 = approx.size.toDouble / exact.size
+    val r4 = approx4.size.toDouble / exact.size
+    info(f"SemDeDup pair recall vs brute force @tau=$tau: " +
+      f"nLists=8 $r8%.2f, nLists=4 $r4%.2f (${exact.size} true pairs)")
+    assert(r4 >= r8 - 1e-9,
+      "fewer lists must not lose recall (bigger lists, fewer cross-list misses)")
     val kept = Similarity.semanticDedup(vectors, "vec_id", "embedding",
       threshold = tau, nLists = 8)
     val dropped = approx.map(_._2)
