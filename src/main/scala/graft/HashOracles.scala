@@ -781,34 +781,66 @@ object HashOracles {
     * vectors as seeds over the sf0.01 embeddings; the gate would go red
     * if a data regeneration ever broke it, which is the desired signal).
     */
-  def q87Kmeans(k: Int): String = {
-    def dist(v: String, c: String): String =
-      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, 65), j -> ($v[j] - $c[j]) * ($v[j] - $c[j]))), " +
-        "(a, x) -> a + x)"
-    def assignCte(name: String, cents: String): String =
-      s"$name AS (SELECT vec_id, v, cid, dist FROM " +
-        "(SELECT vec_id, v, cid, dist, row_number() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM " +
-        s"(SELECT e.vec_id, e.v, c.cid, ${dist("e.v", "c.vec")} AS dist " +
-        s"FROM e CROSS JOIN $cents c)) WHERE rk = 1)"
-    def updateCte(name: String, assigned: String): String =
-      s"$name AS (SELECT cid, list(m ORDER BY pos) AS vec FROM " +
-        s"(SELECT cid, j AS pos, round(avg(v[j]), 6) AS m FROM $assigned, " +
-        "(SELECT unnest(range(1, 65)) AS j) GROUP BY cid, j) GROUP BY cid)"
-    withClause(Seq(
-      "e AS (SELECT vec_id, list_transform(embedding, " +
-        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 " +
-        "AS INTEGER) AS cid, v AS vec FROM " +
-        s"(SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))",
-      assignCte("a1", "c0"), updateCte("c1", "a1"),
-      assignCte("a2", "c1"), updateCte("c2", "a2"),
-      assignCte("a3", "c2")),
+  private def kmDist(v: String, c: String): String =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), j -> ($v[j] - $c[j]) * ($v[j] - $c[j]))), " +
+      "(a, x) -> a + x)"
+
+  /** Assignment CTE: each vector's `take` nearest centroids from `cents`
+    * (ascending (dist, cid) — ties to the smaller id, mirroring
+    * `Clustering.nearestLists`). take = 1 is Lloyd's assignment.
+    */
+  private def kmAssignCte(name: String, cents: String,
+      take: Int = 1): String =
+    s"$name AS (SELECT vec_id, v, cid, dist FROM " +
+      "(SELECT vec_id, v, cid, dist, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM " +
+      s"(SELECT e.vec_id, e.v, c.cid, ${kmDist("e.v", "c.vec")} AS dist " +
+      s"FROM e CROSS JOIN $cents c)) WHERE rk <= $take)"
+
+  private def kmUpdateCte(name: String, assigned: String): String =
+    s"$name AS (SELECT cid, list(m ORDER BY pos) AS vec FROM " +
+      s"(SELECT cid, j AS pos, round(avg(v[j]), 6) AS m FROM $assigned, " +
+      "(SELECT unnest(range(1, 65)) AS j) GROUP BY cid, j) GROUP BY cid)"
+
+  /** e + c0 + two Lloyd updates → trained centroids in CTE `c2` — the
+    * fragment q87 (final assignment) and q93 (trained SemDeDup) share.
+    */
+  private def kmTrainCtes(k: Int): Seq[String] = Seq(
+    "e AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+    "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 " +
+      "AS INTEGER) AS cid, v AS vec FROM " +
+      s"(SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))",
+    kmAssignCte("a1", "c0"), kmUpdateCte("c1", "a1"),
+    kmAssignCte("a2", "c1"), kmUpdateCte("c2", "a2"))
+
+  def q87Kmeans(k: Int): String =
+    withClause(kmTrainCtes(k) :+ kmAssignCte("a3", "c2"),
       "SELECT cid AS cluster, count(*) AS n, " +
         "round(sum(dist), 2) AS inertia FROM a3 " +
         "GROUP BY cid ORDER BY cid")
-  }
+
+  /** Trained-SemDeDup replay (the q85 pair fragment over q87's TRAINED
+    * centroids, with top-2 multi-assignment): every vector takes its two
+    * L2-nearest c2 centroids; pairs meet in any shared list (a.id < b.id
+    * canonical), then collapse to one row per pair with the smallest
+    * shared list id — exactly `Similarity.semanticDupPairsTrained`'s
+    * nAssign = 2 semantics. Cosine via list_cosine_similarity at a
+    * threshold the fixture's ~1e-5 pair spacing makes engine-stable
+    * (q85 precedent).
+    */
+  def q93TrainedSemanticDedup(k: Int): String =
+    withClause(kmTrainCtes(k) ++ Seq(
+      kmAssignCte("asg", "c2", take = 2),
+      "pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cid AS cid, " +
+        "list_cosine_similarity(a.v, b.v) AS cos " +
+        "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)",
+      "pairs AS (SELECT a_id, b_id, min(cid) AS list_id, min(cos) AS cos " +
+        "FROM pr GROUP BY a_id, b_id)",
+      "hit AS (SELECT * FROM pairs WHERE cos >= 0.4)"),
+      "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
+        "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
   /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,
     * byte_entropy_q = number of occupied histogram buckets = distinct

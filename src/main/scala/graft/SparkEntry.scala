@@ -1044,15 +1044,12 @@ object SparkEntry {
     // Token-rarity mass: per-doc sum of its tokens' corpus frequencies
     // (integer grid — the log-free CCNet-style frequency prior: low mass
     // = rare/garbled text, high mass = boilerplate-common). Same
-    // un-hinted corpus-frequency join shape as q83
+    // un-hinted corpus-frequency join shape as q83; the (doc, token)
+    // explode is scope-cached inside the operator so the corpus
+    // tokenizes ONCE (round-6 verdict's q92 double-scan fix)
     "q92_token_rarity" -> ((s, dir) => {
-      val tok = T(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
-      val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-      tok.join(freq, Seq("token"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("tf")).cast("long").as("freq_mass"))
+      graft.operators.Keywords
+        .tokenFrequencyMass(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -1119,6 +1116,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("dist_sq")), 2).as("inertia"))
         .orderBy(col("cluster"))
+    }),
+
+    // Trained SemDeDup — q85's recall dial realized: k-means centroids
+    // (the actual published recipe) + top-2 multi-assignment, pairs
+    // collapsed on the pair key. The oracle replays the full trained
+    // chain (Lloyd's ×2 on the 1e-6 grid → top-2 assign → within-list
+    // cosine)
+    "q93_trained_semantic_dedup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      Similarity.semanticDupPairsTrained(e, "vec_id", "embedding",
+          threshold = 0.4, centroids = cents, nAssign = 2)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_dropped"),
+          round(coalesce(max(col("cos")), lit(-1)), 4).as("best_cos"))
     })
   )
 
@@ -1809,6 +1822,7 @@ object SparkEntry {
         |FROM c LEFT JOIN hit h USING (vec_id)""".stripMargin,
 
     "q87_kmeans" -> HashOracles.q87Kmeans(4),
+    "q93_trained_semantic_dedup" -> HashOracles.q93TrainedSemanticDedup(4),
 
     "q88_corpus_pipeline_v3" -> HashOracles.q88CorpusPipelineV3,
 
@@ -1865,7 +1879,8 @@ object SparkEntry {
          |  AS ts FROM y)
          |SELECT source, c AS c_tokens,
          |  round(CASE WHEN ts IS NULL THEN CAST(c AS DOUBLE)
-         |    ELSE least(CAST(c AS DOUBLE), wt * ts) END, 2) AS alloc
+         |    ELSE greatest(0.0, least(CAST(c AS DOUBLE), wt * ts)) END, 2)
+         |    AS alloc
          |FROM z ORDER BY source""".stripMargin,
 
     "q92_token_rarity" ->

@@ -74,11 +74,23 @@ object Clustering {
     * (dist, cid) structs — the min-distance pick with the smaller-id tie
     * break, the exact mirror of `Similarity.bestLists`'s argmax.
     */
-  private def nearest(v: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+  private def nearest(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_sort(scoredByDist(v, centroids)).getItem(0)
+
+  /** The `take` L2-nearest centroid ids for a vector, ascending by
+    * (dist, cid) — [[assign]]'s single-nearest pick generalized to the
+    * top-n MULTI-assignment trained SemDeDup uses
+    * ([[Similarity.semanticDupPairsTrained]]): `take = 1` head equals
+    * `assign`'s cluster by construction (same scored array, same sort).
+    */
+  def nearestLists(v: Column, centroids: Seq[Seq[Double]],
+      take: Int): Column =
+    transform(slice(array_sort(scoredByDist(v, centroids)), 1, take),
+      s => s.getField("cid"))
+
+  private def scoredByDist(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
       struct(VF.l2DistanceSq(v, typedLit(c)).as("dist"),
         lit(i).as("cid"))
     }: _*)
-    array_sort(scored).getItem(0)
-  }
 }

@@ -158,8 +158,11 @@ object Contamination {
     * construction — NOT corpus-derived), so broadcasting it is correct,
     * and the corpus side streams through one codegen'd dot-product loop
     * per (row × benchmark vector) with norms precomputed per row. No
-    * corpus shuffle; the flagged-id set is benchmark-bounded and
-    * broadcasts back the same way.
+    * corpus shuffle. The flagged-id set is NOT bounded — every corpus
+    * row within threshold of any benchmark vector lands in it, so a
+    * high contamination rate makes it corpus-cardinality — hence the
+    * join-back is un-hinted: AQE broadcasts it only when the runtime
+    * size fits (same rule as the q83/q92 corpus joins).
     */
   def flagContaminatedByEmbedding(corpus: DataFrame, idCol: String,
       vecCol: String, benchmark: DataFrame, benchVecCol: String,
@@ -179,7 +182,10 @@ object Contamination {
       .filter(col("cos") >= threshold)
       .select(col("id").as(idCol)).distinct()
       .withColumn("is_contaminated", lit(true))
-    corpus.join(broadcast(hits), Seq(idCol), "left")
+    // un-hinted join-back: `hits` is corpus-derived and unbounded in the
+    // worst case (see Scaladoc), so forcing a broadcast here could OOM the
+    // driver at scale — let AQE broadcast only when the runtime size fits
+    corpus.join(hits, Seq(idCol), "left")
       .withColumn("is_contaminated",
         coalesce(col("is_contaminated"), lit(false)))
   }

@@ -481,11 +481,12 @@ object Dedup {
     // key_bucket with the exact modulus used at write time — an
     // out-of-band mismatch would silently prune to the wrong bucket
     // (a silent-miss, not an error). The underscore prefix keeps every
-    // parquet reader from picking the file up as data.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$path/$MetaFile"),
-      s"""{"keyBuckets":$keyBuckets,"idShards":$idShards}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // parquet reader from picking the file up as data. Written through
+    // the Hadoop FS API so it lands on the index's OWN filesystem
+    // (hdfs/s3), not the driver's local disk.
+    graft.sources.Sidecar.write(index.bands.sparkSession,
+      s"$path/$MetaFile",
+      s"""{"keyBuckets":$keyBuckets,"idShards":$idShards}""")
   }
 
   private val MetaFile = "_graft_index.json"
@@ -497,12 +498,11 @@ object Dedup {
     * the bucket modulus for a delta-side [[keyBucketOf]] derivation.
     */
   def readIndexMeta(path: String): DedupIndexMeta = {
-    val p = java.nio.file.Paths.get(s"$path/$MetaFile")
-    require(java.nio.file.Files.exists(p),
-      s"no $MetaFile under $path - not a graft dedup index " +
-        "(or written by a pre-metadata version; rewrite with writeIndex)")
-    val text = new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val text = graft.sources.Sidecar
+      .read(SparkSession.active, s"$path/$MetaFile")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $MetaFile under $path - not a graft dedup index " +
+          "(or written by a pre-metadata version; rewrite with writeIndex)"))
     def intField(name: String): Int =
       ("\"" + name + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
         .map(_.group(1).toInt)

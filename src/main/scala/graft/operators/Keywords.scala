@@ -98,6 +98,31 @@ object Keywords {
       .na.fill(0L, Seq("n_tokens", "n_oov", "oov_per_1000"))
   }
 
+  /** Per-document token-rarity mass: `n_tokens` plus `freq_mass` = the
+    * sum over the document's tokens of each token's CORPUS frequency —
+    * the log-free CCNet-style frequency prior on the integer grid (low
+    * mass = rare/garbled text, high mass = boilerplate-common).
+    *
+    * The (id, token) explode feeds BOTH the frequency aggregation and
+    * the join-back probe side, so it is persisted for the duration of
+    * the call (ownership registered with the active [[graft.CacheScope]],
+    * same contract as [[Novelty.gramNovelty]]) — one corpus tokenize
+    * pass, not two. The frequency join stays un-hinted: one row per
+    * distinct corpus token is corpus-scale cardinality (see the
+    * [[tfIdfTopTerms]] df-join note). `tokensCol` joins the
+    * tokenize-once contract.
+    */
+  def tokenFrequencyMass(docs: DataFrame, idCol: String, textCol: String,
+      tokensCol: Option[String] = None): DataFrame = {
+    val tok = graft.CacheScope.register(
+      tokenRows(docs, idCol, textCol, tokensCol).persist())
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    tok.join(freq, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf")).cast("long").as("freq_mass"))
+  }
+
   /** (id, token) rows — from the caller's pre-tokenized column when the
     * tokenize-once contract is in play, else one regexp pass here.
     */

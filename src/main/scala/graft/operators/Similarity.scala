@@ -190,6 +190,15 @@ object Similarity {
         .withColumn("nrm",
           sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
         .persist())
+    withinListPairs(prepped, threshold)
+  }
+
+  /** The within-list pair scoring shared by the untrained and trained
+    * SemDeDup paths: self-equi-join on `list_id`, cosine from the
+    * precomputed (vd, nrm) columns, `a.id < b.id` canonical orientation.
+    */
+  private def withinListPairs(prepped: DataFrame,
+      threshold: Double): DataFrame =
     prepped.as("a").join(prepped.as("b"),
         col("a.list_id") === col("b.list_id") && col("a.id") < col("b.id"))
       .withColumn("cos",
@@ -199,6 +208,55 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.list_id").as("list_id"), col("cos"))
+
+  /** SemDeDup with TRAINED centroids — the published recipe proper
+    * (Abbas et al. cluster with k-means, then compare within clusters):
+    * assignment is L2-nearest over the given matrix (the [[Clustering]]
+    * convention — pass [[Clustering.kmeansCentroids]] output), and
+    * `nAssign > 1` assigns each vector to its top-`nAssign` nearest
+    * lists, so near-boundary pairs split across adjacent clusters are
+    * still compared. Both are recall dials over the untrained
+    * [[semanticDupPairs]] baseline, MEASURED in SimilaritySpec on the
+    * same true-pair fixture.
+    *
+    * 100 TB shape is unchanged: candidates are the `list_id` equi-join
+    * (cost Σ size², never n²); multi-assignment is a bounded nAssign×
+    * row duplication of the prepped table, and the final pair dedup
+    * (a multi-assigned pair can meet in up to nAssign shared lists)
+    * groups on the pair key — same shuffle class as the join itself.
+    * Output matches [[semanticDupPairs]]: (a_id, b_id, list_id, cos),
+    * one row per pair, `list_id` = the smallest shared list.
+    */
+  def semanticDupPairsTrained(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, centroids: Seq[Seq[Double]],
+      nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1 && nAssign <= centroids.size,
+      s"nAssign $nAssign out of range [1, ${centroids.size}]")
+    val prepped = graft.CacheScope.register(
+      vectors
+        .select(col(idCol).as("id"),
+          transform(col(vecCol), x => x.cast("double")).as("vd"),
+          explode(Clustering.nearestLists(col(vecCol), centroids, nAssign))
+            .as("list_id"))
+        .withColumn("nrm",
+          sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+        .persist())
+    val pairs = withinListPairs(prepped, threshold)
+    if (nAssign == 1) pairs
+    // min over identical cos values — pure dedup, deterministic list pick
+    else pairs.groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("list_id")).as("list_id"), min(col("cos")).as("cos"))
+  }
+
+  /** [[semanticDedup]] over the trained path: drop the higher id of every
+    * [[semanticDupPairsTrained]] pair.
+    */
+  def semanticDedupTrained(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, centroids: Seq[Seq[Double]],
+      nAssign: Int = 1): DataFrame = {
+    val drops = semanticDupPairsTrained(vectors, idCol, vecCol, threshold,
+      centroids, nAssign).select(col("b_id"))
+    vectors.join(drops.distinct(), col(idCol) === col("b_id"), "left_anti")
   }
 
   /** The keep set under semantic dedup: drop every vector that is the
@@ -246,20 +304,19 @@ object Similarity {
     val body = centroids
       .map(_.map(d => java.lang.Double.toString(d)).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$path/$IvfMetaFile"),
-      (s"""{"nLists":${centroids.size},"dim":${centroids.head.size},""" +
+    // Hadoop FS API, not java.nio: the sidecar must land on the index
+    // path's own filesystem (hdfs/s3) or the reader rejects the index
+    graft.sources.Sidecar.write(vectors.sparkSession, s"$path/$IvfMetaFile",
+      s"""{"nLists":${centroids.size},"dim":${centroids.head.size},""" +
         s""""centroids":$body}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** The centroid matrix a persisted index was written with. */
   def readIvfCentroids(path: String): Seq[Seq[Double]] = {
-    val p = java.nio.file.Paths.get(s"$path/$IvfMetaFile")
-    require(java.nio.file.Files.exists(p),
-      s"no $IvfMetaFile under $path - not a graft IVF index")
-    val text = new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val text = graft.sources.Sidecar
+      .read(org.apache.spark.sql.SparkSession.active, s"$path/$IvfMetaFile")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $IvfMetaFile under $path - not a graft IVF index"))
     val start = text.indexOf("\"centroids\":[[")
     require(start >= 0, s"$IvfMetaFile under $path lacks centroids: $text")
     text.substring(start + 14, text.lastIndexOf("]]"))

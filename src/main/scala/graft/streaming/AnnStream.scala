@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * state), then a STREAM-STATIC equi-join on `list_id` scores cosine
   * against that list's vectors only. Completely stateless — no watermark
   * needed for correctness; per-batch cost is the micro-batch size times
-  * its probed list sizes, never the index size. The static side re-reads
-  * per micro-batch as a normal batch relation, so index refreshes (a
-  * nightly rebuild swapping the directory) are picked up without
-  * restarting the query.
+  * its probed list sizes, never the index size. NOTE on index rebuilds:
+  * the static side's file listing (and the centroid sidecar read here)
+  * are captured ONCE at query start — an in-place overwrite rebuild
+  * leaves the running query reading deleted/stale files, so RESTART the
+  * query after a rebuild (or wrap the match in `foreachBatch` with a
+  * fresh `indexMatches` per batch to re-resolve both).
   */
 object AnnStream {
 

@@ -169,6 +169,44 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped.forall(!keptIds.contains(_)))
   }
 
+  test("trained SemDeDup: k-means centroids and multi-assignment lift " +
+      "pair recall above the untrained baseline") {
+    val tau = 0.3
+    val exact = Dedup.embeddingNearDupPairs(vectors, "vec_id", "embedding",
+        threshold = tau - 1e-12)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val untrained = pairSet(Similarity.semanticDupPairs(
+      vectors, "vec_id", "embedding", threshold = tau, nLists = 8))
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val trained = pairSet(Similarity.semanticDupPairsTrained(
+      vectors, "vec_id", "embedding", tau, cents, nAssign = 1))
+    val multi = pairSet(Similarity.semanticDupPairsTrained(
+      vectors, "vec_id", "embedding", tau, cents, nAssign = 2))
+    // never false admissions, on any path
+    assert(trained.subsetOf(exact), s"not a subset: ${trained.diff(exact)}")
+    assert(multi.subsetOf(exact), s"not a subset: ${multi.diff(exact)}")
+    // multi-assignment only ADDS comparisons: single-assign pairs share
+    // their best list, which top-2 assignment still includes
+    assert(trained.subsetOf(multi),
+      s"nAssign=2 lost pairs: ${trained.diff(multi)}")
+    val r0 = untrained.size.toDouble / exact.size
+    val r1 = trained.size.toDouble / exact.size
+    val r2 = multi.size.toDouble / exact.size
+    info(f"SemDeDup pair recall @tau=$tau (${exact.size} true pairs): " +
+      f"untrained nLists=8 $r0%.2f, trained k=8 $r1%.2f, " +
+      f"trained+top2 $r2%.2f")
+    // the round-6 verdict's Done criterion: both trained paths strictly
+    // above the measured untrained 0.27 baseline on this fixture
+    assert(r1 > r0, f"trained recall $r1%.2f not above untrained $r0%.2f")
+    assert(r2 >= r1, f"multi-assign recall $r2%.2f under trained $r1%.2f")
+    assert(r2 > r0, f"trained+top2 recall $r2%.2f not above $r0%.2f")
+  }
+
   test("embedding decontamination flags exactly the corpus vectors with " +
       "a benchmark neighbor at the threshold") {
     val tau = 0.3
