@@ -842,6 +842,54 @@ object HashOracles {
       "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
         "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** BPE train→encode replay: `rounds` training rounds (count adjacent
+    * pairs over the CURRENT stream, pick the (count DESC, l, r) top,
+    * rewrite every document) followed by per-document accounting of the
+    * final stream — the exact semantics of
+    * `TokenizerTraining.trainMerges(minCount = 1)` + `encode`.
+    *
+    * Stream representation: each document's token stream is a chr(31)-
+    * joined string with a LEADING separator ('' for empty docs); base
+    * tokens are whitespace-split so they never contain chr(31), and
+    * merged tokens join with ' ' — so `ends_with(acc, chr(31) || l)`
+    * tests "last token equals l" exactly, and the per-round rewrite is
+    * ONE list_reduce fold per row reproducing the leftmost-first merge
+    * scan of `applyMerge` (out.last == a && t == b → replace).
+    */
+  def q94BpeEncode(rounds: Int): String = {
+    val sep = "chr(31)"
+    val roundCtes = (1 to rounds).flatMap { i =>
+      Seq(
+        // token-list view of the previous round's stream
+        s"t$i AS (SELECT doc_id, CASE WHEN s = '' THEN CAST([] AS VARCHAR[]) " +
+          s"ELSE str_split(substr(s, 2), $sep) END AS t FROM s${i - 1})",
+        // adjacent pairs, duplicates kept (adjacentPairStructs semantics)
+        s"g$i AS (SELECT t[j] AS l, t[j + 1] AS r FROM " +
+          s"(SELECT t, unnest(range(1, len(t))) AS j FROM t$i))",
+        s"m$i AS (SELECT l, r FROM g$i GROUP BY l, r " +
+          "ORDER BY count(*) DESC, l, r LIMIT 1)",
+        // the leftmost-first merge scan as a string fold
+        s"s$i AS (SELECT doc_id, CASE WHEN len(t.t) = 0 THEN '' ELSE " +
+          "list_reduce(list_prepend(CAST('' AS VARCHAR), t.t), " +
+          s"(acc, x) -> CASE WHEN ends_with(acc, $sep || m.l) AND x = m.r " +
+          s"THEN acc || ' ' || x ELSE acc || $sep || x END) END AS s " +
+          s"FROM t$i t, m$i m)")
+    }
+    withClause(
+      Seq(
+        s"tok AS (SELECT doc_id, $Toks AS t FROM documents)",
+        s"s0 AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN '' ELSE " +
+          s"$sep || array_to_string(t, $sep) END AS s FROM tok)") ++
+        roundCtes ++ Seq(
+        s"fin AS (SELECT doc_id, CASE WHEN s = '' THEN CAST([] AS VARCHAR[]) " +
+          s"ELSE str_split(substr(s, 2), $sep) END AS e FROM s$rounds)"),
+      "SELECT doc_id, CAST(len(e) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_filter(e, x -> contains(x, ' '))) AS BIGINT) " +
+        "AS n_merged, " +
+        s"md5(array_to_string(e, $sep)) AS stream_md5 " +
+        "FROM fin ORDER BY doc_id")
+  }
+
   /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,
     * byte_entropy_q = number of occupied histogram buckets = distinct
     * `byte % 16` values (a bucket count is > 0 iff some byte lands in it).

@@ -1132,7 +1132,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("b_id")).as("n_dropped"),
           round(coalesce(max(col("cos")), lit(-1)), 4).as("best_cos"))
-    })
+    }),
+
+    // BPE train→encode: 8 trained merges applied to the whole corpus in
+    // ONE UDF pass (rank-priority encoder), accounting + md5 of each
+    // encoded stream; the oracle replays training AND encoding
+    // (per-round string folds) so the md5s pin content, not just counts
+    "q94_bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = graft.operators.TokenizerTraining.trainMerges(
+        docs, "doc_id", "text", rounds = 8, minCount = 1)
+      graft.operators.TokenizerTraining
+        .encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("encoded")).cast("long").as("n_tokens"),
+          size(filter(col("encoded"), x => x.contains(" ")))
+            .cast("long").as("n_merged"),
+          md5(concat_ws("\u001f", col("encoded"))).as("stream_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Containment dedup, PRODUCTION path (the scale form of the q89
+    // capped baseline): span-hash candidates → asymmetric containment
+    // verify ≥ τ over the FULL corpus — O(candidates), never n²
+    "q95_containment_verified" -> ((s, dir) =>
+      graft.operators.SpanDedup.containmentVerifiedPairs(
+          T(s, dir, "documents"), "doc_id", "text", tau = 0.6)
+        .orderBy(col("a_id"), col("b_id")))
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -1823,6 +1849,39 @@ object SparkEntry {
 
     "q87_kmeans" -> HashOracles.q87Kmeans(4),
     "q93_trained_semantic_dedup" -> HashOracles.q93TrainedSemanticDedup(4),
+    "q94_bpe_encode" -> HashOracles.q94BpeEncode(8),
+
+    // span-candidate generation is the q82 fragment (span STRING join
+    // vs Spark's xxhash64 — same accepted 2^-64 divergence); the verify
+    // step mirrors DedupFunctions.containment including the empty-side
+    // 0.0 guard. Candidates expand to BOTH orientations before the
+    // asymmetric verify.
+    "q95_containment_verified" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |spw AS (SELECT doc_id,
+         |    array_to_string(t[i + 1 : i + 12], ' ') AS span
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 11)) AS i
+         |        FROM tok WHERE len(t) >= 12)),
+         |sps AS (SELECT doc_id, array_to_string(t, ' ') AS span
+         |  FROM tok WHERE len(t) < 12),
+         |sp AS (SELECT DISTINCT doc_id, span
+         |  FROM (SELECT * FROM spw UNION ALL SELECT * FROM sps)),
+         |elig AS (SELECT span FROM sp GROUP BY span
+         |  HAVING count(*) BETWEEN 2 AND 50),
+         |es AS (SELECT s.doc_id, s.span FROM sp s JOIN elig USING (span)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM es a JOIN es b ON a.span = b.span AND a.doc_id < b.doc_id),
+         |bi AS (SELECT a_id, b_id FROM cand
+         |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand),
+         |dt AS (SELECT doc_id, list_distinct(t) AS toks FROM tok),
+         |v AS (SELECT c.a_id, c.b_id,
+         |  CASE WHEN len(ta.toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+         |      / len(ta.toks) END AS cont
+         |  FROM bi c JOIN dt ta ON ta.doc_id = c.a_id
+         |  JOIN dt tb ON tb.doc_id = c.b_id)
+         |SELECT a_id, b_id, round(cont, 4) AS cont FROM v
+         |WHERE cont >= 0.6 ORDER BY 1, 2""".stripMargin,
 
     "q88_corpus_pipeline_v3" -> HashOracles.q88CorpusPipelineV3,
 

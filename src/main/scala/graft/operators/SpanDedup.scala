@@ -95,6 +95,171 @@ object SpanDedup {
       .withColumn("has_dup_span", col("n_dup_spans") > 0)
   }
 
+  /** Production containment dedup: span CANDIDATES → containment VERIFY —
+    * the scale path for the capped-quadratic q89 baseline. Candidate
+    * pairs come from [[sharedSpanPairs]] (documents sharing ≥1 exact
+    * `spanTokens`-token span — excerpt/wrapper duplication implies long
+    * verbatim spans, so shared spans are precisely the asymmetric-dup
+    * evidence); each candidate is then verified in BOTH orientations
+    * (containment is asymmetric) with
+    * [[graft.functions.DedupFunctions.containment]] over the documents'
+    * distinct-token sets, keeping pairs at ≥ `tau`.
+    *
+    * 100 TB shape: candidates are the span-hash equi-join (hub-capped,
+    * never all-pairs); the verify step joins the BOUNDED candidate set
+    * back to the token arrays by id — two plain equi-joins — and scores
+    * one codegen'd intersection per candidate. Total cost is
+    * O(candidates), not O(n²): the quadratic form exists only as the
+    * oracle baseline (q89). Recall bound, by construction: a pair with
+    * containment ≥ tau but NO shared `spanTokens`-token span is missed —
+    * tokens-in-common without a long verbatim run is [[Dedup]]'s
+    * MinHash territory, not span evidence; lower `spanTokens` to trade
+    * cost for span-level recall.
+    */
+  def containmentVerifiedPairs(df: DataFrame, idCol: String,
+      textCol: String, tau: Double, spanTokens: Int = 12, maxDf: Int = 50,
+      tokensCol: Option[String] = None): DataFrame = {
+    import graft.functions.{DedupFunctions => DF}
+    // the candidate table feeds both orientations of the union — cached
+    // so the span self-join runs once, not twice
+    val cands = graft.CacheScope.register(
+      sharedSpanPairs(df, idCol, textCol, spanTokens, maxDf, tokensCol)
+        .select(col("a_id"), col("b_id")).persist())
+    val both = cands.union(
+      cands.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // distinct-token sets read once per orientation side — cached so the
+    // tokenize pass runs once, not twice
+    val toks = graft.CacheScope.register(
+      df.select(col(idCol).as("__cv_id"),
+          array_distinct(tokensCol.map(col)
+            .getOrElse(TF.tokens(col(textCol)))).as("__cv_toks"))
+        .persist())
+    both
+      .join(toks.select(col("__cv_id").as("a_id"),
+        col("__cv_toks").as("__a_toks")), Seq("a_id"))
+      .join(toks.select(col("__cv_id").as("b_id"),
+        col("__cv_toks").as("__b_toks")), Seq("b_id"))
+      .withColumn("cont", DF.containment(col("__a_toks"), col("__b_toks")))
+      .filter(col("cont") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("cont"), 4).as("cont"))
+  }
+
   /** Exposed for spec-level equivalence checks. */
   def spanHash(span: Column): Column = xxhash64(span)
+
+  // ---- persisted span index -------------------------------------------
+
+  /** Sidecar filename for the persisted span-index layout (underscore
+    * prefix so parquet readers skip it as data).
+    */
+  val SpanMetaFile = "_graft_span_index.json"
+
+  /** Layout parameters a persisted span index was written with. The span
+    * length is part of the layout: a delta probing with a different
+    * `spanTokens` would hash different strings and silently miss
+    * everything, so the reader takes it from here, never from a caller
+    * argument.
+    */
+  final case class SpanIndexMeta(spanTokens: Int, hashBuckets: Int)
+
+  /** Persist the span inverted index — the at-rest form of [[spanRows]],
+    * mirroring [[Dedup.writeIndex]]'s band layout: distinct
+    * (index_id, h) rows directory-partitioned by `h_bucket`
+    * (= splitmix64(h) mod `hashBuckets`), one file per leaf (each bucket
+    * hash-partitions to one task), rows sorted by `h` within the file
+    * (the sort leads with the partition column so the dynamic-partition
+    * writer's required ordering is satisfied as a prefix and the `h`
+    * order survives — same reasoning as `Dedup.writeIndex`). A delta
+    * batch that derives the same bucket prunes to 1/`hashBuckets` of the
+    * files; at 100 TB raise `hashBuckets`, never the file-per-dir count.
+    */
+  def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, spanTokens: Int, hashBuckets: Int = 64,
+      tokensCol: Option[String] = None): Unit = {
+    spanRows(df, idCol, textCol, spanTokens, tokensCol)
+      .select(col("id").as("index_id"), col("h"))
+      .withColumn("h_bucket", Dedup.keyBucketOf(col("h"), hashBuckets))
+      .repartition(col("h_bucket"))
+      .sortWithinPartitions(col("h_bucket"), col("h"))
+      .write.mode("overwrite").partitionBy("h_bucket")
+      .parquet(s"$path/spans")
+    graft.sources.Sidecar.write(df.sparkSession, s"$path/$SpanMetaFile",
+      s"""{"spanTokens":$spanTokens,"hashBuckets":$hashBuckets}""")
+  }
+
+  /** Read and validate the layout sidecar — the ONLY sound source of the
+    * span length and bucket modulus for a delta-side derivation.
+    */
+  def readSpanIndexMeta(path: String): SpanIndexMeta = {
+    val text = graft.sources.Sidecar
+      .read(org.apache.spark.sql.SparkSession.active,
+        s"$path/$SpanMetaFile")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $SpanMetaFile under $path - not a graft span index"))
+    def intField(name: String): Int =
+      ("\"" + name + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$SpanMetaFile under $path lacks integer field '$name': $text"))
+    SpanIndexMeta(intField("spanTokens"), intField("hashBuckets"))
+  }
+
+  /** Re-open a persisted span index as (index_id, h, h_bucket). The
+    * layout column stays on the frame so filters/joins on it reach the
+    * directory partitioning.
+    */
+  def readSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    readSpanIndexMeta(path) // validate the sidecar before touching data
+    spark.read.parquet(s"$path/spans")
+      .select(col("index_id"), col("h"),
+        col("h_bucket").cast("int").as("h_bucket"))
+  }
+
+  /** Incremental span dedup: flag `delta` documents repeating a verbatim
+    * `spanTokens`-token span of an INDEXED corpus
+    * ([[writeSpanIndex]]) without re-reading the corpus text — the span
+    * analogue of [[Dedup.incrementalDedup]]. Span length and bucket
+    * modulus come from the index's own sidecar; the probe joins on
+    * (h_bucket, h) so the bucket derivation reaches the directory
+    * partitioning (statically for literal probes, via DPP for the join).
+    *
+    * The hub cap applies on the INDEX side: a span present in more than
+    * `maxDf` corpus documents is boilerplate evidence, not copying — the
+    * count runs over the MATCHED spans only (one partial-agg shuffle of
+    * the join output, never an index-wide aggregation).
+    *
+    * Returns every `delta` row plus `n_dup_spans` (distinct spans of
+    * this doc found in the corpus), `has_dup_span`, and `matched_id`
+    * (the smallest matching corpus id, null when fresh).
+    */
+  def incrementalSpanDedup(delta: DataFrame, idCol: String,
+      textCol: String, indexPath: String, maxDf: Int = 50,
+      tokensCol: Option[String] = None): DataFrame = {
+    val spark = delta.sparkSession
+    val meta = readSpanIndexMeta(indexPath)
+    val idx = readSpanIndex(spark, indexPath)
+    // delta spans feed the match join once; bucket derived from the
+    // sidecar modulus so it can never drift from the on-disk layout
+    val dRows = spanRows(delta, idCol, textCol, meta.spanTokens, tokensCol)
+      .withColumn("h_bucket",
+        Dedup.keyBucketOf(col("h"), meta.hashBuckets))
+    // the join output is (delta span × matching corpus docs) — cached:
+    // it feeds both the hub-cap count and the per-doc accounting
+    val hits = graft.CacheScope.register(
+      dRows.join(idx, Seq("h_bucket", "h")).persist())
+    // corpus-side df = distinct index docs per span (NOT raw hit rows:
+    // several delta docs sharing a span would inflate a plain count)
+    val eligible = hits.groupBy(col("h_bucket"), col("h"))
+      .agg(countDistinct(col("index_id")).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("h_bucket"), col("h"))
+    val perDoc = hits.join(eligible, Seq("h_bucket", "h"))
+      .groupBy(col("id").as(idCol))
+      .agg(countDistinct(col("h")).as("n_dup_spans"),
+        min(col("index_id")).as("matched_id"))
+    delta.join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_spans"))
+      .withColumn("has_dup_span", col("n_dup_spans") > 0)
+  }
 }

@@ -124,15 +124,138 @@ object TokenizerTraining {
     mergeUdf(toks, lit(a), lit(b))
 
   private val mergeUdf = udf { (toks: Seq[String], a: String, b: String) =>
-    if (toks == null) null
-    else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      toks.foreach { t =>
-        if (out.nonEmpty && out.last == a && t == b)
-          out(out.length - 1) = a + " " + b
-        else out += t
-      }
-      out.toSeq
+    if (toks == null) null else mergeOnce(toks, a, b)
+  }
+
+  /** One leftmost-first merge scan — the single definition both
+    * [[applyMerge]] (training) and [[encode]] (inference) rewrite with,
+    * so the encoder reproduces the training stream exactly.
+    */
+  private def mergeOnce(toks: Seq[String], a: String,
+      b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    toks.foreach { t =>
+      if (out.nonEmpty && out.last == a && t == b)
+        out(out.length - 1) = a + " " + b
+      else out += t
     }
+    out.toSeq
+  }
+
+  /** Encode a corpus against a TRAINED merge list in ONE corpus pass —
+    * the operator a pipeline hits first after [[trainMerges]]: exporting
+    * token ids means applying the whole vocabulary, not one merge.
+    *
+    * Per row this is the standard rank-priority BPE encoder: repeatedly
+    * merge every occurrence of the lowest-rank (earliest-trained) pair
+    * present until no trained pair applies. That reproduces sequential
+    * training application exactly — a merge's output token (always
+    * containing a space) can only participate in merges trained AFTER
+    * it, so exhausting ranks in ascending order is the same rewrite
+    * order training used; NoveltyTokenizerSpec round-trips the classic
+    * char-level sequence to pin it, and the q94 oracle replays the full
+    * train→encode chain in SQL.
+    *
+    * One UDF pass, map-only, no shuffle: the merge table rides in the
+    * closure (a trained vocabulary is bounded — tens of thousands of
+    * pairs, same class of fact as a tokenizer vocab file), NOT one
+    * Spark pass per merge as chaining [[applyMerge]] would cost.
+    * `tokensCol` joins the tokenize-once contract.
+    */
+  def encode(corpus: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], outCol: String = "encoded",
+      tokensCol: Option[String] = None): DataFrame = {
+    val mergesArr = merges.toArray
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val enc = udf { toks: Seq[String] => encodeTokens(toks, mergesArr, ranks) }
+    corpus.withColumn(outCol,
+      enc(tokensCol.map(col).getOrElse(TF.tokens(col(textCol)))))
+  }
+
+  /** The per-row rank-priority loop (exposed for spec round-trips). */
+  private[operators] def encodeTokens(toks: Seq[String],
+      merges: Array[(String, String)],
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    if (toks == null) return null
+    var cur = toks
+    var more = true
+    while (more) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < cur.length - 1) {
+        val r = ranks.getOrElse((cur(i), cur(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) more = false
+      else cur = mergeOnce(cur, merges(best)._1, merges(best)._2)
+    }
+    cur
+  }
+
+  /** Token-ID export: [[encode]] then map each encoded token to its id in
+    * the trained vocabulary = base symbols (distinct input tokens, sorted)
+    * followed by one new symbol per merge in training order — the
+    * standard BPE id assignment, deterministic given (corpus, merges).
+    * Returns one row per (doc, position): (idCol, pos, token, token_id);
+    * tokens outside the vocab (encoding a NEW corpus against an old
+    * vocab) get id -1 rather than a row drop, so OOV is visible.
+    *
+    * The vocab side is built distributed (distinct + window rank over
+    * the sorted symbol table) and the id join is a plain equi-join on
+    * the token — corpus-cardinality, so un-hinted (AQE broadcasts when
+    * it fits), the same rule as every df-style join in [[Keywords]].
+    */
+  def encodeIds(corpus: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      tokensCol: Option[String] = None,
+      vocab: Option[DataFrame] = None): DataFrame = {
+    val enc = encode(corpus, idCol, textCol, merges, "__enc", tokensCol)
+      .select(col(idCol),
+        posexplode(col("__enc")).as(Seq("pos", "token")))
+    // vocab defaults to THIS corpus's trained vocabulary; pass a frozen
+    // (token, token_id) table to encode new data against an old vocab —
+    // that is when OOV (-1) actually occurs
+    val v = vocab.getOrElse(
+      vocabulary(corpus, idCol, textCol, merges, tokensCol))
+    enc.join(v, Seq("token"), "left")
+      .select(col(idCol), col("pos"), col("token"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+  }
+
+  /** The trained vocabulary as (token, token_id): base symbols first
+    * (sorted distinct input tokens, ids 0..nBase-1), then one id per
+    * merge in training order — the standard BPE id assignment,
+    * deterministic given (corpus, merges).
+    *
+    * The base table is corpus-cardinality (distinct tokens — billions at
+    * 100 TB), so ids come from a DISTRIBUTED sort + zipWithIndex (range
+    * partitioner gives a total order; per-partition offsets make the
+    * index global) — never a global single-partition window. The only
+    * driver-side fact is `nBase` (the vocab size, one long). Merged
+    * symbols always contain a space while [[TF.tokens]] base symbols
+    * never do, so the two id ranges cannot collide; two merges yielding
+    * the same symbol string (possible only through pathological
+    * ambiguity) keep the earlier id.
+    */
+  def vocabulary(corpus: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      tokensCol: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus
+      .select(explode(tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+        .as("token"))
+      .distinct()
+      .orderBy(col("token"))
+      .as[String].rdd.zipWithIndex()
+      .toDF("token", "token_id")
+    val nBase = base.count()
+    val merged = merges.zipWithIndex
+      .map { case ((a, b), i) => (a + " " + b, nBase + i) }
+      .toDF("token", "token_id")
+      .groupBy(col("token")).agg(min(col("token_id")).as("token_id"))
+    base.unionByName(merged)
   }
 }

@@ -106,6 +106,65 @@ class NoveltyTokenizerSpec extends SparkSpec {
     assert(merges.size === 2)
   }
 
+  test("encode applies the whole trained merge list in one pass: the " +
+      "classic sequence round-trips and matches sequential applyMerge") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    val merges = TokenizerTraining.trainMerges(docs, "doc_id", "text",
+      rounds = 10, minCount = 2)
+    assert(merges === Seq(("a", "b"), ("a b", "a b")))
+    // round-trip: encoding the TRAINING corpus reproduces the final
+    // training streams exactly
+    val enc = TokenizerTraining.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => r.getSeq[String](r.fieldIndex("encoded")))
+    assert(enc(0) === Seq("a b a b", "a b"))
+    assert(enc(1) === Seq("a b", "c"))
+    // on UNSEEN text, the one-pass rank-priority encoder must equal
+    // applying the merges sequentially in training order
+    val fresh = Seq((1L, "a b x a b a b c"), (2L, "b a b a")).toDF("doc_id", "text")
+    val viaChain = fresh.select(col("doc_id"),
+        merges.foldLeft(graft.functions.TextFunctions.tokens(col("text"))) {
+          case (c, (a, b)) => TokenizerTraining.applyMerge(c, a, b)
+        }.as("e"))
+      .orderBy("doc_id").collect().map(r => r.getSeq[String](r.fieldIndex("e")))
+    val viaEncode = TokenizerTraining.encode(fresh, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => r.getSeq[String](r.fieldIndex("encoded")))
+    assert(viaEncode.toSeq === viaChain.toSeq)
+    // pinned by hand: (a,b) everywhere first, then the pair-of-pairs
+    assert(viaEncode(0) === Seq("a b", "x", "a b a b", "c"))
+    assert(viaEncode(1) === Seq("b", "a b", "a"))
+  }
+
+  test("encodeIds / vocabulary: base ids are the sorted distinct tokens, " +
+      "merge ids follow in training order, OOV maps to -1") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "b a b a b")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    // base vocab sorted: a=0, b=1; merge "a b"=2
+    val vocab = TokenizerTraining.vocabulary(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab === Map("a" -> 0L, "b" -> 1L, "a b" -> 2L))
+    val ids = TokenizerTraining.encodeIds(docs, "doc_id", "text", merges)
+      .orderBy("pos").collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("token_id")))
+    // "b a b a b" encodes to ["b", "a b", "a b"]
+    assert(ids.toSeq === Seq(("b", 1L), ("a b", 2L), ("a b", 2L)))
+    // OOV: encode a NEW corpus against the FROZEN training vocab —
+    // "z" is not in it and must map to -1, not drop
+    val frozen = TokenizerTraining.vocabulary(docs, "doc_id", "text", merges)
+    val fresh = Seq((2L, "a z")).toDF("doc_id", "text")
+    val freshIds = TokenizerTraining.encodeIds(fresh, "doc_id", "text",
+        merges, vocab = Some(frozen))
+      .orderBy("pos").collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("token_id")))
+    assert(freshIds.toSeq === Seq(("a", 0L), ("z", -1L)))
+  }
+
   test("applyMerge round: merging the top pair strictly reduces total " +
       "token count by that pair's occurrence count") {
     val s = spark

@@ -55,6 +55,43 @@ class SpanDedupSpec extends SparkSpec {
     assert(uncapped === 10L)
   }
 
+  test("containmentVerifiedPairs equals the quadratic baseline restricted " +
+      "to span-sharing candidates, on the real sf0.001 corpus") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val tau = 0.6
+    val verified = SpanDedup
+      .containmentVerifiedPairs(corpus, "doc_id", "text", tau = tau)
+      .select("a_id", "b_id", "cont").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // quadratic baseline: every ordered pair at containment >= tau
+    val t = corpus.select(col("doc_id"), array_distinct(
+      graft.functions.TextFunctions.tokens(col("text"))).as("toks"))
+    val baseline = t.as("a").join(t.as("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        round(graft.functions.DedupFunctions
+          .containment(col("a.toks"), col("b.toks")), 4).as("cont"))
+      .filter(col("cont") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // the production path is a SUBSET of the baseline (no false
+    // admissions: verify is exact)...
+    assert(verified.keySet.subsetOf(baseline.keySet),
+      s"false admissions: ${verified.keySet.diff(baseline.keySet)}")
+    verified.foreach { case (k, c) => assert(baseline(k) === c) }
+    // ...and is EXACTLY the baseline restricted to span-sharing
+    // candidates (the declared recall bound: pairs with no shared
+    // 12-token span are MinHash territory, not span evidence)
+    val candPairs = SpanDedup
+      .sharedSpanPairs(corpus, "doc_id", "text", spanTokens = 12)
+      .select("a_id", "b_id").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    assert(verified.keySet === baseline.keySet.intersect(candPairs))
+    assert(verified.nonEmpty, "fixture should produce verified pairs")
+  }
+
   test("flagSpanDuplicated agrees with the pair form and keeps all rows") {
     val flagged = SpanDedup
       .flagSpanDuplicated(docs, "doc_id", "text", spanTokens = 4)
