@@ -71,11 +71,25 @@ object Bench {
     // (dedupCorpus's materialized output) are released as soon as the
     // query's action finishes, so later queries measure their own plan,
     // not the accumulated storage pressure of every query before them.
+    //
+    // Min-of-2 reps per query: one-shot numbers repeatedly showed 2-4x
+    // run-context noise on unlucky queries DESPITE the warmup list above
+    // (rounds 4-6: q52-q55, q81, q82 — every "regression" dismissed by a
+    // warm re-run of unchanged code). The min of two timed reps bounds
+    // first-touch JIT/codegen and GC luck structurally, so round-over-
+    // round deltas mean PLAN changes — no more per-family warmup
+    // additions. Each rep gets its own CacheScope: rep 2 re-pays the
+    // operator caches and measures the same plan, never a cache hit
+    // (Spark's CacheManager would otherwise serve rep 1's persisted
+    // frames by logical-plan identity).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try CacheScope.scoped { fn(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try CacheScope.scoped { fn(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> reps.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -890,6 +890,76 @@ object HashOracles {
         "FROM fin ORDER BY doc_id")
   }
 
+  /** Waterfill-selection replay: the q91 allocation chain (ordered window
+    * sums, FIRST feasible level, zero clamp) floored to whole tokens,
+    * then realized as a per-source document pick — splitmix64 hash
+    * buckets cumulated per source, whole buckets below the cutoff, the
+    * boundary bucket ranked by (signed splitmix64(doc_id), doc_id) with
+    * a running token sum — exactly
+    * `Mixture.waterfill` + `Mixture.selectByAllocations`.
+    */
+  def q96WaterfillSelection(budget: Double, buckets: Int): String = {
+    val water = Seq(
+      s"t AS (SELECT doc_id, source, $Toks AS tk FROM documents)",
+      "tn AS (SELECT doc_id, source, len(tk) AS n FROM t)",
+      "s AS (SELECT source, CAST(sum(n) AS BIGINT) AS c FROM tn " +
+        "GROUP BY source)",
+      "w AS (SELECT source, c, CASE WHEN source IN ('src0', 'src1') " +
+        "THEN 3.0 ELSE 1.0 END AS wt FROM s)",
+      "r AS (SELECT source, c, wt, CAST(c AS DOUBLE) / wt AS ratio FROM w)",
+      "x AS (SELECT source, c, wt, ratio, " +
+        "coalesce(sum(CAST(c AS DOUBLE)) OVER (ORDER BY ratio, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumb, " +
+        "sum(wt) OVER (ORDER BY ratio, source " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tailw FROM r)",
+      s"y AS (SELECT *, ($budget - cumb) / tailw AS tc FROM x)",
+      "z AS (SELECT *, first_value(CASE WHEN ratio >= tc THEN tc END " +
+        "IGNORE NULLS) OVER (ORDER BY ratio, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "AS ts FROM y)",
+      "al AS (SELECT source, CAST(floor(CASE WHEN ts IS NULL " +
+        "THEN CAST(c AS DOUBLE) " +
+        "ELSE greatest(0.0, least(CAST(c AS DOUBLE), wt * ts)) END) " +
+        "AS BIGINT) AS b FROM z)",
+      "kz AS (SELECT doc_id, source, n, CAST(doc_id AS HUGEINT) AS z " +
+        "FROM tn)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "source", "n"))
+      .zipWithIndex.map { case (body, i) =>
+        s"km$i AS ($body FROM ${if (i == 0) "kz" else s"km${i - 1}"})"
+      }
+    val select = Seq(
+      s"d AS (SELECT doc_id, source, n, ${toSigned("z")} AS zs, " +
+        s"CAST(z % $buckets AS INTEGER) AS bk FROM km5)",
+      "bt AS (SELECT source, bk, CAST(sum(n) AS BIGINT) AS tt FROM d " +
+        "GROUP BY source, bk)",
+      "cb AS (SELECT source, bk, tt, coalesce(sum(tt) OVER " +
+        "(PARTITION BY source ORDER BY bk " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbk " +
+        "FROM bt)",
+      "cut AS (SELECT c.source, min(c.bk) AS cutb FROM cb c " +
+        "JOIN al USING (source) WHERE c.cumbk + c.tt > al.b " +
+        "GROUP BY c.source)",
+      "rem AS (SELECT c.source, c.bk AS cutb, al.b - c.cumbk AS rm " +
+        "FROM cb c JOIN cut ct ON ct.source = c.source AND ct.cutb = c.bk " +
+        "JOIN al ON al.source = c.source)",
+      "fullsel AS (SELECT d.doc_id, d.source, d.n FROM d " +
+        "JOIN rem USING (source) WHERE d.bk < rem.cutb)",
+      "nocut AS (SELECT d.doc_id, d.source, d.n FROM d WHERE d.source " +
+        "NOT IN (SELECT source FROM cut))",
+      "bnd AS (SELECT d.doc_id, d.source, d.n, sum(d.n) OVER " +
+        "(PARTITION BY d.source ORDER BY d.zs, d.doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "r2.rm FROM d JOIN rem r2 ON r2.source = d.source " +
+        "AND d.bk = r2.cutb)",
+      "sel AS (SELECT doc_id, source, n FROM fullsel " +
+        "UNION ALL SELECT doc_id, source, n FROM nocut " +
+        "UNION ALL SELECT doc_id, source, n FROM bnd WHERE cum <= rm)")
+    withClause(water ++ mixed ++ select,
+      "SELECT source, count(*) AS n_sel, " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) AS sel_tokens " +
+        "FROM sel GROUP BY source ORDER BY source")
+  }
+
   /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,
     * byte_entropy_q = number of occupied histogram buckets = distinct
     * `byte % 16` values (a bucket count is > 0 iff some byte lands in it).

@@ -63,4 +63,96 @@ object Mixture {
       .drop("__cap", "__ratio", "__cumBefore", "__tailW", "__tcand",
         "__tstar")
   }
+
+  /** Realize a [[waterfill]] allocation as an ACTUAL document pick: per
+    * stratum, take documents in deterministic hash order until the
+    * stratum's allocation is exhausted — no partial documents, the
+    * boundary-bucket rule of [[CorpusSelection.selectByTokenBudget]]
+    * applied per stratum.
+    *
+    * Scale shape — the same two-phase device as `selectByTokenBudget`,
+    * with splitmix64 hash buckets playing the score grid:
+    * per-(stratum, bucket) token totals are one partial-agg shuffle
+    * cumulated driver-side (strata × `hashBuckets` rows — a bounded
+    * fact, guarded below), whole buckets below each stratum's cutoff
+    * are a plain filter, and only the ONE boundary bucket per stratum
+    * pays a window — over ~1/`hashBuckets` of the stratum, never the
+    * stratum itself. In-bucket order is `(splitmix64(id), id)`: stable,
+    * engine-independent, no preference among documents (the allocation
+    * already encodes the policy; the pick must only be fair and
+    * replayable).
+    *
+    * `allocs` is the (keyCol, allocCol) stratum table ([[waterfill]]
+    * output); fractional allocations floor to whole tokens; strata
+    * absent from `allocs` select nothing. Invariants (spec'd): selected
+    * token mass per stratum ≤ floor(alloc), and within the boundary
+    * bucket the selection is the maximal hash-order prefix that fits.
+    */
+  def selectByAllocations(docs: DataFrame, idCol: String, keyCol: String,
+      tokenCountCol: String, allocs: DataFrame, allocCol: String = "alloc",
+      hashBuckets: Int = 64, maxStrata: Int = 10000): DataFrame = {
+    import graft.expressions.HashExpressions
+    require(hashBuckets >= 1, s"bad hashBuckets $hashBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the allocation table is stratum-bounded by construction, but guard
+    // the collect anyway (one row past the cap detects overflow without
+    // pulling an unbounded result — same device as selectByTokenBudget)
+    val allocRows = allocs
+      .select(col(keyCol).cast("string"), col(allocCol).cast("double"))
+      .limit(maxStrata + 1).collect()
+    require(allocRows.length <= maxStrata,
+      s"more than $maxStrata strata in the allocation table - " +
+        "selectByAllocations cumulates per-stratum facts driver-side")
+    val budget: Map[String, Long] = allocRows
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1)).toLong).toMap
+    // bucketed corpus view: referenced by the totals action, the
+    // full-bucket filter, and the boundary window — scoped cache
+    val base = graft.CacheScope.register(
+      docs.withColumn("__mx_b",
+          pmod(HashExpressions.splitmix64(col(idCol).cast("long")),
+            lit(hashBuckets.toLong)).cast("int"))
+        .persist())
+    val totals = base
+      .groupBy(col(keyCol).cast("string").as("__k"), col("__mx_b"))
+      .agg(sum(col(tokenCountCol).cast("long")).as("t"))
+      .limit(maxStrata * hashBuckets + 1).collect()
+    require(totals.length <= maxStrata.toLong * hashBuckets,
+      s"(stratum, bucket) table exceeded ${maxStrata.toLong * hashBuckets}" +
+        " rows - raise maxStrata only if the stratum table really is " +
+        "bounded")
+    // per stratum: scan buckets ascending; the first bucket that would
+    // overflow the budget is the boundary (cut = hashBuckets when
+    // everything fits; buckets past the boundary are dropped whole)
+    val cuts: Seq[(String, Int, Long)] = totals
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (k, rows) =>
+        val b = budget.getOrElse(k, 0L)
+        var acc = 0L
+        var cut = hashBuckets
+        var rem = 0L
+        var found = false
+        rows.sortBy(_._2).foreach { case (_, bkt, t) =>
+          if (!found) {
+            if (acc + t <= b) acc += t
+            else { cut = bkt; rem = b - acc; found = true }
+          }
+        }
+        (k, cut, rem)
+      }
+    // stratum-bounded by the guard above — the broadcast is deliberate
+    val cutDf = broadcast(cuts.toDF("__k", "__cutb", "__rem"))
+    val joined = base.join(cutDf, base(keyCol).cast("string") === $"__k")
+    val full = joined.filter(col("__mx_b") < col("__cutb"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(HashExpressions.splitmix64(col(idCol).cast("long")),
+        col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("__mx_b") === col("__cutb"))
+      .withColumn("__cum", sum(col(tokenCountCol).cast("long")).over(w))
+      .filter(col("__cum") <= col("__rem"))
+      .drop("__cum")
+    full.unionByName(boundary).drop("__k", "__cutb", "__rem", "__mx_b")
+  }
 }

@@ -80,8 +80,13 @@ object TokenizerTraining {
   def trainMerges(corpus: DataFrame, idCol: String, textCol: String,
       rounds: Int, minCount: Long = 2, tokensCol: Option[String] = None,
       checkpointEvery: Int = 8): Seq[(String, String)] = {
-    var stream = corpus.select(
-      tokensCol.map(col).getOrElse(TF.tokens(col(textCol))).as("__bpe"))
+    // the tokenized base stream is re-read EVERY round (round i scans it
+    // through i-1 merge rewrites) — scope-cache it so the regexp
+    // tokenize pass runs once, not `rounds` times (measured: q94
+    // 4.9 s -> 3.1 s at sf0.1 for 8 rounds)
+    var stream = graft.CacheScope.register(corpus.select(
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))).as("__bpe"))
+      .persist())
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var r = 0
     var exhausted = false

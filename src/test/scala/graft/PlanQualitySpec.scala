@@ -156,10 +156,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p85.contains("BroadcastNestedLoopJoin"), p85)
     // q86: the ONE nested-loop is the broadcast of the bounded benchmark
     // side (eval-suite cardinality by construction) — the corpus streams
-    val p86 = plan("q86_embedding_decontaminate")
+    // through it. The flagged-id JOIN-BACK is deliberately un-hinted
+    // (worst case it is corpus-cardinality — round-6 ADVICE), so the
+    // hint budget is exactly 1 and a static SortMergeJoin on the
+    // join-back is acceptable; AQE rechecks its size at runtime.
+    val df86 = SparkEntry.queries("q86_embedding_decontaminate")(spark, dir)
+    val hints86 = "ResolvedHint".r
+      .findAllIn(df86.queryExecution.analyzed.toString).size
+    assert(hints86 === 1,
+      s"q86 must hint ONLY the benchmark side (found $hints86)")
+    val p86 = df86.queryExecution.executedPlan.toString
     assert("BroadcastNestedLoopJoin".r.findAllIn(p86).size === 1, p86)
-    assert(!p86.contains("SortMergeJoin"),
-      "q86 shuffled the corpus for a benchmark-bounded probe:\n" + p86)
     // q87: the final assignment is map-only (centroid literals) — no
     // join operator of any kind feeds the per-cluster aggregation
     val p87 = plan("q87_kmeans")
@@ -178,6 +185,95 @@ class PlanQualitySpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q91-q96: round-7 family shapes — un-hinted corpus joins, single " +
+      "corpus scans behind scoped caches, equi-join candidates, bounded " +
+      "broadcast budgets") {
+    // counted on the OPTIMIZED LOGICAL plan: a scope-cached subtree is
+    // substituted by an InMemoryRelation LEAF (its one underlying scan
+    // lives in innerChildren, which collect() does not traverse), so
+    // every count here is a real, separate pass over the parquet —
+    // exactly the accounting tokenize-once is about
+    def isDocRelation(
+        l: org.apache.spark.sql.execution.datasources.LogicalRelation)
+        : Boolean = l.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.exists(_.toString.contains("documents"))
+      case _ => false
+    }
+    def docScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if isDocRelation(l) => l
+      }.size
+    CacheScope.scoped {
+      // q91: pure window algebra over the stratum table — no joins at
+      // all, so nothing to hint and nothing to cross
+      val df91 = SparkEntry.queries("q91_mixture_waterfill")(spark, dir)
+      assert(!df91.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "q91 should have no hints")
+      assert(!df91.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
+
+      // q92: the corpus-frequency join is un-hinted (corpus-cardinality
+      // token table), and the (doc, token) explode is scope-cached so
+      // the corpus parquet is scanned ONCE (the round-6 verdict's
+      // double-tokenize fix, pinned)
+      val df92 = SparkEntry.queries("q92_token_rarity")(spark, dir)
+      assert(!df92.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "q92 forces a corpus-cardinality broadcast")
+      assert(docScans(df92) <= 1,
+        "q92 scans documents more than once - the tokenize-once cache " +
+          "regressed:\n" + df92.queryExecution.executedPlan)
+
+      // q88: tokens materialized once and threaded through novelty +
+      // accounting — at most one visible documents scan (the rest sits
+      // behind the scoped cache boundary)
+      val df88 = SparkEntry.queries("q88_corpus_pipeline_v3")(spark, dir)
+      assert(docScans(df88) <= 1,
+        "q88 re-tokenizes documents:\n" + df88.queryExecution.executedPlan)
+
+      // q93: trained assignment is map-only (k×dim centroid literals);
+      // pair generation is the list_id equi-join — never a cross product
+      val p93 = plan("q93_trained_semantic_dedup")
+      assert(!p93.contains("CartesianProduct"), p93)
+      assert(!p93.contains("BroadcastNestedLoopJoin"), p93)
+
+      // q94: encoding is ONE pass over documents — a single scan, one
+      // UDF application (the documented linear-scan exception)
+      val df94 = SparkEntry.queries("q94_bpe_encode")(spark, dir)
+      assert(docScans(df94) === 1,
+        "q94 encode must be one corpus pass:\n" +
+          df94.queryExecution.executedPlan)
+
+      // q95: candidates come from the span-hash equi-join and the verify
+      // joins back by id — no cross product, no forced broadcast
+      val df95 = SparkEntry.queries("q95_containment_verified")(spark, dir)
+      assert(!df95.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "q95 forces a corpus-cardinality broadcast")
+      val p95 = df95.queryExecution.executedPlan.toString
+      assert(!p95.contains("CartesianProduct"), p95)
+      assert(!p95.contains("BroadcastNestedLoopJoin"), p95)
+
+      // q96: the ONLY hinted table is the stratum-bounded cutoff table
+      // (strata × 3 columns, bounded by the maxStrata guard). It joins
+      // once, but the full-buckets ∪ boundary union embeds the hinted
+      // join subtree in BOTH branches, so the analyzed tree carries the
+      // same hint twice — budget 2, and every hinted relation must be
+      // the __cutb shape (never a corpus side)
+      val df96 = SparkEntry.queries("q96_waterfill_selection")(spark, dir)
+      val a96 = df96.queryExecution.analyzed.toString
+      val hints96 = "ResolvedHint".r.findAllIn(a96).size
+      assert(hints96 <= 2,
+        s"q96 has $hints96 hints - only the bounded cut table may " +
+          "broadcast (twice via the union branches)")
+      assert("ResolvedHint[\\s\\S]{0,400}?__cutb".r
+          .findAllIn(a96).size === hints96,
+        "a q96 hint is not the bounded cut table:\n" + a96)
+      assert(!df96.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
     }
   }
 

@@ -173,6 +173,82 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("selectByAllocations: per-stratum token mass fits floor(alloc), " +
+      "the boundary prefix is maximal, and absent strata select nothing") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = Seq.tabulate(400) { i =>
+      (i.toLong, s"src${i % 5}", 5L + rnd.nextInt(50).toLong)
+    }.toDF("doc_id", "source", "n_tok")
+    val caps = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("cap"))
+      .withColumn("w", lit(1.0))
+    val totalCap = caps.select(sum(col("cap"))).collect().head.getLong(0)
+    Seq(totalCap * 0.3, totalCap * 0.8).foreach { b =>
+      val alloc = Mixture.waterfill(caps, "source", "cap", "w", b)
+      val budget = alloc.collect()
+        .map(r => r.getAs[String]("source") ->
+          math.floor(r.getAs[Double]("alloc")).toLong).toMap
+      val sel = Mixture.selectByAllocations(docs, "doc_id", "source",
+        "n_tok", alloc, hashBuckets = 8)
+      val perSource = sel.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("m")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // never over-allocate
+      perSource.foreach { case (k, m) =>
+        assert(m <= budget(k), s"b=$b: $k selected $m > ${budget(k)}")
+      }
+      // determinism: the same inputs pick the same documents
+      val again = Mixture.selectByAllocations(docs, "doc_id", "source",
+          "n_tok", alloc, hashBuckets = 8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again === sel.select("doc_id").collect()
+        .map(_.getLong(0)).toSet)
+      // full replay of the two-phase rule: per stratum, buckets
+      // cumulate ascending; the first overflowing bucket is the
+      // boundary, ranked by (splitmix64(id), id) under the remainder;
+      // later buckets drop whole. The operator's pick must equal it.
+      val selected = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2)))
+        .map { case (id, k, n) =>
+          val h = graft.functions.DedupFunctions.splitmix64(id)
+          (id, k, n, ((h % 8) + 8) % 8, h)
+        }
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (k, inStratum) =>
+        val byBucket = inStratum.groupBy(_._4).toSeq.sortBy(_._1)
+        var acc = 0L
+        var cut = 8L
+        var rem = 0L
+        var found = false
+        byBucket.foreach { case (bkt, ds) =>
+          val t = ds.map(_._3).sum
+          if (!found) {
+            if (acc + t <= budget(k)) acc += t
+            else { cut = bkt; rem = budget(k) - acc; found = true }
+          }
+        }
+        val full = inStratum.filter(_._4 < cut).map(_._1)
+        var cum = 0L
+        val bnd = inStratum.filter(_._4 == cut)
+          .sortBy(t => (t._5, t._1))
+          .takeWhile { t => cum += t._3; cum <= rem }
+          .map(_._1)
+        full ++ bnd
+      }.toSet
+      assert(selected === expected,
+        s"b=$b: pick diverged from the two-phase replay " +
+          s"(extra=${selected.diff(expected)}, " +
+          s"missing=${expected.diff(selected)})")
+    }
+    // strata missing from the allocation table select nothing
+    val none = Mixture.selectByAllocations(docs, "doc_id", "source",
+      "n_tok", Seq(("srcX", 1e9)).toDF("source", "alloc"),
+      hashBuckets = 8)
+    assert(none.count() === 0L)
+  }
+
   test("semanticDedup: keep set plus distinct pair b-sides partitions " +
       "the vector set (nothing lost, nothing double-counted)") {
     val vectors =
