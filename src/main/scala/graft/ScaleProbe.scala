@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *  - semanticDupPairs with nLists ∝ n: per-list size stays constant, so
   *    the Σ size² pair cost stays linear in the corpus — the SemDeDup
   *    paper's own k ~ √n scaling argument, measured.
+  *  - encode (frozen merge list): map-only UDF projection — replicas
+  *    scale linearly (measured essentially flat at probe sizes).
+  *  - selectByAllocations: one (stratum, bucket) partial-agg shuffle +
+  *    a window over one boundary bucket per stratum — linear, never a
+  *    stratum-wide sort.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -75,6 +80,34 @@ object ScaleProbe {
       timeWarm(s"semantic r=$r vecs=${nVecs * r} nLists=$lists", () =>
         operators.Similarity.semanticDupPairs(replicateVecs(r),
           "vec_id", "embedding", threshold = 0.4, nLists = lists))
+    }
+    // encode: one UDF pass with a FROZEN merge list — map-only, so
+    // replicas must scale linearly (the merge table rides in the
+    // closure; no shuffle at all)
+    val merges = operators.TokenizerTraining.trainMerges(
+      docs, "doc_id", "text", rounds = 4, minCount = 2)
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"bpe_encode r=$r docs=${nDocs * r}", () =>
+        operators.TokenizerTraining.encode(replicateDocs(r),
+          "doc_id", "text", merges))
+    }
+    // selectByAllocations: one partial-agg shuffle for the (stratum,
+    // bucket) facts + a window over ONE boundary bucket per stratum —
+    // linear in the corpus, never a stratum-wide sort
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"waterfill_select r=$r docs=${nDocs * r}", () => {
+        val d = replicateDocs(r)
+          .withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+          .withColumn("n_tok",
+            size(functions.TextFunctions.tokens(col("text"))).cast("long"))
+        val caps = d.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("cap")).withColumn("w", lit(1.0))
+        val alloc = operators.Mixture.waterfill(caps, "source", "cap",
+          "w", budget = 15000.0 * r)
+        operators.Mixture.selectByAllocations(d, "doc_id", "source",
+          "n_tok", alloc)
+      })
     }
     spark.stop()
   }

@@ -1164,6 +1164,27 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "text", tau = 0.6)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Incremental span dedup through the PERSISTED index: the corpus
+    // (doc_id < 450) is written to disk in the bucketed span-index
+    // layout (sidecar-validated moduli), then the delta (doc_id >= 450)
+    // is flagged against it — the daily-delta path for verbatim-passage
+    // dedup, exercised through the gate END-TO-END including the disk
+    // round-trip. Oracle replays the span join on span STRINGS (the q82
+    // xxhash64 2^-64 precedent)
+    "q97_incremental_span_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q97_span_index").getAbsolutePath
+      graft.operators.SpanDedup.writeSpanIndex(
+        docs.filter(col("doc_id") < 450), "doc_id", "text", path,
+        spanTokens = 12)
+      graft.operators.SpanDedup.incrementalSpanDedup(
+          docs.filter(col("doc_id") >= 450), "doc_id", "text", path)
+        .select(col("doc_id"), col("n_dup_spans"), col("has_dup_span"),
+          coalesce(col("matched_id"), lit(-1L)).as("matched_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Waterfill REALIZED: the q91 allocation actually picks documents —
     // per-source hash-bucket cumulation (bounded driver facts), whole
     // buckets below the cutoff, boundary bucket ranked by
@@ -1880,6 +1901,36 @@ object SparkEntry {
     "q94_bpe_encode" -> HashOracles.q94BpeEncode(8),
     "q96_waterfill_selection" ->
       HashOracles.q96WaterfillSelection(15000.0, 64),
+
+    // the persisted-index path replayed as a plain span join: corpus
+    // spans (doc_id < 450) vs delta spans (>= 450), hub cap = distinct
+    // corpus docs per MATCHED span <= 50, matched_id = min eligible
+    // corpus id — exactly incrementalSpanDedup's accounting
+    "q97_incremental_span_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |spw AS (SELECT doc_id,
+         |    array_to_string(t[i + 1 : i + 12], ' ') AS span
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 11)) AS i
+         |        FROM tok WHERE len(t) >= 12)),
+         |sps AS (SELECT doc_id, array_to_string(t, ' ') AS span
+         |  FROM tok WHERE len(t) < 12),
+         |sp AS (SELECT DISTINCT doc_id, span
+         |  FROM (SELECT * FROM spw UNION ALL SELECT * FROM sps)),
+         |cs AS (SELECT doc_id, span FROM sp WHERE doc_id < 450),
+         |ds AS (SELECT doc_id, span FROM sp WHERE doc_id >= 450),
+         |hit AS (SELECT d.doc_id AS did, d.span, c.doc_id AS cid
+         |  FROM ds d JOIN cs c ON d.span = c.span),
+         |el AS (SELECT span FROM hit GROUP BY span
+         |  HAVING count(DISTINCT cid) <= 50),
+         |per AS (SELECT h.did AS doc_id,
+         |    CAST(count(DISTINCT h.span) AS BIGINT) AS n_dup_spans,
+         |    min(h.cid) AS matched_id
+         |  FROM hit h JOIN el USING (span) GROUP BY h.did)
+         |SELECT d.doc_id, coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+         |  p.n_dup_spans IS NOT NULL AS has_dup_span,
+         |  coalesce(p.matched_id, -1) AS matched_id
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) d
+         |LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // span-candidate generation is the q82 fragment (span STRING join
     // vs Spark's xxhash64 — same accepted 2^-64 divergence); the verify

@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * the static side's file listing (and the centroid sidecar read here)
   * are captured ONCE at query start — an in-place overwrite rebuild
   * leaves the running query reading deleted/stale files, so RESTART the
-  * query after a rebuild (or wrap the match in `foreachBatch` with a
-  * fresh `indexMatches` per batch to re-resolve both).
+  * query after a rebuild, or use [[indexMatchesRefreshing]], which
+  * re-resolves the sidecar and file listing per micro-batch.
   */
 object AnnStream {
 
@@ -46,4 +46,31 @@ object AnnStream {
       .filter(col("cos") >= threshold)
       .select(col(idCol), col("index_id"), col("list_id"), col("cos"))
   }
+
+  /** The rebuild-tolerant deployment of [[indexMatches]]: a
+    * `foreachBatch` writer that re-resolves the ENTIRE static side —
+    * centroid sidecar and list files — per micro-batch, so a nightly
+    * index rebuild (an overwrite of `indexPath`) is picked up at the
+    * next batch without restarting the query (the plain stream-static
+    * join cannot do this: its file listing and sidecar are captured at
+    * query start). Cost per batch: one sidecar read + one file listing —
+    * noise against the batch join itself.
+    *
+    * `sink(matches, batchId)` receives the matched pairs of each batch
+    * (same schema as [[indexMatches]]); start the returned writer to
+    * run the query.
+    */
+  def indexMatchesRefreshing(vectors: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, threshold: Double)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        // indexMatches on a BATCH frame replans from scratch: fresh
+        // sidecar, fresh InMemoryFileIndex — the whole point
+        sink(indexMatches(batch, indexPath, idCol, vecCol, threshold),
+          batchId)
+    }
 }

@@ -63,4 +63,60 @@ class AnnStreamSpec extends SparkSpec {
     assert(out.toSet === batch.toSet)
     assert(out.length === batch.length)
   }
+
+  test("indexMatchesRefreshing picks up an index REBUILD between " +
+      "micro-batches without a query restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val dir = Files.createTempDirectory("graft-annstream-rebuild").toString
+    Similarity.writeIvfIndex(vectors, "vec_id", "embedding", dir, cents)
+
+    val arrivals = vectors.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      .as[AnnVec].collect().toSeq
+
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // (batchId, vec_id, index_id)
+    val mem = MemoryStream[AnnVec]
+    val q = AnnStream.indexMatchesRefreshing(mem.toDF(), dir, "vec_id",
+        "embedding", threshold = 0.999) { (matches, batchId) =>
+      seen.synchronized {
+        seen ++= matches.collect().map(r =>
+          (batchId, r.getAs[Long]("vec_id"), r.getAs[Long]("index_id")))
+      }
+    }.start()
+
+    // batch 1 against the original index: copies match original ids
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    // REBUILD in place: same vectors, ids shifted by 500 — a restarted
+    // nightly job overwriting yesterday's index
+    Similarity.writeIvfIndex(
+      vectors.select((col("vec_id") + 500L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", dir, cents)
+    // batch 2 must match against the NEW ids, same running query
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val batches = seen.groupBy(_._1)
+    assert(batches.size === 2, s"expected 2 batches, saw: $seen")
+    val (firstId, secondId) = {
+      val ids = batches.keys.toSeq.sorted
+      (ids.head, ids.last)
+    }
+    (0L until 3L).foreach { i =>
+      assert(batches(firstId).exists(t => t._2 == i + 10000L && t._3 == i),
+        s"batch 1: copy of $i missed its original: $seen")
+      assert(
+        batches(secondId).exists(t => t._2 == i + 10000L && t._3 == i + 500L),
+        s"batch 2: copy of $i did not match the REBUILT index: $seen")
+      assert(!batches(secondId).exists(t => t._2 == i + 10000L && t._3 == i),
+        s"batch 2 still served the old index ids: $seen")
+    }
+  }
 }

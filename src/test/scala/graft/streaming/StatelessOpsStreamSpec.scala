@@ -67,4 +67,44 @@ class StatelessOpsStreamSpec extends SparkSpec {
     assert(streamed.find(_._1 == 3L).exists(r =>
       r._2.contains("[EMAIL]") && r._2.contains("[NUM]")))
   }
+
+  test("BPE encode runs on a stream with a frozen merge list, " +
+      "batch-identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // a tokenizer is trained OFFLINE (batch) and applied to arriving
+    // documents — encode is one pure UDF projection, so the stream form
+    // is the batch form unchanged
+    val train = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    val merges = graft.operators.TokenizerTraining.trainMerges(
+      train, "doc_id", "text", rounds = 4, minCount = 2)
+    val arrivals = Seq(
+      SDoc(10L, "a b x a b a b c", ts0),
+      SDoc(11L, "b a b a", ts0))
+
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TokenizerTraining
+        .encode(df, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          concat_ws("|", col("encoded")).as("enc"))
+
+    val mem = MemoryStream[SDoc]
+    val q = pipeline(mem.toDF())
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.sql("SELECT * FROM bpe_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val batch = pipeline(arrivals.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.find(_._1 == 10L).exists(_._2 === "a b|x|a b a b|c"))
+  }
 }
