@@ -898,10 +898,19 @@ object HashOracles {
     * a running token sum — exactly
     * `Mixture.waterfill` + `Mixture.selectByAllocations`.
     */
-  def q96WaterfillSelection(budget: Double, buckets: Int): String = {
-    val water = Seq(
+  def q96WaterfillSelection(budget: Double, buckets: Int): String =
+    waterfillSelectionSql(Seq(
       s"t AS (SELECT doc_id, source, $Toks AS tk FROM documents)",
-      "tn AS (SELECT doc_id, source, len(tk) AS n FROM t)",
+      "tn AS (SELECT doc_id, source, len(tk) AS n FROM t)"),
+      budget, buckets)
+
+  /** The shared allocation + realization chain over any base CTE list
+    * ending in `tn(doc_id, source, n)` — used by q96 (raw corpus) and
+    * q99 (quality-kept corpus).
+    */
+  private def waterfillSelectionSql(baseCtes: Seq[String], budget: Double,
+      buckets: Int): String = {
+    val water = baseCtes ++ Seq(
       "s AS (SELECT source, CAST(sum(n) AS BIGINT) AS c FROM tn " +
         "GROUP BY source)",
       "w AS (SELECT source, c, CASE WHEN source IN ('src0', 'src1') " +
@@ -959,6 +968,48 @@ object HashOracles {
         "CAST(coalesce(sum(n), 0) AS BIGINT) AS sel_tokens " +
         "FROM sel GROUP BY source ORDER BY source")
   }
+
+  /** Capstone-4 replay: the q64 quality fragment (token bounds, dup
+    * 3-gram fraction, punct-per-token) gates the corpus, then the q96
+    * allocation + realization chain runs over the KEPT documents.
+    */
+  def q99CorpusPipelineV4(budget: Double, buckets: Int): String =
+    waterfillSelectionSql(Seq(
+      s"qtk AS (SELECT doc_id, text, $Toks AS t FROM documents)",
+      "qg AS (SELECT doc_id, text, len(t) AS n, " +
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2), " +
+        "i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END AS g3 FROM qtk)",
+      "qual AS (SELECT doc_id FROM qg WHERE n >= 30 AND n <= 10000 " +
+        "AND CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) " +
+        "<= 0.05 AND CAST(length(text) - length(regexp_replace(text, " +
+        "'[.,;:!?''\"()-]', '', 'g')) AS DOUBLE) <= n * 0.5)",
+      "tn AS (SELECT g.doc_id, d.source, g.n FROM qg g " +
+        "JOIN qual USING (doc_id) " +
+        "JOIN documents d ON d.doc_id = g.doc_id)"),
+      budget, buckets)
+
+  /** Persisted-trained-IVF query replay: q87's trained centroids (c2),
+    * every vector assigned to its L2-nearest list, the query vector's
+    * `nProbe` nearest lists probed, cosine top-`topK` within them —
+    * exactly `Clustering.kmeansCentroids` + `Similarity.writeIvfIndex` +
+    * `ivfTopKIndexed` (whose probe choice is driver-side arithmetic on
+    * the sidecar matrix; the oracle does the same arithmetic in SQL).
+    * Ordering convention = the q22 precedent: unrounded cosine DESC
+    * then id.
+    */
+  def q98TrainedIvfQuery(k: Int, nProbe: Int, topK: Int): String =
+    withClause(kmTrainCtes(k) ++ Seq(
+      kmAssignCte("a3", "c2"),
+      "qv AS (SELECT v FROM e WHERE vec_id = 0)",
+      s"pr AS (SELECT c.cid FROM c2 c, qv " +
+        s"ORDER BY ${kmDist("qv.v", "c.vec")}, c.cid LIMIT $nProbe)",
+      "cand AS (SELECT a.vec_id, a.v FROM a3 a JOIN pr ON pr.cid = a.cid)"),
+      "SELECT vec_id AS id, " +
+        "round(list_cosine_similarity(cand.v, qv.v), 4) AS cos " +
+        "FROM cand, qv " +
+        "ORDER BY list_cosine_similarity(cand.v, qv.v) DESC, vec_id " +
+        s"LIMIT $topK")
 
   /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,
     * byte_entropy_q = number of occupied histogram buckets = distinct

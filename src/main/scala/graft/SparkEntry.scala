@@ -1185,6 +1185,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Capstone #4 — assemble a BUDGETED training mix end-to-end:
+    // quality gate → per-source capacities → waterfill under a token
+    // budget (src0/src1 upweighted 3×) → realized document selection →
+    // per-source accounting. Tokens materialized ONCE and threaded
+    // through quality, capacity, and selection; the oracle replays the
+    // whole chain
+    "q99_corpus_pipeline_v4" -> ((s, dir) => {
+      val kept = graft.CacheScope.register(
+        QualityFilters.keep(
+            T(s, dir, "documents").withColumn("toks", toks(col("text"))),
+            "text", QualityFilters.Thresholds(minTokens = 30,
+              maxTokens = 10000, maxDupNgramFraction = 0.05),
+            tokensCol = Some("toks"))
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("n_tok"))
+          .persist())
+      val caps = kept.groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast("long").as("c_tokens"))
+        .withColumn("weight",
+          when(col("source").isin("src0", "src1"), 3.0).otherwise(1.0))
+      val alloc = graft.operators.Mixture.waterfill(caps, "source",
+        "c_tokens", "weight", budget = 12000.0)
+      graft.operators.Mixture
+        .selectByAllocations(kept, "doc_id", "source", "n_tok", alloc)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sel"),
+          sum(col("n_tok")).cast("long").as("sel_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Persisted TRAINED IVF, queried end-to-end through the gate: train
+    // k-means centroids, write the partitioned index + centroid sidecar
+    // to disk, answer a top-k probe against the re-read index (probe
+    // lists chosen driver-side from the sidecar matrix → literal isin →
+    // static partition pruning). Oracle replays train + assign + probe
+    // choice + within-list cosine top-k
+    "q98_trained_ivf_query" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q98_ivf").getAbsolutePath
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", path, cents)
+      val query = e.filter(col("vec_id") === 0L)
+        .select(transform(col("embedding"), x => x.cast("double")).as("q"))
+        .collect().head.getSeq[Double](0).toSeq
+      Similarity.ivfTopKIndexed(s, path, query, k = 10, nProbe = 2)
+        .withColumn("cos", round(col("cos"), 4))
+    }),
+
     // Waterfill REALIZED: the q91 allocation actually picks documents —
     // per-source hash-bucket cumulation (bounded driver facts), whole
     // buckets below the cutoff, boundary bucket ranked by
@@ -1898,6 +1948,9 @@ object SparkEntry {
 
     "q87_kmeans" -> HashOracles.q87Kmeans(4),
     "q93_trained_semantic_dedup" -> HashOracles.q93TrainedSemanticDedup(4),
+    "q98_trained_ivf_query" -> HashOracles.q98TrainedIvfQuery(4, 2, 10),
+    "q99_corpus_pipeline_v4" ->
+      HashOracles.q99CorpusPipelineV4(12000.0, 64),
     "q94_bpe_encode" -> HashOracles.q94BpeEncode(8),
     "q96_waterfill_selection" ->
       HashOracles.q96WaterfillSelection(15000.0, 64),

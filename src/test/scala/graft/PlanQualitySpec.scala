@@ -274,6 +274,24 @@ class PlanQualitySpec extends SparkSpec {
         "a q96 hint is not the bounded cut table:\n" + a96)
       assert(!df96.queryExecution.executedPlan.toString
         .contains("CartesianProduct"))
+
+      // q99 (capstone #4): same hint budget as q96, and the corpus is
+      // tokenized ONCE — quality, capacity, and selection all read the
+      // scoped cache, so no documents scan is visible at all
+      val df99 = SparkEntry.queries("q99_corpus_pipeline_v4")(spark, dir)
+      val a99 = df99.queryExecution.analyzed.toString
+      val hints99 = "ResolvedHint".r.findAllIn(a99).size
+      assert(hints99 <= 2,
+        s"q99 has $hints99 hints - only the bounded cut table may " +
+          "broadcast")
+      assert("ResolvedHint[\\s\\S]{0,400}?__cutb".r
+          .findAllIn(a99).size === hints99,
+        "a q99 hint is not the bounded cut table:\n" + a99)
+      assert(docScans(df99) === 0,
+        "q99 reads documents outside the scoped cache:\n" +
+          df99.queryExecution.executedPlan)
+      assert(!df99.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
     }
   }
 
