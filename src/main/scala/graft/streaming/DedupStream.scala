@@ -83,6 +83,40 @@ object DedupStream {
         col("est_jaccard"), col("ts"))
   }
 
+  /** Matches of a document STREAM against a PERSISTED span index
+    * ([[graft.operators.SpanDedup.writeSpanIndex]]) — the
+    * verbatim-passage half of the stream-vs-index story, the span
+    * analogue of [[indexCollisions]]: each arriving document explodes
+    * to its distinct span hashes (stateless, span length and bucket
+    * modulus from the index's OWN sidecar), and a STREAM-STATIC
+    * equi-join on (h_bucket, h) flags re-used passages the moment they
+    * land. Emits one row per (doc, span hash, matched index doc);
+    * completely stateless — no watermark needed. Consumers aggregate
+    * per doc_id; the batch analogue with the hub cap and per-doc
+    * accounting is
+    * [[graft.operators.SpanDedup.incrementalSpanDedup]] — the cap
+    * itself needs a span's full match set, which a stateless per-batch
+    * join cannot see, so template-heavy corpora should drop hub spans
+    * at INDEX BUILD time (filter the index rows by df) or aggregate
+    * downstream.
+    */
+  def spanIndexCollisions(docs: DataFrame, indexPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val meta = graft.operators.SpanDedup.readSpanIndexMeta(indexPath)
+    val idx = graft.operators.SpanDedup.readSpanIndex(spark, indexPath)
+    docs
+      // tokens materialized BEFORE the shingle lambda (HOF re-eval trap)
+      .withColumn("__sp_toks", TF.tokens(col("text")))
+      .select(col("doc_id"), col("ts"),
+        explode(TF.shinglesOf(col("__sp_toks"), meta.spanTokens))
+          .as("span"))
+      .select(col("doc_id"), col("ts"), xxhash64(col("span")).as("h"))
+      .withColumn("h_bucket",
+        graft.operators.Dedup.keyBucketOf(col("h"), meta.hashBuckets))
+      .join(idx, Seq("h_bucket", "h")) // stream-static equi-join
+      .select(col("doc_id"), col("index_id"), col("h"), col("ts"))
+  }
+
   /** Collisions stream for `docs` (columns doc_id, text, ts). A doc
     * colliding in several bands emits one row per band; downstream
     * dedups on doc_id (or verifies once). `evictAfterMs` is the bucket

@@ -51,6 +51,50 @@ class DedupStreamSpec extends SparkSpec {
     index.signatures.unpersist(); index.bands.unpersist()
   }
 
+  test("stream-static SPAN-index collisions flag arriving passage reuse " +
+      "against the persisted index, stateless and batch-identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val passage = "one two three four five six seven eight"
+    val corpus = Seq(
+      (100L, s"prefix words $passage suffix words here"),
+      (200L, "a completely different document about spark query planning " +
+        "with enough words")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-span-stream").toString
+    graft.operators.SpanDedup.writeSpanIndex(corpus, "doc_id", "text",
+      dir, spanTokens = 5)
+
+    val arrivals = Seq(
+      Doc(1L, s"fresh wrapper around $passage and trailing text", ts(0)),
+      Doc(2L, "entirely novel content matching nothing in the corpus " +
+        "at all today", ts(0)))
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.spanIndexCollisions(mem.toDF(), dir)
+      .writeStream.format("memory").queryName("span_collisions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.sql("SELECT * FROM span_collisions").collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === Set(1L), s"only the reuse flags: ${out.toSeq}")
+    assert(byDoc(1L).forall(_.getAs[Long]("index_id") === 100L))
+    // the 8-token passage carries 4 intact 5-token spans
+    assert(byDoc(1L).map(_.getAs[Long]("h")).toSet.size === 4)
+    // statelessness: identical rows from the batch form of the same op
+    val batch = DedupStream.spanIndexCollisions(
+        arrivals.toDF().select($"doc_id", $"text", $"ts"), dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("index_id"),
+        r.getAs[Long]("h"))).toSet
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("index_id"),
+      r.getAs[Long]("h"))).toSet === batch)
+  }
+
   test("copies collide with the first-seen canonical; distinct docs do not") {
     val s = spark
     import s.implicits._
