@@ -44,10 +44,12 @@ object Contamination {
       .join(broadcast(benchGrams), "gram")
       .select(col(idCol)).distinct()
       .withColumn("is_contaminated", lit(true))
-    // the flagged-id set is at most benchmark-sized collisions — broadcast
-    // it too, or a stats misestimate plans a sort-merge join that shuffles
-    // the full corpus (the exact cost this operator exists to avoid)
-    corpus.join(broadcast(hits), Seq(idCol), "left")
+    // the flagged-id set is NOT bounded by the benchmark: every corpus
+    // doc sharing one n-gram with it lands here, so a high contamination
+    // rate makes it corpus-cardinality — the join-back stays un-hinted
+    // and AQE broadcasts only when the runtime size fits (the same rule
+    // as flagContaminatedByEmbedding below, round-6 ADVICE)
+    corpus.join(hits, Seq(idCol), "left")
       .withColumn("is_contaminated",
         coalesce(col("is_contaminated"), lit(false)))
   }
