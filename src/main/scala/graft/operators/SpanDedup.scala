@@ -120,26 +120,32 @@ object SpanDedup {
       textCol: String, tau: Double, spanTokens: Int = 12, maxDf: Int = 50,
       tokensCol: Option[String] = None): DataFrame = {
     import graft.functions.{DedupFunctions => DF}
-    // the candidate table feeds both orientations of the union — cached
-    // so the span self-join runs once, not twice
-    val cands = graft.CacheScope.register(
-      sharedSpanPairs(df, idCol, textCol, spanTokens, maxDf, tokensCol)
-        .select(col("a_id"), col("b_id")).persist())
-    val both = cands.union(
-      cands.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    // distinct-token sets read once per orientation side — cached so the
-    // tokenize pass runs once, not twice
+    val cands = sharedSpanPairs(df, idCol, textCol, spanTokens, maxDf,
+        tokensCol)
+      .select(col("a_id"), col("b_id"))
+    // distinct-token sets read by two id-joins — cached so the tokenize
+    // pass runs once, not twice
     val toks = graft.CacheScope.register(
       df.select(col(idCol).as("__cv_id"),
           array_distinct(tokensCol.map(col)
             .getOrElse(TF.tokens(col(textCol)))).as("__cv_toks"))
         .persist())
-    both
+    // fetch both documents' token sets ONCE per unordered candidate,
+    // then produce the two orientations locally (containment is
+    // asymmetric) — joining a pre-flipped 2× candidate table instead
+    // would push twice the rows through both corpus-side joins for the
+    // same answer. Cached: fwd and bwd both read it
+    val paired = graft.CacheScope.register(cands
       .join(toks.select(col("__cv_id").as("a_id"),
         col("__cv_toks").as("__a_toks")), Seq("a_id"))
       .join(toks.select(col("__cv_id").as("b_id"),
         col("__cv_toks").as("__b_toks")), Seq("b_id"))
-      .withColumn("cont", DF.containment(col("__a_toks"), col("__b_toks")))
+      .persist())
+    val fwd = paired.select(col("a_id"), col("b_id"),
+      DF.containment(col("__a_toks"), col("__b_toks")).as("cont"))
+    val bwd = paired.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
+      DF.containment(col("__b_toks"), col("__a_toks")).as("cont"))
+    fwd.unionByName(bwd)
       .filter(col("cont") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cont"), 4).as("cont"))
   }
