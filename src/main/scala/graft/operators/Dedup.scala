@@ -421,8 +421,16 @@ object Dedup {
     *    equi-join touches little data.
     *
     * Daily deltas join against both; the corpus text is NEVER re-read.
+    *
+    * `meta` is present iff the index came off disk ([[readIndex]]): it
+    * carries the persisted layout's moduli so the incremental joins can
+    * include `key_bucket` as a join key — which is what lets dynamic
+    * partition pruning cut the bands scan to the delta's buckets (the
+    * layout's whole point). An in-memory index has no layout, so the
+    * join stays (band, key).
     */
-  final case class DedupIndex(signatures: DataFrame, bands: DataFrame)
+  final case class DedupIndex(signatures: DataFrame, bands: DataFrame,
+      meta: Option[DedupIndexMeta] = None)
 
   def buildDedupIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DedupIndex = {
@@ -524,13 +532,13 @@ object Dedup {
     * need, so the extras never travel through a shuffle.
     */
   def readIndex(spark: SparkSession, path: String): DedupIndex = {
-    readIndexMeta(path) // validate the layout sidecar before touching data
+    val meta = readIndexMeta(path) // validate the sidecar before the data
     val bands = spark.read.parquet(s"$path/bands")
       .select(col("band").cast("int").as("band"), col("key"),
-        col("index_id"), col("key_bucket"))
+        col("index_id"), col("key_bucket").cast("int").as("key_bucket"))
     val sigs = spark.read.parquet(s"$path/signatures")
       .select(col("index_id"), col("sig"), col("id_shard"))
-    DedupIndex(sigs, bands)
+    DedupIndex(sigs, bands, Some(meta))
   }
 
   /** The bucket function `writeIndex` lays files out by — public so a
@@ -569,8 +577,19 @@ object Dedup {
     val estJaccard = size(filter(
       zip_with(col("new_sig"), col("sig"), (a, b) => a === b),
       x => x)).cast("double") / k
-    val matches = newBanded
-      .join(index.bands, Seq("band", "key"))
+    // a disk-backed index joins on the layout column too: key_bucket is
+    // functionally dependent on key (same splitmix64 modulus, from the
+    // sidecar), so the result is unchanged — but the extra equi-key on
+    // the PARTITION column is what lets DPP prune the bands scan to the
+    // delta's buckets instead of listing every band directory
+    val (probe, bandJoinKeys) = index.meta match {
+      case Some(m) => (newBanded.withColumn("key_bucket",
+          keyBucketOf(col("key"), m.keyBuckets)),
+        Seq("band", "key_bucket", "key"))
+      case None => (newBanded, Seq("band", "key"))
+    }
+    val matches = probe
+      .join(index.bands, bandJoinKeys)
       .select(col("new_id"), col("new_sig"), col("index_id")).distinct()
       .join(index.signatures, Seq("index_id"))
       .withColumn("est_jaccard", estJaccard)
@@ -605,7 +624,14 @@ object Dedup {
         explode(DF.bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("new_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
-    val cands = newBanded.join(index.bands, Seq("band", "key"))
+    // same meta-aware layout-column join as incrementalDedup (DPP)
+    val (probe, bandJoinKeys) = index.meta match {
+      case Some(m) => (newBanded.withColumn("key_bucket",
+          keyBucketOf(col("key"), m.keyBuckets)),
+        Seq("band", "key_bucket", "key"))
+      case None => (newBanded, Seq("band", "key"))
+    }
+    val cands = probe.join(index.bands, bandJoinKeys)
       .select(col("new_id"), col("index_id")).distinct()
     val newToks = newDocs.select(col(idCol).as("new_id"),
       array_distinct(TF.tokens(col(textCol))).as("new_toks"))

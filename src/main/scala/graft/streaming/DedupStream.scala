@@ -73,8 +73,17 @@ object DedupStream {
     val est = size(filter(
       zip_with(col("sig"), col("index_sig"), (a, b) => a === b),
       x => x)).cast("double") / k
-    banded
-      .join(index.bands, Seq("band", "key")) // stream-static equi-join
+    // disk-backed index: include the layout partition column in the
+    // stream-static join keys (functionally dependent on key) so the
+    // static side's scan can prune — same device as incrementalDedup
+    val (probe, bandJoinKeys) = index.meta match {
+      case Some(m) => (banded.withColumn("key_bucket",
+          graft.operators.Dedup.keyBucketOf(col("key"), m.keyBuckets)),
+        Seq("band", "key_bucket", "key"))
+      case None => (banded, Seq("band", "key"))
+    }
+    probe
+      .join(index.bands, bandJoinKeys) // stream-static equi-join
       .join(index.signatures.withColumnRenamed("sig", "index_sig"),
         Seq("index_id"))
       .withColumn("est_jaccard", est)

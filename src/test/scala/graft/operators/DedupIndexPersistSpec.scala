@@ -118,6 +118,18 @@ class DedupIndexPersistSpec extends SparkSpec {
     // and the fixture actually exercises both outcomes
     assert(mem.find(_._1 == 100L).exists(_._2), "near-dup must be flagged")
     assert(mem.find(_._1 == 101L).exists(!_._2), "fresh doc must pass")
+    // the disk-backed join must carry the LAYOUT column as a join key
+    // (key_bucket is functionally dependent on key via the sidecar
+    // modulus) — that extra equi-key on the partition column is what
+    // lets DPP prune the bands scan to the delta's buckets
+    val diskPlan = Dedup.incrementalDedup(delta, "doc_id", "text", back,
+      threshold = 0.7).queryExecution.optimizedPlan.toString
+    assert(diskPlan.contains("key_bucket"),
+      "disk-backed incremental join lost the layout column:\n" + diskPlan)
+    val memPlan = Dedup.incrementalDedup(delta, "doc_id", "text", idx,
+      threshold = 0.7).queryExecution.optimizedPlan.toString
+    assert(!memPlan.contains("key_bucket"),
+      "in-memory index has no layout - key_bucket must not appear")
   }
 
   test("bands reads prune on the (band, key_bucket) directory partitions") {
