@@ -1215,6 +1215,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // CCNet-style n-gram LM quality scoring: a bigram LM trained on the
+    // reference split (doc_id < 250) scores the held-out half by
+    // average add-α-smoothed ln-prob — low = garbled/unnatural text.
+    // Un-hinted corpus-cardinality count-table joins (the df-join
+    // rule); ln rounded to the 1e-4 grid after the per-doc average
+    "q100_ngram_lm_score" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val lm = graft.operators.NgramLm.train(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      graft.operators.NgramLm.logProbScore(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    }),
+
     // Persisted TRAINED IVF, queried end-to-end through the gate: train
     // k-means centroids, write the partitioned index + centroid sidecar
     // to disk, answer a top-k probe against the re-read index (probe
@@ -1951,6 +1965,34 @@ object SparkEntry {
     "q98_trained_ivf_query" -> HashOracles.q98TrainedIvfQuery(4, 2, 10),
     "q99_corpus_pipeline_v4" ->
       HashOracles.q99CorpusPipelineV4(12000.0, 64),
+
+    // add-α bigram LM replay: counts from the train split, V = distinct
+    // train tokens, lp = ln((c2 + .4)/(c1 + .4·V)) with coalesce(0) for
+    // unseen/OOV — ln averaged per doc then rounded to the 1e-4 grid
+    // (q69 precedent: round AFTER the aggregate, compare on the grid)
+    "q100_ngram_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |tr AS (SELECT * FROM tok WHERE doc_id < 250),
+         |te AS (SELECT * FROM tok WHERE doc_id >= 250),
+         |uni AS (SELECT w AS l, count(*) AS c1 FROM
+         |  (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+         |v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni),
+         |bi AS (SELECT l, r, count(*) AS c2 FROM
+         |  (SELECT t[j] AS l, t[j + 1] AS r FROM
+         |    (SELECT t, unnest(range(1, len(t))) AS j FROM tr))
+         |  GROUP BY l, r),
+         |tep AS (SELECT doc_id, t[j] AS l, t[j + 1] AS r FROM
+         |  (SELECT doc_id, t, unnest(range(1, len(t))) AS j FROM te)),
+         |sc AS (SELECT p.doc_id,
+         |  ln((coalesce(b.c2, 0) + 0.4) / (coalesce(u.c1, 0) + 0.4 * v.vs))
+         |    AS lp
+         |  FROM tep p
+         |  LEFT JOIN bi b ON b.l = p.l AND b.r = p.r
+         |  LEFT JOIN uni u ON u.l = p.l
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(lp), 4) AS avg_lp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94_bpe_encode" -> HashOracles.q94BpeEncode(8),
     "q96_waterfill_selection" ->
       HashOracles.q96WaterfillSelection(15000.0, 64),

@@ -292,6 +292,17 @@ class PlanQualitySpec extends SparkSpec {
           df99.queryExecution.executedPlan)
       assert(!df99.queryExecution.executedPlan.toString
         .contains("CartesianProduct"))
+
+      // q100: the bigram/unigram count tables are corpus-cardinality —
+      // zero hints (the Keywords df-join rule), no cross product; V
+      // travels as a literal, not a joined one-row aggregate
+      val df100 = SparkEntry.queries("q100_ngram_lm_score")(spark, dir)
+      assert(!df100.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q100 forces a corpus-cardinality broadcast")
+      val p100 = df100.queryExecution.executedPlan.toString
+      assert(!p100.contains("CartesianProduct"), p100)
+      assert(!p100.contains("BroadcastNestedLoopJoin"), p100)
     }
   }
 
