@@ -856,8 +856,14 @@ object HashOracles {
     * ONE list_reduce fold per row reproducing the leftmost-first merge
     * scan of `applyMerge` (out.last == a && t == b → replace).
     */
-  def q94BpeEncode(rounds: Int): String = {
-    val sep = "chr(31)"
+  private val BpeSep = "chr(31)"
+
+  /** tok + s0 + `rounds` training rounds + `fin(doc_id, e)` — the BPE
+    * train→encode chain shared by q94 (stream accounting) and q101
+    * (token-id export).
+    */
+  private def bpeChainCtes(rounds: Int): Seq[String] = {
+    val sep = BpeSep
     val roundCtes = (1 to rounds).flatMap { i =>
       Seq(
         // token-list view of the previous round's stream
@@ -875,19 +881,54 @@ object HashOracles {
           s"THEN acc || ' ' || x ELSE acc || $sep || x END) END AS s " +
           s"FROM t$i t, m$i m)")
     }
-    withClause(
-      Seq(
-        s"tok AS (SELECT doc_id, $Toks AS t FROM documents)",
-        s"s0 AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN '' ELSE " +
-          s"$sep || array_to_string(t, $sep) END AS s FROM tok)") ++
-        roundCtes ++ Seq(
-        s"fin AS (SELECT doc_id, CASE WHEN s = '' THEN CAST([] AS VARCHAR[]) " +
-          s"ELSE str_split(substr(s, 2), $sep) END AS e FROM s$rounds)"),
+    Seq(
+      s"tok AS (SELECT doc_id, $Toks AS t FROM documents)",
+      s"s0 AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN '' ELSE " +
+        s"$BpeSep || array_to_string(t, $BpeSep) END AS s FROM tok)") ++
+      roundCtes ++ Seq(
+      s"fin AS (SELECT doc_id, CASE WHEN s = '' THEN CAST([] AS VARCHAR[]) " +
+        s"ELSE str_split(substr(s, 2), $sep) END AS e FROM s$rounds)")
+  }
+
+  def q94BpeEncode(rounds: Int): String =
+    withClause(bpeChainCtes(rounds),
       "SELECT doc_id, CAST(len(e) AS BIGINT) AS n_tokens, " +
         "CAST(len(list_filter(e, x -> contains(x, ' '))) AS BIGINT) " +
         "AS n_merged, " +
-        s"md5(array_to_string(e, $sep)) AS stream_md5 " +
+        s"md5(array_to_string(e, $BpeSep)) AS stream_md5 " +
         "FROM fin ORDER BY doc_id")
+
+  /** Token-id export replay: the trained vocabulary = sorted distinct
+    * base tokens (ids 0..nBase-1, binary order — the corpus is ASCII
+    * lowercase so engines agree) followed by one id per merge in
+    * training order (the m1..mN CTEs, duplicates keep the earlier id;
+    * merged symbols contain a space so the ranges cannot collide), then
+    * every encoded position mapped through it — exactly
+    * `TokenizerTraining.vocabulary` + `encodeIds`.
+    */
+  def q101BpeTokenIds(rounds: Int): String = {
+    val mergeRows = (1 to rounds)
+      .map(i => s"SELECT l || ' ' || r AS token, ${i - 1} AS rnk FROM m$i")
+      .mkString(" UNION ALL ")
+    withClause(bpeChainCtes(rounds) ++ Seq(
+      "pos AS (SELECT doc_id, j AS pos, e[j] AS token FROM " +
+        "(SELECT doc_id, e, unnest(range(1, len(e) + 1)) AS j FROM fin))",
+      "base AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 " +
+        "AS BIGINT) AS tid FROM " +
+        "(SELECT DISTINCT unnest(t) AS token FROM tok))",
+      "nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)",
+      s"mgv AS ($mergeRows)",
+      "mgd AS (SELECT token, nb.n + min(rnk) AS tid FROM mgv, nb " +
+        "GROUP BY token, nb.n)",
+      "vocab AS (SELECT token, tid FROM base " +
+        "UNION ALL SELECT token, tid FROM mgd)",
+      "ids AS (SELECT p.doc_id, p.pos, coalesce(v.tid, -1) AS tid " +
+        "FROM pos p LEFT JOIN vocab v USING (token))"),
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(tid) AS BIGINT) AS sum_ids, " +
+        "md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) " +
+        "AS ids_md5 " +
+        "FROM ids GROUP BY doc_id ORDER BY doc_id")
   }
 
   /** Waterfill-selection replay: the q91 allocation chain (ordered window

@@ -1156,6 +1156,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-id export against the trained vocab — the last mile of the
+    // tokenizer story (train → encode → ids): vocabulary = sorted base
+    // symbols then merges in training order (distributed sort +
+    // zipWithIndex, never a global window), ids joined un-hinted. Per
+    // doc: count, id sum, md5 of the position-ordered id sequence
+    "q101_bpe_token_ids" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = graft.operators.TokenizerTraining.trainMerges(
+        docs, "doc_id", "text", rounds = 8, minCount = 1,
+        checkpointEvery = 3)
+      graft.operators.TokenizerTraining
+        .encodeIds(docs, "doc_id", "text", merges)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("token_id")).cast("long").as("sum_ids"),
+          md5(concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("pos"),
+                col("token_id")))),
+              x => x.getField("token_id").cast("string"))))
+            .as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Containment dedup, PRODUCTION path (the scale form of the q89
     // capped baseline): span-hash candidates → asymmetric containment
     // verify ≥ τ over the FULL corpus — O(candidates), never n²
@@ -1994,6 +2018,7 @@ object SparkEntry {
          |  round(avg(lp), 4) AS avg_lp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94_bpe_encode" -> HashOracles.q94BpeEncode(8),
+    "q101_bpe_token_ids" -> HashOracles.q101BpeTokenIds(8),
     "q96_waterfill_selection" ->
       HashOracles.q96WaterfillSelection(15000.0, 64),
 
