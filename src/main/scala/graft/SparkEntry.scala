@@ -1273,6 +1273,20 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 4))
     }),
 
+    // Span-reuse communities: connected components over the shared-span
+    // pair edges — which documents form verbatim-reuse families (the
+    // SpanDedup → clustering composition; candidate edges are the span
+    // equi-join, the closure is the q43-class hybrid CC)
+    "q102_span_dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          graft.operators.SpanDedup.sharedSpanPairs(
+              T(s, dir, "documents"), "doc_id", "text", spanTokens = 12)
+            .select(col("a_id"), col("b_id")),
+          "a_id", "b_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("component"))),
+
     // Waterfill REALIZED: the q91 allocation actually picks documents —
     // per-source hash-bucket cumulation (bounded driver facts), whole
     // buckets below the cutoff, boundary bucket ranked by
@@ -2019,6 +2033,33 @@ object SparkEntry {
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94_bpe_encode" -> HashOracles.q94BpeEncode(8),
     "q101_bpe_token_ids" -> HashOracles.q101BpeTokenIds(8),
+
+    // span edges (q82 fragment) closed transitively with the recursive
+    // CTE; component label = min doc id, per-family sizes
+    "q102_span_dup_clusters" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |spw AS (SELECT doc_id,
+         |    array_to_string(t[i + 1 : i + 12], ' ') AS span
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 11)) AS i
+         |        FROM tok WHERE len(t) >= 12)),
+         |sps AS (SELECT doc_id, array_to_string(t, ' ') AS span
+         |  FROM tok WHERE len(t) < 12),
+         |sp AS (SELECT DISTINCT doc_id, span
+         |  FROM (SELECT * FROM spw UNION ALL SELECT * FROM sps)),
+         |elig AS (SELECT span FROM sp GROUP BY span
+         |  HAVING count(*) BETWEEN 2 AND 50),
+         |es AS (SELECT s.doc_id, s.span FROM sp s JOIN elig USING (span)),
+         |pv AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM es a JOIN es b ON a.span = b.span AND a.doc_id < b.doc_id),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pv
+         |  UNION SELECT b_id, a_id FROM pv),
+         |nodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach AS (WITH RECURSIVE r(node, lbl) AS (
+         |  SELECT node, node FROM nodes UNION
+         |  SELECT e.d, r.lbl FROM r JOIN edges e ON e.s = r.node)
+         |  SELECT node, min(lbl) AS component FROM r GROUP BY node)
+         |SELECT component, CAST(count(*) AS BIGINT) AS size
+         |FROM reach GROUP BY component ORDER BY component""".stripMargin,
     "q96_waterfill_selection" ->
       HashOracles.q96WaterfillSelection(15000.0, 64),
 
