@@ -41,12 +41,18 @@ object NgramLm {
     */
   def train(corpus: DataFrame, idCol: String, textCol: String,
       tokensCol: Option[String] = None): Lm = {
-    val toks = corpus
+    // the tokenized reference feeds both count aggregations, and the
+    // unigram table feeds both the vocab count and the scoring join —
+    // scope-cached so each pass runs once (CacheScope contract)
+    val toks = graft.CacheScope.register(corpus
       .withColumn("__lm_toks",
         tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
-    val unigrams = toks
+      .select(col("__lm_toks"))
+      .persist())
+    val unigrams = graft.CacheScope.register(toks
       .select(explode(col("__lm_toks")).as("l"))
       .groupBy(col("l")).agg(count(lit(1)).as("c1"))
+      .persist())
     val bigrams = toks
       .select(explode(
         TokenizerTraining.adjacentPairStructs(col("__lm_toks"))).as("p"))
