@@ -24,6 +24,13 @@ class ClusteringSpec extends SparkSpec {
     val ids = assigned.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(ids.subsetOf((0 until 4).toSet))
+    // nearestLists take=1 head IS assign's cluster (same scored array,
+    // same (dist, cid) sort — the multi-assignment's base case)
+    val mismatch = assigned
+      .withColumn("nl",
+        Clustering.nearestLists(col("embedding"), cents, 1).getItem(0))
+      .filter(col("nl") =!= col("cluster")).count()
+    assert(mismatch === 0L, "nearestLists(1) diverged from assign")
   }
 
   test("Lloyd updates do not increase inertia (up to the 1e-6 centroid " +

@@ -205,6 +205,12 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 > r0, f"trained recall $r1%.2f not above untrained $r0%.2f")
     assert(r2 >= r1, f"multi-assign recall $r2%.2f under trained $r1%.2f")
     assert(r2 > r0, f"trained+top2 recall $r2%.2f not above $r0%.2f")
+    // the dedup form drops exactly the distinct b-sides of the pair form
+    val kept = Similarity.semanticDedupTrained(vectors, "vec_id",
+      "embedding", tau, cents, nAssign = 2)
+    assert(kept.count() === vectors.count() - multi.map(_._2).size)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(multi.map(_._2).forall(!keptIds.contains(_)))
   }
 
   test("embedding decontamination flags exactly the corpus vectors with " +
