@@ -303,6 +303,16 @@ class PlanQualitySpec extends SparkSpec {
       val p100 = df100.queryExecution.executedPlan.toString
       assert(!p100.contains("CartesianProduct"), p100)
       assert(!p100.contains("BroadcastNestedLoopJoin"), p100)
+
+      // q101 (token-id export) and q102 (span communities): the vocab
+      // id join and every candidate/edge join stay un-hinted equi-joins
+      Seq("q101_bpe_token_ids", "q102_span_dup_clusters").foreach { q =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+          s"$q forces a corpus-cardinality broadcast")
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      }
     }
   }
 
