@@ -91,6 +91,19 @@ object ScaleProbe {
         operators.TokenizerTraining.encode(replicateDocs(r),
           "doc_id", "text", merges))
     }
+    // n-gram LM scoring with a FROZEN (pre-materialized) LM: pair
+    // explode + two un-hinted count-table joins + one doc aggregation —
+    // linear in the scored corpus (the LM side is fixed)
+    val lm = operators.NgramLm.train(docs, "doc_id", "text")
+    lm.bigrams.persist().count()
+    lm.unigrams.persist().count()
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"ngram_lm r=$r docs=${nDocs * r}", () =>
+        operators.NgramLm.logProbScore(replicateDocs(r), "doc_id", "text",
+          lm))
+    }
+    lm.bigrams.unpersist()
+    lm.unigrams.unpersist()
     // selectByAllocations: one partial-agg shuffle for the (stratum,
     // bucket) facts + a window over ONE boundary bucket per stratum —
     // linear in the corpus, never a stratum-wide sort
