@@ -107,9 +107,13 @@ object Mixture {
     val budget: Map[String, Long] = allocRows
       .map(r => r.getString(0) -> math.floor(r.getDouble(1)).toLong).toMap
     // bucketed corpus view: referenced by the totals action, the
-    // full-bucket filter, and the boundary window — scoped cache
+    // full-bucket filter, and the boundary window — scoped cache.
+    // Null token counts are excluded outright (they cannot be budgeted;
+    // sum() would skip them in totals but the bucket filters would then
+    // admit them for free — the selectByTokenBudget contract)
     val base = graft.CacheScope.register(
-      docs.withColumn("__mx_b",
+      docs.filter(col(tokenCountCol).isNotNull)
+        .withColumn("__mx_b",
           pmod(HashExpressions.splitmix64(col(idCol).cast("long")),
             lit(hashBuckets.toLong)).cast("int"))
         .persist())
