@@ -27,19 +27,29 @@ object AnnStream {
 
   /** Matches of streaming `vectors` (columns `idCol`, `vecCol`, any
     * passthroughs) against the index at `indexPath`: one row per
-    * (arriving id, index id) with cosine ≥ `threshold`. Arriving vectors
-    * probe their single nearest list (nProbe = 1 — the streaming-latency
-    * trade; raise recall by rebuilding with fewer, larger lists).
+    * (arriving id, index id) with cosine ≥ `threshold`. Arriving
+    * vectors probe their `nProbe` nearest lists
+    * ([[Clustering.nearestLists]] — a bounded nProbe× row duplication
+    * of the SMALL stream side only; the index side still carries one
+    * list per row), so near-boundary matches missed by the single
+    * nearest list are recovered — the same recall dial as batch IVF,
+    * paid in per-batch join width rather than state. `nProbe = 1` is
+    * the latency-lean default. A (stream id, index id) pair matching
+    * in several probed lists emits once per list (stateless join —
+    * consumers dedup on the pair, same at-least-once contract as
+    * [[DedupStream.indexCollisions]]).
     */
   def indexMatches(vectors: DataFrame, indexPath: String, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double, nProbe: Int = 1): DataFrame = {
     val spark = vectors.sparkSession
     val centroids = Similarity.readIvfCentroids(indexPath)
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe $nProbe out of range [1, ${centroids.size}]")
     val lists = spark.read.parquet(s"$indexPath/lists")
       .select(col("id").as("index_id"), col("vec"), col("list_id"))
-    Clustering.assign(vectors, idCol, vecCol, centroids)
-      .withColumnRenamed("cluster", "list_id")
-      .drop("dist_sq")
+    vectors
+      .withColumn("list_id",
+        explode(Clustering.nearestLists(col(vecCol), centroids, nProbe)))
       .join(lists, Seq("list_id")) // stream-static equi-join
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine(col(vecCol), col("vec")))
@@ -61,7 +71,7 @@ object AnnStream {
     * run the query.
     */
   def indexMatchesRefreshing(vectors: DataFrame, indexPath: String,
-      idCol: String, vecCol: String, threshold: Double)(
+      idCol: String, vecCol: String, threshold: Double, nProbe: Int = 1)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
@@ -70,7 +80,7 @@ object AnnStream {
           batchId: Long) =>
         // indexMatches on a BATCH frame replans from scratch: fresh
         // sidecar, fresh InMemoryFileIndex — the whole point
-        sink(indexMatches(batch, indexPath, idCol, vecCol, threshold),
-          batchId)
+        sink(indexMatches(batch, indexPath, idCol, vecCol, threshold,
+          nProbe), batchId)
     }
 }

@@ -64,6 +64,35 @@ class AnnStreamSpec extends SparkSpec {
     assert(out.length === batch.length)
   }
 
+  test("multi-probe widens the stream match set monotonically and " +
+      "nProbe=1 equals the original single-assignment semantics") {
+    val s = spark
+    import s.implicits._
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val dir = Files.createTempDirectory("graft-annstream-probe").toString
+    Similarity.writeIvfIndex(vectors, "vec_id", "embedding", dir, cents)
+    // batch form of the same op (AnnStreamSpec already proves stream ≡
+    // batch): arriving re-embeds at a loose threshold so cross-list
+    // near-matches exist
+    val arrivals = vectors.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    def pairs(p: Int) = AnnStream
+      .indexMatches(arrivals, dir, "vec_id", "embedding",
+        threshold = 0.3, nProbe = p)
+      .select("vec_id", "index_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(1)
+    val p3 = pairs(3)
+    assert(p1.subsetOf(p3),
+      s"multi-probe lost matches: ${p1.diff(p3)}")
+    assert(p3.size > p1.size,
+      s"nProbe=3 found nothing beyond nProbe=1 (${p1.size}) - the " +
+        "recall dial is dead on this fixture")
+    info(s"stream ANN matches @cos>=0.3: nProbe=1 ${p1.size}, " +
+      s"nProbe=3 ${p3.size}")
+  }
+
   test("indexMatchesRefreshing picks up an index REBUILD between " +
       "micro-batches without a query restart") {
     val s = spark
