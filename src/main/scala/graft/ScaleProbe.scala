@@ -95,15 +95,15 @@ object ScaleProbe {
     // explode + two un-hinted count-table joins + one doc aggregation —
     // linear in the scored corpus (the LM side is fixed)
     val lm = operators.NgramLm.train(docs, "doc_id", "text")
-    lm.bigrams.persist().count()
-    lm.unigrams.persist().count()
+    lm.ngrams.persist().count()
+    lm.contexts.persist().count()
     Seq(1, 2, 4, 8).foreach { r =>
       timeWarm(s"ngram_lm r=$r docs=${nDocs * r}", () =>
         operators.NgramLm.logProbScore(replicateDocs(r), "doc_id", "text",
           lm))
     }
-    lm.bigrams.unpersist()
-    lm.unigrams.unpersist()
+    lm.ngrams.unpersist()
+    lm.contexts.unpersist()
     // selectByAllocations: one partial-agg shuffle for the (stratum,
     // bucket) facts + a window over ONE boundary bucket per stratum —
     // linear in the corpus, never a stratum-wide sort

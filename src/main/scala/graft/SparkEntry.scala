@@ -1253,6 +1253,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The generalized-order form of q100: a TRIGRAM LM (3-gram over
+    // 2-gram context, the step toward CCNet's 5-gram) trained on the
+    // reference split scoring the held-out half — same un-hinted count
+    // joins, same 1e-4 grid
+    "q103_trigram_lm_score" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val lm = graft.operators.NgramLm.train(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", n = 3)
+      graft.operators.NgramLm.logProbScore(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    }),
+
     // Persisted TRAINED IVF, queried end-to-end through the gate: train
     // k-means centroids, write the partitioned index + centroid sidecar
     // to disk, answer a top-k probe against the re-read index (probe
@@ -2028,9 +2041,41 @@ object SparkEntry {
          |  LEFT JOIN bi b ON b.l = p.l AND b.r = p.r
          |  LEFT JOIN uni u ON u.l = p.l
          |  CROSS JOIN v)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          |  round(avg(lp), 4) AS avg_lp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // trigram over bigram-context (no-fallback gram counting on BOTH
+    // sides); V = distinct train tokens
+    "q103_trigram_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |tr AS (SELECT * FROM tok WHERE doc_id < 250),
+         |te AS (SELECT * FROM tok WHERE doc_id >= 250),
+         |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs FROM
+         |  (SELECT unnest(t) AS w FROM tr)),
+         |n3 AS (SELECT g, count(*) AS cn FROM
+         |  (SELECT array_to_string(t[i + 1 : i + 3], ' ') AS g FROM
+         |    (SELECT t, unnest(range(0, len(t) - 2)) AS i FROM tr
+         |     WHERE len(t) >= 3)) GROUP BY g),
+         |n2 AS (SELECT c, count(*) AS cc FROM
+         |  (SELECT array_to_string(t[i + 1 : i + 2], ' ') AS c FROM
+         |    (SELECT t, unnest(range(0, len(t) - 1)) AS i FROM tr
+         |     WHERE len(t) >= 2)) GROUP BY c),
+         |tep AS (SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g,
+         |    array_to_string(t[i + 1 : i + 2], ' ') AS c
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i
+         |        FROM te WHERE len(t) >= 3)),
+         |sc AS (SELECT p.doc_id,
+         |  ln((coalesce(n3.cn, 0) + 0.4) / (coalesce(n2.cc, 0) + 0.4 * v.vs))
+         |    AS lp
+         |  FROM tep p
+         |  LEFT JOIN n3 ON n3.g = p.g
+         |  LEFT JOIN n2 ON n2.c = p.c
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(avg(lp), 4) AS avg_lp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q94_bpe_encode" -> HashOracles.q94BpeEncode(8),
     "q101_bpe_token_ids" -> HashOracles.q101BpeTokenIds(8),
 

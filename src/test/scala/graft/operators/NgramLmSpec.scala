@@ -25,7 +25,7 @@ class NgramLmSpec extends SparkSpec {
         "doc_id", "text", lm, alpha = 0.4)
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("avg_lp"))))
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("avg_lp"))))
       .toMap
     // seen pair:   ln((2+0.4)/(3+1.2))  = ln(2.4/4.2) = -0.5596
     // unseen pair: ln((0+0.4)/(2+1.2))  = ln(0.4/3.2) = -2.0794
@@ -37,6 +37,29 @@ class NgramLmSpec extends SparkSpec {
     val none = NgramLm.logProbScore(
       Seq((13L, "solo")).toDF("doc_id", "text"), "doc_id", "text", lm)
     assert(none.count() === 0L)
+  }
+
+  test("trigram order: 3-gram over 2-gram context, hand-computed") {
+    val s = spark
+    import s.implicits._
+    // trigrams: "a b c"x2 "b c a" "c a b"; contexts: "a b"x2 "b c"x2
+    // "c a"; V = 3 distinct tokens
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val lm = NgramLm.train(train, "doc_id", "text", n = 3)
+    assert(lm.n === 3 && lm.vocab === 3L)
+    val scored = NgramLm.logProbScore(
+        Seq((10L, "a b c"), (11L, "b c b"), (12L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", lm, alpha = 0.4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("avg_lp"))))
+      .toMap
+    // seen:   ln((2+0.4)/(2+1.2)) = ln(0.75)    = -0.2877
+    // unseen: ln((0+0.4)/(2+1.2)) = ln(0.4/3.2) = -2.0794
+    assert(scored(10L) === ((1L, -0.2877)))
+    assert(scored(11L) === ((1L, -2.0794)))
+    // below-order docs emit no row (no fallback in LM counting)
+    assert(!scored.contains(12L))
   }
 
   test("on the real corpus, text built from frequent train bigrams " +
@@ -54,9 +77,9 @@ class NgramLmSpec extends SparkSpec {
     import s.implicits._
     val lm = NgramLm.train(docs.filter(col("doc_id") < 250),
       "doc_id", "text")
-    val top = lm.bigrams
-      .orderBy(col("c2").desc, col("l"), col("r")).limit(20)
-      .collect().map(r => r.getString(0) + " " + r.getString(1))
+    val top = lm.ngrams
+      .orderBy(col("c_n").desc, col("gram")).limit(20)
+      .collect().map(_.getString(0))
     val frequentText = top.mkString(" ")
     val garbleText = (1 to 40).map(i => s"qzx$i").mkString(" ")
     val scored = NgramLm.logProbScore(
