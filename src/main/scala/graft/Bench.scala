@@ -89,12 +89,19 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> reps.min
+      (name, reps.min, reps)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // both raw reps ride in the record: min-of-2 bounds one-off JIT/GC
+    // luck, but sustained box load slows BOTH reps — with the pair
+    // visible, "both reps slow" (load) separates from "plan got slower"
+    // (regression) in the artifact itself, no re-run needed
+    val rp = results
+      .map { case (k, _, rs) => s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

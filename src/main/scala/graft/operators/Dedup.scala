@@ -504,10 +504,13 @@ object Dedup {
 
   /** Read and validate `_graft_index.json` — the ONLY sound source of
     * the bucket modulus for a delta-side [[keyBucketOf]] derivation.
+    * Takes the caller's session explicitly: resolving via
+    * `SparkSession.active` would read the sidecar through the wrong
+    * Hadoop conf (credentials, fs overrides) under multiple sessions.
     */
-  def readIndexMeta(path: String): DedupIndexMeta = {
+  def readIndexMeta(spark: SparkSession, path: String): DedupIndexMeta = {
     val text = graft.sources.Sidecar
-      .read(SparkSession.active, s"$path/$MetaFile")
+      .read(spark, s"$path/$MetaFile")
       .getOrElse(throw new IllegalArgumentException(
         s"no $MetaFile under $path - not a graft dedup index " +
           "(or written by a pre-metadata version; rewrite with writeIndex)"))
@@ -523,8 +526,9 @@ object Dedup {
     * modulus from the index's own metadata so the derivation can never
     * drift from the layout on disk.
     */
-  def deltaKeyBucket(indexPath: String, key: Column): Column =
-    keyBucketOf(key, readIndexMeta(indexPath).keyBuckets)
+  def deltaKeyBucket(spark: SparkSession, indexPath: String,
+      key: Column): Column =
+    keyBucketOf(key, readIndexMeta(spark, indexPath).keyBuckets)
 
   /** Re-open a persisted [[DedupIndex]]. The layout columns (`key_bucket`,
     * `id_shard`) stay on the frames so filters/joins on them reach the
@@ -532,7 +536,7 @@ object Dedup {
     * need, so the extras never travel through a shuffle.
     */
   def readIndex(spark: SparkSession, path: String): DedupIndex = {
-    val meta = readIndexMeta(path) // validate the sidecar before the data
+    val meta = readIndexMeta(spark, path) // validate sidecar before data
     val bands = spark.read.parquet(s"$path/bands")
       .select(col("band").cast("int").as("band"), col("key"),
         col("index_id"), col("key_bucket").cast("int").as("key_bucket"))

@@ -111,6 +111,13 @@ object Keywords {
     * distinct corpus token is corpus-scale cardinality (see the
     * [[tfIdfTopTerms]] df-join note). `tokensCol` joins the
     * tokenize-once contract.
+    *
+    * Dropped-row contract (like [[NgramLm.logProbScore]], unlike the
+    * left-join-back siblings [[oovRate]]/[[Novelty.gramNovelty]]): a
+    * ZERO-TOKEN document contributes no (id, token) rows and emits NO
+    * output row — there is no frequency mass to report and no natural
+    * zero (a 0 would alias "all-rare text"). Pipelines that must keep
+    * empty docs left-join this result back to the corpus.
     */
   def tokenFrequencyMass(docs: DataFrame, idCol: String, textCol: String,
       tokensCol: Option[String] = None): DataFrame = {

@@ -311,10 +311,15 @@ object Similarity {
         s""""centroids":$body}""")
   }
 
-  /** The centroid matrix a persisted index was written with. */
-  def readIvfCentroids(path: String): Seq[Seq[Double]] = {
+  /** The centroid matrix a persisted index was written with. Takes the
+    * caller's session explicitly (never `SparkSession.active`: under
+    * multiple sessions the sidecar would resolve through the wrong
+    * Hadoop conf).
+    */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] = {
     val text = graft.sources.Sidecar
-      .read(org.apache.spark.sql.SparkSession.active, s"$path/$IvfMetaFile")
+      .read(spark, s"$path/$IvfMetaFile")
       .getOrElse(throw new IllegalArgumentException(
         s"no $IvfMetaFile under $path - not a graft IVF index"))
     val start = text.indexOf("\"centroids\":[[")
@@ -333,7 +338,7 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
-    val cents = readIvfCentroids(path)
+    val cents = readIvfCentroids(spark, path)
     val probes = cents.zipWithIndex
       .map { case (c, i) =>
         (c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum, i)

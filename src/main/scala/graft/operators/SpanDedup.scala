@@ -194,12 +194,15 @@ object SpanDedup {
   }
 
   /** Read and validate the layout sidecar — the ONLY sound source of the
-    * span length and bucket modulus for a delta-side derivation.
+    * span length and bucket modulus for a delta-side derivation. Takes
+    * the caller's session explicitly (never `SparkSession.active`: under
+    * multiple sessions the sidecar would resolve through the wrong
+    * Hadoop conf).
     */
-  def readSpanIndexMeta(path: String): SpanIndexMeta = {
+  def readSpanIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): SpanIndexMeta = {
     val text = graft.sources.Sidecar
-      .read(org.apache.spark.sql.SparkSession.active,
-        s"$path/$SpanMetaFile")
+      .read(spark, s"$path/$SpanMetaFile")
       .getOrElse(throw new IllegalArgumentException(
         s"no $SpanMetaFile under $path - not a graft span index"))
     def intField(name: String): Int =
@@ -216,7 +219,7 @@ object SpanDedup {
     */
   def readSpanIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    readSpanIndexMeta(path) // validate the sidecar before touching data
+    readSpanIndexMeta(spark, path) // validate sidecar before touching data
     spark.read.parquet(s"$path/spans")
       .select(col("index_id"), col("h"),
         col("h_bucket").cast("int").as("h_bucket"))
@@ -243,7 +246,7 @@ object SpanDedup {
       textCol: String, indexPath: String, maxDf: Int = 50,
       tokensCol: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
-    val meta = readSpanIndexMeta(indexPath)
+    val meta = readSpanIndexMeta(spark, indexPath)
     val idx = readSpanIndex(spark, indexPath)
     // delta spans feed the match join once; bucket derived from the
     // sidecar modulus so it can never drift from the on-disk layout

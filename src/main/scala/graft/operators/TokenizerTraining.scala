@@ -178,7 +178,17 @@ object TokenizerTraining {
       enc(tokensCol.map(col).getOrElse(TF.tokens(col(textCol)))))
   }
 
-  /** The per-row rank-priority loop (exposed for spec round-trips). */
+  /** The per-row rank-priority loop (exposed for spec round-trips).
+    *
+    * Cost bound: each iteration rescans the whole current stream for the
+    * minimum rank, so the worst case is O(len · merges-applied) lookups
+    * per document — quadratic-ish for book-length documents whose text
+    * is mostly merge material. Fine at the gate/bench scales measured
+    * (the one-pass probe is flat 5k→40k docs); if long-document profiles
+    * ever show this hot, the standard fix is the adjacent-pair priority
+    * queue (heap of candidate positions, O(len · log len)) — a per-row
+    * rewrite, no change to the Spark plan shape.
+    */
   private[operators] def encodeTokens(toks: Seq[String],
       merges: Array[(String, String)],
       ranks: Map[(String, String), Int]): Seq[String] = {
@@ -249,13 +259,19 @@ object TokenizerTraining {
       tokensCol: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = corpus
+    // persisted (scope-owned) BEFORE the count: the distinct + global
+    // sort + zipWithIndex chain is the expensive part, and it is read by
+    // the count() action here AND by every downstream union/join (an
+    // encodeIds call reads it once more) — uncached, the
+    // corpus-cardinality sort re-ran per reference
+    val base = graft.CacheScope.register(corpus
       .select(explode(tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
         .as("token"))
       .distinct()
       .orderBy(col("token"))
       .as[String].rdd.zipWithIndex()
       .toDF("token", "token_id")
+      .persist())
     val nBase = base.count()
     val merged = merges.zipWithIndex
       .map { case ((a, b), i) => (a + " " + b, nBase + i) }

@@ -42,7 +42,7 @@ object AnnStream {
   def indexMatches(vectors: DataFrame, indexPath: String, idCol: String,
       vecCol: String, threshold: Double, nProbe: Int = 1): DataFrame = {
     val spark = vectors.sparkSession
-    val centroids = Similarity.readIvfCentroids(indexPath)
+    val centroids = Similarity.readIvfCentroids(spark, indexPath)
     require(nProbe >= 1 && nProbe <= centroids.size,
       s"nProbe $nProbe out of range [1, ${centroids.size}]")
     val lists = spark.read.parquet(s"$indexPath/lists")

@@ -111,7 +111,7 @@ object DedupStream {
     */
   def spanIndexCollisions(docs: DataFrame, indexPath: String): DataFrame = {
     val spark = docs.sparkSession
-    val meta = graft.operators.SpanDedup.readSpanIndexMeta(indexPath)
+    val meta = graft.operators.SpanDedup.readSpanIndexMeta(spark, indexPath)
     val idx = graft.operators.SpanDedup.readSpanIndex(spark, indexPath)
     docs
       // tokens materialized BEFORE the shingle lambda (HOF re-eval trap)

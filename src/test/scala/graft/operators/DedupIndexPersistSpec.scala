@@ -60,10 +60,10 @@ class DedupIndexPersistSpec extends SparkSpec {
 
     // the layout sidecar rides with the index and is the delta side's
     // source of truth for the bucket modulus
-    val meta = Dedup.readIndexMeta(dir)
+    val meta = Dedup.readIndexMeta(spark, dir)
     assert(meta === Dedup.DedupIndexMeta(keyBuckets = 8, idShards = 4))
     val deltaBucketMismatch = back.bands
-      .filter(Dedup.deltaKeyBucket(dir, col("key")) =!= col("key_bucket"))
+      .filter(Dedup.deltaKeyBucket(spark, dir, col("key")) =!= col("key_bucket"))
       .count()
     assert(deltaBucketMismatch === 0L,
       "deltaKeyBucket(path, key) must reproduce the on-disk layout")

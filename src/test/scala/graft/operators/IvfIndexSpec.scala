@@ -24,7 +24,7 @@ class IvfIndexSpec extends SparkSpec {
       k = 8, iters = 2)
     val dir = Files.createTempDirectory("graft-ivf1").toString
     Similarity.writeIvfIndex(vectors, "vec_id", "embedding", dir, cents)
-    val back = Similarity.readIvfCentroids(dir)
+    val back = Similarity.readIvfCentroids(spark, dir)
     assert(back === cents)
   }
 

@@ -56,7 +56,7 @@ class SpanIndexPersistSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(disk === mem)
     // layout column consistent with the sidecar-declared modulus
-    val meta = SpanDedup.readSpanIndexMeta(dir)
+    val meta = SpanDedup.readSpanIndexMeta(spark, dir)
     assert(meta === SpanDedup.SpanIndexMeta(spanTokens = 5, hashBuckets = 8))
     val bad = back
       .filter(Dedup.keyBucketOf(col("h"), 8) =!= col("h_bucket")).count()
