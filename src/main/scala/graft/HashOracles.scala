@@ -945,6 +945,56 @@ object HashOracles {
       "tn AS (SELECT doc_id, source, len(tk) AS n FROM t)"),
       budget, buckets)
 
+  /** The `Mixture.selectByAllocations` replay chain, generic over the
+    * stratum key: assumes CTEs `tn(doc_id, $key[, extras...], n)` (the
+    * budgetable corpus) and `al($key, b)` (floored per-stratum token
+    * allocations) already exist, and emits the hash-bucket realization —
+    * splitmix64(doc_id) buckets cumulated per stratum, whole buckets
+    * below each stratum's cutoff, the boundary bucket ranked by (signed
+    * hash, doc_id) under the remainder — ending in
+    * `sel(doc_id, $key[, extras...], n)`. `extras` are passthrough
+    * columns carried to `sel` untouched (q104 threads lang/bucket
+    * through for the final accounting).
+    */
+  private def realizationCtes(key: String, extras: Seq[String],
+      buckets: Int): Seq[String] = {
+    val ex = extras.map(e => s", $e").mkString
+    val dex = extras.map(e => s", d.$e").mkString
+    val kz = s"kz AS (SELECT doc_id, $key$ex, n, " +
+      "CAST(doc_id AS HUGEINT) AS z FROM tn)"
+    val mixed = mixStages(Seq("z"), Seq("doc_id", key) ++ extras ++ Seq("n"))
+      .zipWithIndex.map { case (body, i) =>
+        s"km$i AS ($body FROM ${if (i == 0) "kz" else s"km${i - 1}"})"
+      }
+    Seq(kz) ++ mixed ++ Seq(
+      s"d AS (SELECT doc_id, $key$ex, n, ${toSigned("z")} AS zs, " +
+        s"CAST(z % $buckets AS INTEGER) AS bk FROM km5)",
+      s"bt AS (SELECT $key, bk, CAST(sum(n) AS BIGINT) AS tt FROM d " +
+        s"GROUP BY $key, bk)",
+      s"cb AS (SELECT $key, bk, tt, coalesce(sum(tt) OVER " +
+        s"(PARTITION BY $key ORDER BY bk " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbk " +
+        "FROM bt)",
+      s"cut AS (SELECT c.$key, min(c.bk) AS cutb FROM cb c " +
+        s"JOIN al USING ($key) WHERE c.cumbk + c.tt > al.b " +
+        s"GROUP BY c.$key)",
+      s"rem AS (SELECT c.$key, c.bk AS cutb, al.b - c.cumbk AS rm " +
+        s"FROM cb c JOIN cut ct ON ct.$key = c.$key AND ct.cutb = c.bk " +
+        s"JOIN al ON al.$key = c.$key)",
+      s"fullsel AS (SELECT d.doc_id, d.$key$dex, d.n FROM d " +
+        s"JOIN rem USING ($key) WHERE d.bk < rem.cutb)",
+      s"nocut AS (SELECT d.doc_id, d.$key$dex, d.n FROM d WHERE d.$key " +
+        s"NOT IN (SELECT $key FROM cut))",
+      s"bnd AS (SELECT d.doc_id, d.$key$dex, d.n, sum(d.n) OVER " +
+        s"(PARTITION BY d.$key ORDER BY d.zs, d.doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        s"r2.rm FROM d JOIN rem r2 ON r2.$key = d.$key " +
+        "AND d.bk = r2.cutb)",
+      s"sel AS (SELECT doc_id, $key$ex, n FROM fullsel " +
+        s"UNION ALL SELECT doc_id, $key$ex, n FROM nocut " +
+        s"UNION ALL SELECT doc_id, $key$ex, n FROM bnd WHERE cum <= rm)")
+  }
+
   /** The shared allocation + realization chain over any base CTE list
     * ending in `tn(doc_id, source, n)` — used by q96 (raw corpus) and
     * q99 (quality-kept corpus).
@@ -970,44 +1020,112 @@ object HashOracles {
       "al AS (SELECT source, CAST(floor(CASE WHEN ts IS NULL " +
         "THEN CAST(c AS DOUBLE) " +
         "ELSE greatest(0.0, least(CAST(c AS DOUBLE), wt * ts)) END) " +
-        "AS BIGINT) AS b FROM z)",
-      "kz AS (SELECT doc_id, source, n, CAST(doc_id AS HUGEINT) AS z " +
-        "FROM tn)")
-    val mixed = mixStages(Seq("z"), Seq("doc_id", "source", "n"))
-      .zipWithIndex.map { case (body, i) =>
-        s"km$i AS ($body FROM ${if (i == 0) "kz" else s"km${i - 1}"})"
-      }
-    val select = Seq(
-      s"d AS (SELECT doc_id, source, n, ${toSigned("z")} AS zs, " +
-        s"CAST(z % $buckets AS INTEGER) AS bk FROM km5)",
-      "bt AS (SELECT source, bk, CAST(sum(n) AS BIGINT) AS tt FROM d " +
-        "GROUP BY source, bk)",
-      "cb AS (SELECT source, bk, tt, coalesce(sum(tt) OVER " +
-        "(PARTITION BY source ORDER BY bk " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbk " +
-        "FROM bt)",
-      "cut AS (SELECT c.source, min(c.bk) AS cutb FROM cb c " +
-        "JOIN al USING (source) WHERE c.cumbk + c.tt > al.b " +
-        "GROUP BY c.source)",
-      "rem AS (SELECT c.source, c.bk AS cutb, al.b - c.cumbk AS rm " +
-        "FROM cb c JOIN cut ct ON ct.source = c.source AND ct.cutb = c.bk " +
-        "JOIN al ON al.source = c.source)",
-      "fullsel AS (SELECT d.doc_id, d.source, d.n FROM d " +
-        "JOIN rem USING (source) WHERE d.bk < rem.cutb)",
-      "nocut AS (SELECT d.doc_id, d.source, d.n FROM d WHERE d.source " +
-        "NOT IN (SELECT source FROM cut))",
-      "bnd AS (SELECT d.doc_id, d.source, d.n, sum(d.n) OVER " +
-        "(PARTITION BY d.source ORDER BY d.zs, d.doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
-        "r2.rm FROM d JOIN rem r2 ON r2.source = d.source " +
-        "AND d.bk = r2.cutb)",
-      "sel AS (SELECT doc_id, source, n FROM fullsel " +
-        "UNION ALL SELECT doc_id, source, n FROM nocut " +
-        "UNION ALL SELECT doc_id, source, n FROM bnd WHERE cum <= rm)")
-    withClause(water ++ mixed ++ select,
+        "AS BIGINT) AS b FROM z)")
+    withClause(water ++ realizationCtes("source", Seq(), buckets),
       "SELECT source, count(*) AS n_sel, " +
         "CAST(coalesce(sum(n), 0) AS BIGINT) AS sel_tokens " +
         "FROM sel GROUP BY source ORDER BY source")
+  }
+
+  /** CCNet capstone replay (q104): language-ID (the q26 stopword-profile
+    * CASE) splits the corpus; a 5-gram add-α LM per language trains on
+    * doc_id < 250 (count tables keyed by (lang, gram)); held-out docs
+    * score by average smoothed ln-prob on the 1e-4 grid; the per-language
+    * (lang, avg_lp) histogram cuts head/middle/tail at the 1/3 / 2/3
+    * doc-count percentiles (strictly-better count vs total·frac — the
+    * fraction literal is CAST(1 AS DOUBLE)/3, NOT 1.0/3: DuckDB's 1.0 is
+    * DECIMAL and decimal division would diverge from Spark's IEEE
+    * double); bucket-weighted waterfill (head 6 / middle 3 / tail 1)
+    * allocates `budget` tokens over the (lang, bucket) strata; the
+    * generic [[realizationCtes]] chain realizes the pick per stratum.
+    */
+  def q104CcnetSelection(budget: Double, buckets: Int): String = {
+    def hits(words: Seq[String]): String =
+      s"len(list_filter($Toks, t -> t IN " +
+        words.map(w => s"'$w'").mkString("(", ", ", ")") + "))"
+    val f13 = "CAST(1 AS DOUBLE) / 3"
+    val f23 = "CAST(2 AS DOUBLE) / 3"
+    val lm = Seq(
+      s"tokd AS (SELECT doc_id, $Toks AS t FROM documents)",
+      s"lh AS (SELECT doc_id, ${hits(functions.TextFunctions.EnStop)} AS he, " +
+        s"${hits(functions.TextFunctions.DeStop)} AS hd, " +
+        s"${hits(functions.TextFunctions.FrStop)} AS hf FROM documents)",
+      "lng AS (SELECT doc_id, CASE " +
+        "WHEN he >= hd AND he >= hf AND he > 0 THEN 'en' " +
+        "WHEN hd >= hf AND hd > 0 THEN 'de' " +
+        "WHEN hf > 0 THEN 'fr' ELSE 'und' END AS lg FROM lh)",
+      "tr AS (SELECT l.lg, k.t FROM tokd k JOIN lng l USING (doc_id) " +
+        "WHERE doc_id < 250)",
+      "te AS (SELECT k.doc_id, l.lg, k.t FROM tokd k " +
+        "JOIN lng l USING (doc_id) WHERE doc_id >= 250)",
+      "v AS (SELECT lg, CAST(count(DISTINCT w) AS DOUBLE) AS vs FROM " +
+        "(SELECT lg, unnest(t) AS w FROM tr) GROUP BY lg)",
+      "n5 AS (SELECT lg, g, count(*) AS cn FROM " +
+        "(SELECT lg, array_to_string(t[i + 1 : i + 5], ' ') AS g FROM " +
+        "(SELECT lg, t, unnest(range(0, len(t) - 4)) AS i FROM tr " +
+        "WHERE len(t) >= 5)) GROUP BY lg, g)",
+      "n4 AS (SELECT lg, c, count(*) AS cc FROM " +
+        "(SELECT lg, array_to_string(t[i + 1 : i + 4], ' ') AS c FROM " +
+        "(SELECT lg, t, unnest(range(0, len(t) - 3)) AS i FROM tr " +
+        "WHERE len(t) >= 4)) GROUP BY lg, c)",
+      "tep AS (SELECT doc_id, lg, " +
+        "array_to_string(t[i + 1 : i + 5], ' ') AS g, " +
+        "array_to_string(t[i + 1 : i + 4], ' ') AS c FROM " +
+        "(SELECT doc_id, lg, t, unnest(range(0, len(t) - 4)) AS i " +
+        "FROM te WHERE len(t) >= 5))",
+      "sc AS (SELECT p.doc_id, p.lg, " +
+        "ln((coalesce(n5.cn, 0) + 0.4) / (coalesce(n4.cc, 0) + 0.4 * v.vs)) " +
+        "AS lp FROM tep p " +
+        "LEFT JOIN n5 ON n5.lg = p.lg AND n5.g = p.g " +
+        "LEFT JOIN n4 ON n4.lg = p.lg AND n4.c = p.c " +
+        "JOIN v ON v.lg = p.lg)",
+      "scd AS (SELECT doc_id, lg, round(avg(lp), 4) AS avg_lp FROM sc " +
+        "GROUP BY doc_id, lg)",
+      "hist AS (SELECT lg, avg_lp, count(*) AS hc FROM scd " +
+        "GROUP BY lg, avg_lp)",
+      "hb AS (SELECT lg, avg_lp, coalesce(sum(hc) OVER " +
+        "(PARTITION BY lg ORDER BY avg_lp DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS abv, " +
+        "sum(hc) OVER (PARTITION BY lg) AS tot FROM hist)",
+      s"bk2 AS (SELECT lg, avg_lp, CASE WHEN abv < tot * ($f13) " +
+        s"THEN 'head' WHEN abv < tot * ($f23) THEN 'middle' " +
+        "ELSE 'tail' END AS bucket FROM hb)",
+      "tn AS (SELECT s.doc_id, s.lg || '_' || b.bucket AS sk, " +
+        "s.lg, b.bucket, len(k.t) AS n FROM scd s " +
+        "JOIN bk2 b ON b.lg = s.lg AND b.avg_lp = s.avg_lp " +
+        "JOIN tokd k ON k.doc_id = s.doc_id)",
+      "caps AS (SELECT sk, min(bucket) AS bucket, " +
+        "CAST(sum(n) AS BIGINT) AS c FROM tn GROUP BY sk)",
+      "wf0 AS (SELECT sk, c, CASE WHEN bucket = 'head' THEN 6.0 " +
+        "WHEN bucket = 'middle' THEN 3.0 ELSE 1.0 END AS wt FROM caps)",
+      "r2 AS (SELECT sk, c, wt, CAST(c AS DOUBLE) / wt AS ratio FROM wf0)",
+      "x2 AS (SELECT sk, c, wt, ratio, " +
+        "coalesce(sum(CAST(c AS DOUBLE)) OVER (ORDER BY ratio, sk " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumb, " +
+        "sum(wt) OVER (ORDER BY ratio, sk " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tailw FROM r2)",
+      s"y2 AS (SELECT *, ($budget - cumb) / tailw AS tc FROM x2)",
+      "z2 AS (SELECT *, first_value(CASE WHEN ratio >= tc THEN tc END " +
+        "IGNORE NULLS) OVER (ORDER BY ratio, sk " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "AS ts FROM y2)",
+      "al AS (SELECT sk, CAST(floor(CASE WHEN ts IS NULL " +
+        "THEN CAST(c AS DOUBLE) " +
+        "ELSE greatest(0.0, least(CAST(c AS DOUBLE), wt * ts)) END) " +
+        "AS BIGINT) AS b FROM z2)")
+    val accounting = Seq(
+      "cells AS (SELECT lg, bucket, count(*) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS cell_tokens FROM tn GROUP BY lg, bucket)",
+      "sagg AS (SELECT lg, bucket, count(*) AS n_sel, " +
+        "CAST(sum(n) AS BIGINT) AS sel_tokens FROM sel GROUP BY lg, bucket)")
+    withClause(
+      lm ++ realizationCtes("sk", Seq("lg", "bucket"), buckets) ++ accounting,
+      "SELECT c.lg AS lang, c.bucket, c.n_docs, c.cell_tokens, " +
+        "CAST(coalesce(s2.n_sel, 0) AS BIGINT) AS n_sel, " +
+        "CAST(coalesce(s2.sel_tokens, 0) AS BIGINT) AS sel_tokens " +
+        "FROM cells c LEFT JOIN sagg s2 " +
+        "ON s2.lg = c.lg AND s2.bucket = c.bucket " +
+        "ORDER BY lang, c.bucket")
   }
 
   /** Capstone-4 replay: the q64 quality fragment (token bounds, dup

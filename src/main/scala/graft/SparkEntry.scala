@@ -1300,6 +1300,57 @@ object SparkEntry {
         .agg(count(lit(1)).as("size"))
         .orderBy(col("component"))),
 
+    // CCNet capstone #5 — the published per-language pipeline end-to-end:
+    // language-ID → ONE-PASS per-language 5-gram LM (count tables keyed
+    // by (lang, gram); V rides as a column, never a driver loop over
+    // languages) → per-doc avg smoothed ln-prob → head/middle/tail cut
+    // on the per-language (lang, score) HISTOGRAM (bounded table — no
+    // corpus-wide window) → bucket-weighted waterfill (head 6×) →
+    // realized document pick per (lang, bucket) stratum. First gate
+    // exercise of LM order > 3. The doc table tokenizes ONCE for
+    // lang-ID, training, scoring, capacities, and selection
+    "q104_ccnet_selection" -> ((s, dir) => {
+      val docs = graft.CacheScope.register(T(s, dir, "documents")
+        .withColumn("toks", toks(col("text")))
+        .select(col("doc_id"), col("toks"),
+          TF.langIdOf(col("toks")).as("lang"),
+          size(col("toks")).cast("long").as("n_tok"))
+        .persist())
+      val lm = graft.operators.NgramLm.trainGrouped(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", "lang",
+        n = 5, tokensCol = Some("toks"))
+      val scored = graft.operators.NgramLm.logProbScoreGrouped(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", "lang", lm,
+        tokensCol = Some("toks"))
+      // scored docs carry (lang, bucket); the stratum key is their
+      // concatenation (selectByAllocations takes one key column)
+      val bucketed = graft.CacheScope.register(
+        graft.operators.NgramLm.perplexityBuckets(scored, "lang", "avg_lp")
+          .join(docs.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+          .withColumn("sk",
+            concat(col("lang"), lit("_"), col("bucket")))
+          .persist())
+      val caps = bucketed.groupBy(col("sk"))
+        .agg(min(col("bucket")).as("bucket"),
+          sum(col("n_tok")).cast("long").as("c_tokens"))
+        .withColumn("weight",
+          when(col("bucket") === "head", 6.0)
+            .when(col("bucket") === "middle", 3.0).otherwise(1.0))
+      val alloc = graft.operators.Mixture.waterfill(caps, "sk",
+        "c_tokens", "weight", budget = 6000.0)
+      val sel = graft.operators.Mixture.selectByAllocations(
+        bucketed, "doc_id", "sk", "n_tok", alloc)
+      val cells = bucketed.groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("cell_tokens"))
+      val sagg = sel.groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_sel"),
+          sum(col("n_tok")).cast("long").as("sel_tokens"))
+      cells.join(sagg, Seq("lang", "bucket"), "left")
+        .na.fill(0L, Seq("n_sel", "sel_tokens"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Waterfill REALIZED: the q91 allocation actually picks documents —
     // per-source hash-bucket cumulation (bounded driver facts), whole
     // buckets below the cutoff, boundary bucket ranked by
@@ -2107,6 +2158,8 @@ object SparkEntry {
          |FROM reach GROUP BY component ORDER BY component""".stripMargin,
     "q96_waterfill_selection" ->
       HashOracles.q96WaterfillSelection(15000.0, 64),
+
+    "q104_ccnet_selection" -> HashOracles.q104CcnetSelection(6000.0, 64),
 
     // the persisted-index path replayed as a plain span join: corpus
     // spans (doc_id < 450) vs delta spans (>= 450), hub cap = distinct

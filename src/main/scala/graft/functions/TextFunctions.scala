@@ -92,8 +92,13 @@ object TextFunctions {
   /** Stopword-profile language heuristic over en/de/fr; "und" when no
     * profile matches. Ties resolve en > de > fr (deterministic).
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  /** [[langId]] over an already-materialized token array column — the
+    * tokenize-once form (three stopword profiles read the same array;
+    * the inline form re-runs the regexp split per profile).
+    */
+  def langIdOf(toks: Column): Column = {
     val en = stopwordHits(toks, EnStop)
     val de = stopwordHits(toks, DeStop)
     val fr = stopwordHits(toks, FrStop)

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus n-gram language-model scoring — the CCNet-style quality
@@ -116,5 +117,150 @@ object NgramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         round(avg(col("__lp")), 4).as("avg_lp"))
+  }
+
+  // ---- per-group (per-language) LM -------------------------------------
+
+  /** A per-group family of n-gram LMs in ONE set of count tables — the
+    * CCNet deployment shape ("train one 5-gram LM per language"), held
+    * as (group, gram, c_n) / (group, ctx, c_ctx) / (group, v) frames.
+    * One LM per distinct `grp` value; `vocabs` carries each group's
+    * trained vocabulary size as a COLUMN (the ungrouped [[Lm]]'s one
+    * driver long becomes a bounded per-group table that never needs to
+    * leave the executors).
+    */
+  final case class GroupedLm(ngrams: DataFrame, contexts: DataFrame,
+      vocabs: DataFrame, n: Int)
+
+  /** [[train]] with the group key (e.g.
+    * [[graft.functions.TextFunctions.langId]]) in every count-table key:
+    * one corpus pass trains ALL groups' models — never a driver-side
+    * loop over languages (a per-language `train` call would re-scan the
+    * reference corpus per language for the same tables this builds
+    * once). Still two partial-agg shuffles plus one countDistinct
+    * aggregation; every table stays distributed.
+    */
+  def trainGrouped(corpus: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 2,
+      tokensCol: Option[String] = None): GroupedLm = {
+    require(n >= 2, s"order $n must be >= 2 (the context is n-1 grams)")
+    // tokens materialized BEFORE the gram lambdas (HOF re-evaluation
+    // trap); the tokenized reference feeds all three aggregations
+    val toks = graft.CacheScope.register(corpus
+      .withColumn("__lm_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(groupCol).as("__lm_grp"), col("__lm_toks"))
+      .persist())
+    val contexts = toks
+      .select(col("__lm_grp"),
+        explode(grams(col("__lm_toks"), n - 1)).as("ctx"))
+      .groupBy(col("__lm_grp"), col("ctx"))
+      .agg(count(lit(1)).as("c_ctx"))
+    val ngrams = toks
+      .select(col("__lm_grp"),
+        explode(grams(col("__lm_toks"), n)).as("gram"))
+      .groupBy(col("__lm_grp"), col("gram"))
+      .agg(count(lit(1)).as("c_n"))
+    val vocabs = toks
+      .select(col("__lm_grp"), explode(col("__lm_toks")).as("w"))
+      .groupBy(col("__lm_grp"))
+      .agg(countDistinct(col("w")).cast("double").as("__lm_v"))
+    GroupedLm(ngrams, contexts, vocabs, n)
+  }
+
+  /** [[logProbScore]] against a [[GroupedLm]]: each document scores
+    * against ITS group's model — the gram/context joins carry the group
+    * key, and the smoothing denominator reads that group's vocabulary
+    * size from the `vocabs` join instead of a literal. All three joins
+    * un-hinted (the count tables are corpus-cardinality worst case — the
+    * [[Keywords]] df-join rule; `vocabs` is group-bounded and AQE will
+    * broadcast it on its runtime size).
+    *
+    * Dropped-row contract, one case wider than the ungrouped form: a doc
+    * below `lm.n` tokens emits no row (no n-grams), and a doc whose
+    * group has NO trained model (a language absent from the reference
+    * corpus) emits no row either — there is no V to smooth against, and
+    * CCNet's recipe has no cross-language backoff; surface such docs
+    * upstream with an anti-join on `vocabs` if they must be kept.
+    */
+  def logProbScoreGrouped(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, lm: GroupedLm, alpha: Double = 0.4,
+      tokensCol: Option[String] = None): DataFrame = {
+    require(alpha > 0, s"alpha $alpha must be positive (it is the floor)")
+    val n = lm.n
+    val pairs = docs
+      .withColumn("__lm_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol), col(groupCol).as("__lm_grp"),
+        explode(when(size(col("__lm_toks")) >= n,
+          transform(sequence(lit(0), size(col("__lm_toks")) - n),
+            i => struct(
+              array_join(slice(col("__lm_toks"), i + 1, lit(n)), " ")
+                .as("gram"),
+              array_join(slice(col("__lm_toks"), i + 1, lit(n - 1)), " ")
+                .as("ctx"))))
+          .otherwise(array().cast(
+            "array<struct<gram:string,ctx:string>>"))).as("p"))
+      .select(col(idCol), col("__lm_grp"),
+        col("p.gram").as("gram"), col("p.ctx").as("ctx"))
+    pairs
+      .join(lm.ngrams, Seq("__lm_grp", "gram"), "left")
+      .join(lm.contexts, Seq("__lm_grp", "ctx"), "left")
+      .join(lm.vocabs, Seq("__lm_grp")) // inner: no model -> no score
+      .withColumn("__lp",
+        log((coalesce(col("c_n"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c_ctx"), lit(0L)) + lit(alpha) * col("__lm_v"))))
+      .groupBy(col(idCol), col("__lm_grp"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(col("__lp")), 4).as("avg_lp"))
+      .withColumnRenamed("__lm_grp", groupCol)
+  }
+
+  /** CCNet's head/middle/tail split: within each group, bucket documents
+    * by where their score ranks — `head` = the best `headFrac` of the
+    * group's docs, `middle` up to `middleFrac`, `tail` the rest (CCNet
+    * cuts perplexity at the 33rd/66th percentiles per language; higher
+    * `scoreCol` = lower perplexity = better, so ranking is score-DESC).
+    *
+    * Scale shape — the cut is computed on the (group, score) HISTOGRAM,
+    * never by ranking documents: `scoreCol` lives on a rounded grid (the
+    * 1e-4 grid [[logProbScore]] emits), so the histogram is one
+    * partial-agg shuffle to a bounded table (groups × grid), the
+    * percentile windows run over THAT table, and documents get their
+    * bucket back through one un-hinted (group, score) equi-join. A
+    * per-group `ntile` window over the documents themselves — the naive
+    * form — would funnel every group's corpus slice through one
+    * partition, the [[CorpusSelection]] sequential-window trap.
+    *
+    * Grid-granular by construction: equal scores land in the same bucket
+    * (a bucket boundary inside a score tie would be an arbitrary doc
+    * split — CCNet cuts on the score value too). A document is `head`
+    * iff STRICTLY better-scored docs make up less than `headFrac` of its
+    * group; boundary arithmetic is count·frac double compares, identical
+    * cross-engine.
+    */
+  def perplexityBuckets(scored: DataFrame, groupCol: String,
+      scoreCol: String, headFrac: Double = 1.0 / 3,
+      middleFrac: Double = 2.0 / 3,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(headFrac > 0 && headFrac <= middleFrac && middleFrac <= 1,
+      s"bad fractions ($headFrac, $middleFrac)")
+    val hist = scored.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__pb_c"))
+    // windows over the bounded histogram, not the corpus
+    val byScore = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col(groupCol))
+    val cuts = hist
+      .withColumn("__pb_above",
+        coalesce(sum(col("__pb_c")).over(byScore), lit(0L)))
+      .withColumn("__pb_tot", sum(col("__pb_c")).over(whole))
+      .withColumn(bucketCol,
+        when(col("__pb_above") < col("__pb_tot") * headFrac, "head")
+          .when(col("__pb_above") < col("__pb_tot") * middleFrac, "middle")
+          .otherwise("tail"))
+      .select(col(groupCol), col(scoreCol), col(bucketCol))
+    scored.join(cuts, Seq(groupCol, scoreCol)) // un-hinted join-back
   }
 }

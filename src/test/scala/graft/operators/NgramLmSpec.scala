@@ -62,6 +62,104 @@ class NgramLmSpec extends SparkSpec {
     assert(!scored.contains(12L))
   }
 
+  test("5-gram order: 5-gram over 4-gram context, hand-computed") {
+    val s = spark
+    import s.implicits._
+    // train "a b c d e a b c d e": 5-grams "a b c d e"x2, "b c d e a",
+    // "c d e a b", "d e a b c", "e a b c d"; 4-gram contexts
+    // "a b c d"x2, "b c d e"x2, "c d e a", "d e a b", "e a b c";
+    // V = 5 distinct tokens
+    val train = Seq((1L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val lm = NgramLm.train(train, "doc_id", "text", n = 5)
+    assert(lm.n === 5 && lm.vocab === 5L)
+    val scored = NgramLm.logProbScore(
+        Seq((10L, "a b c d e"), (11L, "a b c d x"),
+          (12L, "a b c d")).toDF("doc_id", "text"),
+        "doc_id", "text", lm, alpha = 0.4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("avg_lp"))))
+      .toMap
+    // seen:   ln((2+0.4)/(2+0.4*5)) = ln(2.4/4)   = -0.5108
+    // unseen: ln((0+0.4)/(2+2))     = ln(0.4/4)   = -2.3026
+    assert(scored(10L) === ((1L, -0.5108)))
+    assert(scored(11L) === ((1L, -2.3026)))
+    // a 4-token doc has no 5-gram: no row, no lower-order fallback
+    assert(!scored.contains(12L))
+  }
+
+  test("grouped LM == one ungrouped LM per group, on a 2-language fixture") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "en", "the table is fast the table is slow"),
+      (2L, "en", "the row is fast"),
+      (3L, "de", "der tisch ist schnell der tisch"),
+      (4L, "de", "der baum ist schnell")
+    ).toDF("doc_id", "lang", "text")
+    val test = Seq(
+      (10L, "en", "the table is fast"),
+      (11L, "de", "der tisch ist gross"),
+      (12L, "fr", "le table est vite") // no trained model -> no row
+    ).toDF("doc_id", "lang", "text")
+    val glm = NgramLm.trainGrouped(train, "doc_id", "text", "lang", n = 2)
+    val grouped = NgramLm
+      .logProbScoreGrouped(test, "doc_id", "text", "lang", glm)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("n_grams"),
+          r.getAs[Double]("avg_lp"))))
+      .toMap
+    // equivalence: each group's slice of the grouped result must equal
+    // the ungrouped operator trained on that group alone
+    Seq("en", "de").foreach { g =>
+      val lm = NgramLm.train(train.filter(col("lang") === g),
+        "doc_id", "text")
+      val solo = NgramLm.logProbScore(test.filter(col("lang") === g),
+          "doc_id", "text", lm)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Double]("avg_lp"))))
+        .toMap
+      solo.foreach { case (id, (n, lp)) =>
+        assert(grouped(id) === ((g, n, lp)),
+          s"group $g doc $id: grouped ${grouped(id)} != solo ($n, $lp)")
+      }
+    }
+    // a doc of an untrained language emits no row (documented contract)
+    assert(!grouped.contains(12L))
+    // vocabs are per-group: en {the,table,is,fast,slow,row} = 6,
+    // de {der,tisch,ist,schnell,baum} = 5
+    val vs = glm.vocabs.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(vs === Map("en" -> 6.0, "de" -> 5.0))
+  }
+
+  test("perplexityBuckets cuts per group on the score histogram, " +
+      "grid-granular, better scores first") {
+    val s = spark
+    import s.implicits._
+    // g1: 6 docs, distinct scores -2..-7 -> clean thirds: head {-2,-3},
+    // middle {-4,-5}, tail {-6,-7}. g2: 4 docs with a tie at the head
+    // cut: scores -1, -1, -2, -3; the -1 tie (2 of 4 docs = 50% > 1/3)
+    // stays whole in head (grid-granular: a value never splits), -2 has
+    // 2/4 = 50% strictly above (< 2/3) -> middle, -3 has 3/4 -> tail.
+    val scored = Seq(
+      (1L, "g1", -2.0), (2L, "g1", -3.0), (3L, "g1", -4.0),
+      (4L, "g1", -5.0), (5L, "g1", -6.0), (6L, "g1", -7.0),
+      (10L, "g2", -1.0), (11L, "g2", -1.0), (12L, "g2", -2.0),
+      (13L, "g2", -3.0)
+    ).toDF("doc_id", "grp", "score")
+    val out = NgramLm.perplexityBuckets(scored, "grp", "score")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    assert(out === Map(
+      1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle",
+      5L -> "tail", 6L -> "tail",
+      10L -> "head", 11L -> "head", 12L -> "middle", 13L -> "tail"))
+  }
+
   test("on the real corpus, text built from frequent train bigrams " +
       "outscores never-seen word pairs end-to-end") {
     // NOTE: the synthetic fixture's text is near-random word draws, so
