@@ -65,6 +65,38 @@ object SparkEntry {
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter($ToksSql, t -> t IN ${inList(words)}))"
 
+  // Incremental-span-dedup replay at the <450 corpus split, shared by
+  // q97 (one-shot index) and q106 (index folded from <400 ⊕ 400-449):
+  // the fold must be invisible to probe semantics, so both gates replay
+  // as the same plain span join — corpus spans vs delta spans (>= 450),
+  // hub cap = distinct corpus docs per MATCHED span <= 50, matched_id =
+  // min eligible corpus id, exactly incrementalSpanDedup's accounting.
+  private val SpanProbe450Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |spw AS (SELECT doc_id,
+       |    array_to_string(t[i + 1 : i + 12], ' ') AS span
+       |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 11)) AS i
+       |        FROM tok WHERE len(t) >= 12)),
+       |sps AS (SELECT doc_id, array_to_string(t, ' ') AS span
+       |  FROM tok WHERE len(t) < 12),
+       |sp AS (SELECT DISTINCT doc_id, span
+       |  FROM (SELECT * FROM spw UNION ALL SELECT * FROM sps)),
+       |cs AS (SELECT doc_id, span FROM sp WHERE doc_id < 450),
+       |ds AS (SELECT doc_id, span FROM sp WHERE doc_id >= 450),
+       |hit AS (SELECT d.doc_id AS did, d.span, c.doc_id AS cid
+       |  FROM ds d JOIN cs c ON d.span = c.span),
+       |el AS (SELECT span FROM hit GROUP BY span
+       |  HAVING count(DISTINCT cid) <= 50),
+       |per AS (SELECT h.did AS doc_id,
+       |    CAST(count(DISTINCT h.span) AS BIGINT) AS n_dup_spans,
+       |    min(h.cid) AS matched_id
+       |  FROM hit h JOIN el USING (span) GROUP BY h.did)
+       |SELECT d.doc_id, coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       |  p.n_dup_spans IS NOT NULL AS has_dup_span,
+       |  coalesce(p.matched_id, -1) AS matched_id
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) d
+       |LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational core --------------------------------------------
@@ -1209,6 +1241,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Persisted-index DELTA FOLD, gated through the disk round-trip:
+    // day 0 writes the span index (doc_id < 400), day 1's batch
+    // (400-449) is FOLDED in with appendToSpanIndex (bucket moduli from
+    // the sidecar, one appended file per touched leaf — no rebuild),
+    // then day 2's delta (>= 450) probes the folded index. The oracle is
+    // EXACTLY q97's corpus-vs-delta span join at the <450 split: a fold
+    // that wrote wrong buckets or hashed a different span length would
+    // land rows where the (h_bucket, h) probe join cannot see them —
+    // silent misses the hash compare catches
+    "q106_span_index_fold" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q106_span_fold").getAbsolutePath
+      graft.operators.SpanDedup.writeSpanIndex(
+        docs.filter(col("doc_id") < 400), "doc_id", "text", path,
+        spanTokens = 12)
+      graft.operators.SpanDedup.appendToSpanIndex(
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+        "doc_id", "text", path)
+      graft.operators.SpanDedup.incrementalSpanDedup(
+          docs.filter(col("doc_id") >= 450), "doc_id", "text", path)
+        .select(col("doc_id"), col("n_dup_spans"), col("has_dup_span"),
+          coalesce(col("matched_id"), lit(-1L)).as("matched_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone #4 — assemble a BUDGETED training mix end-to-end:
     // quality gate → per-source capacities → waterfill under a token
     // budget (src0/src1 upweighted 3×) → realized document selection →
@@ -2165,31 +2223,11 @@ object SparkEntry {
     // spans (doc_id < 450) vs delta spans (>= 450), hub cap = distinct
     // corpus docs per MATCHED span <= 50, matched_id = min eligible
     // corpus id — exactly incrementalSpanDedup's accounting
-    "q97_incremental_span_dedup" ->
-      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |spw AS (SELECT doc_id,
-         |    array_to_string(t[i + 1 : i + 12], ' ') AS span
-         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 11)) AS i
-         |        FROM tok WHERE len(t) >= 12)),
-         |sps AS (SELECT doc_id, array_to_string(t, ' ') AS span
-         |  FROM tok WHERE len(t) < 12),
-         |sp AS (SELECT DISTINCT doc_id, span
-         |  FROM (SELECT * FROM spw UNION ALL SELECT * FROM sps)),
-         |cs AS (SELECT doc_id, span FROM sp WHERE doc_id < 450),
-         |ds AS (SELECT doc_id, span FROM sp WHERE doc_id >= 450),
-         |hit AS (SELECT d.doc_id AS did, d.span, c.doc_id AS cid
-         |  FROM ds d JOIN cs c ON d.span = c.span),
-         |el AS (SELECT span FROM hit GROUP BY span
-         |  HAVING count(DISTINCT cid) <= 50),
-         |per AS (SELECT h.did AS doc_id,
-         |    CAST(count(DISTINCT h.span) AS BIGINT) AS n_dup_spans,
-         |    min(h.cid) AS matched_id
-         |  FROM hit h JOIN el USING (span) GROUP BY h.did)
-         |SELECT d.doc_id, coalesce(p.n_dup_spans, 0) AS n_dup_spans,
-         |  p.n_dup_spans IS NOT NULL AS has_dup_span,
-         |  coalesce(p.matched_id, -1) AS matched_id
-         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) d
-         |LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q97_incremental_span_dedup" -> SpanProbe450Sql,
+    // the fold is semantically invisible: probing an index written as
+    // (<400) then appendToSpanIndex(400-449) must EQUAL probing one
+    // built over <450 at once — so the oracle is q97's replay verbatim
+    "q106_span_index_fold" -> SpanProbe450Sql,
 
     // span-candidate generation is the q82 fragment (span STRING join
     // vs Spark's xxhash64 — same accepted 2^-64 divergence); the verify

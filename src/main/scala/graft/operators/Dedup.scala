@@ -497,6 +497,50 @@ object Dedup {
       s"""{"keyBuckets":$keyBuckets,"idShards":$idShards}""")
   }
 
+  /** Fold a delta INTO a persisted index — the maintenance operation a
+    * daily incremental pipeline needs: after [[incrementalDedup]] flags
+    * today's batch against yesterday's index, the batch's fresh rows
+    * must become part of the index or every later delta re-probes an
+    * ever-staler corpus until a full rebuild. This appends the delta's
+    * band/signature rows into the SAME bucket layout (moduli from the
+    * index's own sidecar — a caller-supplied modulus could silently
+    * shear the layout), so `readIndex(path)` afterwards ≡
+    * `buildDedupIndex(old ∪ delta)` row-for-row and every pruning
+    * property is unchanged.
+    *
+    * Each append lands ONE new file per touched (band, key_bucket) leaf
+    * (same single-task repartition as [[writeIndex]]) — directory
+    * partition pruning is untouched; a pruned probe now reads
+    * 1 + #appends files per leaf instead of 1. That is the append/merge
+    * trade every log-structured index makes: fold daily, and when the
+    * per-leaf file count matters, compact by rewriting
+    * (`writeIndex(readIndex(...), freshPath)`).
+    *
+    * The delta index must be built with the same signature parameters
+    * (k, shingleLen, bands) as the original — the same contract
+    * [[incrementalDedup]] already places on its caller; signatures of
+    * different k would not even band-join. Ids already present in the
+    * index are the caller's to avoid (re-appending an id duplicates its
+    * rows, exactly as rebuilding with a duplicated corpus would).
+    */
+  def appendToIndex(delta: DedupIndex, path: String): Unit = {
+    val spark = delta.bands.sparkSession
+    val meta = readIndexMeta(spark, path) // layout from the sidecar ONLY
+    delta.bands
+      .withColumn("key_bucket", keyBucketOf(col("key"), meta.keyBuckets))
+      .repartition(col("band"), col("key_bucket"))
+      .sortWithinPartitions(col("band"), col("key_bucket"), col("key"))
+      .write.mode("append").partitionBy("band", "key_bucket")
+      .parquet(s"$path/bands")
+    delta.signatures
+      .withColumn("id_shard",
+        pmod(HashExpressions.splitmix64(col("index_id").cast("long")),
+          lit(meta.idShards.toLong)).cast("int"))
+      .repartition(col("id_shard"))
+      .write.mode("append").partitionBy("id_shard")
+      .parquet(s"$path/signatures")
+  }
+
   private val MetaFile = "_graft_index.json"
 
   /** Layout parameters a persisted index was written with. */

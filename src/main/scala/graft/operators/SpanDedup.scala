@@ -193,6 +193,34 @@ object SpanDedup {
       s"""{"spanTokens":$spanTokens,"hashBuckets":$hashBuckets}""")
   }
 
+  /** Fold a delta corpus INTO a persisted span index — the maintenance
+    * half of the daily-delta story ([[Dedup.appendToIndex]]'s span
+    * analogue): after [[incrementalSpanDedup]] flags today's batch,
+    * append its (index_id, h) rows so tomorrow's delta probes
+    * yesterday's corpus AND today's, no full rebuild. Span length and
+    * bucket modulus come from the index's OWN sidecar (a caller-supplied
+    * span length would hash different strings — a silent
+    * everything-misses, not an error), so
+    * `readSpanIndex(path)` afterwards ≡ the index built over the union
+    * corpus, row-for-row, pruning unchanged. Each append lands one new
+    * file per touched `h_bucket` leaf; compact when file counts matter
+    * by rewriting ([[writeSpanIndex]] on the union — the same
+    * append/merge trade as every log-structured index). Re-appending an
+    * already-indexed id duplicates its rows — the caller's contract,
+    * as with a duplicated corpus at build time.
+    */
+  def appendToSpanIndex(delta: DataFrame, idCol: String, textCol: String,
+      path: String, tokensCol: Option[String] = None): Unit = {
+    val meta = readSpanIndexMeta(delta.sparkSession, path)
+    spanRows(delta, idCol, textCol, meta.spanTokens, tokensCol)
+      .select(col("id").as("index_id"), col("h"))
+      .withColumn("h_bucket", Dedup.keyBucketOf(col("h"), meta.hashBuckets))
+      .repartition(col("h_bucket"))
+      .sortWithinPartitions(col("h_bucket"), col("h"))
+      .write.mode("append").partitionBy("h_bucket")
+      .parquet(s"$path/spans")
+  }
+
   /** Read and validate the layout sidecar — the ONLY sound source of the
     * span length and bucket modulus for a delta-side derivation. Takes
     * the caller's session explicitly (never `SparkSession.active`: under

@@ -132,6 +132,55 @@ class DedupIndexPersistSpec extends SparkSpec {
       "in-memory index has no layout - key_bucket must not appear")
   }
 
+  test("appendToIndex folds a delta index: rows == rebuild on the union, " +
+      "and incrementalDedup flags against the folded content") {
+    val s = spark
+    import s.implicits._
+    val dNew = Seq(
+      (50L, "the new canonical sentence about volcanoes glaciers and " +
+        "time passing slowly")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dedup-idx-fold").toString
+    Dedup.writeIndex(Dedup.buildDedupIndex(corpus, "doc_id", "text"), dir,
+      keyBuckets = 8, idShards = 4)
+    val probe = Seq(
+      (200L, "the new canonical sentence about volcanoes glaciers and " +
+        "time passing slowly indeed")
+    ).toDF("doc_id", "text")
+    def run(i: Dedup.DedupIndex) =
+      Dedup.incrementalDedup(probe, "doc_id", "text", i, threshold = 0.7)
+        .select("doc_id", "is_dup", "matched_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    assert(run(Dedup.readIndex(spark, dir)).forall(!_._2),
+      "probe must be fresh before the fold")
+
+    // fold the delta in: same signature params as the base build (the
+    // appendToIndex caller contract, as for incrementalDedup)
+    Dedup.appendToIndex(Dedup.buildDedupIndex(dNew, "doc_id", "text"), dir)
+
+    val folded = Dedup.readIndex(spark, dir)
+    val rebuilt = Dedup.buildDedupIndex(corpus.unionByName(dNew),
+      "doc_id", "text")
+    def bandSet(df: DataFrame) = df.select("band", "key", "index_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def sigSet(df: DataFrame) = df.select("index_id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSet
+    assert(bandSet(folded.bands) === bandSet(rebuilt.bands),
+      "folded band rows must equal the union rebuild")
+    assert(sigSet(folded.signatures) === sigSet(rebuilt.signatures),
+      "folded signature rows must equal the union rebuild")
+    // and the folded layout column still derives from the sidecar modulus
+    assert(folded.bands
+      .filter(Dedup.keyBucketOf(col("key"), 8) =!= col("key_bucket"))
+      .count() === 0L)
+
+    val after = run(folded)
+    assert(after === Seq((200L, true, Some(50L))),
+      s"probe must flag against the folded doc 50: $after")
+  }
+
   test("bands reads prune on the (band, key_bucket) directory partitions") {
     val idx = Dedup.buildDedupIndex(corpus, "doc_id", "text")
     val dir = Files.createTempDirectory("graft-dedup-idx3").toString

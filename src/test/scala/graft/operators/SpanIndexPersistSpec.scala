@@ -130,6 +130,65 @@ class SpanIndexPersistSpec extends SparkSpec {
     assert(!fresh._3 && fresh._2 === 0L && fresh._4.isEmpty)
   }
 
+  test("appendToSpanIndex folds a delta: rows == rebuild on the union, " +
+      "pruning intact, and a later delta flags against the folded content") {
+    val s = spark
+    import s.implicits._
+    val passage2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val d1 = Seq(
+      (50L, s"novel section $passage2 closing words here today")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-span-idx-fold").toString
+    SpanDedup.writeSpanIndex(corpus, "doc_id", "text", dir,
+      spanTokens = 5, hashBuckets = 8)
+    // BEFORE the fold: a copy of the delta passage is fresh
+    val probe2 = Seq(
+      (200L, s"verbatim copy of $passage2 with trailing words"),
+      (201L, "untouched fresh text about entirely different matters " +
+        "nothing shared at all")
+    ).toDF("doc_id", "text")
+    def flags(path: String) = SpanDedup
+      .incrementalSpanDedup(probe2, "doc_id", "text", path)
+      .select("doc_id", "n_dup_spans", "has_dup_span", "matched_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1).toSeq
+    assert(flags(dir).forall(!_._3),
+      "nothing may flag before the delta is folded in")
+
+    SpanDedup.appendToSpanIndex(d1, "doc_id", "text", dir)
+
+    // row-for-row ≡ an index built over the union corpus in one shot
+    val dir2 = Files.createTempDirectory("graft-span-idx-fold2").toString
+    SpanDedup.writeSpanIndex(corpus.unionByName(d1), "doc_id", "text",
+      dir2, spanTokens = 5, hashBuckets = 8)
+    def rows(path: String) = SpanDedup.readSpanIndex(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(dir) === rows(dir2),
+      "folded index must equal the union rebuild row-for-row")
+
+    // the later delta now flags against the FOLDED content, identically
+    // on the folded and the rebuilt index
+    val after = flags(dir)
+    assert(after === flags(dir2))
+    assert(after.find(_._1 == 200L).exists(f => f._3 && f._4 === Some(50L)),
+      s"passage copy must match the folded doc 50: $after")
+    assert(after.find(_._1 == 201L).exists(!_._3))
+
+    // pruning is untouched: a bucket probe still reads a strict subset
+    // of files (each leaf now holds base + append files; the DIRECTORY
+    // partitioning is what prunes)
+    val spans = spark.read.parquet(s"$dir/spans")
+    val probe = spans.filter(col("h_bucket") === 3)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in probe plan"))
+    assert(scan.metrics("numFiles").value < spans.inputFiles.length,
+      "bucket probe stopped pruning after the fold")
+  }
+
   test("incrementalSpanDedup hub cap drops template spans present in " +
       "more than maxDf corpus docs") {
     val s = spark
