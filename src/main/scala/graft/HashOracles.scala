@@ -1027,6 +1027,96 @@ object HashOracles {
         "FROM sel GROUP BY source ORDER BY source")
   }
 
+  /** Epoch-repeat mixture replay (q107): the q91 waterfill chain with
+    * effective capacity `cap × maxEpochs` (ratio and clamp both scale),
+    * then `Mixture.selectByAllocationsEpochs` — per source, `fe =
+    * min(b // cap, maxEpochs)` COMPLETE epochs (every doc × 1..fe via
+    * `unnest(range)`), and the remainder `b − fe·cap` realized as the
+    * standard splitmix64 bucket-prefix pick at epoch `fe + 1`.
+    */
+  def q107EpochSelection(budget: Double, buckets: Int,
+      maxEpochs: Int): String = {
+    val water = Seq(
+      s"t0 AS (SELECT doc_id, source, $Toks AS tk FROM documents)",
+      "tn AS (SELECT doc_id, source, len(tk) AS n FROM t0)",
+      "s AS (SELECT source, CAST(sum(n) AS BIGINT) AS c FROM tn " +
+        "GROUP BY source)",
+      "w AS (SELECT source, c, CASE WHEN source IN ('src0', 'src1') " +
+        "THEN 5.0 ELSE 1.0 END AS wt FROM s)",
+      s"r AS (SELECT source, c, wt, " +
+        s"CAST(c AS DOUBLE) * $maxEpochs AS ce FROM w)",
+      "r1 AS (SELECT source, c, wt, ce, ce / wt AS ratio FROM r)",
+      "x AS (SELECT source, c, wt, ce, ratio, " +
+        "coalesce(sum(ce) OVER (ORDER BY ratio, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumb, " +
+        "sum(wt) OVER (ORDER BY ratio, source " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tailw FROM r1)",
+      s"y AS (SELECT *, ($budget - cumb) / tailw AS tc FROM x)",
+      "z AS (SELECT *, first_value(CASE WHEN ratio >= tc THEN tc END " +
+        "IGNORE NULLS) OVER (ORDER BY ratio, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "AS ts FROM y)",
+      "al AS (SELECT source, c, CAST(floor(CASE WHEN ts IS NULL THEN ce " +
+        "ELSE greatest(0.0, least(ce, wt * ts)) END) AS BIGINT) AS b " +
+        "FROM z)",
+      // complete epochs + remainder per source; the fe >= maxEpochs
+      // branch mirrors the operator's clamp (partial epoch dropped when
+      // the allocation already realizes as maxEpochs complete passes)
+      s"alr AS (SELECT source, b, c AS cap, CASE WHEN c <= 0 THEN 0 " +
+        s"ELSE least(b // c, $maxEpochs) END AS fe FROM al)",
+      s"alr2 AS (SELECT source, b, cap, fe, CASE WHEN fe >= $maxEpochs " +
+        "THEN 0 ELSE b - fe * cap END AS rb FROM alr)",
+      "kz AS (SELECT doc_id, source, n, CAST(doc_id AS HUGEINT) AS z " +
+        "FROM tn)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "source", "n"))
+      .zipWithIndex.map { case (body, i) =>
+        s"km$i AS ($body FROM ${if (i == 0) "kz" else s"km${i - 1}"})"
+      }
+    val select = Seq(
+      s"d AS (SELECT doc_id, source, n, ${toSigned("z")} AS zs, " +
+        s"CAST(z % $buckets AS INTEGER) AS bk FROM km5)",
+      "bt AS (SELECT source, bk, CAST(sum(n) AS BIGINT) AS tt FROM d " +
+        "GROUP BY source, bk)",
+      "cb AS (SELECT source, bk, tt, coalesce(sum(tt) OVER " +
+        "(PARTITION BY source ORDER BY bk " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbk " +
+        "FROM bt)",
+      "cut AS (SELECT c2.source, min(c2.bk) AS cutb FROM cb c2 " +
+        "JOIN alr2 USING (source) WHERE c2.cumbk + c2.tt > alr2.rb " +
+        "GROUP BY c2.source)",
+      "rem AS (SELECT c2.source, c2.bk AS cutb, alr2.rb - c2.cumbk AS rm " +
+        "FROM cb c2 JOIN cut ct ON ct.source = c2.source " +
+        "AND ct.cutb = c2.bk JOIN alr2 ON alr2.source = c2.source)",
+      "complete AS (SELECT t.doc_id, t.source, t.n, " +
+        "CAST(unnest(range(1, a.fe + 1)) AS INTEGER) AS epoch " +
+        "FROM tn t JOIN alr2 a USING (source))",
+      "fullsel AS (SELECT d.doc_id, d.source, d.n, " +
+        "CAST(a.fe + 1 AS INTEGER) AS epoch FROM d " +
+        "JOIN rem USING (source) JOIN alr2 a USING (source) " +
+        "WHERE d.bk < rem.cutb)",
+      "nocut AS (SELECT d.doc_id, d.source, d.n, " +
+        "CAST(a.fe + 1 AS INTEGER) AS epoch FROM d " +
+        "JOIN alr2 a USING (source) WHERE d.source " +
+        "NOT IN (SELECT source FROM cut))",
+      "bnd AS (SELECT d.doc_id, d.source, d.n, " +
+        "CAST(a.fe + 1 AS INTEGER) AS epoch, sum(d.n) OVER " +
+        "(PARTITION BY d.source ORDER BY d.zs, d.doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "r2.rm FROM d JOIN rem r2 ON r2.source = d.source " +
+        "AND d.bk = r2.cutb JOIN alr2 a ON a.source = d.source)",
+      "sel AS (SELECT doc_id, source, n, epoch FROM complete " +
+        "UNION ALL SELECT doc_id, source, n, epoch FROM fullsel " +
+        "UNION ALL SELECT doc_id, source, n, epoch FROM nocut " +
+        "UNION ALL SELECT doc_id, source, n, epoch FROM bnd " +
+        "WHERE cum <= rm)")
+    withClause(water ++ mixed ++ select,
+      "SELECT source, count(*) AS n_rows, " +
+        "count(DISTINCT doc_id) AS n_docs, " +
+        "CAST(max(epoch) AS INTEGER) AS max_epoch, " +
+        "CAST(sum(n) AS BIGINT) AS sel_tokens " +
+        "FROM sel GROUP BY source ORDER BY source")
+  }
+
   /** CCNet capstone replay (q104): language-ID (the q26 stopword-profile
     * CASE) splits the corpus; a 5-gram add-α LM per language trains on
     * doc_id < 250 (count tables keyed by (lang, gram)); held-out docs

@@ -1358,6 +1358,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("size"))
         .orderBy(col("component"))),
 
+    // Epoch-repeat mixing — the oversample-small-quality-sources recipe:
+    // waterfill with maxEpochs=3 lets the upweighted sources (src0/src1
+    // at 5×) allocate past their capacity (effective cap = 3× in ratio
+    // and clamp), and selectByAllocationsEpochs realizes the repeated
+    // mass as (doc, epoch) rows — complete passes 1..fe for every doc,
+    // the remainder as the standard hash-prefix pick at epoch fe+1
+    "q107_epoch_mixture" -> ((s, dir) => {
+      val docs = graft.CacheScope.register(T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .persist())
+      val perSource = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast("long").as("c_tokens"))
+        .withColumn("weight",
+          when(col("source").isin("src0", "src1"), 5.0).otherwise(1.0))
+      val alloc = graft.operators.Mixture.waterfill(perSource, "source",
+        "c_tokens", "weight", budget = 20000.0, maxEpochs = 3)
+      graft.operators.Mixture.selectByAllocationsEpochs(
+          docs, "doc_id", "source", "n_tok", alloc, maxEpochs = 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).cast("int").as("max_epoch"),
+          sum(col("n_tok")).cast("long").as("sel_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // CCNet capstone #5 — the published per-language pipeline end-to-end:
     // language-ID → ONE-PASS per-language 5-gram LM (count tables keyed
     // by (lang, gram); V rides as a column, never a driver loop over
@@ -2218,6 +2245,8 @@ object SparkEntry {
       HashOracles.q96WaterfillSelection(15000.0, 64),
 
     "q104_ccnet_selection" -> HashOracles.q104CcnetSelection(6000.0, 64),
+
+    "q107_epoch_mixture" -> HashOracles.q107EpochSelection(20000.0, 64, 3),
 
     // the persisted-index path replayed as a plain span join: corpus
     // spans (doc_id < 450) vs delta spans (>= 450), hub cap = distinct

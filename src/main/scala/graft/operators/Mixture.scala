@@ -33,9 +33,20 @@ object Mixture {
     * integral, `weightCol` positive doubles (unnormalized is fine —
     * only ratios matter). If `budget ≥ Σ capacity`, every source
     * allocates its full capacity.
+    *
+    * `maxEpochs` is the oversampling dial of the standard data-mixture
+    * recipe: a small high-quality source may be REPEATED up to
+    * `maxEpochs` passes rather than capped at one, so its effective
+    * capacity is `maxEpochs · capacity` (the saturation ratio becomes
+    * `cap·maxEpochs / weight`) and `alloc` may exceed `capacity` up to
+    * that bound. `maxEpochs = 1` (the default) is exactly the classic
+    * fill — multiplication by 1 changes no IEEE bit. Realize a
+    * repeated allocation with [[selectByAllocationsEpochs]], which
+    * emits (doc, epoch) rows.
     */
   def waterfill(strata: DataFrame, keyCol: String, capacityCol: String,
-      weightCol: String, budget: Double): DataFrame = {
+      weightCol: String, budget: Double, maxEpochs: Int = 1): DataFrame = {
+    require(maxEpochs >= 1, s"bad maxEpochs $maxEpochs")
     val order = Window.orderBy(col("__ratio"), col(keyCol))
     val before = order.rowsBetween(Window.unboundedPreceding, -1)
     val fromHere = order.rowsBetween(Window.currentRow,
@@ -43,7 +54,7 @@ object Mixture {
     val full = order.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     strata
-      .withColumn("__cap", col(capacityCol).cast("double"))
+      .withColumn("__cap", col(capacityCol).cast("double") * maxEpochs)
       .withColumn("__ratio", col("__cap") / col(weightCol))
       .withColumn("__cumBefore",
         coalesce(sum(col("__cap")).over(before), lit(0.0)))
@@ -158,5 +169,104 @@ object Mixture {
       .filter(col("__cum") <= col("__rem"))
       .drop("__cum")
     full.unionByName(boundary).drop("__k", "__cutb", "__rem", "__mx_b")
+  }
+
+  /** [[selectByAllocations]] for REPEATED allocations
+    * ([[waterfill]] with `maxEpochs > 1`): emits (doc, `epoch`) rows.
+    * Per stratum with capacity `cap` (its total token mass) and budget
+    * `b = floor(alloc)`: every document repeats for the
+    * `fe = min(b / cap, maxEpochs)` complete epochs (epoch 1..fe), and
+    * the remainder `b − fe·cap` realizes as the usual hash-prefix pick
+    * at epoch `fe + 1` — so "allocate 2.6× this source" means two full
+    * passes plus a fair deterministic 0.6 prefix, the standard
+    * oversample-small-quality-sources recipe.
+    *
+    * Scale shape is [[selectByAllocations]]'s exactly — the complete
+    * epochs add ONE bounded explode (`sequence(1, fe)`, fe ≤ maxEpochs)
+    * against the same cached base; per-stratum `cap`/`fe`/remainder are
+    * driver arithmetic on the already-collected (stratum, bucket)
+    * totals. Invariants (spec'd): no doc repeats more than `maxEpochs`
+    * times; per-stratum selected mass ≤ floor(alloc); `maxEpochs = 1`
+    * reproduces [[selectByAllocations]]'s row set with epoch ∈ {1}.
+    * An allocation beyond `maxEpochs·cap` (not producible by
+    * [[waterfill]], but expressible by a caller-built table) clamps to
+    * `maxEpochs` complete epochs — the unsatisfiable excess is dropped,
+    * the same spirit as waterfill's capacity clamp.
+    */
+  def selectByAllocationsEpochs(docs: DataFrame, idCol: String,
+      keyCol: String, tokenCountCol: String, allocs: DataFrame,
+      allocCol: String = "alloc", maxEpochs: Int = 1,
+      hashBuckets: Int = 64, maxStrata: Int = 10000): DataFrame = {
+    import graft.expressions.HashExpressions
+    require(maxEpochs >= 1, s"bad maxEpochs $maxEpochs")
+    require(hashBuckets >= 1, s"bad hashBuckets $hashBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allocRows = allocs
+      .select(col(keyCol).cast("string"), col(allocCol).cast("double"))
+      .limit(maxStrata + 1).collect()
+    require(allocRows.length <= maxStrata,
+      s"more than $maxStrata strata in the allocation table - " +
+        "selectByAllocationsEpochs cumulates per-stratum facts driver-side")
+    val budget: Map[String, Long] = allocRows
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1)).toLong).toMap
+    val base = graft.CacheScope.register(
+      docs.filter(col(tokenCountCol).isNotNull)
+        .withColumn("__mx_b",
+          pmod(HashExpressions.splitmix64(col(idCol).cast("long")),
+            lit(hashBuckets.toLong)).cast("int"))
+        .persist())
+    val totals = base
+      .groupBy(col(keyCol).cast("string").as("__k"), col("__mx_b"))
+      .agg(sum(col(tokenCountCol).cast("long")).as("t"))
+      .limit(maxStrata * hashBuckets + 1).collect()
+    require(totals.length <= maxStrata.toLong * hashBuckets,
+      s"(stratum, bucket) table exceeded ${maxStrata.toLong * hashBuckets}" +
+        " rows - raise maxStrata only if the stratum table really is " +
+        "bounded")
+    // per stratum: complete epochs from integer division by the FULL
+    // capacity, then the bucket scan runs on the remainder only
+    val cuts: Seq[(String, Int, Int, Long)] = totals
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (k, rows) =>
+        val b = budget.getOrElse(k, 0L)
+        val cap = rows.map(_._3).sum
+        val fe =
+          if (cap <= 0) 0
+          else math.min(b / cap, maxEpochs.toLong).toInt
+        val remBudget = if (fe >= maxEpochs) 0L else b - fe.toLong * cap
+        var acc = 0L
+        var cut = hashBuckets
+        var rem = 0L
+        var found = false
+        rows.sortBy(_._2).foreach { case (_, bkt, t) =>
+          if (!found) {
+            if (acc + t <= remBudget) acc += t
+            else { cut = bkt; rem = remBudget - acc; found = true }
+          }
+        }
+        (k, fe, cut, rem)
+      }
+    val cutDf = broadcast(cuts.toDF("__k", "__fe", "__cutb", "__rem"))
+    val joined = base.join(cutDf, base(keyCol).cast("string") === $"__k")
+    // complete epochs: every doc of the stratum × 1..fe (bounded explode)
+    val complete = joined.filter(col("__fe") >= 1)
+      .withColumn("epoch",
+        explode(sequence(lit(1), col("__fe"))))
+    val partialEpoch = (col("__fe") + 1).cast("int")
+    val full = joined.filter(col("__mx_b") < col("__cutb"))
+      .withColumn("epoch", partialEpoch)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(HashExpressions.splitmix64(col(idCol).cast("long")),
+        col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary2 = joined.filter(col("__mx_b") === col("__cutb"))
+      .withColumn("__cum", sum(col(tokenCountCol).cast("long")).over(w))
+      .filter(col("__cum") <= col("__rem"))
+      .drop("__cum")
+      .withColumn("epoch", partialEpoch)
+    complete.unionByName(full).unionByName(boundary2)
+      .drop("__k", "__fe", "__cutb", "__rem", "__mx_b")
   }
 }

@@ -249,6 +249,79 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("selectByAllocationsEpochs: repeats bounded by maxEpochs, mass " +
+      "fits floor(alloc), epoch-1 slice == selectByAllocations") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = Seq.tabulate(300) { i =>
+      (i.toLong, s"src${i % 4}", 5L + rnd.nextInt(40).toLong)
+    }.toDF("doc_id", "source", "n_tok")
+    val caps = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("cap"))
+      // src0 upweighted so its fair share forces repetition
+      .withColumn("w", when(col("source") === "src0", 8.0).otherwise(1.0))
+    val totalCap = caps.select(sum(col("cap"))).collect().head.getLong(0)
+    val maxEpochs = 3
+    val alloc = Mixture.waterfill(caps, "source", "cap", "w",
+      budget = totalCap * 0.9, maxEpochs = maxEpochs)
+    val budget = alloc.collect()
+      .map(r => r.getAs[String]("source") ->
+        math.floor(r.getAs[Double]("alloc")).toLong).toMap
+    val capMap = caps.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cap")).toMap
+    // the fixture must actually exercise repetition
+    assert(budget("src0") > capMap("src0"),
+      s"fixture failed to force repetition: $budget vs $capMap")
+
+    val sel = Mixture.selectByAllocationsEpochs(docs, "doc_id", "source",
+      "n_tok", alloc, maxEpochs = maxEpochs, hashBuckets = 8)
+    val rows = sel.select("doc_id", "source", "n_tok", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+
+    // (doc, epoch) rows are unique and epochs stay in [1, maxEpochs]
+    assert(rows.map(t => (t._1, t._4)).distinct.length === rows.length)
+    assert(rows.forall(t => t._4 >= 1 && t._4 <= maxEpochs))
+    // no doc repeats more than maxEpochs times
+    val perDoc = rows.groupBy(_._1).map(_._2.length)
+    assert(perDoc.forall(_ <= maxEpochs))
+    // per-stratum selected mass (repeats counted) fits floor(alloc)
+    rows.groupBy(_._2).foreach { case (k, rs) =>
+      val m = rs.map(_._3).sum
+      assert(m <= budget(k), s"$k selected mass $m > ${budget(k)}")
+    }
+    // complete epochs really are complete: every doc of the stratum
+    // appears in each epoch 1..fe, fe = budget / capacity
+    val srcDocs = docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fe = (budget("src0") / capMap("src0")).toInt
+    assert(fe >= 1)
+    (1 to fe).foreach { e =>
+      val inEpoch = rows.filter(t => t._2 == "src0" && t._4 == e)
+        .map(_._1).toSet
+      assert(inEpoch === srcDocs, s"epoch $e of src0 is not complete")
+    }
+    // and the partial epoch fe+1 holds a strict subset
+    val partial = rows.filter(t => t._2 == "src0" && t._4 == fe + 1)
+      .map(_._1).toSet
+    assert(partial.subsetOf(srcDocs) && partial.size < srcDocs.size)
+
+    // maxEpochs = 1 reproduces selectByAllocations exactly (same docs,
+    // all at epoch 1) under the SAME allocation table
+    val allocFlat = Mixture.waterfill(caps, "source", "cap", "w",
+      budget = totalCap * 0.5)
+    val flat = Mixture.selectByAllocationsEpochs(docs, "doc_id", "source",
+      "n_tok", allocFlat, maxEpochs = 1, hashBuckets = 8)
+    val flatRows = flat.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(flatRows.forall(_._2 == 1))
+    val plain = Mixture.selectByAllocations(docs, "doc_id", "source",
+      "n_tok", allocFlat, hashBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flatRows.map(_._1).toSet === plain,
+      "epoch-1 slice must equal the un-epoched operator")
+  }
+
   test("semanticDedup: keep set plus distinct pair b-sides partitions " +
       "the vector set (nothing lost, nothing double-counted)") {
     val vectors =
