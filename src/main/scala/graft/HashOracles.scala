@@ -859,10 +859,12 @@ object HashOracles {
   private val BpeSep = "chr(31)"
 
   /** tok + s0 + `rounds` training rounds + `fin(doc_id, e)` — the BPE
-    * train→encode chain shared by q94 (stream accounting) and q101
-    * (token-id export).
+    * train→encode chain shared by q94 (stream accounting), q101
+    * (token-id export) and q105 (frozen-vocab OOV; `docFilter` restricts
+    * the TRAINING corpus — the m1..mN merge CTEs then replay onto a
+    * held-out stream via [[bpeApplyCtes]]).
     */
-  private def bpeChainCtes(rounds: Int): Seq[String] = {
+  private def bpeChainCtes(rounds: Int, docFilter: String = ""): Seq[String] = {
     val sep = BpeSep
     val roundCtes = (1 to rounds).flatMap { i =>
       Seq(
@@ -882,12 +884,78 @@ object HashOracles {
           s"FROM t$i t, m$i m)")
     }
     Seq(
-      s"tok AS (SELECT doc_id, $Toks AS t FROM documents)",
+      s"tok AS (SELECT doc_id, $Toks AS t FROM documents$docFilter)",
       s"s0 AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN '' ELSE " +
         s"$BpeSep || array_to_string(t, $BpeSep) END AS s FROM tok)") ++
       roundCtes ++ Seq(
       s"fin AS (SELECT doc_id, CASE WHEN s = '' THEN CAST([] AS VARCHAR[]) " +
         s"ELSE str_split(substr(s, 2), $sep) END AS e FROM s$rounds)")
+  }
+
+  /** Apply the m1..mN trained-merge CTEs of [[bpeChainCtes]] to a
+    * SEPARATE stream: `htok(doc_id, t)` must exist; emits es0..esN and
+    * `efin(doc_id, e)`. Sequential per-round application ≡ the
+    * rank-priority encoder (NoveltyTokenizerSpec pins the equivalence),
+    * so this replays `TokenizerTraining.encode` on held-out text.
+    */
+  private def bpeApplyCtes(rounds: Int): Seq[String] = {
+    val sep = BpeSep
+    val enc = (1 to rounds).flatMap { i =>
+      Seq(
+        s"et$i AS (SELECT doc_id, CASE WHEN s = '' THEN " +
+          s"CAST([] AS VARCHAR[]) ELSE str_split(substr(s, 2), $sep) END " +
+          s"AS t FROM es${i - 1})",
+        s"es$i AS (SELECT doc_id, CASE WHEN len(t.t) = 0 THEN '' ELSE " +
+          "list_reduce(list_prepend(CAST('' AS VARCHAR), t.t), " +
+          s"(acc, x) -> CASE WHEN ends_with(acc, $sep || m.l) AND x = m.r " +
+          s"THEN acc || ' ' || x ELSE acc || $sep || x END) END AS s " +
+          s"FROM et$i t, m$i m)")
+    }
+    Seq(
+      s"es0 AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN '' ELSE " +
+        s"$BpeSep || array_to_string(t, $BpeSep) END AS s FROM htok)") ++
+      enc ++ Seq(
+      s"efin AS (SELECT doc_id, CASE WHEN s = '' THEN CAST([] AS VARCHAR[]) " +
+        s"ELSE str_split(substr(s, 2), $sep) END AS e FROM es$rounds)")
+  }
+
+  /** Frozen-vocab OOV replay (q105): merges AND vocabulary train on the
+    * tiny reference split (`trainFilter`), the held-out corpus
+    * (`encodeFilter`) encodes against them, and every encoded token
+    * absent from the frozen vocab maps to -1 — the OOV path of
+    * `TokenizerTraining.encodeIds(vocab = Some(frozen))`. The fixture
+    * fact making this a REAL exercise: the corpus vocabulary is ~31
+    * near-uniform words, so a 2-doc training split misses a couple of
+    * words and every later document carries genuine OOV hits.
+    */
+  def q105FrozenVocabOov(rounds: Int, trainFilter: String,
+      encodeFilter: String): String = {
+    val mergeRows = (1 to rounds)
+      .map(i => s"SELECT l || ' ' || r AS token, ${i - 1} AS rnk FROM m$i")
+      .mkString(" UNION ALL ")
+    withClause(bpeChainCtes(rounds, trainFilter) ++ Seq(
+      s"htok AS (SELECT doc_id, $Toks AS t FROM documents$encodeFilter)") ++
+      bpeApplyCtes(rounds) ++ Seq(
+      "pos AS (SELECT doc_id, j AS pos, e[j] AS token FROM " +
+        "(SELECT doc_id, e, unnest(range(1, len(e) + 1)) AS j FROM efin))",
+      "base AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 " +
+        "AS BIGINT) AS tid FROM " +
+        "(SELECT DISTINCT unnest(t) AS token FROM tok))",
+      "nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)",
+      s"mgv AS ($mergeRows)",
+      "mgd AS (SELECT token, nb.n + min(rnk) AS tid FROM mgv, nb " +
+        "GROUP BY token, nb.n)",
+      "vocab AS (SELECT token, tid FROM base " +
+        "UNION ALL SELECT token, tid FROM mgd)",
+      "ids AS (SELECT p.doc_id, p.pos, coalesce(v.tid, -1) AS tid " +
+        "FROM pos p LEFT JOIN vocab v USING (token))"),
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_oov, " +
+        "CAST(sum(tid) AS BIGINT) AS sum_ids, " +
+        "md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) " +
+        "AS ids_md5 " +
+        "FROM ids GROUP BY doc_id ORDER BY doc_id")
   }
 
   def q94BpeEncode(rounds: Int): String =

@@ -1212,6 +1212,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Frozen-vocab OOV — encoding NEW data against an OLD tokenizer,
+    // the deployment case encodeIds' vocab parameter exists for: merges
+    // AND vocabulary train on a 2-doc reference split (the 31-word
+    // near-uniform fixture vocabulary means 2 docs genuinely miss a few
+    // words), the held-out half encodes against the frozen table, and
+    // every out-of-vocabulary token surfaces as id -1 — visible,
+    // counted, and position-replayed in the md5
+    "q105_frozen_vocab_oov" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val trainDocs = docs.filter(col("doc_id") < 2)
+      val merges = graft.operators.TokenizerTraining.trainMerges(
+        trainDocs, "doc_id", "text", rounds = 8, minCount = 1,
+        checkpointEvery = 3)
+      val frozen = graft.operators.TokenizerTraining.vocabulary(
+        trainDocs, "doc_id", "text", merges)
+      graft.operators.TokenizerTraining.encodeIds(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text", merges,
+          vocab = Some(frozen))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("token_id") === -1L, 1L).otherwise(0L))
+            .cast("long").as("n_oov"),
+          sum(col("token_id")).cast("long").as("sum_ids"),
+          md5(concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("pos"),
+                col("token_id")))),
+              x => x.getField("token_id").cast("string"))))
+            .as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Containment dedup, PRODUCTION path (the scale form of the q89
     // capped baseline): span-hash candidates → asymmetric containment
     // verify ≥ τ over the FULL corpus — O(candidates), never n²
@@ -2214,6 +2246,8 @@ object SparkEntry {
 
     "q94_bpe_encode" -> HashOracles.q94BpeEncode(8),
     "q101_bpe_token_ids" -> HashOracles.q101BpeTokenIds(8),
+    "q105_frozen_vocab_oov" -> HashOracles.q105FrozenVocabOov(8,
+      " WHERE doc_id < 2", " WHERE doc_id >= 250"),
 
     // span edges (q82 fragment) closed transitively with the recursive
     // CTE; component label = min doc id, per-family sizes
