@@ -1328,6 +1328,41 @@ object HashOracles {
         "ORDER BY list_cosine_similarity(cand.v, qv.v) DESC, vec_id " +
         s"LIMIT $topK")
 
+  /** Quantized persisted-IVF replay (q108): q98's trained-centroid
+    * assignment and probe choice, with the q76 int8 quantization at
+    * rest — every assigned vector carries (scale = max|x|/127, codes =
+    * round(x/scale)), the query quantizes the same way, and the probed
+    * lists score by the integer code dot rescaled by both scales —
+    * exactly `writeIvfIndexQuantized` + `ivfTopKIndexedQuantized`.
+    */
+  def q108QuantizedIvfQuery(k: Int, nProbe: Int, topK: Int): String =
+    withClause(kmTrainCtes(k) ++ Seq(
+      kmAssignCte("a3", "c2"),
+      "qs AS (SELECT a.vec_id, a.cid, a.v, " +
+        "list_max(list_transform(a.v, x -> abs(x))) / 127.0 AS scale " +
+        "FROM a3 a)",
+      "qc AS (SELECT vec_id, cid, scale, list_transform(v, x -> " +
+        "CASE WHEN scale = 0 THEN 0 " +
+        "ELSE CAST(round(x / scale) AS INTEGER) END) AS q FROM qs)",
+      "qv AS (SELECT v FROM e WHERE vec_id = 0)",
+      "qq0 AS (SELECT v, " +
+        "list_max(list_transform(v, x -> abs(x))) / 127.0 AS q_scale " +
+        "FROM qv)",
+      "qq AS (SELECT q_scale, list_transform(v, x -> " +
+        "CASE WHEN q_scale = 0 THEN 0 " +
+        "ELSE CAST(round(x / q_scale) AS INTEGER) END) AS q_q FROM qq0)",
+      s"pr AS (SELECT c.cid FROM c2 c, qv " +
+        s"ORDER BY ${kmDist("qv.v", "c.vec")}, c.cid LIMIT $nProbe)",
+      "cand AS (SELECT t.vec_id, t.scale, t.q FROM qc t " +
+        "JOIN pr ON pr.cid = t.cid)",
+      "sc AS (SELECT t.vec_id, " +
+        "round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, len(t.q) + 1), " +
+        "i -> t.q[i] * qq.q_q[i])), (a, x) -> a + x) AS DOUBLE) " +
+        "* t.scale * qq.q_scale, 4) AS qscore FROM cand t, qq)"),
+      s"SELECT vec_id AS id, qscore FROM sc " +
+        s"ORDER BY qscore DESC, vec_id LIMIT $topK")
+
   /** FakeCodec semantics in SQL: n_bytes = UTF-8 octet length,
     * byte_entropy_q = number of occupied histogram buckets = distinct
     * `byte % 16` values (a bucket count is > 0 iff some byte lands in it).

@@ -1376,6 +1376,26 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 4))
     }),
 
+    // Quantized persisted IVF — the at-rest composition of q98's index
+    // layout with q74/q76's int8 quantization: list files store codes +
+    // per-vector scale (4× smaller at 100 TB — the table that has to
+    // fit), probe lists prune statically via the sidecar matrix, and
+    // the probed lists score by integer dot rescaled by both scales
+    "q108_quantized_ivf_query" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q108_qivf").getAbsolutePath
+      Similarity.writeIvfIndexQuantized(e, "vec_id", "embedding", path,
+        cents)
+      val query = e.filter(col("vec_id") === 0L)
+        .select(transform(col("embedding"), x => x.cast("double")).as("q"))
+        .collect().head.getSeq[Double](0).toSeq
+      Similarity.ivfTopKIndexedQuantized(s, path, query, k = 10,
+        nProbe = 2)
+    }),
+
     // Span-reuse communities: connected components over the shared-span
     // pair edges — which documents form verbatim-reuse families (the
     // SpanDedup → clustering composition; candidate edges are the span
@@ -2182,6 +2202,7 @@ object SparkEntry {
     "q87_kmeans" -> HashOracles.q87Kmeans(4),
     "q93_trained_semantic_dedup" -> HashOracles.q93TrainedSemanticDedup(4),
     "q98_trained_ivf_query" -> HashOracles.q98TrainedIvfQuery(4, 2, 10),
+    "q108_quantized_ivf_query" -> HashOracles.q108QuantizedIvfQuery(4, 2, 10),
     "q99_corpus_pipeline_v4" ->
       HashOracles.q99CorpusPipelineV4(12000.0, 64),
 

@@ -353,6 +353,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[writeIvfIndex]] with int8 codes at rest — the 4× smaller index
+    * the memory-cut Scaladoc of [[VF.quantScale]] promises, composed
+    * with the IVF layout: each vector stores (id, q int8-codes, scale)
+    * under its `partitionBy(list_id)` directory, so a probe reads only
+    * its lists' CODE files and the hot loop is integer multiply-adds.
+    * The sidecar carries the centroid matrix plus `"quantized":true` so
+    * a float reader fails loudly rather than scoring codes as floats.
+    * Query with [[ivfTopKIndexedQuantized]]; recall@10 vs the float
+    * index is MEASURED in IvfIndexSpec (the q76 ≥ 0.85 precedent).
+    */
+  def writeIvfIndexQuantized(vectors: DataFrame, idCol: String,
+      vecCol: String, path: String, centroids: Seq[Seq[Double]]): Unit = {
+    // scale materialized to its own column BEFORE the quantize lambda
+    // (HOF re-evaluation trap — quantScale's own Scaladoc)
+    Clustering.assign(vectors, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("cluster").as("list_id"))
+      .withColumn("scale", VF.quantScale(col("vec")))
+      .withColumn("q", VF.quantizeWith(col("vec"), col("scale")))
+      .select(col("id"), col("q"), col("scale"), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/lists")
+    val body = centroids
+      .map(_.map(d => java.lang.Double.toString(d)).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    graft.sources.Sidecar.write(vectors.sparkSession, s"$path/$IvfMetaFile",
+      s"""{"nLists":${centroids.size},"dim":${centroids.head.size},""" +
+        s""""quantized":true,"centroids":$body}""")
+  }
+
+  /** Top-k against a QUANTIZED persisted index
+    * ([[writeIvfIndexQuantized]]): probe lists chosen exactly as
+    * [[ivfTopKIndexed]] (driver arithmetic over the sidecar matrix →
+    * literal isin → static partition pruning), then the [[quantizedTopK]]
+    * score — integer code dot rescaled by both scales — over the probed
+    * lists only. The query quantizes DRIVER-side with BigDecimal
+    * HALF_UP, the exact rounding `round()` applies in Spark and DuckDB
+    * (`math.round` would differ at negative .5 boundaries). Ranking is
+    * (qscore DESC, id) — the q76 convention.
+    */
+  def ivfTopKIndexedQuantized(spark: org.apache.spark.sql.SparkSession,
+      path: String, query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val cents = readIvfCentroids(spark, path)
+    val probes = cents.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }
+      .sortBy { case (d, i) => (d, i) }
+      .take(nProbe).map(_._2)
+    val qScale = if (query.isEmpty) 0.0 else query.map(math.abs).max / 127.0
+    val qCodes: Seq[Int] = query.map { x =>
+      if (qScale == 0.0) 0
+      else BigDecimal(x / qScale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+    }
+    spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probes: _*))
+      .withColumn("qdot",
+        aggregate(zip_with(col("q"), typedLit(qCodes), (x, y) => x * y),
+          lit(0L), (a, x) => a + x))
+      .select(col("id"),
+        round(col("qdot") * col("scale") * lit(qScale), 4).as("qscore"))
+      .orderBy(col("qscore").desc, col("id"))
+      .limit(k)
+  }
+
   /** Bucket histogram of the LSH index (diagnostics / balance check). */
   def lshBucketStats(vectors: DataFrame, vecCol: String, nPlanes: Int = 8,
       dim: Int = 64): DataFrame = {

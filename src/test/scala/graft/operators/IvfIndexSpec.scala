@@ -86,6 +86,62 @@ class IvfIndexSpec extends SparkSpec {
     assert(rT >= 0.3, f"trained index recall collapsed: $rT%.2f")
   }
 
+  test("quantized index: recall@10 vs the float index >= 0.85 at equal " +
+      "probes, full probe matches the quantized brute force, and the " +
+      "probe still prunes") {
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val dirF = Files.createTempDirectory("graft-ivf-float").toString
+    val dirQ = Files.createTempDirectory("graft-ivf-quant").toString
+    Similarity.writeIvfIndex(vectors, "vec_id", "embedding", dirF, cents)
+    Similarity.writeIvfIndexQuantized(vectors, "vec_id", "embedding",
+      dirQ, cents)
+
+    // recall of the quantized probe AGAINST THE FLOAT INDEX at the same
+    // probe budget, averaged over 20 queries: int8 rounding is the only
+    // difference (identical lists probed), so this isolates the
+    // quantization loss — the q76 >= 0.85 precedent
+    val rs = (0L until 20L).map { qid =>
+      val qv = vectors.filter(col("vec_id") === qid)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .collect().head.getSeq[Double](0).toSeq
+      Similarity.recall(
+        Similarity.ivfTopKIndexedQuantized(spark, dirQ, qv, k = 10,
+          nProbe = 2).select(col("id")),
+        Similarity.ivfTopKIndexed(spark, dirF, qv, k = 10, nProbe = 2)
+          .select(col("id")),
+        Seq("id"))
+    }
+    val avg = rs.sum / rs.size
+    info(f"quantized-vs-float IVF recall@10 at nProbe=2: $avg%.2f")
+    assert(avg >= 0.85, f"quantization recall collapsed: $avg%.2f")
+
+    // full probe == quantizedTopK over the whole table (the persisted
+    // path adds layout, never different arithmetic)
+    val full = Similarity.ivfTopKIndexedQuantized(spark, dirQ, queryVec,
+        k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.quantizedTopK(vectors, "vec_id", "embedding",
+        vectors.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb")), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute,
+      s"full-probe quantized index diverged from brute force:\n" +
+        s"$full\nvs\n$brute")
+
+    // the quantized layout prunes exactly like the float one
+    val probe = Similarity.ivfTopKIndexedQuantized(spark, dirQ, queryVec,
+      k = 10, nProbe = 2)
+    probe.collect()
+    val allFiles = spark.read.parquet(s"$dirQ/lists").inputFiles.length
+    val scanned = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    assert(scanned.exists(_ < allFiles),
+      s"quantized probe scanned $scanned of $allFiles files - no pruning")
+  }
+
   test("probe reads prune on the list_id directory partitions") {
     val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
       k = 8, iters = 2)
