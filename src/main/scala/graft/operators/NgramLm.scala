@@ -83,13 +83,15 @@ object NgramLm {
     Lm(ngrams, contexts, vocab, n)
   }
 
-  /** Per-document LM score: one row per scored doc with `n_grams`
-    * (n-grams in the doc) and `avg_lp` (average smoothed ln-prob,
-    * rounded to 4 decimals). Documents below `lm.n` tokens have no
-    * n-grams and emit no row — score them with lower-order statistics
-    * or drop them in quality filtering upstream.
+  /** The STATELESS stage of [[logProbScore]]: one row per (doc, n-gram
+    * occurrence) with its smoothed ln-prob `lp` — explode + the two
+    * un-hinted count-table equi-joins, NO aggregation. Safe on a
+    * STREAMING frame as-is (the joins become stream-static, carry no
+    * state, and need no watermark — see
+    * [[graft.streaming.LmStream]]); the per-doc reduction lives in
+    * [[logProbScore]].
     */
-  def logProbScore(docs: DataFrame, idCol: String, textCol: String,
+  def scoredGrams(docs: DataFrame, idCol: String, textCol: String,
       lm: Lm, alpha: Double = 0.4,
       tokensCol: Option[String] = None): DataFrame = {
     require(alpha > 0, s"alpha $alpha must be positive (it is the floor)")
@@ -111,13 +113,25 @@ object NgramLm {
     pairs
       .join(lm.ngrams, Seq("gram"), "left") // un-hinted: see object doc
       .join(lm.contexts, Seq("ctx"), "left")
-      .withColumn("__lp",
+      .withColumn("lp",
         log((coalesce(col("c_n"), lit(0L)) + lit(alpha)) /
           (coalesce(col("c_ctx"), lit(0L)) + lit(alpha * lm.vocab))))
+      .select(col(idCol), col("gram"), col("ctx"), col("lp"))
+  }
+
+  /** Per-document LM score: one row per scored doc with `n_grams`
+    * (n-grams in the doc) and `avg_lp` (average smoothed ln-prob,
+    * rounded to 4 decimals). Documents below `lm.n` tokens have no
+    * n-grams and emit no row — score them with lower-order statistics
+    * or drop them in quality filtering upstream.
+    */
+  def logProbScore(docs: DataFrame, idCol: String, textCol: String,
+      lm: Lm, alpha: Double = 0.4,
+      tokensCol: Option[String] = None): DataFrame =
+    scoredGrams(docs, idCol, textCol, lm, alpha, tokensCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        round(avg(col("__lp")), 4).as("avg_lp"))
-  }
+        round(avg(col("lp")), 4).as("avg_lp"))
 
   // ---- per-group (per-language) LM -------------------------------------
 
