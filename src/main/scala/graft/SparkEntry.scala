@@ -1376,6 +1376,29 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 4))
     }),
 
+    // IVF delta fold — the vector-index member of the fold family
+    // (q106 spans, q65 bands): write the trained index over half the
+    // vectors, fold the other half in with appendToIvfIndex (assignment
+    // against the sidecar's OWN centroids), query through the folded
+    // index. Oracle is exactly q98's full-corpus replay — the fold must
+    // be invisible to probe semantics
+    "q109_ivf_index_fold" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q109_ivf_fold").getAbsolutePath
+      Similarity.writeIvfIndex(e.filter(col("vec_id") < 150),
+        "vec_id", "embedding", path, cents)
+      Similarity.appendToIvfIndex(e.filter(col("vec_id") >= 150),
+        "vec_id", "embedding", path)
+      val query = e.filter(col("vec_id") === 0L)
+        .select(transform(col("embedding"), x => x.cast("double")).as("q"))
+        .collect().head.getSeq[Double](0).toSeq
+      Similarity.ivfTopKIndexed(s, path, query, k = 10, nProbe = 2)
+        .withColumn("cos", round(col("cos"), 4))
+    }),
+
     // Quantized persisted IVF — the at-rest composition of q98's index
     // layout with q74/q76's int8 quantization: list files store codes +
     // per-vector scale (4× smaller at 100 TB — the table that has to
@@ -2203,6 +2226,10 @@ object SparkEntry {
     "q93_trained_semantic_dedup" -> HashOracles.q93TrainedSemanticDedup(4),
     "q98_trained_ivf_query" -> HashOracles.q98TrainedIvfQuery(4, 2, 10),
     "q108_quantized_ivf_query" -> HashOracles.q108QuantizedIvfQuery(4, 2, 10),
+    // the fold is invisible to probe semantics: an index written as
+    // (<150) then appendToIvfIndex(>=150) answers exactly as q98's
+    // one-shot full index — same replay, same parameters
+    "q109_ivf_index_fold" -> HashOracles.q98TrainedIvfQuery(4, 2, 10),
     "q99_corpus_pipeline_v4" ->
       HashOracles.q99CorpusPipelineV4(12000.0, 64),
 

@@ -541,6 +541,24 @@ object Dedup {
       .parquet(s"$path/signatures")
   }
 
+  /** Rewrite a persisted index into the one-file-per-leaf layout at
+    * `destPath` — the merge half of the append/merge trade
+    * ([[appendToIndex]]'s Scaladoc): after N folds each pruned probe
+    * reads 1 + N files per leaf; compaction restores one. Layout
+    * moduli come from the source sidecar, so the rewrite is
+    * bit-compatible with every existing delta derivation; rows are
+    * untouched ([[writeIndex]] re-derives the same layout columns).
+    */
+  def compactIndex(spark: SparkSession, srcPath: String,
+      destPath: String): Unit = {
+    val idx = readIndex(spark, srcPath)
+    val meta = idx.meta.get // readIndex always carries it
+    writeIndex(
+      DedupIndex(idx.signatures.select(col("index_id"), col("sig")),
+        idx.bands.select(col("band"), col("key"), col("index_id"))),
+      destPath, meta.keyBuckets, meta.idShards)
+  }
+
   private val MetaFile = "_graft_index.json"
 
   /** Layout parameters a persisted index was written with. */

@@ -311,6 +311,21 @@ object Similarity {
         s""""centroids":$body}""")
   }
 
+  /** The raw sidecar text of a persisted IVF index (validated present). */
+  private def ivfMetaText(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    graft.sources.Sidecar
+      .read(spark, s"$path/$IvfMetaFile")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $IvfMetaFile under $path - not a graft IVF index"))
+
+  /** Whether the index at `path` stores int8 codes
+    * ([[writeIvfIndexQuantized]]) rather than float vectors.
+    */
+  def ivfIndexIsQuantized(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    ivfMetaText(spark, path).contains("\"quantized\":true")
+
   /** The centroid matrix a persisted index was written with. Takes the
     * caller's session explicitly (never `SparkSession.active`: under
     * multiple sessions the sidecar would resolve through the wrong
@@ -318,15 +333,62 @@ object Similarity {
     */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Seq[Double]] = {
-    val text = graft.sources.Sidecar
-      .read(spark, s"$path/$IvfMetaFile")
-      .getOrElse(throw new IllegalArgumentException(
-        s"no $IvfMetaFile under $path - not a graft IVF index"))
+    val text = ivfMetaText(spark, path)
     val start = text.indexOf("\"centroids\":[[")
     require(start >= 0, s"$IvfMetaFile under $path lacks centroids: $text")
     text.substring(start + 14, text.lastIndexOf("]]"))
       .split("\\],\\[").toSeq
       .map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
+  }
+
+  /** Fold a delta of vectors INTO a persisted IVF index — the
+    * maintenance half of the daily-embedding story, completing the
+    * fold family ([[Dedup.appendToIndex]], [[SpanDedup
+    * .appendToSpanIndex]]) for the vector index: new vectors assign to
+    * the index's OWN sidecar centroids (re-deriving them from a caller
+    * argument could silently shear assignment from probe choice) and
+    * append under their `list_id` directories — float or int8 rows to
+    * match what the sidecar declares, so the reader never sees a mixed
+    * list. One new file per touched list per append; compact with
+    * [[compactIvfIndex]] when per-list file counts matter. NOTE the
+    * trade a real deployment tunes: folded vectors join EXISTING lists
+    * — centroids do not move — so after heavy drift the index wants a
+    * re-train + rewrite, exactly like any IVF index.
+    */
+  def appendToIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = delta.sparkSession
+    val cents = readIvfCentroids(spark, path)
+    val assigned = Clustering.assign(delta, idCol, vecCol, cents)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("cluster").as("list_id"))
+    val rows =
+      if (!ivfIndexIsQuantized(spark, path)) assigned
+      else assigned
+        .withColumn("scale", VF.quantScale(col("vec")))
+        .withColumn("q", VF.quantizeWith(col("vec"), col("scale")))
+        .select(col("id"), col("q"), col("scale"), col("list_id"))
+    rows.repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/lists")
+  }
+
+  /** Rewrite a persisted IVF index (float or quantized) into the
+    * one-file-per-list layout at `destPath` — the merge half of the
+    * append/merge trade: after a week of [[appendToIvfIndex]] folds,
+    * each probed list reads 1 + #appends files; compaction restores
+    * one. The sidecar copies VERBATIM (same centroids, same
+    * quantization flag), so probe choice is bit-identical before and
+    * after; rows are untouched (spec'd row-for-row).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String): Unit = {
+    val text = ivfMetaText(spark, srcPath)
+    spark.read.parquet(s"$srcPath/lists")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$destPath/lists")
+    graft.sources.Sidecar.write(spark, s"$destPath/$IvfMetaFile", text)
   }
 
   /** Top-k by cosine against a persisted index, probing the `nProbe`

@@ -221,6 +221,25 @@ object SpanDedup {
       .parquet(s"$path/spans")
   }
 
+  /** Rewrite a persisted span index into the one-file-per-leaf layout
+    * at `destPath` — the merge half of the append/merge trade
+    * ([[appendToSpanIndex]]'s Scaladoc). Span length and modulus copy
+    * from the source sidecar; rows are untouched.
+    */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String): Unit = {
+    val meta = readSpanIndexMeta(spark, srcPath)
+    readSpanIndex(spark, srcPath)
+      .select(col("index_id"), col("h"))
+      .withColumn("h_bucket", Dedup.keyBucketOf(col("h"), meta.hashBuckets))
+      .repartition(col("h_bucket"))
+      .sortWithinPartitions(col("h_bucket"), col("h"))
+      .write.mode("overwrite").partitionBy("h_bucket")
+      .parquet(s"$destPath/spans")
+    graft.sources.Sidecar.write(spark, s"$destPath/$SpanMetaFile",
+      s"""{"spanTokens":${meta.spanTokens},"hashBuckets":${meta.hashBuckets}}""")
+  }
+
   /** Read and validate the layout sidecar — the ONLY sound source of the
     * span length and bucket modulus for a delta-side derivation. Takes
     * the caller's session explicitly (never `SparkSession.active`: under

@@ -179,6 +179,24 @@ class DedupIndexPersistSpec extends SparkSpec {
     val after = run(folded)
     assert(after === Seq((200L, true, Some(50L))),
       s"probe must flag against the folded doc 50: $after")
+
+    // compaction restores one file per leaf with the same rows, same
+    // layout moduli, same incremental verdicts
+    val bandFiles = spark.read.parquet(s"$dir/bands").inputFiles
+    assert(bandFiles.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .exists(_._2.length > 1),
+      "fold never produced a multi-file leaf - compaction test too weak")
+    val dirC = Files.createTempDirectory("graft-dedup-idx-compact").toString
+    Dedup.compactIndex(spark, dir, dirC)
+    val cBands = spark.read.parquet(s"$dirC/bands").inputFiles
+    assert(cBands.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .forall(_._2.length == 1), "compaction left multi-file leaves")
+    val compacted = Dedup.readIndex(spark, dirC)
+    assert(bandSet(compacted.bands) === bandSet(rebuilt.bands))
+    assert(sigSet(compacted.signatures) === sigSet(rebuilt.signatures))
+    assert(Dedup.readIndexMeta(spark, dirC) ===
+      Dedup.readIndexMeta(spark, dir))
+    assert(run(compacted) === after)
   }
 
   test("bands reads prune on the (band, key_bucket) directory partitions") {

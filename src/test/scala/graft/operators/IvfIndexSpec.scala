@@ -165,6 +165,62 @@ class IvfIndexSpec extends SparkSpec {
       s"probe scanned $scanned of $allFiles files - no pruning")
   }
 
+  test("appendToIvfIndex folds vectors in (float AND quantized); " +
+      "compactIvfIndex restores one file per list with identical rows") {
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val half1 = vectors.filter(col("vec_id") < 50)
+    val half2 = vectors.filter(col("vec_id") >= 50)
+
+    def listRows(path: String) =
+      spark.read.parquet(s"$path/lists").select("id", "list_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    // float family: fold == one-shot write, row-for-row
+    val dirF = Files.createTempDirectory("graft-ivf-fold-f").toString
+    val dirFull = Files.createTempDirectory("graft-ivf-fold-full").toString
+    Similarity.writeIvfIndex(half1, "vec_id", "embedding", dirF, cents)
+    Similarity.appendToIvfIndex(half2, "vec_id", "embedding", dirF)
+    Similarity.writeIvfIndex(vectors, "vec_id", "embedding", dirFull, cents)
+    assert(listRows(dirF) ===
+      listRows(dirFull))
+    // and a query through the folded index == through the one-shot one
+    def top(path: String) = Similarity
+      .ivfTopKIndexed(spark, path, queryVec, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(dirF) === top(dirFull))
+
+    // quantized family: the sidecar flag routes the append to int8 rows
+    val dirQ = Files.createTempDirectory("graft-ivf-fold-q").toString
+    Similarity.writeIvfIndexQuantized(half1, "vec_id", "embedding", dirQ,
+      cents)
+    Similarity.appendToIvfIndex(half2, "vec_id", "embedding", dirQ)
+    val dirQFull = Files.createTempDirectory("graft-ivf-fold-qf").toString
+    Similarity.writeIvfIndexQuantized(vectors, "vec_id", "embedding",
+      dirQFull, cents)
+    def qTop(path: String) = Similarity
+      .ivfTopKIndexedQuantized(spark, path, queryVec, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(qTop(dirQ) === qTop(dirQFull))
+
+    // compaction: the folded index has appended files; the compacted
+    // rewrite has exactly one per list dir, same rows, same sidecar
+    val perDirBefore = spark.read.parquet(s"$dirF/lists").inputFiles
+      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(perDirBefore.exists(_._2.length > 1),
+      "fixture never produced a multi-file leaf - fold test too weak")
+    val dirC = Files.createTempDirectory("graft-ivf-compact").toString
+    Similarity.compactIvfIndex(spark, dirF, dirC)
+    val perDirAfter = spark.read.parquet(s"$dirC/lists").inputFiles
+      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(perDirAfter.forall(_._2.length == 1),
+      s"compaction left multi-file leaves: $perDirAfter")
+    assert(listRows(dirC) ===
+      listRows(dirFull))
+    assert(Similarity.readIvfCentroids(spark, dirC) === cents)
+    assert(top(dirC) === top(dirFull))
+  }
+
   test("a mismatched path fails fast instead of probing wrong lists") {
     val dir = Files.createTempDirectory("graft-ivf4").toString
     val e = intercept[IllegalArgumentException] {

@@ -187,6 +187,21 @@ class SpanIndexPersistSpec extends SparkSpec {
     }.getOrElse(fail("no FileSourceScanExec in probe plan"))
     assert(scan.metrics("numFiles").value < spans.inputFiles.length,
       "bucket probe stopped pruning after the fold")
+
+    // compaction restores one file per leaf, rows and sidecar unchanged
+    assert(spans.inputFiles
+      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .exists(_._2.length > 1),
+      "fold never produced a multi-file leaf - compaction test too weak")
+    val dirC = Files.createTempDirectory("graft-span-idx-compact").toString
+    SpanDedup.compactSpanIndex(spark, dir, dirC)
+    val cFiles = spark.read.parquet(s"$dirC/spans").inputFiles
+    assert(cFiles.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .forall(_._2.length == 1), "compaction left multi-file leaves")
+    assert(rows(dirC) === rows(dir2))
+    assert(SpanDedup.readSpanIndexMeta(spark, dirC) ===
+      SpanDedup.readSpanIndexMeta(spark, dir))
+    assert(flags(dirC) === after)
   }
 
   test("incrementalSpanDedup hub cap drops template spans present in " +
