@@ -104,6 +104,31 @@ object ScaleProbe {
     }
     lm.ngrams.unpersist()
     lm.contexts.unpersist()
+    // grouped (per-language) LM scoring against a FROZEN grouped model:
+    // the group key rides in the join keys and V arrives via the
+    // group-bounded vocabs join — scoring must stay linear in the
+    // scored corpus exactly like the ungrouped form, and the
+    // perplexity-bucket cut must stay flat too (its windows run over
+    // the (group, score-grid) histogram, never the corpus)
+    val glm = operators.NgramLm.trainGrouped(
+      docs.withColumn("lang",
+        functions.TextFunctions.langId(col("text"))),
+      "doc_id", "text", "lang")
+    glm.ngrams.persist().count()
+    glm.contexts.persist().count()
+    glm.vocabs.persist().count()
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"grouped_lm_buckets r=$r docs=${nDocs * r}", () => {
+        val scored = operators.NgramLm.logProbScoreGrouped(
+          replicateDocs(r).withColumn("lang",
+            functions.TextFunctions.langId(col("text"))),
+          "doc_id", "text", "lang", glm)
+        operators.NgramLm.perplexityBuckets(scored, "lang", "avg_lp")
+      })
+    }
+    glm.ngrams.unpersist()
+    glm.contexts.unpersist()
+    glm.vocabs.unpersist()
     // selectByAllocations: one partial-agg shuffle for the (stratum,
     // bucket) facts + a window over ONE boundary bucket per stratum —
     // linear in the corpus, never a stratum-wide sort
@@ -120,6 +145,26 @@ object ScaleProbe {
           "w", budget = 15000.0 * r)
         operators.Mixture.selectByAllocations(d, "doc_id", "source",
           "n_tok", alloc)
+      })
+    }
+    // epoch-repeat realization: the complete-epoch explode is bounded
+    // by maxEpochs (a constant), so the epoched pick must stay in
+    // selectByAllocations' linear cost class
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"epoch_select r=$r docs=${nDocs * r}", () => {
+        val d = replicateDocs(r)
+          .withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+          .withColumn("n_tok",
+            size(functions.TextFunctions.tokens(col("text"))).cast("long"))
+        val caps = d.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("cap"))
+          .withColumn("w",
+            when(col("source").isin("src0", "src1"), 5.0).otherwise(1.0))
+        val alloc = operators.Mixture.waterfill(caps, "source", "cap",
+          "w", budget = 15000.0 * r, maxEpochs = 3)
+        operators.Mixture.selectByAllocationsEpochs(d, "doc_id", "source",
+          "n_tok", alloc, maxEpochs = 3)
       })
     }
     spark.stop()
