@@ -316,6 +316,82 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q104-q109: round-8 family shapes — un-hinted LM/vocab joins, " +
+      "tokenize-once caches, bounded cut-table hint budgets") {
+    def isDocRelation(
+        l: org.apache.spark.sql.execution.datasources.LogicalRelation)
+        : Boolean = l.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.exists(_.toString.contains("documents"))
+      case _ => false
+    }
+    def docScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if isDocRelation(l) => l
+      }.size
+    CacheScope.scoped {
+      // q104: the corpus tokenizes ONCE into the scoped cache (langId,
+      // training, scoring, capacities, selection all read it — zero
+      // visible documents scans); the ONLY hinted table is the
+      // stratum-bounded cutoff table (the q96 budget, 2 via the union
+      // branches); LM count-table joins stay un-hinted equi-joins
+      val df104 = SparkEntry.queries("q104_ccnet_selection")(spark, dir)
+      assert(docScans(df104) === 0,
+        "q104 reads documents outside the scoped tokenize-once cache:\n" +
+          df104.queryExecution.executedPlan)
+      val a104 = df104.queryExecution.analyzed.toString
+      val hints104 = "ResolvedHint".r.findAllIn(a104).size
+      assert(hints104 <= 2,
+        s"q104 has $hints104 hints - only the bounded cut table may " +
+          "broadcast")
+      assert("ResolvedHint[\\s\\S]{0,400}?__cutb".r
+          .findAllIn(a104).size === hints104,
+        "a q104 hint is not the bounded cut table:\n" + a104)
+      val p104 = df104.queryExecution.executedPlan.toString
+      assert(!p104.contains("CartesianProduct"), p104)
+      assert(!p104.contains("BroadcastNestedLoopJoin"), p104)
+
+      // q107: the epoched pick unions THREE branches (complete epochs,
+      // full buckets, boundary), each embedding the hinted bounded cut
+      // table — budget 3, all __cutb-shaped; no cross product
+      val df107 = SparkEntry.queries("q107_epoch_mixture")(spark, dir)
+      val a107 = df107.queryExecution.analyzed.toString
+      val hints107 = "ResolvedHint".r.findAllIn(a107).size
+      assert(hints107 <= 3,
+        s"q107 has $hints107 hints - only the bounded cut table may " +
+          "broadcast (three union branches)")
+      assert("ResolvedHint[\\s\\S]{0,400}?__cutb".r
+          .findAllIn(a107).size === hints107,
+        "a q107 hint is not the bounded cut table:\n" + a107)
+      assert(!df107.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
+
+      // q105: the frozen-vocab id join is un-hinted (corpus-cardinality
+      // token table — the Keywords df-join rule); encode is one visible
+      // corpus pass (training reads sit behind scoped caches)
+      val df105 = SparkEntry.queries("q105_frozen_vocab_oov")(spark, dir)
+      assert(!df105.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q105 forces a corpus-cardinality broadcast")
+      assert(docScans(df105) <= 1,
+        "q105 re-reads documents beyond the one encode pass:\n" +
+          df105.queryExecution.executedPlan)
+
+      // q106/q109 (index folds): the probe side joins the delta against
+      // the re-read index un-hinted, never a cross product (the index
+      // writes happen during construction; the PLAN under test is the
+      // probe)
+      Seq("q106_span_index_fold", "q109_ivf_index_fold").foreach { q =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        assert(!df.queryExecution.analyzed.toString
+          .contains("ResolvedHint"), s"$q forces a broadcast")
+      }
+    }
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
