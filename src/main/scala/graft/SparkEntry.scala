@@ -1212,6 +1212,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Zipf fit — the corpus-health diagnostic behind vocabulary/OCR
+    // audits: least-squares slope of ln(freq) on ln(rank) over the
+    // ranked vocabulary (natural text ≈ -1; this near-uniform synthetic
+    // fixture sits far above — which is exactly what the diagnostic is
+    // for). Rank via distributed sort + zipWithIndex, never a global
+    // window over a hapax-dominated vocabulary
+    "q110_zipf_fit" -> ((s, dir) =>
+      graft.operators.Keywords.zipfFit(T(s, dir, "documents"),
+        "doc_id", "text")),
+
     // Frozen-vocab OOV — encoding NEW data against an OLD tokenizer,
     // the deployment case encodeIds' vocab parameter exists for: merges
     // AND vocabulary train on a 2-doc reference split (the 31-word
@@ -1250,6 +1260,18 @@ object SparkEntry {
     "q95_containment_verified" -> ((s, dir) =>
       graft.operators.SpanDedup.containmentVerifiedPairs(
           T(s, dir, "documents"), "doc_id", "text", tau = 0.6)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // IDF-weighted containment verify — the measured-honesty fix for
+    // q89/q95: on a small-vocabulary corpus PLAIN containment is
+    // near-vacuous (common-word overlap alone crosses τ), so the verify
+    // metric weights each token by ln(N/df) — ubiquitous tokens
+    // contribute ~0 and only DISTINCTIVE overlap survives (48 plain
+    // orientations at τ=0.6 → ~25 weighted at τ=0.8 on this corpus,
+    // clustered at 1.0 with a wide margin below the threshold)
+    "q111_weighted_containment" -> ((s, dir) =>
+      graft.operators.SpanDedup.weightedContainmentVerifiedPairs(
+          T(s, dir, "documents"), "doc_id", "text", tau = 0.8)
         .orderBy(col("a_id"), col("b_id"))),
 
     // Incremental span dedup through the PERSISTED index: the corpus
@@ -2372,6 +2394,47 @@ object SparkEntry {
          |SELECT a_id, b_id, round(cont, 4) AS cont FROM v
          |WHERE cont >= 0.6 ORDER BY 1, 2""".stripMargin,
 
+    // q95's candidate chain with the idf-weighted verify: token weights
+    // ln(N/df) over per-doc DISTINCT tokens, both orientations from the
+    // bidirectional candidate expansion, zero-total-weight guard
+    // mirrored; filter on the unrounded value (the q85 threshold
+    // precedent — the sf0.01 value clusters sit at ~0.75 and ~1.0, far
+    // from the 0.8 cut)
+    "q111_weighted_containment" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |spw AS (SELECT doc_id,
+         |    array_to_string(t[i + 1 : i + 12], ' ') AS span
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 11)) AS i
+         |        FROM tok WHERE len(t) >= 12)),
+         |sps AS (SELECT doc_id, array_to_string(t, ' ') AS span
+         |  FROM tok WHERE len(t) < 12),
+         |sp AS (SELECT DISTINCT doc_id, span
+         |  FROM (SELECT * FROM spw UNION ALL SELECT * FROM sps)),
+         |elig AS (SELECT span FROM sp GROUP BY span
+         |  HAVING count(*) BETWEEN 2 AND 50),
+         |es AS (SELECT s.doc_id, s.span FROM sp s JOIN elig USING (span)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM es a JOIN es b ON a.span = b.span AND a.doc_id < b.doc_id),
+         |dt AS (SELECT doc_id, list_distinct(t) AS toks FROM tok),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM dt),
+         |idf AS (SELECT w AS token, ln(nn.nd / count(*)) AS wt FROM
+         |  (SELECT doc_id, unnest(list_distinct(t)) AS w FROM tok), nn
+         |  GROUP BY w, nn.nd),
+         |bi AS (SELECT a_id, b_id FROM cand
+         |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand),
+         |ex AS (SELECT c.a_id, c.b_id, unnest(ta.toks) AS token
+         |  FROM bi c JOIN dt ta ON ta.doc_id = c.a_id),
+         |fl AS (SELECT e.a_id, e.b_id, e.token,
+         |  list_contains(tb.toks, e.token) AS inb
+         |  FROM ex e JOIN dt tb ON tb.doc_id = e.b_id),
+         |wv AS (SELECT f.a_id, f.b_id,
+         |  CASE WHEN sum(i.wt) = 0 THEN 0.0
+         |    ELSE sum(CASE WHEN f.inb THEN i.wt ELSE 0.0 END) / sum(i.wt)
+         |  END AS cw
+         |  FROM fl f JOIN idf i USING (token) GROUP BY f.a_id, f.b_id)
+         |SELECT a_id, b_id, round(cw, 4) AS cont_w FROM wv
+         |WHERE cw >= 0.8 ORDER BY 1, 2""".stripMargin,
+
     "q88_corpus_pipeline_v3" -> HashOracles.q88CorpusPipelineV3,
 
     "q89_containment_pairs" ->
@@ -2438,6 +2501,26 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_tokens,
          |  CAST(sum(f.tf) AS BIGINT) AS freq_mass
          |FROM tok JOIN f USING (token)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // least-squares over (ln rank, ln freq); rank ties break on token
+    // so both engines rank identically; intercept uses the UNROUNDED
+    // slope (mirroring the Spark expression exactly)
+    "q110_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest($ToksSql) AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+         |r AS (SELECT freq,
+         |  row_number() OVER (ORDER BY freq DESC, token) AS rank FROM f),
+         |s AS (SELECT count(*) AS n, CAST(sum(freq) AS BIGINT) AS nt,
+         |  sum(ln(CAST(rank AS DOUBLE))) AS sx,
+         |  sum(ln(CAST(freq AS DOUBLE))) AS sy,
+         |  sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
+         |  sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+         |  FROM r)
+         |SELECT n AS n_vocab, nt AS n_tokens,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+         |    / n, 4) AS intercept
+         |FROM s""".stripMargin
   )
 }

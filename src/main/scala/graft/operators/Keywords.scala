@@ -130,6 +130,54 @@ object Keywords {
         sum(col("tf")).cast("long").as("freq_mass"))
   }
 
+  /** Zipf fit of the corpus token-frequency distribution: least-squares
+    * slope and intercept of `ln(freq)` on `ln(rank)` over the ranked
+    * vocabulary — the standard corpus-health diagnostic (natural text
+    * fits slope ≈ −1; OCR garbage, boilerplate floods, and truncated
+    * vocabularies bend the curve). Returns ONE row:
+    * `(n_vocab, n_tokens, slope, intercept)`, slope/intercept on the
+    * 1e-4 grid.
+    *
+    * 100 TB shape: frequencies are one partial-agg shuffle; the rank is
+    * a DISTRIBUTED sort + zipWithIndex over the vocabulary table (the
+    * [[TokenizerTraining.vocabulary]] device — a range partitioner
+    * gives the total order; never a single-partition window over a
+    * billion-hapax vocabulary); the fit itself is one aggregation of
+    * the five regression sums. Ordering ties (equal frequencies) break
+    * on token text, so the rank — and therefore the fit — is
+    * deterministic and engine-replayable.
+    */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+      tokensCol: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = tokenRows(docs, idCol, textCol, tokensCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val ranked = freq
+      .orderBy(col("freq").desc, col("token"))
+      .as[(String, Long)].rdd.zipWithIndex()
+      .map { case ((_, f), i) => (i + 1, f) }
+      .toDF("rank", "freq")
+    ranked
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"),
+        col("freq"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("freq")).cast("long").as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_vocab"), col("n_tokens"),
+        round((col("n_vocab") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_vocab") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("slope"),
+        round((col("sy") - ((col("n_vocab") * col("sxy") -
+            col("sx") * col("sy")) /
+          (col("n_vocab") * col("sxx") - col("sx") * col("sx"))) *
+            col("sx")) / col("n_vocab"), 4)
+          .as("intercept"))
+  }
+
   /** (id, token) rows — from the caller's pre-tokenized column when the
     * tokenize-once contract is in play, else one regexp pass here.
     */

@@ -150,6 +150,70 @@ object SpanDedup {
       .select(col("a_id"), col("b_id"), round(col("cont"), 4).as("cont"))
   }
 
+  /** [[containmentVerifiedPairs]] with IDF-WEIGHTED containment as the
+    * verify metric: `cont_w(a→b) = Σ_{t ∈ a∩b} ln(N/df_t) / Σ_{t ∈ a}
+    * ln(N/df_t)` over distinct tokens — overlap on corpus-ubiquitous
+    * words stops counting as duplication evidence. This is the standard
+    * fix for the measured honesty note on q89: on a small-vocabulary
+    * corpus PLAIN containment is near-vacuous (common words alone push
+    * pairs over τ), while the idf weight sends a token present in every
+    * document to ln(1) = 0 — only distinctive overlap survives.
+    *
+    * 100 TB shape: candidates are the hub-capped span equi-join (as the
+    * unweighted path); the verify explodes each candidate's BOTH token
+    * sets once (bounded: 2 × candidate pairs × doc vocab), joins token
+    * weights UN-hinted (df is corpus-vocabulary cardinality — the
+    * [[Keywords]] df-join rule), and reduces per (pair, orientation).
+    * N (corpus doc count) is the one driver fact, same class as the LM
+    * vocab size. Σ over ≤ doc-vocab doubles per pair then round(4) —
+    * the cross-engine determinism class every avg in this library uses.
+    */
+  def weightedContainmentVerifiedPairs(df: DataFrame, idCol: String,
+      textCol: String, tau: Double, spanTokens: Int = 12, maxDf: Int = 50,
+      tokensCol: Option[String] = None): DataFrame = {
+    val cands = sharedSpanPairs(df, idCol, textCol, spanTokens, maxDf,
+        tokensCol)
+      .select(col("a_id"), col("b_id"))
+    val toks = graft.CacheScope.register(
+      df.select(col(idCol).as("__cv_id"),
+          array_distinct(tokensCol.map(col)
+            .getOrElse(TF.tokens(col(textCol)))).as("__cv_toks"))
+        .persist())
+    val nDocs = toks.count() // driver fact: corpus document count
+    // idf over per-doc DISTINCT tokens (document frequency, not term
+    // frequency) — one partial-agg shuffle over the vocabulary
+    val idf = toks
+      .select(explode(col("__cv_toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(log(lit(nDocs.toDouble) / count(lit(1))).as("__w"))
+    val paired = graft.CacheScope.register(cands
+      .join(toks.select(col("__cv_id").as("a_id"),
+        col("__cv_toks").as("__a_toks")), Seq("a_id"))
+      .join(toks.select(col("__cv_id").as("b_id"),
+        col("__cv_toks").as("__b_toks")), Seq("b_id"))
+      .persist())
+    // each orientation: explode the NUMERATOR side's tokens, flag
+    // membership in the other side, weight, reduce — two bounded
+    // explodes of the candidate table, one un-hinted weight join
+    val fwd = paired.select(col("a_id"), col("b_id"),
+      explode(col("__a_toks")).as("token"),
+      array_contains(col("__b_toks"), col("token")).as("__in"))
+    val bwd = paired.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
+      explode(col("__b_toks")).as("token"),
+      array_contains(col("__a_toks"), col("token")).as("__in"))
+    fwd.unionByName(bwd)
+      .join(idf, Seq("token")) // un-hinted: vocabulary cardinality
+      .groupBy(col("a_id"), col("b_id"))
+      // zero total weight (every token corpus-ubiquitous) scores 0, not
+      // NaN — NaN ordering diverges across engines, and "no distinctive
+      // tokens at all" IS the no-evidence verdict
+      .agg(when(sum(col("__w")) === 0.0, 0.0)
+        .otherwise(sum(when(col("__in"), col("__w")).otherwise(0.0)) /
+          sum(col("__w"))).as("__cw"))
+      .filter(col("__cw") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("__cw"), 4).as("cont_w"))
+  }
+
   /** Exposed for spec-level equivalence checks. */
   def spanHash(span: Column): Column = xxhash64(span)
 

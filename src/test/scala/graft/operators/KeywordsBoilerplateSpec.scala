@@ -87,4 +87,41 @@ class KeywordsBoilerplateSpec extends SparkSpec {
     assert(df5.toSeq === Seq(2L),
       "per-doc distinct shingles: df counts docs")
   }
+
+  test("zipfFit: hand-computed least squares; a geometric corpus fits " +
+      "steeply negative, a uniform one fits flat") {
+    val s = spark
+    import s.implicits._
+    // freqs a=4 b=2 c=1 -> ranks 1,2,3: x=ln(1,2,3), y=ln(4,2,1)
+    val tiny = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val row = Keywords.zipfFit(tiny, "doc_id", "text").collect().head
+    val (x, y) = (Seq(1.0, 2.0, 3.0).map(math.log),
+      Seq(4.0, 2.0, 1.0).map(math.log))
+    val n = 3.0
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getLong(0) === 3L && row.getLong(1) === 7L)
+    assert(row.getDouble(2) ===
+      BigDecimal(slope).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+
+    // discriminative: word k repeated 2^(8-k) times is Zipf-like
+    // (slope near -1 in log-log); 16 words once each is flat (0/0
+    // degenerate avoided by distinct ranks -> slope exactly 0 since all
+    // freqs equal: y constant)
+    val zipfText = (1 to 8).flatMap(k => Seq.fill(1 << (8 - k))(s"w$k"))
+      .mkString(" ")
+    val zSlope = Keywords.zipfFit(
+        Seq((1L, zipfText)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.getDouble(2)
+    val uniformText = (1 to 16).map(k => s"u$k").mkString(" ")
+    val uSlope = Keywords.zipfFit(
+        Seq((1L, uniformText)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.getDouble(2)
+    info(f"slope: geometric $zSlope%.3f vs uniform $uSlope%.3f")
+    assert(zSlope < -1.5, s"geometric corpus must fit steeply: $zSlope")
+    assert(uSlope === 0.0, s"equal frequencies must fit flat: $uSlope")
+  }
 }

@@ -92,6 +92,45 @@ class SpanDedupSpec extends SparkSpec {
     assert(verified.nonEmpty, "fixture should produce verified pairs")
   }
 
+  test("weighted containment: ubiquitous-token overlap passes the plain " +
+      "verify but fails the idf-weighted one; distinctive overlap " +
+      "passes both") {
+    val s = spark
+    import s.implicits._
+    val span = (1 to 12).map(i => s"s$i")  // tokens made COMMON below
+    val span2 = (1 to 12).map(i => s"t$i") // tokens that stay rare
+    val docs = (Seq(
+      (1L, (span ++ (1 to 6).map(i => s"a$i")).mkString(" ")),
+      (2L, (span ++ (1 to 6).map(i => s"b$i")).mkString(" ")),
+      (3L, (span2 ++ (1 to 6).map(i => s"r$i")).mkString(" ")),
+      (4L, (span2 ++ (1 to 6).map(i => s"r$i")).mkString(" "))
+    ) ++ (5L to 20L).map { i =>
+      // background: span-S TOKENS (reversed, so never span S itself)
+      // in 16 of 20 docs -> df(s*) = 18/20, idf weight ~ ln(20/18)
+      (i, (span.reverse :+ s"x$i").mkString(" "))
+    }).toDF("doc_id", "text")
+
+    // plain containment: (1,2) passes on common-token mass alone
+    // (12 shared of 18 = 0.67), as does the true dup (3,4)
+    val plain = SpanDedup
+      .containmentVerifiedPairs(docs, "doc_id", "text", tau = 0.6)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.contains((1L, 2L)) && plain.contains((3L, 4L)))
+
+    // idf-weighted: the s* tokens carry ~ln(20/18) each vs ln(20) for
+    // the distinctive ones, so (1,2) collapses to ~0.07 while the true
+    // dup (3,4) stays at 1.0 — only distinctive overlap survives
+    val weighted = SpanDedup
+      .weightedContainmentVerifiedPairs(docs, "doc_id", "text", tau = 0.6)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(weighted.contains((3L, 4L)) && weighted((3L, 4L)) === 1.0)
+    assert(weighted.contains((4L, 3L)))
+    assert(!weighted.keySet.exists(p => p == ((1L, 2L)) || p == ((2L, 1L))),
+      s"common-token pair survived the idf weighting: $weighted")
+  }
+
   test("flagSpanDuplicated agrees with the pair form and keeps all rows") {
     val flagged = SpanDedup
       .flagSpanDuplicated(docs, "doc_id", "text", spanTokens = 4)
