@@ -1328,6 +1328,41 @@ object HashOracles {
         "ORDER BY list_cosine_similarity(cand.v, qv.v) DESC, vec_id " +
         s"LIMIT $topK")
 
+  /** Topic-balanced mix replay (q112): q87's trained centroids assign
+    * every embedding to its topic; documents' token masses aggregate
+    * per topic; an equal-weight waterfill allocates the budget; the
+    * generic [[realizationCtes]] chain realizes the per-topic pick —
+    * `Clustering.kmeansCentroids/assign` + `Mixture.waterfill` +
+    * `selectByAllocations` joined across the two tables.
+    */
+  def q112TopicBalancedMix(k: Int, budget: Double, buckets: Int): String =
+    withClause(kmTrainCtes(k) ++ Seq(
+      kmAssignCte("a3", "c2"),
+      s"tokd AS (SELECT doc_id, len($Toks) AS n FROM documents)",
+      "tn AS (SELECT t.doc_id, 'c' || CAST(a.cid AS VARCHAR) AS sk, t.n " +
+        "FROM tokd t JOIN a3 a ON a.vec_id = t.doc_id)",
+      "s2 AS (SELECT sk, CAST(sum(n) AS BIGINT) AS c FROM tn GROUP BY sk)",
+      "r2 AS (SELECT sk, c, CAST(c AS DOUBLE) / 1.0 AS ratio FROM s2)",
+      "x2 AS (SELECT sk, c, ratio, " +
+        "coalesce(sum(CAST(c AS DOUBLE)) OVER (ORDER BY ratio, sk " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumb, " +
+        "sum(1.0) OVER (ORDER BY ratio, sk " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tailw " +
+        "FROM r2)",
+      s"y2 AS (SELECT *, ($budget - cumb) / tailw AS tc FROM x2)",
+      "z2 AS (SELECT *, first_value(CASE WHEN ratio >= tc THEN tc END " +
+        "IGNORE NULLS) OVER (ORDER BY ratio, sk " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "AS ts FROM y2)",
+      "al AS (SELECT sk, CAST(floor(CASE WHEN ts IS NULL " +
+        "THEN CAST(c AS DOUBLE) " +
+        "ELSE greatest(0.0, least(CAST(c AS DOUBLE), 1.0 * ts)) END) " +
+        "AS BIGINT) AS b FROM z2)") ++
+      realizationCtes("sk", Seq(), buckets),
+      "SELECT sk AS topic, count(*) AS n_sel, " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) AS sel_tokens " +
+        "FROM sel GROUP BY sk ORDER BY topic")
+
   /** Quantized persisted-IVF replay (q108): q98's trained-centroid
     * assignment and probe choice, with the q76 int8 quantization at
     * rest — every assigned vector carries (scale = max|x|/127, codes =

@@ -1212,6 +1212,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Capstone #6 — TOPIC-balanced mix assembly: cluster the corpus in
+    // EMBEDDING space (trained k-means), then waterfill a token budget
+    // across the topics equally and realize the pick per topic — the
+    // semantic companion to q99's source-balanced mix (topic balance is
+    // how a real pipeline counters source skew the metadata cannot
+    // see). Cross-table: documents supply token mass, embeddings supply
+    // the clustering; join on id, one pass each
+    "q112_topic_balanced_mix" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), size(toks(col("text"))).cast("long")
+          .as("n_tok"))
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val assigned = graft.operators.Clustering
+        .assign(e, "vec_id", "embedding", cents)
+        .select(col("vec_id").as("doc_id"),
+          concat(lit("c"), col("cluster")).as("topic"))
+      val clustered = graft.CacheScope.register(
+        docs.join(assigned, Seq("doc_id")).persist())
+      val caps = clustered.groupBy(col("topic"))
+        .agg(sum(col("n_tok")).cast("long").as("c_tokens"))
+        .withColumn("weight", lit(1.0))
+      val alloc = graft.operators.Mixture.waterfill(caps, "topic",
+        "c_tokens", "weight", budget = 8000.0)
+      graft.operators.Mixture.selectByAllocations(
+          clustered, "doc_id", "topic", "n_tok", alloc)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n_sel"),
+          sum(col("n_tok")).cast("long").as("sel_tokens"))
+        .orderBy(col("topic"))
+    }),
+
     // Zipf fit — the corpus-health diagnostic behind vocabulary/OCR
     // audits: least-squares slope of ln(freq) on ln(rank) over the
     // ranked vocabulary (natural text ≈ -1; this near-uniform synthetic
@@ -2252,6 +2285,8 @@ object SparkEntry {
     // (<150) then appendToIvfIndex(>=150) answers exactly as q98's
     // one-shot full index — same replay, same parameters
     "q109_ivf_index_fold" -> HashOracles.q98TrainedIvfQuery(4, 2, 10),
+    "q112_topic_balanced_mix" ->
+      HashOracles.q112TopicBalancedMix(4, 8000.0, 64),
     "q99_corpus_pipeline_v4" ->
       HashOracles.q99CorpusPipelineV4(12000.0, 64),
 

@@ -168,13 +168,19 @@ object Keywords {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("n_vocab"), col("n_tokens"),
-        round((col("n_vocab") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_vocab") * col("sxx") - col("sx") * col("sx")), 4)
+        // < 2 distinct ranks (empty corpus or one-token vocabulary) has
+        // no line to fit: null, never a NaN from the 0/0 (NaN ordering
+        // and equality diverge across engines)
+        when(col("n_vocab") < 2, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_vocab") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_vocab") * col("sxx") - col("sx") * col("sx")), 4))
           .as("slope"),
-        round((col("sy") - ((col("n_vocab") * col("sxy") -
-            col("sx") * col("sy")) /
-          (col("n_vocab") * col("sxx") - col("sx") * col("sx"))) *
-            col("sx")) / col("n_vocab"), 4)
+        when(col("n_vocab") < 2, lit(null).cast("double"))
+          .otherwise(round((col("sy") - ((col("n_vocab") * col("sxy") -
+              col("sx") * col("sy")) /
+            (col("n_vocab") * col("sxx") - col("sx") * col("sx"))) *
+              col("sx")) / col("n_vocab"), 4))
           .as("intercept"))
   }
 

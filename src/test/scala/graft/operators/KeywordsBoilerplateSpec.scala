@@ -123,5 +123,13 @@ class KeywordsBoilerplateSpec extends SparkSpec {
     info(f"slope: geometric $zSlope%.3f vs uniform $uSlope%.3f")
     assert(zSlope < -1.5, s"geometric corpus must fit steeply: $zSlope")
     assert(uSlope === 0.0, s"equal frequencies must fit flat: $uSlope")
+
+    // a one-word vocabulary has no line to fit: null, never NaN
+    val degenerate = Keywords.zipfFit(
+        Seq((1L, "same same same")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().head
+    assert(degenerate.getLong(0) === 1L && degenerate.isNullAt(2) &&
+      degenerate.isNullAt(3))
   }
 }
