@@ -1212,6 +1212,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Graded decontamination — the published refinement of q56's binary
+    // any-hit rule: per-doc SHARE of distinct 5-grams found in the
+    // benchmark, so a long doc quoting one test item is separable from
+    // a wholesale copy ("drop at >X% overlap", not "drop on any hit")
+    "q113_contamination_fraction" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.operators.Contamination.contaminationFraction(
+          docs.filter(col("doc_id") >= 10), "doc_id", "text",
+          docs.filter(col("doc_id") < 10), "text", n = 5)
+        .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+          col("contamination_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The benchmark-side leakage report: WHICH eval items are
+    // compromised, and how widely — one row per benchmark doc with the
+    // count of corpus docs sharing >= 1 of its 5-grams (the doc-side
+    // flag only says the corpus is dirty; an eval owner needs this view)
+    "q114_benchmark_leakage" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.operators.Contamination.benchmarkLeakage(
+          docs.filter(col("doc_id") >= 10), "doc_id", "text",
+          docs.filter(col("doc_id") < 10)
+            .select(col("doc_id").as("bench_id"), col("text")),
+          "bench_id", "text", n = 5)
+        .orderBy(col("bench_id"))
+    }),
+
     // Capstone #6 — TOPIC-balanced mix assembly: cluster the corpus in
     // EMBEDDING space (trained k-means), then waterfill a token budget
     // across the topics equally and realize the pick per topic — the
@@ -1985,6 +2013,51 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_contaminated
          |FROM corpus LEFT JOIN bad USING (doc_id)""".stripMargin,
+
+    // per-doc DISTINCT shingles (the shinglesOf convention) on both
+    // sides; the semi-join is an inner join because bench grams are
+    // distinct; zero-gram guard mirrored
+    "q113_contamination_fraction" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |sg AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+         |    THEN list_transform(range(0, len(t) - 4),
+         |      i -> array_to_string(t[i + 1 : i + 5], ' '))
+         |    ELSE [array_to_string(t, ' ')] END) AS gs FROM tk),
+         |bench AS (SELECT DISTINCT unnest(gs) AS gram FROM sg
+         |  WHERE doc_id < 10),
+         |cg AS (SELECT doc_id, unnest(gs) AS gram FROM sg
+         |  WHERE doc_id >= 10),
+         |ov AS (SELECT doc_id, count(*) AS n_overlap FROM cg
+         |  JOIN bench USING (gram) GROUP BY doc_id),
+         |per AS (SELECT doc_id, len(gs) AS n_grams FROM sg
+         |  WHERE doc_id >= 10)
+         |SELECT p.doc_id, CAST(p.n_grams AS INTEGER) AS n_grams,
+         |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CASE WHEN p.n_grams = 0 THEN 0.0
+         |    ELSE round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
+         |      / p.n_grams, 4) END AS contamination_frac
+         |FROM per p LEFT JOIN ov o USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "q114_benchmark_leakage" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |sg AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+         |    THEN list_transform(range(0, len(t) - 4),
+         |      i -> array_to_string(t[i + 1 : i + 5], ' '))
+         |    ELSE [array_to_string(t, ' ')] END) AS gs FROM tk),
+         |bg AS (SELECT doc_id AS bench_id, unnest(gs) AS gram FROM sg
+         |  WHERE doc_id < 10),
+         |cg AS (SELECT doc_id, unnest(gs) AS gram FROM sg
+         |  WHERE doc_id >= 10),
+         |hit AS (SELECT b.bench_id, c.doc_id FROM cg c
+         |  JOIN bg b USING (gram) GROUP BY b.bench_id, c.doc_id),
+         |cnt AS (SELECT bench_id, count(*) AS n_leaking_docs FROM hit
+         |  GROUP BY bench_id)
+         |SELECT b.bench_id,
+         |  CAST(coalesce(c.n_leaking_docs, 0) AS BIGINT) AS n_leaking_docs
+         |FROM (SELECT DISTINCT doc_id AS bench_id FROM documents
+         |      WHERE doc_id < 10) b
+         |LEFT JOIN cnt c USING (bench_id) ORDER BY b.bench_id""".stripMargin,
 
     "q57_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),

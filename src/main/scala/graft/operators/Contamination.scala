@@ -65,6 +65,82 @@ object Contamination {
       .filter(!col("is_contaminated"))
       .drop("is_contaminated")
 
+  /** The GRADED form of [[flagContaminated]]: per document, the share of
+    * its distinct `n`-grams found in the benchmark set — the published
+    * refinement of the binary rule ("drop documents with more than X%
+    * n-gram overlap with the eval suite" rather than any-hit), which
+    * keeps long documents that merely quote one test item while still
+    * dropping wholesale copies. Returns `corpus` plus `n_grams`
+    * (distinct n-grams in the doc, whole-doc fallback below `n` tokens —
+    * the [[TF.shinglesOf]] convention), `n_overlap`, and
+    * `contamination_frac` (rounded to 4; zero-gram docs score 0.0).
+    * Same 100 TB shape as the flag: benchmark grams broadcast, corpus
+    * explode + broadcast semi-join + one doc-grain aggregation back.
+    */
+  def contaminationFraction(corpus: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchTextCol: String,
+      n: Int = 8, tokensCol: Option[String] = None): DataFrame = {
+    val benchGrams = benchmark
+      .withColumn("__ct_toks", TF.tokens(col(benchTextCol)))
+      .select(explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
+      .distinct()
+    // one tokenize + shingle pass feeds BOTH the per-doc gram count and
+    // the overlap explode (scoped cache — the CacheScope contract)
+    val shingled = graft.CacheScope.register(corpus
+      .withColumn("__ct_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .withColumn("__ct_grams", TF.shinglesOf(col("__ct_toks"), n))
+      .persist())
+    val overlap = shingled
+      .select(col(idCol), explode(col("__ct_grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    shingled
+      .withColumn("n_grams", size(col("__ct_grams")))
+      .drop("__ct_toks", "__ct_grams")
+      .join(overlap, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("contamination_frac",
+        when(col("n_grams") === 0, 0.0)
+          .otherwise(round(col("n_overlap").cast("double") /
+            col("n_grams"), 4)))
+  }
+
+  /** The benchmark-side view: for each benchmark row, how many corpus
+    * documents share at least one `n`-gram with IT specifically — the
+    * leakage report that tells an eval owner WHICH test items are
+    * compromised (the doc-side flag only says the corpus is dirty).
+    * Returns one row per benchmark id: (benchIdCol, n_leaking_docs),
+    * zero-filled for clean items.
+    *
+    * 100 TB shape: the join carries (bench_id, gram) on the broadcast
+    * side — benchmark-bounded — and the corpus explodes once; the
+    * distinct collapses (bench item × doc) repeats before the count, at
+    * worst corpus × items-hit cardinality, shuffle-keyed on the pair.
+    */
+  def benchmarkLeakage(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 8, tokensCol: Option[String] = None): DataFrame = {
+    val benchGrams = benchmark
+      .withColumn("__ct_toks", TF.tokens(col(benchTextCol)))
+      .select(col(benchIdCol),
+        explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
+      .distinct()
+    val hits = corpus
+      .withColumn("__ct_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol).as("__ct_doc"),
+        explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col(benchIdCol), col("__ct_doc")).distinct()
+      .groupBy(col(benchIdCol))
+      .agg(count(lit(1)).as("n_leaking_docs"))
+    benchmark.select(col(benchIdCol)).distinct()
+      .join(hits, Seq(benchIdCol), "left")
+      .na.fill(0L, Seq("n_leaking_docs"))
+  }
+
   // ---- Bloom-filter variant (compact benchmark representation) --------
 
   /** Deterministic Bloom bitmap of the benchmark's n-gram set — the scale

@@ -41,6 +41,52 @@ class ContaminationSpec extends SparkSpec {
     assert(clean.columns.toSeq === corpus.columns.toSeq)
   }
 
+  test("contaminationFraction grades overlap: a wholesale copy scores " +
+      "near 1, a one-quote doc scores low, clean scores 0; " +
+      "benchmarkLeakage names the compromised items") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq(
+      (1L, "what is the capital of france answer paris"),
+      (2L, "name the largest planet in our solar system")
+    ).toDF("q_id", "q_text")
+    val corpus = Seq(
+      // wholesale copy of bench item 1 (all its 5-grams)
+      (10L, "what is the capital of france answer paris"),
+      // long doc QUOTING one 5-gram of item 1 among much original text
+      (11L, "an original essay that happens to ask what is the capital " +
+        "of something before wandering through many other topics and " +
+        "closing with original thoughts entirely its own"),
+      (12L, "completely unrelated text about cooking pasta at home " +
+        "with plenty of words")
+    ).toDF("doc_id", "text")
+    val graded = Contamination.contaminationFraction(
+        corpus, "doc_id", "text", bench, "q_text", n = 5)
+      .select("doc_id", "n_grams", "n_overlap", "contamination_frac")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // the copy: every one of its 4 distinct 5-grams is benchmark text
+    assert(graded(10L) === ((4, 4L, 1.0)))
+    // the quoting doc: exactly one overlapping gram, small fraction
+    assert(graded(11L)._2 === 1L && graded(11L)._3 < 0.1,
+      s"quote doc graded ${graded(11L)}")
+    assert(graded(12L) === ((graded(12L)._1, 0L, 0.0)))
+
+    // the binary rule cannot make that distinction: both 10 and 11 flag
+    val binary = Contamination.flagContaminated(
+        corpus, "doc_id", "text", bench, "q_text", n = 5)
+      .filter(col("is_contaminated"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(binary === Set(10L, 11L))
+
+    // leakage: item 1 leaks into docs 10 and 11; item 2 is clean
+    val leak = Contamination.benchmarkLeakage(
+        corpus, "doc_id", "text", bench, "q_id", "q_text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leak === Map(1L -> 2L, 2L -> 0L))
+  }
+
   test("the benchmark n-gram side is broadcast (corpus never shuffles)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
