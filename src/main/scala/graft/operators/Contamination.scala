@@ -107,6 +107,21 @@ object Contamination {
             col("n_grams"), 4)))
   }
 
+  /** The actionable form of [[contaminationFraction]]: keep documents at
+    * or below `maxFrac` overlap (the published "drop at > X%" rule).
+    * `maxFrac = 0.0` degenerates to [[decontaminate]]'s any-hit drop.
+    */
+  def decontaminateAtThreshold(corpus: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchTextCol: String,
+      maxFrac: Double, n: Int = 8,
+      tokensCol: Option[String] = None): DataFrame = {
+    require(maxFrac >= 0 && maxFrac <= 1, s"bad maxFrac $maxFrac")
+    contaminationFraction(corpus, idCol, textCol, benchmark,
+        benchTextCol, n, tokensCol)
+      .filter(col("contamination_frac") <= maxFrac)
+      .drop("n_grams", "n_overlap", "contamination_frac")
+  }
+
   /** The benchmark-side view: for each benchmark row, how many corpus
     * documents share at least one `n`-gram with IT specifically — the
     * leakage report that tells an eval owner WHICH test items are

@@ -85,6 +85,17 @@ class ContaminationSpec extends SparkSpec {
         corpus, "doc_id", "text", bench, "q_id", "q_text", n = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(leak === Map(1L -> 2L, 2L -> 0L))
+
+    // the threshold filter keeps the quote (0.04 <= 0.1), drops the
+    // copy; at 0.0 it degenerates to the any-hit drop
+    val kept = Contamination.decontaminateAtThreshold(
+        corpus, "doc_id", "text", bench, "q_text", maxFrac = 0.1, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 12L))
+    val strict = Contamination.decontaminateAtThreshold(
+        corpus, "doc_id", "text", bench, "q_text", maxFrac = 0.0, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict === Set(12L))
   }
 
   test("the benchmark n-gram side is broadcast (corpus never shuffles)") {
