@@ -1998,13 +1998,17 @@ object SparkEntry {
     "q55_lsh_multiprobe" -> HashOracles.q55LshMultiprobe,
 
     // n-gram CASE mirrors TF.shingles/ngrams: >= n tokens -> sliding
-    // window of n, else the single whole-token-list gram
+    // window of n, else the single whole-token-list gram; the empty
+    // whole-doc-fallback gram of an empty token list is dropped on both
+    // sides (Contamination.gramsOf)
     "q56_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+         |g AS (SELECT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
          |    THEN list_transform(range(0, len(t) - 4),
          |      i -> array_to_string(t[i + 1 : i + 5], ' '))
-         |    ELSE [array_to_string(t, ' ')] END) AS gram FROM tk),
+         |    ELSE [array_to_string(t, ' ')] END) AS gram FROM tk)
+         |  WHERE gram <> ''),
          |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
          |corpus AS (SELECT doc_id FROM documents WHERE doc_id >= 10),
          |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
@@ -2014,15 +2018,18 @@ object SparkEntry {
          |    AS BIGINT) AS n_contaminated
          |FROM corpus LEFT JOIN bad USING (doc_id)""".stripMargin,
 
-    // per-doc DISTINCT shingles (the shinglesOf convention) on both
-    // sides; the semi-join is an inner join because bench grams are
-    // distinct; zero-gram guard mirrored
+    // per-doc DISTINCT NON-EMPTY shingles (the Contamination.gramsOf
+    // convention — the empty fallback gram is excluded, so an empty doc
+    // has n_grams = 0 and the zero-gram guard is live) on both sides;
+    // the semi-join is an inner join because bench grams are distinct
     "q113_contamination_fraction" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |sg AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+         |sg AS (SELECT doc_id, list_filter(
+         |    list_distinct(CASE WHEN len(t) >= 5
          |    THEN list_transform(range(0, len(t) - 4),
          |      i -> array_to_string(t[i + 1 : i + 5], ' '))
-         |    ELSE [array_to_string(t, ' ')] END) AS gs FROM tk),
+         |    ELSE [array_to_string(t, ' ')] END),
+         |    g -> g <> '') AS gs FROM tk),
          |bench AS (SELECT DISTINCT unnest(gs) AS gram FROM sg
          |  WHERE doc_id < 10),
          |cg AS (SELECT doc_id, unnest(gs) AS gram FROM sg
@@ -2041,10 +2048,12 @@ object SparkEntry {
 
     "q114_benchmark_leakage" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |sg AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+         |sg AS (SELECT doc_id, list_filter(
+         |    list_distinct(CASE WHEN len(t) >= 5
          |    THEN list_transform(range(0, len(t) - 4),
          |      i -> array_to_string(t[i + 1 : i + 5], ' '))
-         |    ELSE [array_to_string(t, ' ')] END) AS gs FROM tk),
+         |    ELSE [array_to_string(t, ' ')] END),
+         |    g -> g <> '') AS gs FROM tk),
          |bg AS (SELECT doc_id AS bench_id, unnest(gs) AS gram FROM sg
          |  WHERE doc_id < 10),
          |cg AS (SELECT doc_id, unnest(gs) AS gram FROM sg
@@ -2626,9 +2635,13 @@ object SparkEntry {
          |  sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
          |  FROM r)
          |SELECT n AS n_vocab, nt AS n_tokens,
-         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-         |    / n, 4) AS intercept
+         |  CASE WHEN n < 2 THEN NULL ELSE
+         |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+         |  END AS slope,
+         |  CASE WHEN n < 2 THEN NULL ELSE
+         |    round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+         |      / n, 4)
+         |  END AS intercept
          |FROM s""".stripMargin
   )
 }

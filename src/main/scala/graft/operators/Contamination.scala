@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{DedupFunctions, TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-data hygiene step that drops
@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   * the broadcast map) and a single aggregation back to document grain.
   */
 object Contamination {
+
+  /** Distinct non-empty `n`-grams of a token array. [[TF.shinglesOf]]'s
+    * whole-doc fallback emits `""` for an empty token list; that gram is
+    * vacuous for contamination (an empty benchmark row would otherwise
+    * mark EVERY empty corpus doc contaminated, and vice versa), so every
+    * gram pipeline in this object drops it on both sides. Consequently
+    * an empty/whitespace doc has zero grams here.
+    */
+  private def gramsOf(toks: Column, n: Int): Column =
+    filter(TF.shinglesOf(toks, n), g => length(g) > 0)
 
   /** Corpus rows tagged `is_contaminated` = shares at least one `n`-gram
     * with any benchmark row. All columns of `corpus` are preserved.
@@ -35,12 +45,12 @@ object Contamination {
     // argument subtrees) — measured 4.5 s vs 0.2 s on the sf0.1 corpus
     val benchGrams = benchmark
       .withColumn("__ct_toks", TF.tokens(col(benchTextCol)))
-      .select(explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
+      .select(explode(gramsOf(col("__ct_toks"), n)).as("gram"))
       .distinct()
     val hits = corpus
       .withColumn("__ct_toks",
         tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
-      .select(col(idCol), explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
+      .select(col(idCol), explode(gramsOf(col("__ct_toks"), n)).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .select(col(idCol)).distinct()
       .withColumn("is_contaminated", lit(true))
@@ -71,9 +81,11 @@ object Contamination {
     * n-gram overlap with the eval suite" rather than any-hit), which
     * keeps long documents that merely quote one test item while still
     * dropping wholesale copies. Returns `corpus` plus `n_grams`
-    * (distinct n-grams in the doc, whole-doc fallback below `n` tokens —
-    * the [[TF.shinglesOf]] convention), `n_overlap`, and
-    * `contamination_frac` (rounded to 4; zero-gram docs score 0.0).
+    * (distinct NON-EMPTY n-grams in the doc: the whole-doc fallback
+    * below `n` tokens per [[TF.shinglesOf]], minus the empty gram an
+    * empty token list produces — see [[gramsOf]]), `n_overlap`, and
+    * `contamination_frac` (rounded to 4; empty/whitespace docs have
+    * `n_grams` = 0 and score 0.0).
     * Same 100 TB shape as the flag: benchmark grams broadcast, corpus
     * explode + broadcast semi-join + one doc-grain aggregation back.
     */
@@ -82,14 +94,14 @@ object Contamination {
       n: Int = 8, tokensCol: Option[String] = None): DataFrame = {
     val benchGrams = benchmark
       .withColumn("__ct_toks", TF.tokens(col(benchTextCol)))
-      .select(explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
+      .select(explode(gramsOf(col("__ct_toks"), n)).as("gram"))
       .distinct()
     // one tokenize + shingle pass feeds BOTH the per-doc gram count and
     // the overlap explode (scoped cache — the CacheScope contract)
     val shingled = graft.CacheScope.register(corpus
       .withColumn("__ct_toks",
         tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
-      .withColumn("__ct_grams", TF.shinglesOf(col("__ct_toks"), n))
+      .withColumn("__ct_grams", gramsOf(col("__ct_toks"), n))
       .persist())
     val overlap = shingled
       .select(col(idCol), explode(col("__ct_grams")).as("gram"))
@@ -140,13 +152,13 @@ object Contamination {
     val benchGrams = benchmark
       .withColumn("__ct_toks", TF.tokens(col(benchTextCol)))
       .select(col(benchIdCol),
-        explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
+        explode(gramsOf(col("__ct_toks"), n)).as("gram"))
       .distinct()
     val hits = corpus
       .withColumn("__ct_toks",
         tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
       .select(col(idCol).as("__ct_doc"),
-        explode(TF.shinglesOf(col("__ct_toks"), n)).as("gram"))
+        explode(gramsOf(col("__ct_toks"), n)).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .select(col(benchIdCol), col("__ct_doc")).distinct()
       .groupBy(col(benchIdCol))

@@ -551,6 +551,10 @@ object Dedup {
     */
   def compactIndex(spark: SparkSession, srcPath: String,
       destPath: String): Unit = {
+    require(srcPath != destPath,
+      "compactIndex reads srcPath lazily while overwriting destPath; " +
+        "in-place compaction would destroy the source leaves mid-read — " +
+        "write to a fresh path and swap")
     val idx = readIndex(spark, srcPath)
     val meta = idx.meta.get // readIndex always carries it
     writeIndex(

@@ -383,6 +383,10 @@ object Similarity {
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, destPath: String): Unit = {
+    require(srcPath != destPath,
+      "compactIvfIndex reads srcPath lazily while overwriting destPath; " +
+        "in-place compaction would destroy the source lists mid-read — " +
+        "write to a fresh path and swap")
     val text = ivfMetaText(spark, srcPath)
     spark.read.parquet(s"$srcPath/lists")
       .repartition(col("list_id"))

@@ -292,6 +292,10 @@ object SpanDedup {
     */
   def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, destPath: String): Unit = {
+    require(srcPath != destPath,
+      "compactSpanIndex reads srcPath lazily while overwriting destPath; " +
+        "in-place compaction would destroy the source leaves mid-read — " +
+        "write to a fresh path and swap")
     val meta = readSpanIndexMeta(spark, srcPath)
     readSpanIndex(spark, srcPath)
       .select(col("index_id"), col("h"))

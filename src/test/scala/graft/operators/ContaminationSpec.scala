@@ -98,6 +98,46 @@ class ContaminationSpec extends SparkSpec {
     assert(strict === Set(12L))
   }
 
+  test("empty/whitespace docs carry zero grams: an empty benchmark row " +
+      "never contaminates empty corpus docs, n_grams = 0, frac = 0.0") {
+    val s = spark
+    import s.implicits._
+    // benchmark contains an empty row and a whitespace-only row — the
+    // shinglesOf whole-doc fallback would emit "" for both; gramsOf
+    // must drop it so the vacuous empty-gram never joins
+    val bench = Seq((1L, ""), (2L, "   "), (3L, "what is the capital of"))
+      .toDF("q_id", "q_text")
+    val corpus = Seq(
+      (10L, ""),                                     // empty doc
+      (11L, "  \t "),                                // whitespace doc
+      (12L, "ask what is the capital of france")     // real hit
+    ).toDF("doc_id", "text")
+
+    val flags = Contamination.flagContaminated(
+        corpus, "doc_id", "text", bench, "q_text", n = 5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_contaminated"))
+      .toMap
+    assert(flags === Map(10L -> false, 11L -> false, 12L -> true))
+
+    val frac = Contamination.contaminationFraction(
+        corpus, "doc_id", "text", bench, "q_text", n = 5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_grams"), r.getAs[Long]("n_overlap"),
+          r.getAs[Double]("contamination_frac"))))
+      .toMap
+    assert(frac(10L) === ((0, 0L, 0.0)))
+    assert(frac(11L) === ((0, 0L, 0.0)))
+    assert(frac(12L)._2 >= 1L)
+
+    // leakage: the empty bench items leak into NOTHING, not everything
+    val leak = Contamination.benchmarkLeakage(
+        corpus, "doc_id", "text", bench, "q_id", "q_text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leak === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("the benchmark n-gram side is broadcast (corpus never shuffles)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -186,6 +186,11 @@ class DedupIndexPersistSpec extends SparkSpec {
     assert(bandFiles.groupBy(f => f.substring(0, f.lastIndexOf('/')))
       .exists(_._2.length > 1),
       "fold never produced a multi-file leaf - compaction test too weak")
+    // in-place compaction would lazily read the source while
+    // overwriting it — the guard must refuse before any I/O
+    intercept[IllegalArgumentException] {
+      Dedup.compactIndex(spark, dir, dir)
+    }
     val dirC = Files.createTempDirectory("graft-dedup-idx-compact").toString
     Dedup.compactIndex(spark, dir, dirC)
     val cBands = spark.read.parquet(s"$dirC/bands").inputFiles

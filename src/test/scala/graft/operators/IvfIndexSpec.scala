@@ -209,6 +209,9 @@ class IvfIndexSpec extends SparkSpec {
       .groupBy(f => f.substring(0, f.lastIndexOf('/')))
     assert(perDirBefore.exists(_._2.length > 1),
       "fixture never produced a multi-file leaf - fold test too weak")
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, dirF, dirF) // in-place refused
+    }
     val dirC = Files.createTempDirectory("graft-ivf-compact").toString
     Similarity.compactIvfIndex(spark, dirF, dirC)
     val perDirAfter = spark.read.parquet(s"$dirC/lists").inputFiles

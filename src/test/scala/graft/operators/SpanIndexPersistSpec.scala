@@ -193,6 +193,9 @@ class SpanIndexPersistSpec extends SparkSpec {
       .groupBy(f => f.substring(0, f.lastIndexOf('/')))
       .exists(_._2.length > 1),
       "fold never produced a multi-file leaf - compaction test too weak")
+    intercept[IllegalArgumentException] {
+      SpanDedup.compactSpanIndex(spark, dir, dir) // in-place refused
+    }
     val dirC = Files.createTempDirectory("graft-span-idx-compact").toString
     SpanDedup.compactSpanIndex(spark, dir, dirC)
     val cFiles = spark.read.parquet(s"$dirC/spans").inputFiles
