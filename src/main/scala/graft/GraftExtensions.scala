@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite, SplitMix64}
+import graft.expressions.{DotProduct, DotProductRewrite, Fnv1a64, SplitMix64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           "graft_splitmix64 takes exactly 1 argument")
         SplitMix64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fnv1a64"),
+      new ExpressionInfo(classOf[Fnv1a64].getName, "graft_fnv1a64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_fnv1a64 takes exactly 1 argument")
+        Fnv1a64(children.head)
       }))
     ext.injectOptimizerRule(_ => DotProductRewrite)
   }

@@ -1418,4 +1418,37 @@ object HashOracles {
       |SELECT d.doc_id AS media_id, coalesce(a.n_bytes, 0) AS n_bytes,
       |  coalesce(a.byte_entropy_q, 0) AS byte_entropy_q
       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** DSIR importance-weight replay ([[operators.Dsir]]): unigram +
+    * bigram grams, FNV-1a bucket mod `buckets` (a power of two divides
+    * 2^64, so the unsigned HUGEINT mod equals the JVM `pmod` of the
+    * signed hash), add-α smoothed target (doc_id < 10) vs raw
+    * (doc_id >= 10) bucket distributions, per-doc llr sum rounded to 4.
+    */
+  def q115DsirWeights(buckets: Int, alpha: Double): String = {
+    require((buckets & (buckets - 1)) == 0,
+      s"oracle replay needs a power-of-two bucket count, got $buckets")
+    withClause(
+      Seq(
+        s"tk AS (SELECT doc_id, $Toks AS t FROM documents)",
+        "fg AS (SELECT doc_id, unnest(list_concat(t, " +
+          "CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t) - 1), " +
+          "i -> t[i + 1] || ' ' || t[i + 2]) " +
+          "ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM tk)",
+        s"fb AS (SELECT doc_id, CAST(${fnv("gram")} % $buckets AS BIGINT) " +
+          "AS bucket FROM fg)",
+        "tc AS (SELECT bucket, count(*) AS c_t FROM fb WHERE doc_id < 10 " +
+          "GROUP BY bucket)",
+        "rc AS (SELECT bucket, count(*) AS c_r FROM fb WHERE doc_id >= 10 " +
+          "GROUP BY bucket)",
+        "tt AS (SELECT count(*) AS t_tot FROM fb WHERE doc_id < 10)",
+        "rt AS (SELECT count(*) AS r_tot FROM fb WHERE doc_id >= 10)",
+        s"sc AS (SELECT f.doc_id, " +
+          s"ln((coalesce(tc.c_t, 0) + $alpha) / (tt.t_tot + $alpha * $buckets)) " +
+          s"- ln((coalesce(rc.c_r, 0) + $alpha) / (rt.r_tot + $alpha * $buckets)) " +
+          "AS llr FROM fb f LEFT JOIN tc USING (bucket) " +
+          "LEFT JOIN rc USING (bucket), tt, rt WHERE f.doc_id >= 10)"),
+      "SELECT doc_id, count(*) AS n_feats, round(sum(llr), 4) AS log_w " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")
+  }
 }

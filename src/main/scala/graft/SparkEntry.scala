@@ -1616,6 +1616,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sel"),
           sum(col("n_tok")).cast("long").as("sel_tokens"))
         .orderBy(col("source"))
+    }),
+
+    // DSIR importance weighting (Xie et al. 2023): every raw doc
+    // (doc_id >= 10) scored by how target-like (doc_id < 10, the
+    // benchmark-slice convention) its hashed unigram+bigram feature
+    // distribution is — the published importance-resampling data
+    // selection. 512 FNV-1a buckets, add-1 smoothing; the per-bucket
+    // llr table is broadcast BY CONSTRUCTION (bucket space is a config
+    // bound, not corpus cardinality)
+    "q115_dsir_weights" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.operators.Dsir.importanceWeights(
+          docs.filter(col("doc_id") >= 10), "doc_id", "text",
+          docs.filter(col("doc_id") < 10), "text",
+          numBuckets = 512, alpha = 1.0)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("log_w"), 4).as("log_w"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2101,6 +2119,7 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q58_rolling_hash" -> HashOracles.q58RollingHash,
+    "q115_dsir_weights" -> HashOracles.q115DsirWeights(512, 1.0),
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
     "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
     "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,

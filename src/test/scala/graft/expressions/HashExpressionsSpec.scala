@@ -50,4 +50,27 @@ class HashExpressionsSpec extends SparkSpec {
     val r = spark.sql("SELECT graft_splitmix64(42L) AS h").collect().head
     assert(r.getLong(0) === DedupFunctions.splitmix64(42L))
   }
+
+  test("Fnv1a64 matches the JVM fnv1a64 on both eval paths, including " +
+      "empty and non-ASCII strings; null -> null; SQL surface works") {
+    val s = spark
+    import s.implicits._
+    val strs = Seq("", "a", "hello world", "für", "the quick brown fox")
+    val got = strs.toDF("t")
+      .select(col("t"), HashExpressions.fnv1a64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { t =>
+      assert(got(t) === DedupFunctions.fnv1a64(t), s"s=$t")
+    }
+    val rows = Seq(Option("x"), None).toDF("t")
+      .select(HashExpressions.fnv1a64(col("t")).as("h")).collect()
+    assert(rows.count(_.isNullAt(0)) === 1)
+    val err = intercept[Exception] {
+      Seq(1L).toDF("z").select(HashExpressions.fnv1a64(col("z"))).collect()
+    }
+    assert(err.getMessage.contains("graft_fnv1a64"))
+    val r = spark.sql("SELECT graft_fnv1a64('hello world') AS h")
+      .collect().head
+    assert(r.getLong(0) === DedupFunctions.fnv1a64("hello world"))
+  }
 }
