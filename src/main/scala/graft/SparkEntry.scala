@@ -1634,7 +1634,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_feats"),
           round(col("log_w"), 4).as("log_w"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Heaps'-law vocabulary-growth fit — q110's companion diagnostic:
+    // V ≈ K·N^beta over integer halving-prefix checkpoints (each
+    // token's FIRST document determines every checkpoint's vocabulary
+    // in one pass — never a per-prefix distinct)
+    "q116_heaps_fit" -> ((s, dir) =>
+      graft.operators.Keywords.heapsFit(
+        T(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -2661,6 +2669,47 @@ object SparkEntry {
          |    round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
          |      / n, 4)
          |  END AS intercept
+         |FROM s""".stripMargin,
+
+    // integer halving boundaries (maxId+1) >> j replay exactly; each
+    // doc/token assigns to its smallest enclosing boundary, cumsums run
+    // over the ~log2(corpus)-row boundary table
+    "q116_heaps_fit" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |m AS (SELECT max(doc_id) + 1 AS mm FROM tk),
+         |bs AS (SELECT DISTINCT mm >> j AS b FROM
+         |  (SELECT mm, unnest(range(0, 63)) AS j FROM m)
+         |  WHERE mm >> j >= 1),
+         |da AS (SELECT doc_id, min(b) AS b FROM tk
+         |  JOIN bs ON bs.b > tk.doc_id GROUP BY doc_id),
+         |pb AS (SELECT da.b, sum(len(t)) AS tt FROM tk
+         |  JOIN da USING (doc_id) GROUP BY da.b),
+         |fd AS (SELECT w, min(doc_id) AS fdoc FROM
+         |  (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY w),
+         |fa AS (SELECT w, min(b) AS b FROM fd
+         |  JOIN bs ON bs.b > fd.fdoc GROUP BY w),
+         |vb AS (SELECT b, count(*) AS v FROM fa GROUP BY b),
+         |cum AS (SELECT coalesce(pb.b, vb.b) AS b,
+         |  coalesce(tt, 0) AS tt, coalesce(v, 0) AS v
+         |  FROM pb FULL JOIN vb ON pb.b = vb.b),
+         |cc AS (SELECT b, sum(tt) OVER (ORDER BY b) AS n_cum,
+         |  sum(v) OVER (ORDER BY b) AS v_cum FROM cum),
+         |p AS (SELECT ln(CAST(n_cum AS DOUBLE)) AS x,
+         |  ln(CAST(v_cum AS DOUBLE)) AS y, n_cum, v_cum FROM cc
+         |  WHERE n_cum > 0 AND v_cum > 0),
+         |s AS (SELECT count(*) AS n, max(n_cum) AS nt, max(v_cum) AS nv,
+         |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |  sum(x * x) AS sxx FROM p)
+         |SELECT CAST(n AS BIGINT) AS n_points,
+         |  CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(nv, 0) AS BIGINT) AS n_vocab,
+         |  CASE WHEN n < 2 THEN NULL ELSE
+         |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+         |  END AS beta,
+         |  CASE WHEN n < 2 THEN NULL ELSE
+         |    round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+         |      / n, 4)
+         |  END AS ln_k
          |FROM s""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -182,6 +182,104 @@ object Keywords {
             (col("n_vocab") * col("sxx") - col("sx") * col("sx"))) *
               col("sx")) / col("n_vocab"), 4))
           .as("intercept"))
+  }
+
+  /** Heaps'-law fit of vocabulary growth: least-squares `ln(V)` on
+    * `ln(N)` over prefix checkpoints of the corpus in id order — the
+    * companion diagnostic to [[zipfFit]] (natural text grows
+    * V ≈ K·N^β with β ≈ 0.4–0.6; a flat curve means a closed/truncated
+    * vocabulary, a near-linear one means id-correlated novelty floods —
+    * e.g. unscrubbed serial numbers). Returns ONE row:
+    * `(n_points, n_tokens, n_vocab, beta, ln_k)`, beta/ln_k on the
+    * 1e-4 grid (`beta` the slope, `ln_k` the intercept; null below 2
+    * checkpoints, the [[zipfFit]] degenerate rule).
+    *
+    * Checkpoints are the halving prefixes `doc_id < (maxId+1) >> j` —
+    * log-spaced sample sizes in pure INTEGER arithmetic, so an oracle
+    * replays boundary placement exactly (a float `exp`-grid could
+    * round a boundary across an integer and shift a whole checkpoint).
+    *
+    * 100 TB shape: a naive "vocabulary of every prefix" is quadratic;
+    * this is two linear passes. Each token's FIRST document
+    * (min id — one partial-agg shuffle) fully determines every
+    * checkpoint's vocabulary: V_j counts tokens first seen before
+    * boundary j, N_j sums doc token counts below it. Docs and tokens
+    * assign to their smallest enclosing boundary (a literal-array
+    * lookup — the boundary set is ~log2(corpus) entries), the per-
+    * boundary partials cumulate over that ~40-row table (the bounded
+    * window is config-sized, not corpus-sized), and the fit is one
+    * aggregation of the regression sums. The only driver fact is
+    * maxId (one long).
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      tokensCol: Option[String] = None): DataFrame = {
+    val toks = graft.CacheScope.register(docs
+      .withColumn("__kw_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol).cast("long").as("__kw_id"), col("__kw_toks"))
+      .persist())
+    val maxId = toks.agg(max(col("__kw_id"))).head() match {
+      case r if r.isNullAt(0) => -1L // empty corpus
+      case r => r.getLong(0)
+    }
+    require(maxId >= -1 && maxId < Long.MaxValue, s"bad maxId $maxId")
+    // halving boundaries M, M/2, M/4, ... 1 (descending), M = maxId+1;
+    // prefix j = docs with id < boundary_j
+    val bounds = Iterator.iterate(maxId + 1)(_ >> 1)
+      .takeWhile(_ >= 1).toSeq
+    if (bounds.length < 2) {
+      // 0 or 1 checkpoints: no line to fit — null slope/intercept, the
+      // zipfFit degenerate rule (never a NaN)
+      return toks.sparkSession.range(1).select(
+        lit(bounds.length).as("n_points"),
+        lit(0L).as("n_tokens"), lit(0L).as("n_vocab"),
+        lit(null).cast("double").as("beta"),
+        lit(null).cast("double").as("ln_k"))
+    }
+    val bLit = array(bounds.map(lit(_)): _*)
+    // smallest boundary > id = LAST survivor of the descending filter
+    def boundOf(id: Column) =
+      element_at(filter(bLit, b => b > id), -1)
+    val perB = toks
+      .select(boundOf(col("__kw_id")).as("b"),
+        size(col("__kw_toks")).cast("long").as("n_tok"))
+      .groupBy(col("b")).agg(sum(col("n_tok")).as("t"))
+    val vocabB = toks
+      .select(col("__kw_id"), explode(col("__kw_toks")).as("w"))
+      .groupBy(col("w")).agg(min(col("__kw_id")).as("fd"))
+      .select(boundOf(col("fd")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("v"))
+    // ~log2(corpus) rows: the unpartitioned window is bounded by the
+    // boundary count, not the data
+    val wnd = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perB.join(vocabB, Seq("b"), "full")
+      .na.fill(0L, Seq("t", "v"))
+      .withColumn("n_cum", sum(col("t")).over(wnd))
+      .withColumn("v_cum", sum(col("v")).over(wnd))
+      .filter(col("n_cum") > 0 && col("v_cum") > 0)
+      .select(log(col("n_cum").cast("double")).as("x"),
+        log(col("v_cum").cast("double")).as("y"),
+        col("n_cum"), col("v_cum"))
+    pts.agg(count(lit(1)).as("n_points"),
+        max(col("n_cum")).as("n_tokens"), max(col("v_cum")).as("n_vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_points"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_vocab"), lit(0L)).as("n_vocab"),
+        when(col("n_points") < 2, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_points") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_points") * col("sxx") - col("sx") * col("sx")), 4))
+          .as("beta"),
+        when(col("n_points") < 2, lit(null).cast("double"))
+          .otherwise(round((col("sy") - ((col("n_points") * col("sxy") -
+              col("sx") * col("sy")) /
+            (col("n_points") * col("sxx") - col("sx") * col("sx"))) *
+              col("sx")) / col("n_points"), 4))
+          .as("ln_k"))
   }
 
   /** (id, token) rows — from the caller's pre-tokenized column when the

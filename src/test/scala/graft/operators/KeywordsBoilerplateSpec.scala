@@ -132,4 +132,36 @@ class KeywordsBoilerplateSpec extends SparkSpec {
     assert(degenerate.getLong(0) === 1L && degenerate.isNullAt(2) &&
       degenerate.isNullAt(3))
   }
+
+  test("heapsFit: linear vocab growth fits beta near 1, a closed " +
+      "vocabulary fits near 0, totals are exact, tiny corpora " +
+      "degenerate to null") {
+    val s = spark
+    import s.implicits._
+    // every doc introduces 5 brand-new words: V(N) = N exactly -> the
+    // log-log fit must be beta = 1 through every checkpoint
+    val novel = (0L until 64L).map(d =>
+      (d, (0 until 5).map(k => s"w${d}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nRow = Keywords.heapsFit(novel, "doc_id", "text").collect().head
+    assert(nRow.getAs[Long]("n_tokens") === 320L)
+    assert(nRow.getAs[Long]("n_vocab") === 320L)
+    assert(math.abs(nRow.getAs[Double]("beta") - 1.0) < 1e-9,
+      s"pure novelty must fit beta=1: $nRow")
+
+    // the same 5 words in every doc: vocabulary closed after doc 0
+    val closed = (0L until 64L).map(d => (d, "a b c d e"))
+      .toDF("doc_id", "text")
+    val cRow = Keywords.heapsFit(closed, "doc_id", "text").collect().head
+    assert(cRow.getAs[Long]("n_vocab") === 5L)
+    assert(cRow.getAs[Double]("beta") === 0.0,
+      s"closed vocabulary must fit beta=0: $cRow")
+
+    // one doc: a single checkpoint has no line to fit
+    val one = Keywords.heapsFit(
+        Seq((0L, "a b c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(one.isNullAt(one.fieldIndex("beta")) &&
+      one.isNullAt(one.fieldIndex("ln_k")), s"degenerate: $one")
+  }
 }
