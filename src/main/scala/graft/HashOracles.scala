@@ -1419,6 +1419,46 @@ object HashOracles {
       |  coalesce(a.byte_entropy_q, 0) AS byte_entropy_q
       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Naive-Bayes classifier replay ([[operators.QualityClassifier]]):
+    * the 80% train split is the splitmix64 bucket rule, the count
+    * tables and smoothed llr are exact SQL arithmetic, and held-out
+    * scores (prior + Σ llr) replay to the 1e-4 grid.
+    */
+  def q117NbClassifier(trainBuckets: Int, alpha: Double): String = {
+    val head = Seq(
+      s"tk AS (SELECT doc_id, lang = 'en' AS pos, $Toks AS t FROM documents)",
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ mixed ++ Seq(
+      s"sp AS (SELECT doc_id, $signedMod < $trainBuckets AS is_train FROM dm5)",
+      "tr AS (SELECT tk.* FROM tk JOIN sp USING (doc_id) WHERE is_train)",
+      "te AS (SELECT tk.* FROM tk JOIN sp USING (doc_id) WHERE NOT is_train)",
+      "w AS (SELECT pos, unnest(t) AS token FROM tr)",
+      "cnt AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos, " +
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg FROM w GROUP BY token)",
+      "tot AS (SELECT count(*) AS v, sum(c_pos) AS tp, sum(c_neg) AS tn FROM cnt)",
+      "pri AS (SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)" +
+        " / sum(CASE WHEN pos THEN 0 ELSE 1 END)) AS p FROM tr)",
+      "sw AS (SELECT doc_id, unnest(t) AS token FROM te)",
+      s"sc AS (SELECT doc_id, coalesce(" +
+        s"ln((c_pos + $alpha) / (tp + $alpha * v)) " +
+        s"- ln((c_neg + $alpha) / (tn + $alpha * v)), " +
+        s"ln($alpha / (tp + $alpha * v)) - ln($alpha / (tn + $alpha * v))) " +
+        "AS l FROM sw LEFT JOIN cnt USING (token), tot)",
+      "agg AS (SELECT doc_id, count(*) AS n_tokens, sum(l) AS sl " +
+        "FROM sc GROUP BY doc_id)"),
+      "SELECT t.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "round(p + coalesce(a.sl, 0), 4) AS score, " +
+        "(p + coalesce(a.sl, 0)) > 0 AS predicted, t.pos AS actual " +
+        "FROM te t LEFT JOIN agg a ON t.doc_id = a.doc_id, pri " +
+        "ORDER BY t.doc_id")
+  }
+
   /** DSIR importance-weight replay ([[operators.Dsir]]): unigram +
     * bigram grams, FNV-1a bucket mod `buckets` (a power of two divides
     * 2^64, so the unsigned HUGEINT mod equals the JVM `pmod` of the

@@ -1642,7 +1642,25 @@ object SparkEntry {
     // in one pass — never a per-prefix distinct)
     "q116_heaps_fit" -> ((s, dir) =>
       graft.operators.Keywords.heapsFit(
-        T(s, dir, "documents"), "doc_id", "text"))
+        T(s, dir, "documents"), "doc_id", "text")),
+
+    // Classifier-based quality filtering (the GPT-3/PaLM recipe) in its
+    // closed-form Naive-Bayes form: train on the deterministic 80%
+    // hash split (label = English), score the held-out 20% — train and
+    // predictions both replay engine-exactly (no iterative descent)
+    "q117_nb_classifier" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("is_en", col("lang") === "en")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(split), "doc_id", "text", "is_en")
+      graft.operators.QualityClassifier.score(
+          docs.filter(!split), "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("score"), 4).as("score"), col("predicted"),
+          col("is_en").as("actual"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -2128,6 +2146,7 @@ object SparkEntry {
 
     "q58_rolling_hash" -> HashOracles.q58RollingHash,
     "q115_dsir_weights" -> HashOracles.q115DsirWeights(512, 1.0),
+    "q117_nb_classifier" -> HashOracles.q117NbClassifier(8000, 1.0),
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
     "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
     "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,
