@@ -1660,7 +1660,18 @@ object SparkEntry {
           round(col("score"), 4).as("score"), col("predicted"),
           col("is_en").as("actual"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Duplicate-passage REMOVAL (the rewrite form of span dedup): every
+    // repeated verbatim 8-token tile beyond its first global occurrence
+    // is deleted and the document text reassembled — the cleaned text
+    // replays byte-exactly (md5 over the md5-able reassembly)
+    "q118_tile_dedup_rewrite" -> ((s, dir) =>
+      graft.operators.SpanDedup.removeDuplicateTiles(
+          T(s, dir, "documents"), "doc_id", "text", tileTokens = 8)
+        .select(col("doc_id"), col("n_tiles"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -2689,6 +2700,33 @@ object SparkEntry {
          |      / n, 4)
          |  END AS intercept
          |FROM s""".stripMargin,
+
+    // non-overlapping 8-token tiles (last partial kept, empty tile of
+    // an empty doc dropped); the global first occurrence by
+    // (doc_id, tile_idx) survives, the reassembly is order-exact
+    "q118_tile_dedup_rewrite" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |tiles AS (SELECT doc_id, j AS tile_idx,
+         |    array_to_string(t[j * 8 + 1 : j * 8 + 8], ' ') AS tile
+         |  FROM (SELECT doc_id, t,
+         |    unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS j
+         |    FROM tk)
+         |  WHERE array_to_string(t[j * 8 + 1 : j * 8 + 8], ' ') <> ''),
+         |k AS (SELECT doc_id, tile_idx, tile, row_number() OVER
+         |  (PARTITION BY tile ORDER BY doc_id, tile_idx) AS rn
+         |  FROM tiles),
+         |cleaned AS (SELECT doc_id, count(*) AS kept,
+         |  string_agg(tile, ' ' ORDER BY tile_idx) AS clean
+         |  FROM k WHERE rn = 1 GROUP BY doc_id),
+         |totals AS (SELECT doc_id, count(*) AS n_tiles FROM tiles
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(t.n_tiles, 0) AS BIGINT)
+         |    AS n_tiles,
+         |  CAST(coalesce(t.n_tiles, 0) - coalesce(c.kept, 0) AS BIGINT)
+         |    AS n_removed,
+         |  md5(coalesce(c.clean, '')) AS clean_md5
+         |FROM documents d LEFT JOIN totals t USING (doc_id)
+         |LEFT JOIN cleaned c USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // integer halving boundaries (maxId+1) >> j replay exactly; each
     // doc/token assigns to its smallest enclosing boundary, cumsums run

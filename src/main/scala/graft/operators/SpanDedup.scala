@@ -39,6 +39,69 @@ object SpanDedup {
         explode(TF.shinglesOf(col("__sp_toks"), spanTokens)).as("span"))
       .select(col("id"), xxhash64(col("span")).as("h"))
 
+  /** Duplicate-passage REMOVAL — the rewrite form of span dedup (the
+    * "deduplicating training data" recipe: delete every repeated
+    * verbatim passage beyond its first occurrence, keep the rest of the
+    * document). Documents tile into NON-OVERLAPPING `tileTokens`-token
+    * windows (last partial tile kept); a tile occurrence survives iff it
+    * is the globally FIRST occurrence of that tile text — first by
+    * `(id, tile_idx)`, so the keeper is deterministic and repeats
+    * WITHIN a document collapse too. Returns all columns of `df` plus
+    * `n_tiles`, `n_removed`, and `clean_text` (surviving tiles in
+    * original order; `""` when everything was removed or the doc was
+    * empty).
+    *
+    * Tiling (not the sliding shingles of [[sharedSpanPairs]]) is what
+    * makes REMOVAL well-defined: overlapping duplicate spans would
+    * delete intersecting token ranges. The alignment cost is the
+    * honest trade — a copied passage not aligned to a tile boundary
+    * in both documents is detected by the sliding-window flaggers but
+    * only removed here when tiles line up; suffix-automaton removal
+    * (the published exact algorithm) does not decompose into dataframe
+    * algebra.
+    *
+    * 100 TB shape: one tile explode (map-only), one partial-agg shuffle
+    * to the per-tile (first-occurrence, count) table, one UN-hinted
+    * equi-join back on tile text (corpus-cardinality — the [[Keywords]]
+    * df-join rule), and one doc-grain reassembly shuffle. Tile identity
+    * travels as the tile STRING (tiles are disjoint, so the total join
+    * payload is ≈ corpus size — unlike the sliding-window case there is
+    * no ×k blowup for a hash to claw back, and the string key keeps the
+    * operator exactly engine-replayable).
+    */
+  def removeDuplicateTiles(df: DataFrame, idCol: String, textCol: String,
+      tileTokens: Int, tokensCol: Option[String] = None): DataFrame = {
+    require(tileTokens >= 1, s"bad tileTokens $tileTokens")
+    val tiles = graft.CacheScope.register(df
+      .withColumn("__sp_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol).as("__sp_id"),
+        posexplode(filter(
+          TF.chunksOf(col("__sp_toks"), tileTokens, overlap = 0),
+          t => length(t) > 0)))
+      .toDF("__sp_id", "tile_idx", "tile")
+      .persist())
+    val firsts = tiles.groupBy(col("tile"))
+      .agg(min(struct(col("__sp_id"), col("tile_idx"))).as("first"))
+    val kept = tiles
+      .join(firsts, Seq("tile")) // un-hinted: see Scaladoc
+      .filter(col("__sp_id") === col("first.__sp_id") &&
+        col("tile_idx") === col("first.tile_idx"))
+    val cleaned = kept.groupBy(col("__sp_id"))
+      .agg(count(lit(1)).as("__sp_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tile_idx"), col("tile")))),
+          x => x.getField("tile")), " ").as("clean_text"))
+    val totals = tiles.groupBy(col("__sp_id"))
+      .agg(count(lit(1)).as("n_tiles"))
+    df.join(totals.withColumnRenamed("__sp_id", idCol), Seq(idCol), "left")
+      .join(cleaned.withColumnRenamed("__sp_id", idCol), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tiles", "__sp_kept"))
+      .withColumn("n_removed", col("n_tiles") - col("__sp_kept"))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .drop("__sp_kept")
+  }
+
   /** Document pairs sharing ≥1 exact `spanTokens`-token span, with the
     * count of distinct shared spans per pair. Spans present in more than
     * `maxDf` documents are excluded (hub cap, see object doc); spans in

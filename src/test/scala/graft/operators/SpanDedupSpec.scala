@@ -147,4 +147,40 @@ class SpanDedupSpec extends SparkSpec {
       .select("n_dup_spans").collect().head.getLong(0)
     assert(n1 === 3L)
   }
+
+  test("removeDuplicateTiles keeps first occurrences (cross- AND " +
+      "within-doc), reassembles in order, and preserves clean docs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // 2 tiles of 2: "a b" / "c d"
+      (0L, "a b c d"),
+      // wholesale aligned copy of doc 0 -> fully removed
+      (1L, "a b c d"),
+      // first tile repeats doc 0's "a b"; second tile "x y" is original
+      (2L, "a b x y"),
+      // within-doc repeat: "p q" twice -> second occurrence removed
+      (3L, "p q p q"),
+      // clean doc, odd length -> partial last tile kept
+      (4L, "m n o"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateTiles(df, "doc_id", "text",
+        tileTokens = 2)
+      .select(col("doc_id"), col("n_tiles"), col("n_removed"),
+        col("clean_text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) === ((2L, 0L, "a b c d")))
+    assert(out(1L) === ((2L, 2L, "")), "aligned copy must vanish")
+    assert(out(2L) === ((2L, 1L, "x y")))
+    assert(out(3L) === ((2L, 1L, "p q")), "within-doc repeat collapses")
+    assert(out(4L) === ((2L, 0L, "m n o")), "partial last tile survives")
+    assert(out(5L) === ((0L, 0L, "")), "empty doc: no tiles, empty text")
+
+    val plan = SpanDedup.removeDuplicateTiles(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
