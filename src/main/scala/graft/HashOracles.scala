@@ -1419,6 +1419,29 @@ object HashOracles {
       |  coalesce(a.byte_entropy_q, 0) AS byte_entropy_q
       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Efraimidis–Spirakis weighted-sample replay
+    * ([[operators.Sampling.weightedSampleWithoutReplacement]]):
+    * `u = ((splitmix64(doc_id) >>> 11) + 0.5) · 2⁻⁵³` in exact double
+    * arithmetic (`// 2048` on the unsigned HUGEINT IS the shift),
+    * key = −ln(u)/n_chars, k smallest by (key, doc_id).
+    */
+  def q119WeightedSample(k: Int): String = {
+    val head = Seq(
+      "dz AS (SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS z " +
+        "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "n_chars")).zipWithIndex
+      .map { case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+      }
+    withClause(head ++ mixed ++ Seq(
+      "ky AS (SELECT doc_id, n_chars, -ln((z // 2048 + 0.5) " +
+        "/ 9007199254740992.0) / n_chars AS k FROM dm5)",
+      s"top AS (SELECT * FROM ky ORDER BY k, doc_id LIMIT $k)"),
+      "SELECT doc_id, n_chars, round(k, 6) AS sample_key FROM top " +
+        "ORDER BY doc_id")
+  }
+
   /** Naive-Bayes classifier replay ([[operators.QualityClassifier]]):
     * the 80% train split is the splitmix64 bucket rule, the count
     * tables and smoothed llr are exact SQL arithmetic, and held-out

@@ -1671,6 +1671,18 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "text", tileTokens = 8)
         .select(col("doc_id"), col("n_tiles"), col("n_removed"),
           md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    // 25 docs by n_chars weight — the exponential keys replay to the
+    // double grid (exact 53-bit uniform construction, ln the only
+    // libm call), so membership AND keys are oracle-checked
+    "q119_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSampleWithoutReplacement(
+          T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 25)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("sample_key"), 6).as("sample_key"))
         .orderBy(col("doc_id")))
   )
 
@@ -2158,6 +2170,7 @@ object SparkEntry {
     "q58_rolling_hash" -> HashOracles.q58RollingHash,
     "q115_dsir_weights" -> HashOracles.q115DsirWeights(512, 1.0),
     "q117_nb_classifier" -> HashOracles.q117NbClassifier(8000, 1.0),
+    "q119_weighted_sample" -> HashOracles.q119WeightedSample(25),
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
     "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
     "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,

@@ -143,4 +143,33 @@ object Sampling {
     HashExpressions.splitmix64(
       HashExpressions.splitmix64(id.cast("long"))
         .bitwiseXOR(lit(epoch.toLong)))
+
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+    * IPL 2006): each row draws `key = −ln(u)/w` — an exponential with
+    * rate `w` — and the `k` SMALLEST keys are exactly a weighted sample
+    * without replacement. Deterministic in the id: `u` is the splitmix64
+    * hash mapped to (0,1) by the standard 53-bit conversion
+    * `((h >>> 11) + 0.5) · 2⁻⁵³` — every step exact double arithmetic
+    * (shift, representable add, power-of-two scale), so engines agree on
+    * `u` BIT-FOR-BIT and on the key to ln's rounding. Rows with NULL or
+    * non-positive weight are excluded (the method is defined over
+    * w > 0). Returns `df`'s surviving rows plus `sample_key`.
+    *
+    * 100 TB shape: map-only key computation + `TakeOrdered` (per-
+    * partition top-k, merged on the driver — never a global sort
+    * materialization). For k beyond driver memory, chain
+    * [[temperatureSample]]-style rate pre-thinning first.
+    */
+  def weightedSampleWithoutReplacement(df: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"bad k $k")
+    val h = HashExpressions.splitmix64(col(idCol).cast("long"))
+    val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) *
+      lit(math.pow(2, -53))
+    df.filter(col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0)
+      .withColumn("sample_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(k)
+  }
 }

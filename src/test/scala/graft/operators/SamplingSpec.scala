@@ -118,4 +118,40 @@ class SamplingSpec extends SparkSpec {
     val test = docs.filter(b >= 9000).count()
     assert(train + valid + test === docs.count())
   }
+
+  test("weighted sample without replacement: weight dominance, nested " +
+      "samples, bad-weight exclusion, and a TakeOrdered plan") {
+    val s = spark
+    import s.implicits._
+    // one row carries 10^6x the weight of 199 peers: its exponential
+    // key is ~10^6 smaller — it must be in any reasonable sample
+    val rows = (0L until 200L).map(i =>
+      (i, if (i == 77L) 1000000.0 else 1.0)) :+
+      ((200L, -3.0)) :+ ((201L, 0.0))
+    val df = rows.toDF("id", "w")
+    val top10 = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top10.contains(77L), s"heavy row missing from $top10")
+    assert(!top10.contains(200L) && !top10.contains(201L),
+      "non-positive weights must never be sampled")
+
+    // E-S keys are independent of k: sample(10) is a subset of
+    // sample(20), and re-running is bit-identical
+    val top20 = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top10.subsetOf(top20))
+    val again = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === top10)
+
+    val plan = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+
+    // null weights are excluded, not NPE'd or sampled
+    val withNull = Seq((1L, Some(2.0)), (2L, None)).toDF("id", "w")
+    val nn = Sampling.weightedSampleWithoutReplacement(
+      withNull, "id", "w", 5).select("id").collect().map(_.getLong(0))
+    assert(nn.toSeq === Seq(1L))
+  }
 }
