@@ -1482,6 +1482,90 @@ object HashOracles {
         "ORDER BY t.doc_id")
   }
 
+  /** Capstone #7 replay: tile rewrite (q118 fragment) → NB classifier
+    * gate on the CLEANED text over the splitmix 80% split (q117
+    * fragment) → DSIR weights of the accepted pool vs the cleaned
+    * target slice (q115 fragment) → top-k → per-source accounting.
+    */
+  def q120CleanSelect(k: Int, buckets: Int, alpha: Double,
+      trainBuckets: Int): String = {
+    val head = Seq(
+      s"tk0 AS (SELECT doc_id, $Toks AS t FROM documents)",
+      "tiles AS (SELECT doc_id, j AS tile_idx, " +
+        "array_to_string(t[j * 8 + 1 : j * 8 + 8], ' ') AS tile " +
+        "FROM (SELECT doc_id, t, " +
+        "unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS j " +
+        "FROM tk0) " +
+        "WHERE array_to_string(t[j * 8 + 1 : j * 8 + 8], ' ') <> '')",
+      "kr AS (SELECT doc_id, tile_idx, tile, row_number() OVER " +
+        "(PARTITION BY tile ORDER BY doc_id, tile_idx) AS rn FROM tiles)",
+      "cln AS (SELECT doc_id, string_agg(tile, ' ' ORDER BY tile_idx) " +
+        "AS clean FROM kr WHERE rn = 1 GROUP BY doc_id)",
+      "ct AS (SELECT d.doc_id, d.lang, d.source, coalesce(c.clean, '') " +
+        "AS text FROM documents d LEFT JOIN cln c USING (doc_id))",
+      s"ctk AS (SELECT doc_id, lang, source, lang = 'en' AS pos, " +
+        s"$Toks AS t FROM ct)",
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    val rest = Seq(
+      s"sp AS (SELECT doc_id, $signedMod < $trainBuckets AS is_train " +
+        "FROM dm5)",
+      "tr AS (SELECT ctk.* FROM ctk JOIN sp USING (doc_id) WHERE is_train)",
+      "w AS (SELECT pos, unnest(t) AS token FROM tr)",
+      "cnt AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos, " +
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg FROM w GROUP BY token)",
+      "tot AS (SELECT count(*) AS v, sum(c_pos) AS tp, sum(c_neg) AS tn " +
+        "FROM cnt)",
+      "pri AS (SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)" +
+        " / sum(CASE WHEN pos THEN 0 ELSE 1 END)) AS p FROM tr)",
+      "sw AS (SELECT doc_id, unnest(t) AS token FROM ctk)",
+      s"sc AS (SELECT doc_id, coalesce(" +
+        s"ln((c_pos + $alpha) / (tp + $alpha * v)) " +
+        s"- ln((c_neg + $alpha) / (tn + $alpha * v)), " +
+        s"ln($alpha / (tp + $alpha * v)) - ln($alpha / (tn + $alpha * v))) " +
+        "AS l FROM sw LEFT JOIN cnt USING (token), tot)",
+      "nag AS (SELECT doc_id, sum(l) AS sl FROM sc GROUP BY doc_id)",
+      "acc AS (SELECT c.doc_id FROM ctk c LEFT JOIN nag USING (doc_id), " +
+        "pri WHERE p + coalesce(sl, 0) > 0)",
+      "pool AS (SELECT ctk.doc_id, source, t FROM ctk JOIN acc " +
+        "USING (doc_id) WHERE ctk.doc_id >= 10)",
+      "tgt AS (SELECT doc_id, t FROM ctk WHERE doc_id < 10)",
+      "fgp AS (SELECT doc_id, unnest(list_concat(t, " +
+        "CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t) - 1), " +
+        "i -> t[i + 1] || ' ' || t[i + 2]) " +
+        "ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM pool)",
+      "fgt AS (SELECT doc_id, unnest(list_concat(t, " +
+        "CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t) - 1), " +
+        "i -> t[i + 1] || ' ' || t[i + 2]) " +
+        "ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM tgt)",
+      s"fbp AS (SELECT doc_id, CAST(${fnv("gram")} % $buckets AS BIGINT) " +
+        "AS bucket FROM fgp)",
+      s"fbt AS (SELECT CAST(${fnv("gram")} % $buckets AS BIGINT) " +
+        "AS bucket FROM fgt)",
+      "tcd AS (SELECT bucket, count(*) AS c_t FROM fbt GROUP BY bucket)",
+      "rcd AS (SELECT bucket, count(*) AS c_r FROM fbp GROUP BY bucket)",
+      "ttd AS (SELECT count(*) AS t_tot FROM fbt)",
+      "rtd AS (SELECT count(*) AS r_tot FROM fbp)",
+      s"ds AS (SELECT f.doc_id, " +
+        s"ln((coalesce(tcd.c_t, 0) + $alpha) / (t_tot + $alpha * $buckets)) " +
+        s"- ln((coalesce(rcd.c_r, 0) + $alpha) / (r_tot + $alpha * $buckets)) " +
+        "AS llr FROM fbp f LEFT JOIN tcd USING (bucket) " +
+        "LEFT JOIN rcd USING (bucket), ttd, rtd)",
+      "dw AS (SELECT p.doc_id, p.source, coalesce(s2.lw, 0) AS log_w " +
+        "FROM pool p LEFT JOIN (SELECT doc_id, sum(llr) AS lw FROM ds " +
+        "GROUP BY doc_id) s2 USING (doc_id))",
+      s"top AS (SELECT * FROM dw ORDER BY log_w DESC, doc_id LIMIT $k)")
+    withClause(head ++ mixed ++ rest,
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_sel, " +
+        "round(sum(log_w), 4) AS sel_log_w " +
+        "FROM top GROUP BY source ORDER BY source")
+  }
+
   /** DSIR importance-weight replay ([[operators.Dsir]]): unigram +
     * bigram grams, FNV-1a bucket mod `buckets` (a power of two divides
     * 2^64, so the unsigned HUGEINT mod equals the JVM `pmod` of the

@@ -1683,7 +1683,37 @@ object SparkEntry {
           "doc_id", "n_chars", k = 25)
         .select(col("doc_id"), col("n_chars"),
           round(col("sample_key"), 6).as("sample_key"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Capstone #7 — CLEAN-then-SELECT assembly, the round-9 operators
+    // composed the way a production pipeline chains them: duplicate
+    // passages removed (rewrite), a classifier gate trained on the
+    // deterministic hash split of the CLEANED text, DSIR importance
+    // weights of the accepted pool against the cleaned target slice,
+    // top-50 selection, per-source accounting. Every stage replays in
+    // the oracle end-to-end (text bytes, split, scores, weights)
+    "q120_clean_select_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cleaned = graft.operators.SpanDedup.removeDuplicateTiles(
+          docs, "doc_id", "text", tileTokens = 8)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("clean_text"))
+      val withLabel = graft.CacheScope.register(
+        cleaned.withColumn("is_en", col("lang") === "en").persist())
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.QualityClassifier.train(
+        withLabel.filter(split), "doc_id", "clean_text", "is_en")
+      val accepted = graft.operators.QualityClassifier.keepAccepted(
+        withLabel, "doc_id", "clean_text", model)
+      graft.operators.Dsir.selectTopK(
+          accepted.filter(col("doc_id") >= 10), "doc_id", "clean_text",
+          withLabel.filter(col("doc_id") < 10), "clean_text",
+          k = 50, numBuckets = 512, alpha = 1.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sel"),
+          round(sum(col("log_w")), 4).as("sel_log_w"))
+        .orderBy(col("source"))
+    })
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -2171,6 +2201,8 @@ object SparkEntry {
     "q115_dsir_weights" -> HashOracles.q115DsirWeights(512, 1.0),
     "q117_nb_classifier" -> HashOracles.q117NbClassifier(8000, 1.0),
     "q119_weighted_sample" -> HashOracles.q119WeightedSample(25),
+    "q120_clean_select_pipeline" ->
+      HashOracles.q120CleanSelect(50, 512, 1.0, 8000),
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
     "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
     "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,
