@@ -1482,6 +1482,34 @@ object HashOracles {
         "ORDER BY t.doc_id")
   }
 
+  /** Count–min-sketch replay ([[operators.Sketches]]): cell of (token,
+    * row j) = `splitmix64(fnv1a64(token) XOR j) mod width` (the Bloom
+    * device), cells summed from the exact counts, estimate = min cell.
+    */
+  def q121CountMin(depth: Int, width: Int): String = {
+    val head = Seq(
+      s"tk AS (SELECT $Toks AS t FROM documents)",
+      "tok AS (SELECT unnest(t) AS token FROM tk)",
+      "tc AS (SELECT token, count(*) AS c_true FROM tok GROUP BY token)",
+      s"th AS (SELECT token, c_true, j, " +
+        s"xor(${fnv("token")}, CAST(j AS HUGEINT)) AS z " +
+        s"FROM tc, (SELECT unnest(range(0, $depth)) AS j))")
+    val mixed = mixStages(Seq("z"), Seq("token", "c_true", "j"))
+      .zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) "th" else s"cm${n - 1}"
+        s"cm$n AS ($body FROM $prev)"
+      }
+    withClause(head ++ mixed ++ Seq(
+      s"hb AS (SELECT token, c_true, j, z % $width AS bucket FROM cm5)",
+      "cells AS (SELECT j, bucket, sum(c_true) AS cell FROM hb " +
+        "GROUP BY j, bucket)",
+      "est AS (SELECT token, min(cell) AS c_est FROM hb " +
+        "JOIN cells USING (j, bucket) GROUP BY token)"),
+      "SELECT t.token, t.c_true, CAST(e.c_est AS BIGINT) AS c_est, " +
+        "CAST(e.c_est - t.c_true AS BIGINT) AS overcount " +
+        "FROM tc t JOIN est e USING (token) ORDER BY t.token")
+  }
+
   /** Capstone #7 replay: tile rewrite (q118 fragment) → NB classifier
     * gate on the CLEANED text over the splitmix 80% split (q117
     * fragment) → DSIR weights of the accepted pool vs the cleaned

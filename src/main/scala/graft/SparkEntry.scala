@@ -1713,6 +1713,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sel"),
           round(sum(col("log_w")), 4).as("sel_log_w"))
         .orderBy(col("source"))
+    }),
+
+    // Count-min sketch (depth 4 × width 1024) over the corpus token
+    // stream, point-queried for every vocabulary token against the
+    // exact counts — the one-sided error (c_est >= c_true, overcount
+    // visible per token) is itself oracle-replayed cell-for-cell
+    "q121_countmin_tokens" -> ((s, dir) => {
+      val tok = graft.CacheScope.register(T(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("token")).persist())
+      val cms = graft.operators.Sketches.countMinBuild(
+        tok, "token", depth = 4, width = 1024)
+      val truth = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("c_true"))
+      graft.operators.Sketches.countMinEstimate(
+          truth, "token", cms, depth = 4, width = 1024)
+        .join(truth, Seq("token"))
+        .select(col("token"), col("c_true"), col("c_est"),
+          (col("c_est") - col("c_true")).as("overcount"))
+        .orderBy(col("token"))
     })
   )
 
@@ -2203,6 +2222,7 @@ object SparkEntry {
     "q119_weighted_sample" -> HashOracles.q119WeightedSample(25),
     "q120_clean_select_pipeline" ->
       HashOracles.q120CleanSelect(50, 512, 1.0, 8000),
+    "q121_countmin_tokens" -> HashOracles.q121CountMin(4, 1024),
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
     "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
     "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,

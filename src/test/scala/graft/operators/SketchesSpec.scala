@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Count–min sketch: one-sided error, exactness without collisions,
+  * shard mergeability, and parameter validation.
+  */
+class SketchesSpec extends SparkSpec {
+
+  private def itemsOf(rows: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("item")
+  }
+
+  test("estimates are >= truth always and exact at collision-free " +
+      "width; a cramped width overcounts but never undercounts") {
+    val data = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++
+      Seq.fill(5)("gamma") ++ (1 to 20).map(i => s"tail$i")
+    val items = itemsOf(data)
+    val truth = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // wide: 23 distinct items in 4x4096 cells -> no collisions expected
+    val wide = Sketches.countMinBuild(items, "item", depth = 4,
+      width = 4096)
+    val wideEst = Sketches.countMinEstimate(items, "item", wide, 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wideEst === truth, "collision-free sketch must be exact")
+
+    // cramped: 23 items in 4x4 cells -> collisions guaranteed, but the
+    // estimate stays one-sided
+    val tiny = Sketches.countMinBuild(items, "item", depth = 4, width = 4)
+    val tinyEst = Sketches.countMinEstimate(items, "item", tiny, 4, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, c) =>
+      assert(tinyEst(t) >= c, s"undercount on $t: ${tinyEst(t)} < $c")
+    }
+    assert(truth.exists { case (t, c) => tinyEst(t) > c },
+      "4x4 cells over 23 items must collide somewhere")
+  }
+
+  test("merged shard sketches equal the whole-corpus sketch cell-for-" +
+      "cell, and an unseen item estimates 0") {
+    val a = itemsOf(Seq("x", "x", "y"))
+    val b = itemsOf(Seq("y", "z"))
+    val whole = Sketches.countMinBuild(a.unionByName(b), "item", 4, 256)
+    val merged = Sketches.countMinMerge(
+      Sketches.countMinBuild(a, "item", 4, 256),
+      Sketches.countMinBuild(b, "item", 4, 256))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    assert(cells(whole) === cells(merged))
+
+    val est = Sketches.countMinEstimate(itemsOf(Seq("never-seen")),
+        "item", whole, 4, 256)
+      .collect().map(r => r.getLong(1))
+    assert(est.toSeq === Seq(0L), "unseen item must estimate 0")
+  }
+
+  test("non-power-of-two width and absurd depth are refused") {
+    val items = itemsOf(Seq("x"))
+    intercept[IllegalArgumentException] {
+      Sketches.countMinBuild(items, "item", depth = 4, width = 1000)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.countMinBuild(items, "item", depth = 0, width = 1024)
+    }
+  }
+}
