@@ -1732,6 +1732,21 @@ object SparkEntry {
         .select(col("token"), col("c_true"), col("c_est"),
           (col("c_est") - col("c_true")).as("overcount"))
         .orderBy(col("token"))
+    }),
+
+    // HyperLogLog distinct-token estimate (p=6, 64 registers) against
+    // the exact count — registers, the integer checksum, AND the
+    // small-range-corrected estimate all oracle-replay (the bit-length
+    // comparison is literal-array integer arithmetic, never a float
+    // log2)
+    "q122_hll_distinct" -> ((s, dir) => {
+      val tok = graft.CacheScope.register(T(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("token")).persist())
+      graft.operators.Sketches.hllEstimate(
+          graft.operators.Sketches.hllRegisters(tok, "token", p = 6),
+          p = 6)
+        .crossJoin(
+          tok.agg(countDistinct(col("token")).cast("long").as("n_true")))
     })
   )
 
@@ -2223,6 +2238,7 @@ object SparkEntry {
     "q120_clean_select_pipeline" ->
       HashOracles.q120CleanSelect(50, 512, 1.0, 8000),
     "q121_countmin_tokens" -> HashOracles.q121CountMin(4, 1024),
+    "q122_hll_distinct" -> HashOracles.q122Hll(6),
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
     "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
     "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,

@@ -77,4 +77,74 @@ object Sketches {
     a.unionByName(b)
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("c")).as("c"))
+
+  // ---- HyperLogLog (distinct-count sketch) ---------------------------
+
+  /** HyperLogLog bias constant α_m for `m = 2^p` registers (Flajolet
+    * et al. 2007's published table; the asymptotic form above m = 64).
+    * Exposed so the DuckDB oracle embeds the IDENTICAL literal.
+    */
+  def hllAlpha(p: Int): Double = p match {
+    case 4 => 0.673
+    case 5 => 0.697
+    case 6 => 0.709
+    case _ => 0.7213 / (1 + 1.079 / (1L << p))
+  }
+
+  /** Exact bit length of a non-negative long below `2^maxBits`, as a
+    * literal-array comparison count — no doubles anywhere (a float
+    * `log2` rounds across power-of-two boundaries above 2^53), and the
+    * SAME formula the SQL oracle replays.
+    */
+  private def bitlen(x: Column, maxBits: Int): Column =
+    size(filter(array((0 until maxBits).map(j => lit(1L << j)): _*),
+      pw => pw <= x))
+
+  /** Occupied HLL registers (idx, m_j) for one item column: register
+    * `idx` = top `p` bits of `splitmix64(fnv1a64(item))`, `m_j` = max
+    * over its items of (leading-zero run of the remaining `64−p` bits
+    * + 1). Registers depend only on the SET of items — duplicates are
+    * absorbed by the max, which is also why two shards' register
+    * tables merge by idx-wise max ([[hllMerge]]).
+    */
+  def hllRegisters(items: DataFrame, itemCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"bad p $p (4..16)")
+    val sub = 64 - p
+    val h = HashExpressions.splitmix64(HashExpressions.fnv1a64(col(itemCol)))
+    val rest = h.bitwiseAND(lit((1L << sub) - 1))
+    items
+      .select(shiftrightunsigned(h, sub).as("idx"),
+        (lit(sub + 1) - bitlen(rest, sub)).as("rho"))
+      .groupBy(col("idx"))
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Idx-wise max of two register tables with the same `p`. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("idx")).agg(max(col("m_j")).as("m_j"))
+
+  /** One-row distinct-count estimate from a register table:
+    * `(m, n_registers_used, reg_sum, hll_estimate)`. The raw estimator
+    * `α_m·m²/Σ2^−M_j` (empty registers contribute 2⁰ = 1) switches to
+    * linear counting `m·ln(m/V)` in the small range (E ≤ 2.5m with V
+    * empty registers > 0) — the published correction; the 2⁶⁴-range
+    * correction is irrelevant at long-hash register counts and omitted.
+    * `reg_sum` is an integer-exact register checksum for replay.
+    */
+  def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"bad p $p (4..16)")
+    val m = (1L << p).toDouble
+    regs
+      .agg(count(lit(1)).as("n_occ"),
+        coalesce(sum(pow(lit(2.0), -col("m_j"))), lit(0.0)).as("s_occ"),
+        coalesce(sum(col("m_j")), lit(0L)).as("reg_sum"))
+      .select(lit((1L << p)).as("m"),
+        col("n_occ").as("n_registers_used"), col("reg_sum"),
+        round({
+          val v = lit(m) - col("n_occ")
+          val e = lit(hllAlpha(p) * m * m) / (col("s_occ") + v)
+          when(e <= lit(2.5 * m) && v > 0, lit(m) * log(lit(m) / v))
+            .otherwise(e)
+        }, 4).as("hll_estimate"))
+  }
 }

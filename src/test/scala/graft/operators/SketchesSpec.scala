@@ -60,6 +60,37 @@ class SketchesSpec extends SparkSpec {
     assert(est.toSeq === Seq(0L), "unseen item must estimate 0")
   }
 
+  test("hll: duplicates never change registers, shard merge equals the " +
+      "whole-set sketch, and the estimate lands in the error band") {
+    val s = spark
+    import s.implicits._
+    val unique = (1 to 1000).map(i => s"item$i")
+    val items = itemsOf(unique)
+    val withDups = itemsOf(unique ++ unique.take(500) ++ unique.take(100))
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val regs = Sketches.hllRegisters(items, "item", p = 6)
+    assert(regMap(regs) === regMap(
+      Sketches.hllRegisters(withDups, "item", p = 6)),
+      "registers are a function of the item SET")
+
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(itemsOf(unique.take(400)), "item", 6),
+      Sketches.hllRegisters(itemsOf(unique.drop(400)), "item", 6))
+    assert(regMap(merged) === regMap(regs), "shard merge must compose")
+
+    val est = Sketches.hllEstimate(regs, p = 6).collect().head
+      .getAs[Double]("hll_estimate")
+    assert(math.abs(est - 1000) / 1000.0 < 0.35,
+      s"estimate $est too far from 1000 for m=64")
+
+    // small range: 3 distinct items -> linear counting is near-exact
+    val small = Sketches.hllEstimate(
+      Sketches.hllRegisters(itemsOf(Seq("a", "b", "c")), "item", 6), 6)
+      .collect().head.getAs[Double]("hll_estimate")
+    assert(math.abs(small - 3.0) < 0.15, s"linear counting off: $small")
+  }
+
   test("non-power-of-two width and absurd depth are refused") {
     val items = itemsOf(Seq("x"))
     intercept[IllegalArgumentException] {
