@@ -167,6 +167,66 @@ object ScaleProbe {
           "n_tok", alloc, maxEpochs = 3)
       })
     }
+    // tile rewrite: exact-duplicate replicas are the WORST case (every
+    // replica tile is a duplicate of replica 0's), yet cost must stay
+    // linear — the per-tile first table grows with distinct tiles only
+    // and the join carries each occurrence once
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"tile_rewrite r=$r docs=${nDocs * r}", () =>
+        operators.SpanDedup.removeDuplicateTiles(replicateDocs(r),
+          "doc_id", "text", tileTokens = 8))
+    }
+    // DSIR weights with a FIXED target: the llr table is bounded by the
+    // bucket config, so scoring replicas is explode + broadcast join +
+    // doc aggregation — linear
+    val dsirTarget = docs.filter(col("doc_id") < 10)
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"dsir_weights r=$r docs=${nDocs * r}", () =>
+        operators.Dsir.importanceWeights(replicateDocs(r), "doc_id",
+          "text", dsirTarget, "text", numBuckets = 512))
+    }
+    // NB classifier scoring with a FROZEN model: one explode + one
+    // un-hinted equi-join + doc aggregation — linear like the LM scorer
+    val nbModel = operators.QualityClassifier.train(
+      docs.withColumn("is_pos",
+        functions.TextFunctions.langId(col("text")) === "en"),
+      "doc_id", "text", "is_pos")
+    nbModel.llr.persist().count()
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"nb_score r=$r docs=${nDocs * r}", () =>
+        operators.QualityClassifier.score(replicateDocs(r), "doc_id",
+          "text", nbModel))
+    }
+    nbModel.llr.unpersist()
+    // sketches: build is one explode + a config-bounded cell/register
+    // aggregation — linear in occurrences with CONSTANT output size
+    // (the property that makes them the 100 TB answer)
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"countmin_build r=$r docs=${nDocs * r}", () => {
+        val tok = replicateDocs(r).select(
+          explode(functions.TextFunctions.tokens(col("text")))
+            .as("token"))
+        operators.Sketches.countMinBuild(tok, "token", depth = 4,
+          width = 1024)
+      })
+    }
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"hll_registers r=$r docs=${nDocs * r}", () => {
+        val tok = replicateDocs(r).select(
+          explode(functions.TextFunctions.tokens(col("text")))
+            .as("token"))
+        operators.Sketches.hllRegisters(tok, "token", p = 6)
+      })
+    }
+    // weighted sampling: map-only keys + TakeOrdered — linear scan,
+    // constant result
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"weighted_sample r=$r docs=${nDocs * r}", () =>
+        operators.Sampling.weightedSampleWithoutReplacement(
+          replicateDocs(r).withColumn("w",
+            (pmod(col("doc_id"), lit(97L)) + lit(1)).cast("double")),
+          "doc_id", "w", k = 100))
+    }
     spark.stop()
   }
 }
