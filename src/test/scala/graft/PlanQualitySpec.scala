@@ -392,6 +392,73 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q115-q122: round-9 family shapes — only config-bounded tables " +
+      "broadcast by hint, corpus joins un-hinted, no cross products " +
+      "outside the deliberate 1x1") {
+    CacheScope.scoped {
+      // q115: exactly ONE hint — the <=numBuckets-row llr table (a
+      // config bound, not corpus cardinality); no cross product
+      val df115 = SparkEntry.queries("q115_dsir_weights")(spark, dir)
+      val a115 = df115.queryExecution.analyzed.toString
+      assert("ResolvedHint".r.findAllIn(a115).size === 1,
+        "q115 must hint exactly the bounded llr table:\n" + a115)
+      val p115 = df115.queryExecution.executedPlan.toString
+      assert(!p115.contains("CartesianProduct"), p115)
+
+      // q117: the token-llr join is corpus-cardinality — NO hint (the
+      // Keywords df-join rule); no cross product
+      val df117 = SparkEntry.queries("q117_nb_classifier")(spark, dir)
+      assert(!df117.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q117 forces a corpus-cardinality broadcast")
+      assert(!df117.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
+
+      // q118: the first-occurrence join is corpus-cardinality —
+      // un-hinted, equi, never a cross product
+      val df118 = SparkEntry.queries("q118_tile_dedup_rewrite")(spark, dir)
+      assert(!df118.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q118 forces a corpus-cardinality broadcast")
+      assert(!df118.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
+
+      // q119: map-only keys + TakeOrdered, no shuffle join at all
+      val p119 = plan("q119_weighted_sample")
+      assert(p119.contains("TakeOrderedAndProject"), p119)
+      assert(!p119.contains("Join"), "q119 must not join:\n" + p119)
+
+      // q120 capstone: the only hint is Dsir's bounded llr table
+      val df120 = SparkEntry
+        .queries("q120_clean_select_pipeline")(spark, dir)
+      val a120 = df120.queryExecution.analyzed.toString
+      assert("ResolvedHint".r.findAllIn(a120).size <= 1,
+        "q120 may hint only Dsir's bounded llr table:\n" + a120)
+      assert(!df120.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
+
+      // q121: one hint — the <=depth*width-cell sketch table
+      val df121 = SparkEntry.queries("q121_countmin_tokens")(spark, dir)
+      val a121 = df121.queryExecution.analyzed.toString
+      assert("ResolvedHint".r.findAllIn(a121).size === 1,
+        "q121 must hint exactly the bounded cell table:\n" + a121)
+      assert(!df121.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
+
+      // q122: the ONLY join is the deliberate 1-row x 1-row
+      // estimate-vs-truth zip (a nested-loop/cartesian over two
+      // single-row aggregates is bounded by construction); no keyed
+      // join may appear at all
+      val p122 = plan("q122_hll_distinct")
+      assert("(BroadcastNestedLoopJoin|CartesianProduct)".r
+          .findAllIn(p122).size === 1,
+        "q122 expects exactly the 1x1 zip join:\n" + p122)
+      assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+          .findAllIn(p122).isEmpty,
+        "q122 must not contain keyed joins:\n" + p122)
+    }
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
