@@ -1551,6 +1551,47 @@ object HashOracles {
         "AS hll_estimate, CAST(n_true AS BIGINT) AS n_true FROM ag, tr")
   }
 
+  /** Grouped-HLL replay ([[operators.Sketches.hllRegistersBy]]): the
+    * q122 chain carrying the group key through hash, registers, and
+    * the per-group estimate aggregation.
+    */
+  def q123HllBySource(p: Int): String = {
+    val sub = 64 - p
+    val m = (1L << p).toDouble
+    val alpha = graft.operators.Sketches.hllAlpha(p)
+    val subPow = (BigInt(1) << sub).toString
+    val powers = (0 until sub).map(1L << _).mkString("[", ", ", "]")
+    val e = s"($alpha * $m * $m) / (s_occ + ($m - n_occ))"
+    val head = Seq(
+      s"tk AS (SELECT source, $Toks AS t FROM documents)",
+      "tok AS (SELECT source, unnest(t) AS token FROM tk)",
+      "dt AS (SELECT DISTINCT source, token FROM tok)",
+      s"th AS (SELECT source, ${fnv("token")} AS z FROM dt)")
+    val mixed = mixStages(Seq("z"), Seq("source")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "th" else s"hm${n - 1}"
+        s"hm$n AS ($body FROM $prev)"
+    }
+    withClause(head ++ mixed ++ Seq(
+      s"hh AS (SELECT source, z // $subPow AS idx, " +
+        s"CAST(z % $subPow AS BIGINT) AS rest FROM hm5)",
+      s"rr AS (SELECT source, idx, max($sub + 1 - " +
+        s"len(list_filter($powers, q -> q <= rest))) AS m_j " +
+        "FROM hh GROUP BY source, idx)",
+      "ag AS (SELECT source, count(*) AS n_occ, " +
+        "coalesce(sum(power(2.0, -m_j)), 0) AS s_occ, " +
+        "coalesce(sum(m_j), 0) AS reg_sum FROM rr GROUP BY source)",
+      "tr AS (SELECT source, count(DISTINCT token) AS n_true FROM tok " +
+        "GROUP BY source)"),
+      s"SELECT ag.source, CAST(${1L << p} AS BIGINT) AS m, " +
+        "CAST(n_occ AS BIGINT) AS n_registers_used, " +
+        "CAST(reg_sum AS BIGINT) AS reg_sum, " +
+        s"round(CASE WHEN $e <= 2.5 * $m AND ($m - n_occ) > 0 " +
+        s"THEN $m * ln($m / ($m - n_occ)) ELSE $e END, 4) " +
+        "AS hll_estimate, CAST(n_true AS BIGINT) AS n_true " +
+        "FROM ag JOIN tr USING (source) ORDER BY ag.source")
+  }
+
   /** Capstone #7 replay: tile rewrite (q118 fragment) → NB classifier
     * gate on the CLEANED text over the splitmix 80% split (q117
     * fragment) → DSIR weights of the accepted pool vs the cleaned

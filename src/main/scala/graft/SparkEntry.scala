@@ -1747,6 +1747,25 @@ object SparkEntry {
           p = 6)
         .crossJoin(
           tok.agg(countDistinct(col("token")).cast("long").as("n_true")))
+    }),
+
+    // Per-SOURCE HLL distinct-vocabulary profile — the grouped
+    // deployment shape ("distinct vocab per source" in ONE pass, a
+    // groupBy over the register table, never a per-group job), each
+    // group's registers, checksum, and corrected estimate replayed
+    // against its exact distinct count
+    "q123_hll_by_source" -> ((s, dir) => {
+      val tok = graft.CacheScope.register(T(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("token"))
+        .persist())
+      graft.operators.Sketches.hllEstimateBy(
+          graft.operators.Sketches.hllRegistersBy(
+            tok, "source", "token", p = 6),
+          "source", p = 6)
+        .join(tok.groupBy(col("source"))
+          .agg(countDistinct(col("token")).cast("long").as("n_true")),
+          Seq("source"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2239,6 +2258,7 @@ object SparkEntry {
       HashOracles.q120CleanSelect(50, 512, 1.0, 8000),
     "q121_countmin_tokens" -> HashOracles.q121CountMin(4, 1024),
     "q122_hll_distinct" -> HashOracles.q122Hll(6),
+    "q123_hll_by_source" -> HashOracles.q123HllBySource(6),
     "q59_stratified_sample" -> HashOracles.q59StratifiedSample,
     "q64_corpus_pipeline" -> HashOracles.q64CorpusPipeline,
     "q65_incremental_dedup" -> HashOracles.q65IncrementalDedup,

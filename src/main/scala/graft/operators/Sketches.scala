@@ -123,6 +123,49 @@ object Sketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("idx")).agg(max(col("m_j")).as("m_j"))
 
+  /** Per-group HLL registers (keyCol, idx, m_j) — one register table
+    * for ALL groups in one pass, keyed by `keyCol` (the deployment
+    * shape: "distinct vocabulary per source/language/day" without a
+    * per-group job). Group cardinality bounds the table at
+    * groups × 2^p rows.
+    */
+  def hllRegistersBy(items: DataFrame, keyCol: String, itemCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"bad p $p (4..16)")
+    val sub = 64 - p
+    val h = HashExpressions.splitmix64(HashExpressions.fnv1a64(col(itemCol)))
+    val rest = h.bitwiseAND(lit((1L << sub) - 1))
+    items
+      .select(col(keyCol), shiftrightunsigned(h, sub).as("idx"),
+        (lit(sub + 1) - bitlen(rest, sub)).as("rho"))
+      .groupBy(col(keyCol), col("idx"))
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Per-group estimates from a [[hllRegistersBy]] table: one row per
+    * group `(keyCol, m, n_registers_used, reg_sum, hll_estimate)`,
+    * same estimator and small-range correction as [[hllEstimate]] —
+    * entirely distributed (a groupBy over the register table, never a
+    * per-group driver loop).
+    */
+  def hllEstimateBy(regs: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"bad p $p (4..16)")
+    val m = (1L << p).toDouble
+    regs
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_occ"),
+        coalesce(sum(pow(lit(2.0), -col("m_j"))), lit(0.0)).as("s_occ"),
+        coalesce(sum(col("m_j")), lit(0L)).as("reg_sum"))
+      .select(col(keyCol), lit(1L << p).as("m"),
+        col("n_occ").as("n_registers_used"), col("reg_sum"),
+        round({
+          val v = lit(m) - col("n_occ")
+          val e = lit(hllAlpha(p) * m * m) / (col("s_occ") + v)
+          when(e <= lit(2.5 * m) && v > 0, lit(m) * log(lit(m) / v))
+            .otherwise(e)
+        }, 4).as("hll_estimate"))
+  }
+
   /** One-row distinct-count estimate from a register table:
     * `(m, n_registers_used, reg_sum, hll_estimate)`. The raw estimator
     * `α_m·m²/Σ2^−M_j` (empty registers contribute 2⁰ = 1) switches to

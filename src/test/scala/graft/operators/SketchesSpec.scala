@@ -91,6 +91,28 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(small - 3.0) < 0.15, s"linear counting off: $small")
   }
 
+  test("grouped hll isolates groups: each group's registers and " +
+      "estimate equal the single-set sketch of that group alone") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 300).map(i => ("ga", s"a$i"))
+    val b = (1 to 40).map(i => ("gb", s"b$i"))
+    val grouped = (a ++ b).toDF("g", "item")
+    val byGroup = Sketches.hllEstimateBy(
+        Sketches.hllRegistersBy(grouped, "g", "item", p = 6), "g", p = 6)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    Seq("ga" -> a, "gb" -> b).foreach { case (g, rows) =>
+      val solo = Sketches.hllEstimate(
+          Sketches.hllRegisters(rows.map(_._2).toDF("item"), "item", 6), 6)
+        .collect().head
+      assert(byGroup(g) ===
+        ((solo.getLong(1), solo.getLong(2), solo.getDouble(3))),
+        s"group $g diverges from its solo sketch")
+    }
+  }
+
   test("non-power-of-two width and absurd depth are refused") {
     val items = itemsOf(Seq("x"))
     intercept[IllegalArgumentException] {
