@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.operators.Sketches
+import org.apache.spark.sql.DataFrame
+
+/** Streaming sketch maintenance — the ingest-side deployment of
+  * [[Sketches]]: each micro-batch reduces to its own tiny sketch
+  * (count–min cells / HLL registers) and the consumer FOLDS batches
+  * together with the pure merge operators ([[Sketches.countMinMerge]]'s
+  * cell-wise sum, [[Sketches.hllMerge]]'s idx-wise max) — so the
+  * running "token frequencies / distinct vocabulary so far" state is a
+  * few KB regardless of how much stream has passed. `foreachBatch`
+  * rather than a streaming aggregation for the usual reason
+  * ([[LmStream]]'s object doc): the sketch is a TABLE-valued reduction,
+  * and the merge is the caller's fold (kept in memory, a Delta table,
+  * wherever) — SketchStreamSpec pins that the folded stream sketch is
+  * cell-identical to the batch sketch of the whole stream.
+  */
+object SketchStream {
+
+  /** Per-micro-batch count–min cell tables: `sink(cells, batchId)`
+    * receives [[Sketches.countMinBuild]] of each batch. Start the
+    * returned writer to run the query.
+    */
+  def countMinBatches(items: DataFrame, itemCol: String, depth: Int,
+      width: Int)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(Sketches.countMinBuild(batch, itemCol, depth, width), batchId)
+    }
+
+  /** Per-micro-batch HLL register tables: `sink(registers, batchId)`
+    * receives [[Sketches.hllRegisters]] of each batch.
+    */
+  def hllBatches(items: DataFrame, itemCol: String, p: Int)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(Sketches.hllRegisters(batch, itemCol, p), batchId)
+    }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.ingest.SparkSpec
+import graft.operators.Sketches
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Sketches over a stream: per-batch sketches folded with the pure
+  * merge operators are identical to the batch sketch of the whole
+  * stream — the property that makes a few-KB running state valid
+  * regardless of stream length.
+  */
+// top-level: encoder codegen cannot reach a class nested in the suite
+case class SkItem(item: String, ts: Timestamp)
+
+class SketchStreamSpec extends SparkSpec {
+
+  private def ts0 = Timestamp.valueOf("2026-01-01 10:00:00")
+
+  test("folded streaming count-min == batch count-min; folded hll " +
+      "registers == batch registers") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val b1 = (1 to 50).map(i => SkItem(s"w${i % 17}", ts0))
+    val b2 = (1 to 30).map(i => SkItem(s"w${i % 23}", ts0))
+
+    var cms: Option[DataFrame] = None
+    val mem = MemoryStream[SkItem]
+    val q = SketchStream.countMinBatches(
+        mem.toDF(), "item", depth = 4, width = 256) { (cells, _) =>
+      val snap = cells.cache()
+      snap.count()
+      cms = Some(cms.fold(snap)(acc =>
+        Sketches.countMinMerge(acc, snap).cache()))
+      cms.get.count()
+    }.start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def cells(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.countMinBuild(
+      (b1 ++ b2).toDF(), "item", depth = 4, width = 256)
+    assert(cells(cms.get) === cells(whole),
+      "folded stream sketch must equal the batch sketch")
+
+    var regs: Option[DataFrame] = None
+    val mem2 = MemoryStream[SkItem]
+    val q2 = SketchStream.hllBatches(mem2.toDF(), "item", p = 6) {
+      (r, _) =>
+        val snap = r.cache()
+        snap.count()
+        regs = Some(regs.fold(snap)(acc =>
+          Sketches.hllMerge(acc, snap).cache()))
+        regs.get.count()
+    }.start()
+    mem2.addData(b1: _*)
+    q2.processAllAvailable()
+    mem2.addData(b2: _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    def rmap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rmap(regs.get) ===
+      rmap(Sketches.hllRegisters((b1 ++ b2).toDF(), "item", 6)),
+      "folded stream registers must equal the batch registers")
+  }
+}
