@@ -1698,17 +1698,25 @@ object SparkEntry {
           docs, "doc_id", "text", tileTokens = 8)
         .select(col("doc_id"), col("lang"), col("source"),
           col("clean_text"))
+      // tokenize-once: the cleaned text feeds THREE stages (train,
+      // gate, DSIR) — materialize its token array in the scoped cache
+      // so the regexp split runs one corpus pass, not three
       val withLabel = graft.CacheScope.register(
-        cleaned.withColumn("is_en", col("lang") === "en").persist())
+        cleaned.withColumn("is_en", col("lang") === "en")
+          .withColumn("__cs_toks", toks(col("clean_text")))
+          .persist())
       val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
       val model = graft.operators.QualityClassifier.train(
-        withLabel.filter(split), "doc_id", "clean_text", "is_en")
+        withLabel.filter(split), "doc_id", "clean_text", "is_en",
+        tokensCol = Some("__cs_toks"))
       val accepted = graft.operators.QualityClassifier.keepAccepted(
-        withLabel, "doc_id", "clean_text", model)
+        withLabel, "doc_id", "clean_text", model,
+        tokensCol = Some("__cs_toks"))
       graft.operators.Dsir.selectTopK(
           accepted.filter(col("doc_id") >= 10), "doc_id", "clean_text",
           withLabel.filter(col("doc_id") < 10), "clean_text",
-          k = 50, numBuckets = 512, alpha = 1.0)
+          k = 50, numBuckets = 512, alpha = 1.0,
+          tokensCol = Some("__cs_toks"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sel"),
           round(sum(col("log_w")), 4).as("sel_log_w"))
