@@ -45,6 +45,7 @@ object Sketches {
       width: Int): DataFrame = {
     checkParams(depth, width)
     items
+      .filter(col(itemCol).isNotNull) // a null item has no cells
       .select(posexplode(array(
         (0 until depth).map(j => cmsBucket(col(itemCol), j, width)): _*))
         .as(Seq("row", "bucket")))
@@ -61,7 +62,8 @@ object Sketches {
   def countMinEstimate(queries: DataFrame, itemCol: String,
       cms: DataFrame, depth: Int, width: Int): DataFrame = {
     checkParams(depth, width)
-    queries.select(col(itemCol)).distinct()
+    queries.select(col(itemCol)).filter(col(itemCol).isNotNull)
+      .distinct()
       .select(col(itemCol), posexplode(array(
         (0 until depth).map(j => cmsBucket(col(itemCol), j, width)): _*))
         .as(Seq("row", "bucket")))
@@ -113,6 +115,7 @@ object Sketches {
     val h = HashExpressions.splitmix64(HashExpressions.fnv1a64(col(itemCol)))
     val rest = h.bitwiseAND(lit((1L << sub) - 1))
     items
+      .filter(col(itemCol).isNotNull) // a null item is not a value
       .select(shiftrightunsigned(h, sub).as("idx"),
         (lit(sub + 1) - bitlen(rest, sub)).as("rho"))
       .groupBy(col("idx"))
@@ -136,6 +139,7 @@ object Sketches {
     val h = HashExpressions.splitmix64(HashExpressions.fnv1a64(col(itemCol)))
     val rest = h.bitwiseAND(lit((1L << sub) - 1))
     items
+      .filter(col(itemCol).isNotNull) // a null item is not a value
       .select(col(keyCol), shiftrightunsigned(h, sub).as("idx"),
         (lit(sub + 1) - bitlen(rest, sub)).as("rho"))
       .groupBy(col(keyCol), col("idx"))

@@ -113,6 +113,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("null items contribute no cells/registers and estimate nothing") {
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(Option("x"), Option("y"), None).toDF("item")
+    val clean = Seq("x", "y").toDF("item")
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(Sketches.countMinBuild(withNull, "item", 4, 256)) ===
+      cells(Sketches.countMinBuild(clean, "item", 4, 256)))
+    def rmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rmap(Sketches.hllRegisters(withNull, "item", 6)) ===
+      rmap(Sketches.hllRegisters(clean, "item", 6)))
+    // a null query row estimates nothing rather than joining on null
+    val est = Sketches.countMinEstimate(withNull, "item",
+      Sketches.countMinBuild(clean, "item", 4, 256), 4, 256)
+    assert(est.count() === 2)
+  }
+
   test("non-power-of-two width and absurd depth are refused") {
     val items = itemsOf(Seq("x"))
     intercept[IllegalArgumentException] {
