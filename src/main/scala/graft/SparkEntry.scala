@@ -1762,6 +1762,14 @@ object SparkEntry {
     // groupBy over the register table, never a per-group job), each
     // group's registers, checksum, and corrected estimate replayed
     // against its exact distinct count
+    // PMI collocation extraction: top-25 adjacent-token bigrams by
+    // pointwise mutual information (minCount 5 — the standard
+    // hapax-noise floor), ranked on the rounded grid so the order
+    // replays; the global top-k is a TakeOrdered, never a corpus sort
+    "q124_pmi_collocations" -> ((s, dir) =>
+      graft.operators.Keywords.pmiTopBigrams(
+        T(s, dir, "documents"), "doc_id", "text", k = 25, minCount = 5)),
+
     "q123_hll_by_source" -> ((s, dir) => {
       val tok = graft.CacheScope.register(T(s, dir, "documents")
         .select(col("source"), explode(toks(col("text"))).as("token"))
@@ -2809,6 +2817,27 @@ object SparkEntry {
          |      / n, 4)
          |  END AS intercept
          |FROM s""".stripMargin,
+
+    // bigram/unigram counts + the scalar total; the top-25 orders on
+    // the ROUNDED pmi with bigram tie-breaks so the LIMIT boundary
+    // replays
+    "q124_pmi_collocations" ->
+      s"""WITH tk AS (SELECT $ToksSql AS t FROM documents),
+         |bg AS (SELECT t[i + 1] AS a, t[i + 2] AS b FROM
+         |  (SELECT t, unnest(range(0, len(t) - 1)) AS i FROM tk
+         |   WHERE len(t) >= 2)),
+         |bc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+         |  HAVING count(*) >= 5),
+         |uni AS (SELECT w, count(*) AS c_w FROM
+         |  (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+         |tt AS (SELECT count(*) AS T FROM bg)
+         |SELECT a || ' ' || b AS bigram, c_ab, ua.c_w AS c_a,
+         |  ub.c_w AS c_b,
+         |  round(ln(c_ab * CAST(T AS DOUBLE)
+         |    / (ua.c_w * CAST(ub.c_w AS DOUBLE))), 4) AS pmi
+         |FROM bc JOIN uni ua ON bc.a = ua.w
+         |JOIN uni ub ON bc.b = ub.w, tt
+         |ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin,
 
     // non-overlapping 8-token tiles (last partial kept, empty tile of
     // an empty doc dropped); the global first occurrence by

@@ -282,6 +282,63 @@ object Keywords {
           .as("ln_k"))
   }
 
+  /** Top-`k` collocations by pointwise mutual information:
+    * `pmi(a b) = ln(c(ab)·T / (c(a)·c(b)))` over adjacent-token bigrams
+    * (T = total bigram occurrences), restricted to bigrams occurring at
+    * least `minCount` times (PMI is notoriously noisy on hapax pairs —
+    * the standard floor). Returns (bigram, c_ab, c_a, c_b, pmi),
+    * ranked on the ROUNDED 1e-4 grid with bigram-text tie-breaks (the
+    * [[tfIdfTopTerms]] device — libm `ln` differs in the last ulp
+    * across engines, ranking rounded scores is what replays).
+    *
+    * 100 TB shape: one bigram-count shuffle + one unigram-count shuffle
+    * (both partial-agg), two UN-hinted equi-joins of the bigram table
+    * against the unigram table (corpus-vocabulary cardinality — the
+    * [[tfIdfTopTerms]] rule; AQE broadcasts when the runtime size
+    * fits), the one-row total as the scalar-subquery broadcast, and a
+    * global top-k that plans as `TakeOrdered` — never a corpus sort.
+    */
+  def pmiTopBigrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 5,
+      tokensCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(minCount >= 1, s"bad minCount $minCount")
+    val toks = graft.CacheScope.register(docs
+      .withColumn("__kw_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col("__kw_toks"))
+      .persist())
+    val bigrams = toks
+      .select(explode(when(size(col("__kw_toks")) >= 2,
+        transform(sequence(lit(0), size(col("__kw_toks")) - 2),
+          i => struct(element_at(col("__kw_toks"), i + 1).as("a"),
+            element_at(col("__kw_toks"), i + 2).as("b"))))
+        .otherwise(array().cast(
+          "array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bc = graft.CacheScope.register(
+      bigrams.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= minCount)
+        .persist())
+    val uni = toks
+      .select(explode(col("__kw_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val total = bigrams.agg(count(lit(1)).as("__T"))
+    bc
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        round(log(col("c_ab").cast("double") *
+            col("__T").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** (id, token) rows — from the caller's pre-tokenized column when the
     * tokenize-once contract is in play, else one regexp pass here.
     */
