@@ -164,4 +164,36 @@ class KeywordsBoilerplateSpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("beta")) &&
       one.isNullAt(one.fieldIndex("ln_k")), s"degenerate: $one")
   }
+
+  test("pmiTopBigrams: hand-computed PMI, minCount floor, rounded-grid " +
+      "tie-break, and single-token docs contribute nothing") {
+    val s = spark
+    import s.implicits._
+    // bigram stream: doc1 (new,york)(york,new)(new,york); doc2
+    // (new,york)(york,is)(is,big); doc3 (the,city)(city,is)(is,big);
+    // doc4 has no bigrams. T = 9.
+    // c(new york)=3, c(is big)=2, every other bigram hapax.
+    // unigrams: new=3 york=3 is=2 big=2 the=1 city=2 solo=1.
+    // pmi(is big) = ln(2*9/(2*2)) = ln 4.5 = 1.5041 ranks above
+    // pmi(new york) = ln(3*9/(3*3)) = ln 3 = 1.0986.
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "new york is big"),
+      (3L, "the city is big"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Keywords.pmiTopBigrams(docs, "doc_id", "text",
+        k = 5, minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("is big", 2L, 2L, 2L, 1.5041),
+      ("new york", 3L, 3L, 3L, 1.0986)),
+      s"hapax bigrams must be floored out: ${out.toSeq}")
+    // k truncates after the deterministic order
+    val top1 = Keywords.pmiTopBigrams(docs, "doc_id", "text",
+        k = 1, minCount = 2).collect().map(_.getString(0))
+    assert(top1.toSeq === Seq("is big"))
+  }
 }
