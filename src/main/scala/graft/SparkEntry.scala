@@ -25,15 +25,30 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS) which Spark only
-    * reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`). The data
-    * has no sub-microsecond components, so `ts div 1000` microseconds is a
-    * lossless conversion back to a TimestampType column. Integer `div` is
-    * required: epoch-nanos (~1.7e18) exceed double's exact range.
+  /** The events table's `ts` has shipped in two parquet generations:
+    * TIMESTAMP(NANOS), which Spark only reads as raw longs
+    * (`spark.sql.legacy.parquet.nanosAsLong` — the data has no
+    * sub-microsecond components, so integer `ts div 1000` micros is a
+    * lossless rebuild; integer `div` because epoch-nanos ~1.7e18 exceed
+    * double's exact range), and TIMESTAMP(MICROS), which reads as a
+    * timestamp column directly. Dispatch on the OBSERVED column type so
+    * both generations work unchanged — the DuckDB oracle reads either
+    * natively, so only this side needs the adapter.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = T(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session TZ is UTC, so NTZ→TIMESTAMP keeps the wall clock and
+        // restores the exact column type every downstream query (e.g.
+        // q32's unix_micros) was written against
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
