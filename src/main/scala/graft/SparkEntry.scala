@@ -1797,6 +1797,41 @@ object SparkEntry {
           .agg(countDistinct(col("token")).cast("long").as("n_true")),
           Seq("source"))
         .orderBy(col("source"))
+    }),
+
+    // Sequence packing: concat-and-chunk the corpus (id order) into
+    // 64-token training sequences — one (doc, sequence) span row per
+    // overlap, all offsets integer-exact; the prefix sum is the
+    // two-level bucketed device (never a global single-partition
+    // window over the corpus)
+    "q125_sequence_packing" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(
+          T(s, dir, "documents"), "doc_id", "text", seqLen = 64)
+        .orderBy(col("seq_id"), col("doc_id"))),
+
+    // Per-source doc-length quantile SKETCH: power-of-two histogram
+    // (≤ 42 rows per source at any corpus size) read out at
+    // p50/p90/p99 with integer ranks, each estimate audited against
+    // the EXACT rank-th smallest value (the q122 n_true device; the
+    // exact side is a per-source sort — audit-only, not the sketch's
+    // deployment path)
+    "q126_length_quantile_sketch" -> ((s, dir) => {
+      val v = graft.CacheScope.register(T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("v"))
+        .persist())
+      val qs = graft.operators.Sketches.logHistQuantilesBy(
+        graft.operators.Sketches.logHistBuildBy(v, "source", "v"),
+        "source", Seq(50, 90, 99))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("v"), col("doc_id"))
+      val ranked = v.select(col("source"), col("v").as("exact"),
+        row_number().over(w).as("rank"))
+      qs.join(ranked, Seq("source", "rank"))
+        .select(col("source"), col("pct"), col("n_items"), col("rank"),
+          col("bucket").cast("long").as("bucket"), col("est_hi"),
+          col("exact"))
+        .orderBy(col("source"), col("pct"))
     })
   )
 
@@ -2853,6 +2888,59 @@ object SparkEntry {
          |FROM bc JOIN uni ua ON bc.a = ua.w
          |JOIN uni ub ON bc.b = ub.w, tt
          |ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin,
+
+    // concat-and-chunk replay: the running token offset in id order
+    // (window cumsum — the oracle may afford the global sort the
+    // engine avoids), then each doc's overlapped sequences from pure
+    // integer floor-division
+    "q125_sequence_packing" ->
+      s"""WITH tk AS (SELECT doc_id, len($ToksSql) AS L FROM documents),
+         |off AS (SELECT doc_id, L, CAST(coalesce(sum(L) OVER
+         |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |     AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM tk WHERE L > 0),
+         |sp AS (SELECT doc_id, L, o,
+         |  unnest(range(o // 64, (o + L - 1) // 64 + 1)) AS seq_id
+         |  FROM off)
+         |SELECT doc_id, seq_id,
+         |  greatest(o, seq_id * 64) - o AS doc_from,
+         |  least(o + L, (seq_id + 1) * 64) - o AS doc_to,
+         |  greatest(o, seq_id * 64) - seq_id * 64 AS seq_off
+         |FROM sp ORDER BY seq_id, doc_id""".stripMargin,
+
+    // log-bucket histogram quantiles: bucket = exact bit length via
+    // the literal-powers comparison count (the q122 device), integer
+    // rank ceil(pct·n/100), est_hi = 2^bucket − 1, each audited
+    // against the exact rank-th smallest value
+    "q126_length_quantile_sketch" -> {
+      val pows = (0 until 41).map(1L << _).mkString("[", ", ", "]")
+      s"""WITH tk AS (SELECT doc_id, source, len($ToksSql) AS v
+         |  FROM documents),
+         |hist AS (SELECT source,
+         |    len(list_filter($pows, q -> q <= v)) AS bucket,
+         |    count(*) AS cnt FROM tk GROUP BY 1, 2),
+         |n AS (SELECT source, sum(cnt) AS n_items FROM hist GROUP BY 1),
+         |cum AS (SELECT source, bucket,
+         |  sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum
+         |  FROM hist),
+         |pc AS (SELECT unnest([50, 90, 99]) AS pct),
+         |r AS (SELECT n.source, pct, n_items,
+         |  (pct * n_items + 99) // 100 AS rank FROM n CROSS JOIN pc),
+         |sel AS (SELECT r.source, r.pct, r.n_items, r.rank,
+         |    min(c.bucket) AS bucket
+         |  FROM r JOIN cum c ON c.source = r.source AND c.cum >= r.rank
+         |  GROUP BY 1, 2, 3, 4),
+         |ex AS (SELECT source, v,
+         |  row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+         |    AS rn FROM tk)
+         |SELECT s.source, s.pct, CAST(s.n_items AS BIGINT) AS n_items,
+         |  CAST(s.rank AS BIGINT) AS rank, CAST(s.bucket AS BIGINT)
+         |    AS bucket,
+         |  (CAST(1 AS BIGINT) << s.bucket) - 1 AS est_hi,
+         |  e.v AS exact
+         |FROM sel s JOIN ex e ON e.source = s.source AND e.rn = s.rank
+         |ORDER BY s.source, s.pct""".stripMargin
+    },
 
     // non-overlapping 8-token tiles (last partial kept, empty tile of
     // an empty doc dropped); the global first occurrence by

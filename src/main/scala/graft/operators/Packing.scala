@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-and-chunk step that turns a cleaned,
+  * selected corpus into fixed-length training sequences: documents are
+  * concatenated in id order and the token stream is cut into
+  * consecutive `seqLen`-token sequences, each document contributing one
+  * span row per sequence it overlaps. This is the standard GPT-style
+  * packing (no padding, documents straddle sequence boundaries); the
+  * output is the (sequence, document-span) assignment a tokenized-shard
+  * writer consumes.
+  *
+  * 100 TB shape: the whole operator is ONE tokenize-count pass plus a
+  * two-level prefix sum — never a global single-partition window over
+  * the corpus. Ids bucket by `id >> bucketShift`; the within-bucket
+  * running totals window partitions BY BUCKET (parallel across
+  * buckets), and only the per-bucket totals — `maxId >> bucketShift`
+  * tiny rows, millions at 10^11 docs, a few MB in one task — cumulate
+  * through the one unpartitioned window (the [[Keywords.heapsFit]]
+  * bounded-window device; `bucketShift` trades bucket-table size
+  * against per-bucket skew). The span explode emits ~`L/seqLen + 1`
+  * rows per document. No driver state at all.
+  *
+  * Determinism: id order fully defines the packing (ids are unique), so
+  * an oracle replays every span exactly; all arithmetic is integer
+  * (`DIV`, never a float division that could round a boundary token
+  * across a sequence).
+  */
+object Packing {
+
+  /** Pack `docs` into `seqLen`-token sequences. Returns one row per
+    * (document, overlapped sequence): `(idCol, seq_id, doc_from,
+    * doc_to, seq_off)` — token indices `[doc_from, doc_to)` of the
+    * document (0-based) land in sequence `seq_id` starting at offset
+    * `seq_off` within the sequence. Zero-token documents emit no rows
+    * (they contribute nothing to the stream). The final sequence is
+    * partial unless the total token count divides `seqLen`.
+    *
+    * `tokensCol` joins the tokenize-once contract (see
+    * [[CorpusPipeline.prepare]]): pass a materialized token-array
+    * column to skip the regexp pass.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, tokensCol: Option[String] = None,
+      bucketShift: Int = 16): DataFrame = {
+    require(seqLen >= 1, s"bad seqLen $seqLen")
+    require(bucketShift >= 0 && bucketShift <= 48,
+      s"bad bucketShift $bucketShift")
+    val perDoc = docs
+      .withColumn("__pk_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol).cast("long").as("__pk_id"),
+        size(col("__pk_toks")).cast("long").as("__pk_n"))
+      .filter(col("__pk_n") > 0)
+      .withColumn("__pk_b", shiftright(col("__pk_id"), bucketShift))
+    // within-bucket running totals: parallel across buckets
+    val wIn = Window.partitionBy(col("__pk_b")).orderBy(col("__pk_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = perDoc
+      .withColumn("__pk_cum", sum(col("__pk_n")).over(wIn))
+    // bucket offsets: totals cumulated over the BOUNDED bucket table
+    val wB = Window.orderBy(col("__pk_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = perDoc
+      .groupBy(col("__pk_b"))
+      .agg(sum(col("__pk_n")).as("__pk_bt"))
+      .withColumn("__pk_boff",
+        coalesce(sum(col("__pk_bt")).over(wB), lit(0L)))
+      .select(col("__pk_b"), col("__pk_boff"))
+    // global token offset o = bucket offset + local cumsum − own length;
+    // the join is bucket-grain (bounded) — AQE broadcasts when it fits
+    val off = local.join(bucketOff, Seq("__pk_b"))
+      .withColumn("__pk_o",
+        col("__pk_boff") + col("__pk_cum") - col("__pk_n"))
+    // sequences s0..s1 the document overlaps — integer DIV only
+    val spans = off
+      .withColumn("__pk_s0", expr(s"__pk_o DIV $seqLen"))
+      .withColumn("__pk_s1", expr(s"(__pk_o + __pk_n - 1) DIV $seqLen"))
+      .select(col("__pk_id"), col("__pk_o"), col("__pk_n"),
+        explode(sequence(col("__pk_s0"), col("__pk_s1"))).as("seq_id"))
+    val seqStart = col("seq_id") * lit(seqLen.toLong)
+    spans.select(
+      col("__pk_id").as(idCol),
+      col("seq_id"),
+      (greatest(col("__pk_o"), seqStart) - col("__pk_o")).as("doc_from"),
+      (least(col("__pk_o") + col("__pk_n"), seqStart + lit(seqLen.toLong))
+        - col("__pk_o")).as("doc_to"),
+      (greatest(col("__pk_o"), seqStart) - seqStart).as("seq_off"))
+  }
+
+  /** Per-sequence fill accounting over a [[packSequences]] result:
+    * `(seq_id, n_docs, n_tokens)` — every sequence must hold exactly
+    * `seqLen` tokens except the last. One doc-span-grain aggregation;
+    * the audit a shard writer runs before materializing.
+    */
+  def sequenceFill(packed: DataFrame): DataFrame =
+    packed.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_to") - col("doc_from")).as("n_tokens"))
+}

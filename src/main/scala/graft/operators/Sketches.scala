@@ -170,6 +170,130 @@ object Sketches {
         }, 4).as("hll_estimate"))
   }
 
+  // ---- log-histogram quantile sketch -------------------------------
+
+  /** The power-of-two bucket of a non-negative long value: bucket 0 ⇔
+    * `v = 0`, bucket `b ≥ 1` ⇔ `v ∈ [2^(b−1), 2^b)` — i.e. the exact
+    * bit length, via the same literal-powers comparison count as the
+    * HLL rho (no doubles anywhere; a float `log2` rounds across
+    * power-of-two boundaries). Negative values are a caller error and
+    * raise. Exposed so specs and oracles share the formula.
+    */
+  def logBucket(v: Column, maxBits: Int): Column =
+    when(v < 0, raise_error(concat(lit("logBucket: negative value "),
+      v.cast("string"))))
+      .otherwise(bitlen(v, maxBits))
+
+  /** Mergeable quantile sketch as a log-bucket histogram: one row per
+    * occupied power-of-two bucket `(bucket, cnt)` over `valueCol`
+    * (non-negative longs — doc token counts, byte sizes, durations).
+    * ≤ `maxBits + 1` rows TOTAL regardless of corpus size — the same
+    * config-bounded-output property as the count–min cell table and
+    * the HLL registers, which is what makes per-shard build + tiny
+    * merge ([[logHistMerge]]) the 100 TB deployment. Quantile readout
+    * ([[logHistQuantiles]]) has ≤ 2× relative error by construction
+    * (the true value and the bucket's upper end differ by < one
+    * octave). Null values contribute nothing (the sketch convention);
+    * negative values raise.
+    */
+  def logHistBuild(items: DataFrame, valueCol: String,
+      maxBits: Int = 41): DataFrame = {
+    require(maxBits >= 1 && maxBits <= 63, s"bad maxBits $maxBits")
+    items
+      .filter(col(valueCol).isNotNull)
+      .select(logBucket(col(valueCol).cast("long"), maxBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group log-bucket histograms `(keyCol, bucket, cnt)` — one
+    * pass for ALL groups (the [[hllRegistersBy]] shape); the table is
+    * bounded by groups × (maxBits + 1) rows.
+    */
+  def logHistBuildBy(items: DataFrame, keyCol: String, valueCol: String,
+      maxBits: Int = 41): DataFrame = {
+    require(maxBits >= 1 && maxBits <= 63, s"bad maxBits $maxBits")
+    items
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        logBucket(col(valueCol).cast("long"), maxBits).as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Bucket-wise sum of two histograms (shard merge — exact, order-
+    * free, associative; the same contract as [[countMinMerge]]).
+    */
+  def logHistMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile readout of a [[logHistBuild]] histogram: one row per
+    * requested percent `(pct, n_items, rank, bucket, est_hi)` where
+    * `rank = ⌈pct·n/100⌉` (INTEGER arithmetic — no float rank can
+    * round across an item at any n), `bucket` is the first bucket
+    * whose cumulative count reaches the rank, and `est_hi = 2^bucket − 1`
+    * is its inclusive upper end — an estimate ≥ the true quantile and
+    * within 2× of it. The cumulation window runs over the BUCKET
+    * table (≤ maxBits + 1 rows — config-bounded, never corpus-sized).
+    * An empty histogram yields no rows.
+    */
+  def logHistQuantiles(hist: DataFrame, percents: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    require(percents.nonEmpty, "no percents")
+    require(percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be 1..100: $percents")
+    val pcts = percents.distinct.sorted.toDF("pct")
+    val n = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_items"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wB))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(pcts))
+      .withColumn("rank", expr("(pct * n_items + 99) DIV 100"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("pct"))
+      .agg(first(col("n_items")).as("n_items"),
+        first(col("rank")).as("rank"),
+        min(col("bucket")).as("bucket"))
+      .withColumn("est_hi",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1"))
+  }
+
+  /** Per-group quantile readout of a [[logHistBuildBy]] table — the
+    * [[logHistQuantiles]] contract with every step keyed (the
+    * cumulation window partitions by the group, so it stays bounded
+    * PER GROUP and parallel ACROSS groups).
+    */
+  def logHistQuantilesBy(hist: DataFrame, keyCol: String,
+      percents: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    require(percents.nonEmpty, "no percents")
+    require(percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be 1..100: $percents")
+    val pcts = percents.distinct.sorted.toDF("pct")
+    val n = hist.groupBy(col(keyCol))
+      .agg(sum(col("cnt")).as("n_items"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wB))
+      .join(n, Seq(keyCol))
+      .crossJoin(broadcast(pcts))
+      .withColumn("rank", expr("(pct * n_items + 99) DIV 100"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col(keyCol), col("pct"))
+      .agg(first(col("n_items")).as("n_items"),
+        first(col("rank")).as("rank"),
+        min(col("bucket")).as("bucket"))
+      .withColumn("est_hi",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1"))
+  }
+
   /** One-row distinct-count estimate from a register table:
     * `(m, n_registers_used, reg_sum, hll_estimate)`. The raw estimator
     * `α_m·m²/Σ2^−M_j` (empty registers contribute 2⁰ = 1) switches to

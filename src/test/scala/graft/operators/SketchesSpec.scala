@@ -141,4 +141,78 @@ class SketchesSpec extends SparkSpec {
       Sketches.countMinBuild(items, "item", depth = 0, width = 1024)
     }
   }
+
+  test("log-hist: exact power-of-two bucketing, integer ranks, shard " +
+      "merge equals the whole, estimates bound the truth within 2x") {
+    val s = spark
+    import s.implicits._
+    // buckets: 0→b0; 1→b1; 2,3→b2; 4..7→b3; 8→b4
+    val vals = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("v")
+    val hist = Sketches.logHistBuild(vals, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist === Map(0 -> 1L, 1 -> 1L, 2 -> 2L, 3 -> 4L, 4 -> 1L))
+
+    // quantiles of the 9 values: rank(50) = ceil(4.5) = 5 → the 5th
+    // smallest (4) lives in bucket 3 (est_hi 7); rank(100) = 9 → 8 in
+    // bucket 4 (est_hi 15)
+    val qs = Sketches.logHistQuantiles(
+        Sketches.logHistBuild(vals, "v"), Seq(50, 100))
+      .collect()
+      .map(r => r.getAs[Int]("pct") ->
+        ((r.getAs[Long]("rank"), r.getAs[Int]("bucket"),
+          r.getAs[Long]("est_hi"))))
+      .toMap
+    assert(qs(50) === ((5L, 3, 7L)))
+    assert(qs(100) === ((9L, 4, 15L)))
+
+    // shard merge ≡ whole-corpus histogram, bucket for bucket
+    val (a, b) = (Seq(1L, 5L, 9L).toDF("v"), Seq(2L, 6L, 700L).toDF("v"))
+    val merged = Sketches.logHistMerge(
+        Sketches.logHistBuild(a, "v"), Sketches.logHistBuild(b, "v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val whole = Sketches.logHistBuild(a.unionByName(b), "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+
+    // the 2x bound: est_hi ≥ true quantile and < 2·max(1, true)
+    val data = (1L to 1000L).map(i => (i % 97) * (i % 89)).toDF("v")
+    val exact = data.collect().map(_.getLong(0)).sorted
+    Sketches.logHistQuantiles(Sketches.logHistBuild(data, "v"),
+        Seq(50, 90, 99)).collect().foreach { r =>
+      val t = exact(r.getAs[Long]("rank").toInt - 1)
+      val e = r.getAs[Long]("est_hi")
+      assert(e >= t && e < 2 * math.max(1L, t),
+        s"pct ${r.getAs[Int]("pct")}: est $e vs true $t")
+    }
+
+    // negative values are a loud error, nulls contribute nothing
+    val neg = intercept[Exception] {
+      Sketches.logHistBuild(Seq(-1L).toDF("v"), "v").collect()
+    }
+    assert(neg.getMessage.contains("logBucket: negative value"),
+      s"unexpected error: ${neg.getMessage}")
+    val withNull = Seq(Some(3L), None, Some(5L)).toDF("v")
+    assert(Sketches.logHistBuild(withNull, "v")
+      .agg(sum(col("cnt"))).head().getLong(0) === 2L)
+  }
+
+  test("grouped log-hist isolates groups and reads out per-group " +
+      "quantiles in one pass") {
+    val s = spark
+    import s.implicits._
+    val items = (Seq.tabulate(10)(i => ("small", i.toLong + 1)) ++
+      Seq.tabulate(10)(i => ("big", (i.toLong + 1) * 100))).toDF("k", "v")
+    val qs = Sketches.logHistQuantilesBy(
+        Sketches.logHistBuildBy(items, "k", "v"), "k", Seq(50, 100))
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Int]("pct")) ->
+        r.getAs[Long]("est_hi"))
+      .toMap
+    // small: rank(50)=5 → value 5 in bucket 3 → 7; rank(100)=10 →
+    // value 10, bucket 4 → 15
+    assert(qs(("small", 50)) === 7L && qs(("small", 100)) === 15L)
+    // big: rank(50)=5 → 500 in bucket 9 → 511; rank(100)=10 → 1000 in
+    // bucket 10 → 1023
+    assert(qs(("big", 50)) === 511L && qs(("big", 100)) === 1023L)
+  }
 }
