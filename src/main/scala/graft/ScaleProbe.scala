@@ -227,6 +227,25 @@ object ScaleProbe {
             (pmod(col("doc_id"), lit(97L)) + lit(1)).cast("double")),
           "doc_id", "w", k = 100))
     }
+    // sequence packing: one tokenize-count pass + the two-level prefix
+    // sum — the unpartitioned window sees only the bucket table, so
+    // replicas scale the per-bucket windows (parallel) linearly
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"pack_sequences r=$r docs=${nDocs * r}", () =>
+        operators.Packing.packSequences(replicateDocs(r), "doc_id",
+          "text", seqLen = 512))
+    }
+    // log-hist quantile sketch: one bucketing aggregation with
+    // CONSTANT output size (≤ maxBits+1 rows per group at any scale)
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"loghist_build r=$r docs=${nDocs * r}", () => {
+        val v = replicateDocs(r).select(
+          pmod(col("doc_id"), lit(20L)).cast("string").as("src"),
+          size(functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("v"))
+        operators.Sketches.logHistBuildBy(v, "src", "v")
+      })
+    }
     spark.stop()
   }
 }

@@ -459,6 +459,38 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q125/q126: packing's prefix sum stays two-level (one bounded " +
+      "unpartitioned window), sketch readout hints only the percent " +
+      "literal") {
+    CacheScope.scoped {
+      // q125: exactly two Window nodes — the per-bucket running total
+      // (partitioned, parallel) and the bucket-table cumsum (the one
+      // bounded unpartitioned window); the offset join-back is
+      // un-hinted; no cross product
+      val df125 = SparkEntry.queries("q125_sequence_packing")(spark, dir)
+      val p125 = df125.queryExecution.executedPlan.toString
+      assert("Window".r.findAllIn(p125).size === 2,
+        "q125 must plan exactly the two-level prefix sum:\n" + p125)
+      assert(!df125.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q125's bucket-offset join must stay un-hinted")
+      assert(!p125.contains("CartesianProduct"), p125)
+
+      // q126: the one hint is the percent-literal broadcast (its
+      // bounded-x-bounded nested loop is deliberate); the histogram
+      // and audit joins are keyed equi-joins, never a cartesian
+      val df126 = SparkEntry
+        .queries("q126_length_quantile_sketch")(spark, dir)
+      val a126 = df126.queryExecution.analyzed.toString
+      assert("ResolvedHint".r.findAllIn(a126).size === 1,
+        "q126 must hint exactly the percent literal:\n" + a126)
+      val p126 = df126.queryExecution.executedPlan.toString
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p126).size === 1,
+        "q126 expects exactly the bounded percent cross:\n" + p126)
+      assert(!p126.contains("CartesianProduct"), p126)
+    }
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
