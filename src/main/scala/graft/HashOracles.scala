@@ -260,6 +260,25 @@ object HashOracles {
       "CAST(sum(CASE WHEN component = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical, " +
       "count(DISTINCT component) AS n_clusters FROM lab")
 
+  /** q51's cluster chain + per-cluster best-member re-election
+    * ([[operators.Dedup.electCanonicalByScore]]): the rank-1 row by
+    * (n_chars desc, doc_id) survives each multi-member cluster.
+    */
+  val q127KeepBestDedup: String = withClause(
+    bandedCtes(" WHERE doc_id < 300") ++
+      closureCtes("WHERE doc_id < 300") ++ Seq(
+      "lab AS (SELECT d.doc_id, d.n_chars, " +
+        "coalesce(r.component, d.doc_id) AS component " +
+        "FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 300) d " +
+        "LEFT JOIN reach r ON r.node = d.doc_id)",
+      "rk AS (SELECT doc_id, n_chars, component, row_number() OVER " +
+        "(PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn " +
+        "FROM lab)"),
+    "SELECT component, count(*) AS n_members, " +
+      "max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, " +
+      "max(CASE WHEN rn = 1 THEN n_chars END) AS keep_chars " +
+      "FROM rk GROUP BY component HAVING count(*) > 1 ORDER BY component")
+
   val q23LshBuckets: String = withClause(
     bucketCtes() :+
       "bk AS (SELECT bucket, count(*) AS n_vectors FROM sigs GROUP BY bucket)",

@@ -1832,6 +1832,25 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("est_hi"),
           col("exact"))
         .orderBy(col("source"), col("pct"))
+    }),
+
+    // Quality-aware canonical re-election over the q51 dedup clusters:
+    // the LONGEST member of each multi-member cluster survives (ties
+    // on id) — the FineWeb keep rule replacing min-id retention; one
+    // component-partitioned window, never a corpus-scale partition
+    "q127_keep_best_dedup" -> ((s, dir) => {
+      val clustered = Dedup.dedupCorpus(
+        T(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", threshold = 0.9)
+      Dedup.electCanonicalByScore(clustered, "doc_id", "component",
+          "n_chars")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("is_canonical"), col("doc_id"))).as("keep_id"),
+          max(when(col("is_canonical"), col("n_chars")))
+            .as("keep_chars"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("component"))
     })
   )
 
@@ -2208,6 +2227,7 @@ object SparkEntry {
     "q23_ann_lsh_buckets" -> HashOracles.q23LshBuckets,
     "q33_multimodal_features" -> HashOracles.q33MultimodalFeatures,
     "q51_dedup_corpus" -> HashOracles.q51DedupCorpus,
+    "q127_keep_best_dedup" -> HashOracles.q127KeepBestDedup,
     "q52_simhash_pairs" -> HashOracles.q52SimhashPairs,
     "q53_lsh_topk" -> HashOracles.q53LshTopK,
     "q54_simhash_blocked" -> HashOracles.q54SimhashBlocked,

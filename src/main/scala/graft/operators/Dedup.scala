@@ -407,6 +407,32 @@ object Dedup {
     graft.CacheScope.register(out)
   }
 
+  /** Re-elect each duplicate cluster's surviving document by SCORE
+    * rather than id: given a clustered frame (the [[dedupCorpus]]
+    * output, or anything carrying `componentCol`), the member
+    * maximizing `scoreCol` — ties on smallest id — becomes the
+    * canonical. The FineWeb/SlimPajama keep rule: retain the
+    * best-quality (longest, highest-scoring) member of each duplicate
+    * cluster, not the arbitrary lowest-id one. Returns the input with
+    * `is_canonical` replaced.
+    *
+    * 100 TB shape: one window partitioned BY COMPONENT — duplicate
+    * clusters are small (band-verified near-dup groups), so no
+    * partition approaches corpus scale; the shuffle key is the
+    * component id. Determinism: (score desc, id asc) is a total order
+    * within a cluster.
+    */
+  def electCanonicalByScore(clustered: DataFrame, idCol: String,
+      componentCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(componentCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clustered
+      .withColumn("__dd_rk", row_number().over(w))
+      .withColumn("is_canonical", col("__dd_rk") === 1)
+      .drop("__dd_rk")
+  }
+
   /** The persistent dedup index of a corpus, NORMALIZED into its two
     * access paths so the signature is stored once per document, not once
     * per band row (inline duplication costs `bands`× the signature volume

@@ -44,4 +44,19 @@ object SketchStream {
           batchId: Long) =>
         sink(Sketches.hllRegisters(batch, itemCol, p), batchId)
     }
+
+  /** Per-micro-batch log-bucket histograms: `sink(hist, batchId)`
+    * receives [[Sketches.logHistBuild]] of each batch — fold with
+    * [[Sketches.logHistMerge]] (bucket-wise sum) for a running length
+    * distribution whose state is ≤ maxBits + 1 rows forever.
+    */
+  def logHistBatches(items: DataFrame, valueCol: String,
+      maxBits: Int = 41)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(Sketches.logHistBuild(batch, valueCol, maxBits), batchId)
+    }
 }

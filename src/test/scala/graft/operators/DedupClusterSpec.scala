@@ -134,4 +134,32 @@ class DedupClusterSpec extends SparkSpec {
     assert(deduped.filter(col("is_canonical") &&
       col("doc_id") =!= col("component")).count() === 0)
   }
+
+  test("electCanonicalByScore keeps the best-scoring member per " +
+      "cluster, ties on smallest id, singletons stay canonical") {
+    val s = spark
+    import s.implicits._
+    val clustered = Seq(
+      // cluster 1: doc 3 has the top score
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 50L),
+      // cluster 10: score tie between 10 and 11 -> smallest id wins
+      (10L, 10L, 25L), (11L, 10L, 25L),
+      // singleton
+      (20L, 20L, 5L)
+    ).toDF("doc_id", "component", "score")
+    val out = Dedup.electCanonicalByScore(clustered, "doc_id",
+        "component", "score")
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3))
+      .toMap
+    assert(out === Map(1L -> false, 2L -> false, 3L -> true,
+      10L -> true, 11L -> false, 20L -> true))
+    // exactly one canonical per cluster, regardless of scores
+    val counts = Dedup.electCanonicalByScore(clustered, "doc_id",
+        "component", "score")
+      .groupBy("component")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    assert(counts.forall(_ === 1L))
+  }
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 // top-level: encoder codegen cannot reach a class nested in the suite
 case class SkItem(item: String, ts: Timestamp)
+case class SkVal(v: Long, ts: Timestamp)
 
 class SketchStreamSpec extends SparkSpec {
 
@@ -71,5 +72,34 @@ class SketchStreamSpec extends SparkSpec {
     assert(rmap(regs.get) ===
       rmap(Sketches.hllRegisters((b1 ++ b2).toDF(), "item", 6)),
       "folded stream registers must equal the batch registers")
+  }
+
+  test("folded streaming log-hist == batch log-hist of the whole stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val b1 = (1L to 40L).map(i => SkVal(i % 19, ts0))
+    val b2 = (1L to 25L).map(i => SkVal(i * 37, ts0))
+
+    var hist: Option[DataFrame] = None
+    val mem = MemoryStream[SkVal]
+    val q = SketchStream.logHistBatches(mem.toDF(), "v") { (h, _) =>
+      val snap = h.cache()
+      snap.count()
+      hist = Some(hist.fold(snap)(acc =>
+        Sketches.logHistMerge(acc, snap).cache()))
+      hist.get.count()
+    }.start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def hmap(df: DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hmap(hist.get) ===
+      hmap(Sketches.logHistBuild((b1 ++ b2).toDF(), "v")),
+      "folded stream histogram must equal the batch histogram")
   }
 }
