@@ -43,13 +43,20 @@ object Packing {
     * `tokensCol` joins the tokenize-once contract (see
     * [[CorpusPipeline.prepare]]): pass a materialized token-array
     * column to skip the regexp pass.
+    *
+    * `startOffset` places the first token of this corpus at a global
+    * stream position > 0 — the incremental form: packing shard k of an
+    * id-ordered corpus with the token total of shards < k as the
+    * offset yields exactly the spans whole-corpus packing would (the
+    * [[graft.streaming.PackStream]] carry; spec'd batch-identical).
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Int, tokensCol: Option[String] = None,
-      bucketShift: Int = 16): DataFrame = {
+      bucketShift: Int = 16, startOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"bad seqLen $seqLen")
     require(bucketShift >= 0 && bucketShift <= 48,
       s"bad bucketShift $bucketShift")
+    require(startOffset >= 0, s"bad startOffset $startOffset")
     val perDoc = docs
       .withColumn("__pk_toks",
         tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
@@ -75,7 +82,8 @@ object Packing {
     // the join is bucket-grain (bounded) — AQE broadcasts when it fits
     val off = local.join(bucketOff, Seq("__pk_b"))
       .withColumn("__pk_o",
-        col("__pk_boff") + col("__pk_cum") - col("__pk_n"))
+        lit(startOffset) + col("__pk_boff") + col("__pk_cum")
+          - col("__pk_n"))
     // sequences s0..s1 the document overlaps — integer DIV only
     val spans = off
       .withColumn("__pk_s0", expr(s"__pk_o DIV $seqLen"))
