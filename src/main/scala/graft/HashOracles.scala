@@ -840,6 +840,74 @@ object HashOracles {
         "round(sum(dist), 2) AS inertia FROM a3 " +
         "GROUP BY cid ORDER BY cid")
 
+  // ---- product quantization replay (q128) ----------------------------
+
+  /** [[kmDist]] generalized to a `len`-dim subvector column. */
+  private def pqSubDist(v: String, c: String, len: Int): String =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${len + 1}), " +
+      s"j -> ($v[j] - $c[j]) * ($v[j] - $c[j]))), (a, x) -> a + x)"
+
+  /** Lloyd's assignment over a subvector table `src(vec_id, sv)`. */
+  private def pqAssignCte(name: String, src: String, cents: String,
+      len: Int): String =
+    s"$name AS (SELECT vec_id, sv, cid, dist FROM " +
+      "(SELECT vec_id, sv, cid, dist, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM " +
+      s"(SELECT t.vec_id, t.sv, c.cid, ${pqSubDist("t.sv", "c.vec", len)} " +
+      s"AS dist FROM $src t CROSS JOIN $cents c)) WHERE rk = 1)"
+
+  private def pqUpdateCte(name: String, assigned: String,
+      len: Int): String =
+    s"$name AS (SELECT cid, list(m ORDER BY pos) AS vec FROM " +
+      s"(SELECT cid, j AS pos, round(avg(sv[j]), 6) AS m FROM $assigned, " +
+      s"(SELECT unnest(range(1, ${len + 1})) AS j) GROUP BY cid, j) " +
+      "GROUP BY cid)"
+
+  /** Full PQ chain replay ([[operators.Similarity.trainPq]] →
+    * [[operators.Similarity.pqEncode]] →
+    * [[operators.Similarity.pqAdcTopK]]): per subspace — init from the
+    * k smallest vec_ids' subvectors, two Lloyd updates on the 1e-6
+    * grid, final argmin code — then the ADC score as the SAME left-fold
+    * partial dots of the query's subvectors with each assigned
+    * centroid, summed in ascending subspace order (IEEE-exact both
+    * sides). Same empty-cluster divergence bound as [[q87Kmeans]]:
+    * agreement requires every cluster populated, which the fixture
+    * satisfies (the gate goes red if a regeneration breaks it).
+    */
+  def q128PqAdc(m: Int, kCent: Int, dim: Int, topK: Int): String = {
+    val sub = dim / m
+    val perSub = (0 until m).flatMap { s =>
+      val lo = s * sub
+      Seq(
+        s"se$s AS (SELECT vec_id, v[${lo + 1}:${lo + sub}] AS sv FROM e)",
+        s"c0_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 " +
+          "AS INTEGER) AS cid, sv AS vec FROM " +
+          s"(SELECT vec_id, sv FROM se$s ORDER BY vec_id LIMIT $kCent))",
+        pqAssignCte(s"a1_$s", s"se$s", s"c0_$s", sub),
+        pqUpdateCte(s"c1_$s", s"a1_$s", sub),
+        pqAssignCte(s"a2_$s", s"se$s", s"c1_$s", sub),
+        pqUpdateCte(s"c2_$s", s"a2_$s", sub),
+        pqAssignCte(s"code_$s", s"se$s", s"c2_$s", sub),
+        s"d_$s AS (SELECT k.vec_id, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, ${sub + 1}), " +
+          s"j -> c.vec[j] * q.v[${lo} + j])), (a, x) -> a + x) AS d " +
+          s"FROM code_$s k JOIN c2_$s c ON c.cid = k.cid, qv q)")
+    }
+    val joins = (1 until m)
+      .map(s => s"JOIN d_$s USING (vec_id)").mkString(" ")
+    val sumExpr = (0 until m).map(s => s"d_$s.d")
+      .reduceLeft((a, b) => s"($a + $b)")
+    withClause(Seq(
+      "e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      "qv AS (SELECT v FROM e WHERE vec_id = 0)") ++ perSub,
+      s"SELECT vec_id, round($sumExpr, 4) AS adc_score " +
+        s"FROM d_0 $joins " +
+        s"ORDER BY adc_score DESC, vec_id LIMIT $topK")
+  }
+
   /** Trained-SemDeDup replay (the q85 pair fragment over q87's TRAINED
     * centroids, with top-2 multi-assignment): every vector takes its two
     * L2-nearest c2 centroids; pairs meet in any shared list (a.id < b.id

@@ -1834,6 +1834,25 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Product quantization end-to-end: per-subspace k-means codebooks
+    // (16 × 4-dim subspaces, 16 centroids, 2 Lloyd updates — measured
+    // recall@10 0.6 vs exact dot at a 16-byte code, the saturation
+    // point of the param sweep on this near-random fixture) → m-int
+    // codes → ADC top-10 for the vec_id-0 query — the scan reads ONLY
+    // the code table, scoring by m literal-table lookups; the whole
+    // train→encode→query chain replays in the oracle
+    "q128_pq_adc_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val model = Similarity.trainPq(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 2)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0).toSeq
+      Similarity.pqAdcTopK(
+        Similarity.pqEncode(emb, "vec_id", "embedding", model),
+        "vec_id", qv, model, k = 10)
+    }),
+
     // Quality-aware canonical re-election over the q51 dedup clusters:
     // the LONGEST member of each multi-member cluster survives (ties
     // on id) — the FineWeb keep rule replacing min-id retention; one
@@ -2228,6 +2247,7 @@ object SparkEntry {
     "q33_multimodal_features" -> HashOracles.q33MultimodalFeatures,
     "q51_dedup_corpus" -> HashOracles.q51DedupCorpus,
     "q127_keep_best_dedup" -> HashOracles.q127KeepBestDedup,
+    "q128_pq_adc_topk" -> HashOracles.q128PqAdc(16, 16, 64, 10),
     "q52_simhash_pairs" -> HashOracles.q52SimhashPairs,
     "q53_lsh_topk" -> HashOracles.q53LshTopK,
     "q54_simhash_blocked" -> HashOracles.q54SimhashBlocked,

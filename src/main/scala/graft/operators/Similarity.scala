@@ -161,6 +161,84 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- product quantization (Jégou et al. 2011) ---------------------
+
+  /** PQ codebooks: `codebooks(s)(c)` is centroid `c` of subspace `s` —
+    * `m` sub-codebooks of `k` centroids over `subDim`-dim subvectors,
+    * each trained with [[Clustering.kmeansCentroids]] (deterministic
+    * init, centroids on the 1e-6 grid — what lets an oracle replay the
+    * whole train→encode→query chain). The model is `m·k·subDim`
+    * doubles — a driver/broadcast fact like an IVF centroid matrix.
+    */
+  final case class PqModel(subDim: Int, codebooks: Seq[Seq[Seq[Double]]])
+
+  /** Train PQ codebooks: split each vector into `m` contiguous
+    * `dim/m`-dim subvectors and run Lloyd's independently per subspace.
+    * `m` small (4–16) and `k` ≤ 256 is the published regime — codes
+    * compress a vector to `m` small ints, the representation that makes
+    * a 100 TB ANN scan touch bytes per vector instead of `dim` floats.
+    */
+  def trainPq(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 16, iters: Int = 2,
+      dim: Int = 64): PqModel = {
+    require(m >= 1 && dim % m == 0, s"m $m must divide dim $dim")
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      Clustering.kmeansCentroids(
+        vectors.select(col(idCol),
+          slice(transform(col(vecCol), x => x.cast("double")),
+            s * subDim + 1, subDim).as("__pq_sub")),
+        idCol, "__pq_sub", k, iters)
+    }
+    PqModel(subDim, books)
+  }
+
+  /** Every row plus `codes` (array of `m` sub-centroid ids): per
+    * subspace, the L2-nearest codebook entry with the
+    * [[Clustering.nearestLists]] (dist, cid) tie-break. Map-only — the
+    * codebooks travel as literals; nothing shuffles.
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val codes = array(model.codebooks.zipWithIndex.map { case (cb, s) =>
+      Clustering.nearestLists(
+        slice(v, s * model.subDim + 1, model.subDim), cb, 1).getItem(0)
+    }: _*)
+    vectors.withColumn("codes", codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-`k` over PQ codes: the query's
+    * partial dot with EVERY codebook entry is precomputed driver-side
+    * into an `m × k` table (m·k doubles — bounded by config), and each
+    * encoded vector scores as the sum of `m` literal-table lookups —
+    * the scan never reads a float vector, only the code array (the PQ
+    * promise at 100 TB: the code table is what fits in memory/cache).
+    * Scores round to the 1e-4 grid, ties break by id, and the pick
+    * plans as a TakeOrdered heap. Partial-dot and cross-subspace sums
+    * are LEFT FOLDS in ascending position/subspace order, so an oracle
+    * replays the IEEE arithmetic exactly.
+    */
+  def pqAdcTopK(encoded: DataFrame, idCol: String,
+      queryVec: Seq[Double], model: PqModel, k: Int): DataFrame = {
+    val m = model.codebooks.size
+    require(queryVec.length == m * model.subDim,
+      s"query dim ${queryVec.length} != ${m * model.subDim}")
+    val table: Seq[Seq[Double]] = model.codebooks.zipWithIndex.map {
+      case (cb, s) =>
+        val qs = queryVec.slice(s * model.subDim, (s + 1) * model.subDim)
+        cb.map(c => c.zip(qs).foldLeft(0.0) { case (a, (x, q)) =>
+          a + x * q
+        })
+    }
+    val score = (0 until m).map(s =>
+      get(typedLit(table(s)), col("codes").getItem(s))).reduce(_ + _)
+    encoded
+      .select(col(idCol), round(score, 4).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic near-dup pairs: coarse-cluster every vector
     * to its best IVF list ([[assignLists]] — deterministic centroids, no
     * training pass), then score pairwise cosine WITHIN each list only.
