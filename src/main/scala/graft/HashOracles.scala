@@ -875,9 +875,12 @@ object HashOracles {
     * agreement requires every cluster populated, which the fixture
     * satisfies (the gate goes red if a regeneration breaks it).
     */
-  def q128PqAdc(m: Int, kCent: Int, dim: Int, topK: Int): String = {
+  /** The shared per-subspace train→code→partial-dot CTE chain (assumes
+    * `e(vec_id, v)` and `qv(v)` exist), plus the join/sum tail.
+    */
+  private def pqChainCtes(m: Int, kCent: Int, dim: Int): Seq[String] = {
     val sub = dim / m
-    val perSub = (0 until m).flatMap { s =>
+    (0 until m).flatMap { s =>
       val lo = s * sub
       Seq(
         s"se$s AS (SELECT vec_id, v[${lo + 1}:${lo + sub}] AS sv FROM e)",
@@ -895,18 +898,55 @@ object HashOracles {
           s"j -> c.vec[j] * q.v[${lo} + j])), (a, x) -> a + x) AS d " +
           s"FROM code_$s k JOIN c2_$s c ON c.cid = k.cid, qv q)")
     }
-    val joins = (1 until m)
-      .map(s => s"JOIN d_$s USING (vec_id)").mkString(" ")
-    val sumExpr = (0 until m).map(s => s"d_$s.d")
-      .reduceLeft((a, b) => s"($a + $b)")
+  }
+
+  private def pqJoins(m: Int): String =
+    (1 until m).map(s => s"JOIN d_$s USING (vec_id)").mkString(" ")
+
+  private def pqSumExpr(m: Int): String =
+    (0 until m).map(s => s"d_$s.d").reduceLeft((a, b) => s"($a + $b)")
+
+  def q128PqAdc(m: Int, kCent: Int, dim: Int, topK: Int): String =
     withClause(Seq(
       "e AS (SELECT vec_id, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-      "qv AS (SELECT v FROM e WHERE vec_id = 0)") ++ perSub,
-      s"SELECT vec_id, round($sumExpr, 4) AS adc_score " +
-        s"FROM d_0 $joins " +
+      "qv AS (SELECT v FROM e WHERE vec_id = 0)") ++
+      pqChainCtes(m, kCent, dim),
+      s"SELECT vec_id, round(${pqSumExpr(m)}, 4) AS adc_score " +
+        s"FROM d_0 ${pqJoins(m)} " +
         s"ORDER BY adc_score DESC, vec_id LIMIT $topK")
-  }
+
+  /** IVF-PQ replay ([[operators.Similarity.assignLists]] +
+    * [[operators.Similarity.ivfPqTopK]]): the q85 deterministic-plane
+    * argmax assigns every vector its list (ties to the LARGER id — the
+    * bestLists pick); the query's `nProbe` best lists come from the
+    * same projection fold ranked (pr DESC, p DESC); the PQ chain then
+    * scores ONLY vectors in probed lists.
+    */
+  def q129IvfPq(m: Int, kCent: Int, dim: Int, nLists: Int, nProbe: Int,
+      topK: Int): String =
+    withClause(Seq(
+      "e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      "qv AS (SELECT v FROM e WHERE vec_id = 0)") ++
+      planesCtes(nLists, dim) ++ Seq(
+      "proj AS (SELECT e.vec_id, " +
+        s"${projection("e.v")} AS pr, pv.p " +
+        "FROM e CROSS JOIN pv pv)",
+      "asg AS (SELECT vec_id, p AS list_id FROM " +
+        "(SELECT vec_id, p, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk " +
+        "FROM proj) WHERE rk = 1)",
+      "qproj AS (SELECT pv.p, " +
+        s"${projection("q.v")} AS pr FROM qv q CROSS JOIN pv pv)",
+      s"probes AS (SELECT p FROM qproj ORDER BY pr DESC, p DESC " +
+        s"LIMIT $nProbe)") ++
+      pqChainCtes(m, kCent, dim),
+      s"SELECT vec_id, round(${pqSumExpr(m)}, 4) AS adc_score " +
+        s"FROM d_0 ${pqJoins(m)} " +
+        "JOIN asg USING (vec_id) " +
+        "WHERE asg.list_id IN (SELECT p FROM probes) " +
+        s"ORDER BY adc_score DESC, vec_id LIMIT $topK")
 
   /** Trained-SemDeDup replay (the q85 pair fragment over q87's TRAINED
     * centroids, with top-2 multi-assignment): every vector takes its two

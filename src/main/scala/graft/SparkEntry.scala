@@ -1853,6 +1853,25 @@ object SparkEntry {
         "vec_id", qv, model, k = 10)
     }),
 
+    // IVF-PQ: the FAISS composition — deterministic-plane coarse lists
+    // cut candidates to nProbe/nLists of the corpus, ADC reranks the
+    // survivors by code-table lookups; probe choice is driver-side
+    // over the plane matrix (literal isin → partition-prunable at
+    // rest); train→assign→encode→probe→score replays in one oracle
+    "q129_ivf_pq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val model = Similarity.trainPq(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 2)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0).toSeq
+      val enc = Similarity.pqEncode(
+        Similarity.assignLists(emb, "embedding", nLists = 16),
+        "vec_id", "embedding", model)
+      Similarity.ivfPqTopK(enc, "vec_id", qv, model, k = 10,
+        nLists = 16, nProbe = 4)
+    }),
+
     // Quality-aware canonical re-election over the q51 dedup clusters:
     // the LONGEST member of each multi-member cluster survives (ties
     // on id) — the FineWeb keep rule replacing min-id retention; one
@@ -2248,6 +2267,7 @@ object SparkEntry {
     "q51_dedup_corpus" -> HashOracles.q51DedupCorpus,
     "q127_keep_best_dedup" -> HashOracles.q127KeepBestDedup,
     "q128_pq_adc_topk" -> HashOracles.q128PqAdc(16, 16, 64, 10),
+    "q129_ivf_pq_topk" -> HashOracles.q129IvfPq(16, 16, 64, 16, 4, 10),
     "q52_simhash_pairs" -> HashOracles.q52SimhashPairs,
     "q53_lsh_topk" -> HashOracles.q53LshTopK,
     "q54_simhash_blocked" -> HashOracles.q54SimhashBlocked,

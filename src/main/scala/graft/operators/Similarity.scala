@@ -239,6 +239,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ — the FAISS composition of the two approximations: coarse
+    * inverted-list probe (the IVF candidate cut) + ADC rerank over PQ
+    * codes (the [[pqAdcTopK]] scan that never reads a float vector).
+    * `encoded` carries `list_id` ([[assignLists]]) and `codes`
+    * ([[pqEncode]]); the probe choice is driver-side arithmetic over
+    * the deterministic plane matrix — same left-fold dot as the
+    * assignment side, ties to the larger list id exactly like
+    * [[bestLists]] — so the probe set is a LITERAL `isin` filter
+    * (static partition pruning when the codes are at rest partitioned
+    * by list). At 100 TB this is the standard shape: the probe cuts
+    * candidates by ~nProbe/nLists, and each candidate costs m byte
+    * lookups instead of dim float multiplies.
+    */
+  def ivfPqTopK(encoded: DataFrame, idCol: String,
+      queryVec: Seq[Double], model: PqModel, k: Int, nLists: Int = 16,
+      nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    val cents = VF.deterministicPlanes(nLists, dim)
+    val probes = cents.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(queryVec).foldLeft(0.0) { case (a, (x, q)) =>
+          a + x * q
+        }, i)
+      }
+      .sortBy { case (d, i) => (-d, -i) }
+      .take(nProbe).map(_._2)
+    pqAdcTopK(encoded.filter(col("list_id").isin(probes: _*)),
+      idCol, queryVec, model, k)
+  }
+
   /** SemDeDup-style semantic near-dup pairs: coarse-cluster every vector
     * to its best IVF list ([[assignLists]] — deterministic centroids, no
     * training pass), then score pairwise cosine WITHIN each list only.

@@ -306,6 +306,27 @@ class SimilaritySpec extends SparkSpec {
     info(s"PQ ADC recall@10 vs exact dot: $recall")
     assert(recall >= 0.5,
       s"ADC recall collapsed: $recall (overlap ${adcTop.intersect(exactTop)})")
+
+    // IVF-PQ composition: probing every list degenerates to the plain
+    // ADC scan; a partial probe's answers are confined to probed lists
+    val ivfEnc = Similarity.pqEncode(
+      Similarity.assignLists(emb, "embedding", nLists = 16),
+      "vec_id", "embedding", rm)
+    val full = Similarity.ivfPqTopK(ivfEnc, "vec_id", qvec, rm,
+        k = 10, nLists = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Similarity.pqAdcTopK(ivfEnc, "vec_id", qvec, rm, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === plain, "full probe must equal the plain ADC scan")
+    val partial = Similarity.ivfPqTopK(ivfEnc, "vec_id", qvec, rm,
+        k = 10, nLists = 16, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.nonEmpty && partial.contains(0L),
+      "the query's own vector must survive probing")
+    val lists = ivfEnc.select(col("vec_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(partial.map(lists).size <= 2,
+      s"answers spanned lists ${partial.map(lists)} — no pruning")
   }
 
   test("embedding decontamination flags exactly the corpus vectors with " +
