@@ -1872,6 +1872,25 @@ object SparkEntry {
         nLists = 16, nProbe = 4)
     }),
 
+    // Persisted IVF-PQ: write the codes-only index + codebook sidecar
+    // to disk, answer from the INDEX — the disk round-trip must be
+    // semantically invisible, so the oracle is q129's in-memory replay
+    // verbatim (the q109 fold precedent)
+    "q130_ivf_pq_index_query" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val model = Similarity.trainPq(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q130_ivfpq").getAbsolutePath
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
+        model, nLists = 16)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0).toSeq
+      Similarity.ivfPqTopKIndexed(s, path, qv, k = 10, nProbe = 4)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     // Quality-aware canonical re-election over the q51 dedup clusters:
     // the LONGEST member of each multi-member cluster survives (ties
     // on id) — the FineWeb keep rule replacing min-id retention; one
@@ -2268,6 +2287,9 @@ object SparkEntry {
     "q127_keep_best_dedup" -> HashOracles.q127KeepBestDedup,
     "q128_pq_adc_topk" -> HashOracles.q128PqAdc(16, 16, 64, 10),
     "q129_ivf_pq_topk" -> HashOracles.q129IvfPq(16, 16, 64, 16, 4, 10),
+    // disk round-trip must be invisible: q129's replay verbatim
+    "q130_ivf_pq_index_query" ->
+      HashOracles.q129IvfPq(16, 16, 64, 16, 4, 10),
     "q52_simhash_pairs" -> HashOracles.q52SimhashPairs,
     "q53_lsh_topk" -> HashOracles.q53LshTopK,
     "q54_simhash_blocked" -> HashOracles.q54SimhashBlocked,

@@ -254,9 +254,18 @@ object Similarity {
     */
   def ivfPqTopK(encoded: DataFrame, idCol: String,
       queryVec: Seq[Double], model: PqModel, k: Int, nLists: Int = 16,
-      nProbe: Int = 4, dim: Int = 64): DataFrame = {
-    val cents = VF.deterministicPlanes(nLists, dim)
-    val probes = cents.zipWithIndex
+      nProbe: Int = 4, dim: Int = 64): DataFrame =
+    pqAdcTopK(encoded.filter(col("list_id")
+        .isin(pqProbeLists(queryVec, nLists, dim, nProbe): _*)),
+      idCol, queryVec, model, k)
+
+  /** The query's `nProbe` best coarse lists: driver-side left-fold dots
+    * against the deterministic plane matrix, ranked (dot desc, id desc)
+    * — the [[bestLists]] tie, and the fold order the oracle replays.
+    */
+  private def pqProbeLists(queryVec: Seq[Double], nLists: Int, dim: Int,
+      nProbe: Int): Seq[Int] =
+    VF.deterministicPlanes(nLists, dim).zipWithIndex
       .map { case (c, i) =>
         (c.zip(queryVec).foldLeft(0.0) { case (a, (x, q)) =>
           a + x * q
@@ -264,8 +273,79 @@ object Similarity {
       }
       .sortBy { case (d, i) => (-d, -i) }
       .take(nProbe).map(_._2)
-    pqAdcTopK(encoded.filter(col("list_id").isin(probes: _*)),
-      idCol, queryVec, model, k)
+
+  val PqMetaFile = "_graft_pq.json"
+
+  /** Persist an IVF-PQ index: CODES-ONLY lists `(id, codes)`
+    * partitioned by coarse list, plus a sidecar carrying the PQ
+    * codebooks and coarse config — the at-rest ANN artifact where each
+    * vector costs `m` small ints instead of `dim` floats (a 64-dim
+    * float row is 256 B; the m=16 code row is ~16 B — the 100 TB form).
+    * Codebooks are stored FLAT (m·k rows of subDim doubles,
+    * subspace-major) so the reader reuses the 2-level matrix parse;
+    * `Double.toString` round-trips bit-exactly (the [[writeIvfIndex]]
+    * device — an out-of-band codebook would be silent recall collapse).
+    */
+  def writeIvfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, model: PqModel, nLists: Int = 16,
+      dim: Int = 64): Unit = {
+    val m = model.codebooks.size
+    val kCent = model.codebooks.head.size
+    require(model.codebooks.forall(_.size == kCent), "ragged codebooks")
+    pqEncode(assignLists(vectors, vecCol, nLists, dim), idCol, vecCol,
+        model)
+      .select(col(idCol).as("id"), col("codes"), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/lists")
+    val body = model.codebooks.flatten
+      .map(_.map(d => java.lang.Double.toString(d))
+        .mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    graft.sources.Sidecar.write(vectors.sparkSession,
+      s"$path/$PqMetaFile",
+      s"""{"m":$m,"k":$kCent,"subDim":${model.subDim},""" +
+        s""""nLists":$nLists,"dim":$dim,"books":$body}""")
+  }
+
+  /** The PQ model and coarse config a persisted index was written with:
+    * `(model, nLists, dim)`.
+    */
+  def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (PqModel, Int, Int) = {
+    val text = graft.sources.Sidecar
+      .read(spark, s"$path/$PqMetaFile")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $PqMetaFile under $path - not a graft IVF-PQ index"))
+    def intField(name: String): Int = {
+      val m = ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(text)
+      require(m.isDefined, s"$PqMetaFile under $path lacks $name: $text")
+      m.get.group(1).toInt
+    }
+    val kCent = intField("k")
+    val start = text.indexOf("\"books\":[[")
+    require(start >= 0, s"$PqMetaFile under $path lacks books: $text")
+    val flat = text.substring(start + 10, text.lastIndexOf("]]"))
+      .split("\\],\\[").toSeq
+      .map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
+    (PqModel(intField("subDim"), flat.grouped(kCent).toSeq),
+      intField("nLists"), intField("dim"))
+  }
+
+  /** ADC top-k against a persisted IVF-PQ index: probe lists chosen
+    * driver-side from the sidecar's OWN config (a literal `isin` —
+    * static partition pruning at file-listing time), each probed row
+    * scored by `m` code-table lookups. The scan reads codes only; no
+    * float vector exists anywhere in the index.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, query: Seq[Double], k: Int,
+      nProbe: Int): DataFrame = {
+    val (model, nLists, dim) = readIvfPqMeta(spark, path)
+    pqAdcTopK(spark.read.parquet(s"$path/lists")
+        .filter(col("list_id")
+          .isin(pqProbeLists(query, nLists, dim, nProbe): _*)),
+      "id", query, model, k)
   }
 
   /** SemDeDup-style semantic near-dup pairs: coarse-cluster every vector

@@ -231,4 +231,46 @@ class IvfIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a graft IVF index"))
   }
+
+  test("persisted IVF-PQ index: sidecar model round-trips bit-" +
+      "identically, indexed query == in-memory query, probes prune " +
+      "files, wrong path fails fast") {
+    val model = Similarity.trainPq(vectors, "vec_id", "embedding",
+      m = 16, k = 16, iters = 2)
+    val dir = Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.writeIvfPqIndex(vectors, "vec_id", "embedding", dir,
+      model, nLists = 16)
+    val (back, nLists, dim) = Similarity.readIvfPqMeta(spark, dir)
+    assert(back === model && nLists === 16 && dim === 64)
+
+    val mem = Similarity.ivfPqTopK(
+        Similarity.pqEncode(
+          Similarity.assignLists(vectors, "embedding", nLists = 16),
+          "vec_id", "embedding", model),
+        "vec_id", queryVec, model, k = 10, nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = Similarity.ivfPqTopKIndexed(spark, dir, queryVec,
+        k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(idx === mem,
+      s"disk round-trip changed the answer: $idx vs $mem")
+
+    val probe = Similarity.ivfPqTopKIndexed(spark, dir, queryVec,
+      k = 10, nProbe = 2)
+    probe.collect()
+    val allFiles = spark.read.parquet(s"$dir/lists").inputFiles.length
+    val scanned = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    assert(scanned.exists(_ < allFiles),
+      s"probe scanned $scanned of $allFiles files - no pruning")
+
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark,
+        Files.createTempDirectory("graft-ivfpq-bad").toString,
+        queryVec, k = 10, nProbe = 1)
+    }
+    assert(e.getMessage.contains("not a graft IVF-PQ index"))
+  }
 }
