@@ -506,7 +506,12 @@ object HashOracles {
     * by (signed splitmix64(doc_id), doc_id) with a running token sum
     * against the remaining budget.
     */
-  def q79TokenBudget(scoreSql: String, budget: Long): String = {
+  /** The token-budget selection chain, ending in
+    * `sel(doc_id, score, n)` — shared by q79 (accounting tail) and
+    * q131 (packing tail).
+    */
+  private def budgetSelCtes(scoreSql: String,
+      budget: Long): Seq[String] = {
     val head = Seq(
       s"base AS (SELECT doc_id, $scoreSql AS score, " +
         s"len($Toks) AS n FROM documents)",
@@ -526,7 +531,7 @@ object HashOracles {
         val prev = if (i == 0) "bd" else s"bm${i - 1}"
         s"bm$i AS ($body FROM $prev)"
       }
-    val tail = Seq(
+    head ++ mixed ++ Seq(
       s"bsel AS (SELECT r.doc_id, r.score, r.n FROM " +
         s"(SELECT doc_id, score, n, sum(n) OVER (ORDER BY " +
         s"${toSigned("z")}, doc_id ROWS UNBOUNDED PRECEDING) AS cumn " +
@@ -534,11 +539,33 @@ object HashOracles {
       "sel AS (SELECT b.doc_id, b.score, b.n FROM base b " +
         "JOIN fullb USING (score) " +
         "UNION ALL SELECT doc_id, score, n FROM bsel)")
-    withClause(head ++ mixed ++ tail,
+  }
+
+  def q79TokenBudget(scoreSql: String, budget: Long): String =
+    withClause(budgetSelCtes(scoreSql, budget),
       "SELECT count(*) AS n_selected, " +
         "CAST(coalesce(sum(n), 0) AS BIGINT) AS total_tokens, " +
         "coalesce(min(score), -1) AS min_score FROM sel")
-  }
+
+  /** Capstone #8 replay: the q79 budget selection chained into the
+    * q125 concat-and-chunk packing of the SURVIVORS (id order, running
+    * offset, integer floor-division spans), summarized per sequence —
+    * every sequence must fill to `seqLen` except the last.
+    */
+  def q131SelectAndPack(scoreSql: String, budget: Long,
+      seqLen: Int): String =
+    withClause(budgetSelCtes(scoreSql, budget) ++ Seq(
+      "soff AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS BIGINT) AS o FROM sel WHERE n > 0)",
+      s"sp AS (SELECT doc_id, n, o, unnest(range(o // $seqLen, " +
+        s"(o + n - 1) // $seqLen + 1)) AS seq_id FROM soff)",
+      s"spans AS (SELECT seq_id, doc_id, " +
+        s"least(o + n, (seq_id + 1) * $seqLen) - " +
+        s"greatest(o, seq_id * $seqLen) AS t FROM sp)"),
+      "SELECT seq_id, count(*) AS n_docs, " +
+        "CAST(sum(t) AS BIGINT) AS n_tokens FROM spans " +
+        "GROUP BY seq_id ORDER BY seq_id")
 
   /** Bloom-decontamination replay: rebuilds the EXACT bitmap the Spark
     * side builds (bit j of gram g at `splitmix64(fnv1a64(g) XOR j) mod

@@ -1891,6 +1891,23 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
     }),
 
+    // Capstone #8: select-then-pack — the last mile of the training-
+    // data story: budget the best-scoring docs to 20k tokens (q79's
+    // two-phase selection), concat-and-chunk the survivors into
+    // 128-token sequences, account per sequence (every sequence full
+    // except the last — the shard-writer audit)
+    "q131_select_and_pack" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("score", TF.qualityScore(col("text"), col("n_chars")))
+        .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+      val sel = graft.operators.CorpusSelection.selectByTokenBudget(
+        docs, "doc_id", "score", "n_tokens", budget = 20000L)
+      graft.operators.Packing.sequenceFill(
+          graft.operators.Packing.packSequences(sel, "doc_id", "text",
+            seqLen = 128))
+        .orderBy(col("seq_id"))
+    }),
+
     // Quality-aware canonical re-election over the q51 dedup clusters:
     // the LONGEST member of each multi-member cluster survives (ties
     // on id) — the FineWeb keep rule replacing min-id retention; one
@@ -2290,6 +2307,13 @@ object SparkEntry {
     // disk round-trip must be invisible: q129's replay verbatim
     "q130_ivf_pq_index_query" ->
       HashOracles.q129IvfPq(16, 16, 64, 16, 4, 10),
+    "q131_select_and_pack" -> HashOracles.q131SelectAndPack(
+      s"""2 * ${hitsSql(TF.EnStop)}
+         | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END
+         | + CASE WHEN 20 * (length(text) -
+         |     length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) <= n_chars
+         |   THEN 3 ELSE 0 END""".stripMargin,
+      budget = 20000L, seqLen = 128),
     "q52_simhash_pairs" -> HashOracles.q52SimhashPairs,
     "q53_lsh_topk" -> HashOracles.q53LshTopK,
     "q54_simhash_blocked" -> HashOracles.q54SimhashBlocked,
