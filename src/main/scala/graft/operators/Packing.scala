@@ -38,7 +38,10 @@ object Packing {
     * document (0-based) land in sequence `seq_id` starting at offset
     * `seq_off` within the sequence. Zero-token documents emit no rows
     * (they contribute nothing to the stream). The final sequence is
-    * partial unless the total token count divides `seqLen`.
+    * partial unless the total token count divides `seqLen`. Ids must
+    * be UNIQUE (the library-wide id contract): duplicate ids would
+    * make the within-bucket running total's tie order — and therefore
+    * which duplicate gets which offset — nondeterministic.
     *
     * `tokensCol` joins the tokenize-once contract (see
     * [[CorpusPipeline.prepare]]): pass a materialized token-array

@@ -21,6 +21,14 @@ object PackStream {
   /** Per-micro-batch packed spans: `sink(packed, batchId)` receives
     * [[Packing.packSequences]] of each batch at the carried offset.
     * Start the returned writer to run the query.
+    *
+    * Restart caveat (deliberate): the carried offset lives in this
+    * writer's closure, NOT in checkpointed state — a restarted query
+    * re-packs from offset 0. A deployment that must survive restarts
+    * persists the offset alongside each batch's output (it is one
+    * long; the last batch's `max(seq_id · seqLen + seq_off + span)`
+    * reconstructs it) and passes it to a fresh `packSequences` via
+    * `startOffset` — the same seam the spec drives.
     */
   def packBatches(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Int)(sink: (DataFrame, Long) => Unit)
