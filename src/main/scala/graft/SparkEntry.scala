@@ -1908,6 +1908,17 @@ object SparkEntry {
         .orderBy(col("seq_id"))
     }),
 
+    // Packed-sequence payloads: the ACTUAL shard-writer output —
+    // every 64-token sequence's token stream assembled from the span
+    // table and gated byte-exactly via md5 (the q118 device); one
+    // tokenize pass feeds both the offsets and the chunk slicing
+    "q132_packed_payloads" -> ((s, dir) =>
+      graft.operators.Packing.packedSequenceTexts(
+          T(s, dir, "documents"), "doc_id", "text", seqLen = 64)
+        .select(col("seq_id"), col("n_tokens"),
+          md5(concat_ws(" ", col("toks"))).as("seq_md5"))
+        .orderBy(col("seq_id"))),
+
     // Quality-aware canonical re-election over the q51 dedup clusters:
     // the LONGEST member of each multi-member cluster survives (ties
     // on id) — the FineWeb keep rule replacing min-id retention; one
@@ -2307,6 +2318,29 @@ object SparkEntry {
     // disk round-trip must be invisible: q129's replay verbatim
     "q130_ivf_pq_index_query" ->
       HashOracles.q129IvfPq(16, 16, 64, 16, 4, 10),
+    // q125's offset chain carrying the token lists; each sequence's
+    // payload = its chunks stitched in seq_off order, md5 over the
+    // space-joined stream (ASCII corpus: DuckDB md5(text) == Spark)
+    "q132_packed_payloads" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |off AS (SELECT doc_id, t, len(t) AS L, CAST(coalesce(sum(len(t))
+         |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |     AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM tk WHERE len(t) > 0),
+         |sp AS (SELECT doc_id, t, L, o,
+         |  unnest(range(o // 64, (o + L - 1) // 64 + 1)) AS seq_id
+         |  FROM off),
+         |ch AS (SELECT seq_id,
+         |  greatest(o, seq_id * 64) - seq_id * 64 AS seq_off,
+         |  least(o + L, (seq_id + 1) * 64) - greatest(o, seq_id * 64)
+         |    AS n,
+         |  array_to_string(t[greatest(o, seq_id * 64) - o + 1 :
+         |    least(o + L, (seq_id + 1) * 64) - o], ' ') AS chunk
+         |  FROM sp)
+         |SELECT seq_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(chunk, ' ' ORDER BY seq_off)) AS seq_md5
+         |FROM ch GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
     "q131_select_and_pack" -> HashOracles.q131SelectAndPack(
       s"""2 * ${hitsSql(TF.EnStop)}
          | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END

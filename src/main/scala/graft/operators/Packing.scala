@@ -112,4 +112,41 @@ object Packing {
     packed.groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_to") - col("doc_from")).as("n_tokens"))
+
+  /** Materialized sequence payloads — the actual shard-writer output:
+    * one row per sequence `(seq_id, n_tokens, toks)` with the
+    * sequence's tokens in stream order, assembled by slicing each
+    * overlapping document's token array at its [[packSequences]] span
+    * and stitching the chunks by `seq_off`.
+    *
+    * 100 TB shape: the corpus tokenizes ONCE (the array is materialized
+    * into a scope-registered cache consumed by both the span arithmetic
+    * and the chunk join); the span→tokens join is an un-hinted id
+    * equi-join; assembly is one groupBy(seq_id) whose per-group chunk
+    * list is bounded by the documents overlapping ONE sequence
+    * (~seqLen/avg_doc_len + 1 — config-sized, never corpus-sized).
+    */
+  def packedSequenceTexts(docs: DataFrame, idCol: String,
+      textCol: String, seqLen: Int, tokensCol: Option[String] = None,
+      bucketShift: Int = 16): DataFrame = {
+    val base = graft.CacheScope.register(docs
+      .withColumn("__pk_t",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol), col("__pk_t"))
+      .persist())
+    // textCol is never evaluated when tokensCol is supplied, so `base`
+    // (id + token array only) is a valid packSequences input
+    val spans = packSequences(base, idCol, textCol, seqLen,
+      Some("__pk_t"), bucketShift)
+    spans.join(base, Seq(idCol))
+      .select(col("seq_id"), col("seq_off"),
+        slice(col("__pk_t"), col("doc_from") + 1,
+          col("doc_to") - col("doc_from")).as("chunk"))
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("seq_off"), col("chunk")))),
+        s => s.getField("chunk"))).as("toks"))
+      .select(col("seq_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"))
+  }
 }

@@ -223,9 +223,19 @@ object Sketches {
 
   /** Bucket-wise sum of two histograms (shard merge — exact, order-
     * free, associative; the same contract as [[countMinMerge]]).
+    * UNGROUPED histograms only — merging [[logHistBuildBy]] tables
+    * through this would collapse the group key; use [[logHistMergeBy]].
     */
   def logHistMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-group bucket-wise sum — the [[logHistMerge]] contract keyed,
+    * for [[logHistBuildBy]] tables.
+    */
+  def logHistMergeBy(a: DataFrame, b: DataFrame,
+      keyCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
 
   /** Quantile readout of a [[logHistBuild]] histogram: one row per
     * requested percent `(pct, n_items, rank, bucket, est_hi)` where

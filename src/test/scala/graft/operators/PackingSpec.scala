@@ -85,4 +85,39 @@ class PackingSpec extends SparkSpec {
         r.getLong(3), r.getLong(4)))
     assert(alt.sorted.toSeq === rows.sorted.toSeq)
   }
+
+  test("packedSequenceTexts: payloads are the concatenated stream, cut " +
+      "exactly at sequence boundaries") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "d e f g"),
+      (3L, "h i")
+    ).toDF("doc_id", "text")
+    val out = Packing.packedSequenceTexts(docs, "doc_id", "text",
+        seqLen = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2))))
+      .toMap
+    assert(out === Map(
+      0L -> ((5L, Seq("a", "b", "c", "d", "e"))),
+      1L -> ((4L, Seq("f", "g", "h", "i")))))
+
+    // stream identity on a larger corpus: sequences in order, flattened,
+    // equal the documents' tokens in id order, flattened
+    val big = (0L until 30L)
+      .map(d => (d, (0 until (d % 7 + 1).toInt).map(k => s"w${d}_$k")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val seqs = Packing.packedSequenceTexts(big, "doc_id", "text",
+        seqLen = 11)
+      .orderBy(col("seq_id")).collect()
+      .flatMap(_.getSeq[String](2))
+    val stream = big.orderBy(col("doc_id"))
+      .select(graft.functions.TextFunctions.tokens(col("text")))
+      .collect().flatMap(_.getSeq[String](0))
+    assert(seqs.toSeq === stream.toSeq,
+      "reassembled sequences must reproduce the exact token stream")
+  }
 }
