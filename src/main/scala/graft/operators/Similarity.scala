@@ -94,7 +94,7 @@ object Similarity {
     * and the query probe path ([[ivfTopK]]); a divergence between the
     * two would silently destroy probe recall.
     */
-  private def bestLists(v: org.apache.spark.sql.Column,
+  private[graft] def bestLists(v: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]], take: Int) = {
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(VF.dot(v, typedLit(c)).as("score"), lit(i).as("list_id"))

@@ -57,6 +57,48 @@ object AnnStream {
       .select(col(idCol), col("index_id"), col("list_id"), col("cos"))
   }
 
+  /** Streaming ADC against a persisted IVF-PQ index
+    * ([[Similarity.writeIvfPqIndex]]): arriving QUERY vectors probe
+    * their `nProbe` best coarse lists map-only (the plane matrix
+    * travels as a literal — [[Similarity.bestLists]], the same probe
+    * definition the batch query path uses), stream-static join the
+    * CODES-ONLY lists, and score by `m` codebook folds per candidate —
+    * the index side still never materializes a float vector. A
+    * per-query driver-side lookup table (the [[Similarity.pqAdcTopK]]
+    * device) is impossible on a stream — the table depends on the
+    * query — so the fold runs in codegen per pair; same ascending
+    * IEEE order, so scores are IDENTICAL to the batch ADC's (spec'd).
+    * Emits `(idCol, index_id, list_id, adc_score)` for pairs with
+    * `adc_score ≥ minScore`, score on the 1e-4 grid; the
+    * at-least-once multi-list contract of [[indexMatches]] applies.
+    */
+  def adcIndexMatches(vectors: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, minScore: Double,
+      nProbe: Int = 1): DataFrame = {
+    val spark = vectors.sparkSession
+    val (model, nLists, dim) = Similarity.readIvfPqMeta(spark, indexPath)
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe $nProbe out of range [1, $nLists]")
+    val planes = graft.functions.VectorFunctions
+      .deterministicPlanes(nLists, dim)
+    val lists = spark.read.parquet(s"$indexPath/lists")
+      .select(col("id").as("index_id"), col("codes"), col("list_id"))
+    val q = transform(col(vecCol), x => x.cast("double"))
+    val adc = model.codebooks.zipWithIndex.map { case (cb, s) =>
+      graft.functions.VectorFunctions.dot(
+        slice(q, s * model.subDim + 1, model.subDim),
+        get(typedLit(cb), col("codes").getItem(s)))
+    }.reduce(_ + _)
+    vectors
+      .withColumn("list_id",
+        explode(Similarity.bestLists(col(vecCol), planes, nProbe)))
+      .join(lists, Seq("list_id")) // stream-static equi-join
+      .withColumn("adc_score", round(adc, 4))
+      .filter(col("adc_score") >= minScore)
+      .select(col(idCol), col("index_id"), col("list_id"),
+        col("adc_score"))
+  }
+
   /** The rebuild-tolerant deployment of [[indexMatches]]: a
     * `foreachBatch` writer that re-resolves the ENTIRE static side —
     * centroid sidecar and list files — per micro-batch, so a nightly

@@ -148,4 +148,60 @@ class AnnStreamSpec extends SparkSpec {
         s"batch 2 still served the old index ids: $seen")
     }
   }
+
+  test("streaming ADC against the persisted IVF-PQ index: stream == " +
+      "batch, and per-pair scores equal the batch ADC's exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val model = Similarity.trainPq(vectors, "vec_id", "embedding",
+      m = 16, k = 16, iters = 2)
+    val dir = Files.createTempDirectory("graft-annstream-pq").toString
+    Similarity.writeIvfPqIndex(vectors, "vec_id", "embedding", dir,
+      model, nLists = 16)
+
+    val arrivals = vectors.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      .as[AnnVec].collect().toSeq
+
+    val mem = MemoryStream[AnnVec]
+    val q = AnnStream.adcIndexMatches(mem.toDF(), dir, "vec_id",
+        "embedding", minScore = 0.0, nProbe = 2)
+      .writeStream.format("memory").queryName("adc_matches")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.sql("SELECT * FROM adc_matches").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("index_id"),
+        r.getAs[Double]("adc_score")))
+    assert(streamed.nonEmpty)
+
+    // statelessness: the batch form of the same op on the same rows
+    val batch = AnnStream.adcIndexMatches(
+        vectors.filter(col("vec_id") < 3)
+          .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")),
+        dir, "vec_id", "embedding", minScore = 0.0, nProbe = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("index_id"),
+        r.getAs[Double]("adc_score")))
+    assert(streamed.sorted.toSeq === batch.sorted.toSeq)
+
+    // score identity with the batch ADC path: for query vec 0, every
+    // (index_id, score) the stream emitted must agree with pqAdcTopK's
+    // table-lookup scores (same IEEE fold order by construction)
+    val qv = vectors.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0).toSeq
+    val adcScores = Similarity.pqAdcTopK(
+        Similarity.pqEncode(vectors, "vec_id", "embedding", model),
+        "vec_id", qv, model, k = vectors.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    streamed.filter(_._1 == 10000L).foreach { case (_, idx, sc) =>
+      assert(adcScores(idx) === sc,
+        s"stream ADC $sc != batch ADC ${adcScores(idx)} for $idx")
+    }
+  }
 }
