@@ -177,36 +177,102 @@ object Similarity {
     * `m` small (4–16) and `k` ≤ 256 is the published regime — codes
     * compress a vector to `m` small ints, the representation that makes
     * a 100 TB ANN scan touch bytes per vector instead of `dim` floats.
+    *
+    * ALL `m` subspaces train in ONE aggregation pass per iteration —
+    * each row explodes to its m (subspace, assigned-cluster, subvector)
+    * structs and one partial-agg shuffle updates every codebook — not m
+    * independent k-means jobs (that shape measured 16 × 2 sequential
+    * tiny jobs ≈ 5 s of pure job overhead at sf0.1; this one is 2
+    * corpus passes). Semantics are EXACTLY per-subspace Lloyd's: init
+    * = the k smallest ids' subvectors, (dist, cid) assignment ties,
+    * per-position averages on the 1e-6 grid, empty clusters keep their
+    * previous centroid — the q128/q129/q130 oracles replay it.
     */
   def trainPq(vectors: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, k: Int = 16, iters: Int = 2,
       dim: Int = 64): PqModel = {
     require(m >= 1 && dim % m == 0, s"m $m must divide dim $dim")
+    require(k >= 1 && iters >= 0, "k and iters must be positive")
     val subDim = dim / m
-    val books = (0 until m).map { s =>
-      Clustering.kmeansCentroids(
-        vectors.select(col(idCol),
-          slice(transform(col(vecCol), x => x.cast("double")),
-            s * subDim + 1, subDim).as("__pq_sub")),
-        idCol, "__pq_sub", k, iters)
+    val init = vectors.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      init.map(_.slice(s * subDim, (s + 1) * subDim)))
+    for (_ <- 0 until iters) {
+      val updated = vectors
+        .select(transform(col(vecCol), x => x.cast("double"))
+          .as("__pq_v"))
+        .withColumn("__pq_codes",
+          codesUdf(PqModel(subDim, books))(col("__pq_v")))
+        .select(col("__pq_v"),
+          posexplode(col("__pq_codes")).as(Seq("s", "cid")))
+        .select(col("s"), col("cid"),
+          posexplode(slice(col("__pq_v"), col("s") * lit(subDim) + 1,
+            lit(subDim))).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = (0 until m).map(s => (0 until k).map(c =>
+        updated.getOrElse((s, c), books(s)(c))))
     }
     PqModel(subDim, books)
   }
 
+  /** The per-row PQ assignment as ONE linear UDF scan (codebooks in
+    * the closure — a few KB): per subspace, argmin squared-L2 with
+    * strict `<` so ties keep the SMALLER cid, distances accumulated in
+    * ascending position order — bit-for-bit the
+    * [[Clustering.nearestLists]]/[[graft.functions.VectorFunctions
+    * .l2DistanceSq]] semantics, which is what keeps the SQL oracles
+    * replaying. A UDF deliberately (the [[TokenizerTraining
+    * .applyMerge]] rule): the Column spelling is m sorted k-struct
+    * arrays whose generated code dwarfs the arithmetic — measured
+    * ~8 s/query at (m=16, k=16) against sub-second for this loop.
+    */
+  private def codesUdf(model: PqModel) = {
+    val books = model.codebooks.map(_.map(_.toArray).toArray).toArray
+    val sub = model.subDim
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        Array.tabulate(books.length) { s =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < books(s).length) {
+            val cent = books(s)(c)
+            var d = 0.0
+            var j = 0
+            while (j < sub) {
+              val t = arr(s * sub + j) - cent(j)
+              d += t * t
+              j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+      }
+    }
+  }
+
   /** Every row plus `codes` (array of `m` sub-centroid ids): per
     * subspace, the L2-nearest codebook entry with the
-    * [[Clustering.nearestLists]] (dist, cid) tie-break. Map-only — the
-    * codebooks travel as literals; nothing shuffles.
+    * [[Clustering.nearestLists]] (dist, cid) tie-break, computed by the
+    * one-scan [[codesUdf]]. Map-only — the codebooks travel in the
+    * closure; nothing shuffles.
     */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
-      model: PqModel): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val codes = array(model.codebooks.zipWithIndex.map { case (cb, s) =>
-      Clustering.nearestLists(
-        slice(v, s * model.subDim + 1, model.subDim), cb, 1).getItem(0)
-    }: _*)
-    vectors.withColumn("codes", codes)
-  }
+      model: PqModel): DataFrame =
+    vectors.withColumn("codes",
+      codesUdf(model)(transform(col(vecCol), x => x.cast("double"))))
 
   /** Asymmetric-distance (ADC) top-`k` over PQ codes: the query's
     * partial dot with EVERY codebook entry is precomputed driver-side
