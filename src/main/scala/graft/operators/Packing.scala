@@ -67,17 +67,23 @@ object Packing {
         size(col("__pk_toks")).cast("long").as("__pk_n"))
       .filter(col("__pk_n") > 0)
       .withColumn("__pk_b", shiftright(col("__pk_id"), bucketShift))
-    // within-bucket running totals: parallel across buckets
+    // within-bucket running totals: parallel across buckets. The
+    // windowed frame is persisted (scope-registered) because BOTH the
+    // bucket-total derivation and the offset join consume it — without
+    // the cache each branch re-runs the tokenize-count scan and the
+    // bucket shuffle (measured as two FileScans; AQE does not reuse
+    // the stages). Each bucket's TOTAL is its max running cumsum, so
+    // no second aggregation over the raw corpus exists at all.
     val wIn = Window.partitionBy(col("__pk_b")).orderBy(col("__pk_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val local = perDoc
+    val local = graft.CacheScope.register(perDoc
       .withColumn("__pk_cum", sum(col("__pk_n")).over(wIn))
-    // bucket offsets: totals cumulated over the BOUNDED bucket table
+      .persist())
     val wB = Window.orderBy(col("__pk_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOff = perDoc
+    val bucketOff = local
       .groupBy(col("__pk_b"))
-      .agg(sum(col("__pk_n")).as("__pk_bt"))
+      .agg(max(col("__pk_cum")).as("__pk_bt"))
       .withColumn("__pk_boff",
         coalesce(sum(col("__pk_bt")).over(wB), lit(0L)))
       .select(col("__pk_b"), col("__pk_boff"))

@@ -197,6 +197,9 @@ object Similarity {
     val init = vectors.orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(init.size >= k,
+      s"trainPq: k = $k clusters but the corpus has only " +
+        s"${init.size} vectors")
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
       init.map(_.slice(s * subDim, (s + 1) * subDim)))
     for (_ <- 0 until iters) {

@@ -176,12 +176,19 @@ object Sketches {
     * `v = 0`, bucket `b ≥ 1` ⇔ `v ∈ [2^(b−1), 2^b)` — i.e. the exact
     * bit length, via the same literal-powers comparison count as the
     * HLL rho (no doubles anywhere; a float `log2` rounds across
-    * power-of-two boundaries). Negative values are a caller error and
-    * raise. Exposed so specs and oracles share the formula.
+    * power-of-two boundaries). OUT-OF-RANGE values raise loudly, both
+    * sides: a negative has no bucket, and a value ≥ 2^maxBits would
+    * otherwise clamp into the top bucket and silently BREAK the
+    * one-sided `est_hi ≥ true quantile` guarantee the readout
+    * documents (an estimate below the truth, with no error). Exposed
+    * so specs and oracles share the formula.
     */
   def logBucket(v: Column, maxBits: Int): Column =
     when(v < 0, raise_error(concat(lit("logBucket: negative value "),
       v.cast("string"))))
+      .when(v >= lit(1L << maxBits), raise_error(concat(
+        lit(s"logBucket: value >= 2^$maxBits overflows the sketch: "),
+        v.cast("string"))))
       .otherwise(bitlen(v, maxBits))
 
   /** Mergeable quantile sketch as a log-bucket histogram: one row per
@@ -198,7 +205,7 @@ object Sketches {
     */
   def logHistBuild(items: DataFrame, valueCol: String,
       maxBits: Int = 41): DataFrame = {
-    require(maxBits >= 1 && maxBits <= 63, s"bad maxBits $maxBits")
+    require(maxBits >= 1 && maxBits <= 62, s"bad maxBits $maxBits")
     items
       .filter(col(valueCol).isNotNull)
       .select(logBucket(col(valueCol).cast("long"), maxBits).as("bucket"))
@@ -212,7 +219,7 @@ object Sketches {
     */
   def logHistBuildBy(items: DataFrame, keyCol: String, valueCol: String,
       maxBits: Int = 41): DataFrame = {
-    require(maxBits >= 1 && maxBits <= 63, s"bad maxBits $maxBits")
+    require(maxBits >= 1 && maxBits <= 62, s"bad maxBits $maxBits")
     items
       .filter(col(valueCol).isNotNull)
       .select(col(keyCol),

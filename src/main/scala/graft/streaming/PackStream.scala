@@ -40,17 +40,20 @@ object PackStream {
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        // persisted for the batch's lifetime: both the sink's action and
-        // the offset-advance aggregation read it, and the spans must not
-        // re-tokenize per reader
-        val packed = Packing.packSequences(batch, idCol, textCol,
-          seqLen, startOffset = offset).persist()
-        try {
-          sink(packed, batchId)
-          offset += packed
-            .agg(coalesce(sum(col("doc_to") - col("doc_from")), lit(0L)))
-            .head().getLong(0)
-        } finally packed.unpersist()
+        // scoped: packSequences' internal window cache is released at
+        // batch end; `packed` itself is persisted because both the
+        // sink's action and the offset-advance aggregation read it
+        graft.CacheScope.scoped {
+          val packed = Packing.packSequences(batch, idCol, textCol,
+            seqLen, startOffset = offset).persist()
+          try {
+            sink(packed, batchId)
+            offset += packed
+              .agg(coalesce(sum(col("doc_to") - col("doc_from")),
+                lit(0L)))
+              .head().getLong(0)
+          } finally packed.unpersist()
+        }
     }
   }
 }

@@ -265,6 +265,14 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.size === 8)
     assert(codes.values.forall(c => c.length === 2 &&
       c.forall(x => x >= 0 && x < 8)))
+    // a corpus smaller than k refuses loudly instead of crashing in
+    // the update loop
+    val tooFew = intercept[IllegalArgumentException] {
+      Similarity.trainPq(tiny, "vec_id", "embedding",
+        m = 2, k = 16, iters = 1, dim = 8)
+    }
+    assert(tooFew.getMessage.contains("only 8 vectors"))
+
     val qv = (0 until 8).map(j => if (j == 3) 10.0 else 1.0)
     val adc = Similarity.pqAdcTopK(enc, "vec_id", qv, model, k = 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(1))

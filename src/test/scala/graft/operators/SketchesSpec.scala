@@ -191,6 +191,17 @@ class SketchesSpec extends SparkSpec {
     }
     assert(neg.getMessage.contains("logBucket: negative value"),
       s"unexpected error: ${neg.getMessage}")
+    // ... and so is overflow: a value >= 2^maxBits would clamp into
+    // the top bucket and silently break the one-sided est_hi bound
+    val over = intercept[Exception] {
+      Sketches.logHistBuild(Seq(16L).toDF("v"), "v", maxBits = 4)
+        .collect()
+    }
+    assert(over.getMessage.contains("overflows the sketch"),
+      s"unexpected error: ${over.getMessage}")
+    // the boundary value 2^maxBits - 1 still buckets
+    assert(Sketches.logHistBuild(Seq(15L).toDF("v"), "v", maxBits = 4)
+      .head().getInt(0) === 4)
     val withNull = Seq(Some(3L), None, Some(5L)).toDF("v")
     assert(Sketches.logHistBuild(withNull, "v")
       .agg(sum(col("cnt"))).head().getLong(0) === 2L)
