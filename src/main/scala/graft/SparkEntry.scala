@@ -1919,6 +1919,15 @@ object SparkEntry {
           md5(concat_ws(" ", col("toks"))).as("seq_md5"))
         .orderBy(col("seq_id"))),
 
+    // Group-aware packing: language-pure 64-token sequences — packing
+    // runs independently inside each lang (sequences never mix
+    // languages, seq_id counts per group); the bucket-table cumsum
+    // partitions BY GROUP, parallel across groups
+    "q133_grouped_packing" -> ((s, dir) =>
+      graft.operators.Packing.packSequencesBy(
+          T(s, dir, "documents"), "doc_id", "lang", "text", seqLen = 64)
+        .orderBy(col("lang"), col("seq_id"), col("doc_id"))),
+
     // Quality-aware canonical re-election over the q51 dedup clusters:
     // the LONGEST member of each multi-member cluster survives (ties
     // on id) — the FineWeb keep rule replacing min-id retention; one
@@ -2340,6 +2349,24 @@ object SparkEntry {
          |SELECT seq_id, CAST(sum(n) AS BIGINT) AS n_tokens,
          |  md5(string_agg(chunk, ' ' ORDER BY seq_off)) AS seq_md5
          |FROM ch GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // q125's replay with every window/offset PARTITIONED BY lang
+    "q133_grouped_packing" ->
+      s"""WITH tk AS (SELECT doc_id, lang, len($ToksSql) AS L
+         |  FROM documents),
+         |off AS (SELECT doc_id, lang, L, CAST(coalesce(sum(L) OVER
+         |    (PARTITION BY lang ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS o
+         |  FROM tk WHERE L > 0),
+         |sp AS (SELECT doc_id, lang, L, o,
+         |  unnest(range(o // 64, (o + L - 1) // 64 + 1)) AS seq_id
+         |  FROM off)
+         |SELECT lang, doc_id, seq_id,
+         |  greatest(o, seq_id * 64) - o AS doc_from,
+         |  least(o + L, (seq_id + 1) * 64) - o AS doc_to,
+         |  greatest(o, seq_id * 64) - seq_id * 64 AS seq_off
+         |FROM sp ORDER BY lang, seq_id, doc_id""".stripMargin,
 
     "q131_select_and_pack" -> HashOracles.q131SelectAndPack(
       s"""2 * ${hitsSql(TF.EnStop)}

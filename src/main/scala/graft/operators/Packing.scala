@@ -93,20 +93,75 @@ object Packing {
       .withColumn("__pk_o",
         lit(startOffset) + col("__pk_boff") + col("__pk_cum")
           - col("__pk_n"))
-    // sequences s0..s1 the document overlaps — integer DIV only
+    spanRows(off, idCol, seqLen, Seq.empty)
+  }
+
+  /** Group-aware packing: the [[packSequences]] concat-and-chunk run
+    * INDEPENDENTLY inside each `groupCol` value — sequences never mix
+    * groups, and `seq_id` counts from 0 within each group. The
+    * language-pure / source-pure batch recipe: a curriculum or
+    * per-language training run wants every sequence drawn from one
+    * slice, which global packing cannot guarantee at any boundary.
+    *
+    * Same two-level prefix sum with the group key threaded through
+    * every stage — the within-bucket windows partition by (group,
+    * bucket) and the bucket-table cumsum partitions BY GROUP (bounded
+    * per group, parallel ACROSS groups — strictly better parallelism
+    * than the global form's one bucket table). Returns
+    * `(groupCol, idCol, seq_id, doc_from, doc_to, seq_off)`.
+    */
+  def packSequencesBy(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, seqLen: Int, tokensCol: Option[String] = None,
+      bucketShift: Int = 16): DataFrame = {
+    require(seqLen >= 1, s"bad seqLen $seqLen")
+    require(bucketShift >= 0 && bucketShift <= 48,
+      s"bad bucketShift $bucketShift")
+    val perDoc = docs
+      .withColumn("__pk_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(groupCol), col(idCol).cast("long").as("__pk_id"),
+        size(col("__pk_toks")).cast("long").as("__pk_n"))
+      .filter(col("__pk_n") > 0)
+      .withColumn("__pk_b", shiftright(col("__pk_id"), bucketShift))
+    val wIn = Window.partitionBy(col(groupCol), col("__pk_b"))
+      .orderBy(col("__pk_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = graft.CacheScope.register(perDoc
+      .withColumn("__pk_cum", sum(col("__pk_n")).over(wIn))
+      .persist())
+    val wB = Window.partitionBy(col(groupCol)).orderBy(col("__pk_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = local
+      .groupBy(col(groupCol), col("__pk_b"))
+      .agg(max(col("__pk_cum")).as("__pk_bt"))
+      .withColumn("__pk_boff",
+        coalesce(sum(col("__pk_bt")).over(wB), lit(0L)))
+      .select(col(groupCol), col("__pk_b"), col("__pk_boff"))
+    val off = local.join(bucketOff, Seq(groupCol, "__pk_b"))
+      .withColumn("__pk_o",
+        col("__pk_boff") + col("__pk_cum") - col("__pk_n"))
+    spanRows(off, idCol, seqLen, Seq(groupCol))
+  }
+
+  /** The span arithmetic shared by the global and grouped forms:
+    * sequences s0..s1 each doc overlaps — integer DIV only.
+    */
+  private def spanRows(off: DataFrame, idCol: String, seqLen: Int,
+      carryCols: Seq[String]): DataFrame = {
     val spans = off
       .withColumn("__pk_s0", expr(s"__pk_o DIV $seqLen"))
       .withColumn("__pk_s1", expr(s"(__pk_o + __pk_n - 1) DIV $seqLen"))
-      .select(col("__pk_id"), col("__pk_o"), col("__pk_n"),
-        explode(sequence(col("__pk_s0"), col("__pk_s1"))).as("seq_id"))
+      .select(carryCols.map(col) ++ Seq(col("__pk_id"), col("__pk_o"),
+        col("__pk_n"),
+        explode(sequence(col("__pk_s0"), col("__pk_s1"))).as("seq_id")): _*)
     val seqStart = col("seq_id") * lit(seqLen.toLong)
-    spans.select(
+    spans.select(carryCols.map(col) ++ Seq(
       col("__pk_id").as(idCol),
       col("seq_id"),
       (greatest(col("__pk_o"), seqStart) - col("__pk_o")).as("doc_from"),
       (least(col("__pk_o") + col("__pk_n"), seqStart + lit(seqLen.toLong))
         - col("__pk_o")).as("doc_to"),
-      (greatest(col("__pk_o"), seqStart) - seqStart).as("seq_off"))
+      (greatest(col("__pk_o"), seqStart) - seqStart).as("seq_off")): _*)
   }
 
   /** Per-sequence fill accounting over a [[packSequences]] result:

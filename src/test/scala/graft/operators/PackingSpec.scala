@@ -86,6 +86,30 @@ class PackingSpec extends SparkSpec {
     assert(alt.sorted.toSeq === rows.sorted.toSeq)
   }
 
+  test("packSequencesBy: each group packs exactly as packSequences " +
+      "would on that group alone, and sequences never mix groups") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L)
+      .map(d => (d, if (d % 3 == 0) "ga" else "gb",
+        (0 until (d % 6 + 1).toInt).map(k => s"w${d}_$k").mkString(" ")))
+      .toDF("doc_id", "grp", "text")
+    val grouped = Packing.packSequencesBy(docs, "doc_id", "grp", "text",
+        seqLen = 7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    Seq("ga", "gb").foreach { g =>
+      val solo = Packing.packSequences(docs.filter(col("grp") === g),
+          "doc_id", "text", seqLen = 7)
+        .collect()
+        .map(r => (g, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(grouped.filter(_._1 == g).sorted.toSeq === solo.sorted.toSeq,
+        s"group $g must pack as if alone")
+    }
+  }
+
   test("packedSequenceTexts: payloads are the concatenated stream, cut " +
       "exactly at sequence boundaries") {
     val s = spark
