@@ -1945,7 +1945,24 @@ object SparkEntry {
             .as("keep_chars"))
         .filter(col("n_members") > 1)
         .orderBy(col("component"))
-    })
+    }),
+
+    // Gopher repetition suite (Rae et al. 2021 A1.1): top-bigram char
+    // fraction, duplicated-bigram char COVERAGE (each position counted
+    // once), mean word length, alpha-word fraction, symbol ratio —
+    // plus the first-failing-rule verdict; one tokenize pass, every
+    // shuffle on per-document keys
+    "q134_gopher_quality" -> ((s, dir) =>
+      graft.operators.Repetition.annotateGopher(
+          T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("tot_chars"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
+          round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("top_ngram_char_frac"), 6).as("top_ngram_char_frac"),
+          round(col("dup_ngram_char_frac"), 6).as("dup_ngram_char_frac"),
+          col("drop_reason"))
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -3175,6 +3192,66 @@ object SparkEntry {
          |    round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
          |      / n, 4)
          |  END AS ln_k
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    // Gopher suite replay: gram char mass = len(gram) - (n-1)
+    // separators; coverage via DISTINCT (doc, position); top-gram tie
+    // order (cnt, charlen, gram) DESC mirrors the struct-max; the
+    // 0-word/0-char NULL guards mirror the engine (q110 precedent)
+    "q134_gopher_quality" ->
+      s"""WITH tk AS (SELECT doc_id, text, $ToksSql AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS L,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+         |    AS BIGINT) AS tot_chars,
+         |  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+         |    AS n_alpha,
+         |  CAST((length(text) - length(replace(text, '#', '')))
+         |    + (length(text) - length(replace(text, '...', ''))) // 3
+         |    AS BIGINT) AS n_symbols
+         |  FROM tk),
+         |g AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 2], ' ')
+         |    AS gram
+         |  FROM (SELECT doc_id, t, unnest(range(0, L - 1)) AS i
+         |        FROM base WHERE L >= 2)),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt,
+         |  CAST(len(gram) - 1 AS BIGINT) AS charlen
+         |  FROM g GROUP BY 1, 2),
+         |top AS (SELECT doc_id, cnt * charlen AS top_chars FROM
+         |  (SELECT doc_id, cnt, charlen, row_number() OVER
+         |     (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, charlen DESC, gram DESC) AS rn
+         |   FROM c) WHERE rn = 1),
+         |d AS (SELECT doc_id, gram FROM c WHERE cnt > 1),
+         |cov AS (SELECT DISTINCT g.doc_id, g.i + k.k AS idx
+         |  FROM g JOIN d USING (doc_id, gram),
+         |    (SELECT unnest(range(0, 2)) AS k) k),
+         |covc AS (SELECT cov.doc_id,
+         |  CAST(sum(len(t[idx + 1])) AS BIGINT) AS cov_chars
+         |  FROM cov JOIN base ON cov.doc_id = base.doc_id GROUP BY 1),
+         |m AS (SELECT b.doc_id, L AS n_words, tot_chars,
+         |  CASE WHEN L > 0 THEN tot_chars * 1.0 / L END AS mwl,
+         |  CASE WHEN L > 0 THEN n_alpha * 1.0 / L END AS awf,
+         |  CASE WHEN L > 0 THEN n_symbols * 1.0 / L END AS swr,
+         |  CASE WHEN tot_chars > 0
+         |    THEN coalesce(top_chars, 0) * 1.0 / tot_chars END AS tf,
+         |  CASE WHEN tot_chars > 0
+         |    THEN coalesce(cov_chars, 0) * 1.0 / tot_chars END AS df
+         |  FROM base b LEFT JOIN top USING (doc_id)
+         |    LEFT JOIN covc ON b.doc_id = covc.doc_id)
+         |SELECT doc_id, n_words, tot_chars,
+         |  round(mwl, 6) AS mean_word_len,
+         |  round(awf, 6) AS alpha_word_frac,
+         |  round(swr, 6) AS symbol_word_ratio,
+         |  round(tf, 6) AS top_ngram_char_frac,
+         |  round(df, 6) AS dup_ngram_char_frac,
+         |  CASE WHEN n_words < 20 THEN 'min_words'
+         |    WHEN n_words > 100000 THEN 'max_words'
+         |    WHEN mwl < 2.0 OR mwl > 10.0 THEN 'mean_word_len'
+         |    WHEN swr > 0.1 THEN 'symbol_ratio'
+         |    WHEN awf < 0.8 THEN 'alpha_frac'
+         |    WHEN tf > 0.20 THEN 'top_ngram'
+         |    WHEN df > 0.20 THEN 'dup_ngram'
+         |  END AS drop_reason
+         |FROM m ORDER BY doc_id""".stripMargin
   )
 }
