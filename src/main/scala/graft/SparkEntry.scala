@@ -1962,7 +1962,17 @@ object SparkEntry {
           round(col("top_ngram_char_frac"), 6).as("top_ngram_char_frac"),
           round(col("dup_ngram_char_frac"), 6).as("dup_ngram_char_frac"),
           col("drop_reason"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Per-source token-distribution divergence vs the rest of the
+    // corpus: add-α smoothed KL and Jensen–Shannon over the union
+    // vocabulary — the mixture-design / scrape-drift diagnostic; zero
+    // rows come from vocab × the bounded broadcast group table, totals
+    // flow as one-row broadcast frames (no driver scalar)
+    "q135_source_divergence" -> ((s, dir) =>
+      graft.operators.Divergence.tokenDivergenceBy(
+          T(s, dir, "documents"), "source", "text")
+        .orderBy(col("source")))
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -3252,6 +3262,35 @@ object SparkEntry {
          |    WHEN tf > 0.20 THEN 'top_ngram'
          |    WHEN df > 0.20 THEN 'dup_ngram'
          |  END AS drop_reason
-         |FROM m ORDER BY doc_id""".stripMargin
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // smoothed-KL/JS replay: p over the group's counts, q over the
+    // complement (global minus group), both add-0.5 over the union
+    // vocabulary; sums land on the 1e-4 grid (reassociation-safe)
+    "q135_source_divergence" ->
+      s"""WITH tok AS (SELECT source, unnest($ToksSql) AS token
+         |  FROM documents),
+         |cnt AS (SELECT source, token, count(*) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS ng,
+         |  count(*) AS vg FROM cnt GROUP BY 1),
+         |gl AS (SELECT token, CAST(sum(c) AS BIGINT) AS cg
+         |  FROM cnt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS n, count(*) AS v
+         |  FROM gl),
+         |r AS (SELECT gt.source, gt.ng, gt.vg, tot.n, tot.v,
+         |  gl.cg, coalesce(cnt.c, 0) AS c
+         |  FROM gl CROSS JOIN tot CROSS JOIN gt
+         |    LEFT JOIN cnt ON cnt.source = gt.source
+         |      AND cnt.token = gl.token),
+         |t AS (SELECT source, ng, vg,
+         |  (c + 0.5) / (ng + 0.5 * v) AS p,
+         |  (cg - c + 0.5) / (n - ng + 0.5 * v) AS q
+         |  FROM r)
+         |SELECT source, ng AS n_tokens, CAST(vg AS BIGINT) AS n_vocab,
+         |  round(sum(p * ln(p / q)), 4) AS kl_vs_rest,
+         |  round(sum((p * ln(2 * p / (p + q))
+         |    + q * ln(2 * q / (p + q))) / 2), 4) AS js_vs_rest
+         |FROM t GROUP BY source, ng, vg ORDER BY source""".stripMargin
   )
 }

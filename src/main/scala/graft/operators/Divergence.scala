@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-distribution divergence — the corpus-health diagnostic that
+  * quantifies how far a slice's unigram distribution sits from the rest
+  * of the corpus (or from a fixed reference): add-α-smoothed KL and
+  * Jensen–Shannon over the union vocabulary. The numbers a mixture
+  * designer actually reads: "src7 is JS 0.4 from everything else" is a
+  * domain outlier worth its own mixture weight; a snapshot whose JS
+  * against last week's corpus jumps is a scrape regression.
+  *
+  * 100 TB shape: one tokenize pass → one `(group, token)` count table;
+  * the union-vocabulary zero rows come from a cross join of the vocab
+  * table with the BOUNDED per-group totals table (broadcast — group
+  * count is mixture-arity, tens not millions), never a vocab×vocab
+  * form. Totals and vocabulary size flow through single-row broadcast
+  * frames — no driver-side scalar at all. Every aggregation is a plain
+  * map-side-partial `groupBy`.
+  *
+  * Determinism: the per-group sums add thousands of O(1e-4) doubles
+  * whose order Spark does not fix, so results are rounded to the 1e-4
+  * grid (the [[NgramLm]] convention) — far above the ~1e-12 worst-case
+  * reassociation error, far below anything a mixture decision reads.
+  */
+object Divergence {
+
+  /** Per-group divergence vs the REST of the corpus:
+    * `(groupCol, n_tokens, n_vocab, kl_vs_rest, js_vs_rest)`.
+    *
+    * For each group g and token t in the UNION vocabulary (size V):
+    * `p = (c_gt + α) / (N_g + αV)` and `q` the same under the
+    * complement counts; `kl = Σ p ln(p/q)`,
+    * `js = ½ Σ (p ln(2p/(p+q)) + q ln(2q/(p+q)))` (≤ ln 2). A group
+    * owning the whole corpus compares against the α-uniform
+    * distribution — the smoothing keeps every term finite.
+    */
+  def tokenDivergenceBy(docs: DataFrame, groupCol: String,
+      textCol: String, alpha: Double = 0.5,
+      tokensCol: Option[String] = None): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val tok = docs.select(col(groupCol).as("__dv_g"),
+      explode(tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+        .as("token"))
+    val cnt = graft.CacheScope.register(tok
+      .groupBy(col("__dv_g"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .persist())
+    val groupTotals = cnt.groupBy(col("__dv_g"))
+      .agg(sum(col("c")).as("ng"), count(lit(1)).as("vg"))
+    val vocab = graft.CacheScope.register(cnt
+      .groupBy(col("token")).agg(sum(col("c")).as("cg"))
+      .persist())
+    val totals = vocab.agg(sum(col("cg")).as("n"), count(lit(1)).as("v"))
+
+    val a = lit(alpha)
+    val rows = vocab
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(groupTotals))
+      .join(cnt, Seq("__dv_g", "token"), "left")
+      .withColumn("cge", coalesce(col("c"), lit(0L)))
+    val p = (col("cge") + a) / (col("ng") + a * col("v"))
+    val q = (col("cg") - col("cge") + a) /
+      (col("n") - col("ng") + a * col("v"))
+    rows
+      .withColumn("__dv_kl", p * log(p / q))
+      .withColumn("__dv_js",
+        (p * log(lit(2) * p / (p + q)) + q * log(lit(2) * q / (p + q)))
+          / 2)
+      .groupBy(col("__dv_g"))
+      .agg(max(col("ng")).cast("long").as("n_tokens"),
+        max(col("vg")).cast("long").as("n_vocab"),
+        round(sum(col("__dv_kl")), 4).as("kl_vs_rest"),
+        round(sum(col("__dv_js")), 4).as("js_vs_rest"))
+      .withColumnRenamed("__dv_g", groupCol)
+  }
+
+  /** One-row divergence between two explicit `(token, count)` tables —
+    * the reference-vs-candidate form ([[graft.streaming.DriftStream]]
+    * scores each micro-batch's counts against a frozen reference with
+    * it). Returns `(n_p, n_q, kl_p_q, js)` on the same α / union-vocab
+    * convention as [[tokenDivergenceBy]].
+    */
+  def divergence(pCounts: DataFrame, qCounts: DataFrame,
+      tokenCol: String, countCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val pc = pCounts.select(col(tokenCol).as("token"),
+      col(countCol).cast("long").as("cp"))
+    val qc = qCounts.select(col(tokenCol).as("token"),
+      col(countCol).cast("long").as("cq"))
+    val joined = pc.join(qc, Seq("token"), "full_outer")
+      .select(coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val totals = joined.agg(sum(col("cp")).as("np"),
+      sum(col("cq")).as("nq"), count(lit(1)).as("v"))
+    val a = lit(alpha)
+    val rows = joined.crossJoin(broadcast(totals))
+    val p = (col("cp") + a) / (col("np") + a * col("v"))
+    val q = (col("cq") + a) / (col("nq") + a * col("v"))
+    rows
+      .withColumn("__dv_kl", p * log(p / q))
+      .withColumn("__dv_js",
+        (p * log(lit(2) * p / (p + q)) + q * log(lit(2) * q / (p + q)))
+          / 2)
+      .agg(max(col("np")).cast("long").as("n_p"),
+        max(col("nq")).cast("long").as("n_q"),
+        round(sum(col("__dv_kl")), 4).as("kl_p_q"),
+        round(sum(col("__dv_js")), 4).as("js"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Token-distribution divergence: hand-computed smoothed KL/JS, the
+  * zero-divergence identity, JS symmetry and its ln 2 bound, and the
+  * outlier-ordering property the diagnostic exists for.
+  */
+class DivergenceSpec extends SparkSpec {
+
+  test("hand-computed KL/JS between disjoint two-token tables") {
+    val s = spark
+    import s.implicits._
+    val p = Seq(("a", 2L)).toDF("token", "c")
+    val q = Seq(("b", 2L)).toDF("token", "c")
+    val r = Divergence.divergence(p, q, "token", "c").head()
+    // V=2, Np=Nq=2, α=.5: p=(2.5/3, .5/3) vs q=(.5/3, 2.5/3)
+    val pa = 2.5 / 3; val pb = 0.5 / 3
+    val kl = pa * math.log(pa / pb) + pb * math.log(pb / pa)
+    val js = (pa * math.log(2 * pa / (pa + pb))
+      + pb * math.log(2 * pb / (pa + pb))) / 2 * 2 // two symmetric tokens
+    assert(r.getAs[Long]("n_p") === 2L && r.getAs[Long]("n_q") === 2L)
+    assert(r.getAs[Double]("kl_p_q") ===
+      BigDecimal(kl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("js") ===
+      BigDecimal(js).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("identical distributions diverge by zero; JS is symmetric") {
+    val s = spark
+    import s.implicits._
+    val p = Seq(("a", 3L), ("b", 1L)).toDF("token", "c")
+    val q = Seq(("a", 6L), ("b", 2L)).toDF("token", "c")
+    val same = Divergence.divergence(p, p, "token", "c").head()
+    assert(same.getAs[Double]("kl_p_q") === 0.0)
+    assert(same.getAs[Double]("js") === 0.0)
+    // same shape at doubled mass: tiny but nonzero under smoothing
+    val scaled = Divergence.divergence(p, q, "token", "c").head()
+    assert(math.abs(scaled.getAs[Double]("js")) < 0.01)
+    val ab = Divergence.divergence(p, q, "token", "c").head()
+      .getAs[Double]("js")
+    val ba = Divergence.divergence(q, p, "token", "c").head()
+      .getAs[Double]("js")
+    assert(ab === ba)
+  }
+
+  test("per-group form flags the vocabulary outlier") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "g1", "alpha beta gamma delta alpha beta"),
+      (2L, "g2", "alpha beta gamma delta alpha beta"),
+      (3L, "g3", "zork quux blarg frobnitz zork quux")
+    ).toDF("doc_id", "src", "text")
+    val out = Divergence.tokenDivergenceBy(docs, "src", "text")
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val ln2 = math.log(2)
+    out.values.foreach { r =>
+      val js = r.getAs[Double]("js_vs_rest")
+      assert(js >= 0.0 && js <= ln2 + 1e-9)
+      assert(r.getAs[Double]("kl_vs_rest") >= 0.0)
+    }
+    // g1's complement contains an identical copy of itself (g2) plus
+    // noise; g3's complement shares no token with it
+    assert(out("g3").getAs[Double]("js_vs_rest") >
+      out("g1").getAs[Double]("js_vs_rest"))
+    assert(out("g1").getAs[Long]("n_tokens") === 6L)
+    assert(out("g1").getAs[Long]("n_vocab") === 4L)
+  }
+
+  test("corpus run: every source present, all values finite") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Divergence.tokenDivergenceBy(docs, "source", "text")
+      .collect()
+    assert(rows.length ===
+      docs.select("source").distinct().count().toInt)
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("kl_vs_rest").isNaN)
+      assert(!r.getAs[Double]("js_vs_rest").isInfinite)
+    }
+  }
+}
