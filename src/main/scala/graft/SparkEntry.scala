@@ -1972,7 +1972,21 @@ object SparkEntry {
     "q135_source_divergence" -> ((s, dir) =>
       graft.operators.Divergence.tokenDivergenceBy(
           T(s, dir, "documents"), "source", "text")
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Token-balanced sharding: serpentine deal over the (tokens DESC,
+    // id) rank — equal-WORK export shards, not equal-count; the rank
+    // is the two-level bucketed device (exact: the id sub-bucket only
+    // splits weight ties), per-shard totals are the audit
+    "q136_balanced_shards" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+      graft.operators.Sharding.shardProfile(
+          graft.operators.Sharding.assignBalancedShards(
+            docs, "doc_id", "n_tokens", nShards = 8),
+          "n_tokens")
+        .orderBy(col("shard"))
+    })
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -3291,6 +3305,19 @@ object SparkEntry {
          |  round(sum(p * ln(p / q)), 4) AS kl_vs_rest,
          |  round(sum((p * ln(2 * p / (p + q))
          |    + q * ln(2 * q / (p + q))) / 2), 4) AS js_vs_rest
-         |FROM t GROUP BY source, ng, vg ORDER BY source""".stripMargin
+         |FROM t GROUP BY source, ng, vg ORDER BY source""".stripMargin,
+
+    // serpentine replay: pass parity flips the deal direction
+    "q136_balanced_shards" ->
+      s"""WITH w AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS w
+         |  FROM documents),
+         |r AS (SELECT doc_id, w,
+         |  row_number() OVER (ORDER BY w DESC, doc_id) AS rank FROM w),
+         |a AS (SELECT w, CAST((rank - 1) % 8 AS INT) AS pos,
+         |  (rank - 1) // 8 AS pass FROM r)
+         |SELECT CASE WHEN pass % 2 = 0 THEN pos ELSE 7 - pos END
+         |    AS shard,
+         |  count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_weight
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }
