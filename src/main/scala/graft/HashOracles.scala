@@ -1636,6 +1636,70 @@ object HashOracles {
         "ORDER BY t.doc_id")
   }
 
+  /** RRF ensemble replay ([[operators.RankFusion]], q137): the q117 NB
+    * classifier (hash-split trained, scoring ALL docs), the q100
+    * bigram LM (trained below `lmSplit`, scoring all docs with ≥ 2
+    * tokens), and the heuristic score — each competition-ranked
+    * (`rank()` = 1 + strictly better), fused `Σ 1/(k + r)` over the
+    * rankings containing the doc.
+    */
+  def q137RankFusion(trainBuckets: Int, nbAlpha: Double, lmSplit: Int,
+      lmAlpha: Double, k: Int, topK: Int, heurSql: String): String = {
+    val head = Seq(
+      s"tk AS (SELECT doc_id, lang = 'en' AS pos, $Toks AS t FROM documents)",
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ mixed ++ Seq(
+      s"sp AS (SELECT doc_id, $signedMod < $trainBuckets AS is_train FROM dm5)",
+      "tr AS (SELECT tk.* FROM tk JOIN sp USING (doc_id) WHERE is_train)",
+      "w AS (SELECT pos, unnest(t) AS token FROM tr)",
+      "cnt AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos, " +
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg FROM w GROUP BY token)",
+      "tot AS (SELECT count(*) AS v, sum(c_pos) AS tp, sum(c_neg) AS tn FROM cnt)",
+      "pri AS (SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)" +
+        " / sum(CASE WHEN pos THEN 0 ELSE 1 END)) AS p FROM tr)",
+      "sw AS (SELECT doc_id, unnest(t) AS token FROM tk)",
+      s"sc AS (SELECT doc_id, coalesce(" +
+        s"ln((c_pos + $nbAlpha) / (tp + $nbAlpha * v)) " +
+        s"- ln((c_neg + $nbAlpha) / (tn + $nbAlpha * v)), " +
+        s"ln($nbAlpha / (tp + $nbAlpha * v)) - ln($nbAlpha / (tn + $nbAlpha * v))) " +
+        "AS l FROM sw LEFT JOIN cnt USING (token), tot)",
+      "agg AS (SELECT doc_id, sum(l) AS sl FROM sc GROUP BY doc_id)",
+      "nb AS (SELECT tk.doc_id, round(p + coalesce(a.sl, 0), 4) AS s " +
+        "FROM tk LEFT JOIN agg a ON tk.doc_id = a.doc_id, pri)",
+      s"ltr AS (SELECT * FROM tk WHERE doc_id < $lmSplit)",
+      "uni AS (SELECT w AS l, count(*) AS c1 FROM " +
+        "(SELECT unnest(t) AS w FROM ltr) GROUP BY w)",
+      "lv AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni)",
+      "bi AS (SELECT l, r, count(*) AS c2 FROM " +
+        "(SELECT t[j] AS l, t[j + 1] AS r FROM " +
+        "(SELECT t, unnest(range(1, len(t))) AS j FROM ltr)) GROUP BY l, r)",
+      "tep AS (SELECT doc_id, t[j] AS l, t[j + 1] AS r FROM " +
+        "(SELECT doc_id, t, unnest(range(1, len(t))) AS j FROM tk))",
+      s"lsc AS (SELECT p.doc_id, ln((coalesce(b.c2, 0) + $lmAlpha) / " +
+        s"(coalesce(u.c1, 0) + $lmAlpha * lv.vs)) AS lp FROM tep p " +
+        "LEFT JOIN bi b ON b.l = p.l AND b.r = p.r " +
+        "LEFT JOIN uni u ON u.l = p.l CROSS JOIN lv)",
+      "lmt AS (SELECT doc_id, round(avg(lp), 4) AS s FROM lsc GROUP BY doc_id)",
+      s"heur AS (SELECT doc_id, $heurSql AS s FROM documents)",
+      "rh AS (SELECT doc_id, rank() OVER (ORDER BY s DESC) AS r FROM heur)",
+      "rn AS (SELECT doc_id, rank() OVER (ORDER BY s DESC) AS r FROM nb)",
+      "rl AS (SELECT doc_id, rank() OVER (ORDER BY s DESC) AS r FROM lmt)",
+      "f AS (SELECT coalesce(rh.doc_id, rn.doc_id, rl.doc_id) AS doc_id, " +
+        "rh.r AS r1, rn.r AS r2, rl.r AS r3 FROM rh " +
+        "FULL JOIN rn ON rh.doc_id = rn.doc_id " +
+        "FULL JOIN rl ON coalesce(rh.doc_id, rn.doc_id) = rl.doc_id)"),
+      "SELECT doc_id, r1 AS rank_heur, r2 AS rank_nb, r3 AS rank_lm, " +
+        s"round(coalesce(1.0 / ($k + r1), 0) + coalesce(1.0 / ($k + r2), 0) " +
+        s"+ coalesce(1.0 / ($k + r3), 0), 6) AS rrf " +
+        s"FROM f ORDER BY rrf DESC, doc_id LIMIT $topK")
+  }
+
   /** Count–min-sketch replay ([[operators.Sketches]]): cell of (token,
     * row j) = `splitmix64(fnv1a64(token) XOR j) mod width` (the Bloom
     * device), cells summed from the exact counts, estimate = min cell.

@@ -1986,6 +1986,34 @@ object SparkEntry {
             docs, "doc_id", "n_tokens", nShards = 8),
           "n_tokens")
         .orderBy(col("shard"))
+    }),
+
+    // Reciprocal Rank Fusion (Cormack et al. 2009) over three
+    // incomparable quality signals — heuristic score, NB-classifier
+    // logit (q117's model scoring ALL docs), bigram-LM fluency
+    // (q100's model) — each competition-ranked on its bounded score
+    // histogram, fused Σ 1/(60 + r), consensus top-50
+    "q137_rank_fusion" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val heur = docs.select(col("doc_id"),
+        TF.qualityScore(col("text"), col("n_chars")).as("score"))
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val nbModel = graft.operators.QualityClassifier.train(
+        docs.withColumn("is_en", col("lang") === "en").filter(split),
+        "doc_id", "text", "is_en")
+      val nb = graft.operators.QualityClassifier
+        .score(docs, "doc_id", "text", nbModel)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+      val lm = graft.operators.NgramLm.train(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val lmScored = graft.operators.NgramLm
+        .logProbScore(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), col("avg_lp").as("score"))
+      graft.operators.RankFusion.reciprocalRankFusion(
+          Seq("heur" -> heur, "nb" -> nb, "lm" -> lmScored),
+          "doc_id", k = 60)
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(50)
     })
   )
 
@@ -3318,6 +3346,15 @@ object SparkEntry {
          |SELECT CASE WHEN pass % 2 = 0 THEN pos ELSE 7 - pos END
          |    AS shard,
          |  count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_weight
-         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q137_rank_fusion" -> HashOracles.q137RankFusion(
+      trainBuckets = 8000, nbAlpha = 1.0, lmSplit = 250, lmAlpha = 0.4,
+      k = 60, topK = 50,
+      heurSql = s"""2 * ${hitsSql(TF.EnStop)}
+        | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END
+        | + CASE WHEN 20 * (length(text) -
+        |     length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) <= n_chars
+        |   THEN 3 ELSE 0 END""".stripMargin)
   )
 }
