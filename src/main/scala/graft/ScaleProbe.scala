@@ -245,6 +245,38 @@ object ScaleProbe {
             .cast("long").as("v"))
         operators.Sketches.logHistBuildBy(v, "src", "v")
       })
+
+      timeWarm(s"gopher_signals r=$r docs=${nDocs * r}", () =>
+        operators.Repetition.gopherSignals(
+          replicateDocs(r), "doc_id", "text"))
+
+      timeWarm(s"divergence r=$r docs=${nDocs * r}", () =>
+        operators.Divergence.tokenDivergenceBy(
+          replicateDocs(r).select(col("doc_id"),
+            pmod(col("doc_id"), lit(20L)).cast("string").as("src"),
+            col("text")),
+          "src", "text"))
+
+      timeWarm(s"balanced_shards r=$r docs=${nDocs * r}", () =>
+        operators.Sharding.shardProfile(
+          operators.Sharding.assignBalancedShards(
+            replicateDocs(r).select(col("doc_id"),
+              size(functions.TextFunctions.tokens(col("text")))
+                .cast("long").as("w")),
+            "doc_id", "w", nShards = 16),
+          "w"))
+
+      timeWarm(s"rank_fusion r=$r docs=${nDocs * r}", () => {
+        val d = replicateDocs(r)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        operators.RankFusion.reciprocalRankFusion(Seq(
+          "heur" -> d.select(col("doc_id"),
+            functions.TextFunctions.qualityScore(col("text"),
+              col("n_chars")).as("score")),
+          "len" -> d.select(col("doc_id"),
+            col("n_chars").cast("double").as("score"))),
+          "doc_id")
+      })
     }
     spark.stop()
   }

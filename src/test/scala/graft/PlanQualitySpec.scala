@@ -493,6 +493,57 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q134-q137: round-9 additions — per-doc keys only, divergence " +
+      "hints only its two bounded frames, fusion tops out in a heap") {
+    CacheScope.scoped {
+      // q134: every join keyed by doc_id / (doc_id, gram) — un-hinted,
+      // no cross product anywhere in the signal suite
+      val df134 = SparkEntry.queries("q134_gopher_quality")(spark, dir)
+      assert(!df134.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q134 forces a corpus-cardinality broadcast")
+      assert(!df134.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
+
+      // q135: exactly TWO hints — the one-row totals frame and the
+      // group-arity totals frame (both bounded by construction); their
+      // nested-loop crosses are the deliberate zero-row generator; the
+      // (group, token) count join-back stays un-hinted and keyed
+      val df135 = SparkEntry.queries("q135_source_divergence")(spark, dir)
+      val a135 = df135.queryExecution.analyzed.toString
+      assert("ResolvedHint".r.findAllIn(a135).size === 2,
+        "q135 must hint exactly its two bounded frames:\n" + a135)
+      val p135 = df135.queryExecution.executedPlan.toString
+      assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+          .findAllIn(p135).size >= 1, p135)
+      assert(!p135.contains("CartesianProduct"), p135)
+
+      // q136: the rank device's only join is corpus x bounded bucket
+      // table — un-hinted; no cross product; final profile aggregates
+      // with a map-side partial
+      val df136 = SparkEntry.queries("q136_balanced_shards")(spark, dir)
+      assert(!df136.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q136's bucket-offset join must stay un-hinted")
+      val p136 = df136.queryExecution.executedPlan.toString
+      assert(!p136.contains("CartesianProduct"), p136)
+      assert(p136.contains("partial_sum") || p136.contains("partial_count"),
+        p136)
+
+      // q137: rank join-backs are keyed score equi-joins on bounded
+      // histograms (un-hinted), and the consensus top-50 is a heap,
+      // not a global sort
+      val df137 = SparkEntry.queries("q137_rank_fusion")(spark, dir)
+      assert(!df137.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q137 forces a broadcast somewhere")
+      val p137 = df137.queryExecution.executedPlan.toString
+      assert(p137.contains("TakeOrderedAndProject"),
+        "q137 top-50 must plan as a heap:\n" + p137)
+      assert(!p137.contains("CartesianProduct"), p137)
+    }
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
