@@ -279,6 +279,25 @@ object HashOracles {
       "max(CASE WHEN rn = 1 THEN n_chars END) AS keep_chars " +
       "FROM rk GROUP BY component HAVING count(*) > 1 ORDER BY component")
 
+  /** q51's cluster chain + soft-dedup weighting
+    * ([[operators.Dedup.softDedupWeights]]): every member keeps weight
+    * `1/|cluster|`; per-source raw vs effective token mass.
+    */
+  val q139SoftDedupMass: String = withClause(
+    bandedCtes(" WHERE doc_id < 300") ++
+      closureCtes("WHERE doc_id < 300") ++ Seq(
+      "lab AS (SELECT d.doc_id, d.source, d.nt, " +
+        "coalesce(r.component, d.doc_id) AS component " +
+        s"FROM (SELECT doc_id, source, len($Toks) AS nt " +
+        "FROM documents WHERE doc_id < 300) d " +
+        "LEFT JOIN reach r ON r.node = d.doc_id)",
+      "cs AS (SELECT component, count(*) AS k FROM lab GROUP BY 1)"),
+    "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(nt) AS BIGINT) AS raw_tokens, " +
+      "round(sum(nt * 1.0 / k), 4) AS effective_tokens " +
+      "FROM lab JOIN cs USING (component) " +
+      "GROUP BY source ORDER BY source")
+
   val q23LshBuckets: String = withClause(
     bucketCtes() :+
       "bk AS (SELECT bucket, count(*) AS n_vectors FROM sigs GROUP BY bucket)",

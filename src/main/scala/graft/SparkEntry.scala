@@ -2014,6 +2014,49 @@ object SparkEntry {
           "doc_id", k = 60)
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(50)
+    }),
+
+    // Moore–Lewis cross-entropy difference selection (Moore & Lewis
+    // 2010): score each candidate by ln-prob under an IN-DOMAIN LM
+    // minus ln-prob under a GENERAL LM trained on the same reference
+    // slice — the classic "select data that looks like my domain, not
+    // just data that looks like language" recipe; top-50 is a heap
+    "q138_moore_lewis" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") < 250)
+      val lmIn = graft.operators.NgramLm.train(
+        ref.filter(col("lang") === "en"), "doc_id", "text")
+      val lmGen = graft.operators.NgramLm.train(ref, "doc_id", "text")
+      val cand = docs.filter(col("doc_id") >= 250)
+      val sIn = graft.operators.NgramLm
+        .logProbScore(cand, "doc_id", "text", lmIn)
+        .select(col("doc_id"), col("avg_lp").as("lp_in"))
+      val sGen = graft.operators.NgramLm
+        .logProbScore(cand, "doc_id", "text", lmGen)
+        .select(col("doc_id"), col("avg_lp").as("lp_gen"))
+      sIn.join(sGen, Seq("doc_id"))
+        .join(cand.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("ce_diff", round(col("lp_in") - col("lp_gen"), 4))
+        .orderBy(col("ce_diff").desc, col("doc_id"))
+        .limit(50)
+    }),
+
+    // Soft dedup: duplicates stay but at weight 1/|cluster| — per
+    // source, EFFECTIVE token mass (what training actually sees) vs
+    // raw token mass; the over-scraped source is the one whose
+    // effective mass collapses
+    "q139_soft_dedup_mass" -> ((s, dir) => {
+      val clustered = Dedup.dedupCorpus(
+        T(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", threshold = 0.9)
+      Dedup.softDedupWeights(clustered, "component")
+        .withColumn("n_toks", size(toks(col("text"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("raw_tokens"),
+          round(sum(col("soft_weight") * col("n_toks")), 4)
+            .as("effective_tokens"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3355,6 +3398,52 @@ object SparkEntry {
         | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END
         | + CASE WHEN 20 * (length(text) -
         |     length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) <= n_chars
-        |   THEN 3 ELSE 0 END""".stripMargin)
+        |   THEN 3 ELSE 0 END""".stripMargin),
+
+    // the q100 bigram replay TWICE (in-domain = en slice of the
+    // reference, general = whole reference), per-doc rounded averages
+    // subtracted — both LMs share the candidate gram table
+    "q138_moore_lewis" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+         |ref AS (SELECT * FROM tok WHERE doc_id < 250),
+         |refin AS (SELECT * FROM ref WHERE lang = 'en'),
+         |cand AS (SELECT * FROM tok WHERE doc_id >= 250),
+         |uin AS (SELECT w AS l, count(*) AS c1 FROM
+         |  (SELECT unnest(t) AS w FROM refin) GROUP BY w),
+         |vin AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uin),
+         |bin_ AS (SELECT l, r, count(*) AS c2 FROM
+         |  (SELECT t[j] AS l, t[j + 1] AS r FROM
+         |    (SELECT t, unnest(range(1, len(t))) AS j FROM refin))
+         |  GROUP BY l, r),
+         |ugen AS (SELECT w AS l, count(*) AS c1 FROM
+         |  (SELECT unnest(t) AS w FROM ref) GROUP BY w),
+         |vgen AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM ugen),
+         |bgen AS (SELECT l, r, count(*) AS c2 FROM
+         |  (SELECT t[j] AS l, t[j + 1] AS r FROM
+         |    (SELECT t, unnest(range(1, len(t))) AS j FROM ref))
+         |  GROUP BY l, r),
+         |cp AS (SELECT doc_id, t[j] AS l, t[j + 1] AS r FROM
+         |  (SELECT doc_id, t, unnest(range(1, len(t))) AS j FROM cand)),
+         |sin AS (SELECT p.doc_id, round(avg(
+         |  ln((coalesce(b.c2, 0) + 0.4) /
+         |     (coalesce(u.c1, 0) + 0.4 * vin.vs))), 4) AS lp_in
+         |  FROM cp p
+         |  LEFT JOIN bin_ b ON b.l = p.l AND b.r = p.r
+         |  LEFT JOIN uin u ON u.l = p.l CROSS JOIN vin
+         |  GROUP BY p.doc_id),
+         |sgen AS (SELECT p.doc_id, round(avg(
+         |  ln((coalesce(b.c2, 0) + 0.4) /
+         |     (coalesce(u.c1, 0) + 0.4 * vgen.vs))), 4) AS lp_gen
+         |  FROM cp p
+         |  LEFT JOIN bgen b ON b.l = p.l AND b.r = p.r
+         |  LEFT JOIN ugen u ON u.l = p.l CROSS JOIN vgen
+         |  GROUP BY p.doc_id)
+         |SELECT s1.doc_id, s1.lp_in, s2.lp_gen, c.lang,
+         |  round(s1.lp_in - s2.lp_gen, 4) AS ce_diff
+         |FROM sin s1 JOIN sgen s2 USING (doc_id)
+         |  JOIN (SELECT doc_id, lang FROM cand) c USING (doc_id)
+         |ORDER BY ce_diff DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q139_soft_dedup_mass" -> HashOracles.q139SoftDedupMass
   )
 }

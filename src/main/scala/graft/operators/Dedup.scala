@@ -433,6 +433,28 @@ object Dedup {
       .drop("__dd_rk")
   }
 
+  /** Soft deduplication — the down-WEIGHTING alternative to removal
+    * (the SlimPajama/DataComp-LM ablation axis: instead of keeping one
+    * member per duplicate cluster, keep them all at weight
+    * `1 / |cluster|` so each distinct content unit contributes one
+    * unit of training mass however many times it was scraped). Adds
+    * `cluster_size` and `soft_weight` to a clustered frame
+    * ([[dedupCorpus]] / [[connectedComponents]] output); feed the
+    * weight to a sampler ([[Sampling]]) or a mixture accounting.
+    *
+    * One component-partitioned count window — bounded per cluster by
+    * the same hub caps that bound the clustering itself, parallel
+    * across clusters (the [[electCanonicalByScore]] shape).
+    */
+  def softDedupWeights(clustered: DataFrame,
+      componentCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(componentCol))
+    clustered
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("soft_weight", lit(1.0) / col("cluster_size"))
+  }
+
   /** The persistent dedup index of a corpus, NORMALIZED into its two
     * access paths so the signature is stored once per document, not once
     * per band row (inline duplication costs `bands`× the signature volume

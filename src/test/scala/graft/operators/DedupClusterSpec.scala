@@ -162,4 +162,29 @@ class DedupClusterSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("n"))
     assert(counts.forall(_ === 1L))
   }
+
+  test("softDedupWeights: each cluster's weights sum to one; " +
+      "singletons keep full weight; total effective mass = number of " +
+      "distinct clusters") {
+    val s = spark
+    import s.implicits._
+    val clustered = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // size 3
+      (10L, 10L), (11L, 10L),       // size 2
+      (20L, 20L)                    // singleton
+    ).toDF("doc_id", "component")
+    val w = Dedup.softDedupWeights(clustered, "component")
+    val byDoc = w.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("cluster_size"), r.getAs[Double]("soft_weight")))
+      .toMap
+    assert(byDoc(1L) === (3L, 1.0 / 3))
+    assert(byDoc(10L) === (2L, 0.5))
+    assert(byDoc(20L) === (1L, 1.0))
+    val perCluster = w.groupBy("component")
+      .agg(sum(col("soft_weight")).as("sw"))
+      .collect().map(_.getAs[Double]("sw"))
+    assert(perCluster.forall(x => math.abs(x - 1.0) < 1e-12))
+    val total = w.agg(sum(col("soft_weight"))).head().getDouble(0)
+    assert(math.abs(total - 3.0) < 1e-12) // 3 distinct clusters
+  }
 }

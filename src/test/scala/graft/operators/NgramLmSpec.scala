@@ -193,4 +193,33 @@ class NgramLmSpec extends SparkSpec {
     assert(scored(1L) > scored(2L) + 0.1,
       s"bigram LM failed to separate frequent from OOV text: $scored")
   }
+
+  test("Moore-Lewis cross-entropy difference prefers in-domain text " +
+      "over merely-fluent text") {
+    val s = spark
+    import s.implicits._
+    // general reference: legal + cooking prose; in-domain: legal only
+    val legal = "the party of the first part shall indemnify the party"
+    val cook = "stir the sauce and season the sauce with fresh basil"
+    val ref = (Seq.tabulate(10)(i => (i.toLong, legal)) ++
+      Seq.tabulate(10)(i => (10L + i, cook))).toDF("doc_id", "text")
+    val lmIn = NgramLm.train(ref.filter($"doc_id" < 10), "doc_id", "text")
+    val lmGen = NgramLm.train(ref, "doc_id", "text")
+    val cand = Seq(
+      (100L, "the party shall indemnify the first part"), // in-domain
+      (101L, "season the sauce and stir with basil")      // fluent, off-domain
+    ).toDF("doc_id", "text")
+    def score(lm: NgramLm.Lm) =
+      NgramLm.logProbScore(cand, "doc_id", "text", lm)
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_lp"))
+        .toMap
+    val dIn = score(lmIn); val dGen = score(lmGen)
+    val ce100 = dIn(100L) - dGen(100L)
+    val ce101 = dIn(101L) - dGen(101L)
+    assert(ce100 > ce101 + 0.3,
+      s"CE difference failed to separate domains: $ce100 vs $ce101")
+    // both docs are fluent under the GENERAL model — the plain LM
+    // score alone cannot make this separation
+    assert(math.abs(dGen(100L) - dGen(101L)) < 2.0)
+  }
 }
