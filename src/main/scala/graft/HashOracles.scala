@@ -1131,6 +1131,24 @@ object HashOracles {
         "FROM ids GROUP BY doc_id ORDER BY doc_id")
   }
 
+  /** Per-language tokenizer-efficiency replay (q140): the q94 chain
+    * grouped by language — tokens-per-word after the trained merges
+    * and the merged-symbol fraction.
+    */
+  def q140TokenizerFertility(rounds: Int): String =
+    withClause(bpeChainCtes(rounds) :+
+      ("per AS (SELECT f.doc_id, d.lang, len(f.e) AS nsub, " +
+        "len(list_filter(f.e, x -> contains(x, ' '))) AS nm, " +
+        "len(t.t) AS nw " +
+        "FROM fin f JOIN tok t USING (doc_id) " +
+        "JOIN documents d USING (doc_id))"),
+      "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(nw) AS BIGINT) AS n_words, " +
+        "CAST(sum(nsub) AS BIGINT) AS n_bpe_tokens, " +
+        "round(sum(nsub) * 1.0 / sum(nw), 4) AS tokens_per_word, " +
+        "round(sum(nm) * 1.0 / sum(nsub), 4) AS merged_frac " +
+        "FROM per GROUP BY lang ORDER BY lang")
+
   def q94BpeEncode(rounds: Int): String =
     withClause(bpeChainCtes(rounds),
       "SELECT doc_id, CAST(len(e) AS BIGINT) AS n_tokens, " +

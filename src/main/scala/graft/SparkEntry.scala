@@ -2057,6 +2057,37 @@ object SparkEntry {
           round(sum(col("soft_weight") * col("n_toks")), 4)
             .as("effective_tokens"))
         .orderBy(col("source"))
+    }),
+
+    // Tokenizer efficiency per language: the trained merges compress
+    // each language differently — tokens-per-word after encoding (the
+    // fertility analogue for this word-symbol BPE; closer to 1 = the
+    // language the tokenizer serves worst) and the merged-symbol
+    // fraction; one tokenize pass feeds train, encode, and the word
+    // counts
+    "q140_tokenizer_fertility" -> ((s, dir) => {
+      val docs = graft.CacheScope.register(T(s, dir, "documents")
+        .withColumn("__tk", toks(col("text"))).persist())
+      val merges = graft.operators.TokenizerTraining.trainMerges(
+        docs, "doc_id", "text", rounds = 8, minCount = 1,
+        tokensCol = Some("__tk"), checkpointEvery = 3)
+      graft.operators.TokenizerTraining
+        .encode(docs, "doc_id", "text", merges,
+          tokensCol = Some("__tk"))
+        .select(col("lang"),
+          size(col("__tk")).cast("long").as("nw"),
+          size(col("encoded")).cast("long").as("nsub"),
+          size(filter(col("encoded"), x => x.contains(" ")))
+            .cast("long").as("nm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nsub")).as("n_bpe_tokens"),
+          round(sum(col("nsub")).cast("double") / sum(col("nw")), 4)
+            .as("tokens_per_word"),
+          round(sum(col("nm")).cast("double") / sum(col("nsub")), 4)
+            .as("merged_frac"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -3444,6 +3475,8 @@ object SparkEntry {
          |  JOIN (SELECT doc_id, lang FROM cand) c USING (doc_id)
          |ORDER BY ce_diff DESC, doc_id LIMIT 50""".stripMargin,
 
-    "q139_soft_dedup_mass" -> HashOracles.q139SoftDedupMass
+    "q139_soft_dedup_mass" -> HashOracles.q139SoftDedupMass,
+
+    "q140_tokenizer_fertility" -> HashOracles.q140TokenizerFertility(8)
   )
 }
