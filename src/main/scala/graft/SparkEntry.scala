@@ -2088,6 +2088,27 @@ object SparkEntry {
           round(sum(col("nm")).cast("double") / sum(col("nsub")), 4)
             .as("merged_frac"))
         .orderBy(col("lang"))
+    }),
+
+    // As-of join (attribution form): each purchase matched to the
+    // user's most recent at-or-before click — union + keyed window
+    // carrying the last-seen right payload, ONE shuffle, no join node;
+    // the oracle is DuckDB's native ASOF JOIN, a fully independent
+    // implementation of the same semantics
+    "q141_asof_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.asOfBackward(purchases, clicks,
+          "user_id", "ts", rightPayload = Seq("event_id", "ts"),
+          prefix = "click_")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_event_id"),
+          graft.operators.AsOfJoin.gapMicros(col("ts"), col("click_ts"))
+            .as("micros_since_click"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -3477,6 +3498,21 @@ object SparkEntry {
 
     "q139_soft_dedup_mass" -> HashOracles.q139SoftDedupMass,
 
-    "q140_tokenizer_fertility" -> HashOracles.q140TokenizerFertility(8)
+    "q140_tokenizer_fertility" -> HashOracles.q140TokenizerFertility(8),
+
+    // DuckDB's native ASOF JOIN: an independent implementation of the
+    // backward inclusive (>=) semantics
+    "q141_asof_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.value,
+        |  c.cid AS click_event_id,
+        |  CAST(epoch_us(p.ts) - epoch_us(c.cts) AS BIGINT)
+        |    AS micros_since_click
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.cts
+        |ORDER BY p.event_id""".stripMargin
   )
 }
