@@ -2109,6 +2109,26 @@ object SparkEntry {
           graft.operators.AsOfJoin.gapMicros(col("ts"), col("click_ts"))
             .as("micros_since_click"))
         .orderBy(col("event_id"))
+    }),
+
+    // Range join (incident-window form): each click counted against
+    // the 10-minute incident windows opened by error events —
+    // bucketized granule equi-join + exact containment filter, never
+    // the O(points x intervals) nested loop; the oracle is DuckDB's
+    // plain inequality join
+    "q142_range_join_incidents" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      graft.operators.RangeJoin.countingIntervalJoin(
+          clicks, "event_id", "ts", incidents, "w_start", "w_end",
+          bucketMicros = 600L * 1000000)
+        .select(col("event_id"), col("n_matches"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -3513,6 +3533,18 @@ object SparkEntry {
         |    AS micros_since_click
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.cts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the naive inequality join IS the oracle (capped corpus); the
+    // engine's granule device must be invisible
+    "q142_range_join_incidents" ->
+      """WITH c AS (SELECT event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |i AS (SELECT ts AS ws, ts + INTERVAL 10 MINUTE AS we
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.event_id,
+        |  CAST(count(i.ws) AS BIGINT) AS n_matches
+        |FROM c LEFT JOIN i ON c.ts >= i.ws AND c.ts < i.we
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin
   )
 }
