@@ -77,6 +77,60 @@ object SparkEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // Gopher-signal CTE chain (q134, reused by the q143 capstone): ends
+  // in `m(doc_id, n_words, tot_chars, mwl, awf, swr, tf, df)`; the
+  // default-threshold first-failing-rule CASE is GopherDropSql.
+  private val GopherCtes: String =
+    s"""tk AS (SELECT doc_id, text, $ToksSql AS t FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS L,
+       |  CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+       |    AS BIGINT) AS tot_chars,
+       |  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+       |    AS n_alpha,
+       |  CAST((length(text) - length(replace(text, '#', '')))
+       |    + (length(text) - length(replace(text, '...', ''))) // 3
+       |    AS BIGINT) AS n_symbols
+       |  FROM tk),
+       |g AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 2], ' ')
+       |    AS gram
+       |  FROM (SELECT doc_id, t, unnest(range(0, L - 1)) AS i
+       |        FROM base WHERE L >= 2)),
+       |c AS (SELECT doc_id, gram, count(*) AS cnt,
+       |  CAST(len(gram) - 1 AS BIGINT) AS charlen
+       |  FROM g GROUP BY 1, 2),
+       |top AS (SELECT doc_id, cnt * charlen AS top_chars FROM
+       |  (SELECT doc_id, cnt, charlen, row_number() OVER
+       |     (PARTITION BY doc_id
+       |      ORDER BY cnt DESC, charlen DESC, gram DESC) AS rn
+       |   FROM c) WHERE rn = 1),
+       |d AS (SELECT doc_id, gram FROM c WHERE cnt > 1),
+       |cov AS (SELECT DISTINCT g.doc_id, g.i + k.k AS idx
+       |  FROM g JOIN d USING (doc_id, gram),
+       |    (SELECT unnest(range(0, 2)) AS k) k),
+       |covc AS (SELECT cov.doc_id,
+       |  CAST(sum(len(t[idx + 1])) AS BIGINT) AS cov_chars
+       |  FROM cov JOIN base ON cov.doc_id = base.doc_id GROUP BY 1),
+       |m AS (SELECT b.doc_id, L AS n_words, tot_chars,
+       |  CASE WHEN L > 0 THEN tot_chars * 1.0 / L END AS mwl,
+       |  CASE WHEN L > 0 THEN n_alpha * 1.0 / L END AS awf,
+       |  CASE WHEN L > 0 THEN n_symbols * 1.0 / L END AS swr,
+       |  CASE WHEN tot_chars > 0
+       |    THEN coalesce(top_chars, 0) * 1.0 / tot_chars END AS tf,
+       |  CASE WHEN tot_chars > 0
+       |    THEN coalesce(cov_chars, 0) * 1.0 / tot_chars END AS df
+       |  FROM base b LEFT JOIN top USING (doc_id)
+       |    LEFT JOIN covc ON b.doc_id = covc.doc_id)""".stripMargin
+
+  private val GopherDropSql: String =
+    """CASE WHEN n_words < 20 THEN 'min_words'
+      |    WHEN n_words > 100000 THEN 'max_words'
+      |    WHEN mwl < 2.0 OR mwl > 10.0 THEN 'mean_word_len'
+      |    WHEN swr > 0.1 THEN 'symbol_ratio'
+      |    WHEN awf < 0.8 THEN 'alpha_frac'
+      |    WHEN tf > 0.20 THEN 'top_ngram'
+      |    WHEN df > 0.20 THEN 'dup_ngram'
+      |  END""".stripMargin
+
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter($ToksSql, t -> t IN ${inList(words)}))"
 
@@ -2129,6 +2183,44 @@ object SparkEntry {
           bucketMicros = 600L * 1000000)
         .select(col("event_id"), col("n_matches"))
         .orderBy(col("event_id"))
+    }),
+
+    // Capstone #9: curate-and-shard with the round-9 operator family —
+    // Gopher repetition gate -> Moore-Lewis CE-difference ranking of
+    // the survivors -> top-150 -> token-balanced serpentine shards;
+    // per-shard accounting (docs, token mass, deepest rank) replays
+    // the whole chain
+    "q143_curate_and_shard" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val kept = graft.operators.Repetition
+        .annotateGopher(docs, "doc_id", "text")
+        .filter(col("drop_reason").isNull)
+        .select(col("doc_id"))
+      val cand = docs.join(kept, Seq("doc_id"))
+      val ref = docs.filter(col("doc_id") < 250)
+      val lmIn = graft.operators.NgramLm.train(
+        ref.filter(col("lang") === "en"), "doc_id", "text")
+      val lmGen = graft.operators.NgramLm.train(ref, "doc_id", "text")
+      val sIn = graft.operators.NgramLm
+        .logProbScore(cand, "doc_id", "text", lmIn)
+        .select(col("doc_id"), col("avg_lp").as("lp_in"))
+      val sGen = graft.operators.NgramLm
+        .logProbScore(cand, "doc_id", "text", lmGen)
+        .select(col("doc_id"), col("avg_lp").as("lp_gen"))
+      val sel = sIn.join(sGen, Seq("doc_id"))
+        .withColumn("ce_diff", round(col("lp_in") - col("lp_gen"), 4))
+        .orderBy(col("ce_diff").desc, col("doc_id"))
+        .limit(150)
+        .join(cand.select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tokens")),
+          Seq("doc_id"))
+      graft.operators.Sharding.assignBalancedShards(
+          sel, "doc_id", "n_tokens", nShards = 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("rank")).as("max_rank"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -3366,59 +3458,14 @@ object SparkEntry {
     // order (cnt, charlen, gram) DESC mirrors the struct-max; the
     // 0-word/0-char NULL guards mirror the engine (q110 precedent)
     "q134_gopher_quality" ->
-      s"""WITH tk AS (SELECT doc_id, text, $ToksSql AS t FROM documents),
-         |base AS (SELECT doc_id, t, len(t) AS L,
-         |  CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0)
-         |    AS BIGINT) AS tot_chars,
-         |  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
-         |    AS n_alpha,
-         |  CAST((length(text) - length(replace(text, '#', '')))
-         |    + (length(text) - length(replace(text, '...', ''))) // 3
-         |    AS BIGINT) AS n_symbols
-         |  FROM tk),
-         |g AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 2], ' ')
-         |    AS gram
-         |  FROM (SELECT doc_id, t, unnest(range(0, L - 1)) AS i
-         |        FROM base WHERE L >= 2)),
-         |c AS (SELECT doc_id, gram, count(*) AS cnt,
-         |  CAST(len(gram) - 1 AS BIGINT) AS charlen
-         |  FROM g GROUP BY 1, 2),
-         |top AS (SELECT doc_id, cnt * charlen AS top_chars FROM
-         |  (SELECT doc_id, cnt, charlen, row_number() OVER
-         |     (PARTITION BY doc_id
-         |      ORDER BY cnt DESC, charlen DESC, gram DESC) AS rn
-         |   FROM c) WHERE rn = 1),
-         |d AS (SELECT doc_id, gram FROM c WHERE cnt > 1),
-         |cov AS (SELECT DISTINCT g.doc_id, g.i + k.k AS idx
-         |  FROM g JOIN d USING (doc_id, gram),
-         |    (SELECT unnest(range(0, 2)) AS k) k),
-         |covc AS (SELECT cov.doc_id,
-         |  CAST(sum(len(t[idx + 1])) AS BIGINT) AS cov_chars
-         |  FROM cov JOIN base ON cov.doc_id = base.doc_id GROUP BY 1),
-         |m AS (SELECT b.doc_id, L AS n_words, tot_chars,
-         |  CASE WHEN L > 0 THEN tot_chars * 1.0 / L END AS mwl,
-         |  CASE WHEN L > 0 THEN n_alpha * 1.0 / L END AS awf,
-         |  CASE WHEN L > 0 THEN n_symbols * 1.0 / L END AS swr,
-         |  CASE WHEN tot_chars > 0
-         |    THEN coalesce(top_chars, 0) * 1.0 / tot_chars END AS tf,
-         |  CASE WHEN tot_chars > 0
-         |    THEN coalesce(cov_chars, 0) * 1.0 / tot_chars END AS df
-         |  FROM base b LEFT JOIN top USING (doc_id)
-         |    LEFT JOIN covc ON b.doc_id = covc.doc_id)
+      s"""WITH $GopherCtes
          |SELECT doc_id, n_words, tot_chars,
          |  round(mwl, 6) AS mean_word_len,
          |  round(awf, 6) AS alpha_word_frac,
          |  round(swr, 6) AS symbol_word_ratio,
          |  round(tf, 6) AS top_ngram_char_frac,
          |  round(df, 6) AS dup_ngram_char_frac,
-         |  CASE WHEN n_words < 20 THEN 'min_words'
-         |    WHEN n_words > 100000 THEN 'max_words'
-         |    WHEN mwl < 2.0 OR mwl > 10.0 THEN 'mean_word_len'
-         |    WHEN swr > 0.1 THEN 'symbol_ratio'
-         |    WHEN awf < 0.8 THEN 'alpha_frac'
-         |    WHEN tf > 0.20 THEN 'top_ngram'
-         |    WHEN df > 0.20 THEN 'dup_ngram'
-         |  END AS drop_reason
+         |  $GopherDropSql AS drop_reason
          |FROM m ORDER BY doc_id""".stripMargin,
 
     // smoothed-KL/JS replay: p over the group's counts, q over the
@@ -3545,6 +3592,62 @@ object SparkEntry {
         |SELECT c.event_id,
         |  CAST(count(i.ws) AS BIGINT) AS n_matches
         |FROM c LEFT JOIN i ON c.ts >= i.ws AND c.ts < i.we
-        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
+
+    // capstone replay: Gopher keep -> the q138 two-LM chain over the
+    // kept docs -> top-150 -> the q136 serpentine deal at 4 shards
+    "q143_curate_and_shard" ->
+      s"""WITH $GopherCtes,
+         |keep AS (SELECT doc_id FROM m WHERE $GopherDropSql IS NULL),
+         |dl AS (SELECT doc_id, lang FROM documents),
+         |ref AS (SELECT tk.doc_id, tk.t FROM tk
+         |  WHERE tk.doc_id < 250),
+         |refin AS (SELECT tk.doc_id, tk.t FROM tk JOIN dl USING (doc_id)
+         |  WHERE tk.doc_id < 250 AND dl.lang = 'en'),
+         |cand AS (SELECT tk.doc_id, tk.t FROM tk JOIN keep USING (doc_id)),
+         |uin AS (SELECT w AS l, count(*) AS c1 FROM
+         |  (SELECT unnest(t) AS w FROM refin) GROUP BY w),
+         |vin AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uin),
+         |bin_ AS (SELECT l, r, count(*) AS c2 FROM
+         |  (SELECT t[j] AS l, t[j + 1] AS r FROM
+         |    (SELECT t, unnest(range(1, len(t))) AS j FROM refin))
+         |  GROUP BY l, r),
+         |ugen AS (SELECT w AS l, count(*) AS c1 FROM
+         |  (SELECT unnest(t) AS w FROM ref) GROUP BY w),
+         |vgen AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM ugen),
+         |bgen AS (SELECT l, r, count(*) AS c2 FROM
+         |  (SELECT t[j] AS l, t[j + 1] AS r FROM
+         |    (SELECT t, unnest(range(1, len(t))) AS j FROM ref))
+         |  GROUP BY l, r),
+         |cp AS (SELECT doc_id, t[j] AS l, t[j + 1] AS r FROM
+         |  (SELECT doc_id, t, unnest(range(1, len(t))) AS j FROM cand)),
+         |sin AS (SELECT p.doc_id, round(avg(
+         |  ln((coalesce(b.c2, 0) + 0.4) /
+         |     (coalesce(u.c1, 0) + 0.4 * vin.vs))), 4) AS lp_in
+         |  FROM cp p
+         |  LEFT JOIN bin_ b ON b.l = p.l AND b.r = p.r
+         |  LEFT JOIN uin u ON u.l = p.l CROSS JOIN vin
+         |  GROUP BY p.doc_id),
+         |sgen AS (SELECT p.doc_id, round(avg(
+         |  ln((coalesce(b.c2, 0) + 0.4) /
+         |     (coalesce(u.c1, 0) + 0.4 * vgen.vs))), 4) AS lp_gen
+         |  FROM cp p
+         |  LEFT JOIN bgen b ON b.l = p.l AND b.r = p.r
+         |  LEFT JOIN ugen u ON u.l = p.l CROSS JOIN vgen
+         |  GROUP BY p.doc_id),
+         |sel AS (SELECT s1.doc_id FROM sin s1 JOIN sgen s2 USING (doc_id)
+         |  ORDER BY round(s1.lp_in - s2.lp_gen, 4) DESC, doc_id
+         |  LIMIT 150),
+         |wt AS (SELECT s.doc_id, len(tk.t) AS w FROM sel s
+         |  JOIN tk USING (doc_id)),
+         |r AS (SELECT doc_id, w,
+         |  row_number() OVER (ORDER BY w DESC, doc_id) AS rank FROM wt),
+         |a AS (SELECT w, rank, CAST((rank - 1) % 4 AS INT) AS pos,
+         |  (rank - 1) // 4 AS pass FROM r)
+         |SELECT CASE WHEN pass % 2 = 0 THEN pos ELSE 3 - pos END
+         |    AS shard,
+         |  count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_tokens,
+         |  CAST(max(rank) AS BIGINT) AS max_rank
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }
