@@ -2196,7 +2196,11 @@ object SparkEntry {
         .annotateGopher(docs, "doc_id", "text")
         .filter(col("drop_reason").isNull)
         .select(col("doc_id"))
-      val cand = docs.join(kept, Seq("doc_id"))
+      // three consumers (two LM scorings + the token-count join) —
+      // without the cache each re-runs the whole Gopher gram chain
+      // (measured 4.8 s -> 2.9 s at sf0.1)
+      val cand = graft.CacheScope.register(
+        docs.join(kept, Seq("doc_id")).persist())
       val ref = docs.filter(col("doc_id") < 250)
       val lmIn = graft.operators.NgramLm.train(
         ref.filter(col("lang") === "en"), "doc_id", "text")
