@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite, Fnv1a64, SplitMix64}
+import graft.expressions.{DotProduct, DotProductRewrite, Fnv1a64, JaroWinkler, SplitMix64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           "graft_fnv1a64 takes exactly 1 argument")
         Fnv1a64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => DotProductRewrite)
   }

@@ -2225,7 +2225,19 @@ object SparkEntry {
           sum(col("n_tokens")).as("total_tokens"),
           max(col("rank")).as("max_rank"))
         .orderBy(col("shard"))
-    })
+    }),
+
+    // Blocked fuzzy record linkage: each customer's single strongest
+    // fuzzy match (Jaro-Winkler >= 0.9, codegen'd graft_jaro_winkler
+    // expression) among candidates sharing the 15-char name prefix
+    // block. The only shuffle is the blocking equi-join; the similarity
+    // runs once per candidate pair inside whole-stage codegen. Gated
+    // against DuckDB's NATIVE jaro_winkler_similarity.
+    "q144_fuzzy_linkage" -> ((s, dir) =>
+      graft.operators.RecordLinkage.bestLinks(
+          T(s, dir, "customer"), "c_custkey", "c_name",
+          name => substring(name, 1, 15), minSim = 0.9)
+        .orderBy(col("c_custkey")))
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -3652,6 +3664,23 @@ object SparkEntry {
          |    AS shard,
          |  count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_tokens,
          |  CAST(max(rank) AS BIGINT) AS max_rank
-         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity IS the classic Winkler definition
+    // the graft expression implements (boost threshold 0.7, prefix cap 4,
+    // p=0.1, either-empty -> 0.0) — verified equivalent on 3000 random
+    // string pairs in JaroWinklerSpec; rank on the rounded grid with
+    // match_id as the total tie-break so the argmax replays
+    "q144_fuzzy_linkage" ->
+      """WITH e AS (SELECT c_custkey AS id, c_name AS name,
+        |  substr(c_name, 1, 15) AS blk FROM customer),
+        |p AS (SELECT a.id, b.id AS match_id,
+        |  round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
+        |  FROM e a JOIN e b ON a.blk = b.blk AND a.id <> b.id
+        |  WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9),
+        |r AS (SELECT id, match_id, jw, row_number() OVER
+        |  (PARTITION BY id ORDER BY jw DESC, match_id) AS rn FROM p)
+        |SELECT id AS c_custkey, match_id, jw FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin
   )
 }
