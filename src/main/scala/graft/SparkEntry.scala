@@ -2237,7 +2237,17 @@ object SparkEntry {
       graft.operators.RecordLinkage.bestLinks(
           T(s, dir, "customer"), "c_custkey", "c_name",
           name => substring(name, 1, 15), minSim = 0.9)
-        .orderBy(col("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // Robust per-source length profile: exact median + MAD + the
+    // Iglewicz-Hoaglin modified z-score, outliers at |z| > 2.0 (this
+    // corpus's max |z| is ~2.97 — 3.5 flags nothing at any SF). Group
+    // stats are one row per source -> both join-backs broadcast; the
+    // row table is never shuffled on the row grain.
+    "q145_robust_outliers" -> ((s, dir) =>
+      graft.operators.Robust.madProfile(
+          T(s, dir, "documents"), "source", "n_chars", cutoff = 2.0)
+        .orderBy(col("source")))
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -3681,6 +3691,31 @@ object SparkEntry {
         |r AS (SELECT id, match_id, jw, row_number() OVER
         |  (PARTITION BY id ORDER BY jw DESC, match_id) AS rn FROM p)
         |SELECT id AS c_custkey, match_id, jw FROM r WHERE rn = 1
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // quantile_cont is the same linear-interpolated percentile Spark's
+    // exact `percentile` computes; the mean-AD fallback branch is dead
+    // on this data (every source has MAD > 0) so no float-sum-order
+    // divergence is reachable
+    "q145_robust_outliers" ->
+      """WITH med AS (SELECT source,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        |  FROM documents GROUP BY source),
+        |d AS (SELECT d.source, CAST(n_chars AS DOUBLE) AS x, med
+        |  FROM documents d JOIN med USING (source)),
+        |sp AS (SELECT source, quantile_cont(abs(x - med), 0.5) AS mad,
+        |  avg(abs(x - med)) AS mean_ad FROM d GROUP BY source),
+        |z AS (SELECT d.source, d.med, sp.mad,
+        |  CASE WHEN sp.mad > 0 THEN 0.6745 * (x - d.med) / sp.mad
+        |       WHEN sp.mean_ad > 0
+        |         THEN (x - d.med) / (1.253314 * sp.mean_ad)
+        |  END AS mod_z
+        |  FROM d JOIN sp USING (source))
+        |SELECT source, count(*) AS n_rows, round(max(med), 4) AS med,
+        |  round(max(mad), 4) AS mad,
+        |  CAST(coalesce(sum(CASE WHEN abs(mod_z) > 2.0 THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_outliers,
+        |  round(max(abs(mod_z)), 4) AS max_abs_z
+        |FROM z GROUP BY source ORDER BY source""".stripMargin
   )
 }

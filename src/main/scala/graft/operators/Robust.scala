@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust (median/MAD) outlier statistics — the distribution-free length
+  * and score screens a curation pipeline runs before any mean/stddev
+  * profiling, because corpus length distributions are heavy-tailed and a
+  * single 100 MB crawl artifact drags a mean-based z-score arbitrarily.
+  *
+  * The score is the Iglewicz–Hoaglin modified z-score
+  * `z = 0.6745 (x - median) / MAD` with their published fallback when
+  * MAD degenerates to 0 (more than half the group at the median):
+  * `z = (x - median) / (1.253314 * meanAD)`; if meanAD is also 0 the
+  * group is constant and nothing is an outlier.
+  *
+  * 100 TB shape: two per-group aggregations (median, then MAD over the
+  * residuals) and two joins back — the group-stats tables are one row
+  * per group, so both join-backs broadcast; the row table is scanned
+  * twice but never shuffled on the row grain. Exact `percentile` sorts
+  * each group's values; at petabyte grain swap `exact = false` to use
+  * `approx_percentile` (t-digest, one pass, mergeable) — the gate runs
+  * exact so the DuckDB oracle replays bit-for-bit.
+  */
+object Robust {
+
+  private def median(c: Column, exact: Boolean): Column =
+    if (exact) percentile(c, lit(0.5))
+    else approx_percentile(c, lit(0.5), lit(10000))
+
+  /** Per-row annotation: adds `med`, `mad`, `mod_z` (null for constant
+    * groups), and `is_outlier` (`|mod_z| > cutoff`, false for constant
+    * groups).
+    */
+  def annotateOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      cutoff: Double = 3.5, exact: Boolean = true): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val meds = df.groupBy(col(groupCol))
+      .agg(median(x, exact).as("med"))
+    val withMed = df.join(broadcast(meds), Seq(groupCol))
+    val spreads = withMed.groupBy(col(groupCol))
+      .agg(
+        median(abs(x - col("med")), exact).as("mad"),
+        avg(abs(x - col("med"))).as("mean_ad"))
+    withMed.join(broadcast(spreads), Seq(groupCol))
+      .withColumn("mod_z",
+        when(col("mad") > 0.0, lit(0.6745) * (x - col("med")) / col("mad"))
+          .when(col("mean_ad") > 0.0,
+            (x - col("med")) / (lit(1.253314) * col("mean_ad")))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("is_outlier",
+        coalesce(abs(col("mod_z")) > cutoff, lit(false)))
+      .drop("mean_ad")
+  }
+
+  /** Per-group robust profile: document count, median, MAD, outlier
+    * count at `cutoff`, and the group's max |modified z| — the summary a
+    * curation dashboard keys on. Rounded at the 4-decimal replay grid.
+    */
+  def madProfile(df: DataFrame, groupCol: String, valueCol: String,
+      cutoff: Double = 3.5, exact: Boolean = true): DataFrame =
+    annotateOutliers(df, groupCol, valueCol, cutoff, exact)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("mod_z"))), 4).as("max_abs_z"))
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RobustSpec extends SparkSpec {
+
+  test("modified z-score and outlier flag on a known group") {
+    val s = spark
+    import s.implicits._
+    // values 1..9 plus a far outlier: med=5.5, MAD=2.5
+    val df = (Seq.tabulate(9)(i => ("g", (i + 1).toLong)) :+ (("g", 100L)))
+      .toDF("grp", "v")
+    val rows = Robust.annotateOutliers(df, "grp", "v", cutoff = 3.5)
+      .collect()
+    val byV = rows.map(r =>
+      r.getAs[Long]("v") -> (r.getAs[Double]("mod_z"),
+        r.getAs[Boolean]("is_outlier"))).toMap
+    assert(math.abs(byV(100L)._1 - 0.6745 * (100 - 5.5) / 2.5) < 1e-12)
+    assert(byV(100L)._2)
+    assert(!byV(5L)._2)
+  }
+
+  test("MAD = 0 falls back to meanAD; constant group flags nothing") {
+    val s = spark
+    import s.implicits._
+    // 7 of 9 at the median -> MAD = 0, meanAD = (30+30)/9
+    val dom = (Seq.fill(7)(("m", 10L)) ++ Seq(("m", 40L), ("m", -20L)))
+      .toDF("grp", "v")
+    val z = Robust.annotateOutliers(dom, "grp", "v", cutoff = 3.5)
+      .filter(col("v") === 40L).head()
+    val meanAd = 60.0 / 9
+    assert(math.abs(z.getAs[Double]("mod_z") -
+      30.0 / (1.253314 * meanAd)) < 1e-12)
+    // constant group: mod_z null, outlier false
+    val const = Seq(("c", 5L), ("c", 5L), ("c", 5L)).toDF("grp", "v")
+    val rows = Robust.annotateOutliers(const, "grp", "v").collect()
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("mod_z"))))
+    assert(rows.forall(!_.getAs[Boolean]("is_outlier")))
+  }
+
+  test("madProfile aggregates counts and rounded stats per group") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.tabulate(9)(i => ("g", (i + 1).toLong)) :+ (("g", 100L)))
+      .toDF("grp", "v")
+    val p = Robust.madProfile(df, "grp", "v", cutoff = 3.5).head()
+    assert(p.getAs[Long]("n_rows") === 10L)
+    assert(p.getAs[Double]("med") === 5.5)
+    assert(p.getAs[Double]("mad") === 2.5)
+    assert(p.getAs[Long]("n_outliers") === 1L)
+  }
+}
