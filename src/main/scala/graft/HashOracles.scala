@@ -1963,4 +1963,94 @@ object HashOracles {
       "SELECT doc_id, count(*) AS n_feats, round(sum(llr), 4) AS log_w " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id")
   }
+
+  /** Named-split replay ([[operators.Sampling.assignSplit]] at
+    * train/val/test = 8000/1000/1000): the splitmix bucket chain, then
+    * the cumulative-threshold CASE, then per-(source, split)
+    * accounting.
+    */
+  val q147HashSplit: String = {
+    val head = Seq(
+      s"dz AS (SELECT doc_id, source, len($Toks) AS n_toks, " +
+        "CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "source", "n_toks"))
+      .zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+      }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ mixed ++ Seq(
+      s"sp AS (SELECT source, n_toks, CASE WHEN $signedMod < 8000 " +
+        s"THEN 'train' WHEN $signedMod < 9000 THEN 'val' " +
+        "ELSE 'test' END AS split FROM dm5)"),
+      "SELECT source, split, count(*) AS n_docs, " +
+        "CAST(sum(n_toks) AS BIGINT) AS n_tokens " +
+        "FROM sp GROUP BY source, split ORDER BY source, split")
+  }
+
+  /** Pairwise HLL overlap replay
+    * ([[operators.Sketches.hllOverlapMatrix]] over per-source TRIGRAM
+    * vocabularies): the q123 per-source register chain, then for every
+    * `a < b` source pair the idx-wise-max union registers, the same
+    * small-range-corrected estimate on singles and union (each rounded
+    * BEFORE the inclusion–exclusion subtraction), plus the exact
+    * intersection count for the gate.
+    */
+  def q146HllOverlap(p: Int): String = {
+    val sub = 64 - p
+    val m = (1L << p).toDouble
+    val alpha = graft.operators.Sketches.hllAlpha(p)
+    val subPow = (BigInt(1) << sub).toString
+    val powers = (0 until sub).map(1L << _).mkString("[", ", ", "]")
+    def estim(nOcc: String, sOcc: String): String = {
+      val e = s"($alpha * $m * $m) / ($sOcc + ($m - $nOcc))"
+      s"round(CASE WHEN $e <= 2.5 * $m AND ($m - $nOcc) > 0 " +
+        s"THEN $m * ln($m / ($m - $nOcc)) ELSE $e END, 4)"
+    }
+    val head = Seq(
+      s"tk AS (SELECT source, $Toks AS t FROM documents)",
+      "g3 AS (SELECT source, unnest(CASE WHEN len(t) >= 3 " +
+        "THEN list_transform(range(0, len(t) - 2), " +
+        "i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) " +
+        "ELSE [array_to_string(t, ' ')] END) AS gram FROM tk)",
+      "dg AS (SELECT DISTINCT source, gram FROM g3)",
+      s"th AS (SELECT source, ${fnv("gram")} AS z FROM dg)")
+    val mixed = mixStages(Seq("z"), Seq("source")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "th" else s"hm${n - 1}"
+        s"hm$n AS ($body FROM $prev)"
+    }
+    withClause(head ++ mixed ++ Seq(
+      s"hh AS (SELECT source, z // $subPow AS idx, " +
+        s"CAST(z % $subPow AS BIGINT) AS rest FROM hm5)",
+      s"rr AS (SELECT source, idx, max($sub + 1 - " +
+        s"len(list_filter($powers, q -> q <= rest))) AS m_j " +
+        "FROM hh GROUP BY source, idx)",
+      "sg AS (SELECT source, count(*) AS n_occ, " +
+        "coalesce(sum(power(2.0, -m_j)), 0) AS s_occ " +
+        "FROM rr GROUP BY source)",
+      s"se AS (SELECT source, ${estim("n_occ", "s_occ")} AS est FROM sg)",
+      "ks AS (SELECT DISTINCT source FROM rr)",
+      "ps AS (SELECT x.source AS a, y.source AS b FROM ks x " +
+        "JOIN ks y ON x.source < y.source)",
+      "ur AS (SELECT p.a, p.b, r.idx, max(r.m_j) AS m_j FROM ps p " +
+        "JOIN rr r ON r.source = p.a OR r.source = p.b " +
+        "GROUP BY p.a, p.b, r.idx)",
+      "ug AS (SELECT a, b, count(*) AS n_occ, " +
+        "coalesce(sum(power(2.0, -m_j)), 0) AS s_occ " +
+        "FROM ur GROUP BY a, b)",
+      s"ue AS (SELECT a, b, ${estim("n_occ", "s_occ")} AS est_union " +
+        "FROM ug)",
+      "xo AS (SELECT x.source AS a, y.source AS b, count(*) AS n_true " +
+        "FROM dg x JOIN dg y ON x.gram = y.gram AND x.source < y.source " +
+        "GROUP BY x.source, y.source)"),
+      "SELECT ue.a, ue.b, ea.est AS est_a, eb.est AS est_b, " +
+        "ue.est_union, round(ea.est + eb.est - ue.est_union, 4) " +
+        "AS est_overlap, " +
+        "CAST(coalesce(xo.n_true, 0) AS BIGINT) AS true_overlap " +
+        "FROM ue JOIN se ea ON ea.source = ue.a " +
+        "JOIN se eb ON eb.source = ue.b " +
+        "LEFT JOIN xo ON xo.a = ue.a AND xo.b = ue.b " +
+        "ORDER BY ue.a, ue.b")
+  }
 }

@@ -2247,6 +2247,52 @@ object SparkEntry {
     "q145_robust_outliers" -> ((s, dir) =>
       graft.operators.Robust.madProfile(
           T(s, dir, "documents"), "source", "n_chars", cutoff = 2.0)
+        .orderBy(col("source"))),
+
+    // S×S source-vocabulary overlap by HLL inclusion-exclusion over
+    // per-source TRIGRAM vocabularies (unigram vocab is 31 words — only
+    // the 16k-trigram space has pairwise structure). Raw grams are
+    // touched once (register build); all 190 pairs are computed on the
+    // ≤ sources×64 register table. The exact intersection count rides
+    // along as the gate column.
+    "q146_hll_overlap_matrix" -> ((s, dir) => {
+      val grams = graft.CacheScope.register(T(s, dir, "documents")
+        .select(col("source"),
+          explode(TF.shinglesOf(toks(col("text")), 3)).as("gram"))
+        .distinct().persist())
+      val matrix = graft.operators.Sketches
+        .hllOverlapMatrix(grams, "source", "gram", p = 6)
+      val exact = grams.select(col("source").as("a"), col("gram"))
+        .join(grams.select(col("source").as("b"), col("gram")), Seq("gram"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("true_overlap"))
+      matrix.join(exact, Seq("a", "b"), "left")
+        .withColumn("true_overlap",
+          coalesce(col("true_overlap"), lit(0L)))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Deterministic train/val/test assignment (8000/1000/1000 on the
+    // splitmix 10000-bucket grid) with per-(source, split) doc and
+    // token accounting — assignment is a pure function of the doc id,
+    // so no re-partition/append can migrate a doc across splits. One
+    // narrow scan + one partial-aggregating groupBy.
+    "q147_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.assignSplit(T(s, dir, "documents"),
+          "doc_id", Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("n_tokens"))
+        .orderBy(col("source"), col("split"))),
+
+    // Per-source lexical diversity: unigram and trigram type-token
+    // ratios side by side — the cheap Self-BLEU stand-in; a trigram TTR
+    // collapsing while unigram TTR holds marks template spam per-doc
+    // dedup misses. Two partial-aggregating groupBys, no row shuffle.
+    "q148_lexical_diversity" -> ((s, dir) =>
+      graft.operators.Novelty.typeTokenProfile(
+          T(s, dir, "documents"), "source", "text", n = 3)
         .orderBy(col("source")))
   )
 
@@ -3716,6 +3762,30 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN abs(mod_z) > 2.0 THEN 1 ELSE 0 END),
         |    0) AS BIGINT) AS n_outliers,
         |  round(max(abs(mod_z)), 4) AS max_abs_z
-        |FROM z GROUP BY source ORDER BY source""".stripMargin
+        |FROM z GROUP BY source ORDER BY source""".stripMargin,
+
+    "q146_hll_overlap_matrix" -> HashOracles.q146HllOverlap(6),
+
+    "q147_hash_split" -> HashOracles.q147HashSplit,
+
+    // unigram TTR + trigram TTR per source; CAST before the divide (an
+    // integer / integer would truncate on the DuckDB side), whole-doc
+    // fallback mirrored from ngramsOf
+    "q148_lexical_diversity" ->
+      s"""WITH tk AS (SELECT source, $ToksSql AS t FROM documents),
+         |uni AS (SELECT source, count(*) AS n_tokens,
+         |  count(DISTINCT w) AS n_types FROM
+         |  (SELECT source, unnest(t) AS w FROM tk) GROUP BY source),
+         |g AS (SELECT source, unnest(CASE WHEN len(t) >= 3
+         |  THEN list_transform(range(0, len(t) - 2),
+         |    i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+         |  ELSE [array_to_string(t, ' ')] END) AS g FROM tk),
+         |gg AS (SELECT source, count(*) AS n_grams,
+         |  count(DISTINCT g) AS n_gram_types FROM g GROUP BY source)
+         |SELECT source, n_tokens, n_types,
+         |  round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr_uni,
+         |  n_grams, n_gram_types,
+         |  round(CAST(n_gram_types AS DOUBLE) / n_grams, 4) AS ttr_gram
+         |FROM uni JOIN gg USING (source) ORDER BY source""".stripMargin
   )
 }

@@ -55,4 +55,39 @@ object Novelty {
       // fallback), so the left join only guards null text
       .na.fill(0L, Seq("n_grams", "n_novel"))
   }
+
+  /** Per-group lexical-diversity profile: token/type counts and
+    * type-token ratios at unigram and `n`-gram order — the cheap
+    * Self-BLEU stand-in ("how templated is this source?") curation
+    * dashboards key on: a source whose trigram TTR collapses while its
+    * unigram TTR holds is emitting the same sentences with the same
+    * words rearranged, i.e. boilerplate spam that per-doc dedup misses.
+    *
+    * Two aggregations over the tokenized corpus (one per gram order);
+    * each is a partial-aggregating groupBy on the group key — no
+    * row-grain shuffle, and `count_distinct` rewrites to the standard
+    * two-level expand internally. N-grams use [[TF.ngramsOf]] WITH
+    * duplicates (TTR is about repetition, so the raw stream counts) and
+    * its whole-doc fallback below `n` tokens.
+    */
+  def typeTokenProfile(corpus: DataFrame, groupCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val base = corpus.select(col(groupCol),
+      TF.tokens(col(textCol)).as("__nv_t"))
+    val uni = base
+      .select(col(groupCol), explode(col("__nv_t")).as("w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_types"))
+    val grams = base
+      .select(col(groupCol), explode(TF.ngramsOf(col("__nv_t"), n)).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_gram_types"))
+    uni.join(grams, Seq(groupCol))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens"), 4).as("ttr_uni"),
+        col("n_grams"), col("n_gram_types"),
+        round(col("n_gram_types") / col("n_grams"), 4).as("ttr_gram"))
+  }
 }

@@ -39,6 +39,32 @@ object Sampling {
     pmod(HashExpressions.splitmix64(id.cast("long")), lit(Buckets.toLong))
       .cast("int")
 
+  /** Deterministic named-split assignment (train/validation/test and
+    * friends): each row gets the split whose cumulative bucket range on
+    * the [[hashBucket]] grid contains its hash — a pure function of the
+    * id, so the assignment is stable across runs, executors, partitions
+    * and re-shards (the property that makes eval sets trustworthy: a
+    * doc can never migrate between train and test when the corpus is
+    * re-partitioned or appended to). `splits` are (name, weight) in
+    * 1/10000 units and must sum to 10000 — loudly, because a silent
+    * remainder bucket would put unlabeled rows in nobody's split.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    require(splits.map(_._2).sum == Buckets,
+      s"split weights must sum to $Buckets (1/10000 units), " +
+        s"got ${splits.map(_._2).sum}")
+    val b = hashBucket(col(idCol))
+    val uppers = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val assigned = splits.zip(uppers).init
+      .foldRight(lit(splits.last._1)) { case (((name, _), hi), rest) =>
+        when(b < hi, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Keep ~`fraction` of rows, deterministically in the id. */
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")

@@ -170,6 +170,67 @@ object Sketches {
         }, 4).as("hll_estimate"))
   }
 
+  /** Pairwise overlap matrix over a keyed item set, by HLL
+    * inclusion–exclusion: for every unordered key pair `(a, b)` the
+    * sketched distinct counts `est_a`, `est_b`, their union estimate
+    * from the idx-wise-max merged registers, and
+    * `est_overlap = est_a + est_b − est_union` — the standard way to
+    * get an S×S "how much does source A's vocabulary overlap B's"
+    * dashboard WITHOUT an S² exact-intersection join over the raw
+    * items.
+    *
+    * 100 TB shape: the raw items are touched ONCE ([[hllRegistersBy]]
+    * — one shuffle at (key, idx) grain, ≤ groups × 2^p rows out).
+    * Everything pairwise happens on that register table: the key list
+    * broadcasts into a `<`-ordered pair frame, two broadcast joins fan
+    * the registers out per pair, and one aggregation takes the idx-wise
+    * max. Work is S²·2^p REGISTER rows, independent of item count —
+    * the whole point of sketching the matrix.
+    *
+    * Estimates are rounded to the 4-decimal grid BEFORE the
+    * inclusion–exclusion subtraction so the matrix replays in SQL.
+    * Negative overlap estimates (sketch noise on near-disjoint pairs)
+    * are reported as-is — clamping hides exactly the signal ("these
+    * two sources are disjoint") the matrix exists to show.
+    */
+  def hllOverlapMatrix(items: DataFrame, keyCol: String, itemCol: String,
+      p: Int): DataFrame = {
+    val regs = hllRegistersBy(items, keyCol, itemCol, p)
+    val keys = regs.select(col(keyCol)).distinct()
+    val pairs = broadcast(keys.select(col(keyCol).as("a")))
+      .join(broadcast(keys.select(col(keyCol).as("b"))), col("a") < col("b"))
+    val est = hllEstimateBy(regs, keyCol, p)
+      .select(col(keyCol), col("hll_estimate"))
+    val ra = pairs.join(regs.withColumnRenamed(keyCol, "a"), Seq("a"))
+      .select(col("a"), col("b"), col("idx"), col("m_j"))
+    val rb = pairs.join(regs.withColumnRenamed(keyCol, "b"), Seq("b"))
+      .select(col("a"), col("b"), col("idx"), col("m_j"))
+    val unionRegs = ra.unionByName(rb)
+      .groupBy(col("a"), col("b"), col("idx"))
+      .agg(max(col("m_j")).as("m_j"))
+    val m = (1L << p).toDouble
+    val estUnion = unionRegs
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_occ"),
+        coalesce(sum(pow(lit(2.0), -col("m_j"))), lit(0.0)).as("s_occ"))
+      .select(col("a"), col("b"),
+        round({
+          val v = lit(m) - col("n_occ")
+          val e = lit(hllAlpha(p) * m * m) / (col("s_occ") + v)
+          when(e <= lit(2.5 * m) && v > 0, lit(m) * log(lit(m) / v))
+            .otherwise(e)
+        }, 4).as("est_union"))
+    estUnion
+      .join(broadcast(est.select(col(keyCol).as("a"),
+        col("hll_estimate").as("est_a"))), Seq("a"))
+      .join(broadcast(est.select(col(keyCol).as("b"),
+        col("hll_estimate").as("est_b"))), Seq("b"))
+      .select(col("a"), col("b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4)
+          .as("est_overlap"))
+  }
+
   // ---- log-histogram quantile sketch -------------------------------
 
   /** The power-of-two bucket of a non-negative long value: bucket 0 ⇔

@@ -154,4 +154,27 @@ class SamplingSpec extends SparkSpec {
       withNull, "id", "w", 5).select("id").collect().map(_.getLong(0))
     assert(nn.toSeq === Seq(1L))
   }
+
+  test("assignSplit: stable, exhaustive, consistent with hashBucket thresholds") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 500L).toDF("id")
+    val splits = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)
+    val out = Sampling.assignSplit(df, "id", splits)
+      .withColumn("b", Sampling.hashBucket(col("id")))
+      .collect()
+    out.foreach { r =>
+      val b = r.getAs[Int]("b")
+      val want = if (b < 8000) "train" else if (b < 9000) "val" else "test"
+      assert(r.getAs[String]("split") === want, s"bucket $b")
+    }
+    // every row labeled; re-run is bit-identical
+    assert(out.length === 500)
+    val again = Sampling.assignSplit(df, "id", splits)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach(r => assert(again(r.getAs[Long]("id")) === r.getAs[String]("split")))
+    // weights must sum to the grid
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(df, "id", Seq("a" -> 5000, "b" -> 4000)))
+  }
 }

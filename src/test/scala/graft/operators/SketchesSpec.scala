@@ -226,4 +226,27 @@ class SketchesSpec extends SparkSpec {
     // bucket 10 → 1023
     assert(qs(("big", 50)) === 511L && qs(("big", 100)) === 1023L)
   }
+
+  test("hllOverlapMatrix: identical sets overlap fully, disjoint sets near zero") {
+    val s = spark
+    import s.implicits._
+    val items = (
+      (1 to 300).map(i => ("x", s"tok$i")) ++
+      (1 to 300).map(i => ("y", s"tok$i")) ++        // y == x
+      (1 to 300).map(i => ("z", s"other$i"))).toDF("k", "item")
+    val m = Sketches.hllOverlapMatrix(items, "k", "item", p = 6)
+      .collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        (r.getAs[Double]("est_a"), r.getAs[Double]("est_union"),
+          r.getAs[Double]("est_overlap"))).toMap
+    val (estX, unionXy, overXy) = m(("x", "y"))
+    // identical sets: union estimate equals the singles, overlap ~ |x|
+    assert(unionXy === estX)
+    assert(math.abs(overXy - estX) < 1e-9)
+    // disjoint sets: overlap estimate well below the set size
+    val (_, _, overXz) = m(("x", "z"))
+    assert(math.abs(overXz) < 120.0, s"got $overXz")
+    // matrix is the strict upper triangle: 3 pairs
+    assert(m.size === 3)
+  }
 }
