@@ -2293,7 +2293,36 @@ object SparkEntry {
     "q148_lexical_diversity" -> ((s, dir) =>
       graft.operators.Novelty.typeTokenProfile(
           T(s, dir, "documents"), "source", "text", n = 3)
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Sparse TF-IDF cosine top-25 pairs: AllPairs-style DF-capped
+    // candidate generation over the trigram inverted index (a gram
+    // shared by > 20 docs generates no candidates — it would fan out
+    // quadratically while carrying near-zero IDF), then EXACT cosine
+    // over all shared grams for the survivors.
+    "q149_sparse_cosine_topk" -> ((s, dir) =>
+      graft.operators.SparseSimilarity.cosineTopK(
+        T(s, dir, "documents"), "doc_id", "text",
+        n = 3, dfCap = 20, k = 25)),
+
+    // Margin-based duplicate mining over embeddings (the ratio-margin
+    // criterion): each vector's best partner by
+    // cos / ((avgK(x) + avgK(y)) / 2), k = 8 — margin > 1 means
+    // "closer than your usual neighborhood", comparable across dense
+    // and sparse regions alike. Exact all-pairs baseline; the IVF
+    // composition bounds the pair space at the billion-vector grain.
+    "q150_margin_mining" -> ((s, dir) =>
+      graft.operators.Similarity.marginTopMatches(
+          T(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy(col("x"))),
+
+    // Freshness-weighted activity: half-life-bucketed decay weights
+    // (2^-floor(age/1d) — integer exponent, so the weighted sums replay
+    // exactly) against the stream's max ts, per event type.
+    "q151_decayed_activity" -> ((s, dir) =>
+      graft.operators.Decay.decayedProfile(events(s, dir),
+          "event_type", "ts", "value", halfLife = "1 day")
+        .orderBy(col("event_type")))
   )
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
@@ -3786,6 +3815,71 @@ object SparkEntry {
          |  round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr_uni,
          |  n_grams, n_gram_types,
          |  round(CAST(n_gram_types AS DOUBLE) / n_grams, 4) AS ttr_gram
-         |FROM uni JOIN gg USING (source) ORDER BY source""".stripMargin
+         |FROM uni JOIN gg USING (source) ORDER BY source""".stripMargin,
+
+    // same DF-capped candidate generation, same exact verify over ALL
+    // shared grams; rank on the rounded grid with (a, b) tie-breaks so
+    // the LIMIT boundary replays
+    "q149_sparse_cosine_topk" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |gr AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+         |  THEN list_transform(range(0, len(t) - 2),
+         |    i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+         |  ELSE [array_to_string(t, ' ')] END) AS gram FROM tk),
+         |tf AS (SELECT doc_id, gram, count(*) AS tf FROM gr
+         |  GROUP BY doc_id, gram),
+         |dfq AS (SELECT gram, count(*) AS df FROM tf GROUP BY gram),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |v AS (SELECT doc_id, gram, df,
+         |  tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+         |  FROM tf JOIN dfq USING (gram), nd),
+         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM v
+         |  GROUP BY doc_id),
+         |rare AS (SELECT doc_id, gram FROM v WHERE df <= 20),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM rare a JOIN rare b USING (gram) WHERE a.doc_id < b.doc_id),
+         |dt AS (SELECT c.a, c.b, count(*) AS n_shared,
+         |  sum(va.w * vb.w) AS dot FROM cand c
+         |  JOIN v va ON va.doc_id = c.a
+         |  JOIN v vb ON vb.doc_id = c.b AND vb.gram = va.gram
+         |  GROUP BY c.a, c.b)
+         |SELECT dt.a, dt.b, n_shared,
+         |  round(dot / (na.nrm * nb.nrm), 4) AS cosine
+         |FROM dt JOIN nrm na ON na.doc_id = dt.a
+         |JOIN nrm nb ON nb.doc_id = dt.b
+         |ORDER BY cosine DESC, dt.a, dt.b LIMIT 25""".stripMargin,
+
+    // neighbor sets selected on the rounded-cosine grid (y tie-break)
+    // exactly as the engine; avgK then averages the raw cosines of that
+    // set; list_cosine_similarity is the q22-precedent cosine fragment
+    "q150_margin_mining" ->
+      """WITH p AS (SELECT a.vec_id AS x, b.vec_id AS y,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x
+        |  ORDER BY round(cos, 4) DESC, y) AS rn FROM p),
+        |ak AS (SELECT x, avg(cos) AS avg_k FROM r WHERE rn <= 8
+        |  GROUP BY x),
+        |sc AS (SELECT p.x, p.y, p.cos,
+        |  round(p.cos / ((ax.avg_k + ay.avg_k) / 2), 4) AS margin
+        |  FROM p JOIN ak ax ON ax.x = p.x JOIN ak ay ON ay.x = p.y),
+        |b AS (SELECT x, y, cos, margin, row_number() OVER (PARTITION BY x
+        |  ORDER BY margin DESC, y) AS rn FROM sc)
+        |SELECT x, y AS best_match, round(cos, 4) AS cos, margin
+        |FROM b WHERE rn = 1 ORDER BY x""".stripMargin,
+
+    // integer half-life buckets -> power(2.0, -n) is exact on both
+    // engines (the HLL register-sum device); date_diff handles either
+    // parquet timestamp generation
+    "q151_decayed_activity" ->
+      """WITH r AS (SELECT max(ts) AS ref FROM events),
+        |w AS (SELECT event_type, value, power(2.0,
+        |  -CAST(greatest(date_diff('microsecond', ts, ref), 0)
+        |    // 86400000000 AS DOUBLE)) AS w FROM events, r)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(sum(w), 4) AS decayed_count,
+        |  round(sum(value * w), 4) AS decayed_value
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -750,4 +750,59 @@ object Similarity {
       .groupBy(VF.hyperplaneSignature(col(vecCol), planes).as("bucket"))
       .agg(count(lit(1)).as("n_vectors"))
   }
+
+  /** Margin-based nearest-neighbor mining (the published ratio-margin
+    * criterion for mining parallel / duplicated content):
+    * `margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2)` where
+    * `avgK(v)` is the mean cosine of `v`'s `k` nearest neighbors.
+    * Dividing by the neighborhood density normalizes away hubness —
+    * a raw-cosine threshold over-fires in dense regions and misses
+    * genuine pairs in sparse ones; margin > 1 means "closer than your
+    * usual neighborhood", comparable ACROSS regions.
+    *
+    * Returns each vector's best partner by margin (rounded-grid argmax,
+    * partner-id tie-break). This is the exact brute-force form — one
+    * all-pairs cosine pass feeding both the avgK aggregation and the
+    * margin scoring; at billion-vector scale compose the same scoring
+    * with [[assignLists]]' IVF buckets to bound the pair space, exactly
+    * as [[semanticDupPairs]] does for raw cosine.
+    */
+  def marginTopMatches(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // prepForPairs (id, vd, nrm): norms once per ROW, codegen'd dot once
+    // per PAIR. The pair table feeds both avgK and the margin scoring —
+    // scope-cached so the all-pairs cosine runs once.
+    val prepped = VF.prepForPairs(vectors, idCol, vecCol)
+    val pairs = graft.CacheScope.register(prepped.as("a")
+      .join(prepped.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("x"), col("b.id").as("y"),
+        when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .persist())
+    // neighbor selection ranks on the ROUNDED cosine grid (partner-id
+    // tie-break): the top-k SET is then a pure function of 4-decimal
+    // values, immune to last-ulp accumulation differences between
+    // engines — the house replay-grid device
+    val w = Window.partitionBy(col("x"))
+      .orderBy(round(col("cos"), 4).desc, col("y"))
+    val avgK = pairs
+      .withColumn("__sm_rn", row_number().over(w))
+      .filter(col("__sm_rn") <= k)
+      .groupBy(col("x"))
+      .agg(avg(col("cos")).as("avg_k"))
+    val scored = pairs
+      .join(avgK.select(col("x"), col("avg_k").as("ax")), Seq("x"))
+      .join(avgK.select(col("x").as("y"), col("avg_k").as("ay")), Seq("y"))
+      .withColumn("margin",
+        round(col("cos") / ((col("ax") + col("ay")) / 2), 4))
+    val wBest = Window.partitionBy(col("x"))
+      .orderBy(col("margin").desc, col("y"))
+    scored
+      .withColumn("__sm_rn", row_number().over(wBest))
+      .filter(col("__sm_rn") === 1)
+      .select(col("x"), col("y").as("best_match"),
+        round(col("cos"), 4).as("cos"), col("margin"))
+  }
 }

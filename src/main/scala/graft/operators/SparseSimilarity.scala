@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse (TF-IDF) document similarity over an inverted index — the
+  * term-space complement of the dense-embedding pipeline in
+  * [[Similarity]]: cosine over n-gram TF-IDF vectors, with the
+  * AllPairs/PPJoin-style DF-capped candidate generation that makes the
+  * quadratic self-join survivable at corpus scale.
+  *
+  * 100 TB shape: the inverted index (gram → postings) is the shuffle
+  * key everywhere. Candidate pairs are generated ONLY from grams with
+  * `df ≤ dfCap` — a gram shared by half the corpus would alone emit a
+  * quadratic pair explosion while contributing near-zero IDF weight to
+  * any cosine; capping df bounds per-gram pair fan-out at dfCap² and is
+  * exactly the pruning the published all-pairs similarity joins apply.
+  * The EXACT cosine (all shared grams, common ones included) is then
+  * computed only for the surviving candidates via two hash joins
+  * against the full vector table. A pair is missed only if ALL its
+  * shared grams have df > dfCap — at trigram order such a pair shares
+  * only boilerplate and its TF-IDF cosine is noise by construction.
+  */
+object SparseSimilarity {
+
+  /** Per-(id, gram) TF-IDF weights `w = tf · ln(N / df)` plus the
+    * per-id L2 norm, at n-gram order `n`. Two aggregations (tf per
+    * (id, gram), df per gram) and one scalar doc count; the df table
+    * joins back on the gram — plain equi-join, AQE broadcasts when it
+    * fits.
+    */
+  def tfidfVectors(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol),
+        explode(TF.ngramsOf(TF.tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(df, Seq("gram"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * log(col("n_docs") / col("df")))
+      .select(col(idCol), col("gram"), col("df"), col("w"))
+  }
+
+  /** Global top-`k` most similar document pairs by TF-IDF cosine, with
+    * DF-capped candidate generation and exact verification. Output:
+    * `a, b, n_shared` (shared grams counted over ALL grams, not just
+    * rare ones), `cosine` (rounded 4; ranked on the rounded grid with
+    * (a, b) tie-breaks so the LIMIT boundary replays).
+    */
+  def cosineTopK(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, dfCap: Int, k: Int): DataFrame = {
+    val vecs = graft.CacheScope.register(
+      tfidfVectors(docs, idCol, textCol, n).persist())
+    val norms = vecs.groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val rare = vecs.filter(col("df") <= dfCap)
+      .select(col(idCol), col("gram"))
+    val cand = rare.select(col(idCol).as("a"), col("gram"))
+      .join(rare.select(col(idCol).as("b"), col("gram")), Seq("gram"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val va = vecs.select(col(idCol).as("a"), col("gram"),
+      col("w").as("wa"))
+    val vb = vecs.select(col(idCol).as("b"), col("gram"),
+      col("w").as("wb"))
+    val dots = cand.join(va, Seq("a"))
+      .join(vb, Seq("b", "gram"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col(idCol).as("a"), col("nrm").as("na")), Seq("a"))
+      .join(norms.select(col(idCol).as("b"), col("nrm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("n_shared"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("a"), col("b"))
+      .limit(k)
+  }
+}

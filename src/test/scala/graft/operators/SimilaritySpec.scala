@@ -359,4 +359,24 @@ class SimilaritySpec extends SparkSpec {
     assert(flagged === expected)
     assert(flagged.nonEmpty, "fixture threshold should catch something")
   }
+
+  test("marginTopMatches: exact duplicates pick each other with margin > 1") {
+    graft.CacheScope.scoped {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(11)
+      def vec(): Seq[Float] = Seq.fill(16)(rng.nextFloat() * 2 - 1)
+      val dup = vec()
+      val vecs = ((0L, dup) +: (1L, dup) +: (2L until 30L).map(i => (i, vec())))
+        .toDF("vec_id", "embedding")
+      val best = Similarity.marginTopMatches(vecs, "vec_id", "embedding", k = 4)
+        .collect().map(r => r.getAs[Long]("x") ->
+          (r.getAs[Long]("best_match"), r.getAs[Double]("margin"))).toMap
+      assert(best(0L)._1 === 1L)
+      assert(best(1L)._1 === 0L)
+      assert(best(0L)._2 > 1.0)
+      // every vector gets exactly one best row
+      assert(best.size === 30)
+    }
+  }
 }
