@@ -2322,8 +2322,115 @@ object SparkEntry {
     "q151_decayed_activity" -> ((s, dir) =>
       graft.operators.Decay.decayedProfile(events(s, dir),
           "event_type", "ts", "value", halfLife = "1 day")
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // PageRank (10 rounds, d = 0.85) over the rare-trigram
+    // co-occurrence graph: high-rank docs are template/boilerplate HUBS
+    // that pairwise dedup only sees as many independent pairs. Edges
+    // reuse the q149 DF-capped candidate device; the rank loop is one
+    // edge⋈rank join + one dst-sum per round on the scope-cached
+    // degree-weighted edge table. Top-25 on the rounded grid.
+    "q152_pagerank_dupgraph" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(TF.shinglesOf(toks(col("text")), 3)).as("gram"))
+      val dfq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      val rare = grams.join(dfq.filter(col("df") <= 20), Seq("gram"))
+      val e0 = rare.select(col("doc_id").as("s"), col("gram"))
+        .join(rare.select(col("doc_id").as("d"), col("gram")), Seq("gram"))
+        .filter(col("s") < col("d"))
+        .select(col("s"), col("d")).distinct()
+      val edges = e0.unionByName(e0.select(col("d").as("s"),
+        col("s").as("d")))
+      graft.operators.Graph.pageRank(docs.select(col("doc_id")), "doc_id",
+          edges, "s", "d", iters = 10)
+        .crossJoin(broadcast(docs
+          .agg(count(lit(1)).cast("double").as("__n"))))
+        .select(col("doc_id"), col("deg"),
+          round(col("pr") * col("__n"), 4).as("pr_norm"))
+        .orderBy(col("pr_norm").desc, col("doc_id"))
+        .limit(25)
+    }),
+
+    // Capstone #11 — canonicalize a fuzzy entity dictionary: distinct
+    // part names → noun-block Jaro-Winkler pairs (>= 0.85, the q144
+    // codegen expression) → connected components → each cluster
+    // reported under the name of its min-partkey member, with how many
+    // raw names and part rows it absorbs. The component label IS the
+    // min name_id, so canonical resolution is one join, no argmax.
+    "q153_entity_canonicalize" -> ((s, dir) => {
+      val names = graft.CacheScope.register(T(s, dir, "part")
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"),
+          count(lit(1)).as("n_part_rows"))
+        .persist())
+      val pairs = graft.operators.RecordLinkage.fuzzyPairs(
+          names, "name_id", "p_name",
+          nm => element_at(split(nm, " "), -1), minSim = 0.85)
+        .filter(col("name_id") < col("match_id"))
+      val comps = graft.operators.Dedup.connectedComponents(
+        pairs, "name_id", "match_id")
+      val labeled = names
+        .join(comps.withColumnRenamed("id", "name_id"),
+          Seq("name_id"), "left")
+        .withColumn("component",
+          coalesce(col("component"), col("name_id")))
+      labeled
+        .join(names.select(col("name_id").as("component"),
+          col("p_name").as("canonical_name")), Seq("component"))
+        .groupBy(col("canonical_name"))
+        .agg(count(lit(1)).as("n_names"),
+          sum(col("n_part_rows")).as("n_parts"))
+        .orderBy(col("canonical_name"))
+    })
   )
+
+  // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
+  // aggregates in the recursive term, so the fixed 10 rounds are
+  // generated as explicit MATERIALIZED CTEs r1..r10 (lazy CTEs
+  // re-expand per reference — exponential, "too many open files") —
+  // same formula, same
+  // parenthesization, damping forced through CAST(.. AS DOUBLE) so the
+  // literal is the IEEE double the JVM computes with (a bare 0.85 is
+  // DECIMAL in DuckDB and (1 - 0.85) would be exactly 0.15).
+  private def pageRankOracle(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val rounds = (1 to iters).flatMap { k =>
+      val prev = s"r${k - 1}"
+      Seq(
+        s"c$k AS (SELECT e.d AS id, sum(r.pr / dg2.deg) AS c FROM ed e " +
+          s"JOIN $prev r ON r.id = e.s JOIN dg dg2 ON dg2.id = e.s " +
+          "GROUP BY e.d)",
+        s"k$k AS (SELECT coalesce(sum(r.pr), 0) AS dang FROM $prev r " +
+          "JOIN dg ON dg.id = r.id AND dg.deg = 0)",
+        s"r$k AS MATERIALIZED (SELECT nd.id, (1 - $d) / nn.n + $d * " +
+          s"(coalesce(c.c, 0) + k$k.dang / nn.n) AS pr " +
+          s"FROM nd LEFT JOIN c$k c ON c.id = nd.id, nn, k$k)")
+    }
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |gr AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id,
+       |  unnest(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(0, len(t) - 2),
+       |      i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+       |    ELSE [array_to_string(t, ' ')] END) AS gram FROM tk)),
+       |dfq AS (SELECT gram, count(*) AS df FROM gr GROUP BY gram),
+       |rare AS (SELECT doc_id, gram FROM gr JOIN dfq USING (gram)
+       |  WHERE df <= 20),
+       |e0 AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+       |  FROM rare a JOIN rare b USING (gram) WHERE a.doc_id < b.doc_id),
+       |ed AS MATERIALIZED (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+       |nd AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+       |dg AS MATERIALIZED (SELECT id, coalesce(dd.deg, 0) AS deg FROM nd
+       |  LEFT JOIN (SELECT s AS id, count(*) AS deg FROM ed GROUP BY s)
+       |  dd USING (id)),
+       |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS pr FROM nd, nn),
+       |${rounds.mkString(",\n")}
+       |SELECT r.id AS doc_id, CAST(dg.deg AS BIGINT) AS deg,
+       |  round(r.pr * nn.n, 4) AS pr_norm
+       |FROM r$iters r JOIN dg ON dg.id = r.id, nn
+       |ORDER BY pr_norm DESC, doc_id LIMIT 25""".stripMargin
+  }
 
   /** DuckDB oracles — same column names, same ordering, same rounding. */
   def oracleSql: Map[String, String] = Map(
@@ -3880,6 +3987,33 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_events,
         |  round(sum(w), 4) AS decayed_count,
         |  round(sum(value * w), 4) AS decayed_value
-        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q152_pagerank_dupgraph" -> pageRankOracle(10),
+
+    // DuckDB's native jaro_winkler_similarity verifies the pairs, the
+    // q43-precedent recursive reachability labels the components; the
+    // min-name_id label doubles as the canonical-name key
+    "q153_entity_canonicalize" ->
+      """WITH nm AS (SELECT p_name, min(p_partkey) AS name_id,
+        |  count(*) AS n_part_rows FROM part GROUP BY p_name),
+        |bl AS (SELECT p_name, name_id, n_part_rows,
+        |  string_split(p_name, ' ')[-1] AS blk FROM nm),
+        |e0 AS (SELECT a.name_id AS s, b.name_id AS d FROM bl a
+        |  JOIN bl b ON a.blk = b.blk AND a.name_id < b.name_id
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85),
+        |ed AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        |reach AS (WITH RECURSIVE r(node, lbl) AS (
+        |    SELECT name_id, name_id FROM bl
+        |    UNION
+        |    SELECT e.d, r.lbl FROM r JOIN ed e ON e.s = r.node
+        |  ) SELECT * FROM r),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach
+        |  GROUP BY node)
+        |SELECT cn.p_name AS canonical_name, count(*) AS n_names,
+        |  CAST(sum(b.n_part_rows) AS BIGINT) AS n_parts
+        |FROM comp c JOIN bl b ON b.name_id = c.node
+        |JOIN bl cn ON cn.name_id = c.component
+        |GROUP BY cn.p_name ORDER BY canonical_name""".stripMargin
   )
 }

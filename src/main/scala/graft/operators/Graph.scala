@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration graph centrality over DataFrames — the Pregel-shaped
+  * loop expressed as joins + aggregations so Catalyst/AQE size every
+  * round (the idiomatic Spark form when the per-round logic is pure
+  * relational algebra; an RDD Pregel buys nothing here).
+  *
+  * The pipeline use: PageRank over a document-similarity graph ranks
+  * CENTRAL documents — templates, boilerplate hubs, mirror roots — that
+  * pairwise dedup sees only as many independent pairs. High-rank nodes
+  * are the "canonical sources" worth keeping (or the template spam worth
+  * dropping wholesale, depending on the curation policy).
+  */
+object Graph {
+
+  /** Standard damped PageRank over a DIRECTED edge list, fixed
+    * iteration count (deterministic — no convergence test whose
+    * trip point could differ across engines), uniform teleport, and
+    * dangling mass redistributed uniformly each round:
+    * `r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/deg(u) + dangling/N)`.
+    *
+    * 100 TB shape: the degree-weighted edge table is built ONCE and
+    * scope-cached; each round is one equi-join (edges ⋈ ranks on src —
+    * the only row-grain shuffle), one partial-aggregating sum per dst,
+    * a broadcast of the 1-row dangling-mass aggregate, and a left join
+    * back to the node table. Each round's ranks are EAGERLY
+    * local-checkpointed: round k+1 references round k twice (the
+    * contribution join AND the dangling-mass aggregate), so a lazy
+    * cache still doubles the logical plan every round — exponential
+    * analysis cost by round ~10. Truncating lineage per round is the
+    * textbook iterative-DataFrame requirement, not an optimization.
+    * (On a cluster with flaky executors, swap for reliable
+    * `checkpoint()` — localCheckpoint trades fault-tolerance for not
+    * needing a checkpoint dir.)
+    *
+    * `nodes` must carry every vertex (isolated ones included — they
+    * still receive teleport mass); N is its distinct count. Output:
+    * (idCol, deg, pr) with pr unrounded — normalize/round downstream.
+    */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"bad damping $damping")
+    val n = nodes.select(countDistinct(col(idCol)).as("n"))
+      .head().getLong(0)
+    require(n > 0, "pageRank over an empty node set")
+    val outDeg = edges.groupBy(col(srcCol).as("__pr_id"))
+      .agg(count(lit(1)).as("deg"))
+    val nd = graft.CacheScope.register(nodes
+      .select(col(idCol).as("__pr_id")).distinct()
+      .join(outDeg, Seq("__pr_id"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      .persist())
+    val ew = graft.CacheScope.register(edges
+      .select(col(srcCol).as("__pr_src"), col(dstCol).as("__pr_dst"))
+      .join(nd.select(col("__pr_id").as("__pr_src"), col("deg")),
+        Seq("__pr_src"))
+      .persist())
+    var ranks = nd.select(col("__pr_id"),
+      (lit(1.0) / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(ranks.withColumnRenamed("__pr_id", "__pr_src"),
+          Seq("__pr_src"))
+        .groupBy(col("__pr_dst").as("__pr_id"))
+        .agg(sum(col("pr") / col("deg")).as("__pr_c"))
+      val dangling = ranks
+        .join(nd.filter(col("deg") === 0L), Seq("__pr_id"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__pr_dang"))
+      val next = nd.select(col("__pr_id"))
+        .join(contrib, Seq("__pr_id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("__pr_id"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("__pr_c"), lit(0.0)) + col("__pr_dang") / n))
+            .as("pr"))
+      ranks = next.localCheckpoint(true)
+    }
+    nd.join(ranks, Seq("__pr_id"))
+      .select(col("__pr_id").as(idCol), col("deg"), col("pr"))
+  }
+}
