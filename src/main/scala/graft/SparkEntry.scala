@@ -2382,7 +2382,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_names"),
           sum(col("n_part_rows")).as("n_parts"))
         .orderBy(col("canonical_name"))
-    })
+    }),
+
+    // Ordered conversion funnel view→click→purchase, first-touch
+    // anchored with a 24 h horizon: k chained (user → min ts)
+    // aggregations, one user-key shuffle per step over a slice that
+    // only shrinks — never a per-user event collection. Counts and
+    // rates replay exactly (integer micros comparisons throughout).
+    "q154_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnelSummary(events(s, dir),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), horizon = "24 hours")
+        .orderBy(col("step"))),
+
+    // Weekly cohort retention: cohort = week of the user's first
+    // high-value purchase (value >= 100), retained-at-offset-k = any
+    // purchase in that calendar week. Monday-truncated weeks on both
+    // engines; the matrix is (weeks × offsets) tiny after two
+    // partial-aggregating shuffles.
+    "q155_cohort_retention" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(events(s, dir),
+          "user_id", "ts",
+          cohortPred = col("event_type") === "purchase" &&
+            col("value") >= 100,
+          activityPred = col("event_type") === "purchase")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
+    // SCD2 intervalization of the per-user event-type stream:
+    // gaps-and-islands run detection (lag → running sum → collapse)
+    // with all three windows sharing ONE user-key partitioning. The
+    // dimension-history build every warehouse runs, here gated on
+    // users < 15 to keep the oracle frame readable — the operator
+    // itself is corpus-grain.
+    "q156_scd2_intervals" -> ((s, dir) =>
+      graft.operators.Scd.intervalize(
+          events(s, dir).filter(col("user_id") < 15),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("user_id"), col("effective_from")))
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -4014,6 +4050,78 @@ object SparkEntry {
         |  CAST(sum(b.n_part_rows) AS BIGINT) AS n_parts
         |FROM comp c JOIN bl b ON b.name_id = c.node
         |JOIN bl cn ON cn.name_id = c.component
-        |GROUP BY cn.p_name ORDER BY canonical_name""".stripMargin
+        |GROUP BY cn.p_name ORDER BY canonical_name""".stripMargin,
+
+    // first-touch anchored funnel: each step the earliest qualifying
+    // event strictly after the previous step, within 24 h of the
+    // step-1 anchor; the three-step union is spelled per step
+    "q154_funnel" ->
+      """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, any_value(u1.t1) AS anchor,
+        |    min(e.ts) AS t2
+        |  FROM events e JOIN u1 ON u1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+        |    AND e.ts <= u1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN u2 ON u2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        |    AND e.ts <= u2.anchor + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |n AS (SELECT (SELECT count(*) FROM u1) AS n1,
+        |  (SELECT count(*) FROM u2) AS n2,
+        |  (SELECT count(*) FROM u3) AS n3)
+        |SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+        |  round(CAST(n1 AS DOUBLE) / n1, 4) AS conv_from_first,
+        |  round(CAST(n1 AS DOUBLE) / n1, 4) AS conv_from_prev FROM n
+        |UNION ALL SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 4),
+        |  round(CAST(n2 AS DOUBLE) / n1, 4) FROM n
+        |UNION ALL SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 4),
+        |  round(CAST(n3 AS DOUBLE) / n2, 4) FROM n
+        |ORDER BY step""".stripMargin,
+
+    // Monday-truncated weeks on both engines; offsets are exact
+    // datediff/7 on the truncated dates
+    "q155_cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |    date_trunc('week', min(ts)) AS cohort_week FROM events
+        |  WHERE event_type = 'purchase' AND value >= 100
+        |  GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f
+        |  GROUP BY cohort_week),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+        |    datediff('day', f.cohort_week,
+        |      date_trunc('week', e.ts)) // 7 AS week_offset
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS DATE) >= f.cohort_week),
+        |m AS (SELECT cohort_week, week_offset, count(*) AS n_active
+        |  FROM a GROUP BY cohort_week, week_offset)
+        |SELECT m.cohort_week, CAST(m.week_offset AS INTEGER) AS week_offset,
+        |  m.n_active, sz.cohort_size,
+        |  round(CAST(m.n_active AS DOUBLE) / sz.cohort_size, 4) AS retention
+        |FROM m JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // gaps-and-islands replay: lag change marker, running-sum run id,
+    // collapse, lead for the interval close
+    "q156_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE user_id < 15),
+        |chg AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |    AS c FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (SELECT *, sum(c) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM chg),
+        |iv AS (SELECT user_id, run, any_value(event_type) AS event_type,
+        |    min(ts) AS effective_from, count(*) AS n_obs
+        |  FROM runs GROUP BY user_id, run)
+        |SELECT user_id, event_type, effective_from,
+        |  lead(effective_from) OVER (PARTITION BY user_id ORDER BY run)
+        |    AS effective_to, n_obs,
+        |  lead(effective_from) OVER (PARTITION BY user_id ORDER BY run)
+        |    IS NULL AS is_current
+        |FROM iv ORDER BY user_id, effective_from""".stripMargin
   )
 }

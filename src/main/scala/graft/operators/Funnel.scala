@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over an event stream —
+  * the two classic product-analytics shapes, expressed as pure
+  * DataFrame algebra so Catalyst keeps every stage an equi-join or a
+  * partial-aggregating groupBy.
+  *
+  * Funnel semantics are FIRST-TOUCH ANCHORED and deterministic: the
+  * user's earliest step-1 event opens the (single) conversion window;
+  * each later step must be the earliest qualifying event STRICTLY after
+  * the previous step and within `horizon` of the anchor. Anchoring at
+  * the first step-1 event (rather than searching all anchors) is the
+  * common product-analytics convention, and it makes the whole funnel k
+  * chained `(user → min ts)` aggregations — one shuffle per step on the
+  * user key, no per-user event collection, no window over the whole
+  * stream. At 100 TB each stage is a partial-aggregating groupBy of the
+  * step's event slice joined to a per-user table that only SHRINKS as
+  * the funnel deepens.
+  */
+object Funnel {
+
+  private def horizonMicros(horizon: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(horizon))
+    require(iv.months == 0,
+      "funnel horizon must be day-or-finer (months are not fixed-length)")
+    val us = iv.days * 86400000000L + iv.microseconds
+    require(us > 0, s"funnel horizon must be positive, got '$horizon'")
+    us
+  }
+
+  /** Per-user step-completion times for an ordered funnel.
+    *
+    * Returns one row per user that completed at least step 1, with
+    * `anchor` (the first step-1 event time) and `t1..tk` (earliest
+    * completion time of each step under the strictly-after +
+    * within-horizon rule; null once the chain breaks).
+    */
+  def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizon: String): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = horizonMicros(horizon)
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+      .withColumn("anchor", col("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (step, i)) =>
+      // the step slice is filtered BEFORE the join, so each stage only
+      // shuffles that step's events against the surviving users
+      val stepEvents = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__fn_ts"))
+      val next = stepEvents.join(prev, Seq(userCol))
+        .filter(unix_micros(col("__fn_ts")) > unix_micros(col(s"t$i")) &&
+          unix_micros(col("__fn_ts")) <= unix_micros(col("anchor")) + us)
+        .groupBy(col(userCol))
+        .agg(min(col("__fn_ts")).as(s"t${i + 1}"))
+      prev.join(next, Seq(userCol), "left")
+    }
+  }
+
+  /** Funnel summary: one row per step with the surviving-user count and
+    * conversion rates vs the first step and vs the previous step. The
+    * per-step counts are k small aggregates over [[funnelTimes]]'s
+    * per-user frame — the union is driver-assembled from STEP NAMES
+    * (a config constant), never from data.
+    */
+  def funnelSummary(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizon: String): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps, horizon)
+    // one row of k counts feeds k per-step projections — scoped cache
+    // so the funnel chain runs once, not once per step
+    val countCols = steps.indices.map(i =>
+      count(col(s"t${i + 1}")).as(s"n${i + 1}"))
+    val counts = graft.CacheScope.register(
+      times.agg(countCols.head, countCols.tail: _*).persist())
+    val stepRows = steps.zipWithIndex.map { case (step, i) =>
+      counts.select(lit(i + 1).as("step"), lit(step).as("event_type"),
+        col(s"n${i + 1}").as("n_users"),
+        round(col(s"n${i + 1}") / col("n1"), 4).as("conv_from_first"),
+        round(col(s"n${i + 1}") /
+          col(s"n${math.max(i, 1)}"), 4).as("conv_from_prev"))
+    }
+    stepRows.reduce(_ unionByName _)
+  }
+
+  /** Cohort-retention matrix: users enter the cohort of the week of
+    * their first event matching `cohortPred`; a cohort member is
+    * retained at week-offset k if they have an event matching
+    * `activityPred` in that calendar week (weeks are Monday-truncated,
+    * offsets exact `datediff / 7` on the truncated dates). Emits one
+    * row per (cohort_week, week_offset) with the distinct-user count,
+    * the cohort size, and the retention rate.
+    *
+    * Two shuffles at corpus grain: the per-user first-touch aggregate
+    * and the distinct-(user, cohort, offset) aggregate — both partial-
+    * aggregating; the final matrix is (weeks × offsets) tiny.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      cohortPred: Column, activityPred: Column): DataFrame = {
+    val cohorts = events.filter(cohortPred)
+      .groupBy(col(userCol))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val active = events.filter(activityPred)
+      .select(col(userCol), col(tsCol).as("__ch_ts"))
+      .join(cohorts, Seq(userCol))
+      .filter(to_date(col("__ch_ts")) >= col("cohort_week"))
+      .select(col(userCol), col("cohort_week"),
+        (datediff(to_date(date_trunc("week", col("__ch_ts"))),
+          col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .distinct()
+    active.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") / col("cohort_size"), 4).as("retention"))
+  }
+}

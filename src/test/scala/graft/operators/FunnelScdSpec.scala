@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class FunnelScdSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.zipWithIndex
+      .map { case ((u, t, at), i) => (i.toLong, u, t, ts(at)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+  }
+
+  test("funnel: anchored horizon, strictly-after ordering") {
+    // u1 full chain inside horizon; u2 click before view (breaks order);
+    // u3 purchase outside the 1h anchor horizon
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:10:00"),
+      (1L, "purchase", "2024-01-01 10:20:00"),
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 09:30:00"),
+      (3L, "view", "2024-01-01 08:00:00"),
+      (3L, "click", "2024-01-01 08:30:00"),
+      (3L, "purchase", "2024-01-01 09:30:00"))
+    val out = Funnel.funnelSummary(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), "1 hour")
+      .orderBy(col("step")).collect()
+    assert(out.map(_.getAs[Long]("n_users")).toSeq === Seq(3L, 2L, 1L))
+    assert(out(2).getAs[Double]("conv_from_first") === 0.3333)
+    assert(out(2).getAs[Double]("conv_from_prev") === 0.5)
+  }
+
+  test("funnel: same-timestamp step does not count (strictly after)") {
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00"))
+    val t = Funnel.funnelTimes(df, "user_id", "event_type", "ts",
+      Seq("view", "click"), "1 hour").collect()
+    assert(t.length === 1 && t(0).isNullAt(t(0).fieldIndex("t2")))
+  }
+
+  test("funnel: horizon boundary is inclusive of anchor+h") {
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"))
+    val t = Funnel.funnelTimes(df, "user_id", "event_type", "ts",
+      Seq("view", "click"), "1 hour").collect()
+    assert(!t(0).isNullAt(t(0).fieldIndex("t2")))
+  }
+
+  test("cohortRetention: cohort by predicate, offsets by calendar week") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // user 1: activates Mon Jan 1 week; active weeks 0 and 2
+      (0L, 1L, "purchase", ts("2024-01-02 10:00:00"), 150.0),
+      (1L, 1L, "purchase", ts("2024-01-16 10:00:00"), 10.0),
+      // user 2: activates week of Jan 8; active week 0 only; the
+      // pre-activation purchase on Jan 3 must NOT count (ts < cohort)
+      (2L, 2L, "purchase", ts("2024-01-03 10:00:00"), 10.0),
+      (3L, 2L, "purchase", ts("2024-01-10 10:00:00"), 200.0),
+      // user 3: never activates
+      (4L, 3L, "purchase", ts("2024-01-02 10:00:00"), 10.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Funnel.cohortRetention(df, "user_id", "ts",
+        col("event_type") === "purchase" && col("value") >= 100,
+        col("event_type") === "purchase")
+      .orderBy(col("cohort_week"), col("week_offset")).collect()
+    val rows = out.map(r => (r.getDate(0).toString,
+      r.getInt(1), r.getAs[Long]("n_active"), r.getAs[Double]("retention")))
+    assert(rows.toSeq === Seq(
+      ("2024-01-01", 0, 1L, 1.0), ("2024-01-01", 2, 1L, 1.0),
+      ("2024-01-08", 0, 1L, 1.0)))
+  }
+
+  test("scd2: runs collapse, intervals chain, current flagged") {
+    val df = ev(
+      (1L, "a", "2024-01-01 10:00:00"),
+      (1L, "a", "2024-01-01 11:00:00"),
+      (1L, "b", "2024-01-01 12:00:00"),
+      (1L, "a", "2024-01-01 13:00:00"),
+      (2L, "x", "2024-01-01 10:00:00"))
+    val out = Scd.intervalize(df, "user_id", "event_type", "ts",
+        "event_id")
+      .orderBy(col("user_id"), col("effective_from")).collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(_.getAs[String]("event_type")).toSeq === Seq("a", "b", "a"))
+    assert(u1.map(_.getAs[Long]("n_obs")).toSeq === Seq(2L, 1L, 1L))
+    // each interval closes exactly where the next opens
+    assert(u1(0).getAs[Timestamp]("effective_to") ===
+      u1(1).getAs[Timestamp]("effective_from"))
+    assert(u1(1).getAs[Timestamp]("effective_to") ===
+      u1(2).getAs[Timestamp]("effective_from"))
+    assert(u1.map(_.getAs[Boolean]("is_current")).toSeq ===
+      Seq(false, false, true))
+    assert(out.filter(_.getAs[Long]("user_id") == 2L)
+      .head.getAs[Boolean]("is_current"))
+  }
+
+  test("scd2: timestamp ties break on the sequence column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 7L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 7L, "b", ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Scd.intervalize(df, "user_id", "event_type", "ts",
+        "event_id").orderBy(col("effective_from"), col("event_type"))
+      .collect()
+    // two runs, deterministic a-then-b by event_id
+    assert(out.map(_.getAs[String]("event_type")).toSeq === Seq("a", "b"))
+    assert(out.map(_.getAs[Boolean]("is_current")).toSeq ===
+      Seq(false, true))
+  }
+}
