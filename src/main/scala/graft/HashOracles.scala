@@ -1673,6 +1673,51 @@ object HashOracles {
         "ORDER BY t.doc_id")
   }
 
+  /** Reliability-bin replay ([[operators.QualityClassifier.calibration]]
+    * over the q117 held-out scores): the q117 CTE chain up to the raw
+    * log-odds, then sigmoid → equal-width bins (top edge folded into
+    * the last) → per-bin mean prediction vs observed positive
+    * fraction.
+    */
+  def q158Calibration(trainBuckets: Int, alpha: Double,
+      bins: Int): String = {
+    val head = Seq(
+      s"tk AS (SELECT doc_id, lang = 'en' AS pos, $Toks AS t FROM documents)",
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ mixed ++ Seq(
+      s"sp AS (SELECT doc_id, $signedMod < $trainBuckets AS is_train FROM dm5)",
+      "tr AS (SELECT tk.* FROM tk JOIN sp USING (doc_id) WHERE is_train)",
+      "te AS (SELECT tk.* FROM tk JOIN sp USING (doc_id) WHERE NOT is_train)",
+      "w AS (SELECT pos, unnest(t) AS token FROM tr)",
+      "cnt AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos, " +
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg FROM w GROUP BY token)",
+      "tot AS (SELECT count(*) AS v, sum(c_pos) AS tp, sum(c_neg) AS tn FROM cnt)",
+      "pri AS (SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)" +
+        " / sum(CASE WHEN pos THEN 0 ELSE 1 END)) AS p FROM tr)",
+      "sw AS (SELECT doc_id, unnest(t) AS token FROM te)",
+      s"sc AS (SELECT doc_id, coalesce(" +
+        s"ln((c_pos + $alpha) / (tp + $alpha * v)) " +
+        s"- ln((c_neg + $alpha) / (tn + $alpha * v)), " +
+        s"ln($alpha / (tp + $alpha * v)) - ln($alpha / (tn + $alpha * v))) " +
+        "AS l FROM sw LEFT JOIN cnt USING (token), tot)",
+      "agg AS (SELECT doc_id, sum(l) AS sl FROM sc GROUP BY doc_id)",
+      "fs AS (SELECT t.doc_id, p + coalesce(a.sl, 0) AS score, t.pos " +
+        "FROM te t LEFT JOIN agg a ON t.doc_id = a.doc_id, pri)",
+      s"bn AS (SELECT CAST(least(floor((1.0 / (1.0 + exp(-score))) * $bins), " +
+        s"${bins - 1}) AS INTEGER) AS bin, " +
+        "1.0 / (1.0 + exp(-score)) AS pp, pos FROM fs)"),
+      "SELECT bin, count(*) AS n, round(avg(pp), 4) AS avg_pred, " +
+        "round(avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END), 4) AS frac_pos, " +
+        "round(abs(avg(pp) - avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END)), 4) " +
+        "AS gap FROM bn GROUP BY bin ORDER BY bin")
+  }
+
   /** RRF ensemble replay ([[operators.RankFusion]], q137): the q117 NB
     * classifier (hash-split trained, scoring ALL docs), the q100
     * bigram LM (trained below `lmSplit`, scoring all docs with ≥ 2

@@ -2418,7 +2418,40 @@ object SparkEntry {
       graft.operators.Scd.intervalize(
           events(s, dir).filter(col("user_id") < 15),
           "user_id", "event_type", "ts", "event_id")
-        .orderBy(col("user_id"), col("effective_from")))
+        .orderBy(col("user_id"), col("effective_from"))),
+
+    // Hopping-window aggregation: 1 h windows sliding every 15 min —
+    // Spark's native window() emits the d/s = 4 covering windows per
+    // event map-side (a bounded explode), then one partial-aggregating
+    // shuffle on (window, type). The oracle replays the epoch-aligned
+    // window grid with exact integer-micros arithmetic.
+    "q157_hopping_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // Reliability diagram of the q117 NB classifier on its held-out
+    // split: sigmoid of the raw log-odds into ten equal-width bins,
+    // per-bin mean prediction vs observed positive fraction (the ECE
+    // terms). Calibration is one bin-cardinality aggregate on top of
+    // the scoring pass.
+    "q158_calibration_bins" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("is_en", col("lang") === "en")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(split), "doc_id", "text", "is_en")
+      graft.operators.QualityClassifier.calibration(
+          graft.operators.QualityClassifier.score(
+            docs.filter(!split), "doc_id", "text", model),
+          "score", "is_en", bins = 10)
+        .orderBy(col("bin"))
+    })
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -4122,6 +4155,20 @@ object SparkEntry {
         |    AS effective_to, n_obs,
         |  lead(effective_from) OVER (PARTITION BY user_id ORDER BY run)
         |    IS NULL AS is_current
-        |FROM iv ORDER BY user_id, effective_from""".stripMargin
+        |FROM iv ORDER BY user_id, effective_from""".stripMargin,
+
+    // every event covers exactly d/s = 4 epoch-aligned window starts
+    "q157_hopping_window" ->
+      """WITH x AS (SELECT event_type, value, epoch_us(ts) AS u FROM events),
+        |w AS (SELECT event_type, value,
+        |    make_timestamp(u - (u % 900000000) - k * 900000000)
+        |      AS window_start
+        |  FROM x, unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS t(k))
+        |SELECT window_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q158_calibration_bins" -> HashOracles.q158Calibration(8000, 1.0, 10)
   )
 }

@@ -99,4 +99,32 @@ object QualityClassifier {
       score(docs, idCol, textCol, model, tokensCol)
         .filter(col("predicted")).select(col(idCol)),
       Seq(idCol), "left_semi")
+
+  /** Reliability-diagram bins for a scored frame: the log-odds
+    * `scoreCol` maps through the sigmoid to a probability, which lands
+    * in one of `bins` equal-width bins (the top edge folds into the
+    * last bin). Per bin: row count, mean predicted probability,
+    * observed positive fraction, and the |gap| between them — the
+    * per-bin terms of expected calibration error
+    * (`ECE = Σ n_b/N · gap_b`, left to the caller so the bin rows stay
+    * the unit of replay). ONE partial-aggregating shuffle at bin
+    * cardinality — calibration of a trillion-row scored frame is free
+    * next to the scoring itself.
+    */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins $bins must be positive")
+    val p = lit(1.0) / (lit(1.0) + exp(-col(scoreCol)))
+    scored
+      .withColumn("__qc_p", p)
+      .withColumn("bin", least(floor(col("__qc_p") * bins),
+        lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__qc_p")), 4).as("avg_pred"),
+        round(avg(when(col(labelCol), 1.0).otherwise(0.0)), 4)
+          .as("frac_pos"),
+        round(abs(avg(col("__qc_p")) -
+          avg(when(col(labelCol), 1.0).otherwise(0.0))), 4).as("gap"))
+  }
 }

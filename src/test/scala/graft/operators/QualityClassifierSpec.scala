@@ -72,4 +72,27 @@ class QualityClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("calibration: sigmoid bins, edge folding, hand-checked gaps") {
+    val s = spark
+    import s.implicits._
+    // log-odds 0.0 -> p=0.5 (bin 5); huge -> p~1 folds into bin 9;
+    // -huge -> p~0 bin 0
+    val scored = Seq(
+      (0.0, true), (0.0, false),       // bin 5: avg_pred 0.5, frac 0.5
+      (100.0, true), (100.0, true),    // bin 9 (p=1 folds down)
+      (-100.0, false)                  // bin 0
+    ).toDF("score", "y")
+    val out = QualityClassifier.calibration(scored, "score", "y", 10)
+      .orderBy(col("bin")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set(0, 5, 9))
+    assert(out(5) === ((2L, 0.5, 0.5, 0.0)))
+    assert(out(9) === ((2L, 1.0, 1.0, 0.0)))
+    assert(out(0) === ((1L, 0.0, 0.0, 0.0)))
+    // ECE from the bin rows: sum(n/N * gap) = 0 here
+    val ece = out.values.map { case (n, _, _, g) => n * g }.sum / 5
+    assert(ece === 0.0)
+  }
 }
