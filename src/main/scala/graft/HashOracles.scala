@@ -1718,6 +1718,55 @@ object HashOracles {
         "AS gap FROM bn GROUP BY bin ORDER BY bin")
   }
 
+  /** Poisson-bootstrap replay ([[operators.Bootstrap.poissonCiOfMean]]):
+    * the q67 double-mix of (doc_id, rep) feeding the q119 exact-double
+    * uniform, the Poisson(1) inverse-CDF cut points embedded as the
+    * SAME round-trip double literals the operator computes, replicate
+    * means as exact integer-sum ratios, and the CI order statistics by
+    * row_number.
+    */
+  def q159PoissonBootstrap(reps: Int): String = {
+    val head = Seq(
+      "dz AS (SELECT source, doc_id, n_chars, CAST(doc_id AS HUGEINT) AS z " +
+        "FROM documents WHERE n_chars IS NOT NULL)")
+    def rounds(tag: String, from: String, pass: Seq[String]): Seq[String] =
+      mixStages(Seq("z"), pass).zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) from else s"$tag${n - 1}"
+        s"$tag$n AS ($body FROM $prev)"
+      }
+    val first = rounds("ma", "dz", Seq("source", "doc_id", "n_chars"))
+    val xorStage = Seq(
+      "mx AS (SELECT source, n_chars, rep, xor(z, CAST(rep AS HUGEINT)) " +
+        s"AS z FROM ma5, unnest(range(0, $reps)) t(rep))")
+    val second = rounds("mb", "mx", Seq("source", "n_chars", "rep"))
+    val cuts = operators.Bootstrap.CumPoisson1
+    val caseW = cuts.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${cuts.length} END")
+    val klo = "greatest(1, CAST(floor(live * 0.025) AS BIGINT))"
+    withClause(head ++ first ++ xorStage ++ second ++ Seq(
+      "uw AS (SELECT source, n_chars, rep, " +
+        "(z // 2048 + 0.5) / 9007199254740992.0 AS u FROM mb5)",
+      s"pw AS (SELECT source, n_chars, rep, $caseW AS w FROM uw)",
+      "rm AS (SELECT source, rep, sum(w * n_chars) AS sw, sum(w) AS n " +
+        "FROM pw GROUP BY source, rep HAVING sum(w) > 0)",
+      "mr AS (SELECT source, CAST(sw AS DOUBLE) / n AS m FROM rm)",
+      "rk AS (SELECT source, m, row_number() OVER " +
+        "(PARTITION BY source ORDER BY m) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS live FROM mr)",
+      s"pos AS (SELECT source, m, rn, live, $klo AS klo, " +
+        s"live - $klo + 1 AS khi FROM rk)",
+      "ci AS (SELECT source, max(live) AS n_reps, " +
+        "round(max(CASE WHEN rn = klo THEN m END), 4) AS ci_lo, " +
+        "round(max(CASE WHEN rn = khi THEN m END), 4) AS ci_hi " +
+        "FROM pos GROUP BY source)",
+      "pt AS (SELECT source, count(*) AS n_docs, " +
+        "round(avg(n_chars), 4) AS mean_est FROM documents " +
+        "WHERE n_chars IS NOT NULL GROUP BY source)"),
+      "SELECT pt.source, pt.n_docs, pt.mean_est, ci.n_reps, ci.ci_lo, " +
+        "ci.ci_hi FROM pt JOIN ci USING (source) ORDER BY source")
+  }
+
   /** RRF ensemble replay ([[operators.RankFusion]], q137): the q117 NB
     * classifier (hash-split trained, scoring ALL docs), the q100
     * bigram LM (trained below `lmSplit`, scoring all docs with ≥ 2

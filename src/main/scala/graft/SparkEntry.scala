@@ -2451,7 +2451,18 @@ object SparkEntry {
             docs.filter(!split), "doc_id", "text", model),
           "score", "is_en", bins = 10)
         .orderBy(col("bin"))
-    })
+    }),
+
+    // Poisson-bootstrap CI of the per-source mean document length:
+    // 100 deterministic Poisson(1) replicates in one map-side explode,
+    // replicate means as exact integer-sum ratios, CI = (k_lo, k_hi)
+    // order statistics. The cluster-scale bootstrap — no global
+    // with-replacement sample ever materializes.
+    "q159_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Bootstrap.poissonCiOfMean(
+          T(s, dir, "documents"), "source", "doc_id", "n_chars",
+          reps = 100)
+        .orderBy(col("source")))
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -4169,6 +4180,8 @@ object SparkEntry {
         |FROM w GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
 
-    "q158_calibration_bins" -> HashOracles.q158Calibration(8000, 1.0, 10)
+    "q158_calibration_bins" -> HashOracles.q158Calibration(8000, 1.0, 10),
+
+    "q159_bootstrap_ci" -> HashOracles.q159PoissonBootstrap(100)
   )
 }
