@@ -1767,6 +1767,75 @@ object HashOracles {
         "ci.ci_hi FROM pt JOIN ci USING (source) ORDER BY source")
   }
 
+  /** Two-epoch batch-GD logistic replay
+    * ([[operators.QualityClassifier.trainLogistic]] at w₀ = 0, epochs
+    * = 2): hashed unigram+bigram features (the q115 device, mod a
+    * power-of-two bucket count), epoch 1 closed-form (σ(0) = 0.5),
+    * epoch 2 through the explicit margin join, held-out docs scored
+    * under the final weights. Every expression mirrors the Spark
+    * operation tree (`g = Σ x·err / N`, `w ← w − lr·g`) so the only
+    * divergence channel is double-summation order — absorbed by the
+    * 1e-4 output grid.
+    */
+  def q160Logistic(trainBuckets: Int, buckets: Int, lr: Double): String = {
+    require((buckets & (buckets - 1)) == 0,
+      s"oracle replay needs a power-of-two bucket count, got $buckets")
+    val head = Seq(
+      s"tk AS (SELECT doc_id, lang = 'en' AS pos, $Toks AS t FROM documents)",
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ mixed ++ Seq(
+      s"sp AS (SELECT doc_id, $signedMod < $trainBuckets AS is_train FROM dm5)",
+      "fg AS (SELECT doc_id, unnest(list_concat(t, " +
+        "CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t) - 1), " +
+        "i -> t[i + 1] || ' ' || t[i + 2]) " +
+        "ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM tk)",
+      s"fb AS (SELECT doc_id, CAST(${fnv("gram")} % $buckets AS BIGINT) " +
+        "AS bucket FROM fg)",
+      "fc AS (SELECT doc_id, bucket, count(*) AS c FROM fb " +
+        "GROUP BY doc_id, bucket)",
+      "fx AS (SELECT doc_id, bucket, CAST(c AS DOUBLE) / " +
+        "(sum(c) OVER (PARTITION BY doc_id)) AS x, " +
+        "sum(c) OVER (PARTITION BY doc_id) AS nf FROM fc)",
+      "trd AS (SELECT tk.doc_id, CASE WHEN pos THEN 1.0 ELSE 0.0 END AS y " +
+        "FROM tk JOIN sp USING (doc_id) WHERE is_train)",
+      "ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trd)",
+      // epoch 1: all weights 0 -> sigma(0) = 0.5 exactly
+      "e1 AS (SELECT doc_id, 0.5 - y AS err FROM trd)",
+      s"w1 AS (SELECT bucket, -($lr * (sum(x * err) / n)) AS w " +
+        "FROM fx JOIN e1 USING (doc_id), ntr GROUP BY bucket, n)",
+      s"b1 AS (SELECT -($lr * (sum(err) / n)) AS b FROM e1, ntr " +
+        "GROUP BY n)",
+      // epoch 2: explicit margins under (w1, b1)
+      "d2 AS (SELECT doc_id, sum(w1.w * fx.x) AS dot FROM fx " +
+        "JOIN w1 USING (bucket) GROUP BY doc_id)",
+      "z2 AS (SELECT t.doc_id, t.y, b1.b + coalesce(d2.dot, 0.0) AS z " +
+        "FROM trd t LEFT JOIN d2 USING (doc_id), b1)",
+      "e2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS err FROM z2)",
+      s"w2 AS (SELECT w1.bucket, w1.w - $lr * (g.gr) AS w FROM w1 " +
+        "JOIN (SELECT bucket, sum(x * err) / any_value(n) AS gr FROM fx " +
+        "JOIN e2 USING (doc_id), ntr GROUP BY bucket) g USING (bucket))",
+      s"b2 AS (SELECT b1.b - $lr * (sum(err) / n) AS b FROM e2, b1, ntr " +
+        "GROUP BY b1.b, n)",
+      // held-out scoring under the final model; unseen buckets weigh 0
+      "te AS (SELECT tk.doc_id, pos FROM tk JOIN sp USING (doc_id) " +
+        "WHERE NOT is_train)",
+      "ds AS (SELECT fx.doc_id, any_value(fx.nf) AS nf, " +
+        "sum(fx.x * coalesce(w2.w, 0.0)) AS dot FROM fx " +
+        "LEFT JOIN w2 USING (bucket) " +
+        "JOIN te ON te.doc_id = fx.doc_id GROUP BY fx.doc_id)",
+      "fs AS (SELECT te.doc_id, CAST(coalesce(ds.nf, 0) AS BIGINT) " +
+        "AS n_feats, b2.b + coalesce(ds.dot, 0.0) AS z, te.pos " +
+        "FROM te LEFT JOIN ds USING (doc_id), b2)"),
+      "SELECT doc_id, n_feats, round(1.0 / (1.0 + exp(-z)), 4) AS score, " +
+        "z > 0 AS predicted, pos AS actual FROM fs ORDER BY doc_id")
+  }
+
   /** RRF ensemble replay ([[operators.RankFusion]], q137): the q117 NB
     * classifier (hash-split trained, scoring ALL docs), the q100
     * bigram LM (trained below `lmSplit`, scoring all docs with ≥ 2

@@ -2462,7 +2462,28 @@ object SparkEntry {
       graft.operators.Bootstrap.poissonCiOfMean(
           T(s, dir, "documents"), "source", "doc_id", "n_chars",
           reps = 100)
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // The ITERATIVE linear quality classifier (fastText/GPT-3 shape):
+    // two epochs of full-batch GD logistic regression over 64 hashed
+    // unigram+bigram feature buckets, trained on the deterministic 80%
+    // split, held-out docs scored under the final weights. Per epoch:
+    // one broadcast margin join + one bucket-grain gradient aggregate
+    // (the <= 64-row driver collect — the k-means centroid contract).
+    "q160_logistic_gd" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("is_en", col("lang") === "en")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.QualityClassifier.trainLogistic(
+        docs.filter(split), "doc_id", "text", "is_en",
+        numBuckets = 64, epochs = 2, lr = 2.0)
+      graft.operators.QualityClassifier.scoreLogistic(
+          docs.filter(!split), "doc_id", "text", model)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("score"), 4).as("score"), col("predicted"),
+          col("is_en").as("actual"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -4182,6 +4203,8 @@ object SparkEntry {
 
     "q158_calibration_bins" -> HashOracles.q158Calibration(8000, 1.0, 10),
 
-    "q159_bootstrap_ci" -> HashOracles.q159PoissonBootstrap(100)
+    "q159_bootstrap_ci" -> HashOracles.q159PoissonBootstrap(100),
+
+    "q160_logistic_gd" -> HashOracles.q160Logistic(8000, 64, 2.0)
   )
 }

@@ -100,6 +100,112 @@ object QualityClassifier {
         .filter(col("predicted")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** A trained logistic model over hashed n-gram features: `weights(b)`
+    * for buckets `0 until numBuckets` (dense — unseen buckets are 0.0)
+    * plus the bias. The whole model is `numBuckets + 1` doubles — a
+    * bounded driver fact by CONFIG, the same contract as k-means
+    * centroids.
+    */
+  final case class LogisticModel(weights: Array[Double], bias: Double,
+      numBuckets: Int)
+
+  /** Batch-gradient-descent logistic regression over [[Dsir]]'s hashed
+    * unigram+bigram features — the fastText/GPT-3-shaped LINEAR quality
+    * classifier proper (the iterative counterpart to the closed-form
+    * [[train]]).
+    *
+    * Features are per-doc bucket frequencies `x_b = c_b / n_feats`
+    * (exact one-divide doubles). Each epoch is two corpus passes:
+    * margins `z_d = bias + Σ w_b·x_db` via a BROADCAST join against the
+    * (config-bounded) weight table, then the gradient
+    * `g_b = Σ_d (σ(z_d) − y_d)·x_db / N` via one bucket-grain
+    * aggregation whose result — at most `numBuckets` rows — is the only
+    * per-epoch driver collect. Full-batch (not stochastic) descent is
+    * deliberate: the update is a pure dataset aggregate, so a second
+    * engine replays the whole trajectory.
+    */
+  def trainLogistic(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, numBuckets: Int = 64, epochs: Int = 2,
+      lr: Double = 2.0, tokensCol: Option[String] = None): LogisticModel = {
+    require(numBuckets > 0 && epochs >= 1 && lr > 0,
+      s"bad hyperparameters: buckets=$numBuckets epochs=$epochs lr=$lr")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val feats = graft.CacheScope.register(
+      Dsir.hashedFeatureRows(labeled, idCol, textCol, numBuckets,
+          tokensCol)
+        .groupBy(col(idCol), col("bucket"))
+        .agg(count(lit(1)).as("__lg_c"))
+        .withColumn("__lg_nf",
+          sum(col("__lg_c")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol))))
+        .withColumn("x", col("__lg_c").cast("double") / col("__lg_nf"))
+        .select(col(idCol), col("bucket"), col("x"))
+        .persist())
+    val docs = graft.CacheScope.register(labeled
+      .select(col(idCol),
+        when(col(labelCol), 1.0).otherwise(0.0).as("y"))
+      .persist())
+    val n = docs.count()
+    require(n > 0, "empty training frame")
+    var w = Array.fill(numBuckets)(0.0)
+    var bias = 0.0
+    for (_ <- 0 until epochs) {
+      val wDf = w.toIndexedSeq.zipWithIndex
+        .map { case (v, b) => (b.toLong, v) }.toDF("bucket", "w")
+      val margins = feats.join(broadcast(wDf), Seq("bucket"))
+        .groupBy(col(idCol))
+        .agg(sum(col("x") * col("w")).as("__lg_dot"))
+      val err = docs.join(margins, Seq(idCol), "left")
+        .withColumn("__lg_z", lit(bias) +
+          coalesce(col("__lg_dot"), lit(0.0)))
+        .withColumn("__lg_err",
+          lit(1.0) / (lit(1.0) + exp(-col("__lg_z"))) - col("y"))
+        .select(col(idCol), col("__lg_err"))
+      // bucket-grain gradient: <= numBuckets rows, the bounded collect
+      val gw = feats.join(err, Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg((sum(col("x") * col("__lg_err")) / n).as("g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      val gb = err.agg(sum(col("__lg_err")) / n).head().getDouble(0)
+      w = Array.tabulate(numBuckets)(b => w(b) - lr * gw.getOrElse(b, 0.0))
+      bias -= lr * gb
+    }
+    LogisticModel(w, bias, numBuckets)
+  }
+
+  /** All columns of `docs` plus (n_feats, score, predicted) under a
+    * trained [[LogisticModel]]: `score` is the sigmoid probability,
+    * `predicted` the 0.5 threshold (margin > 0). Unseen buckets weigh
+    * 0; a doc with no features scores the bare bias.
+    */
+  def scoreLogistic(docs: DataFrame, idCol: String, textCol: String,
+      model: LogisticModel, tokensCol: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = model.weights.toIndexedSeq.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toDF("bucket", "w")
+    val perDoc = Dsir.hashedFeatureRows(docs, idCol, textCol,
+        model.numBuckets, tokensCol)
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("__lg_c"))
+      .withColumn("__lg_nf",
+        sum(col("__lg_c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))))
+      .join(broadcast(wDf), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(any_value(col("__lg_nf")).as("n_feats"),
+        sum(col("__lg_c").cast("double") / col("__lg_nf") * col("w"))
+          .as("__lg_dot"))
+    docs.join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_feats"))
+      .withColumn("__lg_z",
+        lit(model.bias) + coalesce(col("__lg_dot"), lit(0.0)))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("__lg_z"))))
+      .withColumn("predicted", col("__lg_z") > 0)
+      .drop("__lg_dot", "__lg_z")
+  }
+
   /** Reliability-diagram bins for a scored frame: the log-odds
     * `scoreCol` maps through the sigmoid to a probability, which lands
     * in one of `bins` equal-width bins (the top edge folds into the

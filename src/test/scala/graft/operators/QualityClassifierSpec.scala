@@ -95,4 +95,51 @@ class QualityClassifierSpec extends SparkSpec {
     val ece = out.values.map { case (n, _, _, g) => n * g }.sum / 5
     assert(ece === 0.0)
   }
+
+  private def logloss(scored: Seq[(Double, Boolean)]): Double =
+    -scored.map { case (p, y) =>
+      val q = math.min(math.max(p, 1e-12), 1 - 1e-12)
+      if (y) math.log(q) else math.log(1 - q)
+    }.sum / scored.size
+
+  test("logistic GD: separable classes learn, logloss falls with epochs") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 80L).map { i =>
+      val pos = i % 2 == 0
+      val text = if (pos) "quantum energy flux quantum energy"
+      else "pasta basil oven pasta basil"
+      (i, text, pos)
+    }
+    val df = rows.toDF("doc_id", "text", "is_pos")
+    def scoresAt(epochs: Int) = {
+      val m = QualityClassifier.trainLogistic(df, "doc_id", "text",
+        "is_pos", numBuckets = 64, epochs = epochs, lr = 2.0)
+      QualityClassifier.scoreLogistic(df, "doc_id", "text", m)
+        .select(col("score"), col("is_pos")).collect()
+        .map(r => (r.getDouble(0), r.getBoolean(1))).toSeq
+    }
+    val at2 = scoresAt(2)
+    val at10 = scoresAt(10)
+    assert(logloss(at10) < logloss(at2),
+      s"more epochs must reduce logloss: ${logloss(at10)} vs ${logloss(at2)}")
+    // after 10 epochs the separable problem is solved
+    assert(at10.forall { case (p, y) => (p > 0.5) == y })
+  }
+
+  test("logistic: no-feature doc scores the bare bias; model is dense") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "alpha beta", true), (2L, "gamma delta", false))
+      .toDF("doc_id", "text", "is_pos")
+    val m = QualityClassifier.trainLogistic(df, "doc_id", "text",
+      "is_pos", numBuckets = 64, epochs = 1, lr = 1.0)
+    assert(m.weights.length === 64)
+    val empty = Seq((9L, "", false)).toDF("doc_id", "text", "is_pos")
+    val r = QualityClassifier.scoreLogistic(empty, "doc_id", "text", m)
+      .select(col("n_feats"), col("score")).head()
+    assert(r.getLong(0) === 0L)
+    assert(math.abs(r.getDouble(1) -
+      1.0 / (1.0 + math.exp(-m.bias))) < 1e-12)
+  }
 }
