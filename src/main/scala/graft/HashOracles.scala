@@ -2127,6 +2127,49 @@ object HashOracles {
         "FROM sc GROUP BY doc_id ORDER BY doc_id")
   }
 
+  /** Cluster-safe split replay
+    * ([[operators.Sampling.assignClusterSafeSplit]] over the q43
+    * Jaccard components): the recursive-CTE closure labels the
+    * clustered docs, every doc's split KEY is its component (or its
+    * own id), and the splitmix chain + cumulative thresholds replay
+    * the q147 device on that key.
+    */
+  val q161ClusterSafeSplit: String = {
+    val head = Seq(
+      s"t AS (SELECT doc_id, list_distinct($Toks) AS toks " +
+        "FROM documents WHERE doc_id < 200)",
+      "edges0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM t a, t b WHERE a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
+        "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)",
+      "edges AS (SELECT a_id AS s, b_id AS d FROM edges0 " +
+        "UNION SELECT b_id, a_id FROM edges0)",
+      "nodes AS (SELECT DISTINCT s AS node FROM edges)",
+      "reach AS (WITH RECURSIVE r(node, lbl) AS (" +
+        "SELECT node, node FROM nodes UNION " +
+        "SELECT e.d, r.lbl FROM r JOIN edges e ON e.s = r.node) " +
+        "SELECT * FROM r)",
+      "comp AS (SELECT node AS id, min(lbl) AS component FROM reach " +
+        "GROUP BY node)",
+      "dz AS (SELECT d.doc_id, " +
+        "coalesce(c.component, d.doc_id) AS split_key, " +
+        "CAST(coalesce(c.component, d.doc_id) AS HUGEINT) AS z " +
+        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "split_key"))
+      .zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+      }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ mixed ++ Seq(
+      s"sp AS (SELECT doc_id, split_key, CASE WHEN $signedMod < 8000 " +
+        s"THEN 'train' WHEN $signedMod < 9000 THEN 'val' " +
+        "ELSE 'test' END AS split FROM dm5)"),
+      "SELECT split, count(*) AS n_docs, " +
+        "count(DISTINCT split_key) AS n_keys " +
+        "FROM sp GROUP BY split ORDER BY split")
+  }
+
   /** Named-split replay ([[operators.Sampling.assignSplit]] at
     * train/val/test = 8000/1000/1000): the splitmix bucket chain, then
     * the cumulative-threshold CASE, then per-(source, split)

@@ -2483,6 +2483,30 @@ object SparkEntry {
           round(col("score"), 4).as("score"), col("predicted"),
           col("is_en").as("actual"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Leakage-safe train/val/test: split keyed on the DUP-CLUSTER
+    // label (q43's verified-pair components), so a near-duplicate can
+    // never sit in train while its twin sits in test — the
+    // contamination a doc-keyed split silently commits. Pair rule is
+    // the declared capped oracle baseline; q51 gates the production
+    // LSH candidate path for the same clustering.
+    "q161_cluster_safe_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val t = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks"))
+      val pairs = t.as("a").join(t.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          DedupFunctions.jaccard(col("a.toks"), col("b.toks")).as("jac"))
+        .filter(col("jac") >= 0.9)
+      val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      graft.operators.Sampling.assignClusterSafeSplit(docs, "doc_id",
+          comps, Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split_key")).as("n_keys"))
+        .orderBy(col("split"))
     })
   )
 
@@ -4205,6 +4229,8 @@ object SparkEntry {
 
     "q159_bootstrap_ci" -> HashOracles.q159PoissonBootstrap(100),
 
-    "q160_logistic_gd" -> HashOracles.q160Logistic(8000, 64, 2.0)
+    "q160_logistic_gd" -> HashOracles.q160Logistic(8000, 64, 2.0),
+
+    "q161_cluster_safe_split" -> HashOracles.q161ClusterSafeSplit
   )
 }

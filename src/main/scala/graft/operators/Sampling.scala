@@ -50,19 +50,41 @@ object Sampling {
     * remainder bucket would put unlabeled rows in nobody's split.
     */
   def assignSplit(df: DataFrame, idCol: String,
-      splits: Seq[(String, Int)]): DataFrame = {
+      splits: Seq[(String, Int)]): DataFrame =
+    df.withColumn("split", splitOf(hashBucket(col(idCol)), splits))
+
+  private def splitOf(bucket: Column, splits: Seq[(String, Int)]): Column = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "splits must be non-empty with positive weights")
     require(splits.map(_._2).sum == Buckets,
       s"split weights must sum to $Buckets (1/10000 units), " +
         s"got ${splits.map(_._2).sum}")
-    val b = hashBucket(col(idCol))
     val uppers = splits.map(_._2).scanLeft(0)(_ + _).tail
-    val assigned = splits.zip(uppers).init
+    splits.zip(uppers).init
       .foldRight(lit(splits.last._1)) { case (((name, _), hi), rest) =>
-        when(b < hi, lit(name)).otherwise(rest)
+        when(bucket < hi, lit(name)).otherwise(rest)
       }
-    df.withColumn("split", assigned)
+  }
+
+  /** LEAKAGE-SAFE split assignment: the split key is the document's
+    * dup-cluster label (its own id when unclustered), so every member
+    * of a near-duplicate cluster lands in the SAME split — the
+    * train/test contamination a doc-keyed split silently commits (one
+    * copy in train, its near-dup in test) cannot happen by
+    * construction. `components` is any (id, component) labeling, e.g.
+    * [[Dedup.connectedComponents]] over verified near-dup pairs. One
+    * equi-join on the doc key; the hash/threshold device is exactly
+    * [[assignSplit]]'s, applied to the cluster label.
+    */
+  def assignClusterSafeSplit(df: DataFrame, idCol: String,
+      components: DataFrame, splits: Seq[(String, Int)]): DataFrame = {
+    val comps = components.select(col("id").as(idCol),
+      col("component").as("__cs_comp"))
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("split_key",
+        coalesce(col("__cs_comp"), col(idCol)))
+      .withColumn("split", splitOf(hashBucket(col("split_key")), splits))
+      .drop("__cs_comp")
   }
 
   /** Keep ~`fraction` of rows, deterministically in the id. */

@@ -177,4 +177,43 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.assignSplit(df, "id", Seq("a" -> 5000, "b" -> 4000)))
   }
+
+  test("cluster-safe split: no cluster straddles; singletons follow " +
+      "the plain hash split; a doc-keyed split WOULD leak") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 400L).toDF("doc_id")
+    // clusters of 4 consecutive ids over the first 200 docs
+    val pairs = (0L until 200L).grouped(4).flatMap(g =>
+      g.sliding(2).map(p => (p(0), p(1)))).toSeq
+      .toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val splits = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)
+    val out = Sampling.assignClusterSafeSplit(docs, "doc_id", comps, splits)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("split_key"), r.getAs[String]("split")))
+    assert(out.length === 400)
+    // every member of a 4-cluster shares its cluster's split
+    out.filter(_._1 < 200).groupBy(_._1 / 4).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length === 1, s"straddled: $g")
+      assert(g.map(_._2).distinct.length === 1)
+    }
+    // unclustered docs: exactly the plain per-doc assignment
+    val plain = Sampling.assignSplit(docs.filter(col("doc_id") >= 200),
+        "doc_id", splits)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    out.filter(_._1 >= 200).foreach { case (id, key, sp) =>
+      assert(key === id && sp === plain(id))
+    }
+    // the doc-keyed split leaks on this fixture (some cluster split
+    // across assignments) — the hazard this operator removes
+    val docKeyed = Sampling.assignSplit(docs.filter(col("doc_id") < 200),
+        "doc_id", splits)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split"))
+    val straddled = docKeyed.groupBy(_._1 / 4)
+      .exists(_._2.map(_._2).distinct.length > 1)
+    assert(straddled, "fixture should demonstrate doc-keyed leakage")
+  }
 }
