@@ -2170,6 +2170,69 @@ object HashOracles {
         "FROM sp GROUP BY split ORDER BY split")
   }
 
+  /** Capstone #12 replay: the q161 cluster-safe split chain feeding
+    * the q117 NB train (train split only), test-split scoring, and the
+    * q158 calibration tail — one statement, every stage exact.
+    */
+  def q162LeakageSafeEval(alpha: Double, bins: Int): String = {
+    val head = Seq(
+      s"tk AS (SELECT doc_id, lang = 'en' AS pos, $Toks AS t FROM documents)",
+      s"tj AS (SELECT doc_id, list_distinct($Toks) AS toks " +
+        "FROM documents WHERE doc_id < 200)",
+      "edges0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM tj a, tj b WHERE a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
+        "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)",
+      "edges AS (SELECT a_id AS s, b_id AS d FROM edges0 " +
+        "UNION SELECT b_id, a_id FROM edges0)",
+      "nodes AS (SELECT DISTINCT s AS node FROM edges)",
+      "reach AS (WITH RECURSIVE r(node, lbl) AS (" +
+        "SELECT node, node FROM nodes UNION " +
+        "SELECT e.d, r.lbl FROM r JOIN edges e ON e.s = r.node) " +
+        "SELECT * FROM r)",
+      "comp AS (SELECT node AS id, min(lbl) AS component FROM reach " +
+        "GROUP BY node)",
+      "dz AS (SELECT d.doc_id, " +
+        "CAST(coalesce(c.component, d.doc_id) AS HUGEINT) AS z " +
+        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ mixed ++ Seq(
+      s"sp AS (SELECT doc_id, CASE WHEN $signedMod < 8000 THEN 'train' " +
+        s"WHEN $signedMod < 9000 THEN 'val' ELSE 'test' END AS split " +
+        "FROM dm5)",
+      "tr AS (SELECT tk.* FROM tk JOIN sp USING (doc_id) " +
+        "WHERE split = 'train')",
+      "te AS (SELECT tk.* FROM tk JOIN sp USING (doc_id) " +
+        "WHERE split = 'test')",
+      "w AS (SELECT pos, unnest(t) AS token FROM tr)",
+      "cnt AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos, " +
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg FROM w GROUP BY token)",
+      "tot AS (SELECT count(*) AS v, sum(c_pos) AS tp, sum(c_neg) AS tn FROM cnt)",
+      "pri AS (SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)" +
+        " / sum(CASE WHEN pos THEN 0 ELSE 1 END)) AS p FROM tr)",
+      "sw AS (SELECT doc_id, unnest(t) AS token FROM te)",
+      s"sc AS (SELECT doc_id, coalesce(" +
+        s"ln((c_pos + $alpha) / (tp + $alpha * v)) " +
+        s"- ln((c_neg + $alpha) / (tn + $alpha * v)), " +
+        s"ln($alpha / (tp + $alpha * v)) - ln($alpha / (tn + $alpha * v))) " +
+        "AS l FROM sw LEFT JOIN cnt USING (token), tot)",
+      "agg AS (SELECT doc_id, sum(l) AS sl FROM sc GROUP BY doc_id)",
+      "fs AS (SELECT t.doc_id, p + coalesce(a.sl, 0) AS score, t.pos " +
+        "FROM te t LEFT JOIN agg a ON t.doc_id = a.doc_id, pri)",
+      s"bn AS (SELECT CAST(least(floor((1.0 / (1.0 + exp(-score))) * $bins), " +
+        s"${bins - 1}) AS INTEGER) AS bin, " +
+        "1.0 / (1.0 + exp(-score)) AS pp, pos FROM fs)"),
+      "SELECT bin, count(*) AS n, round(avg(pp), 4) AS avg_pred, " +
+        "round(avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END), 4) AS frac_pos, " +
+        "round(abs(avg(pp) - avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END)), 4) " +
+        "AS gap FROM bn GROUP BY bin ORDER BY bin")
+  }
+
   /** Named-split replay ([[operators.Sampling.assignSplit]] at
     * train/val/test = 8000/1000/1000): the splitmix bucket chain, then
     * the cumulative-threshold CASE, then per-(source, split)

@@ -2507,6 +2507,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("split_key")).as("n_keys"))
         .orderBy(col("split"))
+    }),
+
+    // Capstone #12 — LEAKAGE-SAFE EVALUATION, the whole chain: verified
+    // dup pairs → connected components → cluster-keyed train/val/test
+    // → NB classifier trained on train ONLY → held-out TEST scored →
+    // reliability bins. Evaluating on a doc-keyed split inflates
+    // accuracy via near-dup twins; this is the pipeline that makes the
+    // reported calibration honest, and the oracle replays every stage.
+    "q162_leakage_safe_eval" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("is_en", col("lang") === "en")
+      val t = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks"))
+      val pairs = t.as("a").join(t.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          DedupFunctions.jaccard(col("a.toks"), col("b.toks")).as("jac"))
+        .filter(col("jac") >= 0.9)
+      val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      val assigned = graft.CacheScope.register(
+        graft.operators.Sampling.assignClusterSafeSplit(docs, "doc_id",
+          comps, Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+          .persist())
+      val model = graft.operators.QualityClassifier.train(
+        assigned.filter(col("split") === "train"), "doc_id", "text",
+        "is_en")
+      graft.operators.QualityClassifier.calibration(
+          graft.operators.QualityClassifier.score(
+            assigned.filter(col("split") === "test"), "doc_id", "text",
+            model),
+          "score", "is_en", bins = 10)
+        .orderBy(col("bin"))
     })
   )
 
@@ -4231,6 +4263,8 @@ object SparkEntry {
 
     "q160_logistic_gd" -> HashOracles.q160Logistic(8000, 64, 2.0),
 
-    "q161_cluster_safe_split" -> HashOracles.q161ClusterSafeSplit
+    "q161_cluster_safe_split" -> HashOracles.q161ClusterSafeSplit,
+
+    "q162_leakage_safe_eval" -> HashOracles.q162LeakageSafeEval(1.0, 10)
   )
 }
