@@ -2539,7 +2539,42 @@ object SparkEntry {
             model),
           "score", "is_en", bins = 10)
         .orderBy(col("bin"))
-    })
+    }),
+
+    // Per-user activity trend: OLS slope/intercept of event value over
+    // days-since-first-event, one partial-aggregating pass from the
+    // five classical sums (the zipfFit normal-equations device at
+    // arbitrary group grain). Degenerate fits are nulls, never inf.
+    "q163_user_trend" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val t0 = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"))
+      val xy = ev.join(t0, Seq("user_id"))
+        .withColumn("x",
+          (unix_micros(col("ts")) - col("t0")) / lit(86400000000.0))
+      graft.operators.Regression.groupedLinearFit(xy, "user_id",
+          col("x"), col("value"))
+        .select(col("user_id"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Market-basket associations over order lineitems: distinct
+    // (order, part), hub-capped baskets, pair counts via ONE equi-join
+    // on the order key, lift as an exact integer-product ratio. Top 25
+    // by lift — the ordering key is a single exact division, so the
+    // cutoff is engine-stable.
+    "q164_basket_lift" -> ((s, dir) =>
+      graft.operators.Basket.pairAssociations(
+          T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          maxBasketSize = 20, minPairCount = 2)
+        .select(col("item_a"), col("item_b"), col("c_ab"),
+          round(col("support"), 6).as("support"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 4).as("lift"))
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(25))
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -4265,6 +4300,46 @@ object SparkEntry {
 
     "q161_cluster_safe_split" -> HashOracles.q161ClusterSafeSplit,
 
-    "q162_leakage_safe_eval" -> HashOracles.q162LeakageSafeEval(1.0, 10)
+    "q162_leakage_safe_eval" -> HashOracles.q162LeakageSafeEval(1.0, 10),
+
+    // the same (n, Σx, Σy, Σxy, Σx²) normal equations, x in exact
+    // integer micros before the single divide
+    "q163_user_trend" ->
+      """WITH t0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        |  GROUP BY user_id),
+        |xy AS (SELECT e.user_id,
+        |    (epoch_us(e.ts) - t0.t0) / 86400000000.0 AS x,
+        |    CAST(e.value AS DOUBLE) AS y
+        |  FROM events e JOIN t0 USING (user_id)),
+        |ag AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |      / n, 6) END AS intercept
+        |FROM ag ORDER BY user_id""".stripMargin,
+
+    // capped-universe supports; lift is one exact integer-product ratio
+    "q164_basket_lift" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |sz AS (SELECT b, count(*) AS sz FROM it GROUP BY b),
+        |cap AS (SELECT it.* FROM it JOIN sz USING (b) WHERE sz <= 20),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM cap),
+        |ic AS (SELECT i, count(*) AS c_item FROM cap GROUP BY i),
+        |p AS (SELECT a.i AS ia, b2.i AS ib, count(*) AS c_ab
+        |  FROM cap a JOIN cap b2 USING (b) WHERE a.i < b2.i
+        |  GROUP BY a.i, b2.i HAVING count(*) >= 2)
+        |SELECT p.ia AS item_a, p.ib AS item_b, p.c_ab,
+        |  round(CAST(p.c_ab AS DOUBLE) / nb.n, 6) AS support,
+        |  round(CAST(p.c_ab AS DOUBLE) / ca.c_item, 6) AS confidence,
+        |  round(CAST(p.c_ab * nb.n AS DOUBLE)
+        |    / (ca.c_item * cb.c_item), 4) AS lift
+        |FROM p JOIN ic ca ON ca.i = p.ia JOIN ic cb ON cb.i = p.ib, nb
+        |ORDER BY round(CAST(p.c_ab * nb.n AS DOUBLE)
+        |  / (ca.c_item * cb.c_item), 4) DESC, p.ia, p.ib
+        |LIMIT 25""".stripMargin
   )
 }
