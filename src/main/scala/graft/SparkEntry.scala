@@ -2574,7 +2574,60 @@ object SparkEntry {
           round(col("confidence"), 6).as("confidence"),
           round(col("lift"), 4).as("lift"))
         .orderBy(col("lift").desc, col("item_a"), col("item_b"))
-        .limit(25))
+        .limit(25)),
+
+    // Customer revenue deciles: NTILE over (revenue desc, key) — the
+    // deterministic tie-break makes the bucket boundaries engine-exact
+    // — then per-decile accounting. Window state is one pass at
+    // customer grain.
+    "q165_revenue_deciles" -> ((s, dir) => {
+      val rev = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("revenue"))
+      rev
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("revenue").desc, col("o_custkey"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("revenue")), 2).as("total_revenue"),
+          round(avg(col("revenue")), 2).as("avg_revenue"))
+        .orderBy(col("decile"))
+    }),
+
+    // Triangle census of the rare-trigram co-occurrence graph (q152's
+    // edge rule): closed-wedge double equi-join, wedge count from the
+    // degree table, global clustering coefficient 3T/W. Dup "cliques"
+    // show up as triangle-dense neighborhoods long before pairwise
+    // dedup enumerates them.
+    "q166_triangle_census" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(TF.shinglesOf(toks(col("text")), 3)).as("gram"))
+      val dfq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      val rare = grams.join(dfq.filter(col("df") <= 20), Seq("gram"))
+      val e0 = rare.select(col("doc_id").as("s"), col("gram"))
+        .join(rare.select(col("doc_id").as("d"), col("gram")), Seq("gram"))
+        .filter(col("s") < col("d"))
+        .select(col("s"), col("d")).distinct()
+      graft.operators.Graph.triangleStats(e0, "s", "d")
+    }),
+
+    // Bloom-pruned semi-join: orders of high-balance customers. The
+    // bitmap (built from the build side, broadcast, probed BEFORE the
+    // shuffle) only moves work — the exact semi-join behind it kills
+    // the false positives, so the oracle is the plain semi-join.
+    "q167_bloom_semijoin" -> ((s, dir) => {
+      val rich = T(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey"))
+      graft.operators.SkewJoins.bloomPrunedSemiJoin(
+          T(s, dir, "orders"), "o_custkey", rich, "o_custkey",
+          numBits = 1 << 16)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("month"))
+    })
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -4340,6 +4393,53 @@ object SparkEntry {
         |FROM p JOIN ic ca ON ca.i = p.ia JOIN ic cb ON cb.i = p.ib, nb
         |ORDER BY round(CAST(p.c_ab * nb.n AS DOUBLE)
         |  / (ca.c_item * cb.c_item), 4) DESC, p.ia, p.ib
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+
+    "q165_revenue_deciles" ->
+      """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS revenue
+        |  FROM orders GROUP BY o_custkey),
+        |d AS (SELECT revenue, ntile(10) OVER
+        |    (ORDER BY revenue DESC, o_custkey) AS decile FROM rev)
+        |SELECT decile, count(*) AS n_customers,
+        |  round(sum(revenue), 2) AS total_revenue,
+        |  round(avg(revenue), 2) AS avg_revenue
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // oriented a<b<c closed-wedge join; wedges from the symmetric
+    // degree table
+    "q166_triangle_census" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |gr AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id,
+         |  unnest(CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(0, len(t) - 2),
+         |      i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+         |    ELSE [array_to_string(t, ' ')] END) AS gram FROM tk)),
+         |dfq AS (SELECT gram, count(*) AS df FROM gr GROUP BY gram),
+         |rare AS (SELECT doc_id, gram FROM gr JOIN dfq USING (gram)
+         |  WHERE df <= 20),
+         |e AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+         |  FROM rare a JOIN rare b USING (gram) WHERE a.doc_id < b.doc_id),
+         |tri AS (SELECT count(*) AS n_triangles FROM e ab
+         |  JOIN e bc ON ab.d = bc.s
+         |  JOIN e ac ON ac.s = ab.s AND ac.d = bc.d),
+         |deg AS (SELECT v, count(*) AS deg FROM
+         |  (SELECT s AS v FROM e UNION ALL SELECT d FROM e) GROUP BY v),
+         |w AS (SELECT count(*) AS n_nodes,
+         |  CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         |  CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+         |SELECT w.n_nodes, w.n_edges, tri.n_triangles, w.n_wedges,
+         |  CASE WHEN w.n_wedges > 0 THEN
+         |    round(3.0 * tri.n_triangles / w.n_wedges, 4) END
+         |    AS clustering_coeff
+         |FROM w, tri""".stripMargin,
+
+    // the bloom is exactness-preserving: the oracle is the plain
+    // semi-join
+    "q167_bloom_semijoin" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

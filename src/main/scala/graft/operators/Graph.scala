@@ -83,4 +83,43 @@ object Graph {
     nd.join(ranks, Seq("__pr_id"))
       .select(col("__pr_id").as(idCol), col("deg"), col("pr"))
   }
+
+  /** Triangle census of an UNDIRECTED graph: edges normalize to
+    * `least < greatest` (duplicates and self-loops drop), then the
+    * closed-wedge double equi-join `ab ⋈ bc ⋈ ac` — each oriented
+    * triangle `a < b < c` matches exactly once — plus the wedge count
+    * `Σ deg·(deg−1)/2` from the symmetric degree table, giving the
+    * global clustering coefficient `3T / W`.
+    *
+    * One row out: (n_nodes, n_edges, n_triangles, n_wedges,
+    * clustering_coeff). Orientation here is BY ID (deterministic and
+    * oracle-exact); at billion-edge scale orient by (degree, id)
+    * instead so hub fan-out lands on the low-degree side — same
+    * algebra, one extra degree join. The edge table is scope-cached:
+    * it feeds the pair join twice and the degree aggregate once.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = graft.CacheScope.register(edges
+      .select(least(col(srcCol), col(dstCol)).as("s"),
+        greatest(col(srcCol), col(dstCol)).as("d"))
+      .filter(col("s") < col("d")).distinct().persist())
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.d") === col("bc.s"))
+      .join(e.as("ac"),
+        col("ac.s") === col("ab.s") && col("ac.d") === col("bc.d"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("s").as("v"))
+      .unionAll(e.select(col("d").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedge = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    wedge.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
+          .as("clustering_coeff"))
+  }
 }

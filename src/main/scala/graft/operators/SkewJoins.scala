@@ -42,4 +42,87 @@ object SkewJoins {
         col(probeKey) === col(buildKey) && col("__salt") === col("__bsalt"))
       .drop("__salt", "__bsalt")
   }
+
+  /** Bloom-pruned semi-join — the runtime-filter pattern made explicit:
+    * build a bitmap from the build side's long keys (k splitmix probes
+    * per key, [[graft.operators.Contamination.benchmarkBloom]]'s
+    * device on integers), broadcast it, drop probe rows whose key
+    * cannot be in the build set BEFORE the shuffle, then finish with
+    * the exact semi-join to kill the false positives. The RESULT is
+    * exactly `probe ⋉ build`; the bloom only moves work — at 100 TB
+    * the shuffle writes shrink by the filter's selectivity while the
+    * bitmap stays a config-bounded broadcast (numBits/8 bytes).
+    *
+    * The bitmap probe is a UDF (a bitmap has no Column-combinator
+    * form — the documented exception); the per-row cost is k
+    * cache-resident AND/SHIFTs, and it runs BEFORE the exchange, where
+    * it pays for itself.
+    */
+  /** Build the bitmap from a long-key column: k splitmix probes per
+    * key, OR-merged up a `treeAggregate` (no driver bottleneck beyond
+    * the final numBits/8-byte array).
+    */
+  def buildLongBloom(build: DataFrame, buildKey: String, numBits: Int,
+      kHashes: Int): Array[Long] = {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+      s"numBits $numBits must be a power of two")
+    val bits = numBits
+    val k = kHashes
+    build.select(col(buildKey).cast("long")).na.drop()
+      .rdd.map(_.getLong(0))
+      .treeAggregate(new Array[Long](bits / 64))(
+        seqOp = (bm, key) => {
+          val h = graft.functions.DedupFunctions.splitmix64(key)
+          var j = 0
+          while (j < k) {
+            val pos = (graft.functions.DedupFunctions.splitmix64(h ^ j)
+              & (bits - 1)).toInt
+            bm(pos >>> 6) |= 1L << (pos & 63)
+            j += 1
+          }
+          bm
+        },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+  }
+
+  /** The probe side of [[buildLongBloom]]: rows whose key might be in
+    * the bitmap (false positives possible, false negatives not).
+    */
+  def filterByBloom(probe: DataFrame, probeKey: String,
+      bitmap: Array[Long], numBits: Int, kHashes: Int): DataFrame = {
+    require(bitmap.length == numBits / 64,
+      s"bitmap length ${bitmap.length} != numBits/64 (${numBits / 64})")
+    val bc = probe.sparkSession.sparkContext.broadcast(bitmap)
+    val bits = numBits
+    val k = kHashes
+    val mightContain = udf { key: java.lang.Long =>
+      key != null && {
+        val h = graft.functions.DedupFunctions.splitmix64(key)
+        var j = 0
+        var all = true
+        while (all && j < k) {
+          val pos = (graft.functions.DedupFunctions.splitmix64(h ^ j)
+            & (bits - 1)).toInt
+          all = (bc.value(pos >>> 6) & (1L << (pos & 63))) != 0
+          j += 1
+        }
+        all
+      }
+    }
+    probe.filter(mightContain(col(probeKey).cast("long")))
+  }
+
+  def bloomPrunedSemiJoin(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String, numBits: Int = 1 << 20,
+      kHashes: Int = 4): DataFrame = {
+    val bitmap = buildLongBloom(build, buildKey, numBits, kHashes)
+    filterByBloom(probe, probeKey, bitmap, numBits, kHashes)
+      .join(build.select(col(buildKey)).distinct()
+        .withColumnRenamed(buildKey, probeKey), Seq(probeKey),
+        "left_semi")
+  }
 }

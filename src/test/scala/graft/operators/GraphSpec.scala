@@ -53,4 +53,36 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(nodes, "id", edges, "src", "dst", 5, damping = 1.0))
   }
+
+  test("triangleStats: hand-built graph — K4 plus a pendant edge") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles, 6 edges; pendant 4-5
+    // adds an edge and two wedges at node 4 but no triangle.
+    // Unoriented/duplicate input rows must normalize away.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 4L), (1L, 2L), (3L, 3L) // reversed-only, duplicate, loop
+    ).toDF("a", "b")
+    val r = Graph.triangleStats(edges, "a", "b").head()
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 7L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    // degrees: 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15
+    assert(r.getAs[Long]("n_wedges") === 15L)
+    assert(r.getAs[Double]("clustering_coeff") === 0.8) // 12/15
+  }
+
+  test("triangle-free graph scores zero; empty wedge set yields null") {
+    val s = spark
+    import s.implicits._
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.triangleStats(path, "a", "b").head()
+    assert(r.getAs[Long]("n_triangles") === 0L)
+    assert(r.getAs[Double]("clustering_coeff") === 0.0)
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e = Graph.triangleStats(empty, "a", "b").head()
+    assert(e.getAs[Long]("n_triangles") === 0L)
+    assert(e.isNullAt(e.fieldIndex("clustering_coeff")))
+  }
 }

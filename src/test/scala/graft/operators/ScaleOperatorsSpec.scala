@@ -62,4 +62,30 @@ class ScaleOperatorsSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("bloomPrunedSemiJoin: result == plain semi-join; the bitmap " +
+      "actually prunes before the exact join") {
+    val s = spark
+    import s.implicits._
+    val probe = (0L until 5000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val build = (0L until 5000L by 100L).toDF("k") // 50 keys
+    val got = SkewJoins.bloomPrunedSemiJoin(probe, "k", build, "k",
+        numBits = 1 << 14)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    val want = probe.join(build, Seq("k"), "left_semi")
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // the pre-join filter itself passes few rows: 50 true keys + the
+    // FP tail, far below the 5000 input (fpp at m/n = 327 is tiny)
+    val bitmap = SkewJoins.buildLongBloom(build, "k", 1 << 14, 4)
+    val survivors = SkewJoins.filterByBloom(probe, "k", bitmap,
+      1 << 14, 4).count()
+    assert(survivors >= 50L && survivors < 200L,
+      s"bloom should prune the probe side, passed $survivors of 5000")
+    // no false negatives, ever
+    val trueKeys = build.collect().map(_.getLong(0)).toSet
+    val passed = SkewJoins.filterByBloom(probe, "k", bitmap, 1 << 14, 4)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(trueKeys.subsetOf(passed))
+  }
 }
