@@ -2627,6 +2627,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("month"))
+    }),
+
+    // WordPiece-flavored greedy longest-match encoding: substring
+    // vocabulary trained on doc_id < 250 (full alphabet + top-50
+    // 2-grams + top-25 3-grams on the deterministic (count, piece)
+    // grid), every doc segmented in ONE map-only UDF pass with the
+    // config-bounded vocab in the closure. The md5 replay gates the
+    // exact piece stream; the oracle walks the same greedy jumps via a
+    // recursive CTE.
+    "q168_wordpiece_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val vocab = graft.operators.TokenizerTraining.greedySubstringVocab(
+        docs.filter(col("doc_id") < 250), "text", Seq(2 -> 50, 3 -> 25))
+      graft.operators.TokenizerTraining.greedyEncode(docs, "doc_id",
+          "text", vocab, maxPieceLen = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4440,6 +4456,61 @@ object SparkEntry {
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_custkey IN
         |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // vocab CTEs on the (count desc, piece) grid; the greedy scan is a
+    // precomputed longest-match jump table walked by a recursive CTE
+    // (aggregates forbidden in the recursive term, so best-match is
+    // resolved BEFORE the recursion)
+    "q168_wordpiece_encode" ->
+      s"""WITH trtok AS (SELECT unnest($ToksSql) AS w FROM documents
+         |  WHERE doc_id < 250),
+         |c1 AS (SELECT DISTINCT substring(w, i, 1) AS p FROM
+         |  (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM trtok)),
+         |p2 AS (SELECT substring(w, i, 2) AS p, count(*) AS c FROM
+         |  (SELECT w, unnest(range(1, length(w))) AS i FROM trtok)
+         |  GROUP BY 1 ORDER BY c DESC, p LIMIT 50),
+         |p3 AS (SELECT substring(w, i, 3) AS p, count(*) AS c FROM
+         |  (SELECT w, unnest(range(1, length(w) - 1)) AS i FROM trtok)
+         |  GROUP BY 1 ORDER BY c DESC, p LIMIT 25),
+         |vocab AS (SELECT p FROM c1 UNION SELECT p FROM p2
+         |  UNION SELECT p FROM p3),
+         |tw AS (SELECT doc_id, i AS pos, t[i] AS w FROM
+         |  (SELECT doc_id, $ToksSql AS t FROM documents),
+         |  unnest(range(1, len(t) + 1)) AS u(i)),
+         |wd AS (SELECT DISTINCT w FROM tw),
+         |ps AS (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM wd),
+         |cand AS (SELECT ps.w, ps.p, l FROM ps,
+         |  unnest([3, 2, 1]) AS t(l)
+         |  WHERE ps.p + l - 1 <= length(ps.w)
+         |    AND substring(ps.w, ps.p, l) IN (SELECT p FROM vocab)),
+         |best AS (SELECT w, p, max(l) AS l FROM cand GROUP BY w, p),
+         |jump AS (SELECT ps.w, ps.p, coalesce(best.l, 1) AS step,
+         |  CASE WHEN best.l IS NULL THEN '<unk>'
+         |    ELSE substring(ps.w, ps.p, best.l) END AS piece
+         |  FROM ps LEFT JOIN best ON best.w = ps.w AND best.p = ps.p),
+         |reach AS (WITH RECURSIVE r(w, p) AS (
+         |    SELECT w, CAST(1 AS BIGINT) FROM wd
+         |    UNION
+         |    SELECT r.w, r.p + j.step FROM r
+         |    JOIN jump j ON j.w = r.w AND j.p = r.p
+         |    WHERE r.p + j.step <= length(r.w)
+         |  ) SELECT * FROM r),
+         |wp AS (SELECT j.w, string_agg(j.piece, ' ' ORDER BY j.p) AS pcs,
+         |    count(*) AS np,
+         |    sum(CASE WHEN j.piece = '<unk>' THEN 1 ELSE 0 END) AS nu
+         |  FROM reach r JOIN jump j ON j.w = r.w AND j.p = r.p
+         |  GROUP BY j.w),
+         |dk AS (SELECT tw.doc_id, count(*) AS n_tokens,
+         |    sum(wp.np) AS n_pieces, sum(wp.nu) AS n_unk,
+         |    md5(string_agg(wp.pcs, ' ' ORDER BY tw.pos)) AS pieces_md5
+         |  FROM tw JOIN wp ON wp.w = tw.w GROUP BY tw.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(dk.n_tokens, 0) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(dk.n_pieces, 0) AS INTEGER) AS n_pieces,
+         |  CAST(coalesce(dk.n_unk, 0) AS INTEGER) AS n_unk,
+         |  coalesce(dk.pieces_md5, md5('')) AS pieces_md5
+         |FROM documents d LEFT JOIN dk USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

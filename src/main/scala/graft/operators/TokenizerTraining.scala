@@ -279,4 +279,86 @@ object TokenizerTraining {
       .groupBy(col("token")).agg(min(col("token_id")).as("token_id"))
     base.unionByName(merged)
   }
+
+  /** Marker emitted by [[greedyEncode]] for a character outside the
+    * vocabulary (an unseen-in-training char).
+    */
+  val Unk = "<unk>"
+
+  /** WordPiece-flavored character-substring vocabulary: EVERY distinct
+    * single character of the training tokens (the fallback alphabet),
+    * plus the top-`n` most frequent contiguous substrings per length in
+    * `topPerLen` — ranked on (count desc, piece asc), so the cut is
+    * deterministic. Counting is one map-side explode + one
+    * partial-aggregating shuffle per length; the result — alphabet +
+    * Σ n pieces — is a CONFIG-bounded driver fact (the tokenizer-vocab
+    * contract, same as [[encode]]'s merge table).
+    */
+  def greedySubstringVocab(train: DataFrame, textCol: String,
+      topPerLen: Seq[(Int, Int)],
+      tokensCol: Option[String] = None): Seq[String] = {
+    require(topPerLen.forall { case (l, n) => l >= 2 && n > 0 },
+      s"per-length tops must be (len >= 2, n > 0): $topPerLen")
+    val toks = graft.CacheScope.register(train
+      .select(explode(tokensCol.map(col)
+        .getOrElse(TF.tokens(col(textCol)))).as("w"))
+      .persist())
+    // substring(w, i, l) over i = 1 .. len-l+1
+    def pieces(l: Int): DataFrame = toks
+      .filter(length(col("w")) >= l)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - (l - 1)),
+        i => col("w").substr(i, lit(l)))).as("p"))
+    val chars = pieces(1).distinct()
+      .orderBy(col("p")).collect().map(_.getString(0))
+    val top = topPerLen.flatMap { case (l, n) =>
+      pieces(l).groupBy(col("p")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p")).limit(n)
+        .collect().map(_.getString(0))
+    }
+    (chars ++ top).distinct
+  }
+
+  /** Greedy longest-match segmentation of every token against a
+    * substring vocabulary (the WordPiece/fast-tokenizer ENCODE path):
+    * at each position take the longest vocab piece (≤ `maxPieceLen`)
+    * starting there; a character no piece covers emits [[Unk]] and
+    * advances one. One map-only UDF pass with the vocab set in the
+    * closure — the [[encode]] contract; the greedy scan is O(len ·
+    * maxPieceLen) hash probes per token.
+    *
+    * Output per doc: n_tokens, n_pieces, n_unk, and `pieces_md5` (md5
+    * of the space-joined flat piece stream — the replay hash; vocab
+    * pieces never contain spaces because tokens don't).
+    */
+  def greedyEncode(corpus: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], maxPieceLen: Int,
+      tokensCol: Option[String] = None): DataFrame = {
+    require(maxPieceLen >= 1, s"bad maxPieceLen $maxPieceLen")
+    val vset = vocab.toSet
+    val maxL = maxPieceLen
+    val seg = udf { toks: Seq[String] =>
+      if (toks == null) Seq.empty[String]
+      else toks.flatMap { w =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var p = 0
+        while (p < w.length) {
+          var l = math.min(maxL, w.length - p)
+          while (l > 0 && !vset.contains(w.substring(p, p + l))) l -= 1
+          if (l == 0) { out += Unk; p += 1 }
+          else { out += w.substring(p, p + l); p += l }
+        }
+        out.toSeq
+      }
+    }
+    corpus
+      .withColumn("__gp_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .withColumn("__gp_pieces", seg(col("__gp_toks")))
+      .select(col(idCol),
+        size(col("__gp_toks")).as("n_tokens"),
+        size(col("__gp_pieces")).as("n_pieces"),
+        size(filter(col("__gp_pieces"), _ === Unk)).as("n_unk"),
+        md5(concat_ws(" ", col("__gp_pieces"))).as("pieces_md5"))
+  }
 }

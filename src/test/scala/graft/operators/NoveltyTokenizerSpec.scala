@@ -185,4 +185,44 @@ class NoveltyTokenizerSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(before - after === n.toLong)
   }
+
+  test("greedy encode: longest match wins, unk fallback advances one, " +
+      "pieces tile the word exactly") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("a", "b", "c", "ab", "abc", "bc")
+    val docs = Seq(
+      (1L, "abcab"),   // greedy: abc + ab (longest-first, not ab+ca+b)
+      (2L, "abx"),     // x unseen -> ab + <unk>
+      (3L, "xyz")      // all unk
+    ).toDF("doc_id", "text")
+    val out = TokenizerTraining.greedyEncode(docs, "doc_id", "text",
+        vocab, maxPieceLen = 3)
+      .orderBy(col("doc_id")).collect()
+    // doc1: abc|ab -> 2 pieces, 0 unk
+    assert(out(0).getAs[Int]("n_pieces") === 2)
+    assert(out(0).getAs[Int]("n_unk") === 0)
+    // doc2: ab|<unk> -> 2 pieces, 1 unk
+    assert(out(1).getAs[Int]("n_pieces") === 2)
+    assert(out(1).getAs[Int]("n_unk") === 1)
+    // doc3: three unks
+    assert(out(2).getAs[Int]("n_pieces") === 3)
+    assert(out(2).getAs[Int]("n_unk") === 3)
+    // md5 pins the exact stream: doc1 = "abc ab"
+    assert(out(0).getAs[String]("pieces_md5") ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("abc ab".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+  }
+
+  test("greedy vocab: alphabet complete, tops ranked (count, piece)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aba aba abb")).toDF("doc_id", "text")
+    val v = TokenizerTraining.greedySubstringVocab(docs, "text",
+      Seq(2 -> 2)).toSet
+    // chars a, b always present; 2-gram counts: ab=3, ba=2, bb=1 ->
+    // top-2 = ab, ba
+    assert(v === Set("a", "b", "ab", "ba"))
+  }
 }
