@@ -2643,6 +2643,56 @@ object SparkEntry {
       graft.operators.TokenizerTraining.greedyEncode(docs, "doc_id",
           "text", vocab, maxPieceLen = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // HITS over the buyer→part bipartite graph (5 L2-normalized
+    // rounds): authority parts are "bought by the heavy buyers", hub
+    // customers "buy the authoritative parts". Top-15 per side on the
+    // rounded grid so the cutoff is engine-stable.
+    "q169_hits_bipartite" -> ((s, dir) => {
+      val edges = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"))
+        .join(T(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      val scored = graft.operators.Graph.hits(edges, "src", "dst",
+        iters = 5)
+      val w = Window.partitionBy(col("side"))
+        .orderBy(round(col("score"), 6).desc, col("id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 15)
+        .select(col("side"), col("rn"), col("id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("side"), col("rn"))
+    }),
+
+    // Semi-supervised label propagation: language labels seeded on
+    // doc_id < 100, pushed 2 synchronous rounds over the rare-trigram
+    // co-occurrence graph (majority vote, lexicographic tie-break).
+    // The cheap "label the long tail from a small labeled core" device;
+    // is_correct audits it against the held-back truth.
+    "q170_label_propagation" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(TF.shinglesOf(toks(col("text")), 3)).as("gram"))
+      val dfq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      val rare = grams.join(dfq.filter(col("df") <= 20), Seq("gram"))
+      val e0 = rare.select(col("doc_id").as("s"), col("gram"))
+        .join(rare.select(col("doc_id").as("d"), col("gram")), Seq("gram"))
+        .filter(col("s") < col("d"))
+        .select(col("s"), col("d")).distinct()
+      val seeds = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"))
+      graft.operators.Graph.propagateLabels(seeds, "doc_id", "lang",
+          e0, "s", "d", rounds = 2)
+        .join(docs.select(col("doc_id").as("id"),
+          col("lang").as("true_lang")), Seq("id"))
+        .select(col("id").as("doc_id"), col("label"),
+          col("round_assigned"),
+          (col("label") === col("true_lang")).as("is_correct"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2654,6 +2704,39 @@ object SparkEntry {
   // parenthesization, damping forced through CAST(.. AS DOUBLE) so the
   // literal is the IEEE double the JVM computes with (a bare 0.85 is
   // DECIMAL in DuckDB and (1 - 0.85) would be exactly 0.15).
+  /** Unrolled HITS replay for q169: per round, the raw authority sum,
+    * its L2 norm, the normalized table (MATERIALIZED — the q152 lazy-
+    * CTE lesson), then the same for hubs; top-15 per side on the
+    * rounded grid with an id tie-break.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val rounds = (1 to iters).flatMap { k =>
+      val hPrev = if (k == 1) "h0" else s"h${k - 1}"
+      Seq(
+        s"ar$k AS (SELECT d, sum(h) AS a FROM ed JOIN $hPrev USING (s) " +
+          "GROUP BY d)",
+        s"an$k AS (SELECT sqrt(sum(a * a)) AS n FROM ar$k)",
+        s"a$k AS MATERIALIZED (SELECT d, a / n AS a FROM ar$k, an$k)",
+        s"hr$k AS (SELECT s, sum(a) AS h FROM ed JOIN a$k USING (d) " +
+          "GROUP BY s)",
+        s"hn$k AS (SELECT sqrt(sum(h * h)) AS n FROM hr$k)",
+        s"h$k AS MATERIALIZED (SELECT s, h / n AS h FROM hr$k, hn$k)")
+    }
+    s"""WITH ed AS (SELECT DISTINCT o.o_custkey AS s, l.l_partkey AS d
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT s, 1.0 AS h FROM ed),
+       |${rounds.mkString(",\n")},
+       |allx AS (
+       |  SELECT 'hub' AS side, s AS id, h AS score FROM h$iters
+       |  UNION ALL
+       |  SELECT 'authority', d, a FROM a$iters),
+       |rk AS (SELECT side, id, score, row_number() OVER
+       |  (PARTITION BY side ORDER BY round(score, 6) DESC, id) AS rn
+       |  FROM allx)
+       |SELECT side, rn, id, round(score, 6) AS score FROM rk
+       |WHERE rn <= 15 ORDER BY side, rn""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val d = "CAST(0.85 AS DOUBLE)"
     val rounds = (1 to iters).flatMap { k =>
@@ -4511,6 +4594,44 @@ object SparkEntry {
          |  CAST(coalesce(dk.n_unk, 0) AS INTEGER) AS n_unk,
          |  coalesce(dk.pieces_md5, md5('')) AS pieces_md5
          |FROM documents d LEFT JOIN dk USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q169_hits_bipartite" -> hitsOracle(5),
+
+    // two unrolled synchronous rounds over the symmetric q152-rule
+    // edges; majority with (count desc, label) tie-break
+    "q170_label_propagation" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |gr AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id,
+         |  unnest(CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(0, len(t) - 2),
+         |      i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+         |    ELSE [array_to_string(t, ' ')] END) AS gram FROM tk)),
+         |dfq AS (SELECT gram, count(*) AS df FROM gr GROUP BY gram),
+         |rare AS (SELECT doc_id, gram FROM gr JOIN dfq USING (gram)
+         |  WHERE df <= 20),
+         |e0 AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+         |  FROM rare a JOIN rare b USING (gram) WHERE a.doc_id < b.doc_id),
+         |ed AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+         |lab0 AS (SELECT doc_id AS id, lang AS label, 0 AS r
+         |  FROM documents WHERE doc_id < 100),
+         |v1 AS (SELECT e.d AS id, l.label, count(*) AS c FROM ed e
+         |  JOIN lab0 l ON l.id = e.s
+         |  WHERE e.d NOT IN (SELECT id FROM lab0) GROUP BY e.d, l.label),
+         |n1 AS (SELECT id, label, 1 AS r FROM (SELECT id, label,
+         |  row_number() OVER (PARTITION BY id ORDER BY c DESC, label)
+         |    AS rn FROM v1) WHERE rn = 1),
+         |lab1 AS (SELECT * FROM lab0 UNION ALL SELECT * FROM n1),
+         |v2 AS (SELECT e.d AS id, l.label, count(*) AS c FROM ed e
+         |  JOIN lab1 l ON l.id = e.s
+         |  WHERE e.d NOT IN (SELECT id FROM lab1) GROUP BY e.d, l.label),
+         |n2 AS (SELECT id, label, 2 AS r FROM (SELECT id, label,
+         |  row_number() OVER (PARTITION BY id ORDER BY c DESC, label)
+         |    AS rn FROM v2) WHERE rn = 1),
+         |lab2 AS (SELECT * FROM lab1 UNION ALL SELECT * FROM n2)
+         |SELECT l.id AS doc_id, l.label, l.r AS round_assigned,
+         |  l.label = d.lang AS is_correct
+         |FROM lab2 l JOIN documents d ON d.doc_id = l.id
+         |ORDER BY doc_id""".stripMargin
   )
 }

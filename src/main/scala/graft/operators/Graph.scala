@@ -122,4 +122,96 @@ object Graph {
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
           .as("clustering_coeff"))
   }
+
+  /** HITS (Kleinberg) hubs and authorities over a DIRECTED edge list,
+    * fixed iteration count, L2-normalized each round:
+    * `a(v) = Σ_{u→v} h(u)` then `a ← a/‖a‖₂`, `h(u) = Σ_{u→v} a(v)`
+    * then `h ← h/‖h‖₂`, from all-ones. On a bipartite src→dst graph
+    * (buyers→products, docs→entities) the hub side scores "points at
+    * the important things" and the authority side "pointed at by the
+    * important pointers".
+    *
+    * Shape per round: two equi-joins on the cached edge table + two
+    * partial-aggregating sums; the two norms are 1-double driver facts
+    * (the k-means-centroid contract). Ranks are EAGERLY
+    * local-checkpointed per round — the same lineage-truncation
+    * requirement [[pageRank]] documents.
+    *
+    * Returns (id, side, score) for every node, side ∈ {hub,
+    * authority}; nodes missing from a side score 0 there and are
+    * omitted.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters $iters must be positive")
+    val e = graft.CacheScope.register(edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .distinct().persist())
+    val spark = edges.sparkSession
+    var h = e.select(col("s")).distinct()
+      .withColumn("h", lit(1.0))
+    var a = e.select(col("d")).distinct()
+      .withColumn("a", lit(1.0))
+    for (_ <- 0 until iters) {
+      val aRaw = e.join(h, Seq("s"))
+        .groupBy(col("d")).agg(sum(col("h")).as("a"))
+      val aNorm = math.sqrt(
+        aRaw.agg(sum(col("a") * col("a"))).head().getDouble(0))
+      a = aRaw.select(col("d"), (col("a") / aNorm).as("a"))
+        .localCheckpoint(true)
+      val hRaw = e.join(a, Seq("d"))
+        .groupBy(col("s")).agg(sum(col("a")).as("h"))
+      val hNorm = math.sqrt(
+        hRaw.agg(sum(col("h") * col("h"))).head().getDouble(0))
+      h = hRaw.select(col("s"), (col("h") / hNorm).as("h"))
+        .localCheckpoint(true)
+    }
+    h.select(col("s").as("id"), lit("hub").as("side"),
+        col("h").as("score"))
+      .unionByName(a.select(col("d").as("id"),
+        lit("authority").as("side"), col("a").as("score")))
+  }
+
+  /** Synchronous semi-supervised label propagation over an UNDIRECTED
+    * graph: each round, every still-unlabeled node adjacent to at
+    * least one labeled node takes the MAJORITY label among its labeled
+    * neighbors (ties break to the lexicographically smallest label —
+    * deterministic, engine-exact). Seeds keep their labels forever;
+    * `round_assigned` records when each node was labeled (0 = seed).
+    *
+    * Shape per round: one equi-join of the symmetric edge table
+    * against the labeled frontier, one anti-join to restrict to
+    * unlabeled targets, one (node, label) count + one per-node window
+    * at candidate grain. The labeled table is localCheckpointed per
+    * round (it feeds two joins next round — the [[pageRank]] lineage
+    * rule).
+    */
+  def propagateLabels(seeds: DataFrame, idCol: String, labelCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be positive")
+    val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val sym = graft.CacheScope.register(
+      e0.unionByName(e0.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d")).distinct().persist())
+    var labeled = seeds
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        lit(0).as("round_assigned"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val byNode = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("c").desc, col("label"))
+      val fresh = sym
+        .join(labeled.select(col("id").as("s"), col("label")), Seq("s"))
+        .join(labeled.select(col("id").as("d")), Seq("d"), "left_anti")
+        .groupBy(col("d").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label"), lit(r).as("round_assigned"))
+      labeled = labeled.unionByName(fresh).localCheckpoint(true)
+    }
+    labeled
+  }
 }

@@ -73,6 +73,55 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Double]("clustering_coeff") === 0.8) // 12/15
   }
 
+  test("hits: the shared target dominates authority, the busy source " +
+      "dominates hubs, and both sides are unit-normalized") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), // everyone points at 10
+      (1L, 11L)                        // 1 also points at 11
+    ).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 5)
+      .collect().map(r => (r.getAs[String]("side"), r.getAs[Long]("id"))
+        -> r.getAs[Double]("score")).toMap
+    val auth = out.filter(_._1._1 == "authority")
+    val hubs = out.filter(_._1._1 == "hub")
+    assert(auth.maxBy(_._2)._1._2 === 10L)
+    assert(hubs.maxBy(_._2)._1._2 === 1L)
+    // L2 norms are 1 after the final normalization
+    assert(math.abs(auth.values.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(math.abs(hubs.values.map(x => x * x).sum - 1.0) < 1e-9)
+    // hubs 2 and 3 are symmetric
+    assert(math.abs(hubs(("hub", 2L)) - hubs(("hub", 3L))) < 1e-12)
+  }
+
+  test("propagateLabels: majority vote, lexicographic tie-break, " +
+      "rounds tracked, seeds immutable, unreachable stay unlabeled") {
+    val s = spark
+    import s.implicits._
+    // seeds: 1=en, 2=en, 3=fr. node 4 touches all three -> majority en.
+    // node 5 touches 2(en) and 3(fr) -> tie -> 'en' (lexicographic).
+    // node 6 only reaches the seeds through 5 -> round 2.
+    // node 7 is isolated. seed 1 also neighbors seed 3 -> unchanged.
+    val edges = Seq(
+      (1L, 4L), (2L, 4L), (3L, 4L),
+      (2L, 5L), (3L, 5L),
+      (5L, 6L),
+      (1L, 3L)
+    ).toDF("a", "b")
+    val seeds = Seq((1L, "en"), (2L, "en"), (3L, "fr"))
+      .toDF("id", "lang")
+    val out = Graph.propagateLabels(seeds, "id", "lang", edges, "a", "b",
+        rounds = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("label"), r.getAs[Int]("round_assigned"))).toMap
+    assert(out(1L) === (("en", 0)) && out(3L) === (("fr", 0)))
+    assert(out(4L) === (("en", 1)))
+    assert(out(5L) === (("en", 1)), "tie must break lexicographically")
+    assert(out(6L) === (("en", 2)), "second hop labels in round 2")
+    assert(!out.contains(7L))
+  }
+
   test("triangle-free graph scores zero; empty wedge set yields null") {
     val s = spark
     import s.implicits._
