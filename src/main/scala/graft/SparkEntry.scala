@@ -2693,7 +2693,17 @@ object SparkEntry {
           col("round_assigned"),
           (col("label") === col("true_lang")).as("is_correct"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Maximal Marginal Relevance: 10 diverse exemplars near vector 0,
+    // λ = 0.7 — greedy argmax of λ·rel − (1−λ)·max-sim-to-picked on
+    // the rounded 1e-6 grid (id tie-break), so the DISCRETE selection
+    // trajectory replays engine-exactly. k map-only passes over the
+    // cached candidates, selected set in the closure.
+    "q171_mmr_selection" -> ((s, dir) =>
+      graft.operators.Similarity.mmrSelect(
+        T(s, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", queryId = 0L, k = 10, lambda = 0.7))
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -2735,6 +2745,47 @@ object SparkEntry {
        |  FROM allx)
        |SELECT side, rn, id, round(score, 6) AS score FROM rk
        |WHERE rn <= 15 ORDER BY side, rn""".stripMargin
+  }
+
+  /** Unrolled MMR replay for q171: round 1 picks max λ·rel; each later
+    * round computes max-sim-to-selected per surviving candidate (plain
+    * aggregate — unrolled, so no recursion restrictions), then argmax
+    * of the rounded objective with the id tie-break. `1 − λ` is
+    * interpolated from the same Scala double the operator subtracts
+    * with, and λ is CAST to DOUBLE (a bare literal is DECIMAL — the
+    * pageRank lesson).
+    */
+  private def mmrOracle(k: Int, lambda: Double, capId: Long): String = {
+    val l = s"CAST($lambda AS DOUBLE)"
+    val oml = s"CAST(${1 - lambda} AS DOUBLE)"
+    val rounds = (2 to k).flatMap { r =>
+      val prev = s"sel${r - 1}"
+      Seq(
+        s"m$r AS (SELECT c.vec_id, " +
+          "max(list_cosine_similarity(c.v, s.v)) AS ms " +
+          s"FROM cand c, $prev s WHERE c.vec_id NOT IN " +
+          s"(SELECT vec_id FROM $prev) GROUP BY c.vec_id)",
+        s"s$r AS MATERIALIZED (SELECT c.vec_id, c.v, c.rel, " +
+          s"round($l * c.rel - $oml * m.ms, 6) AS obj, $r AS rank " +
+          s"FROM m$r m JOIN cand c USING (vec_id) " +
+          "ORDER BY obj DESC, c.vec_id LIMIT 1)",
+        s"sel$r AS (SELECT vec_id, v FROM $prev " +
+          s"UNION ALL SELECT vec_id, v FROM s$r)")
+    }
+    val unionAll = (1 to k).map(r => s"SELECT rank, vec_id, rel, obj FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS rel
+       |  FROM embeddings, q WHERE vec_id <> 0 AND vec_id < $capId),
+       |s1 AS MATERIALIZED (SELECT vec_id, v, rel,
+       |  round($l * rel, 6) AS obj, 1 AS rank FROM cand
+       |  ORDER BY round($l * rel, 6) DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id, v FROM s1),
+       |${rounds.mkString(",\n")}
+       |SELECT rank, vec_id, round(rel, 4) AS relevance, obj AS mmr_score
+       |FROM ($unionAll) ORDER BY rank""".stripMargin
   }
 
   private def pageRankOracle(iters: Int): String = {
@@ -4632,6 +4683,8 @@ object SparkEntry {
          |SELECT l.id AS doc_id, l.label, l.r AS round_assigned,
          |  l.label = d.lang AS is_correct
          |FROM lab2 l JOIN documents d ON d.doc_id = l.id
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q171_mmr_selection" -> mmrOracle(10, 0.7, 300L)
   )
 }

@@ -805,4 +805,69 @@ object Similarity {
       .select(col("x"), col("y").as("best_match"),
         round(col("cos"), 4).as("cos"), col("margin"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein): k
+    * vectors greedily maximizing
+    * `λ·cos(x, query) − (1−λ)·max_{s∈S} cos(x, s)` — the diverse-
+    * exemplar picker (prompt few-shots, eval-set curation, dedup
+    * canary selection) that trades query relevance against redundancy
+    * with what is already picked.
+    *
+    * The greedy argmax is taken on the ROUNDED 1e-6 objective with an
+    * id tie-break (the k-means deterministic-grid convention), so the
+    * discrete selection trajectory is engine-replayable. Each of the k
+    * rounds is one map-only pass over the cached candidate frame (the
+    * selected set rides in the UDF closure — k·dim doubles, a bounded
+    * driver fact) + a TakeOrdered(1); nothing quadratic in the
+    * candidate count ever materializes.
+    */
+  def mmrSelect(vectors: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1,
+      s"bad MMR parameters k=$k lambda=$lambda")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0) 0.0 else d / n
+    }
+    val qRows = vectors.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(qRows.nonEmpty, s"query id $queryId not found")
+    val q = qRows.head.getSeq[Double](0).toArray
+    val relUdf = udf { v: Seq[Double] => cos(v.toArray, q) }
+    val cand = graft.CacheScope.register(vectors
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("__mm_v"))
+      .withColumn("__mm_rel", relUdf(col("__mm_v")))
+      .persist())
+    val oneMinus = 1 - lambda
+    var selected = Vector.empty[(Long, Array[Double], Double, Double)]
+    for (r <- 1 to k) {
+      val sel = selected.map(_._2)
+      val pickedIds = selected.map(_._1).toSet
+      val objUdf = udf { (v: Seq[Double], rel: Double) =>
+        val x = v.toArray
+        val ms = if (sel.isEmpty) 0.0 else sel.map(s => cos(x, s)).max
+        BigDecimal(lambda * rel - oneMinus * ms)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val pick = cand.filter(!col("vec_id").isin(pickedIds.toSeq: _*))
+        .withColumn("__mm_obj", objUdf(col("__mm_v"), col("__mm_rel")))
+        .orderBy(col("__mm_obj").desc, col("vec_id"))
+        .limit(1).collect().head
+      selected :+= ((pick.getAs[Long]("vec_id"),
+        pick.getAs[Seq[Double]]("__mm_v").toArray,
+        pick.getAs[Double]("__mm_rel"), pick.getAs[Double]("__mm_obj")))
+    }
+    selected.zipWithIndex.map { case ((id, _, rel, obj), i) =>
+      (i + 1, id, BigDecimal(rel).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, obj)
+    }.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }

@@ -379,4 +379,30 @@ class SimilaritySpec extends SparkSpec {
       assert(best.size === 30)
     }
   }
+
+  test("mmrSelect: relevance wins round 1, redundancy is penalized " +
+      "after — the near-duplicate of the first pick loses to the " +
+      "orthogonal candidate") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),     // query
+      (1L, Array(0.9f, 0.1f)),     // most relevant
+      (2L, Array(1.8f, 0.2f)),     // exact scaled copy of 1 (cos = 1)
+      (3L, Array(0.0f, 1.0f))      // orthogonal, rel 0
+    ).toDF("vec_id", "embedding")
+    // rel ties between 1 and 2 (same direction) -> id tie-break picks 1;
+    // at λ = 0.2 the duplicate's full penalty (cos = 1) outweighs its
+    // relevance edge over the orthogonal candidate
+    val out = Similarity.mmrSelect(vecs, "vec_id", "embedding",
+        queryId = 0L, k = 3, lambda = 0.2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
+    assert(out.toSeq === Seq((1, 1L), (2, 3L), (3, 2L)))
+    // determinism: a rerun yields the identical trajectory
+    val again = Similarity.mmrSelect(vecs, "vec_id", "embedding", 0L, 3,
+        0.2).orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
+    assert(again.toSeq === out.toSeq)
+  }
 }
