@@ -2703,7 +2703,32 @@ object SparkEntry {
     "q171_mmr_selection" -> ((s, dir) =>
       graft.operators.Similarity.mmrSelect(
         T(s, dir, "embeddings").filter(col("vec_id") < 300),
-        "vec_id", "embedding", queryId = 0L, k = 10, lambda = 0.7))
+        "vec_id", "embedding", queryId = 0L, k = 10, lambda = 0.7)),
+
+    // Quantile normalization of per-source length distributions onto
+    // the pooled distribution — integer-exact nearest-rank-floor
+    // mapping (pooled rank via distributed sort + zipWithIndex, never
+    // a global window).
+    "q172_quantile_normalize" -> ((s, dir) =>
+      graft.operators.Normalize.quantileNormalize(
+          T(s, dir, "documents"), "source", "doc_id", "n_chars")
+        .orderBy(col("doc_id"))),
+
+    // Chi-square distinctive terms: the 5 most over-represented tokens
+    // per source vs the rest of the corpus — exact integer contingency
+    // counts, one fixed double expression tree for the statistic.
+    "q173_distinctive_terms" -> ((s, dir) =>
+      graft.operators.Keywords.distinctiveTerms(
+          T(s, dir, "documents"), "source", "text", topK = 5)
+        .orderBy(col("source"), col("rn"))),
+
+    // Burstiness: per-user variance-to-mean ratio of hourly activity
+    // over the stream's global hour span — integer sums, two mirrored
+    // divisions.
+    "q174_burstiness" -> ((s, dir) =>
+      graft.operators.Robust.dispersionProfile(events(s, dir),
+          "user_id", "ts")
+        .orderBy(col("user_id")))
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -4685,6 +4710,69 @@ object SparkEntry {
          |FROM lab2 l JOIN documents d ON d.doc_id = l.id
          |ORDER BY doc_id""".stripMargin,
 
-    "q171_mmr_selection" -> mmrOracle(10, 0.7, 300L)
+    "q171_mmr_selection" -> mmrOracle(10, 0.7, 300L),
+
+    // integer-exact nearest-rank-floor mapping; `//` IS the div
+    "q172_quantile_normalize" ->
+      """WITH base AS (SELECT source, doc_id, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |pool AS (SELECT n_chars AS pv, row_number() OVER
+        |  (ORDER BY n_chars, doc_id) - 1 AS idx FROM base),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |rk AS (SELECT source, doc_id, n_chars, row_number() OVER
+        |    (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+        |  count(*) OVER (PARTITION BY source) AS ng FROM base)
+        |SELECT rk.source, rk.doc_id, rk.n_chars, pool.pv AS normalized
+        |FROM rk, nn
+        |JOIN pool ON pool.idx = CASE WHEN rk.ng > 1
+        |  THEN ((rk.r - 1) * (nn.n - 1)) // (rk.ng - 1) ELSE 0 END
+        |ORDER BY rk.doc_id""".stripMargin,
+
+    // 2x2 contingency chi-square, over-represented terms only; the
+    // statistic is one fixed double tree on exact integer counts
+    "q173_distinctive_terms" ->
+      s"""WITH rws AS (SELECT source, unnest($ToksSql) AS token
+         |  FROM documents),
+         |gt AS (SELECT source, token, count(*) AS a FROM rws
+         |  GROUP BY source, token),
+         |ctb AS (SELECT token, sum(a) AS ct FROM gt GROUP BY token),
+         |tgb AS (SELECT source, sum(a) AS tg FROM gt GROUP BY source),
+         |nn AS (SELECT sum(a) AS n FROM gt),
+         |x AS (SELECT g.source, g.token, g.a,
+         |  CAST(g.a AS DOUBLE) AS da, CAST(c.ct - g.a AS DOUBLE) AS db,
+         |  CAST(t.tg - g.a AS DOUBLE) AS dc,
+         |  CAST(nn.n - t.tg - (c.ct - g.a) AS DOUBLE) AS dd,
+         |  CAST(nn.n AS DOUBLE) AS dn
+         |  FROM gt g JOIN ctb c USING (token) JOIN tgb t USING (source),
+         |  nn),
+         |s AS (SELECT source, token, a,
+         |  CASE WHEN (da + db) * (dc + dd) * (da + dc) * (db + dd) <> 0
+         |    THEN round(dn * (da * dd - db * dc) * (da * dd - db * dc)
+         |      / ((da + db) * (dc + dd) * (da + dc) * (db + dd)), 4)
+         |  END AS chi2,
+         |  da * dd > db * dc AS pos FROM x),
+         |r AS (SELECT source, token, a, chi2, row_number() OVER
+         |  (PARTITION BY source ORDER BY chi2 DESC, token) AS rn
+         |  FROM s WHERE chi2 IS NOT NULL AND pos)
+         |SELECT source, rn, token, a AS count, chi2 FROM r
+         |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+
+    // hourly buckets on the exact integer grid; zero hours enter
+    // through the span denominator only
+    "q174_burstiness" ->
+      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour
+        |  FROM events),
+        |sp AS (SELECT max(hour) - min(hour) + 1 AS hh FROM h),
+        |c AS (SELECT user_id, hour, count(*) AS c FROM h
+        |  GROUP BY user_id, hour),
+        |g AS (SELECT user_id, sum(c) AS n_events,
+        |  count(*) AS active_hours, sum(c * c) AS ss FROM c
+        |  GROUP BY user_id)
+        |SELECT user_id, n_events, active_hours,
+        |  round((CAST(ss AS DOUBLE) / sp.hh
+        |    - (CAST(n_events AS DOUBLE) / sp.hh)
+        |      * (CAST(n_events AS DOUBLE) / sp.hh))
+        |    / (CAST(n_events AS DOUBLE) / sp.hh), 4) AS dispersion
+        |FROM g, sp ORDER BY user_id""".stripMargin
   )
 }

@@ -348,4 +348,54 @@ object Keywords {
       .withColumn("__kw_toks",
         tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
       .select(col(idCol), explode(col("__kw_toks")).as("token"))
+
+  /** Chi-square distinctive terms per group — "which words mark THIS
+    * source/slice against the rest": the 2×2 contingency
+    * `χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))` over occurrence
+    * counts (a = token in group, b = token elsewhere, c/d = the
+    * complements). All counts are exact integers; the χ² is ONE fixed
+    * double expression tree, so both engines evaluate the identical
+    * IEEE sequence even where the squared product exceeds 2⁵³.
+    *
+    * Shape: one (group, token) count shuffle, one token-total and one
+    * group-total partial aggregate joined back UN-hinted (token totals
+    * are corpus-vocabulary cardinality — the [[tfIdfTopTerms]] rule),
+    * and a top-k window per group on the (rounded χ², token) grid.
+    */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 5, tokensCol: Option[String] = None): DataFrame = {
+    require(topK >= 1, s"bad topK $topK")
+    val rows = docs
+      .withColumn("__kw_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(groupCol), explode(col("__kw_toks")).as("token"))
+    val gt = graft.CacheScope.register(rows
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("a")).persist())
+    val tokTot = gt.groupBy(col("token")).agg(sum(col("a")).as("ct"))
+    val grpTot = gt.groupBy(col(groupCol)).agg(sum(col("a")).as("tg"))
+    val nTotal = gt.agg(sum(col("a"))).head().getLong(0)
+    val a = col("a").cast("double")
+    val b = (col("ct") - col("a")).cast("double")
+    val c = (col("tg") - col("a")).cast("double")
+    val d = (lit(nTotal) - col("tg") - (col("ct") - col("a")))
+      .cast("double")
+    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    val chi2 = lit(nTotal.toDouble) * (a * d - b * c) * (a * d - b * c) /
+      den
+    val scored = gt
+      .join(tokTot, Seq("token"))
+      .join(grpTot, Seq(groupCol))
+      .withColumn("chi2", when(den =!= 0.0, round(chi2, 4)))
+      // signed: only OVER-represented terms characterize the group
+      .filter(col("chi2").isNotNull && a * d > b * c)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("chi2").desc, col("token"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col(groupCol), col("rn"), col("token"), col("a").as("count"),
+        col("chi2"))
+  }
 }

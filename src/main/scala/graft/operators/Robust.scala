@@ -67,4 +67,43 @@ object Robust {
         round(max(col("mad")), 4).as("mad"),
         sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
         round(max(abs(col("mod_z"))), 4).as("max_abs_z"))
+
+  /** Burstiness profile: the per-group index of dispersion
+    * (variance-to-mean ratio) of hourly event counts over the stream's
+    * GLOBAL hour span — Poisson-uniform activity scores ≈ 1, bursty
+    * scores ≫ 1, metronomic < 1. Zero hours count (the span is the
+    * denominator), but never materialize: with `Σc` and `Σc²` over the
+    * ACTIVE hours only, `mean = Σc/H` and
+    * `var = Σc²/H − mean²` are exact over the full span. All sums are
+    * integers; the two divisions are the only float ops, mirrored
+    * verbatim in the oracle.
+    *
+    * Shape: one (group, hour) partial count, one group-grain
+    * aggregate, one broadcast 1-row span fact.
+    */
+  def dispersionProfile(df: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val hourUs = 3600000000L
+    val us = unix_micros(col(tsCol))
+    val hour = ((us - pmod(us, lit(hourUs))) / lit(hourUs)).cast("long")
+    val span = df.agg(
+      (max(hour) - min(hour) + 1).as("__dp_h"))
+    val counts = df
+      .withColumn("__dp_hour", hour)
+      .groupBy(col(groupCol), col("__dp_hour"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("active_hours"),
+        sum(col("c") * col("c")).as("__dp_ss"))
+      .crossJoin(broadcast(span))
+      .withColumn("__dp_mean",
+        col("n_events").cast("double") / col("__dp_h"))
+      .withColumn("dispersion",
+        round((col("__dp_ss").cast("double") / col("__dp_h") -
+          col("__dp_mean") * col("__dp_mean")) / col("__dp_mean"), 4))
+      .select(col(groupCol), col("n_events"), col("active_hours"),
+        col("dispersion"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class NormalizeDispersionSpec extends SparkSpec {
+
+  test("quantileNormalize: both sources map onto the pooled scale, " +
+      "order-preserving, endpoints exact, singleton degenerates to min") {
+    val s = spark
+    import s.implicits._
+    // source a scores 1..4, source b scores 100..400 (same shape,
+    // different scale); pooled sorted = 1,2,3,4,100,200,300,400 (n=8)
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("b", 5L, 100L), ("b", 6L, 200L), ("b", 7L, 300L), ("b", 8L, 400L),
+      ("c", 9L, 250L) // singleton source
+    ).toDF("source", "doc_id", "v")
+    val out = Normalize.quantileNormalize(df, "source", "doc_id", "v")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("normalized")).toMap
+    // pooled n=9: sorted = 1,2,3,4,100,200,250,300,400
+    // a (ng=4): idx = (r-1)*8/3 -> 0,2,5,8 -> 1,3,200,400
+    assert(out(1L) === 1L && out(2L) === 3L)
+    assert(out(3L) === 200L && out(4L) === 400L)
+    // b (ng=4): same idx trajectory -> the SAME normalized values:
+    // that is the point of quantile normalization
+    assert(out(5L) === 1L && out(6L) === 3L)
+    assert(out(7L) === 200L && out(8L) === 400L)
+    // singleton -> pooled min
+    assert(out(9L) === 1L)
+  }
+
+  test("distinctiveTerms: a source-exclusive token tops its source " +
+      "and only over-represented terms appear") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "zebra zebra zebra common common"),
+      ("a", "zebra common"),
+      ("b", "common common common yak common"),
+      ("b", "yak common common")
+    ).toDF("source", "text")
+    val out = Keywords.distinctiveTerms(df, "source", "text", topK = 2)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Int]("rn"))
+        -> (r.getAs[String]("token"), r.getAs[Long]("count"))).toMap
+    assert(out(("a", 1))._1 === "zebra")
+    assert(out(("a", 1))._2 === 4L)
+    assert(out(("b", 1))._1 === "yak")
+    // 'common' is UNDER-represented in a (3 of 7 vs 7 of 7 in b), so
+    // it must not appear among a's distinctive terms
+    assert(!out.exists { case ((src, _), (tok, _)) =>
+      src == "a" && tok == "common" })
+  }
+
+  test("dispersionProfile: a one-hour burst scores c(H-1)/H, a " +
+      "metronome scores 0") {
+    val s = spark
+    import s.implicits._
+    def ts(h: Int, m: Int) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // span: hours 0..3 (H=4). burst: 8 events in hour 0.
+    // metronome: 1 event in each hour 0..3.
+    val rows =
+      (0 until 8).map(i => (1L, ts(0, i))) ++
+        (0 until 4).map(h => (2L, ts(h, 30)))
+    val df = rows.toDF("user_id", "ts")
+    val out = Robust.dispersionProfile(df, "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("active_hours"),
+          r.getAs[Double]("dispersion"))).toMap
+    // burst: mean 2, var = 64/4 - 4 = 12, disp = 6 = 8*(4-1)/4
+    assert(out(1L) === ((8L, 1L, 6.0)))
+    // metronome: mean 1, var = 4/4 - 1 = 0
+    assert(out(2L) === ((4L, 4L, 0.0)))
+  }
+}
