@@ -2728,7 +2728,48 @@ object SparkEntry {
     "q174_burstiness" -> ((s, dir) =>
       graft.operators.Robust.dispersionProfile(events(s, dir),
           "user_id", "ts")
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // Behavioral trigrams: the 20 most common 3-event sequences across
+    // user streams — one user-key window (both leads share it), one
+    // count, one top-k heap.
+    "q175_event_paths" -> ((s, dir) =>
+      graft.operators.Funnel.topEventPaths(events(s, dir), "user_id",
+        "event_type", "ts", "event_id", n = 3, k = 20)),
+
+    // Time-to-convert octave histogram for view→click→purchase
+    // completers (24 h horizon): exact integer minutes, the
+    // no-doubles logBucket device.
+    "q176_conversion_latency" -> ((s, dir) =>
+      graft.operators.Funnel.conversionLatency(events(s, dir),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), horizon = "24 hours")
+        .orderBy(col("bucket"))),
+
+    // Rate anomalies: hourly error-count z-score against the trailing
+    // 24 one-hour buckets (mean/var from exact integer sums over the
+    // SAME window frame in both engines); |z| >= 3 flags. The
+    // streaming-ops monitor in batch form.
+    "q177_rate_anomalies" -> ((s, dir) => {
+      val hourly = events(s, dir).filter(col("event_type") === "error")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("window.start").as("hour_start"), col("c"))
+      val w = Window.orderBy(col("hour_start")).rowsBetween(-24, -1)
+      hourly
+        .withColumn("mu", avg(col("c")).over(w))
+        .withColumn("ex2", avg(col("c") * col("c")).over(w))
+        .withColumn("nprev", count(col("c")).over(w))
+        .filter(col("nprev") === 24)
+        .withColumn("sd",
+          sqrt(col("ex2") - col("mu") * col("mu")))
+        .withColumn("z", when(col("sd") > 0,
+          round((col("c") - col("mu")) / col("sd"), 4)))
+        .filter(abs(col("z")) >= 2.5)
+        .select(col("hour_start"), col("c"),
+          round(col("mu"), 4).as("mu"), col("z"))
+        .orderBy(col("hour_start"))
+    })
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -4773,6 +4814,54 @@ object SparkEntry {
         |    - (CAST(n_events AS DOUBLE) / sp.hh)
         |      * (CAST(n_events AS DOUBLE) / sp.hh))
         |    / (CAST(n_events AS DOUBLE) / sp.hh), 4) AS dispersion
-        |FROM g, sp ORDER BY user_id""".stripMargin
+        |FROM g, sp ORDER BY user_id""".stripMargin,
+
+    "q175_event_paths" ->
+      """WITH p AS (SELECT event_type || ' > '
+        |    || lead(event_type, 1) OVER w || ' > '
+        |    || lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS l2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, count(*) AS n_paths FROM p WHERE l2 IS NOT NULL
+        |GROUP BY path ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
+
+    "q176_conversion_latency" -> {
+      val pows = (0 until 24).map(1L << _).mkString("[", ", ", "]")
+      s"""WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |u2 AS (SELECT e.user_id, any_value(u1.t1) AS anchor,
+         |    min(e.ts) AS t2
+         |  FROM events e JOIN u1 ON u1.user_id = e.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+         |    AND e.ts <= u1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+         |u3 AS (SELECT e.user_id, any_value(u2.anchor) AS anchor,
+         |    min(e.ts) AS t3
+         |  FROM events e JOIN u2 ON u2.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+         |    AND e.ts <= u2.anchor + INTERVAL 24 HOUR GROUP BY e.user_id),
+         |m AS (SELECT user_id, greatest(
+         |    (epoch_us(t3) - epoch_us(anchor)) // 60000000, 1) AS mins
+         |  FROM u3),
+         |b AS (SELECT len(list_filter($pows, q -> q <= mins)) AS bucket,
+         |  mins FROM m)
+         |SELECT bucket, count(*) AS n_users, min(mins) AS min_minutes,
+         |  max(mins) AS max_minutes
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "q177_rate_anomalies" ->
+      """WITH hourly AS (SELECT make_timestamp(epoch_us(ts)
+        |    - epoch_us(ts) % 3600000000) AS hour_start, count(*) AS c
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |w AS (SELECT hour_start, c, avg(c) OVER win AS mu,
+        |    avg(c * c) OVER win AS ex2, count(c) OVER win AS nprev
+        |  FROM hourly WINDOW win AS (ORDER BY hour_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_start, c, round(mu, 4) AS mu,
+        |  round((c - mu) / sqrt(ex2 - mu * mu), 4) AS z
+        |FROM w WHERE nprev = 24 AND sqrt(ex2 - mu * mu) > 0
+        |  AND abs(round((c - mu) / sqrt(ex2 - mu * mu), 4)) >= 2.5
+        |ORDER BY hour_start""".stripMargin
   )
 }

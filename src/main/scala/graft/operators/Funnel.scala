@@ -121,4 +121,54 @@ object Funnel {
         col("cohort_size"),
         round(col("n_active") / col("cohort_size"), 4).as("retention"))
   }
+
+  /** Top event paths: the most common length-`n` consecutive
+    * event-type sequences per user stream (ordered by ts with a seq
+    * tie-break) — "what do people actually do", the behavioral n-gram.
+    * One user-key window pass (n−1 leads share the partitioning), one
+    * partial-aggregating count, one global top-k heap.
+    */
+  def topEventPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, seqCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2 && k >= 1, s"bad path parameters n=$n k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(seqCol))
+    val steps = (0 until n).map {
+      case 0 => col(typeCol)
+      case i => lead(col(typeCol), i).over(w)
+    }
+    events
+      .withColumn("path", concat_ws(" > ", steps: _*))
+      .withColumn("__fp_last", steps.last)
+      .filter(col("__fp_last").isNotNull)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Time-to-convert distribution for funnel completers: octave
+    * histogram of (last-step time − anchor) in exact integer MINUTES
+    * (pmod-device division, clamped ≥ 1), bucketed by
+    * [[Sketches.logBucket]] — the no-doubles bit-length device, so the
+    * histogram replays engine-exactly. One row per occupied bucket
+    * with the completer count and the bucket's observed min/max.
+    */
+  def conversionLatency(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      horizon: String): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps,
+      horizon)
+    val last = col(s"t${steps.length}")
+    val diff = unix_micros(last) - unix_micros(col("anchor"))
+    // exact integer minutes via the pmod device (Decay.scala)
+    val mins = greatest(
+      ((diff - pmod(diff, lit(60000000L))) / lit(60000000L)).cast("long"),
+      lit(1L))
+    times.filter(last.isNotNull)
+      .withColumn("bucket", Sketches.logBucket(mins, maxBits = 24))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(mins).as("min_minutes"), max(mins).as("max_minutes"))
+  }
 }

@@ -103,6 +103,40 @@ class FunnelScdSpec extends SparkSpec {
       .head.getAs[Boolean]("is_current"))
   }
 
+  test("topEventPaths: counts overlapping windows per user, no " +
+      "cross-user stitching, deterministic tie order") {
+    val df = ev(
+      (1L, "a", "2024-01-01 10:00:00"),
+      (1L, "b", "2024-01-01 10:01:00"),
+      (1L, "c", "2024-01-01 10:02:00"),
+      (1L, "a", "2024-01-01 10:03:00"),
+      (2L, "b", "2024-01-01 10:00:00"), // u2's 'b' must not extend u1
+      (2L, "c", "2024-01-01 10:01:00"))
+    val out = Funnel.topEventPaths(df, "user_id", "event_type", "ts",
+        "event_id", n = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_paths"))
+    // u1 windows: a>b>c, b>c>a; u2 has only 2 events -> none
+    assert(out.toMap === Map("a > b > c" -> 1L, "b > c > a" -> 1L))
+  }
+
+  test("conversionLatency: exact minute buckets on the octave grid") {
+    // completer converts 90 minutes after anchor -> bucket bitlen(90)=7
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:30:00"),
+      (1L, "purchase", "2024-01-01 11:30:00"),
+      // sub-minute completer clamps to 1 minute -> bucket 1
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:00:10"),
+      (2L, "purchase", "2024-01-01 10:00:20"),
+      (3L, "view", "2024-01-01 10:00:00")) // non-completer: no row
+    val out = Funnel.conversionLatency(df, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), "24 hours")
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("min_minutes"))).toMap
+    assert(out === Map(7 -> ((1L, 90L)), 1 -> ((1L, 1L))))
+  }
+
   test("scd2: timestamp ties break on the sequence column") {
     val s = spark
     import s.implicits._
