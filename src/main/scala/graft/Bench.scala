@@ -82,7 +82,13 @@ object Bench {
     // operator caches and measures the same plan, never a cache hit
     // (Spark's CacheManager would otherwise serve rep 1's persisted
     // frames by logical-plan identity).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q166_x,q167_y times a subset during local
+    // plan iteration; unset -> the driver's full bench, unchanged
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try CacheScope.scoped { fn(spark, sfDir).count() }

@@ -2594,9 +2594,11 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
-    // Triangle census of the rare-trigram co-occurrence graph (q152's
-    // edge rule): closed-wedge double equi-join, wedge count from the
-    // degree table, global clustering coefficient 3T/W. Dup "cliques"
+    // Triangle census of the NEAR-DUP SKELETON: the q152 edge rule at
+    // df <= 6 (a df-k gram induces a k-clique, so the df-20 blanket is
+    // dense by construction — 10^8 wedges at sf0.1; the census wants
+    // the sparse skeleton where triangle density is a SIGNAL, and the
+    // compact-forward operator keeps the join bounded). Dup cliques
     // show up as triangle-dense neighborhoods long before pairwise
     // dedup enumerates them.
     "q166_triangle_census" -> ((s, dir) => {
@@ -2604,7 +2606,7 @@ object SparkEntry {
       val grams = docs.select(col("doc_id"),
         explode(TF.shinglesOf(toks(col("text")), 3)).as("gram"))
       val dfq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      val rare = grams.join(dfq.filter(col("df") <= 20), Seq("gram"))
+      val rare = grams.join(dfq.filter(col("df") <= 6), Seq("gram"))
       val e0 = rare.select(col("doc_id").as("s"), col("gram"))
         .join(rare.select(col("doc_id").as("d"), col("gram")), Seq("gram"))
         .filter(col("s") < col("d"))
@@ -2769,6 +2771,38 @@ object SparkEntry {
         .select(col("hour_start"), col("c"),
           round(col("mu"), 4).as("mu"), col("z"))
         .orderBy(col("hour_start"))
+    }),
+
+    // Capstone #13 — the product-analytics chain end-to-end: weekly
+    // activation cohorts (q155's rule) × the anchored funnel (q154's
+    // rule), i.e. "how does conversion depth differ by vintage". One
+    // funnelTimes frame joined against the cohort table; per
+    // (cohort, step) counts with cohort-relative rates.
+    "q178_cohort_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val cohorts = ev
+        .filter(col("event_type") === "purchase" && col("value") >= 100)
+        .groupBy(col("user_id"))
+        .agg(to_date(date_trunc("week", min(col("ts"))))
+          .as("cohort_week"))
+      val times = graft.operators.Funnel.funnelTimes(ev, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        horizon = "24 hours")
+      val joined = graft.CacheScope.register(
+        times.join(cohorts, Seq("user_id")).persist())
+      val perStep = Seq(1, 2, 3).map { i =>
+        joined.groupBy(col("cohort_week"))
+          .agg(count(col(s"t$i")).as("n_users"))
+          .withColumn("step", lit(i))
+      }
+      val base = joined.groupBy(col("cohort_week"))
+        .agg(count(col("t1")).as("n_base"))
+      perStep.reduce(_ unionByName _)
+        .join(base, Seq("cohort_week"))
+        .filter(col("n_base") > 0)
+        .select(col("cohort_week"), col("step"), col("n_users"),
+          round(col("n_users") / col("n_base"), 4).as("conv"))
+        .orderBy(col("cohort_week"), col("step"))
     })
   )
 
@@ -4632,7 +4666,7 @@ object SparkEntry {
          |    ELSE [array_to_string(t, ' ')] END) AS gram FROM tk)),
          |dfq AS (SELECT gram, count(*) AS df FROM gr GROUP BY gram),
          |rare AS (SELECT doc_id, gram FROM gr JOIN dfq USING (gram)
-         |  WHERE df <= 20),
+         |  WHERE df <= 6),
          |e AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
          |  FROM rare a JOIN rare b USING (gram) WHERE a.doc_id < b.doc_id),
          |tri AS (SELECT count(*) AS n_triangles FROM e ab
@@ -4862,6 +4896,40 @@ object SparkEntry {
         |  round((c - mu) / sqrt(ex2 - mu * mu), 4) AS z
         |FROM w WHERE nprev = 24 AND sqrt(ex2 - mu * mu) > 0
         |  AND abs(round((c - mu) / sqrt(ex2 - mu * mu), 4)) >= 2.5
-        |ORDER BY hour_start""".stripMargin
+        |ORDER BY hour_start""".stripMargin,
+
+    // q154's anchored chain carried per user, sliced by q155's cohort
+    "q178_cohort_funnel" ->
+      """WITH ch AS (SELECT user_id, date_trunc('week', min(ts))
+        |    AS cohort_week FROM events
+        |  WHERE event_type = 'purchase' AND value >= 100
+        |  GROUP BY user_id),
+        |u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, any_value(u1.t1) AS anchor,
+        |    min(e.ts) AS t2
+        |  FROM events e JOIN u1 ON u1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+        |    AND e.ts <= u1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN u2 ON u2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        |    AND e.ts <= u2.anchor + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |tt AS (SELECT u1.user_id, ch.cohort_week, u1.t1, u2.t2, u3.t3
+        |  FROM u1 JOIN ch USING (user_id)
+        |  LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)),
+        |st AS (
+        |  SELECT cohort_week, 1 AS step, count(t1) AS n_users FROM tt
+        |    GROUP BY cohort_week
+        |  UNION ALL SELECT cohort_week, 2, count(t2) FROM tt
+        |    GROUP BY cohort_week
+        |  UNION ALL SELECT cohort_week, 3, count(t3) FROM tt
+        |    GROUP BY cohort_week),
+        |bs AS (SELECT cohort_week, count(t1) AS n_base FROM tt
+        |  GROUP BY cohort_week)
+        |SELECT st.cohort_week, st.step, st.n_users,
+        |  round(CAST(st.n_users AS DOUBLE) / bs.n_base, 4) AS conv
+        |FROM st JOIN bs USING (cohort_week) WHERE bs.n_base > 0
+        |ORDER BY st.cohort_week, st.step""".stripMargin
   )
 }

@@ -85,33 +85,58 @@ object Graph {
   }
 
   /** Triangle census of an UNDIRECTED graph: edges normalize to
-    * `least < greatest` (duplicates and self-loops drop), then the
-    * closed-wedge double equi-join `ab ⋈ bc ⋈ ac` — each oriented
-    * triangle `a < b < c` matches exactly once — plus the wedge count
-    * `Σ deg·(deg−1)/2` from the symmetric degree table, giving the
-    * global clustering coefficient `3T / W`.
+    * `least < greatest` (duplicates and self-loops drop); the count
+    * uses the COMPACT-FORWARD orientation — every edge re-oriented
+    * from its lower-(degree, id) endpoint to its higher one, so each
+    * triangle is counted exactly once at its lowest-order apex and,
+    * crucially, out-degrees are bounded by O(√E): the apex pair join
+    * `u→v ⋈ u→w` fans out per-node as outdeg², which the id
+    * orientation lets hubs blow up (a degree-10⁴ hub contributes 10⁸
+    * id-oriented wedges but only its √E-bounded forward wedges here —
+    * the difference between minutes and seconds on a skewed graph,
+    * and the standard triangle algorithm at scale). The closing edge
+    * check is one equi-join back on the oriented table. The triangle
+    * COUNT is orientation-invariant, so the oracle's simpler
+    * id-oriented join replays the same number.
     *
     * One row out: (n_nodes, n_edges, n_triangles, n_wedges,
-    * clustering_coeff). Orientation here is BY ID (deterministic and
-    * oracle-exact); at billion-edge scale orient by (degree, id)
-    * instead so hub fan-out lands on the low-degree side — same
-    * algebra, one extra degree join. The edge table is scope-cached:
-    * it feeds the pair join twice and the degree aggregate once.
+    * clustering_coeff), wedges = `Σ deg·(deg−1)/2` on the undirected
+    * degrees, clustering = `3T / W`.
     */
   def triangleStats(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val e = graft.CacheScope.register(edges
+    val und = graft.CacheScope.register(edges
       .select(least(col(srcCol), col(dstCol)).as("s"),
         greatest(col(srcCol), col(dstCol)).as("d"))
       .filter(col("s") < col("d")).distinct().persist())
-    val tri = e.as("ab")
-      .join(e.as("bc"), col("ab.d") === col("bc.s"))
-      .join(e.as("ac"),
-        col("ac.s") === col("ab.s") && col("ac.d") === col("bc.d"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val deg = e.select(col("s").as("v"))
-      .unionAll(e.select(col("d").as("v")))
+    val deg = und.select(col("s").as("v"))
+      .unionAll(und.select(col("d").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) -> high-(deg, id); carry the dst's order
+    // key so the apex pair join can order its two out-neighbors
+    val oriented = graft.CacheScope.register(und
+      .join(deg.select(col("v").as("s"), col("deg").as("sdeg")), Seq("s"))
+      .join(deg.select(col("v").as("d"), col("deg").as("ddeg")), Seq("d"))
+      .select(
+        when(col("sdeg") < col("ddeg") ||
+          (col("sdeg") === col("ddeg") && col("s") < col("d")),
+          col("s")).otherwise(col("d")).as("u"),
+        when(col("sdeg") < col("ddeg") ||
+          (col("sdeg") === col("ddeg") && col("s") < col("d")),
+          col("d")).otherwise(col("s")).as("w"),
+        when(col("sdeg") < col("ddeg") ||
+          (col("sdeg") === col("ddeg") && col("s") < col("d")),
+          col("ddeg")).otherwise(col("sdeg")).as("wdeg"))
+      .persist())
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+        (col("e1.wdeg") < col("e2.wdeg") ||
+          (col("e1.wdeg") === col("e2.wdeg") &&
+            col("e1.w") < col("e2.w"))))
+      .join(oriented.as("e3"),
+        col("e3.u") === col("e1.w") && col("e3.w") === col("e2.w"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
     val wedge = deg.agg(count(lit(1)).as("n_nodes"),
       (sum(col("deg")) / 2).cast("long").as("n_edges"),
       sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
