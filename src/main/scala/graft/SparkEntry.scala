@@ -2803,6 +2803,31 @@ object SparkEntry {
         .select(col("cohort_week"), col("step"), col("n_users"),
           round(col("n_users") / col("n_base"), 4).as("conv"))
         .orderBy(col("cohort_week"), col("step"))
+    }),
+
+    // Behavioral diversity: Shannon entropy (nats) of each user's
+    // event-type mix, normalized by ln(categories) — exact count
+    // ratios, ln the only libm call.
+    "q179_event_entropy" -> ((s, dir) =>
+      graft.operators.Robust.entropyProfile(events(s, dir),
+          "user_id", "event_type")
+        .orderBy(col("user_id"))),
+
+    // Revenue concentration: per-nation Gini over customer revenue —
+    // the sorted-rank identity, one window + one aggregate per group.
+    "q180_revenue_gini" -> ((s, dir) => {
+      val rev = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("revenue"))
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      graft.operators.Robust.giniProfile(
+          rev.join(cust, Seq("o_custkey"))
+            .join(broadcast(T(s, dir, "nation")
+              .select(col("n_nationkey").as("c_nationkey"),
+                col("n_name"))), Seq("c_nationkey")),
+          "n_name", "o_custkey", "revenue")
+        .orderBy(col("n_name"))
     })
   )
 
@@ -4930,6 +4955,37 @@ object SparkEntry {
         |SELECT st.cohort_week, st.step, st.n_users,
         |  round(CAST(st.n_users AS DOUBLE) / bs.n_base, 4) AS conv
         |FROM st JOIN bs USING (cohort_week) WHERE bs.n_base > 0
-        |ORDER BY st.cohort_week, st.step""".stripMargin
+        |ORDER BY st.cohort_week, st.step""".stripMargin,
+
+    // H = ln(n) - (sum c*ln c)/n, the exact algebra of -sum p ln p
+    "q179_event_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT user_id, sum(c) AS n, count(*) AS n_cats,
+        |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n, n_cats,
+        |  round(ln(CAST(n AS DOUBLE)) - clc / n, 4) AS entropy,
+        |  CASE WHEN n_cats > 1 THEN
+        |    round((ln(CAST(n AS DOUBLE)) - clc / n)
+        |      / ln(CAST(n_cats AS DOUBLE)), 4) ELSE 0.0 END
+        |    AS entropy_norm
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    // sorted-rank Gini identity with a (value, id) rank tie-break
+    "q180_revenue_gini" ->
+      """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS revenue
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT n.n_name, rev.o_custkey, rev.revenue
+        |  FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |r AS (SELECT n_name, revenue, row_number() OVER
+        |  (PARTITION BY n_name ORDER BY revenue, o_custkey) AS i
+        |  FROM j),
+        |g AS (SELECT n_name, count(*) AS n, sum(revenue) AS s,
+        |  sum(i * revenue) AS si FROM r GROUP BY n_name)
+        |SELECT n_name, n, CASE WHEN s > 0 THEN
+        |  round((2.0 * si - (n + 1) * s) / (n * s), 4) END AS gini
+        |FROM g ORDER BY n_name""".stripMargin
   )
 }

@@ -81,6 +81,61 @@ object Robust {
     * Shape: one (group, hour) partial count, one group-grain
     * aggregate, one broadcast 1-row span fact.
     */
+  /** Shannon entropy of a categorical mix per group (nats), plus the
+    * normalized form (entropy / ln(distinct categories), 0 for a
+    * single-category group): "how varied is this user's behavior /
+    * this source's section mix". Exact integer count ratios; ln is
+    * the only libm call, mirrored verbatim in the oracle. One
+    * (group, category) partial count + one group-grain fold.
+    */
+  def entropyProfile(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_cats"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("__en_clc"))
+      .withColumn("entropy",
+        round(log(col("n").cast("double")) -
+          col("__en_clc") / col("n"), 4))
+      .withColumn("entropy_norm",
+        when(col("n_cats") > 1,
+          round((log(col("n").cast("double")) -
+            col("__en_clc") / col("n")) /
+            log(col("n_cats").cast("double")), 4))
+          .otherwise(0.0))
+      .select(col(groupCol), col("n"), col("n_cats"), col("entropy"),
+        col("entropy_norm"))
+  }
+
+  /** Gini concentration per group over non-negative values — "how
+    * concentrated is this market/source": 0 = perfectly even,
+    * → 1 = one member holds everything. The sorted-rank identity
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` with ranks by
+    * (value, id) — one window + one aggregate at group grain; a
+    * single-member group scores 0 by the identity, an all-zero group
+    * returns null.
+    */
+  def giniProfile(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("__gn_i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("__gn_s"),
+        sum(col("__gn_i") * col(valueCol)).as("__gn_si"))
+      .withColumn("gini",
+        when(col("__gn_s") > 0,
+          round((lit(2.0) * col("__gn_si") -
+            (col("n") + 1) * col("__gn_s")) /
+            (col("n") * col("__gn_s")), 4)))
+      .select(col(groupCol), col("n"), col("gini"))
+  }
+
   def dispersionProfile(df: DataFrame, groupCol: String,
       tsCol: String): DataFrame = {
     val hourUs = 3600000000L

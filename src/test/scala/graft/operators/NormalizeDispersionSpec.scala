@@ -54,6 +54,46 @@ class NormalizeDispersionSpec extends SparkSpec {
       src == "a" && tok == "common" })
   }
 
+  test("entropyProfile: uniform mix maxes normalized entropy, " +
+      "single category scores 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),  // uniform over 4
+      (2L, "a"), (2L, "a"), (2L, "a"),              // single category
+      (3L, "a"), (3L, "a"), (3L, "a"), (3L, "b")    // skewed
+    ).toDF("u", "t")
+    val out = Robust.entropyProfile(df, "u", "t")
+      .collect().map(r => r.getAs[Long]("u") ->
+        (r.getAs[Double]("entropy"), r.getAs[Double]("entropy_norm")))
+      .toMap
+    assert(out(1L)._1 === BigDecimal(math.log(4)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L)._2 === 1.0)
+    assert(out(2L) === ((0.0, 0.0)))
+    assert(out(3L)._2 > 0 && out(3L)._2 < 1)
+  }
+
+  test("giniProfile: even split scores 0, total concentration " +
+      "approaches (n-1)/n, single member scores 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("even", 1L, 10.0), ("even", 2L, 10.0), ("even", 3L, 10.0),
+      ("conc", 4L, 0.0), ("conc", 5L, 0.0), ("conc", 6L, 30.0),
+      ("solo", 7L, 5.0),
+      ("zero", 8L, 0.0)
+    ).toDF("g", "id", "v")
+    val out = Robust.giniProfile(df, "g", "id", "v")
+      .collect().map(r => r.getAs[String]("g") ->
+        Option(r.getAs[java.lang.Double]("gini"))).toMap
+    assert(out("even").get === 0.0)
+    assert(out("conc").get === BigDecimal(2.0 / 3).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) // (n-1)/n = 2/3
+    assert(out("solo").get === 0.0)
+    assert(out("zero").isEmpty)
+  }
+
   test("dispersionProfile: a one-hour burst scores c(H-1)/H, a " +
       "metronome scores 0") {
     val s = spark
