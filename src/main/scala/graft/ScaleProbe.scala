@@ -278,6 +278,76 @@ object ScaleProbe {
           "doc_id")
       })
     }
+    // ---- the event-analytics / classical-ML families ------------------
+    // events replicas shift user_id, so per-user chains stay per-user:
+    // replicas add USERS, the per-step joins stay key-local
+    val ev = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val fixed = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
+      fixed.select("event_id", "user_id", "event_type", "ts", "value")
+        .cache()
+    }
+    val nEv = ev.count()
+    def replicateEvents(r: Int): DataFrame =
+      (0 until r).map { i =>
+        ev.select(col("event_id"),
+          (col("user_id") + lit(i.toLong * 10_000_000L)).as("user_id"),
+          col("event_type"), col("ts"), col("value"))
+      }.reduce(_ unionAll _)
+    // funnel: k chained per-user min aggregations — linear in events
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"funnel r=$r events=${nEv * r}", () =>
+        operators.Funnel.funnelSummary(replicateEvents(r), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"),
+          "24 hours"))
+    }
+    // bootstrap: the xR explode is map-side; the (group, rep) shuffle
+    // is bounded by groups x reps — linear in rows
+    Seq(1, 2, 4).foreach { r =>
+      timeWarm(s"bootstrap_ci r=$r docs=${nDocs * r}", () =>
+        operators.Bootstrap.poissonCiOfMean(
+          replicateDocs(r).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+            .withColumn("v", length(col("text")).cast("long")),
+          "source", "doc_id", "v", reps = 50))
+    }
+    // logistic scoring with a FROZEN model: explode + broadcast weight
+    // join + doc aggregation — the NB-scorer cost class
+    val lrModel = operators.QualityClassifier.trainLogistic(
+      docs.withColumn("is_pos",
+        functions.TextFunctions.langId(col("text")) === "en"),
+      "doc_id", "text", "is_pos", numBuckets = 64, epochs = 2)
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"logistic_score r=$r docs=${nDocs * r}", () =>
+        operators.QualityClassifier.scoreLogistic(replicateDocs(r),
+          "doc_id", "text", lrModel))
+    }
+    // greedy encode with a FROZEN substring vocab: map-only UDF pass
+    val gvocab = operators.TokenizerTraining.greedySubstringVocab(
+      docs, "text", Seq(2 -> 50, 3 -> 25))
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"greedy_encode r=$r docs=${nDocs * r}", () =>
+        operators.TokenizerTraining.greedyEncode(replicateDocs(r),
+          "doc_id", "text", gvocab, maxPieceLen = 3))
+    }
+    // quantile normalization: the pooled zipWithIndex sort dominates —
+    // n log n, never a single-partition window
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"quantile_norm r=$r docs=${nDocs * r}", () =>
+        operators.Normalize.quantileNormalize(
+          replicateDocs(r).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+            .withColumn("v", length(col("text")).cast("long")),
+          "source", "doc_id", "v"))
+    }
     spark.stop()
   }
 }

@@ -2236,7 +2236,11 @@ object SparkEntry {
     "q144_fuzzy_linkage" -> ((s, dir) =>
       graft.operators.RecordLinkage.bestLinks(
           T(s, dir, "customer"), "c_custkey", "c_name",
-          name => substring(name, 1, 15), minSim = 0.9)
+          // suffix blocking: these synthetic names share a constant
+          // 15-char prefix, so PREFIX blocks are 1000-row monsters
+          // (7.5M JW pairs at sf0.1); the last 2 chars spread the
+          // same rows over ~100 tight blocks
+          name => substring(name, -2, 2), minSim = 0.9)
         .orderBy(col("c_custkey"))),
 
     // Robust per-source length profile: exact median + MAD + the
@@ -4385,7 +4389,7 @@ object SparkEntry {
     // match_id as the total tie-break so the argmax replays
     "q144_fuzzy_linkage" ->
       """WITH e AS (SELECT c_custkey AS id, c_name AS name,
-        |  substr(c_name, 1, 15) AS blk FROM customer),
+        |  substr(c_name, length(c_name) - 1, 2) AS blk FROM customer),
         |p AS (SELECT a.id, b.id AS match_id,
         |  round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
         |  FROM e a JOIN e b ON a.blk = b.blk AND a.id <> b.id
