@@ -544,6 +544,50 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q154-q180: second-continuation families — funnel joins keyed, " +
+      "basket equi-only, paths heap, graph joins sane") {
+    CacheScope.scoped {
+      // funnel: every stage join is keyed on the user column; the
+      // shrinking per-step frames never cross-product
+      val p154 = plan("q154_funnel")
+      assert(!p154.contains("CartesianProduct"), p154)
+      // basket: pair generation is an equi-join on the basket key and
+      // the top-25 is a heap, not a global sort
+      val df164 = SparkEntry.queries("q164_basket_lift")(spark, dir)
+      val p164 = df164.queryExecution.executedPlan.toString
+      assert(!p164.contains("CartesianProduct") &&
+        !p164.contains("BroadcastNestedLoopJoin"), p164)
+      assert(p164.contains("TakeOrderedAndProject"),
+        "q164 top-25 must plan as a heap:\n" + p164)
+      // event paths: one window family + partial count + heap
+      val p175 = plan("q175_event_paths")
+      assert(p175.contains("TakeOrderedAndProject"), p175)
+      assert(p175.contains("partial_count") || p175.contains("partial_"),
+        p175)
+      // hopping windows: map-side explode + partial aggregation, no
+      // join at all
+      val p157 = plan("q157_hopping_window")
+      assert(!p157.contains("Join"), "q157 needs no join:\n" + p157)
+      assert(p157.contains("partial_"), p157)
+      // cluster-safe split: the component join-back stays un-hinted
+      // (corpus-cardinality), no cross product
+      val df161 = SparkEntry.queries("q161_cluster_safe_split")(spark, dir)
+      assert(!df161.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q161's component join must stay un-hinted")
+      // bootstrap: the xR explode must stay map-side (Generate node,
+      // no join), aggregation partial
+      val p159 = plan("q159_bootstrap_ci")
+      assert(p159.contains("Generate"), p159)
+      assert(!p159.contains("CartesianProduct"), p159)
+      // chi-square terms: corpus-vocabulary joins un-hinted
+      val df173 = SparkEntry.queries("q173_distinctive_terms")(spark, dir)
+      assert(!df173.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "q173's token-total join must stay un-hinted")
+    }
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
