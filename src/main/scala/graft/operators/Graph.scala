@@ -48,15 +48,20 @@ object Graph {
     val n = nodes.select(countDistinct(col(idCol)).as("n"))
       .head().getLong(0)
     require(n > 0, "pageRank over an empty node set")
-    val outDeg = edges.groupBy(col(srcCol).as("__pr_id"))
+    // the caller's edge frame is often an expensive construction (gram
+    // pair joins); it feeds BOTH the degree aggregate and the weighted
+    // edge table, so pin it once — uncached it would run twice
+    val e = graft.CacheScope.register(edges
+      .select(col(srcCol).as("__pr_src"), col(dstCol).as("__pr_dst"))
+      .persist())
+    val outDeg = e.groupBy(col("__pr_src").as("__pr_id"))
       .agg(count(lit(1)).as("deg"))
     val nd = graft.CacheScope.register(nodes
       .select(col(idCol).as("__pr_id")).distinct()
       .join(outDeg, Seq("__pr_id"), "left")
       .withColumn("deg", coalesce(col("deg"), lit(0L)))
       .persist())
-    val ew = graft.CacheScope.register(edges
-      .select(col(srcCol).as("__pr_src"), col(dstCol).as("__pr_dst"))
+    val ew = graft.CacheScope.register(e
       .join(nd.select(col("__pr_id").as("__pr_src"), col("deg")),
         Seq("__pr_src"))
       .persist())
