@@ -2832,6 +2832,46 @@ object SparkEntry {
                 col("n_name"))), Seq("c_nationkey")),
           "n_name", "o_custkey", "revenue")
         .orderBy(col("n_name"))
+    }),
+
+    // Token-weighted median doc length per source — integer-exact
+    // cumulative-weight threshold, no float percentile: the typical
+    // doc by TOKEN MASS, which shorts-dominated sources skew far from
+    // the plain median.
+    "q181_weighted_median" -> ((s, dir) =>
+      graft.operators.Robust.weightedMedian(
+          T(s, dir, "documents")
+            .withColumn("n_tok", size(toks(col("text"))).cast("long")),
+          "source", "doc_id", "n_chars", "n_tok")
+        .orderBy(col("source"))),
+
+    // Capstone #14 — the user-segmentation readout: users quartiled by
+    // activity volume (deterministic NTILE), each segment profiled by
+    // funnel completion and behavioral entropy. The "who converts —
+    // power users or diverse users" dashboard in one gated statement.
+    "q182_segment_profile" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vol = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("quartile", ntile(4).over(
+          Window.orderBy(col("n_events").desc, col("user_id"))))
+      val times = graft.operators.Funnel.funnelTimes(ev, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        horizon = "24 hours")
+      val ent = graft.operators.Robust.entropyProfile(ev, "user_id",
+        "event_type")
+      vol
+        .join(times.select(col("user_id"), col("t3")), Seq("user_id"),
+          "left")
+        .join(ent.select(col("user_id"), col("entropy")), Seq("user_id"))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          count(col("t3")).as("n_converted"),
+          round(count(col("t3")) / count(lit(1)).cast("double"), 4)
+            .as("conversion"),
+          round(avg(col("entropy")), 4).as("avg_entropy"))
+        .orderBy(col("quartile"))
     })
   )
 
@@ -4990,6 +5030,53 @@ object SparkEntry {
         |  sum(i * revenue) AS si FROM r GROUP BY n_name)
         |SELECT n_name, n, CASE WHEN s > 0 THEN
         |  round((2.0 * si - (n + 1) * s) / (n * s), 4) END AS gini
-        |FROM g ORDER BY n_name""".stripMargin
+        |FROM g ORDER BY n_name""".stripMargin,
+
+    // integer cumulative-weight threshold; first qualifying value IS
+    // the min over qualifying rows
+    "q181_weighted_median" ->
+      s"""WITH d AS (SELECT source, doc_id, n_chars,
+         |  len($ToksSql) AS w FROM documents),
+         |f AS (SELECT * FROM d WHERE w IS NOT NULL AND w > 0),
+         |c AS (SELECT source, n_chars, w,
+         |  sum(w) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(w) OVER (PARTITION BY source) AS tot FROM f)
+         |SELECT source, min(n_chars) AS weighted_median,
+         |  max(tot) AS total_weight
+         |FROM c WHERE cum * 2 >= tot GROUP BY source
+         |ORDER BY source""".stripMargin,
+
+    // activity NTILE x funnel completion x entropy, one statement
+    "q182_segment_profile" ->
+      """WITH vol AS (SELECT user_id, count(*) AS n_events FROM events
+        |  GROUP BY user_id),
+        |qt AS (SELECT user_id, n_events, ntile(4) OVER
+        |  (ORDER BY n_events DESC, user_id) AS quartile FROM vol),
+        |u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, any_value(u1.t1) AS anchor,
+        |    min(e.ts) AS t2
+        |  FROM events e JOIN u1 ON u1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+        |    AND e.ts <= u1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN u2 ON u2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        |    AND e.ts <= u2.anchor + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |ec AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |  GROUP BY user_id, event_type),
+        |en AS (SELECT user_id, sum(c) AS n, count(*) AS n_cats,
+        |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+        |  FROM ec GROUP BY user_id),
+        |ent AS (SELECT user_id,
+        |  round(ln(CAST(n AS DOUBLE)) - clc / n, 4) AS entropy FROM en)
+        |SELECT qt.quartile, count(*) AS n_users,
+        |  sum(qt.n_events) AS n_events,
+        |  count(u3.t3) AS n_converted,
+        |  round(count(u3.t3) / CAST(count(*) AS DOUBLE), 4) AS conversion,
+        |  round(avg(ent.entropy), 4) AS avg_entropy
+        |FROM qt LEFT JOIN u3 USING (user_id) JOIN ent USING (user_id)
+        |GROUP BY qt.quartile ORDER BY qt.quartile""".stripMargin
   )
 }

@@ -110,6 +110,32 @@ object Robust {
         col("entropy_norm"))
   }
 
+  /** Weighted median per group, integer-exact: the smallest value
+    * whose cumulative weight reaches half the group's total
+    * (`2·cumw ≥ totw` on integer weights — no float percentile, no
+    * interpolation, deterministic under ties via the (value, id)
+    * order). The "typical doc by TOKEN MASS, not by doc count"
+    * statistic — a corpus dominated by shorts has a very different
+    * token-weighted median than its plain median. One group-key window
+    * + one aggregate.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, weightCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wm_cum", sum(col(weightCol)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("__wm_tot", sum(col(weightCol)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))))
+      .filter(col("__wm_cum") * 2 >= col("__wm_tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("weighted_median"),
+        any_value(col("__wm_tot")).as("total_weight"))
+  }
+
   /** Gini concentration per group over non-negative values — "how
     * concentrated is this market/source": 0 = perfectly even,
     * → 1 = one member holds everything. The sorted-rank identity

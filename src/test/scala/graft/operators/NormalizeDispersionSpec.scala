@@ -94,6 +94,26 @@ class NormalizeDispersionSpec extends SparkSpec {
     assert(out("zero").isEmpty)
   }
 
+  test("weightedMedian: threshold on cumulative weight, not row count") {
+    val s = spark
+    import s.implicits._
+    // g: values 1..4 with weight concentrated on 4 -> weighted median 4
+    // (plain median would be 2); h: uniform weights -> ordinary lower
+    // median; zero/null weights excluded
+    val df = Seq(
+      ("g", 1L, 1L, 1L), ("g", 2L, 2L, 1L), ("g", 3L, 3L, 1L),
+      ("g", 4L, 4L, 10L),
+      ("h", 5L, 10L, 2L), ("h", 6L, 20L, 2L),
+      ("h", 7L, 30L, 0L)
+    ).toDF("g", "id", "v", "w")
+    val out = Robust.weightedMedian(df, "g", "id", "v", "w")
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("weighted_median"), r.getAs[Long]("total_weight")))
+      .toMap
+    assert(out("g") === ((4L, 13L)))
+    assert(out("h") === ((10L, 4L))) // cum 2 * 2 >= 4 at the first row
+  }
+
   test("dispersionProfile: a one-hour burst scores c(H-1)/H, a " +
       "metronome scores 0") {
     val s = spark
