@@ -57,22 +57,42 @@ object SparseSimilarity {
       tfidfVectors(docs, idCol, textCol, n).persist())
     val norms = vecs.groupBy(col(idCol))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val rare = vecs.filter(col("df") <= dfCap)
-      .select(col(idCol), col("gram"))
-    val cand = rare.select(col(idCol).as("a"), col("gram"))
-      .join(rare.select(col(idCol).as("b"), col("gram")), Seq("gram"))
+    // the exact dot splits at the dfCap boundary: the RARE-gram part
+    // is the gram-keyed self-join whose support IS the candidate set
+    // (per-gram fan-out ≤ dfCap², the AllPairs bound — and ~100×
+    // smaller than joining every candidate against its FULL vector,
+    // the shape this replaced); the DENSE-gram remainder joins only
+    // the few df > dfCap postings per candidate pair. Same exact
+    // cosine, both halves bounded.
+    val rare = graft.CacheScope.register(vecs
+      .filter(col("df") <= dfCap)
+      .select(col(idCol), col("gram"), col("w"))
+      .persist())
+    val dotsRare = rare
+      .select(col(idCol).as("a"), col("gram"), col("w").as("wa"))
+      .join(rare.select(col(idCol).as("b"), col("gram"),
+        col("w").as("wb")), Seq("gram"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-    val va = vecs.select(col(idCol).as("a"), col("gram"),
-      col("w").as("wa"))
-    val vb = vecs.select(col(idCol).as("b"), col("gram"),
-      col("w").as("wb"))
-    val dots = cand.join(va, Seq("a"))
-      .join(vb, Seq("b", "gram"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_shared"),
-        sum(col("wa") * col("wb")).as("dot"))
+      .agg(count(lit(1)).as("n_rare"), sum(col("wa") * col("wb"))
+        .as("dot_rare"))
+    val dense = vecs.filter(col("df") > dfCap)
+    val denseA = dense.select(col(idCol).as("a"), col("gram"),
+      col("w").as("wa"))
+    val denseB = dense.select(col(idCol).as("b"), col("gram"),
+      col("w").as("wb"))
+    val dotsDense = dotsRare.select(col("a"), col("b"))
+      .join(denseA, Seq("a"))
+      .join(denseB, Seq("b", "gram"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_dense"), sum(col("wa") * col("wb"))
+        .as("dot_dense"))
+    val dots = dotsRare.join(dotsDense, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("n_rare") + coalesce(col("n_dense"), lit(0L)))
+          .as("n_shared"),
+        (col("dot_rare") + coalesce(col("dot_dense"), lit(0.0)))
+          .as("dot"))
     dots
       .join(norms.select(col(idCol).as("a"), col("nrm").as("na")), Seq("a"))
       .join(norms.select(col(idCol).as("b"), col("nrm").as("nb")), Seq("b"))
