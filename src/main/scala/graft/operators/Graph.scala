@@ -220,7 +220,10 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds $rounds must be positive")
-    val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    // pin the caller's (often expensive) edge frame before the
+    // symmetric union reads it twice — the pageRank lesson
+    val e0 = graft.CacheScope.register(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("d")).persist())
     val sym = graft.CacheScope.register(
       e0.unionByName(e0.select(col("d").as("s"), col("s").as("d")))
         .filter(col("s") =!= col("d")).distinct().persist())
