@@ -2872,6 +2872,27 @@ object SparkEntry {
             .as("conversion"),
           round(avg(col("entropy")), 4).as("avg_entropy"))
         .orderBy(col("quartile"))
+    }),
+
+    // CUSUM drift per event type over the hourly series — the
+    // sequential change-point recurrence in its closed two-window form
+    // (ordered prefix sum + running min, empty prefix included), so no
+    // iterative state and both engines evaluate the same ordered
+    // frames. Summary per type: buckets, peak statistic, drift rows
+    // at the 4σ decision line.
+    "q183_cusum_drift" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"), col("window.start").as("hour_start"),
+          col("c"))
+      graft.operators.Robust.cusumDrift(hourly, "event_type",
+          "hour_start", "c", slack = 0.5, threshold = 4.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+          round(max(col("cusum")), 4).as("peak_cusum"),
+          sum(when(col("drift"), 1L).otherwise(0L)).as("n_drift"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -5077,6 +5098,27 @@ object SparkEntry {
         |  round(count(u3.t3) / CAST(count(*) AS DOUBLE), 4) AS conversion,
         |  round(avg(ent.entropy), 4) AS avg_entropy
         |FROM qt LEFT JOIN u3 USING (user_id) JOIN ent USING (user_id)
-        |GROUP BY qt.quartile ORDER BY qt.quartile""".stripMargin
+        |GROUP BY qt.quartile ORDER BY qt.quartile""".stripMargin,
+
+    // prefix-sum + running-min CUSUM (empty prefix in the min), drift
+    // decided on the unrounded statistic
+    "q183_cusum_drift" ->
+      """WITH h AS (SELECT event_type, make_timestamp(epoch_us(ts)
+        |    - epoch_us(ts) % 3600000000) AS hour_start, count(*) AS c
+        |  FROM events GROUP BY event_type, 2),
+        |st AS (SELECT avg(c) AS mu,
+        |  sqrt(avg(c * c) - avg(c) * avg(c)) AS sd FROM h),
+        |p AS (SELECT event_type, hour_start, c,
+        |  sum(c - (st.mu + 0.5 * st.sd)) OVER (PARTITION BY event_type
+        |    ORDER BY hour_start ROWS UNBOUNDED PRECEDING) AS pp, st.sd
+        |  FROM h, st),
+        |s AS (SELECT event_type,
+        |  pp - least(0, min(pp) OVER (PARTITION BY event_type
+        |    ORDER BY hour_start ROWS UNBOUNDED PRECEDING)) AS cus, sd
+        |  FROM p)
+        |SELECT event_type, count(*) AS n_buckets,
+        |  max(round(greatest(cus, 0.0), 4)) AS peak_cusum,
+        |  sum(CASE WHEN cus >= 4.0 * sd THEN 1 ELSE 0 END) AS n_drift
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

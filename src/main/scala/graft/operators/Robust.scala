@@ -110,6 +110,50 @@ object Robust {
         col("entropy_norm"))
   }
 
+  /** One-sided CUSUM drift detection over an ordered count series —
+    * the sequential change-point statistic in its closed WINDOW form:
+    * `s_t = max(0, s_{t−1} + (x_t − k))` telescopes to
+    * `s_t = P_t − min_{0 ≤ j ≤ t} P_j` (the empty prefix `P_0 = 0`
+    * included) with `P` the running prefix sum of
+    * `(x − k)`, so two deterministic running windows (an ordered
+    * prefix sum and a running min) replace the recurrence — no
+    * iterative state, engine-exact because BOTH engines evaluate the
+    * ordered frames in the same sequence. `k` (the allowance) is
+    * `global mean + slack·global stddev`; rows where `s_t ≥ h·stddev`
+    * flag drift.
+    *
+    * The window is ordered over the WHOLE series per group — correct
+    * for per-key monitoring (the per-group series length is the time
+    * horizon, not the corpus).
+    */
+  def cusumDrift(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, slack: Double = 0.5,
+      threshold: Double = 4.0): DataFrame = {
+    val stats = df.agg(
+      avg(col(valueCol)).as("__cu_mu"),
+      sqrt(avg(col(valueCol) * col(valueCol)) -
+        avg(col(valueCol)) * avg(col(valueCol))).as("__cu_sd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__cu_k", col("__cu_mu") + lit(slack) * col("__cu_sd"))
+      .withColumn("__cu_p",
+        sum(col(valueCol) - col("__cu_k")).over(run))
+      // the empty prefix P_0 = 0 participates in the min (s_1 must be
+      // max(0, x_1 - k), not 0)
+      .withColumn("__cu_minp",
+        least(lit(0.0), min(col("__cu_p")).over(run)))
+      .withColumn("cusum",
+        round(greatest(col("__cu_p") - col("__cu_minp"), lit(0.0)), 4))
+      .withColumn("drift",
+        col("__cu_p") - col("__cu_minp") >=
+          lit(threshold) * col("__cu_sd"))
+      .select(col(groupCol), col(orderCol), col(valueCol).as("x"),
+        col("cusum"), col("drift"))
+  }
+
   /** Weighted median per group, integer-exact: the smallest value
     * whose cumulative weight reaches half the group's total
     * (`2·cumw ≥ totw` on integer weights — no float percentile, no

@@ -94,6 +94,35 @@ class NormalizeDispersionSpec extends SparkSpec {
     assert(out("zero").isEmpty)
   }
 
+  test("cusumDrift: matches the sequential recurrence exactly") {
+    val s = spark
+    import s.implicits._
+    val xs = Seq(2L, 2L, 2L, 9L, 9L, 2L, 2L, 2L, 9L, 9L, 9L, 9L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "t", "x")
+    val out = Robust.cusumDrift(df, "g", "t", "x", slack = 0.5,
+        threshold = 2.0)
+      .orderBy(col("t")).collect()
+    // reference: the literal recurrence with the same global k
+    val n = xs.length
+    val mu = xs.sum.toDouble / n
+    val sd = math.sqrt(xs.map(x => x.toDouble * x).sum / n - mu * mu)
+    val k = mu + 0.5 * sd
+    var st = 0.0
+    val expect = xs.map { x =>
+      st = math.max(0.0, st + (x - k)); st
+    }
+    out.zip(expect).foreach { case (r, e) =>
+      // cusum is reported on the 1e-4 grid
+      assert(math.abs(r.getAs[Double]("cusum") - e) < 1e-4,
+        s"t=${r.getAs[Int]("t")}")
+      assert(r.getAs[Boolean]("drift") === (e >= 2.0 * sd))
+    }
+    // the burst at the tail must be flagged
+    assert(out.last.getAs[Boolean]("drift"))
+    assert(!out.head.getAs[Boolean]("drift"))
+  }
+
   test("weightedMedian: threshold on cumulative weight, not row count") {
     val s = spark
     import s.implicits._
