@@ -2339,7 +2339,10 @@ object SparkEntry {
       val grams = docs.select(col("doc_id"),
         explode(TF.shinglesOf(toks(col("text")), 3)).as("gram"))
       val dfq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      val rare = grams.join(dfq.filter(col("df") <= 20), Seq("gram"))
+      // the pair self-join reads `rare` twice — pin it or the whole
+      // gram+df chain runs twice (measured ~2x on the construction)
+      val rare = graft.CacheScope.register(
+        grams.join(dfq.filter(col("df") <= 20), Seq("gram")).persist())
       val e0 = rare.select(col("doc_id").as("s"), col("gram"))
         .join(rare.select(col("doc_id").as("d"), col("gram")), Seq("gram"))
         .filter(col("s") < col("d"))
@@ -2610,7 +2613,8 @@ object SparkEntry {
       val grams = docs.select(col("doc_id"),
         explode(TF.shinglesOf(toks(col("text")), 3)).as("gram"))
       val dfq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      val rare = grams.join(dfq.filter(col("df") <= 6), Seq("gram"))
+      val rare = graft.CacheScope.register(
+        grams.join(dfq.filter(col("df") <= 6), Seq("gram")).persist())
       val e0 = rare.select(col("doc_id").as("s"), col("gram"))
         .join(rare.select(col("doc_id").as("d"), col("gram")), Seq("gram"))
         .filter(col("s") < col("d"))
@@ -2684,7 +2688,10 @@ object SparkEntry {
       val grams = docs.select(col("doc_id"),
         explode(TF.shinglesOf(toks(col("text")), 3)).as("gram"))
       val dfq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      val rare = grams.join(dfq.filter(col("df") <= 20), Seq("gram"))
+      // the pair self-join reads `rare` twice — pin it or the whole
+      // gram+df chain runs twice (measured ~2x on the construction)
+      val rare = graft.CacheScope.register(
+        grams.join(dfq.filter(col("df") <= 20), Seq("gram")).persist())
       val e0 = rare.select(col("doc_id").as("s"), col("gram"))
         .join(rare.select(col("doc_id").as("d"), col("gram")), Seq("gram"))
         .filter(col("s") < col("d"))
