@@ -2900,7 +2900,107 @@ object SparkEntry {
           round(max(col("cusum")), 4).as("peak_cusum"),
           sum(when(col("drift"), 1L).otherwise(0L)).as("n_drift"))
         .orderBy(col("event_type"))
-    })
+    }),
+
+    // RFM segmentation: recency / frequency / monetary quartiles per
+    // customer (deterministic NTILE tie-breaks), segments rolled up
+    // with their profile — the classic CRM cut as three windows over
+    // one per-customer aggregate.
+    "q184_rfm_segments" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val maxDate = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("f"), sum(col("o_totalprice")).as("m"))
+        .crossJoin(broadcast(maxDate))
+        .withColumn("r", datediff(col("mx"), col("last_order")))
+      val seg = per
+        .withColumn("rq", ntile(4).over(
+          Window.orderBy(col("r"), col("o_custkey"))))
+        .withColumn("fq", ntile(4).over(
+          Window.orderBy(col("f").desc, col("o_custkey"))))
+        .withColumn("mq", ntile(4).over(
+          Window.orderBy(col("m").desc, col("o_custkey"))))
+      seg.groupBy(concat(col("rq"), col("fq"), col("mq")).as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("r")), 2).as("avg_recency_days"),
+          round(avg(col("f")), 2).as("avg_orders"),
+          round(avg(col("m")), 2).as("avg_monetary"))
+        .orderBy(col("segment"))
+    }),
+
+    // Pareto / ABC concentration: per nation, the minimum customer
+    // count covering 80% of revenue, and the revenue share of the top
+    // decile — ordered running sums (deterministic frames), one window
+    // per nation.
+    "q185_pareto_revenue" -> ((s, dir) => {
+      val rev = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("revenue"))
+        .join(T(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+          Seq("o_custkey"))
+        .join(broadcast(T(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+          Seq("c_nationkey"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("n_name"))
+      val ranked = rev
+        .withColumn("cum", sum(col("revenue")).over(run))
+        .withColumn("tot", sum(col("revenue")).over(all))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(all))
+      ranked.groupBy(col("n_name"))
+        .agg(any_value(col("n")).as("n_customers"),
+          sum(when(col("cum") - col("revenue") <
+            lit(0.8) * col("tot"), 1L).otherwise(0L)).as("n_top80"),
+          round(sum(when(col("rn") * 10 <= col("n"), col("revenue"))
+            .otherwise(0.0)) / any_value(col("tot")), 4)
+            .as("top_decile_share"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Referential / value integrity audit — the data-quality report a
+    // pipeline runs before trusting a drop: orphan lineitems, empty
+    // orders, non-positive quantities/prices, and orders whose
+    // totalprice disagrees with the lineitem roll-up beyond a cent.
+    "q186_quality_audit" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      val orphans = l.join(o.select(col("o_orderkey")
+          .as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_lineitems"))
+      val empty = o.join(l.select(col("l_orderkey")
+          .as("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_empty_orders"))
+      val badVals = l.agg(
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+          .as("n_bad_quantity"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+          .as("n_bad_price"))
+      val rollup = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("computed"))
+      val mismatch = o.join(rollup,
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(sum(when(abs(col("o_totalprice") - col("computed")) > 0.01,
+          1L).otherwise(0L)).as("n_total_mismatch"))
+      orphans.crossJoin(empty).crossJoin(badVals).crossJoin(mismatch)
+    }),
+
+    // Bounce rate over native session windows (30 min gap): sessions
+    // with a single event / all sessions, plus depth stats — one
+    // session_window aggregation + one scalar roll-up.
+    "q187_bounce_rate" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_ev"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
+          round(sum(when(col("n_ev") === 1, 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 4).as("bounce_rate"),
+          round(avg(col("n_ev")), 4).as("avg_session_events")))
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -5126,6 +5226,85 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_buckets,
         |  max(round(greatest(cus, 0.0), 4)) AS peak_cusum,
         |  sum(CASE WHEN cus >= 4.0 * sd THEN 1 ELSE 0 END) AS n_drift
-        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q184_rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx
+        |  FROM orders),
+        |per AS (SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    count(*) AS f, sum(o_totalprice) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT per.*, datediff('day', last_order, mx.mx) AS r
+        |  FROM per, mx),
+        |seg AS (SELECT r, f, m,
+        |  ntile(4) OVER (ORDER BY r, o_custkey) AS rq,
+        |  ntile(4) OVER (ORDER BY f DESC, o_custkey) AS fq,
+        |  ntile(4) OVER (ORDER BY m DESC, o_custkey) AS mq FROM r)
+        |SELECT CAST(rq AS VARCHAR) || CAST(fq AS VARCHAR)
+        |    || CAST(mq AS VARCHAR) AS segment,
+        |  count(*) AS n_customers,
+        |  round(avg(r), 2) AS avg_recency_days,
+        |  round(avg(f), 2) AS avg_orders,
+        |  round(avg(m), 2) AS avg_monetary
+        |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q185_pareto_revenue" ->
+      """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS revenue
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT n.n_name, rev.o_custkey, rev.revenue FROM rev
+        |  JOIN customer c ON c.c_custkey = rev.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |rk AS (SELECT n_name, o_custkey, revenue,
+        |  sum(revenue) OVER (PARTITION BY n_name
+        |    ORDER BY revenue DESC, o_custkey
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(revenue) OVER (PARTITION BY n_name) AS tot,
+        |  row_number() OVER (PARTITION BY n_name
+        |    ORDER BY revenue DESC, o_custkey) AS rn,
+        |  count(*) OVER (PARTITION BY n_name) AS n FROM j)
+        |SELECT n_name, max(n) AS n_customers,
+        |  sum(CASE WHEN cum - revenue < 0.8 * tot THEN 1 ELSE 0 END)
+        |    AS n_top80,
+        |  round(sum(CASE WHEN rn * 10 <= n THEN revenue ELSE 0.0 END)
+        |    / max(tot), 4) AS top_decile_share
+        |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q186_quality_audit" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |    ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IS NULL)
+        |    AS n_orphan_lineitems,
+        |  (SELECT count(*) FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |    ON l.l_orderkey = o.o_orderkey WHERE l.l_orderkey IS NULL)
+        |    AS n_empty_orders,
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+        |    AS n_bad_quantity,
+        |  (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+        |    AS n_bad_price,
+        |  (SELECT count(*) FROM orders o JOIN
+        |    (SELECT l_orderkey, sum(l_extendedprice * (1.0 - l_discount)
+        |       * (1.0 + l_tax)) AS computed FROM lineitem
+        |     GROUP BY l_orderkey) r ON r.l_orderkey = o.o_orderkey
+        |    WHERE abs(o.o_totalprice - r.computed) > 0.01)
+        |    AS n_total_mismatch""".stripMargin,
+
+    "q187_bounce_rate" ->
+      """WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |se AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM g),
+        |sz AS (SELECT user_id, sess, count(*) AS n_ev FROM se
+        |  GROUP BY user_id, sess)
+        |SELECT count(*) AS n_sessions,
+        |  sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS n_bounce,
+        |  round(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS bounce_rate,
+        |  round(avg(n_ev), 4) AS avg_session_events
+        |FROM sz""".stripMargin
   )
 }
