@@ -45,4 +45,33 @@ object CusumStream {
           out.iterator
       }
   }
+
+  case class EwmaState(value: Double, initialized: Boolean)
+
+  case class EwmaOut(key: String, t: Long, x: Double, ewma: Double)
+
+  /** Streaming exponentially-weighted moving average — one double of
+    * state per key, the literal `s ← α·x + (1−α)·s` recurrence (seeded
+    * at the first observation, the standard convention). The smoothed
+    * companion the CUSUM monitor reads its level from.
+    */
+  def ewma(points: Dataset[Point], alpha: Double): Dataset[EwmaOut] = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0, 1]")
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Point], st: GroupState[EwmaState]) =>
+          var s = st.getOption.getOrElse(EwmaState(0.0, false))
+          val out = rows.toSeq.sortBy(_.t).map { p =>
+            s = if (!s.initialized) EwmaState(p.x, initialized = true)
+            else EwmaState(alpha * p.x + (1 - alpha) * s.value, true)
+            EwmaOut(key, p.t, p.x, s.value)
+          }
+          st.update(s)
+          out.iterator
+      }
+  }
 }

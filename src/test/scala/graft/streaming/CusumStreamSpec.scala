@@ -53,4 +53,26 @@ class CusumStreamSpec extends SparkSpec {
     assert(tail.nonEmpty && tail.values.exists(_._2),
       "the burst should trip drift")
   }
+
+  test("ewma: chunked stream == the literal recurrence, seeded at x_1") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val xs = Seq(4.0, 2.0, 8.0, 8.0, 1.0, 3.0, 9.0, 0.0)
+    val tape = xs.zipWithIndex.map { case (x, i) => Point("a", i.toLong, x) }
+    val mem = MemoryStream[Point]
+    val q = CusumStream.ewma(mem.toDS(), alpha = 0.3)
+      .writeStream.format("memory").queryName("ewma_updates")
+      .outputMode(OutputMode.Append()).start()
+    tape.grouped(3).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val got = s.sql("SELECT * FROM ewma_updates")
+      .as[CusumStream.EwmaOut].collect()
+      .sortBy(_.t).map(_.ewma).toSeq
+    var e = xs.head
+    val expect = xs.head +: xs.tail.map { x => e = 0.3 * x + 0.7 * e; e }
+    got.zip(expect).foreach { case (g, x) =>
+      assert(math.abs(g - x) < 1e-12)
+    }
+  }
 }
