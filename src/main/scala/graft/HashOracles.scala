@@ -1836,6 +1836,77 @@ object HashOracles {
         "z > 0 AS predicted, pos AS actual FROM fs ORDER BY doc_id")
   }
 
+  /** The q117 CTE chain up to raw held-out scores — shared by the
+    * threshold-sweep and AUC replays.
+    */
+  private def nbScoreChain(trainBuckets: Int,
+      alpha: Double): Seq[String] = {
+    val head = Seq(
+      s"tk AS (SELECT doc_id, lang = 'en' AS pos, $Toks AS t FROM documents)",
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    head ++ mixed ++ Seq(
+      s"sp AS (SELECT doc_id, $signedMod < $trainBuckets AS is_train FROM dm5)",
+      "tr AS (SELECT tk.* FROM tk JOIN sp USING (doc_id) WHERE is_train)",
+      "te AS (SELECT tk.* FROM tk JOIN sp USING (doc_id) WHERE NOT is_train)",
+      "w AS (SELECT pos, unnest(t) AS token FROM tr)",
+      "cnt AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos, " +
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg FROM w GROUP BY token)",
+      "tot AS (SELECT count(*) AS v, sum(c_pos) AS tp, sum(c_neg) AS tn FROM cnt)",
+      "pri AS (SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)" +
+        " / sum(CASE WHEN pos THEN 0 ELSE 1 END)) AS p FROM tr)",
+      "sw AS (SELECT doc_id, unnest(t) AS token FROM te)",
+      s"sc AS (SELECT doc_id, coalesce(" +
+        s"ln((c_pos + $alpha) / (tp + $alpha * v)) " +
+        s"- ln((c_neg + $alpha) / (tn + $alpha * v)), " +
+        s"ln($alpha / (tp + $alpha * v)) - ln($alpha / (tn + $alpha * v))) " +
+        "AS l FROM sw LEFT JOIN cnt USING (token), tot)",
+      "agg AS (SELECT doc_id, sum(l) AS sl FROM sc GROUP BY doc_id)",
+      "fs AS (SELECT t.doc_id, p + coalesce(a.sl, 0) AS score, t.pos " +
+        "FROM te t LEFT JOIN agg a ON t.doc_id = a.doc_id, pri)")
+  }
+
+  /** Operating-curve replay: raw q117 scores against a fixed
+    * threshold list, precision/recall/F1 with zero-denominator nulls.
+    */
+  def q190ThresholdSweep(trainBuckets: Int, alpha: Double,
+      taus: Seq[Double]): String = {
+    val list = taus.mkString("[", ", ", "]")
+    withClause(nbScoreChain(trainBuckets, alpha) ++ Seq(
+      s"th AS (SELECT unnest($list) AS tau)",
+      "ag AS (SELECT tau, " +
+        "sum(CASE WHEN score > tau AND pos THEN 1 ELSE 0 END) AS tp, " +
+        "sum(CASE WHEN score > tau AND NOT pos THEN 1 ELSE 0 END) AS fp, " +
+        "sum(CASE WHEN score <= tau AND pos THEN 1 ELSE 0 END) AS fn " +
+        "FROM fs, th GROUP BY tau)"),
+      "SELECT tau, tp, fp, fn, " +
+        "CASE WHEN tp + fp > 0 THEN " +
+        "round(tp / CAST(tp + fp AS DOUBLE), 4) END AS \"precision\", " +
+        "CASE WHEN tp + fn > 0 THEN " +
+        "round(tp / CAST(tp + fn AS DOUBLE), 4) END AS recall, " +
+        "CASE WHEN tp > 0 THEN " +
+        "round(2.0 * tp / (2.0 * tp + fp + fn), 4) END AS f1 " +
+        "FROM ag ORDER BY tau")
+  }
+
+  /** Exact mid-rank Mann-Whitney AUC over the q117 held-out scores. */
+  def q191RocAuc(trainBuckets: Int, alpha: Double): String =
+    withClause(nbScoreChain(trainBuckets, alpha) ++ Seq(
+      "r AS (SELECT doc_id, score, pos, CAST(row_number() OVER " +
+        "(ORDER BY score, doc_id) AS DOUBLE) AS rn FROM fs)",
+      "m AS (SELECT pos, avg(rn) OVER (PARTITION BY score) AS midrank " +
+        "FROM r)",
+      "ag AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos, " +
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg, " +
+        "sum(CASE WHEN pos THEN midrank END) AS rs FROM m)"),
+      "SELECT n_pos, n_neg, round((rs - n_pos * (n_pos + 1) / 2.0) " +
+        "/ CAST(n_pos * n_neg AS DOUBLE), 4) AS auc FROM ag")
+
   /** RRF ensemble replay ([[operators.RankFusion]], q137): the q117 NB
     * classifier (hash-split trained, scoring ALL docs), the q100
     * bigram LM (trained below `lmSplit`, scoring all docs with ≥ 2

@@ -3000,7 +3000,135 @@ object SparkEntry {
           sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
           round(sum(when(col("n_ev") === 1, 1L).otherwise(0L)) /
             count(lit(1)).cast("double"), 4).as("bounce_rate"),
-          round(avg(col("n_ev")), 4).as("avg_session_events")))
+          round(avg(col("n_ev")), 4).as("avg_session_events"))),
+
+    // Population Stability Index of the weekly event-type mix against
+    // week 1 — the ML-monitoring drift metric:
+    // PSI = Σ (p−q)·ln(p/q) over add-α-smoothed category shares.
+    // Exact count ratios; ln the only libm call.
+    "q188_psi_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("week", to_date(date_trunc("week", col("ts"))))
+      val weeks = graft.CacheScope.register(
+        ev.groupBy(col("week"), col("event_type"))
+          .agg(count(lit(1)).as("c")).persist())
+      val firstWeek = ev.agg(min(col("week"))).head().getDate(0)
+      val alpha = 0.5
+      val refC = weeks.filter(col("week") === lit(firstWeek))
+        .select(col("event_type"), col("c").as("rc"))
+      val refTot = refC.agg(sum(col("rc"))).head().getLong(0)
+      val cats = refC.count()
+      val curWeeks = weeks.filter(col("week") =!= lit(firstWeek))
+      val curTot = curWeeks.groupBy(col("week")).agg(sum(col("c"))
+        .as("wt"))
+      // full (week × ref-category) grid so a category MISSING from a
+      // week still contributes its smoothed term
+      curTot.crossJoin(broadcast(refC))
+        .join(curWeeks, Seq("week", "event_type"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("p", (col("c") + alpha) /
+          (col("wt") + lit(alpha * cats)))
+        .withColumn("q", (col("rc") + alpha) /
+          lit(refTot + alpha * cats))
+        .groupBy(col("week"))
+        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))),
+          4).as("psi"), count(lit(1)).as("n_cats"))
+        .orderBy(col("week"))
+    }),
+
+    // Funnel step-gap profile: exact integer minutes between
+    // consecutive completed steps, summarized by nearest-rank lower
+    // median and p90 — where the conversion time actually goes.
+    "q189_funnel_gaps" -> ((s, dir) => {
+      val times = graft.operators.Funnel.funnelTimes(events(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        horizon = "24 hours")
+      def gapMins(a: Column, b: Column): Column = {
+        val d = unix_micros(b) - unix_micros(a)
+        ((d - pmod(d, lit(60000000L))) / lit(60000000L)).cast("long")
+      }
+      val gaps = times.filter(col("t2").isNotNull)
+        .select(lit("view_to_click").as("step_pair"),
+          gapMins(col("t1"), col("t2")).as("gap_min"))
+        .unionByName(times.filter(col("t3").isNotNull)
+          .select(lit("click_to_purchase").as("step_pair"),
+            gapMins(col("t2"), col("t3")).as("gap_min")))
+      val w = Window.partitionBy(col("step_pair"))
+        .orderBy(col("gap_min"))
+      val all = Window.partitionBy(col("step_pair"))
+      gaps
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(all))
+        .groupBy(col("step_pair"))
+        .agg(any_value(col("n")).as("n_users"),
+          // nearest-rank: lower median and ceil(0.9 n)
+          min(when(col("rn") * 2 >= col("n"), col("gap_min")))
+            .as("median_min"),
+          min(when(col("rn") * 10 >= col("n") * 9, col("gap_min")))
+            .as("p90_min"))
+        .orderBy(col("step_pair"))
+    }),
+
+    // Classifier threshold sweep: precision / recall / F1 of the q117
+    // NB scores at nine fixed decision thresholds — the operating-
+    // curve table an eval harness reads.
+    "q190_threshold_sweep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("is_en", col("lang") === "en")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(split), "doc_id", "text", "is_en")
+      val scored = graft.operators.QualityClassifier.score(
+        docs.filter(!split), "doc_id", "text", model)
+      import s.implicits._
+      val taus = (-4 to 4).map(_ * 0.5)
+      scored
+        .crossJoin(broadcast(taus.toDF("tau")))
+        .groupBy(col("tau"))
+        .agg(
+          sum(when(col("score") > col("tau") && col("is_en"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") > col("tau") && !col("is_en"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score") <= col("tau") && col("is_en"), 1L)
+            .otherwise(0L)).as("fn"))
+        .withColumn("precision", when(col("tp") + col("fp") > 0,
+          round(col("tp") / (col("tp") + col("fp")).cast("double"), 4)))
+        .withColumn("recall", when(col("tp") + col("fn") > 0,
+          round(col("tp") / (col("tp") + col("fn")).cast("double"), 4)))
+        .withColumn("f1", when(col("tp") > 0,
+          round(lit(2.0) * col("tp") /
+            (lit(2.0) * col("tp") + col("fp") + col("fn")), 4)))
+        .orderBy(col("tau"))
+    }),
+
+    // Exact ROC AUC by the mid-rank Mann-Whitney identity:
+    // AUC = (Σ_pos midrank − P(P+1)/2) / (P·N), midranks from one
+    // (score, id) window + one per-score average — ties handled the
+    // textbook way, no curve integration.
+    "q191_roc_auc" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("is_en", col("lang") === "en")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(split), "doc_id", "text", "is_en")
+      val scored = graft.operators.QualityClassifier.score(
+          docs.filter(!split), "doc_id", "text", model)
+        .select(col("doc_id"), col("score"), col("is_en"))
+      val byScore = Window.orderBy(col("score"), col("doc_id"))
+      val ranked = scored
+        .withColumn("rn", row_number().over(byScore).cast("double"))
+        .withColumn("midrank",
+          avg(col("rn")).over(Window.partitionBy(col("score"))))
+      ranked.agg(
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("is_en"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("is_en"), col("midrank"))).as("rank_sum"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("rank_sum") -
+            col("n_pos") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos") * col("n_neg")).cast("double"), 4).as("auc"))
+    })
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -5305,6 +5433,60 @@ object SparkEntry {
         |  round(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
         |    / CAST(count(*) AS DOUBLE), 4) AS bounce_rate,
         |  round(avg(n_ev), 4) AS avg_session_events
-        |FROM sz""".stripMargin
+        |FROM sz""".stripMargin,
+
+    // full (week x ref-category) grid; add-0.5 smoothing on both sides
+    "q188_psi_drift" ->
+      """WITH ev AS (SELECT date_trunc('week', ts) AS week, event_type
+        |  FROM events),
+        |wk AS (SELECT week, event_type, count(*) AS c FROM ev
+        |  GROUP BY week, event_type),
+        |fw AS (SELECT min(week) AS w0 FROM wk),
+        |ref AS (SELECT event_type, c AS rc FROM wk, fw
+        |  WHERE week = fw.w0),
+        |rt AS (SELECT sum(rc) AS t, count(*) AS k FROM ref),
+        |cw AS (SELECT week, sum(c) AS wt FROM wk, fw
+        |  WHERE week <> fw.w0 GROUP BY week),
+        |grid AS (SELECT cw.week, cw.wt, ref.event_type, ref.rc,
+        |    coalesce(w2.c, 0) AS c
+        |  FROM cw CROSS JOIN ref LEFT JOIN wk w2
+        |    ON w2.week = cw.week AND w2.event_type = ref.event_type),
+        |tt AS (SELECT week, (c + 0.5) / (wt + 0.5 * rt.k) AS p,
+        |  (rc + 0.5) / (rt.t + 0.5 * rt.k) AS q FROM grid, rt)
+        |SELECT week, round(sum((p - q) * ln(p / q)), 4) AS psi,
+        |  count(*) AS n_cats
+        |FROM tt GROUP BY week ORDER BY week""".stripMargin,
+
+    // the q154 anchored chain carrying (anchor, t2, t3); nearest-rank
+    // cuts pick the min qualifying value (tie-safe)
+    "q189_funnel_gaps" ->
+      """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, any_value(u1.t1) AS anchor,
+        |    min(e.ts) AS t2
+        |  FROM events e JOIN u1 ON u1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+        |    AND e.ts <= u1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |u3 AS (SELECT e.user_id, any_value(u2.t2) AS t2, min(e.ts) AS t3
+        |  FROM events e JOIN u2 ON u2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        |    AND e.ts <= u2.anchor + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |g AS (SELECT 'view_to_click' AS step_pair,
+        |    (epoch_us(t2) - epoch_us(anchor)) // 60000000 AS gap_min
+        |  FROM u2
+        |  UNION ALL SELECT 'click_to_purchase',
+        |    (epoch_us(t3) - epoch_us(t2)) // 60000000 FROM u3),
+        |r AS (SELECT step_pair, gap_min, row_number() OVER
+        |    (PARTITION BY step_pair ORDER BY gap_min) AS rn,
+        |  count(*) OVER (PARTITION BY step_pair) AS n FROM g)
+        |SELECT step_pair, max(n) AS n_users,
+        |  min(CASE WHEN rn * 2 >= n THEN gap_min END) AS median_min,
+        |  min(CASE WHEN rn * 10 >= n * 9 THEN gap_min END) AS p90_min
+        |FROM r GROUP BY step_pair ORDER BY step_pair""".stripMargin,
+
+    "q190_threshold_sweep" -> HashOracles.q190ThresholdSweep(8000, 1.0,
+      (-4 to 4).map(_ * 0.5)),
+
+    "q191_roc_auc" -> HashOracles.q191RocAuc(8000, 1.0)
   )
 }
