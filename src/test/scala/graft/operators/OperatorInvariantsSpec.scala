@@ -336,4 +336,82 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"tau=$tau: kept $kept + dropped $pairs != total")
     }
   }
+
+  test("second-continuation families: range/shape invariants on real " +
+      "sf0.001 data") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // funnel counts are monotone non-increasing down the steps
+    graft.CacheScope.scoped {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr(
+              "timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
+      val counts = Funnel.funnelSummary(ev, "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"), "24 hours")
+        .orderBy(col("step")).collect().map(_.getAs[Long]("n_users"))
+      assert(counts.sliding(2).forall(p => p(0) >= p(1)), counts.toSeq)
+
+      // entropy in [0, ln n_cats]; normalized in [0, 1]
+      Robust.entropyProfile(ev, "user_id", "event_type").collect()
+        .foreach { r =>
+          val e = r.getAs[Double]("entropy")
+          val en = r.getAs[Double]("entropy_norm")
+          val k = r.getAs[Long]("n_cats")
+          assert(e >= 0 && e <= math.log(k.toDouble) + 1e-9, s"$e k=$k")
+          assert(en >= 0 && en <= 1.0 + 1e-9)
+        }
+
+      // dispersion is non-negative
+      Robust.dispersionProfile(ev, "user_id", "ts").collect()
+        .foreach(r => assert(r.getAs[Double]("dispersion") >= -1e-9))
+
+      // CUSUM statistic is non-negative everywhere
+      val hourly = ev.groupBy(col("event_type"),
+          org.apache.spark.sql.functions.window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"), col("window.start").as("h"), col("c"))
+      Robust.cusumDrift(hourly, "event_type", "h", "c").collect()
+        .foreach(r => assert(r.getAs[Double]("cusum") >= 0.0))
+    }
+
+    // gini in [0, 1); quantile normalization preserves per-group order
+    graft.CacheScope.scoped {
+      Robust.giniProfile(docs.select(col("source"), col("doc_id"),
+          col("n_chars")), "source", "doc_id", "n_chars").collect()
+        .foreach { r =>
+          val g = r.getAs[Double]("gini")
+          assert(g >= -1e-9 && g < 1.0, s"gini $g")
+        }
+      val qn = Normalize.quantileNormalize(docs, "source", "doc_id",
+          "n_chars").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("normalized")))
+      qn.groupBy(_._1).values.foreach { rows =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        assert(sorted.map(_._3).sliding(2).forall(p =>
+          p.length < 2 || p(0) <= p(1)),
+          "normalization must preserve within-group order")
+      }
+    }
+
+    // bootstrap CI brackets; AUC-style ratios in range
+    graft.CacheScope.scoped {
+      Bootstrap.poissonCiOfMean(docs, "source", "doc_id", "n_chars",
+          reps = 30).collect().foreach { r =>
+        assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+      }
+    }
+  }
 }
