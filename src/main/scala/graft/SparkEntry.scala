@@ -3128,6 +3128,45 @@ object SparkEntry {
           round((col("rank_sum") -
             col("n_pos") * (col("n_pos") + 1) / 2.0) /
             (col("n_pos") * col("n_neg")).cast("double"), 4).as("auc"))
+    }),
+
+    // Stratified matched controls: every English doc paired with its
+    // nearest non-English doc by length WITHIN its source — the
+    // experimental-design matching primitive as one stratum-keyed
+    // window pass (no join). Integer covariate → exact distances.
+    "q192_matched_controls" -> ((s, dir) =>
+      graft.operators.Sampling.matchedControls(
+          T(s, dir, "documents")
+            .withColumn("treated", col("lang") === "en"),
+          "doc_id", "treated", "n_chars", "source")
+        .orderBy(col("treated_id"))),
+
+    // Dedup yield curve: exact-Jaccard histogram over the capped pair
+    // slice on the INTEGER-EXACT (20·|∩|) div |∪| grid, with the
+    // cumulative from the top — "set τ here, drop this many pairs".
+    // The curve an operator reads before choosing the dedup threshold;
+    // pair rule is the declared q43-family capped baseline.
+    "q193_dedup_yield" -> ((s, dir) => {
+      val t = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      val pairs = t.as("a").join(t.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(
+          size(array_intersect(col("a.tk"), col("b.tk"))).cast("long")
+            .as("i"),
+          size(array_distinct(concat(col("a.tk"), col("b.tk"))))
+            .cast("long").as("u"))
+      val i20 = col("i") * 20
+      val bucketed = pairs
+        .withColumn("bucket",
+          ((i20 - pmod(i20, col("u"))) / col("u")).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+      bucketed
+        .withColumn("cum_at_or_above",
+          sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -5487,6 +5526,45 @@ object SparkEntry {
     "q190_threshold_sweep" -> HashOracles.q190ThresholdSweep(8000, 1.0,
       (-4 to 4).map(_ * 0.5)),
 
-    "q191_roc_auc" -> HashOracles.q191RocAuc(8000, 1.0)
+    "q191_roc_auc" -> HashOracles.q191RocAuc(8000, 1.0),
+
+    // same windows, same ignore-nulls semantics, same tie rule
+    "q192_matched_controls" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |  lang = 'en' AS treated FROM documents),
+        |n AS (SELECT *,
+        |  last_value(CASE WHEN NOT treated THEN
+        |      struct_pack(v := n_chars, id := doc_id) END IGNORE NULLS)
+        |    OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b,
+        |  first_value(CASE WHEN NOT treated THEN
+        |      struct_pack(v := n_chars, id := doc_id) END IGNORE NULLS)
+        |    OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a
+        |  FROM d),
+        |m AS (SELECT source, doc_id, n_chars,
+        |  CASE WHEN b IS NULL THEN a WHEN a IS NULL THEN b
+        |    WHEN abs(n_chars - b.v) < abs(a.v - n_chars) THEN b
+        |    WHEN abs(a.v - n_chars) < abs(n_chars - b.v) THEN a
+        |    ELSE b END AS mt
+        |  FROM n WHERE treated)
+        |SELECT source, doc_id AS treated_id, n_chars AS treated_value,
+        |  mt.id AS control_id, mt.v AS control_value,
+        |  abs(n_chars - mt.v) AS match_distance
+        |FROM m WHERE mt IS NOT NULL ORDER BY treated_id""".stripMargin,
+
+    // integer-exact (20*i) div u buckets; cumulative from the top
+    "q193_dedup_yield" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS tk
+         |  FROM documents WHERE doc_id < 200),
+         |p AS (SELECT len(list_intersect(a.tk, b.tk)) AS i,
+         |    len(list_distinct(list_concat(a.tk, b.tk))) AS u
+         |  FROM t a, t b WHERE a.doc_id < b.doc_id),
+         |bk AS (SELECT CAST((i * 20) // u AS INTEGER) AS bucket,
+         |  count(*) AS n_pairs FROM p GROUP BY 1)
+         |SELECT bucket, n_pairs,
+         |  sum(n_pairs) OVER (ORDER BY bucket DESC
+         |    ROWS UNBOUNDED PRECEDING) AS cum_at_or_above
+         |FROM bk ORDER BY bucket""".stripMargin
   )
 }

@@ -87,6 +87,56 @@ object Sampling {
       .drop("__cs_comp")
   }
 
+  /** STRATIFIED matched-control pairing on a scalar covariate — the
+    * experimental-design primitive: within each stratum (exact match
+    * on `strataCol` — the statistically standard block), every TREATED
+    * row pairs with its nearest CONTROL by `valueCol` (absolute
+    * difference; ties break toward the smaller value side — fully
+    * deterministic). Controls may be reused (with-replacement
+    * matching, the standard greedy-free form).
+    *
+    * Implementation is the as-of-join device on the covariate axis:
+    * ONE (value, id)-ordered window pass PER STRATUM finds each
+    * treated row's last-control-at-or-before and first-control-after;
+    * the closer one wins. No join at all — and because the window is
+    * keyed by the stratum, the pass parallelizes across strata (the
+    * q141 as-of contract; an UNstratified global match would be the
+    * single-partition window trap).
+    */
+  def matchedControls(df: DataFrame, idCol: String, treatedCol: String,
+      valueCol: String, strataCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col(valueCol), col(idCol))
+    val ctrl = when(!col(treatedCol),
+      struct(col(valueCol).as("v"), col(idCol).as("id")))
+    val before = last(ctrl, ignoreNulls = true)
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1))
+    val after = first(ctrl, ignoreNulls = true)
+      .over(w.rowsBetween(1, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing))
+    val withNbrs = df
+      .withColumn("__mc_b", before)
+      .withColumn("__mc_a", after)
+      .filter(col(treatedCol))
+    val dB = abs(col(valueCol) - col("__mc_b.v"))
+    val dA = abs(col("__mc_a.v") - col(valueCol))
+    withNbrs
+      .withColumn("match",
+        when(col("__mc_b").isNull, col("__mc_a"))
+          .when(col("__mc_a").isNull, col("__mc_b"))
+          .when(dB < dA, col("__mc_b"))
+          .when(dA < dB, col("__mc_a"))
+          .otherwise(col("__mc_b"))) // tie -> the smaller value side
+      .filter(col("match").isNotNull)
+      .select(col(strataCol), col(idCol).as("treated_id"),
+        col(valueCol).as("treated_value"),
+        col("match.id").as("control_id"),
+        col("match.v").as("control_value"),
+        abs(col(valueCol) - col("match.v")).as("match_distance"))
+  }
+
   /** Keep ~`fraction` of rows, deterministically in the id. */
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")

@@ -216,4 +216,32 @@ class SamplingSpec extends SparkSpec {
       .exists(_._2.map(_._2).distinct.length > 1)
     assert(straddled, "fixture should demonstrate doc-keyed leakage")
   }
+
+  test("matchedControls: nearest by value within stratum, ties to the " +
+      "smaller side, strata isolated, controls reusable") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // stratum A: controls at 10 and 20; treated at 14 (closer to 10),
+      // 15 (tie -> 10, the smaller side), 19 (closer to 20)
+      ("A", 1L, 10L, false), ("A", 2L, 20L, false),
+      ("A", 3L, 14L, true), ("A", 4L, 15L, true), ("A", 5L, 19L, true),
+      // stratum B: single control far away — must match B's control,
+      // never A's closer ones
+      ("B", 6L, 100L, false), ("B", 7L, 11L, true),
+      // stratum C: no control -> treated row dropped
+      ("C", 8L, 50L, true)
+    ).toDF("src", "id", "v", "treated")
+    val out = Sampling.matchedControls(df, "id", "treated", "v", "src")
+      .collect().map(r => r.getAs[Long]("treated_id") ->
+        (r.getAs[Long]("control_id"), r.getAs[Long]("match_distance")))
+      .toMap
+    assert(out(3L) === ((1L, 4L)))
+    assert(out(4L) === ((1L, 5L)), "tie must break to the smaller side")
+    assert(out(5L) === ((2L, 1L)))
+    assert(out(7L) === ((6L, 89L)), "match must stay inside the stratum")
+    assert(!out.contains(8L), "a stratum without controls matches nothing")
+    // controls reused: control 1 matched twice
+    assert(out.values.count(_._1 == 1L) === 2)
+  }
 }
