@@ -3167,6 +3167,78 @@ object SparkEntry {
           sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)
             .rowsBetween(Window.unboundedPreceding, 0)))
         .orderBy(col("bucket"))
+    }),
+
+    // Sessionized funnel: view→click→purchase must complete INSIDE one
+    // 30-min-gap session — the q32 gaps-and-islands session id becomes
+    // the funnel partition key, and the chained-min algebra runs at
+    // (user, session) grain. Tighter than q154's 24 h anchor: the
+    // "within one visit" conversion.
+    "q194_session_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+              1800000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val v = sess.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("ts")).as("t1"))
+      val c = sess.filter(col("event_type") === "click")
+        .select(col("user_id"), col("sess"), col("ts").as("cts"))
+        .join(v, Seq("user_id", "sess"))
+        .filter(col("cts") > col("t1"))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("cts")).as("t2"))
+      val p = sess.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sess"), col("ts").as("pts"))
+        .join(c, Seq("user_id", "sess"))
+        .filter(col("pts") > col("t2"))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("pts")).as("t3"))
+      val nv = v.agg(count(lit(1))).head().getLong(0)
+      val nc = c.agg(count(lit(1))).head().getLong(0)
+      val np = p.agg(count(lit(1))).head().getLong(0)
+      import s.implicits._
+      Seq(("1_view", nv), ("2_click", nc), ("3_purchase", np))
+        .toDF("step", "n_sessions")
+        .withColumn("conv_from_first",
+          round(col("n_sessions") / lit(nv).cast("double"), 4))
+        .orderBy(col("step"))
+    }),
+
+    // Trending terms: per slice, the 3 tokens whose in-slice share
+    // most exceeds their corpus-wide share (lift on exact count
+    // ratios, count floor 5) — the burst/emerging-terms readout. The
+    // slice key here is a deterministic doc_id partition (the corpus
+    // carries no timestamps); swap in a real week column unchanged.
+    "q195_trending_terms" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .withColumn("week", pmod(col("doc_id"), lit(4L)))
+        .select(col("week"), explode(toks(col("text"))).as("token"))
+      val wk = tok.groupBy(col("week"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val wkTot = wk.groupBy(col("week")).agg(sum(col("c")).as("wt"))
+      val tot = tok.groupBy(col("token")).agg(count(lit(1)).as("ct"))
+      val n = tok.count()
+      val scored = wk.filter(col("c") >= 5)
+        .join(wkTot, Seq("week"))
+        .join(tot, Seq("token"))
+        .withColumn("lift",
+          round((col("c") * n).cast("double") /
+            (col("wt") * col("ct")), 4))
+      val byWeek = Window.partitionBy(col("week"))
+        .orderBy(col("lift").desc, col("token"))
+      scored
+        .withColumn("rn", row_number().over(byWeek))
+        .filter(col("rn") <= 3)
+        .select(col("week"), col("rn"), col("token"), col("c"),
+          col("lift"))
+        .orderBy(col("week"), col("rn"))
     })
   )
 
@@ -5565,6 +5637,59 @@ object SparkEntry {
          |SELECT bucket, n_pairs,
          |  sum(n_pairs) OVER (ORDER BY bucket DESC
          |    ROWS UNBOUNDED PRECEDING) AS cum_at_or_above
-         |FROM bk ORDER BY bucket""".stripMargin
+         |FROM bk ORDER BY bucket""".stripMargin,
+
+    // q32's session ids as the funnel partition; chained per-session
+    // mins
+    "q194_session_funnel" ->
+      """WITH se AS (SELECT user_id, event_type, ts,
+        |  sum(CASE WHEN prev_ts IS NULL OR
+        |      epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts FROM events)),
+        |v AS (SELECT user_id, sess, min(ts) AS t1 FROM se
+        |  WHERE event_type = 'view' GROUP BY user_id, sess),
+        |c AS (SELECT s2.user_id, s2.sess, min(s2.ts) AS t2
+        |  FROM se s2 JOIN v ON v.user_id = s2.user_id
+        |    AND v.sess = s2.sess
+        |  WHERE s2.event_type = 'click' AND s2.ts > v.t1
+        |  GROUP BY s2.user_id, s2.sess),
+        |p AS (SELECT s3.user_id, s3.sess, min(s3.ts) AS t3
+        |  FROM se s3 JOIN c ON c.user_id = s3.user_id
+        |    AND c.sess = s3.sess
+        |  WHERE s3.event_type = 'purchase' AND s3.ts > c.t2
+        |  GROUP BY s3.user_id, s3.sess),
+        |n AS (SELECT (SELECT count(*) FROM v) AS nv,
+        |  (SELECT count(*) FROM c) AS nc,
+        |  (SELECT count(*) FROM p) AS np)
+        |SELECT '1_view' AS step, nv AS n_sessions,
+        |  round(CAST(nv AS DOUBLE) / nv, 4) AS conv_from_first FROM n
+        |UNION ALL SELECT '2_click', nc,
+        |  round(CAST(nc AS DOUBLE) / nv, 4) FROM n
+        |UNION ALL SELECT '3_purchase', np,
+        |  round(CAST(np AS DOUBLE) / nv, 4) FROM n
+        |ORDER BY step""".stripMargin,
+
+    // slice key is plain pmod on the raw id — no hash mixing needed
+    "q195_trending_terms" ->
+      s"""WITH tok AS (SELECT doc_id % 4 AS week,
+         |  unnest($ToksSql) AS token FROM documents),
+         |wk AS (SELECT week, token, count(*) AS c FROM tok
+         |  GROUP BY week, token),
+         |wt AS (SELECT week, sum(c) AS wt FROM wk GROUP BY week),
+         |ct AS (SELECT token, count(*) AS ct FROM tok GROUP BY token),
+         |nn AS (SELECT count(*) AS n FROM tok),
+         |sc AS (SELECT wk.week, wk.token, wk.c,
+         |  round(CAST(wk.c * nn.n AS DOUBLE) / (wt.wt * ct.ct), 4)
+         |    AS lift
+         |  FROM wk JOIN wt USING (week) JOIN ct USING (token), nn
+         |  WHERE wk.c >= 5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY week
+         |  ORDER BY lift DESC, token) AS rn FROM sc)
+         |SELECT week, rn, token, c, lift FROM r WHERE rn <= 3
+         |ORDER BY week, rn""".stripMargin
   )
 }
