@@ -97,17 +97,31 @@ object Bench {
       }
       (name, reps.min, reps)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // both raw reps ride in the record: min-of-2 bounds one-off JIT/GC
-    // luck, but sustained box load slows BOTH reps — with the pair
-    // visible, "both reps slow" (load) separates from "plan got slower"
-    // (regression) in the artifact itself, no re-run needed
-    val rp = results
-      .map { case (k, _, rs) => s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = f"$v%.3f"
+    // The full record (every query, min + both raw reps: min-of-2 bounds
+    // one-off JIT/GC luck, but sustained box load slows BOTH reps — with
+    // the pair visible, "both reps slow" (load) separates from "plan got
+    // slower" (regression) without a re-run) goes to a FILE: at 195
+    // queries the all-queries JSON line is ~15 KB, and a harness that
+    // keeps only a stdout tail truncates it mid-string (every BENCH_r*
+    // record through round 8 has parsed:null for exactly this reason).
+    val detail = results.map { case (k, v, rs) =>
+      s"\"" + k + "\":{\"min\":" + r3(v) + ",\"reps\":" +
+        rs.map(r3).mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rp,"sf":"$sfDir"}""")
+    val detailLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath,
+      (detailLine + "\n").getBytes("UTF-8"))
+    // stdout gets ONE compact line that survives a 2000-char tail:
+    // totals for everything, per-query numbers for the TOP slowest only
+    // (3 dp), sized so line + sbt epilogue fit the tail window.
+    val top = results.sortBy(-_._2).take(30)
+      .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ContentTypes, DedupFunctions, FileNames, Slugify, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Contamination, CorpusPipeline, Dedup, Multimodal, QualityFilters, Sampling, Similarity, SkewJoins}
+import graft.operators.{Contamination, CorpusPipeline, Dedup, Multimodal, QualityFilters, Sampling, SetSimJoin, Similarity, SkewJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3239,6 +3239,57 @@ object SparkEntry {
         .select(col("week"), col("rn"), col("token"), col("c"),
           col("lift"))
         .orderBy(col("week"), col("rn"))
+    }),
+
+    // EXACT set-similarity join via prefix filtering (AllPairs/PPJoin)
+    // over 5-gram shingles — recall 1.0 by the prefix-filter theorem,
+    // candidates an equi-join on prefix elements only: the exact-scale
+    // counterpart to q18's probabilistic MinHash candidates and the
+    // production path for q20's capped quadratic baseline. All
+    // threshold math on the 1e-6 integer grid (cross-multiplied).
+    "q196_prefix_jaccard_join" -> ((s, dir) =>
+      SetSimJoin.jaccardJoin(T(s, dir, "documents"), "doc_id", "text",
+          tauMicros = 800000L, n = 5)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // Kaplan–Meier time-to-purchase with ADMINISTRATIVE censoring:
+    // duration = days from a user's first event to first purchase;
+    // users not purchasing within the 5-day window are censored AT
+    // the window (never counted as failures at the horizon — the
+    // error naive conversion rates make). Segmented by each user's
+    // first event type; the curve table is bounded by distinct
+    // durations, windows run over it only.
+    "q197_kaplan_meier" -> ((s, dir) => {
+      val subj = graft.operators.Survival.conversionSubjects(
+        events(s, dir), "user_id", "ts", "event_id",
+        col("event_type"), col("event_type") === "purchase",
+        windowDays = 5)
+      graft.operators.Survival.kaplanMeier(
+          subj, "segment", "duration_days", "converted")
+        .orderBy(col("segment"), col("t"))
+    }),
+
+    // CUPED variance reduction: pre-period spend (first half of the
+    // window) predicts experiment-period spend (second half), θ pooled
+    // and 6-dp-pinned, per-arm means preserved while variance shrinks.
+    // Arms are a deterministic user_id parity — swap in a real
+    // assignment column unchanged.
+    "q198_cuped" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("__lo"),
+        max(unix_micros(col("ts"))).as("__hi"))
+      val units = ev.crossJoin(broadcast(mm))
+        .withColumn("__pre",
+          unix_micros(col("ts")) <
+            expr("(__lo + __hi) div 2"))
+        .groupBy(col("user_id"))
+        .agg(round(sum(when(col("__pre"), col("value"))
+            .otherwise(lit(0.0))), 2).as("x"),
+          round(sum(when(!col("__pre"), col("value"))
+            .otherwise(lit(0.0))), 2).as("y"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      graft.operators.Abtest.cupedSummary(units, "arm", "x", "y")
+        .orderBy(col("arm"))
     })
   )
 
@@ -5690,6 +5741,111 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY week
          |  ORDER BY lift DESC, token) AS rn FROM sc)
          |SELECT week, rn, token, c, lift FROM r WHERE rn <= 3
-         |ORDER BY week, rn""".stripMargin
+         |ORDER BY week, rn""".stripMargin,
+
+    // prefix-filter chain replayed verbatim: df-ascending global order,
+    // integer ceil-division prefix length, cross-multiplied length and
+    // similarity filters, list_intersect verify
+    "q196_prefix_jaccard_join" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |el AS (SELECT DISTINCT doc_id, elem FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+         |    THEN list_transform(range(0, len(t) - 4),
+         |      i -> array_to_string(t[i + 1 : i + 5], ' '))
+         |    ELSE [array_to_string(t, ' ')] END) AS elem FROM tok)),
+         |dfb AS (SELECT elem, count(*) AS df FROM el GROUP BY elem),
+         |ln AS (SELECT doc_id, count(*) AS len FROM el GROUP BY doc_id),
+         |srt AS (SELECT e.doc_id, e.elem, l.len,
+         |    row_number() OVER (PARTITION BY e.doc_id
+         |      ORDER BY d.df, e.elem) AS rn
+         |  FROM el e JOIN dfb d USING (elem) JOIN ln l USING (doc_id)),
+         |pf AS (SELECT * FROM srt
+         |  WHERE rn <= len - ((800000 * len + 999999) // 1000000) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.len AS la, b.len AS lb
+         |  FROM pf a JOIN pf b ON a.elem = b.elem AND a.doc_id < b.doc_id
+         |  WHERE 800000 * greatest(a.len, b.len)
+         |    <= 1000000 * least(a.len, b.len)),
+         |arr AS (SELECT doc_id, list_sort(list(elem)) AS es
+         |  FROM el GROUP BY doc_id),
+         |v AS (SELECT c.a_id, c.b_id,
+         |    CAST(len(list_intersect(x.es, y.es)) AS BIGINT) AS n_intersect,
+         |    c.la + c.lb - len(list_intersect(x.es, y.es)) AS n_union
+         |  FROM cand c JOIN arr x ON x.doc_id = c.a_id
+         |  JOIN arr y ON y.doc_id = c.b_id)
+         |SELECT a_id, b_id, n_intersect, n_union,
+         |  round(CAST(n_intersect AS DOUBLE) / n_union, 4) AS jac
+         |FROM v WHERE 1000000 * n_intersect >= 800000 * n_union
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // KM replay: first-event segment, integer-micros horizon, risk sets
+    // by reverse cumsum, the product as exp∘sum∘ln with the d=n zero
+    // absorbed explicitly (never through the log path)
+    "q197_kaplan_meier" ->
+      """WITH e1 AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |seg AS (SELECT user_id, event_type AS segment FROM e1
+        |  WHERE rn = 1),
+        |pu AS (SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tc
+        |  FROM events GROUP BY user_id),
+        |subj AS (SELECT s.segment,
+        |    CASE WHEN dp IS NOT NULL AND dp <= 5 THEN dp ELSE 5 END
+        |      AS dur,
+        |    dp IS NOT NULL AND dp <= 5 AS ev
+        |  FROM (SELECT user_id,
+        |      CAST(date_diff('day', CAST(t0 AS DATE), CAST(tc AS DATE))
+        |        AS BIGINT) AS dp FROM pu) d
+        |  JOIN seg s USING (user_id)),
+        |bd AS (SELECT segment, dur AS t,
+        |    sum(CASE WHEN ev THEN 1 ELSE 0 END) AS n_events,
+        |    sum(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+        |  FROM subj GROUP BY 1, 2),
+        |tt AS (SELECT segment, sum(n_events + n_censored) AS tot
+        |  FROM bd GROUP BY 1),
+        |rk AS (SELECT bd.*, tt.tot - coalesce(sum(n_events + n_censored)
+        |    OVER (PARTITION BY bd.segment ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS n_risk
+        |  FROM bd JOIN tt USING (segment)),
+        |sv AS (SELECT *, CASE WHEN max(CASE WHEN n_events >= n_risk
+        |      THEN 1 ELSE 0 END) OVER w = 1 THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN n_events < n_risk
+        |      THEN ln(1 - CAST(n_events AS DOUBLE) / n_risk)
+        |      ELSE 0.0 END) OVER w), 4) END AS survival
+        |  FROM rk WINDOW w AS (PARTITION BY segment ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT segment, t, n_risk, n_events, n_censored, survival
+        |FROM sv WHERE n_events > 0 ORDER BY segment, t""".stripMargin,
+
+    // CUPED replay: per-user pre/post sums on the money grid, pooled
+    // θ from raw sums rounded to 6 dp BEFORE the adjustment, per-arm
+    // sample variances from explicit sums
+    "q198_cuped" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts))
+        |    AS hi FROM events),
+        |u AS (SELECT user_id,
+        |    round(sum(CASE WHEN epoch_us(ts) < (lo + hi) // 2
+        |      THEN value ELSE 0.0 END), 2) AS x,
+        |    round(sum(CASE WHEN epoch_us(ts) < (lo + hi) // 2
+        |      THEN 0.0 ELSE value END), 2) AS y,
+        |    user_id % 2 AS arm
+        |  FROM events, mm GROUP BY user_id),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM u),
+        |ad AS (SELECT u.arm, u.y,
+        |    u.y - round((st.sxy - st.sx * st.sy / st.n) /
+        |        (st.sxx - st.sx * st.sx / st.n), 6) *
+        |      (u.x - st.sx / st.n) AS ya
+        |  FROM u, st)
+        |SELECT arm, count(*) AS n,
+        |  round(sum(y) / count(*), 4) AS mean_y,
+        |  round(sum(ya) / count(*), 4) AS mean_y_cuped,
+        |  round((sum(y * y) - sum(y) * sum(y) / count(*)) /
+        |    (count(*) - 1), 4) AS var_y,
+        |  round((sum(ya * ya) - sum(ya) * sum(ya) / count(*)) /
+        |    (count(*) - 1), 4) AS var_y_cuped
+        |FROM ad GROUP BY arm ORDER BY arm""".stripMargin
   )
 }

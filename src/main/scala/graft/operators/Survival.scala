@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation — the retention/churn curve with
+  * CORRECT censoring handling (Kaplan & Meier 1958). Naive retention
+  * ("fraction still active at day t", q155) silently treats every
+  * not-yet-churned subject as churned at the observation horizon; KM
+  * instead removes censored subjects from the at-risk set at their
+  * censoring time, which is the standard estimator for "how long do
+  * users stay" on a window of data that ends before everyone's story
+  * does.
+  *
+  * Estimator: at each distinct duration t where ≥ 1 event occurred,
+  * with `n_t` = subjects whose duration ≥ t (at risk) and `d_t` =
+  * events at exactly t, the survival is `S(t) = Π_{u ≤ t} (1 − d_u/n_u)`.
+  *
+  * Scale shape: one aggregation to the (group, duration) grain — the
+  * curve table is BOUNDED by distinct durations per group, not by
+  * subjects — then windows over that bounded table only (risk sets via
+  * a reverse cumulative sum, the product via exp∘sum∘ln). The corpus
+  * pays one partial-agg shuffle; no window ever runs at subject grain.
+  *
+  * Portability: n and d are exact integers; the product is evaluated
+  * as `exp(sum(ln(1 − d/n)))` over the SAME ascending duration order in
+  * both engines and rounded to 4 dp (libm ulp differences are ~1e-15
+  * per term — the 1e-4 grid precedent from [[NgramLm]]).
+  */
+object Survival {
+
+  /** KM curve per group. Input: one row per SUBJECT with a non-negative
+    * integer-ish `durationCol` and `eventCol` ∈ {true = event observed
+    * (churned/died), false = censored (still active at horizon)}.
+    * Output: (group, t, n_risk, n_events, n_censored, survival), one
+    * row per (group, duration-with-events), survival rounded 4 dp.
+    *
+    * Censored subjects still reduce later risk sets (rows with only
+    * censoring appear in no output row but their mass leaves `n_risk`
+    * through the cumulative removal term — the whole point of KM).
+    */
+  def kaplanMeier(subjects: DataFrame, groupCol: String,
+      durationCol: String, eventCol: String): DataFrame = {
+    val byDur = subjects
+      .groupBy(col(groupCol), col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("n_censored"))
+    val totals = byDur.groupBy(col(groupCol))
+      .agg(sum(col("n_events") + col("n_censored")).as("__tot"))
+    val wPrior = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .join(totals, Seq(groupCol))
+      .withColumn("n_risk",
+        col("__tot") - coalesce(
+          sum(col("n_events") + col("n_censored")).over(wPrior), lit(0L)))
+      // survival factors exist at every duration row, but only rows
+      // with events move the curve (ln(1-0/n) = 0 contributes nothing,
+      // so computing the cumsum BEFORE dropping event-free rows is
+      // equivalent and keeps the window over the same bounded table).
+      // The d = n row (everyone at risk dies) makes its factor 0 and
+      // the curve 0 FOREVER — guarded explicitly because ln(0) is null
+      // in Spark (silently dropped from the sum) and -inf elsewhere:
+      // the zero absorbs, it must never pass through the log path.
+      .withColumn("__lnf",
+        when(col("n_events") < col("n_risk"),
+          log(lit(1.0) - col("n_events").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("__hit0",
+        max(when(col("n_events") >= col("n_risk"), 1).otherwise(0))
+          .over(wCum))
+      .withColumn("survival",
+        when(col("__hit0") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("__lnf")).over(wCum)), 4)))
+      .filter(col("n_events") > 0)
+      .select(col(groupCol), col("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
+
+  /** Subject table for time-to-conversion under an ADMINISTRATIVE
+    * censoring window: duration = days from the subject's first event
+    * to its first conversion event; subjects not converting within
+    * `windowDays` are censored AT the window (duration = windowDays,
+    * event = false). This is the "W-day conversion" product metric in
+    * its statistically honest form — late converters are censored, not
+    * counted as failures at the horizon.
+    */
+  def conversionSubjects(events: DataFrame, subjectCol: String,
+      tsCol: String, orderCol: String, segment: Column,
+      isConversion: Column, windowDays: Int): DataFrame = {
+    val w = Window.partitionBy(col(subjectCol))
+      .orderBy(col(tsCol), col(orderCol))
+    events
+      .withColumn("__seg", segment)
+      .withColumn("__conv", isConversion)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(subjectCol))
+      .agg(min(col(tsCol)).as("__t0"),
+        min(when(col("__conv"), col(tsCol))).as("__tc"),
+        max(when(col("__rn") === 1, col("__seg"))).as("segment"))
+      .withColumn("__dur",
+        datediff(col("__tc").cast("date"), col("__t0").cast("date"))
+          .cast("long"))
+      .withColumn("converted",
+        col("__dur").isNotNull && col("__dur") <= windowDays)
+      .withColumn("duration_days",
+        when(col("converted"), col("__dur")).otherwise(windowDays.toLong))
+      .select(col(subjectCol), col("segment"), col("duration_days"),
+        col("converted"))
+  }
+
+  /** Subject table for activity churn: per subject, duration = days
+    * from first to last event; the subject is CHURNED (event = true)
+    * when its last activity is more than `inactiveDays` before the
+    * corpus horizon (max ts anywhere), else censored. `segment` is any
+    * per-subject label expression evaluated on the subject's FIRST
+    * event row ((ts, orderCol) order — deterministic).
+    */
+  def activitySubjects(events: DataFrame, subjectCol: String,
+      tsCol: String, orderCol: String, segment: Column,
+      inactiveDays: Int): DataFrame = {
+    val w = Window.partitionBy(col(subjectCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val perUser = events
+      .withColumn("__seg", segment)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(subjectCol))
+      .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__tl"),
+        max(when(col("__rn") === 1, col("__seg"))).as("segment"))
+    // horizon as exact integer MICROS (a millisecond round-trip through
+    // java.time would truncate the sub-ms components real event data
+    // carries) — one bounded driver fact
+    val horizonMicros = perUser
+      .agg(max(unix_micros(col("__tl")))).head().getLong(0)
+    perUser
+      .withColumn("duration_days",
+        datediff(col("__tl").cast("date"), col("__t0").cast("date"))
+          .cast("long"))
+      .withColumn("churned",
+        unix_micros(col("__tl")) <
+          lit(horizonMicros - inactiveDays.toLong * 86400000000L))
+      .select(col(subjectCol), col("segment"), col("duration_days"),
+        col("churned"))
+  }
+}

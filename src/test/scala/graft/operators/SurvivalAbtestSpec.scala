@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SurvivalAbtestSpec extends SparkSpec {
+
+  private lazy val sqlImplicits = spark.implicits
+  import sqlImplicits._
+
+  test("Kaplan–Meier hand fixture: risk sets, censoring, product") {
+    val subjects = Seq(
+      ("g", 1L, true), ("g", 1L, false), ("g", 2L, true),
+      ("g", 3L, true), ("g", 3L, true), ("g", 4L, false)
+    ).toDF("seg", "dur", "ev")
+    val km = Survival.kaplanMeier(subjects, "seg", "dur", "ev")
+      .orderBy("t").collect()
+    // t=4 has no events -> no row
+    assert(km.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(km.map(_.getLong(2)).toSeq === Seq(6L, 4L, 3L)) // n_risk
+    assert(km.map(_.getLong(3)).toSeq === Seq(1L, 1L, 2L)) // n_events
+    // S: 5/6=0.8333, *3/4=0.625, *1/3=0.2083
+    assert(km.map(_.getDouble(5)).toSeq === Seq(0.8333, 0.625, 0.2083))
+  }
+
+  test("censoring matters: censored subjects leave the risk set, " +
+      "they are never counted as events") {
+    // same durations, but the t=1 censored subject flipped to an event
+    val censored = Seq(("g", 1L, true), ("g", 1L, false), ("g", 2L, true))
+      .toDF("seg", "dur", "ev")
+    val churnedAll = Seq(("g", 1L, true), ("g", 1L, true), ("g", 2L, true))
+      .toDF("seg", "dur", "ev")
+    val sc1 = Survival.kaplanMeier(censored, "seg", "dur", "ev")
+      .filter(col("t") === 2).select("survival").head().getDouble(0)
+    val sc2 = Survival.kaplanMeier(churnedAll, "seg", "dur", "ev")
+      .filter(col("t") === 2).select("survival").head().getDouble(0)
+    // censored: S(1)=2/3, S(2)=2/3*0 ... n_risk at 2 is 1, d=1 -> 0
+    // churned-all: S(1)=1/3, S(2)=0 — survival at t=1 differs
+    assert(sc1 === 0.0 && sc2 === 0.0)
+    val s11 = Survival.kaplanMeier(censored, "seg", "dur", "ev")
+      .filter(col("t") === 1).select("survival").head().getDouble(0)
+    val s12 = Survival.kaplanMeier(churnedAll, "seg", "dur", "ev")
+      .filter(col("t") === 1).select("survival").head().getDouble(0)
+    assert(s11 === 0.6667 && s12 === 0.3333)
+  }
+
+  test("groups are independent curves") {
+    val subjects = Seq(
+      ("a", 1L, true), ("a", 2L, true),
+      ("b", 1L, true), ("b", 1L, true), ("b", 5L, false)
+    ).toDF("seg", "dur", "ev")
+    val km = Survival.kaplanMeier(subjects, "seg", "dur", "ev")
+    assert(km.filter(col("seg") === "a" && col("t") === 1)
+      .head().getLong(2) === 2L)
+    assert(km.filter(col("seg") === "b" && col("t") === 1)
+      .head().getLong(2) === 3L)
+  }
+
+  test("activitySubjects: duration, churn vs horizon, first-event segment") {
+    val ev = Seq(
+      // user 1: active to the horizon (censored), first event 'view'
+      (1L, "2024-01-01 00:00:00", "view", 1L),
+      (1L, "2024-01-30 00:00:00", "click", 2L),
+      // user 2: last seen day 3, horizon is day 30 -> churned
+      (2L, "2024-01-01 00:00:00", "signup", 3L),
+      (2L, "2024-01-04 00:00:00", "view", 4L)
+    ).toDF("user_id", "s", "event_type", "event_id")
+      .withColumn("ts", to_timestamp(col("s")))
+    val subj = Survival.activitySubjects(ev, "user_id", "ts", "event_id",
+      col("event_type"), inactiveDays = 7)
+      .orderBy("user_id").collect()
+    assert(subj(0).getString(1) === "view")
+    assert(subj(0).getLong(2) === 29L && !subj(0).getBoolean(3))
+    assert(subj(1).getString(1) === "signup")
+    assert(subj(1).getLong(2) === 3L && subj(1).getBoolean(3))
+  }
+
+  test("conversionSubjects: in-window event, late converter censored " +
+      "AT the window, never-converter censored") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "view", 1L),
+      (1L, "2024-01-03 00:00:00", "purchase", 2L), // day 2: event
+      (2L, "2024-01-01 00:00:00", "view", 3L),
+      (2L, "2024-01-09 00:00:00", "purchase", 4L), // day 8 > 5: censored
+      (3L, "2024-01-01 00:00:00", "click", 5L)      // never: censored
+    ).toDF("user_id", "s", "event_type", "event_id")
+      .withColumn("ts", to_timestamp(col("s")))
+    val subj = Survival.conversionSubjects(ev, "user_id", "ts", "event_id",
+      col("event_type"), col("event_type") === "purchase", windowDays = 5)
+      .orderBy("user_id").collect()
+    assert(subj(0).getLong(2) === 2L && subj(0).getBoolean(3))
+    assert(subj(1).getLong(2) === 5L && !subj(1).getBoolean(3))
+    assert(subj(2).getLong(2) === 5L && !subj(2).getBoolean(3))
+    assert(subj(2).getString(1) === "click")
+  }
+
+  test("CUPED: exact θ on a perfectly linear fixture collapses variance") {
+    val units = Seq(
+      ("t", 0.0, 0.0), ("t", 1.0, 2.0), ("c", 2.0, 4.0), ("c", 3.0, 6.0)
+    ).toDF("arm", "x", "y")
+    // θ = cov/var = 2 exactly; y_cuped = y − 2(x − 1.5) = 3.0 for all
+    val adj = Abtest.cupedAdjust(units, "x", "y")
+      .select("y_cuped").collect().map(_.getDouble(0))
+    assert(adj.forall(v => math.abs(v - 3.0) < 1e-9))
+    val s = Abtest.cupedSummary(units, "arm", "x", "y")
+      .orderBy("arm").collect()
+    assert(s.map(_.getString(0)).toSeq === Seq("c", "t"))
+    assert(s.forall(_.getDouble(5) === 0.0)) // var_y_cuped
+    assert(s.forall(_.getDouble(4) > 0.0))   // var_y
+  }
+
+  test("CUPED: pooled mean is invariant, per-arm variance shrinks on " +
+      "correlated real-ish data") {
+    val rng = new scala.util.Random(7)
+    val units = (1 to 400).map { i =>
+      val x = rng.nextDouble() * 10
+      val arm = if (i % 2 == 0) "t" else "c"
+      val lift = if (arm == "t") 0.5 else 0.0
+      (arm, x, 3.0 * x + lift + rng.nextGaussian())
+    }.toDF("arm", "x", "y")
+    val adj = Abtest.cupedAdjust(units, "x", "y")
+    val my = adj.agg(sum(col("y")), sum(col("y_cuped"))).head()
+    assert(math.abs(my.getDouble(0) - my.getDouble(1)) < 1e-6 * 400)
+    val s = Abtest.cupedSummary(units, "arm", "x", "y").collect()
+    s.foreach { r =>
+      assert(r.getDouble(5) < r.getDouble(4) / 10,
+        s"variance should collapse: $r")
+    }
+  }
+}
