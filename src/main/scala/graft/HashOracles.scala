@@ -994,6 +994,71 @@ object HashOracles {
         "WHERE asg.list_id IN (SELECT p FROM probes) " +
         s"ORDER BY adc_score DESC, vec_id LIMIT $topK")
 
+  /** Two-stage retrieval replay ([[operators.Similarity
+    * .ivfPqTopKReranked]]): the q129 IVF-PQ chain picks `nCand` ADC
+    * candidates (adc DESC, vec_id — the limit tie the Spark side uses),
+    * then ONLY those rows pay the exact full-dim dot: the same
+    * ascending left fold as `VectorFunctions.dot`, rounded at 4.
+    */
+  private def ivfPqRerankCtes(m: Int, kCent: Int, dim: Int, nLists: Int,
+      nProbe: Int, nCand: Int, topK: Int): Seq[String] =
+    Seq(
+      "e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      "qv AS (SELECT v FROM e WHERE vec_id = 0)") ++
+      planesCtes(nLists, dim) ++ Seq(
+      "proj AS (SELECT e.vec_id, " +
+        s"${projection("e.v")} AS pr, pv.p " +
+        "FROM e CROSS JOIN pv pv)",
+      "asg AS (SELECT vec_id, p AS list_id FROM " +
+        "(SELECT vec_id, p, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk " +
+        "FROM proj) WHERE rk = 1)",
+      "qproj AS (SELECT pv.p, " +
+        s"${projection("q.v")} AS pr FROM qv q CROSS JOIN pv pv)",
+      s"probes AS (SELECT p FROM qproj ORDER BY pr DESC, p DESC " +
+        s"LIMIT $nProbe)") ++
+      pqChainCtes(m, kCent, dim) ++ Seq(
+      s"cand AS (SELECT vec_id, round(${pqSumExpr(m)}, 4) AS adc_score " +
+        s"FROM d_0 ${pqJoins(m)} " +
+        "JOIN asg USING (vec_id) " +
+        "WHERE asg.list_id IN (SELECT p FROM probes) " +
+        s"ORDER BY adc_score DESC, vec_id LIMIT $nCand)",
+      "rr AS (SELECT c.vec_id, c.adc_score, " +
+        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, ${dim + 1}), " +
+        "j -> e.v[j] * q.v[j])), (a, x) -> a + x), 4) AS exact_score " +
+        "FROM cand c JOIN e USING (vec_id), qv q " +
+        s"ORDER BY exact_score DESC, c.vec_id LIMIT $topK)")
+
+  def q199IvfPqRerank(m: Int, kCent: Int, dim: Int, nLists: Int,
+      nProbe: Int, nCand: Int, topK: Int): String =
+    withClause(ivfPqRerankCtes(m, kCent, dim, nLists, nProbe, nCand, topK),
+      "SELECT vec_id, adc_score, exact_score FROM rr " +
+        "ORDER BY exact_score DESC, vec_id")
+
+  /** Capstone: RAG context assembly — the reranked retrieval (the q199
+    * chain verbatim) joins the documents table and packs the context
+    * window GREEDILY in relevance order until the token budget closes:
+    * rank and running token total from ONE window over the ≤ topK-row
+    * retrieval result, docs that straddle the budget are dropped whole
+    * (no partial documents in a prompt).
+    */
+  def q200RagContext(m: Int, kCent: Int, dim: Int, nLists: Int,
+      nProbe: Int, nCand: Int, topK: Int, budget: Int): String =
+    withClause(ivfPqRerankCtes(m, kCent, dim, nLists, nProbe, nCand,
+      topK) ++ Seq(
+      "dt AS (SELECT r.vec_id, r.exact_score, " +
+        s"CAST(len($Toks) AS BIGINT) AS n_tokens, " +
+        "row_number() OVER (ORDER BY r.exact_score DESC, r.vec_id) " +
+        "AS rank, " +
+        "sum(CAST(len(" + Toks + ") AS BIGINT)) OVER (" +
+        "ORDER BY r.exact_score DESC, r.vec_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_tokens " +
+        "FROM rr r JOIN documents d ON d.doc_id = r.vec_id)"),
+      s"SELECT rank, vec_id, n_tokens, cum_tokens, exact_score FROM dt " +
+        s"WHERE cum_tokens <= $budget ORDER BY rank")
+
   /** Trained-SemDeDup replay (the q85 pair fragment over q87's TRAINED
     * centroids, with top-2 multi-assignment): every vector takes its two
     * L2-nearest c2 centroids; pairs meet in any shared list (a.id < b.id

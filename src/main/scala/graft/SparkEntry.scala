@@ -3290,6 +3290,57 @@ object SparkEntry {
         .withColumn("arm", pmod(col("user_id"), lit(2L)))
       graft.operators.Abtest.cupedSummary(units, "arm", "x", "y")
         .orderBy(col("arm"))
+    }),
+
+    // Two-stage retrieval: IVF-PQ cuts the corpus to 50 code-scored
+    // candidates, then ONLY those 50 pay the exact full-precision dot
+    // (equi-join back to the float vectors) — the production
+    // RAG/search shape where the float table is touched for C rows,
+    // never the corpus. Full train→assign→probe→ADC→rerank replay.
+    "q199_ivf_pq_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val model = Similarity.trainPq(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 2)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0).toSeq
+      val enc = Similarity.pqEncode(
+        Similarity.assignLists(emb, "embedding", nLists = 16),
+        "vec_id", "embedding", model)
+      Similarity.ivfPqTopKReranked(enc, emb, "vec_id", "embedding",
+        qv, model, k = 10, nCandidates = 50, nLists = 16, nProbe = 4)
+    }),
+
+    // Capstone #15: RAG context assembly — two-stage retrieval (q199
+    // verbatim) joins the documents table and packs the context window
+    // greedily in relevance order until the 256-token budget closes;
+    // straddling docs are dropped WHOLE (no partial documents in a
+    // prompt). The windows run over the 10-row retrieval result only.
+    "q200_rag_context" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val model = Similarity.trainPq(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 2)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0).toSeq
+      val enc = Similarity.pqEncode(
+        Similarity.assignLists(emb, "embedding", nLists = 16),
+        "vec_id", "embedding", model)
+      val rr = Similarity.ivfPqTopKReranked(enc, emb, "vec_id",
+        "embedding", qv, model, k = 10, nCandidates = 50,
+        nLists = 16, nProbe = 4)
+      val ord = Window.orderBy(col("exact_score").desc, col("vec_id"))
+      rr.join(T(s, dir, "documents"),
+          col("vec_id") === col("doc_id"))
+        .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum_tokens",
+          sum(col("n_tokens")).over(
+            ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cum_tokens") <= 256)
+        .select(col("rank"), col("vec_id"), col("n_tokens"),
+          col("cum_tokens"), col("exact_score"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -5846,6 +5897,12 @@ object SparkEntry {
         |    (count(*) - 1), 4) AS var_y,
         |  round((sum(ya * ya) - sum(ya) * sum(ya) / count(*)) /
         |    (count(*) - 1), 4) AS var_y_cuped
-        |FROM ad GROUP BY arm ORDER BY arm""".stripMargin
+        |FROM ad GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "q199_ivf_pq_rerank" ->
+      HashOracles.q199IvfPqRerank(16, 16, 64, 16, 4, 50, 10),
+
+    "q200_rag_context" ->
+      HashOracles.q200RagContext(16, 16, 64, 16, 4, 50, 10, 256)
   )
 }

@@ -328,6 +328,31 @@ object Similarity {
         .isin(pqProbeLists(queryVec, nLists, dim, nProbe): _*)),
       idCol, queryVec, model, k)
 
+  /** Two-stage retrieval — the production RAG/search shape: IVF-PQ cuts
+    * the corpus to `nCandidates` cheap ADC-scored survivors (codes
+    * only, never a float vector), then ONLY those candidates pay an
+    * exact full-precision dot against the float vectors (equi-join on
+    * the id — at 100 TB the float table is touched for k·C rows, not
+    * the corpus). Re-ranking recovers the precision PQ quantization
+    * gives up: ADC ordering picks the candidate SET, the exact dot
+    * picks the final top-k ordering. The exact dot is the same
+    * ascending left fold as [[VF.dot]] (IEEE-exact cross-engine).
+    */
+  def ivfPqTopKReranked(encoded: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, queryVec: Seq[Double],
+      model: PqModel, k: Int, nCandidates: Int, nLists: Int = 16,
+      nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    require(nCandidates >= k, s"nCandidates $nCandidates < k $k")
+    val cand = ivfPqTopK(encoded, idCol, queryVec, model, nCandidates,
+      nLists, nProbe, dim)
+    cand.join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col("adc_score"),
+        round(VF.dot(col(vecCol), typedLit(queryVec)), 4)
+          .as("exact_score"))
+      .orderBy(col("exact_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The query's `nProbe` best coarse lists: driver-side left-fold dots
     * against the deterministic plane matrix, ranked (dot desc, id desc)
     * — the [[bestLists]] tie, and the fold order the oracle replays.

@@ -405,4 +405,41 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("two-stage rerank: results come from the ADC candidate set, the " +
+      "final ordering is the exact dot's, and widening the candidate " +
+      "cut recovers exact-top-k membership the codes alone miss") {
+    val model = Similarity.trainPq(vectors, "vec_id", "embedding",
+      m = 16, k = 16, iters = 2)
+    val qv = vectors.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0).toSeq
+    val enc = Similarity.pqEncode(
+      Similarity.assignLists(vectors, "embedding", nLists = 16),
+      "vec_id", "embedding", model)
+    val cands = Similarity.ivfPqTopK(enc, "vec_id", qv, model, k = 50,
+        nLists = 16, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val rer = Similarity.ivfPqTopKReranked(enc, vectors, "vec_id",
+        "embedding", qv, model, k = 10, nCandidates = 50,
+        nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rer.map(_._1).forall(cands.contains))
+    // exact-score ordering: descending with id tie-break
+    assert(rer.map(_._2).toSeq === rer.map(_._2).sorted(
+      Ordering[Double].reverse).toSeq)
+    // rerank@C recall vs brute force on the probed-list restriction:
+    // at C = 50 the exact rerank must match the exact top-10 RESTRICTED
+    // to its candidate pool — i.e. ordering error from quantization is
+    // gone, only probe/candidate misses remain
+    val pool = vectors.filter(col("vec_id").isin(cands.toSeq: _*))
+    val exactPool = Similarity.bruteForceTopK(
+        pool.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+        vectors.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("q_emb")), 10)
+      .collect().map(_.getLong(0)).toSet
+    val rerNoQ = rer.map(_._1).filter(_ != 0L).toSet
+    // same pool minus the query row; allow the one slot the query took
+    assert((exactPool -- rerNoQ).size <= 1)
+  }
 }
