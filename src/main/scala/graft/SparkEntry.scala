@@ -3341,6 +3341,53 @@ object SparkEntry {
         .select(col("rank"), col("vec_id"), col("n_tokens"),
           col("cum_tokens"), col("exact_score"))
         .orderBy(col("rank"))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // streams: ONE keyed lead window, |types|²-bounded output, exact
+    // count-ratio probabilities.
+    "q201_markov_transitions" -> ((s, dir) =>
+      graft.operators.Markov.transitionMatrix(events(s, dir),
+          "user_id", "ts", "event_id", "event_type")
+        .withColumn("p", round(col("p"), 6))
+        .orderBy(col("from_state"), col("to_state"))),
+
+    // Long-run state mix: 8 power-iteration rounds on the bounded
+    // transition table, π grid-pinned at 1e-6 per round — where event
+    // traffic settles, the next-event-prediction prior.
+    "q202_markov_stationary" -> ((s, dir) =>
+      graft.operators.Markov.stationaryDistribution(
+          graft.operators.Markov.transitionMatrix(events(s, dir),
+            "user_id", "ts", "event_id", "event_type"), iters = 8)
+        .orderBy(col("state"))),
+
+    // Behavioral anomaly: sessions (q32's 30-min gap islands) become
+    // event-type "sentences", a bigram LM trained on ALL sessions
+    // scores each one, bottom-10 = the sessions whose event order the
+    // corpus's own dynamics find least plausible. NgramLm runs
+    // UNCHANGED on non-text symbols — the operator is domain-generic.
+    "q203_session_lm_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+              1800000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val corpus = sess.groupBy(col("user_id"), col("sess"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), " ").as("text"))
+        .select(concat(col("user_id"), lit("_"), col("sess")).as("sid"),
+          col("text"))
+      val lm = graft.operators.NgramLm.train(corpus, "sid", "text")
+      graft.operators.NgramLm.logProbScore(corpus, "sid", "text", lm)
+        .orderBy(col("avg_lp"), col("sid"))
+        .limit(10)
     })
   )
 
@@ -3352,6 +3399,36 @@ object SparkEntry {
   // parenthesization, damping forced through CAST(.. AS DOUBLE) so the
   // literal is the IEEE double the JVM computes with (a bare 0.85 is
   // DECIMAL in DuckDB and (1 - 0.85) would be exactly 0.15).
+  /** Unrolled power-iteration replay for q202 (the q152 PageRank
+    * device): transition matrix from keyed lead pairs, π0 uniform on
+    * the 1e-6 grid, each round a MATERIALIZED join+sum re-rounded at
+    * 1e-6 — the grid-pinned trajectory [[graft.operators.Markov]]
+    * computes.
+    */
+  private def markovStationaryOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = s"p${k - 1}"
+      s"p$k AS MATERIALIZED (SELECT tm.to_state AS state, " +
+        s"round(sum($prev.pi * tm.p), 6) AS pi " +
+        s"FROM $prev JOIN tm ON tm.from_state = $prev.state GROUP BY 1)"
+    }
+    s"""WITH seq AS (SELECT user_id, event_type, ts, event_id,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS nxt FROM events),
+       |tp AS (SELECT event_type AS from_state, nxt AS to_state,
+       |    count(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT from_state, sum(n) AS t FROM tp GROUP BY 1),
+       |tm AS (SELECT tp.from_state, tp.to_state,
+       |    CAST(tp.n AS DOUBLE) / tot.t AS p
+       |  FROM tp JOIN tot USING (from_state)),
+       |st AS (SELECT DISTINCT from_state AS state FROM tp),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st),
+       |p0 AS MATERIALIZED (SELECT state,
+       |    round(CAST(1.0 AS DOUBLE) / ns.k, 6) AS pi FROM st, ns),
+       |${rounds.mkString(",\n")}
+       |SELECT state, pi FROM p$iters ORDER BY state""".stripMargin
+  }
+
   /** Unrolled HITS replay for q169: per round, the raw authority sum,
     * its L2 norm, the normalized table (MATERIALIZED — the q152 lazy-
     * CTE lesson), then the same for hubs; top-15 per side on the
@@ -5903,6 +5980,56 @@ object SparkEntry {
       HashOracles.q199IvfPqRerank(16, 16, 64, 16, 4, 50, 10),
 
     "q200_rag_context" ->
-      HashOracles.q200RagContext(16, 16, 64, 16, 4, 50, 10, 256)
+      HashOracles.q200RagContext(16, 16, 64, 16, 4, 50, 10, 256),
+
+    "q201_markov_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type, ts, event_id,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt FROM events),
+        |tp AS (SELECT event_type AS from_state, nxt AS to_state,
+        |    count(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, sum(n) AS t FROM tp GROUP BY 1)
+        |SELECT tp.from_state, tp.to_state, tp.n,
+        |  round(CAST(tp.n AS DOUBLE) / tot.t, 6) AS p
+        |FROM tp JOIN tot USING (from_state)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q202_markov_stationary" -> markovStationaryOracle(8),
+
+    // q194's session CTE + deterministic in-session event ordering +
+    // the q100 bigram-LM pattern with train = score = the session
+    // corpus; bottom-10 by (avg_lp, sid)
+    "q203_session_lm_anomaly" ->
+      """WITH se AS (SELECT user_id, event_type, ts, event_id,
+        |  sum(CASE WHEN prev_ts IS NULL OR
+        |      epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts FROM events)),
+        |co AS (SELECT user_id || '_' || sess AS sid,
+        |    string_split(array_to_string(
+        |      list(event_type ORDER BY ts, event_id), ' '), ' ') AS t
+        |  FROM se GROUP BY user_id, sess),
+        |uni AS (SELECT w AS l, count(*) AS c1 FROM
+        |  (SELECT unnest(t) AS w FROM co) GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni),
+        |bi AS (SELECT l, r, count(*) AS c2 FROM
+        |  (SELECT t[j] AS l, t[j + 1] AS r FROM
+        |    (SELECT t, unnest(range(1, len(t))) AS j FROM co))
+        |  GROUP BY l, r),
+        |tep AS (SELECT sid, t[j] AS l, t[j + 1] AS r FROM
+        |  (SELECT sid, t, unnest(range(1, len(t))) AS j FROM co)),
+        |sc AS (SELECT p.sid,
+        |  ln((coalesce(b.c2, 0) + 0.4) / (coalesce(u.c1, 0) + 0.4 * v.vs))
+        |    AS lp
+        |  FROM tep p
+        |  LEFT JOIN bi b ON b.l = p.l AND b.r = p.r
+        |  LEFT JOIN uni u ON u.l = p.l
+        |  CROSS JOIN v)
+        |SELECT sid, CAST(count(*) AS BIGINT) AS n_grams,
+        |  round(avg(lp), 4) AS avg_lp
+        |FROM sc GROUP BY sid ORDER BY avg_lp, sid LIMIT 10""".stripMargin
   )
 }
