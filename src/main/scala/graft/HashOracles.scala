@@ -1972,6 +1972,27 @@ object HashOracles {
       "SELECT n_pos, n_neg, round((rs - n_pos * (n_pos + 1) / 2.0) " +
         "/ CAST(n_pos * n_neg AS DOUBLE), 4) AS auc FROM ag")
 
+  /** Cumulative-gains replay: q117 held-out scores cut into score-desc
+    * deciles (ntile with the doc_id tie-break), per-decile capture of
+    * the positive class and lift vs the base rate — the
+    * marketing/classifier-triage readout over the same `fs` chain.
+    */
+  def q204GainsDeciles(trainBuckets: Int, alpha: Double): String =
+    withClause(nbScoreChain(trainBuckets, alpha) ++ Seq(
+      "r AS (SELECT doc_id, pos, ntile(10) OVER " +
+        "(ORDER BY score DESC, doc_id) AS decile FROM fs)",
+      "d AS (SELECT decile, count(*) AS n, " +
+        "sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos FROM r " +
+        "GROUP BY decile)",
+      "t AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM d)"),
+      "SELECT decile, n, n_pos, " +
+        "sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) " +
+        "AS cum_pos, " +
+        "round(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED " +
+        "PRECEDING) / CAST(tp AS DOUBLE), 4) AS capture, " +
+        "round((n_pos / CAST(n AS DOUBLE)) / (tp / CAST(tn AS DOUBLE))" +
+        ", 4) AS lift FROM d, t ORDER BY decile")
+
   /** RRF ensemble replay ([[operators.RankFusion]], q137): the q117 NB
     * classifier (hash-split trained, scoring ALL docs), the q100
     * bigram LM (trained below `lmSplit`, scoring all docs with ≥ 2

@@ -3388,7 +3388,58 @@ object SparkEntry {
       graft.operators.NgramLm.logProbScore(corpus, "sid", "text", lm)
         .orderBy(col("avg_lp"), col("sid"))
         .limit(10)
-    })
+    }),
+
+    // Cumulative gains / lift deciles over the q191 NB classifier's
+    // held-out scores: score-desc NTILE(10) with id tie-break, per
+    // decile the positive capture rate and lift vs the base rate —
+    // "how much of the good stuff do the top-k% hold". Decile
+    // accounting windows run over the 10-row table only.
+    "q204_gains_deciles" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("is_en", col("lang") === "en")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(split), "doc_id", "text", "is_en")
+      val scored = graft.operators.QualityClassifier.score(
+          docs.filter(!split), "doc_id", "text", model)
+        .select(col("doc_id"), col("score"), col("is_en"))
+      val d = scored
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"))
+      val t = d.agg(sum(col("n")).as("__tn"),
+        sum(col("n_pos")).as("__tp"))
+      val cum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      d.crossJoin(broadcast(t))
+        .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+        .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+          round(col("cum_pos") / col("__tp").cast("double"), 4)
+            .as("capture"),
+          round((col("n_pos") / col("n").cast("double")) /
+            (col("__tp") / col("__tn").cast("double")), 4).as("lift"))
+        .orderBy(col("decile"))
+    }),
+
+    // Benford first-digit audit on order totals — the fraud /
+    // synthetic-data smell test. First digit from the integer-part
+    // string head; the digit table is ≤ 9 rows.
+    "q205_benford_audit" -> ((s, dir) =>
+      graft.operators.Robust.benfordProfile(
+          T(s, dir, "orders"), "o_totalprice")
+        .orderBy(col("digit"))),
+
+    // Winsorized means per order priority: nearest-rank-ceiling
+    // percentile boundaries in integer arithmetic, tails CLAMPED not
+    // dropped — the robust revenue readout heavy-tailed totals need.
+    "q206_winsorized_means" -> ((s, dir) =>
+      graft.operators.Robust.winsorizedProfile(
+          T(s, dir, "orders"), "o_orderpriority", "o_orderkey",
+          "o_totalprice", pctLow = 5, pctHigh = 95)
+        .orderBy(col("grp")))
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -6030,6 +6081,40 @@ object SparkEntry {
         |  CROSS JOIN v)
         |SELECT sid, CAST(count(*) AS BIGINT) AS n_grams,
         |  round(avg(lp), 4) AS avg_lp
-        |FROM sc GROUP BY sid ORDER BY avg_lp, sid LIMIT 10""".stripMargin
+        |FROM sc GROUP BY sid ORDER BY avg_lp, sid LIMIT 10""".stripMargin,
+
+    "q204_gains_deciles" -> HashOracles.q204GainsDeciles(8000, 1.0),
+
+    "q205_benford_audit" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    count(*) AS n
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM d)
+        |SELECT digit, n,
+        |  round(n / CAST(tot AS DOUBLE), 6) AS frac,
+        |  round(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit),
+        |    6) AS benford_p,
+        |  round(n / CAST(tot AS DOUBLE) -
+        |    log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit), 6)
+        |    AS dev
+        |FROM d, t ORDER BY digit""".stripMargin,
+
+    "q206_winsorized_means" ->
+      """WITH r AS (SELECT o_orderpriority AS grp, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS nn
+        |  FROM orders),
+        |b AS (SELECT grp,
+        |    max(CASE WHEN rn = (nn * 5 + 99) // 100 THEN v END) AS lo,
+        |    max(CASE WHEN rn = (nn * 95 + 99) // 100 THEN v END) AS hi
+        |  FROM r GROUP BY grp)
+        |SELECT r.grp, count(*) AS n, b.lo, b.hi,
+        |  round(sum(v) / count(*), 4) AS mean_raw,
+        |  round(sum(greatest(b.lo, least(b.hi, v))) / count(*), 4)
+        |    AS mean_winsorized
+        |FROM r JOIN b USING (grp)
+        |GROUP BY r.grp, b.lo, b.hi ORDER BY r.grp""".stripMargin
   )
 }

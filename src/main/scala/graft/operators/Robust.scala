@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust (median/MAD) outlier statistics — the distribution-free length
@@ -230,5 +231,67 @@ object Robust {
           col("__dp_mean") * col("__dp_mean")) / col("__dp_mean"), 4))
       .select(col(groupCol), col("n_events"), col("active_hours"),
         col("dispersion"))
+  }
+
+  /** Winsorized group profile — the robust mean under heavy tails:
+    * values below the p-th / above the (100−p)-th percentile are
+    * CLAMPED to the boundary (not dropped — trimming changes n,
+    * winsorizing keeps it). Percentile boundaries are the
+    * nearest-rank-ceiling order statistics `rank = ⌈p·n/100⌉` in
+    * INTEGER arithmetic on a (value, id)-deterministic rank, so both
+    * engines pick the identical boundary VALUES — no float percentile
+    * estimator to disagree over. One keyed window pass at group grain
+    * (the [[madProfile]] shape), one bounded boundary join-back.
+    */
+  def winsorizedProfile(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, pctLow: Int = 5, pctHigh: Int = 95): DataFrame = {
+    require(0 < pctLow && pctLow < pctHigh && pctHigh <= 100,
+      s"bad percentile bounds [$pctLow, $pctHigh]")
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(idCol).as("__id"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("__v"), col("__id"))))
+      .withColumn("__nn", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+    val loRank = (col("__nn") * pctLow + 99).cast("long") / lit(100L)
+    val hiRank = (col("__nn") * pctHigh + 99).cast("long") / lit(100L)
+    val bounds = ranked.groupBy(col("grp"))
+      .agg(max(when(col("__rn") === loRank.cast("long"), col("__v")))
+          .as("lo"),
+        max(when(col("__rn") === hiRank.cast("long"), col("__v")))
+          .as("hi"))
+    ranked.join(bounds, Seq("grp"))
+      .withColumn("__w", greatest(col("lo"), least(col("hi"), col("__v"))))
+      .groupBy(col("grp"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__v")) / count(lit(1)), 4).as("mean_raw"),
+        round(sum(col("__w")) / count(lit(1)), 4).as("mean_winsorized"))
+      .select(col("grp"), col("n"), col("lo"), col("hi"),
+        col("mean_raw"), col("mean_winsorized"))
+  }
+
+  /** Benford first-digit audit — the fraud/synthetic-data smell test:
+    * naturally occurring multi-scale amounts follow
+    * P(d) = log10(1 + 1/d); uniform or fabricated values do not.
+    * First digit via the integer-part STRING head (no float
+    * log10/pow round-trip to disagree at decade boundaries); the
+    * digit table is ≤ 9 rows, windows run over it only. Rows < 1
+    * are excluded by contract (their first significant digit lives
+    * below the integer point).
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val d = df.filter(col(valueCol) >= 1)
+      .withColumn("digit",
+        substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+          .cast("int"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    d.crossJoin(broadcast(d.agg(sum(col("n")).as("__tot"))))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("__tot").cast("double"), 6).as("frac"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford_p"),
+        round(col("n") / col("__tot").cast("double") -
+          log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("dev"))
   }
 }

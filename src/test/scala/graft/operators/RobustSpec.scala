@@ -50,4 +50,37 @@ class RobustSpec extends SparkSpec {
     assert(p.getAs[Double]("mad") === 2.5)
     assert(p.getAs[Long]("n_outliers") === 1L)
   }
+
+  test("winsorizedProfile: integer-rank boundaries, tails clamped " +
+      "not dropped, n preserved") {
+    val s = spark
+    import s.implicits._
+    // n = 20: loRank = ceil(20*5/100) = 1, hiRank = ceil(20*95/100) = 19
+    val df = ((1 to 19).map(i => ("g", i.toLong, i.toDouble)) :+
+      (("g", 20L, 1000.0))).toDF("grp", "id", "v")
+    val p = Robust.winsorizedProfile(df, "grp", "id", "v").head()
+    assert(p.getAs[Long]("n") === 20L)
+    assert(p.getAs[Double]("lo") === 1.0)
+    assert(p.getAs[Double]("hi") === 19.0)
+    assert(p.getAs[Double]("mean_raw") === 59.5)
+    assert(p.getAs[Double]("mean_winsorized") === 10.45)
+  }
+
+  test("benfordProfile: digit extraction, sub-1 rows excluded, " +
+      "fractions sum to 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(0.5, 1.0, 1.9, 19.0, 2.0, 95.0, 900.0)
+      .toDF("v")
+    val rows = Robust.benfordProfile(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1 -> 3L, 2 -> 1L, 9 -> 2L)) // 0.5 excluded
+    val fr = Robust.benfordProfile(df, "v")
+      .agg(sum(col("frac"))).head().getDouble(0)
+    assert(math.abs(fr - 1.0) < 1e-5)
+    // benford_p of digit 1 is log10(2)
+    val b1 = Robust.benfordProfile(df, "v")
+      .filter(col("digit") === 1).head().getAs[Double]("benford_p")
+    assert(b1 === math.rint(math.log10(2.0) * 1e6) / 1e6)
+  }
 }
