@@ -3439,7 +3439,31 @@ object SparkEntry {
       graft.operators.Robust.winsorizedProfile(
           T(s, dir, "orders"), "o_orderpriority", "o_orderkey",
           "o_totalprice", pctLow = 5, pctHigh = 95)
-        .orderBy(col("grp")))
+        .orderBy(col("grp"))),
+
+    // Position-based (U-shaped) multi-touch attribution: each purchase
+    // credits its 24-h lookback touches 0.4/0.2.../0.4 by position —
+    // between q141's last-touch as-of join and a linear split. Credit
+    // is an exact function of integer ranks; pairing is a user-keyed
+    // equi-join bounded by per-user event counts.
+    "q207_multitouch_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.positionBased(events(s, dir),
+          "user_id", "ts", "event_id", "event_type",
+          col("event_type") === "purchase",
+          col("event_type").isin("view", "click", "signup"),
+          windowMicros = 86400000000L)
+        .orderBy(col("channel"))),
+
+    // Distributed PCA: ONE corpus pass reduces the embeddings to the
+    // d²-bounded covariance table (map-side outer products fused with
+    // partial aggregation — the shuffle carries cells, not rows), then
+    // 8 power-iteration rounds on that bounded table, grid-pinned.
+    // The anisotropy readout behind whitening decisions.
+    "q208_pca_top_component" -> ((s, dir) =>
+      graft.operators.Pca.topComponent(
+          graft.operators.Pca.covarianceMatrix(
+            T(s, dir, "embeddings"), "embedding"), iters = 8)
+        .orderBy(col("i")))
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -3478,6 +3502,45 @@ object SparkEntry {
        |    round(CAST(1.0 AS DOUBLE) / ns.k, 6) AS pi FROM st, ns),
        |${rounds.mkString(",\n")}
        |SELECT state, pi FROM p$iters ORDER BY state""".stripMargin
+  }
+
+  /** Unrolled PCA replay for q208: the d²-bounded covariance table
+    * (cells pinned at 1e-8) then `iters` MATERIALIZED matvec+normalize
+    * rounds on the 1e-6 grid, sign fixed by the largest-|loading|
+    * convention — [[graft.operators.Pca]]'s exact trajectory.
+    */
+  private def pcaOracle(dim: Int, iters: Int): String = {
+    val rounds = (1 to iters).flatMap { k =>
+      val prev = s"p${k - 1}"
+      Seq(
+        s"w$k AS MATERIALIZED (SELECT c.i AS vi, " +
+          s"round(sum(c.cov * p.x), 6) AS wx " +
+          s"FROM cov c JOIN $prev p ON p.vi = c.j GROUP BY 1)",
+        s"n$k AS (SELECT round(sqrt(sum(wx * wx)), 6) AS nrm FROM w$k)",
+        s"p$k AS MATERIALIZED (SELECT vi, " +
+          s"round(wx / (SELECT nrm FROM n$k), 6) AS x FROM w$k)")
+    }
+    s"""WITH e AS (SELECT list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |idx AS (SELECT unnest(range(1, ${dim + 1})) AS i),
+       |sx AS (SELECT i, sum(v[i]) AS sx FROM e, idx GROUP BY i),
+       |cells AS (SELECT a.i AS i, b.i AS j, sum(e.v[a.i] * e.v[b.i])
+       |    AS sxy FROM e, idx a, idx b GROUP BY 1, 2),
+       |cov AS (SELECT c.i, c.j, round(c.sxy / (SELECT n FROM nn) -
+       |    (sa.sx / (SELECT n FROM nn)) * (sb.sx / (SELECT n FROM nn)),
+       |    8) AS cov
+       |  FROM cells c JOIN sx sa ON sa.i = c.i
+       |  JOIN sx sb ON sb.i = c.j),
+       |p0 AS (SELECT i AS vi, round(CAST(1.0 AS DOUBLE) /
+       |    sqrt(CAST($dim AS DOUBLE)), 6) AS x FROM idx),
+       |${rounds.mkString(",\n")},
+       |sg AS (SELECT CASE WHEN x < 0 THEN CAST(-1.0 AS DOUBLE)
+       |    ELSE CAST(1.0 AS DOUBLE) END AS sgn
+       |  FROM p$iters ORDER BY abs(x) DESC, vi LIMIT 1)
+       |SELECT vi AS i, round(x * sgn, 6) AS loading,
+       |  (SELECT nrm FROM n$iters) AS eigenvalue
+       |FROM p$iters, sg ORDER BY i""".stripMargin
   }
 
   /** Unrolled HITS replay for q169: per round, the raw authority sum,
@@ -6115,6 +6178,31 @@ object SparkEntry {
         |  round(sum(greatest(b.lo, least(b.hi, v))) / count(*), 4)
         |    AS mean_winsorized
         |FROM r JOIN b USING (grp)
-        |GROUP BY r.grp, b.lo, b.hi ORDER BY r.grp""".stripMargin
+        |GROUP BY r.grp, b.lo, b.hi ORDER BY r.grp""".stripMargin,
+
+    // position weights as the exact double arithmetic the Spark side
+    // uses: mid mass = 1.0 − 0.4 − 0.4 evaluated in doubles
+    "q207_multitouch_attribution" ->
+      """WITH cv AS (SELECT user_id, epoch_us(ts) AS ct, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id, epoch_us(ts) AS tt, event_id AS tid,
+        |    event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |p AS (SELECT tc.channel,
+        |    row_number() OVER (PARTITION BY cv.user_id, cv.cid
+        |      ORDER BY tc.tt, tc.tid) AS rn,
+        |    count(*) OVER (PARTITION BY cv.user_id, cv.cid) AS k
+        |  FROM tc JOIN cv ON tc.user_id = cv.user_id
+        |    AND tc.tt < cv.ct AND tc.tt >= cv.ct - 86400000000)
+        |SELECT channel, count(*) AS n_touches,
+        |  round(sum(CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+        |    WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+        |    WHEN rn = 1 THEN CAST(0.4 AS DOUBLE)
+        |    WHEN rn = k THEN CAST(0.4 AS DOUBLE)
+        |    ELSE (CAST(1.0 AS DOUBLE) - CAST(0.4 AS DOUBLE)
+        |      - CAST(0.4 AS DOUBLE)) / (k - 2) END), 4) AS credit
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q208_pca_top_component" -> pcaOracle(64, 8)
   )
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA for embedding diagnostics — the top principal
+  * component of an `array<float>` column, via the classic two-phase
+  * shape that scales to any corpus:
+  *
+  *   1. ONE corpus pass reduces the data to the d²-bounded covariance
+  *      table: each row emits its d×(d+1)/2 upper-triangle products
+  *      map-side (the explode fuses with hash partial aggregation, so
+  *      the SHUFFLE carries at most d² rows per partition — the corpus
+  *      never moves). d = 64 → 2 080 cells; broadcast-safe forever.
+  *   2. Power iteration runs entirely on that bounded table: k rounds
+  *      of matvec + L2 normalization, each re-rounded to the 1e-6 grid
+  *      (the [[Markov]]/k-means trajectory-pinning device).
+  *
+  * Portability: covariance cells are pinned at 1e-8 (re-associated
+  * sums agree there at any realistic magnitude), the iteration grid at
+  * 1e-6; sign is fixed by convention (the largest-|loading| entry is
+  * made positive, ties to the smaller index) because v and −v are the
+  * same component.
+  *
+  * The top component tells an embedding pipeline whether one axis
+  * dominates (anisotropy — common with poorly normalized encoders) and
+  * feeds whitening/de-meaning decisions.
+  */
+object Pca {
+
+  /** Population covariance as a (i, j, cov) table over BOTH triangles,
+    * 1-based indices, cov pinned at 1e-8. One corpus pass.
+    */
+  def covarianceMatrix(vectors: DataFrame, vecCol: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    // upper-triangle outer product per row, map-side; i/j are 1-based.
+    // The struct stream fuses with partial aggregation — the shuffle
+    // sees d²/2 cells per partition, not n·d² rows.
+    val cells = vectors
+      .select(vd.as("__v"))
+      .select(explode(flatten(transform(col("__v"),
+        (x, i) => transform(slice(col("__v"), i + 1, size(col("__v"))),
+          (y, j) => struct((i + 1).as("i"), (i + 1 + j).as("j"),
+            (x * y).as("xy")))))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.xy")).as("sxy"), count(lit(1)).as("__n"))
+    val means = vectors
+      .select(posexplode(vd).as(Seq("__p", "__x")))
+      .groupBy((col("__p") + 1).as("i"))
+      .agg(sum(col("__x")).as("sx"), count(lit(1)).as("__n"))
+      .select(col("i"), (col("sx") / col("__n")).as("mean"))
+    val upper = cells
+      .join(means.select(col("i"), col("mean").as("__mi")), Seq("i"))
+      .join(means.select(col("i").as("j"), col("mean").as("__mj")),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("sxy") / col("__n") - col("__mi") * col("__mj"), 8)
+          .as("cov"))
+    // mirror the strict-upper cells; the diagonal appears once
+    upper.union(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
+  }
+
+  /** k-round power iteration on the bounded covariance table: returns
+    * (i, loading) for the sign-fixed unit top component plus the
+    * Rayleigh-quotient eigenvalue estimate as column `eigenvalue`
+    * (constant across rows — the matvec norm of the last round).
+    */
+  def topComponent(cov: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    // the covariance table is read once per round — persist it for the
+    // call (CacheScope contract) so the corpus pass behind it runs ONCE
+    val covC = graft.CacheScope.register(cov.persist())
+    val dims = covC.select(col("i").as("__vi")).distinct()
+    val d = dims.count()
+    var v = dims.withColumn("x", round(lit(1.0 / math.sqrt(d.toDouble)), 6))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      // localCheckpoint per round (the BPE-training device): `w` feeds
+      // BOTH the norm and the update, so an unrolled lineage doubles
+      // per iteration and Catalyst analysis goes exponential — the
+      // checkpoint pins the ≤ d-row table and keeps every round's plan
+      // flat. Values are grid-rounded, so the recomputation-vs-
+      // checkpoint path difference cannot leak into results.
+      val w = covC.join(v, col("j") === col("__vi"))
+        .groupBy(col("i").as("__vi"))
+        .agg(round(sum(col("cov") * col("x")), 6).as("wx"))
+        .localCheckpoint()
+      val norm = w.agg(
+        round(sqrt(sum(col("wx") * col("wx"))), 6).as("nrm"))
+      lastNorm = norm
+      v = w.crossJoin(broadcast(norm))
+        .select(col("__vi"), round(col("wx") / col("nrm"), 6).as("x"))
+    }
+    // sign convention: the largest-|x| entry (ties: smaller i) positive
+    val pick = v.withColumn("__rk", row_number().over(
+        Window.orderBy(abs(col("x")).desc, col("__vi"))))
+      .filter(col("__rk") === 1)
+      .select(signum(col("x")).as("__sgn"))
+    v.crossJoin(broadcast(pick)).crossJoin(broadcast(lastNorm))
+      .select(col("__vi").as("i"),
+        round(col("x") * when(col("__sgn") === 0.0, lit(1.0))
+          .otherwise(col("__sgn")), 6).as("loading"),
+        col("nrm").as("eigenvalue"))
+  }
+}
