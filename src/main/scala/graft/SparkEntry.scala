@@ -3463,7 +3463,31 @@ object SparkEntry {
       graft.operators.Pca.topComponent(
           graft.operators.Pca.covarianceMatrix(
             T(s, dir, "embeddings"), "embedding"), iters = 8)
-        .orderBy(col("i")))
+        .orderBy(col("i"))),
+
+    // Anisotropy by source: every embedding's scalar projection onto
+    // the q208 component, rolled up per document source — whether one
+    // source's vectors sit off-axis (encoder drift / modality mix).
+    // Projection = posexplode + d-row broadcast join + id-grain agg.
+    "q209_pca_source_projection" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val comp = graft.operators.Pca.topComponent(
+        graft.operators.Pca.covarianceMatrix(emb, "embedding"),
+        iters = 8)
+      val proj = graft.operators.Pca.projectOnto(
+        emb, "vec_id", "embedding", comp)
+      proj.join(T(s, dir, "documents"),
+          col("vec_id") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("proj")).as("__sp"),
+          sum(col("proj") * col("proj")).as("__spp"))
+        .select(col("source"), col("n"),
+          round(col("__sp") / col("n"), 4).as("mean_proj"),
+          round((col("__spp") - col("__sp") * col("__sp") / col("n")) /
+            (col("n") - 1), 4).as("var_proj"))
+        .orderBy(col("source"))
+    })
   )
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
@@ -3509,7 +3533,7 @@ object SparkEntry {
     * rounds on the 1e-6 grid, sign fixed by the largest-|loading|
     * convention — [[graft.operators.Pca]]'s exact trajectory.
     */
-  private def pcaOracle(dim: Int, iters: Int): String = {
+  private def pcaWith(dim: Int, iters: Int): String = {
     val rounds = (1 to iters).flatMap { k =>
       val prev = s"p${k - 1}"
       Seq(
@@ -3520,7 +3544,7 @@ object SparkEntry {
         s"p$k AS MATERIALIZED (SELECT vi, " +
           s"round(wx / (SELECT nrm FROM n$k), 6) AS x FROM w$k)")
     }
-    s"""WITH e AS (SELECT list_transform(embedding,
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
        |idx AS (SELECT unnest(range(1, ${dim + 1})) AS i),
@@ -3537,11 +3561,15 @@ object SparkEntry {
        |${rounds.mkString(",\n")},
        |sg AS (SELECT CASE WHEN x < 0 THEN CAST(-1.0 AS DOUBLE)
        |    ELSE CAST(1.0 AS DOUBLE) END AS sgn
-       |  FROM p$iters ORDER BY abs(x) DESC, vi LIMIT 1)
-       |SELECT vi AS i, round(x * sgn, 6) AS loading,
-       |  (SELECT nrm FROM n$iters) AS eigenvalue
-       |FROM p$iters, sg ORDER BY i""".stripMargin
+       |  FROM p$iters ORDER BY abs(x) DESC, vi LIMIT 1),
+       |ld AS (SELECT vi AS i, round(x * sgn, 6) AS loading
+       |  FROM p$iters, sg)""".stripMargin
   }
+
+  private def pcaOracle(dim: Int, iters: Int): String =
+    pcaWith(dim, iters) +
+      s"\nSELECT i, loading, (SELECT nrm FROM n$iters) AS eigenvalue" +
+      "\nFROM ld ORDER BY i"
 
   /** Unrolled HITS replay for q169: per round, the raw authority sum,
     * its L2 norm, the normalized table (MATERIALIZED — the q152 lazy-
@@ -6203,6 +6231,17 @@ object SparkEntry {
         |      - CAST(0.4 AS DOUBLE)) / (k - 2) END), 4) AS credit
         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
 
-    "q208_pca_top_component" -> pcaOracle(64, 8)
+    "q208_pca_top_component" -> pcaOracle(64, 8),
+
+    "q209_pca_source_projection" -> (pcaWith(64, 8) +
+      """,
+        |pr AS (SELECT e.vec_id, sum(e.v[ld.i] * ld.loading) AS proj
+        |  FROM e, ld GROUP BY e.vec_id)
+        |SELECT d.source, count(*) AS n,
+        |  round(sum(proj) / count(*), 4) AS mean_proj,
+        |  round((sum(proj * proj) - sum(proj) * sum(proj) / count(*)) /
+        |    (count(*) - 1), 4) AS var_proj
+        |FROM pr JOIN documents d ON d.doc_id = pr.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

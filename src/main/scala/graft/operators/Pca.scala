@@ -62,6 +62,22 @@ object Pca {
       .select(col("j").as("i"), col("i").as("j"), col("cov")))
   }
 
+  /** Scalar projection of every vector onto a (i, loading) component
+    * table (1-based i): one posexplode + an equi-join against the
+    * d-row component (broadcast by size) + one id-grain aggregation —
+    * map-shaped, no corpus shuffle beyond the final groupBy.
+    */
+  def projectOnto(vectors: DataFrame, idCol: String, vecCol: String,
+      component: DataFrame): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    vectors
+      .select(col(idCol), posexplode(vd).as(Seq("__p", "__x")))
+      .select(col(idCol), (col("__p") + 1).as("i"), col("__x"))
+      .join(component.select(col("i"), col("loading")), Seq("i"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__x") * col("loading")).as("proj"))
+  }
+
   /** k-round power iteration on the bounded covariance table: returns
     * (i, loading) for the sign-fixed unit top component plus the
     * Rayleigh-quotient eigenvalue estimate as column `eigenvalue`
