@@ -2130,6 +2130,43 @@ object HashOracles {
     * q122 chain carrying the group key through hash, registers, and
     * the per-group estimate aggregation.
     */
+  /** Grouped KMV replay ([[operators.Sketches.kmvSketchBy]] →
+    * [[operators.Sketches.kmvEstimateBy]]): distinct per-source
+    * 3-gram hashes, SIGNED ascending rank, bottom-k kept; estimate
+    * `(k−1)/u_k` with the +2^63 shift, exact `n_kept` when the sketch
+    * never filled; exact distinct count joined for the audit.
+    */
+  def q212KmvDistinct(k: Int): String = {
+    val head = Seq(
+      s"tok AS (SELECT source, $Toks AS t FROM documents)",
+      "g AS (SELECT source, unnest(list_distinct(CASE WHEN len(t) >= 3 " +
+        "THEN list_transform(range(0, len(t) - 2), " +
+        "i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END)) AS gram FROM tok)",
+      "dg AS (SELECT DISTINCT source AS key, gram FROM g)",
+      s"th AS (SELECT key, ${fnv("gram")} AS z FROM dg)")
+    val mixed = mixStages(Seq("z"), Seq("key")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "th" else s"hm${n - 1}"
+        s"hm$n AS ($body FROM $prev)"
+    }
+    withClause(head ++ mixed ++ Seq(
+      s"sk AS (SELECT key, ${toSigned("z")} AS h FROM hm5)",
+      "rk AS (SELECT key, h, row_number() OVER (PARTITION BY key " +
+        "ORDER BY h) AS rank FROM sk)",
+      s"ag AS (SELECT key, sum(CASE WHEN rank <= $k THEN 1 ELSE 0 END) " +
+        s"AS n_kept, max(CASE WHEN rank = $k THEN h END) AS hk " +
+        "FROM rk GROUP BY key)",
+      "tr AS (SELECT source AS key, count(DISTINCT gram) AS n_true " +
+        "FROM g GROUP BY source)"),
+      "SELECT a.key, CAST(n_kept AS BIGINT) AS n_kept, " +
+        s"CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE) " +
+        s"ELSE round(CAST(${k - 1} AS DOUBLE) / " +
+        "((CAST(hk AS DOUBLE) + 9223372036854775808.0) / " +
+        "18446744073709551616.0), 4) END AS dv_est, n_true " +
+        "FROM ag a JOIN tr USING (key) ORDER BY key")
+  }
+
   def q123HllBySource(p: Int): String = {
     val sub = 64 - p
     val m = (1L << p).toDouble

@@ -3487,6 +3487,51 @@ object SparkEntry {
           round((col("__spp") - col("__sp") * col("__sp") / col("n")) /
             (col("n") - 1), 4).as("var_proj"))
         .orderBy(col("source"))
+    }),
+
+    // Exact edit-distance linkage over distinct part names: q-gram
+    // prefiltered candidates + levenshtein verify — recall 1.0 by the
+    // gram-count bound. The ORACLE is an independent quadratic DuckDB
+    // implementation (the q141 native-engine device), so the gate
+    // proves the prefilter admits no false negatives.
+    "q210_editdist_linkage" -> ((s, dir) => {
+      val names = T(s, dir, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("nid"))
+      graft.operators.RecordLinkage.editDistanceJoin(
+          names.select(col("nid"), col("p_name")), "nid", "p_name",
+          maxDist = 2)
+        .select(col("a_id"), col("b_id"), col("a_str").as("a_name"),
+          col("b_str").as("b_name"), col("dist").cast("long").as("dist"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Pre-flight join diagnostics: the exact output cardinality and
+    // hot-key share of a user-keyed event self-join — computed from
+    // per-key count tables at |keys| grain, never by running the
+    // join. The fan-out readout behind salting decisions (q41).
+    "q211_join_cardinality" -> ((s, dir) => {
+      val ev = events(s, dir)
+      SkewJoins.joinCardinalityProfile(ev, "user_id", ev, "user_id",
+          topK = 5)
+        .orderBy(col("rank"))
+    }),
+
+    // KMV (bottom-k) distinct sketch per source over 3-gram shingles —
+    // the mergeable distinct-count sketch that, unlike HLL, is a
+    // SAMPLE (supports intersection estimates); k longs of state per
+    // group, integer-exact replay, exact truth joined for the audit.
+    "q212_kmv_distinct" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("source"), toks(col("text")).as("t"))
+      val g = tok.select(col("source"),
+        explode(TF.shinglesOf(col("t"), 3)).as("gram"))
+      val est = graft.operators.Sketches.kmvEstimateBy(
+        graft.operators.Sketches.kmvSketchBy(g, "source", "gram", 64),
+        64)
+      val truth = g.select(col("source").as("key"), col("gram"))
+        .distinct()
+        .groupBy(col("key")).agg(count(lit(1)).as("n_true"))
+      est.join(truth, Seq("key")).orderBy(col("key"))
     })
   )
 
@@ -6242,6 +6287,35 @@ object SparkEntry {
         |  round((sum(proj * proj) - sum(proj) * sum(proj) / count(*)) /
         |    (count(*) - 1), 4) AS var_proj
         |FROM pr JOIN documents d ON d.doc_id = pr.vec_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // independent quadratic implementation — proves the Spark side's
+    // q-gram prefilter is exact, not just self-consistent
+    "q210_editdist_linkage" ->
+      """WITH nm AS (SELECT p_name, min(p_partkey) AS nid FROM part
+        |  GROUP BY p_name)
+        |SELECT a.nid AS a_id, b.nid AS b_id, a.p_name AS a_name,
+        |  b.p_name AS b_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM nm a, nm b
+        |WHERE a.nid < b.nid
+        |  AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q211_join_cardinality" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events
+        |  GROUP BY user_id),
+        |p AS (SELECT key, n AS c_left, n AS c_right, n * n AS pairs
+        |  FROM c),
+        |t AS (SELECT sum(pairs) AS total_pairs FROM p),
+        |r AS (SELECT *, row_number() OVER (ORDER BY pairs DESC, key)
+        |    AS rank FROM p, t)
+        |SELECT rank, key, c_left, c_right, pairs,
+        |  round(pairs / CAST(total_pairs AS DOUBLE), 6) AS share,
+        |  total_pairs
+        |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "q212_kmv_distinct" -> HashOracles.q212KmvDistinct(64)
   )
 }

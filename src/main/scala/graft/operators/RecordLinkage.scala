@@ -83,4 +83,61 @@ object RecordLinkage {
       .filter(col("__rl_rn") === 1)
       .select(col(idCol), col("match_id"), col("jw"))
   }
+
+  /** EXACT edit-distance similarity join with q-gram prefiltering
+    * (Gravano et al., VLDB 2001): every pair within Levenshtein
+    * distance ≤ `maxDist`, no false negatives, never an all-pairs
+    * cross join. Two candidate channels, both equi-joins:
+    *
+    *   - strings of length ≥ 2·maxDist share at least one PADDED
+    *     2-gram with any string within distance maxDist (each edit
+    *     destroys ≤ q grams of the len+1 padded grams; the count
+    *     bound stays ≥ 1 down to exactly that length) — candidates
+    *     come from a distinct-gram equi-join;
+    *   - shorter strings (a genuinely BOUNDED class: < 2·maxDist
+    *     characters) pair within their own block.
+    *
+    * The length filter |len(a) − len(b)| ≤ maxDist applies to both
+    * channels (an edit changes length by ≤ 1); survivors verify with
+    * the real `levenshtein` — O(candidates), and both engines
+    * implement the same classic DP.
+    */
+  def editDistanceJoin(records: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist $maxDist must be >= 1")
+    val t = records
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__len", length(col("__s")))
+    val padded = concat(lit("#"), col("__s"), lit("#"))
+    val grams = t
+      .select(col("__id"), col("__s"), col("__len"),
+        explode(array_distinct(transform(
+          sequence(lit(1), col("__len") + 1),
+          i => padded.substr(i, lit(2))))).as("__g"))
+    val lenOk = abs(col("a.__len") - col("b.__len")) <= maxDist
+    val longCand = grams.as("a").join(grams.as("b"),
+        col("a.__g") === col("b.__g") &&
+          col("a.__id") < col("b.__id") && lenOk)
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.__s").as("a_str"), col("b.__s").as("b_str"))
+      .distinct()
+    // the gram-count bound needs min(len) ≥ 2·maxDist, so any pair
+    // with a SHORT side (a bounded class) goes through the fallback
+    // channel — short × all under the length filter, both orientations
+    // so the canonical a_id < b_id pair always appears
+    val short = t.filter(col("__len") < 2 * maxDist)
+    val shortCand = short.as("a").join(t.as("b"),
+        col("a.__id") < col("b.__id") && lenOk)
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.__s").as("a_str"), col("b.__s").as("b_str"))
+      .union(t.as("a").join(short.as("b"),
+          col("a.__id") < col("b.__id") && lenOk)
+        .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+          col("a.__s").as("a_str"), col("b.__s").as("b_str")))
+    longCand.union(shortCand).distinct()
+      .withColumn("dist", levenshtein(col("a_str"), col("b_str")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("a_str"), col("b_str"),
+        col("dist"))
+  }
 }

@@ -396,4 +396,65 @@ object Sketches {
             .otherwise(e)
         }, 4).as("hll_estimate"))
   }
+
+  // ---- KMV (k minimum values / bottom-k) ---------------------------
+
+  /** KMV distinct-count sketch (Bar-Yossef et al. 2002; Beyer et al.
+    * 2007) — the k smallest DISTINCT item hashes per group. Where HLL
+    * gives distinct counts alone, KMV sketches are SAMPLES: two
+    * groups' sketches merge (bottom-k of the union) and support
+    * set-intersection estimates, the join-cardinality companion HLL
+    * cannot express. State is k longs per group, exactly replayable
+    * (integer hashes, integer ranks — no stochastic averaging).
+    *
+    * Hash = splitmix64∘fnv1a64 (the HLL/count-min family hash);
+    * ordering is SIGNED ascending, which equals unsigned order under
+    * the +2^63 shift both engines apply when the estimate needs a
+    * [0,1) uniform value.
+    */
+  def kmvSketchBy(items: DataFrame, keyCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    val h = HashExpressions.splitmix64(
+      HashExpressions.fnv1a64(col("__it")))
+    items
+      .select(col(keyCol).as("key"), col(itemCol).as("__it"))
+      .distinct()
+      .select(col("key"), h.as("h"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("h"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Distinct-count estimate per group: exact `n_kept` when the group
+    * never filled its sketch (n_kept < k — the sketch IS the distinct
+    * set), else the KMV estimator `(k−1)/u_k` with `u_k` = the k-th
+    * smallest hash mapped to [0,1) by the +2^63 shift. Rounded at 4.
+    */
+  def kmvEstimateBy(sketch: DataFrame, k: Int): DataFrame = {
+    val shift = 9.223372036854775808e18 // 2^63, exact in double
+    val full = 1.8446744073709551616e19 // 2^64, exact in double
+    sketch.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rank") === k, col("h"))).as("__hk"))
+      .withColumn("dv_est",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            ((col("__hk").cast("double") + shift) / full), 4)))
+      .select(col("key"), col("n_kept"), col("dv_est"))
+  }
+
+  /** Merge two KMV sketches (bottom-k of the union of distinct
+    * hashes) — the shard-parallel form: sketch shards independently,
+    * merge cell-free.
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.select(col("key"), col("h"))
+      .union(b.select(col("key"), col("h")))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("h"))))
+      .filter(col("rank") <= k)
 }

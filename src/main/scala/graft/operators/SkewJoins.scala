@@ -125,4 +125,35 @@ object SkewJoins {
         .withColumnRenamed(buildKey, probeKey), Seq(probeKey),
         "left_semi")
   }
+
+  /** Pre-flight equi-join diagnostics — the output cardinality and
+    * hot-key profile of `left ⋈ right` WITHOUT running the join:
+    * per-key count tables (one partial-agg shuffle per side — the
+    * same statistics AQE gathers at runtime, available here BEFORE
+    * committing to a plan), joined at |distinct keys| grain, never
+    * the join's own fan-out. `pairs = c_left·c_right` per key is
+    * exact; the top-k by fan-out names the keys that would dominate
+    * the shuffle (→ [[saltedJoin]] candidates), and `share` says
+    * whether skew is one bad key or the distribution's shape.
+    */
+  def joinCardinalityProfile(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, topK: Int = 5): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("c_left"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("c_right"))
+    val prod = lc.join(rc, Seq("key"))
+      .withColumn("pairs", col("c_left") * col("c_right"))
+    val tot = prod.agg(sum(col("pairs")).as("total_pairs"))
+    prod.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pairs").desc, col("key"))))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("key"), col("c_left"), col("c_right"),
+        col("pairs"),
+        round(col("pairs") / col("total_pairs").cast("double"), 6)
+          .as("share"),
+        col("total_pairs"))
+  }
 }

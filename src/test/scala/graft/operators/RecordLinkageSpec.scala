@@ -54,4 +54,40 @@ class RecordLinkageSpec extends SparkSpec {
       .selectExpr("graft_jaro_winkler(a, b) AS jw").head().getDouble(0)
     assert(got === want)
   }
+
+  test("editDistanceJoin ≡ brute force at several distances, " +
+      "including the short-string fallback channel") {
+    val s = spark
+    import s.implicits._
+    val names = Seq(
+      (1L, "small ring"), (2L, "small rng"), (3L, "smal ring"),
+      (4L, "red widget"), (5L, "red widgets"), (6L, "blue bolt"),
+      (7L, "ab"), (8L, "ac"), (9L, "b"), (10L, "abc"),
+      (11L, "abcd") // bridges the short class to the gram class
+    ).toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val fast = RecordLinkage.editDistanceJoin(names, "id", "s", d)
+        .select("a_id", "b_id", "dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val slow = names.as("a").join(names.as("b"),
+          col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          levenshtein(col("a.s"), col("b.s")).as("dist"))
+        .filter(col("dist") <= d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(fast === slow, s"mismatch at d=$d")
+      assert(fast.nonEmpty)
+    }
+  }
+
+  test("editDistanceJoin finds pairs on real part names") {
+    val parts = spark.read
+      .parquet("/root/testdata/sf0.001/part.parquet")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+      .select(col("id"), col("p_name"))
+    val out = RecordLinkage.editDistanceJoin(parts, "id", "p_name", 2)
+    assert(out.count() > 0)
+  }
 }

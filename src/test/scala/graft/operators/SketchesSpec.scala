@@ -249,4 +249,34 @@ class SketchesSpec extends SparkSpec {
     // matrix is the strict upper triangle: 3 pairs
     assert(m.size === 3)
   }
+
+  test("KMV: exact below k, estimator within a 2x band above k, " +
+      "shard merge == whole-stream sketch") {
+    val s = spark
+    import s.implicits._
+    val small = (1 to 40).map(i => ("s", s"item_$i"))
+    val big = (1 to 5000).map(i => ("b", s"item_$i"))
+    val df = (small ++ big).toDF("key", "item")
+    val est = Sketches.kmvEstimateBy(
+        Sketches.kmvSketchBy(df, "key", "item", 64), 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(est("s") === ((40L, 40.0))) // below k: the sketch IS the set
+    val (kept, dv) = est("b")
+    assert(kept === 64L)
+    assert(dv > 2500 && dv < 10000, s"estimate $dv for true 5000")
+    // mergeability: sketch two shards independently, merge == whole
+    val shardA = Sketches.kmvSketchBy(
+      big.take(2500).toDF("key", "item"), "key", "item", 64)
+    val shardB = Sketches.kmvSketchBy(
+      big.drop(2500).toDF("key", "item"), "key", "item", 64)
+    val merged = Sketches.kmvMerge(shardA, shardB, 64)
+      .select("key", "rank", "h").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val whole = Sketches.kmvSketchBy(
+        big.toDF("key", "item"), "key", "item", 64)
+      .select("key", "rank", "h").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(merged === whole)
+  }
 }
