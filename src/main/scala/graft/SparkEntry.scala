@@ -3274,23 +3274,10 @@ object SparkEntry {
     // and 6-dp-pinned, per-arm means preserved while variance shrinks.
     // Arms are a deterministic user_id parity — swap in a real
     // assignment column unchanged.
-    "q198_cuped" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val mm = ev.agg(min(unix_micros(col("ts"))).as("__lo"),
-        max(unix_micros(col("ts"))).as("__hi"))
-      val units = ev.crossJoin(broadcast(mm))
-        .withColumn("__pre",
-          unix_micros(col("ts")) <
-            expr("(__lo + __hi) div 2"))
-        .groupBy(col("user_id"))
-        .agg(round(sum(when(col("__pre"), col("value"))
-            .otherwise(lit(0.0))), 2).as("x"),
-          round(sum(when(!col("__pre"), col("value"))
-            .otherwise(lit(0.0))), 2).as("y"))
-        .withColumn("arm", pmod(col("user_id"), lit(2L)))
-      graft.operators.Abtest.cupedSummary(units, "arm", "x", "y")
-        .orderBy(col("arm"))
-    }),
+    "q198_cuped" -> ((s, dir) =>
+      graft.operators.Abtest.cupedSummary(cupedUnits(s, dir),
+          "arm", "x", "y")
+        .orderBy(col("arm"))),
 
     // Two-stage retrieval: IVF-PQ cuts the corpus to 50 code-scored
     // candidates, then ONLY those 50 pay the exact full-precision dot
@@ -3532,8 +3519,56 @@ object SparkEntry {
         .distinct()
         .groupBy(col("key")).agg(count(lit(1)).as("n_true"))
       est.join(truth, Seq("key")).orderBy(col("key"))
+    }),
+
+    // Welch's unequal-variance t on the q198 per-user experiment
+    // metric: closed form from per-arm sums, Welch–Satterthwaite df.
+    "q213_welch_ttest" -> ((s, dir) =>
+      graft.operators.Abtest.welchTTest(cupedUnits(s, dir), "arm", "y")),
+
+    // Mann–Whitney rank-sum on the same units: exact mid-ranks (the
+    // q191 AUC device), tie-corrected normal z — the heavy-tail-safe
+    // companion to q213.
+    "q214_mann_whitney" -> ((s, dir) =>
+      graft.operators.Abtest.mannWhitney(cupedUnits(s, dir), "arm",
+        "user_id", "y")),
+
+    // Capstone #16: the experiment readout end-to-end — CUPED
+    // adjustment then Welch t on BOTH the raw and adjusted metric in
+    // one row: the variance reduction shows up as |t_cuped| > |t_raw|
+    // at identical means.
+    "q215_experiment_readout" -> ((s, dir) => {
+      val adj = graft.operators.Abtest.cupedAdjust(
+        cupedUnits(s, dir), "x", "y")
+      val raw = graft.operators.Abtest.welchTTest(adj, "arm", "y")
+        .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+          col("diff").as("diff_raw"), col("t").as("t_raw"),
+          col("df").as("df_raw"))
+      val cup = graft.operators.Abtest.welchTTest(adj, "arm", "y_cuped")
+        .select(col("arm_a"), col("arm_b"),
+          col("diff").as("diff_cuped"), col("t").as("t_cuped"),
+          col("df").as("df_cuped"))
+      raw.join(cup, Seq("arm_a", "arm_b"))
     })
   )
+
+  /** The q198/q213/q214/q215 shared unit table: per-user pre/post
+    * spend on the money grid, arm = user parity.
+    */
+  private def cupedUnits(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("__lo"),
+      max(unix_micros(col("ts"))).as("__hi"))
+    ev.crossJoin(broadcast(mm))
+      .withColumn("__pre",
+        unix_micros(col("ts")) < expr("(__lo + __hi) div 2"))
+      .groupBy(col("user_id"))
+      .agg(round(sum(when(col("__pre"), col("value"))
+          .otherwise(lit(0.0))), 2).as("x"),
+        round(sum(when(!col("__pre"), col("value"))
+          .otherwise(lit(0.0))), 2).as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+  }
 
   // Unrolled PageRank replay for q152: DuckDB recursive CTEs reject
   // aggregates in the recursive term, so the fixed 10 rounds are
@@ -3572,6 +3607,21 @@ object SparkEntry {
        |${rounds.mkString(",\n")}
        |SELECT state, pi FROM p$iters ORDER BY state""".stripMargin
   }
+
+  /** The q198/q213/q214/q215 shared unit-table fragment — mirrors
+    * [[cupedUnits]]: per-user pre/post spend on the money grid, arm =
+    * user parity. Ends in `u(user_id, x, y, arm)`.
+    */
+  private val CupedUnitsSql: String =
+    """WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts))
+      |    AS hi FROM events),
+      |u AS (SELECT user_id,
+      |    round(sum(CASE WHEN epoch_us(ts) < (lo + hi) // 2
+      |      THEN value ELSE 0.0 END), 2) AS x,
+      |    round(sum(CASE WHEN epoch_us(ts) < (lo + hi) // 2
+      |      THEN 0.0 ELSE value END), 2) AS y,
+      |    user_id % 2 AS arm
+      |  FROM events, mm GROUP BY user_id)""".stripMargin
 
   /** Unrolled PCA replay for q208: the d²-bounded covariance table
     * (cells pinned at 1e-8) then `iters` MATERIALIZED matvec+normalize
@@ -6137,16 +6187,8 @@ object SparkEntry {
     // CUPED replay: per-user pre/post sums on the money grid, pooled
     // θ from raw sums rounded to 6 dp BEFORE the adjustment, per-arm
     // sample variances from explicit sums
-    "q198_cuped" ->
-      """WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts))
-        |    AS hi FROM events),
-        |u AS (SELECT user_id,
-        |    round(sum(CASE WHEN epoch_us(ts) < (lo + hi) // 2
-        |      THEN value ELSE 0.0 END), 2) AS x,
-        |    round(sum(CASE WHEN epoch_us(ts) < (lo + hi) // 2
-        |      THEN 0.0 ELSE value END), 2) AS y,
-        |    user_id % 2 AS arm
-        |  FROM events, mm GROUP BY user_id),
+    "q198_cuped" -> (CupedUnitsSql +
+      """,
         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
         |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM u),
         |ad AS (SELECT u.arm, u.y,
@@ -6161,7 +6203,7 @@ object SparkEntry {
         |    (count(*) - 1), 4) AS var_y,
         |  round((sum(ya * ya) - sum(ya) * sum(ya) / count(*)) /
         |    (count(*) - 1), 4) AS var_y_cuped
-        |FROM ad GROUP BY arm ORDER BY arm""".stripMargin,
+        |FROM ad GROUP BY arm ORDER BY arm""".stripMargin),
 
     "q199_ivf_pq_rerank" ->
       HashOracles.q199IvfPqRerank(16, 16, 64, 16, 4, 50, 10),
@@ -6316,6 +6358,70 @@ object SparkEntry {
         |  total_pairs
         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
-    "q212_kmv_distinct" -> HashOracles.q212KmvDistinct(64)
+    "q212_kmv_distinct" -> HashOracles.q212KmvDistinct(64),
+
+    "q213_welch_ttest" -> (CupedUnitsSql +
+      """,
+        |ar AS (SELECT arm, count(*) AS n, sum(y) AS sy,
+        |    sum(y * y) AS syy FROM u GROUP BY arm),
+        |ax AS (SELECT arm, n, sy / n AS m,
+        |    ((syy - sy * sy / n) / (n - 1)) / n AS s2,
+        |    row_number() OVER (ORDER BY arm) AS rk FROM ar)
+        |SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS n_a, b.n AS n_b,
+        |  round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
+        |  round(a.m - b.m, 4) AS diff,
+        |  round((a.m - b.m) / sqrt(a.s2 + b.s2), 4) AS t,
+        |  round(pow(a.s2 + b.s2, 2) / (pow(a.s2, 2) / (a.n - 1) +
+        |    pow(b.s2, 2) / (b.n - 1)), 4) AS df
+        |FROM ax a, ax b WHERE a.rk = 1 AND b.rk = 2""".stripMargin),
+
+    "q214_mann_whitney" -> (CupedUnitsSql +
+      """,
+        |r AS (SELECT arm, CAST(row_number() OVER (ORDER BY y, user_id)
+        |    AS DOUBLE) AS rn, y FROM u),
+        |m AS (SELECT arm, avg(rn) OVER (PARTITION BY y) AS mid FROM r),
+        |tg AS (SELECT y, count(*) AS t FROM r GROUP BY y),
+        |tc AS (SELECT sum(t * t * t - t) AS tc, sum(t) AS n FROM tg),
+        |ax AS (SELECT arm, count(*) AS n, sum(mid) AS rs FROM m
+        |  GROUP BY arm),
+        |ay AS (SELECT *, row_number() OVER (ORDER BY arm) AS rk FROM ax)
+        |SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS n_a, b.n AS n_b,
+        |  round(a.rs - CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) + 1)
+        |    / 2, 4) AS u,
+        |  round((a.rs - CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) + 1)
+        |      / 2 - CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE) / 2) /
+        |    sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE) / 12 *
+        |      ((CAST(t.n AS DOUBLE) + 1) - CAST(t.tc AS DOUBLE) /
+        |        (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1)))), 4)
+        |    AS z
+        |FROM ay a, ay b, tc t WHERE a.rk = 1 AND b.rk = 2""".stripMargin),
+
+    "q215_experiment_readout" -> (CupedUnitsSql +
+      """,
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM u),
+        |ad AS (SELECT u.arm, u.y,
+        |    u.y - round((st.sxy - st.sx * st.sy / st.n) /
+        |        (st.sxx - st.sx * st.sx / st.n), 6) *
+        |      (u.x - st.sx / st.n) AS ya
+        |  FROM u, st),
+        |ar AS (SELECT arm, count(*) AS n, sum(y) AS sy,
+        |    sum(y * y) AS syy, sum(ya) AS sa, sum(ya * ya) AS saa
+        |  FROM ad GROUP BY arm),
+        |ax AS (SELECT arm, n, sy / n AS m,
+        |    ((syy - sy * sy / n) / (n - 1)) / n AS s2,
+        |    sa / n AS mc,
+        |    ((saa - sa * sa / n) / (n - 1)) / n AS c2,
+        |    row_number() OVER (ORDER BY arm) AS rk FROM ar)
+        |SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS n_a, b.n AS n_b,
+        |  round(a.m - b.m, 4) AS diff_raw,
+        |  round((a.m - b.m) / sqrt(a.s2 + b.s2), 4) AS t_raw,
+        |  round(pow(a.s2 + b.s2, 2) / (pow(a.s2, 2) / (a.n - 1) +
+        |    pow(b.s2, 2) / (b.n - 1)), 4) AS df_raw,
+        |  round(a.mc - b.mc, 4) AS diff_cuped,
+        |  round((a.mc - b.mc) / sqrt(a.c2 + b.c2), 4) AS t_cuped,
+        |  round(pow(a.c2 + b.c2, 2) / (pow(a.c2, 2) / (a.n - 1) +
+        |    pow(b.c2, 2) / (b.n - 1)), 4) AS df_cuped
+        |FROM ax a, ax b WHERE a.rk = 1 AND b.rk = 2""".stripMargin)
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
@@ -49,6 +50,99 @@ object Abtest {
       .withColumn("y_cuped",
         y - col("__theta") * (x - col("__sx") / col("__n")))
       .drop("__n", "__sx", "__sy", "__sxx", "__sxy", "__theta")
+  }
+
+  /** Welch's unequal-variance t-test between two arms — the default
+    * experiment significance test (never assume equal variances).
+    * Closed-form from per-arm sums: t = (m̄₁ − m̄₂)/√(s₁²/n₁ + s₂²/n₂),
+    * Welch–Satterthwaite df. One aggregation at arm grain; everything
+    * else is arithmetic on the two-row table. Outputs round at 4; no
+    * p-value (that needs the t CDF — report |t| against the usual
+    * 1.96/2.58 lines like the rest of the z-family here).
+    */
+  def welchTTest(units: DataFrame, armCol: String,
+      yCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val arms = units.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(y).as("__sy"),
+        sum(y * y).as("__syy"))
+      .withColumn("__nd", col("n").cast("double"))
+      .withColumn("__m", col("__sy") / col("__nd"))
+      .withColumn("__v",
+        (col("__syy") - col("__sy") * col("__sy") / col("__nd")) /
+          (col("__nd") - 1))
+    val w = Window.orderBy(col("arm"))
+    val two = arms
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 2)
+    val a = two.filter(col("__rk") === 1)
+      .select(col("arm").as("arm_a"), col("n").as("n_a"),
+        col("__m").as("__ma"), col("__v").as("__va"),
+        (col("__v") / col("__nd")).as("__sa"))
+    val b = two.filter(col("__rk") === 2)
+      .select(col("arm").as("arm_b"), col("n").as("n_b"),
+        col("__m").as("__mb"), col("__v").as("__vb"),
+        (col("__v") / col("__nd")).as("__sb"))
+    a.crossJoin(b)
+      .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+        round(col("__ma"), 4).as("mean_a"),
+        round(col("__mb"), 4).as("mean_b"),
+        round(col("__ma") - col("__mb"), 4).as("diff"),
+        round((col("__ma") - col("__mb")) /
+          sqrt(col("__sa") + col("__sb")), 4).as("t"),
+        round(pow(col("__sa") + col("__sb"), 2) /
+          (pow(col("__sa"), 2) / (col("n_a").cast("double") - 1) +
+            pow(col("__sb"), 2) / (col("n_b").cast("double") - 1)), 4)
+          .as("df"))
+  }
+
+  /** Mann–Whitney U (rank-sum) between two arms — the nonparametric
+    * companion for heavy-tailed metrics where means mislead. Exact
+    * mid-ranks over a (value, id)-deterministic order (the q191 AUC
+    * device — U and AUC are the same statistic), normal-approximation
+    * z with the tie-correction term. One global rank window over the
+    * unit table (unit tables are experiment-sized by construction —
+    * documented; shard at subject grain before this if not).
+    */
+  def mannWhitney(units: DataFrame, armCol: String, idCol: String,
+      yCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val ranked = units
+      .select(col(armCol).as("arm"), col(idCol).as("__id"), y.as("__y"))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__y"), col("__id"))).cast("double"))
+      .withColumn("__mid",
+        avg(col("__rn")).over(Window.partitionBy(col("__y"))))
+    // tie correction needs Σ(t³−t) over tie groups — bounded by
+    // distinct values
+    val ties = ranked.groupBy(col("__y"))
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("__tc"),
+        sum(col("t")).as("__n"))
+    val w = Window.orderBy(col("arm"))
+    val arms = ranked.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("__mid")).as("__rs"))
+      .withColumn("__rk", row_number().over(w))
+    val a = arms.filter(col("__rk") === 1)
+      .select(col("arm").as("arm_a"), col("n").as("n_a"),
+        col("__rs").as("__rsa"))
+    val b = arms.filter(col("__rk") === 2)
+      .select(col("arm").as("arm_b"), col("n").as("n_b"))
+    a.crossJoin(b).crossJoin(broadcast(ties))
+      .withColumn("u",
+        col("__rsa") - col("n_a").cast("double") *
+          (col("n_a").cast("double") + 1) / 2)
+      .withColumn("__mu",
+        col("n_a").cast("double") * col("n_b").cast("double") / 2)
+      .withColumn("__sig", {
+        val n = col("__n").cast("double")
+        val prod = col("n_a").cast("double") * col("n_b").cast("double")
+        sqrt(prod / 12 * ((n + 1) -
+          col("__tc").cast("double") / (n * (n - 1))))
+      })
+      .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+        round(col("u"), 4).as("u"),
+        round((col("u") - col("__mu")) / col("__sig"), 4).as("z"))
   }
 
   /** Per-arm experiment readout, plain and CUPED side by side:

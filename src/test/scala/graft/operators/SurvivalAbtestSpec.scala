@@ -109,6 +109,27 @@ class SurvivalAbtestSpec extends SparkSpec {
     assert(s.forall(_.getDouble(4) > 0.0))   // var_y
   }
 
+  test("Welch t: hand-computed statistic and Satterthwaite df") {
+    val units = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("arm", "y")
+    val r = Abtest.welchTTest(units, "arm", "y").head()
+    assert(r.getAs[String]("arm_a") === "a")
+    assert(r.getAs[Double]("mean_a") === 2.0)
+    assert(r.getAs[Double]("mean_b") === 5.0)
+    // t = -3/sqrt(1/3 + 5/3) = -2.1213; df = 4/(1/18 + 25/27) = 4.0755
+    assert(r.getAs[Double]("t") === -2.1213)
+    assert(r.getAs[Double]("df") === 4.0755)
+  }
+
+  test("Mann-Whitney: hand-computed U and tie-free z") {
+    val units = Seq(("a", 1L, 1.0), ("a", 2L, 2.0),
+      ("b", 3L, 3.0), ("b", 4L, 4.0)).toDF("arm", "id", "y")
+    val r = Abtest.mannWhitney(units, "arm", "id", "y").head()
+    // a's ranks 1,2 -> U = 3 - 3 = 0; mu = 2; sigma = sqrt(4/12*5)
+    assert(r.getAs[Double]("u") === 0.0)
+    assert(r.getAs[Double]("z") === -1.5492)
+  }
+
   test("CUPED: pooled mean is invariant, per-arm variance shrinks on " +
       "correlated real-ish data") {
     val rng = new scala.util.Random(7)
