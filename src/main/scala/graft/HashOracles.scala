@@ -2167,6 +2167,64 @@ object HashOracles {
         "FROM ag a JOIN tr USING (key) ORDER BY key")
   }
 
+  /** KMV overlap replay ([[operators.Sketches.kmvOverlapMatrix]]):
+    * per-key bottom-k sketches, per-pair union sketch (bottom-k of the
+    * two sketches' hashes), membership-in-both counting, the (k−1)/u_k
+    * union estimate, and the EXACT pairwise intersection joined for
+    * the audit.
+    */
+  def q216KmvOverlap(k: Int): String = {
+    val head = Seq(
+      s"tok AS (SELECT source, $Toks AS t FROM documents)",
+      "g AS (SELECT source, unnest(list_distinct(CASE WHEN len(t) >= 3 " +
+        "THEN list_transform(range(0, len(t) - 2), " +
+        "i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END)) AS gram FROM tok)",
+      "dg AS (SELECT DISTINCT source AS key, gram FROM g)",
+      s"th AS (SELECT key, ${fnv("gram")} AS z FROM dg)")
+    val mixed = mixStages(Seq("z"), Seq("key")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "th" else s"hm${n - 1}"
+        s"hm$n AS ($body FROM $prev)"
+    }
+    withClause(head ++ mixed ++ Seq(
+      s"sk AS (SELECT key, ${toSigned("z")} AS h FROM hm5)",
+      "rk AS (SELECT key, h, row_number() OVER (PARTITION BY key " +
+        "ORDER BY h) AS rank FROM sk)",
+      s"kk AS (SELECT key, h FROM rk WHERE rank <= $k)",
+      "ks AS (SELECT DISTINCT key FROM kk)",
+      "bo AS (SELECT a.key AS key_a, b.key AS key_b, a.h " +
+        "FROM kk a JOIN kk b ON a.h = b.h AND a.key < b.key)",
+      "pu AS (SELECT DISTINCT key_a, key_b, h FROM (" +
+        "SELECT a.key AS key_a, kb.key AS key_b, a.h FROM kk a " +
+        "JOIN ks kb ON a.key < kb.key " +
+        "UNION ALL " +
+        "SELECT ka.key AS key_a, a.key AS key_b, a.h FROM kk a " +
+        "JOIN ks ka ON ka.key < a.key))",
+      "pr AS (SELECT key_a, key_b, h, row_number() OVER (" +
+        "PARTITION BY key_a, key_b ORDER BY h) AS rank FROM pu)",
+      s"pk AS (SELECT * FROM pr WHERE rank <= $k)",
+      "ag AS (SELECT pk.key_a, pk.key_b, count(*) AS n_union_kept, " +
+        "CAST(sum(CASE WHEN bo.h IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_both, " +
+        s"max(CASE WHEN pk.rank = $k THEN pk.h END) AS hk " +
+        "FROM pk LEFT JOIN bo ON bo.key_a = pk.key_a " +
+        "AND bo.key_b = pk.key_b AND bo.h = pk.h GROUP BY 1, 2)",
+      "ti AS (SELECT a.key AS key_a, b.key AS key_b, " +
+        "count(*) AS n_true_inter FROM dg a JOIN dg b " +
+        "ON a.gram = b.gram AND a.key < b.key GROUP BY 1, 2)",
+      s"fin AS (SELECT ag.*, CASE WHEN n_union_kept < $k " +
+        "THEN CAST(n_union_kept AS DOUBLE) " +
+        s"ELSE round(CAST(${k - 1} AS DOUBLE) / " +
+        "((CAST(hk AS DOUBLE) + 9223372036854775808.0) / " +
+        "18446744073709551616.0), 4) END AS dv_union FROM ag)"),
+      "SELECT f.key_a, f.key_b, f.n_union_kept, f.n_both, f.dv_union, " +
+        "CAST(f.n_both AS DOUBLE) / f.n_union_kept * f.dv_union " +
+        "AS inter_est, coalesce(ti.n_true_inter, 0) AS n_true_inter " +
+        "FROM fin f LEFT JOIN ti ON ti.key_a = f.key_a " +
+        "AND ti.key_b = f.key_b ORDER BY f.key_a, f.key_b")
+  }
+
   def q123HllBySource(p: Int): String = {
     val sub = 64 - p
     val m = (1L << p).toDouble

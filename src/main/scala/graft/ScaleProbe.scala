@@ -348,6 +348,34 @@ object ScaleProbe {
             .withColumn("v", length(col("text")).cast("long")),
           "source", "doc_id", "v"))
     }
+    // prefix-filtered exact Jaccard join: candidates are an equi-join
+    // on prefix shingles — EXACT-duplicate replicas are its worst case
+    // (every replica pair is a true pair), so the pair OUTPUT grows
+    // r²·dups, but the candidate-generation stays gram-bounded; probe
+    // at τ high enough that output stays near the true-dup set
+    Seq(1, 2, 4).foreach { r =>
+      timeWarm(s"prefix_jaccard r=$r docs=${nDocs * r}", () =>
+        operators.SetSimJoin.jaccardJoin(replicateDocs(r), "doc_id",
+          "text", tauMicros = 950000L, n = 5))
+    }
+    // PCA covariance: one corpus pass to a d²-bounded table — replicas
+    // must scale linearly, the cell table never grows
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"pca_cov r=$r vecs=${nVecs * r}", () =>
+        operators.Pca.covarianceMatrix(replicateVecs(r), "embedding"))
+    }
+    // KMV sketch: distinct + one per-key window; output is k rows per
+    // key at ANY corpus size
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"kmv r=$r docs=${nDocs * r}", () =>
+        operators.Sketches.kmvSketchBy(
+          replicateDocs(r).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+            .select(col("source"),
+              explode(functions.TextFunctions.tokens(col("text")))
+                .as("tok")),
+          "source", "tok", 64))
+    }
     spark.stop()
   }
 }

@@ -3533,6 +3533,29 @@ object SparkEntry {
       graft.operators.Abtest.mannWhitney(cupedUnits(s, dir), "arm",
         "user_id", "y")),
 
+    // KMV set-overlap matrix: per-pair union sketches estimate source
+    // × source shared-3-gram counts from k longs per source — the
+    // WHICH-elements capability HLL registers cannot express; exact
+    // intersections joined for the audit. All joins at sketch grain.
+    "q216_kmv_overlap" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("source"), toks(col("text")).as("t"))
+      val g = tok.select(col("source"),
+        explode(TF.shinglesOf(col("t"), 3)).as("gram"))
+      val om = graft.operators.Sketches.kmvOverlapMatrix(
+        graft.operators.Sketches.kmvSketchBy(g, "source", "gram", 64),
+        64)
+      val dg = g.select(col("source").as("key"), col("gram")).distinct()
+      val truth = dg.as("a").join(dg.as("b"),
+          col("a.gram") === col("b.gram") &&
+            col("a.key") < col("b.key"))
+        .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
+        .agg(count(lit(1)).as("n_true_inter"))
+      om.join(truth, Seq("key_a", "key_b"), "left")
+        .na.fill(0L, Seq("n_true_inter"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
     // Capstone #16: the experiment readout end-to-end — CUPED
     // adjustment then Welch t on BOTH the raw and adjusted metric in
     // one row: the variance reduction shows up as |t_cuped| > |t_raw|
@@ -6359,6 +6382,8 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     "q212_kmv_distinct" -> HashOracles.q212KmvDistinct(64),
+
+    "q216_kmv_overlap" -> HashOracles.q216KmvOverlap(64),
 
     "q213_welch_ttest" -> (CupedUnitsSql +
       """,

@@ -457,4 +457,56 @@ object Sketches {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("key")).orderBy(col("h"))))
       .filter(col("rank") <= k)
+
+  /** Pairwise set-overlap estimates from grouped KMV sketches — the
+    * capability HLL registers cannot express (a register says "how
+    * many", a bottom-k sketch says "WHICH k smallest", and membership
+    * of a union-sketch hash in both sides estimates the Jaccard).
+    * For each key pair (a < b): the union sketch = bottom-k of the two
+    * sketches' union; ρ = |union-sketch ∩ both| / |union sketch|;
+    * `inter_est = ρ · dv_union`. All joins are hash equi-joins at
+    * sketch grain (k rows per key — corpus never touched).
+    */
+  def kmvOverlapMatrix(sketch: DataFrame, k: Int): DataFrame = {
+    val u = sketch.as("a").join(sketch.as("b"),
+        col("a.h") === col("b.h") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
+        col("a.h").as("h"), lit(1).as("__both"))
+    // union sketch per pair: all hashes of either side, bottom-k
+    val pairs = sketch.as("a").join(
+        sketch.select(col("key").as("key_b")).distinct().as("b"),
+        col("a.key") < col("key_b"))
+      .select(col("a.key").as("key_a"), col("key_b"), col("h"))
+      .union(sketch.as("a").join(
+          sketch.select(col("key").as("key_a")).distinct().as("b"),
+          col("key_a") < col("a.key"))
+        .select(col("key_a"), col("a.key").as("key_b"), col("h")))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key_a"), col("key_b"))
+          .orderBy(col("h"))))
+      .filter(col("rank") <= k)
+    val shift = 9.223372036854775808e18
+    val full = 1.8446744073709551616e19
+    pairs
+      .join(u, Seq("key_a", "key_b", "h"), "left")
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n_union_kept"),
+        sum(coalesce(col("__both"), lit(0))).cast("long").as("n_both"),
+        max(when(col("rank") === k, col("h"))).as("__hk"))
+      .withColumn("dv_union",
+        when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            ((col("__hk").cast("double") + shift) / full), 4)))
+      // inter_est stays UNROUNDED: every operand (two exact integers
+      // and the already-4dp-pinned dv_union) is bit-identical across
+      // engines, so the product is too — while an explicit round() at
+      // a half-way point would expose the engines' different tie rules
+      // (measured: 86.31145 → 86.3115 here, 86.3114 in DuckDB)
+      .select(col("key_a"), col("key_b"), col("n_union_kept"),
+        col("n_both"), col("dv_union"),
+        (col("n_both").cast("double") / col("n_union_kept") *
+          col("dv_union")).as("inter_est"))
+  }
 }
