@@ -3481,6 +3481,24 @@ object SparkEntry {
     // gram-count bound. The ORACLE is an independent quadratic DuckDB
     // implementation (the q141 native-engine device), so the gate
     // proves the prefilter admits no false negatives.
+    // Second principal component via Hotelling deflation: C−λ·v·vᵀ on
+    // the grid-pinned bounded table, then the same 8-round power
+    // iteration; `ortho` (v₁·v₂, ≈0) rides along as the invariant.
+    "q217_pca_second_component" -> ((s, dir) => {
+      val cov = graft.operators.Pca.covarianceMatrix(
+        T(s, dir, "embeddings"), "embedding")
+      val c1 = graft.operators.Pca.topComponent(cov, iters = 8)
+      val c2 = graft.operators.Pca.topComponent(
+        graft.operators.Pca.deflate(cov, c1), iters = 8)
+      val ortho = c1.select(col("i"), col("loading").as("__l1"))
+        .join(c2.select(col("i"), col("loading").as("__l2")), Seq("i"))
+        .agg(round(sum(col("__l1") * col("__l2")), 4).as("ortho"))
+      c2.crossJoin(broadcast(ortho))
+        .select(col("i"), col("loading"), col("eigenvalue"),
+          col("ortho"))
+        .orderBy(col("i"))
+    }),
+
     "q210_editdist_linkage" -> ((s, dir) => {
       val names = T(s, dir, "part").groupBy(col("p_name"))
         .agg(min(col("p_partkey")).as("nid"))
@@ -3651,17 +3669,37 @@ object SparkEntry {
     * rounds on the 1e-6 grid, sign fixed by the largest-|loading|
     * convention — [[graft.operators.Pca]]'s exact trajectory.
     */
-  private def pcaWith(dim: Int, iters: Int): String = {
+  /** One grid-pinned power-iteration chain over covariance table
+    * `covT`, CTE names prefixed with `pfx`: `${pfx}p0..pK`,
+    * `${pfx}n1..nK`, sign pick `${pfx}sg`, final `${pfx}ld(i,
+    * loading)`.
+    */
+  private def powerCtes(pfx: String, covT: String, dim: Int,
+      iters: Int): String = {
     val rounds = (1 to iters).flatMap { k =>
-      val prev = s"p${k - 1}"
+      val prev = s"${pfx}p${k - 1}"
       Seq(
-        s"w$k AS MATERIALIZED (SELECT c.i AS vi, " +
+        s"${pfx}w$k AS MATERIALIZED (SELECT c.i AS vi, " +
           s"round(sum(c.cov * p.x), 6) AS wx " +
-          s"FROM cov c JOIN $prev p ON p.vi = c.j GROUP BY 1)",
-        s"n$k AS (SELECT round(sqrt(sum(wx * wx)), 6) AS nrm FROM w$k)",
-        s"p$k AS MATERIALIZED (SELECT vi, " +
-          s"round(wx / (SELECT nrm FROM n$k), 6) AS x FROM w$k)")
+          s"FROM $covT c JOIN $prev p ON p.vi = c.j GROUP BY 1)",
+        s"${pfx}n$k AS (SELECT round(sqrt(sum(wx * wx)), 6) AS nrm " +
+          s"FROM ${pfx}w$k)",
+        s"${pfx}p$k AS MATERIALIZED (SELECT vi, " +
+          s"round(wx / (SELECT nrm FROM ${pfx}n$k), 6) AS x " +
+          s"FROM ${pfx}w$k)")
     }
+    (Seq(
+      s"${pfx}p0 AS (SELECT i AS vi, round(CAST(1.0 AS DOUBLE) / " +
+        s"sqrt(CAST($dim AS DOUBLE)), 6) AS x FROM idx)") ++ rounds ++
+      Seq(
+        s"${pfx}sg AS (SELECT CASE WHEN x < 0 THEN CAST(-1.0 AS DOUBLE) " +
+          s"ELSE CAST(1.0 AS DOUBLE) END AS sgn " +
+          s"FROM ${pfx}p$iters ORDER BY abs(x) DESC, vi LIMIT 1)",
+        s"${pfx}ld AS (SELECT vi AS i, round(x * sgn, 6) AS loading " +
+          s"FROM ${pfx}p$iters, ${pfx}sg)")).mkString(",\n")
+  }
+
+  private def pcaWith(dim: Int, iters: Int): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
@@ -3674,15 +3712,7 @@ object SparkEntry {
        |    8) AS cov
        |  FROM cells c JOIN sx sa ON sa.i = c.i
        |  JOIN sx sb ON sb.i = c.j),
-       |p0 AS (SELECT i AS vi, round(CAST(1.0 AS DOUBLE) /
-       |    sqrt(CAST($dim AS DOUBLE)), 6) AS x FROM idx),
-       |${rounds.mkString(",\n")},
-       |sg AS (SELECT CASE WHEN x < 0 THEN CAST(-1.0 AS DOUBLE)
-       |    ELSE CAST(1.0 AS DOUBLE) END AS sgn
-       |  FROM p$iters ORDER BY abs(x) DESC, vi LIMIT 1),
-       |ld AS (SELECT vi AS i, round(x * sgn, 6) AS loading
-       |  FROM p$iters, sg)""".stripMargin
-  }
+       |${powerCtes("", "cov", dim, iters)}""".stripMargin
 
   private def pcaOracle(dim: Int, iters: Int): String =
     pcaWith(dim, iters) +
@@ -6384,6 +6414,19 @@ object SparkEntry {
     "q212_kmv_distinct" -> HashOracles.q212KmvDistinct(64),
 
     "q216_kmv_overlap" -> HashOracles.q216KmvOverlap(64),
+
+    "q217_pca_second_component" -> (pcaWith(64, 8) +
+      s""",
+         |cov2 AS (SELECT c.i, c.j, round(c.cov -
+         |    (SELECT nrm FROM n8) * la.loading * lb.loading, 8) AS cov
+         |  FROM cov c JOIN ld la ON la.i = c.i
+         |  JOIN ld lb ON lb.i = c.j),
+         |${powerCtes("d", "cov2", 64, 8)},
+         |ort AS (SELECT round(sum(a.loading * b.loading), 4) AS ortho
+         |  FROM ld a JOIN dld b ON a.i = b.i)
+         |SELECT d.i, d.loading, (SELECT nrm FROM dn8) AS eigenvalue,
+         |  o.ortho
+         |FROM dld d, ort o ORDER BY d.i""".stripMargin),
 
     "q213_welch_ttest" -> (CupedUnitsSql +
       """,

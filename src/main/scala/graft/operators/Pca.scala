@@ -62,6 +62,23 @@ object Pca {
       .select(col("j").as("i"), col("i").as("j"), col("cov")))
   }
 
+  /** Hotelling deflation: C' = C − λ·v·vᵀ removes the top component
+    * from the covariance table, so another [[topComponent]] pass finds
+    * the SECOND component. All operands are grid-pinned (cov 1e-8,
+    * loading/eigenvalue 1e-6), so the deflated cells replay; output
+    * re-pins at 1e-8. Bounded-table arithmetic only.
+    */
+  def deflate(cov: DataFrame, component: DataFrame): DataFrame = {
+    val vi = component.select(col("i"), col("loading").as("__li"),
+      col("eigenvalue").as("__ev"))
+    val vj = component.select(col("i").as("j"),
+      col("loading").as("__lj"))
+    cov.join(vi, Seq("i")).join(vj, Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("cov") - col("__ev") * col("__li") * col("__lj"), 8)
+          .as("cov"))
+  }
+
   /** Scalar projection of every vector onto a (i, loading) component
     * table (1-based i): one posexplode + an equi-join against the
     * d-row component (broadcast by size) + one id-grain aggregation —

@@ -59,4 +59,19 @@ object SketchStream {
           batchId: Long) =>
         sink(Sketches.logHistBuild(batch, valueCol, maxBits), batchId)
     }
+
+  /** Per-micro-batch KMV sketches: `sink(sketch, batchId)` receives
+    * [[Sketches.kmvSketchBy]] of each batch — fold with
+    * [[Sketches.kmvMerge]] (bottom-k of the union) for a running
+    * distinct sketch whose state is k longs per key forever.
+    */
+  def kmvBatches(items: DataFrame, keyCol: String, itemCol: String,
+      k: Int)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(Sketches.kmvSketchBy(batch, keyCol, itemCol, k), batchId)
+    }
 }

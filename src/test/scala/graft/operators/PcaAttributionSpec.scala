@@ -60,6 +60,29 @@ class PcaAttributionSpec extends SparkSpec {
     assert(math.abs(n2 - 1.0) < 1e-3)
   }
 
+  test("deflation: second component is the anti-diagonal of the " +
+      "stretched cloud, orthogonal to the first") {
+    val s = spark
+    import s.implicits._
+    val pts = (0 until 40).map { k =>
+      val t = (k - 20).toDouble
+      val eps = if (k % 2 == 0) 0.5 else -0.5
+      Array((t + eps).toFloat, (t - eps).toFloat)
+    }.toDF("v")
+    val cov = Pca.covarianceMatrix(pts, "v")
+    val c1 = Pca.topComponent(cov, 8)
+    val c2 = Pca.topComponent(Pca.deflate(cov, c1), 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val inv = 1.0 / math.sqrt(2.0)
+    // second component = (1,-1)/√2 up to the sign convention
+    assert(math.abs(math.abs(c2(1)) - inv) < 5e-3, c2)
+    assert(math.abs(math.abs(c2(2)) - inv) < 5e-3, c2)
+    assert(c2(1) * c2(2) < 0, c2)
+    val c1m = c1.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dot = c1m(1) * c2(1) + c1m(2) * c2(2)
+    assert(math.abs(dot) < 5e-3, s"not orthogonal: $dot")
+  }
+
   test("positionBased attribution: hand-computed credits") {
     val s = spark
     import s.implicits._

@@ -15,6 +15,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 // top-level: encoder codegen cannot reach a class nested in the suite
 case class SkItem(item: String, ts: Timestamp)
 case class SkVal(v: Long, ts: Timestamp)
+case class SkKeyed(key: String, item: String)
 
 class SketchStreamSpec extends SparkSpec {
 
@@ -101,5 +102,31 @@ class SketchStreamSpec extends SparkSpec {
     assert(hmap(hist.get) ===
       hmap(Sketches.logHistBuild((b1 ++ b2).toDF(), "v")),
       "folded stream histogram must equal the batch histogram")
+  }
+
+  test("folded streaming KMV == batch KMV of the whole stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val b1 = (1 to 300).map(i => SkKeyed(s"k${i % 2}", s"it_$i"))
+    val b2 = (200 to 500).map(i => SkKeyed(s"k${i % 2}", s"it_$i"))
+    val mem = MemoryStream[SkKeyed]
+    var sk: Option[DataFrame] = None
+    val q = SketchStream.kmvBatches(mem.toDF(), "key", "item", 32) {
+      (b, _) =>
+        val snap = b.cache(); snap.count()
+        sk = Some(sk.fold(snap)(acc =>
+          Sketches.kmvMerge(acc, snap, 32).cache()))
+        sk.get.count()
+    }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def m(df: DataFrame) = df.select("key", "rank", "h").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val whole = Sketches.kmvSketchBy((b1 ++ b2).toDF("key", "item"),
+      "key", "item", 32)
+    assert(m(sk.get) === m(whole),
+      "folded stream KMV must equal the whole-stream sketch")
   }
 }
