@@ -3481,6 +3481,26 @@ object SparkEntry {
     // gram-count bound. The ORACLE is an independent quadratic DuckDB
     // implementation (the q141 native-engine device), so the gate
     // proves the prefilter admits no false negatives.
+    // Readability/complexity profile per source: vowel-run syllable
+    // proxy (the Flesch/SMOG input) — avg syllables per word and
+    // polysyllabic fraction; word-quality screening at one explode +
+    // one partial-agg shuffle.
+    "q218_readability_profile" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .withColumn("runs", TF.vowelRuns(col("w")))
+      tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("runs")).cast("long").as("n_syllables"),
+          sum(when(col("runs") >= 3, 1L).otherwise(0L)).as("n_poly"))
+        .select(col("source"), col("n_words"), col("n_syllables"),
+          round(col("n_syllables") / col("n_words").cast("double"), 4)
+            .as("syll_per_word"),
+          round(col("n_poly") / col("n_words").cast("double"), 4)
+            .as("poly_frac"))
+        .orderBy(col("source"))
+    }),
+
     // Second principal component via Hotelling deflation: C−λ·v·vᵀ on
     // the grid-pinned bounded table, then the same 8-round power
     // iteration; `ortho` (v₁·v₂, ≈0) rides along as the invariant.
@@ -6414,6 +6434,20 @@ object SparkEntry {
     "q212_kmv_distinct" -> HashOracles.q212KmvDistinct(64),
 
     "q216_kmv_overlap" -> HashOracles.q216KmvOverlap(64),
+
+    "q218_readability_profile" ->
+      s"""WITH w AS (SELECT source, unnest($ToksSql) AS w
+         |  FROM documents),
+         |r AS (SELECT source,
+         |    len(regexp_split_to_array(w, '[aeiou]+')) - 1 AS runs
+         |  FROM w)
+         |SELECT source, count(*) AS n_words,
+         |  CAST(sum(runs) AS BIGINT) AS n_syllables,
+         |  round(sum(runs) / CAST(count(*) AS DOUBLE), 4)
+         |    AS syll_per_word,
+         |  round(sum(CASE WHEN runs >= 3 THEN 1 ELSE 0 END) /
+         |    CAST(count(*) AS DOUBLE), 4) AS poly_frac
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q217_pca_second_component" -> (pcaWith(64, 8) +
       s""",

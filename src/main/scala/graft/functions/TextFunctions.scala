@@ -173,6 +173,16 @@ object TextFunctions {
     * scale-out scanners) agree byte-for-byte. Pure `regexp_replace`
     * chain — codegen'd, no UDF.
     */
+  /** Vowel-run count — the standard syllable proxy behind readability
+    * scores (Flesch/SMOG use syllables; a vowel GROUP approximates one
+    * syllable): number of maximal `[aeiou]+` runs in the (lowercased)
+    * string. `split` keeps leading/trailing empties identically in
+    * Spark and DuckDB's regexp_split_to_array, so `len(parts) − 1` is
+    * the run count in both engines.
+    */
+  def vowelRuns(s: Column): Column =
+    size(split(lower(s), "[aeiou]+")) - 1
+
   def maskPii(text: Column): Column = {
     val noEmail = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
