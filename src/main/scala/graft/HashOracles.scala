@@ -228,7 +228,8 @@ object HashOracles {
         "ON a.usim // 281474976710656 = b.usim // 281474976710656 " + // >>> 48
         "AND a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 16)"),
-    "SELECT count(*) AS n_pairs, coalesce(min(hamming), -1) AS min_hamming FROM pairs")
+    "SELECT count(*) AS n_pairs, " +
+      "CAST(coalesce(min(hamming), -1) AS INTEGER) AS min_hamming FROM pairs")
 
   /** Jaccard-verify (>= 0.9 over distinct tokens) + recursive transitive
     * closure over `cand`, ending in `reach(node, component)`. `docSetSql`
@@ -322,7 +323,8 @@ object HashOracles {
         "bit_count(xor(a.simhash, b.simhash)) AS hamming " +
         "FROM simh a JOIN simh b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"),
-    "SELECT a_id, b_id, hamming FROM pairs ORDER BY 1, 2")
+    "SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming " +
+      "FROM pairs ORDER BY 1, 2")
 
   /** Multi-probe LSH replay: perturbation masks scored by the summed
     * |projection| of their flipped planes, folded in ascending-bit order
@@ -467,7 +469,8 @@ object HashOracles {
       s"mx AS (SELECT doc_id, score, xor(z, $epoch) AS z FROM ma5)")
     val second = rounds("mb", "mx")
     withClause(head ++ first ++ xorStage ++ second,
-      "SELECT doc_id, score, CAST(score // 10 AS BIGINT) AS bucket, " +
+      "SELECT doc_id, CAST(score AS INTEGER) AS score, " +
+        "CAST(score // 10 AS BIGINT) AS bucket, " +
         s"${toSigned("z")} AS epoch_key FROM mb5 " +
         "ORDER BY bucket DESC, epoch_key, doc_id LIMIT 15")
   }
@@ -564,7 +567,7 @@ object HashOracles {
     withClause(budgetSelCtes(scoreSql, budget),
       "SELECT count(*) AS n_selected, " +
         "CAST(coalesce(sum(n), 0) AS BIGINT) AS total_tokens, " +
-        "coalesce(min(score), -1) AS min_score FROM sel")
+        "CAST(coalesce(min(score), -1) AS INTEGER) AS min_score FROM sel")
 
   /** Capstone #8 replay: the q79 budget selection chained into the
     * q125 concat-and-chunk packing of the SURVIVORS (id order, running
@@ -784,6 +787,35 @@ object HashOracles {
       "hit AS (SELECT * FROM pairs WHERE cos >= 0.4)"),
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
+
+  /** IVF-bounded margin-mining replay (q219): the q87/q93 trained
+    * k-means chain (`kmTrainCtes`), `nAssign`-nearest assignment
+    * (`kmAssignCte` with `rk <= nAssign`), candidate pairs DISTINCT
+    * over any shared list, then the exact q150 margin chain
+    * (rounded-grid top-`k` avgK, ratio margin, per-x best partner)
+    * over that candidate table only.
+    */
+  def q219MarginMiningIvf(nLists: Int, nAssign: Int, k: Int): String =
+    withClause(kmTrainCtes(nLists) ++ Seq(
+      kmAssignCte("asg", "c2", take = nAssign),
+      "cand AS (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y " +
+        "FROM asg a JOIN asg b ON a.cid = b.cid " +
+        "AND a.vec_id <> b.vec_id)",
+      "p AS (SELECT c.x, c.y, " +
+        "list_cosine_similarity(ea.v, eb.v) AS cos " +
+        "FROM cand c JOIN e ea ON ea.vec_id = c.x " +
+        "JOIN e eb ON eb.vec_id = c.y)",
+      "r AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x " +
+        "ORDER BY round(cos, 4) DESC, y) AS rn FROM p)",
+      s"ak AS (SELECT x, avg(cos) AS avg_k FROM r WHERE rn <= $k " +
+        "GROUP BY x)",
+      "sc AS (SELECT p.x, p.y, p.cos, " +
+        "round(p.cos / ((ax.avg_k + ay.avg_k) / 2), 4) AS margin " +
+        "FROM p JOIN ak ax ON ax.x = p.x JOIN ak ay ON ay.x = p.y)",
+      "bst AS (SELECT x, y, cos, margin, row_number() OVER " +
+        "(PARTITION BY x ORDER BY margin DESC, y) AS rn FROM sc)"),
+      "SELECT x, y AS best_match, round(cos, 4) AS cos, margin " +
+        "FROM bst WHERE rn = 1 ORDER BY x")
 
   /** Capstone-3 replay — the round-6 stages chained: first-occurrence
     * novelty filter (keep docs whose distinct 3-grams are majority-novel)
@@ -1050,11 +1082,11 @@ object HashOracles {
       topK) ++ Seq(
       "dt AS (SELECT r.vec_id, r.exact_score, " +
         s"CAST(len($Toks) AS BIGINT) AS n_tokens, " +
-        "row_number() OVER (ORDER BY r.exact_score DESC, r.vec_id) " +
-        "AS rank, " +
-        "sum(CAST(len(" + Toks + ") AS BIGINT)) OVER (" +
+        "CAST(row_number() OVER (ORDER BY r.exact_score DESC, r.vec_id) " +
+        "AS INTEGER) AS rank, " +
+        "CAST(sum(CAST(len(" + Toks + ") AS BIGINT)) OVER (" +
         "ORDER BY r.exact_score DESC, r.vec_id " +
-        "ROWS UNBOUNDED PRECEDING) AS cum_tokens " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens " +
         "FROM rr r JOIN documents d ON d.doc_id = r.vec_id)"),
       s"SELECT rank, vec_id, n_tokens, cum_tokens, exact_score FROM dt " +
         s"WHERE cum_tokens <= $budget ORDER BY rank")
@@ -1943,11 +1975,14 @@ object HashOracles {
       taus: Seq[Double]): String = {
     val list = taus.mkString("[", ", ", "]")
     withClause(nbScoreChain(trainBuckets, alpha) ++ Seq(
-      s"th AS (SELECT unnest($list) AS tau)",
+      s"th AS (SELECT CAST(unnest($list) AS DOUBLE) AS tau)",
       "ag AS (SELECT tau, " +
-        "sum(CASE WHEN score > tau AND pos THEN 1 ELSE 0 END) AS tp, " +
-        "sum(CASE WHEN score > tau AND NOT pos THEN 1 ELSE 0 END) AS fp, " +
-        "sum(CASE WHEN score <= tau AND pos THEN 1 ELSE 0 END) AS fn " +
+        "CAST(sum(CASE WHEN score > tau AND pos THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS tp, " +
+        "CAST(sum(CASE WHEN score > tau AND NOT pos THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS fp, " +
+        "CAST(sum(CASE WHEN score <= tau AND pos THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS fn " +
         "FROM fs, th GROUP BY tau)"),
       "SELECT tau, tp, fp, fn, " +
         "CASE WHEN tp + fp > 0 THEN " +
@@ -1966,8 +2001,9 @@ object HashOracles {
         "(ORDER BY score, doc_id) AS DOUBLE) AS rn FROM fs)",
       "m AS (SELECT pos, avg(rn) OVER (PARTITION BY score) AS midrank " +
         "FROM r)",
-      "ag AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos, " +
-        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg, " +
+      "ag AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_pos, " +
+        "CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg, " +
         "sum(CASE WHEN pos THEN midrank END) AS rs FROM m)"),
       "SELECT n_pos, n_neg, round((rs - n_pos * (n_pos + 1) / 2.0) " +
         "/ CAST(n_pos * n_neg AS DOUBLE), 4) AS auc FROM ag")
@@ -1979,15 +2015,15 @@ object HashOracles {
     */
   def q204GainsDeciles(trainBuckets: Int, alpha: Double): String =
     withClause(nbScoreChain(trainBuckets, alpha) ++ Seq(
-      "r AS (SELECT doc_id, pos, ntile(10) OVER " +
-        "(ORDER BY score DESC, doc_id) AS decile FROM fs)",
+      "r AS (SELECT doc_id, pos, CAST(ntile(10) OVER " +
+        "(ORDER BY score DESC, doc_id) AS INTEGER) AS decile FROM fs)",
       "d AS (SELECT decile, count(*) AS n, " +
-        "sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos FROM r " +
-        "GROUP BY decile)",
+        "CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+        "FROM r GROUP BY decile)",
       "t AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM d)"),
       "SELECT decile, n, n_pos, " +
-        "sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) " +
-        "AS cum_pos, " +
+        "CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED " +
+        "PRECEDING) AS BIGINT) AS cum_pos, " +
         "round(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED " +
         "PRECEDING) / CAST(tp AS DOUBLE), 4) AS capture, " +
         "round((n_pos / CAST(n AS DOUBLE)) / (tp / CAST(tn AS DOUBLE))" +

@@ -81,6 +81,19 @@ object ScaleProbe {
         operators.Similarity.semanticDupPairs(replicateVecs(r),
           "vec_id", "embedding", threshold = 0.4, nLists = lists))
     }
+    // margin mining via trained lists: nLists ∝ n keeps per-list
+    // populations constant, so the candidate pair table (Σ size²)
+    // grows linearly where the exact all-pairs baseline grows r² —
+    // the same SemDeDup k ~ √n argument, now for the margin criterion
+    Seq((1, 16), (2, 32), (4, 64)).foreach { case (r, lists) =>
+      timeWarm(s"margin_via r=$r vecs=${nVecs * r} nLists=$lists", () => {
+        val v = replicateVecs(r)
+        val cents = operators.Clustering.kmeansCentroids(
+          v, "vec_id", "embedding", lists, iters = 1)
+        operators.Similarity.marginTopMatchesVia(
+          v, "vec_id", "embedding", k = 8, cents, nAssign = 2)
+      })
+    }
     // encode: one UDF pass with a FROZEN merge list — map-only, so
     // replicas must scale linearly (the merge table rides in the
     // closure; no shuffle at all)

@@ -2591,9 +2591,8 @@ object SparkEntry {
       val rev = T(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice")).as("revenue"))
-      rev
-        .withColumn("decile", ntile(10).over(
-          Window.orderBy(col("revenue").desc, col("o_custkey"))))
+      graft.operators.Ranks.withGlobalNtile(rev,
+          Seq(col("revenue").desc, col("o_custkey")), 10, "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
           round(sum(col("revenue")), 2).as("total_revenue"),
@@ -2858,10 +2857,10 @@ object SparkEntry {
     // power users or diverse users" dashboard in one gated statement.
     "q182_segment_profile" -> ((s, dir) => {
       val ev = events(s, dir)
-      val vol = ev.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .withColumn("quartile", ntile(4).over(
-          Window.orderBy(col("n_events").desc, col("user_id"))))
+      val vol = graft.operators.Ranks.withGlobalNtile(
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        Seq(col("n_events").desc, col("user_id")), 4, "quartile")
       val times = graft.operators.Funnel.funnelTimes(ev, "user_id",
         "event_type", "ts", Seq("view", "click", "purchase"),
         horizon = "24 hours")
@@ -2914,13 +2913,13 @@ object SparkEntry {
           count(lit(1)).as("f"), sum(col("o_totalprice")).as("m"))
         .crossJoin(broadcast(maxDate))
         .withColumn("r", datediff(col("mx"), col("last_order")))
-      val seg = per
-        .withColumn("rq", ntile(4).over(
-          Window.orderBy(col("r"), col("o_custkey"))))
-        .withColumn("fq", ntile(4).over(
-          Window.orderBy(col("f").desc, col("o_custkey"))))
-        .withColumn("mq", ntile(4).over(
-          Window.orderBy(col("m").desc, col("o_custkey"))))
+      val R = graft.operators.Ranks
+      val seg = R.withGlobalNtile(
+        R.withGlobalNtile(
+          R.withGlobalNtile(per,
+            Seq(col("r"), col("o_custkey")), 4, "rq"),
+          Seq(col("f").desc, col("o_custkey")), 4, "fq"),
+        Seq(col("m").desc, col("o_custkey")), 4, "mq")
       seg.groupBy(concat(col("rq"), col("fq"), col("mq")).as("segment"))
         .agg(count(lit(1)).as("n_customers"),
           round(avg(col("r")), 2).as("avg_recency_days"),
@@ -3115,11 +3114,11 @@ object SparkEntry {
       val scored = graft.operators.QualityClassifier.score(
           docs.filter(!split), "doc_id", "text", model)
         .select(col("doc_id"), col("score"), col("is_en"))
-      val byScore = Window.orderBy(col("score"), col("doc_id"))
-      val ranked = scored
-        .withColumn("rn", row_number().over(byScore).cast("double"))
+      val ranked = graft.operators.Ranks.withGlobalRowNumber(scored,
+          Seq(col("score"), col("doc_id")), "rn")
         .withColumn("midrank",
-          avg(col("rn")).over(Window.partitionBy(col("score"))))
+          avg(col("rn").cast("double"))
+            .over(Window.partitionBy(col("score"))))
       ranked.agg(
           sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"),
           sum(when(!col("is_en"), 1L).otherwise(0L)).as("n_neg"),
@@ -3391,9 +3390,8 @@ object SparkEntry {
       val scored = graft.operators.QualityClassifier.score(
           docs.filter(!split), "doc_id", "text", model)
         .select(col("doc_id"), col("score"), col("is_en"))
-      val d = scored
-        .withColumn("decile", ntile(10).over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
+      val d = graft.operators.Ranks.withGlobalNtile(scored,
+          Seq(col("score").desc, col("doc_id")), 10, "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"))
@@ -3485,6 +3483,24 @@ object SparkEntry {
     // proxy (the Flesch/SMOG input) — avg syllables per word and
     // polysyllabic fraction; word-quality screening at one explode +
     // one partial-agg shuffle.
+    // Margin mining, production path: the q150 ratio-margin scoring
+    // over the IVF-bounded candidate space (6-assignment into 64
+    // TRAINED centroid lists — the q87 training chain) — per-list
+    // populations bound the join to Σ n_ℓ² (measured ~half the pair
+    // space even on this deliberately unclustered synthetic fixture;
+    // real embedding corpora cluster and drop much further, and
+    // nLists ∝ n keeps it linear — ScaleProbe). q150 stays the
+    // declared exact baseline; best-match recall between the two
+    // (0.91 here) is measured in SimilaritySpec.
+    "q219_margin_mining_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 64, iters = 2)
+      graft.operators.Similarity.marginTopMatchesVia(
+          e, "vec_id", "embedding", k = 8, cents, nAssign = 6)
+        .orderBy(col("x"))
+    }),
+
     "q218_readability_profile" -> ((s, dir) => {
       val tok = T(s, dir, "documents")
         .select(col("source"), explode(toks(col("text"))).as("w"))
@@ -3736,7 +3752,8 @@ object SparkEntry {
 
   private def pcaOracle(dim: Int, iters: Int): String =
     pcaWith(dim, iters) +
-      s"\nSELECT i, loading, (SELECT nrm FROM n$iters) AS eigenvalue" +
+      "\nSELECT CAST(i AS INTEGER) AS i, loading, " +
+      s"(SELECT nrm FROM n$iters) AS eigenvalue" +
       "\nFROM ld ORDER BY i"
 
   /** Unrolled HITS replay for q169: per round, the raw authority sum,
@@ -3765,8 +3782,9 @@ object SparkEntry {
        |  SELECT 'hub' AS side, s AS id, h AS score FROM h$iters
        |  UNION ALL
        |  SELECT 'authority', d, a FROM a$iters),
-       |rk AS (SELECT side, id, score, row_number() OVER
-       |  (PARTITION BY side ORDER BY round(score, 6) DESC, id) AS rn
+       |rk AS (SELECT side, id, score, CAST(row_number() OVER
+       |  (PARTITION BY side ORDER BY round(score, 6) DESC, id)
+       |  AS INTEGER) AS rn
        |  FROM allx)
        |SELECT side, rn, id, round(score, 6) AS score FROM rk
        |WHERE rn <= 15 ORDER BY side, rn""".stripMargin
@@ -4013,19 +4031,20 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
 
     "q24_token_stats" ->
-      s"""SELECT doc_id, len($ToksSql) AS n_tokens,
-         | len(list_distinct($ToksSql)) AS n_distinct,
-         | length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))
-         |   AS n_punct
+      s"""SELECT doc_id, CAST(len($ToksSql) AS INTEGER) AS n_tokens,
+         | CAST(len(list_distinct($ToksSql)) AS INTEGER) AS n_distinct,
+         | CAST(length(text) -
+         |   length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))
+         |   AS INTEGER) AS n_punct
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q25_quality_score" ->
       s"""SELECT doc_id,
-         | 2 * ${hitsSql(TF.EnStop)}
+         | CAST(2 * ${hitsSql(TF.EnStop)}
          | + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 5 ELSE 0 END
          | + CASE WHEN 20 * (length(text) -
          |     length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) <= n_chars
-         |   THEN 3 ELSE 0 END AS quality
+         |   THEN 3 ELSE 0 END AS INTEGER) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q26_langid" ->
@@ -4104,7 +4123,8 @@ object SparkEntry {
          |      i -> array_to_string(list_slice(toks, i*56 + 1, i*56 + 64), ' ')))
          |      AS chunk
          |  FROM n)
-         |SELECT doc_id, chunk_idx, length(chunk) AS chunk_chars
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  CAST(length(chunk) AS INTEGER) AS chunk_chars
          |FROM c ORDER BY 1, 2""".stripMargin,
 
     "q48_token_packing" ->
@@ -4168,8 +4188,8 @@ object SparkEntry {
 
     "q36_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS name_upper,
-        | length(c_name) AS name_len,
-        | levenshtein(c_name, c_mktsegment) AS lev,
+        | CAST(length(c_name) AS INTEGER) AS name_len,
+        | CAST(levenshtein(c_name, c_mktsegment) AS INTEGER) AS lev,
         | substr(c_name, 1, 8) AS name_prefix
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
@@ -4203,7 +4223,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q42_embedding_centroid" ->
-      """SELECT vec_id % 10 AS grp, pos - 1 AS pos,
+      """SELECT vec_id % 10 AS grp, CAST(pos - 1 AS INTEGER) AS pos,
         | round(avg(CAST(list_extract(embedding, pos) AS DOUBLE)), 6) AS mean_x
         |FROM embeddings, generate_series(1, 4) AS t(pos)
         |WHERE vec_id < 1000
@@ -4380,7 +4400,7 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '[0-9]{9,}', '[NUM]', 'g') AS masked
         |  FROM documents)
-        |SELECT doc_id, length(masked) AS masked_len,
+        |SELECT doc_id, CAST(length(masked) AS INTEGER) AS masked_len,
         |  CAST((length(masked) - length(replace(masked, '[EMAIL]', ''))) / 7
         |    AS BIGINT) AS n_emails,
         |  CAST((length(masked) - length(replace(masked, '[NUM]', ''))) / 5
@@ -4463,7 +4483,8 @@ object SparkEntry {
         |q AS (SELECT vec_id, scale, list_transform(v, x ->
         |  CASE WHEN scale = 0 THEN 0
         |    ELSE CAST(round(x / scale) AS INTEGER) END) AS q FROM s)
-        |SELECT vec_id, len(q) AS n_dims, round(scale, 6) AS scale_r,
+        |SELECT vec_id, CAST(len(q) AS INTEGER) AS n_dims,
+        |  round(scale, 6) AS scale_r,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q),
         |    (a, x) -> a + x) AS BIGINT) AS q_sum,
         |  CAST(list_max(q) AS INTEGER) AS q_max
@@ -4531,8 +4552,8 @@ object SparkEntry {
          |  round(tf.tf * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 4)
          |    AS tfidf
          |  FROM tf JOIN dfq USING (token), n),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |  ORDER BY tfidf DESC, token) AS term_rank FROM sc)
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY tfidf DESC, token) AS INTEGER) AS term_rank FROM sc)
          |SELECT doc_id, token, tf, df, tfidf, term_rank FROM rk
          |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
 
@@ -4587,9 +4608,9 @@ object SparkEntry {
         |f AS (SELECT doc_id, text,
         |  unnest(range(0, greatest(CAST(floor(n / 64) AS BIGINT) - 1, 0) + 1,
         |    4)) AS frame_idx FROM m)
-        |SELECT doc_id AS media_id, frame_idx,
-        |  length(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
-        |    AS frame_bytes
+        |SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER),
+        |    64)) AS INTEGER) AS frame_bytes
         |FROM f ORDER BY 1, 2""".stripMargin,
 
     // span identity: Spark joins on xxhash64(span), the oracle on the
@@ -5573,8 +5594,9 @@ object SparkEntry {
     "q165_revenue_deciles" ->
       """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS revenue
         |  FROM orders GROUP BY o_custkey),
-        |d AS (SELECT revenue, ntile(10) OVER
-        |    (ORDER BY revenue DESC, o_custkey) AS decile FROM rev)
+        |d AS (SELECT revenue, CAST(ntile(10) OVER
+        |    (ORDER BY revenue DESC, o_custkey) AS INTEGER) AS decile
+        |  FROM rev)
         |SELECT decile, count(*) AS n_customers,
         |  round(sum(revenue), 2) AS total_revenue,
         |  round(avg(revenue), 2) AS avg_revenue
@@ -5751,8 +5773,9 @@ object SparkEntry {
          |      / ((da + db) * (dc + dd) * (da + dc) * (db + dd)), 4)
          |  END AS chi2,
          |  da * dd > db * dc AS pos FROM x),
-         |r AS (SELECT source, token, a, chi2, row_number() OVER
-         |  (PARTITION BY source ORDER BY chi2 DESC, token) AS rn
+         |r AS (SELECT source, token, a, chi2, CAST(row_number() OVER
+         |  (PARTITION BY source ORDER BY chi2 DESC, token) AS INTEGER)
+         |    AS rn
          |  FROM s WHERE chi2 IS NOT NULL AND pos)
          |SELECT source, rn, token, a AS count, chi2 FROM r
          |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
@@ -5765,7 +5788,7 @@ object SparkEntry {
         |sp AS (SELECT max(hour) - min(hour) + 1 AS hh FROM h),
         |c AS (SELECT user_id, hour, count(*) AS c FROM h
         |  GROUP BY user_id, hour),
-        |g AS (SELECT user_id, sum(c) AS n_events,
+        |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
         |  count(*) AS active_hours, sum(c * c) AS ss FROM c
         |  GROUP BY user_id)
         |SELECT user_id, n_events, active_hours,
@@ -5802,7 +5825,8 @@ object SparkEntry {
          |m AS (SELECT user_id, greatest(
          |    (epoch_us(t3) - epoch_us(anchor)) // 60000000, 1) AS mins
          |  FROM u3),
-         |b AS (SELECT len(list_filter($pows, q -> q <= mins)) AS bucket,
+         |b AS (SELECT CAST(len(list_filter($pows, q -> q <= mins))
+         |    AS INTEGER) AS bucket,
          |  mins FROM m)
          |SELECT bucket, count(*) AS n_users, min(mins) AS min_minutes,
          |  max(mins) AS max_minutes
@@ -5861,7 +5885,8 @@ object SparkEntry {
     "q179_event_entropy" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events
         |  GROUP BY user_id, event_type),
-        |g AS (SELECT user_id, sum(c) AS n, count(*) AS n_cats,
+        |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |  count(*) AS n_cats,
         |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
         |  FROM c GROUP BY user_id)
         |SELECT user_id, n, n_cats,
@@ -5899,7 +5924,7 @@ object SparkEntry {
          |    ROWS UNBOUNDED PRECEDING) AS cum,
          |  sum(w) OVER (PARTITION BY source) AS tot FROM f)
          |SELECT source, min(n_chars) AS weighted_median,
-         |  max(tot) AS total_weight
+         |  CAST(max(tot) AS BIGINT) AS total_weight
          |FROM c WHERE cum * 2 >= tot GROUP BY source
          |ORDER BY source""".stripMargin,
 
@@ -5927,8 +5952,9 @@ object SparkEntry {
         |  FROM ec GROUP BY user_id),
         |ent AS (SELECT user_id,
         |  round(ln(CAST(n AS DOUBLE)) - clc / n, 4) AS entropy FROM en)
-        |SELECT qt.quartile, count(*) AS n_users,
-        |  sum(qt.n_events) AS n_events,
+        |SELECT CAST(qt.quartile AS INTEGER) AS quartile,
+        |  count(*) AS n_users,
+        |  CAST(sum(qt.n_events) AS BIGINT) AS n_events,
         |  count(u3.t3) AS n_converted,
         |  round(count(u3.t3) / CAST(count(*) AS DOUBLE), 4) AS conversion,
         |  round(avg(ent.entropy), 4) AS avg_entropy
@@ -5953,7 +5979,8 @@ object SparkEntry {
         |  FROM p)
         |SELECT event_type, count(*) AS n_buckets,
         |  max(round(greatest(cus, 0.0), 4)) AS peak_cusum,
-        |  sum(CASE WHEN cus >= 4.0 * sd THEN 1 ELSE 0 END) AS n_drift
+        |  CAST(sum(CASE WHEN cus >= 4.0 * sd THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_drift
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q184_rfm_segments" ->
@@ -5992,8 +6019,8 @@ object SparkEntry {
         |    ORDER BY revenue DESC, o_custkey) AS rn,
         |  count(*) OVER (PARTITION BY n_name) AS n FROM j)
         |SELECT n_name, max(n) AS n_customers,
-        |  sum(CASE WHEN cum - revenue < 0.8 * tot THEN 1 ELSE 0 END)
-        |    AS n_top80,
+        |  CAST(sum(CASE WHEN cum - revenue < 0.8 * tot THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top80,
         |  round(sum(CASE WHEN rn * 10 <= n THEN revenue ELSE 0.0 END)
         |    / max(tot), 4) AS top_decile_share
         |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -6029,7 +6056,8 @@ object SparkEntry {
         |sz AS (SELECT user_id, sess, count(*) AS n_ev FROM se
         |  GROUP BY user_id, sess)
         |SELECT count(*) AS n_sessions,
-        |  sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS n_bounce,
+        |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
         |  round(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
         |    / CAST(count(*) AS DOUBLE), 4) AS bounce_rate,
         |  round(avg(n_ev), 4) AS avg_session_events
@@ -6124,8 +6152,8 @@ object SparkEntry {
          |bk AS (SELECT CAST((i * 20) // u AS INTEGER) AS bucket,
          |  count(*) AS n_pairs FROM p GROUP BY 1)
          |SELECT bucket, n_pairs,
-         |  sum(n_pairs) OVER (ORDER BY bucket DESC
-         |    ROWS UNBOUNDED PRECEDING) AS cum_at_or_above
+         |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_at_or_above
          |FROM bk ORDER BY bucket""".stripMargin,
 
     // q32's session ids as the funnel partition; chained per-session
@@ -6176,8 +6204,8 @@ object SparkEntry {
          |    AS lift
          |  FROM wk JOIN wt USING (week) JOIN ct USING (token), nn
          |  WHERE wk.c >= 5),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY week
-         |  ORDER BY lift DESC, token) AS rn FROM sc)
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY week
+         |  ORDER BY lift DESC, token) AS INTEGER) AS rn FROM sc)
          |SELECT week, rn, token, c, lift FROM r WHERE rn <= 3
          |ORDER BY week, rn""".stripMargin,
 
@@ -6228,24 +6256,31 @@ object SparkEntry {
         |pu AS (SELECT user_id, min(ts) AS t0,
         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tc
         |  FROM events GROUP BY user_id),
+        |hz AS (SELECT CAST(max(ts) AS DATE) AS h FROM events),
         |subj AS (SELECT s.segment,
-        |    CASE WHEN dp IS NOT NULL AND dp <= 5 THEN dp ELSE 5 END
-        |      AS dur,
+        |    CASE WHEN dp IS NOT NULL AND dp <= 5 THEN dp
+        |      ELSE least(5, obs) END AS dur,
         |    dp IS NOT NULL AND dp <= 5 AS ev
         |  FROM (SELECT user_id,
         |      CAST(date_diff('day', CAST(t0 AS DATE), CAST(tc AS DATE))
-        |        AS BIGINT) AS dp FROM pu) d
+        |        AS BIGINT) AS dp,
+        |      CAST(date_diff('day', CAST(t0 AS DATE), hz.h)
+        |        AS BIGINT) AS obs FROM pu, hz) d
         |  JOIN seg s USING (user_id)),
         |bd AS (SELECT segment, dur AS t,
-        |    sum(CASE WHEN ev THEN 1 ELSE 0 END) AS n_events,
-        |    sum(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
         |  FROM subj GROUP BY 1, 2),
-        |tt AS (SELECT segment, sum(n_events + n_censored) AS tot
+        |tt AS (SELECT segment, CAST(sum(n_events + n_censored) AS BIGINT)
+        |    AS tot
         |  FROM bd GROUP BY 1),
-        |rk AS (SELECT bd.*, tt.tot - coalesce(sum(n_events + n_censored)
+        |rk AS (SELECT bd.*, CAST(tt.tot
+        |    - coalesce(sum(n_events + n_censored)
         |    OVER (PARTITION BY bd.segment ORDER BY t
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS n_risk
+        |    AS BIGINT) AS n_risk
         |  FROM bd JOIN tt USING (segment)),
         |sv AS (SELECT *, CASE WHEN max(CASE WHEN n_events >= n_risk
         |      THEN 1 ELSE 0 END) OVER w = 1 THEN 0.0
@@ -6423,13 +6458,15 @@ object SparkEntry {
         |  GROUP BY user_id),
         |p AS (SELECT key, n AS c_left, n AS c_right, n * n AS pairs
         |  FROM c),
-        |t AS (SELECT sum(pairs) AS total_pairs FROM p),
-        |r AS (SELECT *, row_number() OVER (ORDER BY pairs DESC, key)
-        |    AS rank FROM p, t)
+        |t AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM p),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (ORDER BY pairs DESC, key) AS INTEGER) AS rank FROM p, t)
         |SELECT rank, key, c_left, c_right, pairs,
         |  round(pairs / CAST(total_pairs AS DOUBLE), 6) AS share,
         |  total_pairs
         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "q219_margin_mining_ivf" -> HashOracles.q219MarginMiningIvf(64, 6, 8),
 
     "q212_kmv_distinct" -> HashOracles.q212KmvDistinct(64),
 
@@ -6458,7 +6495,8 @@ object SparkEntry {
          |${powerCtes("d", "cov2", 64, 8)},
          |ort AS (SELECT round(sum(a.loading * b.loading), 4) AS ortho
          |  FROM ld a JOIN dld b ON a.i = b.i)
-         |SELECT d.i, d.loading, (SELECT nrm FROM dn8) AS eigenvalue,
+         |SELECT CAST(d.i AS INTEGER) AS i, d.loading,
+         |  (SELECT nrm FROM dn8) AS eigenvalue,
          |  o.ortho
          |FROM dld d, ort o ORDER BY d.i""".stripMargin),
 

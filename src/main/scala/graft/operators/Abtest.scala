@@ -32,6 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object Abtest {
 
+  /** Two-sample tests are defined over exactly two arms; a third arm
+    * would silently pollute the pooled ranks / tie correction (the
+    * arm table previously just kept the first two in sort order), so
+    * it is an ERROR, not a truncation. One distinct-count over the
+    * bounded arm column.
+    */
+  private def requireTwoArms(units: DataFrame, armCol: String,
+      op: String): Unit = {
+    val n = units.select(col(armCol)).distinct().count()
+    require(n == 2, s"$op needs exactly 2 arms, got $n — filter " +
+      s"`$armCol` to the two arms under test first")
+  }
+
   /** Per-unit CUPED adjustment: input one row per unit with pre-period
     * `xCol` and experiment `yCol`; output adds `y_cuped`. θ pooled
     * across arms (pre-period data is treatment-independent).
@@ -62,6 +75,7 @@ object Abtest {
     */
   def welchTTest(units: DataFrame, armCol: String,
       yCol: String): DataFrame = {
+    requireTwoArms(units, armCol, "welchTTest")
     val y = col(yCol).cast("double")
     val arms = units.groupBy(col(armCol).as("arm"))
       .agg(count(lit(1)).as("n"), sum(y).as("__sy"),
@@ -106,6 +120,7 @@ object Abtest {
     */
   def mannWhitney(units: DataFrame, armCol: String, idCol: String,
       yCol: String): DataFrame = {
+    requireTwoArms(units, armCol, "mannWhitney")
     val y = col(yCol).cast("double")
     val ranked = units
       .select(col(armCol).as("arm"), col(idCol).as("__id"), y.as("__y"))

@@ -130,10 +130,15 @@ object Robust {
   def cusumDrift(df: DataFrame, groupCol: String, orderCol: String,
       valueCol: String, slack: Double = 0.5,
       threshold: Double = 4.0): DataFrame = {
+    // variance clamped at 0 before the sqrt: float rounding can push
+    // avg(x²)−avg(x)² a hair negative on (near-)constant series, which
+    // would NaN k/cusum/drift silently. A truly constant series gets
+    // sd = 0 → cusum tracks the (zero) excursions and drift is false.
     val stats = df.agg(
       avg(col(valueCol)).as("__cu_mu"),
-      sqrt(avg(col(valueCol) * col(valueCol)) -
-        avg(col(valueCol)) * avg(col(valueCol))).as("__cu_sd"))
+      sqrt(greatest(lit(0.0),
+        avg(col(valueCol) * col(valueCol)) -
+          avg(col(valueCol)) * avg(col(valueCol)))).as("__cu_sd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(orderCol))
     val run = w.rowsBetween(org.apache.spark.sql.expressions.Window
@@ -149,8 +154,9 @@ object Robust {
       .withColumn("cusum",
         round(greatest(col("__cu_p") - col("__cu_minp"), lit(0.0)), 4))
       .withColumn("drift",
-        col("__cu_p") - col("__cu_minp") >=
-          lit(threshold) * col("__cu_sd"))
+        col("__cu_sd") > 0 &&
+          col("__cu_p") - col("__cu_minp") >=
+            lit(threshold) * col("__cu_sd"))
       .select(col(groupCol), col(orderCol), col(valueCol).as("x"),
         col("cusum"), col("drift"))
   }

@@ -794,18 +794,64 @@ object Similarity {
     */
   def marginTopMatches(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // prepForPairs (id, vd, nrm): norms once per ROW, codegen'd dot once
     // per PAIR. The pair table feeds both avgK and the margin scoring —
     // scope-cached so the all-pairs cosine runs once.
     val prepped = VF.prepForPairs(vectors, idCol, vecCol)
-    val pairs = graft.CacheScope.register(prepped.as("a")
+    val pairs = prepped.as("a")
       .join(prepped.as("b"), col("a.id") =!= col("b.id"))
       .select(col("a.id").as("x"), col("b.id").as("y"),
         when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
           .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
             (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .persist())
+    marginFromPairs(pairs, k)
+  }
+
+  /** The production form of [[marginTopMatches]]: the SAME margin
+    * scoring over the IVF-BOUNDED candidate space instead of the n²
+    * pair table. Each vector takes its `nAssign` L2-NEAREST lists of a
+    * TRAINED centroid matrix (pass [[Clustering.kmeansCentroids]]
+    * output — trained lists co-locate near neighbors, which random
+    * hyperplane "centroids" do not: measured recall 0.46 untrained vs
+    * ≥ 0.9 trained at the same fan-out); candidate pairs meet in any
+    * shared list, dedup to one row per ordered pair, and avgK / margin
+    * / best-match run over THAT table only. Per-list populations bound
+    * the join (`nAssign²/L · n²` expected pairs, never n²); at the
+    * billion-vector grain the lists ARE the shuffle partitions. avgK
+    * over the candidate neighborhood is the published approximation
+    * (the mined neighbors come from the same index); recall vs the
+    * exact baseline is measured in SimilaritySpec on the fixture
+    * corpus.
+    */
+  def marginTopMatchesVia(vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+      nAssign: Int = 2): DataFrame = {
+    require(nAssign >= 1 && nAssign <= centroids.size,
+      s"nAssign $nAssign out of range [1, ${centroids.size}]")
+    val prepped = VF.prepForPairs(vectors, idCol, vecCol)
+    val asg = prepped.withColumn("__sm_list",
+      explode(Clustering.nearestLists(col("vd"), centroids, nAssign)))
+    // same-list meet, both directions (margins are per-x); a pair
+    // sharing several lists collapses to one row — cos is the same
+    // deterministic expression on both sides of the distinct
+    val pairs = asg.as("a")
+      .join(asg.as("b"),
+        col("a.__sm_list") === col("b.__sm_list") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("x"), col("b.id").as("y"),
+        when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .distinct()
+    marginFromPairs(pairs, k)
+  }
+
+  /** Shared margin scoring over a (x, y, cos) candidate table: avgK
+    * per x on the rounded-grid top-k, ratio margin, best partner per x.
+    */
+  private def marginFromPairs(rawPairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.CacheScope.register(rawPairs.persist())
     // neighbor selection ranks on the ROUNDED cosine grid (partner-id
     // tie-break): the top-k SET is then a pure function of 4-decimal
     // values, immune to last-ulp accumulation differences between

@@ -142,6 +142,10 @@ object SkewJoins {
       .agg(count(lit(1)).as("c_left"))
     val rc = right.groupBy(col(rightKey).as("key"))
       .agg(count(lit(1)).as("c_right"))
+    // `pairs` is a Long product — exact while both per-key counts stay
+    // under ~3e9 (product < 2^63). Beyond that the session's ANSI mode
+    // raises ARITHMETIC_OVERFLOW rather than wrapping; a diagnostic at
+    // that scale should pre-aggregate counts to a coarser key first.
     val prod = lc.join(rc, Seq("key"))
       .withColumn("pairs", col("c_left") * col("c_right"))
     val tot = prod.agg(sum(col("pairs")).as("total_pairs"))

@@ -93,21 +93,35 @@ object Survival {
       isConversion: Column, windowDays: Int): DataFrame = {
     val w = Window.partitionBy(col(subjectCol))
       .orderBy(col(tsCol), col(orderCol))
-    events
+    val perUser = events
       .withColumn("__seg", segment)
       .withColumn("__conv", isConversion)
       .withColumn("__rn", row_number().over(w))
       .groupBy(col(subjectCol))
       .agg(min(col(tsCol)).as("__t0"),
+        max(col(tsCol)).as("__tl"),
         min(when(col("__conv"), col(tsCol))).as("__tc"),
         max(when(col("__rn") === 1, col("__seg"))).as("segment"))
+    // Corpus horizon (max ts anywhere, as the day grid) — a subject
+    // that entered fewer than windowDays before the data edge has NOT
+    // been observed for the full window, so censoring it at windowDays
+    // would overstate follow-up and inflate the late at-risk sets.
+    // Non-converters censor at min(windowDays, observed days) instead.
+    // One bounded driver fact, same device as activitySubjects.
+    val horizonDate = perUser
+      .agg(max(col("__tl").cast("date"))).head().getDate(0)
+    perUser
       .withColumn("__dur",
         datediff(col("__tc").cast("date"), col("__t0").cast("date"))
+          .cast("long"))
+      .withColumn("__obs",
+        datediff(lit(horizonDate), col("__t0").cast("date"))
           .cast("long"))
       .withColumn("converted",
         col("__dur").isNotNull && col("__dur") <= windowDays)
       .withColumn("duration_days",
-        when(col("converted"), col("__dur")).otherwise(windowDays.toLong))
+        when(col("converted"), col("__dur"))
+          .otherwise(least(lit(windowDays.toLong), col("__obs"))))
       .select(col(subjectCol), col("segment"), col("duration_days"),
         col("converted"))
   }

@@ -593,6 +593,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
 
+  test("ntile/rank family: no unpartitioned window over row-grain data") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // The round-9 offenders, now on the Ranks sort+zipWithIndex device:
+    // any remaining unpartitioned Window must sit ABOVE an aggregation
+    // (bounded frame — decile tables, score histograms), never over the
+    // raw row-grain frame from the base tables.
+    for (q <- Seq("q165_revenue_deciles", "q182_segment_profile",
+        "q184_rfm_segments", "q191_roc_auc", "q204_gains_deciles")) {
+      val lp = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q still has an unpartitioned row-grain window:\n$lp")
+    }
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

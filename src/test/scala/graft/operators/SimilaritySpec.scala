@@ -21,6 +21,41 @@ class SimilaritySpec extends SparkSpec {
     assert(a.size === 10)
   }
 
+  test("margin mining: IVF-bounded path recall vs the exact baseline") {
+    val exact = Similarity
+      .marginTopMatches(vectors, "vec_id", "embedding", k = 8)
+      .select(col("x"), col("best_match"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id",
+      "embedding", k = 64, iters = 2)
+    val via = Similarity
+      .marginTopMatchesVia(vectors, "vec_id", "embedding", k = 8,
+        cents, nAssign = 6)
+      .select(col("x"), col("best_match"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every vector must still get a best match (6-assignment lists
+    // always contain at least one partner on this corpus)
+    assert(via.map(_._1) === exact.map(_._1),
+      "IVF path lost vectors entirely")
+    val r = exact.count(via.contains).toDouble / exact.size
+    info(f"margin best-match recall (IVF 64x6 vs exact): $r%.2f")
+    assert(r >= 0.85, f"margin-mining recall $r%.2f fell under 0.85")
+    // boundedness: the candidate space must be a strict fraction of
+    // the n² pair table even on this unclustered synthetic corpus
+    val n = vectors.count()
+    val prepped = graft.functions.VectorFunctions
+      .prepForPairs(vectors, "vec_id", "embedding")
+    val asg = prepped.withColumn("l",
+      explode(Clustering.nearestLists(col("vd"), cents, 6)))
+    val nPairs = asg.as("a")
+      .join(asg.as("b"), col("a.l") === col("b.l") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    val frac = nPairs.toDouble / (n * (n - 1))
+    info(f"candidate fraction of all-pairs: $frac%.2f")
+    assert(frac <= 0.7, f"candidate space $frac%.2f not bounded")
+  }
+
   test("quantized top-k: measured recall vs the float path") {
     val query = vectors.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q_emb"))

@@ -5,6 +5,13 @@ Reads each /tmp/verify_out/<q> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB against the same sf dir, sorts
 columns by name and rows by value, and compares cell-by-cell with a small
 float tolerance. Queries without an oracle get a rows-only report.
+
+Type-strict: in addition to values, the DuckDB-visible column TYPES of the
+oracle result must exactly match the types of the Spark parquet (after
+name-sort). This catches the round-9 failure class where DuckDB sum() over
+BIGINT yields HUGEINT (int128) or DECIMAL while Spark emits BIGINT/DOUBLE:
+fetchall() converts both to Python ints so value compare passes locally,
+but the driver's hash is computed over the raw typed cells and mismatches.
 """
 import json, math, sys
 import duckdb
@@ -34,6 +41,11 @@ def canon(rows, cols):
     return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r)), \
         [cols[i] for i in order]
 
+def col_types(sql):
+    """name -> DuckDB column_type string for a query, via DESCRIBE."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
 fails = []
 import os
 for q in sorted(os.listdir(out_dir)):
@@ -60,6 +72,14 @@ for q in sorted(os.listdir(out_dir)):
     t, oc = canon(orows, ocols)
     if sc != oc:
         print(f"{q:28s} SCHEMA MISMATCH spark={sc} oracle={oc}")
+        fails.append(q)
+        continue
+    stypes = col_types(f"SELECT * FROM '{out_dir}/{q}/*.parquet'")
+    otypes = col_types(f"({oracles[q]})")
+    tdiff = {c: (stypes.get(c), otypes.get(c)) for c in stypes
+             if stypes.get(c) != otypes.get(c)}
+    if tdiff:
+        print(f"{q:28s} TYPE MISMATCH (spark, oracle): {tdiff}")
         fails.append(q)
         continue
     if len(s) != len(t):
