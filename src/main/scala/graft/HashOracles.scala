@@ -788,6 +788,46 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** Quantile-sample sketch replay (q220,
+    * [[operators.QuantileSketch.sampleRegistersBy]]): per-source
+    * bottom-k of the splitmix64∘fnv1a64 doc-id hash carrying n_chars,
+    * nearest-rank readout over the sample (integer rank rule), and the
+    * exact per-source nearest-rank quantiles for the audit columns.
+    * The (h, id) rank tie-break mirrors the Spark side (id is the
+    * STRING cast, so ordering agrees byte-for-byte).
+    */
+  def q220QuantileSketch(k: Int): String = {
+    val head = Seq(
+      "d AS (SELECT source, CAST(doc_id AS VARCHAR) AS id, " +
+        "CAST(n_chars AS BIGINT) AS v FROM documents " +
+        "WHERE n_chars IS NOT NULL)",
+      s"h0 AS (SELECT source, id, v, ${fnv("id")} AS z FROM d)")
+    val mixed = mixStages(Seq("z"), Seq("source", "id", "v")).zipWithIndex
+      .map { case (body, n) =>
+        val prev = if (n == 0) "h0" else s"hm${n - 1}"
+        s"hm$n AS ($body FROM $prev)"
+      }
+    withClause(head ++ mixed ++ Seq(
+      s"sk AS (SELECT source, id, v, ${toSigned("z")} AS h FROM hm5)",
+      "rk AS (SELECT source, v, row_number() OVER (PARTITION BY source " +
+        "ORDER BY h, id) AS rank FROM sk)",
+      s"reg AS (SELECT source, v FROM rk WHERE rank <= $k)",
+      "ri AS (SELECT source, v, row_number() OVER (PARTITION BY source " +
+        "ORDER BY v) AS i, count(*) OVER (PARTITION BY source) " +
+        "AS n_kept FROM reg)",
+      "pc AS (SELECT unnest([50, 90, 99]) AS pct)",
+      "est AS (SELECT source, pct, CAST(n_kept AS BIGINT) AS n_kept, " +
+        "v AS q_est FROM ri, pc WHERE i = (pct * n_kept + 99) // 100)",
+      "xi AS (SELECT source, v, row_number() OVER (PARTITION BY source " +
+        "ORDER BY v) AS i, count(*) OVER (PARTITION BY source) " +
+        "AS n_docs FROM d)",
+      "ext AS (SELECT source, pct, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "v AS q_exact FROM xi, pc WHERE i = (pct * n_docs + 99) // 100)"),
+      "SELECT e.source, e.pct, x.n_docs, e.n_kept, e.q_est, x.q_exact " +
+        "FROM est e JOIN ext x ON x.source = e.source AND x.pct = e.pct " +
+        "ORDER BY e.source, e.pct")
+  }
+
   /** IVF-bounded margin-mining replay (q219): the q87/q93 trained
     * k-means chain (`kmTrainCtes`), `nAssign`-nearest assignment
     * (`kmAssignCte` with `rk <= nAssign`), candidate pairs DISTINCT

@@ -80,6 +80,99 @@ object Survival {
         col("n_censored"), col("survival"))
   }
 
+  /** Two-arm log-rank test (Mantel 1966) — "are these two survival
+    * curves the same?", the hypothesis test that completes the
+    * [[kaplanMeier]] readout for experimentation (per-arm KM curves
+    * say WHAT the curves look like; log-rank says whether the
+    * difference is noise). Arms must be EXACTLY two (the
+    * [[Abtest.welchTTest]] house rule — a silent first-two pick is a
+    * wrong answer).
+    *
+    * At each pooled event time t: `n_at` at risk per arm, `d_t` total
+    * events, expected arm-a events `E = d_t·n_at/n_t`, hypergeometric
+    * variance `V = d_t·(n_a/n_t)·(n_b/n_t)·(n_t−d_t)/(n_t−1)`;
+    * `z = Σ(d_at − E)/√ΣV`, `chi2 = z²` (df 1). Risk sets come from
+    * the same bounded-curve-table device as [[kaplanMeier]]: one
+    * corpus-grain aggregation to (arm, t), then a 2×distinct-durations
+    * grid carries cumulative removals — no window ever runs at subject
+    * grain. The float sums (E, V) accumulate via a RUNNING window in
+    * ascending t taken at the last row, so both engines add in the
+    * same order (the exp∘sum∘ln portability device); integer sums are
+    * exact.
+    *
+    * Output: one row `(arm_a, arm_b, n_a, n_b, o_a, o_b, e_a, z,
+    * chi2)` — subjects, observed events, expected arm-a events,
+    * rounded 4 dp. A degenerate design with zero variance (no time
+    * has both arms at risk with an event) yields null z/chi2.
+    */
+  def logRank(subjects: DataFrame, groupCol: String,
+      durationCol: String, eventCol: String): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val arms = subjects.select(col(groupCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(arms.length == 2,
+      s"logRank needs exactly 2 arms, got ${arms.toSeq}")
+    val Seq(armA, armB) = arms.toSeq
+    val byDur = subjects
+      .groupBy(col(groupCol).cast("string").as("arm"),
+        col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("rm"))
+    val tots = byDur.groupBy(col("arm")).agg(sum(col("rm")).as("tot"))
+    // grid = every distinct removal time × both arms (bounded: 2 ×
+    // distinct durations), so cumulative removals see censor-only
+    // times an arm has no event at
+    val grid = byDur.select(col("t")).distinct()
+      .crossJoin(broadcast(Seq(armA, armB).toDF("arm")))
+    val wPrior = Window.partitionBy(col("arm")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val filled = grid
+      .join(byDur, Seq("arm", "t"), "left")
+      .na.fill(0L, Seq("d", "rm"))
+      .join(tots, Seq("arm"))
+      .withColumn("n_risk", col("tot") -
+        coalesce(sum(col("rm")).over(wPrior), lit(0L)))
+    val byT = filled.groupBy(col("t"))
+      .agg(sum(when(col("arm") === armA, col("d"))).as("d_a"),
+        sum(when(col("arm") === armB, col("d"))).as("d_b"),
+        sum(when(col("arm") === armA, col("n_risk"))).as("n_a"),
+        sum(when(col("arm") === armB, col("n_risk"))).as("n_b"))
+      .withColumn("d_t", col("d_a") + col("d_b"))
+      .withColumn("n_t", col("n_a") + col("n_b"))
+      .filter(col("d_t") > 0 && col("n_t") > 1)
+      .withColumn("e_a",
+        col("d_t").cast("double") * col("n_a") / col("n_t"))
+      .withColumn("v",
+        col("d_t").cast("double") * col("n_a") / col("n_t")
+          * col("n_b") / col("n_t")
+          * (col("n_t") - col("d_t")) / (col("n_t") - lit(1L)))
+    // running float sums in ascending t, read at the last row — the
+    // bounded table is distinct-event-times long
+    val wRun = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sums = byT
+      .withColumn("__oa", sum(col("d_a")).over(wRun))
+      .withColumn("__ob", sum(col("d_b")).over(wRun))
+      .withColumn("__ea", sum(col("e_a")).over(wRun))
+      .withColumn("__v", sum(col("v")).over(wRun))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("t").desc)))
+      .filter(col("__rn") === 1)
+    sums
+      .join(broadcast(tots.groupBy()
+        .agg(sum(when(col("arm") === armA, col("tot"))).as("n_a_tot"),
+          sum(when(col("arm") === armB, col("tot"))).as("n_b_tot"))))
+      .select(lit(armA).as("arm_a"), lit(armB).as("arm_b"),
+        col("n_a_tot").as("n_a"), col("n_b_tot").as("n_b"),
+        col("__oa").as("o_a"), col("__ob").as("o_b"),
+        round(col("__ea"), 4).as("e_a"),
+        when(col("__v") > 0, round(
+          (col("__oa") - col("__ea")) / sqrt(col("__v")), 4)).as("z"),
+        when(col("__v") > 0, round(
+          (col("__oa") - col("__ea")) * (col("__oa") - col("__ea"))
+            / col("__v"), 4)).as("chi2"))
+  }
+
   /** Subject table for time-to-conversion under an ADMINISTRATIVE
     * censoring window: duration = days from the subject's first event
     * to its first conversion event; subjects not converting within

@@ -74,4 +74,24 @@ object SketchStream {
           batchId: Long) =>
         sink(Sketches.kmvSketchBy(batch, keyCol, itemCol, k), batchId)
     }
+
+  /** Per-micro-batch quantile-sample registers: `sink(regs, batchId)`
+    * receives [[graft.operators.QuantileSketch.sampleRegistersBy]] of
+    * each batch — fold with
+    * [[graft.operators.QuantileSketch.sampleMerge]] (bottom-k of the
+    * union) for running per-key quantiles whose state is k (hash,
+    * value) rows per key forever; read out any percentile at any time
+    * with [[graft.operators.QuantileSketch.sampleQuantilesBy]].
+    */
+  def quantileSampleBatches(items: DataFrame, keyCol: String,
+      idCol: String, valueCol: String, k: Int)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(graft.operators.QuantileSketch.sampleRegistersBy(
+          batch, keyCol, idCol, valueCol, k), batchId)
+    }
 }

@@ -130,6 +130,51 @@ class SurvivalAbtestSpec extends SparkSpec {
     assert(r.getAs[Double]("z") === -1.5492)
   }
 
+  test("log-rank hand fixture: risk sets at pooled times, " +
+      "hypergeometric terms, z and chi2") {
+    // Arm A: events at 1, 2; censored at 3.  Arm B: event at 1,
+    // censored at 2, two events at 3.
+    val subjects = Seq(
+      ("A", 1L, true), ("A", 2L, true), ("A", 3L, false),
+      ("B", 1L, true), ("B", 2L, false), ("B", 3L, true),
+      ("B", 3L, true)).toDF("arm", "dur", "ev")
+    val r = Survival.logRank(subjects, "arm", "dur", "ev").head()
+    assert(r.getAs[String]("arm_a") === "A")
+    assert(r.getAs[String]("arm_b") === "B")
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Long]("o_a") === 2L)
+    assert(r.getAs[Long]("o_b") === 3L)
+    // t=1: d=2 n_a=3 n_b=4 -> E=6/7,      V=2(3/7)(4/7)(5/6)
+    // t=2: d=1 n_a=2 n_b=3 -> E=2/5,      V=(2/5)(3/5)
+    // t=3: d=2 n_a=1 n_b=2 -> E=2/3,      V=2(1/3)(2/3)(1/2)
+    // sums: E=1.9238, V=0.870385, z=0.0817, chi2=0.0067
+    assert(r.getAs[Double]("e_a") === 1.9238)
+    assert(r.getAs[Double]("z") === 0.0817)
+    assert(r.getAs[Double]("chi2") === 0.0067)
+  }
+
+  test("log-rank: identical arms give z ~ 0; a clearly dominated arm " +
+      "gives a large positive z for the early-dying arm") {
+    val same = Seq.tabulate(40) { i =>
+      (if (i % 2 == 0) "x" else "y", (i % 5 + 1).toLong, true)
+    }.toDF("arm", "dur", "ev")
+    val r0 = Survival.logRank(same, "arm", "dur", "ev").head()
+    assert(math.abs(r0.getAs[Double]("z")) < 1e-9)
+
+    val split = (Seq.tabulate(20)(i => ("x", 1L + i % 2, true)) ++
+      Seq.tabulate(20)(i => ("y", 8L + i % 2, true)))
+      .toDF("arm", "dur", "ev")
+    val r1 = Survival.logRank(split, "arm", "dur", "ev").head()
+    assert(r1.getAs[Double]("z") > 3.0,
+      s"early-dying arm must show z >> 0: $r1")
+    intercept[IllegalArgumentException] {
+      Survival.logRank(same.withColumn("arm",
+        concat(col("arm"), (col("dur") % 2).cast("string"))),
+        "arm", "dur", "ev").head()
+    }
+  }
+
   test("CUPED: pooled mean is invariant, per-arm variance shrinks on " +
       "correlated real-ish data") {
     val rng = new scala.util.Random(7)

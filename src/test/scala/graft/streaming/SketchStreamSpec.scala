@@ -16,6 +16,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 case class SkItem(item: String, ts: Timestamp)
 case class SkVal(v: Long, ts: Timestamp)
 case class SkKeyed(key: String, item: String)
+case class SkQuant(key: String, id: String, v: Long)
 
 class SketchStreamSpec extends SparkSpec {
 
@@ -128,5 +129,39 @@ class SketchStreamSpec extends SparkSpec {
       "key", "item", 32)
     assert(m(sk.get) === m(whole),
       "folded stream KMV must equal the whole-stream sketch")
+  }
+
+  test("folded streaming quantile-sample registers == batch registers " +
+      "of the whole stream (disjoint batches)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val b1 = (1 to 400).map(i =>
+      SkQuant(s"k${i % 2}", s"d$i", (i.toLong * i) % 997))
+    val b2 = (401 to 900).map(i =>
+      SkQuant(s"k${i % 2}", s"d$i", (i.toLong * i) % 997))
+    val mem = MemoryStream[SkQuant]
+    var sk: Option[DataFrame] = None
+    val q = SketchStream.quantileSampleBatches(mem.toDF(), "key", "id",
+      "v", 64) { (b, _) =>
+        val snap = b.cache(); snap.count()
+        sk = Some(sk.fold(snap)(acc =>
+          graft.operators.QuantileSketch.sampleMerge(acc, snap, 64)
+            .cache()))
+        sk.get.count()
+    }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def m(df: DataFrame) = df.select("key", "h", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = graft.operators.QuantileSketch.sampleRegistersBy(
+      (b1 ++ b2).toDF(), "key", "id", "v", 64)
+    assert(m(sk.get) === m(whole),
+      "folded stream registers must equal the whole-stream registers")
+    // and the readout over the folded sketch is a valid quantile table
+    val qs = graft.operators.QuantileSketch.sampleQuantilesBy(
+      sk.get, Seq(50, 90))
+    assert(qs.count() === 4L)
   }
 }
