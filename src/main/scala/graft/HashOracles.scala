@@ -828,6 +828,46 @@ object HashOracles {
         "ORDER BY e.source, e.pct")
   }
 
+  /** Sketch-boundary winsorize replay (q222,
+    * [[operators.Robust.winsorizedProfileSketch]]): the q220 bottom-k
+    * register chain keyed by order priority carrying money-grid
+    * doubles, 5/95 nearest-rank boundaries over the sample, then the
+    * exact clamp + means of [[operators.Robust.winsorizedProfile]]'s
+    * oracle. Money sums are exact in double on the cent grid, so the
+    * unordered aggregation is portable (the q206 precedent).
+    */
+  def q222WinsorizedSketch(k: Int): String = {
+    val head = Seq(
+      "d AS (SELECT o_orderpriority AS grp, " +
+        "CAST(o_orderkey AS VARCHAR) AS id, " +
+        "CAST(o_totalprice AS DOUBLE) AS v FROM orders " +
+        "WHERE o_totalprice IS NOT NULL)",
+      s"h0 AS (SELECT grp, id, v, ${fnv("id")} AS z FROM d)")
+    val mixed = mixStages(Seq("z"), Seq("grp", "id", "v")).zipWithIndex
+      .map { case (body, n) =>
+        val prev = if (n == 0) "h0" else s"hm${n - 1}"
+        s"hm$n AS ($body FROM $prev)"
+      }
+    withClause(head ++ mixed ++ Seq(
+      s"sk AS (SELECT grp, id, v, ${toSigned("z")} AS h FROM hm5)",
+      "rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp " +
+        "ORDER BY h, id) AS rank FROM sk)",
+      s"reg AS (SELECT grp, v FROM rk WHERE rank <= $k)",
+      "ri AS (SELECT grp, v, row_number() OVER (PARTITION BY grp " +
+        "ORDER BY v) AS i, count(*) OVER (PARTITION BY grp) " +
+        "AS nk FROM reg)",
+      "pc AS (SELECT unnest([5, 95]) AS pct)",
+      "qb AS (SELECT grp, pct, v AS q FROM ri, pc " +
+        "WHERE i = (pct * nk + 99) // 100)",
+      "bd AS (SELECT grp, max(CASE WHEN pct = 5 THEN q END) AS lo, " +
+        "max(CASE WHEN pct = 95 THEN q END) AS hi FROM qb GROUP BY grp)"),
+      "SELECT d.grp, CAST(count(*) AS BIGINT) AS n, lo, hi, " +
+        "round(sum(v) / count(*), 4) AS mean_raw, " +
+        "round(sum(greatest(lo, least(hi, v))) / count(*), 4) " +
+        "AS mean_winsorized " +
+        "FROM d JOIN bd USING (grp) GROUP BY d.grp, lo, hi ORDER BY grp")
+  }
+
   /** IVF-bounded margin-mining replay (q219): the q87/q93 trained
     * k-means chain (`kmTrainCtes`), `nAssign`-nearest assignment
     * (`kmAssignCte` with `rk <= nAssign`), candidate pairs DISTINCT

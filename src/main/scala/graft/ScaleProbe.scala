@@ -389,6 +389,29 @@ object ScaleProbe {
                 .as("tok")),
           "source", "tok", 64))
     }
+    // quantile-sample registers: one corpus-grain keyed window; the
+    // register table is k rows per key at ANY corpus size, and the
+    // readout runs over it alone — replicas must scale linearly
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"quantile_sample r=$r docs=${nDocs * r}", () =>
+        operators.QuantileSketch.sampleQuantilesBy(
+          operators.QuantileSketch.sampleRegistersBy(
+            replicateDocs(r).withColumn("source",
+              concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+              .withColumn("n_chars", length(col("text")).cast("long")),
+            "source", "doc_id", "n_chars", 256),
+          Seq(50, 90, 99)))
+    }
+    // KLL via groupBy.agg: partial aggregation map-side — the shuffle
+    // carries one buffer per (partition, key), never rows
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"kll r=$r docs=${nDocs * r}", () =>
+        operators.QuantileSketch.kllQuantilesBy(
+          replicateDocs(r).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+            .withColumn("n_chars", length(col("text")).cast("long")),
+          "source", "n_chars", 128, Seq(50, 90, 99)))
+    }
     spark.stop()
   }
 }

@@ -3529,6 +3529,33 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Heavy tokens by bounded-state Misra–Gries + exact second pass:
+    // the MG superset guarantee (every item with count > n/(k+1)
+    // survives any arrival order) makes "all tokens in ≥ 1% of
+    // occurrences" deterministic from a k=200-counter fold + a
+    // broadcast-candidate recount — never a full distinct-token
+    // shuffle. The oracle is the plain GROUP BY the guarantee
+    // promises to reproduce.
+    "q223_heavy_tokens" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("item"))
+      graft.operators.HeavyHitters.frequentItems(
+          tok, "item", k = 200, share = 100)
+        .orderBy(col("cnt").desc, col("item"))
+    }),
+
+    // q206's winsorized means on SKETCHED boundaries — the
+    // baseline→production pairing (q89→q95, q150→q219) for percentile
+    // cuts: lo/hi from the q220 bottom-k sample registers (k=64 ≪ the
+    // ~3k-row groups, so the sketch path is what gates), clamp and
+    // means exact for those boundaries. Registers build per shard and
+    // merge; the boundary read touches k rows per group.
+    "q222_winsorized_sketch" -> ((s, dir) =>
+      graft.operators.Robust.winsorizedProfileSketch(
+          T(s, dir, "orders"), "o_orderpriority", "o_orderkey",
+          "o_totalprice", pctLow = 5, pctHigh = 95, k = 64)
+        .orderBy(col("grp"))),
+
     // Two-arm log-rank over the q197 KM design: same conversion
     // subjects, arms = deterministic user parity (swap in a real
     // assignment column unchanged — the q198 device). Per-arm KM
@@ -6522,6 +6549,17 @@ object SparkEntry {
     "q219_margin_mining_ivf" -> HashOracles.q219MarginMiningIvf(64, 6, 8),
 
     "q220_quantile_sketch" -> HashOracles.q220QuantileSketch(16),
+
+    "q222_winsorized_sketch" -> HashOracles.q222WinsorizedSketch(64),
+
+    // the MG two-pass device's whole point: its output IS this query
+    "q223_heavy_tokens" ->
+      s"""WITH tok AS (SELECT unnest($ToksSql) AS item FROM documents),
+         |nn AS (SELECT count(*) AS n FROM tok),
+         |c AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM tok
+         |  GROUP BY item)
+         |SELECT item, cnt FROM c, nn WHERE cnt >= (nn.n + 99) // 100
+         |ORDER BY cnt DESC, item""".stripMargin,
 
     // log-rank replay: the q197 subject CTEs with parity arms, the
     // pooled-time grid for risk sets, hypergeometric terms with the

@@ -48,7 +48,8 @@ object QuantileSketch {
 
   /** Bottom-k uniform-sample register table `(key, h, v)`: for each
     * group, the `k` rows whose `splitmix64∘fnv1a64(idCol)` hash is
-    * smallest, carrying `valueCol` cast to long. The ID hash (not the
+    * smallest, carrying `valueCol` AS-IS (any orderable type — longs,
+    * money-grid doubles). The ID hash (not the
     * value) drives retention, so retained values are a uniform sample
     * of the group. Rows with a null value are dropped first (the
     * sketch convention — a null has no rank). Groups smaller than k
@@ -67,7 +68,7 @@ object QuantileSketch {
     items
       .filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), col(idCol).cast("string").as("__id"),
-        col(valueCol).cast("long").as("v"))
+        col(valueCol).as("v"))
       .withColumn("h", h)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("key")).orderBy(col("h"), col("__id"))))

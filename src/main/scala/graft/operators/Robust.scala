@@ -277,6 +277,42 @@ object Robust {
         col("mean_raw"), col("mean_winsorized"))
   }
 
+  /** [[winsorizedProfile]] with SKETCHED percentile boundaries — the
+    * bounded-state variant the 100 TB deployment wants when the
+    * boundary need not be the exact order statistic: lo/hi come from a
+    * [[QuantileSketch.sampleRegistersBy]] bottom-k uniform sample
+    * (rank error O(√(ln(1/δ)/k)) on the BOUNDARY — the clamp pass and
+    * the means stay exact for whatever boundary is chosen). What the
+    * sketch buys over the exact ranks: the register table can be built
+    * per shard and MERGED (never re-shuffling history), persisted once
+    * and read out at any percentile later, and the boundary derivation
+    * touches k rows per group instead of ranking every row. Same
+    * output shape as [[winsorizedProfile]]; groups smaller than k get
+    * the EXACT boundaries (the sample is the group).
+    */
+  def winsorizedProfileSketch(df: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, pctLow: Int = 5,
+      pctHigh: Int = 95, k: Int = 256): DataFrame = {
+    require(0 < pctLow && pctLow < pctHigh && pctHigh <= 100,
+      s"bad percentile bounds [$pctLow, $pctHigh]")
+    val vals = df.select(col(groupCol).as("grp"),
+      col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
+    val qs = QuantileSketch.sampleQuantilesBy(
+      QuantileSketch.sampleRegistersBy(vals, "grp", "__id", "__v", k),
+      Seq(pctLow, pctHigh))
+    val bounds = qs.groupBy(col("key").as("grp"))
+      .agg(max(when(col("pct") === pctLow, col("q_est"))).as("lo"),
+        max(when(col("pct") === pctHigh, col("q_est"))).as("hi"))
+    vals.join(broadcast(bounds), Seq("grp"))
+      .withColumn("__w", greatest(col("lo"), least(col("hi"), col("__v"))))
+      .groupBy(col("grp"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__v")) / count(lit(1)), 4).as("mean_raw"),
+        round(sum(col("__w")) / count(lit(1)), 4).as("mean_winsorized"))
+      .select(col("grp"), col("n"), col("lo"), col("hi"),
+        col("mean_raw"), col("mean_winsorized"))
+  }
+
   /** Benford first-digit audit — the fraud/synthetic-data smell test:
     * naturally occurring multi-scale amounts follow
     * P(d) = log10(1 + 1/d); uniform or fabricated values do not.

@@ -66,6 +66,39 @@ class RobustSpec extends SparkSpec {
     assert(p.getAs[Double]("mean_winsorized") === 10.45)
   }
 
+  test("winsorizedProfileSketch: sub-k groups reproduce the exact " +
+      "profile; over-k groups clamp at sample boundaries with exact " +
+      "means and n") {
+    val s = spark
+    import s.implicits._
+    // 20 rows < k=64: the sample IS the group, so the profile must be
+    // IDENTICAL to the exact device's
+    val df = ((1 to 19).map(i => ("g", i.toLong, i.toDouble)) :+
+      (("g", 20L, 1000.0))).toDF("grp", "id", "v")
+    val exact = Robust.winsorizedProfile(df, "grp", "id", "v").head()
+    val sk = Robust.winsorizedProfileSketch(df, "grp", "id", "v",
+      k = 64).head()
+    assert(sk.toSeq === exact.toSeq)
+
+    // 2000 rows >> k=128: boundaries come from the sample — n and the
+    // raw mean stay exact, lo/hi land within the sample's rank-error
+    // band of the exact cuts
+    val big = (1 to 2000)
+      .map(i => ("h", i.toLong, ((i.toLong * i) % 1999).toDouble))
+      .toDF("grp", "id", "v")
+    val ex = Robust.winsorizedProfile(big, "grp", "id", "v").head()
+    val ap = Robust.winsorizedProfileSketch(big, "grp", "id", "v",
+      k = 128).head()
+    assert(ap.getAs[Long]("n") === 2000L)
+    assert(ap.getAs[Double]("mean_raw") === ex.getAs[Double]("mean_raw"))
+    val vs = big.collect().map(_.getDouble(2)).sorted
+    def rankOf(x: Double) = vs.count(_ <= x).toDouble / vs.length
+    assert(math.abs(rankOf(ap.getAs[Double]("lo")) - 0.05) <= 0.06,
+      s"lo ${ap.getAs[Double]("lo")}")
+    assert(math.abs(rankOf(ap.getAs[Double]("hi")) - 0.95) <= 0.06,
+      s"hi ${ap.getAs[Double]("hi")}")
+  }
+
   test("benfordProfile: digit extraction, sub-1 rows excluded, " +
       "fractions sum to 1") {
     val s = spark
