@@ -588,6 +588,44 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q220/q222/q223: round-10 sketch family — keyed register " +
+      "windows, bounded broadcasts only, no cross products") {
+    CacheScope.scoped {
+      // q220: both window passes partition by the group key (the
+      // register build and the sample readout); the only broadcasts
+      // are the 3-row percent table and the bounded audit join
+      val df220 = SparkEntry.queries("q220_quantile_sketch")(spark, dir)
+      val p220 = df220.queryExecution.executedPlan.toString
+      assert(!p220.contains("CartesianProduct"), p220)
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val lp220 = df220.queryExecution.optimizedPlan
+      val unpart220 = lp220.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart220.isEmpty,
+        s"q220 must never run an unpartitioned window:\n$lp220")
+
+      // q222: the boundary join-back is the hinted bounded broadcast
+      // (groups × 2 cuts); clamp+means aggregate with a map-side
+      // partial
+      val df222 = SparkEntry.queries("q222_winsorized_sketch")(spark, dir)
+      val p222 = df222.queryExecution.executedPlan.toString
+      assert(!p222.contains("CartesianProduct"), p222)
+      assert(p222.contains("partial_sum") || p222.contains("partial_count"),
+        p222)
+
+      // q223: the recount joins the corpus against the <= k broadcast
+      // candidate list — a BroadcastHashJoin, never a shuffle join of
+      // the distinct-token table
+      val df223 = SparkEntry.queries("q223_heavy_tokens")(spark, dir)
+      val p223 = df223.queryExecution.executedPlan.toString
+      assert(p223.contains("BroadcastHashJoin"),
+        "q223's recount must broadcast the candidates:\n" + p223)
+      assert(!p223.contains("SortMergeJoin"), p223)
+      assert(!p223.contains("CartesianProduct"), p223)
+    }
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
