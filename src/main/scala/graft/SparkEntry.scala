@@ -3529,6 +3529,37 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Capstone #17 — hybrid retrieval: the lexical (q224 BM25) and
+    // dense (q22 cosine) top-20 lists for the same information need,
+    // fused by reciprocal-rank (q137's device, k=60). Each branch is
+    // its own bounded-work plan (postings equi-join / broadcast query
+    // dot); fusion runs over ≤ 40 rows. The aligned doc_id/vec_id
+    // space is the synthetic corpus's contract.
+    "q225_hybrid_retrieval" -> ((s, dir) => {
+      val lex = graft.operators.SparseSimilarity.bm25TopK(
+          T(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "column"), k = 20)
+        .select(col("doc").as("doc_id"), col("score"))
+      val dense = Similarity.neighborsOf(T(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 20)
+        .select(col("vec_id").as("doc_id"),
+          round(col("cos"), 4).as("score"))
+      graft.operators.RankFusion.reciprocalRankFusion(
+          Seq("bm25" -> lex, "dense" -> dense), "doc_id", k = 60)
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(15)
+    }),
+
+    // Okapi BM25 top-10 for a fixed lexical query — the query→corpus
+    // direction of the retrieval stack (q149 mines PAIRS; q199 is the
+    // dense half; RankFusion q137 is how the two halves combine).
+    // Only the query terms' postings are touched (broadcast qt
+    // equi-join), df/N/avgdl from one pass, heap top-k.
+    "q224_bm25_retrieval" -> ((s, dir) =>
+      graft.operators.SparseSimilarity.bm25TopK(
+        T(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "column"), k = 10)),
+
     // Heavy tokens by bounded-state Misra–Gries + exact second pass:
     // the MG superset guarantee (every item with count > n/(k+1)
     // survives any arrival order) makes "all tokens in ≥ 1% of
@@ -6551,6 +6582,72 @@ object SparkEntry {
     "q220_quantile_sketch" -> HashOracles.q220QuantileSketch(16),
 
     "q222_winsorized_sketch" -> HashOracles.q222WinsorizedSketch(64),
+
+    // hybrid replay: the q224 BM25 CTEs cut at 20, the q22 cosine cut
+    // at 20 (raw-cosine order, rounded score), DuckDB rank() as the
+    // competition rank, RRF at k=60 rounded 6
+    "q225_hybrid_retrieval" ->
+      s"""WITH tok AS (SELECT doc_id AS doc, unnest($ToksSql) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl FROM tok
+         |  GROUP BY doc),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  avg(dl) AS avgdl FROM dl),
+         |qt AS (SELECT unnest(['hash', 'join', 'column']) AS tok),
+         |p AS (SELECT t.doc, t.tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok t JOIN qt USING (tok) GROUP BY 1, 2),
+         |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p
+         |  GROUP BY tok),
+         |sc AS (SELECT p.doc, dl.dl,
+         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+         |    AS ts
+         |  FROM p JOIN dft USING (tok) JOIN dl USING (doc), st),
+         |lex AS (SELECT doc AS doc_id, round(sum(ts), 4) AS score
+         |  FROM sc GROUP BY doc ORDER BY score DESC, doc LIMIT 20),
+         |den AS (SELECT b.vec_id AS doc_id,
+         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+         |    CAST(a.embedding AS DOUBLE[])), 4) AS score
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0
+         |  ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+         |    CAST(a.embedding AS DOUBLE[])) DESC, b.vec_id LIMIT 20),
+         |u AS (SELECT doc_id, 'bm25' AS nm,
+         |    rank() OVER (ORDER BY score DESC) AS r FROM lex
+         |  UNION ALL SELECT doc_id, 'dense',
+         |    rank() OVER (ORDER BY score DESC) FROM den),
+         |f AS (SELECT doc_id,
+         |  max(CASE WHEN nm = 'bm25' THEN r END) AS rank_bm25,
+         |  max(CASE WHEN nm = 'dense' THEN r END) AS rank_dense,
+         |  round(sum(1.0 / (60 + r)), 6) AS rrf
+         |  FROM u GROUP BY doc_id)
+         |SELECT doc_id, rank_bm25, rank_dense, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+
+    // BM25 replay: same tokenizer fragment, identical left-assoc
+    // expression trees (idf, saturation denominator), Lucene idf form;
+    // avgdl is exact (integer-valued double sums below 2^53)
+    "q224_bm25_retrieval" ->
+      s"""WITH tok AS (SELECT doc_id AS doc, unnest($ToksSql) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl FROM tok
+         |  GROUP BY doc),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  avg(dl) AS avgdl FROM dl),
+         |qt AS (SELECT unnest(['hash', 'join', 'column']) AS tok),
+         |p AS (SELECT t.doc, t.tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok t JOIN qt USING (tok) GROUP BY 1, 2),
+         |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p
+         |  GROUP BY tok),
+         |sc AS (SELECT p.doc, dl.dl,
+         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+         |    AS ts
+         |  FROM p JOIN dft USING (tok) JOIN dl USING (doc), st)
+         |SELECT doc, dl, CAST(count(*) AS BIGINT) AS n_hit_terms,
+         |  round(sum(ts), 4) AS score
+         |FROM sc GROUP BY doc, dl
+         |ORDER BY score DESC, doc LIMIT 10""".stripMargin,
 
     // the MG two-pass device's whole point: its output IS this query
     "q223_heavy_tokens" ->

@@ -101,4 +101,61 @@ object SparseSimilarity {
       .orderBy(col("cosine").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** Okapi BM25 top-`k` retrieval for ONE query against the corpus —
+    * the query→document direction [[cosineTopK]]'s pair mining
+    * doesn't cover, and the lexical half of a hybrid
+    * (BM25 + dense-ANN, fused by [[RankFusion]]) retrieval stack.
+    * Robertson/Spärck Jones weights, the standard parameterization:
+    *
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf(t) = ln(1 + (N−df+0.5)/(df+0.5))` (the Lucene form —
+    * positive for any df ≤ N).
+    *
+    * 100 TB shape: the query terms broadcast; ONLY their postings
+    * (tf rows, an inverted-index equi-join) are touched past the
+    * per-doc length table — never a corpus-wide score; df for the
+    * query terms aggregates from those same postings; the top-k is a
+    * heap (TakeOrderedAndProject), not a global sort. Corpus stats
+    * (N, avgdl) are one broadcast row. Output: `(doc, dl,
+    * n_hit_terms, score)` rounded 4, (score desc, doc) tie-broken so
+    * the LIMIT boundary replays; unordered double addition over the
+    * ≤|query| per-doc terms is the q149 dot-sum portability
+    * precedent.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    require(k >= 1, s"k $k must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(TF.tokens(col(textCol))).as("tok"))
+    val dl = tok.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qt = queryTerms.distinct.toDF("tok")
+    val postings = tok.join(broadcast(qt), Seq("tok"))
+      .groupBy(col("doc"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = postings.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    postings
+      .join(dft, Seq("tok"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc"), col("dl"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        round(sum(col("term_score")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+  }
 }

@@ -43,6 +43,27 @@ class SparseSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: hand-computed Okapi scores, no-hit docs absent, " +
+      "tie-break and validation") {
+    val s = spark
+    import s.implicits._
+    // N=3, avgdl=11/3; q={join, hash}: df(join)=2, df(hash)=1
+    val docs = Seq(
+      (1L, "join join hash"),
+      (2L, "join column column filter"),
+      (3L, "filter scan scan scan")).toDF("doc_id", "text")
+    val out = SparseSimilarity.bm25TopK(docs, "doc_id", "text",
+      Seq("join", "hash"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // idf_join=ln(1+1.5/2.5), idf_hash=ln(1+2.5/1.5), k1=1.2 b=0.75
+    assert(out.toSeq === Seq((1L, 3L, 2L, 1.7407),
+      (2L, 4L, 1L, 0.4532)))
+    intercept[IllegalArgumentException] {
+      SparseSimilarity.bm25TopK(docs, "doc_id", "text", Seq.empty, 5)
+    }
+  }
+
   test("dfCap: pairs sharing only over-cap grams generate no candidates") {
     graft.CacheScope.scoped {
       // every gram of docs 1-3 is shared by all three -> df 3 > cap 2;
