@@ -3529,6 +3529,18 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // q223 keyed: every source's ≥ 2%-of-its-occurrences tokens from
+    // ONE groupBy(source).agg(MG) fold (k=64 counters per source) +
+    // a (source, token) equi-join recount — the per-group dialect
+    // profile without a per-source distinct-token shuffle.
+    "q226_heavy_tokens_by_source" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("item"))
+      graft.operators.HeavyHitters.frequentItemsBy(
+          tok, "source", "item", k = 64, share = 50)
+        .orderBy(col("key"), col("cnt").desc, col("item"))
+    }),
+
     // Capstone #17 — hybrid retrieval: the lexical (q224 BM25) and
     // dense (q22 cosine) top-20 lists for the same information need,
     // fused by reciprocal-rank (q137's device, k=60). Each branch is
@@ -6648,6 +6660,16 @@ object SparkEntry {
          |  round(sum(ts), 4) AS score
          |FROM sc GROUP BY doc, dl
          |ORDER BY score DESC, doc LIMIT 10""".stripMargin,
+
+    "q226_heavy_tokens_by_source" ->
+      s"""WITH t AS (SELECT source AS key, unnest($ToksSql) AS item
+         |  FROM documents),
+         |n AS (SELECT key, count(*) AS n FROM t GROUP BY key),
+         |c AS (SELECT key, item, CAST(count(*) AS BIGINT) AS cnt FROM t
+         |  GROUP BY key, item)
+         |SELECT key, item, cnt FROM c JOIN n USING (key)
+         |WHERE cnt >= (n.n + 49) // 50
+         |ORDER BY key, cnt DESC, item""".stripMargin,
 
     // the MG two-pass device's whole point: its output IS this query
     "q223_heavy_tokens" ->

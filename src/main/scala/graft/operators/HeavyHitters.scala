@@ -134,6 +134,37 @@ object HeavyHitters {
       n => math.max(1L, (n + share - 1) / share))
   }
 
+  /** Per-group heavy hitters `(key, item, cnt)` — every item in ≥
+    * `1/share` of ITS GROUP's rows, the [[frequentItems]] contract
+    * keyed (the `hllRegistersBy` shape: one `groupBy(key).agg(MG)`
+    * pass folds every group's summary in parallel, candidates explode
+    * to ≤ k rows per group, and one (key, item) equi-join recounts
+    * them exactly). `k ≥ share` keeps the superset guarantee
+    * unconditional per group, whatever the group sizes. The candidate
+    * table is groups × k — never broadcast (it scales with groups);
+    * the recount join is a plain keyed equi-join AQE sizes itself.
+    */
+  def frequentItemsBy(items: DataFrame, keyCol: String, itemCol: String,
+      k: Int, share: Int): DataFrame = {
+    require(share >= 2, s"share $share must be >= 2")
+    require(k >= share, s"k $k must be >= share $share for the " +
+      "completeness guarantee to be unconditional")
+    val agg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    val src = items.select(col(keyCol).as("key"),
+        col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val summaries = src.groupBy(col("key"))
+      .agg(agg(col("item")).as("mg"), count(lit(1)).as("n"))
+    val cands = summaries.select(col("key"),
+      explode(map_keys(col("mg"))).as("item"),
+      expr(s"(n + ${share - 1}) DIV $share").as("__min"))
+    src.join(cands, Seq("key", "item"))
+      .groupBy(col("key"), col("item"))
+      .agg(count(lit(1)).as("cnt"), first(col("__min")).as("__m"))
+      .filter(col("cnt") >= greatest(col("__m"), lit(1L)))
+      .select(col("key"), col("item"), col("cnt"))
+  }
+
   private def heavyHittersBy(items: DataFrame, itemCol: String, k: Int,
       minCountOf: Long => Long): DataFrame = {
     val spark = items.sparkSession

@@ -59,6 +59,26 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("frequentItemsBy: per-group thresholds, groups independent, " +
+      "equals the grouped GROUP BY answer") {
+    val s = spark
+    import s.implicits._
+    // g1: n=40, >= 1/4 -> threshold 10: a(20), b(12) qualify, not c(8)
+    // g2: n=12, threshold 3: x(9) and y(3) qualify
+    val df = (Seq.fill(20)(("g1", "a")) ++ Seq.fill(12)(("g1", "b")) ++
+      Seq.fill(8)(("g1", "c")) ++ Seq.fill(9)(("g2", "x")) ++
+      Seq.fill(3)(("g2", "y"))).toDF("key", "item")
+    val out = HeavyHitters.frequentItemsBy(df, "key", "item",
+        k = 8, share = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(("g1", "a") -> 20L, ("g1", "b") -> 12L,
+      ("g2", "x") -> 9L, ("g2", "y") -> 3L))
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItemsBy(df, "key", "item", k = 3, share = 4)
+    }
+  }
+
   test("two-pass exact readout equals the plain GROUP BY answer; the " +
       "completeness precondition raises loudly") {
     val s = spark
