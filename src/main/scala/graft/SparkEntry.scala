@@ -3529,6 +3529,31 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Bucketed co-located join — the pay-the-shuffle-ONCE layout for
+    // a join run every day at corpus scale: both sides written
+    // `bucketBy(8, custkey)` (bucket-sorted, one file per bucket), so
+    // the revenue join reads co-located files and the plan's ONLY
+    // exchange is the final segment aggregation (asserted in
+    // PlanQualitySpec; the shuffle-free law itself in BucketingSpec).
+    "q227_bucketed_colocated_join" -> ((s, dir) => {
+      val tdir = sys.props("java.io.tmpdir")
+      def p(n: String) = new java.io.File(tdir, n).getAbsolutePath
+      val o = T(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.sources.Bucketing.writeBucketed(o, "graft_q227_orders",
+        p("graft_q227_orders"), "custkey", 8)
+      graft.sources.Bucketing.writeBucketed(c, "graft_q227_customer",
+        p("graft_q227_customer"), "custkey", 8)
+      graft.sources.Bucketing.bucketedEquiJoin(s,
+          "graft_q227_orders", "graft_q227_customer", "custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // q223 keyed: every source's ≥ 2%-of-its-occurrences tokens from
     // ONE groupBy(source).agg(MG) fold (k=64 counters per source) +
     // a (source, token) equi-join recount — the per-group dialect
@@ -6660,6 +6685,14 @@ object SparkEntry {
          |  round(sum(ts), 4) AS score
          |FROM sc GROUP BY doc, dl
          |ORDER BY score DESC, doc LIMIT 10""".stripMargin,
+
+    // the LAYOUT is the feature; the result is the plain join
+    "q227_bucketed_colocated_join" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS revenue
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     "q226_heavy_tokens_by_source" ->
       s"""WITH t AS (SELECT source AS key, unnest($ToksSql) AS item

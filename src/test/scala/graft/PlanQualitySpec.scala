@@ -626,6 +626,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q227: bucketed layout carries the join — the only exchange " +
+      "is the final segment aggregation") {
+    val df = SparkEntry.queries("q227_bucketed_colocated_join")(
+      spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert("Bucketed: true".r.findAllIn(p).size === 2,
+      "both scans must report the bucket layout:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "only the segment agg may shuffle:\n" + p)
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
