@@ -165,6 +165,38 @@ object HeavyHitters {
       .select(col("key"), col("item"), col("cnt"))
   }
 
+  /** Pure merge of two finished MG summaries (item → clipped count)
+    * at capacity k — the Mergeable Summaries rule on plain maps, for
+    * folding per-shard/per-batch summaries OUTSIDE an aggregation
+    * (the streaming consumer's fold; SketchStream.misraGriesBatches).
+    * Same band/superset guarantees as [[MisraGriesAgg.merge]].
+    */
+  def mergeSummaries(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] = {
+    require(k >= 1, s"k $k must be >= 1")
+    val m = scala.collection.mutable.HashMap[String, Long]()
+    a.foreach { case (i, c) => m(i) = c }
+    b.foreach { case (i, c) => m(i) = m.getOrElse(i, 0L) + c }
+    if (m.size > k) {
+      val kth = m.values.toArray.sorted(Ordering[Long].reverse)(k)
+      m.filterInPlace { case (_, c) => c - kth > 0 }
+        .mapValuesInPlace { case (_, c) => c - kth }
+    }
+    m.toMap
+  }
+
+  /** One-row MG summary of a DataFrame column: `(summary, n)` — the
+    * per-batch building block the streaming fold consumes.
+    */
+  def summarize(items: DataFrame, itemCol: String,
+      k: Int): (Map[String, Long], Long) = {
+    val agg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    val row = items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .agg(agg(col("item")).as("mg"), count(lit(1)).as("n")).head()
+    (row.getMap[String, Long](0).toMap, row.getLong(1))
+  }
+
   private def heavyHittersBy(items: DataFrame, itemCol: String, k: Int,
       minCountOf: Long => Long): DataFrame = {
     val spark = items.sparkSession

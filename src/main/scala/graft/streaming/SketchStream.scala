@@ -94,4 +94,25 @@ object SketchStream {
         sink(graft.operators.QuantileSketch.sampleRegistersBy(
           batch, keyCol, idCol, valueCol, k), batchId)
     }
+
+  /** Per-micro-batch Misra–Gries summaries:
+    * `sink((summary, n), batchId)` receives
+    * [[graft.operators.HeavyHitters.summarize]] of each batch — fold
+    * with [[graft.operators.HeavyHitters.mergeSummaries]] for a
+    * running k-counter frequent-items state. The fold keeps the MG
+    * BAND/SUPERSET guarantee over everything streamed so far (exact
+    * equality with the whole-stream summary is not the contract — MG
+    * is order-dependent below the guarantee; SketchStreamSpec pins
+    * the guarantee itself).
+    */
+  def misraGriesBatches(items: DataFrame, itemCol: String, k: Int)(
+      sink: ((Map[String, Long], Long), Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(graft.operators.HeavyHitters.summarize(batch, itemCol, k),
+          batchId)
+    }
 }

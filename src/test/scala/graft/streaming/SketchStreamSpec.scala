@@ -164,4 +164,39 @@ class SketchStreamSpec extends SparkSpec {
       sk.get, Seq(50, 90))
     assert(qs.count() === 4L)
   }
+
+  test("folded streaming Misra-Gries keeps the band and superset " +
+      "guarantee over the whole stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val b1 = Seq.fill(120)("hot") ++ Seq.fill(40)("warm") ++
+      (1 to 150).map(i => s"cold$i")
+    val b2 = Seq.fill(80)("hot") ++ Seq.fill(70)("warm") ++
+      (151 to 300).map(i => s"cold$i")
+    val mem = MemoryStream[String]
+    val k = 9
+    var acc: Map[String, Long] = Map.empty
+    var n = 0L
+    val q = SketchStream.misraGriesBatches(
+      mem.toDF().select(org.apache.spark.sql.functions.col("value")
+        .as("item")), "item", k) { (sn, _) =>
+        acc = graft.operators.HeavyHitters.mergeSummaries(acc, sn._1, k)
+        n += sn._2
+    }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val all = b1 ++ b2
+    assert(n === all.size.toLong)
+    assert(acc.size <= k)
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = all.size.toDouble / (k + 1)
+    acc.foreach { case (item, est) =>
+      assert(est <= truth(item), s"overcount on $item")
+    }
+    truth.filter(_._2 > bound).keys.foreach { h =>
+      assert(acc.contains(h), s"stream fold lost hitter $h")
+    }
+  }
 }
