@@ -288,15 +288,20 @@ object Robust {
     * and read out at any percentile later, and the boundary derivation
     * touches k rows per group instead of ranking every row. Same
     * output shape as [[winsorizedProfile]]; groups smaller than k get
-    * the EXACT boundaries (the sample is the group).
+    * the EXACT boundaries (the sample is the group). Null values are
+    * dropped up front (the register build skips them anyway — keeping
+    * them in the mean pass would divide a null-skipping sum by an
+    * all-rows count); [[winsorizedProfile]] assumes a non-null value
+    * column, where the two devices agree.
     */
   def winsorizedProfileSketch(df: DataFrame, groupCol: String,
       idCol: String, valueCol: String, pctLow: Int = 5,
       pctHigh: Int = 95, k: Int = 256): DataFrame = {
     require(0 < pctLow && pctLow < pctHigh && pctHigh <= 100,
       s"bad percentile bounds [$pctLow, $pctHigh]")
-    val vals = df.select(col(groupCol).as("grp"),
-      col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
     val qs = QuantileSketch.sampleQuantilesBy(
       QuantileSketch.sampleRegistersBy(vals, "grp", "__id", "__v", k),
       Seq(pctLow, pctHigh))
