@@ -3529,6 +3529,60 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // q228's audio sibling: embeddings quantized to PCM16, encoded as
+    // REAL mono WAV through javax.sound's own writer, headers decoded
+    // back (encoding/rate/channels/frames from the actual RIFF
+    // parse), waveform pooled by WavCodec into exact per-window
+    // sample sums — PCM is lossless, so the oracle recomputes the
+    // sums from the embeddings alone.
+    "q229_audio_roundtrip" -> ((s, dir) => {
+      val sm = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(slice(embedding, 1, 16), " +
+          "v -> floor(CAST(v AS DOUBLE) * 10000.0))").as("samples"))
+      val wav = graft.operators.Multimodal.encodeWavPcm16(
+        sm, "vec_id", "samples")
+      val meta = graft.operators.Multimodal.decodeAudioMeta(wav)
+      val feats = graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.asMedia(wav, "media_id", "media"),
+          dim = 16, codec = graft.operators.Multimodal.WavCodec)
+        .select(col("media_id"),
+          expr("CAST(aggregate(feature, 0.0D, (a, x) -> " +
+            "a + CAST(x AS DOUBLE)) AS BIGINT)").as("sample_sum"))
+      meta.join(feats, Seq("media_id"))
+        .select(col("media_id"), col("encoding"), col("sample_rate"),
+          col("channels"), col("n_frames"), col("sample_sum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL image codec round trip, SQL-proven: quantize each
+    // embedding's first 16 dims to 0..255, encode as genuine 4×4
+    // grayscale PNGs (javax.imageio — the JDK's own encoder), sniff
+    // the magic, decode the headers, pool features through
+    // ImageIoCodec, and emit the per-image pixel sum. PNG is lossless
+    // and the pooled 4×4 grid at dim=16 IS the pixel grid, so the
+    // oracle computes the identical sums from the embeddings alone —
+    // the whole encode→sniff→decode→pool path gates bit-exactly.
+    // (PNG byte length is encoder-build-dependent and deliberately
+    // not in the output.)
+    "q228_image_roundtrip" -> ((s, dir) => {
+      val px = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(slice(embedding, 1, 16), " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(px, "vec_id", "pixels",
+          side = 4), "media_id", "media")
+      val meta = graft.operators.Multimodal.decodeImageMeta(media)
+      val feats = graft.operators.Multimodal.extractFeatures(media,
+          dim = 16, codec = graft.operators.Multimodal.ImageIoCodec)
+        .select(col("media_id"),
+          expr("CAST(aggregate(feature, 0.0D, (a, x) -> " +
+            "a + CAST(x AS DOUBLE)) AS BIGINT)").as("pix_sum"))
+      meta.join(feats, Seq("media_id"))
+        .select(col("media_id"), col("format"), col("width"),
+          col("height"), col("pix_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // Bucketed co-located join — the pay-the-shuffle-ONCE layout for
     // a join run every day at corpus scale: both sides written
     // `bucketBy(8, custkey)` (bucket-sorted, one file per bucket), so
@@ -6685,6 +6739,28 @@ object SparkEntry {
          |  round(sum(ts), 4) AS score
          |FROM sc GROUP BY doc, dl
          |ORDER BY score DESC, doc LIMIT 10""".stripMargin,
+
+    "q229_audio_roundtrip" ->
+      """SELECT vec_id AS media_id, 'PCM_SIGNED' AS encoding,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(embedding[1:16],
+        |    v -> greatest(-32768, least(32767,
+        |      floor(CAST(v AS DOUBLE) * 10000.0)))))
+        |    AS BIGINT) AS sample_sum
+        |FROM embeddings ORDER BY media_id""".stripMargin,
+
+    // lossless round trip: the decoded pixel sums are a pure function
+    // of the quantized embeddings — no image library needed here
+    "q228_image_roundtrip" ->
+      """SELECT vec_id AS media_id, 'image/png' AS format,
+        |  CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(embedding[1:16],
+        |    v -> greatest(0, least(255,
+        |      floor((CAST(v AS DOUBLE) + 1.0) * 127.5)))))
+        |    AS BIGINT) AS pix_sum
+        |FROM embeddings ORDER BY media_id""".stripMargin,
 
     // the LAYOUT is the feature; the result is the plain join
     "q227_bucketed_colocated_join" ->

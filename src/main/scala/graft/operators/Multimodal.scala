@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * metadata, plus decode / feature-extract / frame-sample stages.
   *
   * The Spark-side contract (schema, batch shape, partition isolation) is
-  * real and tested; the codec itself is STUBBED with a deterministic fake
-  * (this container ships no image/audio libraries). Swap `FakeCodec` for a
-  * real decoder without touching the dataflow: the decode stage is
-  * `mapPartitions`, one codec instance per partition, never inside
-  * Catalyst's reorderable expression space.
+  * real and tested. IMAGES decode for real through the JDK's own
+  * `javax.imageio` ([[ImageIoCodec]], [[decodeImageMeta]],
+  * [[encodePng]] — PNG/JPEG/BMP/GIF, no external libraries; the q228
+  * round trip proves encode→decode→pool losslessly against SQL).
+  * Codecs the JDK does not ship (video, modern audio) remain behind
+  * the [[Codec]] seam with the deterministic [[FakeCodec]] stand-in.
+  * Either way the decode stage is `mapPartitions`, one codec instance
+  * per partition, never inside Catalyst's reorderable expression space.
   */
 object Multimodal {
 
@@ -53,6 +56,68 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec on the JDK's own decoders (`javax.imageio` ships
+    * PNG/JPEG/BMP/GIF readers in `java.desktop` — no external
+    * libraries): decode the bytes to a raster, then pool the luma
+    * plane onto a ⌊√dim⌋-square grid (cell = plain average over the
+    * cell's pixels of the per-pixel band average, exact integer math
+    * until the final division) — the classic tiny-thumbnail feature.
+    * Feature slot layout is row-major grid cells; slots past side²
+    * are zero. When the image IS side×side grayscale the "features"
+    * are the exact pixel values — which is what lets the q228
+    * round-trip gate the whole encode→decode→pool path against pure
+    * SQL. Bytes ImageIO cannot decode fall back to [[FakeCodec]]
+    * (disclosed: a real deployment would dead-letter them instead).
+    * ImageIO instances are not thread-safe to share, but each call
+    * constructs its own reader internally; the per-partition
+    * instantiation in [[extractFeatures]] is the documented pattern
+    * for codecs that do need isolation.
+    */
+  object ImageIoCodec extends Codec {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) FakeCodec.features(bytes, dim)
+      else {
+        val side = math.max(1, math.sqrt(dim.toDouble).toInt)
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Float](dim)
+        var cy = 0
+        while (cy < side) {
+          val y0 = cy * h / side; val y1 = math.max(y0 + 1, (cy + 1) * h / side)
+          var cx = 0
+          while (cx < side) {
+            val x0 = cx * w / side
+            val x1 = math.max(x0 + 1, (cx + 1) * w / side)
+            var sum = 0L; var cnt = 0L
+            var y = y0
+            while (y < math.min(y1, h)) {
+              var x = x0
+              while (x < math.min(x1, w)) {
+                var bd = 0
+                while (bd < bands) {
+                  sum += raster.getSample(x, y, bd); bd += 1
+                }
+                cnt += bands
+                x += 1
+              }
+              y += 1
+            }
+            out(cy * side + cx) =
+              if (cnt == 0) 0f else (sum.toDouble / cnt).toFloat
+            cx += 1
+          }
+          cy += 1
+        }
+        out
+      }
+    }
+  }
+
   /** Attach media columns to any DF: `media` (binary) + sniffed `format`.
     * In production the binary comes off object storage; here any string
     * column can stand in as bytes.
@@ -81,6 +146,195 @@ object Multimodal {
           val entropyQ = feat.count(_ > 0f)
           Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
             safe.length, entropyQ, feat.toSeq)
+        }
+      }(enc)
+  }
+
+  /** REAL audio codec on the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM readers ship in `java.desktop`): decode to PCM16 samples,
+    * then pool the waveform into `dim` equal windows of per-window
+    * SAMPLE SUMS (exact integers — a window of 16-bit samples sums
+    * well inside float's 2²⁴ exact-integer range at the window sizes
+    * this pools, so the feature is replay-exact; RMS/energy are one
+    * map away from these sums). Undecodable bytes fall back to
+    * [[FakeCodec]], the [[ImageIoCodec]] convention.
+    */
+  object WavCodec extends Codec {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val pcm =
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try in.readAllBytes() finally in.close()
+        } catch { case _: Exception => null }
+      if (pcm == null) FakeCodec.features(bytes, dim)
+      else {
+        val n = pcm.length / 2
+        val out = new Array[Float](dim)
+        if (n == 0) return out
+        var w = 0
+        while (w < dim) {
+          val s0 = w.toLong * n / dim
+          val s1 = math.max(s0 + 1, (w + 1).toLong * n / dim)
+          var sum = 0L
+          var i = s0
+          while (i < math.min(s1, n)) {
+            val lo = pcm((2 * i).toInt) & 0xff
+            val hi = pcm((2 * i + 1).toInt).toInt
+            sum += (hi << 8) | lo
+            i += 1
+          }
+          out(w) = sum.toFloat
+          w += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Encode a PCM16 sample array column as REAL mono WAV bytes
+    * (`javax.sound.sampled`'s own writer — RIFF header + little-endian
+    * samples; 8 kHz, the rate is metadata only). Values clamp to the
+    * int16 range. The q229 companion to [[encodePng]].
+    */
+  def encodeWavPcm16(df: DataFrame, idCol: String,
+      samplesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType))))
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(samplesCol).cast(ArrayType(DoubleType)).as("__sm"))
+      .mapPartitions { rows =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false)
+        rows.map { r =>
+          val sm = r.getSeq[Double](1)
+          val pcm = new Array[Byte](sm.length * 2)
+          var i = 0
+          while (i < sm.length) {
+            val v = math.max(-32768, math.min(32767,
+              math.floor(sm(i)).toInt))
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, sm.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Decode REAL audio headers: `(media_id, encoding, sample_rate,
+    * channels, n_frames)` via `javax.sound.sampled` — undecodable rows
+    * carry nulls (kept for the audit, the [[decodeImageMeta]]
+    * convention).
+    */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("encoding", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType))))
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val dec =
+            try {
+              val in = javax.sound.sampled.AudioSystem
+                .getAudioInputStream(new java.io.ByteArrayInputStream(
+                  if (bytes == null) Array.emptyByteArray else bytes))
+              try {
+                val f = in.getFormat
+                Some((f.getEncoding.toString, f.getSampleRate.toInt,
+                  f.getChannels, in.getFrameLength))
+              } finally in.close()
+            } catch { case _: Exception => None }
+          dec match {
+            case Some((e, sr, ch, nf)) =>
+              Row(r.getLong(0), e, sr, ch, nf)
+            case None =>
+              Row(r.getLong(0), null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Encode a numeric array column as REAL grayscale PNG bytes (one
+    * `side`×`side` image per row, row-major, values clamped to 0..255)
+    * — `javax.imageio`'s writer, so downstream stages exercise genuine
+    * image bytes (magic sniff, decode, pooling) instead of a fake.
+    * PNG is lossless: the decoded raster equals the quantized input
+    * exactly, which is what makes the q228 round trip SQL-provable.
+    * One encoder pass per partition ([[extractFeatures]]'s isolation
+    * pattern); the PNG byte LENGTH depends on the encoder build and is
+    * deliberately absent from gated outputs.
+    */
+  def encodePng(df: DataFrame, idCol: String, pixelsCol: String,
+      side: Int): DataFrame = {
+    require(side >= 1 && side <= 4096, s"bad side $side")
+    val spark = df.sparkSession
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType))))
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(pixelsCol).cast(ArrayType(DoubleType)).as("__px"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val px = r.getSeq[Double](1)
+          val img = new java.awt.image.BufferedImage(side, side,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < side * side) {
+            val v = if (i < px.length)
+              math.max(0, math.min(255, math.floor(px(i)).toInt)) else 0
+            raster.setSample(i % side, i / side, 0, v)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Decode REAL image headers to the typed metadata contract
+    * ([[mediaMetaSchema]] fields): `(media_id, format, width, height,
+    * n_frames)` via ImageIO — rows whose bytes don't decode carry null
+    * dimensions (kept, not dropped: the audit query wants to SEE the
+    * undecodable rows).
+    */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType))))
+    media.select(col("media_id"), col("media"), col("format"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                if (bytes == null) Array.emptyByteArray else bytes))
+            catch { case _: Exception => null }
+          if (img == null)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
+              null, null, null)
+          else
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
+              img.getWidth, img.getHeight, Integer.valueOf(1))
         }
       }(enc)
   }

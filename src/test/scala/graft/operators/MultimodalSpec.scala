@@ -42,4 +42,86 @@ class MultimodalSpec extends SparkSpec {
     // every sampled media contributes at least the frame at index 0
     assert(frames.filter(col("frame_idx") === 0).count() === 5)
   }
+
+  test("real PNG round trip: encodePng bytes sniff as image/png, " +
+      "ImageIO meta reads the true dimensions, and the codec returns " +
+      "the exact pixel values back") {
+    val s = spark
+    import s.implicits._
+    val px = Seq(0.0, 17.0, 34.9, 51.0, 68.0, 85.0, 102.0, 119.0,
+      136.0, 153.0, 170.0, 187.0, 204.0, 221.0, 238.0, 255.0)
+    val df = Seq((7L, px)).toDF("id", "pixels")
+    val png = Multimodal.encodePng(df, "id", "pixels", side = 4)
+    val media = Multimodal.asMedia(png, "media_id", "media")
+    assert(media.head().getAs[String]("format") === "image/png")
+
+    val meta = Multimodal.decodeImageMeta(media).head()
+    assert(meta.getAs[Int]("width") === 4)
+    assert(meta.getAs[Int]("height") === 4)
+    assert(meta.getAs[Int]("n_frames") === 1)
+
+    val feats = Multimodal.extractFeatures(media, dim = 16,
+      codec = Multimodal.ImageIoCodec).head()
+    val want = px.map(v => math.floor(v).toFloat)
+    assert(feats.getAs[scala.collection.Seq[Float]]("feature")
+        .toSeq === want,
+      "PNG is lossless: pooled 4x4 features must equal the pixels")
+  }
+
+  test("real WAV round trip: javax.sound encodes/decodes PCM16 " +
+      "losslessly, WavCodec returns exact per-window sample sums, " +
+      "headers carry the true format") {
+    val s = spark
+    import s.implicits._
+    val samples = Seq(0.0, 100.0, -100.0, 32767.0, -32768.0, 7.9,
+      -7.9, 12345.0)
+    val wav = Multimodal.encodeWavPcm16(
+      Seq((3L, samples)).toDF("id", "samples"), "id", "samples")
+    val meta = Multimodal.decodeAudioMeta(wav).head()
+    assert(meta.getAs[String]("encoding") === "PCM_SIGNED")
+    assert(meta.getAs[Int]("sample_rate") === 8000)
+    assert(meta.getAs[Int]("channels") === 1)
+    assert(meta.getAs[Long]("n_frames") === 8L)
+
+    // dim = n samples -> each window is one sample, exactly
+    val f = Multimodal.extractFeatures(
+        Multimodal.asMedia(wav, "media_id", "media"), dim = 8,
+        codec = Multimodal.WavCodec).head()
+      .getAs[scala.collection.Seq[Float]]("feature")
+    // floor() quantization: 7.9 -> 7, -7.9 -> -8
+    assert(f.toSeq === Seq(0f, 100f, -100f, 32767f, -32768f, 7f,
+      -8f, 12345f))
+
+    // junk falls back to the byte histogram
+    val junk = "not audio".getBytes("UTF-8")
+    assert(Multimodal.WavCodec.features(junk, 4).toSeq ===
+      Multimodal.FakeCodec.features(junk, 4).toSeq)
+    val jm = Multimodal.decodeAudioMeta(Multimodal.asMedia(
+      Seq((4L, "junk")).toDF("id", "b"), "id", "b")).head()
+    assert(jm.isNullAt(jm.fieldIndex("sample_rate")))
+  }
+
+  test("ImageIoCodec pools larger rasters by exact cell averages and " +
+      "falls back to the byte histogram on undecodable bytes") {
+    val s = spark
+    import s.implicits._
+    // 4x4 image pooled to a 2x2 grid (dim=4): each cell is the mean
+    // of its 2x2 block
+    val px = (0 until 16).map(i => (i * 10).toDouble)
+    val png = Multimodal.encodePng(Seq((1L, px)).toDF("id", "pixels"),
+      "id", "pixels", side = 4)
+    val media = Multimodal.asMedia(png, "media_id", "media")
+    val f = Multimodal.extractFeatures(media, dim = 4,
+      codec = Multimodal.ImageIoCodec).head()
+      .getAs[scala.collection.Seq[Float]]("feature")
+    // block means: (0+10+40+50)/4=25, (20+30+60+70)/4=45, ...
+    assert(f.toSeq === Seq(25f, 45f, 105f, 125f))
+
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.ImageIoCodec.features(junk, 8).toSeq ===
+      Multimodal.FakeCodec.features(junk, 8).toSeq)
+    val junkMeta = Multimodal.decodeImageMeta(Multimodal.asMedia(
+      Seq((2L, "junk")).toDF("id", "b"), "id", "b")).head()
+    assert(junkMeta.isNullAt(junkMeta.fieldIndex("width")))
+  }
 }
