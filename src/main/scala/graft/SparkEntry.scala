@@ -3529,6 +3529,34 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Resize stage, round-tripped: the q228 4×4 PNGs pooled to REAL
+    // 2×2 thumbnails (exact block-average resize, re-encoded PNG),
+    // headers re-decoded, thumbnail pixels summed. Every resized
+    // pixel is ⌊block-sum/4⌋ of the quantized embedding values, so
+    // the oracle recomputes the thumbnail sums with integer
+    // arithmetic alone — decode→resize→encode→decode, all real bytes.
+    "q230_image_resize" -> ((s, dir) => {
+      val px = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(slice(embedding, 1, 16), " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(px, "vec_id", "pixels",
+          side = 4), "media_id", "media")
+      val thumbs = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.resizeImages(media, targetSide = 2),
+        "media_id", "media")
+      val meta = graft.operators.Multimodal.decodeImageMeta(thumbs)
+      val feats = graft.operators.Multimodal.extractFeatures(thumbs,
+          dim = 4, codec = graft.operators.Multimodal.ImageIoCodec)
+        .select(col("media_id"),
+          expr("CAST(aggregate(feature, 0.0D, (a, x) -> " +
+            "a + CAST(x AS DOUBLE)) AS BIGINT)").as("thumb_sum"))
+      meta.join(feats, Seq("media_id"))
+        .select(col("media_id"), col("format"), col("width"),
+          col("height"), col("thumb_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // q228's audio sibling: embeddings quantized to PCM16, encoded as
     // REAL mono WAV through javax.sound's own writer, headers decoded
     // back (encoding/rate/channels/frames from the actual RIFF
@@ -6739,6 +6767,22 @@ object SparkEntry {
          |  round(sum(ts), 4) AS score
          |FROM sc GROUP BY doc, dl
          |ORDER BY score DESC, doc LIMIT 10""".stripMargin,
+
+    // thumbnail pixel (cy,cx) = floor(2x2-block-sum / 4) of the
+    // quantized grid — integer arithmetic end to end
+    "q230_image_resize" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding[1:16], v -> CAST(greatest(0,
+        |    least(255, floor((CAST(v AS DOUBLE) + 1.0) * 127.5)))
+        |    AS BIGINT)) AS p
+        |  FROM embeddings)
+        |SELECT vec_id AS media_id, 'image/png' AS format,
+        |  CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+        |  (p[1] + p[2] + p[5] + p[6]) // 4
+        |    + (p[3] + p[4] + p[7] + p[8]) // 4
+        |    + (p[9] + p[10] + p[13] + p[14]) // 4
+        |    + (p[11] + p[12] + p[15] + p[16]) // 4 AS thumb_sum
+        |FROM q ORDER BY media_id""".stripMargin,
 
     "q229_audio_roundtrip" ->
       """SELECT vec_id AS media_id, 'PCM_SIGNED' AS encoding,

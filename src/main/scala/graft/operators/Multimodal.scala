@@ -339,6 +339,76 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL image resize: decode via ImageIO, pool onto a
+    * `targetSide`-square grid by EXACT BLOCK AVERAGES (integer sums,
+    * one floor division at the end — the [[ImageIoCodec]] pooling,
+    * not an interpolator, so the output pixels are a pure integer
+    * function of the input pixels and the q230 round trip can be
+    * SQL-proven), then re-encode as grayscale PNG. Color inputs pool
+    * their band average. Rows whose bytes don't decode are DROPPED
+    * (resize has nothing to emit for them — the meta audit
+    * [[decodeImageMeta]] is where undecodables surface).
+    */
+  def resizeImages(media: DataFrame, targetSide: Int): DataFrame = {
+    require(targetSide >= 1 && targetSide <= 4096,
+      s"bad targetSide $targetSide")
+    val spark = media.sparkSession
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType))))
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                if (bytes == null) Array.emptyByteArray else bytes))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val w = img.getWidth; val h = img.getHeight
+            val outImg = new java.awt.image.BufferedImage(targetSide,
+              targetSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val outRaster = outImg.getRaster
+            var cy = 0
+            while (cy < targetSide) {
+              val y0 = cy * h / targetSide
+              val y1 = math.max(y0 + 1, (cy + 1) * h / targetSide)
+              var cx = 0
+              while (cx < targetSide) {
+                val x0 = cx * w / targetSide
+                val x1 = math.max(x0 + 1, (cx + 1) * w / targetSide)
+                var sum = 0L; var cnt = 0L
+                var y = y0
+                while (y < math.min(y1, h)) {
+                  var x = x0
+                  while (x < math.min(x1, w)) {
+                    var bd = 0
+                    while (bd < bands) {
+                      sum += raster.getSample(x, y, bd); bd += 1
+                    }
+                    cnt += bands
+                    x += 1
+                  }
+                  y += 1
+                }
+                outRaster.setSample(cx, cy, 0,
+                  if (cnt == 0) 0 else (sum / cnt).toInt)
+                cx += 1
+              }
+              cy += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(outImg, "png", bos)
+            Some(Row(r.getLong(0), bos.toByteArray))
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for video-like media: pick every `stride`-th chunk of
     * `frameBytes` bytes as a pseudo-frame (the plumbing a real frame
     * sampler needs: explode to one row per sampled frame).

@@ -101,6 +101,32 @@ class MultimodalSpec extends SparkSpec {
     assert(jm.isNullAt(jm.fieldIndex("sample_rate")))
   }
 
+  test("resizeImages: exact block-average thumbnails, undecodable " +
+      "rows dropped") {
+    val s = spark
+    import s.implicits._
+    val px = (0 until 16).map(i => (i * 10).toDouble)
+    val png = Multimodal.encodePng(Seq((1L, px)).toDF("id", "pixels"),
+      "id", "pixels", side = 4)
+    val media = Multimodal.asMedia(png, "media_id", "media")
+    val thumb = Multimodal.asMedia(
+      Multimodal.resizeImages(media, targetSide = 2),
+      "media_id", "media")
+    assert(thumb.head().getAs[String]("format") === "image/png")
+    val meta = Multimodal.decodeImageMeta(thumb).head()
+    assert(meta.getAs[Int]("width") === 2)
+    assert(meta.getAs[Int]("height") === 2)
+    val f = Multimodal.extractFeatures(thumb, dim = 4,
+        codec = Multimodal.ImageIoCodec).head()
+      .getAs[scala.collection.Seq[Float]]("feature")
+    // blocks (0+10+40+50)/4=25, (20+30+60+70)/4=45, 105, 125
+    assert(f.toSeq === Seq(25f, 45f, 105f, 125f))
+
+    val junk = Multimodal.asMedia(
+      Seq((9L, "junk")).toDF("id", "b"), "id", "b")
+    assert(Multimodal.resizeImages(junk, 2).count() === 0L)
+  }
+
   test("ImageIoCodec pools larger rasters by exact cell averages and " +
       "falls back to the byte histogram on undecodable bytes") {
     val s = spark
