@@ -114,7 +114,12 @@ object Survival {
     require(arms.length == 2,
       s"logRank needs exactly 2 arms, got ${arms.toSeq}")
     val Seq(armA, armB) = arms.toSeq
+    // a null duration has no place on the time axis — dropped here
+    // explicitly (the subject builders never emit one; raw caller
+    // frames might, and a null-keyed grid row would poison every
+    // later risk set through the cumulative-removal window)
     val byDur = subjects
+      .filter(col(durationCol).isNotNull)
       .groupBy(col(groupCol).cast("string").as("arm"),
         col(durationCol).cast("long").as("t"))
       .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("d"),

@@ -626,6 +626,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q228-q230: media round trips — codec stages are " +
+      "mapPartitions chains, the meta/feature joins keyed, no cross " +
+      "products") {
+    for (q <- Seq("q228_image_roundtrip", "q229_audio_roundtrip",
+        "q230_image_resize")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("MapPartitions"), s"$q codec must stay out " +
+        s"of Catalyst's expression space:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("q227: bucketed layout carries the join — the only exchange " +
       "is the final segment aggregation") {
     val df = SparkEntry.queries("q227_bucketed_colocated_join")(
