@@ -350,6 +350,50 @@ object HashOracles {
         "ORDER BY cos DESC, s.vec_id LIMIT 10)"),
     "SELECT count(*) AS n_results, round(max(cos), 4) AS best_cos FROM res")
 
+  /** Retrieval-eval replay (q231, [[operators.RankEval.vsTruth]]):
+    * the q55 multi-probe candidate chain (query vector excluded),
+    * ranked; the exact brute-force top-10 as truth; recall/MRR exact
+    * rationals off the integer ranks, and both DCG folds over SORTED
+    * rank lists (list_sort + left fold — the same ascending-order
+    * float accumulation as the Spark side's array_sort + aggregate).
+    */
+  val q231RetrievalEval: String = withClause(
+    bucketCtes(", e.embedding") ++ Seq(
+      "qp AS (SELECT list(pr ORDER BY p) AS prs FROM proj WHERE vec_id = 0)",
+      "qb AS (SELECT bucket, embedding AS q_emb FROM sigs WHERE vec_id = 0)",
+      "scored AS (SELECT m, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(0, 8), b -> CASE " +
+        "WHEN (m // (1 << CAST(b AS INTEGER))) % 2 = 1 " +
+        "THEN abs(prs[CAST(b AS INTEGER) + 1]) ELSE CAST(0.0 AS DOUBLE) END)), " +
+        "(a, x) -> a + x) AS score " +
+        "FROM (SELECT unnest(range(1, 256)) AS m), qp)",
+      "probes AS (SELECT xor(qb.bucket, f.m) AS bucket FROM " +
+        "(SELECT m FROM scored ORDER BY score, m LIMIT 7) f, qb " +
+        "UNION SELECT bucket FROM qb)",
+      "res AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, " +
+        "vec_id) AS rank FROM (SELECT s.vec_id, " +
+        "list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), " +
+        "CAST(q.q_emb AS DOUBLE[])) AS cos " +
+        "FROM sigs s JOIN probes USING (bucket) CROSS JOIN qb q " +
+        "WHERE s.vec_id <> 0) ORDER BY rank LIMIT 10)",
+      "tr AS (SELECT b.vec_id FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
+        "ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
+        "CAST(a.embedding AS DOUBLE[])) DESC, b.vec_id LIMIT 10)",
+      "ht AS (SELECT r.rank FROM res r JOIN tr USING (vec_id))",
+      "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_hit, min(rank) AS r1, " +
+        "coalesce(list_sort(list(rank)), CAST([] AS BIGINT[])) AS rs " +
+        "FROM ht)"),
+    "SELECT CAST(10 AS INTEGER) AS k, CAST(10 AS BIGINT) AS n_truth, " +
+      "n_hit, round(CAST(n_hit AS DOUBLE) / 10, 4) AS recall_at_k, " +
+      "round(1.0 / r1, 4) AS mrr, " +
+      "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(rs, r -> 1.0 / log2(r + 1.0))), (a, x) -> a + x) " +
+      "/ list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, 11), i -> " +
+      "1.0 / log2(CAST(i AS DOUBLE) + 1.0))), (a, x) -> a + x), 4) " +
+      "AS ndcg_at_k FROM ag")
+
   /** Incremental-dedup replay: band join restricted to new x existing,
     * verify = slot-equality count / 16 (the MinHash Jaccard estimator).
     */

@@ -3529,6 +3529,26 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Retrieval evaluation inside the gate: the q55 multi-probe LSH
+    // list (query excluded) scored against the exact brute-force
+    // top-10 by recall@10 / MRR / NDCG@10 — the number the ANN specs
+    // quote, now replay-checked at query level. Both DCG folds run
+    // over sorted rank lists so the float accumulation order matches.
+    "q231_retrieval_eval" -> ((s, dir) => {
+      val vectors = T(s, dir, "embeddings")
+      val q = vectors.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_emb"))
+      val truth = Similarity.neighborsOf(vectors, "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      val cand = Similarity.lshTopK(
+          vectors.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+          q, k = 10, nProbes = 8)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+      graft.operators.RankEval.vsTruth(cand, truth, "vec_id", "rank",
+        k = 10)
+    }),
+
     // Resize stage, round-tripped: the q228 4×4 PNGs pooled to REAL
     // 2×2 thumbnails (exact block-average resize, re-encoded PNG),
     // headers re-decoded, thumbnail pixels summed. Every resized
@@ -6767,6 +6787,8 @@ object SparkEntry {
          |  round(sum(ts), 4) AS score
          |FROM sc GROUP BY doc, dl
          |ORDER BY score DESC, doc LIMIT 10""".stripMargin,
+
+    "q231_retrieval_eval" -> HashOracles.q231RetrievalEval,
 
     // thumbnail pixel (cy,cx) = floor(2x2-block-sum / 4) of the
     // quantized grid — integer arithmetic end to end
