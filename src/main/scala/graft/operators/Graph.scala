@@ -83,6 +83,11 @@ object Graph {
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("__pr_c"), lit(0.0)) + col("__pr_dang") / n))
             .as("pr"))
+      // per-round lineage truncation: measured BETTER than batching
+      // checkpoints every 3 rounds (28.7 s vs 37.9 s on q152 at
+      // sf0.1 — stacked rounds re-analyze/re-codegen the whole join
+      // prefix, which costs more than the one materialization job a
+      // round-sized checkpoint pays)
       ranks = next.localCheckpoint(true)
     }
     nd.join(ranks, Seq("__pr_id"))
