@@ -394,6 +394,56 @@ object HashOracles {
       "1.0 / log2(CAST(i AS DOUBLE) + 1.0))), (a, x) -> a + x), 4) " +
       "AS ndcg_at_k FROM ag")
 
+  /** Keyed retrieval-eval replay (q232,
+    * [[operators.RankEval.vsTruthBy]]): the q85 argmax-assignment
+    * chain shared by all vectors, per-query candidates = the query's
+    * list (keyed equi-join), exact per-query top-10 truth, and the
+    * per-query metric algebra — zero-hit queries kept through the
+    * right join (coalesced counts, null MRR).
+    */
+  val q232RetrievalEvalBy: String = withClause(
+    planesCtes(16) ++ Seq(
+      "proj AS (SELECT e.vec_id, e.embedding, pv.p, " +
+        s"${projection("e.embedding")} AS pr " +
+        "FROM embeddings e CROSS JOIN pv pv)",
+      "asg AS (SELECT vec_id, embedding, p AS list_id FROM " +
+        "(SELECT vec_id, embedding, p, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk FROM proj) " +
+        "WHERE rk = 1)",
+      "qs AS (SELECT vec_id AS qid, list_id, embedding AS q_emb " +
+        "FROM asg WHERE vec_id IN (0, 1, 2))",
+      "cd AS (SELECT qid, vec_id, rank FROM (SELECT q.qid, s.vec_id, " +
+        "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        "list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), " +
+        "CAST(q.q_emb AS DOUBLE[])) DESC, s.vec_id) AS rank " +
+        "FROM asg s JOIN qs q ON s.list_id = q.list_id " +
+        "AND s.vec_id <> q.qid) WHERE rank <= 10)",
+      "tr AS (SELECT qid, vec_id FROM (SELECT q.qid, b.vec_id, " +
+        "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        "list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
+        "CAST(q.q_emb AS DOUBLE[])) DESC, b.vec_id) AS rk " +
+        "FROM embeddings b, qs q WHERE b.vec_id <> q.qid) " +
+        "WHERE rk <= 10)",
+      "nt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth FROM tr " +
+        "GROUP BY qid)",
+      "ht AS (SELECT cd.qid, cd.rank FROM cd JOIN tr " +
+        "USING (qid, vec_id))",
+      "ag AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hit, " +
+        "min(rank) AS r1, list_sort(list(rank)) AS rs FROM ht " +
+        "GROUP BY qid)"),
+    "SELECT nt.qid, nt.n_truth, coalesce(ag.n_hit, 0) AS n_hit, " +
+      "round(CAST(coalesce(ag.n_hit, 0) AS DOUBLE) / nt.n_truth, 4) " +
+      "AS recall_at_k, round(1.0 / ag.r1, 4) AS mrr, " +
+      "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(coalesce(ag.rs, CAST([] AS BIGINT[])), " +
+      "r -> 1.0 / log2(r + 1.0))), (a, x) -> a + x) " +
+      "/ list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, CAST(least(10, " +
+      "greatest(nt.n_truth, 1)) AS BIGINT) + 1), i -> " +
+      "1.0 / log2(CAST(i AS DOUBLE) + 1.0))), (a, x) -> a + x), 4) " +
+      "AS ndcg_at_k " +
+      "FROM nt LEFT JOIN ag USING (qid) ORDER BY qid")
+
   /** Incremental-dedup replay: band join restricted to new x existing,
     * verify = slot-equality count / 16 (the MinHash Jaccard estimator).
     */

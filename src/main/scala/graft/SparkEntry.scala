@@ -3529,6 +3529,42 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Multi-query eval harness: three query vectors ride the SAME
+    // shared IVF assignment (one map pass assigns every vector its
+    // argmax list; each query's candidates = its list, a keyed
+    // equi-join) and score per-query recall/MRR/NDCG against the
+    // exact top-10 — the keyed [[RankEval.vsTruthBy]] form a real
+    // eval set runs, zero-hit queries included.
+    "q232_retrieval_eval_by" -> ((s, dir) => {
+      val vectors = T(s, dir, "embeddings")
+      val asg = Similarity.assignLists(vectors, "embedding")
+      val qs = asg.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("list_id"),
+          col("embedding").as("q_emb"))
+      val cand = asg
+        .join(broadcast(qs), Seq("list_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VF.cosine(col("embedding"), col("q_emb")).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+      val truth = vectors
+        .crossJoin(broadcast(qs.select(col("qid"), col("q_emb"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VF.cosine(col("embedding"), col("q_emb")).as("cos"))
+        .withColumn("trank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("trank") <= 10)
+        .select(col("qid"), col("vec_id"))
+      graft.operators.RankEval.vsTruthBy(cand, truth, "qid", "vec_id",
+          "rank", k = 10)
+        .orderBy(col("qid"))
+    }),
+
     // Retrieval evaluation inside the gate: the q55 multi-probe LSH
     // list (query excluded) scored against the exact brute-force
     // top-10 by recall@10 / MRR / NDCG@10 — the number the ANN specs
@@ -6789,6 +6825,8 @@ object SparkEntry {
          |ORDER BY score DESC, doc LIMIT 10""".stripMargin,
 
     "q231_retrieval_eval" -> HashOracles.q231RetrievalEval,
+
+    "q232_retrieval_eval_by" -> HashOracles.q232RetrievalEvalBy,
 
     // thumbnail pixel (cy,cx) = floor(2x2-block-sum / 4) of the
     // quantized grid — integer arithmetic end to end

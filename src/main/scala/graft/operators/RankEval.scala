@@ -26,6 +26,44 @@ object RankEval {
     * length min(k, n_truth). MRR is null when nothing relevant was
     * retrieved (0 hits), the conventional "no reciprocal rank" verdict.
     */
+  /** [[vsTruth]] keyed by a query column — one metric row PER QUERY
+    * `(queryCol, n_truth, n_hit, recall_at_k, mrr, ndcg_at_k)`, the
+    * multi-query eval-harness form (macro-average is one aggregation
+    * away). Queries with ZERO retrieved hits still appear (recall 0,
+    * null MRR, NDCG 0) — a silent row drop would inflate every
+    * average. All joins and folds run at list grain (≤ k rows per
+    * query).
+    */
+  def vsTruthBy(ranked: DataFrame, truth: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val nT = truth.groupBy(col(queryCol).as("__q"))
+      .agg(count(lit(1)).as("n_truth"))
+    val hits = ranked
+      .filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(itemCol).as("__it"),
+        col(rankCol).as("__r"))
+      .join(truth.select(col(queryCol).as("__q"),
+        col(itemCol).as("__it")), Seq("__q", "__it"), "left_semi")
+    hits
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("__nh"), min(col("__r")).as("__r1"),
+        sort_array(collect_list(col("__r").cast("long"))).as("__rs"))
+      .join(nT, Seq("__q"), "right")
+      .select(col("__q").as(queryCol), col("n_truth"),
+        coalesce(col("__nh"), lit(0L)).as("n_hit"),
+        round(coalesce(col("__nh"), lit(0L)).cast("double")
+          / col("n_truth"), 4).as("recall_at_k"),
+        round(lit(1.0) / col("__r1"), 4).as("mrr"),
+        round(
+          expr("aggregate(coalesce(__rs, CAST(array() AS ARRAY<BIGINT>))" +
+            ", 0.0D, (a, r) -> a + 1.0 / log2(r + 1.0))") /
+          expr(s"aggregate(sequence(1L, CAST(least($k, " +
+            "greatest(n_truth, 1L)) AS BIGINT)), 0.0D, " +
+            "(a, i) -> a + 1.0 / log2(i + 1.0))"),
+          4).as("ndcg_at_k"))
+  }
+
   def vsTruth(ranked: DataFrame, truth: DataFrame, itemCol: String,
       rankCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")

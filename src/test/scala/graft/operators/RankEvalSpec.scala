@@ -26,6 +26,29 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("ndcg_at_k") === 0.5307)
   }
 
+  test("vsTruthBy: one row per query, zero-hit queries kept with " +
+      "recall 0 / null MRR / NDCG 0") {
+    val ranked = Seq(("a", 1L, 1), ("a", 9L, 2), ("b", 8L, 1))
+      .toDF("q", "item", "rank")
+    val truth = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("q", "item")
+    val rows = RankEval.vsTruthBy(ranked, truth, "q", "item", "rank", 2)
+      .orderBy("q").collect()
+    assert(rows.length === 2)
+    val a = rows(0); val b = rows(1)
+    assert(a.getAs[Long]("n_hit") === 1L)
+    assert(a.getAs[Double]("recall_at_k") === 0.5)
+    assert(a.getAs[Double]("mrr") === 1.0)
+    // dcg = 1/log2(2) = 1; idcg = 1 + 1/log2(3)
+    assert(a.getAs[Double]("ndcg_at_k") ===
+      math.rint(1.0 / (1.0 + 1.0 / (math.log(3) / math.log(2))) * 1e4)
+        / 1e4)
+    assert(b.getAs[Long]("n_hit") === 0L)
+    assert(b.getAs[Double]("recall_at_k") === 0.0)
+    assert(b.isNullAt(b.fieldIndex("mrr")))
+    assert(b.getAs[Double]("ndcg_at_k") === 0.0)
+  }
+
   test("the k cut applies; a perfect prefix scores 1.0 everywhere; " +
       "zero hits give recall 0, null MRR, NDCG 0") {
     val ranked = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4))
