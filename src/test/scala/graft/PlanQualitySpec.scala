@@ -640,6 +640,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q231/q232: retrieval eval — candidate generation stays an " +
+      "equi-join; the only nested-loop is the bounded query broadcast") {
+    for (q <- Seq("q231_retrieval_eval", "q232_retrieval_eval_by")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("q227: bucketed layout carries the join — the only exchange " +
       "is the final segment aggregation") {
     val df = SparkEntry.queries("q227_bucketed_colocated_join")(
