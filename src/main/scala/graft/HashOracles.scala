@@ -1904,6 +1904,49 @@ object HashOracles {
         "ORDER BY doc_id")
   }
 
+  /** Weighted-median sketch replay (q233,
+    * [[operators.QuantileSketch.weightedSampleRegistersBy]]): the
+    * q119 exponential-key chain keyed by source (splitmix of the
+    * numeric doc id, 53-bit uniform, −ln(u)/w with w = token count),
+    * per-source bottom-k, unweighted nearest-rank median of the
+    * sample, and the q181 exact cumulative-weight device as the audit
+    * columns.
+    */
+  def q233WeightedMedianSketch(k: Int): String = {
+    val head = Seq(
+      s"tok AS (SELECT source, doc_id, n_chars, len($Toks) AS w " +
+        "FROM documents)",
+      "f AS (SELECT * FROM tok WHERE w > 0 AND n_chars IS NOT NULL)",
+      "dz AS (SELECT source, doc_id, n_chars, w, " +
+        "CAST(doc_id AS HUGEINT) AS z FROM f)")
+    val mixed = mixStages(Seq("z"),
+      Seq("source", "doc_id", "n_chars", "w")).zipWithIndex
+      .map { case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+      }
+    withClause(head ++ mixed ++ Seq(
+      "ky AS (SELECT source, doc_id, n_chars, -ln((z // 2048 + 0.5) " +
+        "/ 9007199254740992.0) / w AS sk FROM dm5)",
+      "rk AS (SELECT source, n_chars, row_number() OVER (PARTITION BY " +
+        "source ORDER BY sk, doc_id) AS rank FROM ky)",
+      s"reg AS (SELECT source, n_chars FROM rk WHERE rank <= $k)",
+      "ri AS (SELECT source, n_chars, row_number() OVER (PARTITION BY " +
+        "source ORDER BY n_chars) AS i, count(*) OVER (PARTITION BY " +
+        "source) AS n_kept FROM reg)",
+      "est AS (SELECT source, CAST(n_kept AS BIGINT) AS n_kept, " +
+        "n_chars AS wm_est FROM ri WHERE i = (50 * n_kept + 99) // 100)",
+      "c AS (SELECT source, n_chars, w, sum(w) OVER (PARTITION BY " +
+        "source ORDER BY n_chars, doc_id ROWS UNBOUNDED PRECEDING) " +
+        "AS cum, sum(w) OVER (PARTITION BY source) AS tot FROM f)",
+      "exn AS (SELECT source, min(n_chars) AS wm_exact, " +
+        "CAST(max(tot) AS BIGINT) AS total_weight FROM c " +
+        "WHERE cum * 2 >= tot GROUP BY source)"),
+      "SELECT e.source, e.n_kept, e.wm_est, x.wm_exact, " +
+        "x.total_weight FROM est e JOIN exn x USING (source) " +
+        "ORDER BY e.source")
+  }
+
   /** Naive-Bayes classifier replay ([[operators.QualityClassifier]]):
     * the 80% train split is the splitmix64 bucket rule, the count
     * tables and smoothed llr are exact SQL arithmetic, and held-out

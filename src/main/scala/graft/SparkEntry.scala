@@ -3529,6 +3529,39 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // q181's token-weighted median, production path: the exact device
+    // is a corpus-grain cumulative-weight window; here the weighted
+    // bottom-k sample (Efraimidis–Spirakis keys — q119's replay-exact
+    // device) holds k=32 rows per source forever and its UNWEIGHTED
+    // sample median estimates the weighted one (retention ∝ weight).
+    // The exact median and total weight ride along as audit columns —
+    // the q220 pattern, weighted.
+    "q233_weighted_median_sketch" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .withColumn("w", size(toks(col("text"))))
+        .filter(col("w") > 0 && col("n_chars").isNotNull)
+      val est = graft.operators.QuantileSketch.sampleQuantilesBy(
+        graft.operators.QuantileSketch.weightedSampleRegistersBy(
+          d, "source", "doc_id", "n_chars", "w", k = 32), Seq(50))
+      val wCum = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ex = d
+        .withColumn("cum", sum(col("w").cast("long")).over(wCum))
+        .withColumn("tot", sum(col("w").cast("long")).over(
+          Window.partitionBy(col("source"))))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("source"))
+        .agg(min(col("n_chars")).as("wm_exact"),
+          max(col("tot")).as("total_weight"))
+      est.select(col("key").as("source"), col("n_kept"),
+          col("q_est").as("wm_est"))
+        .join(ex, Seq("source"))
+        .select(col("source"), col("n_kept"), col("wm_est"),
+          col("wm_exact"), col("total_weight"))
+        .orderBy(col("source"))
+    }),
+
     // Multi-query eval harness: three query vectors ride the SAME
     // shared IVF assignment (one map pass assigns every vector its
     // argmax list; each query's candidates = its list, a keyed
@@ -6827,6 +6860,9 @@ object SparkEntry {
     "q231_retrieval_eval" -> HashOracles.q231RetrievalEval,
 
     "q232_retrieval_eval_by" -> HashOracles.q232RetrievalEvalBy,
+
+    "q233_weighted_median_sketch" ->
+      HashOracles.q233WeightedMedianSketch(32),
 
     // thumbnail pixel (cy,cx) = floor(2x2-block-sum / 4) of the
     // quantized grid — integer arithmetic end to end

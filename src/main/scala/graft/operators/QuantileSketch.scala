@@ -92,6 +92,57 @@ object QuantileSketch {
       .select(col("key"), col("h"), col("v"))
   }
 
+  /** WEIGHTED bottom-k sample registers `(key, skey, v)` — the
+    * [[sampleRegistersBy]] contract with Efraimidis–Spirakis
+    * retention ([[Sampling.weightedSampleWithoutReplacement]]'s exact
+    * device, keyed): each row draws `skey = −ln(u)/w` (exponential
+    * with rate w, u the 53-bit splitmix uniform of the id), and the
+    * k SMALLEST keys per group are a weight-proportional sample —
+    * so the UNWEIGHTED nearest-rank quantile of the retained values
+    * ([[sampleQuantilesBy]] applies unchanged) estimates the
+    * WEIGHTED population quantile. This is the bounded-state
+    * production path for q181's token-weighted median (exact device:
+    * a corpus-grain cumulative-weight window); rank error spec'd
+    * empirically in QuantileSketchSpec. Groups smaller than k keep
+    * every row — but note the readout is then the UNIFORM quantile
+    * of all values, NOT the weighted one; the estimator's value is
+    * for groups ≫ k (the deployment case). Order-independent,
+    * shard-mergeable ([[weightedSampleMerge]]), replay-exact.
+    */
+  def weightedSampleRegistersBy(items: DataFrame, keyCol: String,
+      idCol: String, valueCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    val h = HashExpressions.splitmix64(col("__id"))
+    val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) *
+      lit(math.pow(2, -53))
+    items
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0)
+      .select(col(keyCol).as("key"), col(idCol).cast("long").as("__id"),
+        col(valueCol).as("v"), col(weightCol).cast("double").as("__w"))
+      .withColumn("skey", -log(u) / col("__w"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("skey"), col("__id"))))
+      .filter(col("rank") <= k)
+      .select(col("key"), col("skey"), col("v"))
+  }
+
+  /** Merge two [[weightedSampleRegistersBy]] tables over disjoint row
+    * shards: bottom-k of the union by the exponential key — the
+    * [[sampleMerge]] law with the weighted retention key.
+    */
+  def weightedSampleMerge(a: DataFrame, b: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    a.select(col("key"), col("skey"), col("v"))
+      .union(b.select(col("key"), col("skey"), col("v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("skey"), col("v"))))
+      .filter(col("rank") <= k)
+      .select(col("key"), col("skey"), col("v"))
+  }
+
   /** Nearest-rank quantile readout of a [[sampleRegistersBy]] table:
     * one row per `(key, pct)` with `n_kept` (sample size) and `q_est`
     * — the sample value at rank `⌈pct·n_kept/100⌉` (integer

@@ -85,6 +85,46 @@ class QuantileSketchSpec extends SparkSpec {
     assert(foldedRL === whole)
   }
 
+  test("weighted sample registers: weight-proportional retention " +
+      "puts the sample median near the WEIGHTED population median, " +
+      "far from the uniform one; merge law holds") {
+    val s = spark
+    import s.implicits._
+    // 2000 low values at weight 1 vs 500 high values at weight 40:
+    // weighted median lives in the high block (mass 20000 vs 2000),
+    // uniform median in the low block
+    val df = ((1 to 2000).map(i => (s"g", i.toLong, (100 + i % 50).toLong, 1L)) ++
+      (1 to 500).map(i => (s"g", 10000L + i, (900 + i % 50).toLong, 40L)))
+      .toDF("key", "id", "v", "w")
+    val k = 256
+    val regs = QuantileSketch.weightedSampleRegistersBy(
+      df, "key", "id", "v", "w", k)
+    assert(regs.count() === k.toLong)
+    val med = QuantileSketch.sampleQuantilesBy(regs, Seq(50))
+      .head().getLong(3)
+    assert(med >= 900L,
+      s"weighted median estimate $med must land in the heavy block")
+    // weighted rank of the estimate within [0.35, 0.65]
+    val rows = df.collect().map(r => (r.getLong(2), r.getLong(3)))
+    val tot = rows.map(_._2).sum.toDouble
+    val wrank = rows.filter(_._1 <= med).map(_._2).sum / tot
+    assert(math.abs(wrank - 0.5) <= 0.15, s"weighted rank $wrank")
+
+    // disjoint-shard merge = whole
+    val sh1 = df.filter(col("id") % 2 === 0)
+    val sh2 = df.filter(col("id") % 2 === 1)
+    val folded = QuantileSketch.weightedSampleMerge(
+      QuantileSketch.weightedSampleRegistersBy(sh1, "key", "id", "v",
+        "w", k),
+      QuantileSketch.weightedSampleRegistersBy(sh2, "key", "id", "v",
+        "w", k), k)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val whole = regs.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(folded === whole)
+  }
+
   test("KLL: represented weight is conserved exactly and quantiles " +
       "hit the rank-error bound on a 20k-item skewed stream") {
     val agg = new QuantileSketch.KllQuantileAgg(128, Seq(50, 90, 99))
