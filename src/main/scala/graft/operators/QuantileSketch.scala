@@ -118,7 +118,11 @@ object QuantileSketch {
       lit(math.pow(2, -53))
     items
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
-        col(weightCol).cast("double") > 0)
+        col(weightCol).cast("double") > 0 &&
+        // numeric-id contract (the exponential key hashes the LONG
+        // id); a non-castable id would hash to null and hog the
+        // bottom ranks — excluded loudly here, like the w <= 0 rows
+        col(idCol).cast("long").isNotNull)
       .select(col(keyCol).as("key"), col(idCol).cast("long").as("__id"),
         col(valueCol).as("v"), col(weightCol).cast("double").as("__w"))
       .withColumn("skey", -log(u) / col("__w"))

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
 object RankEval {
 
   /** One-row metric readout `(k, n_truth, n_hit, recall_at_k, mrr,
-    * ndcg_at_k)` for `ranked` (carrying `itemCol` + 1-based `rankCol`)
+    * ndcg_at_k)` for `ranked` (carrying `itemCol` + 1-based `rankCol`;
+    * a RANKING — one row per item, which every ranker in this repo
+    * emits by construction)
     * against the `truth` item set. Binary relevance: a ranked item is
     * relevant iff it is in truth; IDCG is the all-relevant prefix of
     * length min(k, n_truth). MRR is null when nothing relevant was

@@ -95,6 +95,24 @@ object SketchStream {
           batch, keyCol, idCol, valueCol, k), batchId)
     }
 
+  /** Per-micro-batch WEIGHTED quantile-sample registers — the
+    * [[quantileSampleBatches]] contract with Efraimidis–Spirakis
+    * retention; fold with
+    * [[graft.operators.QuantileSketch.weightedSampleMerge]] for
+    * running per-key weighted quantiles.
+    */
+  def weightedQuantileSampleBatches(items: DataFrame, keyCol: String,
+      idCol: String, valueCol: String, weightCol: String, k: Int)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(graft.operators.QuantileSketch.weightedSampleRegistersBy(
+          batch, keyCol, idCol, valueCol, weightCol, k), batchId)
+    }
+
   /** Per-micro-batch Misra–Gries summaries:
     * `sink((summary, n), batchId)` receives
     * [[graft.operators.HeavyHitters.summarize]] of each batch — fold

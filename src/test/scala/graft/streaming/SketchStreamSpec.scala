@@ -17,6 +17,7 @@ case class SkItem(item: String, ts: Timestamp)
 case class SkVal(v: Long, ts: Timestamp)
 case class SkKeyed(key: String, item: String)
 case class SkQuant(key: String, id: String, v: Long)
+case class SkWQuant(key: String, id: Long, v: Long, w: Long)
 
 class SketchStreamSpec extends SparkSpec {
 
@@ -163,6 +164,35 @@ class SketchStreamSpec extends SparkSpec {
     val qs = graft.operators.QuantileSketch.sampleQuantilesBy(
       sk.get, Seq(50, 90))
     assert(qs.count() === 4L)
+  }
+
+  test("folded streaming WEIGHTED quantile-sample registers == batch " +
+      "registers of the whole stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val b1 = (1 to 300).map(i =>
+      SkWQuant(s"k${i % 2}", i.toLong, (i * 3L) % 509, 1L + i % 7))
+    val b2 = (301 to 700).map(i =>
+      SkWQuant(s"k${i % 2}", i.toLong, (i * 3L) % 509, 1L + i % 7))
+    val mem = MemoryStream[SkWQuant]
+    var sk: Option[DataFrame] = None
+    val q = SketchStream.weightedQuantileSampleBatches(mem.toDF(),
+      "key", "id", "v", "w", 48) { (b, _) =>
+        val snap = b.cache(); snap.count()
+        sk = Some(sk.fold(snap)(acc =>
+          graft.operators.QuantileSketch.weightedSampleMerge(acc, snap,
+            48).cache()))
+        sk.get.count()
+    }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def m(df: DataFrame) = df.select("key", "skey", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val whole = graft.operators.QuantileSketch.weightedSampleRegistersBy(
+      (b1 ++ b2).toDF(), "key", "id", "v", "w", 48)
+    assert(m(sk.get) === m(whole))
   }
 
   test("folded streaming Misra-Gries keeps the band and superset " +
