@@ -3529,6 +3529,22 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Z-order layout keys: Morton-interleaved (customer, order-day) —
+    // the multi-dimensional data-skipping complement to q227's
+    // single-key bucketing. The key is pure codegen'd bit algebra;
+    // the layout write is one repartitionByRange(zkey), and the
+    // measured claim (a 2-D box filter touches strictly fewer files
+    // than a hash scatter) lives in ZOrderSpec.
+    "q234_zorder_keys" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .withColumn("zx", pmod(col("o_custkey"), lit(65536)).cast("long"))
+        .withColumn("zy", datediff(col("o_orderdate"),
+          lit(java.sql.Date.valueOf("1992-01-01"))).cast("long"))
+        .select(col("o_orderkey"), col("zx"), col("zy"),
+          graft.functions.ZOrder.interleave2(col("zx"), col("zy"), 16)
+            .as("zkey"))
+        .orderBy(col("zkey"), col("o_orderkey")).limit(50)),
+
     // q181's token-weighted median, production path: the exact device
     // is a corpus-grain cumulative-weight window; here the weighted
     // bottom-k sample (Efraimidis–Spirakis keys — q119's replay-exact
@@ -6863,6 +6879,21 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    // the same 32-term bit-interleave, spelled in SQL
+    "q234_zorder_keys" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((zx >> $i) & 1) << ${2 * i})",
+        s"(((zy >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH d AS (SELECT o_orderkey,
+         |  CAST(o_custkey % 65536 AS BIGINT) AS zx,
+         |  CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+         |    AS BIGINT) AS zy
+         |  FROM orders)
+         |SELECT o_orderkey, zx, zy,
+         |  ${terms.mkString(" | ")} AS zkey
+         |FROM d ORDER BY zkey, o_orderkey LIMIT 50""".stripMargin
+    },
 
     // thumbnail pixel (cy,cx) = floor(2x2-block-sum / 4) of the
     // quantized grid — integer arithmetic end to end
