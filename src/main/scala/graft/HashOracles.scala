@@ -2827,4 +2827,37 @@ object HashOracles {
         "LEFT JOIN xo ON xo.a = ue.a AND xo.b = ue.b " +
         "ORDER BY ue.a, ue.b")
   }
+
+  /** DP noisy-count replay ([[operators.Privacy.noisyCounts]] over
+    * documents grouped by (source, lang)): per-group uniform =
+    * splitmix64(fnv1a64(source|lang) XOR splitmix64(seed)) in HUGEINT,
+    * then the two-sided geometric inverse CDF walked against the SAME
+    * exact integer threshold table the Spark expression compiles in
+    * ([[operators.Privacy.geometricThresholds]]) — no float anywhere.
+    */
+  def q239DpCounts(seed: Long, cap: Int): String = {
+    val seedMix = functions.DedupFunctions.splitmix64(seed)
+    val seedLit =
+      if (seedMix >= 0) seedMix.toString else s"($seedMix + $P64)"
+    val ts = operators.Privacy.geometricThresholds(cap)
+    val noiseCase = "CASE " + (-cap until cap).zip(ts).map {
+      case (x, t) => s"WHEN z < CAST($t AS HUGEINT) THEN CAST($x AS BIGINT) "
+    }.mkString + s"ELSE CAST($cap AS BIGINT) END"
+    val head = Seq(
+      "cnt AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n, " +
+        "concat_ws('|', source, lang) AS gk FROM documents " +
+        "GROUP BY source, lang)",
+      s"hz AS (SELECT source, lang, n, " +
+        s"xor(${fnv("gk")}, CAST($seedLit AS HUGEINT)) AS z FROM cnt)")
+    val mixed = mixStages(Seq("z"), Seq("source", "lang", "n"))
+      .zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) "hz" else s"hm${n - 1}"
+        s"hm$n AS ($body FROM $prev)"
+      }
+    withClause(head ++ mixed :+
+      s"nz AS (SELECT source, lang, n, $noiseCase AS noise FROM hm5)",
+      "SELECT source, lang, n, noise, " +
+        "greatest(CAST(0 AS BIGINT), n + noise) AS n_noisy " +
+        "FROM nz ORDER BY source, lang")
+  }
 }

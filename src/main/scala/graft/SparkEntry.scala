@@ -3529,6 +3529,71 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // ε = ln 2 DP counts (geometric mechanism): per-(source, lang)
+    // counts released with two-sided-geometric noise whose uniform is
+    // the replay-exact hash family and whose inverse CDF is a shared
+    // exact-integer threshold table (Privacy.geometricThresholds) —
+    // no transcendental in the sampling path, so the release gates
+    // bit-exactly. n/noise ride along as audit columns (deterministic
+    // given the release seed; a real release emits n_noisy alone).
+    "q239_dp_counts" -> ((s, dir) =>
+      graft.operators.Privacy.noisyCounts(T(s, dir, "documents"),
+          Seq("source", "lang"), seed = 42L, cap = 20)
+        .orderBy(col("source"), col("lang"))),
+
+    // k-anonymity audit + suppression accounting over the customer
+    // quasi-identifiers (nation × market segment): one row per
+    // equivalence class with its size, the k=10 suppression verdict,
+    // and the released row count — the group table IS the release's
+    // accounting; the row-level release is the same table as a
+    // broadcast semi-join (PrivacySpec proves row counts agree).
+    "q238_k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityAudit(T(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // Image near-dup dedup, real codec end to end: the q235 corpus
+    // plus PLANTED copies (vec_id%3=0 → exact pixel copy, %3=1 → +3
+    // on every 16th pixel — the dedup-fixture device, deterministic
+    // so the oracle replays it), PNG-encoded, DECODED back through
+    // ImageIO, average-hashed, and joined by the 4-block banding.
+    // maxHamming=3 < 4 blocks makes the bucket join lossless by
+    // pigeonhole, so the oracle can state the semantics as the plain
+    // all-pairs Hamming filter while the engine never goes all-pairs.
+    "q236_image_neardup" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val copies = base.filter(col("vec_id") % 3 < 2)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("CASE WHEN vec_id % 3 = 1 THEN transform(pixels, " +
+            "(p, i) -> CASE WHEN i % 16 = 0 THEN least(p + 3, 255D) " +
+            "ELSE p END) ELSE pixels END").as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(base.union(copies),
+          "vec_id", "pixels", side = 8), "media_id", "media")
+      graft.operators.MediaDedup.nearDupPairs(
+          graft.operators.MediaDedup.averageHash(media), maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // 64-bit average-hash of REAL images: all 64 embedding dims
+    // quantized to an 8×8 grayscale PNG (genuine ImageIO bytes),
+    // decoded back, hashed by integer cell-vs-image mean comparison
+    // (MediaDedup.averageHash — no float in the hash), emitted as 4
+    // 16-bit blocks + popcount. PNG is lossless, so the oracle
+    // recomputes the identical bits from the embeddings alone.
+    "q235_image_ahash" -> ((s, dir) => {
+      val px = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(px, "vec_id", "pixels",
+          side = 8), "media_id", "media")
+      graft.operators.MediaDedup.averageHash(media)
+        .orderBy(col("media_id"))
+    }),
+
     // Z-order layout keys: Morton-interleaved (customer, order-day) —
     // the multi-dimensional data-skipping complement to q227's
     // single-key bucketing. The key is pure codegen'd bit algebra;
@@ -6879,6 +6944,80 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q239_dp_counts" -> HashOracles.q239DpCounts(seed = 42L, cap = 20),
+
+    "q238_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  count(*) < 10 AS suppressed,
+        |  CASE WHEN count(*) < 10 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(count(*) AS BIGINT) END AS n_released
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // the aHash bits from the embeddings alone (PNG is lossless):
+    // pixel p_i = clamp(floor((v+1)·127.5)), bit_i = 64·p_i > Σp,
+    // blocks pack MSB-first — integer arithmetic end to end
+    "q235_image_ahash" ->
+      """WITH px AS (SELECT vec_id AS media_id, i,
+        |  CAST(greatest(0, least(255, floor((CAST(embedding[i+1]
+        |    AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p
+        |  FROM embeddings, range(64) t(i)),
+        |s AS (SELECT media_id, sum(p) AS tot FROM px GROUP BY 1),
+        |bits AS (SELECT px.media_id, i,
+        |  CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (media_id))
+        |SELECT media_id,
+        |  CAST(sum(CASE WHEN i // 16 = 0 THEN b * (1::BIGINT <<
+        |    CAST(15 - (i % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+        |  CAST(sum(CASE WHEN i // 16 = 1 THEN b * (1::BIGINT <<
+        |    CAST(15 - (i % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN i // 16 = 2 THEN b * (1::BIGINT <<
+        |    CAST(15 - (i % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN i // 16 = 3 THEN b * (1::BIGINT <<
+        |    CAST(15 - (i % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b3,
+        |  CAST(sum(b) AS INTEGER) AS n_ones
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // pigeonhole (Hamming ≤ 3 with 4 blocks ⇒ some block equal) lets
+    // the oracle state the result as the plain all-pairs filter; the
+    // engine side reaches the same set through the bucket equi-join
+    "q236_image_neardup" ->
+      """WITH base AS (SELECT vec_id AS media_id, i,
+        |  CAST(greatest(0, least(255, floor((CAST(embedding[i+1]
+        |    AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p
+        |  FROM embeddings, range(64) t(i)),
+        |corpus AS (
+        |  SELECT media_id, i, p FROM base
+        |  UNION ALL
+        |  SELECT media_id + 100000, i,
+        |    CASE WHEN media_id % 3 = 1 AND i % 16 = 0
+        |      THEN least(p + 3, 255) ELSE p END
+        |  FROM base WHERE media_id % 3 < 2),
+        |s AS (SELECT media_id, sum(p) AS tot FROM corpus GROUP BY 1),
+        |bits AS (SELECT c.media_id, i,
+        |  CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS b
+        |  FROM corpus c JOIN s USING (media_id)),
+        |blocks AS (SELECT media_id, i // 16 AS blk,
+        |  CAST(sum(b * (1::BIGINT << CAST(15 - (i % 16) AS INT)))
+        |    AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |wide AS (SELECT media_id,
+        |  max(CASE WHEN blk = 0 THEN bv END) AS b0,
+        |  max(CASE WHEN blk = 1 THEN bv END) AS b1,
+        |  max(CASE WHEN blk = 2 THEN bv END) AS b2,
+        |  max(CASE WHEN blk = 3 THEN bv END) AS b3
+        |  FROM blocks GROUP BY 1)
+        |SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        |    AS INTEGER) AS hamming
+        |FROM wide a JOIN wide b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        |    <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // the same 32-term bit-interleave, spelled in SQL
     "q234_zorder_keys" -> {

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection for IMAGE columns — the multimodal member of
+  * the dedup family ([[Dedup.simhashNearDupPairs]] for text, [[Similarity]]
+  * for embeddings): a 64-bit average-hash per image computed from the REAL
+  * decoded raster (`javax.imageio`, the [[Multimodal.ImageIoCodec]]
+  * convention), then the Manku-style block-banded equi-join for pairs
+  * within a Hamming radius.
+  *
+  * Everything is integer arithmetic on decoded samples, so when the image
+  * bytes are themselves a deterministic function of table data (the q228
+  * lossless-PNG device) the whole decode→hash→join path replays in pure
+  * SQL and gates bit-exactly.
+  *
+  * Scale shape: hashing is one `mapPartitions` pass (decode cost, no
+  * shuffle); the pair search is 4 bucket rows per image and an equi-join
+  * on `(block_idx, block_value)` — never all-pairs. With 4 blocks of 16
+  * bits, any pair at Hamming ≤ 3 shares a block BY PIGEONHOLE, so recall
+  * at `maxHamming ≤ 3` is exactly 1 (the [[Dedup.simhashNearDupPairs]]
+  * `nTables` law, fixed at the 64-bit/4-block point that suits aHash).
+  */
+object MediaDedup {
+
+  private val hashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("b0", LongType),
+    StructField("b1", LongType),
+    StructField("b2", LongType),
+    StructField("b3", LongType),
+    StructField("n_ones", IntegerType)))
+
+  /** 64-bit average hash (aHash) of each image, emitted as four 16-bit
+    * blocks `b0..b3` (row-major bit order, MSB-first inside a block —
+    * block `j` covers grid cells `16j .. 16j+15`) plus the popcount.
+    *
+    * Decode is real ImageIO; the raster pools onto an 8×8 grid by exact
+    * integer block sums (the [[Multimodal.resizeImages]] pooling), and
+    * cell bit `i` is `cell_mean > image_mean` decided by cross-multiplied
+    * integer comparison — `cell_sum * total_cnt > total_sum * cell_cnt` —
+    * so no float ever enters the hash and an 8×8 grayscale input hashes
+    * as a pure integer function of its pixels. Rows whose bytes don't
+    * decode are DROPPED (the resize convention; [[Multimodal
+    * .decodeImageMeta]] is where undecodables surface).
+    */
+  def averageHash(media: DataFrame): DataFrame = {
+    val side = 8
+    val enc = RowEncoder.encoderFor(hashSchema)
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                if (bytes == null) Array.emptyByteArray else bytes))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val w = img.getWidth; val h = img.getHeight
+            val cellSum = new Array[Long](side * side)
+            val cellCnt = new Array[Long](side * side)
+            var totalSum = 0L; var totalCnt = 0L
+            var cy = 0
+            while (cy < side) {
+              val y0 = cy * h / side
+              val y1 = math.max(y0 + 1, (cy + 1) * h / side)
+              var cx = 0
+              while (cx < side) {
+                val x0 = cx * w / side
+                val x1 = math.max(x0 + 1, (cx + 1) * w / side)
+                var sum = 0L; var cnt = 0L
+                var y = y0
+                while (y < math.min(y1, h)) {
+                  var x = x0
+                  while (x < math.min(x1, w)) {
+                    var bd = 0
+                    while (bd < bands) {
+                      sum += raster.getSample(x, y, bd); bd += 1
+                    }
+                    cnt += bands
+                    x += 1
+                  }
+                  y += 1
+                }
+                cellSum(cy * side + cx) = sum
+                cellCnt(cy * side + cx) = cnt
+                totalSum += sum; totalCnt += cnt
+                cx += 1
+              }
+              cy += 1
+            }
+            val blocks = new Array[Long](4)
+            var ones = 0
+            var i = 0
+            while (i < side * side) {
+              // cell mean > image mean, exact: cross-multiply the two
+              // integer ratios (cells can have unequal pixel counts when
+              // the source image is not a multiple of 8 on a side)
+              if (cellSum(i) * totalCnt > totalSum * cellCnt(i)) {
+                blocks(i / 16) |= 1L << (15 - (i % 16))
+                ones += 1
+              }
+              i += 1
+            }
+            Some(Row(r.getLong(0), blocks(0), blocks(1), blocks(2),
+              blocks(3), ones))
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-dup image pairs at Hamming ≤ `maxHamming` over [[averageHash]]
+    * output: explode each hash into its 4 `(block_idx, block_value)`
+    * bucket rows, equi-join on the bucket, verify the exact distance by
+    * XOR-popcount over the blocks, distinct (a close pair can collide in
+    * several blocks). `maxHamming ≤ 3` makes the bucket join lossless by
+    * pigeonhole; larger radii are accepted but recall becomes the banding
+    * heuristic's (mirrors [[Dedup.simhashNearDupPairs]]).
+    */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0, s"bad maxHamming $maxHamming")
+    val banded = hashes.select(col("media_id"), col("b0"), col("b1"),
+        col("b2"), col("b3"),
+        explode(array(
+          struct(lit(0).as("tbl"), col("b0").as("key")),
+          struct(lit(1).as("tbl"), col("b1").as("key")),
+          struct(lit(2).as("tbl"), col("b2").as("key")),
+          struct(lit(3).as("tbl"), col("b3").as("key")))).as("blk"))
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("blk.tbl").as("tbl"), col("blk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .withColumn("hamming",
+        (bit_count(col("a.b0").bitwiseXOR(col("b.b0"))) +
+          bit_count(col("a.b1").bitwiseXOR(col("b.b1"))) +
+          bit_count(col("a.b2").bitwiseXOR(col("b.b2"))) +
+          bit_count(col("a.b3").bitwiseXOR(col("b.b3")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        col("hamming"))
+      .distinct()
+  }
+}

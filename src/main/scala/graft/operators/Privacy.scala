@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.expressions.HashExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-preserving releases over grouped corpora: k-anonymity audit /
+  * suppression, and differentially-private counts via the geometric
+  * mechanism — the two releases a data pipeline needs before sharing
+  * per-segment statistics derived from user-grain tables.
+  *
+  * The DP noise is DETERMINISTIC and engine-independent: the per-group
+  * uniform is splitmix64(fnv1a64(group key) XOR splitmix64(seed)) — the
+  * repo's replay-exact hash family — and the two-sided geometric
+  * inverse-CDF is evaluated against a precomputed table of exact integer
+  * thresholds `floor(2^64 · F(x))`, so no transcendental function ever
+  * enters the sampling path and the release replays bit-exactly in any
+  * engine that can compare 64-bit integers ([[geometricThresholds]] is
+  * shared with the DuckDB oracle builder). A production system would
+  * swap the seed for per-release secret randomness; everything else —
+  * mechanism, sensitivity, post-processing — is the real thing.
+  *
+  * Scale shape: both releases are one `groupBy` over the corpus; the
+  * noise is a scalar expression per GROUP row (not per input row), and
+  * suppression is a broadcast-joinable group-table filter.
+  */
+object Privacy {
+
+  /** k-anonymity audit over quasi-identifier columns: one row per
+    * equivalence class with its size and whether a k-anonymous release
+    * must suppress it (`n < k`). `n_released` is the class's row count
+    * in the suppressed release (0 or n) so the audit doubles as the
+    * release's accounting table.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    require(qiCols.nonEmpty, "no quasi-identifier columns")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("suppressed", col("n") < k)
+      .withColumn("n_released",
+        when(col("suppressed"), lit(0L)).otherwise(col("n")))
+  }
+
+  /** Row-level k-anonymous release: rows whose quasi-identifier
+    * equivalence class has fewer than `k` members are dropped. The class
+    * table is group-grain (broadcast-sized for realistic QI arity), so
+    * the release is a broadcast semi-join, not a corpus shuffle.
+    */
+  def suppressSmallGroups(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    val keep = kAnonymityAudit(df, qiCols, k)
+      .filter(!col("suppressed")).select(qiCols.map(col): _*)
+    df.join(broadcast(keep), qiCols, "left_semi")
+  }
+
+  /** Exact integer thresholds for the two-sided geometric (discrete
+    * Laplace, α = 1/2 ⇒ ε = ln 2 per unit sensitivity) inverse CDF:
+    * entry `j` (for x = j − cap, j in 0 until 2·cap) is
+    * `floor(2^64 · F(x))` with `F(x) = 2^(x+1)/3` for x < 0 and
+    * `F(x) = 1 − 2^(−x)/3` for x ≥ 0; a uniform u64 maps to the first x
+    * with u < T(x), else `cap`. Tail mass beyond ±cap (≤ 2^−cap/3 per
+    * side) clamps into the endpoints — harmless post-processing. Shared
+    * by the Spark expression and the DuckDB oracle so both engines walk
+    * the IDENTICAL integer table.
+    */
+  def geometricThresholds(cap: Int): IndexedSeq[BigInt] = {
+    require(cap >= 1 && cap <= 60, s"bad cap $cap")
+    (-cap until cap).map { x =>
+      if (x < 0) BigInt(2).pow(65 + x) / 3
+      else BigInt(2).pow(64) - (BigInt(2).pow(64 - x) + 2) / 3
+    }
+  }
+
+  /** The inverse-CDF walk as a Column: `u` holds the uniform's 64-bit
+    * pattern in a signed long; comparisons shift both sides by 2^63
+    * (XOR with Long.MinValue) so signed order equals unsigned order.
+    * A when-chain over ≤ 120 literal comparisons — pure codegen.
+    */
+  private def geometricNoise(u: Column, cap: Int): Column = {
+    val shifted = u.bitwiseXOR(lit(Long.MinValue))
+    val ts = geometricThresholds(cap).map(t => t.longValue ^ Long.MinValue)
+    val first = when(shifted < lit(ts.head), lit(-cap))
+    (1 until 2 * cap).foldLeft(first) { (acc, j) =>
+      acc.when(shifted < lit(ts(j)), lit(j - cap))
+    }.otherwise(lit(cap)).cast("long")
+  }
+
+  /** ε = ln 2 differentially-private group counts (geometric mechanism,
+    * sensitivity 1 for add/remove-one-row neighbors): per group,
+    * `n_noisy = max(0, n + noise)` with noise from [[geometricNoise]]
+    * seeded by the group key. `noise` and `n` ride along for the audit
+    * (they are deterministic functions of the release seed here; a real
+    * release would emit `n_noisy` alone).
+    */
+  def noisyCounts(df: DataFrame, groupCols: Seq[String], seed: Long,
+      cap: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns")
+    val seedMix = graft.functions.DedupFunctions.splitmix64(seed)
+    val key = concat_ws("|", groupCols.map(col): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", geometricNoise(
+        HashExpressions.splitmix64(
+          HashExpressions.fnv1a64(key).bitwiseXOR(lit(seedMix))), cap))
+      .withColumn("n_noisy", greatest(lit(0L), col("n") + col("noise")))
+  }
+}

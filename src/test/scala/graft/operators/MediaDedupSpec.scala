@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The image-dedup laws: the hash is an exact integer function of the
+  * decoded pixels (8×8 inputs hash with no pooling loss; larger inputs
+  * pool by block average first), and the 4-block banded join is lossless
+  * at Hamming ≤ 3 by pigeonhole — measured against brute force.
+  */
+class MediaDedupSpec extends SparkSpec {
+
+  private def png(rows: Seq[(Long, Seq[Double])], side: Int) = {
+    val s = spark
+    import s.implicits._
+    Multimodal.asMedia(
+      Multimodal.encodePng(rows.toDF("id", "pixels"), "id", "pixels",
+        side = side), "media_id", "media")
+  }
+
+  test("averageHash on an 8x8 image is the exact bit rule " +
+      "64*p > sum(p), packed MSB-first into 16-bit blocks") {
+    // 32 dark pixels (10) then 32 bright ones (200): mean 105, so the
+    // hash is 0x0000 0000 FFFF FFFF and n_ones = 32
+    val px = Seq.fill(32)(10.0) ++ Seq.fill(32)(200.0)
+    val h = MediaDedup.averageHash(png(Seq((1L, px)), side = 8)).head()
+    assert(h.getAs[Long]("b0") === 0L)
+    assert(h.getAs[Long]("b1") === 0L)
+    assert(h.getAs[Long]("b2") === 0xffffL)
+    assert(h.getAs[Long]("b3") === 0xffffL)
+    assert(h.getAs[Int]("n_ones") === 32)
+  }
+
+  test("a single pixel strictly above the mean sets exactly its " +
+      "row-major MSB-first bit") {
+    // pixel 17 (row 2, col 1) bright, rest uniform: bit 17 lives in
+    // block 1 at in-block position 1 → b1 = 1 << (15 - 1)
+    val px = Seq.tabulate(64)(i => if (i == 17) 255.0 else 100.0)
+    val h = MediaDedup.averageHash(png(Seq((1L, px)), side = 8)).head()
+    assert(h.getAs[Long]("b0") === 0L)
+    assert(h.getAs[Long]("b1") === (1L << 14))
+    assert(h.getAs[Long]("b2") === 0L)
+    assert(h.getAs[Long]("b3") === 0L)
+    assert(h.getAs[Int]("n_ones") === 1)
+  }
+
+  test("larger images pool by exact block average before hashing: a " +
+      "16x16 image of 2x2-constant blocks hashes like its 8x8 core") {
+    // expand an 8×8 base image 2× in each direction
+    val base = Seq.tabulate(64)(i => ((i * 37) % 23) * 11.0)
+    val big = Seq.tabulate(256) { i =>
+      val y = i / 16; val x = i % 16
+      base((y / 2) * 8 + (x / 2))
+    }
+    // encodePng takes one side per call, so encode the two separately
+    val hBig = MediaDedup.averageHash(png(Seq((2L, big)), side = 16))
+      .head()
+    val hBase = MediaDedup.averageHash(png(Seq((1L, base)), side = 8))
+      .head()
+    Seq("b0", "b1", "b2", "b3").foreach { c =>
+      assert(hBase.getAs[Long](c) === hBig.getAs[Long](c), c)
+    }
+  }
+
+  test("undecodable bytes are dropped, not hashed") {
+    val s = spark
+    import s.implicits._
+    val junk = Seq((9L, Array[Byte](1, 2, 3), "application/octet-stream"))
+      .toDF("media_id", "media", "format")
+    assert(MediaDedup.averageHash(junk).count() === 0)
+  }
+
+  test("nearDupPairs at maxHamming 3 is lossless vs brute force " +
+      "(pigeonhole over 4 blocks) and never misreports a distance") {
+    // 40 images: 20 bases + near copies at controlled bit distances
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.tabulate(20) { k =>
+      (k.toLong, Seq.fill(64)(rnd.nextInt(256).toDouble))
+    }
+    val copies = bases.collect { case (id, px) if id % 2 == 0 =>
+      // push a few pixels to the extremes to flip a handful of bits
+      (id + 100L, px.zipWithIndex.map { case (p, i) =>
+        if (i % 16 == 3 && id % 4 == 0) 255.0 else p
+      })
+    }
+    val media = png(bases ++ copies, side = 8)
+    val hashes = MediaDedup.averageHash(media).cache()
+    val got = MediaDedup.nearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the collected hashes
+    val hs = hashes.collect().map { r =>
+      (r.getAs[Long]("media_id"),
+        Seq("b0", "b1", "b2", "b3").map(r.getAs[Long](_)))
+    }
+    val brute = (for {
+      (ia, ba) <- hs; (ib, bb) <- hs if ia < ib
+      d = ba.zip(bb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty) // the fixture does contain close pairs
+    hashes.unpersist()
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.DedupFunctions
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Privacy-release laws: the geometric-mechanism threshold table is the
+  * exact inverse CDF (checked against independent BigInt math and an
+  * independent JVM-hash reference walk), the release is deterministic in
+  * the seed, and k-anonymity suppression accounting matches the actual
+  * row-level release.
+  */
+class PrivacySpec extends SparkSpec {
+
+  test("geometricThresholds is the exact CDF table: strictly increasing, " +
+      "with the alpha=1/2 mass split 1/3 | 1/3 | 1/3 around zero at cap=1") {
+    val t1 = Privacy.geometricThresholds(1)
+    val full = BigInt(2).pow(64)
+    assert(t1.length === 2)
+    assert(t1(0) === full / 3) // F(-1) = 1/3 (floor)
+    assert(t1(1) === full - (full + 2) / 3) // F(0) = 2/3
+    val t20 = Privacy.geometricThresholds(20)
+    assert(t20 === t20.sorted)
+    assert(t20.distinct.length === t20.length)
+    // P(0) = 1/3 = 2·P(-1); steps double toward 0 (up to floor error)
+    val m0 = t20(20) - t20(19) // mass of x = 0
+    val m1 = t20(19) - t20(18) // mass of x = -1
+    assert((m0 - 2 * m1).abs <= 2 && (m0 - full / 3).abs <= 1)
+    assert(((t20(2) - t20(1)) - 2 * (t20(1) - t20(0))).abs <= 1)
+  }
+
+  test("noisyCounts noise equals an independent BigInt inverse-CDF walk " +
+      "over the same hash family (JVM functions, not the codegen path)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(200)(i => (s"g${i % 50}", i))
+      .toDF("grp", "v")
+    val out = Privacy.noisyCounts(df, Seq("grp"), seed = 7L, cap = 20)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("noise"),
+          r.getAs[Long]("n_noisy"))).toMap
+    assert(out.size === 50)
+    val ts = Privacy.geometricThresholds(20)
+    val seedMix = DedupFunctions.splitmix64(7L)
+    out.foreach { case (g, (n, noise, noisy)) =>
+      val u = DedupFunctions.splitmix64(DedupFunctions.fnv1a64(g) ^ seedMix)
+      val uu = BigInt(u) & ((BigInt(1) << 64) - 1) // unsigned view
+      val expected = ts.indexWhere(uu < _) match {
+        case -1 => 20L
+        case j  => (j - 20).toLong
+      }
+      assert(noise === expected, s"group $g")
+      assert(noisy === math.max(0L, n + noise))
+    }
+    // symmetric-ish noise over 50 draws: not all one sign
+    assert(out.values.exists(_._2 > 0) && out.values.exists(_._2 < 0))
+  }
+
+  test("noisyCounts is deterministic in the seed and changes with it") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(100)(i => (s"g${i % 20}", i)).toDF("grp", "v")
+    def run(seed: Long) = Privacy.noisyCounts(df, Seq("grp"), seed)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("noise")).toMap
+    assert(run(1L) === run(1L))
+    assert(run(1L) !== run(2L))
+  }
+
+  test("k-anonymity: suppression accounting matches the row-level release") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(12)(("DE", "a")) ++ Seq.fill(3)(("DE", "b")) ++
+      Seq.fill(10)(("FR", "a")) ++ Seq.fill(9)(("FR", "b")))
+      .zipWithIndex.map { case ((c1, c2), i) => (c1, c2, i) }
+      .toDF("country", "segment", "id")
+    val audit = Privacy.kAnonymityAudit(df, Seq("country", "segment"), k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("suppressed"),
+          r.getAs[Long]("n_released"))).toMap
+    assert(audit(("DE", "a")) === ((12L, false, 12L)))
+    assert(audit(("DE", "b")) === ((3L, true, 0L)))
+    assert(audit(("FR", "b")) === ((9L, true, 0L)))
+    val released = Privacy.suppressSmallGroups(df,
+      Seq("country", "segment"), k = 10)
+    assert(released.count() === audit.values.map(_._3).sum)
+    // every released row's class is k-large
+    assert(released.filter(col("country") === "DE" &&
+      col("segment") === "b").count() === 0)
+  }
+}
