@@ -3529,6 +3529,34 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Min/max skipping manifest — the lake-format file-stats table as
+    // an operator, measured as a LAYOUT comparison: the same one-
+    // quarter date predicate under a date-range shard layout (shard =
+    // day DIV 160) vs a key-scatter layout (shard = orderkey mod 16,
+    // the hash-layout stand-in). The manifest is shard-grain, pruning
+    // never touches the corpus, and the law (range layout scans ~1/16
+    // of rows, scatter scans all of them) is the q234/q227 data-
+    // skipping story made quantitative. Real-file pruning (partition
+    // dirs a reader must touch) is proven in SkippingManifestSpec.
+    "q237_minmax_pruning" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val lo = lit(java.sql.Date.valueOf("1995-01-01"))
+      val hi = lit(java.sql.Date.valueOf("1995-03-31"))
+      def est(df: DataFrame, tag: String) =
+        graft.sources.SkippingManifest.scanEstimate(
+          graft.sources.SkippingManifest.build(df, "shard",
+            Seq("o_orderdate")), "o_orderdate", lo, hi)
+          .withColumn("layout", lit(tag))
+      val range = o.withColumn("shard", expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') DIV 160 AS INT)"))
+      val scatter = o.withColumn("shard",
+        pmod(col("o_orderkey"), lit(16)).cast("int"))
+      est(range, "range").unionByName(est(scatter, "scatter"))
+        .select(col("layout"), col("n_shards"), col("shards_kept"),
+          col("rows_total"), col("rows_scanned"), col("scan_fraction"))
+        .orderBy(col("layout"))
+    }),
+
     // ε = ln 2 DP counts (geometric mechanism): per-(source, lang)
     // counts released with two-sided-geometric noise whose uniform is
     // the replay-exact hash family and whose inverse CDF is a shared
@@ -6944,6 +6972,38 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q237_minmax_pruning" ->
+      """WITH sh AS (SELECT date_diff('day', DATE '1992-01-01',
+        |    o_orderdate) // 160 AS rshard, o_orderkey % 16 AS hshard,
+        |    o_orderdate FROM orders),
+        |rm AS (SELECT rshard, count(*) AS n_rows, min(o_orderdate) AS mn,
+        |  max(o_orderdate) AS mx FROM sh GROUP BY 1),
+        |hm AS (SELECT hshard, count(*) AS n_rows, min(o_orderdate) AS mn,
+        |  max(o_orderdate) AS mx FROM sh GROUP BY 1),
+        |re AS (SELECT 'range' AS layout, CAST(count(*) AS BIGINT)
+        |    AS n_shards,
+        |  CAST(sum(CASE WHEN mx >= DATE '1995-01-01'
+        |    AND mn <= DATE '1995-03-31' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shards_kept,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN mx >= DATE '1995-01-01'
+        |    AND mn <= DATE '1995-03-31' THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned FROM rm),
+        |he AS (SELECT 'scatter' AS layout, CAST(count(*) AS BIGINT)
+        |    AS n_shards,
+        |  CAST(sum(CASE WHEN mx >= DATE '1995-01-01'
+        |    AND mn <= DATE '1995-03-31' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shards_kept,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN mx >= DATE '1995-01-01'
+        |    AND mn <= DATE '1995-03-31' THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned FROM hm)
+        |SELECT layout, n_shards, shards_kept, rows_total, rows_scanned,
+        |  round(rows_scanned / CAST(rows_total AS DOUBLE), 4)
+        |    AS scan_fraction
+        |FROM (SELECT * FROM re UNION ALL SELECT * FROM he)
+        |ORDER BY layout""".stripMargin,
 
     "q239_dp_counts" -> HashOracles.q239DpCounts(seed = 42L, cap = 20),
 
