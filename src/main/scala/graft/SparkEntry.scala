@@ -3529,6 +3529,21 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Per-frame audio features off REAL WAV decode: the q229 PCM16
+    // corpus framed at 16 samples, per frame the exact integer energy
+    // (sum of squares) and strict-sign-change zero-crossing count —
+    // the VAD/quality front end of an audio pipeline, integer end to
+    // end so the decode→frame→feature path replays in SQL.
+    "q240_audio_frames" -> ((s, dir) => {
+      val sm = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor(CAST(v AS DOUBLE) * 10000.0))").as("samples"))
+      val wav = graft.operators.Multimodal.encodeWavPcm16(
+        sm, "vec_id", "samples")
+      graft.operators.Multimodal.audioFrameFeatures(wav, frameLen = 16)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Min/max skipping manifest — the lake-format file-stats table as
     // an operator, measured as a LAYOUT comparison: the same one-
     // quarter date predicate under a date-range shard layout (shard =
@@ -6972,6 +6987,28 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    // PCM is lossless, so frames/energy/crossings replay from the
+    // quantized embeddings alone; lag() inside (media, frame) keeps
+    // the crossing count frame-local like the Spark side
+    "q240_audio_frames" ->
+      """WITH sm AS (SELECT vec_id AS media_id, i,
+        |  CAST(greatest(-32768, least(32767,
+        |    floor(CAST(embedding[i+1] AS DOUBLE) * 10000.0)))
+        |    AS BIGINT) AS v
+        |  FROM embeddings, range(64) t(i)),
+        |fr AS (SELECT media_id, CAST(i // 16 AS INTEGER) AS frame_idx,
+        |  i, v, lag(v) OVER (PARTITION BY media_id, i // 16 ORDER BY i)
+        |    AS p
+        |  FROM sm)
+        |SELECT media_id, frame_idx,
+        |  CAST(count(*) AS INTEGER) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN p IS NOT NULL AND ((p < 0 AND v >= 0)
+        |    OR (p >= 0 AND v < 0)) THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS zero_crossings
+        |FROM fr GROUP BY media_id, frame_idx
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q237_minmax_pruning" ->
       """WITH sh AS (SELECT date_diff('day', DATE '1992-01-01',

@@ -267,6 +267,67 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-frame audio features from REAL decoded WAV: split the PCM16
+    * stream into fixed `frameLen`-sample frames (last frame may be
+    * short) and emit per frame the EXACT integer signal stats a quality
+    * or VAD stage runs on: `energy` (sum of squared samples — ≤ 2^31
+    * per sample², so a long holds hours of audio) and
+    * `zero_crossings` (strict sign changes, frame-local so frames are
+    * independent and the stat is mergeable). RMS/ZCR-rate are one map
+    * away from these; keeping the integers is what lets the q240 gate
+    * replay the whole decode→frame→feature path in SQL. Undecodable
+    * rows are dropped ([[resizeImages]] convention).
+    */
+  def audioFrameFeatures(media: DataFrame, frameLen: Int): DataFrame = {
+    require(frameLen >= 2, s"bad frameLen $frameLen")
+    val spark = media.sparkSession
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType),
+      StructField("zero_crossings", IntegerType))))
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val pcm =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(
+                  if (bytes == null) Array.emptyByteArray else bytes))
+              try in.readAllBytes() finally in.close()
+            } catch { case _: Exception => null }
+          if (pcm == null) Iterator.empty
+          else {
+            val n = pcm.length / 2
+            def sample(i: Int): Int = {
+              val lo = pcm(2 * i) & 0xff
+              val hi = pcm(2 * i + 1).toInt
+              (hi << 8) | lo
+            }
+            val id = r.getLong(0)
+            (0 until (n + frameLen - 1) / frameLen).iterator.map { f =>
+              val s0 = f * frameLen
+              val s1 = math.min(n, s0 + frameLen)
+              var energy = 0L; var zc = 0
+              var i = s0
+              while (i < s1) {
+                val v = sample(i)
+                energy += v.toLong * v
+                if (i > s0) {
+                  val p = sample(i - 1)
+                  if ((p < 0 && v >= 0) || (p >= 0 && v < 0)) zc += 1
+                }
+                i += 1
+              }
+              Row(id, f, s1 - s0, energy, zc)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Encode a numeric array column as REAL grayscale PNG bytes (one
     * `side`×`side` image per row, row-major, values clamped to 0..255)
     * — `javax.imageio`'s writer, so downstream stages exercise genuine

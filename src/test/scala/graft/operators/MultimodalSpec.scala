@@ -150,4 +150,27 @@ class MultimodalSpec extends SparkSpec {
       Seq((2L, "junk")).toDF("id", "b"), "id", "b")).head()
     assert(junkMeta.isNullAt(junkMeta.fieldIndex("width")))
   }
+
+  test("audioFrameFeatures: exact per-frame energy and frame-local " +
+      "zero crossings off a real WAV round trip, short last frame kept") {
+    val s = spark
+    import s.implicits._
+    // 10 samples framed at 4: frames [3,-3,3,-3], [3,-3,3,-3], [5,5]
+    val samples = Seq(3.0, -3.0, 3.0, -3.0, 3.0, -3.0, 3.0, -3.0, 5.0, 5.0)
+    val wav = Multimodal.encodeWavPcm16(
+      Seq((1L, samples)).toDF("id", "sm"), "id", "sm")
+    val out = Multimodal.audioFrameFeatures(wav, frameLen = 4)
+      .orderBy("frame_idx").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Int]("n_samples")).toSeq === Seq(4, 4, 2))
+    assert(out.map(_.getAs[Long]("energy")).toSeq ===
+      Seq(36L, 36L, 50L)) // 4*9, 4*9, 2*25
+    // 3 crossings inside each full frame; the frame boundary crossing
+    // (-3 -> 3 between frames 0 and 1) is NOT counted — frame-local
+    assert(out.map(_.getAs[Int]("zero_crossings")).toSeq === Seq(3, 3, 0))
+
+    val junk = Multimodal.asMedia(
+      Seq((9L, "junk")).toDF("id", "b"), "id", "b")
+    assert(Multimodal.audioFrameFeatures(junk, 4).count() === 0L)
+  }
 }
