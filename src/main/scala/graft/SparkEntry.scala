@@ -3529,6 +3529,20 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // k-anonymity by local generalization up the nation→region
+    // hierarchy: classes ≥ k release at nation grain, small ones merge
+    // to region grain, still-small merged classes suppress — the
+    // release accounting q238's flat suppression can't express (it
+    // threw those rows away; here they survive one level coarser).
+    "q241_k_generalize" -> ((s, dir) => {
+      val hier = T(s, dir, "nation")
+        .select(col("n_nationkey").as("child"),
+          col("n_regionkey").as("parent"))
+      graft.operators.Privacy.generalizeToK(T(s, dir, "customer"),
+          "c_nationkey", Seq("c_mktsegment"), hier, k = 10)
+        .orderBy(col("level"), col("qi"), col("c_mktsegment"))
+    }),
+
     // Per-frame audio features off REAL WAV decode: the q229 PCM16
     // corpus framed at 16 samples, per frame the exact integer energy
     // (sum of squares) and strict-sign-change zero-crossing count —
@@ -6987,6 +7001,26 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q241_k_generalize" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2),
+        |fine AS (SELECT 'child' AS level,
+        |  CAST(c_nationkey AS VARCHAR) AS qi, c_mktsegment, n
+        |  FROM cls WHERE n >= 10),
+        |co AS (SELECT n_regionkey AS parent, c_mktsegment,
+        |  CAST(sum(n) AS BIGINT) AS cn
+        |  FROM cls JOIN nation ON n_nationkey = c_nationkey
+        |  WHERE n < 10 GROUP BY 1, 2),
+        |pok AS (SELECT 'parent' AS level, CAST(parent AS VARCHAR) AS qi,
+        |  c_mktsegment, cn AS n FROM co WHERE cn >= 10),
+        |sup AS (SELECT 'suppressed' AS level, '*' AS qi, c_mktsegment,
+        |  CAST(sum(cn) AS BIGINT) AS n FROM co WHERE cn < 10
+        |  GROUP BY c_mktsegment)
+        |SELECT level, qi, c_mktsegment, n FROM
+        |  (SELECT * FROM fine UNION ALL SELECT * FROM pok
+        |   UNION ALL SELECT * FROM sup)
+        |ORDER BY level, qi, c_mktsegment""".stripMargin,
 
     // PCM is lossless, so frames/energy/crossings replay from the
     // quantized embeddings alone; lag() inside (media, frame) keeps

@@ -53,6 +53,41 @@ object Privacy {
     df.join(broadcast(keep), qiCols, "left_semi")
   }
 
+  /** k-anonymity via one-level LOCAL GENERALIZATION — the standard
+    * hierarchy device (nation → region, zip → zip3, day → month):
+    * equivalence classes of `(qiCol, otherQi*)` already ≥ k release at
+    * the child level; smaller classes re-key `qiCol` to its parent in
+    * `hierarchy` (a `(child, parent)` table, broadcast — hierarchies
+    * are dimension-sized) and merge; merged classes still below k are
+    * suppressed. Returns the release accounting table:
+    * `(level, qi, otherQi*, n)` with level ∈ child|parent|suppressed —
+    * `qi` is the string form of the released key ('*' when
+    * suppressed). Generalizing only the small classes (not the whole
+    * column) is what keeps utility: large classes keep full precision.
+    */
+  def generalizeToK(df: DataFrame, qiCol: String, otherQi: Seq[String],
+      hierarchy: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    val grp = (qiCol +: otherQi).map(col)
+    val cls = df.groupBy(grp: _*).agg(count(lit(1)).as("n"))
+    def shaped(src: DataFrame, level: String, qi: Column) =
+      src.select(Seq(lit(level).as("level"), qi.cast("string").as("qi")) ++
+        otherQi.map(col) :+ col("n"): _*)
+    val fine = shaped(cls.filter(col("n") >= k), "child", col(qiCol))
+    val coarse = cls.filter(col("n") < k)
+      .join(broadcast(hierarchy), col(qiCol) === col("child"))
+      .groupBy(col("parent") +: otherQi.map(col): _*)
+      .agg(sum(col("n")).as("n"))
+    val parentOk = shaped(coarse.filter(col("n") >= k), "parent",
+      col("parent"))
+    val suppressed = shaped(
+      coarse.filter(col("n") < k)
+        .groupBy(otherQi.map(col): _*)
+        .agg(sum(col("n")).as("n")),
+      "suppressed", lit("*"))
+    fine.unionByName(parentOk).unionByName(suppressed)
+  }
+
   /** Exact integer thresholds for the two-sided geometric (discrete
     * Laplace, α = 1/2 ⇒ ε = ln 2 per unit sensitivity) inverse CDF:
     * entry `j` (for x = j − cap, j in 0 until 2·cap) is

@@ -66,6 +66,29 @@ class PrivacySpec extends SparkSpec {
     assert(run(1L) !== run(2L))
   }
 
+  test("generalizeToK: large classes keep the child key, small ones " +
+      "merge to the parent, still-small merges suppress; mass conserved") {
+    val s = spark
+    import s.implicits._
+    // child->parent: a,b -> P ; c -> Q
+    val hier = Seq(("a", "P"), ("b", "P"), ("c", "Q")).toDF("child", "parent")
+    val df = (Seq.fill(12)("a") ++ Seq.fill(4)("b") ++ Seq.fill(7)("a2") ++
+      Seq.fill(3)("c")).zipWithIndex
+      .map { case (q, i) => (q, "seg", i) }
+      .toDF("qi0", "seg", "id")
+    // classes: a=12 (>=10, child), b=4 + a2... a2 has no parent row!
+    val hier2 = hier.union(Seq(("a2", "P")).toDF("child", "parent"))
+    val out = Privacy.generalizeToK(df, "qi0", Seq("seg"), hier2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n"))).toSet
+    // b(4) + a2(7) merge to P = 11 >= 10 released at parent;
+    // c(3) merges to Q = 3 < 10 -> suppressed
+    assert(out === Set(("child", "a", 12L), ("parent", "P", 11L),
+      ("suppressed", "*", 3L)))
+    // mass conservation: released + suppressed = all rows
+    assert(out.toSeq.map(_._3).sum === 26L)
+  }
+
   test("k-anonymity: suppression accounting matches the row-level release") {
     val s = spark
     import s.implicits._
