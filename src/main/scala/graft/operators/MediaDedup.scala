@@ -48,72 +48,84 @@ object MediaDedup {
     * .decodeImageMeta]] is where undecodables surface).
     */
   def averageHash(media: DataFrame): DataFrame = {
-    val side = 8
     val enc = RowEncoder.encoderFor(hashSchema)
     media.select(col("media_id"), col("media"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(
-                if (bytes == null) Array.emptyByteArray else bytes))
-            catch { case _: Exception => null }
-          if (img == null) None
-          else {
-            val raster = img.getRaster
-            val bands = raster.getNumBands
-            val w = img.getWidth; val h = img.getHeight
-            val cellSum = new Array[Long](side * side)
-            val cellCnt = new Array[Long](side * side)
-            var totalSum = 0L; var totalCnt = 0L
-            var cy = 0
-            while (cy < side) {
-              val y0 = cy * h / side
-              val y1 = math.max(y0 + 1, (cy + 1) * h / side)
-              var cx = 0
-              while (cx < side) {
-                val x0 = cx * w / side
-                val x1 = math.max(x0 + 1, (cx + 1) * w / side)
-                var sum = 0L; var cnt = 0L
-                var y = y0
-                while (y < math.min(y1, h)) {
-                  var x = x0
-                  while (x < math.min(x1, w)) {
-                    var bd = 0
-                    while (bd < bands) {
-                      sum += raster.getSample(x, y, bd); bd += 1
-                    }
-                    cnt += bands
-                    x += 1
-                  }
-                  y += 1
-                }
-                cellSum(cy * side + cx) = sum
-                cellCnt(cy * side + cx) = cnt
-                totalSum += sum; totalCnt += cnt
-                cx += 1
-              }
-              cy += 1
-            }
-            val blocks = new Array[Long](4)
-            var ones = 0
-            var i = 0
-            while (i < side * side) {
-              // cell mean > image mean, exact: cross-multiply the two
-              // integer ratios (cells can have unequal pixel counts when
-              // the source image is not a multiple of 8 on a side)
-              if (cellSum(i) * totalCnt > totalSum * cellCnt(i)) {
-                blocks(i / 16) |= 1L << (15 - (i % 16))
-                ones += 1
-              }
-              i += 1
-            }
-            Some(Row(r.getLong(0), blocks(0), blocks(1), blocks(2),
-              blocks(3), ones))
+          hashBytes(r.getAs[Array[Byte]](1)).map { case (blocks, ones) =>
+            Row(r.getLong(0), blocks(0), blocks(1), blocks(2),
+              blocks(3), ones)
           }
         }
       }(enc)
+  }
+
+  /** The hash core: decode → 8×8 integer pooling → bit rule → 4 blocks
+    * + popcount; `None` when the bytes don't decode. Shared by the
+    * batch [[averageHash]] and the streaming
+    * [[graft.streaming.MediaStream]] (which needs to thread event time
+    * through the same computation).
+    */
+  private[graft] def hashBytes(bytes: Array[Byte])
+      : Option[(Array[Long], Int)] = {
+    val side = 8
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          if (bytes == null) Array.emptyByteArray else bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = new Array[Long](side * side)
+      val cellCnt = new Array[Long](side * side)
+      var totalSum = 0L; var totalCnt = 0L
+      var cy = 0
+      while (cy < side) {
+        val y0 = cy * h / side
+        val y1 = math.max(y0 + 1, (cy + 1) * h / side)
+        var cx = 0
+        while (cx < side) {
+          val x0 = cx * w / side
+          val x1 = math.max(x0 + 1, (cx + 1) * w / side)
+          var sum = 0L; var cnt = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              var bd = 0
+              while (bd < bands) {
+                sum += raster.getSample(x, y, bd); bd += 1
+              }
+              cnt += bands
+              x += 1
+            }
+            y += 1
+          }
+          cellSum(cy * side + cx) = sum
+          cellCnt(cy * side + cx) = cnt
+          totalSum += sum; totalCnt += cnt
+          cx += 1
+        }
+        cy += 1
+      }
+      val blocks = new Array[Long](4)
+      var ones = 0
+      var i = 0
+      while (i < side * side) {
+        // cell mean > image mean, exact: cross-multiply the two
+        // integer ratios (cells can have unequal pixel counts when
+        // the source image is not a multiple of 8 on a side)
+        if (cellSum(i) * totalCnt > totalSum * cellCnt(i)) {
+          blocks(i / 16) |= 1L << (15 - (i % 16))
+          ones += 1
+        }
+        i += 1
+      }
+      Some((blocks, ones))
+    }
   }
 
   /** Near-dup image pairs at Hamming ≤ `maxHamming` over [[averageHash]]

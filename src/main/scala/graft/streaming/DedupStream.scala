@@ -148,6 +148,21 @@ object DedupStream {
         col("doc_id"), col("ts"))
       .withWatermark("ts", watermark)
       .as[BandRow]
+    bandCollisions(banded, maxBucketIds, evictAfterMs)
+  }
+
+  /** The bucket-state collision fold itself, generic over any banded id
+    * stream — MinHash bands ([[nearDupCollisions]]), image aHash blocks
+    * ([[MediaStream.imageNearDupCollisions]]), or any future signature
+    * family that reduces to `(band, key)` bucket hits. `banded` must
+    * already carry its event-time watermark; state/delivery semantics
+    * are the object-level contract (bounded per-bucket ids,
+    * at-least-once at the cap, wholesale eviction past the horizon).
+    */
+  def bandCollisions(banded: Dataset[BandRow], maxBucketIds: Int = 64,
+      evictAfterMs: Long = 60L * 60 * 1000): Dataset[Collision] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     banded
       .groupByKey(r => (r.band, r.key))
       .flatMapGroupsWithState(OutputMode.Append(),
