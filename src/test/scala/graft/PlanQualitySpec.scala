@@ -661,6 +661,37 @@ class PlanQualitySpec extends SparkSpec {
       "only the segment agg may shuffle:\n" + p)
   }
 
+  test("q235-q241: round-10 additions — image dedup joins banded equi, " +
+      "privacy noise stays codegen, hierarchy broadcast, manifest " +
+      "window-free") {
+    // image family: decode via mapPartitions, pair search equi-banded
+    for (q <- Seq("q235_image_ahash", "q236_image_neardup")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("MapPartitions"), s"$q decode stage:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // privacy: the DP noise is a pure codegen'd expression per GROUP
+    // row — no UDF eval nodes; the generalization hierarchy broadcasts
+    val p239 = SparkEntry.queries("q239_dp_counts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p239.contains("BatchEvalPython") &&
+      !p239.contains("ScalaUDF"), p239)
+    val p241 = SparkEntry.queries("q241_k_generalize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p241.contains("BroadcastHashJoin"), p241)
+    assert(!p241.contains("SortMergeJoin"),
+      "hierarchy join must broadcast:\n" + p241)
+    // manifest + audio frames: aggregation/mapPartitions only — no
+    // window operator anywhere (the stats are mergeable by design)
+    for (q <- Seq("q237_minmax_pruning", "q240_audio_frames")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$q must stay window-free:\n$p")
+    }
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)

@@ -88,4 +88,71 @@ class ScaleOperatorsSpec extends SparkSpec {
       .select(col("k")).collect().map(_.getLong(0)).toSet
     assert(trueKeys.subsetOf(passed))
   }
+
+  test("image near-dup banding: candidate pairs track the planted " +
+      "structure, never the n^2 pair space") {
+    val s = spark
+    import s.implicits._
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(n) // distinct corpora per size
+      val rows = Seq.tabulate(n) { i =>
+        (i.toLong, Seq.fill(64)(rnd.nextInt(256).toDouble))
+      }
+      // 10 planted near-copies regardless of corpus size
+      val copies = rows.take(10).map { case (id, px) =>
+        (id + 1000000L, px.zipWithIndex.map { case (p, j) =>
+          if (j % 16 == 0) math.min(255.0, p + 3) else p })
+      }
+      Multimodal.encodePng((rows ++ copies).toDF("id", "pixels"),
+        "id", "pixels", side = 8)
+    }
+    def candidates(n: Int): Long = {
+      val hashes = MediaDedup.averageHash(
+        Multimodal.asMedia(corpus(n), "media_id", "media"))
+      // the banded join BEFORE the Hamming filter — the work the
+      // cluster actually does
+      val banded = hashes.select(col("media_id"),
+        explode(array(
+          struct(lit(0).as("tbl"), col("b0").as("key")),
+          struct(lit(1).as("tbl"), col("b1").as("key")),
+          struct(lit(2).as("tbl"), col("b2").as("key")),
+          struct(lit(3).as("tbl"), col("b3").as("key"))))
+          .as("blk"))
+        .select(col("media_id"), col("blk.tbl").as("tbl"),
+          col("blk.key").as("key"))
+      banded.as("a").join(banded.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+            col("a.media_id") < col("b.media_id"))
+        .count()
+    }
+    val c400 = candidates(400)
+    val c1600 = candidates(1600)
+    // n grew 4x => n^2 grew 16x; candidates are planted pairs (~40
+    // block hits) + the accidental 16-bit collision tail (~4n^2/2^16)
+    // — both far under the pair space, and the growth must stay far
+    // under quadratic blowup's 16x headroom over the planted floor
+    assert(c400 < 400L * 400 / 100, s"c400=$c400")
+    assert(c1600 < 1600L * 1600 / 100, s"c1600=$c1600")
+    assert(c1600 < c400 * 16, s"growth must be sub-n^2: $c400 -> $c1600")
+  }
+
+  test("skipping manifest stays shard-grain as the corpus multiplies") {
+    val s = spark
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("shard", pmod(col("o_orderkey"), lit(16)).cast("int"))
+    val x4 = orders.union(orders).union(orders).union(orders)
+    val m1 = graft.sources.SkippingManifest.build(orders, "shard",
+      Seq("o_orderdate", "o_totalprice"))
+    val m4 = graft.sources.SkippingManifest.build(x4, "shard",
+      Seq("o_orderdate", "o_totalprice"))
+    assert(m1.count() === 16L && m4.count() === 16L)
+    // pruning decisions are identical: stats are mergeable aggregates
+    val lo = lit(java.sql.Date.valueOf("1995-01-01"))
+    val hi = lit(java.sql.Date.valueOf("1995-03-31"))
+    val s1 = graft.sources.SkippingManifest.survivors(m1, "o_orderdate",
+      lo, hi).select("shard").collect().map(_.getInt(0)).toSet
+    val s4 = graft.sources.SkippingManifest.survivors(m4, "o_orderdate",
+      lo, hi).select("shard").collect().map(_.getInt(0)).toSet
+    assert(s1 === s4)
+  }
 }
