@@ -3529,6 +3529,27 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Capstone #18 — the corpus DATACARD: the per-source release
+    // sheet every corpus ships (docs, token volume, language spread,
+    // exact-dup rate, length profile) as ONE partial-aggregable
+    // groupBy — every metric here is mergeable (counts, sums,
+    // distinct-sketchable at scale via the q122 HLL swap-in), so the
+    // card costs one corpus pass.
+    "q242_corpus_datacard" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("pct_en"),
+          (count(lit(1)) - countDistinct(md5(col("text"))))
+            .as("n_exact_dups"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 2)
+            .as("mean_chars"))
+        .orderBy(col("source"))
+    }),
+
     // k-anonymity by local generalization up the nation→region
     // hierarchy: classes ≥ k release at nation grain, small ones merge
     // to region grain, still-small merged classes suppress — the
@@ -7001,6 +7022,18 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q242_corpus_datacard" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS pct_en,
+         |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+         |    AS n_exact_dups,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2)
+         |    AS mean_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q241_k_generalize" ->
       """WITH cls AS (SELECT c_nationkey, c_mktsegment,

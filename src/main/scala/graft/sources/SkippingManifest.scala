@@ -31,6 +31,23 @@ object SkippingManifest {
           min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
   }
 
+  /** Fold a delta's manifest into an existing one. Min/max/count are
+    * mergeable aggregates, so incremental maintenance is manifest-grain
+    * arithmetic — history is NEVER rescanned (the
+    * [[graft.operators.Dedup.appendToIndex]] delta-fold contract,
+    * applied to layout stats): `merge(build(A), build(B)) ==
+    * build(A ∪ B)` exactly, spec'd in SkippingManifestSpec.
+    */
+  def merge(a: DataFrame, b: DataFrame, shardCol: String,
+      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "no stat columns")
+    a.unionByName(b).groupBy(col(shardCol))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        statCols.flatMap(c => Seq(
+          min(col(s"${c}_min")).as(s"${c}_min"),
+          max(col(s"${c}_max")).as(s"${c}_max"))): _*)
+  }
+
   /** Shards a `[lo, hi]` predicate on `statCol` cannot prune: the shard's
     * `[min, max]` intersects the query range. Lossless by construction —
     * a shard outside the result provably contains no matching row.

@@ -57,6 +57,21 @@ class SkippingManifestSpec extends SparkSpec {
     assert(surviving === needed)
   }
 
+  test("merge(build(A), build(B)) == build(A union B) exactly — " +
+      "incremental maintenance never rescans history") {
+    val df = shardify(range = true)
+    val a = df.filter(col("o_orderkey") % 2 === 0)
+    val b = df.filter(col("o_orderkey") % 2 =!= 0)
+    val cols = Seq("o_orderdate", "o_totalprice")
+    def canon(m: org.apache.spark.sql.DataFrame) =
+      m.orderBy("shard").collect().map(_.toSeq).toSeq
+    val merged = SkippingManifest.merge(
+      SkippingManifest.build(a, "shard", cols),
+      SkippingManifest.build(b, "shard", cols), "shard", cols)
+    val full = SkippingManifest.build(df, "shard", cols)
+    assert(canon(merged) === canon(full))
+  }
+
   test("a range layout prunes strictly more rows than a key scatter " +
       "for a narrow date predicate") {
     def fraction(isRange: Boolean): Double =
