@@ -3529,6 +3529,39 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // TextRank keywords (Mihalcea & Tarau): damped PageRank over the
+    // word co-occurrence graph — adjacent corpus positions, both
+    // endpoints in the count-bounded vocabulary (the syntactic-filter
+    // stand-in; swap a POS filter in unchanged). Composes the SAME
+    // Graph.pageRank loop as q152's doc graph: vocab is the bounded
+    // node set, so every per-round frame is dictionary-grain, and the
+    // oracle replays the identical unrolled rounds.
+    "q243_textrank_keywords" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text")))
+          .as(Seq("i", "w")))
+      val vocab = graft.CacheScope.register(tok.groupBy(col("w"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 10)
+        .persist())
+      val tv = tok.join(vocab.select(col("w")), Seq("w"))
+      val a = tv.select(col("doc_id"), col("i"), col("w").as("wa"))
+      val b = tv.select(col("doc_id"), (col("i") - 1).as("i"),
+        col("w").as("wb"))
+      val e0 = a.join(b, Seq("doc_id", "i"))
+        .filter(col("wa") =!= col("wb"))
+        .select(least(col("wa"), col("wb")).as("s"),
+          greatest(col("wa"), col("wb")).as("d")).distinct()
+      val ed = e0.unionByName(
+        e0.select(col("d").as("s"), col("s").as("d")))
+      graft.operators.Graph.pageRank(vocab.select(col("w")), "w",
+          ed, "s", "d", iters = 10)
+        .crossJoin(broadcast(vocab
+          .agg(count(lit(1)).cast("double").as("__n"))))
+        .select(col("w").as("word"), col("deg"),
+          round(col("pr") * col("__n"), 4).as("pr_norm"))
+        .orderBy(col("pr_norm").desc, col("word")).limit(20)
+    }),
+
     // Capstone #18 — the corpus DATACARD: the per-source release
     // sheet every corpus ships (docs, token volume, language spread,
     // exact-dup rate, length profile) as ONE partial-aggregable
@@ -4309,9 +4342,13 @@ object SparkEntry {
        |FROM ($unionAll) ORDER BY rank""".stripMargin
   }
 
-  private def pageRankOracle(iters: Int): String = {
+  /** The unrolled damped-PR rounds over CTEs named ed/nd/nn/dg/r0 —
+    * shared by the doc-graph (q152) and word-graph (q243) oracles;
+    * same formula and parenthesization as [[operators.Graph.pageRank]].
+    */
+  private def prRounds(iters: Int): Seq[String] = {
     val d = "CAST(0.85 AS DOUBLE)"
-    val rounds = (1 to iters).flatMap { k =>
+    (1 to iters).flatMap { k =>
       val prev = s"r${k - 1}"
       Seq(
         s"c$k AS (SELECT e.d AS id, sum(r.pr / dg2.deg) AS c FROM ed e " +
@@ -4323,6 +4360,39 @@ object SparkEntry {
           s"(coalesce(c.c, 0) + k$k.dang / nn.n) AS pr " +
           s"FROM nd LEFT JOIN c$k c ON c.id = nd.id, nn, k$k)")
     }
+  }
+
+  /** TextRank replay: the word co-occurrence graph (adjacent corpus
+    * positions, both endpoints in the count-bounded vocabulary) pushed
+    * through the same unrolled PR rounds as q152.
+    */
+  private def textrankOracle(iters: Int, minCount: Int): String =
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |tp AS (SELECT doc_id, t, unnest(range(0, len(t))) AS i FROM tk),
+       |tw AS (SELECT doc_id, i, t[i + 1] AS w FROM tp),
+       |vc AS (SELECT w, count(*) AS cnt FROM tw GROUP BY w
+       |  HAVING count(*) >= $minCount),
+       |tv AS (SELECT doc_id, i, w FROM tw JOIN vc USING (w)),
+       |e0 AS (SELECT DISTINCT least(a.w, b.w) AS s,
+       |  greatest(a.w, b.w) AS d
+       |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |    AND a.w <> b.w),
+       |ed AS MATERIALIZED (SELECT s, d FROM e0
+       |  UNION ALL SELECT d, s FROM e0),
+       |nd AS MATERIALIZED (SELECT w AS id FROM vc),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+       |dg AS MATERIALIZED (SELECT id, coalesce(dd.deg, 0) AS deg FROM nd
+       |  LEFT JOIN (SELECT s AS id, count(*) AS deg FROM ed GROUP BY s)
+       |  dd USING (id)),
+       |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS pr FROM nd, nn),
+       |${prRounds(iters).mkString(",\n")}
+       |SELECT r.id AS word, CAST(dg.deg AS BIGINT) AS deg,
+       |  round(r.pr * nn.n, 4) AS pr_norm
+       |FROM r$iters r JOIN dg ON dg.id = r.id, nn
+       |ORDER BY pr_norm DESC, word LIMIT 20""".stripMargin
+
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = prRounds(iters)
     s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
        |gr AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id,
        |  unnest(CASE WHEN len(t) >= 3
@@ -7022,6 +7092,8 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q243_textrank_keywords" -> textrankOracle(10, 10),
 
     "q242_corpus_datacard" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
