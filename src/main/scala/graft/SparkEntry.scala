@@ -3529,6 +3529,23 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Declarative expectations audit (the Deequ pattern): six named
+    // rules over lineitem, ONE conditional-agg corpus pass whatever
+    // the rule count (asserted in the plan spec), unpivoted to the
+    // per-rule gate report. tax_low is deliberately violable so the
+    // report exercises both verdicts.
+    "q244_expectations_audit" -> ((s, dir) =>
+      graft.operators.Expectations.audit(T(s, dir, "lineitem"), Seq(
+          "qty_range" -> col("l_quantity").between(1, 50),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "discount_unit" -> col("l_discount").between(0, 0.1),
+          "linenumber_range" ->
+            col("l_linenumber").between(1, 7),
+          "returnflag_domain" ->
+            col("l_returnflag").isin("A", "N", "R"),
+          "tax_low" -> (col("l_tax") <= 0.05)))
+        .orderBy(col("rule"))),
+
     // TextRank keywords (Mihalcea & Tarau): damped PageRank over the
     // word co-occurrence graph — adjacent corpus positions, both
     // endpoints in the count-bounded vocabulary (the syntactic-filter
@@ -7092,6 +7109,28 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q244_expectations_audit" -> {
+      val rules = Seq(
+        "qty_range" -> "l_quantity BETWEEN 1 AND 50",
+        "price_positive" -> "l_extendedprice > 0",
+        "discount_unit" -> "l_discount BETWEEN 0 AND 0.1",
+        "linenumber_range" -> "l_linenumber BETWEEN 1 AND 7",
+        "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+        "tax_low" -> "l_tax <= 0.05")
+      val arms = rules.map { case (nm, sql) =>
+        s"SELECT '$nm' AS rule, CAST(sum(CASE WHEN coalesce($sql, " +
+          "FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations " +
+          "FROM lineitem"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM lineitem),
+         |v AS ($arms)
+         |SELECT rule, n_rows, n_violations,
+         |  round(1.0 - n_violations / CAST(n_rows AS DOUBLE), 6)
+         |    AS pass_rate
+         |FROM v, nn ORDER BY rule""".stripMargin
+    },
 
     "q243_textrank_keywords" -> textrankOracle(10, 10),
 

@@ -133,4 +133,22 @@ object SketchStream {
         sink(graft.operators.HeavyHitters.summarize(batch, itemCol, k),
           batchId)
     }
+
+  /** Per-micro-batch skipping manifests: `sink(manifest, batchId)`
+    * receives [[graft.sources.SkippingManifest.build]] of each batch —
+    * fold with [[graft.sources.SkippingManifest.merge]] for a
+    * continuously maintained layout-stats table (min/max/count are
+    * mergeable, so the fold equals a full rebuild EXACTLY, never
+    * rescanning history; spec'd in SketchStreamSpec).
+    */
+  def manifestBatches(rows: DataFrame, shardCol: String,
+      statCols: Seq[String])(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(graft.sources.SkippingManifest.build(batch, shardCol,
+          statCols), batchId)
+    }
 }

@@ -17,6 +17,7 @@ case class SkItem(item: String, ts: Timestamp)
 case class SkVal(v: Long, ts: Timestamp)
 case class SkKeyed(key: String, item: String)
 case class SkQuant(key: String, id: String, v: Long)
+case class SkShard(shard: Int, k: Long, v: Long)
 case class SkWQuant(key: String, id: Long, v: Long, w: Long)
 
 class SketchStreamSpec extends SparkSpec {
@@ -228,5 +229,32 @@ class SketchStreamSpec extends SparkSpec {
     truth.filter(_._2 > bound).keys.foreach { h =>
       assert(acc.contains(h), s"stream fold lost hitter $h")
     }
+  }
+
+  test("folded streaming skipping manifest == batch manifest of the " +
+      "whole stream, exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val b1 = (1 to 300).map(i => SkShard(i % 8, i.toLong, i * 3L))
+    val b2 = (250 to 600).map(i => SkShard(i % 8, i.toLong, i * 3L))
+    val mem = MemoryStream[SkShard]
+    var acc: Option[DataFrame] = None
+    val q = SketchStream.manifestBatches(mem.toDF(), "shard",
+      Seq("k", "v")) { (m, _) =>
+        val snap = m.cache(); snap.count()
+        acc = Some(acc.fold(snap)(prev => graft.sources.SkippingManifest
+          .merge(prev, snap, "shard", Seq("k", "v")).cache()))
+        acc.get.count()
+    }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def m(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val whole = graft.sources.SkippingManifest.build(
+      (b1 ++ b2).toDF("shard", "k", "v"), "shard", Seq("k", "v"))
+    assert(m(acc.get) === m(whole))
   }
 }
