@@ -3529,6 +3529,33 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Capstone #19 — image dedup closed end to end: the q236 pair
+    // table pushed through connected components (A~B and B~C dedup
+    // together even when A~C never met in a block) and reported per
+    // cluster under its min-id canonical — the media corpus now walks
+    // the SAME canonicalization road as text (q43) and entities
+    // (q153). The oracle labels components by recursive reachability
+    // (the q153 device) over the all-pairs Hamming filter.
+    "q245_image_dedup_canonical" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val copies = base.filter(col("vec_id") % 3 < 2)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("CASE WHEN vec_id % 3 = 1 THEN transform(pixels, " +
+            "(p, i) -> CASE WHEN i % 16 = 0 THEN least(p + 3, 255D) " +
+            "ELSE p END) ELSE pixels END").as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(base.union(copies),
+          "vec_id", "pixels", side = 8), "media_id", "media")
+      val pairs = graft.operators.MediaDedup.nearDupPairs(
+        graft.operators.MediaDedup.averageHash(media), maxHamming = 3)
+      graft.operators.Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .groupBy(col("component").as("canonical_id"))
+        .agg(count(lit(1)).as("n_images"))
+        .orderBy(col("canonical_id"))
+    }),
+
     // Declarative expectations audit (the Deequ pattern): six named
     // rules over lineitem, ONE conditional-agg corpus pass whatever
     // the rule count (asserted in the plan spec), unpivoted to the
@@ -7109,6 +7136,53 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    // the q236 hash chain + q153's recursive-reachability components,
+    // labeled by min member id
+    "q245_image_dedup_canonical" ->
+      """WITH base AS (SELECT vec_id AS media_id, i,
+        |  CAST(greatest(0, least(255, floor((CAST(embedding[i+1]
+        |    AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p
+        |  FROM embeddings, range(64) t(i)),
+        |corpus AS (
+        |  SELECT media_id, i, p FROM base
+        |  UNION ALL
+        |  SELECT media_id + 100000, i,
+        |    CASE WHEN media_id % 3 = 1 AND i % 16 = 0
+        |      THEN least(p + 3, 255) ELSE p END
+        |  FROM base WHERE media_id % 3 < 2),
+        |s AS (SELECT media_id, sum(p) AS tot FROM corpus GROUP BY 1),
+        |bits AS (SELECT c.media_id, i,
+        |  CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS b
+        |  FROM corpus c JOIN s USING (media_id)),
+        |blocks AS (SELECT media_id, i // 16 AS blk,
+        |  CAST(sum(b * (1::BIGINT << CAST(15 - (i % 16) AS INT)))
+        |    AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |wide AS (SELECT media_id,
+        |  max(CASE WHEN blk = 0 THEN bv END) AS b0,
+        |  max(CASE WHEN blk = 1 THEN bv END) AS b1,
+        |  max(CASE WHEN blk = 2 THEN bv END) AS b2,
+        |  max(CASE WHEN blk = 3 THEN bv END) AS b3
+        |  FROM blocks GROUP BY 1),
+        |pr AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+        |  FROM wide a JOIN wide b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        |    <= 3),
+        |ed AS (SELECT a_id AS sn, b_id AS dn FROM pr
+        |  UNION SELECT b_id, a_id FROM pr),
+        |nodes AS (SELECT DISTINCT sn AS node FROM ed),
+        |reach AS (WITH RECURSIVE r(node, lbl) AS (
+        |    SELECT node, node FROM nodes
+        |    UNION
+        |    SELECT e.dn, r.lbl FROM r JOIN ed e ON e.sn = r.node
+        |  ) SELECT * FROM r),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach
+        |  GROUP BY node)
+        |SELECT component AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_images
+        |FROM comp GROUP BY 1 ORDER BY canonical_id""".stripMargin,
 
     "q244_expectations_audit" -> {
       val rules = Seq(
