@@ -3529,6 +3529,19 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Theil–Sen robust per-user spend trend — the median-of-pairwise-
+    // slopes complement to q163's grouped OLS (outlier days can swing
+    // a least-squares slope arbitrarily; the pairwise median has a
+    // 29% breakdown point). Pair space is bounded per key by the
+    // deterministic maxPoints cap; every window is keyed.
+    "q246_theil_sen_trend" -> ((s, dir) =>
+      graft.operators.Robust.theilSenTrend(
+          events(s, dir).filter(col("event_type") === "purchase")
+            .withColumn("day", datediff(col("ts").cast("date"),
+              lit(java.sql.Date.valueOf("1970-01-01")))),
+          "user_id", "day", "value", maxPoints = 64)
+        .orderBy(col("user_id"))),
+
     // Capstone #19 — image dedup closed end to end: the q236 pair
     // table pushed through connected components (A~B and B~C dedup
     // together even when A~C never met in a block) and reported per
@@ -7136,6 +7149,39 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    // lower-median at nearest rank over the (slope, i, j) order —
+    // the replay convention on both engines
+    "q246_theil_sen_trend" ->
+      """WITH p0 AS (SELECT user_id,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS DOUBLE) AS x, value AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |pts AS (SELECT user_id, x, y, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY x, y) AS i FROM p0),
+        |cap AS (SELECT * FROM pts WHERE i <= 64),
+        |pr AS (SELECT a.user_id, a.i AS ai, b.i AS bi,
+        |  round((b.y - a.y) / (b.x - a.x), 6) AS m
+        |  FROM cap a JOIN cap b ON a.user_id = b.user_id
+        |    AND a.i < b.i AND a.x <> b.x),
+        |np AS (SELECT user_id, count(*) AS n_pairs FROM pr GROUP BY 1),
+        |rk AS (SELECT user_id, m, ai, bi, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY m, ai, bi) AS rn FROM pr),
+        |md AS (SELECT rk.user_id, rk.m AS slope, np.n_pairs FROM rk
+        |  JOIN np USING (user_id) WHERE rk.rn = (np.n_pairs + 1) // 2),
+        |npts AS (SELECT user_id, count(*) AS n_points FROM cap
+        |  GROUP BY 1),
+        |res AS (SELECT c.user_id, round(c.y - md.slope * c.x, 6) AS r,
+        |  c.i FROM cap c JOIN md USING (user_id)),
+        |rr AS (SELECT user_id, r, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY r, i) AS rn FROM res),
+        |ic AS (SELECT rr.user_id, rr.r AS intercept FROM rr
+        |  JOIN npts USING (user_id)
+        |  WHERE rr.rn = (npts.n_points + 1) // 2)
+        |SELECT md.user_id, CAST(npts.n_points AS BIGINT) AS n_points,
+        |  CAST(md.n_pairs AS BIGINT) AS n_pairs, md.slope, ic.intercept
+        |FROM md JOIN npts USING (user_id) JOIN ic USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // the q236 hash chain + q153's recursive-reachability components,
     // labeled by min member id

@@ -318,6 +318,58 @@ object Robust {
         col("mean_raw"), col("mean_winsorized"))
   }
 
+  /** Theil–Sen robust trend per key — the median-of-pairwise-slopes
+    * estimator (≈29% breakdown point): the robust complement to the
+    * grouped OLS trend ([[Regression]]), immune to the outlier days
+    * that swing a least-squares slope. Per key: points cap at the
+    * first `maxPoints` by (x, y) — deterministic, and the cap is what
+    * bounds the per-key pair space at `maxPoints²/2` however hot the
+    * key — pairs with distinct x get a 1e-6-grid-rounded slope, the
+    * LOWER-median slope is read at nearest rank (slope, i, j order —
+    * fully replayable), and the intercept is the median residual
+    * `y − m·x` at the same convention. Keys with no distinct-x pair
+    * drop (no trend is estimable). All windows are keyed; nothing is
+    * corpus-grain.
+    */
+  def theilSenTrend(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String, maxPoints: Int = 64): DataFrame = {
+    require(maxPoints >= 2, s"bad maxPoints $maxPoints")
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("__k"))
+      .orderBy(col("__x"), col("__y"))
+    val pts = graft.CacheScope.register(df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .withColumn("__i", row_number().over(wp))
+      .filter(col("__i") <= maxPoints)
+      .persist())
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__i") < col("b.__i") &&
+          col("a.__x") =!= col("b.__x"))
+      .select(col("a.__k").as("__k"), col("a.__i").as("__ai"),
+        col("b.__i").as("__bi"),
+        round((col("b.__y") - col("a.__y")) /
+          (col("b.__x") - col("a.__x")), 6).as("__m"))
+    val wm = Window.partitionBy(col("__k"))
+      .orderBy(col("__m"), col("__ai"), col("__bi"))
+    val med = pairs
+      .withColumn("__rn", row_number().over(wm))
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .filter(col("__rn") === expr("(__np + 1) DIV 2"))
+      .select(col("__k"), col("__m").as("slope"),
+        col("__np").as("n_pairs"))
+    val res = pts.join(med, Seq("__k"))
+      .withColumn("__r", round(col("__y") - col("slope") * col("__x"), 6))
+    val wr = Window.partitionBy(col("__k")).orderBy(col("__r"), col("__i"))
+    res
+      .withColumn("__rr", row_number().over(wr))
+      .withColumn("__npt", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .filter(col("__rr") === expr("(__npt + 1) DIV 2"))
+      .select(col("__k").as(keyCol), col("__npt").as("n_points"),
+        col("n_pairs"), col("slope"), col("__r").as("intercept"))
+  }
+
   /** Benford first-digit audit — the fraud/synthetic-data smell test:
     * naturally occurring multi-scale amounts follow
     * P(d) = log10(1 + 1/d); uniform or fabricated values do not.

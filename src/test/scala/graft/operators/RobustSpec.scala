@@ -116,4 +116,34 @@ class RobustSpec extends SparkSpec {
       .filter(col("digit") === 1).head().getAs[Double]("benford_p")
     assert(b1 === math.rint(math.log10(2.0) * 1e6) / 1e6)
   }
+
+  test("theilSenTrend: the pairwise-median slope shrugs off an " +
+      "outlier that would wreck OLS; keys without a distinct-x pair drop") {
+    val s = spark
+    import s.implicits._
+    // key a: y = 2x + 1 on x = 0..4, plus a wild outlier at x = 5.
+    // 10 clean pairs have slope 2.0; the 5 outlier pairs are huge;
+    // the lower median of the 15 sorted slopes (rank 8) is still 2.0.
+    val a = (0 to 4).map(x => ("a", x, 2.0 * x + 1)) :+ (("a", 5, 500.0))
+    // key b: vertical points only (same x) -> no estimable pair
+    val b = Seq(("b", 3, 1.0), ("b", 3, 9.0))
+    val out = Robust.theilSenTrend((a ++ b).toDF("k", "x", "y"),
+      "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("n_pairs"),
+          r.getAs[Double]("slope"), r.getAs[Double]("intercept"))).toMap
+    assert(out.keySet === Set("a"))
+    val (np, npr, m, c) = out("a")
+    assert(np === 6L && npr === 15L)
+    assert(m === 2.0)
+    // residuals: clean points give 1.0, the outlier 490 — median 1.0
+    assert(c === 1.0)
+
+    // maxPoints caps the pair space deterministically
+    val capped = Robust.theilSenTrend(a.toDF("k", "x", "y"),
+      "k", "x", "y", maxPoints = 3)
+      .head()
+    assert(capped.getAs[Long]("n_points") === 3L)
+    assert(capped.getAs[Long]("n_pairs") === 3L)
+  }
 }
