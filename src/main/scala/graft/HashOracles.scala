@@ -2828,6 +2828,50 @@ object HashOracles {
         "ORDER BY ue.a, ue.b")
   }
 
+  /** Split-conformal replay ([[operators.Conformal
+    * .splitConformalByGroup]] on orders by priority): the q147 hash-
+    * split chain on o_orderkey, per-group train mean on the 1e-4 grid,
+    * calibration |residual| at the exact conformal rank
+    * ⌈(n+1)(1−α)⌉ (clamped to n), held-out coverage.
+    */
+  def q247Conformal(alphaPct: Int): String = {
+    val keep = (100 - alphaPct).toString
+    val head = Seq(
+      "dz AS (SELECT o_orderkey AS id, o_orderpriority AS g, " +
+        "o_totalprice AS y, CAST(o_orderkey AS HUGEINT) AS z FROM orders)")
+    val mixed = mixStages(Seq("z"), Seq("id", "g", "y"))
+      .zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+      }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(head ++ mixed ++ Seq(
+      s"sp AS (SELECT id, g, y, CASE WHEN $signedMod < 5000 " +
+        s"THEN 'train' WHEN $signedMod < 7500 THEN 'cal' " +
+        "ELSE 'test' END AS split FROM dm5)",
+      "fit AS (SELECT g, CAST(count(*) AS BIGINT) AS n_train, " +
+        "round(sum(y) / count(*), 4) AS yhat FROM sp " +
+        "WHERE split = 'train' GROUP BY g)",
+      "cr AS (SELECT sp.g, sp.id, round(abs(sp.y - fit.yhat), 4) AS r " +
+        "FROM sp JOIN fit USING (g) WHERE split = 'cal')",
+      "nc AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal FROM cr " +
+        "GROUP BY g)",
+      "rk AS (SELECT g, id, r, row_number() OVER " +
+        "(PARTITION BY g ORDER BY r, id) AS rn FROM cr)",
+      s"qh AS (SELECT rk.g, nc.n_cal, rk.r AS qhat FROM rk " +
+        s"JOIN nc USING (g) WHERE rk.rn = least(nc.n_cal, " +
+        s"((nc.n_cal + 1) * $keep + 99) // 100))",
+      "tv AS (SELECT sp.g, sp.y, fit.yhat, qh.qhat, qh.n_cal, " +
+        "fit.n_train FROM sp JOIN fit USING (g) JOIN qh USING (g) " +
+        "WHERE split = 'test')"),
+      "SELECT g AS o_orderpriority, n_train, n_cal, " +
+        "CAST(count(*) AS BIGINT) AS n_test, yhat, qhat, " +
+        "round(CAST(sum(CASE WHEN abs(y - yhat) <= qhat THEN 1 " +
+        "ELSE 0 END) AS DOUBLE) / count(*), 4) AS coverage " +
+        "FROM tv GROUP BY g, n_train, n_cal, yhat, qhat " +
+        "ORDER BY o_orderpriority")
+  }
+
   /** DP noisy-count replay ([[operators.Privacy.noisyCounts]] over
     * documents grouped by (source, lang)): per-group uniform =
     * splitmix64(fnv1a64(source|lang) XOR splitmix64(seed)) in HUGEINT,

@@ -3529,6 +3529,18 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Split-conformal prediction intervals: distribution-free ±q̂
+    // coverage for the per-priority order-value predictor — train/cal/
+    // test by the q147 deterministic id-hash split (the stability
+    // conformal's exchangeability needs), q̂ at the exact
+    // ⌈(n_cal+1)(1−α)⌉ calibration-residual rank, coverage measured
+    // held-out. Swap any model's prediction column in unchanged.
+    "q247_conformal_intervals" -> ((s, dir) =>
+      graft.operators.Conformal.splitConformalByGroup(
+          T(s, dir, "orders"), "o_orderkey", "o_orderpriority",
+          "o_totalprice", alphaPct = 10)
+        .orderBy(col("o_orderpriority"))),
+
     // Theil–Sen robust per-user spend trend — the median-of-pairwise-
     // slopes complement to q163's grouped OLS (outlier days can swing
     // a least-squares slope arbitrarily; the pairwise median has a
@@ -7149,6 +7161,8 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q247_conformal_intervals" -> HashOracles.q247Conformal(10),
 
     // lower-median at nearest rank over the (slope, i, j) order —
     // the replay convention on both engines
