@@ -3529,6 +3529,33 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Benjamini–Hochberg FDR over a segment sweep — the multiple-
+    // testing readout the experimentation family (q213-q215, q221)
+    // still lacked: one Welch z per market segment (parity arms, a
+    // planted +2000 lift on BUILDING's treatment so both verdicts are
+    // exercised), then BH step-up at q=10% over the 5-row test table.
+    // Unit-grain work is ONE (segment, arm) aggregation; every window
+    // runs over the bounded test table.
+    "q248_bh_fdr_sweep" -> ((s, dir) => {
+      val units = T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          pmod(col("o_custkey"), lit(2)).cast("string").as("arm"),
+          (col("o_totalprice") + when(col("c_mktsegment") === "BUILDING"
+            && pmod(col("o_custkey"), lit(2)) === 1, 2000.0)
+            .otherwise(0.0)).as("y"))
+      val z = graft.operators.Multiplicity.welchZBy(
+        units, "seg", "arm", "y")
+      graft.operators.Multiplicity.benjaminiHochberg(z, "p", "grp",
+          qPct = 10)
+        .select(col("grp").as("segment"), col("n_a"), col("n_b"),
+          col("diff"), col("z"), col("p"), col("rank"),
+          col("bh_threshold"), col("rejected"))
+        .orderBy(col("rank"))
+    }),
+
     // Split-conformal prediction intervals: distribution-free ±q̂
     // coverage for the per-priority order-value predictor — train/cal/
     // test by the q147 deterministic id-hash split (the stability
@@ -7161,6 +7188,49 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    // exponent-suffixed literals are DOUBLE in DuckDB, so the A&S
+    // polynomial is the identical double expression tree on both
+    // engines; z rounds at 1e-4 before p, p at 1e-6 before BH
+    "q248_bh_fdr_sweep" ->
+      """WITH u AS (SELECT c.c_mktsegment AS grp,
+        |  CAST(o.o_custkey % 2 AS VARCHAR) AS arm,
+        |  o.o_totalprice + CASE WHEN c.c_mktsegment = 'BUILDING'
+        |    AND o.o_custkey % 2 = 1 THEN 2000.0e0 ELSE 0.0e0 END AS y
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |ag AS (SELECT grp, arm, CAST(count(*) AS BIGINT) AS n,
+        |  sum(y) AS sy, sum(y * y) AS syy FROM u GROUP BY 1, 2),
+        |st AS (SELECT grp, arm, n, sy / CAST(n AS DOUBLE) AS m,
+        |  ((syy - sy * sy / CAST(n AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) - 1)) / CAST(n AS DOUBLE) AS s
+        |  FROM ag),
+        |zt AS (SELECT a.grp, a.n AS n_a, b.n AS n_b,
+        |  round(a.m - b.m, 4) AS diff,
+        |  round((a.m - b.m) / sqrt(a.s + b.s), 4) AS z
+        |  FROM st a JOIN st b ON a.grp = b.grp
+        |    AND a.arm = '0' AND b.arm = '1'),
+        |pv AS (SELECT grp, n_a, n_b, diff, z,
+        |  round(least(1.0e0, 2.0e0 *
+        |    (exp(-0.5e0 * abs(z) * abs(z)) * 0.3989422804014327e0) *
+        |    ((1.0e0 / (1.0e0 + 0.2316419e0 * abs(z))) *
+        |      (0.319381530e0 + (1.0e0 / (1.0e0 + 0.2316419e0 * abs(z)))
+        |        * (-0.356563782e0 + (1.0e0 / (1.0e0 + 0.2316419e0 *
+        |          abs(z))) * (1.781477937e0 + (1.0e0 / (1.0e0 +
+        |          0.2316419e0 * abs(z))) * (-1.821255978e0 +
+        |          (1.0e0 / (1.0e0 + 0.2316419e0 * abs(z))) *
+        |          1.330274429e0)))))), 6) AS p
+        |  FROM zt),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, grp)
+        |    AS INTEGER) AS rank,
+        |  CAST(count(*) OVER () AS BIGINT) AS m FROM pv),
+        |th AS (SELECT *, round(CAST(rank AS DOUBLE) * 10 /
+        |  (100.0e0 * m), 6) AS bh_threshold FROM rk),
+        |km AS (SELECT *, max(CASE WHEN p <= bh_threshold THEN rank END)
+        |  OVER () AS kmax FROM th)
+        |SELECT grp AS segment, n_a, n_b, diff, z, p, rank,
+        |  bh_threshold,
+        |  kmax IS NOT NULL AND rank <= kmax AS rejected
+        |FROM km ORDER BY rank""".stripMargin,
 
     "q247_conformal_intervals" -> HashOracles.q247Conformal(10),
 

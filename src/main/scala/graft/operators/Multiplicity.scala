@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multiple-testing control for experiment sweeps: a grouped two-arm
+  * Welch z-test (one test per segment from one (group, arm)-grain
+  * aggregation) and Benjamini–Hochberg step-up FDR selection over the
+  * resulting test table.
+  *
+  * Replay discipline: z rounds at 1e-4 BEFORE the p-value, the normal
+  * tail probability is an explicit Abramowitz–Stegun 26.2.17 polynomial
+  * (one `exp` — every other op is +,·,/ on literals, so any engine
+  * computes the identical expression tree) rounded at 1e-6, and every
+  * BH decision compares those rounded grids only.
+  *
+  * Scale shape: the z table is segment-grain (one row per test);
+  * BH's rank window runs over that bounded table, never over units —
+  * the [[Abtest.mannWhitney]] experiment-sized-table contract.
+  */
+object Multiplicity {
+
+  /** Two-sided normal tail p = 2(1−Φ(|z|)), A&S 26.2.17 (|ε| < 7.5e-8
+    * — far inside the 1e-6 grid this rounds to).
+    */
+  def normalTwoSidedP(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val pdf = exp(lit(-0.5) * az * az) * lit(0.3989422804014327)
+    round(least(lit(1.0), lit(2.0) * pdf * poly), 6)
+  }
+
+  /** One Welch z per `groupCol`: arms meet inside each group (arm_a =
+    * the lexicographically first arm — groups must have exactly two),
+    * z from the [[Abtest.welchTTest]] closed form, p from
+    * [[normalTwoSidedP]] of the 1e-4-rounded z (the large-sample
+    * normal reading standard in high-volume experimentation).
+    */
+  def welchZBy(units: DataFrame, groupCol: String, armCol: String,
+      yCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val arms = units.groupBy(col(groupCol).as("grp"), col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(y).as("__sy"),
+        sum(y * y).as("__syy"))
+      .withColumn("__nd", col("n").cast("double"))
+      .withColumn("__m", col("__sy") / col("__nd"))
+      .withColumn("__s",
+        ((col("__syy") - col("__sy") * col("__sy") / col("__nd")) /
+          (col("__nd") - 1)) / col("__nd"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("arm"))
+    val two = arms.withColumn("__rk", row_number().over(w))
+      .withColumn("__na", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val a = two.filter(col("__rk") === 1 && col("__na") === 2)
+      .select(col("grp"), col("arm").as("arm_a"), col("n").as("n_a"),
+        col("__m").as("__ma"), col("__s").as("__sa"))
+    val b = two.filter(col("__rk") === 2)
+      .select(col("grp"), col("arm").as("arm_b"), col("n").as("n_b"),
+        col("__m").as("__mb"), col("__s").as("__sb"))
+    a.join(b, Seq("grp"))
+      .withColumn("z", round((col("__ma") - col("__mb")) /
+        sqrt(col("__sa") + col("__sb")), 4))
+      .select(col("grp"), col("arm_a"), col("arm_b"), col("n_a"),
+        col("n_b"), round(col("__ma") - col("__mb"), 4).as("diff"),
+        col("z"), normalTwoSidedP(col("z")).as("p"))
+  }
+
+  /** Benjamini–Hochberg step-up at FDR level `qPct`%: rank the m tests
+    * by (p, key), reject every test at rank ≤ the LARGEST i with
+    * `p_(i) ≤ i·q/m` (the step-up — a test can be rejected even where
+    * its own inequality fails, riding a later rank that passes).
+    * Emits the full accounting: rank, threshold, rejected. The window
+    * is over the m-row test table only.
+    */
+  def benjaminiHochberg(tests: DataFrame, pCol: String, keyCol: String,
+      qPct: Int): DataFrame = {
+    require(qPct >= 1 && qPct < 100, s"bad qPct $qPct")
+    val wr = Window.orderBy(col(pCol), col(keyCol))
+    val ranked = tests
+      .withColumn("rank", row_number().over(wr))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("bh_threshold",
+        round(col("rank").cast("double") * qPct /
+          (lit(100.0) * col("__m")), 6))
+      .withColumn("__pass",
+        when(col(pCol) <= col("bh_threshold"), col("rank")))
+    ranked
+      .withColumn("__kmax", max(col("__pass")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("rejected",
+        col("__kmax").isNotNull && col("rank") <= col("__kmax"))
+      .drop("__m", "__pass", "__kmax")
+  }
+}
