@@ -3529,6 +3529,44 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // CSV round trip with an EXPLICIT read schema: customers written
+    // as real CSV (header, quoting) and read back typed — doubles
+    // survive exactly (shortest-repr write, exact re-parse), so the
+    // revenue profile hash-matches the parquet oracle. Schema-on-read
+    // is the contract: FAILFAST so a drifted file dies loudly.
+    "q250_csv_roundtrip" -> ((s, dir) => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q250_csv").getAbsolutePath
+      T(s, dir, "customer").write.mode("overwrite")
+        .option("header", "true").csv(p)
+      s.read.option("header", "true").option("mode", "FAILFAST")
+        .schema("c_custkey LONG, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+        .csv(p)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_balance"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ORC round trip: orders written as real ORC and read back with a
+    // pushed date predicate — the third columnar interchange format
+    // beside parquet and npy (plan spec asserts the ORC scan carries
+    // PushedFilters, the same scan discipline as q02 on parquet).
+    "q249_orc_roundtrip" -> ((s, dir) => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q249_orc").getAbsolutePath
+      T(s, dir, "orders").write.mode("overwrite").orc(p)
+      s.read.orc(p)
+        .filter(col("o_orderdate").between(
+          lit(java.sql.Date.valueOf("1995-01-01")),
+          lit(java.sql.Date.valueOf("1995-12-31"))))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Benjamini–Hochberg FDR over a segment sweep — the multiple-
     // testing readout the experimentation family (q213-q215, q221)
     // still lacked: one Welch z per market segment (parity arms, a
@@ -7188,6 +7226,20 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q250_csv_roundtrip" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_balance
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q249_orc_roundtrip" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1995-01-01'
+        |  AND DATE '1995-12-31'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // exponent-suffixed literals are DOUBLE in DuckDB, so the A&S
     // polynomial is the identical double expression tree on both

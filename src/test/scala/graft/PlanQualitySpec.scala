@@ -692,6 +692,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q246-q250: robust/conformal windows all keyed, BH window over " +
+      "the bounded test table only, ORC scan pushes the date filter") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // theil-sen + conformal: every unit-grain window is partitioned
+    for (q <- Seq("q246_theil_sen_trend", "q247_conformal_intervals")) {
+      val lp = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q has an unpartitioned window:\n$lp")
+    }
+    // BH: unpartitioned windows sit only above aggregation (the m-row
+    // test table), mirroring the ntile-family contract
+    val bh = SparkEntry.queries("q248_bh_fdr_sweep")(spark, dir)
+      .queryExecution.optimizedPlan
+    val badBh = bh.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(badBh.isEmpty, s"BH window must be test-table-grain:\n$bh")
+    // ORC round trip: the read-back scan reports ORC and pushes the
+    // date predicate down like the q02 parquet contract
+    val orc = SparkEntry.queries("q249_orc_roundtrip")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(orc.toLowerCase.contains("orc"), orc)
+    assert(orc.contains("PushedFilters: [") &&
+      orc.contains("o_orderdate"), orc)
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
