@@ -3529,6 +3529,23 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Holt linear-trend forecast of daily revenue per priority: the
+    // level/trend state folds once through each key's ordered series
+    // INSIDE codegen (aggregate HOF — per-key sequential state with
+    // no window and no driver loop), re-rounded at 1e-6 per step so
+    // the trajectory replays engine-independently; 30-day-ahead
+    // forecast = level + 30·trend.
+    "q251_holt_forecast" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Forecast.holtLinear(daily, "o_orderpriority",
+          "day", "rev", alpha = 0.3, beta = 0.1, horizon = 30)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // CSV round trip with an EXPLICIT read schema: customers written
     // as real CSV (header, quoting) and read back typed — doubles
     // survive exactly (shortest-repr write, exact re-parse), so the
@@ -7226,6 +7243,34 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    // the same fold as the Spark aggregate HOF: the (level, trend)
+    // state rides as a 2-element DOUBLE list (a struct accumulator
+    // miscomputes its second field in DuckDB's list_reduce after the
+    // first iteration — probed and avoided); observations map into
+    // the same list shape so the one-type contract holds; every step
+    // re-rounds at 1e-6, making the trajectory engine-independent
+    "q251_holt_forecast" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS day, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT o_orderpriority,
+        |  list(CAST(rev AS DOUBLE) ORDER BY day) AS sl
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT o_orderpriority, len(sl) AS n_obs,
+        |  list_reduce(
+        |    list_prepend([sl[1], sl[2] - sl[1]],
+        |      list_transform(sl[2:],
+        |        p -> [p, CAST(NULL AS DOUBLE)])),
+        |    (a, x) -> [round(0.3e0 * x[1] + 0.7e0 * (a[1] + a[2]), 6),
+        |      round(0.1e0 * (round(0.3e0 * x[1] + 0.7e0 *
+        |        (a[1] + a[2]), 6) - a[1]) + 0.9e0 * a[2], 6)]) AS st
+        |  FROM s WHERE len(sl) >= 2)
+        |SELECT o_orderpriority, CAST(n_obs AS INTEGER) AS n_obs,
+        |  st[1] AS level, st[2] AS trend,
+        |  round(st[1] + 30.0e0 * st[2], 6) AS forecast_30
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
 
     "q250_csv_roundtrip" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series forecasting: Holt's linear trend (double
+  * exponential smoothing) — level + trend state folded once through the
+  * ordered series, h-step forecast = level + h·trend. The forecasting
+  * complement to the family's descriptive devices ([[Decay]]'s EWMA
+  * weights, CUSUM drift, rate anomalies).
+  *
+  * Execution shape: ONE groupBy collects each key's series as an
+  * ordered array and the smoothing runs as an `aggregate` HOF fold
+  * inside codegen — per-key sequential state without a window, no
+  * driver loop, keys process in parallel. The contract is
+  * experiment/entity-grain series (thousands of points per key, the
+  * array is a row value); corpus-grain series belong in the streaming
+  * fold instead.
+  *
+  * Replay discipline: level and trend re-round at 1e-6 after EACH
+  * update, so the whole trajectory is a pure function of grid values —
+  * any engine folding the same ordered list reproduces it bit-exactly
+  * (the k-means/Markov grid-pinning device, applied to smoothing).
+  * Init is the standard l₁ = y₁, b₁ = y₂ − y₁ with updates folding
+  * from y₂ (Hyndman & Athanasopoulos §8.2); keys with fewer than 2
+  * observations drop (no trend is estimable).
+  */
+object Forecast {
+
+  def holtLinear(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, alpha: Double, beta: Double,
+      horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"smoothing parameters out of (0,1): alpha=$alpha beta=$beta")
+    require(horizon >= 1, s"bad horizon $horizon")
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("y")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+    series
+      .withColumn("__st", expr(
+        s"""aggregate(
+           |  slice(__s, 2, size(__s) - 1),
+           |  named_struct(
+           |    'l', CAST(__s[0].y AS DOUBLE),
+           |    'b', CAST(__s[1].y - __s[0].y AS DOUBLE)),
+           |  (acc, x) -> named_struct(
+           |    'l', round($alpha * x.y + ${1 - alpha} * (acc.l + acc.b), 6),
+           |    'b', round($beta * (round($alpha * x.y + ${1 - alpha} *
+           |      (acc.l + acc.b), 6) - acc.l) + ${1 - beta} * acc.b, 6)))"""
+          .stripMargin))
+      .select(col(keyCol), size(col("__s")).as("n_obs"),
+        col("__st.l").as("level"), col("__st.b").as("trend"),
+        round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 6)
+          .as(s"forecast_$horizon"))
+  }
+}
