@@ -7267,7 +7267,7 @@ object SparkEntry {
         |      round(0.1e0 * (round(0.3e0 * x[1] + 0.7e0 *
         |        (a[1] + a[2]), 6) - a[1]) + 0.9e0 * a[2], 6)]) AS st
         |  FROM s WHERE len(sl) >= 2)
-        |SELECT o_orderpriority, CAST(n_obs AS INTEGER) AS n_obs,
+        |SELECT o_orderpriority, CAST(n_obs AS BIGINT) AS n_obs,
         |  st[1] AS level, st[2] AS trend,
         |  round(st[1] + 30.0e0 * st[2], 6) AS forecast_30
         |FROM f ORDER BY o_orderpriority""".stripMargin,

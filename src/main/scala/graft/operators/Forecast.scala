@@ -51,9 +51,65 @@ object Forecast {
            |    'b', round($beta * (round($alpha * x.y + ${1 - alpha} *
            |      (acc.l + acc.b), 6) - acc.l) + ${1 - beta} * acc.b, 6)))"""
           .stripMargin))
-      .select(col(keyCol), size(col("__s")).as("n_obs"),
+      .select(col(keyCol), size(col("__s")).cast("long").as("n_obs"),
         col("__st.l").as("level"), col("__st.b").as("trend"),
         round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 6)
           .as(s"forecast_$horizon"))
+  }
+
+  /** RESUME the Holt fold from persisted state: `state` is a prior
+    * [[holtLinear]]/[[holtLinearFrom]] output (`key, n_obs, level,
+    * trend`), and each key's NEW points (all strictly later than the
+    * state's horizon — the caller's contract, same as every
+    * incremental fold here) continue the recursion from the stored
+    * (level, trend). Because the smoothing is a left fold,
+    * `resume(fold(A), B) == fold(A ++ B)` EXACTLY — incremental
+    * maintenance never replays history (the [[graft.sources
+    * .SkippingManifest.merge]] contract for sequential state). Keys
+    * with no new points pass through unchanged; NEW keys (no state)
+    * get the classic [[holtLinear]] init. Output feeds back in as the
+    * next state.
+    */
+  def holtLinearFrom(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, state: DataFrame, alpha: Double, beta: Double,
+      horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"smoothing parameters out of (0,1): alpha=$alpha beta=$beta")
+    require(horizon >= 1, s"bad horizon $horizon")
+    val fc = s"forecast_$horizon"
+    val st = state.select(col(keyCol), col("n_obs").as("__pn"),
+      col("level").as("__pl"), col("trend").as("__pb"))
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("y")))).as("__s"))
+    // keys with prior state: fold EVERY new point from (level, trend)
+    val resumed = series.join(st, Seq(keyCol))
+      .withColumn("__st", expr(
+        s"""aggregate(__s,
+           |  named_struct('l', __pl, 'b', __pb),
+           |  (acc, x) -> named_struct(
+           |    'l', round($alpha * x.y + ${1 - alpha} * (acc.l + acc.b), 6),
+           |    'b', round($beta * (round($alpha * x.y + ${1 - alpha} *
+           |      (acc.l + acc.b), 6) - acc.l) + ${1 - beta} * acc.b, 6)))"""
+          .stripMargin))
+      .select(col(keyCol),
+        (col("__pn") + size(col("__s")).cast("long")).as("n_obs"),
+        col("__st.l").as("level"), col("__st.b").as("trend"),
+        round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 6)
+          .as(fc))
+    // prior keys with no new points pass through unchanged
+    val idle = st.join(series.select(col(keyCol)), Seq(keyCol),
+        "left_anti")
+      .select(col(keyCol), col("__pn").as("n_obs"),
+        col("__pl").as("level"), col("__pb").as("trend"),
+        round(col("__pl") + lit(horizon.toDouble) * col("__pb"), 6)
+          .as(fc))
+    // brand-new keys: classic init over their own series
+    val fresh = holtLinear(
+      df.join(st.select(col(keyCol)), Seq(keyCol), "left_anti"),
+      keyCol, tCol, valueCol, alpha, beta, horizon)
+    resumed.unionByName(idle).unionByName(fresh)
   }
 }

@@ -20,11 +20,11 @@ class ForecastSpec extends SparkSpec {
     val out = Forecast.holtLinear(rows.toDF("k", "t", "y"),
         "k", "t", "y", alpha = 0.3, beta = 0.1, horizon = 10)
       .collect().map(r => r.getString(0) ->
-        (r.getAs[Int]("n_obs"), r.getAs[Double]("level"),
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("level"),
           r.getAs[Double]("trend"), r.getAs[Double]("forecast_10"))).toMap
-    assert(out("const") === ((50, 42.0, 0.0, 42.0)))
+    assert(out("const") === ((50L, 42.0, 0.0, 42.0)))
     // last value y(49) = 252, slope 5 -> forecast(10) = 252 + 50
-    assert(out("linear") === ((50, 252.0, 5.0, 302.0)))
+    assert(out("linear") === ((50L, 252.0, 5.0, 302.0)))
   }
 
   test("a level shift is absorbed: the trend settles back toward zero " +
