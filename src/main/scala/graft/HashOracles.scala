@@ -2872,6 +2872,44 @@ object HashOracles {
         "ORDER BY o_orderpriority")
   }
 
+  /** User-level DP noisy-sum replay ([[operators.Privacy.noisySums]]
+    * over events by event_type, unit = user): per-user clipped integer
+    * totals, group sums, geometric noise at rational α from the SAME
+    * exact BigInt threshold table as the Spark expression.
+    */
+  def q252DpSums(seed: Long, clip: Long, alphaNum: Long, alphaDen: Long,
+      cap: Int): String = {
+    val seedMix = functions.DedupFunctions.splitmix64(seed)
+    val seedLit =
+      if (seedMix >= 0) seedMix.toString else s"($seedMix + $P64)"
+    val ts = operators.Privacy.geometricThresholds(cap, alphaNum, alphaDen)
+    val noiseCase = "CASE " + (-cap until cap).zip(ts).map {
+      case (x, t) => s"WHEN z < CAST($t AS HUGEINT) THEN CAST($x AS BIGINT) "
+    }.mkString + s"ELSE CAST($cap AS BIGINT) END"
+    val head = Seq(
+      "pu AS (SELECT event_type, user_id, least(" + clip +
+        ", greatest(0, CAST(floor(sum(CAST(value AS DOUBLE))) " +
+        "AS BIGINT))) AS c FROM events GROUP BY 1, 2)",
+      "cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_units, " +
+        "CAST(sum(c) AS BIGINT) AS sum_clipped FROM pu " +
+        "GROUP BY event_type)",
+      s"hz AS (SELECT event_type, n_units, sum_clipped, " +
+        s"xor(${fnv("event_type")}, CAST($seedLit AS HUGEINT)) AS z " +
+        "FROM cnt)")
+    val mixed = mixStages(Seq("z"),
+      Seq("event_type", "n_units", "sum_clipped"))
+      .zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) "hz" else s"hm${n - 1}"
+        s"hm$n AS ($body FROM $prev)"
+      }
+    withClause(head ++ mixed :+
+      s"nz AS (SELECT event_type, n_units, sum_clipped, " +
+        s"$noiseCase AS noise FROM hm5)",
+      "SELECT event_type, n_units, sum_clipped, noise, " +
+        "greatest(CAST(0 AS BIGINT), sum_clipped + noise) AS sum_noisy " +
+        "FROM nz ORDER BY event_type")
+  }
+
   /** DP noisy-count replay ([[operators.Privacy.noisyCounts]] over
     * documents grouped by (source, lang)): per-group uniform =
     * splitmix64(fnv1a64(source|lang) XOR splitmix64(seed)) in HUGEINT,

@@ -3529,6 +3529,17 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // USER-LEVEL DP noisy sums — the q239 mechanism grown up: each
+    // user's per-event-type spend quantizes and clips to [0, 10]
+    // (sensitivity = 10 for add/remove-one-user), the clipped group
+    // sum takes geometric noise at α = 3/4 from the general rational-α
+    // exact-integer threshold table (ε = 10·ln(4/3) ≈ 2.9). Clip bias
+    // is the real DP trade; sum_clipped audits it.
+    "q252_dp_sums" -> ((s, dir) =>
+      graft.operators.Privacy.noisySums(events(s, dir),
+          Seq("event_type"), "user_id", "value", clip = 10L, seed = 7L)
+        .orderBy(col("event_type"))),
+
     // Holt linear-trend forecast of daily revenue per priority: the
     // level/trend state folds once through each key's ordered series
     // INSIDE codegen (aggregate HOF — per-key sequential state with
@@ -7243,6 +7254,10 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q252_dp_sums" ->
+      HashOracles.q252DpSums(seed = 7L, clip = 10L, alphaNum = 3L,
+        alphaDen = 4L, cap = 60),
 
     // the same fold as the Spark aggregate HOF: the (level, trend)
     // state rides as a 2-element DOUBLE list (a struct accumulator

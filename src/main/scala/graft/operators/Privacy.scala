@@ -98,22 +98,44 @@ object Privacy {
     * by the Spark expression and the DuckDB oracle so both engines walk
     * the IDENTICAL integer table.
     */
-  def geometricThresholds(cap: Int): IndexedSeq[BigInt] = {
-    require(cap >= 1 && cap <= 60, s"bad cap $cap")
+  def geometricThresholds(cap: Int): IndexedSeq[BigInt] =
+    geometricThresholds(cap, 1, 2)
+
+  /** The general table for rational α = num/den < 1 (ε = Δ·ln(den/num)
+    * at sensitivity Δ): two-sided geometric CDF `F(x) = α^(−x)/(1+α)`
+    * for x < 0 and `1 − α^(x+1)/(1+α)` for x ≥ 0, floored onto the
+    * 2^64 grid with EXACT BigInt rational arithmetic (α^m = num^m/den^m
+    * — no float touches the table, any α). `cap` clamps the tails;
+    * size it so α^cap/(1+α) is negligible at the chosen α.
+    */
+  def geometricThresholds(cap: Int, num: Long, den: Long): IndexedSeq[BigInt] = {
+    require(cap >= 1 && cap <= 200, s"bad cap $cap")
+    require(num >= 1 && den > num, s"alpha must be in (0,1): $num/$den")
+    val full = BigInt(2).pow(64)
+    val n = BigInt(num); val d = BigInt(den)
     (-cap until cap).map { x =>
-      if (x < 0) BigInt(2).pow(65 + x) / 3
-      else BigInt(2).pow(64) - (BigInt(2).pow(64 - x) + 2) / 3
+      if (x < 0) {
+        // F(x) = n^(−x) / (d^(−x−1) · (d + n))  [α^(−x)/(1+α) reduced]
+        val m = -x
+        full * n.pow(m) / (d.pow(m - 1) * (d + n))
+      } else {
+        // 1 − α^(x+1)/(1+α) = 1 − n^(x+1)/(d^x · (d + n))
+        val m = x + 1
+        full - (full * n.pow(m) + d.pow(m - 1) * (d + n) - 1) /
+          (d.pow(m - 1) * (d + n))
+      }
     }
   }
 
   /** The inverse-CDF walk as a Column: `u` holds the uniform's 64-bit
     * pattern in a signed long; comparisons shift both sides by 2^63
     * (XOR with Long.MinValue) so signed order equals unsigned order.
-    * A when-chain over ≤ 120 literal comparisons — pure codegen.
+    * A when-chain over the literal table — pure codegen.
     */
-  private def geometricNoise(u: Column, cap: Int): Column = {
+  private def geometricNoise(u: Column, table: IndexedSeq[BigInt]): Column = {
+    val cap = table.size / 2
     val shifted = u.bitwiseXOR(lit(Long.MinValue))
-    val ts = geometricThresholds(cap).map(t => t.longValue ^ Long.MinValue)
+    val ts = table.map(t => t.longValue ^ Long.MinValue)
     val first = when(shifted < lit(ts.head), lit(-cap))
     (1 until 2 * cap).foldLeft(first) { (acc, j) =>
       acc.when(shifted < lit(ts(j)), lit(j - cap))
@@ -136,7 +158,40 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .withColumn("noise", geometricNoise(
         HashExpressions.splitmix64(
-          HashExpressions.fnv1a64(key).bitwiseXOR(lit(seedMix))), cap))
+          HashExpressions.fnv1a64(key).bitwiseXOR(lit(seedMix))),
+        geometricThresholds(cap)))
       .withColumn("n_noisy", greatest(lit(0L), col("n") + col("noise")))
+  }
+
+  /** USER-LEVEL ε-DP noisy sums — the release real aggregation
+    * dashboards need: each unit's (user's) total contribution to its
+    * group quantizes to the integer grid and CLIPS to `[0, clip]`
+    * (so adding or removing one whole unit moves the group sum by at
+    * most `clip` — the sensitivity), then the clipped group sum gets
+    * two-sided geometric noise at rational α = alphaNum/alphaDen,
+    * giving ε = clip · ln(alphaDen/alphaNum). Same replay-exact
+    * machinery as [[noisyCounts]] — the general threshold table, the
+    * group-keyed uniform — so the release gates bit-exactly. Clip and
+    * α trade bias for privacy exactly as in production DP systems;
+    * `sum_clipped` rides along as the audit column.
+    */
+  def noisySums(df: DataFrame, groupCols: Seq[String], unitCol: String,
+      valueCol: String, clip: Long, seed: Long, alphaNum: Long = 3,
+      alphaDen: Long = 4, cap: Int = 60): DataFrame = {
+    require(clip >= 1, s"bad clip $clip")
+    val seedMix = graft.functions.DedupFunctions.splitmix64(seed)
+    val key = concat_ws("|", groupCols.map(col): _*)
+    val perUnit = df.groupBy((groupCols :+ unitCol).map(col): _*)
+      .agg(least(lit(clip), greatest(lit(0L),
+        floor(sum(col(valueCol).cast("double"))).cast("long")))
+        .as("__c"))
+    perUnit.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_units"), sum(col("__c")).as("sum_clipped"))
+      .withColumn("noise", geometricNoise(
+        HashExpressions.splitmix64(
+          HashExpressions.fnv1a64(key).bitwiseXOR(lit(seedMix))),
+        geometricThresholds(cap, alphaNum, alphaDen)))
+      .withColumn("sum_noisy",
+        greatest(lit(0L), col("sum_clipped") + col("noise")))
   }
 }

@@ -29,6 +29,54 @@ class PrivacySpec extends SparkSpec {
     assert(((t20(2) - t20(1)) - 2 * (t20(1) - t20(0))).abs <= 1)
   }
 
+  test("the general rational-alpha table is the exact CDF: alpha=3/4 " +
+      "masses match the closed forms, and alpha=1/2 reproduces the " +
+      "original table") {
+    val full = BigInt(2).pow(64)
+    val t34 = Privacy.geometricThresholds(2, 3, 4)
+    // F(-2) = (9/16)/(7/4) = 9/28 ; F(-1) = 3/7 ; F(0) = 4/7
+    assert(t34(0) === full * 9 / 28)
+    assert(t34(1) === full * 3 / 7)
+    assert((t34(2) - full * 4 / 7).abs <= 1)
+    // P(0) = (1-a)/(1+a) = 1/7
+    assert(((t34(2) - t34(1)) - full / 7).abs <= 1)
+    assert(Privacy.geometricThresholds(20, 1, 2) ===
+      Privacy.geometricThresholds(20))
+  }
+
+  test("noisySums: clipping bounds every unit's contribution, the noise " +
+      "matches an independent BigInt walk on the alpha=3/4 table") {
+    val s = spark
+    import s.implicits._
+    // unit u contributes value 2.5 three times (total 7.5 -> floor 7)
+    // except unit 0 which contributes 1000 (clips to 10)
+    val df = (0 until 40).flatMap { u =>
+      val v = if (u == 0) 1000.0 else 2.5
+      Seq.tabulate(3)(i => (s"g${u % 4}", s"u$u", v))
+    }.toDF("grp", "unit", "v")
+    val out = Privacy.noisySums(df, Seq("grp"), "unit", "v",
+      clip = 10L, seed = 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_units"), r.getAs[Long]("sum_clipped"),
+          r.getAs[Long]("noise"), r.getAs[Long]("sum_noisy"))).toMap
+    // each group has 10 units; g0 holds the clipped whale:
+    // 9 honest units floor(7.5)=7 each + 10 (clipped) = 73
+    assert(out("g0")._1 === 10L && out("g0")._2 === 73L)
+    assert(out("g1")._2 === 70L)
+    val ts = Privacy.geometricThresholds(60, 3, 4)
+    val seedMix = DedupFunctions.splitmix64(3L)
+    out.foreach { case (g, (_, sc, noise, noisy)) =>
+      val u = DedupFunctions.splitmix64(DedupFunctions.fnv1a64(g) ^ seedMix)
+      val uu = BigInt(u) & ((BigInt(1) << 64) - 1)
+      val expected = ts.indexWhere(uu < _) match {
+        case -1 => 60L
+        case j  => (j - 60).toLong
+      }
+      assert(noise === expected, s"group $g")
+      assert(noisy === math.max(0L, sc + noise))
+    }
+  }
+
   test("noisyCounts noise equals an independent BigInt inverse-CDF walk " +
       "over the same hash family (JVM functions, not the codegen path)") {
     val s = spark
