@@ -3529,6 +3529,23 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Additive Holt–Winters on the q251 series: the weekly seasonal
+    // register rides inside the fold's accumulator (slot = day mod 7,
+    // calendar-true so the 27%-gappy daily series keeps weekday
+    // alignment), all 9 state cells re-round at 1e-6 per step —
+    // the 1700-step seasonal trajectory replays engine-independently.
+    "q253_holt_winters" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Forecast.holtWinters(daily, "o_orderpriority",
+          "day", "rev", period = 7, alpha = 0.3, beta = 0.05,
+          gamma = 0.2, horizon = 7)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // USER-LEVEL DP noisy sums — the q239 mechanism grown up: each
     // user's per-event-type spend quantizes and clips to [0, 10]
     // (sensitivity = 10 for add/remove-one-user), the clipped group
@@ -7254,6 +7271,44 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    // the q251 list-accumulator fold grown a 7-slot register: state =
+    // [l, b, s1..s7] (slot p = position p+3), elements [t, y]; the
+    // 1-BASED index of DuckDB's (v, i) lambda vs Spark's 0-based
+    // transform is absorbed by the +1 in the CASE
+    "q253_holt_winters" -> {
+      val lNew = "round(0.3e0 * (x[2] - a[CAST(x[1] % 7 AS INT) + 3])" +
+        " + 0.7e0 * (a[1] + a[2]), 6)"
+      s"""WITH d AS (SELECT o_orderpriority,
+         |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         |    AS day, round(sum(o_totalprice), 2) AS rev
+         |  FROM orders GROUP BY 1, 2),
+         |s AS (SELECT o_orderpriority,
+         |  list([CAST(day AS DOUBLE), CAST(rev AS DOUBLE)]
+         |    ORDER BY day) AS sl
+         |  FROM d GROUP BY 1),
+         |f AS (SELECT o_orderpriority, len(sl) AS n_obs,
+         |  sl[-1][1] AS t_last,
+         |  list_reduce(
+         |    list_prepend(list_concat([sl[1][2], sl[2][2] - sl[1][2]],
+         |        [0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0]),
+         |      sl[2:]),
+         |    (a, x) -> list_concat(
+         |      [$lNew,
+         |       round(0.05e0 * ($lNew - a[1]) + 0.95e0 * a[2], 6)],
+         |      list_transform(a[3:], (v, i) ->
+         |        CASE WHEN i = CAST(x[1] % 7 AS INT) + 1
+         |          THEN round(0.2e0 * (x[2] - $lNew) + 0.8e0 * v, 6)
+         |          ELSE v END))) AS st
+         |  FROM s WHERE len(sl) >= 2)
+         |SELECT o_orderpriority, CAST(n_obs AS BIGINT) AS n_obs,
+         |  st[1] AS level, st[2] AS trend,
+         |  round(list_aggregate(st[3:], 'min'), 6) AS s_min,
+         |  round(list_aggregate(st[3:], 'max'), 6) AS s_max,
+         |  round(st[1] + 7.0e0 * st[2] +
+         |    st[CAST((t_last + 7) % 7 AS INT) + 3], 6) AS forecast_7
+         |FROM f ORDER BY o_orderpriority""".stripMargin
+    },
 
     "q252_dp_sums" ->
       HashOracles.q252DpSums(seed = 7L, clip = 10L, alphaNum = 3L,

@@ -57,6 +57,64 @@ object Forecast {
           .as(s"forecast_$horizon"))
   }
 
+  /** Additive Holt–Winters: [[holtLinear]] plus a `period`-slot
+    * seasonal register updated at slot `t mod period` — calendar-true
+    * seasonality (a missing day skips its slot instead of shifting the
+    * phase, so gappy real-world series keep their weekday alignment).
+    * Same execution shape (one groupBy, aggregate-HOF fold, the state
+    * array rides inside the accumulator struct) and the same 1e-6
+    * per-step grid, so the trajectory — all `2 + period` state cells —
+    * replays engine-independently.
+    *
+    * Init: l₁ = y₁, b₁ = y₂ − y₁, seasonal register all-zero (the
+    * register LEARNS through γ rather than assuming a gap-free first
+    * season — the init that survives sparse series; convergence is
+    * geometric, measured in ForecastSpec). `t` must be a non-negative
+    * integer grid (day/hour index). Forecast h steps:
+    * `l + h·b + s[(t_last + h) mod period]`.
+    */
+  def holtWinters(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, period: Int, alpha: Double, beta: Double,
+      gamma: Double, horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1,
+      s"smoothing parameters out of (0,1): $alpha/$beta/$gamma")
+    require(period >= 2 && period <= 1000, s"bad period $period")
+    require(horizon >= 1, s"bad horizon $horizon")
+    val m = period
+    val lNew = s"round($alpha * (x.y - acc.s[CAST(x.t % $m AS INT)]) + " +
+      s"${1 - alpha} * (acc.l + acc.b), 6)"
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("y")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+    series
+      .withColumn("__st", expr(
+        s"""aggregate(
+           |  slice(__s, 2, size(__s) - 1),
+           |  named_struct(
+           |    'l', CAST(__s[0].y AS DOUBLE),
+           |    'b', CAST(__s[1].y - __s[0].y AS DOUBLE),
+           |    's', array_repeat(CAST(0.0 AS DOUBLE), $m)),
+           |  (acc, x) -> named_struct(
+           |    'l', $lNew,
+           |    'b', round($beta * ($lNew - acc.l) + ${1 - beta} * acc.b, 6),
+           |    's', transform(acc.s, (v, i) ->
+           |      CASE WHEN i = CAST(x.t % $m AS INT)
+           |        THEN round($gamma * (x.y - $lNew) + ${1 - gamma} * v, 6)
+           |        ELSE v END)))""".stripMargin))
+      .withColumn("__tl", expr("element_at(__s, -1).t"))
+      .select(col(keyCol), size(col("__s")).cast("long").as("n_obs"),
+        col("__st.l").as("level"), col("__st.b").as("trend"),
+        expr("round(array_min(__st.s), 6)").as("s_min"),
+        expr("round(array_max(__st.s), 6)").as("s_max"),
+        expr(s"round(__st.l + CAST($horizon AS DOUBLE) * __st.b + " +
+          s"__st.s[CAST((__tl + $horizon) % $m AS INT)], 6)")
+          .as(s"forecast_$horizon"))
+  }
+
   /** RESUME the Holt fold from persisted state: `state` is a prior
     * [[holtLinear]]/[[holtLinearFrom]] output (`key, n_obs, level,
     * trend`), and each key's NEW points (all strictly later than the

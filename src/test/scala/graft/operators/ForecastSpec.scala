@@ -40,6 +40,39 @@ class ForecastSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("trend")) < 1.0)
   }
 
+  test("holtWinters learns a weekly pattern on top of a linear trend " +
+      "and forecasts it, even with a third of the days missing") {
+    val s = spark
+    import s.implicits._
+    val seas = Array(20.0, -5.0, -10.0, 0.0, 5.0, -15.0, 5.0) // sums 0
+    def y(t: Int) = 100.0 + 2.0 * t + seas(t % 7)
+    val full = (0 until 420).map(t => ("full", t, y(t)))
+    val gappy = (0 until 420)
+      .filter(t => graft.functions.DedupFunctions
+        .splitmix64(t.toLong) % 3L != 0L) // drop ~1/3 of days
+      .map(t => ("gappy", t, y(t)))
+    val out = Forecast.holtWinters((full ++ gappy).toDF("k", "t", "y"),
+        "k", "t", "y", period = 7, alpha = 0.3, beta = 0.05,
+        gamma = 0.3, horizon = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("trend"), r.getAs[Double]("s_min"),
+          r.getAs[Double]("s_max"), r.getAs[Double]("forecast_7"))).toMap
+    // forecast target: t = 419 + 7 = 426 -> y(426) = 952 + seas(426%7=6)
+    val truth = y(426)
+    val (tr, smin, smax, fc) = out("full")
+    assert(math.abs(tr - 2.0) < 0.2, s"trend $tr")
+    assert(math.abs(fc - truth) < 2.0, s"forecast $fc vs $truth")
+    // seasonal spread learned: true range is 35
+    assert(smax - smin > 25.0, s"seasonal range ${smax - smin}")
+    // gaps don't break slot alignment (calendar-true indexing): the
+    // forecast anchors at the GAPPY key's own last observed day
+    val gLast = gappy.map(_._2).max
+    val gTruth = y(gLast + 7)
+    val g = out("gappy")
+    assert(math.abs(g._4 - gTruth) < 5.0,
+      s"gappy forecast ${g._4} vs $gTruth (t_last $gLast)")
+  }
+
   test("keys with fewer than 2 observations drop") {
     val s = spark
     import s.implicits._
