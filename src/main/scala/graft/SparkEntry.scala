@@ -3529,6 +3529,21 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Offline changepoint localization on the q251 series: CUSUM-
+    // argmax split per priority with segment means — cusumDrift (q183)
+    // says WHETHER a stream drifted; this says WHERE the corpus
+    // series broke. Keyed windows only.
+    "q254_changepoint" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Robust.changePoint(daily, "o_orderpriority",
+          "day", "rev")
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Additive Holt–Winters on the q251 series: the weekly seasonal
     // register rides inside the fold's accumulator (slot = day mod 7,
     // calendar-true so the 27%-gappy daily series keeps weekday
@@ -7271,6 +7286,32 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q254_changepoint" ->
+      """WITH d AS (SELECT o_orderpriority AS k,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS t, round(sum(o_totalprice), 2) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT k, t, y,
+        |  CAST(row_number() OVER (PARTITION BY k ORDER BY t)
+        |    AS INTEGER) AS i,
+        |  sum(y) OVER (PARTITION BY k ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sk,
+        |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n FROM d),
+        |w2 AS (SELECT *, last_value(sk) OVER (PARTITION BY k ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS sn FROM w),
+        |sc AS (SELECT *, round(abs(sk - CAST(i AS DOUBLE) / n * sn), 6)
+        |    AS score
+        |  FROM w2 WHERE n >= 2 AND i < n),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY k
+        |  ORDER BY score DESC, i) AS rn FROM sc)
+        |SELECT k AS o_orderpriority, n, t AS t_split, score,
+        |  round(sk / i, 4) AS mean_before,
+        |  round((sn - sk) / CAST(n - i AS DOUBLE), 4) AS mean_after,
+        |  round(round((sn - sk) / CAST(n - i AS DOUBLE), 4) -
+        |    round(sk / i, 4), 4) AS delta
+        |FROM best WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
 
     // the q251 list-accumulator fold grown a 7-slot register: state =
     // [l, b, s1..s7] (slot p = position p+3), elements [t, y]; the

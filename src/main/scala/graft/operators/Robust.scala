@@ -318,6 +318,55 @@ object Robust {
         col("mean_raw"), col("mean_winsorized"))
   }
 
+  /** Offline single-changepoint localization per key (mean-shift):
+    * the CUSUM-argmax estimator — the split k maximizing
+    * `|S_k − (k/n)·S_n|` (the binary-segmentation scoring; [[cusumDrift]]
+    * DETECTS drift online, this LOCATES the break after the fact).
+    * One pass of keyed windows: running sum, score, argmax (earliest-k
+    * tie-break), then the two segment means. Output:
+    * `(key, n, t_split, score, mean_before, mean_after, delta)` where
+    * the split is the LAST point of the left segment. Keys need ≥ 2
+    * points; the argmax excludes k = n (an empty right segment says
+    * nothing about a break).
+    */
+  def changePoint(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col("__k"))
+    val wo = wk.orderBy(col("__t"))
+    val scored = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__y"))
+      .withColumn("__i", row_number().over(wo))
+      .withColumn("__sk", sum(col("__y")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wk))
+      // S_n as the LAST running sum, not an unordered partition sum —
+      // pins the float accumulation order (the ordered-running-sum
+      // portability device), so `score` replays engine-exactly
+      .withColumn("__sn", last(col("__sk")).over(wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("__n") >= 2 && col("__i") < col("__n"))
+      .withColumn("__score", round(abs(col("__sk") -
+        col("__i").cast("double") / col("__n") * col("__sn")), 6))
+    val best = scored
+      .withColumn("__rn", row_number().over(
+        wk.orderBy(col("__score").desc, col("__i"))))
+      .filter(col("__rn") === 1)
+      .select(col("__k"), col("__n").as("n"), col("__t").as("t_split"),
+        col("__i").as("__ki"), col("__score").as("score"),
+        col("__sk").as("__skb"), col("__sn").as("__snb"))
+    best
+      .select(col("__k").as(keyCol), col("n"), col("t_split"),
+        col("score"),
+        round(col("__skb") / col("__ki"), 4).as("mean_before"),
+        round((col("__snb") - col("__skb")) /
+          (col("n") - col("__ki")).cast("double"), 4).as("mean_after"))
+      .withColumn("delta",
+        round(col("mean_after") - col("mean_before"), 4))
+  }
+
   /** Theil–Sen robust trend per key — the median-of-pairwise-slopes
     * estimator (≈29% breakdown point): the robust complement to the
     * grouped OLS trend ([[Regression]]), immune to the outlier days

@@ -117,6 +117,28 @@ class RobustSpec extends SparkSpec {
     assert(b1 === math.rint(math.log10(2.0) * 1e6) / 1e6)
   }
 
+  test("changePoint locates a planted mean shift at the exact split " +
+      "and reports the two segment means") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 100).map { t =>
+      val noise = (graft.functions.DedupFunctions.splitmix64(t.toLong)
+        % 5L).toDouble / 10.0
+      ("a", t, (if (t < 40) 10.0 else 50.0) + noise)
+    } ++ Seq(("tiny", 0, 1.0), ("tiny", 1, 2.0))
+    val out = Robust.changePoint(rows.toDF("k", "t", "y"), "k", "t", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("t_split"),
+          r.getAs[Double]("mean_before"), r.getAs[Double]("mean_after"),
+          r.getAs[Double]("delta"))).toMap
+    val (n, split, mb, ma, d) = out("a")
+    assert(n === 100L && split === 39L, s"split at $split")
+    assert(math.abs(mb - 10.0) < 0.5 && math.abs(ma - 50.0) < 0.5)
+    assert(math.abs(d - 40.0) < 1.0)
+    // a 2-point key still reports (split = its first point)
+    assert(out("tiny")._2 === 0L)
+  }
+
   test("theilSenTrend: the pairwise-median slope shrugs off an " +
       "outlier that would wreck OLS; keys without a distinct-x pair drop") {
     val s = spark
