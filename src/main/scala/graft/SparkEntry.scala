@@ -3529,6 +3529,19 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Right-to-be-forgotten accounting: erase every 37th user from
+    // events and file the per-event-type audit (before/removed/after/
+    // units). The erase is an anti-join (bloom-pruned at scale);
+    // PrivacySpec proves eraseUnits removes exactly the audit's rows.
+    "q255_erasure_audit" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dead = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 37 === 0)
+      graft.operators.Privacy.erasureAudit(ev, "user_id", dead,
+          Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // Offline changepoint localization on the q251 series: CUSUM-
     // argmax split per priority with segment means — cusumDrift (q183)
     // says WHETHER a stream drifted; this says WHERE the corpus
@@ -7286,6 +7299,18 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q255_erasure_audit" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS rows_before,
+        |  CAST(sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rows_removed,
+        |  CAST(sum(CASE WHEN user_id % 37 = 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS rows_after,
+        |  CAST(count(DISTINCT CASE WHEN user_id % 37 = 0
+        |    THEN user_id END) AS BIGINT) AS units_erased
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q254_changepoint" ->
       """WITH d AS (SELECT o_orderpriority AS k,

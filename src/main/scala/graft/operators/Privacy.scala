@@ -88,6 +88,37 @@ object Privacy {
     fine.unionByName(parentOk).unionByName(suppressed)
   }
 
+  /** Right-to-be-forgotten erasure: drop every row whose `unitCol` is
+    * in `tombstones` (one column of unit ids). The erase itself is an
+    * anti-join; at corpus scale pre-prune with the bloom device
+    * ([[SkewJoins.bloomPrunedSemiJoin]]'s bitmap) when the tombstone
+    * list outgrows a broadcast. Use [[erasureAudit]] for the
+    * accounting a DPO actually files.
+    */
+  def eraseUnits(df: DataFrame, unitCol: String,
+      tombstones: DataFrame): DataFrame = {
+    val ts = tombstones.toDF(unitCol).distinct()
+    df.join(ts, Seq(unitCol), "left_anti")
+  }
+
+  /** Erasure accounting per group: rows before/removed/after and the
+    * distinct units erased — `removed + after == before` by
+    * construction (one conditional aggregation, no second corpus
+    * pass; the erased frame itself comes from [[eraseUnits]]).
+    */
+  def erasureAudit(df: DataFrame, unitCol: String, tombstones: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val ts = broadcast(tombstones.toDF(unitCol).distinct()
+      .withColumn("__dead", lit(true)))
+    df.join(ts, Seq(unitCol), "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("rows_before"),
+        sum(when(col("__dead"), 1L).otherwise(0L)).as("rows_removed"),
+        sum(when(col("__dead"), 0L).otherwise(1L)).as("rows_after"),
+        countDistinct(when(col("__dead"), col(unitCol)))
+          .as("units_erased"))
+  }
+
   /** Exact integer thresholds for the two-sided geometric (discrete
     * Laplace, α = 1/2 ⇒ ε = ln 2 per unit sensitivity) inverse CDF:
     * entry `j` (for x = j − cap, j in 0 until 2·cap) is

@@ -137,6 +137,25 @@ class PrivacySpec extends SparkSpec {
     assert(out.toSeq.map(_._3).sum === 26L)
   }
 
+  test("eraseUnits removes exactly the audit's rows; mass conserved") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => (i.toLong % 10, s"g${i % 3}", i))
+      .toDF("unit", "grp", "v")
+    val dead = Seq(2L, 5L).toDF("unit")
+    val erased = Privacy.eraseUnits(df, "unit", dead)
+    assert(erased.filter(col("unit").isin(2L, 5L)).count() === 0)
+    val audit = Privacy.erasureAudit(df, "unit", dead, Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("rows_before"), r.getAs[Long]("rows_removed"),
+          r.getAs[Long]("rows_after"), r.getAs[Long]("units_erased")))
+      .toMap
+    audit.values.foreach { case (b, r, a, _) => assert(b === r + a) }
+    assert(audit.values.map(_._2).sum === 20L) // 2 units x 10 rows
+    assert(erased.count() === audit.values.map(_._3).sum)
+    audit.values.foreach { case (_, _, _, u) => assert(u <= 2L) }
+  }
+
   test("k-anonymity: suppression accounting matches the row-level release") {
     val s = spark
     import s.implicits._
