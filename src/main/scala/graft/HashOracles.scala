@@ -2942,4 +2942,74 @@ object HashOracles {
         "greatest(CAST(0 AS BIGINT), n + noise) AS n_noisy " +
         "FROM nz ORDER BY source, lang")
   }
+
+  /** Unigram-LM EM round replay (q256,
+    * [[operators.TokenizerTraining.unigramEmRound]]): candidate
+    * substrings of the truncated word table ranked (count DESC, piece)
+    * with the single-char alphabet closure, initial log-probs on the
+    * 1e-6 grid, then the Viterbi E-step UNROLLED — `maxWordLen` value
+    * layers (`v1..vN`, each the per-word best split at position j with
+    * the earliest-i tie-break Spark's strict `>` scan keeps) over the
+    * cumulative reachable-position table `u0..uN`, then `maxWordLen`
+    * backtrace layers emitting one piece each — and the corpus-weighted
+    * M-step re-normalization. Every stage score re-rounds at 1e-6, so
+    * the DP trajectory (including ties) replays engine-independently.
+    */
+  def q256UnigramEm(k: Int, maxPieceLen: Int, maxWordLen: Int,
+      topOut: Int): String = {
+    val valueCtes = (1 to maxWordLen).flatMap { j =>
+      val lo = math.max(0, j - maxPieceLen)
+      Seq(
+        s"v$j AS (SELECT word, wcnt, $j AS j, best, back FROM (" +
+          "SELECT p.word, p.wcnt, round(p.best + v.lp, 6) AS best, " +
+          "p.j AS back, row_number() OVER (PARTITION BY p.word " +
+          "ORDER BY round(p.best + v.lp, 6) DESC, p.j) AS rn " +
+          s"FROM u${j - 1} p JOIN vocab v " +
+          s"ON v.piece = substr(p.word, p.j + 1, $j - p.j) " +
+          s"WHERE p.j >= $lo AND p.j < $j AND length(p.word) >= $j) " +
+          "WHERE rn = 1)",
+        // MATERIALIZED: DuckDB inlines plain CTEs, so the cumulative
+        // union chain would otherwise expand 2^maxWordLen scans
+        s"u$j AS MATERIALIZED (SELECT * FROM u${j - 1} " +
+          s"UNION ALL SELECT * FROM v$j)")
+    }
+    val backCtes = (1 to maxWordLen).map { t =>
+      s"b$t AS (SELECT b.word, b.wcnt, u.back AS j, " +
+        "substr(b.word, u.back + 1, b.j - u.back) AS piece " +
+        s"FROM b${t - 1} b JOIN u$maxWordLen u " +
+        "ON u.word = b.word AND u.j = b.j WHERE b.j > 0)"
+    }
+    val pieceUnion = (1 to maxWordLen)
+      .map(t => s"SELECT wcnt, piece FROM b$t").mkString(" UNION ALL ")
+    withClause(Seq(
+      s"tok AS (SELECT $Toks AS t FROM documents)",
+      s"w0 AS (SELECT substr(x, 1, $maxWordLen) AS word FROM " +
+        "(SELECT unnest(t) AS x FROM tok))",
+      "words AS (SELECT word, count(*) AS wcnt FROM w0 GROUP BY word)",
+      "cand AS (SELECT piece, sum(wcnt) AS cnt FROM (" +
+        "SELECT wcnt, unnest(flatten(list_transform(" +
+        "range(1, length(word) + 1), i -> list_transform(" +
+        s"range(1, least($maxPieceLen, length(word) - i + 1) + 1), " +
+        "l -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) " +
+        "AS piece FROM words) GROUP BY piece)",
+      "ranked AS (SELECT piece, cnt FROM (SELECT piece, cnt, " +
+        "row_number() OVER (ORDER BY cnt DESC, piece) AS rk FROM cand) " +
+        s"WHERE rk <= $k OR length(piece) = 1)",
+      "tot AS (SELECT sum(cnt) AS c FROM ranked)",
+      "vocab AS (SELECT piece, round(ln(CAST(cnt AS DOUBLE)) - " +
+        "ln(CAST(tot.c AS DOUBLE)), 6) AS lp FROM ranked, tot)",
+      "u0 AS (SELECT word, wcnt, 0 AS j, CAST(0.0 AS DOUBLE) AS best, " +
+        "0 AS back FROM words)") ++ valueCtes ++ Seq(
+      "b0 AS (SELECT word, wcnt, length(word) AS j FROM words)") ++
+      backCtes ++ Seq(
+      s"pieces AS ($pieceUnion)",
+      "uses AS (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_uses " +
+        "FROM pieces GROUP BY piece)",
+      "tu AS (SELECT sum(n_uses) AS t FROM uses)"),
+      "SELECT u.piece, CAST(r.cnt AS BIGINT) AS cnt, u.n_uses, " +
+        "round(ln(CAST(u.n_uses AS DOUBLE)) - " +
+        "ln(CAST(tu.t AS DOUBLE)), 4) AS logp_next " +
+        "FROM uses u JOIN ranked r USING (piece), tu " +
+        s"ORDER BY u.n_uses DESC, u.piece LIMIT $topOut")
+  }
 }

@@ -3529,6 +3529,18 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // ONE EM round of unigram-LM (SentencePiece-style) vocabulary
+    // estimation — the third tokenizer family beside BPE (q84/q94) and
+    // WordPiece greedy (q168): top-60 substring candidates + alphabet
+    // closure, Viterbi E-step per DISTINCT word on the 1e-6 grid,
+    // corpus-weighted M-step re-normalization. Words are the unit of
+    // work (corpus mass rides as a count); the vocabulary is a
+    // config-bounded driver table (the k-means-centroid contract).
+    "q256_unigram_em" -> ((s, dir) =>
+      graft.operators.TokenizerTraining.unigramEmRound(
+        T(s, dir, "documents"), "doc_id", "text", k = 60,
+        maxPieceLen = 4, maxWordLen = 12, topOut = 30)),
+
     // Right-to-be-forgotten accounting: erase every 37th user from
     // events and file the per-event-type audit (before/removed/after/
     // units). The erase is an anti-join (bloom-pruned at scale);
@@ -7299,6 +7311,10 @@ object SparkEntry {
 
     "q233_weighted_median_sketch" ->
       HashOracles.q233WeightedMedianSketch(32),
+
+    "q256_unigram_em" ->
+      HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
+        maxWordLen = 12, topOut = 30),
 
     "q255_erasure_audit" ->
       """SELECT event_type,

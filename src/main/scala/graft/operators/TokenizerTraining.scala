@@ -361,4 +361,113 @@ object TokenizerTraining {
         size(filter(col("__gp_pieces"), _ === Unk)).as("n_unk"),
         md5(concat_ws(" ", col("__gp_pieces"))).as("pieces_md5"))
   }
+
+  /** Spark's `round` semantics on a scalar (BigDecimal HALF_UP) — the
+    * Viterbi scores must round EXACTLY like the SQL oracle's `round`.
+    */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Viterbi best segmentation of one word under a log-prob vocabulary:
+    * `best(j) = max_i round(best(i) + logp(word[i..j]), 6)` with the
+    * per-stage 1e-6 re-round (grid-pinned trajectory) and the
+    * earliest-split tie-break (strict `>` while i ascends) — the exact
+    * argmax the SQL replay's `ORDER BY best DESC, i ASC` picks. The
+    * alphabet-closure guarantee (every single char is in the vocab)
+    * makes every word segmentable; a char outside it yields empty.
+    */
+  private[operators] def viterbiSegment(word: String,
+      vocab: Map[String, Double], maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (best(i) != Double.NegativeInfinity) {
+          vocab.get(word.substring(i, j)).foreach { lp =>
+            val sc = round6(best(i) + lp)
+            if (sc > best(j)) { best(j) = sc; back(j) = i }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    if (back(n) < 0) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = n
+    while (p > 0) { out += word.substring(back(p), p); p = back(p) }
+    out.reverse.toSeq
+  }
+
+  /** ONE EM round of unigram-LM (SentencePiece-style) vocabulary
+    * estimation — the third tokenizer family beside BPE
+    * ([[trainMerges]]) and WordPiece greedy encoding:
+    *
+    *  1. candidate pieces = every substring (length ≤ `maxPieceLen`) of
+    *     the ≤ `maxWordLen`-truncated word table, weighted by word
+    *     count — keep the top `k` (count desc, piece asc) PLUS every
+    *     single character (the alphabet closure that keeps all words
+    *     segmentable);
+    *  2. initial piece log-probs from the candidate counts
+    *     (`round(ln c − ln Σc, 6)`);
+    *  3. E-step: Viterbi best segmentation per DISTINCT word (words are
+    *     the unit of work — the corpus weight rides along), per-stage
+    *     1e-6 grid so the trajectory replays in SQL;
+    *  4. M-step: corpus-weighted piece-use counts from the chosen
+    *     segmentations, re-normalized log-probs.
+    *
+    * Emits the top `topOut` pieces of the re-estimated vocabulary:
+    * `(piece, cnt, n_uses, logp_next)`. The vocabulary table is a
+    * config-bounded driver fact (k + alphabet rows — the k-means
+    * centroid contract); everything corpus-sized stays distributed.
+    */
+  def unigramEmRound(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 60, maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      topOut: Int = 30, tokensCol: Option[String] = None): DataFrame = {
+    require(k >= 1 && maxPieceLen >= 1 && maxWordLen >= maxPieceLen &&
+      topOut >= 1, s"bad parameters k=$k len=$maxPieceLen/$maxWordLen")
+    val words = graft.CacheScope.register(corpus
+      .select(explode(tokensCol.map(col)
+        .getOrElse(TF.tokens(col(textCol)))).as("__w0"))
+      .select(substring(col("__w0"), 1, maxWordLen).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .persist())
+    // candidate substrings with multiplicity, corpus-weighted
+    val cands = words
+      .select(col("word"), col("wcnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           |  i -> transform(sequence(1, least($maxPieceLen,
+           |      length(word) - i + 1)),
+           |    l -> substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+    val ranked = cands
+      .withColumn("__rk", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("cnt").desc, col("piece"))))
+      .filter(col("__rk") <= k || length(col("piece")) === 1)
+      .select(col("piece"), col("cnt"))
+    val vocabRows = ranked.collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = vocabRows.map(_._2).sum.toDouble
+    val vocabMap = vocabRows.map { case (p, c) =>
+      p -> round6(math.log(c.toDouble) - math.log(total))
+    }.toMap
+    val mpl = maxPieceLen
+    val segUdf = udf { w: String => viterbiSegment(w, vocabMap, mpl) }
+    val uses = words
+      .select(col("wcnt"), explode(segUdf(col("word"))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("n_uses"))
+    val cntDf = ranked // piece -> initial candidate count
+    uses.join(cntDf, Seq("piece"))
+      .crossJoin(broadcast(uses.agg(sum(col("n_uses")).as("__tu"))))
+      .select(col("piece"), col("cnt"), col("n_uses"),
+        round(log(col("n_uses").cast("double")) -
+          log(col("__tu").cast("double")), 4).as("logp_next"))
+      .orderBy(col("n_uses").desc, col("piece"))
+      .limit(topOut)
+  }
 }

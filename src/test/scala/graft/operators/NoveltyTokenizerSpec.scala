@@ -225,4 +225,52 @@ class NoveltyTokenizerSpec extends SparkSpec {
     // top-2 = ab, ba
     assert(v === Set("a", "b", "ab", "ba"))
   }
+
+  test("viterbiSegment: best-score split, earliest-i tie-break, " +
+      "piece-length cap, unreachable char -> empty") {
+    // "ab" as one piece (-2.5) beats a+b (-3.0)
+    assert(TokenizerTraining.viterbiSegment("ab",
+      Map("a" -> -1.0, "b" -> -2.0, "ab" -> -2.5), 4) === Seq("ab"))
+    // exact tie: ["ab"] = -2.0 = ["a","b"]; the i=0 candidate lands
+    // first and strict > never displaces it -> the longer-piece split
+    assert(TokenizerTraining.viterbiSegment("ab",
+      Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0), 4) === Seq("ab"))
+    // maxPieceLen caps lookups: "ab" in vocab but cap 1 forces a+b
+    assert(TokenizerTraining.viterbiSegment("ab",
+      Map("a" -> -1.0, "b" -> -1.0, "ab" -> -0.1), 1) ===
+      Seq("a", "b"))
+    // a char outside the vocab makes the word unsegmentable
+    assert(TokenizerTraining.viterbiSegment("ax",
+      Map("a" -> -1.0), 4) === Seq.empty)
+    assert(TokenizerTraining.viterbiSegment("",
+      Map("a" -> -1.0), 4) === Seq.empty)
+  }
+
+  test("unigramEmRound: candidate top-k + alphabet closure, Viterbi " +
+      "E-step, corpus-weighted M-step re-estimation") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "ab ab b"), (2L, "ab b b"))
+      .toDF("doc_id", "text")
+    // words: ab x3, b x3. candidates: b=6, a=3, ab=3.
+    // k=2 keeps {b, a} (ab is rank 3 and not a single char):
+    // every "ab" segments a|b -> uses a=3, b=6, total 9
+    val small = TokenizerTraining.unigramEmRound(docs, "doc_id", "text",
+        k = 2, maxPieceLen = 4, maxWordLen = 12, topOut = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(small.toSeq === Seq(
+      ("b", 6L, 6L, math.round(math.log(6.0 / 9) * 1e4) / 1e4),
+      ("a", 3L, 3L, math.round(math.log(3.0 / 9) * 1e4) / 1e4)))
+    // k=3 admits "ab": lp(ab) = ln(3/12) beats lp(a)+lp(b) =
+    // ln(3/12)+ln(6/12), so EM moves all of a's mass onto ab and
+    // the M-step drops a entirely (n_uses: ab=3, b=3, total 6)
+    val grown = TokenizerTraining.unigramEmRound(docs, "doc_id", "text",
+        k = 3, maxPieceLen = 4, maxWordLen = 12, topOut = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(grown.toSeq === Seq(
+      ("ab", 3L, 3L, math.round(math.log(3.0 / 6) * 1e4) / 1e4),
+      ("b", 6L, 3L, math.round(math.log(3.0 / 6) * 1e4) / 1e4)))
+  }
 }
