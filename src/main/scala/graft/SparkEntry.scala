@@ -3529,6 +3529,28 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Interval × interval OVERLAP join — the q142 granule device grown
+    // to two exploded sides: error incident windows [ts, +10m) against
+    // purchase attribution windows [ts-5m, +5m); each pair survives
+    // only at its responsibility granule (the one containing the
+    // overlap's start) — a pure filter, never a distinct over pairs.
+    "q257_overlap_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          col("ts").as("i_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("i_end"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL 5 MINUTES")).as("p_start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("p_end"))
+      graft.operators.RangeJoin.overlapJoin(a, "i_start", "i_end",
+          b, "p_start", "p_end", bucketMicros = 600L * 1000000)
+        .select(col("incident_id"), col("purchase_id"),
+          col("overlap_micros"))
+        .orderBy(col("incident_id"), col("purchase_id"))
+    }),
+
     // ONE EM round of unigram-LM (SentencePiece-style) vocabulary
     // estimation — the third tokenizer family beside BPE (q84/q94) and
     // WordPiece greedy (q168): top-60 substring candidates + alphabet
@@ -7315,6 +7337,19 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    "q257_overlap_join" ->
+      """WITH a AS (SELECT event_id AS incident_id, ts AS s,
+        |  ts + INTERVAL 10 MINUTE AS e FROM events
+        |  WHERE event_type = 'error'),
+        |b AS (SELECT event_id AS purchase_id,
+        |  ts - INTERVAL 5 MINUTE AS s, ts + INTERVAL 5 MINUTE AS e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT incident_id, purchase_id,
+        |  CAST(date_diff('microsecond', greatest(a.s, b.s),
+        |    least(a.e, b.e)) AS BIGINT) AS overlap_micros
+        |FROM a JOIN b ON a.s < b.e AND b.s < a.e
+        |ORDER BY incident_id, purchase_id""".stripMargin,
 
     "q255_erasure_audit" ->
       """SELECT event_type,

@@ -55,6 +55,42 @@ object RangeJoin {
       .drop("__rj_b")
   }
 
+  /** Interval × interval OVERLAP join: one row per (left, right) pair
+    * with `[lStart, lEnd) ∩ [rStart, rEnd) ≠ ∅` (the half-open overlap
+    * predicate `lS < rE AND rS < lE`), plus equality on the optional
+    * `keyCols`. Both sides explode into granules like [[intervalJoin]];
+    * a pair meeting at SEVERAL shared granules would duplicate, so each
+    * pair is kept only at its RESPONSIBILITY granule — the granule
+    * containing `max(lS, rS)`, the overlap's start, which both sides
+    * provably cover — a pure filter, never a `distinct` over the
+    * pair table (at 100 TB the dedup shuffle would dwarf the join).
+    * Emits every pair exactly once with `overlap_micros`.
+    */
+  def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketMicros: Long, keyCols: Seq[String] = Seq.empty): DataFrame = {
+    require(bucketMicros > 0, s"bad bucketMicros $bucketMicros")
+    def granulated(df: DataFrame, s: String, e: String, sOut: String,
+        eOut: String): DataFrame = df
+      .withColumn(sOut, unix_micros(col(s)))
+      .withColumn(eOut, unix_micros(col(e)))
+      .filter(col(eOut) > col(sOut))
+      .withColumn("__rj_b", explode(sequence(
+        floor(col(sOut) / bucketMicros),
+        floor((col(eOut) - 1) / bucketMicros))))
+    val l = granulated(left, lStart, lEnd, "__rj_ls", "__rj_le")
+    val r = granulated(right, rStart, rEnd, "__rj_rs", "__rj_re")
+    l.join(r, Seq("__rj_b") ++ keyCols)
+      .filter(col("__rj_ls") < col("__rj_re") &&
+        col("__rj_rs") < col("__rj_le"))
+      .filter(col("__rj_b") ===
+        floor(greatest(col("__rj_ls"), col("__rj_rs")) / bucketMicros))
+      .withColumn("overlap_micros",
+        least(col("__rj_le"), col("__rj_re")) -
+          greatest(col("__rj_ls"), col("__rj_rs")))
+      .drop("__rj_b", "__rj_ls", "__rj_le", "__rj_rs", "__rj_re")
+  }
+
   /** Left-join counting form: every point row with `n_matches` = how
     * many intervals contain it (0 kept). The aggregation runs on the
     * inner join's output, then joins back by the point id — the count

@@ -105,4 +105,56 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast.filter(_._2 > 0L) === naive)
     assert(fast.values.sum === naive.values.sum)
   }
+
+  test("overlapJoin: half-open overlap semantics, exactly-once pairs " +
+      "across shared granules, exact overlap length") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 11:00:00")),
+      (2L, ts("2026-01-01 12:00:00"), ts("2026-01-01 12:10:00")),
+      (3L, ts("2026-01-01 13:00:00"), ts("2026-01-01 13:00:00")) // empty
+    ).toDF("aid", "as", "ae")
+    val b = Seq(
+      // overlaps a1 for 30 min, sharing MANY 10-min granules
+      (10L, ts("2026-01-01 10:30:00"), ts("2026-01-01 11:30:00")),
+      // touches a1 only at the boundary instant: ae == bs -> NO overlap
+      (11L, ts("2026-01-01 11:00:00"), ts("2026-01-01 11:20:00")),
+      // strictly inside a1
+      (12L, ts("2026-01-01 10:10:00"), ts("2026-01-01 10:20:00")),
+      // overlaps nothing
+      (13L, ts("2026-01-01 20:00:00"), ts("2026-01-01 21:00:00"))
+    ).toDF("bid", "bs", "be")
+    val out = RangeJoin.overlapJoin(a, "as", "ae", b, "bs", "be", W)
+      .select(col("aid"), col("bid"), col("overlap_micros"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 30L * 60 * 1000000),
+      (1L, 12L, 10L * 60 * 1000000)))
+    // exactly-once despite a1 and b10 sharing granules 10:30..11:00
+    assert(out.map(p => (p._1, p._2)).distinct.length === out.length)
+  }
+
+  test("overlapJoin agrees with the naive inequality join on the " +
+      "events corpus") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val a = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("aid"), col("ts").as("as"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("ae"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("bid"),
+        (col("ts") - expr("INTERVAL 5 MINUTES")).as("bs"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("be"))
+    val fast = RangeJoin.overlapJoin(a, "as", "ae", b, "bs", "be", W)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = a.crossJoin(b)
+      .filter(col("as") < col("be") && col("bs") < col("ae"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
 }
