@@ -3529,6 +3529,26 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Z-order layout audit: orders clustered on the Morton interleave
+    // of (custkey, order day) at 8 bits, 16 fixed z-cuts; the per-
+    // bucket min/max profile IS the stats store a pruned scan
+    // consults, and the two probe flags show BOTH dims prune (a
+    // lexicographic sort prunes only its leading column). Layout is
+    // deterministic end to end — integer scaling against a broadcast
+    // stats row, literal shift/mask interleave, fixed-fraction cuts.
+    "q258_zorder_layout" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+        .withColumn("day", datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1992-01-01"))))
+      graft.operators.ZOrder.skippingProfile(orders,
+          Seq("o_custkey", "day"), bits = 8, nBuckets = 16)
+        .withColumn("hit_day_probe",
+          col("min_day") <= 1440 && col("max_day") >= 1200)
+        .withColumn("hit_ck_probe",
+          col("min_o_custkey") <= 2500 && col("max_o_custkey") >= 1000)
+        .orderBy(col("bucket"))
+    }),
+
     // Interval × interval OVERLAP join — the q142 granule device grown
     // to two exploded sides: error incident windows [ts, +10m) against
     // purchase attribution windows [ts-5m, +5m); each pair survives
@@ -7337,6 +7357,34 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    // the Morton interleave as arithmetic (bit b of dim i lands at
+    // 2^(2b+i)) — integer-exact in both engines
+    "q258_zorder_layout" -> {
+      val z = (0 until 8).flatMap { b =>
+        Seq(s"((nx // ${1L << b}) % 2) * ${1L << (2 * b)}",
+          s"((ny // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT o_custkey AS ck,
+         |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         |    AS day FROM orders),
+         |st AS (SELECT min(ck) AS mnc, max(ck) AS mxc,
+         |  min(day) AS mnd, max(day) AS mxd FROM d),
+         |n AS (SELECT ck, day,
+         |  ((ck - mnc) * 256) // (mxc - mnc + 1) AS nx,
+         |  ((day - mnd) * 256) // (mxd - mnd + 1) AS ny FROM d, st),
+         |z AS (SELECT ck, day, $z AS zv FROM n),
+         |b AS (SELECT ck, day, (zv * 16) // 65536 AS bucket FROM z)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(ck) AS BIGINT) AS min_o_custkey,
+         |  CAST(max(ck) AS BIGINT) AS max_o_custkey,
+         |  CAST(min(day) AS BIGINT) AS min_day,
+         |  CAST(max(day) AS BIGINT) AS max_day,
+         |  (min(day) <= 1440 AND max(day) >= 1200) AS hit_day_probe,
+         |  (min(ck) <= 2500 AND max(ck) >= 1000) AS hit_ck_probe
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "q257_overlap_join" ->
       """WITH a AS (SELECT event_id AS incident_id, ts AS s,

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout — the multi-dimensional
+  * clustering behind lakehouse `OPTIMIZE ZORDER BY`: rows sort by the
+  * bit-interleaving of their rank-scaled dimensions, so ANY single
+  * dimension's value range maps to a BOUNDED set of curve segments and
+  * a min/max-pruned scan skips most files on EVERY z-dimension, not
+  * just the leading sort key (a lexicographic sort prunes only its
+  * first column).
+  *
+  * Engine-independent by construction, unlike the sampling-based
+  * `repartitionByRange`: dimensions scale to `[0, 2^bits)` by integer
+  * arithmetic against a broadcast 1-row min/max frame, the interleave
+  * is a literal shift/mask expression tree (codegen, no UDF), and
+  * buckets cut the z-space at FIXED fractions `z·nBuckets / 2^(b·d)` —
+  * the whole layout replays bit-exactly in any engine, and re-running
+  * the writer on the same data yields the same files (idempotent
+  * maintenance jobs).
+  *
+  * 100 TB shape: one pass for the stats row, one shuffle on the bucket
+  * id (deterministic, never a range-sampler), per-file local sort.
+  * Skew caveat: min/max scaling collapses under extreme outliers (one
+  * huge value squeezes the rest into few codes) — winsorize the dims
+  * first (`Robust.winsorizedProfile` cuts) when the profile warns.
+  */
+object ZOrder {
+
+  /** Bit-interleave pre-scaled integer columns (each in `[0, 2^bits)`):
+    * bit `b` of dim `i` lands at position `b·d + i`.
+    */
+  private[operators] def interleaveBits(norms: Seq[Column],
+      bits: Int): Column =
+    (0 until bits).flatMap { b =>
+      norms.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)),
+          b * norms.length + i)
+      }
+    }.reduce(_ + _)
+
+  /** `df` plus `__z` (the Morton code) and `__z_bucket`
+    * (`__z · nBuckets / 2^(bits·d)`, fixed cuts). Null dims are
+    * dropped — a null has no place on the curve; callers wanting them
+    * kept should pre-impute. Dims must be integral (cast dates/
+    * timestamps to day/epoch numbers first).
+    */
+  def zLayout(df: DataFrame, dims: Seq[String], bits: Int,
+      nBuckets: Int): DataFrame = {
+    require(dims.size >= 2, s"z-order needs >= 2 dims, got $dims")
+    require(bits >= 1 && bits * dims.size <= 62,
+      s"bits=$bits x ${dims.size} dims exceeds the long")
+    require(nBuckets >= 1, s"bad nBuckets $nBuckets")
+    val statCols = dims.zipWithIndex.flatMap { case (d, i) =>
+      Seq(min(col(d).cast("long")).as(s"__mn_$i"),
+        max(col(d).cast("long")).as(s"__mx_$i"))
+    }
+    val stats = df.na.drop(dims).agg(statCols.head, statCols.tail: _*)
+    val scale = 1L << bits
+    val withNorms = df.na.drop(dims).crossJoin(broadcast(stats))
+    val norms = dims.zipWithIndex.map { case (d, i) =>
+      expr(s"((CAST($d AS BIGINT) - __mn_$i) * ${scale}L) DIV " +
+        s"(__mx_$i - __mn_$i + 1)")
+    }
+    val span = 1L << (bits * dims.size)
+    withNorms
+      .withColumn("__z", interleaveBits(norms, bits))
+      .withColumn("__z_bucket",
+        expr(s"(__z * ${nBuckets}L) DIV ${span}L"))
+      .drop(dims.indices.flatMap(i =>
+        Seq(s"__mn_$i", s"__mx_$i")): _*)
+  }
+
+  /** The data-skipping audit: per bucket, row count and each dim's
+    * min/max — exactly the per-file statistics a pruned scan consults.
+    * Bounded output (≤ nBuckets rows); one aggregation on the bucket
+    * key.
+    */
+  def skippingProfile(df: DataFrame, dims: Seq[String], bits: Int,
+      nBuckets: Int): DataFrame = {
+    val z = zLayout(df, dims, bits, nBuckets)
+    val aggs = count(lit(1)).as("n_rows") +: dims.flatMap(d => Seq(
+      min(col(d).cast("long")).as(s"min_$d"),
+      max(col(d).cast("long")).as(s"max_$d")))
+    z.groupBy(col("__z_bucket").as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write the z-ordered layout: one directory per bucket (partition
+    * pruning applies to the bucket column at rest), rows inside each
+    * file sorted by the full z-value. Deterministic end to end —
+    * the shuffle key is the computed bucket, never a range sample.
+    */
+  def writeZOrdered(df: DataFrame, dims: Seq[String], bits: Int,
+      nBuckets: Int, path: String): Unit =
+    zLayout(df, dims, bits, nBuckets)
+      .repartition(nBuckets, col("__z_bucket"))
+      .sortWithinPartitions(col("__z_bucket"), col("__z"))
+      .write.mode("overwrite").partitionBy("__z_bucket").parquet(path)
+
+  /** Buckets a pruned scan on `dim ∈ [lo, hi]` must touch, per the
+    * profile — the planning step a lakehouse reader runs against its
+    * stats store. Returns the bucket ids (driver fact, ≤ nBuckets).
+    */
+  def bucketsFor(profile: DataFrame, dim: String, lo: Long,
+      hi: Long): Seq[Long] =
+    profile.filter(col(s"min_$dim") <= hi && col(s"max_$dim") >= lo)
+      .select(col("bucket").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+}
