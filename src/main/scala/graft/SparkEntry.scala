@@ -3529,6 +3529,39 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Hierarchical rollup in ONE pass: per-(source, lang) doc counts
+    // and char mass with source subtotals and the grand total —
+    // Spark's Expand + partial aggregation (no per-level re-scan);
+    // grouping_id disambiguates subtotal rows from real values.
+    "q259_rollup_profile" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          grouping_id().as("lvl"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("total_chars"), col("lvl"))
+        .orderBy(col("lvl"), col("source"), col("lang"))),
+
+    // WOE/IV feature screening: which categorical order features
+    // separate high-value orders (fixed 150k cut)? Features melt into
+    // one narrow (feature, value) shuffle — never a pass per feature;
+    // the IV folds each feature's sorted bin list on the 1e-6 grid
+    // (bins are config-bounded), so the statistic replays exactly.
+    "q260_woe_iv" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val base = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("o_orderpriority"), col("c_mktsegment"),
+          col("n_name"), (col("o_totalprice") >= 150000).as("hi"))
+      graft.operators.Woe.woeTable(base,
+          Seq("o_orderpriority", "c_mktsegment", "n_name"), "hi")
+        .orderBy(col("feature"), col("value"))
+    }),
+
     // Z-order layout audit: orders clustered on the Morton interleave
     // of (custkey, order day) at 8 bits, 16 fixed z-cuts; the per-
     // bucket min/max profile IS the stats store a pruned scan
@@ -7357,6 +7390,46 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    "q259_rollup_profile" ->
+      """SELECT coalesce(source, '(all)') AS source,
+        |  coalesce(lang, '(all)') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(source, lang) AS BIGINT) AS lvl
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY lvl, source, lang""".stripMargin,
+
+    "q260_woe_iv" ->
+      """WITH base AS (SELECT o_orderpriority, c_mktsegment, n_name,
+        |  o_totalprice >= 150000 AS y FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |m AS (SELECT 'o_orderpriority' AS feature,
+        |    o_orderpriority AS value, y FROM base
+        |  UNION ALL SELECT 'c_mktsegment', c_mktsegment, y FROM base
+        |  UNION ALL SELECT 'n_name', n_name, y FROM base),
+        |bins AS (SELECT feature, value,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM m GROUP BY feature, value),
+        |tots AS (SELECT feature, CAST(sum(n_pos) AS BIGINT) AS tp,
+        |  CAST(sum(n_neg) AS BIGINT) AS tn FROM bins GROUP BY feature),
+        |sc AS (SELECT b.feature, b.value, n_pos, n_neg,
+        |  round((n_pos + 0.5e0) / (tp + 1.0e0), 6) AS p_share,
+        |  round((n_neg + 0.5e0) / (tn + 1.0e0), 6) AS q_share,
+        |  round(ln((n_pos + 0.5e0) / (tp + 1.0e0)) -
+        |    ln((n_neg + 0.5e0) / (tn + 1.0e0)), 6) AS woe
+        |  FROM bins b JOIN tots USING (feature)),
+        |tm AS (SELECT feature, value,
+        |  round((p_share - q_share) * woe, 6) AS term FROM sc),
+        |iv AS (SELECT feature, round(list_reduce(list_prepend(0.0e0,
+        |    list(term ORDER BY value)), (a, x) -> round(a + x, 6)), 4)
+        |  AS iv FROM tm GROUP BY feature)
+        |SELECT s.feature, s.value, s.n_pos, s.n_neg, s.p_share,
+        |  s.q_share, s.woe, i.iv
+        |FROM sc s JOIN iv i USING (feature)
+        |ORDER BY s.feature, s.value""".stripMargin,
 
     // the Morton interleave as arithmetic (bit b of dim i lands at
     // 2^(2b+i)) — integer-exact in both engines

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weight-of-evidence / information-value feature screening — the
+  * classic credit-scoring readout for "which categorical features
+  * separate a binary label, and how does each level lean":
+  *
+  *   woe(bin)  = ln( (pos_bin + α)/(P + 2α) ) −
+  *               ln( (neg_bin + α)/(N + 2α) )
+  *   iv(feat)  = Σ_bins (p_bin − q_bin) · woe(bin)
+  *
+  * with additive smoothing α so empty cells stay finite (Laplace on
+  * both classes keeps woe's sign meaningful at α→0).
+  *
+  * Shape at scale: features MELT into (feature, value) rows — one
+  * narrow shuffle at (feature × distinct-value) grain, never a pass
+  * per feature; per-feature totals are a feature-bounded broadcast.
+  * The IV sum folds over each feature's SORTED bin list with a 1e-6
+  * re-round per step (bins per feature are config-bounded — this is
+  * the ordered-fold portability device, not a corpus-sized collect),
+  * so the statistic replays bit-exactly in any engine.
+  */
+object Woe {
+
+  /** Bin-grain WOE table: one row per (feature, value) with counts,
+    * distribution shares, and woe — plus the feature's iv on every
+    * row (the screening readout wants both grains together). `labelCol`
+    * must be boolean; feature values stringify (null → "__null__").
+    */
+  def woeTable(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, alpha: Double = 0.5): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val melted = df.select(
+      explode(array(featureCols.map(f => struct(
+        lit(f).as("feature"),
+        coalesce(col(f).cast("string"), lit("__null__")).as("value")
+      )): _*)).as("fv"),
+      col(labelCol).cast("boolean").as("__y"))
+      .select(col("fv.feature").as("feature"),
+        col("fv.value").as("value"), col("__y"))
+    val bins = melted.groupBy(col("feature"), col("value"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"))
+    val tots = bins.groupBy(col("feature"))
+      .agg(sum(col("n_pos")).as("__tp"), sum(col("n_neg")).as("__tn"))
+    val a = lit(alpha)
+    val scored = bins.join(broadcast(tots), Seq("feature"))
+      .withColumn("p_share", round((col("n_pos") + a) /
+        (col("__tp") + a * 2), 6))
+      .withColumn("q_share", round((col("n_neg") + a) /
+        (col("__tn") + a * 2), 6))
+      .withColumn("woe", round(
+        log((col("n_pos") + a) / (col("__tp") + a * 2)) -
+          log((col("n_neg") + a) / (col("__tn") + a * 2)), 6))
+      .withColumn("__term",
+        round((col("p_share") - col("q_share")) * col("woe"), 6))
+    // iv: ordered fold over the feature's bin list (bounded), one
+    // re-round per step — engine-independent addition order
+    val iv = scored.groupBy(col("feature"))
+      .agg(sort_array(collect_list(struct(col("value"),
+        col("__term").as("t")))).as("__bins"))
+      .withColumn("iv", round(aggregate(col("__bins"),
+        lit(0.0), (acc, x) => round(acc + x("t"), 6)), 4))
+      .select(col("feature"), col("iv"))
+    scored.join(broadcast(iv), Seq("feature"))
+      .select(col("feature"), col("value"), col("n_pos"), col("n_neg"),
+        col("p_share"), col("q_share"), col("woe"), col("iv"))
+  }
+
+  /** Feature-grain ranking: `(feature, n_bins, iv)` sorted by iv
+    * descending — the screening shortlist. Same fold as [[woeTable]].
+    */
+  def ivRanking(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, alpha: Double = 0.5): DataFrame =
+    woeTable(df, featureCols, labelCol, alpha)
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_bins"), first(col("iv")).as("iv"))
+      .orderBy(col("iv").desc, col("feature"))
+}
