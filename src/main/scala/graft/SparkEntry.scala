@@ -3529,6 +3529,25 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Difference-in-differences on the events panel: even users play
+    // the rolled-out segment, the time-range midpoint splits pre/post,
+    // units are (user, period) spend sums on the cent grid — the
+    // quasi-experimental estimator when there was no randomization
+    // (control drift is the counterfactual). One partial-agg pass to
+    // a single 12-number row.
+    "q261_diff_in_diff" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("__lo"),
+        max(unix_micros(col("ts"))).as("__hi"))
+      val units = ev.crossJoin(broadcast(mm))
+        .withColumn("post",
+          unix_micros(col("ts")) >= expr("(__lo + __hi) div 2"))
+        .groupBy(col("user_id"), col("post"))
+        .agg(round(sum(col("value")), 2).as("y"))
+        .withColumn("treat", pmod(col("user_id"), lit(2L)) === 0L)
+      graft.operators.Abtest.diffInDiff(units, "treat", "post", "y")
+    }),
+
     // Hierarchical rollup in ONE pass: per-(source, lang) doc counts
     // and char mass with source subtotals and the grand total —
     // Spark's Expand + partial aggregation (no per-level re-scan);
@@ -7390,6 +7409,59 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    "q261_diff_in_diff" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts))
+        |    AS hi FROM events),
+        |u AS (SELECT user_id,
+        |    epoch_us(ts) >= (lo + hi) // 2 AS post,
+        |    round(sum(value), 2) AS y,
+        |    user_id % 2 = 0 AS treat
+        |  FROM events, mm GROUP BY user_id, post, treat),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t0,
+        |  CAST(sum(CASE WHEN treat AND post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t1,
+        |  CAST(sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c0,
+        |  CAST(sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c1,
+        |  sum(CASE WHEN treat AND NOT post THEN y ELSE 0.0e0 END) AS sy_t0,
+        |  sum(CASE WHEN treat AND post THEN y ELSE 0.0e0 END) AS sy_t1,
+        |  sum(CASE WHEN NOT treat AND NOT post THEN y ELSE 0.0e0 END)
+        |    AS sy_c0,
+        |  sum(CASE WHEN NOT treat AND post THEN y ELSE 0.0e0 END) AS sy_c1,
+        |  sum(CASE WHEN treat AND NOT post THEN y * y ELSE 0.0e0 END)
+        |    AS syy_t0,
+        |  sum(CASE WHEN treat AND post THEN y * y ELSE 0.0e0 END)
+        |    AS syy_t1,
+        |  sum(CASE WHEN NOT treat AND NOT post THEN y * y ELSE 0.0e0 END)
+        |    AS syy_c0,
+        |  sum(CASE WHEN NOT treat AND post THEN y * y ELSE 0.0e0 END)
+        |    AS syy_c1
+        |  FROM u WHERE y IS NOT NULL),
+        |x AS (SELECT *,
+        |  sy_t0 / n_t0 AS m_t0, sy_t1 / n_t1 AS m_t1,
+        |  sy_c0 / n_c0 AS m_c0, sy_c1 / n_c1 AS m_c1,
+        |  (syy_t0 - sy_t0 * sy_t0 / n_t0) / (n_t0 - 1) AS v_t0,
+        |  (syy_t1 - sy_t1 * sy_t1 / n_t1) / (n_t1 - 1) AS v_t1,
+        |  (syy_c0 - sy_c0 * sy_c0 / n_c0) / (n_c0 - 1) AS v_c0,
+        |  (syy_c1 - sy_c1 * sy_c1 / n_c1) / (n_c1 - 1) AS v_c1
+        |  FROM c)
+        |SELECT n_t0 AS n_treat_pre, n_t1 AS n_treat_post,
+        |  n_c0 AS n_ctrl_pre, n_c1 AS n_ctrl_post,
+        |  round(m_t0, 4) AS mean_treat_pre,
+        |  round(m_t1, 4) AS mean_treat_post,
+        |  round(m_c0, 4) AS mean_ctrl_pre,
+        |  round(m_c1, 4) AS mean_ctrl_post,
+        |  round((m_t1 - m_t0) - (m_c1 - m_c0), 4) AS did,
+        |  round(sqrt(v_t0 / n_t0 + v_t1 / n_t1 + v_c0 / n_c0 +
+        |    v_c1 / n_c1), 4) AS se,
+        |  round(((m_t1 - m_t0) - (m_c1 - m_c0)) /
+        |    sqrt(v_t0 / n_t0 + v_t1 / n_t1 + v_c0 / n_c0 +
+        |      v_c1 / n_c1), 4) AS z
+        |FROM x""".stripMargin,
 
     "q259_rollup_profile" ->
       """SELECT coalesce(source, '(all)') AS source,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,5 +183,69 @@ object Abtest {
           (col("__nd") - 1), 4).as("var_y"),
         round((col("__saa") - col("__sa") * col("__sa") / col("__nd")) /
           (col("__nd") - 1), 4).as("var_y_cuped"))
+  }
+
+  /** Difference-in-differences on the 2 × 2 (treat, post) panel — the
+    * quasi-experimental estimator for rollouts WITHOUT randomization
+    * (feature launched to one segment; the other segment's pre→post
+    * drift is the counterfactual):
+    *
+    *   DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    *
+    * with the four-cell normal SE √(Σ s²_cell/n_cell) and z = DiD/SE —
+    * the unpooled (Welch-style) variance, never the equal-variance
+    * pool. Identification rides on parallel pre-trends; callers should
+    * eyeball the pre-period with the forecast family first.
+    *
+    * Input: ONE ROW PER UNIT-PERIOD (aggregate raw events to units
+    * first — pseudo-replication at event grain would shrink the SE
+    * dishonestly). `treatCol`/`postCol` boolean. Scale shape: one
+    * partial-agg pass producing a single 12-number row; every
+    * downstream step is arithmetic on that row.
+    */
+  def diffInDiff(units: DataFrame, treatCol: String, postCol: String,
+      yCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val t = col(treatCol).cast("boolean")
+    val p = col(postCol).cast("boolean")
+    def inCell(tv: Boolean, pv: Boolean) = t === tv && p === pv
+    def n(tv: Boolean, pv: Boolean) =
+      sum(when(inCell(tv, pv), 1L).otherwise(0L))
+    def s(tv: Boolean, pv: Boolean, f: Column) =
+      sum(when(inCell(tv, pv), f).otherwise(lit(0.0)))
+    // order fixes the SE addition sequence (t0+t1+c0+c1) — the oracle
+    // must add in the same order for bit-identical rounding
+    val cellTags = Seq((true, false, "t0"), (true, true, "t1"),
+      (false, false, "c0"), (false, true, "c1"))
+    val aggs = cellTags.flatMap { case (tv, pv, tag) => Seq(
+      n(tv, pv).as(s"__n_$tag"), s(tv, pv, y).as(s"__sy_$tag"),
+      s(tv, pv, y * y).as(s"__syy_$tag"))
+    }
+    var row = units.filter(y.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    cellTags.foreach { case (_, _, tag) =>
+      row = row
+        .withColumn(s"__m_$tag",
+          col(s"__sy_$tag") / col(s"__n_$tag").cast("double"))
+        .withColumn(s"__v_$tag", (col(s"__syy_$tag") -
+          col(s"__sy_$tag") * col(s"__sy_$tag") /
+            col(s"__n_$tag").cast("double")) /
+          (col(s"__n_$tag").cast("double") - 1))
+    }
+    val did = (col("__m_t1") - col("__m_t0")) -
+      (col("__m_c1") - col("__m_c0"))
+    val se = sqrt(cellTags.map { case (_, _, tag) =>
+      col(s"__v_$tag") / col(s"__n_$tag").cast("double")
+    }.reduce(_ + _))
+    row.select(
+      col("__n_t0").as("n_treat_pre"), col("__n_t1").as("n_treat_post"),
+      col("__n_c0").as("n_ctrl_pre"), col("__n_c1").as("n_ctrl_post"),
+      round(col("__m_t0"), 4).as("mean_treat_pre"),
+      round(col("__m_t1"), 4).as("mean_treat_post"),
+      round(col("__m_c0"), 4).as("mean_ctrl_pre"),
+      round(col("__m_c1"), 4).as("mean_ctrl_post"),
+      round(did, 4).as("did"),
+      round(se, 4).as("se"),
+      round(did / se, 4).as("z"))
   }
 }

@@ -193,4 +193,33 @@ class SurvivalAbtestSpec extends SparkSpec {
         s"variance should collapse: $r")
     }
   }
+
+  test("diffInDiff: hand-checked 2x2 cells, control drift subtracted, " +
+      "unpooled SE") {
+    val s = spark
+    import s.implicits._
+    // each cell: two units at mean±0.5 -> var 0.5 everywhere.
+    // treat moves 1 -> 4, control drifts 1 -> 2: did = 3 - 1 = 2;
+    // se = sqrt(4 * 0.5/2) = 1; z = 2.
+    val units = Seq(
+      (true, false, 0.5), (true, false, 1.5),
+      (true, true, 3.5), (true, true, 4.5),
+      (false, false, 0.5), (false, false, 1.5),
+      (false, true, 1.5), (false, true, 2.5)
+    ).toDF("treat", "post", "y")
+    val r = Abtest.diffInDiff(units, "treat", "post", "y").head()
+    assert(r.getAs[Long]("n_treat_pre") === 2L)
+    assert(r.getAs[Long]("n_ctrl_post") === 2L)
+    assert(r.getAs[Double]("mean_treat_post") === 4.0)
+    assert(r.getAs[Double]("mean_ctrl_pre") === 1.0)
+    assert(r.getAs[Double]("did") === 2.0)
+    assert(r.getAs[Double]("se") === 1.0)
+    assert(r.getAs[Double]("z") === 2.0)
+    // null metric rows drop rather than poisoning a cell
+    val withNull = units.union(
+      Seq((true, true, Option.empty[Double])).toDF("treat", "post", "y"))
+    val r2 = Abtest.diffInDiff(withNull, "treat", "post", "y").head()
+    assert(r2.getAs[Double]("did") === 2.0)
+    assert(r2.getAs[Long]("n_treat_post") === 2L)
+  }
 }
