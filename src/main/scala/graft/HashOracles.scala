@@ -2943,6 +2943,65 @@ object HashOracles {
         "FROM nz ORDER BY source, lang")
   }
 
+  /** Winnowing CTE chain (q262/q263,
+    * [[operators.Winnow]]): canonicalize → char k-grams with
+    * positions → FNV-1a per gram → per-window min of
+    * `struct(h, −pos)` (rightmost-tie min, matching Spark's struct
+    * ordering field for field) → the DISTINCT selected set `sel`.
+    * Short docs (< w grams) get the single truncated window at s=1;
+    * `pos BETWEEN s AND s+w−1` clips it for free since pos ≤ ng.
+    */
+  private def winnowCtes(k: Int, w: Int): Seq[String] = Seq(
+    "docs AS (SELECT doc_id, regexp_replace(lower(text), " +
+      "'[^a-z0-9]', '', 'g') AS c FROM documents)",
+    s"wbase AS (SELECT doc_id, c, length(c) - ${k - 1} AS ng " +
+      s"FROM docs WHERE length(c) - ${k - 1} > 0)",
+    "gp AS (SELECT doc_id, ng, c, unnest(range(1, ng + 1)) AS pos " +
+      "FROM wbase)",
+    s"gg AS (SELECT doc_id, ng, pos, " +
+      s"substr(c, CAST(pos AS INT), $k) AS gram FROM gp)",
+    s"gh0 AS (SELECT doc_id, ng, pos, ${fnv("gram")} AS z FROM gg)",
+    s"gh AS (SELECT doc_id, ng, pos, ${toSigned("z")} AS h FROM gh0)",
+    s"win AS (SELECT doc_id, unnest(range(1, " +
+      s"greatest(ng - ${w - 1}, 1) + 1)) AS s FROM wbase)",
+    s"ch AS (SELECT w.doc_id, w.s, " +
+      "min(struct_pack(h := g.h, np := -g.pos)) AS pick " +
+      "FROM win w JOIN gh g ON g.doc_id = w.doc_id " +
+      s"AND g.pos BETWEEN w.s AND w.s + ${w - 1} " +
+      "GROUP BY w.doc_id, w.s)",
+    "sel AS (SELECT DISTINCT doc_id, -pick.np AS pos, pick.h AS h " +
+      "FROM ch)")
+
+  /** Per-doc winnowing profile replay (q262). */
+  def q262Winnowing(k: Int, w: Int): String =
+    withClause(winnowCtes(k, w) :+
+      (s"prof AS (SELECT doc_id, CAST(ng AS BIGINT) AS n_grams, " +
+        s"CAST(greatest(ng - ${w - 1}, 1) AS BIGINT) AS n_windows " +
+        "FROM wbase)"),
+      "SELECT p.doc_id, p.n_grams, p.n_windows, " +
+        "CAST(count(*) AS BIGINT) AS n_fp, " +
+        "round(CAST(count(*) AS DOUBLE) / p.n_windows, 4) AS density, " +
+        "md5(array_to_string(list_sort(list(CAST(pos AS VARCHAR) || " +
+        "':' || CAST(h AS VARCHAR))), ',')) AS fp_md5 " +
+        "FROM sel s JOIN prof p USING (doc_id) " +
+        "GROUP BY p.doc_id, p.n_grams, p.n_windows ORDER BY p.doc_id")
+
+  /** Winnow match-pair replay (q263): distinct selected hashes, the
+    * `maxDf` ubiquitous-fingerprint drop, pair join, `minShared` floor.
+    */
+  def q263WinnowMatches(k: Int, w: Int, minShared: Int,
+      maxDf: Int): String =
+    withClause(winnowCtes(k, w) ++ Seq(
+      "hs AS (SELECT DISTINCT doc_id, h FROM sel)",
+      "rare AS (SELECT h FROM hs GROUP BY h " +
+        s"HAVING count(*) <= $maxDf)",
+      "hk AS (SELECT doc_id, h FROM hs JOIN rare USING (h))"),
+      "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM hk a JOIN hk b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        s"GROUP BY 1, 2 HAVING count(*) >= $minShared " +
+        "ORDER BY n_shared DESC, a_id, b_id")
+
   /** Unigram-LM EM round replay (q256,
     * [[operators.TokenizerTraining.unigramEmRound]]): candidate
     * substrings of the truncated word table ranked (count DESC, piece)

@@ -3529,6 +3529,26 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Winnowing fingerprints (the MOSS device): per-doc selected-hash
+    // profile with the ordered pos:hash stream md5 — detection of any
+    // shared substring >= w+k-1 chars is GUARANTEED, unlike MinHash.
+    // Grams explode per doc; the window min is keyed by doc.
+    "q262_winnow_profile" -> ((s, dir) =>
+      graft.operators.Winnow.profile(T(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 4)
+        .orderBy(col("doc_id"))),
+
+    // Winnow matching: doc pairs sharing >= 50 distinct selected
+    // hashes — candidates ONLY from the hash equi-join (the MinHash
+    // band discipline with a certainty guarantee); hashes in > 300
+    // docs drop first (a boilerplate hash in f docs alone emits f²
+    // pairs — the hot-shingle skew: uncapped this corpus yields
+    // 1.49M pairs/13 s at sf0.1, capped 93 pairs/5 s).
+    "q263_winnow_matches" -> ((s, dir) =>
+      graft.operators.Winnow.matchPairs(T(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 4, minShared = 50, maxDf = 300)
+        .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))),
+
     // Difference-in-differences on the events panel: even users play
     // the rolled-out segment, the time-range midpoint splits pre/post,
     // units are (user, period) spend sums on the cent grid — the
@@ -7409,6 +7429,9 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    "q262_winnow_profile" -> HashOracles.q262Winnowing(5, 4),
+    "q263_winnow_matches" -> HashOracles.q263WinnowMatches(5, 4, 50, 300),
 
     "q261_diff_in_diff" ->
       """WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts))

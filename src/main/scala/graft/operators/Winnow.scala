@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.HashExpressions
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003 — the MOSS algorithm): hash every character `k`-gram of
+  * the canonicalized text, slide a `w`-gram window, and keep each
+  * window's MINIMUM hash (rightmost position on ties — the "robust
+  * winnowing" rule that makes selection depend on content, not
+  * position). The selected set is ~`2/(w+1)` of the grams yet carries
+  * the GUARANTEE the sparser schemes (our rolling-hash fingerprints,
+  * MinHash) cannot give: any shared substring of length ≥ `w + k − 1`
+  * between two documents surfaces as a shared selected hash —
+  * detection is certain, not probabilistic.
+  *
+  * Scale shape: grams explode per document and the window min runs
+  * KEYED by document in position order (per-doc sequential state —
+  * never a corpus-grain window); matching is a distinct-hash
+  * equi-join, the same candidate discipline as the MinHash bands.
+  * Canonicalization (lowercase, alnum only) is one regexp pass;
+  * hashing is the codegen'd FNV-1a expression.
+  */
+object Winnow {
+
+  private def canon(c: org.apache.spark.sql.Column) =
+    regexp_replace(lower(c), "[^a-z0-9]", "")
+
+  /** Selected fingerprints: one row per (id, pos, hash) the winnow
+    * keeps. Documents with fewer than `w` grams (but ≥ 1) fall back to
+    * one truncated window, so every non-empty canonical text carries
+    * at least one fingerprint. Documents with no grams emit nothing.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad k=$k w=$w")
+    val grams = df
+      .select(col(idCol), canon(col(textCol)).as("__c"))
+      .withColumn("__ng",
+        greatest(length(col("__c")) - (k - 1), lit(0)))
+      .filter(col("__ng") > 0)
+      .select(col(idCol), col("__ng"),
+        explode(expr(s"transform(sequence(1, __ng), " +
+          s"i -> struct(i AS pos, substring(__c, i, $k) AS gram))"))
+          .as("__g"))
+      .select(col(idCol), col("__ng"), col("__g.pos").as("__pos"),
+        HashExpressions.fnv1a64(col("__g.gram")).as("__h"))
+    // min over struct(h, -pos): smallest hash, rightmost tie
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__pick",
+        min(struct(col("__h"), (-col("__pos")).as("np"))).over(win))
+      // complete windows only; short docs keep the single truncated
+      // window at pos 1
+      .filter(col("__pos") <= col("__ng") - (w - 1) ||
+        (col("__ng") < w && col("__pos") === 1))
+      .select(col(idCol), (-col("__pick.np")).as("pos"),
+        col("__pick.__h").as("hash"))
+      .distinct()
+  }
+
+  /** Per-document fingerprint profile: gram/window/fingerprint counts,
+    * the selection density (→ 2/(w+1) on random text), and the md5 of
+    * the ordered `pos:hash` stream — the audit a fingerprint index
+    * stores per document.
+    */
+  def profile(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val fp = fingerprints(df, idCol, textCol, k, w)
+    val base = df
+      .select(col(idCol),
+        greatest(length(canon(col(textCol))) - (k - 1), lit(0))
+          .as("n_grams"))
+      .filter(col("n_grams") > 0)
+      .withColumn("n_windows",
+        greatest(col("n_grams") - (w - 1), lit(1)))
+    val agg = fp
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws(",", sort_array(collect_list(
+          concat_ws(":", col("pos"), col("hash")))))).as("fp_md5"))
+    base.join(agg, Seq(idCol))
+      .select(col(idCol), col("n_grams").cast("long").as("n_grams"),
+        col("n_windows").cast("long").as("n_windows"), col("n_fp"),
+        round(col("n_fp") / col("n_windows").cast("double"), 4)
+          .as("density"),
+        col("fp_md5"))
+  }
+
+  /** Document pairs sharing ≥ `minShared` distinct selected hashes —
+    * the plagiarism/near-dup readout. Candidates come ONLY from the
+    * hash equi-join on per-doc DISTINCT hashes, and hashes present in
+    * more than `maxDf` documents are dropped FIRST (the MOSS "ignore
+    * ubiquitous fingerprints" rule): a boilerplate hash shared by f
+    * documents would alone emit f² candidate pairs — the hot-shingle
+    * skew that turns the join quadratic — while contributing no
+    * discriminating signal. `n_shared` orders the report.
+    */
+  def matchPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    val hs = fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("hash")).distinct()
+    val rare = hs.groupBy(col("hash"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("hash"))
+    val kept = hs.join(rare, Seq("hash"))
+    val a = kept.select(col("__id").as("a_id"), col("hash"))
+    val b = kept.select(col("__id").as("b_id"), col("hash"))
+    a.join(b, Seq("hash"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}
