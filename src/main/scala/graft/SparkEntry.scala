@@ -3529,6 +3529,21 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Shot-boundary detection over sampled pseudo-frames: per-frame
+    // integer energy (codegen fold — the codec-backed histogram's
+    // disclosed stand-in), consecutive-frame delta through a KEYED
+    // window, |delta| >= 200 marks a cut; per-asset scene accounting
+    // with the ordered cut-stream md5. The q62 sampling chain grown
+    // into the video-curation readout.
+    "q264_scene_cuts" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        T(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text")
+      Multimodal.sceneSummary(media, frameBytes = 64, stride = 4,
+          threshold = 200)
+        .orderBy(col("media_id"))
+    }),
+
     // Winnowing fingerprints (the MOSS device): per-doc selected-hash
     // profile with the ordered pos:hash stream md5 — detection of any
     // shared substring >= w+k-1 chars is GUARANTEED, unlike MinHash.
@@ -7429,6 +7444,32 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    "q264_scene_cuts" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id < 1000),
+        |f AS (SELECT doc_id, text, unnest(range(0,
+        |  greatest(CAST(floor(n / 64) AS BIGINT) - 1, 0) + 1, 4))
+        |  AS fi FROM m),
+        |fr AS (SELECT doc_id, fi,
+        |  substring(text, CAST(fi * 64 + 1 AS INT), 64) AS frame FROM f),
+        |e AS (SELECT doc_id, fi, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(frame) + 1), i ->
+        |      CAST(unicode(substring(frame, CAST(i AS INT), 1))
+        |        AS BIGINT))), (a, x) -> a + x) AS energy FROM fr),
+        |d AS (SELECT doc_id, fi, energy, energy - lag(energy)
+        |  OVER (PARTITION BY doc_id ORDER BY fi) AS delta FROM e),
+        |c AS (SELECT doc_id, fi,
+        |  coalesce(abs(delta) >= 200, false) AS is_cut FROM d)
+        |SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |    AS n_scenes,
+        |  md5(coalesce(array_to_string(list_sort(
+        |    list(fi) FILTER (WHERE is_cut)), ','), '')) AS cuts_md5
+        |FROM c GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "q262_winnow_profile" -> HashOracles.q262Winnowing(5, 4),
     "q263_winnow_matches" -> HashOracles.q263WinnowMatches(5, 4, 50, 300),

@@ -484,4 +484,47 @@ object Multimodal {
         substr(col("media"), col("frame_idx") * frameBytes + 1, lit(frameBytes)))
       .select(col("media_id"), col("frame_idx"), col("frame"))
   }
+
+  /** Shot-boundary (scene-cut) detection over [[sampleFrames]]: each
+    * sampled frame reduces to one integer energy (byte-value sum — the
+    * stand-in for a real frame histogram; swap the energy expression
+    * for a codec-backed feature at deployment, same plumbing), a
+    * KEYED window takes the consecutive-frame delta, and
+    * `|delta| ≥ threshold` marks a cut. The first frame of a stream is
+    * never a cut (no predecessor). All windows partition by media_id —
+    * per-asset sequential state, nothing corpus-grain; the energy is a
+    * pure codegen fold, so the whole chain replays in SQL.
+    */
+  def shotBoundaries(media: DataFrame, frameBytes: Int = 64,
+      stride: Int = 4, threshold: Long = 300): DataFrame = {
+    require(threshold >= 0, s"bad threshold $threshold")
+    val frames = sampleFrames(media, frameBytes, stride)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("energy",
+        expr("aggregate(sequence(1, length(CAST(frame AS STRING))), " +
+          "0L, (a, i) -> " +
+          "a + ascii(substring(CAST(frame AS STRING), i, 1)))"))
+      .withColumn("delta",
+        col("energy") - lag(col("energy"), 1).over(w))
+      .withColumn("is_cut",
+        coalesce(abs(col("delta")) >= threshold, lit(false)))
+      .select(col("media_id"), col("frame_idx"), col("energy"),
+        col("delta"), col("is_cut"))
+  }
+
+  /** Per-asset scene accounting over [[shotBoundaries]]: frame/cut
+    * counts, scene count (cuts + 1), and the ordered cut-index stream
+    * md5 — what a video curation pipeline stores per asset.
+    */
+  def sceneSummary(media: DataFrame, frameBytes: Int = 64,
+      stride: Int = 4, threshold: Long = 300): DataFrame =
+    shotBoundaries(media, frameBytes, stride, threshold)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        (sum(when(col("is_cut"), 1L).otherwise(0L)) + 1).as("n_scenes"),
+        md5(concat_ws(",", sort_array(collect_list(
+          when(col("is_cut"), col("frame_idx")))))).as("cuts_md5"))
 }

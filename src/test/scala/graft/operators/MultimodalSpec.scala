@@ -173,4 +173,36 @@ class MultimodalSpec extends SparkSpec {
       Seq((9L, "junk")).toDF("id", "b"), "id", "b")
     assert(Multimodal.audioFrameFeatures(junk, 4).count() === 0L)
   }
+
+  test("shotBoundaries: energy deltas between SAMPLED frames, first " +
+      "frame never a cut, summary accounts scenes") {
+    val s = spark
+    import s.implicits._
+    // 9 frames of 64 bytes: 'a'x4 frames, 'b'x4, 'z'x1; stride 4
+    // samples frames 0, 4, 8 -> energies 6208, 6272, 7808;
+    // deltas null, 64, 1536 -> one cut at threshold 100
+    val text = "a" * 256 + "b" * 256 + "z" * 64
+    val media = Multimodal.asMedia(
+      Seq((1L, text)).toDF("id", "b"), "id", "b")
+    val rows = Multimodal.shotBoundaries(media, frameBytes = 64,
+        stride = 4, threshold = 100)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 4, 8))
+    assert(rows.map(_.getAs[Long]("energy")).toSeq ===
+      Seq(64L * 97, 64L * 98, 64L * 122))
+    assert(rows.map(_.getAs[Boolean]("is_cut")).toSeq ===
+      Seq(false, false, true))
+    val sum = Multimodal.sceneSummary(media, 64, 4, 100).head()
+    assert(sum.getAs[Long]("n_frames") === 3L)
+    assert(sum.getAs[Long]("n_cuts") === 1L)
+    assert(sum.getAs[Long]("n_scenes") === 2L)
+    // short media: single truncated frame, no predecessor, no cut
+    val short = Multimodal.asMedia(
+      Seq((2L, "hello")).toDF("id", "b"), "id", "b")
+    val sr = Multimodal.shotBoundaries(short, 64, 4, 0).collect()
+    assert(sr.length === 1)
+    assert(sr.head.getAs[Boolean]("is_cut") === false)
+    assert(sr.head.getAs[Long]("energy") ===
+      "hello".map(_.toLong).sum)
+  }
 }
