@@ -3529,6 +3529,19 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Inactivity-gap sessionization (the 30-minute rule): ONE keyed
+    // window pass assigns per-user session ordinals, session stats
+    // are a second partial-agg, and the gated readout is the
+    // engagement curve — per session LENGTH: session count, exact
+    // mean duration (integer micros), value mass. Bounded by the
+    // longest session. Gap = 2 days (this corpus's event cadence;
+    // the 30-minute web rule is the spec's hand fixture).
+    "q265_sessionization" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionLengthProfile(events(s, dir),
+          "user_id", "ts", "event_id", "event_type", "value",
+          gapMinutes = 2880)
+        .orderBy(col("n_events"))),
+
     // Shot-boundary detection over sampled pseudo-frames: per-frame
     // integer energy (codegen fold — the codec-backed histogram's
     // disclosed stand-in), consecutive-frame delta through a KEYED
@@ -7444,6 +7457,26 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    "q265_sessionization" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  event_type, value FROM events WHERE ts IS NOT NULL),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >
+        |  172800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |g AS (SELECT user_id, sid, min(us) AS s0, max(us) AS s1,
+        |  count(*) AS ne, round(sum(value), 2) AS sv
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(ne AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(sum(sv), 2) AS total_value,
+        |  round(CAST(sum(s1 - s0) AS DOUBLE) / count(*) / 1000000.0, 4)
+        |    AS mean_duration_s
+        |FROM g GROUP BY ne ORDER BY n_events""".stripMargin,
 
     "q264_scene_cuts" ->
       """WITH m AS (SELECT doc_id, text, length(text) AS n
