@@ -2943,6 +2943,36 @@ object HashOracles {
         "FROM nz ORDER BY source, lang")
   }
 
+  /** ANALYZE replay (q266, [[operators.Analyze.tableStats]]): one
+    * UNION ALL branch per column with the kind-matched typed stats.
+    * `kind` ∈ num | str | ts.
+    */
+  def q266AnalyzeStats(table: String,
+      cols: Seq[(String, String)]): String = {
+    val parts = cols.map { case (c, kind) =>
+      val (mnn, mxn) =
+        if (kind == "num")
+          (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      val (mns, mxs) = kind match {
+        case "str" => (s"min($c)", s"max($c)")
+        case "ts" =>
+          (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+        case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      }
+      val al =
+        if (kind == "str")
+          s"round(CAST(sum(length($c)) AS DOUBLE) / count($c), 4)"
+        else "CAST(NULL AS DOUBLE)"
+      s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS ndv, " +
+        s"$mnn AS min_num, $mxn AS max_num, $mns AS min_str, " +
+        s"$mxs AS max_str, $al AS avg_len FROM $table"
+    }
+    parts.mkString(" UNION ALL ") + " ORDER BY col_name"
+  }
+
   /** Winnowing CTE chain (q262/q263,
     * [[operators.Winnow]]): canonicalize → char k-grams with
     * positions → FNV-1a per gram → per-window min of

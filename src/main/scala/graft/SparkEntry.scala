@@ -3529,6 +3529,14 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // ANALYZE: the per-column catalog stats row (nulls, NDV, typed
+    // min/max, mean string length) in ONE aggregation pass — the
+    // multi-distinct plans via Expand, never a scan per column; the
+    // approxNdv flag swaps exact distincts for HLL registers at the
+    // 100 TB grain (spec-bounded; the gate pins the exact form).
+    "q266_analyze_stats" -> ((s, dir) =>
+      graft.operators.Analyze.tableStats(T(s, dir, "lineitem"))),
+
     // Inactivity-gap sessionization (the 30-minute rule): ONE keyed
     // window pass assigns per-user session ordinals, session stats
     // are a second partial-agg, and the gated readout is the
@@ -7457,6 +7465,13 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    "q266_analyze_stats" -> HashOracles.q266AnalyzeStats("lineitem", Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num",
+      "l_tax" -> "num", "l_returnflag" -> "str",
+      "l_linestatus" -> "str", "l_shipdate" -> "ts")),
 
     "q265_sessionization" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
