@@ -3529,6 +3529,25 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // IPW average treatment effect by subclassification: urgent/high
+    // priority plays the treatment, market segment the confounder
+    // stratum; propensity = per-stratum treated share (clipped),
+    // outcome mass reweighted 1/e — Horvitz–Thompson and Hájek forms
+    // beside the naive difference they correct. Weights factor OUT of
+    // the row sums; the overall estimates fold over the bounded
+    // sorted stratum list (the q260 device).
+    "q267_ipw_ate" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val base = o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("treat"),
+          col("o_totalprice").as("y"))
+      graft.operators.Abtest.ipwAte(base, Seq("c_mktsegment"),
+          "treat", "y")
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ANALYZE: the per-column catalog stats row (nulls, NDV, typed
     // min/max, mean string length) in ONE aggregation pass — the
     // multi-distinct plans via Expand, never a scan per column; the
@@ -7465,6 +7484,50 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    "q267_ipw_ate" ->
+      """WITH base AS (SELECT c_mktsegment AS seg,
+        |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS t,
+        |  o_totalprice AS y FROM orders
+        |  JOIN customer ON o_custkey = c_custkey),
+        |s AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |  round(sum(CASE WHEN t THEN y ELSE 0.0e0 END), 2) AS sum_y_t,
+        |  round(sum(CASE WHEN t THEN 0.0e0 ELSE y END), 2) AS sum_y_c
+        |  FROM base GROUP BY seg),
+        |w AS (SELECT *, round(least(greatest(
+        |  CAST(n_treat AS DOUBLE) / n, 0.02e0), 0.98e0), 6) AS e
+        |  FROM s),
+        |w2 AS (SELECT *, round(sum_y_t / e, 6) AS wyt,
+        |  round(sum_y_c / (1.0e0 - e), 6) AS wyc,
+        |  round(CAST(n_treat AS DOUBLE) / e, 6) AS wnt,
+        |  round(CAST(n - n_treat AS DOUBLE) / (1.0e0 - e), 6) AS wnc
+        |  FROM w),
+        |o AS (SELECT CAST(sum(n) AS BIGINT) AS n_units,
+        |  CAST(sum(n_treat) AS BIGINT) AS n_treated,
+        |  round(sum(sum_y_t), 2) AS syt, round(sum(sum_y_c), 2) AS syc,
+        |  round(list_reduce(list_prepend(0.0e0, list(wyt ORDER BY seg)),
+        |    (a, x) -> round(a + x, 6)), 6) AS swyt,
+        |  round(list_reduce(list_prepend(0.0e0, list(wyc ORDER BY seg)),
+        |    (a, x) -> round(a + x, 6)), 6) AS swyc,
+        |  round(list_reduce(list_prepend(0.0e0, list(wnt ORDER BY seg)),
+        |    (a, x) -> round(a + x, 6)), 6) AS swnt,
+        |  round(list_reduce(list_prepend(0.0e0, list(wnc ORDER BY seg)),
+        |    (a, x) -> round(a + x, 6)), 6) AS swnc
+        |  FROM w2),
+        |o2 AS (SELECT n_units, n_treated,
+        |  CASE WHEN n_treated > 0 AND n_units > n_treated THEN
+        |    round(syt / CAST(n_treated AS DOUBLE) -
+        |      syc / CAST(n_units - n_treated AS DOUBLE), 4) END
+        |    AS naive_diff,
+        |  round((swyt - swyc) / CAST(n_units AS DOUBLE), 4) AS ate_ipw,
+        |  CASE WHEN swnt > 0 AND swnc > 0 THEN
+        |    round(swyt / swnt - swyc / swnc, 4) END AS ate_hajek
+        |  FROM o)
+        |SELECT w2.seg AS c_mktsegment, w2.n, w2.n_treat, w2.e,
+        |  w2.sum_y_t, w2.sum_y_c, o2.n_units, o2.n_treated,
+        |  o2.naive_diff, o2.ate_ipw, o2.ate_hajek
+        |FROM w2, o2 ORDER BY c_mktsegment""".stripMargin,
 
     "q266_analyze_stats" -> HashOracles.q266AnalyzeStats("lineitem", Seq(
       "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",

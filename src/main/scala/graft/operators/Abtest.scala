@@ -185,6 +185,76 @@ object Abtest {
           (col("__nd") - 1), 4).as("var_y_cuped"))
   }
 
+  /** Inverse-propensity-weighted ATE by subclassification — the
+    * observational-data estimator for "what did the treatment do"
+    * when assignment correlated with covariates: propensity
+    * `e_s = n_treat_s / n_s` per covariate STRATUM (clipped to
+    * [clipLo, clipHi] — the standard positivity guard), each
+    * stratum's outcome mass reweighted by `1/e_s` (treated) or
+    * `1/(1−e_s)` (control). Both the Horvitz–Thompson ATE (divide by
+    * N) and the Hájek form (divide by the weight mass — the
+    * self-normalized estimator that tolerates clipping bias) ride on
+    * every row, next to the naive difference they correct.
+    *
+    * Portability/scale shape: weights factor OUT of the row sums —
+    * per-stratum `sum(y·t)/e_s`, never `sum(y·t/e_s)` — so the only
+    * corpus-grain float sums are money-grid outcome masses (the house
+    * events device); the overall estimates fold over the SORTED
+    * stratum list (config-bounded) with a 1e-6 re-round per step, the
+    * q260 IV device, so the estimator replays bit-exactly. One
+    * stratum-grain aggregation, one broadcast 1-row overall frame.
+    */
+  def ipwAte(df: DataFrame, strataCols: Seq[String], treatCol: String,
+      yCol: String, clipLo: Double = 0.02,
+      clipHi: Double = 0.98): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(clipLo > 0 && clipHi < 1 && clipLo < clipHi,
+      s"bad clip [$clipLo, $clipHi]")
+    val t = col(treatCol).cast("boolean")
+    val y = col(yCol).cast("double")
+    val strata = df.filter(y.isNotNull)
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(t, 1L).otherwise(0L)).as("n_treat"),
+        round(sum(when(t, y).otherwise(lit(0.0))), 2).as("sum_y_t"),
+        round(sum(when(t, lit(0.0)).otherwise(y)), 2).as("sum_y_c"))
+      .withColumn("e", round(least(greatest(
+        col("n_treat").cast("double") / col("n").cast("double"),
+        lit(clipLo)), lit(clipHi)), 6))
+      .withColumn("wyt", round(col("sum_y_t") / col("e"), 6))
+      .withColumn("wyc", round(col("sum_y_c") / (lit(1.0) - col("e")), 6))
+      .withColumn("wnt",
+        round(col("n_treat").cast("double") / col("e"), 6))
+      .withColumn("wnc", round((col("n") - col("n_treat")).cast("double")
+        / (lit(1.0) - col("e")), 6))
+      .withColumn("__sk", concat_ws("", strataCols.map(col): _*))
+    def foldSum(c: String) = round(aggregate(
+      sort_array(collect_list(struct(col("__sk"), col(c).as("v")))),
+      lit(0.0), (acc, x) => round(acc + x("v"), 6)), 6)
+    val overall = strata.agg(
+      sum(col("n")).as("__N"), sum(col("n_treat")).as("__NT"),
+      round(sum(col("sum_y_t")), 2).as("__SYT"),
+      round(sum(col("sum_y_c")), 2).as("__SYC"),
+      foldSum("wyt").as("__swyt"), foldSum("wyc").as("__swyc"),
+      foldSum("wnt").as("__swnt"), foldSum("wnc").as("__swnc"))
+      .select(
+        col("__N").as("n_units"), col("__NT").as("n_treated"),
+        when(col("__NT") > 0 && col("__N") > col("__NT"),
+          round(col("__SYT") / col("__NT").cast("double") -
+            col("__SYC") / (col("__N") - col("__NT")).cast("double"), 4))
+          .as("naive_diff"),
+        round((col("__swyt") - col("__swyc")) /
+          col("__N").cast("double"), 4).as("ate_ipw"),
+        when(col("__swnt") > 0 && col("__swnc") > 0,
+          round(col("__swyt") / col("__swnt") -
+            col("__swyc") / col("__swnc"), 4)).as("ate_hajek"))
+    strata.crossJoin(broadcast(overall))
+      .select((strataCols.map(col) ++ Seq(col("n"), col("n_treat"),
+        col("e"), col("sum_y_t"), col("sum_y_c"), col("n_units"),
+        col("n_treated"), col("naive_diff"), col("ate_ipw"),
+        col("ate_hajek"))): _*)
+  }
+
   /** Difference-in-differences on the 2 × 2 (treat, post) panel — the
     * quasi-experimental estimator for rollouts WITHOUT randomization
     * (feature launched to one segment; the other segment's pre→post

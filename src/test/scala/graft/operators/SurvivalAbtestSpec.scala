@@ -222,4 +222,33 @@ class SurvivalAbtestSpec extends SparkSpec {
     assert(r2.getAs[Double]("did") === 2.0)
     assert(r2.getAs[Long]("n_treat_post") === 2L)
   }
+
+  test("ipwAte: stratum propensities undo confounding the naive " +
+      "difference falls for; clipping guards empty cells") {
+    val s = spark
+    import s.implicits._
+    // stratum a: 75% treated, baseline 10, effect +1
+    // stratum b: 25% treated, baseline 0, effect +1
+    // true ATE = 1; naive mixes baselines -> 6.0
+    val units = Seq(
+      ("a", true, 11.0), ("a", true, 11.0), ("a", true, 11.0),
+      ("a", false, 10.0),
+      ("b", true, 1.0),
+      ("b", false, 0.0), ("b", false, 0.0), ("b", false, 0.0)
+    ).toDF("seg", "treat", "y")
+    val out = Abtest.ipwAte(units, Seq("seg"), "treat", "y")
+      .orderBy("seg").collect()
+    assert(out.length === 2)
+    val r = out.head
+    assert(r.getAs[Double]("naive_diff") === 6.0)
+    assert(r.getAs[Double]("ate_ipw") === 1.0)
+    assert(r.getAs[Double]("ate_hajek") === 1.0)
+    assert(r.getAs[Double]("e") === 0.75)
+    assert(out(1).getAs[Double]("e") === 0.25)
+    // an all-treated stratum clips to 0.98 instead of dividing by 0
+    val degenerate = Seq(("c", true, 5.0), ("c", true, 5.0))
+      .toDF("seg", "treat", "y")
+    val d = Abtest.ipwAte(degenerate, Seq("seg"), "treat", "y").head()
+    assert(d.getAs[Double]("e") === 0.98)
+  }
 }
