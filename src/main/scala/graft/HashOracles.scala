@@ -882,6 +882,39 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** Triplet-mining replay (q268, [[operators.Similarity
+    * .mineTriplets]]): the q85 plane-assignment chain, BOTH-direction
+    * in-list pairs with labels and 1e-6-rounded cosines, hardest
+    * positive (min cos, id tie), then the semi-hard-else-hardest
+    * negative pick via (semi DESC, cos DESC, id).
+    */
+  val q268TripletMining: String = withClause(
+    planesCtes() ++ Seq(
+      "proj AS (SELECT e.vec_id, e.embedding, e.label, pv.p, " +
+        s"${projection("e.embedding")} AS pr " +
+        "FROM embeddings e CROSS JOIN pv pv)",
+      "asg AS (SELECT vec_id, embedding, label, p AS list_id FROM " +
+        "(SELECT vec_id, embedding, label, p, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk " +
+        "FROM proj) WHERE rk = 1)",
+      "tpairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "a.label AS la, b.label AS lb, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM asg a JOIN asg b ON a.list_id = b.list_id " +
+        "AND a.vec_id <> b.vec_id)",
+      "hp AS (SELECT a_id, b_id AS pos_id, cos AS pos_cos FROM " +
+        "(SELECT a_id, b_id, cos, row_number() OVER " +
+        "(PARTITION BY a_id ORDER BY cos, b_id) AS rn FROM tpairs " +
+        "WHERE la = lb) WHERE rn = 1)",
+      "ng AS (SELECT p.a_id, p.pos_id, p.pos_cos, q.b_id AS neg_id, " +
+        "q.cos AS neg_cos, q.cos < p.pos_cos AS semi_hard " +
+        "FROM hp p JOIN tpairs q ON q.a_id = p.a_id AND q.la <> q.lb)",
+      "pick AS (SELECT *, row_number() OVER (PARTITION BY a_id " +
+        "ORDER BY semi_hard DESC, neg_cos DESC, neg_id) AS rn FROM ng)"),
+    "SELECT a_id AS anchor, pos_id, pos_cos, neg_id, neg_cos, " +
+      "semi_hard FROM pick WHERE rn = 1 ORDER BY anchor")
+
   /** Quantile-sample sketch replay (q220,
     * [[operators.QuantileSketch.sampleRegistersBy]]): per-source
     * bottom-k of the splitmix64∘fnv1a64 doc-id hash carrying n_chars,

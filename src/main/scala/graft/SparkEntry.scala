@@ -3529,6 +3529,17 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Contrastive triplet mining (FaceNet semi-hard rule) over the
+    // embedding corpus: per anchor the hardest same-label positive
+    // and the most-confusable qualifying negative, candidates ONLY
+    // from the IVF list equi-join — the training-pair table a
+    // contrastive fine-tune consumes. Brute-force-verified in
+    // SimilaritySpec.
+    "q268_triplet_mining" -> ((s, dir) =>
+      Similarity.mineTriplets(T(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", nLists = 8)
+        .orderBy(col("anchor"))),
+
     // IPW average treatment effect by subclassification: urgent/high
     // priority plays the treatment, market segment the confounder
     // stratum; propensity = per-stratum treated share (clipped),
@@ -7484,6 +7495,8 @@ object SparkEntry {
     "q256_unigram_em" ->
       HashOracles.q256UnigramEm(k = 60, maxPieceLen = 4,
         maxWordLen = 12, topOut = 30),
+
+    "q268_triplet_mining" -> HashOracles.q268TripletMining,
 
     "q267_ipw_ate" ->
       """WITH base AS (SELECT c_mktsegment AS seg,

@@ -941,4 +941,63 @@ object Similarity {
         BigDecimal.RoundingMode.HALF_UP).toDouble, obj)
     }.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
+
+  /** Contrastive triplet mining (FaceNet's semi-hard rule, Schroff et
+    * al. 2015, composed on the SemDeDup candidate discipline): per
+    * anchor, the HARDEST POSITIVE (the most dissimilar same-label
+    * neighbor — the pair the embedding must pull together) and the
+    * SEMI-HARD NEGATIVE (the most similar different-label neighbor
+    * still farther than that positive, `cos_n < cos_p`; when no
+    * negative qualifies, the hardest negative overall). The triplet
+    * table is what a contrastive fine-tune consumes.
+    *
+    * Scale shape: candidates come ONLY from the IVF list equi-join
+    * (the [[semanticDupPairs]] contract — never the n² cross);
+    * per-anchor picks are windows partitioned by anchor over
+    * list-bounded candidate sets. Cosines round at 1e-6 BEFORE
+    * ranking so pick order (ties included) replays in the oracle.
+    * Anchors lacking an in-list positive or negative drop — mining
+    * more lists back in is the nAssign dial, as in SemDeDup.
+    */
+  def mineTriplets(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nLists: Int = 8, dim: Int = 64): DataFrame = {
+    val prepped = graft.CacheScope.register(
+      assignLists(vectors, vecCol, nLists, dim)
+        .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+          col("list_id"),
+          transform(col(vecCol), x => x.cast("double")).as("vd"))
+        .withColumn("nrm",
+          sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+        .persist())
+    val pairs = graft.CacheScope.register(prepped.as("a")
+      .join(prepped.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.lbl").as("la"), col("b.lbl").as("lb"),
+        round(when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+            (col("a.nrm") * col("b.nrm"))), 6).as("cos"))
+      .persist())
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("cos"), col("b_id"))
+    val hardestPos = pairs.filter(col("la") === col("lb"))
+      .withColumn("__rn", row_number().over(wPos))
+      .filter(col("__rn") === 1)
+      .select(col("a_id"), col("b_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val negs = pairs.filter(col("la") =!= col("lb"))
+      .select(col("a_id"), col("b_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"))
+      .orderBy(col("semi_hard").desc, col("neg_cos").desc,
+        col("neg_id"))
+    hardestPos.join(negs, Seq("a_id"))
+      .withColumn("semi_hard", col("neg_cos") < col("pos_cos"))
+      .withColumn("__rn", row_number().over(wNeg))
+      .filter(col("__rn") === 1)
+      .select(col("a_id").as("anchor"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"), col("semi_hard"))
+  }
 }

@@ -477,4 +477,58 @@ class SimilaritySpec extends SparkSpec {
     // same pool minus the query row; allow the one slot the query took
     assert((exactPool -- rerNoQ).size <= 1)
   }
+
+  test("mineTriplets == brute-force FaceNet picks on the corpus: " +
+      "hardest positive, semi-hard-else-hardest negative") {
+    val vectors = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.mineTriplets(vectors, "vec_id", "embedding",
+        "label", nLists = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    // brute reference with the operator's exact arithmetic order
+    val rows = Similarity.assignLists(vectors, "embedding", 8)
+      .collect().map { r =>
+        val v = r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+          r.getAs[Int]("list_id"), v)
+      }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      r6(if (nn == 0.0) 0.0 else d / nn)
+    }
+    var checked = 0
+    rows.groupBy(_._3).values.foreach { grp =>
+      grp.foreach { case (id, lbl, _, v) =>
+        val others = grp.filter(_._1 != id)
+        val pos = others.filter(_._2 == lbl)
+          .map(o => (cos(v, o._4), o._1)).sorted.headOption
+        val negAll = others.filter(_._2 != lbl)
+          .map(o => (cos(v, o._4), o._1))
+        (pos, negAll.nonEmpty) match {
+          case (Some((pc, pid)), true) =>
+            val semi = negAll.filter(_._1 < pc)
+            val chosenPool = if (semi.nonEmpty) semi else negAll
+            val (nc, nid) = chosenPool
+              .sortBy { case (c, i) => (-c, i) }.head
+            val got = out(id)
+            assert(got === ((pid, pc, nid, nc, semi.nonEmpty)),
+              s"anchor $id")
+            checked += 1
+          case _ =>
+            assert(!out.contains(id), s"anchor $id should drop")
+        }
+      }
+    }
+    assert(checked > 100, s"only $checked anchors exercised")
+    assert(out.values.exists(_._5) && out.values.exists(!_._5),
+      "fixture should exercise both the semi-hard and fallback arms")
+  }
 }
