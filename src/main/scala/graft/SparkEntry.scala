@@ -3529,6 +3529,24 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Isotonic (PAV) calibration by the relational MINIMAX closed
+    // form: the monotone step function nearest the per-bin positive
+    // rates — cumsum self-join builds interval averages, two grouped
+    // extrema take max_j min_k. Only the binning touches the corpus;
+    // the fit runs on the <= bins-row table. Score = capped char
+    // ratio, label = char cut XOR a 20% id flip (a noisy increasing
+    // relationship worth calibrating).
+    "q269_isotonic_calibration" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+        .withColumn("p", least(col("n_chars").cast("double") / 600.0,
+          lit(0.999)))
+        .withColumn("y",
+          (col("n_chars") > 300) =!= (col("doc_id") % 5 === 0))
+      graft.operators.QualityClassifier.isotonicCalibrate(
+        scored, "p", "y", bins = 10)
+    }),
+
     // Contrastive triplet mining (FaceNet semi-hard rule) over the
     // embedding corpus: per anchor the hardest same-label positive
     // and the most-confusable qualifying negative, candidates ONLY
@@ -7497,6 +7515,32 @@ object SparkEntry {
         maxWordLen = 12, topOut = 30),
 
     "q268_triplet_mining" -> HashOracles.q268TripletMining,
+
+    "q269_isotonic_calibration" ->
+      """WITH sc AS (SELECT
+        |  least(CAST(n_chars AS DOUBLE) / 600.0e0, 0.999e0) AS p,
+        |  (n_chars > 300) <> (doc_id % 5 = 0) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM sc GROUP BY 1),
+        |c AS (SELECT *,
+        |  sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cw,
+        |  sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM b),
+        |iv AS (SELECT j.bin AS j, k.bin AS k,
+        |  round(CAST(k.cs - (j.cs - j.n_pos) AS DOUBLE) /
+        |    (k.cw - (j.cw - j.n)), 6) AS iavg
+        |  FROM c j JOIN c k ON j.bin <= k.bin),
+        |mn AS (SELECT i.bin AS i, i.n, i.n_pos, iv.j,
+        |  min(iv.iavg) AS m
+        |  FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT i AS bin, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / n, 6) AS raw_rate,
+        |  round(max(m), 6) AS iso_rate
+        |FROM mn GROUP BY i, n, n_pos ORDER BY bin""".stripMargin,
 
     "q267_ipw_ate" ->
       """WITH base AS (SELECT c_mktsegment AS seg,

@@ -233,4 +233,62 @@ object QualityClassifier {
         round(abs(avg(col("__qc_p")) -
           avg(when(col(labelCol), 1.0).otherwise(0.0))), 4).as("gap"))
   }
+
+  /** Isotonic (pool-adjacent-violators) calibration over score bins —
+    * the nonparametric companion to the reliability diagram: the
+    * monotone step function closest (weighted L2) to the per-bin
+    * positive rates. Computed by the MINIMAX closed form rather than
+    * the sequential stack merge:
+    *
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} (Σ_{j..k} pos) / (Σ_{j..k} n)
+    *
+    * which is pure relational algebra — a cumsum self-join builds the
+    * interval-average table, two grouped extrema take the minimax —
+    * so the fit replays exactly in any engine (the sequential PAV
+    * stack cannot be expressed as a fold with bounded state in SQL).
+    *
+    * Scale shape: the ONLY corpus-grain work is the binning
+    * aggregation; everything after runs on the ≤ bins-row bin table
+    * (intervals = bins², minimax triples = bins³ — thousands of rows
+    * at bins = 16, a driver-trivial frame kept distributed anyway).
+    * `probCol` must already be a probability in [0, 1].
+    */
+  def isotonicCalibrate(scored: DataFrame, probCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0 && bins <= 64, s"bins $bins out of (0, 64]")
+    val binned = scored
+      .withColumn("bin", least(floor(col(probCol) * bins),
+        lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+    // bounded bin-table windows and joins from here on
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val cum = binned
+      .withColumn("cw", sum(col("n")).over(w))
+      .withColumn("cs", sum(col("n_pos")).over(w))
+    val j = cum.select(col("bin").as("j"),
+      (col("cw") - col("n")).as("cw0"), (col("cs") - col("n_pos"))
+        .as("cs0"))
+    val k = cum.select(col("bin").as("k"), col("cw").as("cwk"),
+      col("cs").as("csk"))
+    val intervals = j.join(k, col("j") <= col("k"))
+      .withColumn("iavg", round((col("csk") - col("cs0")).cast("double")
+        / (col("cwk") - col("cw0")).cast("double"), 6))
+    val innerMin = binned.select(col("bin").as("i"), col("n"),
+        col("n_pos"))
+      .join(intervals, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("n"), col("n_pos"), col("j"))
+      .agg(min(col("iavg")).as("__mn"))
+    innerMin.groupBy(col("i").as("bin"), col("n"), col("n_pos"))
+      .agg(round(max(col("__mn")), 6).as("iso_rate"))
+      .withColumn("raw_rate", round(col("n_pos").cast("double") /
+        col("n").cast("double"), 6))
+      .select(col("bin"), col("n"), col("n_pos"), col("raw_rate"),
+        col("iso_rate"))
+      .orderBy(col("bin"))
+  }
 }

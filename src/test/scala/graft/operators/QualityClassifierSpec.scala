@@ -142,4 +142,35 @@ class QualityClassifierSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) -
       1.0 / (1.0 + math.exp(-m.bias))) < 1e-12)
   }
+
+  test("isotonicCalibrate: the classic PAV merges, weighted pooling, " +
+      "monotone output") {
+    val s = spark
+    import s.implicits._
+    // bin rates [0.3, 0.1, 0.6, 0.4, 0.8] at 10 rows each ->
+    // PAV pools to [0.2, 0.2, 0.5, 0.5, 0.8]
+    def mk(bin: Int, nPos: Int, n: Int = 10) = (0 until n).map(i =>
+      ((bin + 0.5) / 5.0, i < nPos))
+    val rows = (mk(0, 3) ++ mk(1, 1) ++ mk(2, 6) ++ mk(3, 4) ++
+      mk(4, 8)).toDF("p", "y")
+    val out = QualityClassifier.isotonicCalibrate(rows, "p", "y",
+        bins = 5)
+      .collect().map(r => (r.getInt(0), r.getAs[Double]("iso_rate")))
+    assert(out.toSeq === Seq(0 -> 0.2, 1 -> 0.2, 2 -> 0.5, 3 -> 0.5,
+      4 -> 0.8))
+    // weighted: bin1 grows to 30 rows at rate 0.1 -> pooled
+    // (3 + 3)/(10 + 30) = 0.15
+    val rows2 = (mk(0, 3) ++ mk(1, 3, 30) ++ mk(2, 6) ++ mk(3, 4) ++
+      mk(4, 8)).toDF("p", "y")
+    val out2 = QualityClassifier.isotonicCalibrate(rows2, "p", "y", 5)
+      .collect().map(r => (r.getInt(0), r.getAs[Double]("iso_rate")))
+    assert(out2.toSeq === Seq(0 -> 0.15, 1 -> 0.15, 2 -> 0.5,
+      3 -> 0.5, 4 -> 0.8))
+    // already-monotone input is a fixed point
+    val rows3 = (mk(0, 1) ++ mk(1, 3) ++ mk(2, 6)).toDF("p", "y")
+    val out3 = QualityClassifier.isotonicCalibrate(rows3, "p", "y", 5)
+      .collect().map(r => (r.getAs[Double]("raw_rate"),
+        r.getAs[Double]("iso_rate")))
+    out3.foreach { case (raw, iso) => assert(raw === iso) }
+  }
 }
