@@ -882,6 +882,36 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** BFS replay (q270, [[operators.Graph.bfsDistances]]): the
+    * customer↔part bipartite graph (both directions), seed parts of
+    * one brand, `maxHops` MATERIALIZED frontier rounds (frontier =
+    * edge join minus settled — the exact anti-join the operator
+    * runs).
+    */
+  def q270BfsDistances(maxHops: Int, brand: String): String = {
+    val hops = (1 to maxHops).flatMap { h =>
+      Seq(
+        s"f$h AS MATERIALIZED (SELECT DISTINCT e.d AS node " +
+          s"FROM f${h - 1} f JOIN e ON f.node = e.s " +
+          s"WHERE e.d NOT IN (SELECT node FROM d${h - 1}))",
+        s"d$h AS MATERIALIZED (SELECT node, dist FROM d${h - 1} " +
+          s"UNION ALL SELECT node, $h AS dist FROM f$h)")
+    }
+    withClause(Seq(
+      "e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s, " +
+        "'p' || CAST(l_partkey AS VARCHAR) AS d FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey)",
+      "e AS MATERIALIZED (SELECT s, d FROM e0 " +
+        "UNION ALL SELECT d, s FROM e0)",
+      "d0 AS (SELECT DISTINCT 'p' || CAST(p_partkey AS VARCHAR) " +
+        s"AS node, 0 AS dist FROM part WHERE p_brand = '$brand')",
+      "f0 AS (SELECT node FROM d0)") ++ hops,
+      "SELECT CAST(dist AS INTEGER) AS dist, " +
+        "CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "md5(array_to_string(list_sort(list(node)), ',')) AS nodes_md5 " +
+        s"FROM d$maxHops GROUP BY dist ORDER BY dist")
+  }
+
   /** Triplet-mining replay (q268, [[operators.Similarity
     * .mineTriplets]]): the q85 plane-assignment chain, BOTH-direction
     * in-list pairs with labels and 1e-6-rounded cosines, hardest

@@ -3529,6 +3529,28 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Bounded-hop BFS from a seed set on the customer↔part bipartite
+    // graph: per-round frontier = edge equi-join minus the settled
+    // set, lineage truncated per round, early exit on an empty
+    // frontier. Per-distance node counts + the sorted node-list md5.
+    "q270_bfs_distance" -> ((s, dir) => {
+      val e0 = T(s, dir, "orders").join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("d")).distinct()
+      val e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      val seeds = T(s, dir, "part")
+        .filter(col("p_brand") === "Brand#11")
+        .select(concat(lit("p"), col("p_partkey")).as("node"))
+      graft.operators.Graph.bfsDistances(e, "s", "d", seeds, "node",
+          maxHops = 3)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          md5(concat_ws(",", sort_array(collect_list(col("node")))))
+            .as("nodes_md5"))
+        .orderBy(col("dist"))
+    }),
+
     // Isotonic (PAV) calibration by the relational MINIMAX closed
     // form: the monotone step function nearest the per-bin positive
     // rates — cumsum self-join builds interval averages, two grouped
@@ -7515,6 +7537,9 @@ object SparkEntry {
         maxWordLen = 12, topOut = 30),
 
     "q268_triplet_mining" -> HashOracles.q268TripletMining,
+
+    "q270_bfs_distance" ->
+      HashOracles.q270BfsDistances(3, "Brand#11"),
 
     "q269_isotonic_calibration" ->
       """WITH sc AS (SELECT

@@ -221,6 +221,44 @@ object Graph {
     * round (it feeds two joins next round — the [[pageRank]] lineage
     * rule).
     */
+  /** Bounded-hop BFS distance from a seed set — the frontier-expansion
+    * primitive behind "how far is this node from the trusted core"
+    * (crawl-frontier curation, fraud-ring proximity, feature hops).
+    * Each round is ONE edge equi-join of the frontier plus an
+    * anti-join against the settled set; lineage truncates per round
+    * ([[pageRank]]'s localCheckpoint discipline — an iterative
+    * DataFrame with uncut lineage doubles its plan every round), and
+    * the loop exits early when a frontier empties (the per-round
+    * count is the only driver action). Unreached nodes are simply
+    * absent — no sentinel distances.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30, s"bad maxHops $maxHops")
+    val e = graft.CacheScope.register(edges
+      .select(col(srcCol).as("__bf_s"), col(dstCol).as("__bf_d"))
+      .distinct().persist())
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = dist.select(col("node"))
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = frontier.join(e, col("node") === col("__bf_s"))
+        .select(col("__bf_d").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next.select(col("node"))
+        h += 1
+      }
+    }
+    dist
+  }
+
   def propagateLabels(seeds: DataFrame, idCol: String, labelCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {

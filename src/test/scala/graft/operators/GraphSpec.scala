@@ -134,4 +134,25 @@ class GraphSpec extends SparkSpec {
     assert(e.getAs[Long]("n_triangles") === 0L)
     assert(e.isNullAt(e.fieldIndex("clustering_coeff")))
   }
+
+  test("bfsDistances: shortest hop counts, hop cap, early exit, " +
+      "unreachable nodes absent") {
+    val s = spark
+    import s.implicits._
+    // 1->2->3->4 chain, a 1->3 shortcut, 5->1 (wrong direction from
+    // the seed), 6 isolated via 7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 1L),
+      (6L, 7L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.bfsDistances(edges, "s", "d", seeds, "node",
+        maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortcut wins: 3 is 1 hop, 4 is 2; 5/6/7 unreachable forward
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // hop cap stops the expansion
+    val capped = Graph.bfsDistances(edges, "s", "d", seeds, "node",
+        maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped === Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
 }
