@@ -882,6 +882,80 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** NB k-fold cross-validation replay (q271,
+    * [[operators.QualityClassifier.crossValidateNb]]): splitmix fold
+    * assignment, per-(token, fold) class counts, complement models by
+    * count subtraction, per-fold smoothing over the complement
+    * vocabulary, and scoring through the (token, fold) join — all
+    * log-ratios on the 1e-6 grid like the Spark side.
+    */
+  def q271NbCrossVal(k: Int): String = {
+    val head = Seq(
+      "dz AS (SELECT doc_id, text, lang = 'en' AS y, " +
+        "CAST(doc_id AS HUGEINT) AS z FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "text", "y"))
+      .zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+      }
+    val fold = s"CAST((((${toSigned("z")}) % $k + $k) % $k) AS INTEGER)"
+    withClause(head ++ mixed ++ Seq(
+      s"df AS (SELECT doc_id, text, y, $fold AS fold FROM dm5)",
+      s"dtok AS (SELECT doc_id, fold, y, unnest($Toks) AS token " +
+        "FROM df)",
+      "tc AS (SELECT token, fold, " +
+        "CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp, " +
+        "CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn " +
+        "FROM dtok GROUP BY 1, 2)",
+      "tt AS (SELECT token, CAST(sum(cp) AS BIGINT) AS tpt, " +
+        "CAST(sum(cn) AS BIGINT) AS tnt FROM tc GROUP BY token)",
+      s"fl AS (SELECT CAST(unnest(range(0, $k)) AS INTEGER) AS fold)",
+      "cmp AS (SELECT t.token, f.fold, " +
+        "t.tpt - coalesce(c.cp, 0) AS ccp, " +
+        "t.tnt - coalesce(c.cn, 0) AS ccn " +
+        "FROM tt t CROSS JOIN fl f LEFT JOIN tc c " +
+        "ON c.token = t.token AND c.fold = f.fold " +
+        "WHERE t.tpt - coalesce(c.cp, 0) + t.tnt - coalesce(c.cn, 0) " +
+        "> 0)",
+      "occ AS (SELECT fold, CAST(count(*) AS BIGINT) AS v, " +
+        "CAST(sum(ccp) AS BIGINT) AS tp, " +
+        "CAST(sum(ccn) AS BIGINT) AS tn FROM cmp GROUP BY fold)",
+      "dt AS (SELECT fold, " +
+        "CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np_f, " +
+        "CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn_f " +
+        "FROM df GROUP BY fold)",
+      "gr AS (SELECT " +
+        "CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+        "CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn " +
+        "FROM df)",
+      "meta AS (SELECT o.fold, o.v, o.tp, o.tn, " +
+        "round(ln(1.0e0 / (o.tp + 1.0e0 * o.v)) - " +
+        "ln(1.0e0 / (o.tn + 1.0e0 * o.v)), 6) AS oov, " +
+        "round(ln(CAST(g.np - d.np_f AS DOUBLE) / " +
+        "CAST(g.nn - d.nn_f AS DOUBLE)), 6) AS prior " +
+        "FROM occ o JOIN dt d ON d.fold = o.fold, gr g)",
+      "lr AS (SELECT c.token, c.fold, " +
+        "round(ln((c.ccp + 1.0e0) / (m.tp + 1.0e0 * m.v)) - " +
+        "ln((c.ccn + 1.0e0) / (m.tn + 1.0e0 * m.v)), 6) AS llr " +
+        "FROM cmp c JOIN meta m ON m.fold = c.fold)",
+      "pd AS (SELECT d.doc_id, sum(coalesce(l.llr, m.oov)) AS s " +
+        "FROM dtok d LEFT JOIN lr l " +
+        "ON l.token = d.token AND l.fold = d.fold " +
+        "JOIN meta m ON m.fold = d.fold GROUP BY d.doc_id)",
+      "sc AS (SELECT f.doc_id, f.fold, f.y, " +
+        "m.prior + coalesce(p.s, 0.0e0) AS score FROM df f " +
+        "LEFT JOIN pd p ON p.doc_id = f.doc_id " +
+        "JOIN meta m ON m.fold = f.fold)"),
+      "SELECT fold, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+        "CAST(sum(CASE WHEN (score > 0) = y THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_correct, " +
+        "round(CAST(sum(CASE WHEN (score > 0) = y THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / count(*), 4) AS accuracy, " +
+        "round(avg(score), 4) AS mean_score " +
+        "FROM sc GROUP BY fold ORDER BY fold")
+  }
+
   /** BFS replay (q270, [[operators.Graph.bfsDistances]]): the
     * customer↔part bipartite graph (both directions), seed parts of
     * one brand, `maxHops` MATERIALIZED frontier rounds (frontier =

@@ -3529,6 +3529,16 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // NB k-fold cross-validation by COUNT SUBTRACTION: fold f's
+    // leave-fold-out model = global count table minus fold f's
+    // counts, so all k models materialize from ONE tokenize pass and
+    // every doc scores against its own fold's complement via a
+    // (token, fold) equi-join — the k-retrain CV in two passes.
+    "q271_nb_crossval" -> ((s, dir) =>
+      graft.operators.QualityClassifier.crossValidateNb(
+        T(s, dir, "documents").withColumn("y", col("lang") === "en"),
+        "doc_id", "text", "y", kFolds = 5)),
+
     // Bounded-hop BFS from a seed set on the customer↔part bipartite
     // graph: per-round frontier = edge equi-join minus the settled
     // set, lineage truncated per round, early exit on an empty
@@ -7540,6 +7550,8 @@ object SparkEntry {
 
     "q270_bfs_distance" ->
       HashOracles.q270BfsDistances(3, "Brand#11"),
+
+    "q271_nb_crossval" -> HashOracles.q271NbCrossVal(5),
 
     "q269_isotonic_calibration" ->
       """WITH sc AS (SELECT

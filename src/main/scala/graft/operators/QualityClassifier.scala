@@ -234,6 +234,102 @@ object QualityClassifier {
           avg(when(col(labelCol), 1.0).otherwise(0.0))), 4).as("gap"))
   }
 
+  /** K-fold cross-validation of the Naive-Bayes classifier WITHOUT
+    * training k times: NB's sufficient statistics are counts, so fold
+    * f's leave-fold-out model is the GLOBAL count table minus fold
+    * f's counts — one corpus tokenize pass builds per-(token, fold)
+    * counts, a complement join materializes all k models at once
+    * (token × k rows), and every document scores against its own
+    * fold's complement via one (token, fold) equi-join. The k-pass
+    * retrain a naive CV runs becomes two passes total.
+    *
+    * Per-fold smoothing uses that fold's complement vocabulary (a
+    * token seen ONLY in fold f is out-of-vocabulary for fold f's
+    * model — exactly what a real held-out split would see). All
+    * log-ratios round at 1e-6 so both engines sum identical grid
+    * values. Output: one row per fold — sizes, accuracy, mean score.
+    */
+  def crossValidateNb(labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, kFolds: Int = 5,
+      alpha: Double = 1.0): DataFrame = {
+    require(kFolds >= 2 && kFolds <= 64, s"bad kFolds $kFolds")
+    require(alpha > 0, s"alpha $alpha must be positive")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val withFold = graft.CacheScope.register(labeled
+      .withColumn("__cv_fold", pmod(graft.expressions.HashExpressions
+        .splitmix64(col(idCol).cast("long")), lit(kFolds.toLong))
+        .cast("int"))
+      .persist())
+    val tokCnt = graft.CacheScope.register(withFold
+      .select(col("__cv_fold"), col(labelCol).as("__y"),
+        explode(TF.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("__cv_fold"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("cn"))
+      .persist())
+    val tokTot = tokCnt.groupBy(col("token"))
+      .agg(sum(col("cp")).as("tpt"), sum(col("cn")).as("tnt"))
+    val folds = (0 until kFolds).toDF("__cv_fold")
+    val comp = tokTot.crossJoin(broadcast(folds))
+      .join(tokCnt, Seq("token", "__cv_fold"), "left")
+      .na.fill(0L, Seq("cp", "cn"))
+      .select(col("token"), col("__cv_fold"),
+        (col("tpt") - col("cp")).as("ccp"),
+        (col("tnt") - col("cn")).as("ccn"))
+      .filter(col("ccp") + col("ccn") > 0)
+    // k-row model metadata: complement vocab, occurrence totals,
+    // doc-count priors (complement = grand total − fold)
+    val occ = comp.groupBy(col("__cv_fold"))
+      .agg(count(lit(1)).as("v"), sum(col("ccp")).as("tp"),
+        sum(col("ccn")).as("tn"))
+    val docTot = withFold.groupBy(col("__cv_fold"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np_f"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("nn_f"))
+    val grand = withFold.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("nn"))
+    val a = lit(alpha)
+    val meta = occ.join(docTot, Seq("__cv_fold"))
+      .crossJoin(broadcast(grand))
+      .select(col("__cv_fold"), col("v"), col("tp"), col("tn"),
+        round(log(a / (col("tp") + a * col("v"))) -
+          log(a / (col("tn") + a * col("v"))), 6).as("oov"),
+        round(log((col("np") - col("np_f")).cast("double") /
+          (col("nn") - col("nn_f")).cast("double")), 6).as("prior"))
+    val llr = comp.join(broadcast(meta), Seq("__cv_fold"))
+      .select(col("token"), col("__cv_fold"),
+        round(log((col("ccp") + a) / (col("tp") + a * col("v"))) -
+          log((col("ccn") + a) / (col("tn") + a * col("v"))), 6)
+          .as("llr"))
+    val perDoc = withFold
+      .select(col(idCol), col("__cv_fold"), col(labelCol).as("__y"),
+        explode(TF.tokens(col(textCol))).as("token"))
+      .join(llr, Seq("token", "__cv_fold"), "left")
+      .join(broadcast(meta.select(col("__cv_fold"), col("oov"))),
+        Seq("__cv_fold"))
+      .groupBy(col(idCol), col("__cv_fold"), col("__y"))
+      .agg(sum(coalesce(col("llr"), col("oov"))).as("__s"))
+    withFold.select(col(idCol), col("__cv_fold"), col(labelCol)
+        .as("__y"))
+      .join(perDoc.select(col(idCol), col("__s")), Seq(idCol), "left")
+      .join(broadcast(meta.select(col("__cv_fold"), col("prior"))),
+        Seq("__cv_fold"))
+      .withColumn("__score", col("prior") + coalesce(col("__s"),
+        lit(0.0)))
+      .withColumn("__pred", col("__score") > 0)
+      .groupBy(col("__cv_fold").as("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__pred") === col("__y"), 1L).otherwise(0L))
+          .as("n_correct"),
+        round(sum(when(col("__pred") === col("__y"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 4)
+          .as("accuracy"),
+        round(avg(col("__score")), 4).as("mean_score"))
+      .orderBy(col("fold"))
+  }
+
   /** Isotonic (pool-adjacent-violators) calibration over score bins —
     * the nonparametric companion to the reliability diagram: the
     * monotone step function closest (weighted L2) to the per-bin

@@ -173,4 +173,47 @@ class QualityClassifierSpec extends SparkSpec {
         r.getAs[Double]("iso_rate")))
     out3.foreach { case (raw, iso) => assert(raw === iso) }
   }
+
+  test("crossValidateNb: each fold's subtraction model matches a " +
+      "fresh train on the complement") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(3)
+    val posWords = Seq("apple", "banana", "cherry", "date")
+    val negWords = Seq("xray", "zulu", "quark", "vortex")
+    val labeled = (1 to 60).map { i =>
+      val pos = i % 2 == 0
+      val base = if (pos) posWords else negWords
+      val text = (0 until 8).map(_ =>
+        base(rng.nextInt(base.length))).mkString(" ") +
+        " common filler"
+      (i.toLong, text, pos)
+    }.toDF("doc_id", "text", "y")
+    val k = 3
+    val cv = QualityClassifier.crossValidateNb(labeled, "doc_id",
+        "text", "y", kFolds = k)
+      .collect().map(r => r.getAs[Int]("fold") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("accuracy")))).toMap
+    assert(cv.keySet === (0 until k).toSet)
+    assert(cv.values.map(_._1).sum === 60L)
+    // reference: per fold, an actual retrain on the complement
+    val withFold = labeled.withColumn("fold",
+      pmod(graft.expressions.HashExpressions.splitmix64(col("doc_id")),
+        lit(k.toLong)).cast("int"))
+    (0 until k).foreach { f =>
+      val trainDf = withFold.filter(col("fold") =!= f)
+      val testDf = withFold.filter(col("fold") === f)
+      val m = QualityClassifier.train(trainDf, "doc_id", "text", "y")
+      val scored = QualityClassifier.score(testDf, "doc_id", "text", m)
+        .select(col("y"), col("predicted")).collect()
+      val acc = scored.count(r => r.getBoolean(0) == r.getBoolean(1))
+        .toDouble / scored.length
+      assert(cv(f)._1 === scored.length.toLong, s"fold $f size")
+      assert(math.abs(cv(f)._3 - acc) < 1e-9,
+        s"fold $f acc ${cv(f)._3} vs retrain $acc")
+    }
+    // the separable fixture should actually classify well
+    assert(cv.values.forall(_._3 > 0.9), cv)
+  }
 }
