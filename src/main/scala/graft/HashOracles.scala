@@ -3118,26 +3118,29 @@ object HashOracles {
     * Short docs (< w grams) get the single truncated window at s=1;
     * `pos BETWEEN s AND s+w−1` clips it for free since pos ≤ ng.
     */
-  private def winnowCtes(k: Int, w: Int): Seq[String] = Seq(
-    "docs AS (SELECT doc_id, regexp_replace(lower(text), " +
-      "'[^a-z0-9]', '', 'g') AS c FROM documents)",
-    s"wbase AS (SELECT doc_id, c, length(c) - ${k - 1} AS ng " +
-      s"FROM docs WHERE length(c) - ${k - 1} > 0)",
-    "gp AS (SELECT doc_id, ng, c, unnest(range(1, ng + 1)) AS pos " +
-      "FROM wbase)",
-    s"gg AS (SELECT doc_id, ng, pos, " +
-      s"substr(c, CAST(pos AS INT), $k) AS gram FROM gp)",
-    s"gh0 AS (SELECT doc_id, ng, pos, ${fnv("gram")} AS z FROM gg)",
-    s"gh AS (SELECT doc_id, ng, pos, ${toSigned("z")} AS h FROM gh0)",
-    s"win AS (SELECT doc_id, unnest(range(1, " +
-      s"greatest(ng - ${w - 1}, 1) + 1)) AS s FROM wbase)",
-    s"ch AS (SELECT w.doc_id, w.s, " +
+  private def winnowCtes(k: Int, w: Int, docFilter: String = "",
+      p: String = ""): Seq[String] = Seq(
+    s"${p}docs AS (SELECT doc_id, regexp_replace(lower(text), " +
+      s"'[^a-z0-9]', '', 'g') AS c FROM documents$docFilter)",
+    s"${p}wbase AS (SELECT doc_id, c, length(c) - ${k - 1} AS ng " +
+      s"FROM ${p}docs WHERE length(c) - ${k - 1} > 0)",
+    s"${p}gp AS (SELECT doc_id, ng, c, unnest(range(1, ng + 1)) " +
+      s"AS pos FROM ${p}wbase)",
+    s"${p}gg AS (SELECT doc_id, ng, pos, " +
+      s"substr(c, CAST(pos AS INT), $k) AS gram FROM ${p}gp)",
+    s"${p}gh0 AS (SELECT doc_id, ng, pos, ${fnv("gram")} AS z " +
+      s"FROM ${p}gg)",
+    s"${p}gh AS (SELECT doc_id, ng, pos, ${toSigned("z")} AS h " +
+      s"FROM ${p}gh0)",
+    s"${p}win AS (SELECT doc_id, unnest(range(1, " +
+      s"greatest(ng - ${w - 1}, 1) + 1)) AS s FROM ${p}wbase)",
+    s"${p}ch AS (SELECT w.doc_id, w.s, " +
       "min(struct_pack(h := g.h, np := -g.pos)) AS pick " +
-      "FROM win w JOIN gh g ON g.doc_id = w.doc_id " +
+      s"FROM ${p}win w JOIN ${p}gh g ON g.doc_id = w.doc_id " +
       s"AND g.pos BETWEEN w.s AND w.s + ${w - 1} " +
       "GROUP BY w.doc_id, w.s)",
-    "sel AS (SELECT DISTINCT doc_id, -pick.np AS pos, pick.h AS h " +
-      "FROM ch)")
+    s"${p}sel AS (SELECT DISTINCT doc_id, -pick.np AS pos, " +
+      s"pick.h AS h FROM ${p}ch)")
 
   /** Per-doc winnowing profile replay (q262). */
   def q262Winnowing(k: Int, w: Int): String =
@@ -3168,6 +3171,29 @@ object HashOracles {
         "FROM hk a JOIN hk b ON a.h = b.h AND a.doc_id < b.doc_id " +
         s"GROUP BY 1, 2 HAVING count(*) >= $minShared " +
         "ORDER BY n_shared DESC, a_id, b_id")
+
+  /** Index-match replay (q273, [[operators.Winnow
+    * .matchAgainstIndex]]): index docs and probe docs winnow
+    * separately (prefixed CTE chains), the index side takes the
+    * `maxDf` drop, shared distinct hashes floor at `minShared`. The
+    * persisted layout is deliberately INVISIBLE — the oracle is the
+    * in-memory computation, the disk round-trip must not change a
+    * row (the q109/q130 precedent).
+    */
+  def q273WinnowIndexMatch(k: Int, w: Int, minShared: Int, maxDf: Int,
+      idxFilter: String, probeFilter: String): String =
+    withClause(winnowCtes(k, w, idxFilter, "i") ++
+      winnowCtes(k, w, probeFilter, "p") ++ Seq(
+      "ih AS (SELECT DISTINCT doc_id AS index_id, h FROM isel)",
+      s"irare AS (SELECT h FROM ih GROUP BY h " +
+        s"HAVING count(*) <= $maxDf)",
+      "ik AS (SELECT index_id, h FROM ih JOIN irare USING (h))",
+      "ph AS (SELECT DISTINCT doc_id AS probe_id, h FROM psel)"),
+      "SELECT p.probe_id, i.index_id, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM ph p JOIN ik i ON p.h = i.h " +
+        s"GROUP BY 1, 2 HAVING count(*) >= $minShared " +
+        "ORDER BY probe_id, index_id")
 
   /** Unigram-LM EM round replay (q256,
     * [[operators.TokenizerTraining.unigramEmRound]]): candidate

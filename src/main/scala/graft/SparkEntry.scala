@@ -3529,6 +3529,29 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Winnow fingerprint index fold: build on the first corpus slice,
+    // APPEND the second (modulus from the index's own sidecar), then
+    // match a probe slice against the folded index — must equal the
+    // in-memory computation over the union (the oracle sees no disk;
+    // the q109/q130 index-invisibility precedent).
+    "q273_winnow_index_fold" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q273_widx").getAbsolutePath
+      val W = graft.operators.Winnow
+      W.writeFingerprintIndex(
+        W.fingerprints(docs.filter(col("doc_id") < 300), "doc_id",
+          "text", k = 5, w = 4), "doc_id", path)
+      W.appendToFingerprintIndex(
+        W.fingerprints(docs.filter(col("doc_id") >= 300 &&
+          col("doc_id") < 450), "doc_id", "text", k = 5, w = 4),
+        "doc_id", path)
+      W.matchAgainstIndex(s, path,
+          docs.filter(col("doc_id") >= 450), "doc_id", "text",
+          k = 5, w = 4, minShared = 30, maxDf = 300)
+        .orderBy(col("probe_id"), col("index_id"))
+    }),
+
     // Leave-one-out target encoding of order priority against the
     // high-value label: each row's encoding excludes its own target
     // (the leak-free GBM feature trick), prior-smoothed at m = 20.
@@ -7568,6 +7591,11 @@ object SparkEntry {
       HashOracles.q270BfsDistances(3, "Brand#11"),
 
     "q271_nb_crossval" -> HashOracles.q271NbCrossVal(5),
+
+    "q273_winnow_index_fold" -> HashOracles.q273WinnowIndexMatch(
+      5, 4, minShared = 30, maxDf = 300,
+      idxFilter = " WHERE doc_id < 450",
+      probeFilter = " WHERE doc_id >= 450"),
 
     "q272_target_encoding" ->
       """WITH base AS (SELECT o_orderpriority,

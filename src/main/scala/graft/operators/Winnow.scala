@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,88 @@ object Winnow {
     a.join(b, Seq("hash"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  private val MetaFile = "_graft_winnow.json"
+
+  /** Persist a fingerprint frame (from [[fingerprints]]) as the
+    * at-rest index: rows `(doc_id, pos, hash)` hash-bucketed on the
+    * fingerprint (`pmod(hash, hashBuckets)` directories), so a probe
+    * co-locates by deriving the same bucket — the
+    * [[graft.operators.Dedup]] index discipline, fingerprint-shaped.
+    * The modulus rides in a sidecar; a delta MUST reuse it (an
+    * out-of-band modulus silently shears the layout).
+    */
+  def writeFingerprintIndex(fp: DataFrame, idCol: String, path: String,
+      hashBuckets: Int = 64): Unit = {
+    require(hashBuckets >= 1, s"bad hashBuckets $hashBuckets")
+    fp.select(col(idCol).as("doc_id"), col("pos"), col("hash"))
+      .withColumn("hash_bucket",
+        pmod(col("hash"), lit(hashBuckets.toLong)).cast("int"))
+      .repartition(col("hash_bucket"))
+      .sortWithinPartitions(col("hash_bucket"), col("hash"),
+        col("doc_id"))
+      .write.mode("overwrite").partitionBy("hash_bucket")
+      .parquet(s"$path/fingerprints")
+    graft.sources.Sidecar.write(fp.sparkSession, s"$path/$MetaFile",
+      s"""{"hashBuckets":$hashBuckets}""")
+  }
+
+  private def bucketsOf(spark: SparkSession, path: String): Int = {
+    val meta = graft.sources.Sidecar.read(spark, s"$path/$MetaFile")
+      .getOrElse(sys.error(s"$path is not a winnow index " +
+        s"(missing $MetaFile)"))
+    """"hashBuckets":(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"malformed $MetaFile: $meta"))
+  }
+
+  /** Fold a delta's fingerprints into the persisted index — the daily
+    * incremental maintenance step: same bucket layout (modulus from
+    * the index's OWN sidecar), append-mode write, so
+    * `readFingerprintIndex` afterwards ≡ an index built on old ∪ delta
+    * row-for-row.
+    */
+  def appendToFingerprintIndex(fpDelta: DataFrame, idCol: String,
+      path: String): Unit = {
+    val buckets = bucketsOf(fpDelta.sparkSession, path)
+    fpDelta.select(col(idCol).as("doc_id"), col("pos"), col("hash"))
+      .withColumn("hash_bucket",
+        pmod(col("hash"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("hash_bucket"))
+      .sortWithinPartitions(col("hash_bucket"), col("hash"),
+        col("doc_id"))
+      .write.mode("append").partitionBy("hash_bucket")
+      .parquet(s"$path/fingerprints")
+  }
+
+  def readFingerprintIndex(spark: SparkSession,
+      path: String): DataFrame = {
+    bucketsOf(spark, path) // existence + shape check
+    spark.read.parquet(s"$path/fingerprints")
+  }
+
+  /** Match PROBE documents against the persisted index: probe docs
+    * winnow with the same (k, w), distinct hashes equi-join the
+    * index's (the [[matchPairs]] discipline — `maxDf` counted on the
+    * INDEX side, where the boilerplate lives), `minShared` floors the
+    * report. Output: `(probe_id, index_id, n_shared)`.
+    */
+  def matchAgainstIndex(spark: SparkSession, path: String,
+      probe: DataFrame, idCol: String, textCol: String, k: Int = 5,
+      w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+    val idx = readFingerprintIndex(spark, path)
+      .select(col("doc_id").as("index_id"), col("hash")).distinct()
+    val rare = idx.groupBy(col("hash"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("hash"))
+    val probeFp = fingerprints(probe, idCol, textCol, k, w)
+      .select(col(idCol).as("probe_id"), col("hash")).distinct()
+    probeFp.join(idx.join(rare, Seq("hash")), Seq("hash"))
+      .groupBy(col("probe_id"), col("index_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

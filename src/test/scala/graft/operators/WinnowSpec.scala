@@ -67,6 +67,50 @@ class WinnowSpec extends SparkSpec {
     assert(pairs.length === 15, pairs.mkString(","))
   }
 
+  test("fingerprint index: append fold == whole build, bucket layout " +
+      "on disk, match == in-memory, non-index path fails fast") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(41)
+    val docs = (1 to 40).map(i =>
+      (i.toLong, rng.alphanumeric.take(120).mkString))
+      .toDF("doc_id", "text")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_winnow_idx_spec").getAbsolutePath
+    val a = docs.filter(col("doc_id") <= 25)
+    val b = docs.filter(col("doc_id") > 25)
+    Winnow.writeFingerprintIndex(
+      Winnow.fingerprints(a, "doc_id", "text"), "doc_id", path,
+      hashBuckets = 8)
+    Winnow.appendToFingerprintIndex(
+      Winnow.fingerprints(b, "doc_id", "text"), "doc_id", path)
+    // folded rows == one whole build
+    val folded = Winnow.readFingerprintIndex(s, path)
+      .select("doc_id", "pos", "hash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val whole = Winnow.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(folded === whole)
+    // layout: hash_bucket directories, modulus from the sidecar
+    val dirs = new java.io.File(s"$path/fingerprints").listFiles()
+      .filter(_.getName.startsWith("hash_bucket=")).map(_.getName)
+    assert(dirs.nonEmpty && dirs.length <= 8)
+    // match against the folded index == the in-memory join
+    val probe = Seq((99L, docs.filter(col("doc_id") === 3L)
+      .head().getString(1))).toDF("doc_id", "text")
+    val viaIdx = Winnow.matchAgainstIndex(s, path, probe, "doc_id",
+        "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(viaIdx.exists(_._2 == 3L),
+      "a verbatim copy must match its original")
+    val err = intercept[RuntimeException] {
+      Winnow.readFingerprintIndex(s, path + "_nope")
+    }
+    assert(err.getMessage.contains("not a winnow index"))
+  }
+
   test("profile: density near 2/(w+1) on random text, md5 stable") {
     val s = spark
     import s.implicits._
