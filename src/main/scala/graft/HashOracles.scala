@@ -882,6 +882,49 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** Shapley-attribution replay (q274,
+    * [[operators.Attribution.shapleyAttribution]]): user → channel
+    * set, v(S) rates at 1e-6, and a LITERAL subset-weight table
+    * (weights emitted as the JVM's exact Double.toString, `e0`-forced
+    * to DOUBLE) whose per-channel terms fold in sorted-subset order
+    * with the same re-round as the driver computation.
+    */
+  def q274ShapleyAttribution(channels: Seq[String],
+      convType: String): String = {
+    val sorted = channels.sorted
+    val nC = sorted.size
+    def fact(n: Int): Double = (1 to n).product.toDouble
+    val rows = sorted.flatMap { c =>
+      val others = sorted.filterNot(_ == c)
+      (0 until (1 << others.size)).map { mask =>
+        val s = others.zipWithIndex.filter { case (_, i) =>
+          (mask & (1 << i)) != 0
+        }.map(_._1)
+        val w = fact(s.size) * fact(nC - s.size - 1) / fact(nC)
+        val k0 = s.sorted.mkString(",")
+        val k1 = (s :+ c).sorted.mkString(",")
+        s"('$c', '$k0', '$k1', ${w}e0)"
+      }
+    }
+    withClause(Seq(
+      "users AS (SELECT user_id, list_sort(list(DISTINCT event_type) " +
+        s"FILTER (WHERE event_type <> '$convType')) AS chs, " +
+        s"max(CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END) " +
+        "AS conv FROM events GROUP BY user_id)",
+      "v AS (SELECT coalesce(array_to_string(chs, ','), '') AS skey, " +
+        "round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS v " +
+        "FROM users GROUP BY 1)",
+      s"wt(channel, k0, k1, w) AS (VALUES ${rows.mkString(", ")})",
+      "tm AS (SELECT wt.channel, wt.k0, " +
+        "wt.w * (coalesce(v1.v, 0.0e0) - coalesce(v0.v, 0.0e0)) " +
+        "AS term FROM wt LEFT JOIN v v1 ON v1.skey = wt.k1 " +
+        "LEFT JOIN v v0 ON v0.skey = wt.k0)"),
+      "SELECT channel, CAST(count(*) AS BIGINT) AS n_subsets, " +
+        "list_reduce(list_prepend(0.0e0, list(term ORDER BY k0)), " +
+        "(a, x) -> round(a + x, 6)) AS shapley " +
+        "FROM tm GROUP BY channel ORDER BY channel")
+  }
+
   /** NB k-fold cross-validation replay (q271,
     * [[operators.QualityClassifier.crossValidateNb]]): splitmix fold
     * assignment, per-(token, fold) class counts, complement models by

@@ -3529,6 +3529,16 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Simplified Shapley channel attribution: users reduce to their
+    // touched-channel SET + converted flag, v(S) = per-set conversion
+    // rate (a ≤ 2^|C| driver fact — the bounded-alphabet contract),
+    // φ from the exact coalition weights, terms folded in sorted
+    // subset order. The game-theoretic completion of the last-touch/
+    // position/Markov attribution family.
+    "q274_shapley_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.shapleyAttribution(events(s, dir),
+        "user_id", "event_type", convType = "purchase")),
+
     // Winnow fingerprint index fold: build on the first corpus slice,
     // APPEND the second (modulus from the index's own sidecar), then
     // match a probe slice against the folded index — must equal the
@@ -7591,6 +7601,9 @@ object SparkEntry {
       HashOracles.q270BfsDistances(3, "Brand#11"),
 
     "q271_nb_crossval" -> HashOracles.q271NbCrossVal(5),
+
+    "q274_shapley_attribution" -> HashOracles.q274ShapleyAttribution(
+      Seq("click", "error", "signup", "view"), "purchase"),
 
     "q273_winnow_index_fold" -> HashOracles.q273WinnowIndexMatch(
       5, 4, minShared = 30, maxDf = 300,

@@ -55,4 +55,64 @@ object Attribution {
       .agg(count(lit(1)).as("n_touches"),
         round(sum(col("credit")), 4).as("credit"))
   }
+
+  /** Simplified Shapley attribution (Zhao et al. 2018 — the
+    * coalition-game answer to "which channel actually causes
+    * conversions", beside last-touch/position/Markov): each user
+    * reduces to their SET of touched channels and a converted flag,
+    * `v(S)` = conversion rate of users with exactly set S (unobserved
+    * sets contribute 0), and channel c's Shapley value is
+    *
+    *   φ_c = Σ_{S ⊆ C∖{c}} |S|!·(|C|−|S|−1)!/|C|! · (v(S∪{c}) − v(S))
+    *
+    * Scale shape: the corpus collapses to ≤ 2^|C| (channel-set,
+    * rate) rows — |C| is the BOUNDED channel alphabet (≤ 16
+    * enforced), so the v table is a driver fact by construction (the
+    * k-means-centroid contract) and the 2^|C| enumeration runs
+    * driver-side. Rates round at 1e-6 and the per-channel terms fold
+    * in sorted subset order with a 1e-6 re-round per step, so φ
+    * replays bit-exactly.
+    */
+  def shapleyAttribution(events: DataFrame, subjectCol: String,
+      typeCol: String, convType: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val users = events.groupBy(col(subjectCol))
+      .agg(sort_array(collect_set(
+        when(col(typeCol) =!= convType, col(typeCol)))).as("__chs"),
+        max(when(col(typeCol) === convType, 1L).otherwise(0L))
+          .as("__conv"))
+    val vRows = users
+      .groupBy(concat_ws(",", col("__chs")).as("skey"))
+      .agg(count(lit(1)).as("n"), sum(col("__conv")).as("nc"))
+      .withColumn("v", round(col("nc").cast("double") /
+        col("n").cast("double"), 6))
+      .collect()
+    val v = vRows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val channels = vRows.flatMap(_.getString(0).split(","))
+      .filter(_.nonEmpty).distinct.sorted.toSeq
+    require(channels.size <= 16,
+      s"channel alphabet too large for exact Shapley: $channels")
+    def fact(n: Int): Double = (1 to n).product.toDouble
+    val nC = channels.size
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val phis = channels.map { c =>
+      val others = channels.filterNot(_ == c)
+      val subsetTerms = (0 until (1 << others.size)).map { mask =>
+        val s = others.zipWithIndex.filter { case (_, i) =>
+          (mask & (1 << i)) != 0
+        }.map(_._1)
+        val w = fact(s.size) * fact(nC - s.size - 1) / fact(nC)
+        val k0 = s.sorted.mkString(",")
+        val k1 = (s :+ c).sorted.mkString(",")
+        (k0, w * (v.getOrElse(k1, 0.0) - v.getOrElse(k0, 0.0)))
+      }.sortBy(_._1)
+      val phi = subsetTerms.foldLeft(0.0) { case (acc, (_, t)) =>
+        r6(acc + t)
+      }
+      (c, subsetTerms.size.toLong, phi)
+    }
+    phis.toDF("channel", "n_subsets", "shapley")
+  }
 }

@@ -109,4 +109,26 @@ class PcaAttributionSpec extends SparkSpec {
     assert(out("view") === ((3L, 1.3)))
     assert(out("click") === ((3L, 1.7)))
   }
+
+  test("shapleyAttribution: hand-computed coalition values, " +
+      "unobserved sets contribute zero, efficiency on the fixture") {
+    val s = spark
+    import s.implicits._
+    // v(a)=0.5, v(b)=0, v(a,b)=1, v(empty) unobserved -> 0
+    // phi_a = 1/2*(0.5-0) + 1/2*(1-0) = 0.75; phi_b = 0.25
+    val ev = Seq(
+      (1L, "a"), (1L, "buy"),
+      (2L, "a"),
+      (3L, "b"),
+      (4L, "a"), (4L, "b"), (4L, "buy")
+    ).toDF("user_id", "event_type")
+    val out = Attribution.shapleyAttribution(ev, "user_id",
+        "event_type", convType = "buy")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("shapley")))).toMap
+    assert(out === Map("a" -> ((2L, 0.75)), "b" -> ((2L, 0.25))))
+    // efficiency: with every subset observed, credits sum to
+    // v(full) - v(empty)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+  }
 }
