@@ -882,6 +882,76 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** V-optimal-histogram replay (q275,
+    * [[operators.Analyze.vOptimalHistogram]]): equi-width cells with
+    * exact long sums, the interval-SSE table from cumsums (same
+    * operand order as the driver's `ss − s·s/c`), one MATERIALIZED DP
+    * layer per bucket (min with the smallest-split tie via
+    * row_number), and a backtrace CTE per layer.
+    */
+  def q275VOptimalHistogram(inputCells: Int, buckets: Int): String = {
+    val layers = (2 to buckets).map { l =>
+      s"e$l AS MATERIALIZED (SELECT k, e, j AS split FROM (" +
+        "SELECT iv.k, round(p.e + iv.sse, 6) AS e, iv.j, " +
+        "row_number() OVER (PARTITION BY iv.k " +
+        "ORDER BY round(p.e + iv.sse, 6), iv.j) AS rn " +
+        s"FROM iv JOIN e${l - 1} p ON p.k = iv.j - 1 " +
+        s"WHERE iv.j >= ${l - 1}) WHERE rn = 1)"
+    }
+    val bts = (buckets to 1 by -1).map { l =>
+      if (l == buckets)
+        s"bt$l AS (SELECT e$l.split AS j FROM e$l, nn " +
+          s"WHERE e$l.k = nn.n - 1)"
+      else
+        s"bt$l AS (SELECT e$l.split AS j FROM e$l " +
+          s"JOIN bt${l + 1} b ON e$l.k = b.j - 1)"
+    }
+    val bounds = (1 to buckets)
+      .map(l => s"SELECT $l AS bucket, j FROM bt$l")
+      .mkString(" UNION ALL ")
+    val ssePool =
+      "CAST(kk.css - (jj.css - jj.ss) AS DOUBLE) - " +
+        "(CAST(kk.cs - (jj.cs - jj.s) AS DOUBLE) * " +
+        "(kk.cs - (jj.cs - jj.s))) / (kk.cc - (jj.cc - jj.cnt))"
+    withClause(Seq(
+      "vals AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents " +
+        "WHERE n_chars IS NOT NULL)",
+      "vmm AS (SELECT min(v) AS mn, max(v) AS mx FROM vals)",
+      s"crq AS (SELECT CAST(((v - mn) * $inputCells) // " +
+        "(mx - mn + 1) AS INT) AS cell, count(*) AS cnt, " +
+        "sum(v) AS s, sum(v * v) AS ss FROM vals, vmm GROUP BY 1)",
+      "cells AS (SELECT cell, cnt, s, ss, " +
+        "CAST(row_number() OVER (ORDER BY cell) - 1 AS INT) AS idx " +
+        "FROM crq)",
+      "cum AS (SELECT idx, cell, cnt, s, ss, " +
+        "sum(cnt) OVER w AS cc, sum(s) OVER w AS cs, " +
+        "sum(ss) OVER w AS css FROM cells " +
+        "WINDOW w AS (ORDER BY idx ROWS UNBOUNDED PRECEDING))",
+      "nn AS (SELECT CAST(count(*) AS INT) AS n FROM cells)",
+      "iv AS (SELECT jj.idx AS j, kk.idx AS k, " +
+        s"round($ssePool, 6) AS sse " +
+        "FROM cum jj JOIN cum kk ON jj.idx <= kk.idx)",
+      "e1 AS (SELECT k, sse AS e, 0 AS split FROM iv WHERE j = 0)") ++
+      layers ++ bts ++ Seq(
+      s"bounds AS ($bounds)",
+      "rng AS (SELECT bucket, j AS lo, " +
+        "coalesce(lead(j) OVER (ORDER BY bucket) - 1, " +
+        "(SELECT n - 1 FROM nn)) AS hi FROM bounds)"),
+      "SELECT b.bucket, cl.cell AS cell_lo, ch.cell AS cell_hi, " +
+        "vmm.mn + CAST(floor(CAST(cl.cell AS DOUBLE) * " +
+        s"((vmm.mx - vmm.mn + 1) / CAST($inputCells AS DOUBLE))) " +
+        "AS BIGINT) AS value_lo, " +
+        "CAST(kk.cc - (jj.cc - jj.cnt) AS BIGINT) AS cnt, " +
+        "round(CAST(kk.cs - (jj.cs - jj.s) AS DOUBLE) / " +
+        "(kk.cc - (jj.cc - jj.cnt)), 4) AS mean, " +
+        "round(i2.sse, 4) AS sse " +
+        "FROM rng b JOIN cells cl ON cl.idx = b.lo " +
+        "JOIN cells ch ON ch.idx = b.hi " +
+        "JOIN cum jj ON jj.idx = b.lo JOIN cum kk ON kk.idx = b.hi " +
+        "JOIN iv i2 ON i2.j = b.lo AND i2.k = b.hi, vmm " +
+        "ORDER BY b.bucket")
+  }
+
   /** Shapley-attribution replay (q274,
     * [[operators.Attribution.shapleyAttribution]]): user → channel
     * set, v(S) rates at 1e-6, and a LITERAL subset-weight table

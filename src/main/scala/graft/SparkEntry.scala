@@ -3529,6 +3529,17 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // V-optimal histogram of the char-length axis: ONE corpus pass to
+    // <= 24 equi-width cells (exact long sums), then the Jagadish DP
+    // over that bounded table places 6 bucket boundaries minimizing
+    // total SSE — the histogram a cost-based optimizer stores. DP
+    // values on the 1e-6 grid, smallest-split ties; the oracle
+    // unrolls one MATERIALIZED layer per bucket + the backtrace.
+    "q275_voptimal_histogram" -> ((s, dir) =>
+      graft.operators.Analyze.vOptimalHistogram(
+        T(s, dir, "documents"), "n_chars", inputCells = 24,
+        buckets = 6)),
+
     // Simplified Shapley channel attribution: users reduce to their
     // touched-channel SET + converted flag, v(S) = per-set conversion
     // rate (a ≤ 2^|C| driver fact — the bounded-alphabet contract),
@@ -7601,6 +7612,9 @@ object SparkEntry {
       HashOracles.q270BfsDistances(3, "Brand#11"),
 
     "q271_nb_crossval" -> HashOracles.q271NbCrossVal(5),
+
+    "q275_voptimal_histogram" ->
+      HashOracles.q275VOptimalHistogram(24, 6),
 
     "q274_shapley_attribution" -> HashOracles.q274ShapleyAttribution(
       Seq("click", "error", "signup", "view"), "purchase"),

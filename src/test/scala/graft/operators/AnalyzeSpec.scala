@@ -51,6 +51,41 @@ class AnalyzeSpec extends SparkSpec {
     assert(math.abs(ndv - 50000) / 50000 < 0.05, s"ndv=$ndv")
   }
 
+  test("vOptimalHistogram: exact DP on a hand case, perfect split at " +
+      "buckets == cells, sse monotone in buckets") {
+    val s = spark
+    import s.implicits._
+    // 0,0 land in cell 0; 10,10 in cell 1 (width 5.5)
+    val df = Seq(0L, 0L, 10L, 10L).toDF("v")
+    val one = Analyze.vOptimalHistogram(df, "v", inputCells = 2,
+      buckets = 1).collect()
+    assert(one.length === 1)
+    assert(one.head.getAs[Long]("cnt") === 4L)
+    // pooled: ss=200, s=20, c=4 -> sse = 200 - 100 = 100
+    assert(one.head.getAs[Double]("sse") === 100.0)
+    val two = Analyze.vOptimalHistogram(df, "v", inputCells = 2,
+      buckets = 2).collect()
+    assert(two.length === 2)
+    assert(two.map(_.getAs[Double]("sse")).toSeq === Seq(0.0, 0.0))
+    assert(two.map(_.getAs[Double]("mean")).toSeq === Seq(0.0, 10.0))
+    // a clear outlier cluster gets its own bucket
+    val sk = (Seq.fill(50)(5L) ++ Seq.fill(50)(6L) ++
+      Seq.fill(10)(95L)).toDF("v")
+    val h = Analyze.vOptimalHistogram(sk, "v", inputCells = 8,
+      buckets = 2).collect()
+    assert(h.length === 2)
+    assert(h.last.getAs[Long]("cnt") === 10L)
+    assert(h.last.getAs[Double]("mean") === 95.0)
+    // monotone improvement
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sses = Seq(1, 2, 4, 8).map { b =>
+      Analyze.vOptimalHistogram(corpus, "n_chars", 16, b)
+        .agg(sum(col("sse"))).head().getDouble(0)
+    }
+    assert(sses === sses.sorted.reverse, sses)
+  }
+
   test("one aggregation pass: a single Aggregate pair in the plan, " +
       "no per-column scans") {
     val s = spark
