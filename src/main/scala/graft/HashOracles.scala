@@ -882,6 +882,39 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** FK-audit replay (q276,
+    * [[operators.Expectations.referentialIntegrity]]): per edge, the
+    * key-grain full outer join classified into null-FK / orphan /
+    * unreferenced masses, one summary row per edge.
+    */
+  def q276FkAudit(
+      edges: Seq[(String, String, String, String, String)]): String = {
+    val parts = edges.zipWithIndex.flatMap {
+      case ((rel, ct, fk, pt, pk), i) => Seq(
+        s"f$i AS (SELECT $fk AS k, count(*) AS c FROM $ct GROUP BY 1)",
+        s"p$i AS (SELECT DISTINCT $pk AS k, 1 AS p FROM $pt)",
+        s"j$i AS (SELECT * FROM f$i FULL OUTER JOIN p$i USING (k))",
+        s"s$i AS (SELECT '$rel' AS relation, " +
+          "CAST(coalesce(sum(c), 0) AS BIGINT) AS n_child, " +
+          "CAST(coalesce(sum(CASE WHEN k IS NULL THEN c END), 0) " +
+          "AS BIGINT) AS n_null_fk, " +
+          "CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND p IS NULL " +
+          "THEN c END), 0) AS BIGINT) AS n_orphan_rows, " +
+          "CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_parent, " +
+          "CAST(sum(CASE WHEN p IS NOT NULL AND c IS NULL THEN 1 " +
+          "ELSE 0 END) AS BIGINT) AS n_unreferenced " +
+          s"FROM j$i)")
+    }
+    val sel = edges.indices.map(i =>
+      "SELECT relation, n_child, n_null_fk, n_orphan_rows, " +
+        "round(CAST(n_orphan_rows AS DOUBLE) / n_child, 6) " +
+        "AS orphan_rate, n_parent, n_unreferenced, " +
+        "round(1.0e0 - CAST(n_unreferenced AS DOUBLE) / n_parent, 6) " +
+        s"AS coverage FROM s$i").mkString(" UNION ALL ")
+    withClause(parts, sel + " ORDER BY relation")
+  }
+
   /** V-optimal-histogram replay (q275,
     * [[operators.Analyze.vOptimalHistogram]]): equi-width cells with
     * exact long sums, the interval-SSE table from cumsums (same

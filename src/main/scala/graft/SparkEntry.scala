@@ -3529,6 +3529,24 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Referential-integrity audit over three FK edges of the star
+    // schema: key-grain full outer join classifies every key into
+    // null-FK / orphan / unreferenced mass in one pass per edge —
+    // the cross-table expectation q244's row-local rules can't say.
+    "q276_fk_audit" -> ((s, dir) => {
+      val E = graft.operators.Expectations
+      E.referentialIntegrity("lineitem.l_orderkey->orders",
+          T(s, dir, "lineitem"), "l_orderkey",
+          T(s, dir, "orders"), "o_orderkey")
+        .union(E.referentialIntegrity("orders.o_custkey->customer",
+          T(s, dir, "orders"), "o_custkey",
+          T(s, dir, "customer"), "c_custkey"))
+        .union(E.referentialIntegrity("customer.c_nationkey->nation",
+          T(s, dir, "customer"), "c_nationkey",
+          T(s, dir, "nation"), "n_nationkey"))
+        .orderBy(col("relation"))
+    }),
+
     // V-optimal histogram of the char-length axis: ONE corpus pass to
     // <= 24 equi-width cells (exact long sums), then the Jagadish DP
     // over that bounded table places 6 bucket boundaries minimizing
@@ -7615,6 +7633,14 @@ object SparkEntry {
 
     "q275_voptimal_histogram" ->
       HashOracles.q275VOptimalHistogram(24, 6),
+
+    "q276_fk_audit" -> HashOracles.q276FkAudit(Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"))),
 
     "q274_shapley_attribution" -> HashOracles.q274ShapleyAttribution(
       Seq("click", "error", "signup", "view"), "purchase"),

@@ -54,4 +54,45 @@ object Expectations {
         filter(tags, x => x.isNotNull))
       .filter(size(col("failed_rules")) > 0)
   }
+
+  /** Referential-integrity audit for one FK edge — the cross-TABLE
+    * expectation [[audit]]'s row-local rules cannot express: child
+    * rows whose `fkCol` has no match in `parent.pkCol` (orphans —
+    * null FKs counted separately, they are a different defect), and
+    * parent rows never referenced (coverage — dead dimension
+    * entries). ONE pass: both sides aggregate to key grain, a full
+    * outer join classifies every key, one final aggregate emits the
+    * summary row — the comparison never runs at child-row grain. At
+    * the 100 TB child side swap the probe to [[SkewJoins]]' bloom
+    * semi-join for triage and keep this exact form for the
+    * audit-of-record. Union several calls for the FK report.
+    */
+  def referentialIntegrity(relation: String, child: DataFrame,
+      fkCol: String, parent: DataFrame, pkCol: String): DataFrame = {
+    val fkAgg = child.groupBy(col(fkCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val pkKeys = parent.select(col(pkCol).as("__k")).distinct()
+      .withColumn("__p", lit(1))
+    fkAgg.join(pkKeys, Seq("__k"), "full_outer")
+      .agg(
+        coalesce(sum(col("__c")), lit(0L)).as("__n_child"),
+        coalesce(sum(when(col("__k").isNull, col("__c"))), lit(0L))
+          .as("__n_null_fk"),
+        coalesce(sum(when(col("__k").isNotNull && col("__p").isNull,
+          col("__c"))), lit(0L)).as("__n_orphan"),
+        sum(when(col("__p").isNotNull, 1L).otherwise(0L))
+          .as("__n_parent"),
+        sum(when(col("__p").isNotNull && col("__c").isNull, 1L)
+          .otherwise(0L)).as("__n_unref"))
+      .select(lit(relation).as("relation"),
+        col("__n_child").as("n_child"),
+        col("__n_null_fk").as("n_null_fk"),
+        col("__n_orphan").as("n_orphan_rows"),
+        round(col("__n_orphan") / col("__n_child").cast("double"), 6)
+          .as("orphan_rate"),
+        col("__n_parent").as("n_parent"),
+        col("__n_unref").as("n_unreferenced"),
+        round(lit(1.0) - col("__n_unref") /
+          col("__n_parent").cast("double"), 6).as("coverage"))
+  }
 }

@@ -53,4 +53,27 @@ class ExpectationsSpec extends SparkSpec {
     // partial + final of the same one aggregate
     assert("HashAggregate".r.findAllIn(p).size <= 2, p)
   }
+
+  test("referentialIntegrity: orphans, null FKs, and dead parents " +
+      "classified at key grain") {
+    val s = spark
+    import s.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), None, Some(9L),
+      Some(9L), Some(9L)).toDF("fk")
+    val r = Expectations.referentialIntegrity("child.fk->parent",
+      child, "fk", parent, "pk").head()
+    assert(r.getAs[Long]("n_child") === 7L)
+    assert(r.getAs[Long]("n_null_fk") === 1L)
+    assert(r.getAs[Long]("n_orphan_rows") === 3L)
+    assert(r.getAs[Double]("orphan_rate") === 0.428571)
+    assert(r.getAs[Long]("n_parent") === 3L)
+    assert(r.getAs[Long]("n_unreferenced") === 1L) // pk 3 never hit
+    assert(r.getAs[Double]("coverage") === 0.666667)
+    // a clean edge reads clean
+    val clean = Expectations.referentialIntegrity("c",
+      Seq(1L, 2L).toDF("fk"), "fk", parent, "pk").head()
+    assert(clean.getAs[Long]("n_orphan_rows") === 0L)
+    assert(clean.getAs[Double]("orphan_rate") === 0.0)
+  }
 }
