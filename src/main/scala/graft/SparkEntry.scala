@@ -3529,6 +3529,21 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Exact two-sample Kolmogorov–Smirnov: did the WHOLE spend
+    // distribution shift between the first and second half of the
+    // time range? One aggregation to the distinct-value (2-dp grid)
+    // table, cumulative CDF windows at value grain, smallest-value
+    // argmax tie, the 1.358·√(1/n_a+1/n_b) line.
+    "q277_ks_test" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("__lo"),
+        max(unix_micros(col("ts"))).as("__hi"))
+      val tagged = ev.crossJoin(broadcast(mm))
+        .withColumn("pre",
+          unix_micros(col("ts")) < expr("(__lo + __hi) div 2"))
+      graft.operators.Abtest.ksTest(tagged, col("pre"), "value")
+    }),
+
     // Referential-integrity audit over three FK edges of the star
     // schema: key-grain full outer join classifies every key into
     // null-FK / orphan / unreferenced mass in one pass per edge —
@@ -7633,6 +7648,30 @@ object SparkEntry {
 
     "q275_voptimal_histogram" ->
       HashOracles.q275VOptimalHistogram(24, 6),
+
+    "q277_ks_test" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS lo,
+        |  max(epoch_us(ts)) AS hi FROM events),
+        |t AS (SELECT value AS v, epoch_us(ts) < (lo + hi) // 2 AS a
+        |  FROM events, mm WHERE value IS NOT NULL),
+        |bv AS (SELECT v,
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY v),
+        |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM bv),
+        |st AS (SELECT v, na, nb,
+        |  round(abs(sum(ca) OVER w / CAST(na AS DOUBLE) -
+        |    sum(cb) OVER w / CAST(nb AS DOUBLE)), 6) AS d
+        |  FROM bv, tt
+        |  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |pick AS (SELECT *, row_number() OVER (ORDER BY d DESC, v)
+        |  AS rn FROM st)
+        |SELECT na AS n_a, nb AS n_b, d, v AS v_at_d,
+        |  round(1.358e0 * sqrt(1.0e0 / na + 1.0e0 / nb), 6)
+        |    AS d_crit_05,
+        |  d > 1.358e0 * sqrt(1.0e0 / na + 1.0e0 / nb) AS reject_05
+        |FROM pick WHERE rn = 1""".stripMargin,
 
     "q276_fk_audit" -> HashOracles.q276FkAudit(Seq(
       ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",

@@ -251,4 +251,32 @@ class SurvivalAbtestSpec extends SparkSpec {
     val d = Abtest.ipwAte(degenerate, Seq("seg"), "treat", "y").head()
     assert(d.getAs[Double]("e") === 0.98)
   }
+
+  test("ksTest: hand-computed D with smallest-value tie, identical " +
+      "samples read zero, a planted shift rejects") {
+    val s = spark
+    import s.implicits._
+    // F_a jumps at 1,2,3; F_b at 3,4,5: D = 2/3 at v=2 AND v=3 ->
+    // the tie reports the smaller value
+    val ab = (Seq(1, 2, 3).map(v => (true, v.toDouble)) ++
+      Seq(3, 4, 5).map(v => (false, v.toDouble)))
+      .toDF("a", "v")
+    val r = Abtest.ksTest(ab, col("a"), "v").head()
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Double]("d") === 0.666667)
+    assert(r.getAs[Double]("v_at_d") === 2.0)
+    // identical samples: D = 0 at the smallest value
+    val same = (Seq(1, 2).map(v => (true, v.toDouble)) ++
+      Seq(1, 2).map(v => (false, v.toDouble))).toDF("a", "v")
+    val r0 = Abtest.ksTest(same, col("a"), "v").head()
+    assert(r0.getAs[Double]("d") === 0.0)
+    assert(r0.getAs[Double]("v_at_d") === 1.0)
+    assert(!r0.getAs[Boolean]("reject_05"))
+    // 300 vs 300 with a unit shift: far past the 0.05 line
+    val big = ((1 to 300).map(i => (true, (i % 10).toDouble)) ++
+      (1 to 300).map(i => (false, (i % 10 + 3).toDouble))).toDF("a", "v")
+    val rb = Abtest.ksTest(big, col("a"), "v").head()
+    assert(rb.getAs[Boolean]("reject_05"))
+    assert(rb.getAs[Double]("d") === 0.3)
+  }
 }
