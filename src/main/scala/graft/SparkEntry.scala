@@ -3529,6 +3529,13 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // KWIC concordance: every "join" occurrence with 3 tokens of
+    // context either side, stitched from the once-tokenized array by
+    // slice arithmetic — map-only until the (doc, pos) top-k heap.
+    "q278_kwic" -> ((s, dir) =>
+      graft.operators.Keywords.kwic(T(s, dir, "documents"), "doc_id",
+        "text", term = "join", context = 3, topK = 100)),
+
     // Exact two-sample Kolmogorov–Smirnov: did the WHOLE spend
     // distribution shift between the first and second half of the
     // time range? One aggregation to the distinct-value (2-dp grid)
@@ -7648,6 +7655,22 @@ object SparkEntry {
 
     "q275_voptimal_histogram" ->
       HashOracles.q275VOptimalHistogram(24, 6),
+
+    "q278_kwic" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |occ AS (SELECT doc_id, j, t FROM
+         |  (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j
+         |   FROM tok)
+         |  WHERE t[CAST(j AS INT)] = 'join')
+         |SELECT doc_id, CAST(j - 1 AS INTEGER) AS pos,
+         |  coalesce(array_to_string(
+         |    t[CAST(greatest(j - 3, 1) AS INT) : CAST(j - 1 AS INT)],
+         |    ' '), '') AS before,
+         |  'join' AS term,
+         |  coalesce(array_to_string(
+         |    t[CAST(j + 1 AS INT) : CAST(j + 3 AS INT)], ' '), '')
+         |    AS after
+         |FROM occ ORDER BY doc_id, pos LIMIT 100""".stripMargin,
 
     "q277_ks_test" ->
       """WITH mm AS (SELECT min(epoch_us(ts)) AS lo,

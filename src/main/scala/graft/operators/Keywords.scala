@@ -398,4 +398,33 @@ object Keywords {
       .select(col(groupCol), col("rn"), col("token"), col("a").as("count"),
         col("chi2"))
   }
+
+  /** KWIC concordance (keyword-in-context) — the corpus-inspection
+    * readout every curation review wants: each occurrence of `term`
+    * with `context` tokens either side, stitched from the ONCE-
+    * tokenized array by pure slice arithmetic (no re-scan of the
+    * text, no regex per occurrence). One tokenize pass, a map-only
+    * filter, a top-k heap on (doc, pos) — nothing shuffles except
+    * the final limit.
+    */
+  def kwic(docs: DataFrame, idCol: String, textCol: String,
+      term: String, context: Int = 3, topK: Int = 100,
+      tokensCol: Option[String] = None): DataFrame = {
+    require(context >= 0 && topK >= 1, s"bad kwic($context, $topK)")
+    val lo = greatest(col("pos") - context, lit(0))
+    docs
+      .withColumn("__kw_t",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol), col("__kw_t"),
+        posexplode(col("__kw_t")).as(Seq("pos", "tok")))
+      .filter(col("tok") === term)
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("__kw_t"), lo + 1, col("pos") - lo))
+          .as("before"),
+        col("tok").as("term"),
+        concat_ws(" ", slice(col("__kw_t"), col("pos") + 2,
+          lit(context))).as("after"))
+      .orderBy(col(idCol), col("pos"))
+      .limit(topK)
+  }
 }

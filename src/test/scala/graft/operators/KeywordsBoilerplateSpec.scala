@@ -196,4 +196,26 @@ class KeywordsBoilerplateSpec extends SparkSpec {
         k = 1, minCount = 2).collect().map(_.getString(0))
     assert(top1.toSeq === Seq("is big"))
   }
+
+  test("kwic: context slices clip at both edges, occurrences in " +
+      "(doc, pos) order") {
+    val s = spark
+    import s.implicits._
+    val kdocs = Seq(
+      (1L, "join alpha beta join"),       // at pos 0 and pos 3
+      (2L, "x y z join a b c")            // full context both sides
+    ).toDF("doc_id", "text")
+    val out = Keywords.kwic(kdocs, "doc_id", "text", "join",
+        context = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 0, "", "alpha beta"),
+      (1L, 3, "alpha beta", ""),
+      (2L, 3, "y z", "a b")))
+    // topK caps deterministically on (doc, pos)
+    val capped = Keywords.kwic(kdocs, "doc_id", "text", "join", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(capped.toSeq === Seq((1L, 0), (1L, 3)))
+  }
 }
