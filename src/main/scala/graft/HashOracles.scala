@@ -882,6 +882,41 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** Cross-split leakage replay (q279,
+    * [[operators.Dedup.crossSplitLeakage]]): banded candidates +
+    * Jaccard verify over the whole corpus, the splitmix 80/20 test
+    * flag, cross-split pair classification, and the distinct
+    * contaminated-test-doc count.
+    */
+  val q279SplitLeakage: String = {
+    val head = Seq(
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z " +
+        "FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(bandedCtes("") ++ closureCtes("") ++ head ++ mixed ++ Seq(
+      s"spl AS (SELECT doc_id, $signedMod >= 8000 AS is_test FROM dm5)",
+      "cp AS (SELECT v.a_id, v.b_id, sa.is_test AS ta, " +
+        "sb.is_test AS tb FROM ver v " +
+        "JOIN spl sa ON sa.doc_id = v.a_id " +
+        "JOIN spl sb ON sb.doc_id = v.b_id)",
+      "con AS (SELECT DISTINCT cid FROM (SELECT CASE WHEN ta " +
+        "THEN a_id ELSE b_id END AS cid FROM cp WHERE ta <> tb))"),
+      "SELECT (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_dup_pairs, " +
+        "(SELECT CAST(coalesce(sum(CASE WHEN ta <> tb THEN 1 ELSE 0 " +
+        "END), 0) AS BIGINT) FROM cp) AS n_cross_pairs, " +
+        "(SELECT CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) " +
+        "AS BIGINT) FROM spl) AS n_test, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM con) AS n_contaminated, " +
+        "round((SELECT CAST(count(*) AS DOUBLE) FROM con) / " +
+        "(SELECT sum(CASE WHEN is_test THEN 1 ELSE 0 END) FROM spl), " +
+        "6) AS contamination_rate")
+  }
+
   /** FK-audit replay (q276,
     * [[operators.Expectations.referentialIntegrity]]): per edge, the
     * key-grain full outer join classified into null-FK / orphan /

@@ -3529,6 +3529,17 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Cross-split duplicate leakage: the eval-hygiene audit a hash
+    // split does NOT give — near-dup clusters scatter across the
+    // 80/20 split, so test docs silently have train-side twins.
+    // Verified band pairs classified by the splitmix test flag;
+    // counts cross pairs and distinct contaminated test docs.
+    "q279_split_leakage" -> ((s, dir) =>
+      graft.operators.Dedup.crossSplitLeakage(
+        T(s, dir, "documents"), "doc_id", "text",
+        inTest = graft.operators.Sampling.hashBucket(col("doc_id"))
+          >= 8000, threshold = 0.9)),
+
     // KWIC concordance: every "join" occurrence with 3 tokens of
     // context either side, stitched from the once-tokenized array by
     // slice arithmetic — map-only until the (doc, pos) top-k heap.
@@ -7655,6 +7666,8 @@ object SparkEntry {
 
     "q275_voptimal_histogram" ->
       HashOracles.q275VOptimalHistogram(24, 6),
+
+    "q279_split_leakage" -> HashOracles.q279SplitLeakage,
 
     "q278_kwic" ->
       s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),

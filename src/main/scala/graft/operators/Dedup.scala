@@ -794,4 +794,43 @@ object Dedup {
       .filter(col("cos") > threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cos"))
   }
+
+  /** Cross-split duplicate-leakage audit — the eval-hygiene check a
+    * hash split does NOT give you: a random split scatters every
+    * near-dup CLUSTER across train and test, so the test set silently
+    * contains the training data and metrics inflate. Verified
+    * near-dup pairs ([[minhashNearDupPairs]] — banded candidates,
+    * exact Jaccard) classify by the caller's `inTest` flag; the
+    * summary counts cross-split pairs and the DISTINCT test docs with
+    * a train-side near-duplicate. Fix = split by CLUSTER (dedup
+    * first, or key the split hash on the canonical id), then re-run
+    * this audit to zero.
+    */
+  def crossSplitLeakage(df: DataFrame, idCol: String, textCol: String,
+      inTest: Column, threshold: Double = 0.9): DataFrame = {
+    val pairs = graft.CacheScope.register(
+      minhashNearDupPairs(df, idCol, textCol, threshold).persist())
+    val spl = df.select(col(idCol).as("__sid"), inTest.as("__t"))
+    val cp = pairs
+      .join(spl.select(col("__sid").as("a_id"), col("__t").as("__ta")),
+        "a_id")
+      .join(spl.select(col("__sid").as("b_id"), col("__t").as("__tb")),
+        "b_id")
+    val con = cp.filter(col("__ta") =!= col("__tb"))
+      .select(when(col("__ta"), col("a_id")).otherwise(col("b_id"))
+        .as("cid"))
+      .distinct()
+    val pairAgg = cp.agg(
+      count(lit(1)).as("n_dup_pairs"),
+      sum(when(col("__ta") =!= col("__tb"), 1L).otherwise(0L))
+        .as("n_cross_pairs"))
+    val splitAgg = spl.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_test"))
+    val conAgg = con.agg(count(lit(1)).as("n_contaminated"))
+    pairAgg.crossJoin(splitAgg).crossJoin(conAgg)
+      .select(col("n_dup_pairs"), col("n_cross_pairs"), col("n_test"),
+        col("n_contaminated"),
+        round(col("n_contaminated") / col("n_test").cast("double"), 6)
+          .as("contamination_rate"))
+  }
 }

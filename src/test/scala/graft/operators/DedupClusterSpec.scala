@@ -187,4 +187,32 @@ class DedupClusterSpec extends SparkSpec {
     val total = w.agg(sum(col("soft_weight"))).head().getDouble(0)
     assert(math.abs(total - 3.0) < 1e-12) // 3 distinct clusters
   }
+
+  test("crossSplitLeakage: cross pairs counted once, contaminated = " +
+      "distinct test docs with a train twin, clean split reads zero") {
+    val s = spark
+    import s.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    val t2 = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    val docs = Seq(
+      (1L, t1), (2L, t1),   // dup cluster A
+      (3L, t2), (4L, t2),   // dup cluster B
+      (5L, "entirely unrelated text with its own words here today")
+    ).toDF("doc_id", "text")
+    // 2 and 5 in test: pair (1,2) crosses, (3,4) stays train-side
+    val r = Dedup.crossSplitLeakage(docs, "doc_id", "text",
+      inTest = col("doc_id").isin(2L, 5L)).head()
+    assert(r.getAs[Long]("n_dup_pairs") === 2L)
+    assert(r.getAs[Long]("n_cross_pairs") === 1L)
+    assert(r.getAs[Long]("n_test") === 2L)
+    assert(r.getAs[Long]("n_contaminated") === 1L)
+    assert(r.getAs[Double]("contamination_rate") === 0.5)
+    // splitting BY CLUSTER zeroes the audit
+    val clean = Dedup.crossSplitLeakage(docs, "doc_id", "text",
+      inTest = col("doc_id").isin(3L, 4L)).head()
+    assert(clean.getAs[Long]("n_cross_pairs") === 0L)
+    assert(clean.getAs[Long]("n_contaminated") === 0L)
+  }
 }
