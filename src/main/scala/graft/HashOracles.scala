@@ -917,6 +917,61 @@ object HashOracles {
         "6) AS contamination_rate")
   }
 
+  /** Capstone replay (q280): the q279 audit run under BOTH split
+    * strategies — hash-of-doc vs hash-of-cluster-canonical (labels
+    * from the recursive closure, the q51 device) — side by side.
+    */
+  val q280ClusterSplitCapstone: String = {
+    val mixD = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val mixC = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "cz" else s"cm${n - 1}"
+        s"cm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    def summary(tag: String, cp: String, spl: String, con: String) =
+      s"SELECT '$tag' AS strategy, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM $cp) AS n_dup_pairs, " +
+        s"(SELECT CAST(coalesce(sum(CASE WHEN ta <> tb THEN 1 ELSE 0 " +
+        s"END), 0) AS BIGINT) FROM $cp) AS n_cross_pairs, " +
+        s"(SELECT CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) " +
+        s"AS BIGINT) FROM $spl) AS n_test, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM $con) " +
+        "AS n_contaminated, " +
+        s"round((SELECT CAST(count(*) AS DOUBLE) FROM $con) / " +
+        s"(SELECT sum(CASE WHEN is_test THEN 1 ELSE 0 END) " +
+        s"FROM $spl), 6) AS contamination_rate"
+    withClause(bandedCtes("") ++ closureCtes("") ++ Seq(
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z " +
+        "FROM documents)") ++ mixD ++ Seq(
+      s"spl AS (SELECT doc_id, $signedMod >= 8000 AS is_test FROM dm5)",
+      "lab AS (SELECT d.doc_id, coalesce(r.component, d.doc_id) " +
+        "AS component FROM (SELECT doc_id FROM documents) d " +
+        "LEFT JOIN reach r ON r.node = d.doc_id)",
+      "cz AS (SELECT doc_id, CAST(component AS HUGEINT) AS z " +
+        "FROM lab)") ++ mixC ++ Seq(
+      s"spl2 AS (SELECT doc_id, $signedMod >= 8000 AS is_test " +
+        "FROM cm5)",
+      "cp AS (SELECT v.a_id, v.b_id, sa.is_test AS ta, " +
+        "sb.is_test AS tb FROM ver v " +
+        "JOIN spl sa ON sa.doc_id = v.a_id " +
+        "JOIN spl sb ON sb.doc_id = v.b_id)",
+      "con AS (SELECT DISTINCT cid FROM (SELECT CASE WHEN ta " +
+        "THEN a_id ELSE b_id END AS cid FROM cp WHERE ta <> tb))",
+      "cp2 AS (SELECT v.a_id, v.b_id, sa.is_test AS ta, " +
+        "sb.is_test AS tb FROM ver v " +
+        "JOIN spl2 sa ON sa.doc_id = v.a_id " +
+        "JOIN spl2 sb ON sb.doc_id = v.b_id)",
+      "con2 AS (SELECT DISTINCT cid FROM (SELECT CASE WHEN ta " +
+        "THEN a_id ELSE b_id END AS cid FROM cp2 WHERE ta <> tb))"),
+      summary("by_cluster", "cp2", "spl2", "con2") + " UNION ALL " +
+        summary("by_doc", "cp", "spl", "con") + " ORDER BY strategy")
+  }
+
   /** FK-audit replay (q276,
     * [[operators.Expectations.referentialIntegrity]]): per edge, the
     * key-grain full outer join classified into null-FK / orphan /

@@ -3529,6 +3529,33 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Capstone #10: the q279 audit under BOTH split strategies —
+    // hashing the doc id scatters dup clusters across the boundary;
+    // hashing the CLUSTER CANONICAL (dedupCorpus components, same
+    // 0.9 verify) provably zeroes cross-split leakage because every
+    // verified pair lives inside one cluster. The fix and its proof
+    // in one result.
+    "q280_cluster_split_capstone" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val byDoc = graft.operators.Dedup.crossSplitLeakage(docs,
+          "doc_id", "text",
+          inTest = graft.operators.Sampling.hashBucket(col("doc_id"))
+            >= 8000, threshold = 0.9)
+        .withColumn("strategy", lit("by_doc"))
+      val labeled = graft.operators.Dedup.dedupCorpus(docs, "doc_id",
+        "text", threshold = 0.9)
+      val byCluster = graft.operators.Dedup.crossSplitLeakage(labeled,
+          "doc_id", "text",
+          inTest = graft.operators.Sampling
+            .hashBucket(col("component")) >= 8000, threshold = 0.9)
+        .withColumn("strategy", lit("by_cluster"))
+      byDoc.union(byCluster)
+        .select(col("strategy"), col("n_dup_pairs"),
+          col("n_cross_pairs"), col("n_test"), col("n_contaminated"),
+          col("contamination_rate"))
+        .orderBy(col("strategy"))
+    }),
+
     // Cross-split duplicate leakage: the eval-hygiene audit a hash
     // split does NOT give — near-dup clusters scatter across the
     // 80/20 split, so test docs silently have train-side twins.
@@ -7668,6 +7695,8 @@ object SparkEntry {
       HashOracles.q275VOptimalHistogram(24, 6),
 
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
+    "q280_cluster_split_capstone" ->
+      HashOracles.q280ClusterSplitCapstone,
 
     "q278_kwic" ->
       s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
