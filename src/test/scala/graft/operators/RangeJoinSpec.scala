@@ -84,6 +84,14 @@ class RangeJoinSpec extends SparkSpec {
       "range join must bucket into an equi-join:\n" + p)
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), p)
+    // the interval-interval form must hold the same shape
+    val p2 = RangeJoin.overlapJoin(iv, "s", "e",
+        iv.select(col("iid").as("jid"), col("s").as("s2"),
+          col("e").as("e2")), "s2", "e2", W)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("BroadcastNestedLoopJoin") &&
+      !p2.contains("CartesianProduct"),
+      "overlap join must bucket into an equi-join:\n" + p2)
   }
 
   test("agrees with the naive inequality join on the events corpus") {
