@@ -3529,6 +3529,16 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Monroe "Fightin' Words": per-token Dirichlet-prior log-odds z
+    // between English and the rest of the corpus — the corpus-
+    // comparison statistic that neither drowns in rare-word noise
+    // nor saturates on common words. Two top-k heaps, never a
+    // vocabulary-wide window.
+    "q281_monroe_logodds" -> ((s, dir) =>
+      graft.operators.Divergence.monroeLogOdds(
+        T(s, dir, "documents"), "text", col("lang") === "en",
+        sideA = "en", sideB = "rest", alpha0 = 500.0, topK = 20)),
+
     // Capstone #10: the q279 audit under BOTH split strategies —
     // hashing the doc id scatters dup clusters across the boundary;
     // hashing the CLUSTER CANONICAL (dedupCorpus components, same
@@ -7697,6 +7707,31 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    "q281_monroe_logodds" ->
+      s"""WITH tka AS (SELECT lang = 'en' AS a, unnest($ToksSql)
+         |    AS token FROM documents),
+         |ct AS (SELECT token,
+         |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+         |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+         |  FROM tka GROUP BY token),
+         |tt AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+         |  CAST(sum(yb) AS BIGINT) AS nb FROM ct),
+         |aw AS (SELECT token, ya, yb, na, nb,
+         |  500.0e0 * (ya + yb) / (na + nb) AS aw FROM ct, tt),
+         |sc AS (SELECT token, ya, yb,
+         |  round(ln(ya + aw) - ln(na + 500.0e0 - ya - aw) -
+         |    ln(yb + aw) + ln(nb + 500.0e0 - yb - aw), 6) AS delta,
+         |  round(1.0e0 / (ya + aw) + 1.0e0 / (yb + aw), 6) AS s2
+         |  FROM aw),
+         |zt AS (SELECT token, ya, yb,
+         |  round(delta / sqrt(s2), 4) AS z FROM sc),
+         |ta AS (SELECT 'en' AS side, token, ya, yb, z FROM zt
+         |  ORDER BY z DESC, token LIMIT 20),
+         |tb AS (SELECT 'rest' AS side, token, ya, yb, z FROM zt
+         |  ORDER BY z ASC, token LIMIT 20)
+         |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM tb)
+         |ORDER BY side, z, token""".stripMargin,
 
     "q278_kwic" ->
       s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),

@@ -110,4 +110,55 @@ object Divergence {
         round(sum(col("__dv_kl")), 4).as("kl_p_q"),
         round(sum(col("__dv_js")), 4).as("js"))
   }
+
+  /** Monroe/Colaresi/Quinn "Fightin' Words" (2008): per-token
+    * log-odds DELTA between two corpus halves under an informative
+    * Dirichlet prior drawn from the POOLED corpus, z-scored by the
+    * delta's approximate variance — the corpus-comparison statistic
+    * that, unlike raw ratios or χ², neither drowns in rare-word
+    * noise (the prior shrinks them) nor caps common words (log-odds
+    * keeps resolution where χ² saturates).
+    *
+    *   α_w = α₀·p̂_w(pooled);  δ_w = ln-odds_A(w) − ln-odds_B(w)
+    *   σ²_w ≈ 1/(y_Aw+α_w) + 1/(y_Bw+α_w);  z = δ/σ
+    *
+    * One token-count aggregation, a broadcast 1-row totals frame, a
+    * map-only score, two TOP-K HEAPS (never a vocabulary-wide
+    * window). δ and σ² round at 1e-6, z at 1e-4, so the ranking
+    * replays. Output: `topK` tokens leaning each way.
+    */
+  def monroeLogOdds(docs: DataFrame, textCol: String,
+      inA: org.apache.spark.sql.Column, sideA: String, sideB: String,
+      alpha0: Double = 500.0, topK: Int = 20,
+      tokensCol: Option[String] = None): DataFrame = {
+    require(alpha0 > 0 && topK >= 1, s"bad monroe($alpha0, $topK)")
+    val tok = docs.select(inA.as("__a"),
+      explode(tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+        .as("token"))
+    val ct = tok.groupBy(col("token"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ya"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("yb"))
+    val tt = ct.agg(sum(col("ya")).as("__na"), sum(col("yb")).as("__nb"))
+    val a0 = lit(alpha0)
+    val scored = ct.crossJoin(broadcast(tt))
+      .withColumn("__aw",
+        a0 * (col("ya") + col("yb")) / (col("__na") + col("__nb")))
+      .withColumn("__delta", round(
+        log(col("ya") + col("__aw")) -
+          log(col("__na") + a0 - col("ya") - col("__aw")) -
+          log(col("yb") + col("__aw")) +
+          log(col("__nb") + a0 - col("yb") - col("__aw")), 6))
+      .withColumn("__s2", round(lit(1.0) / (col("ya") + col("__aw")) +
+        lit(1.0) / (col("yb") + col("__aw")), 6))
+      .withColumn("z",
+        round(col("__delta") / sqrt(col("__s2")), 4))
+      .select(col("token"), col("ya"), col("yb"), col("z"))
+    val topA = scored.orderBy(col("z").desc, col("token")).limit(topK)
+      .withColumn("side", lit(sideA))
+    val topB = scored.orderBy(col("z").asc, col("token")).limit(topK)
+      .withColumn("side", lit(sideB))
+    topA.union(topB)
+      .select(col("side"), col("token"), col("ya"), col("yb"), col("z"))
+      .orderBy(col("side"), col("z"), col("token"))
+  }
 }

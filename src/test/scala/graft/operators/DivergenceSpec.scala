@@ -81,4 +81,32 @@ class DivergenceSpec extends SparkSpec {
       assert(!r.getAs[Double]("js_vs_rest").isInfinite)
     }
   }
+
+  test("monroeLogOdds: planted distinctive words surface with the " +
+      "right sign; the prior shrinks hapaxes below repeated terms") {
+    val s = spark
+    import s.implicits._
+    val filler = "the data of and in a system model is on"
+    val docs = (1 to 30).map { i =>
+      if (i % 2 == 0) (i.toLong, true, s"$filler cat cat cat" +
+        (if (i == 2) " uniqua" else ""))
+      else (i.toLong, false, s"$filler dog dog dog")
+    }.toDF("id", "a", "text")
+    val out = Divergence.monroeLogOdds(docs, "text", col("a"),
+        "A", "B", alpha0 = 100.0, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Double]("z")))
+    val aSide = out.filter(_._1 == "A")
+    val bSide = out.filter(_._1 == "B")
+    assert(aSide.exists(_._2 == "cat"))
+    assert(bSide.exists(_._2 == "dog"))
+    assert(aSide.find(_._2 == "cat").get._3 > 0)
+    assert(bSide.find(_._2 == "dog").get._3 < 0)
+    // the hapax "uniqua" (1 occurrence, A-only) must score far below
+    // the repeated "cat" — the informative prior at work
+    val zCat = aSide.find(_._2 == "cat").get._3
+    val zUniqua = out.find(_._2 == "uniqua").map(_._3).getOrElse(0.0)
+    assert(zUniqua < zCat / 2,
+      s"prior should shrink the hapax: uniqua=$zUniqua cat=$zCat")
+  }
 }
