@@ -3529,6 +3529,17 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Session-level conversion: within each 2-day session, did a
+    // purchase land at-or-after a view? Rolled up by session length —
+    // the "does engagement depth convert" curve, chaining q265's
+    // sessionizer.
+    "q282_session_conversion" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionConversion(events(s, dir),
+          "user_id", "ts", "event_id", "event_type",
+          triggerType = "view", convType = "purchase",
+          gapMinutes = 2880)
+        .orderBy(col("n_events"))),
+
     // Monroe "Fightin' Words": per-token Dirichlet-prior log-odds z
     // between English and the rest of the corpus — the corpus-
     // comparison statistic that neither drowns in rare-word noise
@@ -7707,6 +7718,30 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    "q282_session_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  event_type FROM events WHERE ts IS NOT NULL),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >
+        |  172800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |g AS (SELECT user_id, sid, count(*) AS ne,
+        |  min(CASE WHEN event_type = 'view' THEN us END) AS trig,
+        |  max(CASE WHEN event_type = 'purchase' THEN us END) AS conv
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT ne, trig IS NOT NULL AND conv IS NOT NULL
+        |  AND conv >= trig AS converted FROM g)
+        |SELECT CAST(ne AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  round(CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS conversion_rate
+        |FROM c GROUP BY ne ORDER BY n_events""".stripMargin,
 
     "q281_monroe_logodds" ->
       s"""WITH tka AS (SELECT lang = 'en' AS a, unnest($ToksSql)

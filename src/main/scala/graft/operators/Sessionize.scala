@@ -57,6 +57,35 @@ object Sessionize {
       .withColumn("duration_s",
         ((col("end_us") - col("start_us")) / 1000000L).cast("long"))
 
+  /** Within-session conversion: per session, did a `convType` event
+    * happen at-or-after a `triggerType` event INSIDE the session
+    * (integer-micros comparison — ties allowed, same-instant logging
+    * counts)? Rolled up by session length: sessions, conversions,
+    * rate — the "does engagement depth convert" curve. Same two
+    * aggregation passes as [[sessionStats]]; nothing row-grain past
+    * the keyed window.
+    */
+  def sessionConversion(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      triggerType: String, convType: String,
+      gapMinutes: Int = 30): DataFrame =
+    assignSessions(events, userCol, tsCol, idCol, gapMinutes)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(when(col(typeCol) === triggerType,
+          unix_micros(col(tsCol)))).as("__trig"),
+        max(when(col(typeCol) === convType,
+          unix_micros(col(tsCol)))).as("__conv"))
+      .withColumn("__converted",
+        col("__trig").isNotNull && col("__conv").isNotNull &&
+          col("__conv") >= col("__trig"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__converted"), 1L).otherwise(0L))
+          .as("n_converted"))
+      .withColumn("conversion_rate", round(
+        col("n_converted") / col("n_sessions").cast("double"), 6))
+
   /** Corpus readout bounded by the longest session: per session
     * LENGTH (event count), how many sessions, mean duration (exact —
     * integer micros summed as longs, divided once), total value, and

@@ -62,6 +62,35 @@ class SessionizeSpec extends SparkSpec {
     assert(prof(2L) === ((2L, 10.0, 330.0)))    // (600+60)/2
   }
 
+  test("sessionConversion: trigger must precede (or tie) conversion " +
+      "INSIDE the session; cross-session pairs never count") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // u1 session 1: view -> purchase  => converted
+      (1L, 10L, ts("2026-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2026-01-01 10:05:00"), "purchase"),
+      // u1 session 2: purchase BEFORE view => not converted
+      (1L, 12L, ts("2026-01-01 12:00:00"), "purchase"),
+      (1L, 13L, ts("2026-01-01 12:01:00"), "view"),
+      // u2: view in one session, purchase in the NEXT => neither
+      (2L, 20L, ts("2026-01-01 09:00:00"), "view"),
+      (2L, 21L, ts("2026-01-01 11:00:00"), "purchase"),
+      // u3: same-instant view+purchase ties => converted
+      (3L, 30L, ts("2026-01-01 08:00:00"), "view"),
+      (3L, 31L, ts("2026-01-01 08:00:00"), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Sessionize.sessionConversion(ev, "user_id", "ts",
+        "event_id", "event_type", "view", "purchase", gapMinutes = 30)
+      .collect().map(r => r.getAs[Long]("n_events") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converted"))))
+      .toMap
+    // 2-event sessions: u1s1 (conv), u1s2 (no), u3 (conv) -> 3/2
+    assert(out(2L) === ((3L, 2L)))
+    // 1-event sessions: u2's two singletons, no conversion
+    assert(out(1L) === ((2L, 0L)))
+  }
+
   test("equal timestamps order by the id column: assignment is " +
       "deterministic under repartition") {
     val s = spark
