@@ -3529,6 +3529,22 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Population Stability Index of spend between the two time
+    // halves: fixed cuts [0, 50) in 10 bins + under/overflow,
+    // smoothed shares, PSI folded over the sorted bin list — the
+    // monitored-model drift number beside the KS test's
+    // max-gap view.
+    "q283_psi_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("__lo"),
+        max(unix_micros(col("ts"))).as("__hi"))
+      val tagged = ev.crossJoin(broadcast(mm))
+        .withColumn("pre",
+          unix_micros(col("ts")) < expr("(__lo + __hi) div 2"))
+      graft.operators.Divergence.psi(tagged, "value", col("pre"),
+        lo = 0.0, hi = 50.0, nBins = 10)
+    }),
+
     // Session-level conversion: within each 2-day session, did a
     // purchase land at-or-after a view? Rolled up by session length —
     // the "does engagement depth convert" curve, chaining q265's
@@ -7718,6 +7734,35 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    "q283_psi_drift" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS lo,
+        |  max(epoch_us(ts)) AS hi FROM events),
+        |t AS (SELECT value AS v,
+        |  epoch_us(ts) < (lo + hi) // 2 AS pre FROM events, mm
+        |  WHERE value IS NOT NULL),
+        |b AS (SELECT CASE WHEN v < 0.0e0 THEN -1
+        |    WHEN v >= 50.0e0 THEN 10
+        |    ELSE CAST(floor((v - 0.0e0) / 50.0e0 * 10) AS INT) END
+        |    AS bin,
+        |  CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_cur
+        |  FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |  CAST(sum(n_cur) AS BIGINT) AS tc FROM b),
+        |sc AS (SELECT bin, n_ref, n_cur,
+        |  round((n_ref + 0.5e0) / (tr + 6.0e0), 6) AS p_ref,
+        |  round((n_cur + 0.5e0) / (tc + 6.0e0), 6) AS p_cur
+        |  FROM b, tt),
+        |tm AS (SELECT *, round((p_ref - p_cur) * ln(p_ref / p_cur), 6)
+        |  AS term FROM sc),
+        |tot AS (SELECT round(list_reduce(list_prepend(0.0e0,
+        |    list(term ORDER BY bin)), (a, x) -> round(a + x, 6)), 4)
+        |  AS psi FROM tm)
+        |SELECT bin, n_ref, n_cur, p_ref, p_cur, term, psi
+        |FROM tm, tot ORDER BY bin""".stripMargin,
 
     "q282_session_conversion" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -111,6 +111,52 @@ object Divergence {
         round(sum(col("__dv_js")), 4).as("js"))
   }
 
+  /** Population Stability Index — the numeric-drift metric risk
+    * models are monitored with (PSI < 0.1 stable, 0.1–0.25 watch,
+    * > 0.25 shift): fixed-cut value bins (underflow/overflow get
+    * their own), smoothed shares on each side, and
+    * `PSI = Σ (p_b − q_b)·ln(p_b/q_b)`. The numeric companion to the
+    * token-distribution [[tokenDivergenceBy]].
+    *
+    * One aggregation to the ≤ nBins+2 bin table; shares round at
+    * 1e-6 and the total folds over the sorted bin list (the q260
+    * device), so the index replays exactly. Cuts are CALLER-FIXED —
+    * data-dependent cuts would make two snapshots incomparable,
+    * which is the entire point of PSI's fixed-bin contract.
+    */
+  def psi(df: DataFrame, valueCol: String,
+      inRef: org.apache.spark.sql.Column, lo: Double, hi: Double,
+      nBins: Int, alpha: Double = 0.5): DataFrame = {
+    require(nBins >= 1 && hi > lo && alpha > 0,
+      s"bad psi($lo, $hi, $nBins, $alpha)")
+    val v = col(valueCol).cast("double")
+    val bin = when(v < lo, lit(-1))
+      .when(v >= hi, lit(nBins))
+      .otherwise(floor((v - lo) / (hi - lo) * nBins).cast("int"))
+    val counts = df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(inRef, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(inRef, 0L).otherwise(1L)).as("n_cur"))
+    val tot = counts.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val a = lit(alpha)
+    val denom = a * (nBins + 2)
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("p_ref",
+        round((col("n_ref") + a) / (col("__tr") + denom), 6))
+      .withColumn("p_cur",
+        round((col("n_cur") + a) / (col("__tc") + denom), 6))
+      .withColumn("term", round((col("p_ref") - col("p_cur")) *
+        log(col("p_ref") / col("p_cur")), 6))
+    val total = scored.agg(round(aggregate(
+      sort_array(collect_list(struct(col("bin"), col("term").as("t")))),
+      lit(0.0), (acc, x) => round(acc + x("t"), 6)), 4).as("psi"))
+    scored.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"),
+        col("p_cur"), col("term"), col("psi"))
+      .orderBy(col("bin"))
+  }
+
   /** Monroe/Colaresi/Quinn "Fightin' Words" (2008): per-token
     * log-odds DELTA between two corpus halves under an informative
     * Dirichlet prior drawn from the POOLED corpus, z-scored by the

@@ -82,6 +82,27 @@ class DivergenceSpec extends SparkSpec {
     }
   }
 
+  test("psi: identical halves read exactly zero; a planted shift " +
+      "crosses the 0.25 alarm; clamp bins catch out-of-range values") {
+    val s = spark
+    import s.implicits._
+    val same = (0 until 10).flatMap(b => (1 to 10).flatMap(_ =>
+      Seq((true, b * 5.0), (false, b * 5.0)))).toDF("pre", "v")
+    val z = Divergence.psi(same, "v", col("pre"), 0.0, 50.0, 10)
+      .head().getAs[Double]("psi")
+    assert(z === 0.0)
+    val shifted = ((1 to 100).map(_ => (true, 5.0)) ++
+      (1 to 100).map(_ => (false, 45.0))).toDF("pre", "v")
+    val p = Divergence.psi(shifted, "v", col("pre"), 0.0, 50.0, 10)
+      .head().getAs[Double]("psi")
+    assert(p > 0.25, s"shift must alarm: $p")
+    val clamped = Seq((true, -3.0), (false, 99.0), (true, 25.0))
+      .toDF("pre", "v")
+    val bins = Divergence.psi(clamped, "v", col("pre"), 0.0, 50.0, 10)
+      .collect().map(_.getAs[Int]("bin")).sorted
+    assert(bins.toSeq === Seq(-1, 5, 10))
+  }
+
   test("monroeLogOdds: planted distinctive words surface with the " +
       "right sign; the prior shrinks hapaxes below repeated terms") {
     val s = spark
