@@ -3529,6 +3529,14 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Trigram-index substring search (the pg_trgm device): a
+    // '%hash join%' scan becomes a posting-list intersection over
+    // the pattern's 6 trigrams + an exact contains verify on the
+    // survivors; the profile row audits candidate precision.
+    "q284_trigram_search" -> ((s, dir) =>
+      graft.operators.TrigramSearch.searchProfile(
+        T(s, dir, "documents"), "doc_id", "text", "hash join")),
+
     // Population Stability Index of spend between the two time
     // halves: fixed cuts [0, 50) in 10 bins + under/overflow,
     // smoothed shares, PSI folded over the sorted bin list — the
@@ -7734,6 +7742,28 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    "q284_trigram_search" ->
+      """WITH cn AS (SELECT doc_id, regexp_replace(lower(text),
+        |  '[^a-z0-9]', '', 'g') AS cc FROM documents),
+        |ix AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, length(cc) - 1),
+        |    i -> substr(cc, CAST(i AS INT), 3))) AS g
+        |  FROM cn WHERE length(cc) >= 3)),
+        |qg AS (SELECT unnest(['has','ash','shj','hjo','joi','oin'])
+        |  AS g),
+        |cand AS (SELECT doc_id, count(*) AS m FROM ix
+        |  JOIN qg USING (g) GROUP BY doc_id HAVING count(*) = 6),
+        |ver AS (SELECT cand.doc_id FROM cand JOIN cn USING (doc_id)
+        |  WHERE contains(cc, 'hashjoin'))
+        |SELECT 'hash join' AS pattern,
+        |  CAST(6 AS INTEGER) AS n_query_grams,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_verified,
+        |  round((SELECT CAST(count(*) AS DOUBLE) FROM ver) /
+        |    greatest((SELECT count(*) FROM cand), 1), 6)
+        |    AS index_precision""".stripMargin,
 
     "q283_psi_drift" ->
       """WITH mm AS (SELECT min(epoch_us(ts)) AS lo,
