@@ -3529,6 +3529,15 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Cohort LTV curves: users cohort by first-signup week, all later
+    // spend books to the cohort's age axis, cumulative revenue per
+    // user — q155's money sibling. Cent-grid weekly sums BEFORE the
+    // keyed cumulation.
+    "q285_cohort_ltv" -> ((s, dir) =>
+      graft.operators.Funnel.cohortLtv(events(s, dir), "user_id",
+          "ts", "value", cohortPred = col("event_type") === "signup")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // Trigram-index substring search (the pg_trgm device): a
     // '%hash join%' scan becomes a posting-list intersection over
     // the pattern's 6 trigrams + an exact contains verify on the
@@ -7742,6 +7751,29 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    "q285_cohort_ltv" ->
+      """WITH f AS (SELECT user_id,
+        |    date_trunc('week', min(ts)) AS cohort_week FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f
+        |  GROUP BY cohort_week),
+        |wk AS (SELECT f.cohort_week,
+        |    datediff('day', f.cohort_week,
+        |      date_trunc('week', e.ts)) // 7 AS week_offset,
+        |    round(sum(e.value), 2) AS week_revenue
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE CAST(e.ts AS DATE) >= f.cohort_week
+        |  GROUP BY 1, 2),
+        |cm AS (SELECT *, round(sum(week_revenue) OVER (
+        |    PARTITION BY cohort_week ORDER BY week_offset
+        |    ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue FROM wk)
+        |SELECT cm.cohort_week,
+        |  CAST(cm.week_offset AS INTEGER) AS week_offset,
+        |  cm.week_revenue, cm.cum_revenue, sz.cohort_size,
+        |  round(cm.cum_revenue / sz.cohort_size, 4) AS ltv_per_user
+        |FROM cm JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q284_trigram_search" ->
       """WITH cn AS (SELECT doc_id, regexp_replace(lower(text),

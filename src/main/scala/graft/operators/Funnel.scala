@@ -122,6 +122,47 @@ object Funnel {
         round(col("n_active") / col("cohort_size"), 4).as("retention"))
   }
 
+  /** Cohort LTV curves — [[cohortRetention]]'s money sibling: users
+    * cohort by first-event week, every later event's value books to
+    * the cohort's week offset, and the cumulative sum along each
+    * cohort's age axis divided by cohort size is the
+    * lifetime-value-per-user curve finance reads. Weekly revenue
+    * rounds to the cent grid BEFORE the cumulation (the house money
+    * device), and the running sum is a window KEYED by cohort over
+    * the bounded (cohort × offset) table.
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, cohortPred: Column): DataFrame = {
+    val cohorts = events.filter(cohortPred)
+      .groupBy(col(userCol))
+      .agg(to_date(date_trunc("week", min(col(tsCol))))
+        .as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val weekly = events
+      .select(col(userCol), col(tsCol).as("__lt_ts"),
+        col(valueCol).as("__lt_v"))
+      .join(cohorts, Seq(userCol))
+      .filter(to_date(col("__lt_ts")) >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (datediff(to_date(date_trunc("week", col("__lt_ts"))),
+          col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(round(sum(col("__lt_v")), 2).as("week_revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    weekly
+      .withColumn("cum_revenue", round(sum(col("week_revenue"))
+        .over(w), 2))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"),
+        col("week_revenue"), col("cum_revenue"), col("cohort_size"),
+        round(col("cum_revenue") / col("cohort_size").cast("double"), 4)
+          .as("ltv_per_user"))
+  }
+
   /** Top event paths: the most common length-`n` consecutive
     * event-type sequences per user stream (ordered by ts with a seq
     * tie-break) — "what do people actually do", the behavioral n-gram.

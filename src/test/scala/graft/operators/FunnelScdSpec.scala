@@ -152,4 +152,34 @@ class FunnelScdSpec extends SparkSpec {
     assert(out.map(_.getAs[Boolean]("is_current")).toSeq ===
       Seq(false, true))
   }
+
+  test("cohortLtv: cumulative revenue per cohort age, pre-cohort " +
+      "spend excluded, ltv divides by cohort size") {
+    val s = spark
+    import s.implicits._
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    // two users signup in the Mon 2026-01-05 week; one spends 10
+    // that week and 6 the next; the other spends 4 in week 1;
+    // a pre-signup event (2) must NOT book
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "purchase", 2.0), // pre-cohort
+      (1L, ts("2026-01-06 10:00:00"), "signup", 0.0),
+      (1L, ts("2026-01-07 10:00:00"), "purchase", 10.0),
+      (1L, ts("2026-01-13 10:00:00"), "purchase", 6.0),
+      (2L, ts("2026-01-08 10:00:00"), "signup", 0.0),
+      (2L, ts("2026-01-14 10:00:00"), "purchase", 4.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Funnel.cohortLtv(ev, "user_id", "ts", "value",
+        cohortPred = col("event_type") === "signup")
+      .orderBy("week_offset").collect()
+    assert(out.length === 2)
+    val w0 = out(0); val w1 = out(1)
+    assert(w0.getAs[Int]("week_offset") === 0)
+    assert(w0.getAs[Double]("week_revenue") === 10.0)
+    assert(w0.getAs[Long]("cohort_size") === 2L)
+    assert(w0.getAs[Double]("ltv_per_user") === 5.0)
+    assert(w1.getAs[Double]("week_revenue") === 10.0) // 6 + 4
+    assert(w1.getAs[Double]("cum_revenue") === 20.0)
+    assert(w1.getAs[Double]("ltv_per_user") === 10.0)
+  }
 }
