@@ -3529,6 +3529,17 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Two-proportion z on user conversion (ever purchased) between
+    // the even/odd arms — the pooled-SE conversion test beside the
+    // Welch/MWU metric tests. One arm-grain aggregation.
+    "q286_proportion_test" -> ((s, dir) => {
+      val users = events(s, dir).groupBy(col("user_id"))
+        .agg((max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) === 1L).as("s"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      graft.operators.Abtest.proportionTest(users, "arm", "s")
+    }),
+
     // Cohort LTV curves: users cohort by first-signup week, all later
     // spend books to the cohort's age axis, cumulative revenue per
     // user — q155's money sibling. Cent-grid weekly sums BEFORE the
@@ -7751,6 +7762,27 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    "q286_proportion_test" ->
+      """WITH u AS (SELECT user_id, max(CASE WHEN event_type =
+        |    'purchase' THEN 1 ELSE 0 END) = 1 AS s,
+        |  user_id % 2 AS arm FROM events GROUP BY user_id),
+        |ar AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM u GROUP BY arm),
+        |ax AS (SELECT *, k / CAST(n AS DOUBLE) AS p,
+        |  row_number() OVER (ORDER BY arm) AS rk FROM ar)
+        |SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS n_a, b.n AS n_b,
+        |  a.k AS k_a, b.k AS k_b,
+        |  round(a.p, 6) AS p_a, round(b.p, 6) AS p_b,
+        |  round(a.p - b.p, 6) AS diff,
+        |  CASE WHEN (a.k + b.k) / CAST(a.n + b.n AS DOUBLE) > 0
+        |    AND (a.k + b.k) / CAST(a.n + b.n AS DOUBLE) < 1 THEN
+        |    round((a.p - b.p) / sqrt(
+        |      ((a.k + b.k) / CAST(a.n + b.n AS DOUBLE)) *
+        |      (1.0e0 - (a.k + b.k) / CAST(a.n + b.n AS DOUBLE)) *
+        |      (1.0e0 / a.n + 1.0e0 / b.n)), 4) END AS z
+        |FROM ax a, ax b WHERE a.rk = 1 AND b.rk = 2""".stripMargin,
 
     "q285_cohort_ltv" ->
       """WITH f AS (SELECT user_id,

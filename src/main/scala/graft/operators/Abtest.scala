@@ -185,6 +185,45 @@ object Abtest {
           (col("__nd") - 1), 4).as("var_y_cuped"))
   }
 
+  /** Two-proportion z-test with the POOLED standard error — the
+    * conversion-rate test proper (a Welch t on 0/1 outcomes uses the
+    * unpooled variance; under H₀ p_a = p_b the pooled form is the
+    * textbook statistic):
+    * `z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))`.
+    * One arm-grain aggregation; everything else is arithmetic on the
+    * two-row table. Degenerate pools (p̂ ∈ {0, 1}) yield null z.
+    */
+  def proportionTest(units: DataFrame, armCol: String,
+      successCol: String): DataFrame = {
+    requireTwoArms(units, armCol, "proportionTest")
+    val sCol = col(successCol).cast("boolean")
+    val arms = units.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(sCol, 1L).otherwise(0L)).as("__k"))
+      .withColumn("__p", col("__k") / col("n").cast("double"))
+    val w = Window.orderBy(col("arm"))
+    val two = arms.withColumn("__rk", row_number().over(w))
+    val a = two.filter(col("__rk") === 1)
+      .select(col("arm").as("arm_a"), col("n").as("n_a"),
+        col("__k").as("k_a"), col("__p").as("__pa"))
+    val b = two.filter(col("__rk") === 2)
+      .select(col("arm").as("arm_b"), col("n").as("n_b"),
+        col("__k").as("k_b"), col("__p").as("__pb"))
+    a.crossJoin(b)
+      .withColumn("__pool", (col("k_a") + col("k_b")) /
+        (col("n_a") + col("n_b")).cast("double"))
+      .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+        col("k_a"), col("k_b"),
+        round(col("__pa"), 6).as("p_a"),
+        round(col("__pb"), 6).as("p_b"),
+        round(col("__pa") - col("__pb"), 6).as("diff"),
+        when(col("__pool") > 0 && col("__pool") < 1,
+          round((col("__pa") - col("__pb")) /
+            sqrt(col("__pool") * (lit(1.0) - col("__pool")) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double"))), 4)).as("z"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov test — "did the whole
     * DISTRIBUTION shift", where the mean tests (Welch/CUPED) and the
     * rank test (Mann–Whitney) each see only one facet:

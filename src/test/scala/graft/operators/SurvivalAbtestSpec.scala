@@ -252,6 +252,24 @@ class SurvivalAbtestSpec extends SparkSpec {
     assert(d.getAs[Double]("e") === 0.98)
   }
 
+  test("proportionTest: pooled-SE z on a hand case; degenerate pool " +
+      "yields null z") {
+    val s = spark
+    import s.implicits._
+    val units = ((1 to 100).map(i => ("a", i <= 30)) ++
+      (1 to 100).map(i => ("b", i <= 20))).toDF("arm", "s")
+    val r = Abtest.proportionTest(units, "arm", "s").head()
+    assert(r.getAs[Double]("p_a") === 0.3)
+    assert(r.getAs[Double]("p_b") === 0.2)
+    assert(r.getAs[Double]("diff") === 0.1)
+    // pool .25 -> se = sqrt(.25*.75*.02) = .0612372; z = 1.633
+    assert(r.getAs[Double]("z") === 1.633)
+    val degen = ((1 to 5).map(_ => ("a", true)) ++
+      (1 to 5).map(_ => ("b", true))).toDF("arm", "s")
+    val d = Abtest.proportionTest(degen, "arm", "s").head()
+    assert(d.isNullAt(d.fieldIndex("z")))
+  }
+
   test("ksTest: hand-computed D with smallest-value tie, identical " +
       "samples read zero, a planted shift rejects") {
     val s = spark
