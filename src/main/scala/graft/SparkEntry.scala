@@ -3529,6 +3529,25 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Incremental view maintenance fold: revenue-by-priority view
+    // built on 1993-and-earlier orders, the later years folded in as
+    // an on-disk delta, readers re-merge at key grain — must equal
+    // the full recompute (the disk is invisible to the oracle, the
+    // q273 contract). Retraction round-trips are IvmSpec's.
+    "q287_ivm_fold" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q287_ivm").getAbsolutePath
+      val early = o.filter(year(col("o_orderdate")) <= 1993)
+      val late = o.filter(year(col("o_orderdate")) > 1993)
+      graft.operators.Ivm.writeView(graft.operators.Ivm.buildAggView(
+        early, Seq("o_orderpriority"), "o_totalprice"), path)
+      graft.operators.Ivm.appendDelta(graft.operators.Ivm.buildAggView(
+        late, Seq("o_orderpriority"), "o_totalprice"), path)
+      graft.operators.Ivm.readView(s, path, Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Two-proportion z on user conversion (ever purchased) between
     // the even/odd arms — the pooled-SE conversion test beside the
     // Welch/MWU metric tests. One arm-grain aggregation.
@@ -7762,6 +7781,26 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    // the view fold must be indistinguishable from the recompute:
+    // inner sums round at 2 per build side, outer merge re-rounds —
+    // replayed with the same two-level rounding
+    "q287_ivm_fold" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(o_totalprice), 2) AS sum_v FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) <= 1993
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(o_totalprice), 2) AS sum_v FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) > 1993
+        |  GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n,
+        |  round(sum(sum_v), 2) AS sum_v
+        |FROM v GROUP BY o_orderpriority
+        |HAVING sum(n) <> 0
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q286_proportion_test" ->
       """WITH u AS (SELECT user_id, max(CASE WHEN event_type =
