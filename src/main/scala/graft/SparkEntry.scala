@@ -3529,6 +3529,17 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Numeric WOE: exact quartile cuts from the gridded value
+    // histogram (the KS-test contract) bin each event's spend, then
+    // the q260 WOE/IV chain reads how spend size separates
+    // purchases — the measure-typed half of the screening family.
+    "q288_woe_numeric" -> ((s, dir) =>
+      graft.operators.Woe.woeNumericGrid(
+          events(s, dir)
+            .withColumn("y", col("event_type") === "purchase"),
+          "value", "y")
+        .orderBy(col("feature"), col("value"))),
+
     // Incremental view maintenance fold: revenue-by-priority view
     // built on 1993-and-earlier orders, the later years folded in as
     // an on-disk delta, readers re-merge at key grain — must equal
@@ -7781,6 +7792,44 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    "q288_woe_numeric" ->
+      """WITH ev AS (SELECT value AS v, event_type = 'purchase' AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT v, count(*) AS c FROM ev GROUP BY v),
+        |tn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |cmh AS (SELECT v, sum(c) OVER (ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |ct AS (SELECT pct, min(v) AS cut FROM cmh, tn,
+        |  (SELECT unnest([25, 50, 75]) AS pct)
+        |  WHERE cum >= (pct * n + 99) // 100 GROUP BY pct),
+        |cl AS (SELECT list_sort(list(cut)) AS cuts FROM ct),
+        |m AS (SELECT 'vbin' AS feature, 'q' ||
+        |  CAST(list_reduce(list_prepend(0, list_transform(cuts,
+        |    c -> CASE WHEN v > c THEN 1 ELSE 0 END)),
+        |    (a, x) -> a + x) + 1 AS VARCHAR) AS value, y
+        |  FROM ev, cl),
+        |bins AS (SELECT feature, value,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM m GROUP BY feature, value),
+        |tots AS (SELECT feature, CAST(sum(n_pos) AS BIGINT) AS tp,
+        |  CAST(sum(n_neg) AS BIGINT) AS tn FROM bins GROUP BY feature),
+        |sc AS (SELECT b.feature, b.value, n_pos, n_neg,
+        |  round((n_pos + 0.5e0) / (tp + 1.0e0), 6) AS p_share,
+        |  round((n_neg + 0.5e0) / (tn + 1.0e0), 6) AS q_share,
+        |  round(ln((n_pos + 0.5e0) / (tp + 1.0e0)) -
+        |    ln((n_neg + 0.5e0) / (tn + 1.0e0)), 6) AS woe
+        |  FROM bins b JOIN tots USING (feature)),
+        |tm AS (SELECT feature, value,
+        |  round((p_share - q_share) * woe, 6) AS term FROM sc),
+        |iv AS (SELECT feature, round(list_reduce(list_prepend(0.0e0,
+        |    list(term ORDER BY value)), (a, x) -> round(a + x, 6)), 4)
+        |  AS iv FROM tm GROUP BY feature)
+        |SELECT s.feature, s.value, s.n_pos, s.n_neg, s.p_share,
+        |  s.q_share, s.woe, i.iv
+        |FROM sc s JOIN iv i USING (feature)
+        |ORDER BY s.feature, s.value""".stripMargin,
 
     // the view fold must be indistinguishable from the recompute:
     // inner sums round at 2 per build side, outer merge re-rounds —

@@ -80,6 +80,45 @@ object Woe {
       .agg(count(lit(1)).as("n_bins"), first(col("iv")).as("iv"))
       .orderBy(col("iv").desc, col("feature"))
 
+  /** WOE over a NUMERIC feature: quantile bins from the exact
+    * nearest-rank cuts computed on the value HISTOGRAM (one
+    * aggregation to the distinct-value table, a cumsum at value
+    * grain — the gridded-metric contract shared with
+    * [[Abtest.ksTest]]; pre-quantize continuous data), then
+    * [[woeTable]] on the bin label. Completes the screening family:
+    * q260 reads categorical features, this reads measures.
+    */
+  def woeNumericGrid(df: DataFrame, numCol: String, labelCol: String,
+      percents: Seq[Int] = Seq(25, 50, 75),
+      alpha: Double = 0.5): DataFrame = {
+    require(percents.nonEmpty &&
+      percents.forall(p => p >= 1 && p <= 99), s"bad cuts $percents")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(numCol).cast("double")
+    val hist = df.filter(v.isNotNull).groupBy(v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val tot = hist.agg(sum(col("__c")).as("__n"))
+    val pcts = percents.distinct.sorted.toDF("pct")
+    val cuts = hist.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(pcts))
+      .filter(col("__cum") >= expr("(pct * __n + 99) DIV 100"))
+      .groupBy(col("pct")).agg(min(col("__v")).as("cut"))
+    val binned = df.filter(v.isNotNull)
+      .crossJoin(broadcast(cuts.agg(
+        sort_array(collect_list(col("cut"))).as("__cuts"))))
+      .withColumn("vbin", concat(lit("q"),
+        (aggregate(col("__cuts"), lit(0),
+          (acc, c) => acc + when(v > c, 1).otherwise(0)) + 1)
+          .cast("string")))
+    woeTable(binned, Seq("vbin"), labelCol, alpha)
+  }
+
   /** Leave-one-out target encoding with prior smoothing — the
     * gradient-boosting feature trick done WITHOUT leakage: each row's
     * encoding of its category excludes its OWN target,

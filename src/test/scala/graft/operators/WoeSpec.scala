@@ -68,6 +68,23 @@ class WoeSpec extends SparkSpec {
     assert(out.length === 4)
   }
 
+  test("woeNumericGrid: exact quartile cuts on a 1..100 grid, " +
+      "pure-sign bins get signed woe") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 100).map(i => (i.toDouble, i > 50)).toDF("v", "y")
+    val out = Woe.woeNumericGrid(rows, "v", "y")
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getAs[Double]("woe"))))
+      .toMap
+    assert(out.keySet === Set("q1", "q2", "q3", "q4"))
+    // cuts at 25/50/75: 25 rows per bin
+    assert(out.values.forall(x => x._1 + x._2 === 25L))
+    assert(out("q1")._3 < 0 && out("q2")._3 < 0)
+    assert(out("q3")._3 > 0 && out("q4")._3 > 0)
+    assert(out("q1")._1 === 0L && out("q4")._2 === 0L)
+  }
+
   test("ivRanking orders informative features first") {
     val s = spark
     import s.implicits._
