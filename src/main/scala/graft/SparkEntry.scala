@@ -3529,6 +3529,16 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Lexicon tagging (the LIWC/blocklist device): one broadcast
+    // dictionary join tags every category at once; per-source
+    // category mass profile — the moderation dashboard row.
+    "q289_lexicon_profile" -> ((s, dir) =>
+      graft.operators.Keywords.lexiconProfile(
+          T(s, dir, "documents"), "doc_id", "text", "source",
+          Map("exec" -> Seq("join", "hash", "scan", "filter"),
+            "data" -> Seq("row", "column", "batch")))
+        .orderBy(col("source"), col("category"))),
+
     // Numeric WOE: exact quartile cuts from the gridded value
     // histogram (the KS-test contract) bin each event's spend, then
     // the q260 WOE/IV chain reads how spend size separates
@@ -7792,6 +7802,26 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    "q289_lexicon_profile" ->
+      s"""WITH lex(category, token) AS (VALUES
+         |  ('exec', 'join'), ('exec', 'hash'), ('exec', 'scan'),
+         |  ('exec', 'filter'), ('data', 'row'), ('data', 'column'),
+         |  ('data', 'batch')),
+         |tok AS (SELECT doc_id, len($ToksSql) AS n,
+         |  unnest($ToksSql) AS token FROM documents),
+         |tags AS (SELECT t.doc_id, l.category,
+         |  max(t.n) AS n_tokens, count(*) AS n_hits
+         |  FROM tok t JOIN lex l USING (token)
+         |  GROUP BY t.doc_id, l.category)
+         |SELECT d.source, g.category,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(g.n_hits) AS BIGINT) AS total_hits,
+         |  round(CAST(sum(g.n_hits) AS DOUBLE) / sum(g.n_tokens), 6)
+         |    AS mass_rate
+         |FROM tags g JOIN documents d USING (doc_id)
+         |GROUP BY d.source, g.category
+         |ORDER BY d.source, g.category""".stripMargin,
 
     "q288_woe_numeric" ->
       """WITH ev AS (SELECT value AS v, event_type = 'purchase' AS y

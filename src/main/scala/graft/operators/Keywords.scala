@@ -399,6 +399,53 @@ object Keywords {
         col("chi2"))
   }
 
+  /** Lexicon tagging (the LIWC/blocklist device): a config-bounded
+    * (category, term) dictionary broadcasts against the exploded
+    * token stream — ONE join tags every occurrence whatever the
+    * category count, where the naive loop regex-scans the corpus
+    * once per lexicon. Per-doc per-category hit counts and rates;
+    * docs with no hits carry no rows (left-join a zero frame
+    * downstream if density matters).
+    */
+  def lexiconTags(docs: DataFrame, idCol: String, textCol: String,
+      lexicons: Map[String, Seq[String]],
+      tokensCol: Option[String] = None): DataFrame = {
+    require(lexicons.nonEmpty && lexicons.values.forall(_.nonEmpty),
+      "empty lexicon")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = lexicons.toSeq
+      .flatMap { case (cat, terms) => terms.distinct.map(cat -> _) }
+      .toDF("category", "token")
+    val tok = docs
+      .withColumn("__lx_t",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol), size(col("__lx_t")).as("__n"),
+        explode(col("__lx_t")).as("token"))
+    tok.join(broadcast(lex), Seq("token"))
+      .groupBy(col(idCol), col("category"))
+      .agg(max(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_hits"),
+        countDistinct(col("token")).as("n_distinct_terms"))
+      .withColumn("hit_rate",
+        round(col("n_hits") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** Corpus rollup of [[lexiconTags]]: per (source-ish group,
+    * category) — docs touched, occurrence mass, mean rate — the
+    * moderation/profiling dashboard row.
+    */
+  def lexiconProfile(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, lexicons: Map[String, Seq[String]],
+      tokensCol: Option[String] = None): DataFrame =
+    lexiconTags(docs, idCol, textCol, lexicons, tokensCol)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol), col("category"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_hits")).as("total_hits"),
+        round(sum(col("n_hits")).cast("double") /
+          sum(col("n_tokens")).cast("double"), 6).as("mass_rate"))
+
   /** KWIC concordance (keyword-in-context) — the corpus-inspection
     * readout every curation review wants: each occurrence of `term`
     * with `context` tokens either side, stitched from the ONCE-

@@ -197,6 +197,33 @@ class KeywordsBoilerplateSpec extends SparkSpec {
     assert(top1.toSeq === Seq("is big"))
   }
 
+  test("lexiconTags: one join tags all categories, rates per doc, " +
+      "no-hit docs absent; profile rolls up by group") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "en", "join hash join row"),     // db:3 hits, data:1
+      (2L, "en", "click click mouse"),      // web:2
+      (3L, "de", "nothing relevant at all")
+    ).toDF("doc_id", "lang", "text")
+    val lex = Map("db" -> Seq("join", "hash"),
+      "web" -> Seq("click"), "data" -> Seq("row"))
+    val tags = Keywords.lexiconTags(docs, "doc_id", "text", lex)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_distinct_terms"),
+          r.getAs[Double]("hit_rate")))).toMap
+    assert(tags((1L, "db")) === ((3L, 2L, 0.75)))
+    assert(tags((1L, "data")) === ((1L, 1L, 0.25)))
+    assert(tags((2L, "web")) === ((2L, 1L, 0.666667)))
+    assert(!tags.keySet.exists(_._1 == 3L))
+    val prof = Keywords.lexiconProfile(docs, "doc_id", "text", "lang",
+        lex)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("total_hits")).toMap
+    assert(prof(("en", "db")) === 3L)
+    assert(prof(("en", "web")) === 2L)
+  }
+
   test("kwic: context slices clip at both edges, occurrences in " +
       "(doc, pos) order") {
     val s = spark
