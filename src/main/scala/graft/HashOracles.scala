@@ -882,6 +882,44 @@ object HashOracles {
     "SELECT count(*) AS n_pairs, count(DISTINCT b_id) AS n_dropped, " +
       "round(coalesce(max(cos), -1), 4) AS best_cos FROM hit")
 
+  /** Rolling-origin Holt backtest replay (q290,
+    * [[operators.Forecast.backtestHolt]]): the q251 list-fold per
+    * cutoff (prefixed CTEs), actual = mean of the window's observed
+    * dailies, APE scored — all on the shared daily-series CTE.
+    */
+  def q290ForecastBacktest(cutoffs: Seq[Long], horizon: Int): String = {
+    val per = cutoffs.distinct.sorted.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        s"s$i AS (SELECT o_orderpriority, list([CAST(day AS DOUBLE), " +
+          "CAST(rev AS DOUBLE)] ORDER BY day) AS sl FROM bd " +
+          s"WHERE day <= $c GROUP BY 1)",
+        s"f$i AS (SELECT o_orderpriority, len(sl) AS n_obs, " +
+          "list_reduce(list_prepend([sl[1][2], sl[2][2] - sl[1][2]], " +
+          "list_transform(sl[2:], p -> [p[2], CAST(NULL AS DOUBLE)])), " +
+          "(a, x) -> [round(0.3e0 * x[1] + 0.7e0 * (a[1] + a[2]), 6), " +
+          "round(0.1e0 * (round(0.3e0 * x[1] + 0.7e0 * " +
+          "(a[1] + a[2]), 6) - a[1]) + 0.9e0 * a[2], 6)]) AS st " +
+          s"FROM s$i WHERE len(sl) >= 2)",
+        s"a$i AS (SELECT o_orderpriority, round(avg(rev), 6) AS actual " +
+          s"FROM bd WHERE day > $c AND day <= ${c + horizon} " +
+          "GROUP BY 1)",
+        s"o$i AS (SELECT f.o_orderpriority, CAST($c AS BIGINT) " +
+          "AS cutoff, CAST(f.n_obs AS BIGINT) AS n_obs, " +
+          s"round(f.st[1] + $horizon.0e0 * f.st[2], 6) AS forecast, " +
+          "a.actual, round(abs(round(f.st[1] + " +
+          s"$horizon.0e0 * f.st[2], 6) - a.actual) / abs(a.actual), 6) " +
+          s"AS ape FROM f$i f JOIN a$i a USING (o_orderpriority))")
+    }
+    val sel = cutoffs.distinct.sorted.indices
+      .map(i => s"SELECT * FROM o$i").mkString(" UNION ALL ")
+    withClause(Seq(
+      "bd AS (SELECT o_orderpriority, date_diff('day', " +
+        "DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders " +
+        "GROUP BY 1, 2)") ++ per,
+      s"SELECT * FROM ($sel) ORDER BY o_orderpriority, cutoff")
+  }
+
   /** Cross-split leakage replay (q279,
     * [[operators.Dedup.crossSplitLeakage]]): banded candidates +
     * Jaccard verify over the whole corpus, the splitmix 80/20 test

@@ -3529,6 +3529,22 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Rolling-origin backtest of the Holt forecaster: three cutoffs,
+    // fit on history, point-forecast 7 ahead, score against the
+    // window's mean actual — the evaluation loop a forecast is
+    // worthless without. One fold per (priority, cutoff).
+    "q290_forecast_backtest" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Forecast.backtestHolt(daily, "o_orderpriority",
+          "day", "rev", cutoffs = Seq(1500L, 1800L, 2100L),
+          alpha = 0.3, beta = 0.1, horizon = 7)
+        .orderBy(col("o_orderpriority"), col("cutoff"))
+    }),
+
     // Lexicon tagging (the LIWC/blocklist device): one broadcast
     // dictionary join tags every category at once; per-source
     // category mass profile — the moderation dashboard row.
@@ -7802,6 +7818,9 @@ object SparkEntry {
     "q279_split_leakage" -> HashOracles.q279SplitLeakage,
     "q280_cluster_split_capstone" ->
       HashOracles.q280ClusterSplitCapstone,
+
+    "q290_forecast_backtest" ->
+      HashOracles.q290ForecastBacktest(Seq(1500L, 1800L, 2100L), 7),
 
     "q289_lexicon_profile" ->
       s"""WITH lex(category, token) AS (VALUES

@@ -170,4 +170,37 @@ object Forecast {
       keyCol, tCol, valueCol, alpha, beta, horizon)
     resumed.unionByName(idle).unionByName(fresh)
   }
+
+  /** Rolling-origin backtest of [[holtLinear]] — the evaluation a
+    * forecast is worthless without: at each CUTOFF in the (config-
+    * bounded) list, fit on history `t ≤ cutoff`, point-forecast
+    * `horizon` ahead, and score against the MEAN of the actuals
+    * observed in `(cutoff, cutoff + horizon]` (gappy series — a
+    * single-day actual may not exist). One fold per (key, cutoff);
+    * cutoffs with no future observations drop rather than scoring
+    * against nothing. `ape` = |forecast − actual| / |actual|.
+    */
+  def backtestHolt(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, cutoffs: Seq[Long], alpha: Double,
+      beta: Double, horizon: Int): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.size <= 32,
+      s"cutoffs must be a bounded list, got ${cutoffs.size}")
+    val parts = cutoffs.distinct.sorted.map { c =>
+      val fit = holtLinear(df.filter(col(tCol) <= c), keyCol, tCol,
+        valueCol, alpha, beta, horizon)
+        .select(col(keyCol), col("n_obs"),
+          col(s"forecast_$horizon").as("forecast"))
+        .withColumn("cutoff", lit(c))
+      val actual = df
+        .filter(col(tCol) > c && col(tCol) <= c + horizon)
+        .groupBy(col(keyCol))
+        .agg(round(avg(col(valueCol).cast("double")), 6).as("actual"))
+      fit.join(actual, Seq(keyCol))
+        .withColumn("ape", round(abs(col("forecast") - col("actual"))
+          / abs(col("actual")), 6))
+    }
+    parts.reduce(_ unionByName _)
+      .select(col(keyCol), col("cutoff"), col("n_obs").cast("long")
+        .as("n_obs"), col("forecast"), col("actual"), col("ape"))
+  }
 }

@@ -82,4 +82,27 @@ class ForecastSpec extends SparkSpec {
     assert(out.select("k").collect().map(_.getString(0)).toSet ===
       Set("two"))
   }
+
+  test("backtestHolt: on a linear series the forecast lands c+7, the " +
+      "actual is the window mean c+4, ape = 3/(c+4)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L to 100L).map(t => ("k", t, t.toDouble))
+      .toDF("k", "t", "y")
+    val out = Forecast.backtestHolt(df, "k", "t", "y",
+        cutoffs = Seq(50L, 80L), alpha = 0.3, beta = 0.1, horizon = 7)
+      .orderBy("cutoff").collect()
+    assert(out.length === 2)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Double]("forecast") === 57.0)
+    assert(out(0).getAs[Double]("actual") === 54.0)
+    assert(out(0).getAs[Double]("ape") === r6(3.0 / 54))
+    assert(out(1).getAs[Double]("forecast") === 87.0)
+    assert(out(1).getAs[Double]("ape") === r6(3.0 / 84))
+    // a cutoff past the data has no actual window -> drops
+    val none = Forecast.backtestHolt(df, "k", "t", "y", Seq(100L),
+      0.3, 0.1, 7)
+    assert(none.count() === 0L)
+  }
 }
