@@ -4,7 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) data layout — the multi-dimensional
-  * clustering behind lakehouse `OPTIMIZE ZORDER BY`: rows sort by the
+  * clustering behind lakehouse `OPTIMIZE ZORDER BY`. The raw
+  * interleaved KEY (on caller-bounded dims) is
+  * [[graft.functions.ZOrder.interleave2]] (q234); this operator is the
+  * full LAYOUT job around it: rank-scaling arbitrary-range dims
+  * against a broadcast stats row, n-dim interleave, FIXED-fraction
+  * bucket cuts (deterministic where `repartitionByRange`'s sampler is
+  * not), the per-bucket min/max skipping profile, and the partitioned
+  * writer. Rows sort by the
   * bit-interleaving of their rank-scaled dimensions, so ANY single
   * dimension's value range maps to a BOUNDED set of curve segments and
   * a min/max-pruned scan skips most files on EVERY z-dimension, not
