@@ -1260,6 +1260,40 @@ object HashOracles {
         s"FROM d$maxHops GROUP BY dist ORDER BY dist")
   }
 
+  /** Embedding-outlier replay (q291,
+    * [[operators.Similarity.embeddingOutliers]]): the q268 plane
+    * chain, in-list pairs, per-anchor top-k by (cos DESC, id), the
+    * ordered fold mean, isolated vectors at −1, bottom-N heap.
+    */
+  def q291EmbeddingOutliers(k: Int, bottomN: Int): String = withClause(
+    planesCtes() ++ Seq(
+      "proj AS (SELECT e.vec_id, e.embedding, pv.p, " +
+        s"${projection("e.embedding")} AS pr " +
+        "FROM embeddings e CROSS JOIN pv pv)",
+      "asg AS (SELECT vec_id, embedding, p AS list_id FROM " +
+        "(SELECT vec_id, embedding, p, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk " +
+        "FROM proj) WHERE rk = 1)",
+      "opairs AS (SELECT a.vec_id AS anchor, b.vec_id AS b_id, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM asg a JOIN asg b ON a.list_id = b.list_id " +
+        "AND a.vec_id <> b.vec_id)",
+      "tk AS (SELECT anchor, rn, cos FROM (SELECT anchor, cos, " +
+        "row_number() OVER (PARTITION BY anchor " +
+        "ORDER BY cos DESC, b_id) AS rn FROM opairs) " +
+        s"WHERE rn <= $k)",
+      "ag AS (SELECT anchor, CAST(count(*) AS BIGINT) AS n_neighbors, " +
+        "round(CAST(list_reduce(list_prepend(0.0e0, " +
+        "list(cos ORDER BY rn)), (a, x) -> round(a + x, 6)) " +
+        "AS DOUBLE) / count(*), 6) AS knn_sim FROM tk GROUP BY anchor)"),
+    "SELECT a2.vec_id AS anchor, " +
+      "coalesce(ag.n_neighbors, 0) AS n_neighbors, " +
+      "coalesce(ag.knn_sim, -1.0e0) AS knn_sim " +
+      "FROM (SELECT vec_id FROM asg) a2 " +
+      "LEFT JOIN ag ON ag.anchor = a2.vec_id " +
+      s"ORDER BY knn_sim, anchor LIMIT $bottomN")
+
   /** Triplet-mining replay (q268, [[operators.Similarity
     * .mineTriplets]]): the q85 plane-assignment chain, BOTH-direction
     * in-list pairs with labels and 1e-6-rounded cosines, hardest

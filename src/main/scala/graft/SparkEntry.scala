@@ -3529,6 +3529,14 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Embedding-space outliers: vectors whose k nearest IN-LIST
+    // neighbors are all far — the curation triad's third leg beside
+    // near-dup removal and diverse selection. Bottom-20 heap on the
+    // ordered-fold kNN similarity; isolated vectors read -1.
+    "q291_embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(T(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, nLists = 8, bottomN = 20)),
+
     // Rolling-origin backtest of the Holt forecaster: three cutoffs,
     // fit on history, point-forecast 7 ahead, score against the
     // window's mean actual — the evaluation loop a forecast is
@@ -7821,6 +7829,9 @@ object SparkEntry {
 
     "q290_forecast_backtest" ->
       HashOracles.q290ForecastBacktest(Seq(1500L, 1800L, 2100L), 7),
+
+    "q291_embedding_outliers" ->
+      HashOracles.q291EmbeddingOutliers(8, 20),
 
     "q289_lexicon_profile" ->
       s"""WITH lex(category, token) AS (VALUES

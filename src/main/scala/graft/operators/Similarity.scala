@@ -942,6 +942,56 @@ object Similarity {
     }.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 
+  /** Embedding-space outlier detection — the curation triad's third
+    * leg beside near-dup removal ([[semanticDupPairs]]) and diverse
+    * selection (mmrSelect): a vector whose k nearest in-list
+    * neighbors are all FAR is isolated in embedding space (mislabeled,
+    * corrupt, or off-distribution — the SelfClean/SSL-prototype
+    * signal). Candidates come only from the IVF list equi-join;
+    * per-anchor top-k runs in a window over list-bounded candidate
+    * sets; `knn_sim` is the ordered 1e-6-grid fold of the k cosines
+    * (exact replay); the report is the bottom-`bottomN` heap.
+    * Isolated-list vectors (no in-list neighbor at all) surface with
+    * `n_neighbors = 0` and `knn_sim = -1` — maximally suspicious.
+    */
+  def embeddingOutliers(vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int = 8, nLists: Int = 8,
+      bottomN: Int = 20, dim: Int = 64): DataFrame = {
+    require(k >= 1 && bottomN >= 1, s"bad outliers($k, $bottomN)")
+    val prepped = graft.CacheScope.register(
+      assignLists(vectors, vecCol, nLists, dim)
+        .select(col(idCol).as("id"), col("list_id"),
+          transform(col(vecCol), x => x.cast("double")).as("vd"))
+        .withColumn("nrm",
+          sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+        .persist())
+    val pairs = prepped.as("a").join(prepped.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("anchor"), col("b.id").as("b_id"),
+        round(when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+            (col("a.nrm") * col("b.nrm"))), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor"))
+      .orderBy(col("cos").desc, col("b_id"))
+    val topK = pairs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("anchor"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        round(aggregate(sort_array(collect_list(
+          struct(col("__rn"), col("cos").as("c")))), lit(0.0),
+          (acc, x) => round(acc + x("c"), 6)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("knn_sim"))
+    prepped.select(col("id").as("anchor"))
+      .join(topK, Seq("anchor"), "left")
+      .na.fill(0L, Seq("n_neighbors"))
+      .na.fill(-1.0, Seq("knn_sim"))
+      .orderBy(col("knn_sim"), col("anchor"))
+      .limit(bottomN)
+  }
+
   /** Contrastive triplet mining (FaceNet's semi-hard rule, Schroff et
     * al. 2015, composed on the SemDeDup candidate discipline): per
     * anchor, the HARDEST POSITIVE (the most dissimilar same-label

@@ -478,6 +478,44 @@ class SimilaritySpec extends SparkSpec {
     assert((exactPool -- rerNoQ).size <= 1)
   }
 
+  test("embeddingOutliers == brute-force kNN similarity for every " +
+      "vector, including sub-k and isolated cases") {
+    val vectors = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.embeddingOutliers(vectors, "vec_id",
+        "embedding", k = 8, nLists = 8, bottomN = 500)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // brute reference with identical arithmetic
+    val rows = Similarity.assignLists(vectors, "embedding", 8)
+      .collect().map { r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("list_id"),
+          r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      r6(if (nn == 0.0) 0.0 else d / nn)
+    }
+    rows.groupBy(_._2).values.foreach { grp =>
+      grp.foreach { case (id, _, v) =>
+        val top = grp.filter(_._1 != id)
+          .map(o => (cos(v, o._3), o._1))
+          .sortBy { case (c, i) => (-c, i) }.take(8).map(_._1)
+        val want =
+          if (top.isEmpty) (0L, -1.0)
+          else (top.size.toLong,
+            r6(top.foldLeft(0.0)((a, c) => r6(a + c)) / top.size))
+        assert(out(id) === want, s"anchor $id")
+      }
+    }
+  }
+
   test("mineTriplets == brute-force FaceNet picks on the corpus: " +
       "hardest positive, semi-hard-else-hardest negative") {
     val vectors = spark.read
