@@ -3529,6 +3529,18 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // Poisson burst detection: per-type daily counts scored against
+    // a 24-period trailing baseline (the period excluded from its
+    // own baseline), z = (c - mu)/sqrt(mu) — the spike alarm beside
+    // q183's slow-drift CUSUM. Cold starts stay unscored.
+    "q292_burst_detection" -> ((s, dir) =>
+      graft.operators.Robust.poissonBursts(
+          events(s, dir).withColumn("day",
+            expr("unix_micros(ts) div 86400000000")),
+          "event_type", "day", window = 24, minBaseline = 8,
+          threshold = 4.0)
+        .orderBy(col("event_type"), col("period"))),
+
     // Embedding-space outliers: vectors whose k nearest IN-LIST
     // neighbors are all far — the curation triad's third leg beside
     // near-dup removal and diverse selection. Bottom-20 heap on the
@@ -7832,6 +7844,23 @@ object SparkEntry {
 
     "q291_embedding_outliers" ->
       HashOracles.q291EmbeddingOutliers(8, 20),
+
+    "q292_burst_detection" ->
+      """WITH c AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS period, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(period AS BIGINT) AS period,
+        |  CAST(n AS BIGINT) AS n,
+        |  count(*) OVER w AS bl_n,
+        |  round(CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w, 6)
+        |    AS mu
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY period
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, period, n, mu,
+        |  round((n - mu) / sqrt(mu), 4) AS z,
+        |  (round((n - mu) / sqrt(mu), 4) >= 4.0e0) AS is_burst
+        |FROM s WHERE bl_n >= 8
+        |ORDER BY event_type, period""".stripMargin,
 
     "q289_lexicon_profile" ->
       s"""WITH lex(category, token) AS (VALUES

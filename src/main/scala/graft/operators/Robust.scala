@@ -127,6 +127,38 @@ object Robust {
     * for per-key monitoring (the per-group series length is the time
     * horizon, not the corpus).
     */
+  /** Poisson burst detection — the SPIKE detector beside
+    * [[cusumDrift]]'s slow-drift alarm: per (key, period) counts, a
+    * TRAILING-window baseline mean (the period itself excluded — a
+    * spike must not inflate its own baseline), and the Poisson
+    * normal approximation `z = (c − μ)/√μ`. Periods with fewer than
+    * `minBaseline` trailing observations stay unscored (cold start
+    * is not a burst). One aggregation to (key, period) grain, one
+    * keyed window — nothing row-grain past the count table.
+    */
+  def poissonBursts(df: DataFrame, keyCol: String, periodCol: String,
+      window: Int = 24, minBaseline: Int = 8,
+      threshold: Double = 4.0): DataFrame = {
+    require(window >= 1 && minBaseline >= 1 && threshold > 0,
+      s"bad bursts($window, $minBaseline, $threshold)")
+    val counts = df.groupBy(col(keyCol), col(periodCol).cast("long")
+        .as("period"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("period"))
+      .rowsBetween(-window, -1)
+    counts
+      .withColumn("__bl_n", count(lit(1)).over(w))
+      .withColumn("mu", round(sum(col("n")).over(w).cast("double") /
+        col("__bl_n").cast("double"), 6))
+      .filter(col("__bl_n") >= minBaseline)
+      .withColumn("z", round((col("n") - col("mu")) / sqrt(col("mu")),
+        4))
+      .withColumn("is_burst", col("z") >= threshold)
+      .select(col(keyCol), col("period"), col("n"), col("mu"),
+        col("z"), col("is_burst"))
+  }
+
   def cusumDrift(df: DataFrame, groupCol: String, orderCol: String,
       valueCol: String, slack: Double = 0.5,
       threshold: Double = 4.0): DataFrame = {

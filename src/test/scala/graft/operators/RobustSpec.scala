@@ -168,4 +168,23 @@ class RobustSpec extends SparkSpec {
     assert(capped.getAs[Long]("n_points") === 3L)
     assert(capped.getAs[Long]("n_pairs") === 3L)
   }
+
+  test("poissonBursts: a 10x spike scores z = (c - mu)/sqrt(mu) " +
+      "against the trailing baseline; cold-start periods unscored") {
+    val s = spark
+    import s.implicits._
+    val rows = ((1 to 30).flatMap(p => Seq.fill(4)(("a", p.toLong))) ++
+      Seq.fill(40)(("a", 31L))).toDF("k", "p")
+    val out = Robust.poissonBursts(rows, "k", "p", window = 24,
+        minBaseline = 8, threshold = 4.0)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getAs[Double]("mu"), r.getAs[Double]("z"),
+          r.getAs[Boolean]("is_burst")))).toMap
+    // first scored period has 8 trailing observations -> period 9
+    assert(!out.contains(8L) && out.contains(9L))
+    // steady state: mu = 4, z = 0, no burst
+    assert(out(20L) === ((4.0, 0.0, false)))
+    // the spike: mu = 4 from the trailing 24, z = 36/2 = 18
+    assert(out(31L) === ((4.0, 18.0, true)))
+  }
 }
