@@ -3529,6 +3529,16 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // "Customers also bought": the q164 pair associations turned into
+    // the operational per-item top-5 recommendation list — pairs
+    // oriented both ways, rank in a window keyed by item over its
+    // bounded partner set.
+    "q293_also_bought" -> ((s, dir) =>
+      graft.operators.Basket.alsoBought(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", k = 5, maxBasketSize = 20,
+          minPairCount = 2)
+        .orderBy(col("item"), col("rank"))),
+
     // Poisson burst detection: per-type daily counts scored against
     // a 24-period trailing baseline (the period excluded from its
     // own baseline), z = (c - mu)/sqrt(mu) — the spike alarm beside
@@ -7844,6 +7854,30 @@ object SparkEntry {
 
     "q291_embedding_outliers" ->
       HashOracles.q291EmbeddingOutliers(8, 20),
+
+    "q293_also_bought" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |sz AS (SELECT b, count(*) AS sz FROM it GROUP BY b),
+        |cap AS (SELECT it.* FROM it JOIN sz USING (b) WHERE sz <= 20),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM cap),
+        |ic AS (SELECT i, count(*) AS c_item FROM cap GROUP BY i),
+        |p AS (SELECT a.i AS ia, b2.i AS ib,
+        |  CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM cap a JOIN cap b2 USING (b) WHERE a.i < b2.i
+        |  GROUP BY a.i, b2.i HAVING count(*) >= 2),
+        |pl AS (SELECT p.ia, p.ib, p.c_ab,
+        |  round(CAST(p.c_ab * nb.n AS DOUBLE)
+        |    / (ca.c_item * cb.c_item), 4) AS lift
+        |  FROM p JOIN ic ca ON ca.i = p.ia
+        |  JOIN ic cb ON cb.i = p.ib, nb),
+        |bi AS (SELECT ia AS item, ib AS partner, c_ab, lift FROM pl
+        |  UNION ALL SELECT ib, ia, c_ab, lift FROM pl),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |  ORDER BY c_ab DESC, partner) AS rank FROM bi)
+        |SELECT item, CAST(rank AS INTEGER) AS rank, partner, c_ab,
+        |  lift
+        |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
 
     "q292_burst_detection" ->
       """WITH c AS (SELECT event_type,

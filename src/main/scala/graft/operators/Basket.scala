@@ -61,4 +61,32 @@ object Basket {
         ((col("c_ab") * nBaskets).cast("double") /
           (col("c_a") * col("c_b"))).as("lift"))
   }
+
+  /** "Customers also bought" — [[pairAssociations]] turned into the
+    * operational per-item recommendation list: for every item, its
+    * top-`k` co-purchased items by co-count (lift tie-broken on the
+    * smaller partner id). Pairs orient BOTH ways here — the
+    * recommendation table is asymmetric even though co-occurrence is
+    * not — and the rank runs in a window keyed by the item over its
+    * bounded partner set.
+    */
+  def alsoBought(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 5, maxBasketSize: Int = 50,
+      minPairCount: Long = 2): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val pairs = pairAssociations(df, basketCol, itemCol,
+      maxBasketSize, minPairCount)
+    val both = pairs.select(col("item_a").as("item"),
+        col("item_b").as("partner"), col("c_ab"), col("lift"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("partner"), col("c_ab"), col("lift")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("c_ab").desc, col("partner"))
+    both
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("partner"), col("c_ab"),
+        round(col("lift"), 4).as("lift"))
+  }
 }

@@ -68,4 +68,25 @@ class RegressionBasketSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("alsoBought: both orientations ranked per item, co-count " +
+      "order with partner tie-break, k caps") {
+    val s = spark
+    import s.implicits._
+    // x co-occurs with y in 3 baskets, with z in 2
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"),
+      (4L, "x"), (4L, "z"), (5L, "x"), (5L, "z")
+    ).toDF("b", "i")
+    val out = Basket.alsoBought(rows, "b", "i", k = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out("x") === ((1, "y", 3L)))  // y beats z on count
+    assert(out("y") === ((1, "x", 3L)))  // reverse orientation exists
+    assert(out("z") === ((1, "x", 2L)))
+    val top2 = Basket.alsoBought(rows, "b", "i", k = 2)
+      .filter(col("item") === "x").collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    assert(top2.toSeq === Seq((1, "y"), (2, "z")))
+  }
 }
