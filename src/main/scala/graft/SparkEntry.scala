@@ -3529,6 +3529,15 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // DAU/WAU stickiness: rolling distinct users via the explode
+    // device — each active day keeps its user weekly-active for 7
+    // calendar days (bounded x7 fan-out), so WAU is a plain
+    // count-distinct at day grain, no sliding distinct state.
+    "q294_stickiness" -> ((s, dir) =>
+      graft.operators.Sessionize.stickiness(events(s, dir),
+          "user_id", "ts")
+        .orderBy(col("day"))),
+
     // "Customers also bought": the q164 pair associations turned into
     // the operational per-item top-5 recommendation list — pairs
     // oriented both ways, rank in a window keyed by item over its
@@ -7854,6 +7863,20 @@ object SparkEntry {
 
     "q291_embedding_outliers" ->
       HashOracles.q291EmbeddingOutliers(8, 20),
+
+    "q294_stickiness" ->
+      """WITH dy AS (SELECT DISTINCT user_id AS u,
+        |  epoch_us(ts) // 86400000000 AS d FROM events
+        |  WHERE ts IS NOT NULL),
+        |dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM dy
+        |  GROUP BY 1),
+        |wx AS (SELECT u, unnest(range(d, d + 7)) AS day FROM dy),
+        |wau AS (SELECT day, count(DISTINCT u) AS wau FROM wx
+        |  GROUP BY day)
+        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+        |  CAST(w.wau AS BIGINT) AS wau,
+        |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
 
     "q293_also_bought" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i

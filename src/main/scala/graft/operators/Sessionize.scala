@@ -86,6 +86,34 @@ object Sessionize {
       .withColumn("conversion_rate", round(
         col("n_converted") / col("n_sessions").cast("double"), 6))
 
+  /** DAU / WAU / stickiness — the engagement dashboard's headline
+    * row. Rolling DISTINCT users cannot fold like a sum, so WAU uses
+    * the EXPLODE device: each (user, active-day) pair contributes
+    * itself to the 7 calendar days it keeps the user "weekly active"
+    * for (a bounded ×7 fan-out), and WAU(d) is then a plain
+    * count-distinct at day grain — exact, partial-aggregable, no
+    * sliding distinct state. Days with no activity simply have no
+    * row. Stickiness = DAU/WAU.
+    */
+  def stickiness(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val days = events.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        expr(s"unix_micros(${tsCol}) div 86400000000").as("__d"))
+      .distinct()
+    val dau = days.groupBy(col("__d").as("day"))
+      .agg(countDistinct(col("__u")).as("dau"))
+    val wau = days
+      .select(col("__u"), explode(sequence(col("__d"),
+        col("__d") + 6)).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
   /** Corpus readout bounded by the longest session: per session
     * LENGTH (event count), how many sessions, mean duration (exact —
     * integer micros summed as longs, divided once), total value, and

@@ -91,6 +91,24 @@ class SessionizeSpec extends SparkSpec {
     assert(out(1L) === ((2L, 0L)))
   }
 
+  test("stickiness: WAU looks back 7 calendar days via the explode " +
+      "device; DAU/WAU exact") {
+    val s = spark
+    import s.implicits._
+    def at(day: Int) = new Timestamp(day * 86400000L + 1000L)
+    val ev = Seq((1L, at(0)), (1L, at(3)), (2L, at(0)))
+      .toDF("user_id", "ts")
+    val out = Sessionize.stickiness(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("stickiness"))))
+      .toMap
+    // only days WITH activity have rows
+    assert(out.keySet === Set(0L, 3L))
+    assert(out(0L) === ((2L, 2L, 1.0)))
+    // day 3: DAU {u1}; WAU covers day-0 activity too -> {u1, u2}
+    assert(out(3L) === ((1L, 2L, 0.5)))
+  }
+
   test("equal timestamps order by the id column: assignment is " +
       "deterministic under repartition") {
     val s = spark
