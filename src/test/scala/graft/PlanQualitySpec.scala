@@ -727,6 +727,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
 
+  test("round-10 third/fourth/fifth waves: unpartitioned windows sit " +
+      "only above aggregation; keyed-window queries have none at all") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // bounded-frame windows (cand tables, bins, cells, value grids):
+    // any unpartitioned Window must have an Aggregate below it
+    for (q <- Seq("q256_unigram_em", "q269_isotonic_calibration",
+        "q275_voptimal_histogram", "q277_ks_test", "q288_woe_numeric",
+        "q294_stickiness")) {
+      val lp = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q has an unpartitioned row-grain window:\n$lp")
+    }
+    // keyed families: no unpartitioned window anywhere
+    for (q <- Seq("q265_sessionization", "q282_session_conversion",
+        "q292_burst_detection", "q293_also_bought")) {
+      val lp = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q must stay fully keyed:\n$lp")
+    }
+  }
+
   test("ntile/rank family: no unpartitioned window over row-grain data") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // The round-9 offenders, now on the Ranks sort+zipWithIndex device:
