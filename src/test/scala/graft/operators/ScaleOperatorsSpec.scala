@@ -155,4 +155,43 @@ class ScaleOperatorsSpec extends SparkSpec {
       lo, hi).select("shard").collect().map(_.getInt(0)).toSet
     assert(s1 === s4)
   }
+
+  test("scale probes, round-10 waves: z-order profile rows constant, " +
+      "winnow pair cost tracks maxDf not n², session state linear") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    // z-order: 4x the rows, SAME 16-row profile (the stats store is
+    // layout-bounded, not data-bounded)
+    def zdata(n: Int) = (1 to n).map(_ =>
+      (rng.nextInt(100000).toLong, rng.nextInt(3650).toLong))
+      .toDF("x", "y")
+    val p1 = ZOrder.skippingProfile(zdata(2000), Seq("x", "y"), 8, 16)
+      .count()
+    val p4 = ZOrder.skippingProfile(zdata(8000), Seq("x", "y"), 8, 16)
+      .count()
+    assert(p1 <= 16L && p4 <= 16L)
+    // winnow matching: with the df cap, quadrupling a corpus of
+    // REPEATED docs grows pairs at the capped rate, not (4n)²/n² = 16x
+    val base = (1 to 40).map(i =>
+      (i.toLong, "shared common text body " + (i % 4) +
+        " with enough characters to fingerprint"))
+    val big = (0 until 4).flatMap(r => base.map { case (id, t) =>
+      (id + r * 1000L, t) })
+    val c1 = Winnow.matchPairs(base.toDF("doc_id", "text"), "doc_id",
+      "text", minShared = 1, maxDf = 12).count()
+    val c4 = Winnow.matchPairs(big.toDF("doc_id", "text"), "doc_id",
+      "text", minShared = 1, maxDf = 12).count()
+    assert(c4 < c1 * 16,
+      s"df cap must break the quadratic: $c1 -> $c4")
+    // sessionization: output rows grow linearly with events
+    def ev(n: Int) = (1 to n).map(i => (i.toLong % 50, i.toLong,
+      new java.sql.Timestamp(1700000000000L + i * 60000L)))
+      .toDF("user_id", "event_id", "ts")
+    val s1n = Sessionize.assignSessions(ev(2000), "user_id", "ts",
+      "event_id").count()
+    val s4n = Sessionize.assignSessions(ev(8000), "user_id", "ts",
+      "event_id").count()
+    assert(s1n === 2000L && s4n === 8000L)
+  }
 }
