@@ -1294,6 +1294,42 @@ object HashOracles {
       "LEFT JOIN ag ON ag.anchor = a2.vec_id " +
       s"ORDER BY knn_sim, anchor LIMIT $bottomN")
 
+  /** LOO kNN-accuracy replay (q295,
+    * [[operators.Similarity.knnLabelAccuracy]]): the q268 labeled
+    * pair chain, per-anchor top-k, majority vote with the smaller-
+    * label tie, per-label accuracy.
+    */
+  def q295KnnAccuracy(k: Int): String = withClause(
+    planesCtes() ++ Seq(
+      "proj AS (SELECT e.vec_id, e.embedding, e.label, pv.p, " +
+        s"${projection("e.embedding")} AS pr " +
+        "FROM embeddings e CROSS JOIN pv pv)",
+      "asg AS (SELECT vec_id, embedding, label, p AS list_id FROM " +
+        "(SELECT vec_id, embedding, label, p, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk " +
+        "FROM proj) WHERE rk = 1)",
+      "kpairs AS (SELECT a.vec_id AS anchor, a.label AS true_lbl, " +
+        "b.vec_id AS b_id, b.label AS nb_lbl, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM asg a JOIN asg b ON a.list_id = b.list_id " +
+        "AND a.vec_id <> b.vec_id)",
+      "tk AS (SELECT anchor, true_lbl, nb_lbl FROM (SELECT anchor, " +
+        "true_lbl, nb_lbl, row_number() OVER (PARTITION BY anchor " +
+        "ORDER BY cos DESC, b_id) AS rn FROM kpairs) " +
+        s"WHERE rn <= $k)",
+      "vt AS (SELECT anchor, true_lbl, nb_lbl, count(*) AS v " +
+        "FROM tk GROUP BY 1, 2, 3)",
+      "pr2 AS (SELECT anchor, true_lbl, nb_lbl AS pred_lbl FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY anchor " +
+        "ORDER BY v DESC, nb_lbl) AS pk FROM vt) WHERE pk = 1)"),
+    "SELECT true_lbl AS label, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN pred_lbl = true_lbl THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_correct, " +
+      "round(CAST(sum(CASE WHEN pred_lbl = true_lbl THEN 1 ELSE 0 " +
+      "END) AS DOUBLE) / count(*), 6) AS accuracy " +
+      "FROM pr2 GROUP BY true_lbl ORDER BY label")
+
   /** Triplet-mining replay (q268, [[operators.Similarity
     * .mineTriplets]]): the q85 plane-assignment chain, BOTH-direction
     * in-list pairs with labels and 1e-6-rounded cosines, hardest

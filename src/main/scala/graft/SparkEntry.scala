@@ -3560,6 +3560,14 @@ object SparkEntry {
           threshold = 4.0)
         .orderBy(col("event_type"), col("period"))),
 
+    // Leave-one-out kNN label accuracy: the embedding-quality eval —
+    // does the space separate the classes before any training run
+    // spends on it? Majority vote over the k nearest in-list
+    // neighbors, smaller-label ties, per-label accuracy.
+    "q295_knn_accuracy" -> ((s, dir) =>
+      Similarity.knnLabelAccuracy(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 8, nLists = 8)),
+
     // Embedding-space outliers: vectors whose k nearest IN-LIST
     // neighbors are all far — the curation triad's third leg beside
     // near-dup removal and diverse selection. Bottom-20 heap on the
@@ -7901,6 +7909,8 @@ object SparkEntry {
         |SELECT item, CAST(rank AS INTEGER) AS rank, partner, c_ab,
         |  lift
         |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+
+    "q295_knn_accuracy" -> HashOracles.q295KnnAccuracy(8),
 
     "q292_burst_detection" ->
       """WITH c AS (SELECT event_type,

@@ -992,6 +992,61 @@ object Similarity {
       .limit(bottomN)
   }
 
+  /** Leave-one-out kNN label accuracy — the embedding-QUALITY eval
+    * (the linear-probe-lite): every labeled vector is classified by
+    * the majority label of its k nearest in-list neighbors (ties →
+    * smaller label id; the vector itself excluded by construction)
+    * and scored against its own label. Per-label and pooled accuracy
+    * tell you whether the embedding space actually separates the
+    * classes BEFORE any training run spends on it. Same candidate
+    * discipline as the rest of the family: IVF-list equi-join,
+    * anchor-keyed windows over list-bounded sets.
+    */
+  def knnLabelAccuracy(vectors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 8, nLists: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val prepped = graft.CacheScope.register(
+      assignLists(vectors, vecCol, nLists, dim)
+        .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+          col("list_id"),
+          transform(col(vecCol), x => x.cast("double")).as("vd"))
+        .withColumn("nrm",
+          sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+        .persist())
+    val pairs = prepped.as("a").join(prepped.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("anchor"), col("a.lbl").as("true_lbl"),
+        col("b.id").as("b_id"), col("b.lbl").as("nb_lbl"),
+        round(when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+            (col("a.nrm") * col("b.nrm"))), 6).as("cos"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor"))
+      .orderBy(col("cos").desc, col("b_id"))
+    val votes = pairs
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .groupBy(col("anchor"), col("true_lbl"), col("nb_lbl"))
+      .agg(count(lit(1)).as("__v"))
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor"))
+      .orderBy(col("__v").desc, col("nb_lbl"))
+    val pred = votes
+      .withColumn("__pk", row_number().over(wVote))
+      .filter(col("__pk") === 1)
+      .select(col("anchor"), col("true_lbl"),
+        col("nb_lbl").as("pred_lbl"))
+    pred.groupBy(col("true_lbl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_lbl") === col("true_lbl"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", round(
+        col("n_correct") / col("n").cast("double"), 6))
+      .orderBy(col("label"))
+  }
+
   /** Contrastive triplet mining (FaceNet's semi-hard rule, Schroff et
     * al. 2015, composed on the SemDeDup candidate discipline): per
     * anchor, the HARDEST POSITIVE (the most dissimilar same-label

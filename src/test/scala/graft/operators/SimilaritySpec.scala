@@ -478,6 +478,48 @@ class SimilaritySpec extends SparkSpec {
     assert((exactPool -- rerNoQ).size <= 1)
   }
 
+  test("knnLabelAccuracy == brute-force LOO majority vote per label") {
+    val vectors = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.knnLabelAccuracy(vectors, "vec_id",
+        "embedding", "label", k = 8, nLists = 8)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = Similarity.assignLists(vectors, "embedding", 8)
+      .collect().map { r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+          r.getAs[Int]("list_id"),
+          r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      r6(if (nn == 0.0) 0.0 else d / nn)
+    }
+    val brute = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    rows.groupBy(_._3).values.foreach { grp =>
+      grp.foreach { case (id, lbl, _, v) =>
+        val nb = grp.filter(_._1 != id)
+          .map(o => (cos(v, o._4), o._1, o._2))
+          .sortBy { case (c, i, _) => (-c, i) }.take(8)
+        if (nb.nonEmpty) {
+          val pred = nb.groupBy(_._3).toSeq
+            .map { case (l, vs) => (l, vs.size) }
+            .sortBy { case (l, n) => (-n, l) }.head._1
+          val (n0, c0) = brute.getOrElse(lbl, (0L, 0L))
+          brute(lbl) = (n0 + 1,
+            c0 + (if (pred == lbl) 1L else 0L))
+        }
+      }
+    }
+    assert(out === brute.toMap)
+  }
+
   test("embeddingOutliers == brute-force kNN similarity for every " +
       "vector, including sub-k and isolated cases") {
     val vectors = spark.read
