@@ -3560,6 +3560,26 @@ object SparkEntry {
           threshold = 4.0)
         .orderBy(col("event_type"), col("period"))),
 
+    // Z-order layout MAINTENANCE: the 1998+ delta appends under the
+    // creation-time stats pinned in the layout's sidecar (an
+    // out-of-band stat would shear the bucket function); out-of-range
+    // delta values clamp to edge codes. The disk profile must equal
+    // the pinned-stats computation over the union — the q273/q287
+    // fold-invisibility contract for the layout family.
+    "q296_zorder_append" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+        .withColumn("day", datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1992-01-01"))))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q296_zorder").getAbsolutePath
+      val Z = graft.operators.ZOrder
+      Z.writeZOrdered(orders.filter(year(col("o_orderdate")) <= 1997),
+        Seq("o_custkey", "day"), bits = 8, nBuckets = 16, path)
+      Z.appendZOrdered(orders.filter(year(col("o_orderdate")) > 1997),
+        path)
+      Z.diskProfile(s, path).orderBy(col("bucket"))
+    }),
+
     // Leave-one-out kNN label accuracy: the embedding-quality eval —
     // does the space separate the classes before any training run
     // spends on it? Majority vote over the k nearest in-list
@@ -3614,7 +3634,7 @@ object SparkEntry {
         .orderBy(col("feature"), col("value"))),
 
     // Incremental view maintenance fold: revenue-by-priority view
-    // built on 1993-and-earlier orders, the later years folded in as
+    // built on 1997-and-earlier orders, the later years folded in as
     // an on-disk delta, readers re-merge at key grain — must equal
     // the full recompute (the disk is invisible to the oracle, the
     // q273 contract). Retraction round-trips are IvmSpec's.
@@ -3622,8 +3642,8 @@ object SparkEntry {
       val o = T(s, dir, "orders")
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_q287_ivm").getAbsolutePath
-      val early = o.filter(year(col("o_orderdate")) <= 1993)
-      val late = o.filter(year(col("o_orderdate")) > 1993)
+      val early = o.filter(year(col("o_orderdate")) <= 1997)
+      val late = o.filter(year(col("o_orderdate")) > 1997)
       graft.operators.Ivm.writeView(graft.operators.Ivm.buildAggView(
         early, Seq("o_orderpriority"), "o_totalprice"), path)
       graft.operators.Ivm.appendDelta(graft.operators.Ivm.buildAggView(
@@ -7912,6 +7932,35 @@ object SparkEntry {
 
     "q295_knn_accuracy" -> HashOracles.q295KnnAccuracy(8),
 
+    // the append is invisible: the oracle computes stats from the
+    // CREATION slice only, then buckets the whole table with the
+    // clamped codes
+    "q296_zorder_append" -> {
+      val z = (0 until 8).flatMap { b =>
+        Seq(s"((nx // ${1L << b}) % 2) * ${1L << (2 * b)}",
+          s"((ny // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT o_custkey AS ck,
+         |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         |    AS day, year(CAST(o_orderdate AS DATE)) AS yr FROM orders),
+         |st AS (SELECT min(ck) AS mnc, max(ck) AS mxc,
+         |  min(day) AS mnd, max(day) AS mxd FROM d WHERE yr <= 1997),
+         |n AS (SELECT ck, day,
+         |  least(greatest(((ck - mnc) * 256) // (mxc - mnc + 1), 0),
+         |    255) AS nx,
+         |  least(greatest(((day - mnd) * 256) // (mxd - mnd + 1), 0),
+         |    255) AS ny FROM d, st),
+         |z AS (SELECT ck, day, $z AS zv FROM n),
+         |b AS (SELECT ck, day, (zv * 16) // 65536 AS bucket FROM z)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(ck) AS BIGINT) AS min_o_custkey,
+         |  CAST(max(ck) AS BIGINT) AS max_o_custkey,
+         |  CAST(min(day) AS BIGINT) AS min_day,
+         |  CAST(max(day) AS BIGINT) AS max_day
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
     "q292_burst_detection" ->
       """WITH c AS (SELECT event_type,
         |  epoch_us(ts) // 86400000000 AS period, count(*) AS n
@@ -7994,12 +8043,12 @@ object SparkEntry {
       """WITH v AS (
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |    round(sum(o_totalprice), 2) AS sum_v FROM orders
-        |  WHERE year(CAST(o_orderdate AS DATE)) <= 1993
+        |  WHERE year(CAST(o_orderdate AS DATE)) <= 1997
         |  GROUP BY o_orderpriority
         |  UNION ALL
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |    round(sum(o_totalprice), 2) AS sum_v FROM orders
-        |  WHERE year(CAST(o_orderdate AS DATE)) > 1993
+        |  WHERE year(CAST(o_orderdate AS DATE)) > 1997
         |  GROUP BY o_orderpriority)
         |SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n,
         |  round(sum(sum_v), 2) AS sum_v

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) data layout — the multi-dimensional
@@ -64,11 +64,24 @@ object ZOrder {
         max(col(d).cast("long")).as(s"__mx_$i"))
     }
     val stats = df.na.drop(dims).agg(statCols.head, statCols.tail: _*)
+    zLayoutWith(df, dims, bits, nBuckets, stats)
+  }
+
+  /** [[zLayout]] against CALLER-PINNED stats (the append path: a
+    * delta must use the layout's ORIGINAL min/max, or its buckets
+    * shear against the resident files). Out-of-range values CLAMP
+    * into the edge codes — the growing-domain reality an appendable
+    * layout has to absorb; a no-op for in-range data.
+    */
+  private[operators] def zLayoutWith(df: DataFrame, dims: Seq[String],
+      bits: Int, nBuckets: Int,
+      stats: DataFrame): DataFrame = {
     val scale = 1L << bits
     val withNorms = df.na.drop(dims).crossJoin(broadcast(stats))
     val norms = dims.zipWithIndex.map { case (d, i) =>
-      expr(s"((CAST($d AS BIGINT) - __mn_$i) * ${scale}L) DIV " +
-        s"(__mx_$i - __mn_$i + 1)")
+      expr(s"least(greatest(((CAST($d AS BIGINT) - __mn_$i) * " +
+        s"${scale}L) DIV (__mx_$i - __mn_$i + 1), 0L), " +
+        s"${scale - 1}L)")
     }
     val span = 1L << (bits * dims.size)
     withNorms
@@ -94,17 +107,80 @@ object ZOrder {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  private val MetaFile = "_graft_zorder.json"
+
   /** Write the z-ordered layout: one directory per bucket (partition
     * pruning applies to the bucket column at rest), rows inside each
     * file sorted by the full z-value. Deterministic end to end —
     * the shuffle key is the computed bucket, never a range sample.
+    * The creation stats + config ride in a sidecar so APPENDS keep
+    * the same bucket function forever (the [[graft.operators.Winnow]]
+    * index contract — an out-of-band modulus/stat would silently
+    * shear the layout).
     */
   def writeZOrdered(df: DataFrame, dims: Seq[String], bits: Int,
-      nBuckets: Int, path: String): Unit =
-    zLayout(df, dims, bits, nBuckets)
+      nBuckets: Int, path: String): Unit = {
+    val z = zLayout(df, dims, bits, nBuckets)
+    z.repartition(nBuckets, col("__z_bucket"))
+      .sortWithinPartitions(col("__z_bucket"), col("__z"))
+      .write.mode("overwrite").partitionBy("__z_bucket")
+      .parquet(s"$path/data")
+    val statCols = dims.flatMap(d => Seq(min(col(d).cast("long")),
+      max(col(d).cast("long"))))
+    val st = df.na.drop(dims).agg(statCols.head, statCols.tail: _*)
+      .head()
+    val pairs = dims.indices.map(i =>
+      s"[${st.getLong(2 * i)},${st.getLong(2 * i + 1)}]")
+    graft.sources.Sidecar.write(df.sparkSession, s"$path/$MetaFile",
+      s"""{"bits":$bits,"nBuckets":$nBuckets,""" +
+        s""""dims":[${dims.map(d => s""""$d"""").mkString(",")}],""" +
+        s""""ranges":[${pairs.mkString(",")}]}""")
+  }
+
+  private def meta(spark: SparkSession,
+      path: String): (Int, Int, Seq[String], Seq[(Long, Long)]) = {
+    val body = graft.sources.Sidecar.read(spark, s"$path/$MetaFile")
+      .getOrElse(sys.error(s"$path is not a z-order layout " +
+        s"(missing $MetaFile)"))
+    def intOf(k: String) = s""""$k":(\\d+)""".r
+      .findFirstMatchIn(body).get.group(1).toInt
+    val dims = """"dims":\[([^\]]*)\]""".r.findFirstMatchIn(body)
+      .get.group(1).split(",").map(_.replaceAll("\"", "").trim).toSeq
+    val ranges = """\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(body)
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+    (intOf("bits"), intOf("nBuckets"), dims, ranges)
+  }
+
+  /** Fold a delta into the layout under the ORIGINAL stats (sidecar):
+    * same bucket function, out-of-range values clamp to edge codes.
+    */
+  def appendZOrdered(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (bits, nBuckets, dims, ranges) = meta(spark, path)
+    val stats = Seq(1).toDF("__one").select(
+      dims.indices.flatMap(i => Seq(
+        lit(ranges(i)._1).as(s"__mn_$i"),
+        lit(ranges(i)._2).as(s"__mx_$i"))): _*)
+    zLayoutWith(df, dims, bits, nBuckets, stats)
       .repartition(nBuckets, col("__z_bucket"))
       .sortWithinPartitions(col("__z_bucket"), col("__z"))
-      .write.mode("overwrite").partitionBy("__z_bucket").parquet(path)
+      .write.mode("append").partitionBy("__z_bucket")
+      .parquet(s"$path/data")
+  }
+
+  /** Per-bucket stats read FROM the layout — must equal a profile
+    * computed under the creation stats whatever the append history.
+    */
+  def diskProfile(spark: SparkSession, path: String): DataFrame = {
+    val (_, _, dims, _) = meta(spark, path)
+    val data = spark.read.parquet(s"$path/data")
+    val aggs = count(lit(1)).as("n_rows") +: dims.flatMap(d => Seq(
+      min(col(d).cast("long")).as(s"min_$d"),
+      max(col(d).cast("long")).as(s"max_$d")))
+    data.groupBy(col("__z_bucket").cast("long").as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Buckets a pruned scan on `dim ∈ [lo, hi]` must touch, per the
     * profile — the planning step a lakehouse reader runs against its

@@ -63,17 +63,54 @@ class ZOrderSpec extends SparkSpec {
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_zorder_spec").getAbsolutePath
     ZOrder.writeZOrdered(orders, dims, bits = 8, nBuckets = 16, path)
-    val dirs = new java.io.File(path).listFiles()
+    val dirs = new java.io.File(s"$path/data").listFiles()
       .filter(_.getName.startsWith("__z_bucket=")).map(_.getName).sorted
     assert(dirs.length === nb)
     // a bucket-pruned read touches only the listed directories and
     // returns exactly the rows whose bucket matched
-    val back = spark.read.parquet(path)
+    val back = spark.read.parquet(s"$path/data")
       .filter(col("__z_bucket").isin(dayHit: _*))
-    val full = spark.read.parquet(path)
+    val full = spark.read.parquet(s"$path/data")
       .filter(col("day").between(1200, 1440))
     assert(full.count() > 0)
     assert(back.filter(col("day").between(1200, 1440)).count() ===
       full.count(), "pruned read must not lose matching rows")
+  }
+
+  test("appendZOrdered: the delta buckets under the CREATION stats, " +
+      "out-of-range values clamp to edge buckets, disk profile == " +
+      "one-shot layout under pinned stats") {
+    val s = spark
+    import s.implicits._
+    val base = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_zorder_append_spec").getAbsolutePath
+    ZOrder.writeZOrdered(base, Seq("x", "y"), bits = 6, nBuckets = 16,
+      path)
+    // the delta extends the domain: values beyond the creation max
+    val delta = (for (x <- 60 until 80; y <- 0 until 8)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    ZOrder.appendZOrdered(delta, path)
+    val prof = ZOrder.diskProfile(s, path)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_rows"))
+      .toMap
+    assert(prof.values.sum === 64L * 64 + 20 * 8)
+    // reference: the same union laid out in ONE shot under the
+    // creation stats (clamp included)
+    val statDf = Seq(1).toDF("__one").select(lit(0L).as("__mn_0"),
+      lit(63L).as("__mx_0"), lit(0L).as("__mn_1"),
+      lit(63L).as("__mx_1"))
+    val ref = ZOrder.zLayoutWith(base.union(delta), Seq("x", "y"), 6,
+        16, statDf)
+      .groupBy(col("__z_bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prof === ref, "append must not shear the bucket function")
+    // a fresh path refuses to append
+    val err = intercept[RuntimeException] {
+      ZOrder.appendZOrdered(delta, path + "_nope")
+    }
+    assert(err.getMessage.contains("z-order layout"))
   }
 }
