@@ -84,6 +84,14 @@ object HashOracles {
     s"CAST(CASE WHEN $v >= 9223372036854775808 THEN $v - $P64 " +
       s"ELSE $v END AS BIGINT)"
 
+  /** Length-prefixed field for the injective DP group key (`len:value`,
+    * null as `n:`) — mirrors `Privacy.injectiveKey` exactly.
+    */
+  private def lpField(c: String): String =
+    s"CASE WHEN CAST($c AS VARCHAR) IS NULL THEN 'n:' ELSE " +
+      s"concat(CAST(length(CAST($c AS VARCHAR)) AS VARCHAR), ':', " +
+      s"CAST($c AS VARCHAR)) END"
+
   /** CTE chain ending in `sigs(doc_id, s<i>...)`: signed MinHash slots
     * (k = 16, shingleLen = 3 — the [[operators.Dedup]] defaults). Docs with
     * zero tokens get Long.MaxValue slots, matching `minhashSigFast`.
@@ -888,6 +896,9 @@ object HashOracles {
     * dailies, APE scored — all on the shared daily-series CTE.
     */
   def q290ForecastBacktest(cutoffs: Seq[Long], horizon: Int): String = {
+    import graft.functions.Grid.snapSql
+    val lNew = snapSql("0.3e0 * x[1] + 0.7e0 * (a[1] + a[2])")
+    val fcast = snapSql(s"f.st[1] + $horizon.0e0 * f.st[2]")
     val per = cutoffs.distinct.sorted.zipWithIndex.flatMap {
       case (c, i) => Seq(
         s"s$i AS (SELECT o_orderpriority, list([CAST(day AS DOUBLE), " +
@@ -896,19 +907,17 @@ object HashOracles {
         s"f$i AS (SELECT o_orderpriority, len(sl) AS n_obs, " +
           "list_reduce(list_prepend([sl[1][2], sl[2][2] - sl[1][2]], " +
           "list_transform(sl[2:], p -> [p[2], CAST(NULL AS DOUBLE)])), " +
-          "(a, x) -> [round(0.3e0 * x[1] + 0.7e0 * (a[1] + a[2]), 6), " +
-          "round(0.1e0 * (round(0.3e0 * x[1] + 0.7e0 * " +
-          "(a[1] + a[2]), 6) - a[1]) + 0.9e0 * a[2], 6)]) AS st " +
+          s"(a, x) -> [$lNew, " +
+          snapSql(s"0.1e0 * ($lNew - a[1]) + 0.9e0 * a[2]") + "]) AS st " +
           s"FROM s$i WHERE len(sl) >= 2)",
-        s"a$i AS (SELECT o_orderpriority, round(avg(rev), 6) AS actual " +
-          s"FROM bd WHERE day > $c AND day <= ${c + horizon} " +
+        s"a$i AS (SELECT o_orderpriority, ${snapSql("avg(rev)")} " +
+          s"AS actual FROM bd WHERE day > $c AND day <= ${c + horizon} " +
           "GROUP BY 1)",
         s"o$i AS (SELECT f.o_orderpriority, CAST($c AS BIGINT) " +
           "AS cutoff, CAST(f.n_obs AS BIGINT) AS n_obs, " +
-          s"round(f.st[1] + $horizon.0e0 * f.st[2], 6) AS forecast, " +
-          "a.actual, round(abs(round(f.st[1] + " +
-          s"$horizon.0e0 * f.st[2], 6) - a.actual) / abs(a.actual), 6) " +
-          s"AS ape FROM f$i f JOIN a$i a USING (o_orderpriority))")
+          s"$fcast AS forecast, a.actual, " +
+          snapSql(s"abs(($fcast) - a.actual) / abs(a.actual)") +
+          s" AS ape FROM f$i f JOIN a$i a USING (o_orderpriority))")
     }
     val sel = cutoffs.distinct.sorted.indices
       .map(i => s"SELECT * FROM o$i").mkString(" UNION ALL ")
@@ -1122,9 +1131,10 @@ object HashOracles {
     */
   def q274ShapleyAttribution(channels: Seq[String],
       convType: String): String = {
+    import graft.functions.Grid.snapSql
     val sorted = channels.sorted
     val nC = sorted.size
-    def fact(n: Int): Double = (1 to n).product.toDouble
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
     val rows = sorted.flatMap { c =>
       val others = sorted.filterNot(_ == c)
       (0 until (1 << others.size)).map { mask =>
@@ -1143,8 +1153,8 @@ object HashOracles {
         s"max(CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END) " +
         "AS conv FROM events GROUP BY user_id)",
       "v AS (SELECT coalesce(array_to_string(chs, ','), '') AS skey, " +
-        "round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS v " +
-        "FROM users GROUP BY 1)",
+        snapSql("CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE)") +
+        " AS v FROM users GROUP BY 1)",
       s"wt(channel, k0, k1, w) AS (VALUES ${rows.mkString(", ")})",
       "tm AS (SELECT wt.channel, wt.k0, " +
         "wt.w * (coalesce(v1.v, 0.0e0) - coalesce(v0.v, 0.0e0)) " +
@@ -1152,7 +1162,7 @@ object HashOracles {
         "LEFT JOIN v v0 ON v0.skey = wt.k0)"),
       "SELECT channel, CAST(count(*) AS BIGINT) AS n_subsets, " +
         "list_reduce(list_prepend(0.0e0, list(term ORDER BY k0)), " +
-        "(a, x) -> round(a + x, 6)) AS shapley " +
+        s"(a, x) -> ${snapSql("a + x")}) AS shapley " +
         "FROM tm GROUP BY channel ORDER BY channel")
   }
 
@@ -1275,8 +1285,9 @@ object HashOracles {
         "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk " +
         "FROM proj) WHERE rk = 1)",
       "opairs AS (SELECT a.vec_id AS anchor, b.vec_id AS b_id, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
-        "CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        graft.functions.Grid.snapSql(
+          "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+          "CAST(b.embedding AS DOUBLE[]))") + " AS cos " +
         "FROM asg a JOIN asg b ON a.list_id = b.list_id " +
         "AND a.vec_id <> b.vec_id)",
       "tk AS (SELECT anchor, rn, cos FROM (SELECT anchor, cos, " +
@@ -1284,9 +1295,11 @@ object HashOracles {
         "ORDER BY cos DESC, b_id) AS rn FROM opairs) " +
         s"WHERE rn <= $k)",
       "ag AS (SELECT anchor, CAST(count(*) AS BIGINT) AS n_neighbors, " +
-        "round(CAST(list_reduce(list_prepend(0.0e0, " +
-        "list(cos ORDER BY rn)), (a, x) -> round(a + x, 6)) " +
-        "AS DOUBLE) / count(*), 6) AS knn_sim FROM tk GROUP BY anchor)"),
+        graft.functions.Grid.snapSql("CAST(list_reduce(list_prepend(" +
+          "0.0e0, list(cos ORDER BY rn)), (a, x) -> " +
+          graft.functions.Grid.snapSql("a + x") +
+          ") AS DOUBLE) / CAST(count(*) AS DOUBLE)") +
+        " AS knn_sim FROM tk GROUP BY anchor)"),
     "SELECT a2.vec_id AS anchor, " +
       "coalesce(ag.n_neighbors, 0) AS n_neighbors, " +
       "coalesce(ag.knn_sim, -1.0e0) AS knn_sim " +
@@ -1310,8 +1323,9 @@ object HashOracles {
         "FROM proj) WHERE rk = 1)",
       "kpairs AS (SELECT a.vec_id AS anchor, a.label AS true_lbl, " +
         "b.vec_id AS b_id, b.label AS nb_lbl, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
-        "CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        graft.functions.Grid.snapSql(
+          "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+          "CAST(b.embedding AS DOUBLE[]))") + " AS cos " +
         "FROM asg a JOIN asg b ON a.list_id = b.list_id " +
         "AND a.vec_id <> b.vec_id)",
       "tk AS (SELECT anchor, true_lbl, nb_lbl FROM (SELECT anchor, " +
@@ -1326,8 +1340,9 @@ object HashOracles {
     "SELECT true_lbl AS label, CAST(count(*) AS BIGINT) AS n, " +
       "CAST(sum(CASE WHEN pred_lbl = true_lbl THEN 1 ELSE 0 END) " +
       "AS BIGINT) AS n_correct, " +
-      "round(CAST(sum(CASE WHEN pred_lbl = true_lbl THEN 1 ELSE 0 " +
-      "END) AS DOUBLE) / count(*), 6) AS accuracy " +
+      graft.functions.Grid.snapSql("CAST(sum(CASE WHEN pred_lbl = " +
+        "true_lbl THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE)") + " AS accuracy " +
       "FROM pr2 GROUP BY true_lbl ORDER BY label")
 
   /** Triplet-mining replay (q268, [[operators.Similarity
@@ -1347,8 +1362,9 @@ object HashOracles {
         "FROM proj) WHERE rk = 1)",
       "tpairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         "a.label AS la, b.label AS lb, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
-        "CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        graft.functions.Grid.snapSql(
+          "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+          "CAST(b.embedding AS DOUBLE[]))") + " AS cos " +
         "FROM asg a JOIN asg b ON a.list_id = b.list_id " +
         "AND a.vec_id <> b.vec_id)",
       "hp AS (SELECT a_id, b_id AS pos_id, cos AS pos_cos FROM " +
@@ -1461,15 +1477,18 @@ object HashOracles {
         "FROM cand c JOIN e ea ON ea.vec_id = c.x " +
         "JOIN e eb ON eb.vec_id = c.y)",
       "r AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x " +
-        "ORDER BY round(cos, 4) DESC, y) AS rn FROM p)",
+        "ORDER BY " + graft.functions.Grid.snapSql("cos", 4) +
+        " DESC, y) AS rn FROM p)",
       s"ak AS (SELECT x, avg(cos) AS avg_k FROM r WHERE rn <= $k " +
         "GROUP BY x)",
       "sc AS (SELECT p.x, p.y, p.cos, " +
-        "round(p.cos / ((ax.avg_k + ay.avg_k) / 2), 4) AS margin " +
+        graft.functions.Grid.snapSql(
+          "p.cos / ((ax.avg_k + ay.avg_k) / 2)", 4) + " AS margin " +
         "FROM p JOIN ak ax ON ax.x = p.x JOIN ak ay ON ay.x = p.y)",
       "bst AS (SELECT x, y, cos, margin, row_number() OVER " +
         "(PARTITION BY x ORDER BY margin DESC, y) AS rn FROM sc)"),
-      "SELECT x, y AS best_match, round(cos, 4) AS cos, margin " +
+      "SELECT x, y AS best_match, " +
+        graft.functions.Grid.snapSql("cos", 4) + " AS cos, margin " +
         "FROM bst WHERE rn = 1 ORDER BY x")
 
   /** Capstone-3 replay — the round-6 stages chained: first-occurrence
@@ -3372,10 +3391,11 @@ object HashOracles {
         ", greatest(0, CAST(floor(sum(CAST(value AS DOUBLE))) " +
         "AS BIGINT))) AS c FROM events GROUP BY 1, 2)",
       "cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_units, " +
-        "CAST(sum(c) AS BIGINT) AS sum_clipped FROM pu " +
+        "CAST(sum(c) AS BIGINT) AS sum_clipped, " +
+        s"${lpField("event_type")} AS gk FROM pu " +
         "GROUP BY event_type)",
       s"hz AS (SELECT event_type, n_units, sum_clipped, " +
-        s"xor(${fnv("event_type")}, CAST($seedLit AS HUGEINT)) AS z " +
+        s"xor(${fnv("gk")}, CAST($seedLit AS HUGEINT)) AS z " +
         "FROM cnt)")
     val mixed = mixStages(Seq("z"),
       Seq("event_type", "n_units", "sum_clipped"))
@@ -3393,7 +3413,7 @@ object HashOracles {
 
   /** DP noisy-count replay ([[operators.Privacy.noisyCounts]] over
     * documents grouped by (source, lang)): per-group uniform =
-    * splitmix64(fnv1a64(source|lang) XOR splitmix64(seed)) in HUGEINT,
+    * splitmix64(fnv1a64(injectiveKey) XOR splitmix64(seed)) in HUGEINT,
     * then the two-sided geometric inverse CDF walked against the SAME
     * exact integer threshold table the Spark expression compiles in
     * ([[operators.Privacy.geometricThresholds]]) — no float anywhere.
@@ -3408,8 +3428,8 @@ object HashOracles {
     }.mkString + s"ELSE CAST($cap AS BIGINT) END"
     val head = Seq(
       "cnt AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n, " +
-        "concat_ws('|', source, lang) AS gk FROM documents " +
-        "GROUP BY source, lang)",
+        s"concat(${lpField("source")}, ${lpField("lang")}) AS gk " +
+        "FROM documents GROUP BY source, lang)",
       s"hz AS (SELECT source, lang, n, " +
         s"xor(${fnv("gk")}, CAST($seedLit AS HUGEINT)) AS z FROM cnt)")
     val mixed = mixStages(Seq("z"), Seq("source", "lang", "n"))

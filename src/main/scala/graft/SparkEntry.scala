@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ContentTypes, DedupFunctions, FileNames, Slugify, TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{ContentTypes, DedupFunctions, FileNames, Grid, Slugify, TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Contamination, CorpusPipeline, Dedup, Multimodal, QualityFilters, Sampling, SetSimJoin, Similarity, SkewJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -5095,8 +5095,8 @@ object SparkEntry {
           s"FROM cand c, $prev s WHERE c.vec_id NOT IN " +
           s"(SELECT vec_id FROM $prev) GROUP BY c.vec_id)",
         s"s$r AS MATERIALIZED (SELECT c.vec_id, c.v, c.rel, " +
-          s"round($l * c.rel - $oml * m.ms, 6) AS obj, $r AS rank " +
-          s"FROM m$r m JOIN cand c USING (vec_id) " +
+          s"${Grid.snapSql(s"$l * c.rel - $oml * m.ms")} AS obj, " +
+          s"$r AS rank FROM m$r m JOIN cand c USING (vec_id) " +
           "ORDER BY obj DESC, c.vec_id LIMIT 1)",
         s"sel$r AS (SELECT vec_id, v FROM $prev " +
           s"UNION ALL SELECT vec_id, v FROM s$r)")
@@ -5109,11 +5109,14 @@ object SparkEntry {
        |  list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS rel
        |  FROM embeddings, q WHERE vec_id <> 0 AND vec_id < $capId),
        |s1 AS MATERIALIZED (SELECT vec_id, v, rel,
-       |  round($l * rel, 6) AS obj, 1 AS rank FROM cand
-       |  ORDER BY round($l * rel, 6) DESC, vec_id LIMIT 1),
+       |  ${Grid.snapSql(s"$l * rel - $oml * 0.0")} AS obj, 1 AS rank
+       |  FROM cand
+       |  ORDER BY ${Grid.snapSql(s"$l * rel - $oml * 0.0")} DESC,
+       |    vec_id LIMIT 1),
        |sel1 AS (SELECT vec_id, v FROM s1),
        |${rounds.mkString(",\n")}
-       |SELECT rank, vec_id, round(rel, 4) AS relevance, obj AS mmr_score
+       |SELECT rank, vec_id, ${Grid.snapSql("rel", 4)} AS relevance,
+       |  obj AS mmr_score
        |FROM ($unionAll) ORDER BY rank""".stripMargin
   }
 
@@ -6724,20 +6727,22 @@ object SparkEntry {
     // exactly as the engine; avgK then averages the raw cosines of that
     // set; list_cosine_similarity is the q22-precedent cosine fragment
     "q150_margin_mining" ->
-      """WITH p AS (SELECT a.vec_id AS x, b.vec_id AS y,
+      s"""WITH p AS (SELECT a.vec_id AS x, b.vec_id AS y,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
         |r AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x
-        |  ORDER BY round(cos, 4) DESC, y) AS rn FROM p),
+        |  ORDER BY ${Grid.snapSql("cos", 4)} DESC, y) AS rn FROM p),
         |ak AS (SELECT x, avg(cos) AS avg_k FROM r WHERE rn <= 8
         |  GROUP BY x),
         |sc AS (SELECT p.x, p.y, p.cos,
-        |  round(p.cos / ((ax.avg_k + ay.avg_k) / 2), 4) AS margin
+        |  ${Grid.snapSql("p.cos / ((ax.avg_k + ay.avg_k) / 2)", 4)}
+        |    AS margin
         |  FROM p JOIN ak ax ON ax.x = p.x JOIN ak ay ON ay.x = p.y),
         |b AS (SELECT x, y, cos, margin, row_number() OVER (PARTITION BY x
         |  ORDER BY margin DESC, y) AS rn FROM sc)
-        |SELECT x, y AS best_match, round(cos, 4) AS cos, margin
+        |SELECT x, y AS best_match, ${Grid.snapSql("cos", 4)} AS cos,
+        |  margin
         |FROM b WHERE rn = 1 ORDER BY x""".stripMargin,
 
     // integer half-life buckets -> power(2.0, -n) is exact on both
@@ -8037,24 +8042,29 @@ object SparkEntry {
         |ORDER BY s.feature, s.value""".stripMargin,
 
     // the view fold must be indistinguishable from the recompute:
-    // inner sums round at 2 per build side, outer merge re-rounds —
-    // replayed with the same two-level rounding
-    "q287_ivm_fold" ->
-      """WITH v AS (
+    // inner sums snap at the cent grid per build side, outer merge
+    // re-snaps — replayed with the same two-level engine-exact snap
+    // (the build multiplies by the +1.0 sign before snapping, so the
+    // oracle does too)
+    "q287_ivm_fold" -> {
+      val cents = Grid.snapSql("sum(CAST(o_totalprice AS DOUBLE)) " +
+        "* 1.0", 2)
+      s"""WITH v AS (
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |    round(sum(o_totalprice), 2) AS sum_v FROM orders
+        |    $cents AS sum_v FROM orders
         |  WHERE year(CAST(o_orderdate AS DATE)) <= 1997
         |  GROUP BY o_orderpriority
         |  UNION ALL
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |    round(sum(o_totalprice), 2) AS sum_v FROM orders
+        |    $cents AS sum_v FROM orders
         |  WHERE year(CAST(o_orderdate AS DATE)) > 1997
         |  GROUP BY o_orderpriority)
         |SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n,
-        |  round(sum(sum_v), 2) AS sum_v
+        |  ${Grid.snapSql("sum(sum_v)", 2)} AS sum_v
         |FROM v GROUP BY o_orderpriority
         |HAVING sum(n) <> 0
-        |ORDER BY o_orderpriority""".stripMargin,
+        |ORDER BY o_orderpriority""".stripMargin
+    },
 
     "q286_proportion_test" ->
       """WITH u AS (SELECT user_id, max(CASE WHEN event_type =
@@ -8543,8 +8553,13 @@ object SparkEntry {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
-    "q254_changepoint" ->
-      """WITH d AS (SELECT o_orderpriority AS k,
+    // score/means/delta go through Grid.snapSql — the SAME float
+    // program the Spark side runs (round() tie handling is engine-
+    // dependent; the snap is not)
+    "q254_changepoint" -> {
+      val mb = Grid.snapSql("sk / i", 4)
+      val ma = Grid.snapSql("(sn - sk) / CAST(n - i AS DOUBLE)", 4)
+      s"""WITH d AS (SELECT o_orderpriority AS k,
         |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
         |    AS t, round(sum(o_totalprice), 2) AS y
         |  FROM orders GROUP BY 1, 2),
@@ -8557,25 +8572,26 @@ object SparkEntry {
         |w2 AS (SELECT *, last_value(sk) OVER (PARTITION BY k ORDER BY t
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    AS sn FROM w),
-        |sc AS (SELECT *, round(abs(sk - CAST(i AS DOUBLE) / n * sn), 6)
+        |sc AS (SELECT *,
+        |  ${Grid.snapSql("abs(sk - CAST(i AS DOUBLE) / n * sn)")}
         |    AS score
         |  FROM w2 WHERE n >= 2 AND i < n),
         |best AS (SELECT *, row_number() OVER (PARTITION BY k
         |  ORDER BY score DESC, i) AS rn FROM sc)
         |SELECT k AS o_orderpriority, n, t AS t_split, score,
-        |  round(sk / i, 4) AS mean_before,
-        |  round((sn - sk) / CAST(n - i AS DOUBLE), 4) AS mean_after,
-        |  round(round((sn - sk) / CAST(n - i AS DOUBLE), 4) -
-        |    round(sk / i, 4), 4) AS delta
-        |FROM best WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+        |  $mb AS mean_before,
+        |  $ma AS mean_after,
+        |  ${Grid.snapSql(s"($ma) - ($mb)", 4)} AS delta
+        |FROM best WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
+    },
 
     // the q251 list-accumulator fold grown a 7-slot register: state =
     // [l, b, s1..s7] (slot p = position p+3), elements [t, y]; the
     // 1-BASED index of DuckDB's (v, i) lambda vs Spark's 0-based
     // transform is absorbed by the +1 in the CASE
     "q253_holt_winters" -> {
-      val lNew = "round(0.3e0 * (x[2] - a[CAST(x[1] % 7 AS INT) + 3])" +
-        " + 0.7e0 * (a[1] + a[2]), 6)"
+      val lNew = Grid.snapSql("0.3e0 * (x[2] - a[CAST(x[1] % 7 AS " +
+        "INT) + 3]) + 0.7e0 * (a[1] + a[2])")
       s"""WITH d AS (SELECT o_orderpriority,
          |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
          |    AS day, round(sum(o_totalprice), 2) AS rev
@@ -8592,18 +8608,18 @@ object SparkEntry {
          |      sl[2:]),
          |    (a, x) -> list_concat(
          |      [$lNew,
-         |       round(0.05e0 * ($lNew - a[1]) + 0.95e0 * a[2], 6)],
+         |       ${Grid.snapSql(s"0.05e0 * ($lNew - a[1]) + 0.95e0 * a[2]")}],
          |      list_transform(a[3:], (v, i) ->
          |        CASE WHEN i = CAST(x[1] % 7 AS INT) + 1
-         |          THEN round(0.2e0 * (x[2] - $lNew) + 0.8e0 * v, 6)
+         |          THEN ${Grid.snapSql(s"0.2e0 * (x[2] - $lNew) + 0.8e0 * v")}
          |          ELSE v END))) AS st
          |  FROM s WHERE len(sl) >= 2)
          |SELECT o_orderpriority, CAST(n_obs AS BIGINT) AS n_obs,
          |  st[1] AS level, st[2] AS trend,
-         |  round(list_aggregate(st[3:], 'min'), 6) AS s_min,
-         |  round(list_aggregate(st[3:], 'max'), 6) AS s_max,
-         |  round(st[1] + 7.0e0 * st[2] +
-         |    st[CAST((t_last + 7) % 7 AS INT) + 3], 6) AS forecast_7
+         |  ${Grid.snapSql("list_aggregate(st[3:], 'min')")} AS s_min,
+         |  ${Grid.snapSql("list_aggregate(st[3:], 'max')")} AS s_max,
+         |  ${Grid.snapSql("st[1] + 7.0e0 * st[2] + " +
+          "st[CAST((t_last + 7) % 7 AS INT) + 3]")} AS forecast_7
          |FROM f ORDER BY o_orderpriority""".stripMargin
     },
 
@@ -8617,8 +8633,9 @@ object SparkEntry {
     // first iteration — probed and avoided); observations map into
     // the same list shape so the one-type contract holds; every step
     // re-rounds at 1e-6, making the trajectory engine-independent
-    "q251_holt_forecast" ->
-      """WITH d AS (SELECT o_orderpriority,
+    "q251_holt_forecast" -> {
+      val lNew = Grid.snapSql("0.3e0 * x[1] + 0.7e0 * (a[1] + a[2])")
+      s"""WITH d AS (SELECT o_orderpriority,
         |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
         |    AS day, round(sum(o_totalprice), 2) AS rev
         |  FROM orders GROUP BY 1, 2),
@@ -8630,14 +8647,15 @@ object SparkEntry {
         |    list_prepend([sl[1], sl[2] - sl[1]],
         |      list_transform(sl[2:],
         |        p -> [p, CAST(NULL AS DOUBLE)])),
-        |    (a, x) -> [round(0.3e0 * x[1] + 0.7e0 * (a[1] + a[2]), 6),
-        |      round(0.1e0 * (round(0.3e0 * x[1] + 0.7e0 *
-        |        (a[1] + a[2]), 6) - a[1]) + 0.9e0 * a[2], 6)]) AS st
+        |    (a, x) -> [$lNew,
+        |      ${Grid.snapSql(s"0.1e0 * ($lNew - a[1]) + 0.9e0 * a[2]")}])
+        |    AS st
         |  FROM s WHERE len(sl) >= 2)
         |SELECT o_orderpriority, CAST(n_obs AS BIGINT) AS n_obs,
         |  st[1] AS level, st[2] AS trend,
-        |  round(st[1] + 30.0e0 * st[2], 6) AS forecast_30
-        |FROM f ORDER BY o_orderpriority""".stripMargin,
+        |  ${Grid.snapSql("st[1] + 30.0e0 * st[2]")} AS forecast_30
+        |FROM f ORDER BY o_orderpriority""".stripMargin
+    },
 
     "q250_csv_roundtrip" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,

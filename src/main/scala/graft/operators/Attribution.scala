@@ -69,9 +69,10 @@ object Attribution {
     * rate) rows — |C| is the BOUNDED channel alphabet (≤ 16
     * enforced), so the v table is a driver fact by construction (the
     * k-means-centroid contract) and the 2^|C| enumeration runs
-    * driver-side. Rates round at 1e-6 and the per-channel terms fold
-    * in sorted subset order with a 1e-6 re-round per step, so φ
-    * replays bit-exactly.
+    * driver-side. Rates snap to the 1e-6 grid and the per-channel
+    * terms fold in sorted subset order with a per-step snap
+    * ([[graft.functions.Grid]] — the engine-exact IEEE device, same
+    * program in the oracle), so φ replays bit-exactly.
     */
   def shapleyAttribution(events: DataFrame, subjectCol: String,
       typeCol: String, convType: String): DataFrame = {
@@ -82,21 +83,28 @@ object Attribution {
         when(col(typeCol) =!= convType, col(typeCol)))).as("__chs"),
         max(when(col(typeCol) === convType, 1L).otherwise(0L))
           .as("__conv"))
+    // bound the channel alphabet DISTRIBUTIVELY before any collect —
+    // an unbounded alphabet must fail fast, not blow the driver with
+    // a 2^|C|-row v table first
+    val nChannels = events.filter(col(typeCol) =!= convType)
+      .agg(countDistinct(col(typeCol))).head().getLong(0)
+    require(nChannels <= 16,
+      s"channel alphabet too large for exact Shapley: $nChannels > 16")
     val vRows = users
       .groupBy(concat_ws(",", col("__chs")).as("skey"))
       .agg(count(lit(1)).as("n"), sum(col("__conv")).as("nc"))
-      .withColumn("v", round(col("nc").cast("double") /
-        col("n").cast("double"), 6))
+      .withColumn("v", graft.functions.Grid.snap(
+        col("nc").cast("double") / col("n").cast("double")))
       .collect()
     val v = vRows.map(r => r.getString(0) -> r.getDouble(3)).toMap
     val channels = vRows.flatMap(_.getString(0).split(","))
       .filter(_.nonEmpty).distinct.sorted.toSeq
-    require(channels.size <= 16,
-      s"channel alphabet too large for exact Shapley: $channels")
-    def fact(n: Int): Double = (1 to n).product.toDouble
+    // Double-fold factorial: Int `(1 to n).product` wraps at 13!,
+    // silently corrupting weights for the 13..16-channel alphabets
+    // the bound above explicitly allows
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
     val nC = channels.size
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = graft.functions.Grid.snapD(x)
     val phis = channels.map { c =>
       val others = channels.filterNot(_ == c)
       val subsetTerms = (0 until (1 << others.size)).map { mask =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Grid
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,10 +18,13 @@ import org.apache.spark.sql.functions._
   * array is a row value); corpus-grain series belong in the streaming
   * fold instead.
   *
-  * Replay discipline: level and trend re-round at 1e-6 after EACH
-  * update, so the whole trajectory is a pure function of grid values —
-  * any engine folding the same ordered list reproduces it bit-exactly
-  * (the k-means/Markov grid-pinning device, applied to smoothing).
+  * Replay discipline: level and trend re-snap to the 1e-6 grid after
+  * EACH update via [[graft.functions.Grid]] — the engine-exact IEEE
+  * snap, NOT `round()`, whose half-ulp tie handling is engine-dependent
+  * and diverges over a long fold — so the whole trajectory is a pure
+  * function of grid values and any engine folding the same ordered
+  * list reproduces it bit-exactly (the k-means/Markov grid-pinning
+  * device, applied to smoothing).
   * Init is the standard l₁ = y₁, b₁ = y₂ − y₁ with updates folding
   * from y₂ (Hyndman & Athanasopoulos §8.2); keys with fewer than 2
   * observations drop (no trend is estimable).
@@ -33,6 +37,7 @@ object Forecast {
     require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
       s"smoothing parameters out of (0,1): alpha=$alpha beta=$beta")
     require(horizon >= 1, s"bad horizon $horizon")
+    val lNew = Grid.snapSql(s"$alpha * x.y + ${1 - alpha} * (acc.l + acc.b)")
     val series = df
       .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(keyCol))
@@ -47,13 +52,13 @@ object Forecast {
            |    'l', CAST(__s[0].y AS DOUBLE),
            |    'b', CAST(__s[1].y - __s[0].y AS DOUBLE)),
            |  (acc, x) -> named_struct(
-           |    'l', round($alpha * x.y + ${1 - alpha} * (acc.l + acc.b), 6),
-           |    'b', round($beta * (round($alpha * x.y + ${1 - alpha} *
-           |      (acc.l + acc.b), 6) - acc.l) + ${1 - beta} * acc.b, 6)))"""
+           |    'l', $lNew,
+           |    'b', ${Grid.snapSql(
+              s"$beta * ($lNew - acc.l) + ${1 - beta} * acc.b")}))"""
           .stripMargin))
       .select(col(keyCol), size(col("__s")).cast("long").as("n_obs"),
         col("__st.l").as("level"), col("__st.b").as("trend"),
-        round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 6)
+        Grid.snap(col("__st.l") + lit(horizon.toDouble) * col("__st.b"))
           .as(s"forecast_$horizon"))
   }
 
@@ -82,8 +87,9 @@ object Forecast {
     require(period >= 2 && period <= 1000, s"bad period $period")
     require(horizon >= 1, s"bad horizon $horizon")
     val m = period
-    val lNew = s"round($alpha * (x.y - acc.s[CAST(x.t % $m AS INT)]) + " +
-      s"${1 - alpha} * (acc.l + acc.b), 6)"
+    val lNew = Grid.snapSql(
+      s"$alpha * (x.y - acc.s[CAST(x.t % $m AS INT)]) + " +
+        s"${1 - alpha} * (acc.l + acc.b)")
     val series = df
       .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(keyCol))
@@ -100,18 +106,20 @@ object Forecast {
            |    's', array_repeat(CAST(0.0 AS DOUBLE), $m)),
            |  (acc, x) -> named_struct(
            |    'l', $lNew,
-           |    'b', round($beta * ($lNew - acc.l) + ${1 - beta} * acc.b, 6),
+           |    'b', ${Grid.snapSql(
+              s"$beta * ($lNew - acc.l) + ${1 - beta} * acc.b")},
            |    's', transform(acc.s, (v, i) ->
            |      CASE WHEN i = CAST(x.t % $m AS INT)
-           |        THEN round($gamma * (x.y - $lNew) + ${1 - gamma} * v, 6)
+           |        THEN ${Grid.snapSql(
+              s"$gamma * (x.y - $lNew) + ${1 - gamma} * v")}
            |        ELSE v END)))""".stripMargin))
       .withColumn("__tl", expr("element_at(__s, -1).t"))
       .select(col(keyCol), size(col("__s")).cast("long").as("n_obs"),
         col("__st.l").as("level"), col("__st.b").as("trend"),
-        expr("round(array_min(__st.s), 6)").as("s_min"),
-        expr("round(array_max(__st.s), 6)").as("s_max"),
-        expr(s"round(__st.l + CAST($horizon AS DOUBLE) * __st.b + " +
-          s"__st.s[CAST((__tl + $horizon) % $m AS INT)], 6)")
+        expr(Grid.snapSql("array_min(__st.s)")).as("s_min"),
+        expr(Grid.snapSql("array_max(__st.s)")).as("s_max"),
+        expr(Grid.snapSql(s"__st.l + CAST($horizon AS DOUBLE) * " +
+          s"__st.b + __st.s[CAST((__tl + $horizon) % $m AS INT)]"))
           .as(s"forecast_$horizon"))
   }
 
@@ -143,26 +151,27 @@ object Forecast {
       .agg(sort_array(collect_list(struct(col(tCol).cast("long").as("t"),
         col(valueCol).cast("double").as("y")))).as("__s"))
     // keys with prior state: fold EVERY new point from (level, trend)
+    val lNew = Grid.snapSql(s"$alpha * x.y + ${1 - alpha} * (acc.l + acc.b)")
     val resumed = series.join(st, Seq(keyCol))
       .withColumn("__st", expr(
         s"""aggregate(__s,
            |  named_struct('l', __pl, 'b', __pb),
            |  (acc, x) -> named_struct(
-           |    'l', round($alpha * x.y + ${1 - alpha} * (acc.l + acc.b), 6),
-           |    'b', round($beta * (round($alpha * x.y + ${1 - alpha} *
-           |      (acc.l + acc.b), 6) - acc.l) + ${1 - beta} * acc.b, 6)))"""
+           |    'l', $lNew,
+           |    'b', ${Grid.snapSql(
+              s"$beta * ($lNew - acc.l) + ${1 - beta} * acc.b")}))"""
           .stripMargin))
       .select(col(keyCol),
         (col("__pn") + size(col("__s")).cast("long")).as("n_obs"),
         col("__st.l").as("level"), col("__st.b").as("trend"),
-        round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 6)
+        Grid.snap(col("__st.l") + lit(horizon.toDouble) * col("__st.b"))
           .as(fc))
     // prior keys with no new points pass through unchanged
     val idle = st.join(series.select(col(keyCol)), Seq(keyCol),
         "left_anti")
       .select(col(keyCol), col("__pn").as("n_obs"),
         col("__pl").as("level"), col("__pb").as("trend"),
-        round(col("__pl") + lit(horizon.toDouble) * col("__pb"), 6)
+        Grid.snap(col("__pl") + lit(horizon.toDouble) * col("__pb"))
           .as(fc))
     // brand-new keys: classic init over their own series
     val fresh = holtLinear(
@@ -194,10 +203,10 @@ object Forecast {
       val actual = df
         .filter(col(tCol) > c && col(tCol) <= c + horizon)
         .groupBy(col(keyCol))
-        .agg(round(avg(col(valueCol).cast("double")), 6).as("actual"))
+        .agg(Grid.snap(avg(col(valueCol).cast("double"))).as("actual"))
       fit.join(actual, Seq(keyCol))
-        .withColumn("ape", round(abs(col("forecast") - col("actual"))
-          / abs(col("actual")), 6))
+        .withColumn("ape", Grid.snap(abs(col("forecast") -
+          col("actual")) / abs(col("actual"))))
     }
     parts.reduce(_ unionByName _)
       .select(col(keyCol), col("cutoff"), col("n_obs").cast("long")

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * fold is a key-grain union + re-aggregation. Rows whose count
   * reaches zero vanish, so add-then-retract round-trips exactly.
   *
-  * Money sums round to the cent grid at every build/merge, keeping
-  * the view engine-exact regardless of fold order (the house events
-  * device). Avg/min/max readers derive from (n, sum) or keep their
+  * Money sums snap to the cent grid ([[graft.functions.Grid]] — the
+  * engine-exact IEEE snap, not `round()`) at every build/merge,
+  * keeping the view engine-exact regardless of fold order (the house
+  * events device). Avg/min/max readers derive from (n, sum) or keep their
   * own mergeable columns; non-distributive aggregates (exact
   * distinct, median) need the sketch registers instead
   * ([[Sketches]], [[QuantileSketch]] — same fold contract).
@@ -32,7 +33,8 @@ object Ivm {
     val signD = if (negate) lit(-1.0) else lit(1.0)
     df.groupBy(keyCols.map(col): _*)
       .agg((count(lit(1)) * sign).as("n"),
-        round(sum(col(valueCol).cast("double")) * signD, 2)
+        graft.functions.Grid.snap(
+          sum(col(valueCol).cast("double")) * signD, 2)
           .as("sum_v"))
   }
 
@@ -44,7 +46,7 @@ object Ivm {
     views.reduce(_ unionByName _)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("n")).as("n"),
-        round(sum(col("sum_v")), 2).as("sum_v"))
+        graft.functions.Grid.snap(sum(col("sum_v")), 2).as("sum_v"))
       .filter(col("n") =!= 0L)
   }
 

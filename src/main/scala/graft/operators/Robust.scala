@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Grid
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -380,8 +381,11 @@ object Robust {
       .withColumn("__sn", last(col("__sk")).over(wo.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("__n") >= 2 && col("__i") < col("__n"))
-      .withColumn("__score", round(abs(col("__sk") -
-        col("__i").cast("double") / col("__n") * col("__sn")), 6))
+      // engine-exact snap, not round(): the score decides an argmax
+      // and ships in the output — a half-ulp tie must not be
+      // engine-dependent (the q254 divergence class)
+      .withColumn("__score", Grid.snap(abs(col("__sk") -
+        col("__i").cast("double") / col("__n") * col("__sn"))))
     val best = scored
       .withColumn("__rn", row_number().over(
         wk.orderBy(col("__score").desc, col("__i"))))
@@ -392,11 +396,11 @@ object Robust {
     best
       .select(col("__k").as(keyCol), col("n"), col("t_split"),
         col("score"),
-        round(col("__skb") / col("__ki"), 4).as("mean_before"),
-        round((col("__snb") - col("__skb")) /
+        Grid.snap(col("__skb") / col("__ki"), 4).as("mean_before"),
+        Grid.snap((col("__snb") - col("__skb")) /
           (col("n") - col("__ki")).cast("double"), 4).as("mean_after"))
       .withColumn("delta",
-        round(col("mean_after") - col("mean_before"), 4))
+        Grid.snap(col("mean_after") - col("mean_before"), 4))
   }
 
   /** Theil–Sen robust trend per key — the median-of-pairwise-slopes

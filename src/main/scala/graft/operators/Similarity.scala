@@ -852,12 +852,13 @@ object Similarity {
   private def marginFromPairs(rawPairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = graft.CacheScope.register(rawPairs.persist())
-    // neighbor selection ranks on the ROUNDED cosine grid (partner-id
+    // neighbor selection ranks on the SNAPPED cosine grid (partner-id
     // tie-break): the top-k SET is then a pure function of 4-decimal
-    // values, immune to last-ulp accumulation differences between
-    // engines — the house replay-grid device
+    // grid values, immune to last-ulp accumulation differences between
+    // engines — the house replay-grid device, on the engine-exact
+    // [[graft.functions.Grid]] snap (round()'s tie handling diverges)
     val w = Window.partitionBy(col("x"))
-      .orderBy(round(col("cos"), 4).desc, col("y"))
+      .orderBy(graft.functions.Grid.snap(col("cos"), 4).desc, col("y"))
     val avgK = pairs
       .withColumn("__sm_rn", row_number().over(w))
       .filter(col("__sm_rn") <= k)
@@ -866,15 +867,16 @@ object Similarity {
     val scored = pairs
       .join(avgK.select(col("x"), col("avg_k").as("ax")), Seq("x"))
       .join(avgK.select(col("x").as("y"), col("avg_k").as("ay")), Seq("y"))
-      .withColumn("margin",
-        round(col("cos") / ((col("ax") + col("ay")) / 2), 4))
+      .withColumn("margin", graft.functions.Grid.snap(
+        col("cos") / ((col("ax") + col("ay")) / 2), 4))
     val wBest = Window.partitionBy(col("x"))
       .orderBy(col("margin").desc, col("y"))
     scored
       .withColumn("__sm_rn", row_number().over(wBest))
       .filter(col("__sm_rn") === 1)
       .select(col("x"), col("y").as("best_match"),
-        round(col("cos"), 4).as("cos"), col("margin"))
+        graft.functions.Grid.snap(col("cos"), 4).as("cos"),
+        col("margin"))
   }
 
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein): k
@@ -884,9 +886,10 @@ object Similarity {
     * canary selection) that trades query relevance against redundancy
     * with what is already picked.
     *
-    * The greedy argmax is taken on the ROUNDED 1e-6 objective with an
-    * id tie-break (the k-means deterministic-grid convention), so the
-    * discrete selection trajectory is engine-replayable. Each of the k
+    * The greedy argmax is taken on the 1e-6-SNAPPED objective
+    * ([[graft.functions.Grid]]) with an id tie-break (the k-means
+    * deterministic-grid convention), so the discrete selection
+    * trajectory is engine-replayable. Each of the k
     * rounds is one map-only pass over the cached candidate frame (the
     * selected set rides in the UDF closure — k·dim doubles, a bounded
     * driver fact) + a TakeOrdered(1); nothing quadratic in the
@@ -925,8 +928,7 @@ object Similarity {
       val objUdf = udf { (v: Seq[Double], rel: Double) =>
         val x = v.toArray
         val ms = if (sel.isEmpty) 0.0 else sel.map(s => cos(x, s)).max
-        BigDecimal(lambda * rel - oneMinus * ms)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        graft.functions.Grid.snapD(lambda * rel - oneMinus * ms)
       }
       val pick = cand.filter(!col("vec_id").isin(pickedIds.toSeq: _*))
         .withColumn("__mm_obj", objUdf(col("__mm_v"), col("__mm_rel")))
@@ -937,8 +939,7 @@ object Similarity {
         pick.getAs[Double]("__mm_rel"), pick.getAs[Double]("__mm_obj")))
     }
     selected.zipWithIndex.map { case ((id, _, rel, obj), i) =>
-      (i + 1, id, BigDecimal(rel).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble, obj)
+      (i + 1, id, graft.functions.Grid.snapD(rel, 4), obj)
     }.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 
@@ -969,9 +970,10 @@ object Similarity {
         col("a.list_id") === col("b.list_id") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("anchor"), col("b.id").as("b_id"),
-        round(when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
-          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
-            (col("a.nrm") * col("b.nrm"))), 6).as("cos"))
+        graft.functions.Grid.snap(
+          when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+            .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+              (col("a.nrm") * col("b.nrm")))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("anchor"))
       .orderBy(col("cos").desc, col("b_id"))
@@ -980,10 +982,12 @@ object Similarity {
       .filter(col("__rn") <= k)
       .groupBy(col("anchor"))
       .agg(count(lit(1)).as("n_neighbors"),
-        round(aggregate(sort_array(collect_list(
-          struct(col("__rn"), col("cos").as("c")))), lit(0.0),
-          (acc, x) => round(acc + x("c"), 6)).cast("double") /
-          count(lit(1)).cast("double"), 6).as("knn_sim"))
+        graft.functions.Grid.snap(
+          aggregate(sort_array(collect_list(
+            struct(col("__rn"), col("cos").as("c")))), lit(0.0),
+            (acc, x) => graft.functions.Grid.snap(acc + x("c")))
+            .cast("double") /
+          count(lit(1)).cast("double")).as("knn_sim"))
     prepped.select(col("id").as("anchor"))
       .join(topK, Seq("anchor"), "left")
       .na.fill(0L, Seq("n_neighbors"))
@@ -1019,9 +1023,10 @@ object Similarity {
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("anchor"), col("a.lbl").as("true_lbl"),
         col("b.id").as("b_id"), col("b.lbl").as("nb_lbl"),
-        round(when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
-          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
-            (col("a.nrm") * col("b.nrm"))), 6).as("cos"))
+        graft.functions.Grid.snap(
+          when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+            .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+              (col("a.nrm") * col("b.nrm")))).as("cos"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("anchor"))
       .orderBy(col("cos").desc, col("b_id"))
@@ -1042,8 +1047,8 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(when(col("pred_lbl") === col("true_lbl"), 1L)
           .otherwise(0L)).as("n_correct"))
-      .withColumn("accuracy", round(
-        col("n_correct") / col("n").cast("double"), 6))
+      .withColumn("accuracy", graft.functions.Grid.snap(
+        col("n_correct") / col("n").cast("double")))
       .orderBy(col("label"))
   }
 
@@ -1080,9 +1085,10 @@ object Similarity {
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.lbl").as("la"), col("b.lbl").as("lb"),
-        round(when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
-          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
-            (col("a.nrm") * col("b.nrm"))), 6).as("cos"))
+        graft.functions.Grid.snap(
+          when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+            .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+              (col("a.nrm") * col("b.nrm")))).as("cos"))
       .persist())
     val wPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id")).orderBy(col("cos"), col("b_id"))

@@ -491,8 +491,7 @@ class SimilaritySpec extends SparkSpec {
           r.getAs[Int]("list_id"),
           r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
       }
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = graft.functions.Grid.snapD(x)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -534,8 +533,7 @@ class SimilaritySpec extends SparkSpec {
         (r.getAs[Long]("vec_id"), r.getAs[Int]("list_id"),
           r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
       }
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = graft.functions.Grid.snapD(x)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -574,8 +572,7 @@ class SimilaritySpec extends SparkSpec {
         (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
           r.getAs[Int]("list_id"), v)
       }
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = graft.functions.Grid.snapD(x)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
