@@ -59,7 +59,11 @@ object Privacy {
     * the child level; smaller classes re-key `qiCol` to its parent in
     * `hierarchy` (a `(child, parent)` table, broadcast — hierarchies
     * are dimension-sized) and merge; merged classes still below k are
-    * suppressed. Returns the release accounting table:
+    * suppressed. Small classes whose child key has NO parent mapping
+    * cannot generalize and suppress directly — the hierarchy join is a
+    * LEFT join precisely so no class can silently vanish from the
+    * accounting (every input row lands in exactly one release bucket).
+    * Returns the release accounting table:
     * `(level, qi, otherQi*, n)` with level ∈ child|parent|suppressed —
     * `qi` is the string form of the released key ('*' when
     * suppressed). Generalizing only the small classes (not the whole
@@ -74,14 +78,20 @@ object Privacy {
       src.select(Seq(lit(level).as("level"), qi.cast("string").as("qi")) ++
         otherQi.map(col) :+ col("n"): _*)
     val fine = shaped(cls.filter(col("n") >= k), "child", col(qiCol))
-    val coarse = cls.filter(col("n") < k)
-      .join(broadcast(hierarchy), col(qiCol) === col("child"))
+    val small = cls.filter(col("n") < k)
+      .join(broadcast(hierarchy), col(qiCol) === col("child"), "left")
+    val coarse = small.filter(col("parent").isNotNull)
       .groupBy(col("parent") +: otherQi.map(col): _*)
       .agg(sum(col("n")).as("n"))
     val parentOk = shaped(coarse.filter(col("n") >= k), "parent",
       col("parent"))
+    // still-small merged classes AND unmapped children suppress — the
+    // audit-completeness contract: released + suppressed = input mass
     val suppressed = shaped(
       coarse.filter(col("n") < k)
+        .select(otherQi.map(col) :+ col("n"): _*)
+        .unionByName(small.filter(col("parent").isNull)
+          .select(otherQi.map(col) :+ col("n"): _*))
         .groupBy(otherQi.map(col): _*)
         .agg(sum(col("n")).as("n")),
       "suppressed", lit("*"))
@@ -180,11 +190,24 @@ object Privacy {
     * (they are deterministic functions of the release seed here; a real
     * release would emit `n_noisy` alone).
     */
+  /** Injective group-key encoding for the noise seed: every field
+    * length-prefixed (`len:value`, null as `n:`), so two DISTINCT
+    * groups can never produce the same key — a delimiter join
+    * (`'a|b'` vs `('a','b')`) would give them identical noise,
+    * correlating the DP release across groups.
+    */
+  private def injectiveKey(groupCols: Seq[String]) =
+    concat(groupCols.map { g =>
+      val s = col(g).cast("string")
+      when(s.isNull, lit("n:"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }: _*)
+
   def noisyCounts(df: DataFrame, groupCols: Seq[String], seed: Long,
       cap: Int = 20): DataFrame = {
     require(groupCols.nonEmpty, "no group columns")
     val seedMix = graft.functions.DedupFunctions.splitmix64(seed)
-    val key = concat_ws("|", groupCols.map(col): _*)
+    val key = injectiveKey(groupCols)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("noise", geometricNoise(
@@ -211,7 +234,7 @@ object Privacy {
       alphaDen: Long = 4, cap: Int = 60): DataFrame = {
     require(clip >= 1, s"bad clip $clip")
     val seedMix = graft.functions.DedupFunctions.splitmix64(seed)
-    val key = concat_ws("|", groupCols.map(col): _*)
+    val key = injectiveKey(groupCols)
     val perUnit = df.groupBy((groupCols :+ unitCol).map(col): _*)
       .agg(least(lit(clip), greatest(lit(0L),
         floor(sum(col(valueCol).cast("double"))).cast("long")))

@@ -58,7 +58,10 @@ object QuantileSketch {
     * The per-group bottom-k is one keyed window over the hash — a
     * single shuffle at corpus grain; everything downstream is sketch
     * grain. Ranks order by (h, __id) so hash ties (2⁻⁶⁴-improbable,
-    * but replay must not depend on luck) stay deterministic.
+    * but replay must not depend on luck) stay deterministic; `__id`
+    * stays IN the register schema so [[sampleMerge]] can apply the
+    * SAME (h, __id) order — merge(build(A), build(B)) must equal
+    * build(A ∪ B) even on a hash tie.
     */
   def sampleRegistersBy(items: DataFrame, keyCol: String, idCol: String,
       valueCol: String, k: Int): DataFrame = {
@@ -73,7 +76,7 @@ object QuantileSketch {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("key")).orderBy(col("h"), col("__id"))))
       .filter(col("rank") <= k)
-      .select(col("key"), col("h"), col("v"))
+      .select(col("key"), col("h"), col("__id"), col("v"))
   }
 
   /** Merge two register tables built over DISJOINT row shards:
@@ -84,12 +87,12 @@ object QuantileSketch {
     */
   def sampleMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k $k must be >= 2")
-    a.select(col("key"), col("h"), col("v"))
-      .union(b.select(col("key"), col("h"), col("v")))
+    a.select(col("key"), col("h"), col("__id"), col("v"))
+      .union(b.select(col("key"), col("h"), col("__id"), col("v")))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("key")).orderBy(col("h"), col("v"))))
+        Window.partitionBy(col("key")).orderBy(col("h"), col("__id"))))
       .filter(col("rank") <= k)
-      .select(col("key"), col("h"), col("v"))
+      .select(col("key"), col("h"), col("__id"), col("v"))
   }
 
   /** WEIGHTED bottom-k sample registers `(key, skey, v)` — the
@@ -129,7 +132,7 @@ object QuantileSketch {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("key")).orderBy(col("skey"), col("__id"))))
       .filter(col("rank") <= k)
-      .select(col("key"), col("skey"), col("v"))
+      .select(col("key"), col("skey"), col("__id"), col("v"))
   }
 
   /** Merge two [[weightedSampleRegistersBy]] tables over disjoint row
@@ -139,12 +142,12 @@ object QuantileSketch {
   def weightedSampleMerge(a: DataFrame, b: DataFrame,
       k: Int): DataFrame = {
     require(k >= 2, s"k $k must be >= 2")
-    a.select(col("key"), col("skey"), col("v"))
-      .union(b.select(col("key"), col("skey"), col("v")))
+    a.select(col("key"), col("skey"), col("__id"), col("v"))
+      .union(b.select(col("key"), col("skey"), col("__id"), col("v")))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("key")).orderBy(col("skey"), col("v"))))
+        Window.partitionBy(col("key")).orderBy(col("skey"), col("__id"))))
       .filter(col("rank") <= k)
-      .select(col("key"), col("skey"), col("v"))
+      .select(col("key"), col("skey"), col("__id"), col("v"))
   }
 
   /** Nearest-rank quantile readout of a [[sampleRegistersBy]] table:

@@ -77,11 +77,22 @@ object ZOrder {
       bits: Int, nBuckets: Int,
       stats: DataFrame): DataFrame = {
     val scale = 1L << bits
+    // (x − mn) · scale must fit in a long: a wide-range dim (epoch
+    // micros at bits=31) would otherwise error the whole job under
+    // ANSI or silently clamp wrapped negatives into code 0 without
+    // it. Guarded per row against the broadcast stats (and against
+    // the row's own offset — the append path admits out-of-range x),
+    // raising loudly instead of wrapping.
+    val lim = Long.MaxValue / scale
     val withNorms = df.na.drop(dims).crossJoin(broadcast(stats))
     val norms = dims.zipWithIndex.map { case (d, i) =>
-      expr(s"least(greatest(((CAST($d AS BIGINT) - __mn_$i) * " +
+      expr(s"CASE WHEN (__mx_$i - __mn_$i + 1) > ${lim}L " +
+        s"OR abs(CAST($d AS BIGINT) - __mn_$i) > ${lim}L " +
+        s"THEN CAST(raise_error(concat('zorder: dim $d range too " +
+        s"wide for bits=$bits')) AS BIGINT) " +
+        s"ELSE least(greatest(((CAST($d AS BIGINT) - __mn_$i) * " +
         s"${scale}L) DIV (__mx_$i - __mn_$i + 1), 0L), " +
-        s"${scale - 1}L)")
+        s"${scale - 1}L) END")
     }
     val span = 1L << (bits * dims.size)
     withNorms

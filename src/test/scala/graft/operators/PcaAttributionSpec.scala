@@ -131,4 +131,38 @@ class PcaAttributionSpec extends SparkSpec {
     // v(full) - v(empty)
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  test("shapleyAttribution at 13 channels: Double-fold factorials " +
+      "(Int 13! wraps) keep the weights exact — one converting user " +
+      "touching all 13 gives phi = 1/13 each, efficiency holds") {
+    val s = spark
+    import s.implicits._
+    val chs = ('a' to 'm').map(_.toString)
+    val ev = (chs.map(c => (1L, c)) :+ ((1L, "buy")))
+      .toDF("user_id", "event_type")
+    val out = Attribution.shapleyAttribution(ev, "user_id",
+        "event_type", convType = "buy")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("shapley")).toMap
+    assert(out.size === 13)
+    // only S = C\{c} contributes: w = 12!*0!/13! = 1/13, snapped
+    val want = graft.functions.Grid.snapD(1.0 / 13.0)
+    out.foreach { case (c, phi) =>
+      assert(phi === want, s"channel $c")
+    }
+    assert(math.abs(out.values.sum - 1.0) < 1e-4)
+  }
+
+  test("shapleyAttribution fails fast on a 17-channel alphabet — " +
+      "before any driver-side v-table collect") {
+    val s = spark
+    import s.implicits._
+    val ev = (0 until 17).map(i => (i.toLong, s"ch$i"))
+      .toDF("user_id", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Attribution.shapleyAttribution(ev, "user_id", "event_type",
+        convType = "buy")
+    }
+    assert(e.getMessage.contains("17"))
+  }
 }

@@ -66,7 +66,8 @@ class PrivacySpec extends SparkSpec {
     val ts = Privacy.geometricThresholds(60, 3, 4)
     val seedMix = DedupFunctions.splitmix64(3L)
     out.foreach { case (g, (_, sc, noise, noisy)) =>
-      val u = DedupFunctions.splitmix64(DedupFunctions.fnv1a64(g) ^ seedMix)
+      val u = DedupFunctions.splitmix64(
+        DedupFunctions.fnv1a64(s"${g.length}:$g") ^ seedMix)
       val uu = BigInt(u) & ((BigInt(1) << 64) - 1)
       val expected = ts.indexWhere(uu < _) match {
         case -1 => 60L
@@ -91,7 +92,8 @@ class PrivacySpec extends SparkSpec {
     val ts = Privacy.geometricThresholds(20)
     val seedMix = DedupFunctions.splitmix64(7L)
     out.foreach { case (g, (n, noise, noisy)) =>
-      val u = DedupFunctions.splitmix64(DedupFunctions.fnv1a64(g) ^ seedMix)
+      val u = DedupFunctions.splitmix64(
+        DedupFunctions.fnv1a64(s"${g.length}:$g") ^ seedMix)
       val uu = BigInt(u) & ((BigInt(1) << 64) - 1) // unsigned view
       val expected = ts.indexWhere(uu < _) match {
         case -1 => 20L
@@ -135,6 +137,37 @@ class PrivacySpec extends SparkSpec {
       ("suppressed", "*", 3L)))
     // mass conservation: released + suppressed = all rows
     assert(out.toSeq.map(_._3).sum === 26L)
+  }
+
+  test("generalizeToK: a small class with NO parent mapping routes " +
+      "to the suppressed bucket — no row vanishes from the audit") {
+    val s = spark
+    import s.implicits._
+    val hier = Seq(("a", "P")).toDF("child", "parent")
+    val df = (Seq.fill(12)("a") ++ Seq.fill(5)("orphan"))
+      .zipWithIndex.map { case (q, i) => (q, "seg", i) }
+      .toDF("qi0", "seg", "id")
+    val out = Privacy.generalizeToK(df, "qi0", Seq("seg"), hier, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n"))).toSet
+    assert(out === Set(("child", "a", 12L), ("suppressed", "*", 5L)))
+    assert(out.toSeq.map(_._3).sum === 17L)
+  }
+
+  test("noisyCounts: groups that collide under a delimiter join " +
+      "('a|b') vs ('a','b') draw DIFFERENT noise — the injective key") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.tabulate(20)(i => ("a|", "b", i)) ++
+      Seq.tabulate(20)(i => ("a", "|b", i))).toDF("g1", "g2", "v")
+    val out = Privacy.noisyCounts(df, Seq("g1", "g2"), seed = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("noise")).toMap
+    assert(out.size === 2)
+    // concat_ws('|', ...) keyed both groups as 'a||b' -> same noise;
+    // the length-prefixed key must separate them (checked for this
+    // seed; the key itself is injective for ALL inputs)
+    assert(out(("a|", "b")) !== out(("a", "|b")))
   }
 
   test("eraseUnits removes exactly the audit's rows; mass conserved") {

@@ -71,16 +71,15 @@ class QuantileSketchSpec extends SparkSpec {
       df.filter(col("id").substr(3, 10).cast("int") % 3 === 2))
     def regs(d: org.apache.spark.sql.DataFrame) =
       QuantileSketch.sampleRegistersBy(d, "key", "id", "v", k)
-    val whole = regs(df).collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def keyed(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))
+    val whole = regs(df).collect().map(keyed).toSet
     val foldedLR = QuantileSketch.sampleMerge(
       QuantileSketch.sampleMerge(regs(s1), regs(s2), k), regs(s3), k)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .toSet
+      .collect().map(keyed).toSet
     val foldedRL = QuantileSketch.sampleMerge(regs(s3),
       QuantileSketch.sampleMerge(regs(s2), regs(s1), k), k)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .toSet
+      .collect().map(keyed).toSet
     assert(foldedLR === whole)
     assert(foldedRL === whole)
   }

@@ -113,4 +113,20 @@ class ZOrderSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("z-order layout"))
   }
+
+  test("a dim too wide for the bit budget raises loudly instead of " +
+      "wrapping the long multiply into garbage codes") {
+    val s = spark
+    import s.implicits._
+    // epoch-micros-scale range at bits=31: (mx-mn+1)*2^31 overflows
+    val df = Seq((0L, 0L), (3_000_000_000_000_000_000L, 1L))
+      .toDF("t", "y")
+    val e = intercept[Exception] {
+      ZOrder.zLayout(df, Seq("t", "y"), bits = 31, nBuckets = 8)
+        .collect()
+    }
+    assert(e.getMessage.contains("zorder") ||
+      Option(e.getCause).exists(_.getMessage.contains("zorder")),
+      s"got: ${e.getMessage}")
+  }
 }
