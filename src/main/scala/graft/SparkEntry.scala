@@ -2772,12 +2772,30 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("c"))
         .select(col("window.start").as("hour_start"), col("c"))
-      val w = Window.orderBy(col("hour_start")).rowsBetween(-24, -1)
-      hourly
-        .withColumn("mu", avg(col("c")).over(w))
-        .withColumn("ex2", avg(col("c") * col("c")).over(w))
-        .withColumn("nprev", count(col("c")).over(w))
-        .filter(col("nprev") === 24)
+      // trailing-24 moving stats from EXACT integer prefix sums over
+      // the hourly-bucket table (no unpartitioned window): the -24..-1
+      // frame at row i is cum[i-1] - cum[i-25], and averaging exact
+      // integer sums divides the same operands the window avg did
+      val cum = graft.operators.Ranks.withOrderedPrefixScan(
+        hourly.withColumn("c2", col("c") * col("c")),
+        Seq(col("hour_start")), Seq("c" -> "cc", "c2" -> "cc2"),
+        idxCol = "__i")
+      val p1 = cum.select((col("__i") + 1L).as("__i"),
+        col("cc").as("__p1c"), col("cc2").as("__p1c2"))
+      val p25 = cum.select((col("__i") + 25L).as("__i"),
+        col("cc").as("__p25c"), col("cc2").as("__p25c2"))
+      cum
+        .join(p1, Seq("__i"))
+        .join(p25, Seq("__i"), "left")
+        // exactly 24 prior rows exist iff __i >= 25 (at __i = 25 the
+        // exclusive base cum[0] is the implicit 0)
+        .filter(col("__i") >= 25L)
+        .withColumn("mu",
+          (col("__p1c") - coalesce(col("__p25c"), lit(0L)))
+            .cast("double") / 24.0)
+        .withColumn("ex2",
+          (col("__p1c2") - coalesce(col("__p25c2"), lit(0L)))
+            .cast("double") / 24.0)
         .withColumn("sd",
           sqrt(col("ex2") - col("mu") * col("mu")))
         .withColumn("z", when(col("sd") > 0,
@@ -3166,10 +3184,9 @@ object SparkEntry {
           ((i20 - pmod(i20, col("u"))) / col("u")).cast("int"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_pairs"))
-      bucketed
-        .withColumn("cum_at_or_above",
-          sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)
-            .rowsBetween(Window.unboundedPreceding, 0)))
+      graft.operators.Ranks.withOrderedPrefixScan(bucketed,
+          Seq(col("bucket").desc),
+          Seq("n_pairs" -> "cum_at_or_above"))
         .orderBy(col("bucket"))
     }),
 
@@ -3320,14 +3337,13 @@ object SparkEntry {
       val rr = Similarity.ivfPqTopKReranked(enc, emb, "vec_id",
         "embedding", qv, model, k = 10, nCandidates = 50,
         nLists = 16, nProbe = 4)
-      val ord = Window.orderBy(col("exact_score").desc, col("vec_id"))
-      rr.join(T(s, dir, "documents"),
+      val joined = rr.join(T(s, dir, "documents"),
           col("vec_id") === col("doc_id"))
         .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
-        .withColumn("rank", row_number().over(ord))
-        .withColumn("cum_tokens",
-          sum(col("n_tokens")).over(
-            ord.rowsBetween(Window.unboundedPreceding, 0)))
+      graft.operators.Ranks.withOrderedPrefixScan(joined,
+          Seq(col("exact_score").desc, col("vec_id")),
+          Seq("n_tokens" -> "cum_tokens"), idxCol = "__rk")
+        .withColumn("rank", col("__rk").cast("int"))
         .filter(col("cum_tokens") <= 256)
         .select(col("rank"), col("vec_id"), col("n_tokens"),
           col("cum_tokens"), col("exact_score"))
@@ -3402,10 +3418,9 @@ object SparkEntry {
           sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"))
       val t = d.agg(sum(col("n")).as("__tn"),
         sum(col("n_pos")).as("__tp"))
-      val cum = Window.orderBy(col("decile"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      d.crossJoin(broadcast(t))
-        .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      graft.operators.Ranks.withOrderedPrefixScan(
+          d.crossJoin(broadcast(t)), Seq(col("decile")),
+          Seq("n_pos" -> "cum_pos"))
         .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
           round(col("cum_pos") / col("__tp").cast("double"), 4)
             .as("capture"),
@@ -4576,11 +4591,13 @@ object SparkEntry {
         .select(col("embedding").as("q_emb"))
       val truth = Similarity.neighborsOf(vectors, "vec_id", "embedding",
         queryId = 0L, k = 10)
-      val cand = Similarity.lshTopK(
-          vectors.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
-          q, k = 10, nProbes = 8)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("cos").desc, col("vec_id"))))
+      val cand = graft.operators.Ranks.withOrderedPrefixScan(
+          Similarity.lshTopK(
+            vectors.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+            q, k = 10, nProbes = 8),
+          Seq(col("cos").desc, col("vec_id")), Seq.empty,
+          idxCol = "__rk")
+        .withColumn("rank", col("__rk").cast("int"))
       graft.operators.RankEval.vsTruth(cand, truth, "vec_id", "rank",
         k = 10)
     }),

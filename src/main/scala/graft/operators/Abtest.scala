@@ -85,19 +85,18 @@ object Abtest {
       .withColumn("__v",
         (col("__syy") - col("__sy") * col("__sy") / col("__nd")) /
           (col("__nd") - 1))
-    val w = Window.orderBy(col("arm"))
-    val two = arms
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= 2)
-    val a = two.filter(col("__rk") === 1)
+    // two-arm pairing WITHOUT the global rank window: exactly two
+    // arms (guarded above), so the single a<b self-join row IS the
+    // (rank 1, rank 2) pair the old window produced
+    val a = arms
       .select(col("arm").as("arm_a"), col("n").as("n_a"),
         col("__m").as("__ma"), col("__v").as("__va"),
         (col("__v") / col("__nd")).as("__sa"))
-    val b = two.filter(col("__rk") === 2)
+    val b = arms
       .select(col("arm").as("arm_b"), col("n").as("n_b"),
         col("__m").as("__mb"), col("__v").as("__vb"),
         (col("__v") / col("__nd")).as("__sb"))
-    a.crossJoin(b)
+    a.join(broadcast(b), col("arm_a") < col("arm_b"))
       .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
         round(col("__ma"), 4).as("mean_a"),
         round(col("__mb"), 4).as("mean_b"),
@@ -122,10 +121,13 @@ object Abtest {
       yCol: String): DataFrame = {
     requireTwoArms(units, armCol, "mannWhitney")
     val y = col(yCol).cast("double")
-    val ranked = units
-      .select(col(armCol).as("arm"), col(idCol).as("__id"), y.as("__y"))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("__y"), col("__id"))).cast("double"))
+    // global unit rank via the distributed sort+zipWithIndex device —
+    // no single-partition rank window over the unit table
+    val ranked = Ranks.withGlobalRowNumber(
+        units.select(col(armCol).as("arm"), col(idCol).as("__id"),
+          y.as("__y")),
+        Seq(col("__y"), col("__id")), "__rn0")
+      .withColumn("__rn", col("__rn0").cast("double"))
       .withColumn("__mid",
         avg(col("__rn")).over(Window.partitionBy(col("__y"))))
     // tie correction needs Σ(t³−t) over tie groups — bounded by
@@ -134,16 +136,15 @@ object Abtest {
       .agg(count(lit(1)).as("t"))
       .agg(sum(col("t") * col("t") * col("t") - col("t")).as("__tc"),
         sum(col("t")).as("__n"))
-    val w = Window.orderBy(col("arm"))
     val arms = ranked.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("__mid")).as("__rs"))
-      .withColumn("__rk", row_number().over(w))
-    val a = arms.filter(col("__rk") === 1)
+    val a = arms
       .select(col("arm").as("arm_a"), col("n").as("n_a"),
         col("__rs").as("__rsa"))
-    val b = arms.filter(col("__rk") === 2)
+    val b = arms
       .select(col("arm").as("arm_b"), col("n").as("n_b"))
-    a.crossJoin(b).crossJoin(broadcast(ties))
+    a.join(broadcast(b), col("arm_a") < col("arm_b"))
+      .crossJoin(broadcast(ties))
       .withColumn("u",
         col("__rsa") - col("n_a").cast("double") *
           (col("n_a").cast("double") + 1) / 2)
@@ -201,15 +202,13 @@ object Abtest {
       .agg(count(lit(1)).as("n"),
         sum(when(sCol, 1L).otherwise(0L)).as("__k"))
       .withColumn("__p", col("__k") / col("n").cast("double"))
-    val w = Window.orderBy(col("arm"))
-    val two = arms.withColumn("__rk", row_number().over(w))
-    val a = two.filter(col("__rk") === 1)
+    val a = arms
       .select(col("arm").as("arm_a"), col("n").as("n_a"),
         col("__k").as("k_a"), col("__p").as("__pa"))
-    val b = two.filter(col("__rk") === 2)
+    val b = arms
       .select(col("arm").as("arm_b"), col("n").as("n_b"),
         col("__k").as("k_b"), col("__p").as("__pb"))
-    a.crossJoin(b)
+    a.join(broadcast(b), col("arm_a") < col("arm_b"))
       .withColumn("__pool", (col("k_a") + col("k_b")) /
         (col("n_a") + col("n_b")).cast("double"))
       .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
@@ -247,18 +246,17 @@ object Abtest {
         sum(when(inA, 0L).otherwise(1L)).as("__cb"))
     val tot = byV.agg(sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val steps = byV.crossJoin(broadcast(tot))
-      .withColumn("__fa",
-        sum(col("__ca")).over(w) / col("__na").cast("double"))
-      .withColumn("__fb",
-        sum(col("__cb")).over(w) / col("__nb").cast("double"))
+    // cumulative side counts via the ordered prefix scan (exact
+    // integer sums — no unpartitioned window over the value grid);
+    // the argmax is a TakeOrdered(1), not a rank window
+    val steps = Ranks.withOrderedPrefixScan(
+        byV.crossJoin(broadcast(tot)), Seq(col("v")),
+        Seq("__ca" -> "__cca", "__cb" -> "__ccb"))
+      .withColumn("__fa", col("__cca") / col("__na").cast("double"))
+      .withColumn("__fb", col("__ccb") / col("__nb").cast("double"))
       .withColumn("__d", round(abs(col("__fa") - col("__fb")), 6))
     steps
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("__d").desc, col("v"))))
-      .filter(col("__rn") === 1)
+      .orderBy(col("__d").desc, col("v")).limit(1)
       .select(col("__na").as("n_a"), col("__nb").as("n_b"),
         col("__d").as("d"), col("v").as("v_at_d"),
         // 1/na + 1/nb, never na·nb — the product overflows a long at

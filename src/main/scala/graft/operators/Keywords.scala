@@ -249,14 +249,12 @@ object Keywords {
       .groupBy(col("w")).agg(min(col("__kw_id")).as("fd"))
       .select(boundOf(col("fd")).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("v"))
-    // ~log2(corpus) rows: the unpartitioned window is bounded by the
-    // boundary count, not the data
-    val wnd = Window.orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pts = perB.join(vocabB, Seq("b"), "full")
-      .na.fill(0L, Seq("t", "v"))
-      .withColumn("n_cum", sum(col("t")).over(wnd))
-      .withColumn("v_cum", sum(col("v")).over(wnd))
+    // ~log2(corpus) rows: cumulate over the boundary table with the
+    // ordered prefix scan (exact integer sums, no global window)
+    val pts = Ranks.withOrderedPrefixScan(
+        perB.join(vocabB, Seq("b"), "full")
+          .na.fill(0L, Seq("t", "v")),
+        Seq(col("b")), Seq("t" -> "n_cum", "v" -> "v_cum"))
       .filter(col("n_cum") > 0 && col("v_cum") > 0)
       .select(log(col("n_cum").cast("double")).as("x"),
         log(col("v_cum").cast("double")).as("y"),

@@ -79,13 +79,11 @@ object Packing {
     val local = graft.CacheScope.register(perDoc
       .withColumn("__pk_cum", sum(col("__pk_n")).over(wIn))
       .persist())
-    val wB = Window.orderBy(col("__pk_b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOff = local
-      .groupBy(col("__pk_b"))
-      .agg(max(col("__pk_cum")).as("__pk_bt"))
-      .withColumn("__pk_boff",
-        coalesce(sum(col("__pk_bt")).over(wB), lit(0L)))
+    val bucketOff = Ranks.withOrderedPrefixScan(
+        local.groupBy(col("__pk_b"))
+          .agg(max(col("__pk_cum")).as("__pk_bt")),
+        Seq(col("__pk_b")), Seq("__pk_bt" -> "__pk_bc"))
+      .withColumn("__pk_boff", col("__pk_bc") - col("__pk_bt"))
       .select(col("__pk_b"), col("__pk_boff"))
     // global token offset o = bucket offset + local cumsum − own length;
     // the join is bucket-grain (bounded) — AQE broadcasts when it fits

@@ -358,14 +358,11 @@ object QualityClassifier {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
-    // bounded bin-table windows and joins from here on
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, org.apache.spark.sql.expressions.Window
-        .currentRow)
-    val cum = binned
-      .withColumn("cw", sum(col("n")).over(w))
-      .withColumn("cs", sum(col("n_pos")).over(w))
+    // bounded bin-table scans and joins from here on: cumulative
+    // weights/successes via the ordered prefix scan (exact integer
+    // sums, no unpartitioned window)
+    val cum = Ranks.withOrderedPrefixScan(binned, Seq(col("bin")),
+      Seq("n" -> "cw", "n_pos" -> "cs"))
     val j = cum.select(col("bin").as("j"),
       (col("cw") - col("n")).as("cw0"), (col("cs") - col("n_pos"))
         .as("cs0"))

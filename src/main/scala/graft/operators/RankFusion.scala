@@ -34,11 +34,12 @@ object RankFusion {
       rankCol: String): DataFrame = {
     val hist = scored.groupBy(col(scoreCol))
       .agg(count(lit(1)).as("__rf_c"))
-    val above = Window.orderBy(col(scoreCol).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranks = hist
-      .withColumn(rankCol,
-        (coalesce(sum(col("__rf_c")).over(above), lit(0L)) + 1L))
+    // competition rank = (exclusive cum of better-score counts) + 1,
+    // via the ordered prefix scan on the score histogram — exact
+    // integer subtraction, no unpartitioned window
+    val ranks = Ranks.withOrderedPrefixScan(hist,
+        Seq(col(scoreCol).desc), Seq("__rf_c" -> "__rf_cum"))
+      .withColumn(rankCol, col("__rf_cum") - col("__rf_c") + 1L)
       .select(col(scoreCol), col(rankCol))
     scored.join(ranks, Seq(scoreCol)) // un-hinted score join-back
   }

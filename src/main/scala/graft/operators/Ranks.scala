@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StructField}
 
 /** Global ranking without the single-partition WindowExec trap.
   *
@@ -36,6 +36,75 @@ object Ranks {
       sorted.rdd.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ (i + 1L))
       }, schema)
+  }
+
+  /** Ordered prefix scan over a CONFIG-BOUNDED frame without the
+    * unpartitioned WindowExec: the frame shuffles to ONE deliberate
+    * task (exactly the single partition the global window would have
+    * used — this device replaces it, it does not parallelize it),
+    * sorts by `sortCols`, and stamps in one sequential pass
+    *   - for each `(in, out)` of `sums`: the INCLUSIVE running sum of
+    *     `in` — LONG for integral inputs, DOUBLE for fractional,
+    *     accumulated in sorted order so float folds replay exactly
+    *     like the ordered window they replace;
+    *   - `idxCol` (when nonEmpty): the 1-based row number.
+    * The exclusive (`-1`-frame) variant of an INTEGRAL sum is
+    * `out - in` (exact); for a fractional sum subtracting is NOT the
+    * same float as the shorter fold — keep those inclusive or read
+    * the previous row explicitly. Null inputs add nothing (the window
+    * aggregate's null-skipping) but keep their row.
+    *
+    * Contract: `df` must be config-bounded (bins, buckets, arms,
+    * deciles, boundary grids — never the corpus); corpus-grain
+    * cumulation belongs in keyed windows or the distributed
+    * [[withGlobalRowNumber]] device.
+    */
+  def withOrderedPrefixScan(df: DataFrame, sortCols: Seq[Column],
+      sums: Seq[(String, String)], idxCol: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartition(1).sortWithinPartitions(sortCols: _*)
+    val schema0 = sorted.schema
+    val integral = sums.map { case (in, _) =>
+      schema0(in).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    val withSums = sums.zip(integral).foldLeft(schema0) {
+      case (sch, ((_, out), isInt)) =>
+        sch.add(StructField(out,
+          if (isInt) LongType else DoubleType, nullable = false))
+    }
+    val schema =
+      if (idxCol.isEmpty) withSums
+      else withSums.add(StructField(idxCol, LongType, nullable = false))
+    val idxs = sums.map { case (in, _) => schema0.fieldIndex(in) }
+    val n = sums.size
+    val stamped = sorted.rdd.mapPartitions { it =>
+      val accL = Array.ofDim[Long](n)
+      val accD = Array.ofDim[Double](n)
+      var rowNo = 0L
+      it.map { r =>
+        rowNo += 1
+        var k = 0
+        val extra = Seq.newBuilder[Any]
+        while (k < n) {
+          val v = r.get(idxs(k))
+          if (integral(k)) {
+            if (v != null) accL(k) += v.asInstanceOf[Number].longValue
+            extra += accL(k)
+          } else {
+            if (v != null) accD(k) += v.asInstanceOf[Number].doubleValue
+            extra += accD(k)
+          }
+          k += 1
+        }
+        val tail =
+          if (idxCol.isEmpty) extra.result() else extra.result() :+ rowNo
+        Row.fromSeq(r.toSeq ++ tail)
+      }
+    }
+    spark.createDataFrame(stamped, schema)
   }
 
   /** Exact positive integral division as a Column — the numerator is

@@ -47,13 +47,12 @@ object Sharding {
     val local = graft.CacheScope.register(base
       .withColumn("__sh_r", row_number().over(wIn).cast("long"))
       .persist())
-    val wB = Window.orderBy(col("__sh_nw"), col("__sh_ib"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOff = local
-      .groupBy(col("__sh_nw"), col("__sh_ib"))
-      .agg(count(lit(1)).as("__sh_bn"))
-      .withColumn("__sh_boff",
-        coalesce(sum(col("__sh_bn")).over(wB), lit(0L)))
+    val bucketOff = Ranks.withOrderedPrefixScan(
+        local.groupBy(col("__sh_nw"), col("__sh_ib"))
+          .agg(count(lit(1)).as("__sh_bn")),
+        Seq(col("__sh_nw"), col("__sh_ib")),
+        Seq("__sh_bn" -> "__sh_bc"))
+      .withColumn("__sh_boff", col("__sh_bc") - col("__sh_bn"))
       .select(col("__sh_nw"), col("__sh_ib"), col("__sh_boff"))
     val ranked = local.join(bucketOff, Seq("__sh_nw", "__sh_ib"))
       .withColumn("rank", col("__sh_boff") + col("__sh_r"))

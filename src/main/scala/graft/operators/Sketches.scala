@@ -323,11 +323,8 @@ object Sketches {
       s"percents must be 1..100: $percents")
     val pcts = percents.distinct.sorted.toDF("pct")
     val n = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_items"))
-    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    hist
-      .withColumn("cum", sum(col("cnt")).over(wB))
+    Ranks.withOrderedPrefixScan(hist, Seq(col("bucket")),
+        Seq("cnt" -> "cum"))
       .crossJoin(broadcast(n)).crossJoin(broadcast(pcts))
       .withColumn("rank", expr("(pct * n_items + 99) DIV 100"))
       .filter(col("cum") >= col("rank"))

@@ -152,17 +152,14 @@ object Survival {
         col("d_t").cast("double") * col("n_a") / col("n_t")
           * col("n_b") / col("n_t")
           * (col("n_t") - col("d_t")) / (col("n_t") - lit(1L)))
-    // running float sums in ascending t, read at the last row — the
-    // bounded table is distinct-event-times long
-    val wRun = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sums = byT
-      .withColumn("__oa", sum(col("d_a")).over(wRun))
-      .withColumn("__ob", sum(col("d_b")).over(wRun))
-      .withColumn("__ea", sum(col("e_a")).over(wRun))
-      .withColumn("__v", sum(col("v")).over(wRun))
-      .withColumn("__rn", row_number().over(Window.orderBy(col("t").desc)))
-      .filter(col("__rn") === 1)
+    // running float sums in ascending t (the ordered prefix scan —
+    // identical sequential accumulation, no unpartitioned window),
+    // read at the last row via TakeOrdered(1) — the bounded table is
+    // distinct-event-times long
+    val sums = Ranks.withOrderedPrefixScan(byT, Seq(col("t")),
+        Seq("d_a" -> "__oa", "d_b" -> "__ob",
+          "e_a" -> "__ea", "v" -> "__v"))
+      .orderBy(col("t").desc).limit(1)
     sums
       .join(broadcast(tots.groupBy()
         .agg(sum(when(col("arm") === armA, col("tot"))).as("n_a_tot"),

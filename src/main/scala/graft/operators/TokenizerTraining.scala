@@ -445,10 +445,14 @@ object TokenizerTraining {
            |      length(word) - i + 1)),
            |    l -> substring(word, i, l))))""".stripMargin)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
-    val ranked = cands
-      .withColumn("__rk", row_number().over(org.apache.spark.sql
-        .expressions.Window.orderBy(col("cnt").desc, col("piece"))))
-      .filter(col("__rk") <= k || length(col("piece")) === 1)
+    // top-k by (cnt DESC, piece) via TakeOrdered — piece is unique
+    // (post-groupBy), so the order is total and limit(k) selects
+    // exactly the rank-window's rk <= k set; single-char pieces are
+    // rescued by anti-join, no global rank window anywhere
+    val topK = cands.orderBy(col("cnt").desc, col("piece")).limit(k)
+    val ranked = topK
+      .unionByName(cands.filter(length(col("piece")) === 1)
+        .join(topK, Seq("piece"), "left_anti"))
       .select(col("piece"), col("cnt"))
     val vocabRows = ranked.collect()
       .map(r => r.getString(0) -> r.getLong(1))

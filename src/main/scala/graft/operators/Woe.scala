@@ -98,14 +98,13 @@ object Woe {
     val v = col(numCol).cast("double")
     val hist = df.filter(v.isNotNull).groupBy(v.as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, org.apache.spark.sql.expressions.Window
-        .currentRow)
     val tot = hist.agg(sum(col("__c")).as("__n"))
     val pcts = percents.distinct.sorted.toDF("pct")
-    val cuts = hist.crossJoin(broadcast(tot))
-      .withColumn("__cum", sum(col("__c")).over(w))
+    // cumulative counts via the ordered prefix scan (exact integer
+    // sums, no unpartitioned window over the value grid)
+    val cuts = Ranks.withOrderedPrefixScan(
+        hist.crossJoin(broadcast(tot)), Seq(col("__v")),
+        Seq("__c" -> "__cum"))
       .crossJoin(broadcast(pcts))
       .filter(col("__cum") >= expr("(pct * __n + 99) DIV 100"))
       .groupBy(col("pct")).agg(min(col("__v")).as("cut"))
