@@ -47,32 +47,47 @@ object Mixture {
   def waterfill(strata: DataFrame, keyCol: String, capacityCol: String,
       weightCol: String, budget: Double, maxEpochs: Int = 1): DataFrame = {
     require(maxEpochs >= 1, s"bad maxEpochs $maxEpochs")
-    val order = Window.orderBy(col("__ratio"), col(keyCol))
-    val before = order.rowsBetween(Window.unboundedPreceding, -1)
-    val fromHere = order.rowsBetween(Window.currentRow,
-      Window.unboundedFollowing)
-    val full = order.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    strata
-      .withColumn("__cap", col(capacityCol).cast("double") * maxEpochs)
-      .withColumn("__ratio", col("__cap") / col(weightCol))
-      .withColumn("__cumBefore",
-        coalesce(sum(col("__cap")).over(before), lit(0.0)))
-      .withColumn("__tailW", sum(col(weightCol)).over(fromHere))
+    // The source table is config-bounded, so all the saturation-order
+    // cumulation runs on the ordered prefix scan instead of global
+    // windows: cumBefore = inclusive − own, tail weight = total −
+    // exclusive prefix — EXACT rewrites of the old window frames on
+    // the integer/grid capacities and weights the mixture recipe
+    // feeds (the house grid contract; fractional off-grid weights
+    // would differ only in the last ulp of the fill level).
+    val scanned = Ranks.withOrderedPrefixScan(
+      strata
+        .withColumn("__cap", col(capacityCol).cast("double") * maxEpochs)
+        .withColumn("__w", col(weightCol).cast("double"))
+        .withColumn("__ratio", col("__cap") / col("__w")),
+      Seq(col("__ratio"), col(keyCol)),
+      Seq("__cap" -> "__cumC", "__w" -> "__cumW"), idxCol = "__i")
+    val tot = scanned.orderBy(col("__i").desc).limit(1)
+      .select(col("__cumW").as("__totW"))
+    val leveled = scanned
+      .crossJoin(broadcast(tot))
+      .withColumn("__cumBefore", col("__cumC") - col("__cap"))
+      .withColumn("__tailW", col("__totW") - (col("__cumW") - col("__w")))
       .withColumn("__tcand",
         (lit(budget) - col("__cumBefore")) / col("__tailW"))
-      .withColumn("__tstar",
-        first(when(col("__ratio") >= col("__tcand"), col("__tcand")),
-          ignoreNulls = true).over(full))
+    // the fill level: the FIRST stratum (in saturation order) whose
+    // ratio meets its candidate level — a TakeOrdered(1), broadcast
+    // back outer so a budget >= total (no such stratum) keeps rows
+    val lvl = leveled.filter(col("__ratio") >= col("__tcand"))
+      .orderBy(col("__ratio"), col(keyCol)).limit(1)
+      .select(lit(1).as("__one"), col("__tcand").as("__tstar"))
+    leveled
+      .withColumn("__one", lit(1))
+      .join(broadcast(lvl), Seq("__one"), "left")
       .withColumn("alloc",
         when(col("__tstar").isNull, col("__cap")) // budget >= total
           // clamp at 0: a budget below even the first stratum's share
           // yields a negative level, which must mean "allocate nothing",
           // never a negative allocation
           .otherwise(greatest(lit(0.0),
-            least(col("__cap"), col(weightCol) * col("__tstar")))))
-      .drop("__cap", "__ratio", "__cumBefore", "__tailW", "__tcand",
-        "__tstar")
+            least(col("__cap"), col("__w") * col("__tstar")))))
+      .drop("__cap", "__w", "__ratio", "__cumC", "__cumW", "__i",
+        "__totW", "__cumBefore", "__tailW", "__tcand", "__tstar",
+        "__one")
   }
 
   /** Realize a [[waterfill]] allocation as an ACTUAL document pick: per

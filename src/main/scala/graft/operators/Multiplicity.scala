@@ -78,19 +78,22 @@ object Multiplicity {
   def benjaminiHochberg(tests: DataFrame, pCol: String, keyCol: String,
       qPct: Int): DataFrame = {
     require(qPct >= 1 && qPct < 100, s"bad qPct $qPct")
-    val wr = Window.orderBy(col(pCol), col(keyCol))
-    val ranked = tests
-      .withColumn("rank", row_number().over(wr))
-      .withColumn("__m", count(lit(1)).over(
-        Window.partitionBy(lit(1))))
+    // ranks from the ordered prefix scan (the m-row test table is
+    // config-bounded), m and the step-up cutoff as broadcast scalars —
+    // no unpartitioned window anywhere
+    val m = tests.agg(count(lit(1)).as("__m"))
+    val ranked = Ranks.withOrderedPrefixScan(tests,
+        Seq(col(pCol), col(keyCol)), Seq.empty, idxCol = "__rk")
+      .withColumn("rank", col("__rk").cast("int")).drop("__rk")
+      .crossJoin(broadcast(m))
       .withColumn("bh_threshold",
         round(col("rank").cast("double") * qPct /
           (lit(100.0) * col("__m")), 6))
       .withColumn("__pass",
         when(col(pCol) <= col("bh_threshold"), col("rank")))
+    val kmax = ranked.agg(max(col("__pass")).as("__kmax"))
     ranked
-      .withColumn("__kmax", max(col("__pass")).over(
-        Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(kmax))
       .withColumn("rejected",
         col("__kmax").isNotNull && col("rank") <= col("__kmax"))
       .drop("__m", "__pass", "__kmax")

@@ -126,10 +126,9 @@ object Pca {
       v = w.crossJoin(broadcast(norm))
         .select(col("__vi"), round(col("wx") / col("nrm"), 6).as("x"))
     }
-    // sign convention: the largest-|x| entry (ties: smaller i) positive
-    val pick = v.withColumn("__rk", row_number().over(
-        Window.orderBy(abs(col("x")).desc, col("__vi"))))
-      .filter(col("__rk") === 1)
+    // sign convention: the largest-|x| entry (ties: smaller i)
+    // positive — a TakeOrdered(1) over the d-row vector, no window
+    val pick = v.orderBy(abs(col("x")).desc, col("__vi")).limit(1)
       .select(signum(col("x")).as("__sgn"))
     v.crossJoin(broadcast(pick)).crossJoin(broadcast(lastNorm))
       .select(col("__vi").as("i"),

@@ -149,11 +149,14 @@ object SkewJoins {
     val prod = lc.join(rc, Seq("key"))
       .withColumn("pairs", col("c_left") * col("c_right"))
     val tot = prod.agg(sum(col("pairs")).as("total_pairs"))
-    prod.crossJoin(broadcast(tot))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("pairs").desc, col("key"))))
-      .filter(col("rank") <= topK)
+    // top-k via TakeOrdered (the order is total: pairs DESC, key),
+    // ranks stamped on the <= topK survivors by the prefix scan — no
+    // global rank window over the key profile
+    val top = prod.crossJoin(broadcast(tot))
+      .orderBy(col("pairs").desc, col("key")).limit(topK)
+    Ranks.withOrderedPrefixScan(top,
+        Seq(col("pairs").desc, col("key")), Seq.empty, idxCol = "__rk")
+      .withColumn("rank", col("__rk").cast("int"))
       .select(col("rank"), col("key"), col("c_left"), col("c_right"),
         col("pairs"),
         round(col("pairs") / col("total_pairs").cast("double"), 6)
