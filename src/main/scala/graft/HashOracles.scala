@@ -929,6 +929,109 @@ object HashOracles {
       s"SELECT * FROM ($sel) ORDER BY o_orderpriority, cutoff")
   }
 
+  /** Rolling-origin Holt–WINTERS backtest replay (q297,
+    * [[operators.Forecast.backtestHoltWinters]]): the q253 seasonal
+    * list-fold — state `[l, b, s1..s7]`, calendar-true slot update,
+    * every cell snapped per step — run per cutoff over the shared
+    * daily-series CTE; forecast = l + h·b + the (t_last + h) mod 7
+    * slot; actual = mean of the window's observed dailies; APE.
+    * Constants pinned to q253's (α=.3, β=.05, γ=.2, period=7).
+    */
+  def q297HwBacktest(cutoffs: Seq[Long], horizon: Int): String = {
+    import graft.functions.Grid.snapSql
+    val lNew = snapSql("0.3e0 * (x[2] - a[CAST(x[1] % 7 AS INT) + 3]) " +
+      "+ 0.7e0 * (a[1] + a[2])")
+    val bNew = snapSql(s"0.05e0 * ($lNew - a[1]) + 0.95e0 * a[2]")
+    val sNew = snapSql(s"0.2e0 * (x[2] - $lNew) + 0.8e0 * v")
+    val fcast = snapSql(s"f.st[1] + $horizon.0e0 * f.st[2] + " +
+      s"f.st[CAST((f.t_last + $horizon) % 7 AS INT) + 3]")
+    val per = cutoffs.distinct.sorted.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        s"s$i AS (SELECT o_orderpriority, list([CAST(day AS DOUBLE), " +
+          "CAST(rev AS DOUBLE)] ORDER BY day) AS sl FROM bd " +
+          s"WHERE day <= $c GROUP BY 1)",
+        s"f$i AS (SELECT o_orderpriority, len(sl) AS n_obs, " +
+          "sl[-1][1] AS t_last, " +
+          "list_reduce(list_prepend(" +
+          "list_concat([sl[1][2], sl[2][2] - sl[1][2]], " +
+          "[0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0]), " +
+          "sl[2:]), " +
+          s"(a, x) -> list_concat([$lNew, $bNew], " +
+          "list_transform(a[3:], (v, i) -> " +
+          "CASE WHEN i = CAST(x[1] % 7 AS INT) + 1 " +
+          s"THEN $sNew ELSE v END))) AS st " +
+          s"FROM s$i WHERE len(sl) >= 2)",
+        s"a$i AS (SELECT o_orderpriority, ${snapSql("avg(rev)")} " +
+          s"AS actual FROM bd WHERE day > $c AND day <= ${c + horizon} " +
+          "GROUP BY 1)",
+        s"o$i AS (SELECT f.o_orderpriority, CAST($c AS BIGINT) " +
+          "AS cutoff, CAST(f.n_obs AS BIGINT) AS n_obs, " +
+          s"$fcast AS forecast, a.actual, " +
+          snapSql(s"abs(($fcast) - a.actual) / abs(a.actual)") +
+          s" AS ape FROM f$i f JOIN a$i a USING (o_orderpriority))")
+    }
+    val sel = cutoffs.distinct.sorted.indices
+      .map(i => s"SELECT * FROM o$i").mkString(" UNION ALL ")
+    withClause(Seq(
+      "bd AS (SELECT o_orderpriority, date_diff('day', " +
+        "DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders " +
+        "GROUP BY 1, 2)") ++ per,
+      s"SELECT * FROM ($sel) ORDER BY o_orderpriority, cutoff")
+  }
+
+  /** Bradley–Terry MM replay (q298,
+    * [[operators.Preference.bradleyTerry]]): weekly revenue contests
+    * between priorities, the symmetric bounded pair table, then
+    * `rounds` unrolled MM updates — each item's denominator folds its
+    * opponent terms in ascending-opponent order via an ordered
+    * list_reduce (the pinned-IEEE-order contract), each term and
+    * strength snaps at 1e-6, the winless floor is the grid
+    * resolution, and identifiability anchors at the first item (a
+    * single-value divide, order-free).
+    */
+  def q298BradleyTerry(rounds: Int): String = {
+    import graft.functions.Grid.snapSql
+    val perRound = (0 until rounds).flatMap { r =>
+      Seq(
+        s"d$r AS MATERIALIZED (SELECT pr.i, list_reduce(list_prepend(" +
+          "CAST(0.0 AS DOUBLE), " +
+          s"list(${snapSql("pr.nij / (pa.p + pb.p)")} ORDER BY pr.j)), " +
+          "(a, x) -> a + x) AS den " +
+          s"FROM pr JOIN p$r pa ON pa.i = pr.i " +
+          s"JOIN p$r pb ON pb.i = pr.j GROUP BY pr.i)",
+        s"r$r AS MATERIALIZED (SELECT w.i, greatest(${snapSql("w.wi / d.den")}, " +
+          s"0.000001e0) AS p FROM wn w JOIN d$r d ON d.i = w.i)",
+        s"p${r + 1} AS MATERIALIZED (SELECT r.i, ${snapSql("r.p / a.p")} AS p " +
+          s"FROM r$r r CROSS JOIN (SELECT p FROM r$r " +
+          "ORDER BY i LIMIT 1) a)")
+    }
+    withClause(Seq(
+      "wkr AS MATERIALIZED (SELECT o_orderpriority AS pri, " +
+        "date_diff('day', DATE '1992-01-01', " +
+        "CAST(o_orderdate AS DATE)) // 7 AS wk, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1, 2)",
+      "ct AS MATERIALIZED (SELECT CASE WHEN a.rev >= b.rev THEN a.pri ELSE b.pri " +
+        "END AS w, CASE WHEN a.rev >= b.rev THEN b.pri ELSE a.pri " +
+        "END AS l FROM wkr a JOIN wkr b ON a.wk = b.wk " +
+        "AND a.pri < b.pri)",
+      "pr AS MATERIALIZED (SELECT i, j, CAST(count(*) AS DOUBLE) AS nij FROM " +
+        "(SELECT w AS i, l AS j FROM ct " +
+        "UNION ALL SELECT l AS i, w AS j FROM ct) GROUP BY 1, 2)",
+      "it AS MATERIALIZED (SELECT DISTINCT i FROM pr)",
+      "wn AS MATERIALIZED (SELECT it.i, coalesce(x.wi, 0.0e0) AS wi, " +
+        "coalesce(x.nw, 0) AS n_wins FROM it LEFT JOIN " +
+        "(SELECT w AS i, CAST(count(*) AS DOUBLE) AS wi, " +
+        "CAST(count(*) AS BIGINT) AS nw FROM ct GROUP BY 1) x " +
+        "ON x.i = it.i)",
+      "ng AS MATERIALIZED (SELECT i, CAST(sum(nij) AS BIGINT) AS n_games " +
+        "FROM pr GROUP BY 1)",
+      "p0 AS MATERIALIZED (SELECT i, 1.0e0 AS p FROM it)") ++ perRound,
+      s"SELECT wn.i AS item, wn.n_wins, ng.n_games, p.p AS strength " +
+        s"FROM wn JOIN ng ON ng.i = wn.i JOIN p$rounds p " +
+        "ON p.i = wn.i ORDER BY item")
+  }
+
   /** Cross-split leakage replay (q279,
     * [[operators.Dedup.crossSplitLeakage]]): banded candidates +
     * Jaccard verify over the whole corpus, the splitmix 80/20 test

@@ -412,6 +412,39 @@ object ScaleProbe {
             .withColumn("n_chars", length(col("text")).cast("long")),
           "source", "n_chars", 128, Seq(50, 90, 99)))
     }
+    // Bradley–Terry: contests collapse ONCE to the bounded directed
+    // pair table; the MM rounds never touch the corpus again —
+    // replicas must scale linearly however many rounds run
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"bradley_terry r=$r docs=${nDocs * r}", () =>
+        operators.Preference.bradleyTerry(
+          replicateDocs(r).select(
+            concat(lit("w"), pmod(col("doc_id"), lit(7L))).as("winner"),
+            concat(lit("l"), pmod(col("doc_id") * 31L, lit(7L)))
+              .as("loser")),
+          "winner", "loser", rounds = 5))
+    }
+    // Cohen kappa: the corpus collapses to the k×k confusion table in
+    // one aggregation; everything after is bounded-table integer
+    // algebra — linear in replicas
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"cohen_kappa r=$r docs=${nDocs * r}", () =>
+        operators.Agreement.cohenKappa(
+          replicateDocs(r)
+            .withColumn("ra", concat(lit("b"),
+              pmod(length(col("text")), lit(3L))))
+            .withColumn("rb", concat(lit("b"),
+              pmod(length(col("text")) + col("doc_id") % 2L, lit(3L)))),
+          "ra", "rb"))
+    }
+    // PII profile: one corpus pass whatever the column × pattern
+    // count (cells explode per row, one aggregation) — linear
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"pii_profile r=$r docs=${nDocs * r}", () =>
+        operators.PiiProfile.profile(
+          replicateDocs(r).withColumn("text2", col("text")),
+          Seq("text", "text2")))
+    }
     spark.stop()
   }
 }

