@@ -1032,6 +1032,88 @@ object HashOracles {
         "ON p.i = wn.i ORDER BY item")
   }
 
+  /** Cohen + linear-weighted kappa replay (q299,
+    * [[operators.Agreement.cohenKappa]]): the k×k confusion table,
+    * lexicographic 0-based ordinals, exact-long chance cross-products,
+    * snapped divisions at the readout only. Dynamic k via CTEs so the
+    * oracle mirrors the operator's data-derived alphabet.
+    */
+  val q299RaterAgreement: String = {
+    import graft.functions.Grid.snapSql
+    val pe = "CAST(ex.ech AS DOUBLE) / (ob.n * ob.n)"
+    val peW = "CAST(ex.ech_w AS DOUBLE) / (ob.n * ob.n * (kk.k - 1))"
+    val po = "CAST(ob.agree AS DOUBLE) / ob.n"
+    val poW = "CAST(ob.agree_w AS DOUBLE) / (ob.n * (kk.k - 1))"
+    withClause(Seq(
+      "pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev, " +
+        "round(sum(value), 2) AS val FROM events GROUP BY 1)",
+      "lb AS (SELECT CASE WHEN n_ev < 64 THEN 'b0' WHEN n_ev < 75 " +
+        "THEN 'b1' ELSE 'b2' END AS a, CASE WHEN val < 3100.0 " +
+        "THEN 'b0' WHEN val < 3600.0 THEN 'b1' ELSE 'b2' END AS b " +
+        "FROM pu)",
+      "cf AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) " +
+        "AS nab FROM lb GROUP BY 1, 2)",
+      "ls AS MATERIALIZED (SELECT DISTINCT lab FROM (SELECT a AS lab " +
+        "FROM cf UNION SELECT b AS lab FROM cf))",
+      "rk AS MATERIALIZED (SELECT lab, CAST(row_number() OVER " +
+        "(ORDER BY lab) - 1 AS BIGINT) AS ord FROM ls)",
+      "kk AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k " +
+        "FROM ls)",
+      "ce AS (SELECT cf.a, cf.b, cf.nab, (kk.k - 1) - " +
+        "abs(ra.ord - rb.ord) AS lw FROM cf, rk ra, rk rb, kk " +
+        "WHERE ra.lab = cf.a AND rb.lab = cf.b)",
+      "ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS rm FROM ce " +
+        "GROUP BY 1)",
+      "mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS cm FROM ce " +
+        "GROUP BY 1)",
+      "ch AS (SELECT ma.a, mb.b, ma.rm * mb.cm AS pp, (kk.k - 1) - " +
+        "abs(ra.ord - rb.ord) AS lw FROM ma, mb, rk ra, rk rb, kk " +
+        "WHERE ra.lab = ma.a AND rb.lab = mb.b)",
+      "ob AS (SELECT CAST(sum(nab) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN a = b THEN nab ELSE 0 END) AS BIGINT) " +
+        "AS agree, CAST(sum(nab * lw) AS BIGINT) AS agree_w FROM ce)",
+      "ex AS (SELECT CAST(sum(CASE WHEN a = b THEN pp ELSE 0 END) " +
+        "AS BIGINT) AS ech, CAST(sum(pp * lw) AS BIGINT) AS ech_w " +
+        "FROM ch)"),
+      s"""SELECT ob.n AS n_items, kk.k AS k_labels,
+         |  ${snapSql(po)} AS po, ${snapSql(pe)} AS pe,
+         |  ${snapSql(s"CASE WHEN ex.ech = ob.n * ob.n THEN NULL " +
+          s"ELSE ($po - $pe) / (1.0e0 - $pe) END")} AS kappa,
+         |  ${snapSql(poW)} AS po_w, ${snapSql(peW)} AS pe_w,
+         |  ${snapSql(s"CASE WHEN ex.ech_w = ob.n * ob.n * (kk.k - 1) " +
+          s"THEN NULL ELSE ($poW - $peW) / (1.0e0 - $peW) END")}
+         |    AS kappa_w
+         |FROM ob, ex, kk""".stripMargin)
+  }
+
+  /** PII column-profile replay (q300,
+    * [[operators.PiiProfile.profile]]): one SELECT per (column,
+    * pattern) cell, UNION ALL — the patterns come verbatim from
+    * [[operators.PiiProfile.defaultPatterns]] (single source of
+    * truth; only portable constructs, so RE2 and Java regex agree).
+    */
+  def q300PiiProfile(table: String, cols: Seq[String]): String = {
+    import graft.functions.Grid.snapSql
+    val parts = for {
+      c <- cols
+      (pn, pat) <- operators.PiiProfile.defaultPatterns
+    } yield
+      s"SELECT '$c' AS \"column\", '$pn' AS pattern, " +
+        s"CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(count($c) AS BIGINT) AS n_nonnull, " +
+        s"CAST(sum(CASE WHEN regexp_matches(CAST($c AS VARCHAR), " +
+        s"'$pat') THEN 1 ELSE 0 END) AS BIGINT) AS n_match, " +
+        snapSql(s"CASE WHEN count($c) > 0 THEN " +
+          s"CAST(sum(CASE WHEN regexp_matches(CAST($c AS VARCHAR), " +
+          s"'$pat') THEN 1 ELSE 0 END) AS DOUBLE) / count($c) " +
+          "ELSE NULL END") + " AS match_rate, " +
+        s"(sum(CASE WHEN regexp_matches(CAST($c AS VARCHAR), '$pat') " +
+        s"THEN 1 ELSE 0 END) * 2 > count($c)) AS flagged " +
+        s"FROM $table"
+    parts.mkString("SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY \"column\", pattern")
+  }
+
   /** Cross-split leakage replay (q279,
     * [[operators.Dedup.crossSplitLeakage]]): banded candidates +
     * Jaccard verify over the whole corpus, the splitmix 80/20 test

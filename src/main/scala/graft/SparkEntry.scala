@@ -3627,6 +3627,37 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // Inter-annotator agreement — the labeled-data QA readout: two
+    // heuristic "raters" bucket each user's engagement (event count
+    // vs spend — correlated but not identical signals), and Cohen's
+    // kappa + the linear-weighted kappa correct raw agreement for
+    // chance. One corpus aggregation to the k×k confusion table;
+    // all chance terms exact long cross-products; divisions snap at
+    // the readout — engine-exact by construction, no fold.
+    "q299_rater_agreement" -> ((s, dir) => {
+      val perUser = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          round(sum(col("value")), 2).as("val"))
+        .select(
+          when(col("n_ev") < 64, "b0").when(col("n_ev") < 75, "b1")
+            .otherwise("b2").as("ra"),
+          when(col("val") < 3100.0, "b0").when(col("val") < 3600.0, "b1")
+            .otherwise("b2").as("rb"))
+      graft.operators.Agreement.cohenKappa(perUser, "ra", "rb")
+    }),
+
+    // PII column profiling — the governance pass before a release:
+    // every string column scans against the portable pattern battery
+    // (phone/email/IPv4/digit-run — identical search semantics in
+    // Java regex and RE2) in ONE corpus pass; a column flags when
+    // most of its values ARE the pattern. On this corpus c_name's
+    // 9-digit id run flags digit_run; the rest read zero — the audit
+    // result, not a vacuous one.
+    "q300_pii_profile" -> ((s, dir) =>
+      graft.operators.PiiProfile.profile(T(s, dir, "customer"),
+          Seq("c_mktsegment", "c_name"))
+        .orderBy(col("column"), col("pattern"))),
+
     // Bradley–Terry preference strengths — the leaderboard device
     // behind preference-data curation: weekly revenue contests
     // between order priorities (winner = higher weekly revenue, ties
@@ -7967,6 +7998,11 @@ object SparkEntry {
       HashOracles.q297HwBacktest(Seq(1500L, 1800L, 2100L), 7),
 
     "q298_bradley_terry" -> HashOracles.q298BradleyTerry(10),
+
+    "q299_rater_agreement" -> HashOracles.q299RaterAgreement,
+
+    "q300_pii_profile" -> HashOracles.q300PiiProfile("customer",
+      Seq("c_mktsegment", "c_name")),
 
     "q291_embedding_outliers" ->
       HashOracles.q291EmbeddingOutliers(8, 20),

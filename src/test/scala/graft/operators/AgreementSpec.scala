@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Kappa laws: the textbook 2×2 table in closed form (including
+  * NEGATIVE kappa — worse than chance), weighted == unweighted at
+  * k = 2, near-miss disagreements score better under the weighted
+  * form, and the per-label drill-down localizes the fight.
+  */
+class AgreementSpec extends SparkSpec {
+
+  private def rated(cells: Seq[(String, String, Int)]) = {
+    val s = spark
+    import s.implicits._
+    cells.flatMap { case (a, b, n) => Seq.fill(n)((a, b)) }
+      .toDF("ra", "rb")
+  }
+
+  test("2x2 closed form: po = .5, pe = .54, kappa = -.04/.46, and " +
+      "the linear-weighted kappa equals the unweighted one at k = 2") {
+    val df = rated(Seq(("yes", "yes", 20), ("yes", "no", 10),
+      ("no", "yes", 15), ("no", "no", 5)))
+    val r = Agreement.cohenKappa(df, "ra", "rb").head()
+    assert(r.getAs[Long]("n_items") === 50L)
+    assert(r.getAs[Long]("k_labels") === 2L)
+    assert(math.abs(r.getAs[Double]("po") - 0.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("pe") - 0.54) < 1e-6)
+    assert(math.abs(r.getAs[Double]("kappa") - (-0.04 / 0.46)) < 1e-6)
+    assert(r.getAs[Double]("kappa_w") === r.getAs[Double]("kappa"))
+  }
+
+  test("ordinal near-misses: all disagreements one bucket apart -> " +
+      "weighted kappa strictly beats unweighted") {
+    val df = rated(Seq(("b0", "b0", 20), ("b1", "b1", 20),
+      ("b2", "b2", 20), ("b0", "b1", 10), ("b1", "b2", 10),
+      ("b2", "b1", 10)))
+    val r = Agreement.cohenKappa(df, "ra", "rb").head()
+    assert(r.getAs[Long]("k_labels") === 3L)
+    assert(r.getAs[Double]("kappa_w") > r.getAs[Double]("kappa"),
+      s"kappa_w ${r.getAs[Double]("kappa_w")} vs " +
+        s"kappa ${r.getAs[Double]("kappa")}")
+  }
+
+  test("degenerate single-label alphabet: pe = 1, kappa reads null") {
+    val df = rated(Seq(("x", "x", 10)))
+    val r = Agreement.cohenKappa(df, "ra", "rb").head()
+    assert(r.getAs[Double]("po") === 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("labelAgreement localizes: perfect on 'easy', contested on " +
+      "'hard'") {
+    val df = rated(Seq(("easy", "easy", 30), ("hard", "hard", 5),
+      ("hard", "easy", 5), ("easy", "hard", 0)))
+    val m = Agreement.labelAgreement(df, "ra", "rb")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_both"), r.getAs[Double]("specific_agreement")))
+      .toMap
+    assert(m("easy")._1 === 30L)
+    // easy: 2*30 / (30 + 35)
+    assert(math.abs(m("easy")._2 - 60.0 / 65) < 1e-6)
+    // hard: 2*5 / (10 + 5)
+    assert(math.abs(m("hard")._2 - 10.0 / 15) < 1e-6)
+  }
+
+  test("null-rated rows drop from the table, not into a null label") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some("a")), ("a", None), ("b", Some("b")))
+      .toDF("ra", "rb")
+    val r = Agreement.cohenKappa(df, "ra", "rb").head()
+    assert(r.getAs[Long]("n_items") === 2L)
+  }
+}
