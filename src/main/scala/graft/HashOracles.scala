@@ -1114,6 +1114,145 @@ object HashOracles {
       ") ORDER BY \"column\", pattern")
   }
 
+  /** Seasonal decomposition replay (q301,
+    * [[operators.Seasonal.decompose]]): exact-cent RANGE-window trend
+    * (one exact-int division per cell), per-slot detrended means at
+    * the 1e-4 snap.
+    */
+  val q301SeasonalDecompose: String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      "d AS (SELECT o_orderpriority AS k, date_diff('day', " +
+        "DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1, 2)",
+      "w AS (SELECT k, day, rev, CAST(floor(rev * 100.0 + 0.5) " +
+        "AS BIGINT) AS c FROM d)",
+      "t AS (SELECT k, day, rev, " +
+        snapSql("CAST(sum(c) OVER win AS DOUBLE) / " +
+          "(100.0 * count(*) OVER win)") + " AS trend FROM w " +
+        "WINDOW win AS (PARTITION BY k ORDER BY day " +
+        "RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))"),
+      "SELECT k AS o_orderpriority, day % 7 AS slot, " +
+        "CAST(count(*) AS BIGINT) AS n_obs, " +
+        snapSql("avg(rev - trend)", 4) + " AS seasonal " +
+        "FROM t GROUP BY 1, 2 ORDER BY 1, 2")
+  }
+
+  /** EWMA control-chart replay (q302,
+    * [[operators.Robust.ewmaControl]]): exact integer Σy/Σy² center,
+    * the [z, alarms, first_t] state as a DOUBLE list (the q251
+    * struct-accumulator avoidance), per-step grid snap, the limit
+    * factor as the same 17-digit literal the operator stamps.
+    */
+  def q302EwmaControl(lambda: Double, l: Double): String = {
+    import graft.functions.Grid.{lit17, snapSql}
+    val zNew = snapSql(s"$lambda * x[2] + ${1 - lambda} * a[1]")
+    val factor = lit17(l * math.sqrt(lambda / (2 - lambda)))
+    withClause(Seq(
+      "d AS (SELECT event_type, date_diff('day', DATE '2024-01-01', " +
+        "CAST(ts AS DATE)) AS day, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY 1, 2)",
+      "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs, " +
+        "CAST(sum(n) AS DOUBLE) AS sy, " +
+        "CAST(sum(n * n) AS DOUBLE) AS syy, " +
+        "list([CAST(day AS DOUBLE), CAST(n AS DOUBLE)] ORDER BY day) " +
+        "AS sl FROM d GROUP BY 1)",
+      "m AS (SELECT event_type, n_obs, sl, " +
+        snapSql("sy / n_obs") + " AS mu0, " +
+        snapSql("sqrt((syy - sy * sy / n_obs) / (n_obs - 1))") +
+        " AS sigma0 FROM s WHERE n_obs >= 2)",
+      s"ml AS (SELECT *, ${snapSql(s"sigma0 * $factor")} AS lim " +
+        "FROM m)",
+      "f AS (SELECT event_type, n_obs, mu0, sigma0, lim, " +
+        "list_reduce(list_prepend([mu0, 0.0e0, -1.0e0], sl), " +
+        s"(a, x) -> [$zNew, " +
+        s"a[2] + CASE WHEN abs(($zNew) - mu0) > lim THEN 1.0e0 " +
+        "ELSE 0.0e0 END, " +
+        "CASE WHEN a[3] >= 0.0e0 THEN a[3] ELSE " +
+        s"CASE WHEN abs(($zNew) - mu0) > lim THEN x[1] " +
+        "ELSE -1.0e0 END END]) AS st FROM ml)"),
+      "SELECT event_type, n_obs, mu0, sigma0, lim AS \"limit\", " +
+        "st[1] AS ewma_final, CAST(st[2] AS BIGINT) AS n_alarms, " +
+        "CAST(st[3] AS BIGINT) AS first_alarm_t " +
+        "FROM f ORDER BY event_type")
+  }
+
+  /** SPRT replay (q303, [[operators.Abtest.sprt]]): the Wald walk as
+    * a [llr, n, dec] DOUBLE-list fold, per-step snap, all four log
+    * constants as the operator's own 17-digit literals.
+    */
+  def q303Sprt(p0: Double, p1: Double, alpha: Double, beta: Double,
+      threshold: Double): String = {
+    import graft.functions.Grid.{lit17, snapSql}
+    val la = lit17(math.log(p1 / p0))
+    val lb = lit17(math.log((1 - p1) / (1 - p0)))
+    val up = lit17(math.log((1 - beta) / alpha))
+    val lo = lit17(math.log(beta / (1 - alpha)))
+    val step = snapSql(
+      s"a[1] + CASE WHEN x[2] = 1.0e0 THEN $la ELSE $lb END")
+    withClause(Seq(
+      "w AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total, " +
+        s"CAST(sum(CASE WHEN value >= $threshold THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_success, " +
+        "list([CAST(event_id AS DOUBLE), " +
+        s"CASE WHEN value >= $threshold THEN 1.0e0 ELSE 0.0e0 END] " +
+        "ORDER BY event_id) AS sl FROM events GROUP BY 1)",
+      "f AS (SELECT event_type, n_total, n_success, " +
+        "list_reduce(list_prepend([0.0e0, 0.0e0, 0.0e0], sl), " +
+        "(a, x) -> CASE WHEN a[3] <> 0.0e0 THEN a ELSE " +
+        s"[$step, a[2] + 1.0e0, " +
+        s"CASE WHEN ($step) >= $up THEN 1.0e0 " +
+        s"WHEN ($step) <= $lo THEN -1.0e0 ELSE 0.0e0 END] END) " +
+        "AS st FROM w)"),
+      "SELECT event_type, n_total, n_success, " +
+        "CASE WHEN st[3] = 1.0e0 THEN 'reject_h0' " +
+        "WHEN st[3] = -1.0e0 THEN 'accept_h0' ELSE 'continue' END " +
+        "AS decision, " +
+        "CAST(CASE WHEN st[3] <> 0.0e0 THEN st[2] ELSE -1.0e0 END " +
+        "AS BIGINT) AS n_at_decision, st[1] AS llr_final " +
+        "FROM f ORDER BY event_type")
+  }
+
+  /** Lagged cross-correlation replay (q304,
+    * [[operators.Seasonal.crossCorrelation]]): exact-cent Pearson
+    * sums per lag, one fixed float expression tree.
+    */
+  def q304CrossCorrelation(maxLag: Int): String = {
+    import graft.functions.Grid.snapSql
+    val ccf = snapSql(
+      "CASE WHEN n >= 2 THEN (n * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+        "CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END", 4)
+    val per = (0 to maxLag).map { k =>
+      s"l$k AS (SELECT $k AS lag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(a.v) AS BIGINT) AS sx, " +
+        "CAST(sum(b.v) AS BIGINT) AS sy, " +
+        "CAST(sum(a.v * a.v) AS BIGINT) AS sxx, " +
+        "CAST(sum(b.v * b.v) AS BIGINT) AS syy, " +
+        "CAST(sum(a.v * b.v) AS BIGINT) AS sxy " +
+        s"FROM xs a JOIN ys b ON a.t + $k = b.t)"
+    }
+    val sel = (0 to maxLag).map(k => s"SELECT * FROM l$k")
+      .mkString(" UNION ALL ")
+    withClause(Seq(
+      "d AS (SELECT o_orderpriority AS k, date_diff('day', " +
+        "DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1, 2)",
+      "w AS MATERIALIZED (SELECT day, " +
+        "max(CASE WHEN k = '1-URGENT' THEN rev END) AS x, " +
+        "max(CASE WHEN k = '5-LOW' THEN rev END) AS y " +
+        "FROM d GROUP BY 1)",
+      "xs AS MATERIALIZED (SELECT day AS t, " +
+        "CAST(floor(x * 100.0 + 0.5) AS BIGINT) AS v FROM w " +
+        "WHERE x IS NOT NULL)",
+      "ys AS MATERIALIZED (SELECT day AS t, " +
+        "CAST(floor(y * 100.0 + 0.5) AS BIGINT) AS v FROM w " +
+        "WHERE y IS NOT NULL)") ++ per,
+      s"SELECT lag, n, $ccf AS ccf FROM ($sel) ORDER BY lag")
+  }
+
   /** Cross-split leakage replay (q279,
     * [[operators.Dedup.crossSplitLeakage]]): banded candidates +
     * Jaccard verify over the whole corpus, the splitmix 80/20 test

@@ -445,6 +445,28 @@ object ScaleProbe {
           replicateDocs(r).withColumn("text2", col("text")),
           Seq("text", "text2")))
     }
+    // seasonal decomposition: keyed RANGE windows + one slot-grain
+    // aggregation — linear in replicas (keys scale, windows stay
+    // per-key)
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"seasonal_decompose r=$r docs=${nDocs * r}", () =>
+        operators.Seasonal.decompose(
+          replicateDocs(r)
+            .withColumn("k", pmod(col("doc_id"), lit(40L)))
+            .withColumn("t", pmod(col("doc_id") * 17L, lit(365L)))
+            .withColumn("y", (length(col("text")) % 1000).cast("double")),
+          "k", "t", "y", period = 7, scale = 0))
+    }
+    // SPRT: one groupBy collects each key's walk; the fold runs in
+    // codegen — linear in replicas
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"sprt r=$r docs=${nDocs * r}", () =>
+        operators.Abtest.sprt(
+          replicateDocs(r)
+            .withColumn("k", pmod(col("doc_id"), lit(40L)))
+            .withColumn("ok", length(col("text")) % 2L === 0L),
+          "k", "doc_id", "ok", 0.45, 0.55, 0.05, 0.05))
+    }
     spark.stop()
   }
 }

@@ -3627,6 +3627,74 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // Classical seasonal decomposition of the daily revenue series:
+    // RANGE-window trend over t±3 calendar days summed in EXACT
+    // cents (order-free — a float window avg accumulates in
+    // engine-dependent order), one exact-int division per trend
+    // cell, per-slot detrended means. The register a seasonal-naive
+    // baseline or an HW init reads.
+    "q301_seasonal_decompose" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Seasonal.decompose(daily, "o_orderpriority",
+          "day", "rev", period = 7, scale = 2)
+        .orderBy(col("o_orderpriority"), col("slot"))
+    }),
+
+    // EWMA control chart over daily event counts per type: exact
+    // integer Σy/Σy² center the chart engine-exactly, the smoothing
+    // folds once per key on the grid snap, and the asymptotic
+    // control limit is one sqrt of a driver constant shipped as a
+    // 17-digit round-trip literal. The small-persistent-shift
+    // monitor CUSUM's reset misses.
+    "q302_ewma_control" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"),
+            lit(java.sql.Date.valueOf("2024-01-01"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Robust.ewmaControl(daily, "event_type", "day",
+          "n", lambda = 0.2, l = 3.0)
+        .orderBy(col("event_type"))
+    }),
+
+    // Wald's SPRT per event type: the sequential test walks the
+    // ordered outcome stream (success = value >= 30) accumulating
+    // the snapped log-likelihood ratio of p1=.55 vs p0=.45 until it
+    // crosses a Wald boundary — always-valid stopping instead of
+    // the peeking anti-pattern. Constants ship as 17-digit
+    // round-trip literals so the walk replays bit-exactly.
+    "q303_sprt" -> ((s, dir) =>
+      graft.operators.Abtest.sprt(
+          events(s, dir).withColumn("ok", col("value") >= 30.0),
+          "event_type", "event_id", "ok", p0 = 0.45, p1 = 0.55,
+          alpha = 0.05, beta = 0.05)
+        .orderBy(col("event_type"))),
+
+    // Lagged cross-correlation between two priorities' daily revenue
+    // series: does URGENT lead LOW? One bounded-lag self-join per k,
+    // Pearson sums in exact cents, the corr as one fixed float
+    // expression tree — engine-identical end to end.
+    "q304_cross_correlation" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val wide = daily.groupBy(col("day"))
+        .agg(
+          max(when(col("o_orderpriority") === "1-URGENT", col("rev")))
+            .as("x"),
+          max(when(col("o_orderpriority") === "5-LOW", col("rev")))
+            .as("y"))
+      graft.operators.Seasonal.crossCorrelation(wide, "day", "x", "y",
+          maxLag = 6, scale = 2)
+        .orderBy(col("lag"))
+    }),
+
     // Inter-annotator agreement — the labeled-data QA readout: two
     // heuristic "raters" bucket each user's engagement (event count
     // vs spend — correlated but not identical signals), and Cohen's
@@ -8000,6 +8068,14 @@ object SparkEntry {
     "q298_bradley_terry" -> HashOracles.q298BradleyTerry(10),
 
     "q299_rater_agreement" -> HashOracles.q299RaterAgreement,
+
+    "q301_seasonal_decompose" -> HashOracles.q301SeasonalDecompose,
+
+    "q302_ewma_control" -> HashOracles.q302EwmaControl(0.2, 3.0),
+
+    "q303_sprt" -> HashOracles.q303Sprt(0.45, 0.55, 0.05, 0.05, 30.0),
+
+    "q304_cross_correlation" -> HashOracles.q304CrossCorrelation(6),
 
     "q300_pii_profile" -> HashOracles.q300PiiProfile("customer",
       Seq("c_mktsegment", "c_name")),

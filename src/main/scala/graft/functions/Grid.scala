@@ -60,4 +60,16 @@ object Grid {
     val p = math.pow(10.0, decimals)
     math.floor(x * p + 0.5) / p
   }
+
+  /** A driver-computed double as ROUND-TRIPPING SQL text: 17
+    * significant digits pin the exact IEEE value, and string→double
+    * parsing is correctly rounded on any engine, so Spark and an
+    * oracle embedding the same `lit17` literal start their folds from
+    * the same bits — the portability contract for constants computed
+    * in Scala (SPRT log-odds, EWMA limit factors).
+    */
+  def lit17(x: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+    s"CAST('$s' AS DOUBLE)"
+  }
 }

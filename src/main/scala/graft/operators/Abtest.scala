@@ -401,4 +401,66 @@ object Abtest {
       round(se, 4).as("se"),
       round(did / se, 4).as("z"))
   }
+
+  /** Wald's SPRT (1945) on a Bernoulli stream — the SEQUENTIAL arm of
+    * the experimentation family: instead of a fixed-n test, each
+    * key's ordered outcomes accumulate the log-likelihood ratio
+    * `llr += ln(p1/p0)` on success, `ln((1−p1)/(1−p0))` on failure,
+    * and the walk stops the moment it crosses `ln((1−β)/α)` (reject
+    * H0: p = p0) or `ln(β/(1−α))` (accept H0) — the always-valid
+    * stopping the peeking-on-a-z-test anti-pattern lacks.
+    *
+    * Execution: one groupBy collects each key's ordered outcome list;
+    * the walk is an aggregate HOF fold (per-key sequential state in
+    * codegen, keys parallel). The four log constants are DRIVER-side
+    * doubles stamped into the plan — an oracle embedding the same
+    * 17-digit literals replays the walk bit-exactly, and the llr
+    * re-snaps per step on the [[graft.functions.Grid]]. State freezes
+    * at the decision (later outcomes don't move a decided walk).
+    * Returns `(key, n_total, n_success, decision, n_at_decision,
+    * llr_final)` — decision ∈ reject_h0 | accept_h0 | continue.
+    */
+  def sprt(df: DataFrame, keyCol: String, orderCol: String,
+      successCol: String, p0: Double, p1: Double, alpha: Double,
+      beta: Double): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"bad hypotheses p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
+      s"bad error rates alpha=$alpha beta=$beta")
+    import graft.functions.Grid.lit17
+    val la = math.log(p1 / p0)
+    val lb = math.log((1 - p1) / (1 - p0))
+    val up = math.log((1 - beta) / alpha)
+    val lo = math.log(beta / (1 - alpha))
+    val step = graft.functions.Grid.snapSql(
+      s"acc.llr + IF(x.s, ${lit17(la)}, ${lit17(lb)})")
+    df.filter(col(orderCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("n_success"),
+        sort_array(collect_list(struct(
+          col(orderCol).cast("long").as("o"),
+          // null outcome = failure (the CASE ELSE convention) — an
+          // unguarded null would poison the whole walk through IF
+          coalesce(col(successCol).cast("boolean"), lit(false))
+            .as("s")))).as("__w"))
+      .withColumn("__st", expr(
+        s"""aggregate(__w,
+           |  named_struct('llr', CAST(0.0 AS DOUBLE), 'n', 0L,
+           |    'dec', 0),
+           |  (acc, x) -> IF(acc.dec <> 0, acc,
+           |    named_struct(
+           |      'llr', $step,
+           |      'n', acc.n + 1L,
+           |      'dec', IF(($step) >= ${lit17(up)}, 1,
+           |        IF(($step) <= ${lit17(lo)}, -1, 0)))))"""
+          .stripMargin))
+      .select(col(keyCol), col("n_total"), col("n_success"),
+        when(col("__st.dec") === 1, "reject_h0")
+          .when(col("__st.dec") === -1, "accept_h0")
+          .otherwise("continue").as("decision"),
+        when(col("__st.dec") =!= 0, col("__st.n")).otherwise(lit(-1L))
+          .as("n_at_decision"),
+        col("__st.llr").as("llr_final"))
+  }
 }

@@ -464,6 +464,58 @@ object Robust {
     * are excluded by contract (their first significant digit lives
     * below the integer point).
     */
+  /** EWMA control chart (Roberts 1959; the SPC standard for small
+    * persistent shifts CUSUM's all-or-nothing reset misses): per key,
+    * `z_t = λ·y_t + (1−λ)·z_{t−1}` folds once through the ordered
+    * series from `z_0 = μ̂`, and a point alarms when
+    * `|z_t − μ̂| > L·σ̂·sqrt(λ/(2−λ))` (the asymptotic control limit —
+    * one engine-exact sqrt of a constant, no per-t variance ladder).
+    *
+    * Replay discipline: μ̂ and σ̂ come from EXPLICIT exact sums
+    * (Σy, Σy², n — order-free when `y` is integral, e.g. event
+    * counts; a float `y` inherits the house aggregate convention),
+    * snapped; the fold re-snaps `z` per step on the
+    * [[graft.functions.Grid]]; the alarm compare runs on grid values.
+    * One groupBy collects each key's ordered series; the fold is an
+    * aggregate HOF inside codegen — the [[Forecast]] execution shape.
+    * Returns `(key, n_obs, mu0, sigma0, limit, ewma_final, n_alarms,
+    * first_alarm_t)` (first_alarm_t = −1 when in control; keys with
+    * < 2 points drop — no spread is estimable).
+    */
+  def ewmaControl(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, lambda: Double, l: Double): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"bad lambda $lambda")
+    require(l > 0, s"bad L $l")
+    val zNew = Grid.snapSql(s"$lambda * x.y + ${1 - lambda} * acc.z")
+    df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col(valueCol).cast("double")).as("__sy"),
+        sum(col(valueCol).cast("double") * col(valueCol).cast("double"))
+          .as("__syy"),
+        sort_array(collect_list(struct(col(tCol).cast("long").as("t"),
+          col(valueCol).cast("double").as("y")))).as("__s"))
+      .filter(col("n_obs") >= 2)
+      .withColumn("mu0", Grid.snap(col("__sy") / col("n_obs")))
+      .withColumn("sigma0", Grid.snap(sqrt(
+        (col("__syy") - col("__sy") * col("__sy") / col("n_obs")) /
+          (col("n_obs") - 1))))
+      .withColumn("limit", Grid.snap(col("sigma0") *
+        lit(l * math.sqrt(lambda / (2 - lambda)))))
+      .withColumn("__st", expr(
+        s"""aggregate(__s,
+           |  named_struct('z', mu0, 'a', 0L, 'ft', -1L),
+           |  (acc, x) -> named_struct(
+           |    'z', $zNew,
+           |    'a', acc.a + IF(abs(($zNew) - mu0) > limit, 1L, 0L),
+           |    'ft', IF(acc.ft >= 0L, acc.ft,
+           |      IF(abs(($zNew) - mu0) > limit, x.t, -1L))))"""
+          .stripMargin))
+      .select(col(keyCol), col("n_obs"), col("mu0"), col("sigma0"),
+        col("limit"), col("__st.z").as("ewma_final"),
+        col("__st.a").as("n_alarms"), col("__st.ft").as("first_alarm_t"))
+  }
+
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
     val d = df.filter(col(valueCol) >= 1)
       .withColumn("digit",

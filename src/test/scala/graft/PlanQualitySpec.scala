@@ -834,6 +834,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q301-q304: time-series wave shapes — keyed windows only (the " +
+      "global gate), no cartesians, one events scan per fold query") {
+    def eventScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if (l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.exists(_.toString.contains("events"))
+              case _ => false
+            }) => l
+      }.size
+    CacheScope.scoped {
+      for (q <- Seq("q301_seasonal_decompose", "q302_ewma_control",
+          "q303_sprt", "q304_cross_correlation")) {
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      }
+      // the two fold queries collapse events in ONE aggregation pass
+      assert(eventScans(
+        SparkEntry.queries("q302_ewma_control")(spark, dir)) === 1)
+      assert(eventScans(
+        SparkEntry.queries("q303_sprt")(spark, dir)) === 1)
+    }
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** EWMA chart + SPRT laws: an in-control series never alarms, a level
+  * shift alarms shortly after it happens (and the smoothing delay is
+  * visible), and Wald's walk decides at exactly the closed-form step
+  * count on pure streams while an oscillating stream never decides.
+  */
+class ControlChartSpec extends SparkSpec {
+
+  test("ewmaControl: the in-control key never alarms; the shifted key " +
+      "alarms within a few smoothing steps of the break") {
+    val s = spark
+    import s.implicits._
+    // alternating ±1 around 10 (sd > 0), shift to 20 at t = 60
+    val rows = (0 until 100).flatMap { t =>
+      Seq(("ok", t, 10.0 + (t % 2)),
+        ("shift", t, (if (t < 60) 10.0 else 20.0) + (t % 2)))
+    }
+    val out = Robust.ewmaControl(rows.toDF("k", "t", "y"), "k", "t",
+        "y", lambda = 0.2, l = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_alarms"), r.getAs[Long]("first_alarm_t")))
+      .toMap
+    assert(out("ok") === ((0L, -1L)))
+    val (alarms, first) = out("shift")
+    assert(alarms > 0L)
+    // retrospective chart: μ̂/σ̂ come from the WHOLE series (shift
+    // included), so the limit is wide and λ = .2 needs ~9 smoothing
+    // steps from the break to cross it
+    assert(first >= 60L && first <= 72L, s"first alarm at $first")
+  }
+
+  test("ewmaControl: under-2-point keys drop (no spread estimable)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("one", 0, 1.0), ("two", 0, 1.0), ("two", 1, 3.0))
+      .toDF("k", "t", "y")
+    assert(Robust.ewmaControl(df, "k", "t", "y", 0.2, 3.0)
+      .select("k").collect().map(_.getString(0)).toSet === Set("two"))
+  }
+
+  test("sprt: pure streams decide at the closed-form step count " +
+      "(ceil(ln(19)/|step|) = 15 at p .45 vs .55, α = β = .05); an " +
+      "alternating stream never decides") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 100).flatMap { i =>
+      Seq(("allwin", i, true), ("alllose", i, false),
+        ("flip", i, i % 2 == 0))
+    }
+    val out = Abtest.sprt(rows.toDF("k", "o", "s"), "k", "o", "s",
+        p0 = 0.45, p1 = 0.55, alpha = 0.05, beta = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[String]("decision"), r.getAs[Long]("n_at_decision")))
+      .toMap
+    assert(out("allwin") === (("reject_h0", 15L)))
+    assert(out("alllose") === (("accept_h0", 15L)))
+    assert(out("flip") === (("continue", -1L)))
+    // frozen state: the decided walk ignores the 85 later outcomes
+    val early = Abtest.sprt(
+      rows.filter(r => r._1 == "allwin" && r._2 < 15)
+        .toDF("k", "o", "s"),
+      "k", "o", "s", 0.45, 0.55, 0.05, 0.05).head()
+    assert(early.getAs[String]("decision") === "reject_h0")
+    val full = Abtest.sprt(
+      rows.filter(_._1 == "allwin").toDF("k", "o", "s"),
+      "k", "o", "s", 0.45, 0.55, 0.05, 0.05).head()
+    assert(full.getAs[Double]("llr_final") ===
+      early.getAs[Double]("llr_final"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Decomposition laws: on a clean linear+seasonal series the interior
+  * trend window is exact (the full-period window averages the
+  * sum-zero seasonal away), so slot indexes recover the truth to
+  * edge-effect tolerance; cross-correlation finds a planted lead at
+  * exactly its lag with corr 1.
+  */
+class SeasonalSpec extends SparkSpec {
+
+  private val seas = Array(12.0, -3.0, -6.0, 0.0, 3.0, -9.0, 3.0) // Σ=0
+
+  test("decompose recovers a planted weekly pattern over a linear " +
+      "trend (interior-exact, small edge bias)") {
+    val s = spark
+    import s.implicits._
+    def y(t: Int) = 100.0 + 2.0 * t + seas(t % 7)
+    val df = (0 until 140).map(t => ("k", t, y(t))).toDF("k", "t", "y")
+    val out = Seasonal.decompose(df, "k", "t", "y", period = 7,
+        scale = 2)
+      .collect().map(r => r.getAs[Long]("slot").toInt ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("seasonal"))).toMap
+    assert(out.size === 7)
+    for (c <- 0 until 7) {
+      assert(out(c)._1 === 20L)
+      assert(math.abs(out(c)._2 - seas(c)) < 0.5,
+        s"slot $c: ${out(c)._2} vs ${seas(c)}")
+    }
+  }
+
+  test("decompose: gappy days shrink their trend windows instead of " +
+      "shifting phase (calendar-true RANGE frame)") {
+    val s = spark
+    import s.implicits._
+    def y(t: Int) = 50.0 + seas(t % 7)
+    val df = (0 until 140).filter(_ % 5 != 3)
+      .map(t => ("k", t, y(t))).toDF("k", "t", "y")
+    val out = Seasonal.decompose(df, "k", "t", "y", period = 7,
+        scale = 2)
+      .collect().map(r => r.getAs[Long]("slot").toInt ->
+        r.getAs[Double]("seasonal")).toMap
+    // slots keep their identity despite 20% missing days
+    assert(out(0) > out(2) && out(4) > out(5),
+      s"slot order lost: $out")
+  }
+
+  test("crossCorrelation: a planted 2-day lead reads ccf = 1 at lag " +
+      "2 and below 1 elsewhere") {
+    val s = spark
+    import s.implicits._
+    def x(t: Int) = 40.0 + seas(t % 7) + 3.0 * (t % 5)
+    val rows = (2 until 120).map(t => (t, x(t), x(t - 2)))
+    val df = rows.toDF("t", "x", "y")
+    val out = Seasonal.crossCorrelation(df, "t", "x", "y", maxLag = 4,
+        scale = 2)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        r.getAs[Double]("ccf")).toMap
+    assert(out(2) === 1.0, s"lag-2 ccf ${out(2)}")
+    for (k <- Seq(0, 1, 3, 4))
+      assert(out(k) < 0.999, s"lag $k ccf ${out(k)}")
+  }
+}
