@@ -1114,6 +1114,68 @@ object HashOracles {
       ") ORDER BY \"column\", pattern")
   }
 
+  /** Fleiss' kappa replay (q305, [[operators.Agreement.fleissKappa]]):
+    * first-10 slice per user, exact-long agreement numerators, the
+    * operator's own readout expression trees.
+    */
+  val q305FleissKappa: String = {
+    import graft.functions.Grid.snapSql
+    val pBar = "CAST(sc.s2 - sc.n * 10 AS DOUBLE) / (sc.n * 10 * 9)"
+    val pE = "CAST(ct.tt AS DOUBLE) / (sc.n * 10 * (sc.n * 10))"
+    withClause(Seq(
+      "f AS (SELECT user_id, event_type FROM (SELECT user_id, " +
+        "event_type, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY event_id) AS rn FROM events) WHERE rn <= 10)",
+      "nic AS MATERIALIZED (SELECT user_id AS it, event_type AS c, " +
+        "CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2)",
+      "pi AS (SELECT it, CAST(sum(n) AS BIGINT) AS m, " +
+        "CAST(sum(n * n) AS BIGINT) AS s2 FROM nic GROUP BY 1)",
+      "sc AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(s2) AS BIGINT) AS s2 FROM pi)",
+      "ct AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(t * t) AS BIGINT) AS tt FROM (SELECT c, " +
+        "CAST(sum(n) AS BIGINT) AS t FROM nic GROUP BY 1))"),
+      s"""SELECT sc.n AS n_items, CAST(10 AS BIGINT) AS m_raters,
+         |  ct.k AS k_labels, ${snapSql(pBar)} AS p_bar,
+         |  ${snapSql(pE)} AS p_e,
+         |  ${snapSql(s"CASE WHEN ct.tt = sc.n * 10 * (sc.n * 10) " +
+          s"THEN NULL ELSE (($pBar) - ($pE)) / (1.0e0 - ($pE)) END")}
+         |    AS kappa
+         |FROM sc, ct""".stripMargin)
+  }
+
+  /** Nearest-rank matching replay (q306,
+    * [[operators.Matching.rankMatchAtt]]): keyed rank windows per
+    * (stratum, arm), rank-i-to-rank-i pairs, exact-cent ATT.
+    */
+  val q306RankMatching: String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      "spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS sp " +
+        "FROM orders GROUP BY 1)",
+      "u AS (SELECT c.c_mktsegment AS s, c.c_acctbal >= 4500.0 AS tr, " +
+        "c.c_acctbal AS sc, c.c_custkey AS id, " +
+        "coalesce(sp.sp, 0.0) AS y FROM customer c " +
+        "LEFT JOIN spend sp ON sp.o_custkey = c.c_custkey)",
+      "r AS MATERIALIZED (SELECT s, tr, " +
+        "CAST(floor(y * 100.0 + 0.5) AS BIGINT) AS yc, " +
+        "row_number() OVER (PARTITION BY s, tr " +
+        "ORDER BY sc DESC, id) AS rk FROM u)",
+      "cn AS (SELECT s, CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_treated, CAST(sum(CASE WHEN tr THEN 0 " +
+        "ELSE 1 END) AS BIGINT) AS n_control FROM r GROUP BY 1)",
+      "pr AS (SELECT t.s, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(t.yc - c.yc) AS BIGINT) AS d " +
+        "FROM (SELECT * FROM r WHERE tr) t " +
+        "JOIN (SELECT * FROM r WHERE NOT tr) c " +
+        "ON c.s = t.s AND c.rk = t.rk GROUP BY 1)"),
+      "SELECT cn.s AS c_mktsegment, cn.n_treated, cn.n_control, " +
+        "coalesce(pr.n_pairs, 0) AS n_pairs, " +
+        snapSql("CAST(pr.d AS DOUBLE) / (100.0 * pr.n_pairs)") +
+        " AS att FROM cn LEFT JOIN pr ON pr.s = cn.s " +
+        "ORDER BY c_mktsegment")
+  }
+
   /** Seasonal decomposition replay (q301,
     * [[operators.Seasonal.decompose]]): exact-cent RANGE-window trend
     * (one exact-int division per cell), per-slot detrended means at

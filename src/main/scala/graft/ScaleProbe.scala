@@ -467,6 +467,18 @@ object ScaleProbe {
             .withColumn("ok", length(col("text")) % 2L === 0L),
           "k", "doc_id", "ok", 0.45, 0.55, 0.05, 0.05))
     }
+    // rank matching: two keyed rank windows + one (strata, rank)
+    // equi-join — linear in replicas, strata parallel
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"rank_matching r=$r docs=${nDocs * r}", () =>
+        operators.Matching.rankMatchAtt(
+          replicateDocs(r)
+            .withColumn("st", pmod(col("doc_id"), lit(20L)))
+            .withColumn("tr", col("doc_id") % 2L === 0L)
+            .withColumn("sc", (length(col("text")) % 997).cast("double"))
+            .withColumn("y", (length(col("text")) % 1000).cast("double")),
+          "st", "tr", "sc", "doc_id", "y", scale = 0))
+    }
     spark.stop()
   }
 }

@@ -3627,6 +3627,42 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // Fleiss' kappa over anonymous multi-rater labels: each user's
+    // first 10 events (deterministic slice — Fleiss requires a fixed
+    // m) "rate" the user with their event types; agreement above the
+    // pooled-share chance rate. Every numerator an exact long;
+    // divisions snap at the readout — engine-exact, no fold.
+    "q305_fleiss_kappa" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val first10 = events(s, dir)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 10)
+      graft.operators.Agreement.fleissKappa(first10, "user_id",
+        "event_type")
+    }),
+
+    // Nearest-rank propensity matching within exact strata: treated
+    // (high-balance) customers pair with the same-rank control in
+    // their market segment, unmatched tails drop (common support),
+    // ATT = mean paired spend difference in EXACT cents. The causal
+    // family's matching leg beside IPW (q267) and diff-in-diff
+    // (q261). Keyed rank windows + one (strata, rank) equi-join.
+    "q306_rank_matching" -> ((s, dir) => {
+      val spend = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sp"))
+      val units = T(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"),
+          (col("c_acctbal") >= 4500.0).as("treated"),
+          col("c_acctbal"), col("c_custkey"),
+          coalesce(col("sp"), lit(0.0)).as("spend"))
+      graft.operators.Matching.rankMatchAtt(units, "c_mktsegment",
+          "treated", "c_acctbal", "c_custkey", "spend", scale = 2)
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Classical seasonal decomposition of the daily revenue series:
     // RANGE-window trend over t±3 calendar days summed in EXACT
     // cents (order-free — a float window avg accumulates in
@@ -8070,6 +8106,10 @@ object SparkEntry {
     "q299_rater_agreement" -> HashOracles.q299RaterAgreement,
 
     "q301_seasonal_decompose" -> HashOracles.q301SeasonalDecompose,
+
+    "q305_fleiss_kappa" -> HashOracles.q305FleissKappa,
+
+    "q306_rank_matching" -> HashOracles.q306RankMatching,
 
     "q302_ewma_control" -> HashOracles.q302EwmaControl(0.2, 3.0),
 

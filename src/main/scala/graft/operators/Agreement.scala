@@ -118,6 +118,58 @@ object Agreement {
                 (col("n") * col("n") * km1)))).as("kappa_w"))
   }
 
+  /** Fleiss' kappa (1971) — agreement among m raters per item (m
+    * fixed, raters anonymous): `P_i = (Σ_c n_ic² − m)/(m(m−1))` is
+    * item i's observed pairwise agreement, `P̄e = Σ_c p_c²` the chance
+    * rate from the pooled category shares, `κ = (P̄ − P̄e)/(1 − P̄e)`.
+    * The multi-judge form of [[cohenKappa]] — LLM-judge ensembles,
+    * crowdsourced label QA.
+    *
+    * Execution: one aggregation to the (item, category) count table,
+    * one more to the scalars — every numerator an exact long
+    * (Σ n_ic², category totals, squared totals), divisions snapped at
+    * the readout only. Items must carry EXACTLY the same rating count
+    * (Fleiss' design): the operator fails fast otherwise (pre-slice
+    * upstream — e.g. first-m per item — rather than silently mixing
+    * denominators). Same 2^31 exactness bound as [[cohenKappa]].
+    * Returns `(n_items, m_raters, k_labels, p_bar, p_e, kappa)`.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val nic = df
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__it"),
+        col(labelCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val perItem = nic.groupBy(col("__it"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n") * col("__n")).as("__s2"))
+    val ms = perItem.select(col("__m")).distinct().collect()
+    require(ms.length == 1,
+      s"items carry ${ms.length} distinct rating counts — Fleiss " +
+        "requires a fixed m; pre-slice (e.g. first-m per item)")
+    val m = ms(0).getLong(0)
+    require(m >= 2, s"need m >= 2 raters per item, got $m")
+    val scalars = perItem.agg(
+      count(lit(1)).as("n"),
+      sum(col("__s2")).as("s2"))
+    val cats = nic.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__t"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("__t") * col("__t")).as("tt"))
+    // P̄  = (S2 − n·m) / (n·m·(m−1));  P̄e = Σt_c² / (n·m)²
+    val pBar = (col("s2") - col("n") * m).cast("double") /
+      (col("n") * m * (m - 1))
+    val pE = col("tt").cast("double") / (col("n") * m * (col("n") * m))
+    scalars.crossJoin(cats)
+      .select(col("n").as("n_items"), lit(m).as("m_raters"),
+        col("k").as("k_labels"),
+        Grid.snap(pBar).as("p_bar"), Grid.snap(pE).as("p_e"),
+        Grid.snap(when(col("tt") === col("n") * m * (col("n") * m),
+          lit(null)).otherwise((pBar - pE) / (lit(1.0) - pE)))
+          .as("kappa"))
+  }
+
   /** Per-label specific agreement over the same confusion table —
     * WHICH labels the raters fight about: positive specific agreement
     * `2·n_aa / (r_a + c_a)` per label (Dice of the two raters' label-a

@@ -856,6 +856,10 @@ class PlanQualitySpec extends SparkSpec {
         SparkEntry.queries("q302_ewma_control")(spark, dir)) === 1)
       assert(eventScans(
         SparkEntry.queries("q303_sprt")(spark, dir)) === 1)
+      // q305/q306: keyed windows only, no cartesian outside the 1x1
+      // scalar crosses
+      for (q <- Seq("q305_fleiss_kappa", "q306_rank_matching"))
+        assert(!plan(q).contains("CartesianProduct"), q)
     }
   }
 

@@ -64,6 +64,31 @@ class AgreementSpec extends SparkSpec {
     assert(math.abs(m("hard")._2 - 10.0 / 15) < 1e-6)
   }
 
+  test("fleissKappa closed forms: hand-computed 2x2 disagreement " +
+      "(kappa = -1/3), perfect agreement (kappa = 1), and the " +
+      "unequal-m guard fails fast") {
+    val s = spark
+    import s.implicits._
+    // i1 rated (a,a), i2 rated (a,b): P̄ = .5, Pe = .625, κ = -1/3
+    val mixed = Seq((1, "a"), (1, "a"), (2, "a"), (2, "b"))
+      .toDF("item", "lab")
+    val r = Agreement.fleissKappa(mixed, "item", "lab").head()
+    assert(r.getAs[Long]("n_items") === 2L)
+    assert(r.getAs[Long]("m_raters") === 2L)
+    assert(math.abs(r.getAs[Double]("p_bar") - 0.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p_e") - 0.625) < 1e-6)
+    assert(math.abs(r.getAs[Double]("kappa") - (-1.0 / 3)) < 1e-6)
+    val perfect = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"))
+      .toDF("item", "lab")
+    assert(math.abs(Agreement.fleissKappa(perfect, "item", "lab")
+      .head().getAs[Double]("kappa") - 1.0) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Agreement.fleissKappa(
+        Seq((1, "a"), (1, "a"), (2, "a")).toDF("item", "lab"),
+        "item", "lab")
+    }
+  }
+
   test("null-rated rows drop from the table, not into a null label") {
     val s = spark
     import s.implicits._
