@@ -516,6 +516,63 @@ object Robust {
         col("__st.a").as("n_alarms"), col("__st.ft").as("first_alarm_t"))
   }
 
+  /** PHASE-II monitoring — resume [[ewmaControl]] from persisted
+    * state with the calibration PINNED (the SPC discipline: phase I
+    * estimates μ̂/σ̂/limit once, phase II monitors against them —
+    * re-estimating on live data would let a drift recalibrate itself
+    * invisible). Each key's new points (strictly later than the
+    * state's horizon, the incremental-fold contract) continue the
+    * smoothing from the stored `ewma_final`; alarms accumulate;
+    * `first_alarm_t` keeps its earliest. Keys with no new points pass
+    * through; NEW keys calibrate phase-I on their own batch via
+    * [[ewmaControl]]. Given the pinned limits the walk is a pure left
+    * fold, so `resume(resume(st, B1), B2) == resume(st, B1 ++ B2)`
+    * EXACTLY (spec'd) — the [[Forecast.holtLinearFrom]] law, with
+    * calibration pinning instead of full-history equivalence.
+    */
+  def ewmaControlFrom(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, state: DataFrame, lambda: Double,
+      l: Double): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"bad lambda $lambda")
+    require(l > 0, s"bad L $l")
+    val zNew = Grid.snapSql(s"$lambda * x.y + ${1 - lambda} * acc.z")
+    val st = state.select(col(keyCol), col("n_obs").as("__pn"),
+      col("mu0").as("__mu"), col("sigma0").as("__sg"),
+      col("limit").as("__lim"), col("ewma_final").as("__z"),
+      col("n_alarms").as("__na"), col("first_alarm_t").as("__ft"))
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__bn"),
+        sort_array(collect_list(struct(col(tCol).cast("long").as("t"),
+          col(valueCol).cast("double").as("y")))).as("__s"))
+    val resumed = series.join(st, Seq(keyCol))
+      .withColumn("__st2", expr(
+        s"""aggregate(__s,
+           |  named_struct('z', __z, 'a', __na, 'ft', __ft),
+           |  (acc, x) -> named_struct(
+           |    'z', $zNew,
+           |    'a', acc.a + IF(abs(($zNew) - __mu) > __lim, 1L, 0L),
+           |    'ft', IF(acc.ft >= 0L, acc.ft,
+           |      IF(abs(($zNew) - __mu) > __lim, x.t, -1L))))"""
+          .stripMargin))
+      .select(col(keyCol), (col("__pn") + col("__bn")).as("n_obs"),
+        col("__mu").as("mu0"), col("__sg").as("sigma0"),
+        col("__lim").as("limit"), col("__st2.z").as("ewma_final"),
+        col("__st2.a").as("n_alarms"),
+        col("__st2.ft").as("first_alarm_t"))
+    val idle = st.join(series.select(col(keyCol)), Seq(keyCol),
+        "left_anti")
+      .select(col(keyCol), col("__pn").as("n_obs"),
+        col("__mu").as("mu0"), col("__sg").as("sigma0"),
+        col("__lim").as("limit"), col("__z").as("ewma_final"),
+        col("__na").as("n_alarms"), col("__ft").as("first_alarm_t"))
+    val fresh = ewmaControl(
+      df.join(st.select(col(keyCol)), Seq(keyCol), "left_anti"),
+      keyCol, tCol, valueCol, lambda, l)
+    resumed.unionByName(idle).unionByName(fresh)
+  }
+
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
     val d = df.filter(col(valueCol) >= 1)
       .withColumn("digit",
