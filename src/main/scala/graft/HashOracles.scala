@@ -1114,6 +1114,79 @@ object HashOracles {
       ") ORDER BY \"column\", pattern")
   }
 
+  /** Murphy/Brier decomposition replay (q307,
+    * [[operators.Calibration.murphyDecomposition]]): the splitmix
+    * train/test split, exact-count per-source rates, the bounded
+    * ordered fold over group terms, the operator's own readout trees.
+    */
+  val q307BrierDecomposition: String = {
+    import graft.functions.Grid.snapSql
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "bz" else s"bm${n - 1}"
+        s"bm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    withClause(Seq(
+      "bz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z " +
+        "FROM documents)") ++ mixed ++ Seq(
+      s"spl AS (SELECT doc_id, $signedMod >= 8000 AS is_test FROM bm5)",
+      "lab AS MATERIALIZED (SELECT d.doc_id, d.source, " +
+        "d.lang = 'en' AS y, s.is_test FROM documents d " +
+        "JOIN spl s USING (doc_id))",
+      "pr AS MATERIALIZED (SELECT source, " +
+        snapSql("CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) " +
+          "/ count(*)") + " AS p FROM lab WHERE NOT is_test " +
+        "GROUP BY 1)",
+      "g AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) " +
+        "AS n, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS o FROM lab WHERE is_test GROUP BY 1)",
+      "j AS (SELECT g.source, g.n, g.o, pr.p FROM g " +
+        "JOIN pr USING (source))",
+      "tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn, " +
+        "CAST(sum(o) AS BIGINT) AS oo FROM j)",
+      "tm AS (SELECT j.source, j.n, j.o, j.p, tt.nn, tt.oo, " +
+        "CAST(tt.oo AS DOUBLE) / tt.nn AS obar, " +
+        "CAST(j.o AS DOUBLE) / j.n AS rate FROM j, tt)",
+      "ag AS (SELECT max(nn) AS nn, max(obar) AS obar, " +
+        "CAST(count(*) AS BIGINT) AS n_groups, " +
+        "list_reduce(list_prepend([0.0e0, 0.0e0, 0.0e0], " +
+        "list([n * (p - rate) * (p - rate), " +
+        "n * (rate - obar) * (rate - obar), " +
+        "n * p * p - 2.0e0 * p * o + o] ORDER BY source)), " +
+        "(a, x) -> [a[1] + x[1], a[2] + x[2], a[3] + x[3]]) AS sm " +
+        "FROM tm)"),
+      s"""SELECT nn AS n_items, n_groups,
+         |  ${snapSql("sm[3] / nn")} AS brier,
+         |  ${snapSql("sm[1] / nn")} AS reliability,
+         |  ${snapSql("sm[2] / nn")} AS resolution,
+         |  ${snapSql("obar * (1.0e0 - obar)")} AS uncertainty
+         |FROM ag""".stripMargin)
+  }
+
+  /** Centroid-silhouette replay (q308,
+    * [[operators.Clustering.centroidSilhouette]]): the q87/q93
+    * trained-centroid fragment, take-2 assignment, the operator's own
+    * per-vector score tree, per-cluster mean/min.
+    */
+  val q308Silhouette: String = {
+    import graft.functions.Grid.snapSql
+    withClause(kmTrainCtes(4) ++ Seq(
+      kmAssignCte("a3", "c2", take = 2),
+      "p2 AS (SELECT vec_id, cid, dist, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM a3)",
+      "w2 AS (SELECT vec_id, max(CASE WHEN rk = 1 THEN cid END) " +
+        "AS cl, max(CASE WHEN rk = 1 THEN sqrt(dist) END) AS d1, " +
+        "max(CASE WHEN rk = 2 THEN sqrt(dist) END) AS d2 " +
+        "FROM p2 GROUP BY 1)",
+      "sl AS (SELECT cl, CASE WHEN d2 > 0 THEN " +
+        snapSql("(d2 - d1) / d2") + " ELSE 0.0e0 END AS sil FROM w2)"),
+      "SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n, " +
+        snapSql("avg(sil)", 4) + " AS mean_silhouette, " +
+        snapSql("min(sil)") + " AS min_silhouette " +
+        "FROM sl GROUP BY 1 ORDER BY 1")
+  }
+
   /** Fleiss' kappa replay (q305, [[operators.Agreement.fleissKappa]]):
     * first-10 slice per user, exact-long agreement numerators, the
     * operator's own readout expression trees.

@@ -479,6 +479,15 @@ object ScaleProbe {
             .withColumn("y", (length(col("text")) % 1000).cast("double")),
           "st", "tr", "sc", "doc_id", "y", scale = 0))
     }
+    // centroid silhouette: map-only over the k-row centroid literal —
+    // linear in replicas, no pair join at any size
+    val silCents = operators.Clustering.kmeansCentroids(emb, "vec_id",
+      "embedding", k = 8, iters = 1)
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"silhouette r=$r vecs=${nVecs * r}", () =>
+        operators.Clustering.centroidSilhouette(replicateVecs(r),
+          "vec_id", "embedding", silCents))
+    }
     spark.stop()
   }
 }

@@ -3627,6 +3627,38 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // Murphy decomposition of the Brier score for the per-source
+    // language-rate forecaster: train-split rates (exact-count
+    // probabilities, snapped) audited on the test split — Brier =
+    // reliability − resolution + uncertainty, the calibration QA for
+    // any probability the selection pipeline trusts. Bounded-table
+    // ordered fold for the group sums; unscored groups fail loudly.
+    "q307_brier_decomposition" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("is_en", col("lang") === "en")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val preds = docs.filter(split).groupBy(col("source"))
+        .agg(graft.functions.Grid.snap(
+          sum(when(col("is_en"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("p_hat"))
+      graft.operators.Calibration.murphyDecomposition(
+        docs.filter(!split), "source", "is_en", preds, "p_hat")
+    }),
+
+    // Centroid silhouette of the trained k-means: per vector one
+    // fixed float expression over the two nearest centroid distances
+    // (map-only against the k-row centroid literal — no pair join at
+    // any corpus size); per-cluster mean/min. The k-choice sweep and
+    // degenerate-cluster alarm in one register.
+    "q308_silhouette" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(emb,
+        "vec_id", "embedding", k = 4, iters = 2)
+      graft.operators.Clustering.centroidSilhouette(emb, "vec_id",
+          "embedding", cents)
+        .orderBy(col("cluster"))
+    }),
+
     // Fleiss' kappa over anonymous multi-rater labels: each user's
     // first 10 events (deterministic slice — Fleiss requires a fixed
     // m) "rate" the user with their event types; agreement above the
@@ -8108,6 +8140,10 @@ object SparkEntry {
     "q301_seasonal_decompose" -> HashOracles.q301SeasonalDecompose,
 
     "q305_fleiss_kappa" -> HashOracles.q305FleissKappa,
+
+    "q307_brier_decomposition" -> HashOracles.q307BrierDecomposition,
+
+    "q308_silhouette" -> HashOracles.q308Silhouette,
 
     "q306_rank_matching" -> HashOracles.q306RankMatching,
 

@@ -93,4 +93,43 @@ object Clustering {
       struct(VF.l2DistanceSq(v, typedLit(c)).as("dist"),
         lit(i).as("cid"))
     }: _*)
+
+  /** Centroid silhouette — the clustering-QA readout: per vector,
+    * `s = (d₂ − d₁)/d₂` where d₁/d₂ are the L2 distances to the
+    * nearest and second-nearest centroids (the simplified silhouette
+    * of Hruschka et al.: centroid distances stand in for mean
+    * pairwise ones, so the whole audit is MAP-ONLY over the k-row
+    * centroid literal — no pair join at any corpus size). s ∈ [0, 1]:
+    * near 0 = the vector sits on a cluster boundary, near 1 = firmly
+    * inside. Returns per cluster `(cluster, n, mean_silhouette,
+    * min_silhouette)` — the register a k-choice sweep or a
+    * degenerate-cluster alarm reads. Distances snap on the
+    * [[graft.functions.Grid]]; the per-vector score is one fixed
+    * float expression (engine-exact); the cluster mean follows the
+    * house 1e-4 aggregate snap.
+    */
+  def centroidSilhouette(vectors: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.size >= 2,
+      s"silhouette needs >= 2 centroids, got ${centroids.size}")
+    import graft.functions.Grid
+    val two = slice(array_sort(
+      scoredByDist(transform(col(vecCol), x => x.cast("double")),
+        centroids)), 1, 2)
+    vectors
+      .withColumn("__s2", two)
+      .withColumn("cluster", col("__s2").getItem(0).getField("cid"))
+      .withColumn("__d1",
+        sqrt(col("__s2").getItem(0).getField("dist")))
+      .withColumn("__d2",
+        sqrt(col("__s2").getItem(1).getField("dist")))
+      .withColumn("sil",
+        when(col("__d2") > 0,
+          Grid.snap((col("__d2") - col("__d1")) / col("__d2")))
+          .otherwise(lit(0.0)))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        Grid.snap(avg(col("sil")), 4).as("mean_silhouette"),
+        Grid.snap(min(col("sil"))).as("min_silhouette"))
+  }
 }

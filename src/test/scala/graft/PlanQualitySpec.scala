@@ -860,6 +860,14 @@ class PlanQualitySpec extends SparkSpec {
       // scalar crosses
       for (q <- Seq("q305_fleiss_kappa", "q306_rank_matching"))
         assert(!plan(q).contains("CartesianProduct"), q)
+      // q308: the silhouette is MAP-ONLY against the centroid
+      // literal — after the k-means training actions, the gated
+      // query's own plan has no join at all
+      val p308 = plan("q308_silhouette")
+      assert(!p308.contains("Join"), s"q308 must stay map-only:\n$p308")
+      // q307: no cartesian; the group table is bounded
+      assert(!plan("q307_brier_decomposition")
+        .contains("CartesianProduct"))
     }
   }
 

@@ -84,4 +84,35 @@ class ClusteringSpec extends SparkSpec {
     val probs = (1 to 9).map(i => p.collisionProbability(i / 10.0))
     assert(probs === probs.sorted)
   }
+
+  test("centroidSilhouette: tight well-separated blobs score near 1, " +
+      "a boundary point near 0, scores stay in [0, 1]") {
+    val s = spark
+    import s.implicits._
+    // two blobs on a 4-dim axis at 0 and 100, plus one midpoint vector
+    val rows =
+      (0 until 20).map(i => (i.toLong,
+        Array.fill(4)(0.0f + (i % 3) * 0.1f))) ++
+      (20 until 40).map(i => (i.toLong,
+        Array.fill(4)(100.0f + (i % 3) * 0.1f))) ++
+      Seq((99L, Array.fill(4)(50.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Clustering.kmeansCentroids(df, "vec_id", "embedding",
+      k = 2, iters = 2)
+    val per = Clustering.centroidSilhouette(df, "vec_id", "embedding",
+      cents).collect()
+    val all = per.map(r => (r.getAs[Long]("n"),
+      r.getAs[Double]("mean_silhouette"), r.getAs[Double]("min_silhouette")))
+    assert(per.length === 2)
+    assert(all.map(_._1).sum === 41L)
+    // blob members sit at ~1; the midpoint drags ONE cluster's min
+    // toward 0 but means stay high
+    assert(all.forall(_._2 > 0.9), s"means: ${all.toSeq}")
+    assert(all.exists(_._3 < 0.05), s"mins: ${all.toSeq}")
+    assert(all.forall(t => t._3 >= 0.0 && t._2 <= 1.0))
+    intercept[IllegalArgumentException] {
+      Clustering.centroidSilhouette(df, "vec_id", "embedding",
+        cents.take(1))
+    }
+  }
 }
