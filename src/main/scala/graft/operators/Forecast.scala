@@ -123,6 +123,109 @@ object Forecast {
           .as(s"forecast_$horizon"))
   }
 
+  /** The RESUMABLE form of [[holtWinters]]: same fold, but the output
+    * carries the FULL state — `(key, n_obs, t_last, level, trend,
+    * seasonal)` with the `period`-slot register as an array column —
+    * so [[holtWintersFrom]] can continue the recursion. (The gated
+    * [[holtWinters]] readout keeps its scalar register summary; this
+    * is the state table a checkpoint stores.)
+    */
+  def holtWintersState(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, period: Int, alpha: Double, beta: Double,
+      gamma: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1,
+      s"smoothing parameters out of (0,1): $alpha/$beta/$gamma")
+    require(period >= 2 && period <= 1000, s"bad period $period")
+    val m = period
+    val lNew = Grid.snapSql(
+      s"$alpha * (x.y - acc.s[CAST(x.t % $m AS INT)]) + " +
+        s"${1 - alpha} * (acc.l + acc.b)")
+    df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("y")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+      .withColumn("__st", expr(
+        s"""aggregate(
+           |  slice(__s, 2, size(__s) - 1),
+           |  named_struct(
+           |    'l', CAST(__s[0].y AS DOUBLE),
+           |    'b', CAST(__s[1].y - __s[0].y AS DOUBLE),
+           |    's', array_repeat(CAST(0.0 AS DOUBLE), $m)),
+           |  (acc, x) -> named_struct(
+           |    'l', $lNew,
+           |    'b', ${Grid.snapSql(
+              s"$beta * ($lNew - acc.l) + ${1 - beta} * acc.b")},
+           |    's', transform(acc.s, (v, i) ->
+           |      CASE WHEN i = CAST(x.t % $m AS INT)
+           |        THEN ${Grid.snapSql(
+              s"$gamma * (x.y - $lNew) + ${1 - gamma} * v")}
+           |        ELSE v END)))""".stripMargin))
+      .select(col(keyCol), size(col("__s")).cast("long").as("n_obs"),
+        expr("element_at(__s, -1).t").as("t_last"),
+        col("__st.l").as("level"), col("__st.b").as("trend"),
+        col("__st.s").as("seasonal"))
+  }
+
+  /** RESUME the seasonal fold from a [[holtWintersState]] table —
+    * [[holtLinearFrom]] for the flagship model: each key's new points
+    * (strictly later than `t_last`, the incremental contract)
+    * continue the recursion from the stored (level, trend, register);
+    * slots stay calendar-true because they derive from each point's
+    * own `t`. Left fold ⇒ `resume(state(A), B) == state(A ++ B)`
+    * EXACTLY (spec'd). Idle keys pass through; debut keys take the
+    * classic init over their own points.
+    */
+  def holtWintersFrom(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, state: DataFrame, period: Int, alpha: Double,
+      beta: Double, gamma: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1,
+      s"smoothing parameters out of (0,1): $alpha/$beta/$gamma")
+    require(period >= 2 && period <= 1000, s"bad period $period")
+    val m = period
+    val lNew = Grid.snapSql(
+      s"$alpha * (x.y - acc.s[CAST(x.t % $m AS INT)]) + " +
+        s"${1 - alpha} * (acc.l + acc.b)")
+    val st = state.select(col(keyCol), col("n_obs").as("__pn"),
+      col("t_last").as("__pt"), col("level").as("__pl"),
+      col("trend").as("__pb"), col("seasonal").as("__ps"))
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("y")))).as("__s"))
+    val resumed = series.join(st, Seq(keyCol))
+      .withColumn("__st", expr(
+        s"""aggregate(__s,
+           |  named_struct('l', __pl, 'b', __pb, 's', __ps),
+           |  (acc, x) -> named_struct(
+           |    'l', $lNew,
+           |    'b', ${Grid.snapSql(
+              s"$beta * ($lNew - acc.l) + ${1 - beta} * acc.b")},
+           |    's', transform(acc.s, (v, i) ->
+           |      CASE WHEN i = CAST(x.t % $m AS INT)
+           |        THEN ${Grid.snapSql(
+              s"$gamma * (x.y - $lNew) + ${1 - gamma} * v")}
+           |        ELSE v END)))""".stripMargin))
+      .select(col(keyCol),
+        (col("__pn") + size(col("__s")).cast("long")).as("n_obs"),
+        greatest(col("__pt"), expr("element_at(__s, -1).t"))
+          .as("t_last"),
+        col("__st.l").as("level"), col("__st.b").as("trend"),
+        col("__st.s").as("seasonal"))
+    val idle = st.join(series.select(col(keyCol)), Seq(keyCol),
+        "left_anti")
+      .select(col(keyCol), col("__pn").as("n_obs"),
+        col("__pt").as("t_last"), col("__pl").as("level"),
+        col("__pb").as("trend"), col("__ps").as("seasonal"))
+    val fresh = holtWintersState(
+      df.join(st.select(col(keyCol)), Seq(keyCol), "left_anti"),
+      keyCol, tCol, valueCol, period, alpha, beta, gamma)
+    resumed.unionByName(idle).unionByName(fresh)
+  }
+
   /** RESUME the Holt fold from persisted state: `state` is a prior
     * [[holtLinear]]/[[holtLinearFrom]] output (`key, n_obs, level,
     * trend`), and each key's NEW points (all strictly later than the

@@ -13,22 +13,25 @@ import org.apache.spark.sql.functions._
   * `p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j)`, which monotonically
   * climbs the likelihood.
   *
-  * Execution shape: contests collapse ONCE to the bounded pair table
-  * (`n_ij`, ≤ maxItems² rows) and the per-item win vector; the R MM
-  * rounds run as DataFrame algebra on those bounded frames only — the
-  * [[Graph.pageRank]] loop discipline, never touching the contest
-  * corpus again. A billion preference rows cost one aggregation.
+  * Execution shape: contests collapse ONCE to the bounded directed
+  * pair table (≤ maxItems² rows — a billion preference rows cost one
+  * aggregation); the R MM rounds then run DRIVER-SIDE over that
+  * collected bounded table (the [[Clustering.kmeansCentroids]]
+  * discipline: a config-bounded aggregate is a driver fact, and
+  * iterating it in Scala costs neither per-round jobs nor the
+  * 3^rounds lineage a DataFrame loop would have to checkpoint away).
+  * The alphabet guard runs distributively BEFORE the collect.
   *
   * Replay discipline: each round's per-item denominator folds its
-  * opponent terms in ASCENDING OPPONENT ORDER (sort_array + aggregate
-  * HOF — IEEE addition is deterministic once the order is pinned, so
-  * no mid-fold snap is needed), each term and each updated strength
-  * snap to the 1e-6 [[Grid]], and identifiability is fixed by
-  * ANCHORING (dividing by the first item's strength — a single-value
-  * divide, order-free) rather than by a sum normalization whose
-  * accumulation order would be engine-dependent. Strengths floor at
-  * the 1e-6 grid resolution so a winless item stays a valid
-  * denominator instead of collapsing the next round to 0/0.
+  * opponent terms in ASCENDING OPPONENT ORDER (pinned IEEE order),
+  * each term and each updated strength snaps via [[Grid.snapD]] —
+  * the same float program the SQL snap runs, so an oracle replays
+  * the trajectory bit-exactly — and identifiability is fixed by
+  * ANCHORING at the first item (a single-value divide, order-free)
+  * rather than a sum normalization whose accumulation order would be
+  * engine-dependent. Strengths floor at the 1e-6 grid resolution so
+  * a winless item stays a valid denominator instead of collapsing
+  * the next round to 0/0.
   */
 object Preference {
 
@@ -41,60 +44,55 @@ object Preference {
       col(winnerCol).cast("string").as("w"),
       col(loserCol).cast("string").as("l"))
     // the ONE corpus aggregation: directed contest counts, bounded at
-    // maxItems² rows and PINNED — pairs, wins, items, and every MM
-    // round derive from this cache, so the contest corpus is scanned
-    // exactly once however many rounds run
-    val directed = graft.CacheScope.register(
-      games.groupBy(col("w"), col("l")).agg(count(lit(1)).as("n"))
-        .persist())
-    val pairs = directed
-      .select(col("w").as("i"), col("l").as("j"), col("n"))
-      .unionAll(directed
-        .select(col("l").as("i"), col("w").as("j"), col("n")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("n")).cast("double").as("nij"))
-    val nItems = pairs.agg(countDistinct(col("i")).as("n"))
-      .head().getLong(0)
-    require(nItems >= 2 && nItems <= maxItems,
-      s"item alphabet $nItems outside [2, $maxItems] — Bradley–Terry " +
-        "is a bounded-leaderboard device, not a corpus-grain ranker")
-    val wins = directed.groupBy(col("w").as("i"))
-      .agg(sum(col("n")).cast("double").as("wi"),
-        sum(col("n")).as("n_wins"))
-    val items = pairs.select(col("i")).distinct()
-    val w0 = items.join(wins, Seq("i"), "left")
-      .select(col("i"), coalesce(col("wi"), lit(0.0)).as("wi"),
-        coalesce(col("n_wins"), lit(0L)).as("n_wins"))
-    val nGames = pairs.groupBy(col("i"))
-      .agg(sum(col("nij")).cast("long").as("n_games"))
-    var p = items.select(col("i"), lit(1.0).as("p"))
-    for (_ <- 1 to rounds) {
-      val den = pairs
-        .join(p.select(col("i"), col("p").as("__pi")), Seq("i"))
-        .join(p.select(col("i").as("j"), col("p").as("__pj")), Seq("j"))
-        .withColumn("__term",
-          Grid.snap(col("nij") / (col("__pi") + col("__pj"))))
-        .groupBy(col("i"))
-        .agg(expr("aggregate(sort_array(collect_list(" +
-          "struct(j, __term))), CAST(0.0 AS DOUBLE), " +
-          "(a, x) -> a + x.__term)").as("__den"))
-      val raw = w0.join(den, Seq("i"))
-        .select(col("i"),
-          greatest(Grid.snap(col("wi") / col("__den")), lit(1e-6))
-            .as("p"))
-      val anchor = raw.orderBy(col("i")).limit(1)
-        .select(col("p").as("__anchor"))
-      // per-round lineage truncation (the Graph.pageRank discipline):
-      // each round references the previous strengths THREE times
-      // (both join sides of the pair table plus the anchor), so an
-      // un-truncated plan grows 3^rounds and analysis alone hangs
-      p = raw.crossJoin(broadcast(anchor))
-        .select(col("i"), Grid.snap(col("p") / col("__anchor")).as("p"))
-        .localCheckpoint(true)
-    }
-    w0.select(col("i"), col("n_wins")).join(nGames, Seq("i"))
-      .join(p, Seq("i"))
-      .select(col("i").as("item"), col("n_wins"), col("n_games"),
-        col("p").as("strength"))
+    // maxItems^2 rows — everything downstream derives from it
+    val directed = games.groupBy(col("w"), col("l"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      // bounded-alphabet guard BEFORE any driver collect (the Shapley
+      // discipline): count distinct items distributively first
+      val nItems = directed
+        .select(col("w").as("i")).unionAll(directed.select(col("l")))
+        .agg(countDistinct(col("i")).as("n")).head().getLong(0)
+      require(nItems >= 2 && nItems <= maxItems,
+        s"item alphabet $nItems outside [2, $maxItems] — Bradley–Terry " +
+          "is a bounded-leaderboard device, not a corpus-grain ranker")
+      // the MM rounds run DRIVER-SIDE over the collected bounded table
+      // (the kmeansCentroids discipline: a config-bounded aggregate is
+      // a driver fact; iterating it in Scala costs neither jobs nor
+      // lineage, where a DataFrame loop would checkpoint every round).
+      // Grid.snapD is the same IEEE program the SQL snap runs, so the
+      // trajectory replays engine-exactly all the same.
+      val dRows = directed.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val items = dRows.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val nij = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      val winsOf = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      dRows.foreach { case (w, l, n) =>
+        nij((w, l)) += n; nij((l, w)) += n; winsOf(w) += n
+      }
+      val opponents = items.map(i => i ->
+        items.filter(j => j != i && nij((i, j)) > 0L)).toMap
+      var p = items.map(i => i -> 1.0).toMap
+      for (_ <- 1 to rounds) {
+        val raw = items.map { i =>
+          // ascending-opponent fold: pinned IEEE order, terms snapped
+          val den = opponents(i).foldLeft(0.0) { (a, j) =>
+            a + Grid.snapD(nij((i, j)).toDouble / (p(i) + p(j)))
+          }
+          i -> math.max(Grid.snapD(winsOf(i).toDouble / den), 1e-6)
+        }.toMap
+        val anchor = raw(items.head)
+        p = items.map(i => i -> Grid.snapD(raw(i) / anchor)).toMap
+      }
+      val out = items.map { i =>
+        (i, winsOf(i), items.map(j => nij((i, j))).sum, p(i))
+      }
+      val spark = contests.sparkSession
+      import spark.implicits._
+      out.toSeq.toDF("item", "n_wins", "n_games", "strength")
+    } finally directed.unpersist()
   }
 }

@@ -42,4 +42,33 @@ object ForecastStream {
         sink(pinned, batchId)
     }
   }
+
+  /** The SEASONAL model under the same carry: first batch =
+    * [[Forecast.holtWintersState]] classic init, later batches =
+    * [[Forecast.holtWintersFrom]] — the `2 + period`-cell state
+    * (level, trend, register array) rides the state table, and the
+    * left-fold law makes the streamed state equal the whole-history
+    * fold exactly (spec'd), gappy slots and all.
+    */
+  def holtWintersBatches(rows: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, period: Int, alpha: Double, beta: Double,
+      gamma: Double)(sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    var state: Option[DataFrame] = None
+    rows.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val next = state match {
+          case None => Forecast.holtWintersState(batch, keyCol, tCol,
+            valueCol, period, alpha, beta, gamma)
+          case Some(st) => Forecast.holtWintersFrom(batch, keyCol,
+            tCol, valueCol, st, period, alpha, beta, gamma)
+        }
+        val pinned = next.cache()
+        pinned.count()
+        state.foreach(_.unpersist())
+        state = Some(pinned)
+        sink(pinned, batchId)
+    }
+  }
 }
