@@ -1114,6 +1114,68 @@ object HashOracles {
       ") ORDER BY \"column\", pattern")
   }
 
+  /** Spearman replay (q309, [[operators.RankCorr.spearmanBy]]):
+    * doubled midranks via keyed rank + tie-count windows, the q304
+    * exact-long Pearson tree.
+    */
+  val q309Spearman: String = {
+    import graft.functions.Grid.snapSql
+    def dmr(c: String): String =
+      s"rank() OVER (PARTITION BY k ORDER BY $c) * 2 + " +
+        s"count(*) OVER (PARTITION BY k, $c) - 1"
+    val rho = snapSql(
+      "CASE WHEN n >= 2 AND n * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 " +
+        "AND n * CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0 " +
+        "THEN (n * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+        "CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END", 4)
+    withClause(Seq(
+      "d AS (SELECT event_type AS k, date_diff('day', " +
+        "DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(count(*) AS BIGINT) AS nn, round(sum(value), 2) AS rev " +
+        "FROM events GROUP BY 1, 2)",
+      s"r AS (SELECT k, CAST(${dmr("nn")} AS BIGINT) AS rx, " +
+        s"CAST(${dmr("rev")} AS BIGINT) AS ry FROM d)",
+      "s AS (SELECT k, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy, " +
+        "CAST(sum(rx * rx) AS BIGINT) AS sxx, " +
+        "CAST(sum(ry * ry) AS BIGINT) AS syy, " +
+        "CAST(sum(rx * ry) AS BIGINT) AS sxy FROM r GROUP BY 1)"),
+      s"SELECT k AS event_type, n, $rho AS rho FROM s ORDER BY k")
+  }
+
+  /** Cronbach replay (q310, [[operators.Agreement.cronbachAlpha]]):
+    * the exact-long variance-ratio collapse, one division at the
+    * readout.
+    */
+  val q310CronbachAlpha: String = {
+    import graft.functions.Grid.snapSql
+    val ratio = "CASE WHEN nn.n * tl.sst - tl.st * tl.st <> 0 THEN " +
+      "CAST(nn.n * it.ssi - it.sqi AS DOUBLE) / " +
+      "(nn.n * tl.sst - tl.st * tl.st) END"
+    withClause(Seq(
+      "cell AS MATERIALIZED (SELECT user_id AS u, event_type AS i, " +
+        "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2)",
+      "it AS (SELECT CAST(sum(sxx) AS BIGINT) AS ssi, " +
+        "CAST(sum(sx * sx) AS BIGINT) AS sqi FROM (SELECT i, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) " +
+        "AS sxx FROM cell GROUP BY 1))",
+      "tl AS (SELECT CAST(sum(t * t) AS BIGINT) AS sst, " +
+        "CAST(sum(t) AS BIGINT) AS st FROM (SELECT u, " +
+        "CAST(sum(x) AS BIGINT) AS t FROM cell GROUP BY 1))",
+      "nn AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM cell)",
+      "kk AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS k FROM cell)"),
+      s"""SELECT nn.n AS n_units, kk.k AS k_items,
+         |  ${snapSql(ratio)} AS var_ratio,
+         |  ${snapSql(s"CAST(kk.k AS DOUBLE) / (kk.k - 1) * " +
+          s"(1.0e0 - ($ratio))")} AS alpha
+         |FROM nn, kk, it, tl""".stripMargin)
+  }
+
   /** Murphy/Brier decomposition replay (q307,
     * [[operators.Calibration.murphyDecomposition]]): the splitmix
     * train/test split, exact-count per-source rates, the bounded
@@ -1355,7 +1417,11 @@ object HashOracles {
   def q304CrossCorrelation(maxLag: Int): String = {
     import graft.functions.Grid.snapSql
     val ccf = snapSql(
-      "CASE WHEN n >= 2 THEN (n * CAST(sxy AS DOUBLE) - " +
+      "CASE WHEN n >= 2 AND n * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 " +
+        "AND n * CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0 " +
+        "THEN (n * CAST(sxy AS DOUBLE) - " +
         "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
         "sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
         "CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - " +

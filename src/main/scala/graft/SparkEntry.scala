@@ -3627,6 +3627,32 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // Spearman rank correlation per event type: do busier days carry
+    // more value? Midranks from keyed rank+tie-count windows (exact
+    // integers-or-halves, doubled to longs), Pearson over exact long
+    // sums — engine-exact end to end, outlier-immune where q304's
+    // Pearson is not.
+    "q309_spearman" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"),
+            lit(java.sql.Date.valueOf("2024-01-01"))).as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("rev"))
+      graft.operators.RankCorr.spearmanBy(daily, "event_type", "n",
+          "rev")
+        .orderBy(col("event_type"))
+    }),
+
+    // Cronbach's alpha over the per-user event-type count battery:
+    // do a user's per-type activity levels move together? The
+    // variance ratio collapses to exact-long sums sharing one
+    // denominator — a single exact division at the readout.
+    "q310_cronbach_alpha" -> ((s, dir) =>
+      graft.operators.Agreement.cronbachAlpha(
+        events(s, dir).withColumn("one", lit(1L)),
+        "user_id", "event_type", "one")),
+
     // Murphy decomposition of the Brier score for the per-source
     // language-rate forecaster: train-split rates (exact-count
     // probabilities, snapped) audited on the test split — Brier =
@@ -8142,6 +8168,10 @@ object SparkEntry {
     "q305_fleiss_kappa" -> HashOracles.q305FleissKappa,
 
     "q307_brier_decomposition" -> HashOracles.q307BrierDecomposition,
+
+    "q309_spearman" -> HashOracles.q309Spearman,
+
+    "q310_cronbach_alpha" -> HashOracles.q310CronbachAlpha,
 
     "q308_silhouette" -> HashOracles.q308Silhouette,
 

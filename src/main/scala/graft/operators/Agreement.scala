@@ -170,6 +170,54 @@ object Agreement {
           .as("kappa"))
   }
 
+  /** Cronbach's alpha (1951) — internal-consistency reliability of a
+    * k-item score battery (here: do a respondent's per-item scores
+    * move together?): `α = k/(k−1) · (1 − Σᵢσ²ᵢ / σ²_total)`. The
+    * survey/QA-battery reliability readout beside the rater kappas.
+    *
+    * Engine-exact by construction: with INTEGER item scores every
+    * variance shares the `n(n−1)` denominator, so the ratio collapses
+    * to exact-long sums — `Σσ²ᵢ/σ²_tot = (n·SSᵢ − SQᵢ)/(n·SST − SQT)`
+    * where SSᵢ = ΣᵢΣᵤx², SQᵢ = Σᵢ(Σᵤx)², SST = ΣᵤT², SQT = (ΣᵤT)² —
+    * one exact division at the readout. Missing (unit, item) cells
+    * score 0 (the count-battery convention); `n` counts every unit
+    * for every item. Items come from the data (bounded alphabet,
+    * guarded). Returns `(n_units, k_items, var_ratio, alpha)`.
+    */
+  def cronbachAlpha(df: DataFrame, unitCol: String, itemCol: String,
+      scoreCol: String, maxItems: Int = 256): DataFrame = {
+    val cell = df
+      .filter(col(unitCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(itemCol).as("__i"))
+      .agg(sum(col(scoreCol).cast("long")).as("__x"))
+    val k = cell.agg(countDistinct(col("__i"))).head().getLong(0)
+    require(k >= 2 && k <= maxItems,
+      s"item alphabet $k outside [2, $maxItems]")
+    // zero cells contribute nothing to SSi/SQi sums but EVERY unit
+    // counts in n — so n comes from the unit table, not the cells
+    val n = cell.select(col("__u")).distinct().count()
+    require(n >= 2, s"need >= 2 units, got $n")
+    val items = cell.groupBy(col("__i"))
+      .agg(sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .agg(sum(col("__sxx")).as("ssi"),
+        sum(col("__sx") * col("__sx")).as("sqi"))
+    val totals = cell.groupBy(col("__u"))
+      .agg(sum(col("__x")).as("__t"))
+      .agg(sum(col("__t") * col("__t")).as("sst"),
+        sum(col("__t")).as("st"))
+    // zero total variance (all unit totals equal) leaves alpha
+    // undefined — null, never an ANSI overflow on snapping ±Inf
+    val ratio = when(lit(n) * col("sst") - col("st") * col("st") =!= 0L,
+      (lit(n) * col("ssi") - col("sqi")).cast("double") /
+        (lit(n) * col("sst") - col("st") * col("st")))
+    items.crossJoin(totals)
+      .select(lit(n).as("n_units"), lit(k).as("k_items"),
+        Grid.snap(ratio).as("var_ratio"),
+        Grid.snap(lit(k.toDouble / (k - 1)) * (lit(1.0) - ratio))
+          .as("alpha"))
+  }
+
   /** Per-label specific agreement over the same confusion table —
     * WHICH labels the raters fight about: positive specific agreement
     * `2·n_aa / (r_a + c_a)` per label (Dice of the two raters' label-a

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.Grid
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spearman rank correlation per key — the robust, scale-free
+  * monotone-association readout (outlier-immune where Pearson is
+  * not). ρ = Pearson over MIDRANKS (tied values share the mean of
+  * their positions — the standard tie treatment), computed per key.
+  *
+  * Engine-exact by construction: midranks are integers-or-halves, so
+  * DOUBLED midranks are exact longs; all five Pearson sums accumulate
+  * exact longs (order-free), convert once to double, and the ρ
+  * formula is one fixed expression tree ([[Seasonal.crossCorrelation]]
+  * discipline). Ranks come from KEYED windows only: row_number per
+  * (key, metric order), midrank = the mean position among equal
+  * values via a (key, value)-partitioned window — the q191 midrank
+  * device, never a global sort.
+  */
+object RankCorr {
+
+  def spearmanBy(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    def doubledMidrank(c: String): org.apache.spark.sql.Column = {
+      val order = Window.partitionBy(col("__k")).orderBy(col(c))
+      val ties = Window.partitionBy(col("__k"), col(c))
+      // 2·midrank = 2·rank + tie_count − 1 (rank() = #smaller + 1 is
+      // tie-order-free, so no row id is needed): exact longs
+      (rank().over(order).cast("long") * 2L +
+        count(lit(1)).over(ties) - 1L)
+    }
+    val ranked = base
+      .withColumn("__rx", doubledMidrank("__x"))
+      .withColumn("__ry", doubledMidrank("__y"))
+    ranked.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
+        sum(col("__rx") * col("__rx")).as("sxx"),
+        sum(col("__ry") * col("__ry")).as("syy"),
+        sum(col("__rx") * col("__ry")).as("sxy"))
+      .select(col("__k").as(keyCol), col("n"),
+        Grid.snap(
+          // a zero-variance side leaves rho undefined — null, never
+          // an ANSI overflow on snapping the ±Inf/NaN division
+          when(col("n") >= 2 &&
+            col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")
+              =!= 0.0 &&
+            col("n") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double")
+              =!= 0.0,
+            (col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double")))),
+          4).as("rho"))
+  }
+}

@@ -95,7 +95,15 @@ object Seasonal {
           sum(col("__x") * col("__y")).as("sxy"))
         .select(lit(k).as("lag"), col("n"),
           Grid.snap(
-            when(col("n") >= 2,
+            // zero variance on a side leaves the corr undefined —
+            // null, never an ANSI overflow snapping ±Inf/NaN
+            when(col("n") >= 2 &&
+              col("n") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")
+                =!= 0.0 &&
+              col("n") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double")
+                =!= 0.0,
               (col("n") * col("sxy").cast("double") -
                 col("sx").cast("double") * col("sy").cast("double")) /
                 sqrt((col("n") * col("sxx").cast("double") -

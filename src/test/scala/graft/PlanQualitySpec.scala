@@ -860,6 +860,12 @@ class PlanQualitySpec extends SparkSpec {
       // scalar crosses
       for (q <- Seq("q305_fleiss_kappa", "q306_rank_matching"))
         assert(!plan(q).contains("CartesianProduct"), q)
+      // q309/q310: keyed rank windows / pure aggregation collapse —
+      // one events scan each, no cartesian beyond the 1x1 scalars
+      assert(eventScans(
+        SparkEntry.queries("q309_spearman")(spark, dir)) === 1)
+      assert(!plan("q309_spearman").contains("CartesianProduct"))
+      assert(!plan("q310_cronbach_alpha").contains("CartesianProduct"))
       // q308: the silhouette is MAP-ONLY against the centroid
       // literal — after the k-means training actions, the gated
       // query's own plan has no join at all

@@ -89,6 +89,38 @@ class AgreementSpec extends SparkSpec {
     }
   }
 
+  test("cronbachAlpha closed forms: duplicated items give alpha = 1, " +
+      "a perfectly contrarian item zeroes the total variance (null), " +
+      "and the ratio matches the hand-computed two-item case") {
+    val s = spark
+    import s.implicits._
+    def battery(rows: Seq[(Int, String, Long)]) =
+      rows.toDF("u", "i", "x")
+    // identical items: ratio = k·v/(k²·v) = 1/2 -> alpha = 1
+    val dup = battery((1 to 4).flatMap(u =>
+      Seq((u, "a", u.toLong), (u, "b", u.toLong))))
+    val r1 = Agreement.cronbachAlpha(dup, "u", "i", "x").head()
+    assert(r1.getAs[Long]("n_units") === 4L)
+    assert(r1.getAs[Long]("k_items") === 2L)
+    assert(math.abs(r1.getAs[Double]("var_ratio") - 0.5) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("alpha") - 1.0) < 1e-6)
+    // contrarian second item: totals constant -> undefined, null
+    val anti = battery((1 to 4).flatMap(u =>
+      Seq((u, "a", u.toLong), (u, "b", 5L - u))))
+    val r2 = Agreement.cronbachAlpha(anti, "u", "i", "x").head()
+    assert(r2.isNullAt(r2.fieldIndex("alpha")))
+    // hand case: a=[1,2,3,4], b=[1,1,4,4]: Σσ² = 5/3 + 3, σ²tot = 26/3
+    // -> ratio = (14/3)/(26/3) = 7/13
+    val hand = battery(Seq((1, "a", 1L), (2, "a", 2L), (3, "a", 3L),
+      (4, "a", 4L), (1, "b", 1L), (2, "b", 1L), (3, "b", 4L),
+      (4, "b", 4L)))
+    val r3 = Agreement.cronbachAlpha(hand, "u", "i", "x").head()
+    val expectRatio = 7.0 / 13
+    assert(math.abs(r3.getAs[Double]("var_ratio") - expectRatio) < 1e-6)
+    assert(math.abs(r3.getAs[Double]("alpha") -
+      2.0 * (1 - expectRatio)) < 1e-6)
+  }
+
   test("null-rated rows drop from the table, not into a null label") {
     val s = spark
     import s.implicits._
