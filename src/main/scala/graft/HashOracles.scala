@@ -1114,6 +1114,36 @@ object HashOracles {
       ") ORDER BY \"column\", pattern")
   }
 
+  /** Power-planning replay (q311, [[operators.Abtest.powerAnalysis]]):
+    * the builder calls the operator's OWN inverse-normal for the z
+    * factor (single source of truth), embeds it as the same lit17
+    * literal, mirrors the snapped mean/sigma/delta trees.
+    */
+  def q311PowerAnalysis(mdes: Seq[Double], alpha: Double,
+      power: Double): String = {
+    import graft.functions.Grid.{lit17, snapD, snapSql}
+    val za = operators.Abtest.inverseNormalCdf(1 - alpha / 2)
+    val zb = operators.Abtest.inverseNormalCdf(power)
+    val fac = lit17(2.0 * (za + zb) * (za + zb))
+    val mdeList = mdes.map(m => lit17(snapD(m))).mkString("[", ", ", "]")
+    withClause(Seq(
+      "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs, " +
+        "sum(value) AS sy, sum(value * value) AS syy FROM events " +
+        "WHERE value IS NOT NULL GROUP BY 1)",
+      "m AS (SELECT event_type, n_obs, " +
+        snapSql("sy / n_obs") + " AS mean, " +
+        snapSql("sqrt((syy - sy * sy / n_obs) / (n_obs - 1))") +
+        " AS sigma FROM s WHERE n_obs >= 2)",
+      s"e AS (SELECT m.*, mde FROM m CROSS JOIN " +
+        s"(SELECT unnest($mdeList) AS mde))",
+      s"f AS (SELECT event_type, mde, n_obs, mean, sigma, " +
+        s"${snapSql("mde * mean")} AS delta FROM e)"),
+      "SELECT event_type, mde, n_obs, mean, sigma, delta, " +
+        s"CASE WHEN delta <> 0 THEN CAST(ceil($fac * sigma * sigma " +
+        "/ (delta * delta)) AS BIGINT) END AS n_per_arm " +
+        "FROM f ORDER BY event_type, mde")
+  }
+
   /** Spearman replay (q309, [[operators.RankCorr.spearmanBy]]):
     * doubled midranks via keyed rank + tie-count windows, the q304
     * exact-long Pearson tree.

@@ -3627,6 +3627,17 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // Experiment power planning: the per-arm sample sizes a two-sided
+    // z-test needs per event type at 1/2/5% relative MDEs — μ̂/σ̂ from
+    // explicit sums, the z-quantile factor driver-computed (Acklam
+    // inverse normal) and shipped as a 17-digit literal. The sheet a
+    // growth team reads before launching.
+    "q311_power_analysis" -> ((s, dir) =>
+      graft.operators.Abtest.powerAnalysis(events(s, dir),
+          "event_type", "value", mdes = Seq(0.01, 0.02, 0.05),
+          alpha = 0.05, power = 0.8)
+        .orderBy(col("event_type"), col("mde"))),
+
     // Spearman rank correlation per event type: do busier days carry
     // more value? Midranks from keyed rank+tie-count windows (exact
     // integers-or-halves, doubled to longs), Pearson over exact long
@@ -8170,6 +8181,9 @@ object SparkEntry {
     "q307_brier_decomposition" -> HashOracles.q307BrierDecomposition,
 
     "q309_spearman" -> HashOracles.q309Spearman,
+
+    "q311_power_analysis" ->
+      HashOracles.q311PowerAnalysis(Seq(0.01, 0.02, 0.05), 0.05, 0.8),
 
     "q310_cronbach_alpha" -> HashOracles.q310CronbachAlpha,
 

@@ -402,6 +402,83 @@ object Abtest {
       round(did / se, 4).as("z"))
   }
 
+  /** Inverse standard-normal CDF — Acklam's (2003) rational
+    * approximation (|rel err| < 1.15e-9; public algorithm), used
+    * DRIVER-side only: experiment planning needs z-quantiles and SQL
+    * has no closed form, so the z's compute here and ship into plans
+    * as [[graft.functions.Grid.lit17]] constants.
+    */
+  def inverseNormalCdf(p: Double): Double = {
+    require(p > 0 && p < 1, s"p out of (0,1): $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+        c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r +
+        a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      -inverseNormalCdf(1 - p)
+    }
+  }
+
+  /** Experiment power planning — the sample-size sheet a growth team
+    * reads before launching: for each metric key and each RELATIVE
+    * minimum-detectable-effect in `mdes`, the per-arm n a two-sided
+    * two-sample z-test needs: `n = ⌈2(z_{1−α/2}+z_{power})²σ̂²/δ²⌉`
+    * with `δ = mde·μ̂` (van Belle's workhorse). μ̂/σ̂ from explicit
+    * sums; z's via [[inverseNormalCdf]] shipped as lit17 constants;
+    * outputs snap. One aggregation per key, a bounded mde explode.
+    * Returns `(key, mde, n_obs, mean, sigma, delta, n_per_arm)`.
+    */
+  def powerAnalysis(df: DataFrame, keyCol: String, valueCol: String,
+      mdes: Seq[Double], alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    require(mdes.nonEmpty && mdes.size <= 32 &&
+      mdes.forall(m => m > 0 && m < 10), s"bad mdes $mdes")
+    require(alpha > 0 && alpha < 0.5, s"bad alpha $alpha")
+    require(power > 0.5 && power < 1, s"bad power $power")
+    import graft.functions.Grid
+    val za = inverseNormalCdf(1 - alpha / 2)
+    val zb = inverseNormalCdf(power)
+    val fac = Grid.lit17(2.0 * (za + zb) * (za + zb))
+    val y = col(valueCol).cast("double")
+    df.filter(y.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"), sum(y).as("__sy"),
+        sum(y * y).as("__syy"))
+      .filter(col("n_obs") >= 2)
+      .withColumn("mean", Grid.snap(col("__sy") / col("n_obs")))
+      .withColumn("sigma", Grid.snap(sqrt(
+        (col("__syy") - col("__sy") * col("__sy") / col("n_obs")) /
+          (col("n_obs") - 1))))
+      .withColumn("mde",
+        explode(array(mdes.map(m => lit(Grid.snapD(m))): _*)))
+      .withColumn("delta", Grid.snap(col("mde") * col("mean")))
+      // a zero-mean metric has no relative MDE: null, never an ANSI
+      // overflow ceiling the Inf division
+      .withColumn("n_per_arm", when(col("delta") =!= 0.0, ceil(expr(
+        s"$fac * sigma * sigma / (delta * delta)")).cast("long")))
+      .select(col(keyCol), col("mde"), col("n_obs"), col("mean"),
+        col("sigma"), col("delta"), col("n_per_arm"))
+  }
+
   /** Wald's SPRT (1945) on a Bernoulli stream — the SEQUENTIAL arm of
     * the experimentation family: instead of a fixed-n test, each
     * key's ordered outcomes accumulate the log-likelihood ratio

@@ -42,6 +42,38 @@ class ControlChartSpec extends SparkSpec {
       .select("k").collect().map(_.getString(0)).toSet === Set("two"))
   }
 
+  test("inverseNormalCdf: textbook quantiles to 1e-8, symmetric, " +
+      "zero at the median; powerAnalysis follows the 1/mde^2 law " +
+      "and the hand-computed n") {
+    assert(math.abs(Abtest.inverseNormalCdf(0.975) - 1.95996398) < 1e-7)
+    assert(math.abs(Abtest.inverseNormalCdf(0.8) - 0.84162123) < 1e-7)
+    assert(Abtest.inverseNormalCdf(0.5) === 0.0)
+    assert(math.abs(Abtest.inverseNormalCdf(0.025) +
+      Abtest.inverseNormalCdf(0.975)) < 1e-12)
+    assert(math.abs(Abtest.inverseNormalCdf(0.001) + 3.0902323) < 1e-6)
+
+    val s = spark
+    import s.implicits._
+    // mean 100, alternating ±10: sample var = 6000/59
+    val rows = (0 until 60).map(i => ("m", i, 100.0 + (if (i % 2 == 0)
+      10.0 else -10.0)))
+    val out = Abtest.powerAnalysis(rows.toDF("k", "t", "y"), "k", "y",
+        mdes = Seq(0.01, 0.05))
+      .collect().map(r => r.getAs[Double]("mde") ->
+        (r.getAs[Double]("mean"), r.getAs[Double]("sigma"),
+          r.getAs[Long]("n_per_arm"))).toMap
+    val (mean, sigma, n5) = out(0.05)
+    assert(mean === 100.0)
+    assert(math.abs(sigma - math.sqrt(6000.0 / 59)) < 1e-5)
+    // hand: n = ceil(2*(1.9599640+0.8416212)^2 * var / 25)
+    val expected = math.ceil(2 * math.pow(1.9599640 + 0.8416212, 2) *
+      (6000.0 / 59) / 25.0).toLong
+    assert(n5 === expected, s"n5 $n5 vs $expected")
+    // quartering the MDE multiplies n by ~25 (ceiling slack)
+    val n1 = out(0.01)._3
+    assert(math.abs(n1 - 25.0 * n5) <= 25.0, s"n1 $n1 vs 25*$n5")
+  }
+
   test("sprt: pure streams decide at the closed-form step count " +
       "(ceil(ln(19)/|step|) = 15 at p .45 vs .55, α = β = .05); an " +
       "alternating stream never decides") {
