@@ -540,4 +540,77 @@ object Abtest {
           .as("n_at_decision"),
         col("__st.llr").as("llr_final"))
   }
+
+  /** RESUME a [[sprt]] from its persisted output: each key's new
+    * outcomes (strictly later than the state's horizon) continue the
+    * walk from the stored llr — or pass straight through when the
+    * walk already DECIDED (decisions are final; that is the point of
+    * a sequential test). Left fold ⇒ `resume(sprt(A), B) ==
+    * sprt(A ++ B)` EXACTLY (spec'd); debut keys start fresh. The
+    * [[graft.operators.Forecast.holtLinearFrom]] carry for the
+    * experimentation family.
+    */
+  def sprtFrom(df: DataFrame, keyCol: String, orderCol: String,
+      successCol: String, state: DataFrame, p0: Double, p1: Double,
+      alpha: Double, beta: Double): DataFrame = {
+    import graft.functions.Grid.lit17
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"bad hypotheses p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
+      s"bad error rates alpha=$alpha beta=$beta")
+    val la = math.log(p1 / p0)
+    val lb = math.log((1 - p1) / (1 - p0))
+    val up = math.log((1 - beta) / alpha)
+    val lo = math.log(beta / (1 - alpha))
+    val step = graft.functions.Grid.snapSql(
+      s"acc.llr + IF(x.s, ${lit17(la)}, ${lit17(lb)})")
+    val st = state.select(col(keyCol), col("n_total").as("__pn"),
+      col("n_success").as("__ps"),
+      when(col("decision") === "reject_h0", 1)
+        .when(col("decision") === "accept_h0", -1).otherwise(0)
+        .as("__pd"),
+      col("n_at_decision").as("__pnd"), col("llr_final").as("__pl"))
+    val series = df.filter(col(orderCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__bn"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("__bs"),
+        sort_array(collect_list(struct(
+          col(orderCol).cast("long").as("o"),
+          coalesce(col(successCol).cast("boolean"), lit(false))
+            .as("s")))).as("__w"))
+    val resumed = series.join(st, Seq(keyCol))
+      .withColumn("__st", expr(
+        s"""aggregate(__w,
+           |  named_struct('llr', __pl,
+           |    'n', __pn,
+           |    'dec', __pd),
+           |  (acc, x) -> IF(acc.dec <> 0, acc,
+           |    named_struct(
+           |      'llr', $step,
+           |      'n', acc.n + 1L,
+           |      'dec', IF(($step) >= ${lit17(up)}, 1,
+           |        IF(($step) <= ${lit17(lo)}, -1, 0)))))"""
+          .stripMargin))
+      .select(col(keyCol), (col("__pn") + col("__bn")).as("n_total"),
+        (col("__ps") + col("__bs")).as("n_success"),
+        when(col("__st.dec") === 1, "reject_h0")
+          .when(col("__st.dec") === -1, "accept_h0")
+          .otherwise("continue").as("decision"),
+        when(col("__pd") =!= 0, col("__pnd"))
+          .when(col("__st.dec") =!= 0, col("__st.n"))
+          .otherwise(lit(-1L)).as("n_at_decision"),
+        col("__st.llr").as("llr_final"))
+    val idle = st.join(series.select(col(keyCol)), Seq(keyCol),
+        "left_anti")
+      .select(col(keyCol), col("__pn").as("n_total"),
+        col("__ps").as("n_success"),
+        when(col("__pd") === 1, "reject_h0")
+          .when(col("__pd") === -1, "accept_h0")
+          .otherwise("continue").as("decision"),
+        col("__pnd").as("n_at_decision"), col("__pl").as("llr_final"))
+    val fresh = sprt(
+      df.join(st.select(col(keyCol)), Seq(keyCol), "left_anti"),
+      keyCol, orderCol, successCol, p0, p1, alpha, beta)
+    resumed.unionByName(idle).unionByName(fresh)
+  }
 }

@@ -74,6 +74,35 @@ class ControlChartSpec extends SparkSpec {
     assert(math.abs(n1 - 25.0 * n5) <= 25.0, s"n1 $n1 vs 25*$n5")
   }
 
+  test("sprtFrom: resume(sprt(A), B) == sprt(A ++ B) exactly — keys " +
+      "deciding in A, across the boundary, never, and debuting in B") {
+    val s = spark
+    import s.implicits._
+    def alt(i: Int) = i % 3 != 0 // 2/3 success — decides eventually
+    val all =
+      (0 until 40).map(i => ("early", i, true)) ++ // decides in A
+      (0 until 120).map(i => ("late", i, alt(i))) ++ // decides in B
+      (0 until 120).map(i => ("flip", i, i % 2 == 0)) ++ // never
+      (60 until 120).map(i => ("debut", i, false)) // debuts in B
+    val (a, b) = (all.filter(_._2 < 60), all.filter(_._2 >= 60))
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_success"), r.getAs[String]("decision"),
+        r.getAs[Long]("n_at_decision"), r.getAs[Double]("llr_final")))
+      .toMap
+    val whole = run(Abtest.sprt(all.toDF("k", "o", "s"), "k", "o",
+      "s", 0.45, 0.55, 0.05, 0.05))
+    val stA = Abtest.sprt(a.toDF("k", "o", "s"), "k", "o", "s",
+      0.45, 0.55, 0.05, 0.05)
+    val resumed = run(Abtest.sprtFrom(b.toDF("k", "o", "s"), "k",
+      "o", "s", stA, 0.45, 0.55, 0.05, 0.05))
+    assert(resumed === whole)
+    assert(whole("early")._3 === "reject_h0")
+    assert(whole("flip")._3 === "continue")
+    assert(whole.keySet ===
+      Set("early", "late", "flip", "debut"))
+  }
+
   test("sprt: pure streams decide at the closed-form step count " +
       "(ceil(ln(19)/|step|) = 15 at p .45 vs .55, α = β = .05); an " +
       "alternating stream never decides") {
