@@ -8339,8 +8339,10 @@ object SparkEntry {
         |  FROM bins b JOIN tots USING (feature)),
         |tm AS (SELECT feature, value,
         |  round((p_share - q_share) * woe, 6) AS term FROM sc),
-        |iv AS (SELECT feature, round(list_reduce(list_prepend(0.0e0,
-        |    list(term ORDER BY value)), (a, x) -> round(a + x, 6)), 4)
+        |iv AS (SELECT feature, CAST(FLOOR((list_reduce(list_prepend(0.0e0,
+        |    list(term ORDER BY value)),
+        |    (a, x) -> CAST(FLOOR((a + x) * 1.0E6 + 0.5) AS DOUBLE)
+        |      / 1.0E6)) * 1.0E4 + 0.5) AS DOUBLE) / 1.0E4
         |  AS iv FROM tm GROUP BY feature)
         |SELECT s.feature, s.value, s.n_pos, s.n_neg, s.p_share,
         |  s.q_share, s.woe, i.iv
@@ -8461,8 +8463,10 @@ object SparkEntry {
         |  FROM b, tt),
         |tm AS (SELECT *, round((p_ref - p_cur) * ln(p_ref / p_cur), 6)
         |  AS term FROM sc),
-        |tot AS (SELECT round(list_reduce(list_prepend(0.0e0,
-        |    list(term ORDER BY bin)), (a, x) -> round(a + x, 6)), 4)
+        |tot AS (SELECT CAST(FLOOR((list_reduce(list_prepend(0.0e0,
+        |    list(term ORDER BY bin)),
+        |    (a, x) -> CAST(FLOOR((a + x) * 1.0E6 + 0.5) AS DOUBLE)
+        |      / 1.0E6)) * 1.0E4 + 0.5) AS DOUBLE) / 1.0E4
         |  AS psi FROM tm)
         |SELECT bin, n_ref, n_cur, p_ref, p_cur, term, psi
         |FROM tm, tot ORDER BY bin""".stripMargin,
@@ -8634,14 +8638,22 @@ object SparkEntry {
         |o AS (SELECT CAST(sum(n) AS BIGINT) AS n_units,
         |  CAST(sum(n_treat) AS BIGINT) AS n_treated,
         |  round(sum(sum_y_t), 2) AS syt, round(sum(sum_y_c), 2) AS syc,
-        |  round(list_reduce(list_prepend(0.0e0, list(wyt ORDER BY seg)),
-        |    (a, x) -> round(a + x, 6)), 6) AS swyt,
-        |  round(list_reduce(list_prepend(0.0e0, list(wyc ORDER BY seg)),
-        |    (a, x) -> round(a + x, 6)), 6) AS swyc,
-        |  round(list_reduce(list_prepend(0.0e0, list(wnt ORDER BY seg)),
-        |    (a, x) -> round(a + x, 6)), 6) AS swnt,
-        |  round(list_reduce(list_prepend(0.0e0, list(wnc ORDER BY seg)),
-        |    (a, x) -> round(a + x, 6)), 6) AS swnc
+        |  CAST(FLOOR((list_reduce(list_prepend(0.0e0,
+        |      list(wyt ORDER BY seg)),
+        |    (a, x) -> CAST(FLOOR((a + x) * 1.0E6 + 0.5) AS DOUBLE)
+        |      / 1.0E6)) * 1.0E6 + 0.5) AS DOUBLE) / 1.0E6 AS swyt,
+        |  CAST(FLOOR((list_reduce(list_prepend(0.0e0,
+        |      list(wyc ORDER BY seg)),
+        |    (a, x) -> CAST(FLOOR((a + x) * 1.0E6 + 0.5) AS DOUBLE)
+        |      / 1.0E6)) * 1.0E6 + 0.5) AS DOUBLE) / 1.0E6 AS swyc,
+        |  CAST(FLOOR((list_reduce(list_prepend(0.0e0,
+        |      list(wnt ORDER BY seg)),
+        |    (a, x) -> CAST(FLOOR((a + x) * 1.0E6 + 0.5) AS DOUBLE)
+        |      / 1.0E6)) * 1.0E6 + 0.5) AS DOUBLE) / 1.0E6 AS swnt,
+        |  CAST(FLOOR((list_reduce(list_prepend(0.0e0,
+        |      list(wnc ORDER BY seg)),
+        |    (a, x) -> CAST(FLOOR((a + x) * 1.0E6 + 0.5) AS DOUBLE)
+        |      / 1.0E6)) * 1.0E6 + 0.5) AS DOUBLE) / 1.0E6 AS swnc
         |  FROM w2),
         |o2 AS (SELECT n_units, n_treated,
         |  CASE WHEN n_treated > 0 AND n_units > n_treated THEN
@@ -8798,8 +8810,10 @@ object SparkEntry {
         |  FROM bins b JOIN tots USING (feature)),
         |tm AS (SELECT feature, value,
         |  round((p_share - q_share) * woe, 6) AS term FROM sc),
-        |iv AS (SELECT feature, round(list_reduce(list_prepend(0.0e0,
-        |    list(term ORDER BY value)), (a, x) -> round(a + x, 6)), 4)
+        |iv AS (SELECT feature, CAST(FLOOR((list_reduce(list_prepend(0.0e0,
+        |    list(term ORDER BY value)),
+        |    (a, x) -> CAST(FLOOR((a + x) * 1.0E6 + 0.5) AS DOUBLE)
+        |      / 1.0E6)) * 1.0E4 + 0.5) AS DOUBLE) / 1.0E4
         |  AS iv FROM tm GROUP BY feature)
         |SELECT s.feature, s.value, s.n_pos, s.n_neg, s.p_share,
         |  s.q_share, s.woe, i.iv

@@ -311,9 +311,13 @@ object Abtest {
       .withColumn("wnc", round((col("n") - col("n_treat")).cast("double")
         / (lit(1.0) - col("e")), 6))
       .withColumn("__sk", concat_ws("", strataCols.map(col): _*))
-    def foldSum(c: String) = round(aggregate(
+    // stratum-ordered fold on the ENGINE-EXACT snap (round() ties are
+    // engine-dependent; the q253/q254 divergence class) — operator and
+    // oracle run the same float program per step
+    def foldSum(c: String) = graft.functions.Grid.snap(aggregate(
       sort_array(collect_list(struct(col("__sk"), col(c).as("v")))),
-      lit(0.0), (acc, x) => round(acc + x("v"), 6)), 6)
+      lit(0.0),
+      (acc, x) => graft.functions.Grid.snap(acc + x("v"))))
     val overall = strata.agg(
       sum(col("n")).as("__N"), sum(col("n_treat")).as("__NT"),
       round(sum(col("sum_y_t")), 2).as("__SYT"),

@@ -148,9 +148,11 @@ object Divergence {
         round((col("n_cur") + a) / (col("__tc") + denom), 6))
       .withColumn("term", round((col("p_ref") - col("p_cur")) *
         log(col("p_ref") / col("p_cur")), 6))
-    val total = scored.agg(round(aggregate(
+    // engine-exact snap per fold step (the q253/q254 round() class)
+    val total = scored.agg(graft.functions.Grid.snap(aggregate(
       sort_array(collect_list(struct(col("bin"), col("term").as("t")))),
-      lit(0.0), (acc, x) => round(acc + x("t"), 6)), 4).as("psi"))
+      lit(0.0),
+      (acc, x) => graft.functions.Grid.snap(acc + x("t"))), 4).as("psi"))
     scored.crossJoin(broadcast(total))
       .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"),
         col("p_cur"), col("term"), col("psi"))

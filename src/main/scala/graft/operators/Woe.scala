@@ -58,12 +58,13 @@ object Woe {
       .withColumn("__term",
         round((col("p_share") - col("q_share")) * col("woe"), 6))
     // iv: ordered fold over the feature's bin list (bounded), one
-    // re-round per step — engine-independent addition order
+    // ENGINE-EXACT snap per step (round() ties are engine-dependent —
+    // the q253/q254 divergence class; oracle runs the same program)
     val iv = scored.groupBy(col("feature"))
       .agg(sort_array(collect_list(struct(col("value"),
         col("__term").as("t")))).as("__bins"))
-      .withColumn("iv", round(aggregate(col("__bins"),
-        lit(0.0), (acc, x) => round(acc + x("t"), 6)), 4))
+      .withColumn("iv", graft.functions.Grid.snap(aggregate(col("__bins"),
+        lit(0.0), (acc, x) => graft.functions.Grid.snap(acc + x("t"))), 4))
       .select(col("feature"), col("iv"))
     scored.join(broadcast(iv), Seq("feature"))
       .select(col("feature"), col("value"), col("n_pos"), col("n_neg"),
