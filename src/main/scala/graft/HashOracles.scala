@@ -1000,11 +1000,12 @@ object HashOracles {
           "(a, x) -> a + x) AS den " +
           s"FROM pr JOIN p$r pa ON pa.i = pr.i " +
           s"JOIN p$r pb ON pb.i = pr.j GROUP BY pr.i)",
-        s"r$r AS MATERIALIZED (SELECT w.i, greatest(${snapSql("w.wi / d.den")}, " +
-          s"0.000001e0) AS p FROM wn w JOIN d$r d ON d.i = w.i)",
+        s"r$r AS MATERIALIZED (SELECT w.i, CASE WHEN d.den > 0 THEN " +
+          s"greatest(${snapSql("w.wi / d.den")}, 0.000001e0) " +
+          s"ELSE 0.000001e0 END AS p FROM wn w JOIN d$r d ON d.i = w.i)",
         s"p${r + 1} AS MATERIALIZED (SELECT r.i, ${snapSql("r.p / a.p")} AS p " +
           s"FROM r$r r CROSS JOIN (SELECT p FROM r$r " +
-          "ORDER BY i LIMIT 1) a)")
+          "ORDER BY p DESC, i LIMIT 1) a)")
     }
     withClause(Seq(
       "wkr AS MATERIALIZED (SELECT o_orderpriority AS pri, " +
@@ -1132,7 +1133,7 @@ object HashOracles {
         "WHERE value IS NOT NULL GROUP BY 1)",
       "m AS (SELECT event_type, n_obs, " +
         snapSql("sy / n_obs") + " AS mean, " +
-        snapSql("sqrt((syy - sy * sy / n_obs) / (n_obs - 1))") +
+        snapSql("sqrt(greatest(0.0, (syy - sy * sy / n_obs) / (n_obs - 1)))") +
         " AS sigma FROM s WHERE n_obs >= 2)",
       s"e AS (SELECT m.*, mde FROM m CROSS JOIN " +
         s"(SELECT unnest($mdeList) AS mde))",
@@ -1386,21 +1387,23 @@ object HashOracles {
         "AS sl FROM d GROUP BY 1)",
       "m AS (SELECT event_type, n_obs, sl, " +
         snapSql("sy / n_obs") + " AS mu0, " +
-        snapSql("sqrt((syy - sy * sy / n_obs) / (n_obs - 1))") +
+        snapSql("sqrt(greatest(0.0, (syy - sy * sy / n_obs) / (n_obs - 1)))") +
         " AS sigma0 FROM s WHERE n_obs >= 2)",
       s"ml AS (SELECT *, ${snapSql(s"sigma0 * $factor")} AS lim " +
         "FROM m)",
       "f AS (SELECT event_type, n_obs, mu0, sigma0, lim, " +
-        "list_reduce(list_prepend([mu0, 0.0e0, -1.0e0], sl), " +
+        "list_reduce(list_prepend([mu0, 0.0e0, -9223372036854775808], " +
+        "sl), " +
         s"(a, x) -> [$zNew, " +
         s"a[2] + CASE WHEN abs(($zNew) - mu0) > lim THEN 1.0e0 " +
         "ELSE 0.0e0 END, " +
-        "CASE WHEN a[3] >= 0.0e0 THEN a[3] ELSE " +
+        "CASE WHEN a[3] <> -9223372036854775808 THEN a[3] ELSE " +
         s"CASE WHEN abs(($zNew) - mu0) > lim THEN x[1] " +
-        "ELSE -1.0e0 END END]) AS st FROM ml)"),
+        "ELSE -9223372036854775808 END END]) AS st FROM ml)"),
       "SELECT event_type, n_obs, mu0, sigma0, lim AS \"limit\", " +
         "st[1] AS ewma_final, CAST(st[2] AS BIGINT) AS n_alarms, " +
-        "CAST(st[3] AS BIGINT) AS first_alarm_t " +
+        "CASE WHEN st[3] <> -9223372036854775808 THEN " +
+        "CAST(st[3] AS BIGINT) END AS first_alarm_t " +
         "FROM f ORDER BY event_type")
   }
 

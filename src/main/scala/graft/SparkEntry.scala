@@ -2776,10 +2776,13 @@ object SparkEntry {
       // the hourly-bucket table (no unpartitioned window): the -24..-1
       // frame at row i is cum[i-1] - cum[i-25], and averaging exact
       // integer sums divides the same operands the window avg did
-      val cum = graft.operators.Ranks.withOrderedPrefixScan(
-        hourly.withColumn("c2", col("c") * col("c")),
-        Seq(col("hour_start")), Seq("c" -> "cc", "c2" -> "cc2"),
-        idxCol = "__i")
+      // PINNED: cum feeds itself twice via the shifted self-joins —
+      // uncached, the one-task scan would run three times
+      val cum = graft.CacheScope.register(
+        graft.operators.Ranks.withOrderedPrefixScan(
+          hourly.withColumn("c2", col("c") * col("c")),
+          Seq(col("hour_start")), Seq("c" -> "cc", "c2" -> "cc2"),
+          idxCol = "__i").persist())
       val p1 = cum.select((col("__i") + 1L).as("__i"),
         col("cc").as("__p1c"), col("cc2").as("__p1c2"))
       val p25 = cum.select((col("__i") + 25L).as("__i"),

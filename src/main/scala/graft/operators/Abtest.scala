@@ -469,9 +469,11 @@ object Abtest {
         sum(y * y).as("__syy"))
       .filter(col("n_obs") >= 2)
       .withColumn("mean", Grid.snap(col("__sy") / col("n_obs")))
-      .withColumn("sigma", Grid.snap(sqrt(
+      // clamp at 0 (the ewmaControl rationale): cancellation noise
+      // must not reach sqrt as a tiny negative
+      .withColumn("sigma", Grid.snap(sqrt(greatest(lit(0.0),
         (col("__syy") - col("__sy") * col("__sy") / col("n_obs")) /
-          (col("n_obs") - 1))))
+          (col("n_obs") - 1)))))
       .withColumn("mde",
         explode(array(mdes.map(m => lit(Grid.snapD(m))): _*)))
       .withColumn("delta", Grid.snap(col("mde") * col("mean")))

@@ -108,8 +108,12 @@ object Agreement {
         Grid.snap(col("echance_w").cast("double") /
           (col("n") * col("n") * km1)).as("pe_w"),
         Grid.snap(
-          when(col("echance_w") === col("n") * col("n") * km1,
-            lit(null))
+          // k = 1 degenerates the WEIGHTED form differently (every
+          // lw weight is 0, so the ratio reads a defined-looking 0):
+          // null it explicitly, same contract as the unweighted kappa
+          when(lit(nLabels) === 1L, lit(null))
+            .when(col("echance_w") === col("n") * col("n") * km1,
+              lit(null))
             .otherwise((col("agree_w").cast("double") /
               (col("n") * km1) -
               col("echance_w").cast("double") /

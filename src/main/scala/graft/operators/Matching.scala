@@ -36,7 +36,10 @@ object Matching {
     val w = Window.partitionBy(col("__s"), col("__tr"))
       .orderBy(col("__sc").desc, col("__id"))
     val ranked = df
-      .filter(col(treatCol).isNotNull && col(scoreCol).isNotNull)
+      // a null OUTCOME must drop before pairing — paired in but null
+      // in the diff-sum, it would deflate the ATT denominator-silently
+      .filter(col(treatCol).isNotNull && col(scoreCol).isNotNull &&
+        col(outcomeCol).isNotNull)
       .select(col(strataCol).as("__s"),
         col(treatCol).cast("boolean").as("__tr"),
         col(scoreCol).cast("double").as("__sc"),

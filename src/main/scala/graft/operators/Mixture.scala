@@ -54,13 +54,17 @@ object Mixture {
     // the integer/grid capacities and weights the mixture recipe
     // feeds (the house grid contract; fractional off-grid weights
     // would differ only in the last ulp of the fill level).
-    val scanned = Ranks.withOrderedPrefixScan(
+    // PINNED: three branches consume the scan (total readout, fill
+    // level, final projection) — uncached each would re-run the
+    // single-partition sort and the strata derivation above it
+    val scanned = graft.CacheScope.register(Ranks.withOrderedPrefixScan(
       strata
         .withColumn("__cap", col(capacityCol).cast("double") * maxEpochs)
         .withColumn("__w", col(weightCol).cast("double"))
         .withColumn("__ratio", col("__cap") / col("__w")),
       Seq(col("__ratio"), col(keyCol)),
       Seq("__cap" -> "__cumC", "__w" -> "__cumW"), idxCol = "__i")
+      .persist())
     val tot = scanned.orderBy(col("__i").desc).limit(1)
       .select(col("__cumW").as("__totW"))
     val leveled = scanned

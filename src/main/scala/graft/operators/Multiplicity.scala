@@ -82,7 +82,10 @@ object Multiplicity {
     // config-bounded), m and the step-up cutoff as broadcast scalars —
     // no unpartitioned window anywhere
     val m = tests.agg(count(lit(1)).as("__m"))
-    val ranked = Ranks.withOrderedPrefixScan(tests,
+    // PINNED: the step-up cutoff and the final projection both read
+    // the ranked frame — uncached, each re-runs the rank scan
+    val ranked = graft.CacheScope.register(
+      Ranks.withOrderedPrefixScan(tests,
         Seq(col(pCol), col(keyCol)), Seq.empty, idxCol = "__rk")
       .withColumn("rank", col("__rk").cast("int")).drop("__rk")
       .crossJoin(broadcast(m))
@@ -91,6 +94,7 @@ object Multiplicity {
           (lit(100.0) * col("__m")), 6))
       .withColumn("__pass",
         when(col(pCol) <= col("bh_threshold"), col("rank")))
+      .persist())
     val kmax = ranked.agg(max(col("__pass")).as("__kmax"))
     ranked
       .crossJoin(broadcast(kmax))

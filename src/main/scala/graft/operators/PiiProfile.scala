@@ -77,14 +77,17 @@ object PiiProfile {
     */
   def scrub(df: DataFrame, textCol: String,
       patterns: Seq[(String, String)] = defaultPatterns): DataFrame = {
-    val redacted = patterns.foldLeft(col(textCol).cast("string")) {
-      case (c, (pn, pat)) => regexp_replace(c, pat, s"<$pn>")
+    // counts fold ALONGSIDE the replacements: pattern i counts its
+    // matches on the text AFTER patterns < i redacted, so a value
+    // matching several patterns (an email wrapping a 9-digit run)
+    // counts once per ACTUAL replacement, not once per pattern
+    val (redacted, counts) = patterns.foldLeft(
+      (col(textCol).cast("string"), lit(0L))) {
+      case ((c, n), (pn, pat)) =>
+        (regexp_replace(c, pat, s"<$pn>"),
+          n + coalesce(regexp_count(c, lit(pat)).cast("long"), lit(0L)))
     }
-    val counts = patterns.map { case (_, pat) =>
-      coalesce(regexp_count(col(textCol).cast("string"), lit(pat)),
-        lit(0))
-    }.reduce(_ + _)
-    df.withColumn("n_redactions", counts.cast("long"))
+    df.withColumn("n_redactions", counts)
       .withColumn(textCol, redacted)
   }
 }

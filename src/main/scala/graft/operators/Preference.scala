@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * each term and each updated strength snaps via [[Grid.snapD]] —
   * the same float program the SQL snap runs, so an oracle replays
   * the trajectory bit-exactly — and identifiability is fixed by
-  * ANCHORING at the first item (a single-value divide, order-free)
+  * ANCHORING at the strongest item, ties to the lesser name (a
+  * single-value divide, order-free; strengths land in (0, 1] so
+  * opponent terms never underflow the term grid)
   * rather than a sum normalization whose accumulation order would be
   * engine-dependent. Strengths floor at the 1e-6 grid resolution so
   * a winless item stays a valid denominator instead of collapsing
@@ -82,9 +84,19 @@ object Preference {
           val den = opponents(i).foldLeft(0.0) { (a, j) =>
             a + Grid.snapD(nij((i, j)).toDouble / (p(i) + p(j)))
           }
-          i -> math.max(Grid.snapD(winsOf(i).toDouble / den), 1e-6)
+          // den can reach 0 when every opponent strength is enormous
+          // relative to n_ij (terms snap to 0) — floor rather than
+          // 0/0 = NaN poisoning the anchor and every later round
+          i -> (if (den > 0.0)
+            math.max(Grid.snapD(winsOf(i).toDouble / den), 1e-6)
+          else 1e-6)
         }.toMap
-        val anchor = raw(items.head)
+        // anchor at the STRONGEST item (ties to the lesser name): all
+        // strengths land in (0, 1], so opponent terms n/(p_i + p_j)
+        // never underflow the 1e-6 term grid — anchoring at the first
+        // item would let a winless lexicographic head (floored to
+        // 1e-6) inflate everything by ~1e6 and zero the terms
+        val anchor = raw(items.maxBy(i => (raw(i), -items.indexOf(i))))
         p = items.map(i => i -> Grid.snapD(raw(i) / anchor)).toMap
       }
       val out = items.map { i =>

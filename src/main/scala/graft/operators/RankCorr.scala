@@ -21,12 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object RankCorr {
 
+  /** Exactness bound: Σ(2·midrank)² ≈ 4n³/3 per key must fit a long,
+    * so keys are capped at ~1.3M rows — series/experiment grain, the
+    * operator's contract. The guard is distributive (one count
+    * aggregation) and fails FAST rather than wrapping into a silent
+    * garbage ρ.
+    */
   def spearmanBy(df: DataFrame, keyCol: String, xCol: String,
       yCol: String): DataFrame = {
     val base = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"))
+    val maxN = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(maxN <= 1300000L,
+      s"a key holds $maxN rows — beyond the exact-long rank-sum bound " +
+        "(~1.3M); Spearman here is a series/experiment-grain device")
     def doubledMidrank(c: String): org.apache.spark.sql.Column = {
       val order = Window.partitionBy(col("__k")).orderBy(col(c))
       val ties = Window.partitionBy(col("__k"), col(c))

@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Robust {
 
+  /** [[ewmaControl]]'s internal "no alarm yet" sentinel — OUTSIDE any
+    * legitimate t (Long.MinValue); the readout maps it to null.
+    */
+  private val NoAlarm: Long = Long.MinValue
+
   private def median(c: Column, exact: Boolean): Column =
     if (exact) percentile(c, lit(0.5))
     else approx_percentile(c, lit(0.5), lit(10000))
@@ -479,7 +484,7 @@ object Robust {
     * One groupBy collects each key's ordered series; the fold is an
     * aggregate HOF inside codegen — the [[Forecast]] execution shape.
     * Returns `(key, n_obs, mu0, sigma0, limit, ewma_final, n_alarms,
-    * first_alarm_t)` (first_alarm_t = −1 when in control; keys with
+    * first_alarm_t)` (first_alarm_t null when in control; keys with
     * < 2 points drop — no spread is estimable).
     */
   def ewmaControl(df: DataFrame, keyCol: String, tCol: String,
@@ -497,23 +502,32 @@ object Robust {
           col(valueCol).cast("double").as("y")))).as("__s"))
       .filter(col("n_obs") >= 2)
       .withColumn("mu0", Grid.snap(col("__sy") / col("n_obs")))
-      .withColumn("sigma0", Grid.snap(sqrt(
+      // clamp at 0: float cancellation on a near-constant series can
+      // leave the variance a tiny NEGATIVE -> sqrt = NaN, which the
+      // Spark-side snap would silently floor-to-0 while the oracle
+      // propagates NULL (the Grid NaN seam) — greatest pins both
+      .withColumn("sigma0", Grid.snap(sqrt(greatest(lit(0.0),
         (col("__syy") - col("__sy") * col("__sy") / col("n_obs")) /
-          (col("n_obs") - 1))))
+          (col("n_obs") - 1)))))
       .withColumn("limit", Grid.snap(col("sigma0") *
         lit(l * math.sqrt(lambda / (2 - lambda)))))
+      // "no alarm yet" is Long.MinValue INTERNALLY (an `ft >= 0` test
+      // would treat a legitimate alarm at a negative calendar offset
+      // as still-unset and overwrite it); the readout maps it to null
       .withColumn("__st", expr(
         s"""aggregate(__s,
-           |  named_struct('z', mu0, 'a', 0L, 'ft', -1L),
+           |  named_struct('z', mu0, 'a', 0L, 'ft', $NoAlarm),
            |  (acc, x) -> named_struct(
            |    'z', $zNew,
            |    'a', acc.a + IF(abs(($zNew) - mu0) > limit, 1L, 0L),
-           |    'ft', IF(acc.ft >= 0L, acc.ft,
-           |      IF(abs(($zNew) - mu0) > limit, x.t, -1L))))"""
+           |    'ft', IF(acc.ft <> $NoAlarm, acc.ft,
+           |      IF(abs(($zNew) - mu0) > limit, x.t, $NoAlarm))))"""
           .stripMargin))
       .select(col(keyCol), col("n_obs"), col("mu0"), col("sigma0"),
         col("limit"), col("__st.z").as("ewma_final"),
-        col("__st.a").as("n_alarms"), col("__st.ft").as("first_alarm_t"))
+        col("__st.a").as("n_alarms"),
+        when(col("__st.ft") =!= NoAlarm, col("__st.ft"))
+          .as("first_alarm_t"))
   }
 
   /** PHASE-II monitoring — resume [[ewmaControl]] from persisted
@@ -539,7 +553,8 @@ object Robust {
     val st = state.select(col(keyCol), col("n_obs").as("__pn"),
       col("mu0").as("__mu"), col("sigma0").as("__sg"),
       col("limit").as("__lim"), col("ewma_final").as("__z"),
-      col("n_alarms").as("__na"), col("first_alarm_t").as("__ft"))
+      col("n_alarms").as("__na"),
+      coalesce(col("first_alarm_t"), lit(NoAlarm)).as("__ft"))
     val series = df
       .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(keyCol))
@@ -553,20 +568,23 @@ object Robust {
            |  (acc, x) -> named_struct(
            |    'z', $zNew,
            |    'a', acc.a + IF(abs(($zNew) - __mu) > __lim, 1L, 0L),
-           |    'ft', IF(acc.ft >= 0L, acc.ft,
-           |      IF(abs(($zNew) - __mu) > __lim, x.t, -1L))))"""
+           |    'ft', IF(acc.ft <> $NoAlarm, acc.ft,
+           |      IF(abs(($zNew) - __mu) > __lim, x.t, $NoAlarm))))"""
           .stripMargin))
       .select(col(keyCol), (col("__pn") + col("__bn")).as("n_obs"),
         col("__mu").as("mu0"), col("__sg").as("sigma0"),
         col("__lim").as("limit"), col("__st2.z").as("ewma_final"),
         col("__st2.a").as("n_alarms"),
-        col("__st2.ft").as("first_alarm_t"))
+        when(col("__st2.ft") =!= NoAlarm, col("__st2.ft"))
+          .as("first_alarm_t"))
     val idle = st.join(series.select(col(keyCol)), Seq(keyCol),
         "left_anti")
       .select(col(keyCol), col("__pn").as("n_obs"),
         col("__mu").as("mu0"), col("__sg").as("sigma0"),
         col("__lim").as("limit"), col("__z").as("ewma_final"),
-        col("__na").as("n_alarms"), col("__ft").as("first_alarm_t"))
+        col("__na").as("n_alarms"),
+        when(col("__ft") =!= NoAlarm, col("__ft"))
+          .as("first_alarm_t"))
     val fresh = ewmaControl(
       df.join(st.select(col(keyCol)), Seq(keyCol), "left_anti"),
       keyCol, tCol, valueCol, lambda, l)

@@ -59,12 +59,12 @@ object Seasonal {
   }
 
   /** Lagged cross-correlation between two series sharing a time grid:
-    * `ccf(k) = corr(x_t, y_{t−k})` for `k = 0..maxLag` — does x LEAD
-    * y (peaks at positive k) or lag it? One self-join per lag on the
-    * bounded lag list; Pearson corr from explicit sums (exact where
-    * the inputs are integral). Rows pair only where both series
-    * observe (inner join — gappy days drop from that lag's n).
-    * Returns `(lag, n, ccf)`.
+    * `ccf(k) = corr(x_{t−k}, y_t)` for `k = 0..maxLag` — does x LEAD
+    * y (a peak at positive k means x's values show up in y k steps
+    * later)? One self-join per lag on the bounded lag list; Pearson
+    * corr from explicit sums (exact where the inputs are integral).
+    * Rows pair only where both series observe (inner join — gappy
+    * days drop from that lag's n). Returns `(lag, n, ccf)`.
     */
   /** `scale` declares the decimal grid as in [[decompose]]: the five
     * Pearson sums accumulate EXACT scaled longs (order-free), convert

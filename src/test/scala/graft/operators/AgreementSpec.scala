@@ -42,11 +42,14 @@ class AgreementSpec extends SparkSpec {
         s"kappa ${r.getAs[Double]("kappa")}")
   }
 
-  test("degenerate single-label alphabet: pe = 1, kappa reads null") {
+  test("degenerate single-label alphabet: pe = 1, BOTH kappas read " +
+      "null (the weighted ratio would otherwise read a " +
+      "defined-looking 0)") {
     val df = rated(Seq(("x", "x", 10)))
     val r = Agreement.cohenKappa(df, "ra", "rb").head()
     assert(r.getAs[Double]("po") === 1.0)
     assert(r.isNullAt(r.fieldIndex("kappa")))
+    assert(r.isNullAt(r.fieldIndex("kappa_w")))
   }
 
   test("labelAgreement localizes: perfect on 'easy', contested on " +

@@ -42,6 +42,24 @@ class PreferenceSpec extends SparkSpec {
     assert(m("C") >= 1e-6) // winless C stays a valid denominator
   }
 
+  test("a winless lexicographic head cannot poison the rounds: the " +
+      "anchor is the strongest item, so strengths stay in (0, 1], " +
+      "terms never underflow, and nothing reads NaN") {
+    val s = spark
+    import s.implicits._
+    // 'a' sorts first and never wins; b dominates
+    val contests = (Seq(("b", "a")) ++ Seq.fill(3)(("b", "c")) ++
+      Seq(("c", "b"))).toDF("winner", "loser")
+    val out = Preference.bradleyTerry(contests, "winner", "loser",
+        rounds = 10)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("strength")).toMap
+    assert(out.values.forall(v => !v.isNaN && v > 0 && v <= 1.0),
+      s"strengths $out")
+    assert(out("b") === 1.0) // the dominant item anchors
+    assert(out("b") > out("c") && out("c") > out("a"), s"order $out")
+  }
+
   test("alphabet guards: one item and an oversized alphabet both " +
       "fail fast") {
     val s = spark

@@ -19,7 +19,8 @@ class ControlStreamSpec extends SparkSpec {
     .map(r => r.getString(0) -> (r.getAs[Long]("n_obs"),
       r.getAs[Double]("mu0"), r.getAs[Double]("limit"),
       r.getAs[Double]("ewma_final"), r.getAs[Long]("n_alarms"),
-      r.getAs[Long]("first_alarm_t"))).toMap
+      Option(r.getAs[java.lang.Long]("first_alarm_t"))
+        .map(_.toLong))).toMap
 
   test("streamed chart == one resume over the concatenation; limits " +
       "stay phase-I; resume(resume(st,B1),B2) == resume(st,B1++B2)") {
@@ -56,7 +57,8 @@ class ControlStreamSpec extends SparkSpec {
     val a = streamed("a")
     assert(math.abs(a._2 - 10.5) < 0.01, s"mu0 drifted to ${a._2}")
     assert(a._5 > 0L)
-    assert(a._6 >= 40L && a._6 <= 45L, s"first alarm at ${a._6}")
+    assert(a._6.exists(f => f >= 40L && f <= 45L),
+      s"first alarm at ${a._6}")
     assert(a._1 === 100L)
   }
 
