@@ -1145,6 +1145,43 @@ object HashOracles {
         "FROM f ORDER BY event_type, mde")
   }
 
+  /** Mann–Kendall replay (q312, [[operators.Robust.mannKendall]]):
+    * the deterministic cap, exact-long S and tie terms, the
+    * operator's own z tree.
+    */
+  def q312MannKendall(maxPoints: Int): String = {
+    import graft.functions.Grid.snapSql
+    val zExpr = "CAST(s_stat + CASE WHEN s_stat > 0 THEN -1 " +
+      "WHEN s_stat < 0 THEN 1 ELSE 0 END AS DOUBLE) / sqrt(var_s)"
+    withClause(Seq(
+      "d AS (SELECT o_orderpriority AS k, date_diff('day', " +
+        "DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1, 2)",
+      "p AS MATERIALIZED (SELECT k, rev, row_number() OVER " +
+        "(PARTITION BY k ORDER BY day, rev) AS i FROM d " +
+        s"QUALIFY i <= $maxPoints)",
+      "s AS (SELECT a.k, CAST(sum(CASE WHEN b.rev > a.rev THEN 1 " +
+        "WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM p a JOIN p b " +
+        "ON a.k = b.k AND a.i < b.i GROUP BY 1)",
+      "tt AS (SELECT k, CAST(sum(t * (t - 1) * (2 * t + 5)) " +
+        "AS BIGINT) AS tc, CAST(sum(t) AS BIGINT) AS n_obs FROM " +
+        "(SELECT k, rev, CAST(count(*) AS BIGINT) AS t FROM p " +
+        "GROUP BY 1, 2) GROUP BY 1)",
+      "j AS (SELECT s.k, tt.n_obs, s.s_stat, s.n_pairs, " +
+        "CAST(tt.n_obs * (tt.n_obs - 1) * (2 * tt.n_obs + 5) - tt.tc " +
+        "AS DOUBLE) / 18.0 AS var_s FROM s JOIN tt ON tt.k = s.k " +
+        "WHERE tt.n_obs >= 3)",
+      s"z AS (SELECT *, ${snapSql(
+        s"CASE WHEN var_s > 0.0 THEN $zExpr END", 4)} AS zv FROM j)"),
+      s"SELECT k AS o_orderpriority, n_obs, s_stat, n_pairs, " +
+        s"${snapSql("var_s")} AS var_s, zv AS z, " +
+        "CASE WHEN zv IS NULL THEN 'no_trend' " +
+        "WHEN zv > 1.96 THEN 'increasing' " +
+        "WHEN zv < -1.96 THEN 'decreasing' ELSE 'no_trend' END " +
+        "AS trend FROM z ORDER BY o_orderpriority")
+  }
+
   /** Spearman replay (q309, [[operators.RankCorr.spearmanBy]]):
     * doubled midranks via keyed rank + tie-count windows, the q304
     * exact-long Pearson tree.

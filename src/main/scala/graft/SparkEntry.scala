@@ -3630,6 +3630,21 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // Mann-Kendall trend test on daily revenue per priority — the
+    // nonparametric is-there-a-trend companion to Theil-Sen's slope:
+    // exact-long S and tie-corrected variance, one division + sqrt +
+    // snapped z at the readout, the deterministic maxPoints cap.
+    "q312_mann_kendall" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Robust.mannKendall(daily, "o_orderpriority",
+          "day", "rev", maxPoints = 1024)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Experiment power planning: the per-arm sample sizes a two-sided
     // z-test needs per event type at 1/2/5% relative MDEs — μ̂/σ̂ from
     // explicit sums, the z-quantile factor driver-computed (Acklam
@@ -8187,6 +8202,8 @@ object SparkEntry {
 
     "q311_power_analysis" ->
       HashOracles.q311PowerAnalysis(Seq(0.01, 0.02, 0.05), 0.05, 0.8),
+
+    "q312_mann_kendall" -> HashOracles.q312MannKendall(1024),
 
     "q310_cronbach_alpha" -> HashOracles.q310CronbachAlpha,
 

@@ -591,6 +591,66 @@ object Robust {
     resumed.unionByName(idle).unionByName(fresh)
   }
 
+  /** Mann–Kendall trend test (Mann 1945, Kendall's tau form) — the
+    * nonparametric IS-there-a-trend companion to [[theilSenTrend]]'s
+    * HOW-steep: per key, `S = Σ_{i<j} sgn(y_j − y_i)` over time order,
+    * tie-corrected variance `(n(n−1)(2n+5) − Σt(t−1)(2t+5))/18`, and
+    * the continuity-corrected normal z. Distribution-free — the
+    * heavy-tailed revenue series that breaks an OLS slope test.
+    *
+    * Engine-exact by construction: S, the pair count, and both
+    * variance numerators are exact longs; the only float ops are one
+    * division, one sqrt, and the final snapped z. Pair space caps at
+    * `maxPoints` per key via the [[theilSenTrend]] deterministic
+    * row_number truncation (bounded-series contract). Returns
+    * `(key, n_obs, s_stat, n_pairs, var_s, z, trend)` — z null (and
+    * trend `no_trend`) when the variance degenerates to 0.
+    */
+  def mannKendall(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, maxPoints: Int = 1024): DataFrame = {
+    require(maxPoints >= 3, s"bad maxPoints $maxPoints")
+    val wp = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__y"))
+    val pts = graft.CacheScope.register(df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__y"))
+      .withColumn("__i", row_number().over(wp))
+      .filter(col("__i") <= maxPoints)
+      .persist())
+    val s = pts.as("a").join(pts.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__i") < col("b.__i"))
+      .select(col("a.__k").as("__k"),
+        when(col("b.__y") > col("a.__y"), 1L)
+          .when(col("b.__y") < col("a.__y"), -1L)
+          .otherwise(0L).as("__sg"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__sg")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = pts.groupBy(col("__k"), col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__t") * (col("__t") - 1L) *
+        (lit(2L) * col("__t") + 5L)).as("__tc"),
+        sum(col("__t")).as("n_obs"))
+    val z = (col("s_stat") +
+      when(col("s_stat") > 0L, -1L).when(col("s_stat") < 0L, 1L)
+        .otherwise(0L)).cast("double") / sqrt(col("var_s"))
+    s.join(ties, Seq("__k"))
+      .filter(col("n_obs") >= 3)
+      .withColumn("var_s",
+        (col("n_obs") * (col("n_obs") - 1L) *
+          (lit(2L) * col("n_obs") + 5L) - col("__tc")).cast("double") /
+          18.0)
+      .withColumn("z", Grid.snap(when(col("var_s") > 0.0, z), 4))
+      .select(col("__k").as(keyCol), col("n_obs"), col("s_stat"),
+        col("n_pairs"), Grid.snap(col("var_s")).as("var_s"), col("z"),
+        when(col("z").isNull, "no_trend")
+          .when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
     val d = df.filter(col(valueCol) >= 1)
       .withColumn("digit",

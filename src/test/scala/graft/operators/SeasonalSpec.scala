@@ -47,6 +47,30 @@ class SeasonalSpec extends SparkSpec {
       s"slot order lost: $out")
   }
 
+  test("mannKendall: monotone series saturate S = n(n-1)/2 and flag " +
+      "increasing; a constant series degenerates (null z, no_trend); " +
+      "an alternating series reads no_trend") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 40).flatMap { t =>
+      Seq(("up", t, t * 2.0), ("flat", t, 7.0),
+        ("zig", t, if (t % 2 == 0) 1.0 else 2.0))
+    }
+    val out = Robust.mannKendall(rows.toDF("k", "t", "y"), "k", "t",
+        "y")
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("s_stat"),
+        Option(r.getAs[java.lang.Double]("z")),
+        r.getAs[String]("trend"))).toMap
+    assert(out("up")._1 === 40L * 39 / 2)
+    assert(out("up")._3 === "increasing")
+    assert(out("up")._2.exists(_ > 1.96))
+    assert(out("flat") === ((0L, None, "no_trend")))
+    assert(out("zig")._3 === "no_trend")
+    // the deterministic cap truncates, never errors
+    assert(Robust.mannKendall(rows.toDF("k", "t", "y"), "k", "t", "y",
+      maxPoints = 10).head().getAs[Long]("n_obs") === 10L)
+  }
+
   test("crossCorrelation: a planted 2-day lead reads ccf = 1 at lag " +
       "2 and below 1 elsewhere") {
     val s = spark
