@@ -1145,6 +1145,110 @@ object HashOracles {
         "FROM f ORDER BY event_type, mde")
   }
 
+  /** McNemar replay (q313, [[operators.Abtest.mcNemar]]): the paired
+    * conversion flags, four exact-long cells, the operator's
+    * continuity-corrected tree.
+    */
+  val q313McNemar: String = {
+    import graft.functions.Grid.snapSql
+    val dd = "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+    withClause(Seq(
+      s"pu AS (SELECT user_id, sum(CASE WHEN $dd < 15 AND " +
+        "value >= 60.0 THEN 1 ELSE 0 END) > 0 AS a, " +
+        s"sum(CASE WHEN $dd >= 15 AND value >= 60.0 THEN 1 ELSE 0 " +
+        "END) > 0 AS b FROM events GROUP BY 1)",
+      "c AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_both, CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_only_first, " +
+        "CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_only_second, " +
+        "CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_neither FROM pu)",
+      "x AS (SELECT *, " + snapSql(
+        "CASE WHEN n_only_first + n_only_second > 0 THEN " +
+          "CAST(abs(n_only_first - n_only_second) - 1 AS DOUBLE) * " +
+          "(abs(n_only_first - n_only_second) - 1) / " +
+          "(n_only_first + n_only_second) END", 4) + " AS chi2 FROM c)"),
+      "SELECT n_pairs, n_both, n_only_first, n_only_second, " +
+        "n_neither, chi2, coalesce(chi2 > 3.841, false) " +
+        "AS significant FROM x")
+  }
+
+  /** Kendall τ-b replay (q314, [[operators.RankCorr.kendallTauBy]]):
+    * the capped pair join, exact concordance/tie cells, the
+    * operator's readout tree.
+    */
+  def q314KendallTau(maxPoints: Int): String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      "d AS (SELECT event_type AS k, date_diff('day', " +
+        "DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(count(*) AS BIGINT) AS nn, round(sum(value), 2) AS rev " +
+        "FROM events GROUP BY 1, 2)",
+      "p AS MATERIALIZED (SELECT k, nn, rev, row_number() OVER " +
+        "(PARTITION BY k ORDER BY nn, rev) AS i FROM d " +
+        s"QUALIFY i <= $maxPoints)",
+      "c AS (SELECT a.k, CAST(count(*) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN sign(b.nn - a.nn) * sign(b.rev - a.rev) " +
+        "> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN sign(b.nn - a.nn) * sign(b.rev - a.rev) " +
+        "< 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd, " +
+        "CAST(sum(CASE WHEN sign(b.nn - a.nn) = 0 AND " +
+        "sign(b.rev - a.rev) <> 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS tx0, CAST(sum(CASE WHEN sign(b.rev - a.rev) = 0 AND " +
+        "sign(b.nn - a.nn) <> 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS ty0, CAST(sum(CASE WHEN sign(b.nn - a.nn) = 0 AND " +
+        "sign(b.rev - a.rev) = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS tb FROM p a JOIN p b ON a.k = b.k AND a.i < b.i " +
+        "GROUP BY 1)",
+      "nn2 AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM p " +
+        "GROUP BY 1)",
+      "f AS (SELECT c.k, nn2.n, c.c, c.dd, " +
+        "c.n0 - (c.tx0 + c.tb) AS fx, c.n0 - (c.ty0 + c.tb) AS fy " +
+        "FROM c JOIN nn2 ON nn2.k = c.k)"),
+      "SELECT k AS event_type, n, c AS n_concordant, " +
+        "dd AS n_discordant, " + snapSql(
+        "CASE WHEN fx > 0 AND fy > 0 THEN CAST(c - dd AS DOUBLE) / " +
+          "sqrt(CAST(fx * fy AS DOUBLE)) END", 4) +
+        " AS tau_b FROM f ORDER BY event_type")
+  }
+
+  /** Kruskal–Wallis replay (q315, [[operators.Abtest.kruskalWallis]]):
+    * pooled (y, id) row_number order, tie-window midranks, arm-ordered
+    * fold of the exact rank-sum squares, the operator's H tree.
+    */
+  val q315KruskalWallis: String = {
+    import graft.functions.Grid.snapSql
+    val h = "12.0e0 / (nd * (nd + 1.0e0)) * sr - 3.0e0 * (nd + 1.0e0)"
+    val corr = "1.0e0 - CAST(tc AS DOUBLE) / (nd * nd * nd - nd)"
+    withClause(Seq(
+      "b AS MATERIALIZED (SELECT event_type AS arm, event_id AS id, " +
+        "value AS y FROM events WHERE value IS NOT NULL)",
+      "r AS (SELECT *, row_number() OVER (ORDER BY y, id) AS rn " +
+        "FROM b)",
+      "m AS (SELECT *, min(rn) OVER (PARTITION BY y) + " +
+        "max(rn) OVER (PARTITION BY y) AS r2 FROM r)",
+      "a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(r2) AS BIGINT) AS rs2 FROM m GROUP BY 1)",
+      "srt AS (SELECT CAST(count(*) AS BIGINT) AS k_arms, " +
+        "list_reduce(list_prepend(0.0e0, " +
+        "list(CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE) / " +
+        "(4.0e0 * n) ORDER BY arm)), (acc, x) -> acc + x) AS sr " +
+        "FROM a)",
+      "t AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tc, " +
+        "CAST(sum(t) AS BIGINT) AS nN FROM (SELECT y, " +
+        "CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1))",
+      "x AS (SELECT t.nN, srt.k_arms, srt.sr, t.tc, " +
+        "CAST(t.nN AS DOUBLE) AS nd FROM srt, t)"),
+      s"""SELECT nN AS n_total, k_arms, k_arms - 1 AS df,
+         |  ${snapSql(h, 4)} AS h,
+         |  ${snapSql(corr, 6)} AS tie_correction,
+         |  ${snapSql(s"CASE WHEN ($corr) > 0.0e0 THEN ($h) / ($corr) " +
+          "END", 4)} AS h_corrected
+         |FROM x""".stripMargin)
+  }
+
   /** Mann–Kendall replay (q312, [[operators.Robust.mannKendall]]):
     * the deterministic cap, exact-long S and tie terms, the
     * operator's own z tree.

@@ -3630,6 +3630,46 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // McNemar's paired-binary test: did the SAME users convert
+    // differently in the month's two halves? Only discordant pairs
+    // carry information; exact-long cells, one snapped division.
+    "q313_mcnemar" -> ((s, dir) => {
+      val day = datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01")))
+      val paired = events(s, dir).groupBy(col("user_id"))
+        .agg(
+          (sum(when(day < 15 && col("value") >= 60.0, 1L)
+            .otherwise(0L)) > 0L).as("first_half"),
+          (sum(when(day >= 15 && col("value") >= 60.0, 1L)
+            .otherwise(0L)) > 0L).as("second_half"))
+      graft.operators.Abtest.mcNemar(paired, "first_half",
+        "second_half")
+    }),
+
+    // Kendall's tau-b between daily event count and daily value per
+    // type — the pairwise companion to q309's Spearman: exact-long
+    // concordance/tie counts from the capped pair join, one fixed
+    // float tree at the snapped readout.
+    "q314_kendall_tau" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"),
+            lit(java.sql.Date.valueOf("2024-01-01"))).as("day"))
+        .agg(count(lit(1)).as("n_ev"),
+          round(sum(col("value")), 2).as("rev"))
+      graft.operators.RankCorr.kendallTauBy(daily, "event_type",
+          "n_ev", "rev", maxPoints = 64)
+        .orderBy(col("event_type"))
+    }),
+
+    // Kruskal-Wallis H across ALL five event types at once — the
+    // k-arm rank test the two-arm Mann-Whitney guard excludes:
+    // pooled midranks via the distributed sort-rank device, exact
+    // per-arm rank sums, tie-corrected H against chi-square(k-1).
+    "q315_kruskal_wallis" -> ((s, dir) =>
+      graft.operators.Abtest.kruskalWallis(events(s, dir),
+        "event_type", "event_id", "value")),
+
     // Mann-Kendall trend test on daily revenue per priority — the
     // nonparametric is-there-a-trend companion to Theil-Sen's slope:
     // exact-long S and tie-corrected variance, one division + sqrt +
@@ -8204,6 +8244,12 @@ object SparkEntry {
       HashOracles.q311PowerAnalysis(Seq(0.01, 0.02, 0.05), 0.05, 0.8),
 
     "q312_mann_kendall" -> HashOracles.q312MannKendall(1024),
+
+    "q313_mcnemar" -> HashOracles.q313McNemar,
+
+    "q314_kendall_tau" -> HashOracles.q314KendallTau(64),
+
+    "q315_kruskal_wallis" -> HashOracles.q315KruskalWallis,
 
     "q310_cronbach_alpha" -> HashOracles.q310CronbachAlpha,
 

@@ -406,6 +406,97 @@ object Abtest {
       round(did / se, 4).as("z"))
   }
 
+  /** McNemar's test (1947) on PAIRED binary outcomes — did the same
+    * units flip between two conditions (before/after a launch, two
+    * prompts on the same doc)? Only the DISCORDANT pairs carry
+    * information: with `b` = only-first successes and `c` =
+    * only-second, the continuity-corrected
+    * `χ² = (|b − c| − 1)² / (b + c)` refers to χ²(1) (3.841 at 5%).
+    *
+    * Engine-exact: one aggregation to four exact-long cells, one
+    * division at the snapped readout (null when no pair is
+    * discordant — no information, not a zero statistic). Returns one
+    * row: `(n_pairs, n_both, n_only_first, n_only_second, n_neither,
+    * chi2, significant)`.
+    */
+  def mcNemar(df: DataFrame, firstCol: String,
+      secondCol: String): DataFrame = {
+    import graft.functions.Grid
+    val a = coalesce(col(firstCol).cast("boolean"), lit(false))
+    val b = coalesce(col(secondCol).cast("boolean"), lit(false))
+    df.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n_both"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n_only_first"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n_only_second"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("chi2", Grid.snap(
+        when(col("n_only_first") + col("n_only_second") > 0L,
+          (abs(col("n_only_first") - col("n_only_second")) - 1L)
+            .cast("double") *
+            (abs(col("n_only_first") - col("n_only_second")) - 1L) /
+            (col("n_only_first") + col("n_only_second"))), 4))
+      .withColumn("significant",
+        coalesce(col("chi2") > 3.841, lit(false)))
+  }
+
+  /** Kruskal–Wallis H (1952) — the k-arm rank test ([[mannWhitney]]
+    * generalized past the two-arm guard): pooled midranks, per-arm
+    * rank sums, `H = 12/(N(N+1)) Σ R_i²/n_i − 3(N+1)`, divided by the
+    * tie correction `1 − Σ(t³−t)/(N³−N)`. Refers to χ²(k−1).
+    *
+    * Execution: the pooled rank comes from the distributed
+    * sort+zipWithIndex device (no single-partition window); midranks
+    * via the (value)-keyed tie window; doubled midranks are exact
+    * longs, so per-arm rank sums are exact and the H tree is fixed
+    * float arithmetic — engine-exact, snapped. Returns one row:
+    * `(n_total, k_arms, df, h, tie_correction, h_corrected)`.
+    */
+  def kruskalWallis(units: DataFrame, armCol: String, idCol: String,
+      yCol: String): DataFrame = {
+    import graft.functions.Grid
+    val base = units
+      .filter(col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        col(idCol).as("__id"), col(yCol).cast("double").as("__y"))
+    val ranked = Ranks.withGlobalRowNumber(base,
+        Seq(col("__y"), col("__id")), "__rn")
+      // doubled midrank = min+max position over the tie group — exact
+      .withColumn("__r2",
+        (min(col("__rn")).over(Window.partitionBy(col("__y"))) +
+          max(col("__rn")).over(Window.partitionBy(col("__y")))))
+    val arms = ranked.groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"), sum(col("__r2")).as("__rs2"))
+    val ties = ranked.groupBy(col("__y"))
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("__tc"),
+        sum(col("t")).as("__N"))
+    // Σ R_i²/n_i with R_i = rs2/2: exact longs to double ONCE, then a
+    // fixed tree; the bounded arm table folds in arm order
+    val sums = arms
+      .select(struct(col("__arm"),
+        (col("__rs2").cast("double") * col("__rs2").cast("double") /
+          (lit(4.0) * col("__n"))).as("v")).as("__s"))
+      .agg(count(lit(1)).as("k_arms"),
+        expr("aggregate(sort_array(collect_list(__s)), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)").as("__sr"))
+    // N³ in DOUBLE (a long product would overflow past N ~ 2M); the
+    // identical expression tree runs in the oracle, and the all-tied
+    // degenerate (correction 0) nulls h_corrected
+    val nD = col("__N").cast("double")
+    val corr = lit(1.0) - col("__tc").cast("double") /
+      (nD * nD * nD - nD)
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("__sr") -
+      lit(3.0) * (nD + 1.0)
+    sums.crossJoin(broadcast(ties))
+      .select(
+        col("__N").as("n_total"), col("k_arms"),
+        (col("k_arms") - 1L).as("df"),
+        Grid.snap(h, 4).as("h"),
+        Grid.snap(corr, 6).as("tie_correction"),
+        Grid.snap(when(corr > 0.0, h / corr), 4).as("h_corrected"))
+  }
+
   /** Inverse standard-normal CDF — Acklam's (2003) rational
     * approximation (|rel err| < 1.15e-9; public algorithm), used
     * DRIVER-side only: experiment planning needs z-quantiles and SQL

@@ -21,6 +21,56 @@ import org.apache.spark.sql.functions._
   */
 object RankCorr {
 
+  /** Kendall's τ-b per key — the pairwise companion to
+    * [[spearmanBy]]: over all observation pairs, `τ_b = (C − D) /
+    * √((n₀ − t_x)(n₀ − t_y))` with C/D the concordant/discordant
+    * counts and t the tie-pair counts per side (n₀ = n(n−1)/2). More
+    * robust to a few wild ranks than Spearman and directly
+    * interpretable as P(concordant) − P(discordant).
+    *
+    * Engine-exact: every count is an exact long from one per-key
+    * pair join (bounded by the [[Robust.theilSenTrend]]-style
+    * `maxPoints` deterministic cap — pair space is O(n²), a
+    * series/experiment-grain contract); one fixed float tree at the
+    * snapped readout. Degenerate sides (all tied) read null.
+    */
+  def kendallTauBy(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String, maxPoints: Int = 1024): DataFrame = {
+    require(maxPoints >= 2, s"bad maxPoints $maxPoints")
+    val wp = Window.partitionBy(col("__k"))
+      .orderBy(col("__x"), col("__y"))
+    val pts = graft.CacheScope.register(df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .withColumn("__i", row_number().over(wp))
+      .filter(col("__i") <= maxPoints)
+      .persist())
+    val sx = signum(col("b.__x") - col("a.__x"))
+    val sy = signum(col("b.__y") - col("a.__y"))
+    val counts = pts.as("a").join(pts.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__k").as("__k"))
+      .agg(count(lit(1)).as("__n0"),
+        sum(when(sx * sy > 0, 1L).otherwise(0L)).as("__c"),
+        sum(when(sx * sy < 0, 1L).otherwise(0L)).as("__d"),
+        sum(when(sx === 0 && sy =!= 0, 1L).otherwise(0L)).as("__tx0"),
+        sum(when(sy === 0 && sx =!= 0, 1L).otherwise(0L)).as("__ty0"),
+        sum(when(sx === 0 && sy === 0, 1L).otherwise(0L)).as("__tb"))
+    val n = pts.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    // Tx/Ty include both-tied pairs; (n0−Tx)(n0−Ty) stays an exact
+    // long product at this cap (≤ (2^19)² ≪ 2^63)
+    val fx = col("__n0") - (col("__tx0") + col("__tb"))
+    val fy = col("__n0") - (col("__ty0") + col("__tb"))
+    counts.join(n, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n"),
+        col("__c").as("n_concordant"), col("__d").as("n_discordant"),
+        Grid.snap(
+          when(fx > 0L && fy > 0L,
+            (col("__c") - col("__d")).cast("double") /
+              sqrt((fx * fy).cast("double"))), 4).as("tau_b"))
+  }
+
   /** Exactness bound: Σ(2·midrank)² ≈ 4n³/3 per key must fit a long,
     * so keys are capped at ~1.3M rows — series/experiment grain, the
     * operator's contract. The guard is distributive (one count

@@ -77,6 +77,46 @@ class ControlChartSpec extends SparkSpec {
     assert(math.abs(n1 - 25.0 * n5) <= 25.0, s"n1 $n1 vs 25*$n5")
   }
 
+  test("mcNemar closed forms: (|b-c|-1)^2/(b+c) by hand, null when " +
+      "no pair is discordant, significance at the chi2(1) line") {
+    val s = spark
+    import s.implicits._
+    def pairs(both: Int, of: Int, os: Int, nei: Int) =
+      (Seq.fill(both)((true, true)) ++ Seq.fill(of)((true, false)) ++
+        Seq.fill(os)((false, true)) ++ Seq.fill(nei)((false, false)))
+        .toDF("a", "b")
+    val r1 = Abtest.mcNemar(pairs(10, 5, 1, 4), "a", "b").head()
+    assert(r1.getAs[Long]("n_pairs") === 20L)
+    assert(r1.getAs[Double]("chi2") === 1.5) // (4-1)^2/6
+    assert(!r1.getAs[Boolean]("significant"))
+    val r2 = Abtest.mcNemar(pairs(0, 15, 1, 0), "a", "b").head()
+    assert(r2.getAs[Double]("chi2") === 10.5625) // 13^2/16
+    assert(r2.getAs[Boolean]("significant"))
+    val r3 = Abtest.mcNemar(pairs(7, 0, 0, 3), "a", "b").head()
+    assert(r3.isNullAt(r3.fieldIndex("chi2")))
+    assert(!r3.getAs[Boolean]("significant"))
+  }
+
+  test("kruskalWallis closed form: {1,2,3} vs {4,5,6} gives " +
+      "H = 3.8571, tie-free correction 1; the all-tied degenerate " +
+      "nulls the corrected H") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 4L, 4.0), ("B", 5L, 5.0), ("B", 6L, 6.0))
+      .toDF("arm", "id", "y")
+    val r = Abtest.kruskalWallis(df, "arm", "id", "y").head()
+    assert(r.getAs[Long]("n_total") === 6L)
+    assert(r.getAs[Long]("k_arms") === 2L)
+    assert(r.getAs[Double]("h") === 3.8571)
+    assert(r.getAs[Double]("tie_correction") === 1.0)
+    assert(r.getAs[Double]("h_corrected") === 3.8571)
+    val tied = Seq(("A", 1L, 5.0), ("A", 2L, 5.0), ("B", 3L, 5.0))
+      .toDF("arm", "id", "y")
+    val rt = Abtest.kruskalWallis(tied, "arm", "id", "y").head()
+    assert(rt.isNullAt(rt.fieldIndex("h_corrected")))
+  }
+
   test("sprtFrom: resume(sprt(A), B) == sprt(A ++ B) exactly — keys " +
       "deciding in A, across the boundary, never, and debuting in B") {
     val s = spark
