@@ -1249,6 +1249,78 @@ object HashOracles {
          |FROM x""".stripMargin)
   }
 
+  /** Wilcoxon signed-rank replay (q316,
+    * [[operators.Abtest.wilcoxonSignedRank]]): zeros dropped, pooled
+    * |d| midranks (doubled, exact), the operator's doubled-rank z
+    * tree. Integer/integer division is true division on BOTH engines,
+    * so `n*(n+1)/2` is the same double.
+    */
+  val q316Wilcoxon: String = {
+    import graft.functions.Grid.snapSql
+    val dd = "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+    val varT = "nd * (nd + 1.0e0) * (2.0e0 * nd + 1.0e0) / 24.0e0 " +
+      "- CAST(tc AS DOUBLE) / 48.0e0"
+    val z = s"CAST(w2 - n * (n + 1) / 2 AS DOUBLE) / " +
+      s"(2.0e0 * sqrt($varT))"
+    withClause(Seq(
+      s"pu AS (SELECT user_id, round(sum(CASE WHEN $dd < 15 " +
+        "THEN value ELSE 0.0e0 END), 2) AS y1, " +
+        s"round(sum(CASE WHEN $dd >= 15 THEN value ELSE 0.0e0 " +
+        "END), 2) AS y2 FROM events GROUP BY 1)",
+      "b AS (SELECT user_id AS id, y2 - y1 AS d FROM pu)",
+      "nz AS MATERIALIZED (SELECT *, abs(d) AS ad FROM b " +
+        "WHERE d <> 0.0e0)",
+      "r AS (SELECT *, row_number() OVER (ORDER BY ad, id) AS rn " +
+        "FROM nz)",
+      "m AS (SELECT *, min(rn) OVER (PARTITION BY ad) + " +
+        "max(rn) OVER (PARTITION BY ad) AS r2 FROM r)",
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN d > 0.0e0 THEN r2 ELSE 0 END) AS BIGINT) " +
+        "AS w2 FROM m)",
+      "tt AS (SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) " +
+        "AS tc FROM (SELECT ad, CAST(count(*) AS BIGINT) AS t " +
+        "FROM nz GROUP BY 1))",
+      "tp AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pu)",
+      "x AS (SELECT tp.n_pairs, st.n, st.w2, tt.tc, " +
+        "CAST(st.n AS DOUBLE) AS nd FROM tp, st, tt)",
+      s"y AS (SELECT n_pairs, n AS n_nonzero, " +
+        "CAST(w2 AS DOUBLE) / 2.0e0 AS w_plus, " +
+        snapSql(s"CASE WHEN $varT > 0.0e0 THEN $z END", 4) +
+        " AS z FROM x)"),
+      "SELECT n_pairs, n_nonzero, w_plus, z, " +
+        "coalesce(abs(z) > 1.96, false) AS significant FROM y")
+  }
+
+  /** χ² independence replay (q317,
+    * [[operators.Abtest.chiSquareIndependence]]): exact contingency
+    * cells and marginals, (row, col)-ordered term fold, the
+    * operator's trees.
+    */
+  val q317Chi2Independence: String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      "u AS (SELECT c.c_mktsegment AS r, o.o_orderpriority AS c " +
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)",
+      "ce AS MATERIALIZED (SELECT r, c, CAST(count(*) AS BIGINT) " +
+        "AS o FROM u GROUP BY 1, 2)",
+      "rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM ce " +
+        "GROUP BY 1)",
+      "ct2 AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM ce " +
+        "GROUP BY 1)",
+      "tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ce)",
+      "lv AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS r_levels, " +
+        "CAST(count(DISTINCT c) AS BIGINT) AS c_levels FROM ce)",
+      "tm AS (SELECT ce.r, ce.c, ce.o, " +
+        "CAST(rt.rt * ct2.ct AS DOUBLE) / tt.n AS e FROM ce " +
+        "JOIN rt ON rt.r = ce.r JOIN ct2 ON ct2.c = ce.c, tt)",
+      "ag AS (SELECT list_reduce(list_prepend(0.0e0, " +
+        "list((o - e) * (o - e) / e ORDER BY r, c)), " +
+        "(a, x) -> a + x) AS chi FROM tm)"),
+      "SELECT tt.n, lv.r_levels, lv.c_levels, " +
+        "(lv.r_levels - 1) * (lv.c_levels - 1) AS df, " +
+        snapSql("ag.chi", 4) + " AS chi2 FROM tt, lv, ag")
+  }
+
   /** Mann–Kendall replay (q312, [[operators.Robust.mannKendall]]):
     * the deterministic cap, exact-long S and tie terms, the
     * operator's own z tree.

@@ -3630,6 +3630,37 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("cutoff"))
     }),
 
+    // Wilcoxon signed-rank on paired spend: did the SAME users spend
+    // differently across the month's halves, in magnitude-rank terms?
+    // The paired-continuous companion to q313 — zeros drop, |d| takes
+    // pooled midranks on the distributed sort-rank device, exact
+    // doubled-rank moments, one snapped z.
+    "q316_wilcoxon" -> ((s, dir) => {
+      val day = datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01")))
+      val paired = events(s, dir).groupBy(col("user_id"))
+        .agg(
+          round(sum(when(day < 15, col("value")).otherwise(0.0)), 2)
+            .as("y1"),
+          round(sum(when(day >= 15, col("value")).otherwise(0.0)), 2)
+            .as("y2"))
+      graft.operators.Abtest.wilcoxonSignedRank(paired, "user_id",
+        "y1", "y2")
+    }),
+
+    // Chi-square independence over the segment x priority
+    // contingency: are customer segments routed to order priorities
+    // independently? Exact-long cells and totals, expected values as
+    // single divisions of exact products, cell terms folded in
+    // (row, col) order — by-construction replay.
+    "q317_chi2_independence" -> ((s, dir) => {
+      val u = T(s, dir, "orders")
+        .join(T(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+      graft.operators.Abtest.chiSquareIndependence(u, "c_mktsegment",
+        "o_orderpriority")
+    }),
+
     // McNemar's paired-binary test: did the SAME users convert
     // differently in the month's two halves? Only discordant pairs
     // carry information; exact-long cells, one snapped division.
@@ -8250,6 +8281,10 @@ object SparkEntry {
     "q314_kendall_tau" -> HashOracles.q314KendallTau(64),
 
     "q315_kruskal_wallis" -> HashOracles.q315KruskalWallis,
+
+    "q316_wilcoxon" -> HashOracles.q316Wilcoxon,
+
+    "q317_chi2_independence" -> HashOracles.q317Chi2Independence,
 
     "q310_cronbach_alpha" -> HashOracles.q310CronbachAlpha,
 

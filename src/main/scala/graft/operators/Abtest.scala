@@ -497,6 +497,102 @@ object Abtest {
         Grid.snap(when(corr > 0.0, h / corr), 4).as("h_corrected"))
   }
 
+  /** Wilcoxon signed-rank test (1945) — the paired-CONTINUOUS
+    * companion to [[mcNemar]]'s paired-binary: per unit `d = y₂ − y₁`,
+    * zeros drop (no information), |d| takes pooled midranks, and
+    * `W⁺ = Σ_{d>0} rank` refers to the normal approximation
+    * `z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)`.
+    *
+    * Engine-exact: doubled midranks are exact longs (the
+    * [[kruskalWallis]] device — distributed sort-rank + tie window,
+    * never a single-partition rank), so W⁺, both moments, and the tie
+    * term are exact; one fixed float tree at the snapped readout.
+    * Returns one row: `(n_pairs, n_nonzero, w_plus, z, significant)`
+    * — z null when every |d| ties (zero variance).
+    */
+  def wilcoxonSignedRank(df: DataFrame, idCol: String, y1Col: String,
+      y2Col: String): DataFrame = {
+    import graft.functions.Grid
+    val base = df
+      .filter(col(y1Col).isNotNull && col(y2Col).isNotNull)
+      .select(col(idCol).as("__id"),
+        (col(y2Col).cast("double") - col(y1Col).cast("double"))
+          .as("__d"))
+    val nz = base.filter(col("__d") =!= 0.0)
+      .withColumn("__ad", abs(col("__d")))
+    val ranked = Ranks.withGlobalRowNumber(nz,
+        Seq(col("__ad"), col("__id")), "__rn")
+      .withColumn("__r2",
+        min(col("__rn")).over(Window.partitionBy(col("__ad"))) +
+          max(col("__rn")).over(Window.partitionBy(col("__ad"))))
+    val stats = ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("__d") > 0.0, col("__r2")).otherwise(0L))
+        .as("__w2"))
+    val ties = ranked.groupBy(col("__ad"))
+      .agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("__tc"))
+    val total = df
+      .filter(col(y1Col).isNotNull && col(y2Col).isNotNull)
+      .agg(count(lit(1)).as("n_pairs"))
+    val nD = col("__n").cast("double")
+    // doubled-rank algebra: μ₂ = n(n+1)/2 exactly; σ doubles too, so
+    // z = (W₂ − μ₂) / (2σ) — every operand exact until the one tree
+    val z = (col("__w2") - col("__n") * (col("__n") + 1L) / 2L)
+      .cast("double") /
+      (lit(2.0) * sqrt(nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) /
+        24.0 - col("__tc").cast("double") / 48.0))
+    total.crossJoin(broadcast(stats)).crossJoin(broadcast(ties))
+      .select(col("n_pairs"), col("__n").as("n_nonzero"),
+        (col("__w2").cast("double") / 2.0).as("w_plus"),
+        Grid.snap(when(
+          nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 24.0 -
+            col("__tc").cast("double") / 48.0 > 0.0, z), 4).as("z"))
+      .withColumn("significant",
+        coalesce(abs(col("z")) > 1.96, lit(false)))
+  }
+
+  /** Pearson's χ² test of independence over an r×k contingency — the
+    * "are these two categoricals related at all" fundamental: observed
+    * cell counts vs `e = rowTotal·colTotal/N`,
+    * `χ² = Σ (o − e)²/e`, df = (r−1)(k−1).
+    *
+    * One aggregation to the bounded contingency table (exact longs);
+    * expected values are single divisions of exact long products
+    * (documented < 2^63 bound: totals < ~3B); the cell terms fold in
+    * (row, col) order — by-construction replay, snapped readout.
+    * Returns `(n, r_levels, c_levels, df, chi2)`.
+    */
+  def chiSquareIndependence(df: DataFrame, rowCol: String,
+      colCol: String): DataFrame = {
+    import graft.functions.Grid
+    val cells = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).cast("string").as("__r"),
+        col(colCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rt = cells.groupBy(col("__r")).agg(sum(col("__o")).as("__rt"))
+    val ct = cells.groupBy(col("__c")).agg(sum(col("__o")).as("__ct"))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    val levels = cells.agg(countDistinct(col("__r")).as("r_levels"),
+      countDistinct(col("__c")).as("c_levels"))
+    val terms = cells.join(rt, Seq("__r")).join(ct, Seq("__c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        (col("__rt") * col("__ct")).cast("double") / col("__n"))
+      .select(col("__n"), struct(col("__r"), col("__c"),
+        ((col("__o") - col("__e")) * (col("__o") - col("__e")) /
+          col("__e")).as("v")).as("__t"))
+    terms.groupBy(col("__n"))
+      .agg(expr("aggregate(sort_array(collect_list(__t)), " +
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)").as("__chi"))
+      .crossJoin(broadcast(levels))
+      .select(col("__n").as("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1L) * (col("c_levels") - 1L)).as("df"),
+        Grid.snap(col("__chi"), 4).as("chi2"))
+  }
+
   /** Inverse standard-normal CDF — Acklam's (2003) rational
     * approximation (|rel err| < 1.15e-9; public algorithm), used
     * DRIVER-side only: experiment planning needs z-quantiles and SQL

@@ -117,6 +117,41 @@ class ControlChartSpec extends SparkSpec {
     assert(rt.isNullAt(rt.fieldIndex("h_corrected")))
   }
 
+  test("wilcoxonSignedRank closed form: d = {+1,+2,+3,-4} gives " +
+      "W+ = 6, z = 1/sqrt(7.5); zero diffs drop from n_nonzero but " +
+      "count in n_pairs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10.0, 11.0), (2L, 10.0, 12.0), (3L, 10.0, 13.0),
+      (4L, 10.0, 6.0), (5L, 7.0, 7.0)).toDF("id", "y1", "y2")
+    val r = Abtest.wilcoxonSignedRank(df, "id", "y1", "y2").head()
+    assert(r.getAs[Long]("n_pairs") === 5L)
+    assert(r.getAs[Long]("n_nonzero") === 4L)
+    assert(r.getAs[Double]("w_plus") === 6.0)
+    assert(math.abs(r.getAs[Double]("z") - 1.0 / math.sqrt(7.5))
+      < 1e-4)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("chiSquareIndependence closed form: the 2x2 with all expected " +
+      "15 gives chi2 = 20/3, df = 1; a perfectly independent table " +
+      "reads 0") {
+    val s = spark
+    import s.implicits._
+    val skewed = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y"))
+      ++ Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r", "c")
+    val r1 = Abtest.chiSquareIndependence(skewed, "r", "c").head()
+    assert(r1.getAs[Long]("n") === 60L)
+    assert(r1.getAs[Long]("df") === 1L)
+    assert(math.abs(r1.getAs[Double]("chi2") - 20.0 / 3) < 1e-4)
+    val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y", "z") }
+      yield Seq.fill(5)((r, c))).flatten.toDF("r", "c")
+    val r2 = Abtest.chiSquareIndependence(indep, "r", "c").head()
+    assert(r2.getAs[Double]("chi2") === 0.0)
+    assert(r2.getAs[Long]("df") === 2L)
+  }
+
   test("sprtFrom: resume(sprt(A), B) == sprt(A ++ B) exactly — keys " +
       "deciding in A, across the boundary, never, and debuting in B") {
     val s = spark
