@@ -1059,13 +1059,17 @@ object SparkEntry {
         .orderBy(col("grp"), col("pos"))
     }),
 
+    // running total as EXACT cents (order-free integer prefix — the
+    // engines' float window sums accumulate in different trees), one
+    // deterministic ÷100.0 at readout
     "q40_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T(s, dir, "orders").filter(col("o_custkey") < 100)
         .select(col("o_custkey"), col("o_orderkey"),
-          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+          (sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .over(w).cast("double") / 100.0).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -2922,7 +2926,9 @@ object SparkEntry {
           "hour_start", "c", slack = 0.5, threshold = 4.0)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_buckets"),
-          round(max(col("cusum")), 4).as("peak_cusum"),
+          // cusum is already snapped at 1e-4 by the operator; max of
+          // snapped values needs no re-round
+          max(col("cusum")).as("peak_cusum"),
           sum(when(col("drift"), 1L).otherwise(0L)).as("n_drift"))
         .orderBy(col("event_type"))
     }),
@@ -2956,11 +2962,15 @@ object SparkEntry {
 
     // Pareto / ABC concentration: per nation, the minimum customer
     // count covering 80% of revenue, and the revenue share of the top
-    // decile — ordered running sums (deterministic frames), one window
-    // per nation.
+    // decile — ordered running sums, one window per nation. Revenue is
+    // summed as EXACT cents (2-decimal grid → BIGINT): the running sum
+    // and the 80%-coverage comparison are then pure integer arithmetic,
+    // immune to the engines' differing float-accumulation trees
+    // (Spark sequential vs DuckDB segment tree — the q254 r11 class).
     "q185_pareto_revenue" -> ((s, dir) => {
       val rev = T(s, dir, "orders").groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice")).as("revenue"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
         .join(T(s, dir, "customer")
           .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
           Seq("o_custkey"))
@@ -2968,20 +2978,24 @@ object SparkEntry {
           .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
           Seq("c_nationkey"))
       val w = Window.partitionBy(col("n_name"))
-        .orderBy(col("revenue").desc, col("o_custkey"))
+        .orderBy(col("rev_c").desc, col("o_custkey"))
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.partitionBy(col("n_name"))
       val ranked = rev
-        .withColumn("cum", sum(col("revenue")).over(run))
-        .withColumn("tot", sum(col("revenue")).over(all))
+        .withColumn("cum", sum(col("rev_c")).over(run))
+        .withColumn("tot", sum(col("rev_c")).over(all))
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(all))
       ranked.groupBy(col("n_name"))
         .agg(any_value(col("n")).as("n_customers"),
-          sum(when(col("cum") - col("revenue") <
-            lit(0.8) * col("tot"), 1L).otherwise(0L)).as("n_top80"),
-          round(sum(when(col("rn") * 10 <= col("n"), col("revenue"))
-            .otherwise(0.0)) / any_value(col("tot")), 4)
+          // (cum − rev) < 0.8·tot, cleared of the float 0.8:
+          // 5·(cum − rev) < 4·tot — all-integer, engine-exact
+          sum(when((col("cum") - col("rev_c")) * 5 <
+            lit(4L) * col("tot"), 1L).otherwise(0L)).as("n_top80"),
+          graft.functions.Grid.snap(
+            sum(when(col("rn") * 10 <= col("n"), col("rev_c"))
+              .otherwise(0L)).cast("double") /
+              any_value(col("tot")).cast("double"), 4)
             .as("top_decile_share"))
         .orderBy(col("n_name"))
     }),
@@ -4473,7 +4487,10 @@ object SparkEntry {
     // Offline changepoint localization on the q251 series: CUSUM-
     // argmax split per priority with segment means — cusumDrift (q183)
     // says WHETHER a stream drifted; this says WHERE the corpus
-    // series broke. Keyed windows only.
+    // series broke. Keyed windows only; scale=2 declares the
+    // 2-decimal revenue grid so the prefix sums run as exact cents
+    // (a float running sum is NOT portable: DuckDB's window sum is a
+    // pairwise segment tree, Spark's a sequential fold — the r11 red).
     "q254_changepoint" -> ((s, dir) => {
       val daily = T(s, dir, "orders")
         .groupBy(col("o_orderpriority"),
@@ -4481,7 +4498,7 @@ object SparkEntry {
             lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
         .agg(round(sum(col("o_totalprice")), 2).as("rev"))
       graft.operators.Robust.changePoint(daily, "o_orderpriority",
-          "day", "rev")
+          "day", "rev", scale = 2)
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -5919,9 +5936,11 @@ object SparkEntry {
 
     "q40_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        | CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |   OVER (PARTITION BY o_custkey
         |   ORDER BY o_orderdate, o_orderkey
-        |   ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+        |   AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
@@ -7653,22 +7672,30 @@ object SparkEntry {
 
     // prefix-sum + running-min CUSUM (empty prefix in the min), drift
     // decided on the unrounded statistic
+    // P_i from the EXACT integer prefix (order-free under DuckDB's
+    // segment-tree window sum), then 3 deterministic flops — mirrors
+    // the operator's scaled-prefix device (scale=6)
     "q183_cusum_drift" ->
-      """WITH h AS (SELECT event_type, make_timestamp(epoch_us(ts)
+      s"""WITH h AS (SELECT event_type, make_timestamp(epoch_us(ts)
         |    - epoch_us(ts) % 3600000000) AS hour_start, count(*) AS c
         |  FROM events GROUP BY event_type, 2),
         |st AS (SELECT avg(c) AS mu,
         |  sqrt(avg(c * c) - avg(c) * avg(c)) AS sd FROM h),
         |p AS (SELECT event_type, hour_start, c,
-        |  sum(c - (st.mu + 0.5 * st.sd)) OVER (PARTITION BY event_type
-        |    ORDER BY hour_start ROWS UNBOUNDED PRECEDING) AS pp, st.sd
+        |  CAST(sum(CAST(floor(c * 1000000.0 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY event_type
+        |      ORDER BY hour_start ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / 1000000.0
+        |    - CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hour_start) AS DOUBLE)
+        |      * (st.mu + 0.5 * st.sd) AS pp, st.sd
         |  FROM h, st),
         |s AS (SELECT event_type,
         |  pp - least(0, min(pp) OVER (PARTITION BY event_type
         |    ORDER BY hour_start ROWS UNBOUNDED PRECEDING)) AS cus, sd
         |  FROM p)
         |SELECT event_type, count(*) AS n_buckets,
-        |  max(round(greatest(cus, 0.0), 4)) AS peak_cusum,
+        |  max(${Grid.snapSql("greatest(cus, 0.0)", 4)}) AS peak_cusum,
         |  CAST(sum(CASE WHEN cus >= 4.0 * sd THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_drift
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -7694,25 +7721,31 @@ object SparkEntry {
         |  round(avg(m), 2) AS avg_monetary
         |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin,
 
+    // exact-cents mirror of the Spark side: integer running sums are
+    // order-free, so the segment-tree/sequential-fold split is moot
     "q185_pareto_revenue" ->
-      """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS revenue
+      s"""WITH rev AS (SELECT o_custkey,
+        |  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS rev_c
         |  FROM orders GROUP BY o_custkey),
-        |j AS (SELECT n.n_name, rev.o_custkey, rev.revenue FROM rev
+        |j AS (SELECT n.n_name, rev.o_custkey, rev.rev_c FROM rev
         |  JOIN customer c ON c.c_custkey = rev.o_custkey
         |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
-        |rk AS (SELECT n_name, o_custkey, revenue,
-        |  sum(revenue) OVER (PARTITION BY n_name
-        |    ORDER BY revenue DESC, o_custkey
-        |    ROWS UNBOUNDED PRECEDING) AS cum,
-        |  sum(revenue) OVER (PARTITION BY n_name) AS tot,
+        |rk AS (SELECT n_name, o_custkey, rev_c,
+        |  CAST(sum(rev_c) OVER (PARTITION BY n_name
+        |    ORDER BY rev_c DESC, o_custkey
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(sum(rev_c) OVER (PARTITION BY n_name) AS BIGINT) AS tot,
         |  row_number() OVER (PARTITION BY n_name
-        |    ORDER BY revenue DESC, o_custkey) AS rn,
+        |    ORDER BY rev_c DESC, o_custkey) AS rn,
         |  count(*) OVER (PARTITION BY n_name) AS n FROM j)
         |SELECT n_name, max(n) AS n_customers,
-        |  CAST(sum(CASE WHEN cum - revenue < 0.8 * tot THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_top80,
-        |  round(sum(CASE WHEN rn * 10 <= n THEN revenue ELSE 0.0 END)
-        |    / max(tot), 4) AS top_decile_share
+        |  CAST(sum(CASE WHEN (cum - rev_c) * 5 < 4 * tot
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+        |  ${Grid.snapSql(
+             "CAST(sum(CASE WHEN rn * 10 <= n THEN rev_c ELSE 0 END) " +
+               "AS DOUBLE) / CAST(max(tot) AS DOUBLE)", 4)}
+        |    AS top_decile_share
         |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q186_quality_audit" ->
@@ -7974,9 +8007,11 @@ object SparkEntry {
         |  FROM bd JOIN tt USING (segment)),
         |sv AS (SELECT *, CASE WHEN max(CASE WHEN n_events >= n_risk
         |      THEN 1 ELSE 0 END) OVER w = 1 THEN 0.0
-        |    ELSE round(exp(sum(CASE WHEN n_events < n_risk
-        |      THEN ln(1 - CAST(n_events AS DOUBLE) / n_risk)
-        |      ELSE 0.0 END) OVER w), 4) END AS survival
+        |    ELSE round(exp(CAST(sum(CASE WHEN n_events < n_risk
+        |      THEN CAST(floor(ln(1 - CAST(n_events AS DOUBLE) / n_risk)
+        |        * 1000000.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END) OVER w AS DOUBLE) / 1000000.0), 4)
+        |    END AS survival
         |  FROM rk WINDOW w AS (PARTITION BY segment ORDER BY t
         |    ROWS UNBOUNDED PRECEDING))
         |SELECT segment, t, n_risk, n_events, n_censored, survival
@@ -8509,9 +8544,11 @@ object SparkEntry {
         |  FROM events e JOIN f USING (user_id)
         |  WHERE CAST(e.ts AS DATE) >= f.cohort_week
         |  GROUP BY 1, 2),
-        |cm AS (SELECT *, round(sum(week_revenue) OVER (
+        |cm AS (SELECT *, CAST(sum(CAST(floor(week_revenue * 100.0
+        |      + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY cohort_week ORDER BY week_offset
-        |    ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue FROM wk)
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+        |    AS cum_revenue FROM wk)
         |SELECT cm.cohort_week,
         |  CAST(cm.week_offset AS INTEGER) AS week_offset,
         |  cm.week_revenue, cm.cum_revenue, sz.cohort_size,
@@ -8974,31 +9011,37 @@ object SparkEntry {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
-    // score/means/delta go through Grid.snapSql — the SAME float
-    // program the Spark side runs (round() tie handling is engine-
-    // dependent; the snap is not)
+    // The prefix sums run as EXACT cents (HUGEINT), mirroring the
+    // operator's scaled-integer device: integer addition is order-free,
+    // so DuckDB's segment-tree window sum and Spark's sequential fold
+    // agree bit-for-bit (a float running sum does NOT — the r11 red).
+    // Every output double is one cast + one division from exact ints.
     "q254_changepoint" -> {
-      val mb = Grid.snapSql("sk / i", 4)
-      val ma = Grid.snapSql("(sn - sk) / CAST(n - i AS DOUBLE)", 4)
+      val mb = Grid.snapSql(
+        "CAST(sk AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0)", 4)
+      val ma = Grid.snapSql(
+        "CAST(sn - sk AS DOUBLE) / (CAST(n - i AS DOUBLE) * 100.0)", 4)
       s"""WITH d AS (SELECT o_orderpriority AS k,
         |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
         |    AS t, round(sum(o_totalprice), 2) AS y
         |  FROM orders GROUP BY 1, 2),
-        |w AS (SELECT k, t, y,
+        |s AS (SELECT k, t,
+        |  CAST(floor(y * 100.0 + 0.5) AS HUGEINT) AS sc FROM d),
+        |w AS (SELECT k, t,
         |  CAST(row_number() OVER (PARTITION BY k ORDER BY t)
-        |    AS INTEGER) AS i,
-        |  sum(y) OVER (PARTITION BY k ORDER BY t
+        |    AS BIGINT) AS i,
+        |  sum(sc) OVER (PARTITION BY k ORDER BY t
         |    ROWS UNBOUNDED PRECEDING) AS sk,
-        |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n FROM d),
-        |w2 AS (SELECT *, last_value(sk) OVER (PARTITION BY k ORDER BY t
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |    AS sn FROM w),
-        |sc AS (SELECT *,
-        |  ${Grid.snapSql("abs(sk - CAST(i AS DOUBLE) / n * sn)")}
+        |  sum(sc) OVER (PARTITION BY k) AS sn,
+        |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n FROM s),
+        |sc2 AS (SELECT *,
+        |  ${Grid.snapSql(
+             "CAST(abs(sk * n - i * sn) AS DOUBLE) / " +
+               "(CAST(n AS DOUBLE) * 100.0)")}
         |    AS score
-        |  FROM w2 WHERE n >= 2 AND i < n),
+        |  FROM w WHERE n >= 2 AND i < n),
         |best AS (SELECT *, row_number() OVER (PARTITION BY k
-        |  ORDER BY score DESC, i) AS rn FROM sc)
+        |  ORDER BY score DESC, i) AS rn FROM sc2)
         |SELECT k AS o_orderpriority, n, t AS t_split, score,
         |  $mb AS mean_before,
         |  $ma AS mean_after,
@@ -9484,8 +9527,9 @@ object SparkEntry {
     // log-rank replay: the q197 subject CTEs with parity arms, the
     // pooled-time grid for risk sets, hypergeometric terms with the
     // SAME left-assoc double expression tree as the Spark side, and
-    // running sums in ascending t read at the last row (the ordered
-    // float-accumulation portability device)
+    // ΣE/ΣV as EXACT 1e-6-grid integer sums (order-free — an ordered
+    // float running sum is NOT portable: DuckDB's window sum is a
+    // pairwise segment tree, Spark's a sequential fold)
     "q221_logrank" ->
       """WITH pu AS (SELECT user_id, min(ts) AS t0,
         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tc
@@ -9533,21 +9577,28 @@ object SparkEntry {
         |      / (n_a + n_b) * ((n_a + n_b) - (d_a + d_b))
         |      / ((n_a + n_b) - 1) AS v
         |  FROM bt WHERE d_a + d_b > 0 AND n_a + n_b > 1),
-        |sm AS (SELECT sum(d_a) OVER w AS oa, sum(d_b) OVER w AS ob,
-        |    sum(e_a) OVER w AS ea, sum(v) OVER w AS vv,
-        |    row_number() OVER (ORDER BY t DESC) AS rn
-        |  FROM ter WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+        |sm0 AS (SELECT CAST(sum(d_a) AS BIGINT) AS oa,
+        |    CAST(sum(d_b) AS BIGINT) AS ob,
+        |    CAST(sum(CAST(floor(e_a * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS easc,
+        |    CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS vsc
+        |  FROM ter),
+        |sm AS (SELECT oa, ob,
+        |    CAST(easc AS DOUBLE) / 1000000.0 AS ea,
+        |    CAST(vsc AS DOUBLE) / 1000000.0 AS vv
+        |  FROM sm0 WHERE oa IS NOT NULL),
         |nn AS (SELECT CAST(sum(CASE WHEN arm = 'even' THEN tot END)
         |      AS BIGINT) AS n_a,
         |    CAST(sum(CASE WHEN arm = 'odd' THEN tot END) AS BIGINT)
         |      AS n_b FROM tt)
         |SELECT 'even' AS arm_a, 'odd' AS arm_b, nn.n_a, nn.n_b,
-        |  CAST(oa AS BIGINT) AS o_a, CAST(ob AS BIGINT) AS o_b,
+        |  oa AS o_a, ob AS o_b,
         |  round(ea, 4) AS e_a,
         |  CASE WHEN vv > 0 THEN round((oa - ea) / sqrt(vv), 4) END AS z,
         |  CASE WHEN vv > 0 THEN round((oa - ea) * (oa - ea) / vv, 4) END
         |    AS chi2
-        |FROM sm, nn WHERE rn = 1""".stripMargin,
+        |FROM sm, nn""".stripMargin,
 
     "q212_kmv_distinct" -> HashOracles.q212KmvDistinct(64),
 

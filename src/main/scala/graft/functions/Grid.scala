@@ -34,6 +34,33 @@ import org.apache.spark.sql.functions.{floor, lit}
   * Spark side, below 2^63 (FLOOR on DOUBLE yields BIGINT) — every fold
   * state in this library is a bounded smoothed statistic, orders of
   * magnitude inside both.
+  *
+  * == The running-sum rule (round-12 sweep) ==
+  *
+  * NO ordered running sum over inexact doubles may sit upstream of a
+  * hashed output. Ordering the window identically on both engines does
+  * NOT make a float prefix sum portable: Spark's window sum is a
+  * sequential left fold, DuckDB's is a pairwise SEGMENT TREE (judge-
+  * proved in round 11: `sum(y) OVER (ROWS UNBOUNDED PRECEDING)` ≠
+  * `list_reduce(ys, +)` in DuckDB at 100 elements already), and the
+  * last-ulp drift survives any output snap. Portable alternatives, in
+  * preference order:
+  *
+  *  1. **Exact scaled integers** — values on a declared decimal grid
+  *     (cents, counts, the 1e-6 house grid) scale to longs/decimals
+  *     via `floor(x·10^s + 0.5)` and the prefix/total sums run as
+  *     integer arithmetic, which is associative and thus order- and
+  *     tree-free. Every output double is then one cast + one division
+  *     from exact integers. (changePoint, cusumDrift, cohortLtv,
+  *     kaplanMeier's ln-factor sums, logRank's ΣE/ΣV, q40/q185.)
+  *  2. **The per-step-snapped list fold** — collect the ordered series
+  *     and fold with [[snapSql]] after each step in BOTH engines
+  *     (`aggregate` in Spark SQL, `list_reduce` in DuckDB — the
+  *     q251/q253 device) when the per-step state is genuinely
+  *     fractional and no grid can be declared.
+  *
+  * Running sums over actual integer columns (session counters, risk
+  * sets, token offsets) are exact and need no device.
   */
 object Grid {
 

@@ -154,8 +154,14 @@ object Funnel {
         .unboundedPreceding, org.apache.spark.sql.expressions.Window
         .currentRow)
     weekly
-      .withColumn("cum_revenue", round(sum(col("week_revenue"))
-        .over(w), 2))
+      // cumulate EXACT cents, not the cent-grid doubles: a float
+      // running sum is engine-order-dependent (Spark folds
+      // sequentially, DuckDB's window sum is a segment tree); the
+      // integer prefix is order-free and ÷100.0 is one deterministic
+      // flop back to currency
+      .withColumn("cum_revenue",
+        sum(floor(col("week_revenue") * 100.0 + 0.5).cast("long"))
+          .over(w).cast("double") / 100.0)
       .join(sizes, Seq("cohort_week"))
       .select(col("cohort_week"), col("week_offset"),
         col("week_revenue"), col("cum_revenue"), col("cohort_size"),

@@ -167,7 +167,9 @@ object Robust {
 
   def cusumDrift(df: DataFrame, groupCol: String, orderCol: String,
       valueCol: String, slack: Double = 0.5,
-      threshold: Double = 4.0): DataFrame = {
+      threshold: Double = 4.0, scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
+    val p = math.pow(10.0, scale)
     // variance clamped at 0 before the sqrt: float rounding can push
     // avg(x²)−avg(x)² a hair negative on (near-)constant series, which
     // would NaN k/cusum/drift silently. A truly constant series gets
@@ -183,14 +185,25 @@ object Robust {
       .unboundedPreceding, 0)
     df.crossJoin(broadcast(stats))
       .withColumn("__cu_k", col("__cu_mu") + lit(slack) * col("__cu_sd"))
+      // P_i = Σx − i·k computed from an EXACT scaled-integer prefix
+      // (the changePoint scale contract): a float running sum of
+      // (x − k) is not portable across engines (Spark folds
+      // sequentially, DuckDB's window sum is a segment tree), but an
+      // integer prefix is order-free and P_i is then 3 deterministic
+      // flops (÷10^s, i·k, −) from exact inputs on any engine
+      .withColumn("__cu_sc",
+        floor(col(valueCol).cast("double") * p + 0.5)
+          .cast("decimal(20,0)"))
+      .withColumn("__cu_i", row_number().over(w))
       .withColumn("__cu_p",
-        sum(col(valueCol) - col("__cu_k")).over(run))
+        sum(col("__cu_sc")).over(run).cast("double") / lit(p) -
+          col("__cu_i").cast("double") * col("__cu_k"))
       // the empty prefix P_0 = 0 participates in the min (s_1 must be
       // max(0, x_1 - k), not 0)
       .withColumn("__cu_minp",
         least(lit(0.0), min(col("__cu_p")).over(run)))
-      .withColumn("cusum",
-        round(greatest(col("__cu_p") - col("__cu_minp"), lit(0.0)), 4))
+      .withColumn("cusum", Grid.snap(
+        greatest(col("__cu_p") - col("__cu_minp"), lit(0.0)), 4))
       .withColumn("drift",
         col("__cu_sd") > 0 &&
           col("__cu_p") - col("__cu_minp") >=
@@ -366,31 +379,49 @@ object Robust {
     * the split is the LAST point of the left segment. Keys need ≥ 2
     * points; the argmax excludes k = n (an empty right segment says
     * nothing about a break).
+    *
+    * Replay discipline: `scale` declares the input's decimal grid
+    * (2 for currency, 0 for counts — the [[Seasonal.decompose]] scale
+    * contract). The prefix sums `S_k` then accumulate EXACT scaled
+    * integers (decimal, so no overflow until 1e38), which makes them
+    * ORDER-FREE: a float running sum is not portable across engines
+    * even when both order by t, because the accumulation TREE differs
+    * (Spark folds sequentially, DuckDB's window sum is a pairwise
+    * segment tree — last-ulp drift on inexact doubles that survives
+    * any output snap). Integer addition is associative, so the exact
+    * sums agree bit-for-bit; the score numerator `|S_k·n − i·S_n|` is
+    * one exact integer, and every double in the output is ONE cast +
+    * ONE division away from exact integers — engine-identical.
     */
   def changePoint(df: DataFrame, keyCol: String, tCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
     import org.apache.spark.sql.expressions.Window
+    val p = math.pow(10.0, scale)
     val wk = Window.partitionBy(col("__k"))
     val wo = wk.orderBy(col("__t"))
     val scored = df
       .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
         col(valueCol).cast("double").as("__y"))
+      // the engine-exact scaler (floor(y·10^s + 0.5)); decimal(20,0)
+      // so the window sums widen to decimal(30,0) without wraparound
+      .withColumn("__sc",
+        floor(col("__y") * p + 0.5).cast("decimal(20,0)"))
       .withColumn("__i", row_number().over(wo))
-      .withColumn("__sk", sum(col("__y")).over(
+      .withColumn("__sk", sum(col("__sc")).over(
         wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__n", count(lit(1)).over(wk))
-      // S_n as the LAST running sum, not an unordered partition sum —
-      // pins the float accumulation order (the ordered-running-sum
-      // portability device), so `score` replays engine-exactly
-      .withColumn("__sn", last(col("__sk")).over(wo.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
+      // exact ints are order-free, so S_n is a plain partition sum
+      .withColumn("__sn", sum(col("__sc")).over(wk))
       .filter(col("__n") >= 2 && col("__i") < col("__n"))
-      // engine-exact snap, not round(): the score decides an argmax
-      // and ships in the output — a half-ulp tie must not be
-      // engine-dependent (the q254 divergence class)
-      .withColumn("__score", Grid.snap(abs(col("__sk") -
-        col("__i").cast("double") / col("__n") * col("__sn"))))
+      // |S_k·n − i·S_n| stays exact in decimal; the one cast to
+      // double rounds the SAME integer to the SAME nearest double on
+      // every engine, and the snap pins the division readout
+      .withColumn("__num", abs(col("__sk") * col("__n") -
+        col("__i").cast("long") * col("__sn")))
+      .withColumn("__score", Grid.snap(col("__num").cast("double") /
+        (col("__n").cast("double") * lit(p))))
     val best = scored
       .withColumn("__rn", row_number().over(
         wk.orderBy(col("__score").desc, col("__i"))))
@@ -401,9 +432,11 @@ object Robust {
     best
       .select(col("__k").as(keyCol), col("n"), col("t_split"),
         col("score"),
-        Grid.snap(col("__skb") / col("__ki"), 4).as("mean_before"),
-        Grid.snap((col("__snb") - col("__skb")) /
-          (col("n") - col("__ki")).cast("double"), 4).as("mean_after"))
+        Grid.snap(col("__skb").cast("double") /
+          (col("__ki").cast("double") * lit(p)), 4).as("mean_before"),
+        Grid.snap((col("__snb") - col("__skb")).cast("double") /
+          ((col("n") - col("__ki")).cast("double") * lit(p)), 4)
+          .as("mean_after"))
       .withColumn("delta",
         Grid.snap(col("mean_after") - col("mean_before"), 4))
   }

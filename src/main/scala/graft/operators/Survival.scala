@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   * pays one partial-agg shuffle; no window ever runs at subject grain.
   *
   * Portability: n and d are exact integers; the product is evaluated
-  * as `exp(sum(ln(1 − d/n)))` over the SAME ascending duration order in
-  * both engines and rounded to 4 dp (libm ulp differences are ~1e-15
-  * per term — the 1e-4 grid precedent from [[NgramLm]]).
+  * as `exp(Σ⌊ln(1 − d/n)·1e6 + ½⌋ / 1e6)` — each log factor snapped to
+  * the 1e-6 grid (libm ulp differences are ~1e-15 per term), then an
+  * EXACT integer cumulative sum, which is order-free. Ordering a float
+  * sum does not make it portable: Spark folds sequentially while
+  * DuckDB's window sum is a pairwise segment tree.
   */
 object Survival {
 
@@ -69,12 +71,18 @@ object Survival {
         when(col("n_events") < col("n_risk"),
           log(lit(1.0) - col("n_events").cast("double") / col("n_risk")))
           .otherwise(lit(0.0)))
+      // each ln factor snaps to the 1e-6 grid and the cumulative sum
+      // runs over EXACT integers — order-free, where a float window
+      // sum is engine-tree-dependent (Spark sequential, DuckDB
+      // segment tree); exp of the one grid quotient is deterministic
+      .withColumn("__lnsc", floor(col("__lnf") * 1e6 + 0.5).cast("long"))
       .withColumn("__hit0",
         max(when(col("n_events") >= col("n_risk"), 1).otherwise(0))
           .over(wCum))
       .withColumn("survival",
         when(col("__hit0") === 1, lit(0.0))
-          .otherwise(round(exp(sum(col("__lnf")).over(wCum)), 4)))
+          .otherwise(round(exp(
+            sum(col("__lnsc")).over(wCum).cast("double") / 1e6), 4)))
       .filter(col("n_events") > 0)
       .select(col(groupCol), col("t"), col("n_risk"), col("n_events"),
         col("n_censored"), col("survival"))
@@ -95,10 +103,10 @@ object Survival {
     * the same bounded-curve-table device as [[kaplanMeier]]: one
     * corpus-grain aggregation to (arm, t), then a 2×distinct-durations
     * grid carries cumulative removals — no window ever runs at subject
-    * grain. The float sums (E, V) accumulate via a RUNNING window in
-    * ascending t taken at the last row, so both engines add in the
-    * same order (the exp∘sum∘ln portability device); integer sums are
-    * exact.
+    * grain. The float sums (E, V) total as EXACT 1e-6-grid integers
+    * (each term floor(x·1e6 + 0.5), then plain integer sums — ordering
+    * a float sum does NOT make it portable: engines accumulate in
+    * different trees); integer sums are exact by nature.
     *
     * Output: one row `(arm_a, arm_b, n_a, n_b, o_a, o_b, e_a, z,
     * chi2)` — subjects, observed events, expected arm-a events,
@@ -152,14 +160,22 @@ object Survival {
         col("d_t").cast("double") * col("n_a") / col("n_t")
           * col("n_b") / col("n_t")
           * (col("n_t") - col("d_t")) / (col("n_t") - lit(1L)))
-    // running float sums in ascending t (the ordered prefix scan —
-    // identical sequential accumulation, no unpartitioned window),
-    // read at the last row via TakeOrdered(1) — the bounded table is
-    // distinct-event-times long
-    val sums = Ranks.withOrderedPrefixScan(byT, Seq(col("t")),
-        Seq("d_a" -> "__oa", "d_b" -> "__ob",
-          "e_a" -> "__ea", "v" -> "__v"))
-      .orderBy(col("t").desc).limit(1)
+    // ΣE and ΣV as EXACT 1e-6-grid integers: each per-t term snaps to
+    // the house grid (floor(x·1e6 + 0.5) — engine-portable within a
+    // libm ulp) and the totals are plain integer sums, order-free on
+    // any engine and any plan. A float running sum read at the last
+    // row is NOT portable even with both engines ordering by t: Spark
+    // folds sequentially but DuckDB's window sum is a pairwise segment
+    // tree (the q254 divergence class). This also drops the
+    // single-task ordered scan — one unordered aggregate over the
+    // bounded term table.
+    val sums = byT.agg(
+        sum(col("d_a")).as("__oa"), sum(col("d_b")).as("__ob"),
+        sum(floor(col("e_a") * 1e6 + 0.5).cast("long")).as("__easc"),
+        sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("__vsc"))
+      .filter(col("__oa").isNotNull) // empty term table → empty output
+      .withColumn("__ea", col("__easc").cast("double") / 1e6)
+      .withColumn("__v", col("__vsc").cast("double") / 1e6)
     sums
       .join(broadcast(tots.groupBy()
         .agg(sum(when(col("arm") === armA, col("tot"))).as("n_a_tot"),
