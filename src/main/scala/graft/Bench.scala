@@ -89,6 +89,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // stderr marker per query: Spark's own WARNs (CacheManager
+      // re-cache, storage eviction) land between markers, so a slow
+      // band in the sweep correlates to its warnings without a re-run
+      System.err.println(s"[bench] $name")
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try CacheScope.scoped { fn(spark, sfDir).count() }

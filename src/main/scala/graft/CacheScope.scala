@@ -57,6 +57,16 @@ object CacheScope {
   /** Run `body`, then unpersist every cache operators registered during
     * it. Run the releasing ACTION inside the scope too — the caches must
     * outlive the job that reads them.
+    *
+    * Release is BLOCKING: scope exit means "this memory is free NOW",
+    * not "eventually". The default async unpersist only enqueues block
+    * removal — across a long sweep (the bench's 317 back-to-back
+    * queries, or any production session chaining scoped stages) lagging
+    * removals stack up and the storage pool evicts/GC-churns under
+    * blocks that are semantically dead (round-11 bench: the q137–q195
+    * band ran 2–16× slow with wild second reps — accumulated dead-block
+    * pressure, not plan changes). The wait is bounded by block-removal
+    * RPCs on frames the scope itself persisted.
     */
   def scoped[T](body: => T): T = {
     val owned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -65,7 +75,7 @@ object CacheScope {
     finally {
       stack.set(stack.get().tail)
       owned.foreach { df =>
-        try df.unpersist() catch { case _: Throwable => () }
+        try df.unpersist(blocking = true) catch { case _: Throwable => () }
       }
     }
   }

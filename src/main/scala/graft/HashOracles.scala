@@ -1293,8 +1293,10 @@ object HashOracles {
 
   /** χ² independence replay (q317,
     * [[operators.Abtest.chiSquareIndependence]]): exact contingency
-    * cells and marginals, (row, col)-ordered term fold, the
-    * operator's trees.
+    * cells and marginals over the FULL r×c level grid (zero-observed
+    * combinations contribute their (0−e)²/e = e term — omitting them
+    * understates χ² on sparse tables), (row, col)-ordered term fold,
+    * the operator's trees.
     */
   val q317Chi2Independence: String = {
     import graft.functions.Grid.snapSql
@@ -1310,9 +1312,13 @@ object HashOracles {
       "tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ce)",
       "lv AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS r_levels, " +
         "CAST(count(DISTINCT c) AS BIGINT) AS c_levels FROM ce)",
-      "tm AS (SELECT ce.r, ce.c, ce.o, " +
-        "CAST(rt.rt * ct2.ct AS DOUBLE) / tt.n AS e FROM ce " +
-        "JOIN rt ON rt.r = ce.r JOIN ct2 ON ct2.c = ce.c, tt)",
+      "gr AS (SELECT rl.r, cl.c FROM (SELECT DISTINCT r FROM ce) rl, " +
+        "(SELECT DISTINCT c FROM ce) cl)",
+      "fu AS (SELECT gr.r, gr.c, coalesce(ce.o, 0) AS o FROM gr " +
+        "LEFT JOIN ce ON ce.r = gr.r AND ce.c = gr.c)",
+      "tm AS (SELECT fu.r, fu.c, fu.o, " +
+        "CAST(rt.rt * ct2.ct AS DOUBLE) / tt.n AS e FROM fu " +
+        "JOIN rt ON rt.r = fu.r JOIN ct2 ON ct2.c = fu.c, tt)",
       "ag AS (SELECT list_reduce(list_prepend(0.0e0, " +
         "list((o - e) * (o - e) / e ORDER BY r, c)), " +
         "(a, x) -> a + x) AS chi FROM tm)"),

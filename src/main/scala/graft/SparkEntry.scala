@@ -3215,7 +3215,10 @@ object SparkEntry {
     "q194_session_funnel" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val sess = events(s, dir)
+      // PINNED: three funnel branches (view/click/purchase) consume
+      // the sessionized spine — uncached each would re-run the
+      // user-keyed lag + running-sum windows over the whole stream
+      val sess = graft.CacheScope.register(events(s, dir)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
@@ -3223,6 +3226,7 @@ object SparkEntry {
               1800000000L, 1L).otherwise(0L))
         .withColumn("sess", sum(col("new_sess")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .persist())
       val v = sess.filter(col("event_type") === "view")
         .groupBy(col("user_id"), col("sess"))
         .agg(min(col("ts")).as("t1"))
@@ -3238,9 +3242,17 @@ object SparkEntry {
         .filter(col("pts") > col("t2"))
         .groupBy(col("user_id"), col("sess"))
         .agg(min(col("pts")).as("t3"))
-      val nv = v.agg(count(lit(1))).head().getLong(0)
-      val nc = c.agg(count(lit(1))).head().getLong(0)
-      val np = p.agg(count(lit(1))).head().getLong(0)
+      // ONE driver action for all three step counts: left-join the
+      // funnel chain at (user, sess) grain and count non-nulls in a
+      // single aggregation — three separate count() jobs would replay
+      // the chain (and its session windows) once per step
+      val r = v.join(c, Seq("user_id", "sess"), "left")
+        .join(p, Seq("user_id", "sess"), "left")
+        .agg(count(lit(1)).as("nv"), count(col("t2")).as("nc"),
+          count(col("t3")).as("np"))
+        .head()
+      val (nv, nc, np) = (r.getAs[Long]("nv"), r.getAs[Long]("nc"),
+        r.getAs[Long]("np"))
       import s.implicits._
       Seq(("1_view", nv), ("2_click", nc), ("3_purchase", np))
         .toDF("step", "n_sessions")
@@ -3255,19 +3267,26 @@ object SparkEntry {
     // slice key here is a deterministic doc_id partition (the corpus
     // carries no timestamps); swap in a real week column unchanged.
     "q195_trending_terms" -> ((s, dir) => {
-      val tok = T(s, dir, "documents")
+      // tokenize-once: the (week, token) explode feeds BOTH count
+      // grains — per-slice and corpus-wide — so it is scope-cached
+      // (one documents scan), and the corpus total folds from the
+      // (week, token) aggregate rather than a separate count() job
+      // over the raw explode (zero extra driver actions)
+      val tok = graft.CacheScope.register(T(s, dir, "documents")
         .withColumn("week", pmod(col("doc_id"), lit(4L)))
         .select(col("week"), explode(toks(col("text"))).as("token"))
+        .persist())
       val wk = tok.groupBy(col("week"), col("token"))
         .agg(count(lit(1)).as("c"))
       val wkTot = wk.groupBy(col("week")).agg(sum(col("c")).as("wt"))
       val tot = tok.groupBy(col("token")).agg(count(lit(1)).as("ct"))
-      val n = tok.count()
+      val n = wkTot.agg(sum(col("wt")).as("n"))
       val scored = wk.filter(col("c") >= 5)
         .join(wkTot, Seq("week"))
         .join(tot, Seq("token"))
+        .crossJoin(broadcast(n))
         .withColumn("lift",
-          round((col("c") * n).cast("double") /
+          round((col("c") * col("n")).cast("double") /
             (col("wt") * col("ct")), 4))
       val byWeek = Window.partitionBy(col("week"))
         .orderBy(col("lift").desc, col("token"))
@@ -3941,8 +3960,10 @@ object SparkEntry {
     // then 10 MM rounds (Hunter 2004) of DataFrame algebra on that
     // table alone. Opponent terms fold in ascending-opponent order
     // (pinned IEEE order — no mid-fold snap needed), strengths snap
-    // per round and anchor at the first item, so the whole
-    // trajectory replays engine-exactly.
+    // per round and anchor at the STRONGEST item (ties to the lesser
+    // name — Preference.bradleyTerry's own doc explains why
+    // first-item anchoring is wrong), so the whole trajectory
+    // replays engine-exactly.
     "q298_bradley_terry" -> ((s, dir) => {
       val weekly = T(s, dir, "orders")
         .withColumn("day", datediff(col("o_orderdate").cast("date"),

@@ -451,6 +451,13 @@ object Abtest {
     * longs, so per-arm rank sums are exact and the H tree is fixed
     * float arithmetic — engine-exact, snapped. Returns one row:
     * `(n_total, k_arms, df, h, tie_correction, h_corrected)`.
+    *
+    * Skew contract: the tie window partitions by the RAW metric value,
+    * so its hottest partition is the largest tie group. On real-valued
+    * metrics (this operator's contract) tie groups are small; a
+    * pathological (near-)constant metric concentrates one hot
+    * partition — pre-aggregate such data to (value → count) and use a
+    * count-weighted rank formula instead of row-grain ranking.
     */
   def kruskalWallis(units: DataFrame, armCol: String, idCol: String,
       yCol: String): DataFrame = {
@@ -509,6 +516,10 @@ object Abtest {
     * term are exact; one fixed float tree at the snapped readout.
     * Returns one row: `(n_pairs, n_nonzero, w_plus, z, significant)`
     * — z null when every |d| ties (zero variance).
+    *
+    * Skew contract (the [[kruskalWallis]] note): the tie window
+    * partitions by |d|, so a (near-)constant difference metric makes
+    * one hot partition; real-valued differences are the contract.
     */
   def wilcoxonSignedRank(df: DataFrame, idCol: String, y1Col: String,
       y2Col: String): DataFrame = {
@@ -577,7 +588,16 @@ object Abtest {
     val tot = cells.agg(sum(col("__o")).as("__n"))
     val levels = cells.agg(countDistinct(col("__r")).as("r_levels"),
       countDistinct(col("__c")).as("c_levels"))
-    val terms = cells.join(rt, Seq("__r")).join(ct, Seq("__c"))
+    // the FULL r×c grid, not just observed cells: a combination with
+    // zero observed count still contributes its (0−e)²/e = e term —
+    // dropping it understates χ² on sparse tables while df still
+    // assumes the complete grid. Level tables are bounded (distinct
+    // categories), so the cross join is broadcast-sized.
+    val grid = cells.select(col("__r")).distinct()
+      .crossJoin(broadcast(cells.select(col("__c")).distinct()))
+    val full = grid.join(cells, Seq("__r", "__c"), "left")
+      .na.fill(0L, Seq("__o"))
+    val terms = full.join(rt, Seq("__r")).join(ct, Seq("__c"))
       .crossJoin(broadcast(tot))
       .withColumn("__e",
         (col("__rt") * col("__ct")).cast("double") / col("__n"))

@@ -33,11 +33,13 @@ object Agreement {
     * Degenerate guard: a single-label alphabet has `p_e = 1`; kappa
     * is undefined and reads null rather than a division artifact.
     *
-    * Exactness bound: the chance terms are long products of two
-    * marginals, so the exact-integer contract holds while every
-    * marginal stays below 2^31 (~2.1 B rated items) — agreement
-    * audits are annotation-sample grain, not corpus grain; shard the
-    * audit if a single rater pair ever exceeds that.
+    * Exactness bound: each chance cross-product `ra·cb` is a long
+    * product of two marginals (exact while every marginal stays below
+    * 2^31, ~2.1 B rated items), and the chance SUMS — which reach
+    * n²·(k−1), past 2^63 from n ≈ 2^28.5 with a wide alphabet —
+    * accumulate as DECIMAL(38,0), exact to 1e38. Agreement audits are
+    * annotation-sample grain, not corpus grain; shard the audit if a
+    * single rater pair ever exceeds the marginal bound.
     */
   def cohenKappa(df: DataFrame, raterACol: String, raterBCol: String,
       maxLabels: Int = 64): DataFrame = {
@@ -85,41 +87,54 @@ object Agreement {
       sum(when(col("a") === col("b"), col("nab")).otherwise(0L))
         .as("agree"),
       sum(col("nab") * col("__lw")).as("agree_w"))
+    // chance cross-products accumulate as DECIMAL(38,0): the weighted
+    // sum reaches n²·(k−1), which blows through 2^63 from n ≈ 2^28.5
+    // with a wide alphabet — a long accumulator would wrap silently
+    // well inside the documented bound. Decimal stays exact to 1e38.
     val exp = chance.agg(
-      sum(when(col("a") === col("b"), col("ra") * col("cb"))
-        .otherwise(0L)).as("echance"),
-      sum(col("ra") * col("cb") * col("__lw")).as("echance_w"))
+      sum(when(col("a") === col("b"),
+        col("ra").cast("decimal(19,0)") *
+          col("cb").cast("decimal(19,0)"))
+        .otherwise(lit(0).cast("decimal(19,0)"))).as("echance"),
+      sum(col("ra").cast("decimal(19,0)") *
+        col("cb").cast("decimal(19,0)") * col("__lw"))
+        .as("echance_w"))
     val km1 = if (nLabels > 1) nLabels - 1L else 1L
+    // n² and n²·(k−1) in decimal too — the denominators overflow a
+    // long at the same n ≈ 2^28.5 the accumulator does; the double
+    // readout casts the same exact integer on every engine
+    val nn = col("n").cast("decimal(19,0)") * col("n")
+      .cast("decimal(19,0)")
+    val nnk = nn * lit(km1).cast("decimal(10,0)")
     obs.crossJoin(exp)
       .select(
         col("n").as("n_items"),
         lit(nLabels).as("k_labels"),
         Grid.snap(col("agree").cast("double") / col("n")).as("po"),
         Grid.snap(col("echance").cast("double") /
-          (col("n") * col("n"))).as("pe"),
+          nn.cast("double")).as("pe"),
         Grid.snap(
-          when(col("echance") === col("n") * col("n"), lit(null))
+          when(col("echance") === nn, lit(null))
             .otherwise((col("agree").cast("double") / col("n") -
-              col("echance").cast("double") / (col("n") * col("n"))) /
+              col("echance").cast("double") / nn.cast("double")) /
               (lit(1.0) - col("echance").cast("double") /
-                (col("n") * col("n"))))).as("kappa"),
+                nn.cast("double")))).as("kappa"),
         Grid.snap(col("agree_w").cast("double") / (col("n") * km1))
           .as("po_w"),
         Grid.snap(col("echance_w").cast("double") /
-          (col("n") * col("n") * km1)).as("pe_w"),
+          nnk.cast("double")).as("pe_w"),
         Grid.snap(
           // k = 1 degenerates the WEIGHTED form differently (every
           // lw weight is 0, so the ratio reads a defined-looking 0):
           // null it explicitly, same contract as the unweighted kappa
           when(lit(nLabels) === 1L, lit(null))
-            .when(col("echance_w") === col("n") * col("n") * km1,
-              lit(null))
+            .when(col("echance_w") === nnk, lit(null))
             .otherwise((col("agree_w").cast("double") /
               (col("n") * km1) -
               col("echance_w").cast("double") /
-                (col("n") * col("n") * km1)) /
+                nnk.cast("double")) /
               (lit(1.0) - col("echance_w").cast("double") /
-                (col("n") * col("n") * km1)))).as("kappa_w"))
+                nnk.cast("double")))).as("kappa_w"))
   }
 
   /** Fleiss' kappa (1971) — agreement among m raters per item (m

@@ -49,12 +49,14 @@ object Mixture {
     require(maxEpochs >= 1, s"bad maxEpochs $maxEpochs")
     // The source table is config-bounded, so all the saturation-order
     // cumulation runs on the ordered prefix scan instead of global
-    // windows: cumBefore = inclusive − own, tail weight = total −
-    // exclusive prefix — EXACT rewrites of the old window frames on
-    // the integer/grid capacities and weights the mixture recipe
-    // feeds (the house grid contract; fractional off-grid weights
-    // would differ only in the last ulp of the fill level).
-    // PINNED: three branches consume the scan (total readout, fill
+    // windows. cumBefore comes DIRECTLY from the scan's exclusive
+    // emission (the pre-increment accumulator — the shorter fold
+    // itself) and the tail weight from a REVERSE scan: deriving them
+    // by subtracting from inclusive sums is exact for integral
+    // inputs but NOT the same float as the shorter fold once a
+    // fractional off-grid weight appears. Both scans run over the
+    // bounded stratum table (one deliberate task each).
+    // PINNED: three branches consume the scan (tail scan, fill
     // level, final projection) — uncached each would re-run the
     // single-partition sort and the strata derivation above it
     val scanned = graft.CacheScope.register(Ranks.withOrderedPrefixScan(
@@ -63,14 +65,19 @@ object Mixture {
         .withColumn("__w", col(weightCol).cast("double"))
         .withColumn("__ratio", col("__cap") / col("__w")),
       Seq(col("__ratio"), col(keyCol)),
-      Seq("__cap" -> "__cumC", "__w" -> "__cumW"), idxCol = "__i")
+      Seq("__cap" -> "__cumC", "__w" -> "__cumW"), idxCol = "__i",
+      exclSums = Seq("__cap" -> "__cumBefore"))
       .persist())
-    val tot = scanned.orderBy(col("__i").desc).limit(1)
-      .select(col("__cumW").as("__totW"))
+    // suffix weight = inclusive prefix of the DESC order — the exact
+    // fold of the tail, no total-minus-prefix subtraction; joined
+    // back by the stratum key (unique — one row per stratum)
+    val tails = Ranks.withOrderedPrefixScan(
+      scanned.select(col(keyCol), col("__ratio"), col("__w")),
+      Seq(col("__ratio").desc, col(keyCol).desc),
+      Seq("__w" -> "__tailW"))
+      .select(col(keyCol), col("__tailW"))
     val leveled = scanned
-      .crossJoin(broadcast(tot))
-      .withColumn("__cumBefore", col("__cumC") - col("__cap"))
-      .withColumn("__tailW", col("__totW") - (col("__cumW") - col("__w")))
+      .join(broadcast(tails), Seq(keyCol))
       .withColumn("__tcand",
         (lit(budget) - col("__cumBefore")) / col("__tailW"))
     // the fill level: the FIRST stratum (in saturation order) whose

@@ -62,9 +62,14 @@ object RankCorr {
     // long product at this cap (≤ (2^19)² ≪ 2^63)
     val fx = col("__n0") - (col("__tx0") + col("__tb"))
     val fy = col("__n0") - (col("__ty0") + col("__tb"))
-    counts.join(n, Seq("__k"))
+    // left join from n: a single-observation key has no pairs and so
+    // no counts row — it still appears in the output with zero pair
+    // counts and a null tau_b (the [[spearmanBy]] null-on-degenerate
+    // convention; an inner join would silently drop the key)
+    n.join(counts, Seq("__k"), "left")
       .select(col("__k").as(keyCol), col("n"),
-        col("__c").as("n_concordant"), col("__d").as("n_discordant"),
+        coalesce(col("__c"), lit(0L)).as("n_concordant"),
+        coalesce(col("__d"), lit(0L)).as("n_discordant"),
         Grid.snap(
           when(fx > 0L && fy > 0L,
             (col("__c") - col("__d")).cast("double") /

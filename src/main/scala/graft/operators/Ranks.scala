@@ -50,9 +50,10 @@ object Ranks {
     *   - `idxCol` (when nonEmpty): the 1-based row number.
     * The exclusive (`-1`-frame) variant of an INTEGRAL sum is
     * `out - in` (exact); for a fractional sum subtracting is NOT the
-    * same float as the shorter fold — keep those inclusive or read
-    * the previous row explicitly. Null inputs add nothing (the window
-    * aggregate's null-skipping) but keep their row.
+    * same float as the shorter fold — request those via `exclSums`,
+    * which emits the PRE-increment accumulator (the shorter fold
+    * itself, exact by construction). Null inputs add nothing (the
+    * window aggregate's null-skipping) but keep their row.
     *
     * Contract: `df` must be config-bounded (bins, buckets, arms,
     * deciles, boundary grids — never the corpus); corpus-grain
@@ -60,26 +61,29 @@ object Ranks {
     * [[withGlobalRowNumber]] device.
     */
   def withOrderedPrefixScan(df: DataFrame, sortCols: Seq[Column],
-      sums: Seq[(String, String)], idxCol: String = ""): DataFrame = {
+      sums: Seq[(String, String)], idxCol: String = "",
+      exclSums: Seq[(String, String)] = Nil): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartition(1).sortWithinPartitions(sortCols: _*)
     val schema0 = sorted.schema
-    val integral = sums.map { case (in, _) =>
+    val all = sums.map((_, false)) ++ exclSums.map((_, true))
+    val integral = all.map { case ((in, _), _) =>
       schema0(in).dataType match {
         case LongType | IntegerType | ShortType | ByteType => true
         case _ => false
       }
     }
-    val withSums = sums.zip(integral).foldLeft(schema0) {
-      case (sch, ((_, out), isInt)) =>
+    val withSums = all.zip(integral).foldLeft(schema0) {
+      case (sch, (((_, out), _), isInt)) =>
         sch.add(StructField(out,
           if (isInt) LongType else DoubleType, nullable = false))
     }
     val schema =
       if (idxCol.isEmpty) withSums
       else withSums.add(StructField(idxCol, LongType, nullable = false))
-    val idxs = sums.map { case (in, _) => schema0.fieldIndex(in) }
-    val n = sums.size
+    val idxs = all.map { case ((in, _), _) => schema0.fieldIndex(in) }
+    val excl = all.map { case (_, isExcl) => isExcl }
+    val n = all.size
     val stamped = sorted.rdd.mapPartitions { it =>
       val accL = Array.ofDim[Long](n)
       val accD = Array.ofDim[Double](n)
@@ -91,11 +95,17 @@ object Ranks {
         while (k < n) {
           val v = r.get(idxs(k))
           if (integral(k)) {
+            // exclusive = the PRE-increment accumulator — the shorter
+            // fold itself, not inclusive-minus-own (which for a
+            // fractional sum is a DIFFERENT float than the shorter
+            // fold; emitting the accumulator is exact by construction)
+            if (excl(k)) extra += accL(k)
             if (v != null) accL(k) += v.asInstanceOf[Number].longValue
-            extra += accL(k)
+            if (!excl(k)) extra += accL(k)
           } else {
+            if (excl(k)) extra += accD(k)
             if (v != null) accD(k) += v.asInstanceOf[Number].doubleValue
-            extra += accD(k)
+            if (!excl(k)) extra += accD(k)
           }
           k += 1
         }

@@ -230,18 +230,20 @@ class PlanQualitySpec extends SparkSpec {
       }.size
     CacheScope.scoped {
       // q91: the waterfill's saturation-order cumulation runs on the
-      // ordered prefix scan; the ONLY hinted frames are its 1-row
-      // bounded readouts (total weight, fill level — each a
-      // GlobalLimit 1), broadcast back over the stratum table
+      // ordered prefix scan; the ONLY hinted frames are stratum-grain
+      // bounded facts — the 1-row fill-level readout (GlobalLimit 1)
+      // and the reverse-scan tail-weight table (__tailW, one row per
+      // stratum), broadcast back over the stratum table
       val df91 = SparkEntry.queries("q91_mixture_waterfill")(spark, dir)
       val a91 = df91.queryExecution.analyzed.toString
       val hints91 = "ResolvedHint".r.findAllIn(a91).size
       assert(hints91 <= 3,
-        s"q91 has $hints91 hints - only the waterfill's 1-row readout " +
-          "frames may broadcast")
-      assert("ResolvedHint[\\s\\S]{0,400}?GlobalLimit 1".r
+        s"q91 has $hints91 hints - only the waterfill's stratum-grain " +
+          "readout frames may broadcast")
+      assert("ResolvedHint[\\s\\S]{0,400}?(GlobalLimit 1|__tailW)".r
           .findAllIn(a91).size === hints91,
-        "a q91 hint is not a 1-row readout frame:\n" + a91)
+        "a q91 hint is neither a 1-row readout frame nor the " +
+          "stratum-grain tail-weight table:\n" + a91)
       assert(!df91.queryExecution.executedPlan.toString
         .contains("CartesianProduct"))
 

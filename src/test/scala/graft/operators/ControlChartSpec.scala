@@ -152,6 +152,25 @@ class ControlChartSpec extends SparkSpec {
     assert(r2.getAs[Long]("df") === 2L)
   }
 
+  test("chiSquareIndependence on a SPARSE table: the absent (b,y) " +
+      "cell still contributes its (0-e)^2/e = e term (scipy " +
+      "chi2_contingency(correction=False) on [[10,5],[5,0]] = 20/9)") {
+    val s = spark
+    import s.implicits._
+    // marginals: rows (15, 5), cols (15, 5), N = 20; e(b,y) = 1.25;
+    // chi2 = 1.5625/11.25 + 1.5625/3.75 + 1.5625/3.75 + 1.5625/1.25
+    //      = 20/9 — dropping the empty cell would read 0.9722 and
+    //      understate the statistic
+    val sparse = (Seq.fill(10)(("a", "x")) ++ Seq.fill(5)(("a", "y"))
+      ++ Seq.fill(5)(("b", "x"))).toDF("r", "c")
+    val r = Abtest.chiSquareIndependence(sparse, "r", "c").head()
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Long]("r_levels") === 2L)
+    assert(r.getAs[Long]("c_levels") === 2L)
+    assert(r.getAs[Long]("df") === 1L)
+    assert(math.abs(r.getAs[Double]("chi2") - 20.0 / 9) < 1e-4)
+  }
+
   test("sprtFrom: resume(sprt(A), B) == sprt(A ++ B) exactly — keys " +
       "deciding in A, across the boundary, never, and debuting in B") {
     val s = spark
