@@ -86,21 +86,33 @@ object Bench {
     // plan iteration; unset -> the driver's full bench, unchanged
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Per-query markers go to a FILE, not stderr: sbt labels every
+    // stderr line `[error]`, which made BENCH_r12's tail look alarming.
+    // Each marker carries a wall-clock timestamp (log4j's stderr
+    // warnings carry one too, so a slow band still correlates to its
+    // CacheManager/storage warnings by time) plus a heap gauge and the
+    // raw reps, so sweep-variance questions settle from this file alone.
+    val markers = new java.io.PrintWriter(
+      new java.io.FileWriter("BENCH_MARKERS.log", false))
+    val rt = Runtime.getRuntime
+    def heapMb: Long = (rt.totalMemory - rt.freeMemory) >> 20
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // stderr marker per query: Spark's own WARNs (CacheManager
-      // re-cache, storage eviction) land between markers, so a slow
-      // band in the sweep correlates to its warnings without a re-run
-      System.err.println(s"[bench] $name")
+      markers.println(s"${java.time.Instant.now} start $name heapMb=$heapMb")
+      markers.flush()
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try CacheScope.scoped { fn(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      markers.println(s"${java.time.Instant.now} done  $name " +
+        f"reps=[${reps.map(r => f"$r%.3f").mkString(",")}] heapMb=$heapMb")
+      markers.flush()
       (name, reps.min, reps)
     }
+    markers.close()
     def r3(v: Double): String = f"$v%.3f"
     // The full record (every query, min + both raw reps: min-of-2 bounds
     // one-off JIT/GC luck, but sustained box load slows BOTH reps — with

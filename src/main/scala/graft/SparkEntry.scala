@@ -3694,6 +3694,24 @@ object SparkEntry {
         "o_orderpriority")
     }),
 
+    // Changepoint on the events stream — the q254 exact scaled-
+    // integer prefix device exercised at USER grain (hundreds of
+    // groups with DIFFERENT series lengths, vs q254's 5 priorities):
+    // per-user daily event counts, scale=0 declares the integer
+    // count grid, so the prefix sums are exact integers on any
+    // engine and the segment-tree divergence class (the r11 red)
+    // cannot return silently under a future refactor.
+    "q318_changepoint_users" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("2024-01-01"))).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Robust.changePoint(daily, "user_id", "day",
+          "cnt", scale = 0)
+        .orderBy(col("user_id"))
+    }),
+
     // McNemar's paired-binary test: did the SAME users convert
     // differently in the month's two halves? Only discordant pairs
     // carry information; exact-long cells, one snapped division.
@@ -8030,8 +8048,8 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END) OVER w = 1 THEN 0.0
         |    ELSE round(exp(CAST(sum(CASE WHEN n_events < n_risk
         |      THEN CAST(floor(ln(1 - CAST(n_events AS DOUBLE) / n_risk)
-        |        * 1000000.0 + 0.5) AS BIGINT)
-        |      ELSE 0 END) OVER w AS DOUBLE) / 1000000.0), 4)
+        |        * 1000000000.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END) OVER w AS DOUBLE) / 1000000000.0), 4)
         |    END AS survival
         |  FROM rk WINDOW w AS (PARTITION BY segment ORDER BY t
         |    ROWS UNBOUNDED PRECEDING))
@@ -9070,6 +9088,42 @@ object SparkEntry {
         |FROM best WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
     },
 
+    // the q254 device at user grain: counts are ALREADY integers
+    // (scale=0 — the scaler is the identity), so the prefix sums run
+    // as exact HUGEINTs and both engines agree bit-for-bit however
+    // their window sums associate
+    "q318_changepoint_users" -> {
+      val mb = Grid.snapSql(
+        "CAST(sk AS DOUBLE) / (CAST(i AS DOUBLE) * 1.0)", 4)
+      val ma = Grid.snapSql(
+        "CAST(sn - sk AS DOUBLE) / (CAST(n - i AS DOUBLE) * 1.0)", 4)
+      s"""WITH d AS (SELECT user_id AS k,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS t,
+        |  CAST(count(*) AS HUGEINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT k, t,
+        |  CAST(row_number() OVER (PARTITION BY k ORDER BY t)
+        |    AS BIGINT) AS i,
+        |  sum(sc) OVER (PARTITION BY k ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sk,
+        |  sum(sc) OVER (PARTITION BY k) AS sn,
+        |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n FROM d),
+        |sc2 AS (SELECT *,
+        |  ${Grid.snapSql(
+             "CAST(abs(sk * n - i * sn) AS DOUBLE) / " +
+               "(CAST(n AS DOUBLE) * 1.0)")}
+        |    AS score
+        |  FROM w WHERE n >= 2 AND i < n),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY k
+        |  ORDER BY score DESC, i) AS rn FROM sc2)
+        |SELECT k AS user_id, n, t AS t_split, score,
+        |  $mb AS mean_before,
+        |  $ma AS mean_after,
+        |  ${Grid.snapSql(s"($ma) - ($mb)", 4)} AS delta
+        |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin
+    },
+
     // the q251 list-accumulator fold grown a 7-slot register: state =
     // [l, b, s1..s7] (slot p = position p+3), elements [t, y]; the
     // 1-BASED index of DuckDB's (v, i) lambda vs Spark's 0-based
@@ -9548,7 +9602,7 @@ object SparkEntry {
     // log-rank replay: the q197 subject CTEs with parity arms, the
     // pooled-time grid for risk sets, hypergeometric terms with the
     // SAME left-assoc double expression tree as the Spark side, and
-    // ΣE/ΣV as EXACT 1e-6-grid integer sums (order-free — an ordered
+    // ΣE/ΣV as EXACT 1e-9-grid integer sums (order-free — an ordered
     // float running sum is NOT portable: DuckDB's window sum is a
     // pairwise segment tree, Spark's a sequential fold)
     "q221_logrank" ->
@@ -9600,14 +9654,14 @@ object SparkEntry {
         |  FROM bt WHERE d_a + d_b > 0 AND n_a + n_b > 1),
         |sm0 AS (SELECT CAST(sum(d_a) AS BIGINT) AS oa,
         |    CAST(sum(d_b) AS BIGINT) AS ob,
-        |    CAST(sum(CAST(floor(e_a * 1000000.0 + 0.5) AS BIGINT))
+        |    CAST(sum(CAST(floor(e_a * 1000000000.0 + 0.5) AS BIGINT))
         |      AS BIGINT) AS easc,
-        |    CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))
+        |    CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT))
         |      AS BIGINT) AS vsc
         |  FROM ter),
         |sm AS (SELECT oa, ob,
-        |    CAST(easc AS DOUBLE) / 1000000.0 AS ea,
-        |    CAST(vsc AS DOUBLE) / 1000000.0 AS vv
+        |    CAST(easc AS DOUBLE) / 1000000000.0 AS ea,
+        |    CAST(vsc AS DOUBLE) / 1000000000.0 AS vv
         |  FROM sm0 WHERE oa IS NOT NULL),
         |nn AS (SELECT CAST(sum(CASE WHEN arm = 'even' THEN tot END)
         |      AS BIGINT) AS n_a,

@@ -158,7 +158,15 @@ object Funnel {
       // running sum is engine-order-dependent (Spark folds
       // sequentially, DuckDB's window sum is a segment tree); the
       // integer prefix is order-free and ÷100.0 is one deterministic
-      // flop back to currency
+      // flop back to currency. Grid contract (same device as
+      // q40/q185): floor(x·100 + 0.5) rounds half-UP toward +∞ —
+      // for NON-NEGATIVE on-grid revenue it is the identity on
+      // cents, but a negative .xx5 off-grid value would round one
+      // cent differently than HALF_UP-away-from-zero round(x, 2).
+      // This operator's contract is the non-negative 2-decimal
+      // grid (week_revenue is a rounded sum of sale prices);
+      // refund-negative ledgers would need the sign-symmetric
+      // scaler sign(x)·floor(|x|·100 + 0.5) on BOTH engines.
       .withColumn("cum_revenue",
         sum(floor(col("week_revenue") * 100.0 + 0.5).cast("long"))
           .over(w).cast("double") / 100.0)

@@ -54,8 +54,15 @@ object Mixture {
     // itself) and the tail weight from a REVERSE scan: deriving them
     // by subtracting from inclusive sums is exact for integral
     // inputs but NOT the same float as the shorter fold once a
-    // fractional off-grid weight appears. Both scans run over the
-    // bounded stratum table (one deliberate task each).
+    // fractional off-grid weight appears. Scope of that exactness:
+    // it holds SPARK-SIDE (this plan reproduces the canonical fold
+    // bit-for-bit); the gated replay contract remains integer/grid
+    // weights, because the DuckDB mirrors (q91/q96/q107) still read
+    // cumB/tailW from float window-frame sums — a segment tree, not
+    // this fold. Supporting off-grid fractional weights CROSS-ENGINE
+    // would need the mirrors moved to the same exclusive/suffix fold
+    // device. Both scans run over the bounded stratum table (one
+    // deliberate task each).
     // PINNED: three branches consume the scan (tail scan, fill
     // level, final projection) — uncached each would re-run the
     // single-partition sort and the strata derivation above it

@@ -190,7 +190,18 @@ object Robust {
       // (x − k) is not portable across engines (Spark folds
       // sequentially, DuckDB's window sum is a segment tree), but an
       // integer prefix is order-free and P_i is then 3 deterministic
-      // flops (÷10^s, i·k, −) from exact inputs on any engine
+      // flops (÷10^s, i·k, −) PROVIDED its inputs are exact. That is
+      // the full scale contract, same wording as changePoint's:
+      // (a) valueCol must sit ON the declared 10^-scale grid — the
+      // scaler floor(x·10^s + 0.5) silently QUANTIZES off-grid
+      // values, changing the statistic, and (b) k = mu + slack·sd
+      // comes from unordered float avg/sqrt aggregates, so k itself
+      // is engine-exact only when those aggregates are (integral or
+      // grid-exact values whose sums stay below 2^53 — q183 feeds
+      // integer counts, where avg's sum is exact and every engine
+      // computes the same k). Off-grid fractional valueCol keeps the
+      // prefix device order-free but makes mu/sd (hence k, hence the
+      // cusum excursions) partial-sum-order-dependent again.
       .withColumn("__cu_sc",
         floor(col(valueCol).cast("double") * p + 0.5)
           .cast("decimal(20,0)"))

@@ -24,11 +24,19 @@ import org.apache.spark.sql.functions._
   * pays one partial-agg shuffle; no window ever runs at subject grain.
   *
   * Portability: n and d are exact integers; the product is evaluated
-  * as `exp(Σ⌊ln(1 − d/n)·1e6 + ½⌋ / 1e6)` — each log factor snapped to
-  * the 1e-6 grid (libm ulp differences are ~1e-15 per term), then an
+  * as `exp(Σ⌊ln(1 − d/n)·1e9 + ½⌋ / 1e9)` — each log factor snapped to
+  * the 1e-9 grid (libm ulp differences are ~1e-15 per term), then an
   * EXACT integer cumulative sum, which is order-free. Ordering a float
   * sum does not make it portable: Spark folds sequentially while
   * DuckDB's window sum is a pairwise segment tree.
+  *
+  * Grid accuracy bound: each term carries ≤ 5e-10 quantization bias,
+  * so over T distinct event times the summed drift is ≤ T·5e-10 —
+  * the 4-dp rounded survival readout is exact for any T below ~10^5
+  * (the 1e-6 grid this replaced drifted at T·5e-7, which could flip
+  * the readout for curves past T ≈ 200). Domain: |ln factor| ≤
+  * ln(n_risk) ≤ ~45, so the scaled term stays far below 2^53 and a
+  * cumulative long sum holds past 10^8 event times.
   */
 object Survival {
 
@@ -71,18 +79,18 @@ object Survival {
         when(col("n_events") < col("n_risk"),
           log(lit(1.0) - col("n_events").cast("double") / col("n_risk")))
           .otherwise(lit(0.0)))
-      // each ln factor snaps to the 1e-6 grid and the cumulative sum
+      // each ln factor snaps to the 1e-9 grid and the cumulative sum
       // runs over EXACT integers — order-free, where a float window
       // sum is engine-tree-dependent (Spark sequential, DuckDB
       // segment tree); exp of the one grid quotient is deterministic
-      .withColumn("__lnsc", floor(col("__lnf") * 1e6 + 0.5).cast("long"))
+      .withColumn("__lnsc", floor(col("__lnf") * 1e9 + 0.5).cast("long"))
       .withColumn("__hit0",
         max(when(col("n_events") >= col("n_risk"), 1).otherwise(0))
           .over(wCum))
       .withColumn("survival",
         when(col("__hit0") === 1, lit(0.0))
           .otherwise(round(exp(
-            sum(col("__lnsc")).over(wCum).cast("double") / 1e6), 4)))
+            sum(col("__lnsc")).over(wCum).cast("double") / 1e9), 4)))
       .filter(col("n_events") > 0)
       .select(col(groupCol), col("t"), col("n_risk"), col("n_events"),
         col("n_censored"), col("survival"))
@@ -103,10 +111,16 @@ object Survival {
     * the same bounded-curve-table device as [[kaplanMeier]]: one
     * corpus-grain aggregation to (arm, t), then a 2×distinct-durations
     * grid carries cumulative removals — no window ever runs at subject
-    * grain. The float sums (E, V) total as EXACT 1e-6-grid integers
-    * (each term floor(x·1e6 + 0.5), then plain integer sums — ordering
+    * grain. The float sums (E, V) total as EXACT 1e-9-grid integers
+    * (each term floor(x·1e9 + 0.5), then plain integer sums — ordering
     * a float sum does NOT make it portable: engines accumulate in
-    * different trees); integer sums are exact by nature.
+    * different trees); integer sums are exact by nature. Grid bias is
+    * ≤ 5e-10 per distinct event time (the 1e-6 grid this replaced
+    * drifted at T·5e-7 — enough to flip the 4-dp z past T ≈ 200).
+    * Domain bounds of the 1e-9 device: per-term exactness needs
+    * d_t < 9·10^6 events at any SINGLE distinct time (|E|,|V| ≤ d_t
+    * and x·10^9 must stay below 2^53); the long totals hold while
+    * total events < 9·10^9.
     *
     * Output: one row `(arm_a, arm_b, n_a, n_b, o_a, o_b, e_a, z,
     * chi2)` — subjects, observed events, expected arm-a events,
@@ -160,8 +174,8 @@ object Survival {
         col("d_t").cast("double") * col("n_a") / col("n_t")
           * col("n_b") / col("n_t")
           * (col("n_t") - col("d_t")) / (col("n_t") - lit(1L)))
-    // ΣE and ΣV as EXACT 1e-6-grid integers: each per-t term snaps to
-    // the house grid (floor(x·1e6 + 0.5) — engine-portable within a
+    // ΣE and ΣV as EXACT 1e-9-grid integers: each per-t term snaps to
+    // the fine grid (floor(x·1e9 + 0.5) — engine-portable within a
     // libm ulp) and the totals are plain integer sums, order-free on
     // any engine and any plan. A float running sum read at the last
     // row is NOT portable even with both engines ordering by t: Spark
@@ -171,11 +185,11 @@ object Survival {
     // bounded term table.
     val sums = byT.agg(
         sum(col("d_a")).as("__oa"), sum(col("d_b")).as("__ob"),
-        sum(floor(col("e_a") * 1e6 + 0.5).cast("long")).as("__easc"),
-        sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("__vsc"))
+        sum(floor(col("e_a") * 1e9 + 0.5).cast("long")).as("__easc"),
+        sum(floor(col("v") * 1e9 + 0.5).cast("long")).as("__vsc"))
       .filter(col("__oa").isNotNull) // empty term table → empty output
-      .withColumn("__ea", col("__easc").cast("double") / 1e6)
-      .withColumn("__v", col("__vsc").cast("double") / 1e6)
+      .withColumn("__ea", col("__easc").cast("double") / 1e9)
+      .withColumn("__v", col("__vsc").cast("double") / 1e9)
     sums
       .join(broadcast(tots.groupBy()
         .agg(sum(when(col("arm") === armA, col("tot"))).as("n_a_tot"),

@@ -42,6 +42,17 @@ trait VideoDecoder extends Serializable {
 class FfmpegDecoder extends VideoDecoder {
   import scala.sys.process._
 
+  /** The decode command for `path`. Overridable so the spec's
+    * cat-backed stand-in (piping a committed raw-frame fixture) runs
+    * the FULL production path below — temp-file write, process pipe,
+    * exit-status handling, raw-frame parsing — even on images without
+    * the ffmpeg binary; only the codec itself is substituted.
+    */
+  protected def command(path: String): Seq[String] =
+    Seq("ffmpeg", "-v", "error", "-i", path,
+      "-vf", "scale=32:18", "-f", "rawvideo", "-pix_fmt", "gray",
+      "pipe:1")
+
   override def frameEnergies(bytes: Array[Byte],
       stride: Int): Seq[(Int, Long)] = {
     require(stride >= 1, s"bad stride $stride")
@@ -52,9 +63,7 @@ class FfmpegDecoder extends VideoDecoder {
     try {
       java.nio.file.Files.write(tmp, bytes)
       val out = new java.io.ByteArrayOutputStream()
-      val cmd = Seq("ffmpeg", "-v", "error", "-i", tmp.toString,
-        "-vf", "scale=32:18", "-f", "rawvideo", "-pix_fmt", "gray",
-        "pipe:1")
+      val cmd = command(tmp.toString)
       val status = (cmd #> out).!(ProcessLogger(_ => ()))
       if (status != 0) Nil
       else {
