@@ -4405,4 +4405,85 @@ object HashOracles {
         "FROM uses u JOIN ranked r USING (piece), tu " +
         s"ORDER BY u.n_uses DESC, u.piece LIMIT $topOut")
   }
+
+  /** The cross-lingual diacritic fold as SQL — mirrors
+    * [[operators.CrossLingual.foldText]] (lower → 1:1 translate →
+    * collapse non-alphanumerics), textually identical function chain.
+    */
+  val FoldedTextSql: String = {
+    val from = operators.CrossLingual.AccentFrom
+    val to = operators.CrossLingual.AccentTo
+    s"regexp_replace(translate(lower(text), '$from', '$to'), " +
+      "'[^a-z0-9]+', ' ', 'g')"
+  }
+
+  /** Cross-lingual near-dup replay: the q18 banded-candidate CTEs run
+    * over the FOLDED text (base subquery aliases the fold AS text so
+    * the shared tokenizer fragment applies unchanged), token-set
+    * Jaccard ≥ `threshold` verify, language mismatch, per-pair-of-
+    * languages readout with the exact 1e-6-grid jaccard mean.
+    */
+  def q320CrossLingualNearDup(threshold: Double): String = {
+    import graft.functions.Grid.snapSql
+    val base = s"(SELECT doc_id, $FoldedTextSql AS text, lang " +
+      "FROM documents)"
+    val jexpr = "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
+      "/ len(list_distinct(list_concat(a.toks, b.toks)))"
+    withClause(bandedCtes("", base) ++ Seq(
+      s"dt AS (SELECT doc_id, lang, list_distinct($Toks) AS toks " +
+        s"FROM $base)",
+      s"ver AS (SELECT c.a_id, c.b_id, a.lang AS lang_a, " +
+        s"b.lang AS lang_b, $jexpr AS j " +
+        "FROM cand c JOIN dt a ON a.doc_id = c.a_id " +
+        "JOIN dt b ON b.doc_id = c.b_id " +
+        s"WHERE $jexpr >= ${threshold}e0 AND a.lang <> b.lang)"),
+      "SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        snapSql(
+          "CAST(sum(CAST(floor(j * 1000000.0 + 0.5) AS BIGINT)) " +
+            "AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)", 4) +
+        " AS avg_j, max(j) AS max_j " +
+        "FROM ver GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b")
+  }
+
+  /** Language-budget-mix replay: α-weights as exact scaled integers
+    * (floor(T^α·1e6 + ½) — libm pow agrees within an ulp, the KM
+    * ln-factor contract), budgets by pure integer division, and the
+    * greedy prefix over (splitmix64(doc_id), doc_id) order with an
+    * exact integer running token sum per language.
+    */
+  def q322LanguageBudgetMix(budget: Long, alpha: Double): String = {
+    import graft.functions.Grid.lit17
+    val head = Seq(
+      s"d AS (SELECT doc_id, lang, CAST(len($Toks) AS BIGINT) AS ntok " +
+        "FROM documents)",
+      "tot AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS t " +
+        "FROM d GROUP BY lang)",
+      s"w AS (SELECT lang, t, CAST(floor(pow(CAST(t AS DOUBLE), " +
+        s"${lit17(alpha)}) * 1000000.0 + 0.5) AS BIGINT) AS wsc " +
+        "FROM tot)",
+      "sw AS (SELECT CAST(sum(wsc) AS BIGINT) AS swsc FROM w)",
+      s"b AS (SELECT lang, t, ($budget * wsc) // swsc AS budget " +
+        "FROM w, sw)",
+      "dz AS (SELECT doc_id, lang, ntok, CAST(doc_id AS HUGEINT) AS z " +
+        "FROM d)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id", "lang", "ntok"))
+      .zipWithIndex.map { case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+      }
+    withClause(head ++ mixed ++ Seq(
+      s"ord AS (SELECT doc_id, lang, ntok, ${toSigned("z")} AS skey " +
+        "FROM dm5)",
+      "cum AS (SELECT lang, doc_id, ntok, sum(ntok) OVER (" +
+        "PARTITION BY lang ORDER BY skey, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS ctok FROM ord)",
+      "sel AS (SELECT c.lang, c.ntok FROM cum c JOIN b USING (lang) " +
+        "WHERE c.ctok <= b.budget)",
+      "ag AS (SELECT lang, count(*) AS n, sum(ntok) AS tk " +
+        "FROM sel GROUP BY lang)"),
+      "SELECT b.lang, CAST(coalesce(ag.n, 0) AS BIGINT) AS n_docs, " +
+        "CAST(coalesce(ag.tk, 0) AS BIGINT) AS tokens_selected, " +
+        "CAST(b.budget AS BIGINT) AS budget, b.t AS total_tokens " +
+        "FROM b LEFT JOIN ag USING (lang) ORDER BY b.lang")
+  }
 }

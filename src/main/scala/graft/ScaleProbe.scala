@@ -488,6 +488,49 @@ object ScaleProbe {
         operators.Clustering.centroidSilhouette(replicateVecs(r),
           "vec_id", "embedding", silCents))
     }
+    // cross-lingual exact dedup: ONE hash aggregation on the folded
+    // fingerprint — replicas multiply cluster sizes, not plan shape;
+    // must scale linearly
+    def langOf = pmod(col("doc_id"), lit(5L)).cast("string")
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"xling_clusters r=$r docs=${nDocs * r}", () =>
+        operators.CrossLingual.crossLingualClusters(
+          replicateDocs(r).withColumn("lang", langOf),
+          "doc_id", "text", "lang"))
+    }
+    // cross-lingual near-dup: candidates are a band equi-join; exact
+    // replicas are the WORST case (every copy bands together, so the
+    // verified pair table grows with true duplicate mass ~ r² per
+    // cluster — inherent to pair emission, not a plan defect); the
+    // probe documents that the non-dup corpus cost stays linear
+    Seq(1, 2, 4).foreach { r =>
+      timeWarm(s"xling_neardup r=$r docs=${nDocs * r}", () =>
+        operators.CrossLingual.crossLingualNearDupPairs(
+          replicateDocs(r).withColumn("lang", langOf),
+          "doc_id", "text", "lang", threshold = 0.8))
+    }
+    // page-hinkley: one partial-agg shuffle to (key, series) + an
+    // O(1)-state sequential fold per key — linear in rows at fixed
+    // key count, and the state never grows with series length
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"page_hinkley r=$r rows=${nDocs * r}", () =>
+        operators.Robust.pageHinkley(
+          replicateDocs(r)
+            .withColumn("k", pmod(col("doc_id"), lit(50L)))
+            .withColumn("t", col("doc_id"))
+            .withColumn("x", (length(col("text")) % 100).cast("double")),
+          "k", "t", "x"))
+    }
+    // language budget mix: token-count projection + 5-row broadcast
+    // + ONE keyed window — linear, the per-language sort is the only
+    // shuffle beyond the token aggregate
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"lang_budget_mix r=$r docs=${nDocs * r}", () =>
+        operators.Mixture.languageBudgetMix(
+          replicateDocs(r).withColumn("lang", langOf),
+          "doc_id", "text", "lang", budgetTokens = 100000L,
+          alpha = 0.3))
+    }
     spark.stop()
   }
 }

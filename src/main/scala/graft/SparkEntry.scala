@@ -3712,6 +3712,73 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Cross-lingual EXACT dedup: documents whose diacritic-folded,
+    // order-collapsed token SET is identical across ≥ 2 language
+    // labels — mirrored/translated boilerplate a per-language dedup
+    // would keep once PER language. One hash aggregation on the
+    // folded fingerprint; linear at any corpus size.
+    "q319_crosslingual_dedup" -> ((s, dir) =>
+      graft.operators.CrossLingual.crossLingualClusters(
+        T(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy(col("fp"))),
+
+    // Cross-lingual NEAR-dup pairs: MinHash-banded candidates over
+    // the FOLDED text, token-set Jaccard ≥ 0.8, language labels must
+    // differ; read out per language pair. avg_j totals exact
+    // 1e-6-grid integers (an unordered float sum is accumulation-
+    // tree-dependent across engines); max is order-free.
+    "q320_crosslingual_neardup" -> ((s, dir) =>
+      graft.operators.CrossLingual.crossLingualNearDupPairs(
+        T(s, dir, "documents"), "doc_id", "text", "lang",
+        threshold = 0.8)
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor(col("jaccard") * 1e6 + 0.5).cast("long"))
+            .as("__jsc"),
+          max(col("jaccard")).as("max_j"))
+        .select(col("lang_a"), col("lang_b"), col("n_pairs"),
+          graft.functions.Grid.snap(col("__jsc").cast("double") /
+            (col("n_pairs").cast("double") * 1e6), 4).as("avg_j"),
+          col("max_j"))
+        .orderBy(col("lang_a"), col("lang_b"))),
+
+    // ONLINE changepoint (Page–Hinkley) per event type over hourly
+    // event counts — the streaming companion to q318's offline
+    // localizer: O(1) state per key, folded once in t-order through
+    // the aggregate HOF (sequential on BOTH engines — list folds
+    // have no accumulation tree to diverge), m re-snapped at 1e-6
+    // per step.
+    "q321_page_hinkley" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Robust.pageHinkley(hourly, "event_type", "hr",
+          "cnt", delta = 0.5, lambda = 10.0)
+        .orderBy(col("event_type"))
+    }),
+
+    // Multilingual α-sampling under a token budget (mC4-style):
+    // w_l ∝ T_l^0.3 snapped to exact scaled integers, per-language
+    // budgets by integer division, greedy hash-ordered selection via
+    // ONE keyed integer window. Deterministic, reproducible cut.
+    "q322_language_budget_mix" -> ((s, dir) =>
+      graft.operators.Mixture.languageBudgetMix(
+        T(s, dir, "documents"), "doc_id", "text", "lang",
+        budgetTokens = 20000L, alpha = 0.3)
+        .orderBy(col("lang"))),
+
+    // Language-ID evaluation: the q26 stopword-profile heuristic
+    // against the labeled lang column as a confusion grid — the
+    // quality readout a filter pipeline needs before trusting
+    // predicted language for routing/mixing.
+    "q323_langid_eval" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     // McNemar's paired-binary test: did the SAME users convert
     // differently in the month's two halves? Only discordant pairs
     // carry information; exact-long cells, one snapped division.
@@ -9123,6 +9190,84 @@ object SparkEntry {
         |  ${Grid.snapSql(s"($ma) - ($mb)", 4)} AS delta
         |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin
     },
+
+    // folded-fingerprint replay: the same lower → translate →
+    // collapse fold, sorted distinct tokens, md5 — one hash aggregate
+    "q319_crosslingual_dedup" -> {
+      val ftoks = "list_filter(string_split_regex(lower(" +
+        s"${HashOracles.FoldedTextSql}), '\\s+'), t -> t <> '')"
+      s"""WITH f AS (SELECT doc_id, lang,
+        |  md5(array_to_string(list_sort(list_distinct($ftoks)), ' '))
+        |    AS fp
+        |  FROM documents)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  min(doc_id) AS canonical_id,
+        |  array_to_string(list_sort(list_distinct(list(lang))), ',')
+        |    AS langs
+        |FROM f GROUP BY fp
+        |HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
+        |ORDER BY fp""".stripMargin
+    },
+
+    "q320_crosslingual_neardup" ->
+      HashOracles.q320CrossLingualNearDup(0.8),
+
+    // Page–Hinkley replay: the identical sequential fold as a DuckDB
+    // list_reduce (1-based arrays: [i, s, m, mn, ph, at]); both
+    // engines fold the ordered list left-to-right, so the raw
+    // double count/sum cells agree bit-for-bit and m re-snaps at
+    // 1e-6 per step
+    "q321_page_hinkley" -> {
+      val dl = Grid.lit17(0.5)
+      val lm = Grid.lit17(10.0)
+      val i1 = "(a[1] + 1.0e0)"
+      val s1 = "(a[2] + x[2])"
+      val m1 = Grid.snapSql(s"a[3] + (x[2] - $s1 / $i1 - $dl)")
+      val exc = Grid.snapSql(s"($m1) - least(a[4], $m1)")
+      s"""WITH h AS (SELECT event_type,
+        |  epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |  list([CAST(hr AS DOUBLE), CAST(cnt AS DOUBLE)] ORDER BY hr)
+        |    AS sl,
+        |  CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |  list_reduce(list_prepend(
+        |      [0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, -1.0e0], sl),
+        |    (a, x) -> [$i1, $s1, $m1,
+        |      least(a[4], $m1),
+        |      greatest(a[5], $exc),
+        |      CASE WHEN a[6] >= 0.0e0 THEN a[6]
+        |        WHEN ($exc) > $lm THEN x[1] ELSE -1.0e0 END]) AS st
+        |  FROM s)
+        |SELECT event_type, n,
+        |  ${Grid.snapSql("st[2] / st[1]", 4)} AS mean,
+        |  ${Grid.snapSql("st[5]", 4)} AS ph,
+        |  st[5] > 10.0e0 AS drift,
+        |  CASE WHEN st[6] >= 0.0e0 THEN CAST(st[6] AS BIGINT) END
+        |    AS t_alarm
+        |FROM f ORDER BY event_type""".stripMargin
+    },
+
+    "q322_language_budget_mix" ->
+      HashOracles.q322LanguageBudgetMix(20000L, 0.3),
+
+    // langid confusion replay: the q26 stopword-profile CASE against
+    // the labeled column
+    "q323_langid_eval" ->
+      s"""WITH p AS (SELECT lang, CASE
+         | WHEN ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.DeStop)}
+         |  AND ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.FrStop)}
+         |  AND ${hitsSql(TF.EnStop)} > 0 THEN 'en'
+         | WHEN ${hitsSql(TF.DeStop)} >= ${hitsSql(TF.FrStop)}
+         |  AND ${hitsSql(TF.DeStop)} > 0 THEN 'de'
+         | WHEN ${hitsSql(TF.FrStop)} > 0 THEN 'fr'
+         | ELSE 'und' END AS lang_pred
+         |FROM documents)
+         |SELECT lang, lang_pred, count(*) AS n FROM p
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     // the q251 list-accumulator fold grown a 7-slot register: state =
     // [l, b, s1..s7] (slot p = position p+3), elements [t, y]; the

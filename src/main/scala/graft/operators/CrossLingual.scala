@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/** Cross-lingual deduplication — finding the SAME content carried under
+  * different language labels (mirrored sites, machine-translated spam,
+  * boilerplate replicated per-locale). A multilingual training corpus
+  * that near-dups only within a language keeps every translated copy;
+  * these operators block ACROSS languages on representations that
+  * survive translation artifacts: diacritic folding, token-order
+  * collapse, and token-set similarity.
+  *
+  * 100 TB shape: both entry points are equi-join blocked — the exact
+  * path groups on one folded fingerprint (a plain hash aggregation),
+  * the near-dup path reuses [[Dedup]]'s MinHash band join (candidates
+  * are an equi-join on band keys, never all-pairs) with the language
+  * filter applied to the sparse candidate set. No window, no
+  * cross join, no driver collect.
+  */
+object CrossLingual {
+
+  /** 1:1 Latin diacritic fold map — `translate` semantics, codepoint →
+    * codepoint, so the SAME map runs codegen'd in Spark and verbatim in
+    * a DuckDB `translate` mirror. Deliberately bounded to the common
+    * Latin-1/Latin-Extended accents; multi-char expansions (ß→ss, œ→oe)
+    * are out of contract (1:1 maps can't express them — documents in
+    * scripts beyond Latin pass through unchanged and simply never
+    * collide cross-script, which is the safe failure mode for dedup).
+    */
+  val AccentFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ"
+  val AccentTo = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+  /** Fold text for cross-lingual blocking: lowercase, strip the mapped
+    * diacritics, collapse every non-alphanumeric run to one space. Pure
+    * built-in Column program (lower → translate → regexp_replace), so
+    * the fold stays inside whole-stage codegen and the DuckDB oracle
+    * runs the textually identical function chain.
+    */
+  def foldText(text: Column): Column =
+    regexp_replace(translate(lower(text), AccentFrom, AccentTo),
+      "[^a-z0-9]+", " ")
+
+  /** Order-insensitive folded fingerprint: md5 of the sorted distinct
+    * folded tokens (the [[TF.fingerprint]] key-collision device over
+    * [[foldText]] output). Two documents that differ only in diacritics,
+    * token order, duplication, punctuation, or whitespace collide.
+    */
+  def foldedFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(TF.tokens(foldText(text)))),
+      " "))
+
+  /** Exact cross-lingual duplicate clusters: group documents by
+    * [[foldedFingerprint]] and keep clusters that span ≥ 2 documents AND
+    * ≥ 2 distinct languages. One hash aggregation — the exact-dedup
+    * plan shape, linear at any corpus size. Canonical doc = min id
+    * (deterministic election).
+    *
+    * Output: (fp, n_docs, n_langs, canonical_id, langs) — langs the
+    * sorted comma-joined distinct language set, one row per cluster.
+    */
+  def crossLingualClusters(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("__id"), col(langCol).as("__lang"),
+        foldedFingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__lang")).as("n_langs"),
+        min(col("__id")).as("canonical_id"),
+        array_join(array_sort(collect_set(col("__lang"))), ",")
+          .as("langs"))
+      .filter(col("n_docs") >= 2 && col("n_langs") >= 2)
+
+  /** Cross-lingual NEAR-duplicate pairs: MinHash-banded candidates over
+    * the FOLDED text (so accent/punctuation variants band together),
+    * verified by exact token-set Jaccard ≥ `threshold`, kept only when
+    * the two sides carry DIFFERENT language labels. Candidates come
+    * from [[Dedup.minhashNearDupPairs]]'s band equi-join — the language
+    * filter prunes the sparse verified set, never the pair space.
+    *
+    * Output: (a_id, b_id, lang_a, lang_b, jaccard).
+    */
+  def crossLingualNearDupPairs(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, threshold: Double,
+      k: Int = 16, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val folded = docs.select(col(idCol),
+      foldText(col(textCol)).as("__folded"))
+    val pairs = Dedup.minhashNearDupPairs(folded, idCol, "__folded",
+      threshold, k, shingleLen, bands)
+    val langs = docs.select(col(idCol).as("__lid"),
+      col(langCol).as("__llang"))
+    pairs
+      .join(langs.withColumnRenamed("__lid", "a_id")
+        .withColumnRenamed("__llang", "lang_a"), "a_id")
+      .join(langs.withColumnRenamed("__lid", "b_id")
+        .withColumnRenamed("__llang", "lang_b"), "b_id")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("a_id"), col("b_id"), col("lang_a"), col("lang_b"),
+        col("jaccard"))
+  }
+}

@@ -302,4 +302,61 @@ object Mixture {
     complete.unionByName(full).unionByName(boundary2)
       .drop("__k", "__fe", "__cutb", "__rem", "__mx_b")
   }
+
+  /** Multilingual α-sampling under a token budget — the mC4/multilingual-
+    * T5 mixing rule realized as a BUDGET allocation rather than
+    * probabilistic thinning ([[Sampling.temperatureSample]] is the
+    * thinning form): language `l` holding `T_l` total tokens gets weight
+    * `w_l ∝ T_l^α` (α < 1 up-weights low-resource languages), a token
+    * budget `B_l = ⌊B · w_l / Σw⌋`, and then the hash-ordered greedy
+    * prefix of its documents until the budget is spent — a deterministic,
+    * reproducible corpus cut.
+    *
+    * Replay discipline: `T_l^α` snaps to the 1e-6 grid and scales to an
+    * exact long (libm `pow` agrees across engines within an ulp — the
+    * KM ln-factor contract), so `Σw` is an exact integer sum and every
+    * budget is pure integer arithmetic (`B·w_sc div Σw_sc`). Selection
+    * order is `(splitmix64(id), id)` — the q59/q67 hash family, mirrored
+    * bit-exactly in the oracle — and the running token sum is an exact
+    * integer window, keyed by language.
+    *
+    * 100 TB shape: one token-count projection, one 5-row language
+    * aggregate (broadcast), and ONE keyed window over (lang, hash
+    * order) — the per-language sort is the unavoidable cost of a greedy
+    * budget cut and shuffles once; no global sort, no driver loop.
+    *
+    * Output: (lang, n_docs, tokens_selected, budget, total_tokens).
+    */
+  def languageBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, budgetTokens: Long, alpha: Double): DataFrame = {
+    require(budgetTokens > 0, s"bad budget $budgetTokens")
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    val d = docs.select(col(idCol).as("__id"), col(langCol).as("lang"),
+      graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long").as("__ntok"))
+    val tot = d.groupBy(col("lang"))
+      .agg(sum(col("__ntok")).as("total_tokens"))
+    val w = tot.withColumn("__wsc",
+      floor(pow(col("total_tokens").cast("double"), lit(alpha))
+        * 1e6 + 0.5).cast("long"))
+    val b = w.crossJoin(broadcast(w.agg(sum(col("__wsc")).as("__swsc"))))
+      .withColumn("budget",
+        expr(s"($budgetTokens * __wsc) div __swsc"))
+    val wOrd = Window.partitionBy(col("lang"))
+      .orderBy(col("__skey"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = d
+      .withColumn("__skey", graft.expressions.HashExpressions
+        .splitmix64(col("__id").cast("long")))
+      .withColumn("__ctok", sum(col("__ntok")).over(wOrd))
+      .join(broadcast(b.select(col("lang"), col("budget"))), Seq("lang"))
+      .filter(col("__ctok") <= col("budget"))
+    b.join(sel.groupBy(col("lang")).agg(
+        count(lit(1)).as("__n"), sum(col("__ntok")).as("__tk")),
+        Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("__n"), lit(0L)).as("n_docs"),
+        coalesce(col("__tk"), lit(0L)).as("tokens_selected"),
+        col("budget"), col("total_tokens"))
+  }
 }

@@ -709,4 +709,72 @@ object Robust {
         round(col("n") / col("__tot").cast("double") -
           log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("dev"))
   }
+
+  /** Page–Hinkley ONLINE changepoint detector per key — the streaming
+    * complement to the offline [[changePoint]] localizer: an O(1)-state
+    * sequential test that raises an alarm WHILE the series is arriving
+    * (Page 1954; the standard drift detector in river/MOA). State per
+    * key: running count/sum, the cumulative deviation
+    * `m_t = Σ_{j≤t} (x_j − x̄_j − δ)` (x̄_j the running mean THROUGH j,
+    * δ the tolerated slack), its running minimum M_t (seeded at m_0 = 0),
+    * and the excursion `PH_t = m_t − M_t`; alarm when `PH_t > λ`.
+    *
+    * Replay discipline: the per-key series folds ONCE, in t-order,
+    * through an aggregate HOF (same device as [[Forecast.holtLinear]]):
+    * count/sum ride in the accumulator as raw doubles — exact for
+    * integral x and otherwise bit-identical on any engine folding the
+    * same ordered list sequentially (`aggregate` here, `list_reduce` in
+    * DuckDB — sequential left folds by definition, so no accumulation-
+    * tree divergence is possible) — and `m` re-snaps to the 1e-6 grid
+    * each step so the trajectory is a pure function of grid values.
+    * δ and λ embed via [[Grid.lit17]] so both engines fold from the
+    * same constant bits.
+    *
+    * 100 TB shape: one partial-agg shuffle to (key, series), then the
+    * fold runs inside codegen per key — no window, no driver loop; the
+    * state is O(1) per key however long the series. The alarm time is
+    * the FIRST t whose excursion exceeds λ (sentinel −1 while no alarm,
+    * surfaced as null).
+    *
+    * Output: (key, n, mean, ph, drift, t_alarm) — mean the final
+    * running mean (4 dp), ph the maximum excursion (4 dp), drift
+    * whether any excursion exceeded λ, t_alarm the first alarm t.
+    */
+  def pageHinkley(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, delta: Double = 0.5,
+      lambda: Double = 10.0): DataFrame = {
+    require(lambda > 0, s"bad lambda $lambda")
+    val dl = Grid.lit17(delta)
+    val lm = Grid.lit17(lambda)
+    val i1 = "(acc.i + 1.0D)"
+    val s1 = "(acc.s + x.y)"
+    val m1 = Grid.snapSql(s"acc.m + (x.y - $s1 / $i1 - $dl)")
+    val exc = Grid.snapSql(s"($m1) - least(acc.mn, $m1)")
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("y")))).as("__s"))
+    series
+      .withColumn("__st", expr(
+        s"""aggregate(__s,
+           |  named_struct('i', 0.0D, 's', 0.0D, 'm', 0.0D,
+           |    'mn', 0.0D, 'ph', 0.0D, 'at', -1.0D),
+           |  (acc, x) -> named_struct(
+           |    'i', $i1,
+           |    's', $s1,
+           |    'm', $m1,
+           |    'mn', least(acc.mn, $m1),
+           |    'ph', greatest(acc.ph, $exc),
+           |    'at', CASE WHEN acc.at >= 0.0D THEN acc.at
+           |      WHEN ($exc) > $lm THEN CAST(x.t AS DOUBLE)
+           |      ELSE -1.0D END))""".stripMargin))
+      .select(col(keyCol),
+        size(col("__s")).cast("long").as("n"),
+        Grid.snap(col("__st.s") / col("__st.i"), 4).as("mean"),
+        Grid.snap(col("__st.ph"), 4).as("ph"),
+        (col("__st.ph") > lit(lambda)).as("drift"),
+        when(col("__st.at") >= 0, col("__st.at").cast("long"))
+          .as("t_alarm"))
+  }
 }

@@ -879,6 +879,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("round-13 wave: cross-lingual dedup stays equi-join blocked, " +
+      "page-hinkley folds without windows, budget mix broadcasts the " +
+      "5-row budget table") {
+    // q319: ONE hash aggregation — no join of any kind in the plan
+    val p319 = plan("q319_crosslingual_dedup")
+    assert(!p319.contains("Join"), s"q319 must be join-free:\n$p319")
+    // q320: banded candidates are an equi-join; never a cross product
+    val p320 = plan("q320_crosslingual_neardup")
+    assert(!p320.contains("CartesianProduct"), p320)
+    assert(!p320.contains("BroadcastNestedLoopJoin"), p320)
+    // q321: the PH fold is an aggregate HOF — no Window node at all,
+    // no UDF (the fold stays inside codegen'd expressions)
+    val p321 = plan("q321_page_hinkley")
+    assert(!p321.contains("Window"), s"q321 grew a window:\n$p321")
+    assert(!p321.contains("ScalaUDF"), p321)
+    // q322: the budget side (5 rows) broadcasts; the one window is
+    // keyed by lang (the global-window policy test asserts that
+    // repo-wide); no cartesian beyond the 1-row Σw scalar cross
+    val p322 = plan("q322_language_budget_mix")
+    assert(p322.contains("BroadcastHashJoin") ||
+      p322.contains("BroadcastNestedLoopJoin"), p322)
+    assert("CartesianProduct".r.findAllIn(p322).isEmpty, p322)
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

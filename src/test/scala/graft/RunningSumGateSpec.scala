@@ -114,6 +114,7 @@ class RunningSumGateSpec extends SparkSpec {
     "q288_woe_numeric" -> "bin label counts (integer)",
     "q292_burst_detection" -> "bounded N-PRECEDING over counts",
     "q318_changepoint_users" -> "exact integer counts (HUGEINT prefix)",
+    "q322_language_budget_mix" -> "token counts (integer)",
     "q34_session_window" -> "gap counters (integer)",
     "q40_running_sum" -> "exact cents",
     "q48_token_packing" -> "token lengths (integer)",

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-lingual dedup + language-budget mixing — the multilingual
+  * corpus-curation wave: diacritic folding, order-insensitive folded
+  * fingerprints, cross-language near-dup pairs, and α-sampling token
+  * budgets.
+  */
+class CrossLingualSpec extends SparkSpec {
+
+  test("foldText: diacritics fold 1:1, case and punctuation collapse, " +
+      "non-Latin text passes through unharmed") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(
+      "Résumé, naïve — Ça Brûlé!",
+      "  Tabs\tand\nnewlines  ",
+      "中文 текст stays").toDF("text")
+      .select(CrossLingual.foldText(col("text")).as("f"))
+      .collect().map(_.getString(0))
+    assert(out(0).trim === "resume naive ca brule")
+    assert(out(1).trim === "tabs and newlines")
+    // non-Latin chars are not in [a-z0-9] -> collapse to separators;
+    // the latin token survives (safe failure mode: no false merges)
+    assert(out(2).trim === "stays")
+  }
+
+  test("crossLingualClusters: order/diacritic/punct variants across " +
+      "languages cluster; same-language dups and singletons drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Solar energy policy framework", "en"),
+      (2L, "framework POLICY — énergy solar!", "fr"), // same folded set
+      (3L, "solar energy policy framework", "en"),    // en dup of 1
+      (4L, "completely different text here", "de"),
+      (5L, "unrelated single document", "es")).toDF("doc_id", "text", "lang")
+    val rows = CrossLingual.crossLingualClusters(docs, "doc_id", "text",
+      "lang").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_docs") === 3L)     // 1, 2, 3 share the set
+    assert(r.getAs[Long]("n_langs") === 2L)    // en + fr
+    assert(r.getAs[Long]("canonical_id") === 1L)
+    assert(r.getAs[String]("langs") === "en,fr")
+  }
+
+  test("crossLingualNearDupPairs: high-overlap cross-language pair " +
+      "survives; the same-language twin is filtered; jaccard is exact") {
+    val s = spark
+    import s.implicits._
+    // 10 shared tokens, 'a' has 1 extra -> J = 10/11 ≈ 0.909
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared extra", "en"),
+      (2L, shared, "fr"),
+      (3L, shared, "fr")).toDF("doc_id", "text", "lang")
+    val pairs = CrossLingual.crossLingualNearDupPairs(docs, "doc_id",
+      "text", "lang", threshold = 0.8).collect()
+    // (2,3) is same-language -> filtered; (1,2) and (1,3) cross
+    assert(pairs.length === 2)
+    assert(pairs.forall(r => r.getAs[String]("lang_a") !=
+      r.getAs[String]("lang_b")))
+    val j = pairs.map(_.getAs[Double]("jaccard")).distinct
+    assert(j.length === 1 && math.abs(j.head - 10.0 / 11.0) < 1e-15)
+  }
+
+  test("languageBudgetMix: α = 1 budgets are proportional to token " +
+      "mass; selection never exceeds budget; low-resource languages " +
+      "gain share as α shrinks") {
+    val s = spark
+    import s.implicits._
+    // lang A: 20 docs x 10 tokens = 200; lang B: 5 docs x 10 = 50
+    def doc(i: Long, lang: String) =
+      (i, (1 to 10).map(j => s"w${i}_$j").mkString(" "), lang)
+    val docs = ((1L to 20L).map(doc(_, "aa")) ++
+      (21L to 25L).map(doc(_, "bb"))).toDF("doc_id", "text", "lang")
+    val p1 = Mixture.languageBudgetMix(docs, "doc_id", "text", "lang",
+        budgetTokens = 100L, alpha = 1.0)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    // alpha=1: weights 200:50 -> budgets 80:20 of 100
+    assert(p1("aa").getAs[Long]("budget") === 80L)
+    assert(p1("bb").getAs[Long]("budget") === 20L)
+    assert(p1("aa").getAs[Long]("tokens_selected") === 80L)
+    assert(p1("bb").getAs[Long]("tokens_selected") === 20L)
+    assert(p1("aa").getAs[Long]("n_docs") === 8L)
+    assert(p1("aa").getAs[Long]("total_tokens") === 200L)
+    val p3 = Mixture.languageBudgetMix(docs, "doc_id", "text", "lang",
+        budgetTokens = 100L, alpha = 0.3)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    // alpha<1 compresses the ratio: bb's share must strictly grow
+    assert(p3("bb").getAs[Long]("budget") >
+      p1("bb").getAs[Long]("budget"))
+    // budgets stay within the global budget
+    assert(p3("aa").getAs[Long]("budget") +
+      p3("bb").getAs[Long]("budget") <= 100L)
+  }
+
+  test("languageBudgetMix selection is a stable hash-ordered prefix: " +
+      "rerun and row-order permutation select the identical doc set") {
+    val s = spark
+    import s.implicits._
+    def doc(i: Long, lang: String) =
+      (i, (1 to (i % 7 + 3).toInt).map(j => s"w${i}_$j").mkString(" "),
+        lang)
+    val rows = (1L to 40L).map(i => doc(i, if (i % 3 == 0) "xx" else "yy"))
+    val a = Mixture.languageBudgetMix(rows.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", 60L, 0.5).collect()
+    val b = Mixture.languageBudgetMix(
+      scala.util.Random.shuffle(rows.toList)
+        .toDF("doc_id", "text", "lang").repartition(5),
+      "doc_id", "text", "lang", 60L, 0.5).collect()
+    assert(a.map(_.toString).sorted.toSeq ===
+      b.map(_.toString).sorted.toSeq)
+  }
+}

@@ -187,4 +187,46 @@ class RobustSpec extends SparkSpec {
     // the spike: mu = 4 from the trailing 24, z = 36/2 = 18
     assert(out(31L) === ((4.0, 18.0, true)))
   }
+
+  test("pageHinkley: a planted level shift alarms at/after the shift; " +
+      "the flat key stays quiet") {
+    val s = spark
+    import s.implicits._
+    // key "up": 20 points at 10 then 20 points at 30 — the cumulative
+    // deviation m grows by ~ (30 - mean - delta) per post-shift step;
+    // key "flat": constant 10 forever -> excursion stays ~0
+    val up = (0 until 20).map(t => ("up", t.toLong, 10.0)) ++
+      (20 until 40).map(t => ("up", t.toLong, 30.0))
+    val flat = (0 until 40).map(t => ("flat", t.toLong, 10.0))
+    val df = (up ++ flat).toDF("k", "t", "x")
+    val out = Robust.pageHinkley(df, "k", "t", "x",
+        delta = 0.5, lambda = 10.0)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("flat").getAs[Boolean]("drift") === false)
+    assert(out("flat").getAs[Any]("t_alarm") === null)
+    assert(out("flat").getAs[Double]("ph") === 0.0)
+    assert(out("up").getAs[Boolean]("drift") === true)
+    val alarmT = out("up").getAs[Long]("t_alarm")
+    assert(alarmT >= 20L && alarmT <= 25L, s"alarm at $alarmT")
+    assert(out("up").getAs[Long]("n") === 40L)
+    // final running mean of the up key: (20*10 + 20*30)/40 = 20
+    assert(out("up").getAs[Double]("mean") === 20.0)
+  }
+
+  test("pageHinkley: result is invariant to input row order and " +
+      "partitioning (the fold orders by t inside the key)") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 30).map(t =>
+      ("k", t.toLong, if (t < 15) 5.0 else 12.0))
+    val a = Robust.pageHinkley(rows.toDF("k", "t", "x"), "k", "t", "x")
+      .collect()
+    val b = Robust.pageHinkley(
+        scala.util.Random.shuffle(rows.toList).toDF("k", "t", "x")
+          .repartition(7),
+        "k", "t", "x")
+      .collect()
+    assert(a.map(_.toString).sorted.toSeq ===
+      b.map(_.toString).sorted.toSeq)
+  }
 }
