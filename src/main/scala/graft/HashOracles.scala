@@ -3488,6 +3488,31 @@ object HashOracles {
         "FROM ag ORDER BY tau")
   }
 
+  /** Per-source transfer audit of the q117/q190 NB filter at its
+    * natural operating point (score > 0): held-out confusion counts
+    * grouped by the documents' source domain.
+    */
+  def q324FilterTransfer(trainBuckets: Int, alpha: Double): String =
+    withClause(nbScoreChain(trainBuckets, alpha) ++ Seq(
+      "fsx AS (SELECT f.doc_id, f.score, f.pos, d.source " +
+        "FROM fs f JOIN documents d USING (doc_id))",
+      "ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN score > 0 AND pos THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS tp, " +
+        "CAST(sum(CASE WHEN score > 0 AND NOT pos THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS fp, " +
+        "CAST(sum(CASE WHEN score <= 0 AND pos THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS fn " +
+        "FROM fsx GROUP BY source)"),
+      "SELECT source, n_docs, tp, fp, fn, " +
+        "CASE WHEN tp + fp > 0 THEN " +
+        "round(tp / CAST(tp + fp AS DOUBLE), 4) END AS \"precision\", " +
+        "CASE WHEN tp + fn > 0 THEN " +
+        "round(tp / CAST(tp + fn AS DOUBLE), 4) END AS recall, " +
+        "CASE WHEN tp > 0 THEN " +
+        "round(2.0 * tp / (2.0 * tp + fp + fn), 4) END AS f1 " +
+        "FROM ag ORDER BY source")
+
   /** Exact mid-rank Mann-Whitney AUC over the q117 held-out scores. */
   def q191RocAuc(trainBuckets: Int, alpha: Double): String =
     withClause(nbScoreChain(trainBuckets, alpha) ++ Seq(

@@ -3768,6 +3768,36 @@ object SparkEntry {
         budgetTokens = 20000L, alpha = 0.3)
         .orderBy(col("lang"))),
 
+    // Does the learned quality filter TRANSFER across domains? The
+    // q190 NB filter at its natural operating point (score > 0),
+    // read out per SOURCE on the held-out split — the domain-shift
+    // audit a filter must pass before it gates a mixed corpus.
+    "q324_filter_transfer" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("is_en", col("lang") === "en")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(split), "doc_id", "text", "is_en")
+      graft.operators.QualityClassifier.score(
+          docs.filter(!split), "doc_id", "text", model)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0 && col("is_en"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") > 0 && !col("is_en"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score") <= 0 && col("is_en"), 1L)
+            .otherwise(0L)).as("fn"))
+        .withColumn("precision", when(col("tp") + col("fp") > 0,
+          round(col("tp") / (col("tp") + col("fp")).cast("double"), 4)))
+        .withColumn("recall", when(col("tp") + col("fn") > 0,
+          round(col("tp") / (col("tp") + col("fn")).cast("double"), 4)))
+        .withColumn("f1", when(col("tp") > 0,
+          round(lit(2.0) * col("tp") /
+            (lit(2.0) * col("tp") + col("fp") + col("fn")), 4)))
+        .orderBy(col("source"))
+    }),
+
     // Language-ID evaluation: the q26 stopword-profile heuristic
     // against the labeled lang column as a confusion grid — the
     // quality readout a filter pipeline needs before trusting
@@ -5432,11 +5462,21 @@ object SparkEntry {
     * 1e-6 — the grid-pinned trajectory [[graft.operators.Markov]]
     * computes.
     */
+  /** Mirrors [[graft.operators.Markov.stationaryDistribution]]'s
+    * driver fold: each round's sum is the LEFT FOLD of π·p in
+    * ascending from_state order seeded at 0.0, snapped to the 1e-6
+    * grid — the identical IEEE program on both engines (an unordered
+    * `round(sum(...))` is accumulation-tree-dependent; the ordered
+    * fold is not).
+    */
   private def markovStationaryOracle(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       val prev = s"p${k - 1}"
       s"p$k AS MATERIALIZED (SELECT tm.to_state AS state, " +
-        s"round(sum($prev.pi * tm.p), 6) AS pi " +
+        Grid.snapSql("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list($prev.pi * tm.p ORDER BY tm.from_state)), " +
+          "(a, x) -> a + x)") +
+        s" AS pi " +
         s"FROM $prev JOIN tm ON tm.from_state = $prev.state GROUP BY 1)"
     }
     s"""WITH seq AS (SELECT user_id, event_type, ts, event_id,
@@ -5451,7 +5491,8 @@ object SparkEntry {
        |st AS (SELECT DISTINCT from_state AS state FROM tp),
        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st),
        |p0 AS MATERIALIZED (SELECT state,
-       |    round(CAST(1.0 AS DOUBLE) / ns.k, 6) AS pi FROM st, ns),
+       |    ${Grid.snapSql("CAST(1.0 AS DOUBLE) / ns.k")} AS pi
+       |  FROM st, ns),
        |${rounds.mkString(",\n")}
        |SELECT state, pi FROM p$iters ORDER BY state""".stripMargin
   }
@@ -9253,6 +9294,9 @@ object SparkEntry {
 
     "q322_language_budget_mix" ->
       HashOracles.q322LanguageBudgetMix(20000L, 0.3),
+
+    "q324_filter_transfer" ->
+      HashOracles.q324FilterTransfer(8000, 1.0),
 
     // langid confusion replay: the q26 stopword-profile CASE against
     // the labeled column

@@ -75,4 +75,50 @@ class CusumStreamSpec extends SparkSpec {
       assert(math.abs(g - x) < 1e-12)
     }
   }
+
+  test("page-hinkley: chunked stream's final per-key row == the batch " +
+      "operator bit-for-bit (same fold, same 1e-6 snap)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    var seed = 11L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    val tape = (0 until 200).map { i =>
+      val key = s"k${(next() >>> 20) % 3L}"
+      val shift = if (i > 140) 8.0 else 0.0
+      CusumStream.Point(key, i.toLong, ((next() >>> 33) % 6L).toDouble + shift)
+    }
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CusumStream.Point]
+    val q = CusumStream.pageHinkley(mem.toDS(), delta = 0.5,
+        lambda = 10.0)
+      .writeStream.format("memory").queryName("ph_updates")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    tape.grouped(60).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val streamedFinal = s.sql("SELECT * FROM ph_updates")
+      .as[CusumStream.PhOut].collect()
+      .groupBy(_.key).map { case (k, rows) => k -> rows.maxBy(_.t) }
+
+    val batch = graft.operators.Robust.pageHinkley(
+        tape.toDF("key", "t", "x"), "key", "t", "x",
+        delta = 0.5, lambda = 10.0)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+
+    assert(streamedFinal.keySet === batch.keySet)
+    streamedFinal.foreach { case (k, o) =>
+      val b = batch(k)
+      assert(o.n === b.getAs[Long]("n"), s"n at $k")
+      assert(o.mean === b.getAs[Double]("mean"), s"mean at $k")
+      assert(o.ph === b.getAs[Double]("ph"), s"ph at $k")
+      assert(o.drift === b.getAs[Boolean]("drift"), s"drift at $k")
+      assert(o.tAlarm === Option(b.getAs[Any]("t_alarm"))
+        .map(_.asInstanceOf[Long]), s"t_alarm at $k")
+    }
+    // the injected level shift must alarm on every key
+    assert(streamedFinal.values.forall(_.drift), "shift should alarm")
+  }
 }
