@@ -3798,6 +3798,27 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Bitext mining: the q150 ratio-margin criterion restricted to
+    // CROSS-LANGUAGE pairs (embeddings 1:1 with documents by id) —
+    // each doc's best translation-pair candidate in a DIFFERENT
+    // language, the LASER/CCMatrix parallel-corpus device. Langs
+    // joined back onto the (x, best_match) readout.
+    "q325_bitext_mining" -> ((s, dir) => {
+      val langs = T(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val mined = graft.operators.Similarity.bitextTopMatches(
+        T(s, dir, "embeddings").join(langs, Seq("vec_id")),
+        "vec_id", "embedding", "lang", k = 8)
+      mined
+        .join(langs.select(col("vec_id").as("x"),
+          col("lang").as("x_lang")), Seq("x"))
+        .join(langs.select(col("vec_id").as("best_match"),
+          col("lang").as("match_lang")), Seq("best_match"))
+        .select(col("x"), col("best_match"), col("cos"), col("margin"),
+          col("x_lang"), col("match_lang"))
+        .orderBy(col("x"))
+    }),
+
     // Language-ID evaluation: the q26 stopword-profile heuristic
     // against the labeled lang column as a confusion grid — the
     // quality readout a filter pipeline needs before trusting
@@ -9297,6 +9318,32 @@ object SparkEntry {
 
     "q324_filter_transfer" ->
       HashOracles.q324FilterTransfer(8000, 1.0),
+
+    // the q150 margin replay with the cross-language pair constraint
+    // and langs joined back onto the winner row
+    "q325_bitext_mining" ->
+      s"""WITH e AS (SELECT e.vec_id, e.embedding, d.lang
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |p AS (SELECT a.vec_id AS x, b.vec_id AS y,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |    AND a.lang <> b.lang),
+        |r AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x
+        |  ORDER BY ${Grid.snapSql("cos", 4)} DESC, y) AS rn FROM p),
+        |ak AS (SELECT x, avg(cos) AS avg_k FROM r WHERE rn <= 8
+        |  GROUP BY x),
+        |sc AS (SELECT p.x, p.y, p.cos,
+        |  ${Grid.snapSql("p.cos / ((ax.avg_k + ay.avg_k) / 2)", 4)}
+        |    AS margin
+        |  FROM p JOIN ak ax ON ax.x = p.x JOIN ak ay ON ay.x = p.y),
+        |b AS (SELECT x, y, cos, margin, row_number() OVER (PARTITION BY x
+        |  ORDER BY margin DESC, y) AS rn FROM sc)
+        |SELECT b.x, b.y AS best_match, ${Grid.snapSql("b.cos", 4)} AS cos,
+        |  b.margin, ex.lang AS x_lang, ey.lang AS match_lang
+        |FROM b JOIN e ex ON ex.vec_id = b.x
+        |  JOIN e ey ON ey.vec_id = b.y
+        |WHERE b.rn = 1 ORDER BY b.x""".stripMargin,
 
     // langid confusion replay: the q26 stopword-profile CASE against
     // the labeled column

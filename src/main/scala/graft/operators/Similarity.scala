@@ -846,6 +846,38 @@ object Similarity {
     marginFromPairs(pairs, k)
   }
 
+  /** Cross-lingual bitext mining — the ratio-margin criterion
+    * (Artetxe & Schwenk 2019's margin-based alignment, the LASER/
+    * CCMatrix device) restricted to CROSS-GROUP pairs: each vector's
+    * best match must carry a DIFFERENT `groupCol` label (language),
+    * and the normalizing avg-k neighborhoods are likewise cross-group
+    * (the mined pool IS the candidate pool — the published
+    * approximation). This is what turns a multilingual embedding
+    * space into translation-pair candidates for parallel-corpus
+    * construction.
+    *
+    * Brute n² baseline form (the q150 contract); at corpus scale
+    * compose the same group constraint over [[marginTopMatchesVia]]'s
+    * trained-list candidate space — the pair table gains one
+    * `grp_a =!= grp_b` filter and everything downstream is shared
+    * ([[marginFromPairs]]).
+    */
+  def bitextTopMatches(vectors: DataFrame, idCol: String,
+      vecCol: String, groupCol: String, k: Int): DataFrame = {
+    val prepped = VF.prepForPairs(vectors, idCol, vecCol)
+      .join(vectors.select(col(idCol).as("id"),
+        col(groupCol).as("__bt_grp")), Seq("id"))
+    val pairs = prepped.as("a")
+      .join(prepped.as("b"),
+        col("a.id") =!= col("b.id") &&
+          col("a.__bt_grp") =!= col("b.__bt_grp"))
+      .select(col("a.id").as("x"), col("b.id").as("y"),
+        when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+    marginFromPairs(pairs, k)
+  }
+
   /** Shared margin scoring over a (x, y, cos) candidate table: avgK
     * per x on the rounded-grid top-k, ratio margin, best partner per x.
     */

@@ -98,6 +98,31 @@ class CrossLingualSpec extends SparkSpec {
       p3("bb").getAs[Long]("budget") <= 100L)
   }
 
+  test("bitextTopMatches: the best match is always cross-group, and " +
+      "the aligned pair wins over a same-language twin") {
+    val s = spark
+    import s.implicits._
+    // en#1 and fr#2 are near-parallel; en#3 is #1's same-language twin
+    // (closer than fr#2!) and must be EXCLUDED by the group filter;
+    // fr#4 is orthogonal noise
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), "en"),
+      (2L, Seq(0.95f, 0.05f, 0.0f), "fr"),
+      (3L, Seq(0.99f, 0.01f, 0.0f), "en"),
+      (4L, Seq(0.0f, 0.0f, 1.0f), "fr")).toDF("vec_id", "embedding", "lang")
+    val out = Similarity.bitextTopMatches(vecs, "vec_id", "embedding",
+        "lang", k = 2)
+      .collect().map(r => r.getAs[Long]("x") ->
+        r.getAs[Long]("best_match")).toMap
+    assert(out(1L) === 2L) // not 3 (same lang), not 4 (orthogonal)
+    assert(out(3L) === 2L)
+    assert(out(2L) === 1L || out(2L) === 3L)
+    // every x appears and no best match shares its language
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    val lang = Map(1L -> "en", 2L -> "fr", 3L -> "en", 4L -> "fr")
+    out.foreach { case (x, m) => assert(lang(x) !== lang(m), s"$x->$m") }
+  }
+
   test("languageBudgetMix selection is a stable hash-ordered prefix: " +
       "rerun and row-order permutation select the identical doc set") {
     val s = spark

@@ -297,4 +297,27 @@ class SurvivalAbtestSpec extends SparkSpec {
     assert(rb.getAs[Boolean]("reject_05"))
     assert(rb.getAs[Double]("d") === 0.3)
   }
+
+  test("KM long-curve accuracy: 1000 distinct event times match the " +
+      "closed-form survival at 4 dp (the 1e-9 grid's point — the old " +
+      "1e-6 grid drifted up to T·5e-7 ≈ 5e-4 here and flipped digits)") {
+    val s = spark
+    import s.implicits._
+    // one event at each t = 1..1000 over 1000 subjects:
+    // S(t) = Π_{u<=t} (1 - 1/(1000-u+1)) telescopes to (1000-t)/1000
+    val subjects = (1 to 1000).map(t => ("g", t.toLong, true))
+      .toDF("grp", "dur", "ev")
+    val km = Survival.kaplanMeier(subjects, "grp", "dur", "ev")
+      .collect().map(r => r.getAs[Long]("t") ->
+        r.getAs[Double]("survival")).toMap
+    assert(km.size === 1000)
+    (1 to 999).foreach { t =>
+      val exact = (1000.0 - t) / 1000.0
+      val got = km(t.toLong)
+      assert(math.abs(got - math.rint(exact * 1e4) / 1e4) < 1e-12,
+        s"t=$t got=$got exact=$exact")
+    }
+    // the final event exhausts the risk set: survival absorbs at 0
+    assert(km(1000L) === 0.0)
+  }
 }
