@@ -4476,11 +4476,13 @@ object HashOracles {
     * greedy prefix over (splitmix64(doc_id), doc_id) order with an
     * exact integer running token sum per language.
     */
-  def q322LanguageBudgetMix(budget: Long, alpha: Double): String = {
+  def q322LanguageBudgetMix(budget: Long, alpha: Double,
+      base: String = "documents",
+      extraCtes: Seq[String] = Nil): String = {
     import graft.functions.Grid.lit17
-    val head = Seq(
+    val head = extraCtes ++ Seq(
       s"d AS (SELECT doc_id, lang, CAST(len($Toks) AS BIGINT) AS ntok " +
-        "FROM documents)",
+        s"FROM $base)",
       "tot AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS t " +
         "FROM d GROUP BY lang)",
       s"w AS (SELECT lang, t, CAST(floor(pow(CAST(t AS DOUBLE), " +
@@ -4510,5 +4512,37 @@ object HashOracles {
         "CAST(coalesce(ag.tk, 0) AS BIGINT) AS tokens_selected, " +
         "CAST(b.budget AS BIGINT) AS budget, b.t AS total_tokens " +
         "FROM b LEFT JOIN ag USING (lang) ORDER BY b.lang")
+  }
+
+  /** Multilingual corpus-pipeline capstone replay (q327): the q319
+    * fold-fingerprint dedup (canonical = min id survives), the q99
+    * quality-keep rules, then the q322 budget-mix chain over the
+    * survivors — three stages, all oracle fragments shared with their
+    * standalone gates.
+    */
+  def q327MultilingualPipeline(budget: Long, alpha: Double): String = {
+    val ftoks = "list_filter(string_split_regex(lower(" +
+      s"$FoldedTextSql), '\\s+'), t -> t <> '')"
+    val stages = Seq(
+      s"f AS (SELECT doc_id, lang, md5(array_to_string(" +
+        s"list_sort(list_distinct($ftoks)), ' ')) AS fp FROM documents)",
+      "cx AS (SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY fp " +
+        "HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2)",
+      "sv AS (SELECT f.doc_id FROM f LEFT JOIN cx USING (fp) " +
+        "WHERE cx.canonical_id IS NULL OR f.doc_id = cx.canonical_id)",
+      s"qtk AS (SELECT d.doc_id, d.text, d.lang, $Toks AS t " +
+        "FROM documents d JOIN sv USING (doc_id))",
+      "qg AS (SELECT doc_id, text, len(t) AS n, " +
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2), " +
+        "i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END AS g3 FROM qtk)",
+      "qual AS (SELECT doc_id FROM qg WHERE n >= 30 AND n <= 10000 " +
+        "AND CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) " +
+        "<= 0.05 AND CAST(length(text) - length(regexp_replace(text, " +
+        "'[.,;:!?''\"()-]', '', 'g')) AS DOUBLE) <= n * 0.5)")
+    q322LanguageBudgetMix(budget, alpha,
+      base = "(SELECT q.doc_id, q.lang, q.text FROM qtk q " +
+        "JOIN qual USING (doc_id))",
+      extraCtes = stages)
   }
 }

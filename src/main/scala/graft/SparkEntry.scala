@@ -3798,6 +3798,66 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Multilingual corpus-pipeline CAPSTONE (v5): cross-lingual exact
+    // dedup (q319's folded fingerprint, canonical = min id survives) →
+    // the q99 quality-keep rules → the q322 α-sampling token-budget
+    // mix over the survivors. One composition, three shared oracle
+    // fragments; the per-language mix is the readout a multilingual
+    // pretraining run actually consumes.
+    "q327_corpus_pipeline_multilingual" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val clusters = graft.operators.CrossLingual
+        .crossLingualClusters(docs, "doc_id", "text", "lang")
+        .select(col("fp"), col("canonical_id"))
+      val deduped = docs
+        .withColumn("fp", graft.operators.CrossLingual
+          .foldedFingerprint(col("text")))
+        // un-hinted equi-join: the cluster table is dup-mass-bounded,
+        // not config-bounded — AQE picks the strategy (the q68 rule)
+        .join(clusters, Seq("fp"), "left")
+        .filter(col("canonical_id").isNull ||
+          col("doc_id") === col("canonical_id"))
+      val kept = graft.operators.QualityFilters.keep(
+          deduped.withColumn("toks", toks(col("text"))), "text",
+          graft.operators.QualityFilters.Thresholds(minTokens = 30,
+            maxTokens = 10000, maxDupNgramFraction = 0.05),
+          tokensCol = Some("toks"))
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.Mixture.languageBudgetMix(kept, "doc_id", "text",
+          "lang", budgetTokens = 15000L, alpha = 0.3)
+        .orderBy(col("lang"))
+    }),
+
+    // Cross-lingual dedup YIELD: what the q319 clusters would remove,
+    // as the per-language impact report (the q193 dedup-yield readout
+    // at cross-language grain) — docs/tokens before, dropped
+    // non-canonical mass, token reduction share. The decision artifact
+    // behind "is cross-lingual dedup worth a pipeline stage".
+    "q326_crosslingual_yield" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val withFp = docs.select(col("doc_id"), col("lang"),
+        graft.operators.CrossLingual.foldedFingerprint(col("text"))
+          .as("fp"),
+        TF.tokenCount(col("text")).cast("long").as("__ntok"))
+      val clusters = graft.operators.CrossLingual
+        .crossLingualClusters(docs, "doc_id", "text", "lang")
+        .select(col("fp"), col("canonical_id"))
+      val dropped = withFp
+        .join(clusters, Seq("fp"))
+        .filter(col("doc_id") =!= col("canonical_id"))
+      withFp.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
+        .join(dropped.groupBy(col("lang"))
+          .agg(count(lit(1)).as("__dd"), sum(col("__ntok")).as("__dt")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          coalesce(col("__dd"), lit(0L)).as("dropped_docs"),
+          coalesce(col("__dt"), lit(0L)).as("dropped_tokens"),
+          round(coalesce(col("__dt"), lit(0L)).cast("double") /
+            col("n_tokens"), 4).as("token_reduction"))
+        .orderBy(col("lang"))
+    }),
+
     // Bitext mining: the q150 ratio-margin criterion restricted to
     // CROSS-LANGUAGE pairs (embeddings 1:1 with documents by id) —
     // each doc's best translation-pair candidate in a DIFFERENT
@@ -9318,6 +9378,36 @@ object SparkEntry {
 
     "q324_filter_transfer" ->
       HashOracles.q324FilterTransfer(8000, 1.0),
+
+    "q327_corpus_pipeline_multilingual" ->
+      HashOracles.q327MultilingualPipeline(15000L, 0.3),
+
+    // the q319 fold + cluster CTEs, joined back for the per-language
+    // removed-mass report (canonical = min doc_id keeps its tokens)
+    "q326_crosslingual_yield" -> {
+      val ftoks = "list_filter(string_split_regex(lower(" +
+        s"${HashOracles.FoldedTextSql}), '\\s+'), t -> t <> '')"
+      s"""WITH f AS (SELECT doc_id, lang,
+        |  md5(array_to_string(list_sort(list_distinct($ftoks)), ' '))
+        |    AS fp,
+        |  CAST(len(${HashOracles.Toks}) AS BIGINT) AS ntok
+        |  FROM documents),
+        |c AS (SELECT fp, min(doc_id) AS canonical_id FROM f
+        |  GROUP BY fp
+        |  HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2),
+        |d AS (SELECT f.lang, f.ntok FROM f JOIN c USING (fp)
+        |  WHERE f.doc_id <> c.canonical_id),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens FROM f GROUP BY lang),
+        |dr AS (SELECT lang, CAST(count(*) AS BIGINT) AS dd,
+        |  CAST(sum(ntok) AS BIGINT) AS dt FROM d GROUP BY lang)
+        |SELECT t.lang, t.n_docs, t.n_tokens,
+        |  CAST(coalesce(dr.dd, 0) AS BIGINT) AS dropped_docs,
+        |  CAST(coalesce(dr.dt, 0) AS BIGINT) AS dropped_tokens,
+        |  round(CAST(coalesce(dr.dt, 0) AS DOUBLE) / t.n_tokens, 4)
+        |    AS token_reduction
+        |FROM t LEFT JOIN dr USING (lang) ORDER BY t.lang""".stripMargin
+    },
 
     // the q150 margin replay with the cross-language pair constraint
     // and langs joined back onto the winner row

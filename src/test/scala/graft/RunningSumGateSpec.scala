@@ -115,6 +115,8 @@ class RunningSumGateSpec extends SparkSpec {
     "q292_burst_detection" -> "bounded N-PRECEDING over counts",
     "q318_changepoint_users" -> "exact integer counts (HUGEINT prefix)",
     "q322_language_budget_mix" -> "token counts (integer)",
+    "q327_corpus_pipeline_multilingual" ->
+      "token counts (integer, the q322 chain over survivors)",
     "q34_session_window" -> "gap counters (integer)",
     "q40_running_sum" -> "exact cents",
     "q48_token_packing" -> "token lengths (integer)",
