@@ -3798,6 +3798,30 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // AUDIO near-dup dedup by two-channel perceptual hash — the q236
+    // image device for the audio modality: real WAV bytes (PCM16
+    // round-trip is lossless), 32-frame energy + zero-crossing
+    // vs-mean bits (exact integer comparisons), banded block join at
+    // Hamming ≤ 3 (pigeonhole-lossless with 4 blocks). Corpus =
+    // originals ∪ exact copies ∪ slightly-perturbed copies.
+    "q328_audio_neardup" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor(CAST(v AS DOUBLE) * 10000.0))").as("samples"))
+      val copies = base.filter(col("vec_id") % 3 < 2)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("CASE WHEN vec_id % 3 = 1 THEN transform(samples, " +
+            "(v, i) -> CASE WHEN i % 8 = 0 THEN v + 40 ELSE v END) " +
+            "ELSE samples END").as("samples"))
+      val wav = graft.operators.Multimodal.encodeWavPcm16(
+        base.union(copies), "vec_id", "samples")
+      val frames = graft.operators.Multimodal.audioFrameFeatures(
+        wav, frameLen = 2)
+      graft.operators.MediaDedup.nearDupPairs(
+          graft.operators.MediaDedup.audioHash(frames), maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Multilingual corpus-pipeline CAPSTONE (v5): cross-lingual exact
     // dedup (q319's folded fingerprint, canonical = min id survives) →
     // the q99 quality-keep rules → the q322 α-sampling token-budget
@@ -9381,6 +9405,57 @@ object SparkEntry {
 
     "q327_corpus_pipeline_multilingual" ->
       HashOracles.q327MultilingualPipeline(15000L, 0.3),
+
+    // PCM16 WAV is lossless, so the oracle recomputes the identical
+    // integer bits from the quantized samples: clamp AFTER the
+    // perturbation (encodeWavPcm16 clamps last), frames of 2 samples,
+    // two-channel vs-mean bits by cross-multiplication, pigeonhole
+    // all-pairs at Hamming <= 3 (the q236 convention)
+    "q328_audio_neardup" ->
+      """WITH base AS (SELECT vec_id AS media_id, i,
+        |  CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 10000.0)
+        |    AS BIGINT) AS raw
+        |  FROM embeddings, range(64) t(i)),
+        |corpus AS (SELECT media_id, i,
+        |    greatest(-32768, least(32767, raw)) AS v FROM base
+        |  UNION ALL
+        |  SELECT media_id + 100000, i, greatest(-32768, least(32767,
+        |    CASE WHEN media_id % 3 = 1 AND i % 8 = 0
+        |      THEN raw + 40 ELSE raw END))
+        |  FROM base WHERE media_id % 3 < 2),
+        |fr0 AS (SELECT media_id, CAST(i // 2 AS INTEGER) AS f, i, v,
+        |  lag(v) OVER (PARTITION BY media_id, i // 2 ORDER BY i) AS p
+        |  FROM corpus),
+        |fr AS (SELECT media_id, f,
+        |  CAST(sum(v * v) AS BIGINT) AS e,
+        |  CAST(sum(CASE WHEN p IS NOT NULL AND ((p < 0 AND v >= 0)
+        |    OR (p >= 0 AND v < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS z
+        |  FROM fr0 WHERE i // 2 < 32 GROUP BY media_id, f),
+        |tot AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nf,
+        |  CAST(sum(e) AS BIGINT) AS te, CAST(sum(z) AS BIGINT) AS tz
+        |  FROM fr GROUP BY media_id),
+        |bits AS (SELECT fr.media_id, fr.f,
+        |  CASE WHEN fr.e * t.nf > t.te THEN 1 ELSE 0 END AS be,
+        |  CASE WHEN fr.z * t.nf > t.tz THEN 1 ELSE 0 END AS bz
+        |  FROM fr JOIN tot t USING (media_id)),
+        |h AS (SELECT media_id,
+        |  CAST(sum(CASE WHEN f // 16 = 0 THEN be * (1::BIGINT <<
+        |    CAST(15 - (f % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+        |  CAST(sum(CASE WHEN f // 16 = 1 THEN be * (1::BIGINT <<
+        |    CAST(15 - (f % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN f // 16 = 0 THEN bz * (1::BIGINT <<
+        |    CAST(15 - (f % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN f // 16 = 1 THEN bz * (1::BIGINT <<
+        |    CAST(15 - (f % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b3
+        |  FROM bits GROUP BY media_id)
+        |SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        |    AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // the q319 fold + cluster CTEs, joined back for the per-language
     // removed-mass report (canonical = min doc_id keeps its tokens)

@@ -128,6 +128,47 @@ object MediaDedup {
     }
   }
 
+  /** 64-bit two-channel AUDIO perceptual hash over
+    * [[graft.operators.Multimodal.audioFrameFeatures]] output — the
+    * audio counterpart of [[averageHash]]: the first 32 frames'
+    * ENERGY-vs-mean bits fill blocks b0/b1 and their ZERO-CROSSING-
+    * vs-mean bits fill b2/b3 (MSB-first inside each 16-bit block, the
+    * averageHash layout, so [[nearDupPairs]] consumes either hash
+    * unchanged). Each bit is an exact cross-multiplied integer
+    * comparison (`sig_i · n_frames > Σ sig`) — no float ever enters
+    * the hash, so the oracle recomputes identical bits from the raw
+    * samples. Assets shorter than 32 frames contribute 0-bits for the
+    * missing cells; totals run over the present frames only.
+    */
+  def audioHash(frames: DataFrame, maxFrames: Int = 32): DataFrame = {
+    require(maxFrames >= 1 && maxFrames <= 32, s"bad maxFrames $maxFrames")
+    val agg = frames.filter(col("frame_idx") < maxFrames)
+      .groupBy(col("media_id"))
+      .agg(sort_array(collect_list(struct(
+          col("frame_idx").cast("int").as("i"),
+          col("energy").cast("long").as("e"),
+          col("zero_crossings").cast("long").as("z")))).as("__fr"),
+        count(lit(1)).as("__nf"),
+        sum(col("energy")).as("__te"),
+        sum(col("zero_crossings").cast("long")).as("__tz"))
+    def block(sig: String, tot: String, off: Int) = expr(
+      s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+         | acc + CASE WHEN size(__fr) >= $off + j + 1
+         |  AND element_at(__fr, $off + j + 1).$sig * __nf > $tot
+         |  THEN shiftleft(CAST(1 AS BIGINT), 15 - j)
+         |  ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+    agg
+      .withColumn("b0", block("e", "__te", 0))
+      .withColumn("b1", block("e", "__te", 16))
+      .withColumn("b2", block("z", "__tz", 0))
+      .withColumn("b3", block("z", "__tz", 16))
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"),
+        col("b3"),
+        (bit_count(col("b0")) + bit_count(col("b1")) +
+          bit_count(col("b2")) + bit_count(col("b3")))
+          .cast("int").as("n_ones"))
+  }
+
   /** Near-dup image pairs at Hamming ≤ `maxHamming` over [[averageHash]]
     * output: explode each hash into its 4 `(block_idx, block_value)`
     * bucket rows, equi-join on the bucket, verify the exact distance by

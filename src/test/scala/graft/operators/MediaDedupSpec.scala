@@ -102,4 +102,47 @@ class MediaDedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // the fixture does contain close pairs
     hashes.unpersist()
   }
+
+  test("audioHash: energy bits land in b0/b1 and zero-crossing bits " +
+      "in b2/b3 with the averageHash MSB-first layout; an identical " +
+      "asset hashes identically and a quiet-frame flip moves one bit") {
+    val s = spark
+    import s.implicits._
+    // 32 frames: frame 0 loud (energy above mean), others quiet; all
+    // frames alternate sign except frame 1 (constant positive) so
+    // frame 1's zc sits below the zc mean
+    def samples(loudAmp: Int): Seq[Long] = (0 until 64).map { i =>
+      val f = i / 2
+      val amp = if (f == 0) loudAmp else 100
+      val v = if (f == 1) amp.toLong
+        else if (i % 2 == 0) amp.toLong else -amp.toLong
+      v
+    }
+    val df = Seq((1L, samples(30000)), (2L, samples(30000)),
+      (3L, samples(29000))).toDF("vec_id", "samples")
+    val wav = Multimodal.encodeWavPcm16(df, "vec_id", "samples")
+    val h = MediaDedup.audioHash(
+        Multimodal.audioFrameFeatures(wav, frameLen = 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // frame 0's energy dominates the mean -> ONLY bit 0 of the energy
+    // half is set: b0 = 1000...0b = 0x8000, b1 = 0
+    assert(h(1L).getAs[Long]("b0") === 0x8000L)
+    assert(h(1L).getAs[Long]("b1") === 0L)
+    // zc channel: every frame crosses once except frame 1 (zc 0) and
+    // frame 0 shares the common value -> no frame sits ABOVE the mean
+    // only if all equal; here frames with zc=1 are above the mean
+    // (mean < 1 because frame 1 drags it down) -> bits for all frames
+    // except 1 set: b2 = 1011111111111111b, b3 = all 16
+    assert(h(1L).getAs[Long]("b2") === 0xBFFFL)
+    assert(h(1L).getAs[Long]("b3") === 0xFFFFL)
+    // identical asset -> identical hash; near-identical -> hamming 0
+    // here (the louder frame is still the only above-mean one)
+    assert(h(1L).toSeq.drop(1) === h(2L).toSeq.drop(1))
+    val pairs = MediaDedup.nearDupPairs(
+        MediaDedup.audioHash(
+          Multimodal.audioFrameFeatures(wav, frameLen = 2)),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
 }
