@@ -3798,6 +3798,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Page–Hinkley on a FRACTIONAL series — the q321 fold device
+    // exercised on the q254 daily-revenue shape (5 keys × ~1.7k
+    // points, money-grid doubles): list folds are sequential on both
+    // engines, so the raw running sum inside the accumulator is
+    // portable even for inexact values, and m re-snaps at 1e-6 per
+    // step. Two series shapes now gate the device (counts + currency).
+    "q329_page_hinkley_revenue" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Robust.pageHinkley(daily, "o_orderpriority",
+          "day", "rev", delta = 2000.0, lambda = 100000.0)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // AUDIO near-dup dedup by two-channel perceptual hash — the q236
     // image device for the audio modality: real WAV bytes (PCM16
     // round-trip is lossless), 32-frame energy + zero-crossing
@@ -9399,6 +9416,42 @@ object SparkEntry {
 
     "q322_language_budget_mix" ->
       HashOracles.q322LanguageBudgetMix(20000L, 0.3),
+
+    // the q321 list_reduce fold on the q254 daily-revenue series —
+    // sequential on both engines, δ/λ pinned via lit17
+    "q329_page_hinkley_revenue" -> {
+      val dl = Grid.lit17(2000.0)
+      val lm = Grid.lit17(100000.0)
+      val i1 = "(a[1] + 1.0e0)"
+      val s1 = "(a[2] + x[2])"
+      val m1 = Grid.snapSql(s"a[3] + (x[2] - $s1 / $i1 - $dl)")
+      val exc = Grid.snapSql(s"($m1) - least(a[4], $m1)")
+      s"""WITH h AS (SELECT o_orderpriority,
+        |  CAST(date_diff('day', DATE '1992-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |  round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT o_orderpriority,
+        |  list([CAST(day AS DOUBLE), CAST(rev AS DOUBLE)] ORDER BY day)
+        |    AS sl,
+        |  CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+        |f AS (SELECT o_orderpriority, n,
+        |  list_reduce(list_prepend(
+        |      [0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, -1.0e0], sl),
+        |    (a, x) -> [$i1, $s1, $m1,
+        |      least(a[4], $m1),
+        |      greatest(a[5], $exc),
+        |      CASE WHEN a[6] >= 0.0e0 THEN a[6]
+        |        WHEN ($exc) > $lm THEN x[1] ELSE -1.0e0 END]) AS st
+        |  FROM s)
+        |SELECT o_orderpriority, n,
+        |  ${Grid.snapSql("st[2] / st[1]", 4)} AS mean,
+        |  ${Grid.snapSql("st[5]", 4)} AS ph,
+        |  st[5] > 100000.0e0 AS drift,
+        |  CASE WHEN st[6] >= 0.0e0 THEN CAST(st[6] AS BIGINT) END
+        |    AS t_alarm
+        |FROM f ORDER BY o_orderpriority""".stripMargin
+    },
 
     "q324_filter_transfer" ->
       HashOracles.q324FilterTransfer(8000, 1.0),
