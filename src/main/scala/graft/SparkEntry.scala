@@ -3798,6 +3798,41 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Mahalanobis multivariate outliers over customer order features
+    // (orders, spend cents, max order cents — all exact integers):
+    // the correlation-aware outlier screen the per-column z-scores
+    // (q145) can't express. One aggregation to a single exact-integer
+    // moment row, closed-form 3×3 inverse, map-only d² — top 25 on
+    // the snapped grid.
+    "q331_mahalanobis_outliers" -> ((s, dir) => {
+      val feats = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("spend_c"),
+          max(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("max_c"))
+      graft.operators.Robust.mahalanobis3(feats, "o_custkey",
+          "n_orders", "spend_c", "max_c")
+        .orderBy(col("d2").desc, col("o_custkey"))
+        .limit(25)
+    }),
+
+    // INCREMENTAL cross-lingual dedup — the q65 index shape for the
+    // folded fingerprint: corpus (< 400) holds the fingerprint index,
+    // each delta doc (≥ 400) is flagged with its matched canonical,
+    // the matched cluster's language set, and whether the hit is
+    // cross-lingual (new doc's language absent from the cluster — the
+    // translated-re-crawl signal a streaming ingest dedups on).
+    "q330_incremental_crosslingual" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.operators.CrossLingual.flagIncremental(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     // Page–Hinkley on a FRACTIONAL series — the q321 fold device
     // exercised on the q254 daily-revenue shape (5 keys × ~1.7k
     // points, money-grid doubles): list folds are sequential on both
@@ -9509,6 +9544,88 @@ object SparkEntry {
         |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
         |  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // exact HUGEINT moments, then the IDENTICAL fixed expression tree
+    // as Robust.mahalanobis3 (covariances → adjugate → det → d²) —
+    // every double is a cast of exact integers through the same
+    // IEEE program, snapped at the end
+    "q331_mahalanobis_outliers" -> {
+      def y(f: String, s: String) =
+        s"(CAST(f.$f AS DOUBLE) - CAST(dt.$s AS DOUBLE) / dt.n)"
+      val (y1, y2, y3) =
+        (y("n_orders", "s1"), y("spend_c", "s2"), y("max_c", "s3"))
+      def cov(sij: String, si: String, sj: String) =
+        s"(CAST($sij AS DOUBLE) - CAST($si AS DOUBLE) * " +
+          s"CAST($sj AS DOUBLE) / n) / (n - 1)"
+      s"""WITH ft AS (SELECT o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS spend_c,
+        |  CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS max_c
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  sum(CAST(n_orders AS HUGEINT)) AS s1,
+        |  sum(CAST(spend_c AS HUGEINT)) AS s2,
+        |  sum(CAST(max_c AS HUGEINT)) AS s3,
+        |  sum(CAST(n_orders AS HUGEINT) * CAST(n_orders AS HUGEINT))
+        |    AS s11,
+        |  sum(CAST(spend_c AS HUGEINT) * CAST(spend_c AS HUGEINT))
+        |    AS s22,
+        |  sum(CAST(max_c AS HUGEINT) * CAST(max_c AS HUGEINT)) AS s33,
+        |  sum(CAST(n_orders AS HUGEINT) * CAST(spend_c AS HUGEINT))
+        |    AS s12,
+        |  sum(CAST(n_orders AS HUGEINT) * CAST(max_c AS HUGEINT))
+        |    AS s13,
+        |  sum(CAST(spend_c AS HUGEINT) * CAST(max_c AS HUGEINT))
+        |    AS s23
+        |  FROM ft),
+        |cv AS (SELECT n, s1, s2, s3,
+        |  ${cov("s11", "s1", "s1")} AS ca,
+        |  ${cov("s12", "s1", "s2")} AS cb,
+        |  ${cov("s13", "s1", "s3")} AS cc,
+        |  ${cov("s22", "s2", "s2")} AS cd,
+        |  ${cov("s23", "s2", "s3")} AS ce,
+        |  ${cov("s33", "s3", "s3")} AS cf FROM m),
+        |mx AS (SELECT *, cd * cf - ce * ce AS m11,
+        |  cc * ce - cb * cf AS m12, cb * ce - cc * cd AS m13,
+        |  ca * cf - cc * cc AS m22, cb * cc - ca * ce AS m23,
+        |  ca * cd - cb * cb AS m33 FROM cv),
+        |dt AS (SELECT *, ca * m11 + cb * m12 + cc * m13 AS det
+        |  FROM mx)
+        |SELECT f.o_custkey, f.n_orders, f.spend_c, f.max_c,
+        |  ${Grid.snapSql(
+             s"(dt.m11 * $y1 * $y1 + dt.m22 * $y2 * $y2 + " +
+               s"dt.m33 * $y3 * $y3 + 2.0e0 * (dt.m12 * $y1 * $y2 + " +
+               s"dt.m13 * $y1 * $y3 + dt.m23 * $y2 * $y3)) / dt.det",
+             4)} AS d2
+        |FROM ft f, dt WHERE abs(dt.det) > 1e-9
+        |ORDER BY d2 DESC, f.o_custkey LIMIT 25""".stripMargin
+    },
+
+    // the q319 fold at the <400 corpus split — fingerprint index on
+    // the corpus side, left-join probe on the delta side
+    "q330_incremental_crosslingual" -> {
+      val ftoks = "list_filter(string_split_regex(lower(" +
+        s"${HashOracles.FoldedTextSql}), '\\s+'), t -> t <> '')"
+      s"""WITH f AS (SELECT doc_id, lang,
+        |  md5(array_to_string(list_sort(list_distinct($ftoks)), ' '))
+        |    AS fp
+        |  FROM documents),
+        |cf AS (SELECT fp, min(doc_id) AS matched_id,
+        |  list_sort(list_distinct(list(lang))) AS langs
+        |  FROM f WHERE doc_id < 400 GROUP BY fp),
+        |d AS (SELECT f.doc_id, f.lang, cf.matched_id, cf.langs
+        |  FROM f LEFT JOIN cf USING (fp) WHERE f.doc_id >= 400)
+        |SELECT doc_id, lang, matched_id IS NOT NULL AS is_dup,
+        |  matched_id,
+        |  CASE WHEN matched_id IS NOT NULL
+        |    THEN array_to_string(langs, ',') END AS matched_langs,
+        |  coalesce(matched_id IS NOT NULL
+        |    AND NOT list_contains(langs, lang), false)
+        |    AS is_cross_lingual
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     // the q319 fold + cluster CTEs, joined back for the per-language
     // removed-mass report (canonical = min doc_id keeps its tokens)

@@ -73,6 +73,41 @@ object CrossLingual {
           .as("langs"))
       .filter(col("n_docs") >= 2 && col("n_langs") >= 2)
 
+  /** Incremental form — the [[Dedup.incrementalDedupExact]] shape for
+    * the folded fingerprint: flag each DELTA document whose
+    * order-insensitive folded fingerprint already exists in the CORPUS,
+    * with the matched canonical (min corpus id), the matched cluster's
+    * language set, and whether the hit is CROSS-lingual (the new doc's
+    * language is absent from the matched cluster — the "translated
+    * re-crawl" signal). One fingerprint aggregation on the corpus side
+    * + one equi-join; the corpus fingerprint table is what a streaming
+    * ingest would hold as its dedup index.
+    *
+    * Output: one row per delta doc — (idCol, langCol, is_dup,
+    * matched_id, matched_langs, is_cross_lingual).
+    */
+  def flagIncremental(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, langCol: String): DataFrame = {
+    val corpFp = corpus
+      .select(foldedFingerprint(col(textCol)).as("__fp"),
+        col(idCol).as("__cid"), col(langCol).as("__clang"))
+      .groupBy(col("__fp"))
+      .agg(min(col("__cid")).as("matched_id"),
+        array_sort(collect_set(col("__clang"))).as("__langs"))
+    delta
+      .select(col(idCol), col(langCol),
+        foldedFingerprint(col(textCol)).as("__fp"))
+      .join(corpFp, Seq("__fp"), "left")
+      .select(col(idCol), col(langCol),
+        col("matched_id").isNotNull.as("is_dup"),
+        col("matched_id"),
+        when(col("matched_id").isNotNull,
+          array_join(col("__langs"), ",")).as("matched_langs"),
+        (col("matched_id").isNotNull &&
+          !array_contains(col("__langs"), col(langCol)))
+          .as("is_cross_lingual"))
+  }
+
   /** Cross-lingual NEAR-duplicate pairs: MinHash-banded candidates over
     * the FOLDED text (so accent/punctuation variants band together),
     * verified by exact token-set Jaccard ≥ `threshold`, kept only when

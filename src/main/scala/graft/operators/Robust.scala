@@ -710,6 +710,86 @@ object Robust {
           log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("dev"))
   }
 
+  /** Mahalanobis-distance multivariate outliers over EXACTLY THREE
+    * integer-valued feature columns — the correlation-aware
+    * complement of the per-column modified-z screens above: a row far
+    * from the mean ALONG the data's correlation structure scores high
+    * even when every marginal looks ordinary (and vice versa — a
+    * point inside a correlated cloud is not flagged just for being
+    * large). `d² = (x−μ)ᵀ Σ⁻¹ (x−μ)`, Σ the sample covariance,
+    * closed-form 3×3 adjugate inverse.
+    *
+    * Replay discipline: features must be INTEGER-VALUED (counts,
+    * cents — the caller scales; the require below rejects fractional
+    * columns at runtime is not possible cheaply, so the contract is
+    * documented): all ten moment sums (N, Σxᵢ, Σxᵢxⱼ) then accumulate
+    * as exact decimal(38,0) integers — order-free on any engine — and
+    * every downstream double (μ, covariance entries, adjugate,
+    * determinant, d²) is a FIXED expression tree of casts of those
+    * exact integers, written in lockstep with the oracle SQL, so both
+    * engines run the identical IEEE program. d² snaps at 1e-6 and the
+    * readout ranks on the snapped grid with an id tie-break.
+    *
+    * 100 TB shape: ONE aggregation to a single moment row (broadcast
+    * back), then a map-only d² projection — no window, no driver
+    * loop, no second pass. Degenerate covariance (|det| below 1e-9,
+    * e.g. a constant or collinear feature) yields an empty frame (no
+    * distance is defined) rather than exploding 1/det.
+    *
+    * Output: (idCol, f1, f2, f3, d2) — d2 snapped 4 dp.
+    */
+  def mahalanobis3(df: DataFrame, idCol: String, f1: String,
+      f2: String, f3: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    def dec(c: String) = col(c).cast(d19)
+    val m = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(f1)).as("s1"), sum(dec(f2)).as("s2"),
+      sum(dec(f3)).as("s3"),
+      sum(dec(f1) * dec(f1)).as("s11"),
+      sum(dec(f2) * dec(f2)).as("s22"),
+      sum(dec(f3) * dec(f3)).as("s33"),
+      sum(dec(f1) * dec(f2)).as("s12"),
+      sum(dec(f1) * dec(f3)).as("s13"),
+      sum(dec(f2) * dec(f3)).as("s23"))
+    def cov(sij: String, si: String, sj: String) =
+      (col(sij).cast("double") -
+        col(si).cast("double") * col(sj).cast("double") / col("n")) /
+        (col("n") - lit(1.0))
+    val withCov = m
+      .withColumn("ca", cov("s11", "s1", "s1"))
+      .withColumn("cb", cov("s12", "s1", "s2"))
+      .withColumn("cc", cov("s13", "s1", "s3"))
+      .withColumn("cd", cov("s22", "s2", "s2"))
+      .withColumn("ce", cov("s23", "s2", "s3"))
+      .withColumn("cf", cov("s33", "s3", "s3"))
+      // symmetric 3x3 [[a,b,c],[b,d,e],[c,e,f]]: adjugate + det
+      .withColumn("m11", col("cd") * col("cf") - col("ce") * col("ce"))
+      .withColumn("m12", col("cc") * col("ce") - col("cb") * col("cf"))
+      .withColumn("m13", col("cb") * col("ce") - col("cc") * col("cd"))
+      .withColumn("m22", col("ca") * col("cf") - col("cc") * col("cc"))
+      .withColumn("m23", col("cb") * col("cc") - col("ca") * col("ce"))
+      .withColumn("m33", col("ca") * col("cd") - col("cb") * col("cb"))
+      .withColumn("det", col("ca") * col("m11") +
+        col("cb") * col("m12") + col("cc") * col("m13"))
+    df.crossJoin(broadcast(withCov))
+      .filter(abs(col("det")) > 1e-9)
+      .withColumn("__y1",
+        col(f1).cast("double") - col("s1").cast("double") / col("n"))
+      .withColumn("__y2",
+        col(f2).cast("double") - col("s2").cast("double") / col("n"))
+      .withColumn("__y3",
+        col(f3).cast("double") - col("s3").cast("double") / col("n"))
+      .withColumn("d2", Grid.snap(
+        (col("m11") * col("__y1") * col("__y1") +
+          col("m22") * col("__y2") * col("__y2") +
+          col("m33") * col("__y3") * col("__y3") +
+          lit(2.0) * (col("m12") * col("__y1") * col("__y2") +
+            col("m13") * col("__y1") * col("__y3") +
+            col("m23") * col("__y2") * col("__y3"))) / col("det"), 4))
+      .select(col(idCol), col(f1), col(f2), col(f3), col("d2"))
+  }
+
   /** Page–Hinkley ONLINE changepoint detector per key — the streaming
     * complement to the offline [[changePoint]] localizer: an O(1)-state
     * sequential test that raises an alarm WHILE the series is arriving

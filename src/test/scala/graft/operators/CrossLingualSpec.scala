@@ -98,6 +98,35 @@ class CrossLingualSpec extends SparkSpec {
       p3("bb").getAs[Long]("budget") <= 100L)
   }
 
+  test("flagIncremental: delta docs match the corpus fingerprint " +
+      "index; cross-lingual only when the delta language is absent " +
+      "from the matched cluster") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "solar energy policy", "en"),
+      (2L, "POLICY — solar Énergy!", "fr"), // same folded set as 1
+      (3L, "totally different corpus doc", "de"))
+      .toDF("doc_id", "text", "lang")
+    val delta = Seq(
+      (10L, "energy solar policy", "es"),  // dup, es not in {en,fr}
+      (11L, "solar policy energy", "en"),  // dup, en IS in the cluster
+      (12L, "brand new delta text", "zh")) // no match
+      .toDF("doc_id", "text", "lang")
+    val out = CrossLingual.flagIncremental(delta, corpus, "doc_id",
+        "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(10L).getAs[Boolean]("is_dup"))
+    assert(out(10L).getAs[Long]("matched_id") === 1L)
+    assert(out(10L).getAs[String]("matched_langs") === "en,fr")
+    assert(out(10L).getAs[Boolean]("is_cross_lingual"))
+    assert(out(11L).getAs[Boolean]("is_dup"))
+    assert(!out(11L).getAs[Boolean]("is_cross_lingual"))
+    assert(!out(12L).getAs[Boolean]("is_dup"))
+    assert(!out(12L).getAs[Boolean]("is_cross_lingual"))
+    assert(out(12L).getAs[Any]("matched_id") === null)
+  }
+
   test("bitextTopMatches: the best match is always cross-group, and " +
       "the aligned pair wins over a same-language twin") {
     val s = spark

@@ -188,6 +188,27 @@ class RobustSpec extends SparkSpec {
     assert(out(31L) === ((4.0, 18.0, true)))
   }
 
+  test("mahalanobis3: the symmetric 4-point simplex has the exact " +
+      "closed-form distance at every vertex; a singular covariance " +
+      "yields an empty frame") {
+    val s = spark
+    import s.implicits._
+    // points 0,(2,0,0),(0,2,0),(0,0,2): cov = (4/3)I - (1/3)J, whose
+    // inverse is (3/4)(I + J); every vertex has d^2 = 2.25 exactly
+    val pts = Seq((1L, 0L, 0L, 0L), (2L, 2L, 0L, 0L),
+      (3L, 0L, 2L, 0L), (4L, 0L, 0L, 2L)).toDF("id", "f1", "f2", "f3")
+    val d2 = Robust.mahalanobis3(pts, "id", "f1", "f2", "f3")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("d2"))
+      .toMap
+    assert(d2.size === 4)
+    d2.values.foreach(v => assert(v === 2.25, d2))
+    // constant third feature -> zero row/col in cov -> det 0 -> empty
+    val degen = Seq((1L, 0L, 0L, 5L), (2L, 2L, 0L, 5L),
+      (3L, 0L, 2L, 5L), (4L, 1L, 1L, 5L)).toDF("id", "f1", "f2", "f3")
+    assert(Robust.mahalanobis3(degen, "id", "f1", "f2", "f3")
+      .count() === 0L)
+  }
+
   test("pageHinkley: a planted level shift alarms at/after the shift; " +
       "the flat key stays quiet") {
     val s = spark
