@@ -3798,6 +3798,28 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Seasonal-hybrid ESD anomalies (the Twitter AnomalyDetection
+    // shape): q301's additive decomposition carried to PER-POINT
+    // residuals, then the robust modified-z test (q145's device) per
+    // series — a spike on a naturally-big weekday is NOT an anomaly,
+    // a normal value on a quiet slot may be. Medians are rank
+    // selections (no float accumulation anywhere in the test stage).
+    "q332_seasonal_esd" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val res = graft.operators.Seasonal.residuals(daily,
+        "o_orderpriority", "day", "rev", period = 7, scale = 2)
+      graft.operators.Robust.annotateOutliers(res, "o_orderpriority",
+          "resid", cutoff = 3.5)
+        .filter(col("is_outlier"))
+        .select(col("o_orderpriority"), col("day"), col("rev"),
+          col("resid"), round(col("mod_z"), 4).as("mod_z"))
+        .orderBy(col("o_orderpriority"), col("day"))
+    }),
+
     // Mahalanobis multivariate outliers over customer order features
     // (orders, spend cents, max order cents — all exact integers):
     // the correlation-aware outlier screen the per-column z-scores
@@ -9544,6 +9566,43 @@ object SparkEntry {
         |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
         |  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the q301 trend/register CTEs carried to per-point residuals,
+    // then the q145 median/MAD replay per series key
+    "q332_seasonal_esd" -> {
+      s"""WITH d AS (SELECT o_orderpriority AS k,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS day, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT k, day, rev,
+        |  CAST(floor(rev * 100.0 + 0.5) AS BIGINT) AS c FROM d),
+        |t AS (SELECT k, day, rev,
+        |  ${Grid.snapSql("CAST(sum(c) OVER win AS DOUBLE) / " +
+             "(100.0 * count(*) OVER win)")} AS trend FROM w
+        |  WINDOW win AS (PARTITION BY k ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT k, day % 7 AS slot,
+        |  ${Grid.snapSql("avg(rev - trend)", 4)} AS seasonal
+        |  FROM t GROUP BY 1, 2),
+        |r AS (SELECT t.k, t.day, t.rev,
+        |  ${Grid.snapSql("(t.rev - t.trend) - se.seasonal", 4)} AS resid
+        |  FROM t JOIN se ON se.k = t.k AND se.slot = t.day % 7),
+        |med AS (SELECT k, quantile_cont(resid, 0.5) AS med
+        |  FROM r GROUP BY k),
+        |dd AS (SELECT r.*, med.med FROM r JOIN med USING (k)),
+        |sp AS (SELECT k, quantile_cont(abs(resid - med), 0.5) AS mad,
+        |  avg(abs(resid - med)) AS mean_ad FROM dd GROUP BY k),
+        |z AS (SELECT dd.k, dd.day, dd.rev, dd.resid,
+        |  CASE WHEN sp.mad > 0 THEN 0.6745 * (resid - med) / sp.mad
+        |       WHEN sp.mean_ad > 0
+        |         THEN (resid - med) / (1.253314 * sp.mean_ad)
+        |  END AS mod_z
+        |  FROM dd JOIN sp USING (k))
+        |SELECT k AS o_orderpriority, CAST(day AS INTEGER) AS day,
+        |  rev, resid, round(mod_z, 4) AS mod_z
+        |FROM z WHERE abs(mod_z) > 3.5
+        |ORDER BY o_orderpriority, day""".stripMargin
+    },
 
     // exact HUGEINT moments, then the IDENTICAL fixed expression tree
     // as Robust.mahalanobis3 (covariances → adjugate → det → d²) —

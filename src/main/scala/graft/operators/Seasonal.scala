@@ -58,6 +58,49 @@ object Seasonal {
         Grid.snap(avg(col("__d")), 4).as("seasonal"))
   }
 
+  /** Per-POINT residuals of the additive decomposition — what
+    * [[decompose]] aggregates away: `resid_t = (y_t − trend_t) −
+    * seasonal(t mod period)`, the series Twitter's seasonal-hybrid
+    * ESD runs its robust outlier test on (deseasonalized, detrended
+    * anomalies — a spike on a naturally-big weekday is NOT an
+    * anomaly; a normal value on a quiet slot may be). Same trend
+    * window, same exact-cent sums, same snapped register as
+    * [[decompose]] — the register is recomputed from the identical
+    * expressions, so residuals(df).groupBy(slot) reconciles with
+    * decompose(df) exactly.
+    *
+    * Output: (key, t, value, trend, seasonal, resid) — trend on the
+    * 1e-6 grid, seasonal and resid on the 1e-4 grid.
+    */
+  def residuals(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, period: Int, scale: Int = 2): DataFrame = {
+    require(period >= 2 && period <= 1000, s"bad period $period")
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
+    val h = period / 2
+    val p = math.pow(10.0, scale)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tCol).cast("long")).rangeBetween(-h, h)
+    // the detrended table feeds the register AND the join back — pin
+    // it so the range-window trend computes once
+    val base = graft.CacheScope.register(df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__sc",
+        floor(col(valueCol).cast("double") * p + 0.5).cast("long"))
+      .withColumn("__trend", Grid.snap(
+        sum(col("__sc")).over(w).cast("double") /
+          (lit(p) * count(lit(1)).over(w))))
+      .withColumn("__d", col(valueCol).cast("double") - col("__trend"))
+      .withColumn("__slot",
+        pmod(col(tCol).cast("long"), lit(period.toLong)))
+      .persist())
+    val seas = base.groupBy(col(keyCol), col("__slot"))
+      .agg(Grid.snap(avg(col("__d")), 4).as("seasonal"))
+    base.join(seas, Seq(keyCol, "__slot"))
+      .select(col(keyCol), col(tCol), col(valueCol),
+        col("__trend").as("trend"), col("seasonal"),
+        Grid.snap(col("__d") - col("seasonal"), 4).as("resid"))
+  }
+
   /** Lagged cross-correlation between two series sharing a time grid:
     * `ccf(k) = corr(x_{t−k}, y_t)` for `k = 0..maxLag` — does x LEAD
     * y (a peak at positive k means x's values show up in y k steps

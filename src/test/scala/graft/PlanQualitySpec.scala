@@ -901,6 +901,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p322.contains("BroadcastHashJoin") ||
       p322.contains("BroadcastNestedLoopJoin"), p322)
     assert("CartesianProduct".r.findAllIn(p322).isEmpty, p322)
+    // q330: one fingerprint equi-join, never a cross product
+    val p330 = plan("q330_incremental_crosslingual")
+    assert(!p330.contains("CartesianProduct"), p330)
+    assert(!p330.contains("BroadcastNestedLoopJoin"), p330)
+    // q331: the moment row broadcasts (the 1-row BNLJ scalar-cross
+    // shape is THE intended plan); no UDF — d² stays in codegen
+    val p331 = plan("q331_mahalanobis_outliers")
+    assert(p331.contains("BroadcastNestedLoopJoin") ||
+      p331.contains("BroadcastHashJoin"), p331)
+    assert(!p331.contains("CartesianProduct"), p331)
+    assert(!p331.contains("ScalaUDF"), p331)
+    // q332: keyed windows + rank-selected medians only; no cartesian
+    // beyond the broadcast med/mad joins
+    val p332 = plan("q332_seasonal_esd")
+    assert(!p332.contains("CartesianProduct"), p332)
+    assert(!p332.contains("ScalaUDF"), p332)
   }
 
   test("entry: whole-stage codegen covers the join+agg pipeline") {

@@ -86,4 +86,47 @@ class SeasonalSpec extends SparkSpec {
     for (k <- Seq(0, 1, 3, 4))
       assert(out(k) < 0.999, s"lag $k ccf ${out(k)}")
   }
+
+  test("residuals reconcile with decompose's register, and the S-H-ESD " +
+      "composition flags a planted spike but NOT a naturally-big slot") {
+    val s = spark
+    import s.implicits._
+    // linear+seasonal+bounded deterministic noise with ONE planted
+    // anomaly at t = 73 (+80). The noise matters: on a NOISELESS
+    // series the residual MAD collapses to edge-effect dust and the
+    // modified z flags everything — ESD presumes a noise floor.
+    // high-frequency (41-step mod-101 walk): a locally-smooth noise
+    // would be absorbed by the +-3 trend window and MAD would
+    // collapse again
+    def noise(t: Int) = ((t * 7919) % 101 - 50) * 0.06
+    def y(t: Int) = 100.0 + 2.0 * t + seas(t % 7) + noise(t) +
+      (if (t == 73) 80.0 else 0.0)
+    val df = (0 until 140).map(t => ("k", t, y(t))).toDF("k", "t", "y")
+    val res = Seasonal.residuals(df, "k", "t", "y", period = 7,
+      scale = 2)
+    // register reconciliation: group the per-point seasonal back to
+    // slot grain == decompose's output (same expressions by design)
+    val fromRes = res
+      .groupBy(pmod(col("t").cast("long"), lit(7L)).as("slot"))
+      .agg(max(col("seasonal")).as("s"), min(col("seasonal")).as("s2"))
+      .collect().map(r => r.getAs[Long]("slot") ->
+        (r.getAs[Double]("s"), r.getAs[Double]("s2"))).toMap
+    val fromDec = Seasonal.decompose(df, "k", "t", "y", period = 7,
+        scale = 2)
+      .collect().map(r => r.getAs[Long]("slot") ->
+        r.getAs[Double]("seasonal")).toMap
+    fromDec.foreach { case (slot, v) =>
+      assert(fromRes(slot) === ((v, v)), s"slot $slot")
+    }
+    val flagged = Robust.annotateOutliers(res, "k", "resid",
+        cutoff = 3.5)
+      .filter(col("is_outlier"))
+      .collect().map(_.getAs[Int]("t")).toSet
+    assert(flagged.contains(73), s"planted spike missed: $flagged")
+    // the big-but-seasonal slot (t % 7 == 0, the +12 slot) never
+    // flags OUTSIDE the spike's trend window (t ± 3, where the spike
+    // contaminates its neighbors' trend — inherent to the MA device)
+    assert(!flagged.exists(t => t % 7 == 0 && math.abs(t - 73) > 3),
+      s"seasonal peaks wrongly flagged: $flagged")
+  }
 }
