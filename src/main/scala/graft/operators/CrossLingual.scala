@@ -86,14 +86,25 @@ object CrossLingual {
     * Output: one row per delta doc — (idCol, langCol, is_dup,
     * matched_id, matched_langs, is_cross_lingual).
     */
-  def flagIncremental(delta: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, langCol: String): DataFrame = {
-    val corpFp = corpus
-      .select(foldedFingerprint(col(textCol)).as("__fp"),
+  /** The corpus-side fingerprint index `(fp, matched_id, lang_set)` —
+    * what [[flagIncremental]] probes in batch and
+    * [[graft.streaming.CrossLingualStream.collisions]] joins as the
+    * STATIC side of a stream-static join: one row per distinct folded
+    * fingerprint, canonical = min id, languages sorted.
+    */
+  def fingerprintIndex(corpus: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame =
+    corpus
+      .select(foldedFingerprint(col(textCol)).as("fp"),
         col(idCol).as("__cid"), col(langCol).as("__clang"))
-      .groupBy(col("__fp"))
+      .groupBy(col("fp"))
       .agg(min(col("__cid")).as("matched_id"),
         array_sort(collect_set(col("__clang"))).as("__langs"))
+
+  def flagIncremental(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, langCol: String): DataFrame = {
+    val corpFp = fingerprintIndex(corpus, idCol, textCol, langCol)
+      .withColumnRenamed("fp", "__fp")
     delta
       .select(col(idCol), col(langCol),
         foldedFingerprint(col(textCol)).as("__fp"))

@@ -98,6 +98,43 @@ class CrossLingualSpec extends SparkSpec {
       p3("bb").getAs[Long]("budget") <= 100L)
   }
 
+  test("fold invariants over seeded noisy corpora: idempotent fold; " +
+      "fingerprint invariant under permutation/duplication/case/" +
+      "accents/punctuation; new token changes it") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("solar", "énergie", "Ünter", "policy", "braque",
+      "wind", "café", "naïve", "data", "règle")
+    val puncts = Seq(", ", "; ", " — ", "! ", " ... ")
+    Seq(3L, 17L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.tabulate(60) { i =>
+        val base = Seq.fill(4 + rnd.nextInt(12))(
+          words(rnd.nextInt(words.length)))
+        val noisy = rnd.shuffle(base ++ base.take(rnd.nextInt(3)))
+          .map(w => if (rnd.nextBoolean()) w.toUpperCase else w)
+          .mkString(puncts(rnd.nextInt(puncts.length)))
+        (i.toLong, base.mkString(" "), noisy)
+      }.toDF("id", "base", "noisy")
+      val out = rows.select(
+          CrossLingual.foldText(col("base")).as("f1"),
+          CrossLingual.foldText(CrossLingual.foldText(col("base")))
+            .as("f2"),
+          CrossLingual.foldedFingerprint(col("base")).as("fpb"),
+          CrossLingual.foldedFingerprint(col("noisy")).as("fpn"),
+          CrossLingual.foldedFingerprint(
+            concat(col("base"), lit(" zzznewtoken"))).as("fpx"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getString(0) === r.getString(1), s"fold not idempotent")
+        assert(r.getString(2) === r.getString(3),
+          s"fingerprint not noise-invariant (seed $seed)")
+        assert(r.getString(2) !== r.getString(4),
+          s"new token did not change the fingerprint (seed $seed)")
+      }
+    }
+  }
+
   test("flagIncremental: delta docs match the corpus fingerprint " +
       "index; cross-lingual only when the delta language is absent " +
       "from the matched cluster") {
