@@ -4489,8 +4489,9 @@ object HashOracles {
         s"${lit17(alpha)}) * 1000000.0 + 0.5) AS BIGINT) AS wsc " +
         "FROM tot)",
       "sw AS (SELECT CAST(sum(wsc) AS BIGINT) AS swsc FROM w)",
-      s"b AS (SELECT lang, t, ($budget * wsc) // swsc AS budget " +
-        "FROM w, sw)",
+      // HUGEINT product: a BIGINT B*wsc overflows at corpus scale
+      s"b AS (SELECT lang, t, CAST((CAST($budget AS HUGEINT) * wsc) " +
+        "// swsc AS BIGINT) AS budget FROM w, sw)",
       "dz AS (SELECT doc_id, lang, ntok, CAST(doc_id AS HUGEINT) AS z " +
         "FROM d)")
     val mixed = mixStages(Seq("z"), Seq("doc_id", "lang", "ntok"))

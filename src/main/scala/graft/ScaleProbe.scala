@@ -531,6 +531,19 @@ object ScaleProbe {
           "doc_id", "text", "lang", budgetTokens = 100000L,
           alpha = 0.3))
     }
+    // mahalanobis: ONE aggregation to a single moment row + a
+    // map-only d² projection — strictly linear at any feature scale
+    Seq(1, 2, 4, 8).foreach { r =>
+      timeWarm(s"mahalanobis r=$r docs=${nDocs * r}", () =>
+        operators.Robust.mahalanobis3(
+          replicateDocs(r)
+            .withColumn("f1", (length(col("text")) % 97).cast("long"))
+            .withColumn("f2", (col("doc_id") % 1003).cast("long"))
+            .withColumn("f3",
+              (length(col("text")) % 31 + col("doc_id") % 7)
+                .cast("long")),
+          "doc_id", "f1", "f2", "f3"))
+    }
     spark.stop()
   }
 }

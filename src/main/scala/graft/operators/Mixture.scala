@@ -339,9 +339,14 @@ object Mixture {
     val w = tot.withColumn("__wsc",
       floor(pow(col("total_tokens").cast("double"), lit(alpha))
         * 1e6 + 0.5).cast("long"))
+    // the budget product runs in DECIMAL: at corpus scale B ~ 10^12
+    // tokens and w_sc ~ 10^10 overflow a long product (~8·10^21 >
+    // 2^63); decimal(38,0) holds it exactly and the integer division
+    // stays exact. Result fits a long by construction (≤ B).
     val b = w.crossJoin(broadcast(w.agg(sum(col("__wsc")).as("__swsc"))))
       .withColumn("budget",
-        expr(s"($budgetTokens * __wsc) div __swsc"))
+        expr(s"CAST((CAST($budgetTokens AS DECIMAL(38,0)) * __wsc) " +
+          "div __swsc AS BIGINT)"))
     val wOrd = Window.partitionBy(col("lang"))
       .orderBy(col("__skey"), col("__id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

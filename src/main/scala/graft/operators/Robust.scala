@@ -720,9 +720,9 @@ object Robust {
     * closed-form 3×3 adjugate inverse.
     *
     * Replay discipline: features must be INTEGER-VALUED (counts,
-    * cents — the caller scales; the require below rejects fractional
-    * columns at runtime is not possible cheaply, so the contract is
-    * documented): all ten moment sums (N, Σxᵢ, Σxᵢxⱼ) then accumulate
+    * cents — the caller scales to the grid; a cheap runtime check for
+    * fractional columns doesn't exist, so this is a documented
+    * contract): all ten moment sums (N, Σxᵢ, Σxᵢxⱼ) then accumulate
     * as exact decimal(38,0) integers — order-free on any engine — and
     * every downstream double (μ, covariance entries, adjugate,
     * determinant, d²) is a FIXED expression tree of casts of those
