@@ -4442,6 +4442,21 @@ object HashOracles {
       "'[^a-z0-9]+', ' ', 'g')"
   }
 
+  /** The distinct folded token list over [[FoldedTextSql]]. */
+  val FoldedToksSql: String =
+    "list_distinct(list_filter(string_split_regex(lower(" +
+      s"$FoldedTextSql), '\\s+'), t -> t <> ''))"
+
+  /** Folded fingerprint mirroring
+    * [[operators.CrossLingual.foldedFingerprint]]: md5 of the sorted
+    * distinct folded tokens, NULL when the folded token set is empty
+    * (fully non-Latin documents opt out of dedup instead of all
+    * colliding on md5('')).
+    */
+  val FoldedFpSql: String =
+    s"CASE WHEN len($FoldedToksSql) > 0 THEN md5(array_to_string(" +
+      s"list_sort($FoldedToksSql), ' ')) END"
+
   /** Cross-lingual near-dup replay: the q18 banded-candidate CTEs run
     * over the FOLDED text (base subquery aliases the fold AS text so
     * the shared tokenizer fragment applies unchanged), token-set
@@ -4522,12 +4537,10 @@ object HashOracles {
     * standalone gates.
     */
   def q327MultilingualPipeline(budget: Long, alpha: Double): String = {
-    val ftoks = "list_filter(string_split_regex(lower(" +
-      s"$FoldedTextSql), '\\s+'), t -> t <> '')"
     val stages = Seq(
-      s"f AS (SELECT doc_id, lang, md5(array_to_string(" +
-        s"list_sort(list_distinct($ftoks)), ' ')) AS fp FROM documents)",
-      "cx AS (SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY fp " +
+      s"f AS (SELECT doc_id, lang, $FoldedFpSql AS fp FROM documents)",
+      "cx AS (SELECT fp, min(doc_id) AS canonical_id FROM f " +
+        "WHERE fp IS NOT NULL GROUP BY fp " +
         "HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2)",
       "sv AS (SELECT f.doc_id FROM f LEFT JOIN cx USING (fp) " +
         "WHERE cx.canonical_id IS NULL OR f.doc_id = cx.canonical_id)",

@@ -9412,23 +9412,21 @@ object SparkEntry {
     },
 
     // folded-fingerprint replay: the same lower → translate →
-    // collapse fold, sorted distinct tokens, md5 — one hash aggregate
-    "q319_crosslingual_dedup" -> {
-      val ftoks = "list_filter(string_split_regex(lower(" +
-        s"${HashOracles.FoldedTextSql}), '\\s+'), t -> t <> '')"
+    // collapse fold, sorted distinct tokens, md5 (NULL on an empty
+    // folded token set — empty-fold docs never cluster) — one hash
+    // aggregate
+    "q319_crosslingual_dedup" ->
       s"""WITH f AS (SELECT doc_id, lang,
-        |  md5(array_to_string(list_sort(list_distinct($ftoks)), ' '))
-        |    AS fp
+        |  ${HashOracles.FoldedFpSql} AS fp
         |  FROM documents)
         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  min(doc_id) AS canonical_id,
         |  array_to_string(list_sort(list_distinct(list(lang))), ',')
         |    AS langs
-        |FROM f GROUP BY fp
+        |FROM f WHERE fp IS NOT NULL GROUP BY fp
         |HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
-        |ORDER BY fp""".stripMargin
-    },
+        |ORDER BY fp""".stripMargin,
 
     "q320_crosslingual_neardup" ->
       HashOracles.q320CrossLingualNearDup(0.8),
@@ -9665,15 +9663,12 @@ object SparkEntry {
     // the q319 fold at the <400 corpus split — fingerprint index on
     // the corpus side, left-join probe on the delta side
     "q330_incremental_crosslingual" -> {
-      val ftoks = "list_filter(string_split_regex(lower(" +
-        s"${HashOracles.FoldedTextSql}), '\\s+'), t -> t <> '')"
       s"""WITH f AS (SELECT doc_id, lang,
-        |  md5(array_to_string(list_sort(list_distinct($ftoks)), ' '))
-        |    AS fp
+        |  ${HashOracles.FoldedFpSql} AS fp
         |  FROM documents),
         |cf AS (SELECT fp, min(doc_id) AS matched_id,
         |  list_sort(list_distinct(list(lang))) AS langs
-        |  FROM f WHERE doc_id < 400 GROUP BY fp),
+        |  FROM f WHERE doc_id < 400 AND fp IS NOT NULL GROUP BY fp),
         |d AS (SELECT f.doc_id, f.lang, cf.matched_id, cf.langs
         |  FROM f LEFT JOIN cf USING (fp) WHERE f.doc_id >= 400)
         |SELECT doc_id, lang, matched_id IS NOT NULL AS is_dup,
@@ -9689,15 +9684,12 @@ object SparkEntry {
     // the q319 fold + cluster CTEs, joined back for the per-language
     // removed-mass report (canonical = min doc_id keeps its tokens)
     "q326_crosslingual_yield" -> {
-      val ftoks = "list_filter(string_split_regex(lower(" +
-        s"${HashOracles.FoldedTextSql}), '\\s+'), t -> t <> '')"
       s"""WITH f AS (SELECT doc_id, lang,
-        |  md5(array_to_string(list_sort(list_distinct($ftoks)), ' '))
-        |    AS fp,
+        |  ${HashOracles.FoldedFpSql} AS fp,
         |  CAST(len(${HashOracles.Toks}) AS BIGINT) AS ntok
         |  FROM documents),
         |c AS (SELECT fp, min(doc_id) AS canonical_id FROM f
-        |  GROUP BY fp
+        |  WHERE fp IS NOT NULL GROUP BY fp
         |  HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2),
         |d AS (SELECT f.lang, f.ntok FROM f JOIN c USING (fp)
         |  WHERE f.doc_id <> c.canonical_id),

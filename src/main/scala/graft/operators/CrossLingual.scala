@@ -25,9 +25,12 @@ object CrossLingual {
     * codepoint, so the SAME map runs codegen'd in Spark and verbatim in
     * a DuckDB `translate` mirror. Deliberately bounded to the common
     * Latin-1/Latin-Extended accents; multi-char expansions (ß→ss, œ→oe)
-    * are out of contract (1:1 maps can't express them — documents in
-    * scripts beyond Latin pass through unchanged and simply never
-    * collide cross-script, which is the safe failure mode for dedup).
+    * are out of contract (1:1 maps can't express them). Documents in
+    * scripts beyond Latin lose their non-[a-z0-9] characters in the
+    * fold; when NOTHING survives (a fully non-Latin document), the
+    * fingerprint is NULL and the document is excluded from dedup
+    * entirely — the safe failure mode (never a false merge, never a
+    * shared empty-string hash).
     */
   val AccentFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ"
   val AccentTo = "aaaaaaeeeeiiiiooooouuuucnyy"
@@ -46,10 +49,17 @@ object CrossLingual {
     * folded tokens (the [[TF.fingerprint]] key-collision device over
     * [[foldText]] output). Two documents that differ only in diacritics,
     * token order, duplication, punctuation, or whitespace collide.
+    * NULL when the folded token set is EMPTY (a document with no
+    * Latin/digit content — zh/ru/ar text, pure punctuation): hashing
+    * the empty set would make every such document collide on md5(''),
+    * falsely merging unrelated content across languages. Null keys
+    * never match an equi-join and are filtered from the cluster /
+    * index aggregations, so empty-fold documents simply opt out.
     */
-  def foldedFingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(TF.tokens(foldText(text)))),
-      " "))
+  def foldedFingerprint(text: Column): Column = {
+    val toks = array_distinct(TF.tokens(foldText(text)))
+    when(size(toks) > 0, md5(array_join(array_sort(toks), " ")))
+  }
 
   /** Exact cross-lingual duplicate clusters: group documents by
     * [[foldedFingerprint]] and keep clusters that span ≥ 2 documents AND
@@ -65,6 +75,7 @@ object CrossLingual {
     docs
       .select(col(idCol).as("__id"), col(langCol).as("__lang"),
         foldedFingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull) // empty-fold docs never cluster
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("__lang")).as("n_langs"),
@@ -97,6 +108,7 @@ object CrossLingual {
     corpus
       .select(foldedFingerprint(col(textCol)).as("fp"),
         col(idCol).as("__cid"), col(langCol).as("__clang"))
+      .filter(col("fp").isNotNull) // empty-fold docs never index
       .groupBy(col("fp"))
       .agg(min(col("__cid")).as("matched_id"),
         array_sort(collect_set(col("__clang"))).as("__langs"))

@@ -135,6 +135,53 @@ class CrossLingualSpec extends SparkSpec {
     }
   }
 
+  test("non-Latin contract: fully non-Latin docs get NULL fingerprints " +
+      "and NEVER merge — not with each other, not across scripts; " +
+      "ß/œ multi-char expansions stay out of contract") {
+    val s = spark
+    import s.implicits._
+    // identical MEANING, different scripts — and two UNRELATED zh docs.
+    // Pre-fix failure mode: all four folded to the empty token set and
+    // shared md5(''), falsely merging unrelated content cross-language.
+    val docs = Seq(
+      (1L, "气候政策框架", "zh"),          // zh: climate policy framework
+      (2L, "рамки климатической политики", "ru"),
+      (3L, "إطار سياسة المناخ", "ar"),
+      (4L, "完全不同的内容", "zh"),        // zh: completely different
+      (5L, "solar energy policy", "en"),
+      (6L, "energy solar policy!", "fr")).toDF("doc_id", "text", "lang")
+    val fps = docs.select(col("doc_id"),
+        CrossLingual.foldedFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("fp"))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(fps(_).isEmpty),
+      "fully non-Latin docs must fingerprint to NULL")
+    assert(fps(5L).nonEmpty && fps(5L) === fps(6L))
+    // only the genuine en/fr cluster survives — no empty-fold cluster
+    val clusters = CrossLingual.crossLingualClusters(docs, "doc_id",
+      "text", "lang").collect()
+    assert(clusters.length === 1)
+    assert(clusters.head.getAs[Long]("canonical_id") === 5L)
+    // incremental probe: a non-Latin delta doc never matches a corpus
+    // of non-Latin docs (the index holds no NULL fingerprints)
+    val flagged = CrossLingual.flagIncremental(
+        docs.filter(col("doc_id") === 4L),
+        docs.filter(col("doc_id") < 4L), "doc_id", "text", "lang")
+      .collect()
+    assert(flagged.length === 1 && !flagged.head.getAs[Boolean]("is_dup"))
+    // multi-char expansions are OUT of contract (1:1 map): straße and
+    // strasse deliberately do NOT collide — pinned so nobody "fixes"
+    // the fold map casually without widening the oracle in lockstep
+    val sz = Seq((7L, "die straße"), (8L, "die strasse"),
+      (9L, "œuvre"), (10L, "oeuvre")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        CrossLingual.foldedFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("fp")).toMap
+    assert(sz(7L) !== sz(8L))
+    assert(sz(9L) !== sz(10L))
+  }
+
   test("flagIncremental: delta docs match the corpus fingerprint " +
       "index; cross-lingual only when the delta language is absent " +
       "from the matched cluster") {
