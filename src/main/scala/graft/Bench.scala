@@ -96,23 +96,27 @@ object Bench {
       new java.io.FileWriter("BENCH_MARKERS.log", false))
     val rt = Runtime.getRuntime
     def heapMb: Long = (rt.totalMemory - rt.freeMemory) >> 20
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      markers.println(s"${java.time.Instant.now} start $name heapMb=$heapMb")
-      markers.flush()
-      val reps = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try CacheScope.scoped { fn(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // try/finally: an exception OUTSIDE the per-query catch (CacheScope
+    // setup, the results fold) must still close the marker file — it is
+    // the diagnostic trail for exactly such failures
+    val results = try {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+        markers.println(s"${java.time.Instant.now} start $name heapMb=$heapMb")
+        markers.flush()
+        val reps = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try CacheScope.scoped { fn(spark, sfDir).count() }
+          catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        markers.println(s"${java.time.Instant.now} done  $name " +
+          f"reps=[${reps.map(r => f"$r%.3f").mkString(",")}] heapMb=$heapMb")
+        markers.flush()
+        (name, reps.min, reps)
       }
-      markers.println(s"${java.time.Instant.now} done  $name " +
-        f"reps=[${reps.map(r => f"$r%.3f").mkString(",")}] heapMb=$heapMb")
-      markers.flush()
-      (name, reps.min, reps)
-    }
-    markers.close()
+    } finally markers.close()
     def r3(v: Double): String = f"$v%.3f"
     // The full record (every query, min + both raw reps: min-of-2 bounds
     // one-off JIT/GC luck, but sustained box load slows BOTH reps — with

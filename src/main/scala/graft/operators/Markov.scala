@@ -60,16 +60,34 @@ object Markov {
     * config-scale fact (measured 1.6 s → ~0.2 s at sf0.1). The bound
     * is CHECKED distributively before the collect (`maxStates`,
     * default 4096 → at most ~16M edge rows, and real event vocabular-
-    * ies are orders smaller). Per-step sums fold in ASCENDING
-    * from_state order (states read as strings — the fold needs a
-    * total order, and event-type states are strings already), seeded
-    * at 0.0 — the identical left fold the DuckDB oracle runs as
+    * ies are orders smaller; a genuinely larger bounded table raises
+    * the parameter EXPLICITLY, buying the memory knowingly). Per-step
+    * sums fold in ASCENDING from_state order, seeded at 0.0 — the
+    * identical left fold the DuckDB oracle runs as
     * `list_reduce(list_prepend(0.0, list(π·p ORDER BY from_state)))`,
     * so the k-step trajectory replays bit-exactly on any engine.
+    *
+    * STRING-STATE CONTRACT: the fold needs a total order shared with
+    * the SQL mirror, so `from_state`/`to_state` must already be
+    * StringType (event-type states are strings naturally); non-string
+    * states fail loudly here rather than having their output type
+    * silently rewritten. Ordering caveat: the driver sorts by Java
+    * UTF-16 code units while a SQL engine may sort by UTF-8 binary
+    * collation — identical for ASCII names (the practical event-
+    * vocabulary case), divergent only when supplementary-plane
+    * characters mix with U+E000..U+FFFF; keep state names ASCII when
+    * an oracle must replay the trajectory.
     */
   def stationaryDistribution(transitions: DataFrame, iters: Int,
       maxStates: Int = 4096): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
+    Seq("from_state", "to_state").foreach { c =>
+      val dt = transitions.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.StringType,
+        s"$c is $dt — stationaryDistribution's fold contract is " +
+          "string states (cast explicitly at the call site if the " +
+          "states are genuinely string-like)")
+    }
     val spark = transitions.sparkSession
     import spark.implicits._
     import graft.functions.Grid.snapD
@@ -79,8 +97,8 @@ object Markov {
       s"$nStates states exceed maxStates=$maxStates — not a bounded " +
         "transition table; raise the bound only with a memory budget")
     val edges = transitions
-      .select(col("from_state").cast("string"),
-        col("to_state").cast("string"), col("p").cast("double"))
+      .select(col("from_state"), col("to_state"),
+        col("p").cast("double"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     // incoming edges per target, ascending from_state — THE fold order

@@ -137,25 +137,32 @@ object MediaDedup {
     * unchanged). Each bit is an exact cross-multiplied integer
     * comparison (`sig_i · n_frames > Σ sig`) — no float ever enters
     * the hash, so the oracle recomputes identical bits from the raw
-    * samples. Assets shorter than 32 frames contribute 0-bits for the
-    * missing cells; totals run over the present frames only.
+    * samples. Bits are keyed on `frame_idx` ITSELF (bit position =
+    * frame_idx, not list position): a frame set with gaps — a caller
+    * that pre-filtered frames, or an asset shorter than 32 frames —
+    * leaves the missing positions as 0-bits rather than silently
+    * shifting every later frame's bit; totals run over the present
+    * frames only.
     */
   def audioHash(frames: DataFrame, maxFrames: Int = 32): DataFrame = {
     require(maxFrames >= 1 && maxFrames <= 32, s"bad maxFrames $maxFrames")
     val agg = frames.filter(col("frame_idx") < maxFrames)
       .groupBy(col("media_id"))
-      .agg(sort_array(collect_list(struct(
+      .agg(collect_list(struct(
           col("frame_idx").cast("int").as("i"),
           col("energy").cast("long").as("e"),
-          col("zero_crossings").cast("long").as("z")))).as("__fr"),
+          col("zero_crossings").cast("long").as("z"))).as("__fr"),
         count(lit(1)).as("__nf"),
         sum(col("energy")).as("__te"),
         sum(col("zero_crossings").cast("long")).as("__tz"))
+    // fold the PRESENT frames of the block's idx range, bit = 15 -
+    // (i - off): disjoint bits sum commutatively, so collect_list
+    // order is immaterial (no sort needed)
     def block(sig: String, tot: String, off: Int) = expr(
-      s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-         | acc + CASE WHEN size(__fr) >= $off + j + 1
-         |  AND element_at(__fr, $off + j + 1).$sig * __nf > $tot
-         |  THEN shiftleft(CAST(1 AS BIGINT), 15 - j)
+      s"""aggregate(filter(__fr, x -> x.i >= $off AND x.i < $off + 16),
+         | CAST(0 AS BIGINT), (acc, x) ->
+         | acc + CASE WHEN x.$sig * __nf > $tot
+         |  THEN shiftleft(CAST(1 AS BIGINT), 15 - (x.i - $off))
          |  ELSE CAST(0 AS BIGINT) END)""".stripMargin)
     agg
       .withColumn("b0", block("e", "__te", 0))

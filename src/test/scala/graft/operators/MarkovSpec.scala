@@ -45,6 +45,17 @@ class MarkovSpec extends SparkSpec {
     assert(math.abs(piLong("b") - 3.0 / 7) < 1e-3)
   }
 
+  test("string-state contract: non-string states fail loudly instead " +
+      "of a silent output-type rewrite") {
+    val tm = Seq((1L, 2L, 3L, 1.0), (2L, 1L, 3L, 1.0))
+      .toDF("from_state", "to_state", "n", "p")
+    val e = intercept[IllegalArgumentException] {
+      Markov.stationaryDistribution(tm, 2)
+    }
+    assert(e.getMessage.contains("from_state"))
+    assert(e.getMessage.contains("string states"))
+  }
+
   test("deterministic under repartitioning") {
     val tm = Markov.transitionMatrix(log.repartition(7), "user_id",
       "seq", "seq", "state")

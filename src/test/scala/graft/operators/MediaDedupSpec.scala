@@ -145,4 +145,27 @@ class MediaDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("audioHash keys bits on frame_idx itself: a gap in the frame " +
+      "set leaves a 0-bit at the missing position instead of shifting " +
+      "every later frame's bit") {
+    val s = spark
+    import s.implicits._
+    // media 1: contiguous frames 0..3; media 2: frame 1 pre-filtered
+    // away. Bits must land at the frame's OWN index — for media 2
+    // that is {0, 2} (e·nf > te: 10·3 > 20 at i=0 and i=2), i.e.
+    // 0xA000, NOT the position-shifted 0xC000 a list-indexed fold
+    // would produce.
+    val frames = Seq(
+      (1L, 0, 10L, 1L), (1L, 1, 0L, 0L), (1L, 2, 10L, 1L),
+      (1L, 3, 0L, 0L),
+      (2L, 0, 10L, 1L), (2L, 2, 10L, 1L), (2L, 3, 0L, 0L))
+      .toDF("media_id", "frame_idx", "energy", "zero_crossings")
+    val h = MediaDedup.audioHash(frames)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(h(1L).getAs[Long]("b0") === 0xA000L)
+    assert(h(2L).getAs[Long]("b0") === 0xA000L)
+    assert(h(2L).getAs[Long]("b2") === 0xA000L)
+    assert(h(2L).getAs[Long]("b1") === 0L)
+  }
 }
