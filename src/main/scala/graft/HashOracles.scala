@@ -2268,6 +2268,44 @@ object HashOracles {
         graft.functions.Grid.snapSql("cos", 4) + " AS cos, margin " +
         "FROM bst WHERE rn = 1 ORDER BY x")
 
+  /** Scaled-bitext replay (q333): [[q219MarginMiningIvf]]'s trained-
+    * IVF candidate chain with the CROSS-LANGUAGE constraint applied to
+    * the candidate table before the distinct, then the identical
+    * margin chain; langs joined back onto the winner row exactly like
+    * the brute q325 readout.
+    */
+  def q333BitextMiningIvf(nLists: Int, nAssign: Int, k: Int): String =
+    withClause(kmTrainCtes(nLists) ++ Seq(
+      kmAssignCte("asg", "c2", take = nAssign),
+      "lg AS (SELECT doc_id AS vec_id, lang FROM documents)",
+      "cand AS (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y " +
+        "FROM asg a JOIN asg b ON a.cid = b.cid " +
+        "AND a.vec_id <> b.vec_id " +
+        "JOIN lg la ON la.vec_id = a.vec_id " +
+        "JOIN lg lb ON lb.vec_id = b.vec_id " +
+        "WHERE la.lang <> lb.lang)",
+      "p AS (SELECT c.x, c.y, " +
+        "list_cosine_similarity(ea.v, eb.v) AS cos " +
+        "FROM cand c JOIN e ea ON ea.vec_id = c.x " +
+        "JOIN e eb ON eb.vec_id = c.y)",
+      "r AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x " +
+        "ORDER BY " + graft.functions.Grid.snapSql("cos", 4) +
+        " DESC, y) AS rn FROM p)",
+      s"ak AS (SELECT x, avg(cos) AS avg_k FROM r WHERE rn <= $k " +
+        "GROUP BY x)",
+      "sc AS (SELECT p.x, p.y, p.cos, " +
+        graft.functions.Grid.snapSql(
+          "p.cos / ((ax.avg_k + ay.avg_k) / 2)", 4) + " AS margin " +
+        "FROM p JOIN ak ax ON ax.x = p.x JOIN ak ay ON ay.x = p.y)",
+      "bst AS (SELECT x, y, cos, margin, row_number() OVER " +
+        "(PARTITION BY x ORDER BY margin DESC, y) AS rn FROM sc)"),
+      "SELECT b.x, b.y AS best_match, " +
+        graft.functions.Grid.snapSql("b.cos", 4) + " AS cos, b.margin, " +
+        "lx.lang AS x_lang, ly.lang AS match_lang " +
+        "FROM bst b JOIN lg lx ON lx.vec_id = b.x " +
+        "JOIN lg ly ON ly.vec_id = b.y " +
+        "WHERE b.rn = 1 ORDER BY b.x")
+
   /** Capstone-3 replay — the round-6 stages chained: first-occurrence
     * novelty filter (keep docs whose distinct 3-grams are majority-novel)
     * → SemDeDup over the survivors' embeddings (IVF argmax assignment +

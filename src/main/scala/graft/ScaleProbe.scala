@@ -59,7 +59,15 @@ object ScaleProbe {
           .as("vec_id"), col("embedding"))
       }.reduce(_ unionAll _)
 
+    // SPARK_GRAFT_PROBE_ONLY=bitext,xling runs only sweeps whose label
+    // starts with a listed prefix — iterate one family without paying
+    // the full battery
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def probeEnabled(label: String): Boolean =
+      probeOnly.forall(_.exists(label.startsWith))
     def timeWarm(label: String, build: () => DataFrame): Unit = {
+      if (!probeEnabled(label)) return
       CacheScope.scoped { build().count() } // warm: codegen + JIT
       val t0 = System.nanoTime()
       val n = CacheScope.scoped { build().count() }
@@ -530,6 +538,30 @@ object ScaleProbe {
           replicateDocs(r).withColumn("lang", langOf),
           "doc_id", "text", "lang", budgetTokens = 100000L,
           alpha = 0.3))
+    }
+    // bitext mining, brute vs trained-IVF: the brute pair table is n²
+    // BY DESIGN (the bounded-eval contract) — probed only to put its
+    // quadratic curve on record next to the scale path. The via form
+    // meets candidates in trained lists (equi-join) with the
+    // cross-group filter pruning before the distinct; nLists ∝ n keeps
+    // the MEAN per-list population constant (the SemDeDup k ~ √n-style
+    // argument), so its curve stays ~linear while brute grows ~r².
+    def grpOf = pmod(col("vec_id"), lit(5L)).cast("string")
+    Seq(1, 2, 4).foreach { r =>
+      timeWarm(s"bitext_brute r=$r vecs=${nVecs * r}", () =>
+        operators.Similarity.bitextTopMatches(
+          replicateVecs(r).withColumn("grp", grpOf),
+          "vec_id", "embedding", "grp", k = 8))
+    }
+    Seq(1, 2, 4, 8).foreach { r =>
+      if (probeEnabled("bitext_ivf")) { // centroid setup is itself heavy
+        val cents = operators.Clustering.kmeansCentroids(
+          replicateVecs(r), "vec_id", "embedding", k = 16 * r, iters = 1)
+        timeWarm(s"bitext_ivf r=$r vecs=${nVecs * r} lists=${16 * r}",
+          () => operators.Similarity.bitextTopMatchesVia(
+            replicateVecs(r).withColumn("grp", grpOf),
+            "vec_id", "embedding", "grp", k = 8, cents, nAssign = 2))
+      }
     }
     // mahalanobis: ONE aggregation to a single moment row + a
     // map-only d² projection — strictly linear at any feature scale

@@ -3977,6 +3977,31 @@ object SparkEntry {
         .orderBy(col("x"))
     }),
 
+    // Bitext mining at SCALE — q325's ratio-margin criterion over the
+    // q219 trained-IVF candidate space instead of the n² pair table:
+    // pairs meet in a shared trained list AND must cross languages,
+    // then the identical margin chain. The baseline→production pairing
+    // (q150→q219, q89→q95) for parallel-corpus mining; the brute form
+    // stays as the bounded-eval contract.
+    "q333_bitext_mining_ivf" -> ((s, dir) => {
+      val langs = T(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 64, iters = 2)
+      val mined = graft.operators.Similarity.bitextTopMatchesVia(
+        e.join(langs, Seq("vec_id")), "vec_id", "embedding", "lang",
+        k = 8, cents, nAssign = 6)
+      mined
+        .join(langs.select(col("vec_id").as("x"),
+          col("lang").as("x_lang")), Seq("x"))
+        .join(langs.select(col("vec_id").as("best_match"),
+          col("lang").as("match_lang")), Seq("best_match"))
+        .select(col("x"), col("best_match"), col("cos"), col("margin"),
+          col("x_lang"), col("match_lang"))
+        .orderBy(col("x"))
+    }),
+
     // Language-ID evaluation: the q26 stopword-profile heuristic
     // against the labeled lang column as a confusion grid — the
     // quality readout a filter pipeline needs before trusting
@@ -8518,6 +8543,8 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     "q219_margin_mining_ivf" -> HashOracles.q219MarginMiningIvf(64, 6, 8),
+
+    "q333_bitext_mining_ivf" -> HashOracles.q333BitextMiningIvf(64, 6, 8),
 
     "q220_quantile_sketch" -> HashOracles.q220QuantileSketch(16),
 

@@ -856,11 +856,10 @@ object Similarity {
     * space into translation-pair candidates for parallel-corpus
     * construction.
     *
-    * Brute n² baseline form (the q150 contract); at corpus scale
-    * compose the same group constraint over [[marginTopMatchesVia]]'s
-    * trained-list candidate space — the pair table gains one
-    * `grp_a =!= grp_b` filter and everything downstream is shared
-    * ([[marginFromPairs]]).
+    * Brute n² baseline form (the q150 contract — a non-equi self-join,
+    * fine for bounded eval corpora, NEVER for production); the scale
+    * path is [[bitextTopMatchesVia]], the same scoring over trained-
+    * IVF candidate lists.
     */
   def bitextTopMatches(vectors: DataFrame, idCol: String,
       vecCol: String, groupCol: String, k: Int): DataFrame = {
@@ -875,6 +874,47 @@ object Similarity {
         when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
           .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
             (col("a.nrm") * col("b.nrm"))).as("cos"))
+    marginFromPairs(pairs, k)
+  }
+
+  /** The PRODUCTION form of [[bitextTopMatches]] — the cross-group
+    * margin scoring over [[marginTopMatchesVia]]'s TRAINED-list
+    * candidate space instead of the n² pair table: each vector takes
+    * its `nAssign` L2-nearest lists of a trained centroid matrix
+    * (pass [[Clustering.kmeansCentroids]] output), candidate pairs
+    * meet in any shared list AND must carry different `groupCol`
+    * labels (the bitext constraint prunes the candidate table BEFORE
+    * the distinct — same-language neighbors never materialize), and
+    * avgK / margin / best-match are [[marginFromPairs]] unchanged.
+    * Per-list populations bound the join (`nAssign²/L · n²` expected
+    * pairs, never n²); at the billion-embedding grain of a real
+    * parallel-corpus build (CCMatrix mines tens of billions of pairs
+    * from LASER embeddings) the lists ARE the shuffle partitions.
+    * avgK over the surviving cross-group candidates is the published
+    * approximation — the mined neighborhood IS the normalizing pool,
+    * exactly as the brute form's cross-group pools; recall vs the
+    * exact baseline is measured in SimilaritySpec.
+    */
+  def bitextTopMatchesVia(vectors: DataFrame, idCol: String,
+      vecCol: String, groupCol: String, k: Int,
+      centroids: Seq[Seq[Double]], nAssign: Int = 2): DataFrame = {
+    require(nAssign >= 1 && nAssign <= centroids.size,
+      s"nAssign $nAssign out of range [1, ${centroids.size}]")
+    val prepped = VF.prepForPairs(vectors, idCol, vecCol)
+      .join(vectors.select(col(idCol).as("id"),
+        col(groupCol).as("__bt_grp")), Seq("id"))
+    val asg = prepped.withColumn("__sm_list",
+      explode(Clustering.nearestLists(col("vd"), centroids, nAssign)))
+    val pairs = asg.as("a")
+      .join(asg.as("b"),
+        col("a.__sm_list") === col("b.__sm_list") &&
+          col("a.id") =!= col("b.id") &&
+          col("a.__bt_grp") =!= col("b.__bt_grp"))
+      .select(col("a.id").as("x"), col("b.id").as("y"),
+        when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .distinct()
     marginFromPairs(pairs, k)
   }
 

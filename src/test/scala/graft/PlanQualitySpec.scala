@@ -919,6 +919,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p332.contains("ScalaUDF"), p332)
   }
 
+  test("round-14 wave: scaled bitext mining is list-blocked — the " +
+      "candidate join is an equi-join on the trained list, never the " +
+      "brute form's n² non-equi self-join") {
+    // q333: the whole point of the scaled path — no BNLJ, no
+    // cartesian anywhere in the plan (q325's brute BNLJ is the
+    // bounded-eval contract; the production form must not have one)
+    val p333 = plan("q333_bitext_mining_ivf")
+    assert(!p333.contains("CartesianProduct"), p333)
+    assert(!p333.contains("BroadcastNestedLoopJoin"),
+      s"q333 fell back to the brute pair join:\n$p333")
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

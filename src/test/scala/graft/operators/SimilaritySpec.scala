@@ -56,6 +56,32 @@ class SimilaritySpec extends SparkSpec {
     assert(frac <= 0.7, f"candidate space $frac%.2f not bounded")
   }
 
+  test("bitext mining: IVF-bounded path recall vs the exact " +
+      "cross-group baseline; every best match crosses groups") {
+    val grouped = vectors.withColumn("grp",
+      pmod(col("vec_id"), lit(5L)).cast("string"))
+    val exact = Similarity
+      .bitextTopMatches(grouped, "vec_id", "embedding", "grp", k = 8)
+      .select(col("x"), col("best_match"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Clustering.kmeansCentroids(vectors, "vec_id",
+      "embedding", k = 64, iters = 2)
+    val via = Similarity
+      .bitextTopMatchesVia(grouped, "vec_id", "embedding", "grp",
+        k = 8, cents, nAssign = 6)
+      .select(col("x"), col("best_match"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(via.map(_._1) === exact.map(_._1),
+      "IVF bitext path lost vectors entirely")
+    val r = exact.count(via.contains).toDouble / exact.size
+    info(f"bitext best-match recall (IVF 64x6 vs exact): $r%.2f")
+    assert(r >= 0.85, f"bitext-mining recall $r%.2f fell under 0.85")
+    // the bitext constraint: NO best match may share its vector's group
+    via.foreach { case (x, m) =>
+      assert(x % 5 !== m % 5, s"same-group best match $x -> $m")
+    }
+  }
+
   test("quantized top-k: measured recall vs the float path") {
     val query = vectors.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q_emb"))
