@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * inside codegen — per-key sequential state without a window, no
   * driver loop, keys process in parallel. The contract is
   * experiment/entity-grain series (thousands of points per key, the
-  * array is a row value); corpus-grain series belong in the streaming
-  * fold instead.
+  * array is a row value): the fold STATE is O(1), but the collected
+  * array is O(series length) memory per key — the replay-fold
+  * device's real bound, shared with [[Robust.pageHinkley]] (which
+  * enforces it loudly via `maxPoints`) and [[Robust.changePoint]];
+  * corpus-grain / unbounded series belong in the streaming fold
+  * instead.
   *
   * Replay discipline: level and trend re-snap to the 1e-6 grid after
   * EACH update via [[graft.functions.Grid]] — the engine-exact IEEE

@@ -811,10 +811,20 @@ object Robust {
     * same constant bits.
     *
     * 100 TB shape: one partial-agg shuffle to (key, series), then the
-    * fold runs inside codegen per key — no window, no driver loop; the
-    * state is O(1) per key however long the series. The alarm time is
-    * the FIRST t whose excursion exceeds λ (sentinel −1 while no alarm,
-    * surfaced as null).
+    * fold runs inside codegen per key — no window, no driver loop. The
+    * fold STATE is O(1) per key, but this batch/replay form first
+    * materializes each key's full ordered series in ONE aggregate —
+    * **O(series-length) memory per key**, the house replay-fold
+    * device's real contract (holtLinear / holtWinters / changePoint
+    * share it): it is for BOUNDED series grains (hourly/daily keys —
+    * ≤ ~10⁵ points even for years), NOT for unbounded event streams.
+    * The bound is CHECKED loudly per key (`maxPoints`, default 2²⁰ ≈
+    * 1M points ≈ tens of MB per key — raise it only with a memory
+    * budget, the q202 maxStates discipline); for genuinely unbounded
+    * series use the STREAMING form
+    * ([[graft.streaming.CusumStream.pageHinkley]]), which holds true
+    * O(1) state. The alarm time is the FIRST t whose excursion exceeds
+    * λ (sentinel −1 while no alarm, surfaced as null).
     *
     * Output: (key, n, mean, ph, drift, t_alarm) — mean the final
     * running mean (4 dp), ph the maximum excursion (4 dp), drift
@@ -822,8 +832,9 @@ object Robust {
     */
   def pageHinkley(df: DataFrame, keyCol: String, tCol: String,
       valueCol: String, delta: Double = 0.5,
-      lambda: Double = 10.0): DataFrame = {
+      lambda: Double = 10.0, maxPoints: Int = 1 << 20): DataFrame = {
     require(lambda > 0, s"bad lambda $lambda")
+    require(maxPoints >= 1, s"bad maxPoints $maxPoints")
     val dl = Grid.lit17(delta)
     val lm = Grid.lit17(lambda)
     val i1 = "(acc.i + 1.0D)"
@@ -850,7 +861,15 @@ object Robust {
            |      WHEN ($exc) > $lm THEN CAST(x.t AS DOUBLE)
            |      ELSE -1.0D END))""".stripMargin))
       .select(col(keyCol),
-        size(col("__s")).cast("long").as("n"),
+        // the series-length contract, enforced where the violation is
+        // visible (the materialized list's own size) — loud, per key
+        when(size(col("__s")) > maxPoints, raise_error(concat(
+            lit("pageHinkley: a key's series has "),
+            size(col("__s")).cast("string"),
+            lit(s" points, over maxPoints=$maxPoints — not a bounded " +
+              "series grain; raise maxPoints only with a memory " +
+              "budget, or use streaming.CusumStream.pageHinkley"))))
+          .otherwise(size(col("__s")).cast("long")).as("n"),
         Grid.snap(col("__st.s") / col("__st.i"), 4).as("mean"),
         Grid.snap(col("__st.ph"), 4).as("ph"),
         (col("__st.ph") > lit(lambda)).as("drift"),

@@ -234,6 +234,27 @@ class RobustSpec extends SparkSpec {
     assert(out("up").getAs[Double]("mean") === 20.0)
   }
 
+  test("pageHinkley: the replay-fold memory contract is a loud gate — " +
+      "a key whose series exceeds maxPoints fails with the bound in " +
+      "the message; keys at the bound pass") {
+    val s = spark
+    import s.implicits._
+    // pathological key: 12 points against maxPoints = 10; sane key: 10
+    val rows = (0 until 12).map(t => ("fat", t.toLong, 1.0)) ++
+      (0 until 10).map(t => ("ok", t.toLong, 1.0))
+    val e = intercept[Exception] { // SparkRuntimeException is private
+      Robust.pageHinkley(rows.toDF("k", "t", "x"), "k", "t", "x",
+        maxPoints = 10).collect()
+    }
+    assert(e.getMessage.contains("maxPoints=10"), e.getMessage)
+    // the bound itself is inclusive: exactly-maxPoints keys fold fine
+    val ok = Robust.pageHinkley(
+        rows.toDF("k", "t", "x").filter($"k" === "ok"),
+        "k", "t", "x", maxPoints = 10)
+      .collect()
+    assert(ok.length === 1 && ok.head.getAs[Long]("n") === 10L)
+  }
+
   test("pageHinkley: result is invariant to input row order and " +
       "partitioning (the fold orders by t inside the key)") {
     val s = spark
