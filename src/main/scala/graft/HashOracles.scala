@@ -2306,6 +2306,69 @@ object HashOracles {
         "JOIN lg ly ON ly.vec_id = b.y " +
         "WHERE b.rn = 1 ORDER BY b.x")
 
+  /** Cross-lingual semantic near-dup replay (q334): the q93 trained
+    * SemDeDup chain (train → nAssign-nearest lists → within-list pairs
+    * canonical a<b, min over shared lists) at `threshold`, with the
+    * language join + cross-language filter on the verified set.
+    */
+  def q334XlingSemanticNearDup(nLists: Int, nAssign: Int,
+      threshold: Double): String =
+    withClause(kmTrainCtes(nLists) ++ Seq(
+      kmAssignCte("asg", "c2", take = nAssign),
+      "lg AS (SELECT doc_id AS vec_id, lang FROM documents)",
+      "pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "list_cosine_similarity(a.v, b.v) AS cos " +
+        "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)",
+      "pairs AS (SELECT a_id, b_id, min(cos) AS cos FROM pr " +
+        "GROUP BY a_id, b_id)",
+      "hit AS (SELECT * FROM pairs WHERE cos >= " +
+        s"${graft.functions.Grid.lit17(threshold)})"),
+      "SELECT h.a_id, h.b_id, la.lang AS lang_a, lb.lang AS lang_b, " +
+        s"${graft.functions.Grid.snapSql("h.cos", 4)} AS cos " +
+        "FROM hit h JOIN lg la ON la.vec_id = h.a_id " +
+        "JOIN lg lb ON lb.vec_id = h.b_id WHERE la.lang <> lb.lang " +
+        "ORDER BY h.a_id, h.b_id")
+
+  /** Bitext margin-sweep replay (q335): [[q333BitextMiningIvf]]'s
+    * chain through the scored table `sc` (no best-row selection),
+    * language joined onto the x side, then the cutoff readout — one
+    * non-equi join against the bounded cutoff list, counts per
+    * (cutoff, x_lang).
+    */
+  def q335BitextMarginSweep(nLists: Int, nAssign: Int, k: Int,
+      cuts: Seq[Double]): String =
+    withClause(kmTrainCtes(nLists) ++ Seq(
+      kmAssignCte("asg", "c2", take = nAssign),
+      "lg AS (SELECT doc_id AS vec_id, lang FROM documents)",
+      "cand AS (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y " +
+        "FROM asg a JOIN asg b ON a.cid = b.cid " +
+        "AND a.vec_id <> b.vec_id " +
+        "JOIN lg la ON la.vec_id = a.vec_id " +
+        "JOIN lg lb ON lb.vec_id = b.vec_id " +
+        "WHERE la.lang <> lb.lang)",
+      "p AS (SELECT c.x, c.y, " +
+        "list_cosine_similarity(ea.v, eb.v) AS cos " +
+        "FROM cand c JOIN e ea ON ea.vec_id = c.x " +
+        "JOIN e eb ON eb.vec_id = c.y)",
+      "r AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x " +
+        "ORDER BY " + graft.functions.Grid.snapSql("cos", 4) +
+        " DESC, y) AS rn FROM p)",
+      s"ak AS (SELECT x, avg(cos) AS avg_k FROM r WHERE rn <= $k " +
+        "GROUP BY x)",
+      "sc AS (SELECT p.x, p.y, p.cos, " +
+        graft.functions.Grid.snapSql(
+          "p.cos / ((ax.avg_k + ay.avg_k) / 2)", 4) + " AS margin " +
+        "FROM p JOIN ak ax ON ax.x = p.x JOIN ak ay ON ay.x = p.y)",
+      "cuts AS (SELECT unnest([" +
+        cuts.map(graft.functions.Grid.lit17).mkString(", ") +
+        "]) AS cutoff)",
+      "m AS (SELECT sc.x, lg.lang AS x_lang, sc.margin FROM sc " +
+        "JOIN lg ON lg.vec_id = sc.x)"),
+      "SELECT c.cutoff, m.x_lang, CAST(count(*) AS BIGINT) AS n_mined, " +
+        "CAST(count(DISTINCT m.x) AS BIGINT) AS n_docs " +
+        "FROM m JOIN cuts c ON m.margin >= c.cutoff " +
+        "GROUP BY c.cutoff, m.x_lang ORDER BY c.cutoff, m.x_lang")
+
   /** Capstone-3 replay — the round-6 stages chained: first-occurrence
     * novelty filter (keep docs whose distinct 3-grams are majority-novel)
     * → SemDeDup over the survivors' embeddings (IVF argmax assignment +

@@ -563,6 +563,22 @@ object ScaleProbe {
             "vec_id", "embedding", "grp", k = 8, cents, nAssign = 2))
       }
     }
+    // cross-lingual SEMANTIC dedup (trained-list SemDeDup candidates
+    // + language filter): lists ∝ n keeps mean per-list population
+    // constant, so the verified-pair stage stays ~linear; exact
+    // replicas again plant r² true-dup mass per list (the documented
+    // pair-emission worst case, same as xling_neardup)
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("xling_semantic")) {
+        val cents = operators.Clustering.kmeansCentroids(
+          replicateVecs(r), "vec_id", "embedding", k = 8 * r, iters = 1)
+        timeWarm(s"xling_semantic r=$r vecs=${nVecs * r} lists=${8 * r}",
+          () => operators.CrossLingual.embeddingDupPairs(
+            replicateVecs(r).withColumn("lang", grpOf),
+            "vec_id", "embedding", "lang", threshold = 0.4, cents,
+            nAssign = 2))
+      }
+    }
     // mahalanobis: ONE aggregation to a single moment row + a
     // map-only d² projection — strictly linear at any feature scale
     Seq(1, 2, 4, 8).foreach { r =>

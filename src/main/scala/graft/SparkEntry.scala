@@ -4002,6 +4002,120 @@ object SparkEntry {
         .orderBy(col("x"))
     }),
 
+    // Cross-lingual SEMANTIC near-dup — LASER-style embedding
+    // blocking: trained-IVF SemDeDup candidates (q93's device)
+    // verified at cosine >= 0.4, kept only across language labels.
+    // Catches translated content with ZERO token overlap, which the
+    // folded-fingerprint (q319) and MinHash (q320) paths cannot see.
+    "q334_xling_semantic_neardup" -> ((s, dir) => {
+      val langs = T(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 16, iters = 2)
+      graft.operators.CrossLingual.embeddingDupPairs(
+          e.join(langs, Seq("vec_id")), "vec_id", "embedding", "lang",
+          threshold = 0.4, cents, nAssign = 2)
+        .select(col("a_id"), col("b_id"), col("lang_a"), col("lang_b"),
+          graft.functions.Grid.snap(col("cos"), 4).as("cos"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Bitext mining OPERATING-POINT sweep — the CCMatrix decision
+    // artifact: over q333's trained-IVF margin table, how many pairs
+    // (and distinct source docs) survive each margin cutoff, per
+    // source language. This is how a parallel-corpus build picks θ:
+    // precision rises and volume falls with the cutoff; the sweep is
+    // one bounded explode over the sparse mined table.
+    "q335_bitext_margin_sweep" -> ((s, dir) => {
+      val langs = T(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 64, iters = 2)
+      val mined = graft.operators.Similarity.bitextMinedPairsVia(
+        e.join(langs, Seq("vec_id")), "vec_id", "embedding", "lang",
+        k = 8, cents, nAssign = 6)
+      val cuts = Seq(1.00, 1.02, 1.04, 1.06, 1.08)
+      mined
+        .join(langs.select(col("vec_id").as("x"),
+          col("lang").as("x_lang")), Seq("x"))
+        .select(col("x"), col("x_lang"), col("margin"),
+          explode(array(cuts.map(lit): _*)).as("cutoff"))
+        .filter(col("margin") >= col("cutoff"))
+        .groupBy(col("cutoff"), col("x_lang"))
+        .agg(count(lit(1)).as("n_mined"),
+          countDistinct(col("x")).as("n_docs"))
+        .orderBy(col("cutoff"), col("x_lang"))
+    }),
+
+    // Script-mix corpus QC: per language label, how much of the text
+    // is ASCII letters / digits / non-ASCII codepoints, and how many
+    // docs mix Latin with non-ASCII — the audit that would have
+    // surfaced the empty-fold class (fully non-Latin docs) BEFORE it
+    // reached the dedup stage. Exact integer char-class counts
+    // (codepoint semantics agree across engines), ratios snapped.
+    "q336_script_profile" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("nc"),
+          TF.charClassCount(col("text"), "[A-Za-z]").cast("long")
+            .as("lat"),
+          TF.charClassCount(col("text"), "[0-9]").cast("long")
+            .as("dig"),
+          TF.charClassCount(col("text"), "[^\\x00-\\x7F]").cast("long")
+            .as("nonasc"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("n_chars"),
+          graft.functions.Grid.snap(
+            sum(col("lat")).cast("double") / sum(col("nc")), 4)
+            .as("latin_ratio"),
+          graft.functions.Grid.snap(
+            sum(col("dig")).cast("double") / sum(col("nc")), 4)
+            .as("digit_ratio"),
+          graft.functions.Grid.snap(
+            sum(col("nonasc")).cast("double") / sum(col("nc")), 4)
+            .as("nonascii_ratio"),
+          sum(when(col("lat") > 0 && col("nonasc") > 0, 1L)
+            .otherwise(0L)).as("n_mixed_script"))
+        .orderBy(col("lang"))
+    }),
+
+    // Document-layout features over REAL decoded images — projection-
+    // profile page segmentation (the classic OCR X-Y-cut primitive):
+    // per-row integer ink from the decoded raster, rows above the
+    // page's mean ink flagged as text, maximal runs counted as bands
+    // via one keyed lag window. PNG is lossless, so the oracle
+    // recomputes identical integers from the embeddings alone.
+    "q337_layout_bands" -> ((s, dir) => {
+      val px = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(px, "vec_id", "pixels",
+          side = 8), "media_id", "media")
+      val prof = graft.operators.Multimodal.rowInkProfile(media)
+      val tot = prof.groupBy(col("media_id"))
+        .agg(sum(col("ink")).as("__tot"), count(lit(1)).as("__nr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("row_idx"))
+      prof.join(tot, Seq("media_id"))
+        .withColumn("__is_text",
+          col("ink") * col("__nr") > col("__tot"))
+        .withColumn("__starts", (col("__is_text") &&
+          coalesce(!lag(col("__is_text"), 1).over(w), lit(true)))
+          .cast("long"))
+        .groupBy(col("media_id"))
+        .agg(sum(when(col("__is_text"), 1L).otherwise(0L))
+          .as("n_text_rows"),
+          sum(col("__starts")).as("n_bands"),
+          min(when(col("__is_text"), col("row_idx")))
+            .as("first_text_row"),
+          max(when(col("__is_text"), col("row_idx")))
+            .as("last_text_row"))
+        .orderBy(col("media_id"))
+    }),
+
     // Language-ID evaluation: the q26 stopword-profile heuristic
     // against the labeled lang column as a confusion grid — the
     // quality readout a filter pipeline needs before trusting
@@ -8545,6 +8659,63 @@ object SparkEntry {
     "q219_margin_mining_ivf" -> HashOracles.q219MarginMiningIvf(64, 6, 8),
 
     "q333_bitext_mining_ivf" -> HashOracles.q333BitextMiningIvf(64, 6, 8),
+
+    "q334_xling_semantic_neardup" ->
+      HashOracles.q334XlingSemanticNearDup(16, 2, 0.4),
+
+    "q335_bitext_margin_sweep" -> HashOracles.q335BitextMarginSweep(
+      64, 6, 8, Seq(1.00, 1.02, 1.04, 1.06, 1.08)),
+
+    // layout-band replay from the embeddings alone (PNG lossless):
+    // pixel p_i = clamp(floor((v+1)·127.5)), row ink = Σ (255 − p),
+    // text rows by exact cross-multiplied mean comparison, band
+    // starts via lag — integer arithmetic end to end
+    "q337_layout_bands" ->
+      """WITH px AS (SELECT vec_id AS media_id, i,
+        |  CAST(greatest(0, least(255, floor((CAST(embedding[i+1]
+        |    AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p
+        |  FROM embeddings, range(64) t(i)),
+        |rws AS (SELECT media_id, CAST(i // 8 AS INTEGER) AS row_idx,
+        |  CAST(sum(255 - p) AS BIGINT) AS ink
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(ink) AS tot,
+        |  count(*) AS nr FROM rws GROUP BY 1),
+        |fl AS (SELECT r.media_id, r.row_idx,
+        |  r.ink * t.nr > t.tot AS is_text,
+        |  lag(r.ink * t.nr > t.tot) OVER (PARTITION BY r.media_id
+        |    ORDER BY r.row_idx) AS prev
+        |  FROM rws r JOIN tot t USING (media_id))
+        |SELECT media_id,
+        |  CAST(sum(CASE WHEN is_text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_text_rows,
+        |  CAST(sum(CASE WHEN is_text AND coalesce(NOT prev, true)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bands,
+        |  min(CASE WHEN is_text THEN row_idx END) AS first_text_row,
+        |  max(CASE WHEN is_text THEN row_idx END) AS last_text_row
+        |FROM fl GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // exact integer char-class counts per codepoint (both engines'
+    // length() counts codepoints), ratios snapped at 4 dp
+    "q336_script_profile" ->
+      s"""WITH d AS (SELECT lang, length(text) AS nc,
+        |  length(text) - length(regexp_replace(text,
+        |    '[A-Za-z]', '', 'g')) AS lat,
+        |  length(text) - length(regexp_replace(text,
+        |    '[0-9]', '', 'g')) AS dig,
+        |  length(text) - length(regexp_replace(text,
+        |    '[^\\x00-\\x7F]', '', 'g')) AS nonasc
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  ${Grid.snapSql("CAST(sum(lat) AS DOUBLE) / sum(nc)", 4)}
+        |    AS latin_ratio,
+        |  ${Grid.snapSql("CAST(sum(dig) AS DOUBLE) / sum(nc)", 4)}
+        |    AS digit_ratio,
+        |  ${Grid.snapSql("CAST(sum(nonasc) AS DOUBLE) / sum(nc)", 4)}
+        |    AS nonascii_ratio,
+        |  CAST(sum(CASE WHEN lat > 0 AND nonasc > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mixed_script
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q220_quantile_sketch" -> HashOracles.q220QuantileSketch(16),
 

@@ -30,6 +30,16 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Count of characters matching the character-class regex `cls`
+    * (e.g. "[A-Za-z]"): length minus length after stripping the class.
+    * Pure codegen'd string ops; the SQL mirror is the same
+    * length-difference over `regexp_replace(..., 'g')`. Both engines
+    * count CODEPOINTS (Spark `length` = UTF8String.numChars, DuckDB
+    * `length` = unicode length), so the counts agree beyond ASCII.
+    */
+  def charClassCount(text: Column, cls: String): Column =
+    length(text) - length(regexp_replace(text, cls, ""))
+
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))
 

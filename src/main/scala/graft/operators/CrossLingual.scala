@@ -131,6 +131,35 @@ object CrossLingual {
           .as("is_cross_lingual"))
   }
 
+  /** Cross-lingual SEMANTIC near-dup pairs — LASER-style embedding
+    * blocking: where [[crossLingualNearDupPairs]] needs surviving
+    * LEXICAL overlap after the fold (same tokens, different dressing),
+    * this blocks on a multilingual EMBEDDING space, so genuinely
+    * translated content (zero token overlap) can still pair. Candidates
+    * come from [[Similarity.semanticDupPairsTrained]]'s trained-list
+    * equi-join (the SemDeDup recipe — never all-pairs), verified at
+    * cosine ≥ `threshold`, kept only when the sides carry DIFFERENT
+    * language labels — the filter prunes the sparse verified set.
+    *
+    * Output: (a_id, b_id, lang_a, lang_b, cos), a_id < b_id.
+    */
+  def embeddingDupPairs(vectors: DataFrame, idCol: String,
+      vecCol: String, langCol: String, threshold: Double,
+      centroids: Seq[Seq[Double]], nAssign: Int = 2): DataFrame = {
+    val pairs = Similarity.semanticDupPairsTrained(vectors, idCol,
+      vecCol, threshold, centroids, nAssign)
+    val langs = vectors.select(col(idCol).as("__lid"),
+      col(langCol).as("__llang"))
+    pairs
+      .join(langs.withColumnRenamed("__lid", "a_id")
+        .withColumnRenamed("__llang", "lang_a"), "a_id")
+      .join(langs.withColumnRenamed("__lid", "b_id")
+        .withColumnRenamed("__llang", "lang_b"), "b_id")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("a_id"), col("b_id"), col("lang_a"), col("lang_b"),
+        col("cos"))
+  }
+
   /** Cross-lingual NEAR-duplicate pairs: MinHash-banded candidates over
     * the FOLDED text (so accent/punctuation variants band together),
     * verified by exact token-set Jaccard ≥ `threshold`, kept only when

@@ -328,6 +328,57 @@ object Multimodal {
       }(enc)
   }
 
+  /** Projection-profile row-ink layout primitive over REAL decoded
+    * images — the classic OCR page-segmentation step (horizontal
+    * projection profiles; Ha, Haralick & Phillips' recursive X-Y cut
+    * family): per image row, `ink = Σ_x (255 − gray(x, y))`, an EXACT
+    * integer (dark pixels carry ink), so band/margin decisions
+    * downstream are pure integer DataFrame algebra and a SQL oracle
+    * can recompute them from the quantized pixels (PNG is lossless).
+    * Undecodable rows drop — [[decodeImageMeta]] is where they
+    * surface. Output: (media_id, row_idx, width, ink), one row per
+    * image raster row; one decoder pass per partition.
+    */
+  def rowInkProfile(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("row_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("ink", LongType))))
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                if (bytes == null) Array.emptyByteArray else bytes))
+            catch { case _: Exception => null }
+          if (img == null) Iterator.empty
+          else {
+            val id = r.getLong(0)
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val w = img.getWidth
+            (0 until img.getHeight).iterator.map { y =>
+              var ink = 0L
+              var x = 0
+              while (x < w) {
+                // band average floors like resizeImages' pooling —
+                // grayscale inputs (bands = 1) are untouched
+                var s = 0L; var b = 0
+                while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+                ink += 255L - s / bands
+                x += 1
+              }
+              Row(id, y, w, ink)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Encode a numeric array column as REAL grayscale PNG bytes (one
     * `side`×`side` image per row, row-major, values clamped to 0..255)
     * — `javax.imageio`'s writer, so downstream stages exercise genuine

@@ -895,9 +895,12 @@ object Similarity {
     * exactly as the brute form's cross-group pools; recall vs the
     * exact baseline is measured in SimilaritySpec.
     */
-  def bitextTopMatchesVia(vectors: DataFrame, idCol: String,
-      vecCol: String, groupCol: String, k: Int,
-      centroids: Seq[Seq[Double]], nAssign: Int = 2): DataFrame = {
+  /** The trained-list, cross-group candidate pair table (x, y, cos)
+    * shared by [[bitextTopMatchesVia]] and [[bitextMinedPairsVia]].
+    */
+  private def bitextCandidatePairs(vectors: DataFrame, idCol: String,
+      vecCol: String, groupCol: String,
+      centroids: Seq[Seq[Double]], nAssign: Int): DataFrame = {
     require(nAssign >= 1 && nAssign <= centroids.size,
       s"nAssign $nAssign out of range [1, ${centroids.size}]")
     val prepped = VF.prepForPairs(vectors, idCol, vecCol)
@@ -905,7 +908,7 @@ object Similarity {
         col(groupCol).as("__bt_grp")), Seq("id"))
     val asg = prepped.withColumn("__sm_list",
       explode(Clustering.nearestLists(col("vd"), centroids, nAssign)))
-    val pairs = asg.as("a")
+    asg.as("a")
       .join(asg.as("b"),
         col("a.__sm_list") === col("b.__sm_list") &&
           col("a.id") =!= col("b.id") &&
@@ -915,13 +918,45 @@ object Similarity {
           .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
             (col("a.nrm") * col("b.nrm"))).as("cos"))
       .distinct()
-    marginFromPairs(pairs, k)
   }
+
+  def bitextTopMatchesVia(vectors: DataFrame, idCol: String,
+      vecCol: String, groupCol: String, k: Int,
+      centroids: Seq[Seq[Double]], nAssign: Int = 2): DataFrame =
+    marginFromPairs(
+      bitextCandidatePairs(vectors, idCol, vecCol, groupCol, centroids,
+        nAssign), k)
+
+  /** ALL mined cross-group candidates with their ratio margins — the
+    * CCMatrix mining table proper: [[bitextTopMatchesVia]] keeps each
+    * vector's single best partner, but a parallel-corpus build mines
+    * EVERY pair above a margin threshold and sweeps the threshold to
+    * pick its operating point. One row per DIRECTED candidate (x, y,
+    * cos, margin — margins are per-x because avgK(x) ≠ avgK(y));
+    * filter `margin >= θ` downstream. Same plan class as the top-match
+    * form: trained-list equi-join candidates, never n².
+    */
+  def bitextMinedPairsVia(vectors: DataFrame, idCol: String,
+      vecCol: String, groupCol: String, k: Int,
+      centroids: Seq[Seq[Double]], nAssign: Int = 2): DataFrame =
+    marginScores(
+      bitextCandidatePairs(vectors, idCol, vecCol, groupCol, centroids,
+        nAssign), k)
+      .select(col("x"), col("y"),
+        graft.functions.Grid.snap(col("cos"), 4).as("cos"),
+        col("margin"))
 
   /** Shared margin scoring over a (x, y, cos) candidate table: avgK
     * per x on the rounded-grid top-k, ratio margin, best partner per x.
     */
-  private def marginFromPairs(rawPairs: DataFrame, k: Int): DataFrame = {
+  /** The full margin-scored candidate table (x, y, cos, margin) over a
+    * (x, y, cos) pair table — everything [[marginFromPairs]] computes
+    * short of the best-row selection. This is the CCMatrix-style
+    * MINING table: a margin threshold over it yields ALL pair
+    * candidates above θ, not just each vector's best partner.
+    */
+  private[graft] def marginScores(rawPairs: DataFrame,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = graft.CacheScope.register(rawPairs.persist())
     // neighbor selection ranks on the SNAPPED cosine grid (partner-id
@@ -936,11 +971,16 @@ object Similarity {
       .filter(col("__sm_rn") <= k)
       .groupBy(col("x"))
       .agg(avg(col("cos")).as("avg_k"))
-    val scored = pairs
+    pairs
       .join(avgK.select(col("x"), col("avg_k").as("ax")), Seq("x"))
       .join(avgK.select(col("x").as("y"), col("avg_k").as("ay")), Seq("y"))
       .withColumn("margin", graft.functions.Grid.snap(
         col("cos") / ((col("ax") + col("ay")) / 2), 4))
+  }
+
+  private def marginFromPairs(rawPairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = marginScores(rawPairs, k)
     val wBest = Window.partitionBy(col("x"))
       .orderBy(col("margin").desc, col("y"))
     scored

@@ -929,6 +929,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p333.contains("CartesianProduct"), p333)
     assert(!p333.contains("BroadcastNestedLoopJoin"),
       s"q333 fell back to the brute pair join:\n$p333")
+    // q334: the SemDeDup trained-list equi-join candidates with the
+    // language filter — same rule, no pair-space blowup
+    val p334 = plan("q334_xling_semantic_neardup")
+    assert(!p334.contains("CartesianProduct"), p334)
+    assert(!p334.contains("BroadcastNestedLoopJoin"), p334)
+    // q335: the cutoff sweep is an EXPLODE over the sparse mined
+    // table, not a join against the cutoff list — no nested loop
+    val p335 = plan("q335_bitext_margin_sweep")
+    assert(!p335.contains("CartesianProduct"), p335)
+    assert(!p335.contains("BroadcastNestedLoopJoin"), p335)
+    assert(p335.contains("Generate"), // the explode is the sweep
+      s"q335 lost its explode sweep:\n$p335")
+    // q336: char-class profile is ONE hash aggregation — join-free
+    val p336 = plan("q336_script_profile")
+    assert(!p336.contains("Join"), s"q336 must be join-free:\n$p336")
+    assert(!p336.contains("ScalaUDF"), p336)
+    // q337: layout bands — the ink/total join is keyed, the run
+    // window is keyed by media_id; no cartesian, no unkeyed window
+    val p337 = plan("q337_layout_bands")
+    assert(!p337.contains("CartesianProduct"), p337)
+    assert(!p337.contains("BroadcastNestedLoopJoin"), p337)
   }
 
   test("entry: whole-stage codegen covers the join+agg pipeline") {

@@ -211,6 +211,31 @@ class CrossLingualSpec extends SparkSpec {
     assert(out(12L).getAs[Any]("matched_id") === null)
   }
 
+  test("embeddingDupPairs: near-identical cross-language vectors pair " +
+      "at the threshold; the same-language twin and the sub-threshold " +
+      "neighbor are filtered") {
+    val s = spark
+    import s.implicits._
+    // 1 and 2 are near-identical (cos ~0.9987) across languages; 3 is
+    // 1's SAME-language twin (cos ~0.9999 — language filter must drop
+    // it); 4 is cross-language but orthogonal (cos 0)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "en"),
+      (2L, Seq(0.95f, 0.05f), "fr"),
+      (3L, Seq(0.99f, 0.01f), "en"),
+      (4L, Seq(0.0f, 1.0f), "fr")).toDF("vec_id", "embedding", "lang")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val pairs = CrossLingual.embeddingDupPairs(vecs, "vec_id",
+        "embedding", "lang", threshold = 0.9, cents, nAssign = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[String]("lang_a"), r.getAs[String]("lang_b")))
+    // surviving pairs: (1,2) en-fr and (2,3) fr-en; never (1,3) en-en,
+    // never anything with 4 (different list AND cos 0)
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (2L, 3L)))
+    pairs.foreach(p => assert(p._3 !== p._4))
+  }
+
   test("bitextTopMatches: the best match is always cross-group, and " +
       "the aligned pair wins over a same-language twin") {
     val s = spark

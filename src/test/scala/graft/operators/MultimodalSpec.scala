@@ -68,6 +68,26 @@ class MultimodalSpec extends SparkSpec {
       "PNG is lossless: pooled 4x4 features must equal the pixels")
   }
 
+  test("rowInkProfile: exact per-row ink from the decoded raster — " +
+      "ink = sum(255 - gray); undecodable media drop") {
+    val s = spark
+    import s.implicits._
+    // 2x2 image: row 0 = [0, 255] -> ink 255 + 0 = 255; row 1 =
+    // [255, 255] -> ink 0
+    val df = Seq((3L, Seq(0.0, 255.0, 255.0, 255.0))).toDF("id", "px")
+    val media = Multimodal.asMedia(
+      Multimodal.encodePng(df, "id", "px", side = 2),
+      "media_id", "media")
+    val prof = Multimodal.rowInkProfile(media).collect()
+      .map(r => (r.getAs[Int]("row_idx"),
+        (r.getAs[Int]("width"), r.getAs[Long]("ink")))).toMap
+    assert(prof === Map(0 -> ((2, 255L)), 1 -> ((2, 0L))))
+    // junk bytes decode to nothing and emit nothing
+    val junk = Seq((9L, Array[Byte](1, 2, 3), "application/octet-stream"))
+      .toDF("media_id", "media", "format")
+    assert(Multimodal.rowInkProfile(junk).count() === 0L)
+  }
+
   test("real WAV round trip: javax.sound encodes/decodes PCM16 " +
       "losslessly, WavCodec returns exact per-window sample sums, " +
       "headers carry the true format") {
