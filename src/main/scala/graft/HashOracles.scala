@@ -2369,6 +2369,173 @@ object HashOracles {
         "FROM m JOIN cuts c ON m.margin >= c.cutoff " +
         "GROUP BY c.cutoff, m.x_lang ORDER BY c.cutoff, m.x_lang")
 
+  /** Bitext-recall eval replay (q338): the brute q325 chain AND the
+    * trained-IVF q333 chain, both over the identical `vec_id < slice`
+    * subset (kmTrainCtes' e carries the slice, so training inits from
+    * the slice's smallest ids exactly like the Spark side), joined on
+    * x for the per-language agreement readout.
+    */
+  def q338BitextRecall(slice: Int, nLists: Int, nAssign: Int,
+      k: Int): String = {
+    import graft.functions.Grid.snapSql
+    withClause(kmTrainCtes(nLists, s" WHERE vec_id < $slice") ++ Seq(
+      s"lg AS (SELECT doc_id AS vec_id, lang FROM documents " +
+        s"WHERE doc_id < $slice)",
+      "eb AS (SELECT e.vec_id, e.v, lg.lang FROM e " +
+        "JOIN lg ON lg.vec_id = e.vec_id)",
+      // brute (gold): all cross-language pairs
+      "pb AS (SELECT a.vec_id AS x, b.vec_id AS y, " +
+        "list_cosine_similarity(a.v, b.v) AS cos " +
+        "FROM eb a JOIN eb b ON a.vec_id <> b.vec_id " +
+        "AND a.lang <> b.lang)",
+      "rb AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x " +
+        s"ORDER BY ${snapSql("cos", 4)} DESC, y) AS rn FROM pb)",
+      s"akb AS (SELECT x, avg(cos) AS avg_k FROM rb WHERE rn <= $k " +
+        "GROUP BY x)",
+      "scb AS (SELECT pb.x, pb.y, " +
+        s"${snapSql("pb.cos / ((ax.avg_k + ay.avg_k) / 2)", 4)} " +
+        "AS margin FROM pb JOIN akb ax ON ax.x = pb.x " +
+        "JOIN akb ay ON ay.x = pb.y)",
+      "bstb AS (SELECT x, y, row_number() OVER (PARTITION BY x " +
+        "ORDER BY margin DESC, y) AS rn FROM scb)",
+      "gold AS (SELECT x, y AS g FROM bstb WHERE rn = 1)",
+      // trained-IVF (got): shared-list cross-language candidates
+      kmAssignCte("asg", "c2", take = nAssign),
+      "cand AS (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y " +
+        "FROM asg a JOIN asg b ON a.cid = b.cid " +
+        "AND a.vec_id <> b.vec_id " +
+        "JOIN lg la ON la.vec_id = a.vec_id " +
+        "JOIN lg lb ON lb.vec_id = b.vec_id " +
+        "WHERE la.lang <> lb.lang)",
+      "pv AS (SELECT c.x, c.y, " +
+        "list_cosine_similarity(ea.v, eb2.v) AS cos " +
+        "FROM cand c JOIN e ea ON ea.vec_id = c.x " +
+        "JOIN e eb2 ON eb2.vec_id = c.y)",
+      "rv AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x " +
+        s"ORDER BY ${snapSql("cos", 4)} DESC, y) AS rn FROM pv)",
+      s"akv AS (SELECT x, avg(cos) AS avg_k FROM rv WHERE rn <= $k " +
+        "GROUP BY x)",
+      "scv AS (SELECT pv.x, pv.y, " +
+        s"${snapSql("pv.cos / ((ax.avg_k + ay.avg_k) / 2)", 4)} " +
+        "AS margin FROM pv JOIN akv ax ON ax.x = pv.x " +
+        "JOIN akv ay ON ay.x = pv.y)",
+      "bstv AS (SELECT x, y, row_number() OVER (PARTITION BY x " +
+        "ORDER BY margin DESC, y) AS rn FROM scv)",
+      "got AS (SELECT x, y AS gt FROM bstv WHERE rn = 1)",
+      "ag AS (SELECT lg.lang AS x_lang, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN got.gt = gold.g THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_agree " +
+        "FROM gold LEFT JOIN got USING (x) " +
+        "JOIN lg ON lg.vec_id = gold.x GROUP BY lg.lang)"),
+      "SELECT x_lang, n_docs, n_agree, " +
+        s"${snapSql("CAST(n_agree AS DOUBLE) / n_docs", 4)} AS recall " +
+        "FROM ag ORDER BY x_lang")
+  }
+
+  /** LSH S-curve replay (q339): banded candidates over the sliced
+    * corpus (the shared q18 CTEs), TRUE shingle-set jaccard for every
+    * pair as exact integer intersect/union, capture per decile next
+    * to the analytic 1-(1-s^4)^4 at the bin midpoint (pure IEEE
+    * multiplications — no pow).
+    */
+  def q339LshScurve(slice: Int): String = {
+    import graft.functions.Grid.snapSql
+    val base = s"(SELECT doc_id, text FROM documents " +
+      s"WHERE doc_id < $slice)"
+    val s = "((CAST(bin AS DOUBLE) + 0.5) / 10.0)"
+    val s4 = s"($s * $s * $s * $s)"
+    val t1 = s"(1.0 - $s4)"
+    withClause(bandedCtes("", base) ++ Seq(
+      s"tk AS (SELECT doc_id, $Toks AS t FROM $base d)",
+      "shg AS (SELECT doc_id AS id, list_distinct(CASE WHEN " +
+        "len(t) >= 3 THEN list_transform(range(0, len(t) - 2), " +
+        "i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END) AS sh FROM tk)",
+      "p AS (SELECT a.id AS a_id, b.id AS b_id, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i, " +
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) " +
+        "AS u FROM shg a JOIN shg b ON a.id < b.id)",
+      "binp AS (SELECT a_id, b_id, " +
+        "CAST(least((i * 10) // u, 9) AS BIGINT) AS bin FROM p)",
+      "j AS (SELECT binp.bin, CASE WHEN c.a_id IS NOT NULL THEN 1 " +
+        "ELSE 0 END AS cf FROM binp LEFT JOIN cand c " +
+        "ON c.a_id = binp.a_id AND c.b_id = binp.b_id)",
+      "ag AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(cf) AS BIGINT) AS n_captured FROM j GROUP BY bin)"),
+      "SELECT bin, n_pairs, n_captured, " +
+        s"${snapSql("CAST(n_captured AS DOUBLE) / n_pairs", 4)} " +
+        "AS capture, " +
+        s"${snapSql(s"1.0 - $t1 * $t1 * $t1 * $t1", 4)} AS theory " +
+        "FROM ag ORDER BY bin")
+  }
+
+  /** Trained char-3-gram langid replay (q340): the
+    * [[operators.TrainedLangId]] chain — splitmix64 hash split,
+    * per-(gram, lang) counts, log-probabilities snapped ONCE to
+    * integer nanonats (the survival 1e-9 ln contract), exact integer
+    * scoring `prior + Σ lp_present + (G − n_present)·oov`, argmax
+    * with class-name tie-break, confusion grid on the holdout.
+    */
+  def q340CharNgramLangid(trainBuckets: Int): String = {
+    val head = Seq(
+      "lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents)",
+      "gs AS (SELECT doc_id, lang, CASE WHEN length(t) >= 3 THEN " +
+        "list_transform(range(0, length(t) - 2), " +
+        "i -> substr(t, CAST(i + 1 AS INTEGER), 3)) " +
+        "ELSE [t] END AS g FROM lt)",
+      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z " +
+        "FROM documents)")
+    val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "dz" else s"dm${n - 1}"
+        s"dm$n AS ($body FROM $prev)"
+    }
+    val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
+    val sc9 = "CAST(floor(ln(%s) * 1000000000.0 + 0.5) AS BIGINT)"
+    withClause(head ++ mixed ++ Seq(
+      s"sp AS (SELECT doc_id, $signedMod < $trainBuckets AS is_train " +
+        "FROM dm5)",
+      "tr AS (SELECT gs.* FROM gs JOIN sp USING (doc_id) " +
+        "WHERE is_train)",
+      "te AS (SELECT gs.* FROM gs JOIN sp USING (doc_id) " +
+        "WHERE NOT is_train)",
+      "w AS (SELECT lang, unnest(g) AS gr FROM tr)",
+      "cnt AS (SELECT gr, lang, CAST(count(*) AS BIGINT) AS n " +
+        "FROM w GROUP BY gr, lang)",
+      "vv AS (SELECT CAST(count(DISTINCT gr) AS BIGINT) AS v FROM cnt)",
+      "tc AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tt FROM cnt " +
+        "GROUP BY lang)",
+      "nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS ndoc FROM tr " +
+        "GROUP BY lang)",
+      "ntot AS (SELECT CAST(sum(ndoc) AS BIGINT) AS nt FROM nd)",
+      "cls AS (SELECT nd.lang, " +
+        sc9.format("CAST(ndoc AS DOUBLE) / nt") + " AS prior_sc, " +
+        sc9.format("1.0 / (tt + v)") + " AS oov_sc " +
+        "FROM nd JOIN tc USING (lang), ntot, vv)",
+      "lp AS (SELECT gr, lang, " +
+        sc9.format("CAST(n + 1 AS DOUBLE) / (tt + v)") + " AS lp_sc " +
+        "FROM cnt JOIN tc USING (lang), vv)",
+      "hb AS (SELECT doc_id, lang AS lang_true, " +
+        "CAST(len(g) AS BIGINT) AS ng FROM te)",
+      "occ AS (SELECT doc_id, unnest(g) AS gr FROM te)",
+      "pres AS (SELECT occ.doc_id, lp.lang, " +
+        "CAST(sum(lp_sc) AS BIGINT) AS s, " +
+        "CAST(count(*) AS BIGINT) AS np " +
+        "FROM occ JOIN lp USING (gr) GROUP BY occ.doc_id, lp.lang)",
+      "sco AS (SELECT h.doc_id, h.lang_true, c.lang, " +
+        "c.prior_sc + coalesce(p.s, 0) + " +
+        "(h.ng - coalesce(p.np, 0)) * c.oov_sc AS score " +
+        "FROM hb h CROSS JOIN cls c LEFT JOIN pres p " +
+        "ON p.doc_id = h.doc_id AND p.lang = c.lang)",
+      "best AS (SELECT doc_id, lang_true, lang AS lang_pred, " +
+        "row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, lang) AS rn FROM sco)"),
+      "SELECT lang_true AS lang, lang_pred, " +
+        "CAST(count(*) AS BIGINT) AS n FROM best WHERE rn = 1 " +
+        "GROUP BY lang_true, lang_pred ORDER BY lang, lang_pred")
+  }
+
   /** Capstone-3 replay — the round-6 stages chained: first-occurrence
     * novelty filter (keep docs whose distinct 3-grams are majority-novel)
     * → SemDeDup over the survivors' embeddings (IVF argmax assignment +
@@ -2454,10 +2621,12 @@ object HashOracles {
 
   /** e + c0 + two Lloyd updates → trained centroids in CTE `c2` — the
     * fragment q87 (final assignment) and q93 (trained SemDeDup) share.
+    * `where` optionally slices the vector table (" WHERE vec_id < n"),
+    * mirroring a Spark side that trains on the same slice.
     */
-  private def kmTrainCtes(k: Int): Seq[String] = Seq(
+  private def kmTrainCtes(k: Int, where: String = ""): Seq[String] = Seq(
     "e AS (SELECT vec_id, list_transform(embedding, " +
-      "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      s"x -> CAST(x AS DOUBLE)) AS v FROM embeddings$where)",
     "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 " +
       "AS INTEGER) AS cid, v AS vec FROM " +
       s"(SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))",

@@ -4116,6 +4116,90 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Bitext RECALL eval — does the IVF path find the brute-force
+    // best match? Per source language on a 200-doc slice (the
+    // bounded-eval contract that makes the n² gold side cheap):
+    // gold = q325's exact form, got = q333's trained-IVF form, both
+    // over the identical slice. The accept/reject readout for
+    // swapping the scale path into a pipeline.
+    "q338_bitext_recall" -> ((s, dir) => {
+      val langs = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = T(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val ev = e.join(langs, Seq("vec_id"))
+      val gold = graft.operators.Similarity.bitextTopMatches(
+          ev, "vec_id", "embedding", "lang", k = 8)
+        .select(col("x"), col("best_match").as("__gold"))
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 16, iters = 2)
+      val got = graft.operators.Similarity.bitextTopMatchesVia(
+          ev, "vec_id", "embedding", "lang", k = 8, cents, nAssign = 4)
+        .select(col("x"), col("best_match").as("__got"))
+      gold.join(got, Seq("x"), "left")
+        .join(langs.select(col("vec_id").as("x"),
+          col("lang").as("x_lang")), Seq("x"))
+        .groupBy(col("x_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__got") === col("__gold"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .withColumn("recall", graft.functions.Grid.snap(
+          col("n_agree").cast("double") / col("n_docs"), 4))
+        .orderBy(col("x_lang"))
+    }),
+
+    // LSH S-curve eval — is the banding capturing what its analytic
+    // curve promises? Over a 150-doc slice: TRUE shingle-set jaccard
+    // for every pair (exact integer intersect/union), capture rate of
+    // the banded candidates per jaccard decile, next to the textbook
+    // 1-(1-s^r)^b at the bin midpoint. The sketch-quality audit run
+    // before trusting MinHash bands as the corpus dedup gate.
+    "q339_lsh_scurve" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 150)
+      val cands = graft.operators.Dedup.minhashCandidatePairs(
+        docs, "doc_id", "text")
+      val sh = docs.select(col("doc_id").as("id"),
+        TF.shinglesOf(toks(col("text")), 3).as("sh"))
+      val pairs = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+            .as("__i"),
+          size(array_union(col("a.sh"), col("b.sh"))).cast("long")
+            .as("__u"))
+      val sMid = (col("bin").cast("double") + 0.5) / 10.0
+      val s4 = sMid * sMid * sMid * sMid
+      val t1 = lit(1.0) - s4
+      pairs
+        .withColumn("bin", least(expr("(__i * 10) div __u"), lit(9L)))
+        .join(cands.withColumn("__c", lit(1L)), Seq("a_id", "b_id"),
+          "left")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_captured"))
+        .withColumn("capture", graft.functions.Grid.snap(
+          col("n_captured").cast("double") / col("n_pairs"), 4))
+        .withColumn("theory", graft.functions.Grid.snap(
+          lit(1.0) - t1 * t1 * t1 * t1, 4))
+        .orderBy(col("bin"))
+    }),
+
+    // TRAINED language ID (fastText-recipe char-3-gram NB) evaluated
+    // as a confusion grid on the held-out split — the production
+    // upgrade of q323's fixed-stopword heuristic: covers all 5
+    // labeled languages and learns from data. Scores are exact
+    // integer nanonats (ln snapped once per gram), so the argmax
+    // replays bit-identically.
+    "q340_charngram_langid" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.TrainedLangId.train(
+        docs.filter(split), "text", "lang")
+      graft.operators.TrainedLangId.predict(
+          docs.filter(!split), "doc_id", "text", model)
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     // Language-ID evaluation: the q26 stopword-profile heuristic
     // against the labeled lang column as a confusion grid — the
     // quality readout a filter pipeline needs before trusting
@@ -8665,6 +8749,12 @@ object SparkEntry {
 
     "q335_bitext_margin_sweep" -> HashOracles.q335BitextMarginSweep(
       64, 6, 8, Seq(1.00, 1.02, 1.04, 1.06, 1.08)),
+
+    "q338_bitext_recall" -> HashOracles.q338BitextRecall(200, 16, 4, 8),
+
+    "q339_lsh_scurve" -> HashOracles.q339LshScurve(150),
+
+    "q340_charngram_langid" -> HashOracles.q340CharNgramLangid(8000),
 
     // layout-band replay from the embeddings alone (PNG lossless):
     // pixel p_i = clamp(floor((v+1)·127.5)), row ink = Σ (255 − p),

@@ -30,6 +30,20 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Character n-grams over the LOWERCASED text (fastText-style langid
+    * features — boundaries and spaces included); texts shorter than `n`
+    * yield the whole lowered string as their single gram (the
+    * [[ngramsOf]] short-input convention). Both engines slice by
+    * CODEPOINT (Spark `substr`, DuckDB `substr`), so grams agree
+    * beyond ASCII.
+    */
+  def charGrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) >= n,
+      transform(sequence(lit(0), length(t) - n), i => t.substr(i + 1, lit(n))))
+      .otherwise(array(t))
+  }
+
   /** Count of characters matching the character-class regex `cls`
     * (e.g. "[A-Za-z]"): length minus length after stripping the class.
     * Pure codegen'd string ops; the SQL mirror is the same

@@ -950,6 +950,12 @@ class PlanQualitySpec extends SparkSpec {
     val p337 = plan("q337_layout_bands")
     assert(!p337.contains("CartesianProduct"), p337)
     assert(!p337.contains("BroadcastNestedLoopJoin"), p337)
+    // q340: trained langid — the gram/llr join is un-hinted (corpus-
+    // grain both sides); the only nested-loop is the bounded ≤5-row
+    // class cross; no UDF anywhere in the scoring
+    val p340 = plan("q340_charngram_langid")
+    assert(!p340.contains("CartesianProduct"), p340)
+    assert(!p340.contains("ScalaUDF"), p340)
   }
 
   test("entry: whole-stage codegen covers the join+agg pipeline") {
