@@ -2470,6 +2470,75 @@ object HashOracles {
         "FROM ag ORDER BY bin")
   }
 
+  /** Hedge/DoReMi replay (q341): the per-source underlength-rate loss
+    * table, then `iters` unrolled multiplicative-weight rounds — each
+    * round snaps `w·exp(η·ℓ)` to integer 1e-6 units, sums those
+    * integers exactly (order-free), renormalizes on the grid —
+    * mirroring [[operators.Mixture.hedgeMixtureWeights]] step for
+    * step.
+    */
+  def q341DoremiWeights(eta: Double, iters: Int, minToks: Int): String = {
+    import graft.functions.Grid.{lit17, snapSql}
+    val head = Seq(
+      s"d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"CAST(sum(CASE WHEN len($Toks) < $minToks THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS hard FROM documents GROUP BY source)",
+      "nl AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d)",
+      s"w0 AS (SELECT source, n_docs, " +
+        s"${snapSql("CAST(hard AS DOUBLE) / n_docs", 4)} AS loss, " +
+        s"${snapSql("1.0 / nd", 6)} AS w FROM d, nl)")
+    val rounds = (1 to iters).flatMap { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      Seq(
+        s"m$k AS (SELECT source, n_docs, loss, CAST(floor(w * " +
+          s"exp(${lit17(eta)} * loss) * 1000000.0 + 0.5) AS BIGINT) " +
+          s"AS mm FROM $prev)",
+        s"t$k AS (SELECT CAST(sum(mm) AS BIGINT) AS tt FROM m$k)",
+        s"w$k AS (SELECT source, n_docs, loss, " +
+          s"${snapSql("CAST(mm AS DOUBLE) / tt", 6)} AS w " +
+          s"FROM m$k, t$k)")
+    }
+    withClause(head ++ rounds,
+      s"SELECT source, n_docs, loss, w AS weight FROM w$iters " +
+        "ORDER BY source")
+  }
+
+  /** Fold-robust decontamination replay (q342): the q113 5-gram
+    * containment CTEs over a base that aliases [[FoldedTextSql]] AS
+    * text (the q320 device — shared fragments apply unchanged),
+    * language and the 0.2 verdict joined onto the readout.
+    */
+  def q342FoldedDecontaminate(benchMax: Int, tau: Double): String =
+    s"""WITH fd AS (SELECT doc_id, lang, $FoldedTextSql AS text
+       |  FROM documents),
+       |tk AS (SELECT doc_id, $Toks AS t FROM fd),
+       |sg AS (SELECT doc_id, list_filter(
+       |    list_distinct(CASE WHEN len(t) >= 5
+       |    THEN list_transform(range(0, len(t) - 4),
+       |      i -> array_to_string(t[i + 1 : i + 5], ' '))
+       |    ELSE [array_to_string(t, ' ')] END),
+       |    g -> g <> '') AS gs FROM tk),
+       |bench AS (SELECT DISTINCT unnest(gs) AS gram FROM sg
+       |  WHERE doc_id < $benchMax),
+       |cg AS (SELECT doc_id, unnest(gs) AS gram FROM sg
+       |  WHERE doc_id >= $benchMax),
+       |ov AS (SELECT doc_id, count(*) AS n_overlap FROM cg
+       |  JOIN bench USING (gram) GROUP BY doc_id),
+       |per AS (SELECT doc_id, len(gs) AS n_grams FROM sg
+       |  WHERE doc_id >= $benchMax),
+       |res AS (SELECT p.doc_id, CAST(p.n_grams AS INTEGER) AS n_grams,
+       |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CASE WHEN p.n_grams = 0 THEN 0.0
+       |    ELSE round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
+       |      / p.n_grams, 4) END AS contamination_frac
+       |  FROM per p LEFT JOIN ov o USING (doc_id))
+       |SELECT r.doc_id, fd.lang, r.n_grams, r.n_overlap,
+       |  r.contamination_frac,
+       |  r.contamination_frac >= ${graft.functions.Grid.lit17(tau)}
+       |    AS is_contaminated
+       |FROM res r JOIN fd USING (doc_id)
+       |ORDER BY r.doc_id""".stripMargin
+
   /** Trained char-3-gram langid replay (q340): the
     * [[operators.TrainedLangId]] chain — splitmix64 hash split,
     * per-(gram, lang) counts, log-probabilities snapped ONCE to

@@ -4200,6 +4200,49 @@ object SparkEntry {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
+    // DoReMi-style mixture reweighting (Hedge/multiplicative weights
+    // over domains): per-source hardness = underlength-doc rate (an
+    // exact snapped ratio), 8 multiplicative-update rounds on the
+    // 1e-6 integer grid — hard domains gain sampling mass, the
+    // published Group-DRO inner step a corpus pipeline replays when
+    // it applies mixture weights. Bounded domain table → driver fold
+    // (the q202 discipline).
+    "q341_doremi_weights" -> ((s, dir) => {
+      val losses = T(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(TF.tokenCount(col("text")) < 60, 1L).otherwise(0L))
+            .as("__hard"))
+        .withColumn("loss", graft.functions.Grid.snap(
+          col("__hard").cast("double") / col("n_docs"), 4))
+      graft.operators.Mixture.hedgeMixtureWeights(losses, "source",
+          "loss", eta = 2.0, iters = 8)
+        .join(losses.select(col("source"), col("n_docs"), col("loss")),
+          Seq("source"))
+        .select(col("source"), col("n_docs"), col("loss"), col("weight"))
+        .orderBy(col("source"))
+    }),
+
+    // FOLD-ROBUST benchmark decontamination — the q113 5-gram
+    // containment gate run over the q319 diacritic/case/punctuation
+    // fold: an accent-stripped or re-punctuated copy of a benchmark
+    // passage that plain 5-gram matching misses still matches here.
+    // Benchmark = docs < 50; corpus rows carry their language and the
+    // 0.2-containment verdict.
+    "q342_folded_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val folded = docs.select(col("doc_id"),
+        graft.operators.CrossLingual.foldText(col("text")).as("text"))
+      graft.operators.Contamination.contaminationFraction(
+          folded.filter(col("doc_id") >= 50), "doc_id", "text",
+          folded.filter(col("doc_id") < 50), "text", n = 5)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_grams"),
+          col("n_overlap"), col("contamination_frac"),
+          (col("contamination_frac") >= 0.2).as("is_contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID evaluation: the q26 stopword-profile heuristic
     // against the labeled lang column as a confusion grid — the
     // quality readout a filter pipeline needs before trusting
@@ -8755,6 +8798,11 @@ object SparkEntry {
     "q339_lsh_scurve" -> HashOracles.q339LshScurve(150),
 
     "q340_charngram_langid" -> HashOracles.q340CharNgramLangid(8000),
+
+    "q341_doremi_weights" -> HashOracles.q341DoremiWeights(2.0, 8, 60),
+
+    "q342_folded_decontaminate" ->
+      HashOracles.q342FoldedDecontaminate(50, 0.2),
 
     // layout-band replay from the embeddings alone (PNG lossless):
     // pixel p_i = clamp(floor((v+1)·127.5)), row ink = Σ (255 − p),

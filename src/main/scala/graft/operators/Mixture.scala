@@ -364,4 +364,60 @@ object Mixture {
         coalesce(col("__tk"), lit(0L)).as("tokens_selected"),
         col("budget"), col("total_tokens"))
   }
+
+  /** Hedge / multiplicative-weights mixture reweighting — the DoReMi
+    * inner update (Xie et al. 2023: Group-DRO multiplicative weights
+    * over domains; also the classic Hedge/Exp3 step): starting uniform,
+    * each round multiplies every domain's weight by `exp(η·loss_d)`
+    * (hard domains gain mass) and renormalizes. DoReMi recomputes
+    * per-domain excess loss each round from proxy-model training;
+    * this is the DATA-side operator — the update trajectory on a
+    * fixed per-domain loss table, which is what a corpus pipeline
+    * replays when it applies published mixture weights.
+    *
+    * Exactness: the only float entry points are `exp` (libm-ulp class,
+    * the house ln/pow contract) and two exact-operand divisions — each
+    * round snaps `w·exp(η·ℓ)` to the 1e-6 grid AS AN INTEGER
+    * (`floor(·1e6 + ½)`), sums those integers EXACTLY, and
+    * renormalizes on the grid, so the k-round trajectory replays
+    * bit-identically on any engine regardless of domain summation
+    * order.
+    *
+    * Execution: the domain table is bounded BY CONTRACT (`maxDomains`,
+    * checked distributively before the collect — the Markov maxStates
+    * discipline); k rounds over ≤ maxDomains rows are a driver fold,
+    * not k shuffle stages. Output: (domain, weight) — final grid
+    * weights summing to ≈ 1.
+    */
+  def hedgeMixtureWeights(losses: DataFrame, domainCol: String,
+      lossCol: String, eta: Double, iters: Int,
+      maxDomains: Int = 4096): DataFrame = {
+    require(eta > 0 && iters >= 1, s"bad hedge params eta=$eta iters=$iters")
+    val spark = losses.sparkSession
+    import spark.implicits._
+    val nDom = losses.select(col(domainCol)).distinct().count()
+    require(nDom >= 1 && nDom <= maxDomains,
+      s"$nDom domains exceed maxDomains=$maxDomains — not a bounded " +
+        "mixture table; raise the bound only with a memory budget")
+    val rows = losses
+      .select(col(domainCol).cast("string"), col(lossCol).cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1)
+    def snap6i(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    var w: Map[String, Double] =
+      rows.map(_._1 -> graft.functions.Grid.snapD(
+        1.0 / rows.length)).toMap
+    for (_ <- 1 to iters) {
+      val m = rows.map { case (d, l) =>
+        d -> snap6i(w(d) * math.exp(eta * l))
+      }
+      val tot = m.map(_._2).sum // exact long sum — order-free
+      w = m.map { case (d, n) =>
+        d -> graft.functions.Grid.snapD(n.toDouble / tot)
+      }.toMap
+    }
+    rows.map { case (d, _) => (d, w(d)) }.toSeq
+      .toDF(domainCol, "weight")
+  }
 }

@@ -261,6 +261,36 @@ class CrossLingualSpec extends SparkSpec {
     out.foreach { case (x, m) => assert(lang(x) !== lang(m), s"$x->$m") }
   }
 
+  test("hedgeMixtureWeights: the hardest domain gains mass every " +
+      "round, weights stay a grid distribution, and the domain bound " +
+      "fails loudly") {
+    val s = spark
+    import s.implicits._
+    val losses = Seq(("easy", 0.1), ("mid", 0.5), ("hard", 0.9))
+      .toDF("source", "loss")
+    val w1 = Mixture.hedgeMixtureWeights(losses, "source", "loss",
+        eta = 1.0, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w8 = Mixture.hedgeMixtureWeights(losses, "source", "loss",
+        eta = 1.0, iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // monotone in loss, and sharpening with rounds
+    assert(w1("hard") > w1("mid") && w1("mid") > w1("easy"))
+    assert(w8("hard") > w1("hard") && w8("easy") < w1("easy"))
+    // grid distribution: snapped values, sum within a grid ulp of 1
+    Seq(w1, w8).foreach { w =>
+      assert(math.abs(w.values.sum - 1.0) < 3e-6)
+      w.values.foreach(v =>
+        assert(v === graft.functions.Grid.snapD(v)))
+    }
+    // bound check mirrors the q202 discipline
+    val e = intercept[IllegalArgumentException] {
+      Mixture.hedgeMixtureWeights(losses, "source", "loss", 1.0, 2,
+        maxDomains = 2)
+    }
+    assert(e.getMessage.contains("maxDomains=2"))
+  }
+
   test("languageBudgetMix selection is a stable hash-ordered prefix: " +
       "rerun and row-order permutation select the identical doc set") {
     val s = spark
