@@ -4200,6 +4200,39 @@ object SparkEntry {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
+    // Persisted-model round trip for the trained langid: train, WRITE
+    // the model (distributed lp parquet + sidecar with the integer
+    // class facts — integers are JSON-lossless), read it back from
+    // disk, predict. The oracle is exactly q340's: the gate is that
+    // the round trip changes NOTHING.
+    "q343_langid_model_roundtrip" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q343_langid_model").getAbsolutePath
+      graft.operators.TrainedLangId.writeModel(
+        graft.operators.TrainedLangId.train(
+          docs.filter(split), "text", "lang"), path)
+      graft.operators.TrainedLangId.predict(
+          docs.filter(!split), "doc_id", "text",
+          graft.operators.TrainedLangId.readModel(s, path))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // Cross-lingual dedup with QUALITY-aware canonical election —
+    // q319's clusters keeping the LONGEST copy (token count, tie
+    // min id) instead of the first-crawled one: the keep-best rule a
+    // production dedup stage actually wants when mirrored content
+    // varies in completeness.
+    "q344_xling_keepbest" -> ((s, dir) =>
+      graft.operators.CrossLingual.crossLingualClustersKeepBest(
+          T(s, dir, "documents")
+            .withColumn("n_tok", TF.tokenCount(col("text")).cast("long")),
+          "doc_id", "text", "lang", "n_tok")
+        .orderBy(col("fp"))),
+
     // DoReMi-style mixture reweighting (Hedge/multiplicative weights
     // over domains): per-source hardness = underlength-doc rate (an
     // exact snapped ratio), 8 multiplicative-update rounds on the
@@ -8800,6 +8833,31 @@ object SparkEntry {
     "q340_charngram_langid" -> HashOracles.q340CharNgramLangid(8000),
 
     "q341_doremi_weights" -> HashOracles.q341DoremiWeights(2.0, 8, 60),
+
+    // the disk round trip must be invisible: q340's oracle verbatim
+    "q343_langid_model_roundtrip" -> HashOracles.q340CharNgramLangid(8000),
+
+    // q319's fold + cluster CTEs with the keep-best election window
+    "q344_xling_keepbest" ->
+      s"""WITH f AS (SELECT doc_id, lang,
+        |  CAST(len(${HashOracles.Toks}) AS BIGINT) AS score,
+        |  ${HashOracles.FoldedFpSql} AS fp
+        |  FROM documents),
+        |c AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  array_to_string(list_sort(list_distinct(list(lang))), ',')
+        |    AS langs
+        |  FROM f WHERE fp IS NOT NULL GROUP BY fp
+        |  HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2),
+        |b AS (SELECT fp, doc_id AS canonical_id,
+        |  score AS canonical_score,
+        |  row_number() OVER (PARTITION BY fp
+        |    ORDER BY score DESC, doc_id) AS rn
+        |  FROM f WHERE fp IS NOT NULL)
+        |SELECT c.fp, c.n_docs, c.n_langs, b.canonical_id,
+        |  b.canonical_score, c.langs
+        |FROM c JOIN b ON b.fp = c.fp AND b.rn = 1
+        |ORDER BY c.fp""".stripMargin,
 
     "q342_folded_decontaminate" ->
       HashOracles.q342FoldedDecontaminate(50, 0.2),

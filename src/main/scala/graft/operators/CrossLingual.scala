@@ -131,6 +131,44 @@ object CrossLingual {
           .as("is_cross_lingual"))
   }
 
+  /** [[crossLingualClusters]] with QUALITY-aware canonical election —
+    * the keep-best form ([[Dedup]]'s q127 device at cross-lingual
+    * grain): instead of the min-id convention, each cluster keeps the
+    * document with the HIGHEST `scoreCol` (tie → smaller id), so a
+    * multilingual dedup stage retains the best-quality copy of
+    * replicated content rather than whichever crawled first. The
+    * election is one keyed window over cluster members — same shuffle
+    * class as the cluster aggregation itself.
+    *
+    * Output: (fp, n_docs, n_langs, canonical_id, canonical_score,
+    * langs).
+    */
+  def crossLingualClustersKeepBest(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol).as("__id"), col(langCol).as("__lang"),
+        col(scoreCol).as("__score"),
+        foldedFingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+    val clusters = base.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__lang")).as("n_langs"),
+        array_join(array_sort(collect_set(col("__lang"))), ",")
+          .as("langs"))
+      .filter(col("n_docs") >= 2 && col("n_langs") >= 2)
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("__score").desc, col("__id"))
+    val best = base
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("fp"), col("__id").as("canonical_id"),
+        col("__score").as("canonical_score"))
+    clusters.join(best, Seq("fp"))
+      .select(col("fp"), col("n_docs"), col("n_langs"),
+        col("canonical_id"), col("canonical_score"), col("langs"))
+  }
+
   /** Cross-lingual SEMANTIC near-dup pairs — LASER-style embedding
     * blocking: where [[crossLingualNearDupPairs]] needs surviving
     * LEXICAL overlap after the fold (same tokens, different dressing),

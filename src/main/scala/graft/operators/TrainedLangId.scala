@@ -80,6 +80,52 @@ object TrainedLangId {
     Model(lp, classes, v)
   }
 
+  /** Sidecar filename for the persisted model layout (underscore
+    * prefix so parquet readers skip it as data).
+    */
+  val LangIdMetaFile = "_graft_langid.json"
+
+  /** Persist a trained model: the (gram, lang, lp_sc) table as parquet
+    * (corpus-grain — stays distributed at rest) plus a sidecar with
+    * the bounded per-class facts and vocab size. Integers serialize
+    * exactly in JSON, so the round trip is bit-lossless — what lets a
+    * daily scoring job read yesterday's model instead of retraining
+    * ([[graft.operators.SpanDedup.writeSpanIndex]]'s layout story for
+    * the classifier artifact).
+    */
+  def writeModel(model: Model, path: String): Unit = {
+    val spark = model.lp.sparkSession
+    model.lp.write.mode("overwrite").parquet(s"$path/lp")
+    val body = model.classes.map { case (c, p, o) =>
+      s"""{"lang":"$c","prior_sc":$p,"oov_sc":$o}"""
+    }.mkString("[", ",", "]")
+    graft.sources.Sidecar.write(spark, s"$path/$LangIdMetaFile",
+      s"""{"vocab":${model.vocab},"classes":$body}""")
+  }
+
+  /** Re-open a persisted model. The sidecar is the only sound source
+    * of the class facts (a caller-supplied table could drift from the
+    * lp grid — the SpanIndexMeta rule).
+    */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Model = {
+    val text = graft.sources.Sidecar
+      .read(spark, s"$path/$LangIdMetaFile")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $LangIdMetaFile under $path - not a graft langid model"))
+    val vocab = "\"vocab\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$LangIdMetaFile lacks integer field 'vocab': $text"))
+    val cls = ("""\{"lang":"([^"]+)","prior_sc":(-?\d+),""" +
+      """"oov_sc":(-?\d+)\}""").r
+      .findAllMatchIn(text)
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+      .toSeq
+    require(cls.nonEmpty, s"$LangIdMetaFile carries no classes: $text")
+    Model(spark.read.parquet(s"$path/lp"), cls, vocab)
+  }
+
   /** Per-document argmax prediction: every `docs` row plus
     * `lang_pred`. Ties on the integer score break by class name
     * ascending (deterministic, engine-exact).

@@ -261,6 +261,29 @@ class CrossLingualSpec extends SparkSpec {
     out.foreach { case (x, m) => assert(lang(x) !== lang(m), s"$x->$m") }
   }
 
+  test("crossLingualClustersKeepBest: the highest-score member wins " +
+      "the canonical election, ties break to the smaller id") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // cluster A: doc 3 is the longest variant -> canonical
+      (1L, "solar energy policy", "en", 3L),
+      (2L, "policy solar — Énergy!", "fr", 3L),
+      (3L, "solar energy policy framework extension", "de", 5L),
+      // cluster B: equal scores -> min id 10 wins
+      (10L, "wind rules", "en", 2L),
+      (11L, "rules wind!", "fr", 2L))
+      .toDF("doc_id", "text", "lang", "n_tok")
+    val rows = CrossLingual.crossLingualClustersKeepBest(docs, "doc_id",
+        "text", "lang", "n_tok")
+      .collect().map(r => r.getAs[Long]("canonical_id") ->
+        r.getAs[Long]("canonical_score")).toMap
+    // cluster A folds docs 1 and 2 together (doc 3 differs -> its own
+    // singleton drops); canonical of {1, 2} = equal scores -> id 1
+    assert(rows.keySet === Set(1L, 10L))
+    assert(rows(10L) === 2L)
+  }
+
   test("hedgeMixtureWeights: the hardest domain gains mass every " +
       "round, weights stay a grid distribution, and the domain bound " +
       "fails loudly") {

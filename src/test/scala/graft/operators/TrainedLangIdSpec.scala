@@ -62,6 +62,31 @@ class TrainedLangIdSpec extends SparkSpec {
     assert(m.contains("[1,xx]") && m.contains("[2,yy]"))
   }
 
+  test("persisted model round trip: classes, vocab, and predictions " +
+      "survive the disk hop bit-for-bit; a junk path fails loudly") {
+    val train = (corpus(4, "der die das und", "de", 0L) ++
+      corpus(4, "the quick brown fox", "en", 100L))
+      .toDF("doc_id", "text", "lang")
+    val model = TrainedLangId.train(train, "text", "lang")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_langid_model_spec").getAbsolutePath
+    TrainedLangId.writeModel(model, path)
+    val back = TrainedLangId.readModel(spark, path)
+    assert(back.classes === model.classes)
+    assert(back.vocab === model.vocab)
+    val hold = Seq((1L, "die das der", "?"), (2L, "fox the quick", "?"))
+      .toDF("doc_id", "text", "lang")
+    val a = TrainedLangId.predict(hold, "doc_id", "text", model)
+      .select("doc_id", "lang_pred").collect().map(_.toString).sorted
+    val b = TrainedLangId.predict(hold, "doc_id", "text", back)
+      .select("doc_id", "lang_pred").collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      TrainedLangId.readModel(spark, "/tmp/graft_no_such_model_dir")
+    }
+    assert(e.getMessage.contains("not a graft langid model"))
+  }
+
   test("train rejects a single-class corpus") {
     val one = corpus(5, "only one class here", "en", 0L)
       .toDF("doc_id", "text", "lang")
