@@ -38,8 +38,23 @@ object Clustering {
       .orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // the assignment pass is the k·dim-per-row hot loop: a NARROW
+    // input (one small parquet file → one partition) would run it on
+    // a single core, so widen to the session parallelism when the
+    // source arrives narrower — a no-op at corpus scale, where scans
+    // come in far more partitions than cores (measured 3.1 → 0.9 s
+    // for k=64, iters=2 on a 1-partition 2k×64 table at local[32]).
+    // Scope-cache across iterations so each Lloyd round re-reads the
+    // repartitioned rows, not the source scan. Determinism is
+    // unaffected: the update is an unordered per-(cluster, pos) mean
+    // already snapped to the 1e-6 grid by contract.
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    val wide = if (vectors.rdd.getNumPartitions < par)
+      vectors.repartition(par) else vectors
+    val src = if (iters > 1) graft.CacheScope.register(wide.persist())
+      else wide
     for (_ <- 0 until iters) {
-      val updated = assign(vectors, idCol, vecCol, cents)
+      val updated = assign(src, idCol, vecCol, cents)
         .select(col("cluster"),
           posexplode(transform(col(vecCol), x => x.cast("double")))
             .as(Seq("pos", "x")))
