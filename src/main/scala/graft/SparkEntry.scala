@@ -22,8 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, n: String): DataFrame =
-    s.read.parquet(s"$dir/$n.parquet")
+  /** Table reader with a widen-if-narrow guard for the PER-ROW-HEAVY
+    * tables: documents and embeddings feed tokenize/shingle/hash and
+    * distance-array map stages whose cost is per row, and the test
+    * tables ship as single-row-group parquet that no
+    * `maxPartitionBytes` setting can split — those stages would
+    * otherwise run on ONE core. Repartition to the session
+    * parallelism when the scan arrives narrower; at corpus scale
+    * scans carry far more partitions than cores and the guard is a
+    * no-op. The relational tables (lineitem/orders/...) are NOT
+    * widened: their queries lead with partial aggregation, and
+    * forcing an exchange before the partial agg would shuffle raw
+    * rows that the map-side combine is there to shrink — the
+    * aggregate-before-exchange rule outranks scan parallelism for
+    * cheap-per-row work.
+    */
+  private val WidenTables = Set("documents", "embeddings")
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$n.parquet")
+    val par = s.sparkContext.defaultParallelism
+    if (WidenTables.contains(n) && df.rdd.getNumPartitions < par)
+      df.repartition(par)
+    else df
+  }
 
   /** The events table's `ts` has shipped in two parquet generations:
     * TIMESTAMP(NANOS), which Spark only reads as raw longs
