@@ -2470,6 +2470,88 @@ object HashOracles {
         "FROM ag ORDER BY bin")
   }
 
+  /** Dedup threshold-sweep replay (q345): the q18 banded-candidate
+    * CTEs, exact token-set jaccard verify at the loose floor, then
+    * the cutoff readout — pairs surviving and distinct b-side docs
+    * dropped per jaccard cutoff.
+    */
+  def q345DedupThresholdSweep(floor: Double,
+      cuts: Seq[Double]): String = {
+    val jexpr = "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
+      "/ len(list_distinct(list_concat(a.toks, b.toks)))"
+    withClause(bandedCtes("") ++ Seq(
+      s"dt AS (SELECT doc_id, list_distinct($Toks) AS toks " +
+        "FROM documents)",
+      s"ver AS (SELECT c.a_id, c.b_id, $jexpr AS j " +
+        "FROM cand c JOIN dt a ON a.doc_id = c.a_id " +
+        "JOIN dt b ON b.doc_id = c.b_id " +
+        s"WHERE $jexpr >= ${graft.functions.Grid.lit17(floor)})",
+      "cuts AS (SELECT unnest([" +
+        cuts.map(graft.functions.Grid.lit17).mkString(", ") +
+        "]) AS cutoff)"),
+      "SELECT c.cutoff, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(count(DISTINCT v.b_id) AS BIGINT) AS n_dropped " +
+        "FROM ver v JOIN cuts c ON v.j >= c.cutoff " +
+        "GROUP BY c.cutoff ORDER BY c.cutoff")
+  }
+
+  /** Cross-modal dedup agreement replay (q346): one planted corpus
+    * (originals ∪ per-16th-dim perturbed copies — the q236 plant,
+    * expressed on the EMBEDDING so both modalities derive from the
+    * same rows; DuckDB's 1-based lambda index absorbs the Spark
+    * 0-based `i % 16 = 0` as `(i-1) % 16 = 0`), the q235/q236 aHash
+    * pigeonhole pair filter, the q85 hyperplane-list cosine pairs,
+    * full-outer joined into the 2×2 agreement grid.
+    */
+  def q346CrossmodalAgreement(tau: Double): String = {
+    val d17 = graft.functions.Grid.lit17(3.0 / 127.5)
+    withClause(planesCtes() ++ Seq(
+      "corp AS (SELECT vec_id, list_transform(embedding, " +
+        "v -> CAST(v AS DOUBLE)) AS embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000, list_transform(embedding, " +
+        s"(v, i) -> CAST(v AS DOUBLE) + CASE WHEN (i - 1) % 16 = 0 " +
+        s"THEN $d17 ELSE 0.0 END) " +
+        "FROM embeddings WHERE vec_id % 3 < 2)",
+      "pxb AS (SELECT vec_id AS media_id, i, " +
+        "CAST(greatest(0, least(255, " +
+        "floor((embedding[i + 1] + 1.0) * 127.5))) AS BIGINT) AS p " +
+        "FROM corp, range(64) t(i))",
+      "ims AS (SELECT media_id, sum(p) AS tot FROM pxb GROUP BY 1)",
+      "ibits AS (SELECT c.media_id, i, CASE WHEN 64 * p > tot " +
+        "THEN 1 ELSE 0 END AS b FROM pxb c JOIN ims USING (media_id))",
+      "iblk AS (SELECT media_id, i // 16 AS blk, " +
+        "CAST(sum(b * (1::BIGINT << CAST(15 - (i % 16) AS INT))) " +
+        "AS BIGINT) AS bv FROM ibits GROUP BY 1, 2)",
+      "iw AS (SELECT media_id, " +
+        "max(CASE WHEN blk = 0 THEN bv END) AS b0, " +
+        "max(CASE WHEN blk = 1 THEN bv END) AS b1, " +
+        "max(CASE WHEN blk = 2 THEN bv END) AS b2, " +
+        "max(CASE WHEN blk = 3 THEN bv END) AS b3 FROM iblk GROUP BY 1)",
+      "ip AS (SELECT a.media_id AS a_id, b.media_id AS b_id " +
+        "FROM iw a JOIN iw b ON a.media_id < b.media_id " +
+        "WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) " +
+        "+ bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) " +
+        "<= 3)",
+      "proj AS (SELECT c.vec_id, c.embedding, pv.p, " +
+        s"${projection("c.embedding")} AS pr FROM corp c " +
+        "CROSS JOIN pv pv)",
+      "asg AS (SELECT vec_id, embedding, p AS list_id FROM " +
+        "(SELECT vec_id, embedding, p, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY pr DESC, p DESC) AS rk " +
+        "FROM proj) WHERE rk = 1)",
+      "ep AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
+        "FROM asg a JOIN asg b ON a.list_id = b.list_id " +
+        "AND a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= " +
+        s"${graft.functions.Grid.lit17(tau)})",
+      "u AS (SELECT ip.a_id IS NOT NULL AS img_dup, " +
+        "ep.a_id IS NOT NULL AS emb_dup FROM ip " +
+        "FULL OUTER JOIN ep ON ip.a_id = ep.a_id " +
+        "AND ip.b_id = ep.b_id)"),
+      "SELECT img_dup, emb_dup, CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM u GROUP BY img_dup, emb_dup ORDER BY img_dup, emb_dup")
+  }
+
   /** Hedge/DoReMi replay (q341): the per-source underlength-rate loss
     * table, then `iters` unrolled multiplicative-weight rounds — each
     * round snaps `w·exp(η·ℓ)` to integer 1e-6 units, sums those

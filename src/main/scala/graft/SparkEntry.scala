@@ -4254,6 +4254,64 @@ object SparkEntry {
           "doc_id", "text", "lang", "n_tok")
         .orderBy(col("fp"))),
 
+    // CROSS-MODAL dedup agreement — do the image-hash and the
+    // embedding near-dup stages flag the SAME pairs? One corpus
+    // (originals ∪ slightly-perturbed copies, the q236 plant, the
+    // SAME perturbation feeding both modalities since the pixels ARE
+    // the quantized embeddings), image pairs by aHash Hamming ≤ 3,
+    // embedding pairs by within-list cosine ≥ 0.4, full-outer joined
+    // into the 2×2 agreement table. The audit that says whether one
+    // modality's dedup can stand in for the other.
+    "q346_crossmodal_dedup_agreement" -> ((s, dir) => {
+      val d17 = graft.functions.Grid.lit17(3.0 / 127.5)
+      val base = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+          .as("embedding"))
+      val copies = base.filter(col("vec_id") % 3 < 2)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr(s"transform(embedding, (v, i) -> v + CASE WHEN " +
+            s"i % 16 = 0 THEN $d17 ELSE 0.0 END)").as("embedding"))
+      val corpus = graft.CacheScope.register(
+        base.union(copies).persist())
+      val px = corpus.select(col("vec_id"),
+        expr("transform(embedding, v -> floor((v + 1.0) * 127.5))")
+          .as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(px, "vec_id", "pixels",
+          side = 8), "media_id", "media")
+      val img = graft.operators.MediaDedup.nearDupPairs(
+          graft.operators.MediaDedup.averageHash(media), maxHamming = 3)
+        .select(col("a_id"), col("b_id"), lit(true).as("img_dup"))
+      val emb = graft.operators.Similarity.semanticDupPairs(
+          corpus, "vec_id", "embedding", threshold = 0.4)
+        .select(col("a_id"), col("b_id"), lit(true).as("emb_dup"))
+      img.join(emb, Seq("a_id", "b_id"), "full_outer")
+        .select(coalesce(col("img_dup"), lit(false)).as("img_dup"),
+          coalesce(col("emb_dup"), lit(false)).as("emb_dup"))
+        .groupBy(col("img_dup"), col("emb_dup"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("img_dup"), col("emb_dup"))
+    }),
+
+    // Dedup operating-point sweep — the q335 cutoff device for
+    // LEXICAL dedup: verified MinHash pairs at the loose 0.5 floor,
+    // then pairs-surviving and docs-dropped per jaccard cutoff. The
+    // curve a pipeline reads to pick its dedup threshold (how much
+    // corpus does each notch of strictness cost).
+    "q345_dedup_threshold_sweep" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.minhashNearDupPairs(
+        T(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      val cuts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      pairs
+        .select(col("a_id"), col("b_id"), col("jaccard"),
+          explode(array(cuts.map(lit): _*)).as("cutoff"))
+        .filter(col("jaccard") >= col("cutoff"))
+        .groupBy(col("cutoff"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_dropped"))
+        .orderBy(col("cutoff"))
+    }),
+
     // DoReMi-style mixture reweighting (Hedge/multiplicative weights
     // over domains): per-source hardness = underlength-doc rate (an
     // exact snapped ratio), 8 multiplicative-update rounds on the
@@ -8854,6 +8912,12 @@ object SparkEntry {
     "q340_charngram_langid" -> HashOracles.q340CharNgramLangid(8000),
 
     "q341_doremi_weights" -> HashOracles.q341DoremiWeights(2.0, 8, 60),
+
+    "q345_dedup_threshold_sweep" -> HashOracles.q345DedupThresholdSweep(
+      0.5, Seq(0.5, 0.6, 0.7, 0.8, 0.9)),
+
+    "q346_crossmodal_dedup_agreement" ->
+      HashOracles.q346CrossmodalAgreement(0.4),
 
     // the disk round trip must be invisible: q340's oracle verbatim
     "q343_langid_model_roundtrip" -> HashOracles.q340CharNgramLangid(8000),

@@ -956,6 +956,15 @@ class PlanQualitySpec extends SparkSpec {
     val p340 = plan("q340_charngram_langid")
     assert(!p340.contains("CartesianProduct"), p340)
     assert(!p340.contains("ScalaUDF"), p340)
+    // q345: the cutoff sweep is an explode over banded equi-join
+    // candidates — never an all-pairs join
+    val p345 = plan("q345_dedup_threshold_sweep")
+    assert(!p345.contains("CartesianProduct"), p345)
+    assert(!p345.contains("BroadcastNestedLoopJoin"), p345)
+    // q346: both modality pair generators are bucket/list equi-joins
+    val p346 = plan("q346_crossmodal_dedup_agreement")
+    assert(!p346.contains("CartesianProduct"), p346)
+    assert(!p346.contains("BroadcastNestedLoopJoin"), p346)
   }
 
   test("entry: whole-stage codegen covers the join+agg pipeline") {
