@@ -579,6 +579,35 @@ object ScaleProbe {
             nAssign = 2))
       }
     }
+    // trained langid: train = one (gram, lang) count shuffle (the
+    // count table grows with DISTINCT grams, sublinear on replicated
+    // text), predict = one explode + equi-join + (doc, class) agg —
+    // both must stay ~linear in corpus rows
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("langid_train")) {
+        val docs = replicateDocs(r).withColumn("lang",
+          pmod(col("doc_id"), lit(5L)).cast("string"))
+        timeWarm(s"langid_train r=$r docs=${nDocs * r}", () => {
+          val m = operators.TrainedLangId.train(docs, "text", "lang")
+          operators.TrainedLangId.predict(docs, "doc_id", "text", m)
+        })
+      }
+    }
+    // layout profile: one decoder pass per partition, rows ∝ image
+    // rows — strictly linear
+    Seq(1, 2, 4, 8).foreach { r =>
+      if (probeEnabled("layout_ink")) {
+        val px = replicateVecs(r).select(col("vec_id"),
+          expr("transform(embedding, " +
+            "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))")
+            .as("pixels"))
+        timeWarm(s"layout_ink r=$r imgs=${nVecs * r}", () =>
+          operators.Multimodal.rowInkProfile(
+            operators.Multimodal.asMedia(
+              operators.Multimodal.encodePng(px, "vec_id", "pixels",
+                side = 8), "media_id", "media")))
+      }
+    }
     // mahalanobis: ONE aggregation to a single moment row + a
     // map-only d² projection — strictly linear at any feature scale
     Seq(1, 2, 4, 8).foreach { r =>
