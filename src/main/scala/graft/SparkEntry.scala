@@ -4254,6 +4254,30 @@ object SparkEntry {
           "doc_id", "text", "lang", "n_tok")
         .orderBy(col("fp"))),
 
+    // Embedding-space drift monitor — PSI of the top-principal-
+    // component projection between two corpus halves (the
+    // crawl-over-crawl check an embedding pipeline runs before
+    // trusting an index built on last month's distribution). The
+    // projection is an ORDERED fold against the driver-collected
+    // 64-value loading vector (a bounded fact), so each doc's bin is
+    // a pure function of identical IEEE ops on both engines — the
+    // hard PSI cut never sits on an accumulation-order boundary.
+    "q347_embedding_drift_psi" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val comp = graft.operators.Pca.topComponent(
+        graft.operators.Pca.covarianceMatrix(emb, "embedding"),
+        iters = 8)
+      val loadings = comp.orderBy(col("i")).collect()
+        .map(_.getAs[Double]("loading")).toSeq
+      val proj = emb.select(col("vec_id"),
+        aggregate(zip_with(
+            transform(col("embedding"), x => x.cast("double")),
+            typedLit(loadings), (x, w) => x * w),
+          lit(0.0), (a, x) => a + x).as("proj"))
+      graft.operators.Divergence.psi(proj, "proj",
+        col("vec_id") % 2 === 0, lo = -2.0, hi = 2.0, nBins = 10)
+    }),
+
     // CROSS-MODAL dedup agreement — do the image-hash and the
     // embedding near-dup stages flag the SAME pairs? One corpus
     // (originals ∪ slightly-perturbed copies, the q236 plant, the
@@ -8918,6 +8942,44 @@ object SparkEntry {
 
     "q346_crossmodal_dedup_agreement" ->
       HashOracles.q346CrossmodalAgreement(0.4),
+
+    // pcaWith's trained component, the ordered projection fold (the
+    // `projection` helper discipline: list_reduce left fold ==
+    // aggregate(zip_with) bit-for-bit), then the q283 PSI replay at
+    // fixed cuts [-2, 2] x 10
+    "q347_embedding_drift_psi" -> (pcaWith(64, 8) +
+      """,
+        |cl AS (SELECT list(loading ORDER BY i) AS lv FROM ld),
+        |pr AS (SELECT e.vec_id, list_reduce(list_prepend(
+        |    CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, 65), j -> e.v[j] * cl.lv[j])),
+        |    (a, x) -> a + x) AS proj FROM e, cl),
+        |t AS (SELECT proj AS v, vec_id % 2 = 0 AS pre FROM pr
+        |  WHERE proj IS NOT NULL),
+        |b AS (SELECT CASE WHEN v < -2.0e0 THEN -1
+        |    WHEN v >= 2.0e0 THEN 10
+        |    ELSE CAST(floor((v - (-2.0e0)) / (2.0e0 - (-2.0e0)) * 10)
+        |      AS INT) END AS bin,
+        |  CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_cur
+        |  FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |  CAST(sum(n_cur) AS BIGINT) AS tc FROM b),
+        |sc AS (SELECT bin, n_ref, n_cur,
+        |  round((n_ref + 0.5e0) / (tr + 6.0e0), 6) AS p_ref,
+        |  round((n_cur + 0.5e0) / (tc + 6.0e0), 6) AS p_cur
+        |  FROM b, tt),
+        |tm AS (SELECT *, round((p_ref - p_cur) * ln(p_ref / p_cur), 6)
+        |  AS term FROM sc),
+        |tot AS (SELECT CAST(FLOOR((list_reduce(list_prepend(0.0e0,
+        |    list(term ORDER BY bin)),
+        |    (a, x) -> CAST(FLOOR((a + x) * 1.0E6 + 0.5) AS DOUBLE)
+        |      / 1.0E6)) * 1.0E4 + 0.5) AS DOUBLE) / 1.0E4
+        |  AS psi FROM tm)
+        |SELECT bin, n_ref, n_cur, p_ref, p_cur, term, psi
+        |FROM tm, tot ORDER BY bin""".stripMargin),
 
     // the disk round trip must be invisible: q340's oracle verbatim
     "q343_langid_model_roundtrip" -> HashOracles.q340CharNgramLangid(8000),
