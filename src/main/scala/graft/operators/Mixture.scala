@@ -404,6 +404,9 @@ object Mixture {
       .collect()
       .map(r => (r.getString(0), r.getDouble(1)))
       .sortBy(_._1)
+    require(rows.length == nDom,
+      s"${rows.length} loss rows for $nDom domains — one loss per " +
+        "domain is the contract (aggregate before reweighting)")
     def snap6i(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     var w: Map[String, Double] =
       rows.map(_._1 -> graft.functions.Grid.snapD(
