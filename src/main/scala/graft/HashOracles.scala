@@ -2628,7 +2628,8 @@ object HashOracles {
     * scoring `prior + Σ lp_present + (G − n_present)·oov`, argmax
     * with class-name tie-break, confusion grid on the holdout.
     */
-  def q340CharNgramLangid(trainBuckets: Int): String = {
+  def q340CharNgramLangid(trainBuckets: Int,
+      topN: Option[Int] = None): String = {
     val head = Seq(
       "lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents)",
       "gs AS (SELECT doc_id, lang, CASE WHEN length(t) >= 3 THEN " +
@@ -2667,13 +2668,21 @@ object HashOracles {
       "lp AS (SELECT gr, lang, " +
         sc9.format("CAST(n + 1 AS DOUBLE) / (tt + v)") + " AS lp_sc " +
         "FROM cnt JOIN tc USING (lang), vv)",
+      // pruned form (q348): keep the topN grams by (max lp DESC,
+      // gram ASC) — a total order, so the kept set is deterministic;
+      // dropped grams fall through to the OOV floor
+      topN.map(t =>
+        "rkm AS (SELECT gr, max(lp_sc) AS m FROM lp GROUP BY gr), " +
+        s"keep AS (SELECT gr FROM rkm ORDER BY m DESC, gr LIMIT $t), " +
+        "lps AS (SELECT lp.* FROM lp JOIN keep USING (gr))")
+        .getOrElse("lps AS (SELECT * FROM lp)"),
       "hb AS (SELECT doc_id, lang AS lang_true, " +
         "CAST(len(g) AS BIGINT) AS ng FROM te)",
       "occ AS (SELECT doc_id, unnest(g) AS gr FROM te)",
-      "pres AS (SELECT occ.doc_id, lp.lang, " +
+      "pres AS (SELECT occ.doc_id, lps.lang, " +
         "CAST(sum(lp_sc) AS BIGINT) AS s, " +
         "CAST(count(*) AS BIGINT) AS np " +
-        "FROM occ JOIN lp USING (gr) GROUP BY occ.doc_id, lp.lang)",
+        "FROM occ JOIN lps USING (gr) GROUP BY occ.doc_id, lps.lang)",
       "sco AS (SELECT h.doc_id, h.lang_true, c.lang, " +
         "c.prior_sc + coalesce(p.s, 0) + " +
         "(h.ng - coalesce(p.np, 0)) * c.oov_sc AS score " +

@@ -4336,6 +4336,24 @@ object SparkEntry {
         .orderBy(col("cutoff"))
     }),
 
+    // PRUNED langid at its deployment shape: the q340 model cut to
+    // the top-512 grams (max-lp rank, deterministic tie), scoring as
+    // one map-literal HOF fold per doc — no explode, no join, the
+    // form that also runs statelessly on a stream (LangIdStream).
+    // Dropped grams score through the OOV floor like true OOV.
+    "q348_langid_pruned" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val cm = graft.operators.TrainedLangId.prune(
+        graft.operators.TrainedLangId.train(
+          docs.filter(split), "text", "lang"), topN = 512)
+      graft.operators.TrainedLangId.predictCompact(
+          docs.filter(!split), "text", cm)
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     // DoReMi-style mixture reweighting (Hedge/multiplicative weights
     // over domains): per-source hardness = underlength-doc rate (an
     // exact snapped ratio), 8 multiplicative-update rounds on the
@@ -8983,6 +9001,9 @@ object SparkEntry {
 
     // the disk round trip must be invisible: q340's oracle verbatim
     "q343_langid_model_roundtrip" -> HashOracles.q340CharNgramLangid(8000),
+
+    "q348_langid_pruned" ->
+      HashOracles.q340CharNgramLangid(8000, topN = Some(512)),
 
     // q319's fold + cluster CTEs with the keep-best election window
     "q344_xling_keepbest" ->

@@ -80,6 +80,75 @@ object TrainedLangId {
     Model(lp, classes, v)
   }
 
+  /** A PRUNED model small enough to travel as a literal: per kept
+    * gram, the per-class lp_sc vector aligned with `classes` order.
+    * This is the fastText deployment story — the full gram table is
+    * corpus-grain, but a few hundred high-frequency grams carry most
+    * of the signal, and a config-bounded map literal lets scoring run
+    * as a PURE COLUMN PROGRAM (codegen'd HOF fold, no join, no UDF),
+    * which is also what makes it STREAM-capable
+    * ([[graft.streaming.LangIdStream]]): per-row scoring with zero
+    * state.
+    */
+  final case class CompactModel(lp: Map[String, Seq[Long]],
+    classes: Seq[(String, Long, Long)])
+
+  /** Keep the `topN` grams ranked by (max per-class lp_sc DESC, gram
+    * ASC) — the largest lp marks the gram most frequent in its best
+    * class, and the total order makes the kept set deterministic.
+    * Grams dropped by the prune score through each class's OOV floor,
+    * exactly like true out-of-vocabulary grams.
+    */
+  def prune(model: Model, topN: Int): CompactModel = {
+    require(topN >= 1 && topN <= 65536, s"topN $topN out of [1, 65536]")
+    val kept = model.lp
+      .groupBy(col("g"))
+      .agg(max(col("lp_sc")).as("__m"),
+        map_from_arrays(collect_list(col("lang")),
+          collect_list(col("lp_sc"))).as("__bylang"))
+      .orderBy(col("__m").desc, col("g"))
+      .limit(topN)
+      .collect()
+    val langs = model.classes.map(_._1)
+    val lpMap = kept.map { r =>
+      val by = r.getMap[String, Long](2)
+      // absent (gram, class) rows take the class OOV floor — the
+      // add-1 zero-count value, same as the full model's scoring
+      r.getString(0) -> langs.zip(model.classes).map { case (l, c) =>
+        by.getOrElse(l, c._3)
+      }
+    }.toMap
+    CompactModel(lpMap, model.classes)
+  }
+
+  /** [[predict]] against a [[CompactModel]]: the identical integer-
+    * nanonat scoring, but the gram lookup is a MAP LITERAL inside one
+    * aggregate HOF per document — no explode, no join, no shuffle
+    * beyond the input's own. `lang_pred` picks the max score (tie →
+    * class name ascending) via the sorted-struct device.
+    */
+  def predictCompact(docs: DataFrame, textCol: String,
+      cm: CompactModel, n: Int = 3): DataFrame =
+    docs.withColumn("lang_pred", predictExpr(col(textCol), cm, n))
+
+  /** The per-row prediction Column shared by [[predictCompact]] and
+    * the streaming form.
+    */
+  def predictExpr(text: org.apache.spark.sql.Column, cm: CompactModel,
+      n: Int = 3): org.apache.spark.sql.Column = {
+    val grams = TF.charGrams(text, n)
+    val lpLit = typedLit(cm.lp)
+    val scored = cm.classes.zipWithIndex.map {
+      case ((lang, prior, oov), k) =>
+        val s = aggregate(grams, lit(prior),
+          (acc, g) => acc +
+            coalesce(element_at(element_at(lpLit, g), k + 1), lit(oov)))
+        struct((-s).as("neg"), lit(lang).as("lang"))
+    }
+    // ascending sort on (−score, lang): max score first, name tiebreak
+    array_sort(array(scored: _*)).getItem(0).getField("lang")
+  }
+
   /** Sidecar filename for the persisted model layout (underscore
     * prefix so parquet readers skip it as data).
     */
