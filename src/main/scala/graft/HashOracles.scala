@@ -2629,32 +2629,49 @@ object HashOracles {
     * with class-name tie-break, confusion grid on the holdout.
     */
   def q340CharNgramLangid(trainBuckets: Int,
-      topN: Option[Int] = None): String = {
+      topN: Option[Int] = None): String =
+    withClause(langidCtes(trainBuckets, topN, scoreAll = false),
+      "SELECT lang_true AS lang, lang_pred, " +
+        "CAST(count(*) AS BIGINT) AS n FROM best WHERE rn = 1 " +
+        "GROUP BY lang_true, lang_pred ORDER BY lang, lang_pred")
+
+  /** The trained-langid CTE chain ending in
+    * `best(doc_id, lang_true, lang_pred, rn)` — q340/q343/q348's
+    * replay, reusable by pipeline compositions (q349).
+    * `scoreAll` scores EVERY document (the deployment shape: labels
+    * exist only for the training seed) instead of the holdout only.
+    */
+  def langidCtes(trainBuckets: Int, topN: Option[Int],
+      scoreAll: Boolean): Seq[String] = {
     val head = Seq(
       "lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents)",
       "gs AS (SELECT doc_id, lang, CASE WHEN length(t) >= 3 THEN " +
         "list_transform(range(0, length(t) - 2), " +
         "i -> substr(t, CAST(i + 1 AS INTEGER), 3)) " +
         "ELSE [t] END AS g FROM lt)",
-      "dz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z " +
+      // split-stage CTEs carry an l-prefix so pipeline compositions
+      // (q349) can append the budget-mix chain, which builds its own
+      // dz/dm* splitmix stages, without name clashes
+      "ldz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z " +
         "FROM documents)")
     val mixed = mixStages(Seq("z"), Seq("doc_id")).zipWithIndex.map {
       case (body, n) =>
-        val prev = if (n == 0) "dz" else s"dm${n - 1}"
-        s"dm$n AS ($body FROM $prev)"
+        val prev = if (n == 0) "ldz" else s"ldm${n - 1}"
+        s"ldm$n AS ($body FROM $prev)"
     }
     val signedMod = s"(((${toSigned("z")}) % 10000 + 10000) % 10000)"
     val sc9 = "CAST(floor(ln(%s) * 1000000000.0 + 0.5) AS BIGINT)"
-    withClause(head ++ mixed ++ Seq(
+    head ++ mixed ++ Seq(
       s"sp AS (SELECT doc_id, $signedMod < $trainBuckets AS is_train " +
-        "FROM dm5)",
+        "FROM ldm5)",
       "tr AS (SELECT gs.* FROM gs JOIN sp USING (doc_id) " +
         "WHERE is_train)",
-      "te AS (SELECT gs.* FROM gs JOIN sp USING (doc_id) " +
-        "WHERE NOT is_train)",
-      "w AS (SELECT lang, unnest(g) AS gr FROM tr)",
+      (if (scoreAll) "te AS (SELECT gs.* FROM gs)"
+       else "te AS (SELECT gs.* FROM gs JOIN sp USING (doc_id) " +
+        "WHERE NOT is_train)"),
+      "wg AS (SELECT lang, unnest(g) AS gr FROM tr)",
       "cnt AS (SELECT gr, lang, CAST(count(*) AS BIGINT) AS n " +
-        "FROM w GROUP BY gr, lang)",
+        "FROM wg GROUP BY gr, lang)",
       "vv AS (SELECT CAST(count(DISTINCT gr) AS BIGINT) AS v FROM cnt)",
       "tc AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tt FROM cnt " +
         "GROUP BY lang)",
@@ -2690,10 +2707,30 @@ object HashOracles {
         "ON p.doc_id = h.doc_id AND p.lang = c.lang)",
       "best AS (SELECT doc_id, lang_true, lang AS lang_pred, " +
         "row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY score DESC, lang) AS rn FROM sco)"),
-      "SELECT lang_true AS lang, lang_pred, " +
-        "CAST(count(*) AS BIGINT) AS n FROM best WHERE rn = 1 " +
-        "GROUP BY lang_true, lang_pred ORDER BY lang, lang_pred")
+        "ORDER BY score DESC, lang) AS rn FROM sco)")
+  }
+
+  /** Langid-routed pipeline replay (q349): [[langidCtes]] scoring
+    * EVERY document (labels exist only for the training seed), the
+    * q319 fold dedup over PREDICTED languages, then the q322 budget
+    * mix keyed by predicted language — the deployment composition
+    * where the model, not the label column, routes the corpus.
+    */
+  def q349LangidPipeline(trainBuckets: Int, budget: Long,
+      alpha: Double): String = {
+    val stages = langidCtes(trainBuckets, None, scoreAll = true) ++ Seq(
+      "prd AS (SELECT doc_id, lang_pred FROM best WHERE rn = 1)",
+      "fd AS (SELECT d.doc_id, p.lang_pred AS lang, d.text " +
+        "FROM documents d JOIN prd p USING (doc_id))",
+      s"ff AS (SELECT doc_id, lang, text, $FoldedFpSql AS fp FROM fd)",
+      "cx AS (SELECT fp, min(doc_id) AS canonical_id FROM ff " +
+        "WHERE fp IS NOT NULL GROUP BY fp " +
+        "HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2)",
+      "sv AS (SELECT ff.doc_id, ff.lang, ff.text FROM ff " +
+        "LEFT JOIN cx USING (fp) " +
+        "WHERE cx.canonical_id IS NULL OR ff.doc_id = cx.canonical_id)")
+    q322LanguageBudgetMix(budget, alpha, base = "sv",
+      extraCtes = stages)
   }
 
   /** Capstone-3 replay — the round-6 stages chained: first-occurrence

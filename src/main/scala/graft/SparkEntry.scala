@@ -4336,6 +4336,35 @@ object SparkEntry {
         .orderBy(col("cutoff"))
     }),
 
+    // Multilingual corpus-pipeline CAPSTONE v6 — routed by the MODEL,
+    // not the label column: train the char-ngram langid on the hash
+    // seed, predict EVERY doc's language, cross-lingual-dedup over
+    // the PREDICTED labels, α-sample the survivors under a token
+    // budget keyed by predicted language. The deployment composition
+    // (labels exist only for a seed set); three shared oracle
+    // fragments, one chain.
+    "q349_corpus_pipeline_langid" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val split = graft.operators.Sampling.hashBucket(col("doc_id")) < 8000
+      val model = graft.operators.TrainedLangId.train(
+        docs.filter(split), "text", "lang")
+      val pred = graft.CacheScope.register(
+        graft.operators.TrainedLangId.predict(
+          docs, "doc_id", "text", model).persist())
+      val clusters = graft.operators.CrossLingual
+        .crossLingualClusters(pred, "doc_id", "text", "lang_pred")
+        .select(col("fp"), col("canonical_id"))
+      val deduped = pred
+        .withColumn("fp", graft.operators.CrossLingual
+          .foldedFingerprint(col("text")))
+        .join(clusters, Seq("fp"), "left")
+        .filter(col("canonical_id").isNull ||
+          col("doc_id") === col("canonical_id"))
+      graft.operators.Mixture.languageBudgetMix(deduped, "doc_id",
+          "text", "lang_pred", budgetTokens = 15000L, alpha = 0.3)
+        .orderBy(col("lang"))
+    }),
+
     // PRUNED langid at its deployment shape: the q340 model cut to
     // the top-512 grams (max-lp rank, deterministic tie), scoring as
     // one map-literal HOF fold per doc — no explode, no join, the
@@ -9004,6 +9033,9 @@ object SparkEntry {
 
     "q348_langid_pruned" ->
       HashOracles.q340CharNgramLangid(8000, topN = Some(512)),
+
+    "q349_corpus_pipeline_langid" ->
+      HashOracles.q349LangidPipeline(8000, 15000L, 0.3),
 
     // q319's fold + cluster CTEs with the keep-best election window
     "q344_xling_keepbest" ->
