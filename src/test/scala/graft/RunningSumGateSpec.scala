@@ -117,6 +117,8 @@ class RunningSumGateSpec extends SparkSpec {
     "q322_language_budget_mix" -> "token counts (integer)",
     "q327_corpus_pipeline_multilingual" ->
       "token counts (integer, the q322 chain over survivors)",
+    "q349_corpus_pipeline_langid" ->
+      "token counts (integer, the q322 chain keyed by predicted lang)",
     "q34_session_window" -> "gap counters (integer)",
     "q40_running_sum" -> "exact cents",
     "q48_token_packing" -> "token lengths (integer)",
