@@ -2441,8 +2441,17 @@ object HashOracles {
     */
   def q339LshScurve(slice: Int): String = {
     import graft.functions.Grid.snapSql
+    // the planted graded near-copies (drop every k-th token,
+    // k = 2 + doc_id % 9): DuckDB's 1-based lambda index absorbs the
+    // Spark 0-based `i % k != 0` as `(i - 1) % k != 0`; both engines
+    // rebuild the identical text string, so the shared tokenizer
+    // fragments see the same corpus
     val base = s"(SELECT doc_id, text FROM documents " +
-      s"WHERE doc_id < $slice)"
+      s"WHERE doc_id < $slice " +
+      "UNION ALL SELECT doc_id + 100000, " +
+      "array_to_string(list_filter(string_split_regex(text, '\\s+'), " +
+      "(t, i) -> (i - 1) % (2 + doc_id % 9) != 0), ' ') " +
+      s"FROM documents WHERE doc_id < $slice)"
     val s = "((CAST(bin AS DOUBLE) + 0.5) / 10.0)"
     val s4 = s"($s * $s * $s * $s)"
     val t1 = s"(1.0 - $s4)"

@@ -4175,7 +4175,18 @@ object SparkEntry {
     // 1-(1-s^r)^b at the bin midpoint. The sketch-quality audit run
     // before trusting MinHash bands as the corpus dedup gate.
     "q339_lsh_scurve" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("doc_id") < 150)
+      // natural corpora cluster at jaccard ~0 and ~1; PLANT graded
+      // near-copies (drop every k-th token, k = 2..10 by id) so the
+      // mid-similarity bins the S-curve is ABOUT are populated —
+      // copy k has jaccard ≈ (k-1)/k against its original
+      val base = T(s, dir, "documents").filter(col("doc_id") < 150)
+      val planted = base.select(
+        (col("doc_id") + lit(100000L)).as("doc_id"),
+        array_join(expr("filter(" +
+          "split(text, '\\\\s+'), " +
+          "(t, i) -> i % (2 + doc_id % 9) != 0)"), " ").as("text"))
+      val docs = graft.CacheScope.register(
+        base.select(col("doc_id"), col("text")).union(planted).persist())
       val cands = graft.operators.Dedup.minhashCandidatePairs(
         docs, "doc_id", "text")
       val sh = docs.select(col("doc_id").as("id"),
