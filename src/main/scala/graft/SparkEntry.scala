@@ -4214,6 +4214,32 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // Layout margins — the X half of the X-Y cut (q337 is the Y):
+    // per-column ink from the decoded raster, the page's inked span
+    // (first/last column above the mean) and margin widths. Same
+    // exact-integer contract; the oracle replays column sums from the
+    // embeddings.
+    "q350_layout_margins" -> ((s, dir) => {
+      val px = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(px, "vec_id", "pixels",
+          side = 8), "media_id", "media")
+      val prof = graft.operators.Multimodal.colInkProfile(media)
+      val tot = prof.groupBy(col("media_id"))
+        .agg(sum(col("ink")).as("__tot"), count(lit(1)).as("__nc"))
+      prof.join(tot, Seq("media_id"))
+        .withColumn("__is_ink",
+          col("ink") * col("__nc") > col("__tot"))
+        .groupBy(col("media_id"))
+        .agg(sum(when(col("__is_ink"), 1L).otherwise(0L))
+          .as("n_ink_cols"),
+          min(when(col("__is_ink"), col("col_idx"))).as("left_margin"),
+          max(when(col("__is_ink"), col("col_idx"))).as("right_edge"))
+        .orderBy(col("media_id"))
+    }),
+
     // TRAINED language ID (fastText-recipe char-3-gram NB) evaluated
     // as a confusion grid on the held-out split — the production
     // upgrade of q323's fixed-stopword heuristic: covers all 5
@@ -9100,6 +9126,29 @@ object SparkEntry {
         |  min(CASE WHEN is_text THEN row_idx END) AS first_text_row,
         |  max(CASE WHEN is_text THEN row_idx END) AS last_text_row
         |FROM fl GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // column-ink replay: column x of the 8x8 raster holds pixels
+    // i = x, x+8, ..., x+56; ink = sum(255 - p), inked columns by the
+    // exact cross-multiplied mean comparison
+    "q350_layout_margins" ->
+      """WITH px AS (SELECT vec_id AS media_id, i,
+        |  CAST(greatest(0, least(255, floor((CAST(embedding[i+1]
+        |    AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p
+        |  FROM embeddings, range(64) t(i)),
+        |cols AS (SELECT media_id, CAST(i % 8 AS INTEGER) AS col_idx,
+        |  CAST(sum(255 - p) AS BIGINT) AS ink
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(ink) AS tot,
+        |  count(*) AS nc FROM cols GROUP BY 1)
+        |SELECT c.media_id,
+        |  CAST(sum(CASE WHEN c.ink * t.nc > t.tot THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ink_cols,
+        |  min(CASE WHEN c.ink * t.nc > t.tot THEN c.col_idx END)
+        |    AS left_margin,
+        |  max(CASE WHEN c.ink * t.nc > t.tot THEN c.col_idx END)
+        |    AS right_edge
+        |FROM cols c JOIN tot t USING (media_id)
+        |GROUP BY c.media_id ORDER BY c.media_id""".stripMargin,
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

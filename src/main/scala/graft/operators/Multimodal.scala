@@ -379,6 +379,50 @@ object Multimodal {
       }(enc)
   }
 
+  /** [[rowInkProfile]] transposed — per COLUMN ink, the vertical
+    * projection profile that detects left/right margins and column
+    * gutters (the X half of the recursive X-Y cut; rows give the Y).
+    * Output: (media_id, col_idx, height, ink), same exact-integer
+    * contract.
+    */
+  def colInkProfile(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("col_idx", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ink", LongType))))
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                if (bytes == null) Array.emptyByteArray else bytes))
+            catch { case _: Exception => null }
+          if (img == null) Iterator.empty
+          else {
+            val id = r.getLong(0)
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val h = img.getHeight
+            (0 until img.getWidth).iterator.map { x =>
+              var ink = 0L
+              var y = 0
+              while (y < h) {
+                var s = 0L; var b = 0
+                while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+                ink += 255L - s / bands
+                y += 1
+              }
+              Row(id, x, h, ink)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Encode a numeric array column as REAL grayscale PNG bytes (one
     * `side`×`side` image per row, row-major, values clamped to 0..255)
     * — `javax.imageio`'s writer, so downstream stages exercise genuine

@@ -86,6 +86,13 @@ class MultimodalSpec extends SparkSpec {
     val junk = Seq((9L, Array[Byte](1, 2, 3), "application/octet-stream"))
       .toDF("media_id", "media", "format")
     assert(Multimodal.rowInkProfile(junk).count() === 0L)
+    // the column transpose: col 0 = [0, 255] -> 255; col 1 = [255,
+    // 255] -> 0 (same image, X instead of Y)
+    val cprof = Multimodal.colInkProfile(media).collect()
+      .map(r => (r.getAs[Int]("col_idx"),
+        (r.getAs[Int]("height"), r.getAs[Long]("ink")))).toMap
+    assert(cprof === Map(0 -> ((2, 255L)), 1 -> ((2, 0L))))
+    assert(Multimodal.colInkProfile(junk).count() === 0L)
   }
 
   test("real WAV round trip: javax.sound encodes/decodes PCM16 " +
