@@ -5035,4 +5035,37 @@ object HashOracles {
         "JOIN qual USING (doc_id))",
       extraCtes = stages)
   }
+
+  // ---- round 15: data selection & memorization auditing --------------
+
+  /** k-center greedy replay (q352): seed = min vec_id, then `k − 1`
+    * unrolled farthest-first rounds — per round the min distance to the
+    * accumulated centers (exact double `min` over the same kmDist
+    * folds), the (mind DESC, vec_id) top-1 pick, and the growing center
+    * set — mirroring [[graft.operators.Coreset.kCenterGreedy]]'s
+    * driver fold exactly; `dist_sq` snaps at emission only.
+    */
+  def q352KCenterCoreset(k: Int): String = {
+    import graft.functions.Grid.snapSql
+    val rounds = (1 until k).flatMap { i => Seq(
+      s"d$i AS (SELECT e.vec_id, min(${kmDist("e.v", "a.v")}) AS mind " +
+        s"FROM e, a${i - 1} a GROUP BY e.vec_id)",
+      s"p$i AS (SELECT vec_id, mind FROM d$i " +
+        "ORDER BY mind DESC, vec_id LIMIT 1)",
+      s"c$i AS (SELECT $i AS k_idx, vec_id, mind AS dist_sq FROM p$i)",
+      s"a$i AS (SELECT a.* FROM a${i - 1} a UNION ALL " +
+        s"SELECT e.vec_id, e.v FROM e JOIN p$i USING (vec_id))")
+    }
+    val unionAll = (0 until k).map(i => s"SELECT * FROM c$i")
+      .mkString(" UNION ALL ")
+    withClause(Seq(
+      "e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      "a0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+      "c0 AS (SELECT 0 AS k_idx, vec_id, CAST(0.0 AS DOUBLE) " +
+        "AS dist_sq FROM a0)") ++ rounds,
+      "SELECT k_idx, CAST(vec_id AS BIGINT) AS vec_id, " +
+        s"${snapSql("dist_sq", 6)} AS dist_sq FROM ($unionAll) " +
+        "ORDER BY k_idx")
+  }
 }

@@ -4240,6 +4240,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // k-CENTER GREEDY coreset selection (Gonzalez 1985; the Sener &
+    // Savarese active-learning coreset): a 6-round farthest-first
+    // trajectory over the embeddings — (k_idx, selected vec_id, the
+    // coverage radius² at selection time on the 1e-6 grid). Seed =
+    // min id; each pick orders by (min-dist-to-selected DESC, id) so
+    // the run replays bit-identically; each round is one map against
+    // the bounded center literal + one TakeOrdered(1).
+    "q352_kcenter_coreset" -> ((s, dir) =>
+      graft.operators.Coreset.kCenterGreedy(
+        T(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+        .orderBy(col("k_idx"))),
+
     // TRAINED language ID (fastText-recipe char-3-gram NB) evaluated
     // as a confusion grid on the held-out split — the production
     // upgrade of q323's fixed-stopword heuristic: covers all 5
@@ -9149,6 +9161,10 @@ object SparkEntry {
         |    AS right_edge
         |FROM cols c JOIN tot t USING (media_id)
         |GROUP BY c.media_id ORDER BY c.media_id""".stripMargin,
+
+    // k-center greedy: unrolled farthest-first rounds — see
+    // HashOracles.q352KCenterCoreset
+    "q352_kcenter_coreset" -> HashOracles.q352KCenterCoreset(6),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp
