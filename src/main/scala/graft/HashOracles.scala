@@ -5038,6 +5038,54 @@ object HashOracles {
 
   // ---- round 15: data selection & memorization auditing --------------
 
+  /** The shared q351/q358 hardness rank over a trained assignment:
+    * per-cluster `row_number` by (dist DESC, vec_id) plus the cluster
+    * size — [[graft.operators.Clustering.pruneEasiest]]'s `ranked`
+    * stage on the q87 kmeans replay.
+    */
+  private val pruneRankCte: String =
+    "rk AS (SELECT vec_id, cid, dist, row_number() OVER " +
+      "(PARTITION BY cid ORDER BY dist DESC, vec_id) AS rn, " +
+      "count(*) OVER (PARTITION BY cid) AS nc FROM a3)"
+
+  /** SSL-prototype pruning replay (q351): kmeans train + assign, the
+    * hardness rank, the exact integer keep rule, per-cluster
+    * accounting with the kept-id md5 (numeric sort, comma join — the
+    * Spark side's sort_array/concat_ws program verbatim).
+    */
+  def q351PrototypePrune(k: Int, keepPct: Int): String =
+    withClause(kmTrainCtes(k) ++ Seq(
+      kmAssignCte("a3", "c2"),
+      pruneRankCte,
+      s"kp AS (SELECT *, (rn - 1) * 100 < nc * $keepPct AS kept " +
+        "FROM rk)"),
+      "SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_kept, " +
+        "md5(array_to_string(list_sort(list(vec_id) " +
+        "FILTER (WHERE kept)), ',')) AS kept_md5, " +
+        "round(sum(CASE WHEN kept THEN dist END), 2) AS inertia_kept " +
+        "FROM kp GROUP BY cid ORDER BY cluster")
+
+  /** The q358 sweep: the SAME rank CTE crossed with the bounded
+    * keep-pct values, grouped per (pct, cluster).
+    */
+  def q358PruneSweep(k: Int, pcts: Seq[Int]): String = {
+    val pv = pcts.map(p => s"($p)").mkString(", ")
+    withClause(kmTrainCtes(k) ++ Seq(
+      kmAssignCte("a3", "c2"),
+      pruneRankCte,
+      s"sw AS (SELECT rk.*, p.pct FROM rk CROSS JOIN " +
+        s"(VALUES $pv) p(pct))",
+      "kp AS (SELECT *, (rn - 1) * 100 < nc * pct AS kept FROM sw)"),
+      "SELECT CAST(pct AS INTEGER) AS keep_pct, cid AS cluster, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_kept, " +
+        "round(sum(CASE WHEN kept THEN dist END), 2) AS inertia_kept " +
+        "FROM kp GROUP BY pct, cid ORDER BY keep_pct, cluster")
+  }
+
   /** k-center greedy replay (q352): seed = min vec_id, then `k − 1`
     * unrolled farthest-first rounds — per round the min distance to the
     * accumulated centers (exact double `min` over the same kmDist

@@ -4240,6 +4240,42 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // SSL-PROTOTYPE data pruning (Sorscher et al. 2022): trained
+    // kmeans assignment, prototypicality = closeness to centroid,
+    // keep the hardest ceil(50%·|c|) of each cluster by the
+    // (dist_sq DESC, id) total order. Kept membership is pinned by an
+    // md5 over the sorted kept ids; the keep rule is exact integer
+    // arithmetic, so the set replays bit-identically.
+    "q351_prototype_prune" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      graft.operators.Clustering.pruneEasiest(e, "vec_id", "embedding",
+          cents, keepPct = 50)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(when(col("kept"), col("vec_id")))),
+            x => x.cast("string")))).as("kept_md5"),
+          round(sum(when(col("kept"), col("dist_sq"))), 2)
+            .as("inertia_kept"))
+        .orderBy(col("cluster"))
+    }),
+
+    // The pruning OPERATING-POINT curve: the q351 rank computed once,
+    // swept over keep fractions {25, 50, 75}% via one bounded explode
+    // (the q345 threshold-sweep device) — how a selection pipeline
+    // prices each notch of strictness.
+    "q358_prune_sweep" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      graft.operators.Clustering.pruneSweep(e, "vec_id", "embedding",
+          cents, Seq(25, 50, 75))
+        .orderBy(col("keep_pct"), col("cluster"))
+    }),
+
     // k-CENTER GREEDY coreset selection (Gonzalez 1985; the Sener &
     // Savarese active-learning coreset): a 6-round farthest-first
     // trajectory over the embeddings — (k_idx, selected vec_id, the
@@ -9165,6 +9201,11 @@ object SparkEntry {
     // k-center greedy: unrolled farthest-first rounds — see
     // HashOracles.q352KCenterCoreset
     "q352_kcenter_coreset" -> HashOracles.q352KCenterCoreset(6),
+
+    // SSL-prototype pruning + its operating-point sweep: kmeans
+    // replay + hardness rank + exact integer keep rule
+    "q351_prototype_prune" -> HashOracles.q351PrototypePrune(4, 50),
+    "q358_prune_sweep" -> HashOracles.q358PruneSweep(4, Seq(25, 50, 75)),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

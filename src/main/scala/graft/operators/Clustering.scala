@@ -109,6 +109,75 @@ object Clustering {
         lit(i).as("cid"))
     }: _*)
 
+  /** SSL-prototype data pruning (Sorscher, Geirhos, Shekhar et al.
+    * 2022, "Beyond neural scaling laws: beating power law scaling via
+    * data pruning"): a document's PROTOTYPICALITY is its closeness to
+    * its cluster centroid, and the beat-the-power-law recipe keeps the
+    * HARDEST (least prototypical) examples when data is abundant.
+    * Every row gains `cluster`, `dist_sq` ([[assign]]'s nearest-
+    * centroid pick), and `kept` — true for the `ceil(keepPct% · |c|)`
+    * FARTHEST rows of each cluster by the (dist_sq DESC, id ASC) total
+    * order. The keep rule is exact integer arithmetic
+    * (`(rank−1)·100 < |c|·keepPct` ⇔ rank ≤ ceil(|c|·keepPct/100)), so
+    * the kept SET replays bit-identically on any engine (distances are
+    * the house IEEE fold; ordering doubles is engine-exact).
+    *
+    * Scale shape: assignment is map-only against the centroid literal;
+    * the rank is ONE keyed window partitioned by cluster. Partitions =
+    * k — at corpus scale pick k so clusters stay executor-sized (the
+    * SemDeDup k ~ √n argument); for fixed tiny k over a 100 TB table,
+    * derive a per-cluster dist THRESHOLD from a quantile sketch
+    * instead of ranking ([[QuantileSketch]]) — same contract, no
+    * cluster-wide sort.
+    */
+  def pruneEasiest(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], keepPct: Int): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct $keepPct")
+    val r = ranked(vectors, idCol, vecCol, centroids)
+    r.withColumn("kept",
+        (col("__rn") - 1) * 100 < col("__nc") * lit(keepPct))
+      .drop("__rn", "__nc")
+  }
+
+  /** The [[pruneEasiest]] operating-point curve: one row per
+    * (keep_pct, cluster) with the cluster size, kept count, and kept
+    * inertia (`round(Σ dist_sq, 2)` — the q87 grid) — how a selection
+    * pipeline prices each notch of pruning strictness. The rank runs
+    * ONCE; the sweep is a bounded explode over `keepPcts` (the q345
+    * threshold-sweep device), never a re-rank per point.
+    */
+  def pruneSweep(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], keepPcts: Seq[Int]): DataFrame = {
+    require(keepPcts.nonEmpty && keepPcts.size <= 100 &&
+      keepPcts.forall(p => p >= 0 && p <= 100),
+      s"keepPcts $keepPcts out of range")
+    ranked(vectors, idCol, vecCol, centroids)
+      .withColumn("keep_pct",
+        explode(array(keepPcts.map(lit): _*)))
+      .withColumn("__kept",
+        (col("__rn") - 1) * 100 < col("__nc") * col("keep_pct"))
+      .groupBy(col("keep_pct"), col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("__kept"), col("dist_sq"))), 2)
+          .as("inertia_kept"))
+  }
+
+  /** [[assign]] plus the per-cluster hardness rank `__rn` (dist_sq
+    * DESC, id ASC) and cluster size `__nc` — the shared stage of
+    * [[pruneEasiest]] and [[pruneSweep]]. `keepPct` must be 0..100.
+    */
+  private def ranked(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = assign(vectors, idCol, vecCol, centroids)
+    val wRank = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist_sq").desc, col(idCol))
+    val wAll = Window.partitionBy(col("cluster"))
+    a.withColumn("__rn", row_number().over(wRank))
+      .withColumn("__nc", count(lit(1)).over(wAll))
+  }
+
   /** Centroid silhouette — the clustering-QA readout: per vector,
     * `s = (d₂ − d₁)/d₂` where d₁/d₂ are the L2 distances to the
     * nearest and second-nearest centroids (the simplified silhouette

@@ -115,4 +115,72 @@ class ClusteringSpec extends SparkSpec {
         cents.take(1))
     }
   }
+
+  test("pruneEasiest keeps exactly ceil(pct·|c|/100) hardest per " +
+      "cluster, ties to the smaller id, 0/100 degenerate cleanly") {
+    val s = spark
+    import s.implicits._
+    // one cluster at 0 with distances 0,1,4,9,16 (5 rows), one at 100
+    // with 2 rows; centroids fixed so the test pins the keep rule only
+    val df = Seq(
+      (1L, Seq(0f)), (2L, Seq(1f)), (3L, Seq(2f)), (4L, Seq(3f)),
+      (5L, Seq(4f)), (10L, Seq(100f)), (11L, Seq(99f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(0.0), Seq(100.0))
+    val kept = Clustering.pruneEasiest(df, "vec_id", "embedding",
+        cents, keepPct = 50)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    // cluster 0: ceil(5·50/100)=3 hardest → dist 16,9,4 → ids 5,4,3;
+    // cluster 1: ceil(2·50/100)=1 hardest → dist 1 vs 0 → id 11
+    assert(kept === Set(5L, 4L, 3L, 11L))
+    val none = Clustering.pruneEasiest(df, "vec_id", "embedding",
+      cents, keepPct = 0).filter(col("kept")).count()
+    assert(none === 0L)
+    val all = Clustering.pruneEasiest(df, "vec_id", "embedding",
+      cents, keepPct = 100).filter(col("kept")).count()
+    assert(all === 7L)
+    // equal-distance tie: both at dist 1, keep ceil(3·33/100) = 1 →
+    // smaller id kept
+    val tie = Seq((7L, Seq(1f)), (8L, Seq(-1f)), (9L, Seq(0f)))
+      .toDF("vec_id", "embedding")
+    val tk = Clustering.pruneEasiest(tie, "vec_id", "embedding",
+        Seq(Seq(0.0)), keepPct = 33)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(tk === Set(7L))
+    intercept[IllegalArgumentException] {
+      Clustering.pruneEasiest(df, "vec_id", "embedding", cents, 101)
+    }
+  }
+
+  test("pruneSweep matches pruneEasiest at each pct and is " +
+      "partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 40L).map(i =>
+      (i, Seq((i % 9).toFloat, (i % 5).toFloat))).toDF("vec_id", "embedding")
+    val cents = Clustering.kmeansCentroids(df, "vec_id", "embedding",
+      k = 3, iters = 2)
+    val sweep = Clustering.pruneSweep(df, "vec_id", "embedding", cents,
+        Seq(25, 75))
+      .select("keep_pct", "cluster", "n", "n_kept")
+      .as[(Int, Int, Long, Long)].collect().toSet
+    val single = Seq(25, 75).flatMap { p =>
+      Clustering.pruneEasiest(df, "vec_id", "embedding", cents, p)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .select(lit(p).as("keep_pct"), col("cluster"), col("n"),
+          col("n_kept"))
+        .as[(Int, Int, Long, Long)].collect()
+    }.toSet
+    assert(sweep === single)
+    val rep = Clustering.pruneSweep(df.repartition(7), "vec_id",
+        "embedding", cents, Seq(25, 75))
+      .select("keep_pct", "cluster", "n", "n_kept")
+      .as[(Int, Int, Long, Long)].collect().toSet
+    assert(rep === sweep)
+    intercept[IllegalArgumentException] {
+      Clustering.pruneSweep(df, "vec_id", "embedding", cents, Nil)
+    }
+  }
 }
