@@ -5086,6 +5086,37 @@ object HashOracles {
         "FROM kp GROUP BY pct, cid ORDER BY keep_pct, cluster")
   }
 
+  /** D4 capstone replay (q353): the q93 trained-SemDeDup chain (multi-
+    * assign pairs, min-id survives) feeding the q351 prune rank over
+    * the SURVIVORS, accounted against the full single-assignment.
+    */
+  def q353D4Pipeline(k: Int, threshold: Double, keepPct: Int): String =
+    withClause(kmTrainCtes(k) ++ Seq(
+      kmAssignCte("asg", "c2", take = 2),
+      "pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "list_cosine_similarity(a.v, b.v) AS cos " +
+        "FROM asg a JOIN asg b ON a.cid = b.cid " +
+        "AND a.vec_id < b.vec_id)",
+      "hit AS (SELECT DISTINCT b_id FROM (SELECT a_id, b_id, " +
+        "min(cos) AS cos FROM pr GROUP BY a_id, b_id) " +
+        s"WHERE cos >= $threshold)",
+      kmAssignCte("a3", "c2"),
+      "sv AS (SELECT a3.* FROM a3 LEFT JOIN hit " +
+        "ON a3.vec_id = hit.b_id WHERE hit.b_id IS NULL)",
+      "rk AS (SELECT vec_id, cid, dist, row_number() OVER " +
+        "(PARTITION BY cid ORDER BY dist DESC, vec_id) AS rn, " +
+        "count(*) OVER (PARTITION BY cid) AS nc FROM sv)",
+      s"kp AS (SELECT *, (rn - 1) * 100 < nc * $keepPct AS kept " +
+        "FROM rk)",
+      "acc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a3 " +
+        "GROUP BY cid)",
+      "ded AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dedup, " +
+        "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_kept, md5(array_to_string(list_sort(list(vec_id) " +
+        "FILTER (WHERE kept)), ',')) AS kept_md5 FROM kp GROUP BY cid)"),
+      "SELECT acc.cid AS cluster, acc.n, ded.n_dedup, ded.n_kept, " +
+        "ded.kept_md5 FROM acc JOIN ded USING (cid) ORDER BY cluster")
+
   /** k-center greedy replay (q352): seed = min vec_id, then `k − 1`
     * unrolled farthest-first rounds — per round the min distance to the
     * accumulated centers (exact double `min` over the same kmDist

@@ -4276,6 +4276,35 @@ object SparkEntry {
         .orderBy(col("keep_pct"), col("cluster"))
     }),
 
+    // D4-STYLE selection capstone (Tirumala et al. 2023: document
+    // de-duplication + diversification): ONE trained kmeans feeds
+    // both stages — SemDeDup within-cluster cosine dedup (q93's
+    // device, keep the min id) then SSL-prototype pruning of the
+    // survivors (q351, keep the hardest 75% per cluster). Per-cluster
+    // accounting with kept membership pinned by md5.
+    "q353_d4_pipeline" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val survivors = Similarity.semanticDedupTrained(
+        e, "vec_id", "embedding", threshold = 0.4, centroids = cents,
+        nAssign = 2)
+      val pruned = graft.operators.Clustering.pruneEasiest(
+          survivors, "vec_id", "embedding", cents, keepPct = 75)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_dedup"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(when(col("kept"), col("vec_id")))),
+            x => x.cast("string")))).as("kept_md5"))
+      graft.operators.Clustering.assign(e, "vec_id", "embedding", cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .join(pruned, Seq("cluster"))
+        .select(col("cluster"), col("n"), col("n_dedup"), col("n_kept"),
+          col("kept_md5"))
+        .orderBy(col("cluster"))
+    }),
+
     // k-CENTER GREEDY coreset selection (Gonzalez 1985; the Sener &
     // Savarese active-learning coreset): a 6-round farthest-first
     // trajectory over the embeddings — (k_idx, selected vec_id, the
@@ -9206,6 +9235,9 @@ object SparkEntry {
     // replay + hardness rank + exact integer keep rule
     "q351_prototype_prune" -> HashOracles.q351PrototypePrune(4, 50),
     "q358_prune_sweep" -> HashOracles.q358PruneSweep(4, Seq(25, 50, 75)),
+
+    // D4 capstone: q93 SemDeDup chain -> q351 prune over survivors
+    "q353_d4_pipeline" -> HashOracles.q353D4Pipeline(4, 0.4, 75),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp
