@@ -5117,6 +5117,48 @@ object HashOracles {
       "SELECT acc.cid AS cluster, acc.n, ded.n_dedup, ded.n_kept, " +
         "ded.kept_md5 FROM acc JOIN ded USING (cid) ORDER BY cluster")
 
+  /** Interpolated Kneser–Ney bigram replay (q355): bigram TYPE counts
+    * from the train split, context totals/fan-out and continuation
+    * fan-in derived from the type table, then per-test-bigram
+    * `ln(p_KN)` in the EXACT association order of
+    * [[graft.operators.NgramLm.knScoredGrams]] — `(max(c2 − d, 0) +
+    * (d·n1f)·p_cont) / ct`, backoff `p_cont = (n1b + 1)/(B + V)` —
+    * averaged per doc on the 1e-4 grid (round after the aggregate,
+    * the q100 device).
+    */
+  def q355KnBigram(splitId: Long, discount: Double): String = {
+    val pc = "(CAST(coalesce(bw.n1b, 0) + 1 AS DOUBLE) / " +
+      "CAST(bb.btypes + vv.v AS DOUBLE))"
+    s"""WITH tok AS (SELECT doc_id, $Toks AS t FROM documents),
+       |tr AS (SELECT * FROM tok WHERE doc_id < $splitId),
+       |te AS (SELECT * FROM tok WHERE doc_id >= $splitId),
+       |bp AS (SELECT t[j] AS l, t[j + 1] AS r FROM
+       |  (SELECT t, unnest(range(1, len(t))) AS j FROM tr)),
+       |bi AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c2 FROM bp
+       |  GROUP BY l, r),
+       |cx AS (SELECT l, CAST(sum(c2) AS BIGINT) AS ct,
+       |  CAST(count(*) AS BIGINT) AS n1f FROM bi GROUP BY l),
+       |bw AS (SELECT r, CAST(count(*) AS BIGINT) AS n1b FROM bi
+       |  GROUP BY r),
+       |bb AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM bi),
+       |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
+       |  (SELECT unnest(t) AS w FROM tr)),
+       |tep AS (SELECT doc_id, t[j] AS l, t[j + 1] AS r FROM
+       |  (SELECT doc_id, t, unnest(range(1, len(t))) AS j FROM te)),
+       |sc AS (SELECT p.doc_id,
+       |  ln(CASE WHEN coalesce(cx.ct, 0) > 0
+       |    THEN (greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) -
+       |        $discount, CAST(0.0 AS DOUBLE)) +
+       |      ($discount * cx.n1f) * $pc) / cx.ct
+       |    ELSE $pc END) AS lp
+       |  FROM tep p LEFT JOIN bi ON bi.l = p.l AND bi.r = p.r
+       |  LEFT JOIN cx ON cx.l = p.l
+       |  LEFT JOIN bw ON bw.r = p.r, bb, vv)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(avg(lp), 4) AS kn_lp
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** k-center greedy replay (q352): seed = min vec_id, then `k − 1`
     * unrolled farthest-first rounds — per round the min distance to the
     * accumulated centers (exact double `min` over the same kmDist

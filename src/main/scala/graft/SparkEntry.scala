@@ -4276,6 +4276,21 @@ object SparkEntry {
         .orderBy(col("keep_pct"), col("cluster"))
     }),
 
+    // Interpolated KNESER–NEY bigram LM scoring (Kneser & Ney 1995;
+    // Chen & Goodman 1998) — the production-grade smoothing upgrade
+    // of q100's add-α bigram for ccnet-style perplexity filtering:
+    // absolute discount D = 0.75 (exact in binary) interpolated with
+    // the continuation probability. Train on doc_id < 250, score the
+    // rest; per-doc mean ln-prob on the 1e-4 grid.
+    "q355_kn_bigram" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val lm = graft.operators.NgramLm.trainKn(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      graft.operators.NgramLm.knLogProbScore(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    }),
+
     // D4-STYLE selection capstone (Tirumala et al. 2023: document
     // de-duplication + diversification): ONE trained kmeans feeds
     // both stages — SemDeDup within-cluster cosine dedup (q93's
@@ -9238,6 +9253,9 @@ object SparkEntry {
 
     // D4 capstone: q93 SemDeDup chain -> q351 prune over survivors
     "q353_d4_pipeline" -> HashOracles.q353D4Pipeline(4, 0.4, 75),
+
+    // interpolated Kneser-Ney bigram scoring, full train+score replay
+    "q355_kn_bigram" -> HashOracles.q355KnBigram(250, 0.75),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

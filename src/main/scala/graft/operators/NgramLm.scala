@@ -133,6 +133,119 @@ object NgramLm {
       .agg(count(lit(1)).as("n_grams"),
         round(avg(col("lp")), 4).as("avg_lp"))
 
+  // ---- interpolated Kneser–Ney ------------------------------------------
+
+  /** A trained interpolated Kneser–Ney bigram model (Kneser & Ney
+    * 1995; the interpolated form of Chen & Goodman 1998): the bigram
+    * count table plus the two continuation-statistic tables it
+    * derives, and two bounded driver facts.
+    *
+    *  - `bigrams`: (l, r, c2) — bigram counts, one row per TYPE;
+    *  - `contexts`: (l, ct, n1f) — per left word the context total
+    *    `ct = Σ_r c2(l,r)` and the fan-out `n1f = |{r : c2 > 0}|`;
+    *  - `continuations`: (r, n1b) — per right word the fan-in
+    *    `n1b = |{l : c2 > 0}|`, the KN continuation count;
+    *  - `bTypes` = |{(l,r) : c2 > 0}|, `vocab` = |distinct tokens| —
+    *    two longs (bounded facts, the only driver-side state).
+    */
+  final case class KnLm(bigrams: DataFrame, contexts: DataFrame,
+      continuations: DataFrame, bTypes: Long, vocab: Long)
+
+  /** Token-adjacent (l, r) pairs — the bigram occurrences. */
+  private def adjPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("l"),
+          element_at(toks, i + 2).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** Train the KN tables: ONE bigram count aggregation feeds both
+    * continuation tables (each a groupBy over the TYPE table, which is
+    * far smaller than the occurrence stream), so the corpus is read
+    * once. The count tables stay distributed (corpus-grain); only the
+    * two scalar facts are collected.
+    */
+  def trainKn(corpus: DataFrame, idCol: String, textCol: String,
+      tokensCol: Option[String] = None): KnLm = {
+    val toks = graft.CacheScope.register(corpus
+      .withColumn("__lm_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col("__lm_toks"))
+      .persist())
+    val bi = graft.CacheScope.register(toks
+      .select(explode(adjPairs(col("__lm_toks"))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c2"))
+      .persist())
+    val contexts = bi.groupBy(col("l"))
+      .agg(sum(col("c2")).as("ct"), count(lit(1)).as("n1f"))
+    val continuations = bi.groupBy(col("r"))
+      .agg(count(lit(1)).as("n1b"))
+    val bTypes = bi.count()
+    val vocab = toks.select(explode(col("__lm_toks")).as("w"))
+      .distinct().count()
+    KnLm(bi, contexts, continuations, bTypes, vocab)
+  }
+
+  /** The STATELESS stage of [[knLogProbScore]]: one row per (doc,
+    * bigram occurrence) with its interpolated-KN ln-prob `lp` —
+    * explode + three un-hinted count-table equi-joins, no aggregation,
+    * so the same Column program runs on a STREAMING frame unchanged
+    * ([[graft.streaming.LmStream.knScoredGrams]]).
+    *
+    * The probability, with fixed discount `d` (default 0.75 — exact in
+    * binary, so `c2 − d` is one exact double subtraction):
+    *
+    *  - seen context: `p = (max(c2 − d, 0) + (d·n1f)·p_cont) / ct`;
+    *  - unseen context: `p = p_cont` (pure continuation backoff);
+    *  - `p_cont(r) = (n1b + 1) / (bTypes + vocab)` — KN continuation
+    *    probability with add-one on the continuation counts so an
+    *    entirely out-of-vocabulary word keeps a positive floor
+    *    (documented deviation from the textbook form, which is
+    *    undefined at n1b = 0).
+    *
+    * Every operand is an exact integer (or `d`); the expression tree
+    * is written in one fixed association order mirrored by the oracle,
+    * so `lp` is bit-identical on any engine (the q100 ln contract).
+    */
+  def knScoredGrams(docs: DataFrame, idCol: String, textCol: String,
+      lm: KnLm, discount: Double = 0.75,
+      tokensCol: Option[String] = None): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount $discount")
+    val pairs = docs
+      .withColumn("__lm_toks",
+        tokensCol.map(col).getOrElse(TF.tokens(col(textCol))))
+      .select(col(idCol),
+        explode(adjPairs(col("__lm_toks"))).as("p"))
+      .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
+    val pcont = (coalesce(col("n1b"), lit(0L)) + 1).cast("double") /
+      lit(lm.bTypes + lm.vocab).cast("double")
+    val seen = (greatest(coalesce(col("c2"), lit(0L)).cast("double") -
+      lit(discount), lit(0.0)) +
+      (lit(discount) * col("n1f")) * col("__pc")) / col("ct")
+    pairs
+      .join(lm.bigrams, Seq("l", "r"), "left")
+      .join(lm.contexts, Seq("l"), "left")
+      .join(lm.continuations, Seq("r"), "left")
+      .withColumn("__pc", pcont)
+      .withColumn("lp", log(when(coalesce(col("ct"), lit(0L)) > 0, seen)
+        .otherwise(col("__pc"))))
+      .select(col(idCol), col("l"), col("r"), col("lp"))
+  }
+
+  /** Per-document interpolated-KN score: `(idCol, n_bigrams, kn_lp)` —
+    * the average ln-prob on the 1e-4 grid (round AFTER the aggregate,
+    * the q100 device). Documents under 2 tokens have no bigrams and
+    * emit no row ([[logProbScore]]'s contract).
+    */
+  def knLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+      lm: KnLm, discount: Double = 0.75,
+      tokensCol: Option[String] = None): DataFrame =
+    knScoredGrams(docs, idCol, textCol, lm, discount, tokensCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 4).as("kn_lp"))
+
   // ---- per-group (per-language) LM -------------------------------------
 
   /** A per-group family of n-gram LMs in ONE set of count tables — the

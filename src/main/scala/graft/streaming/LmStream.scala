@@ -38,6 +38,15 @@ object LmStream {
       lm: NgramLm.Lm, alpha: Double = 0.4): DataFrame =
     NgramLm.scoredGrams(docs, idCol, textCol, lm, alpha)
 
+  /** Stateless per-bigram Kneser–Ney scoring of a streaming frame —
+    * [[NgramLm.knScoredGrams]] verbatim (explode + three stream-static
+    * equi-joins against the trained KN tables, no state, no
+    * watermark); LmStreamSpec pins batch-identity.
+    */
+  def knScoredGrams(docs: DataFrame, idCol: String, textCol: String,
+      lm: NgramLm.KnLm, discount: Double = 0.75): DataFrame =
+    NgramLm.knScoredGrams(docs, idCol, textCol, lm, discount)
+
   /** Per-document scores over a stream via `foreachBatch`:
     * `sink(scores, batchId)` receives [[NgramLm.logProbScore]] of each
     * micro-batch (same schema: idCol, n_grams, avg_lp). Exact when each

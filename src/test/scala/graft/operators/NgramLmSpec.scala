@@ -222,4 +222,56 @@ class NgramLmSpec extends SparkSpec {
     // score alone cannot make this separation
     assert(math.abs(dGen(100L) - dGen(101L)) < 2.0)
   }
+
+  test("Kneser-Ney bigram: hand-computed probabilities for all four " +
+      "(context seen/unseen x word seen/unseen) cells") {
+    val s = spark
+    import s.implicits._
+    // train "a b a c": bigrams (a,b)=(b,a)=(a,c)=1, B=3 types, V=3;
+    // cx: a -> (ct=2, n1f=2), b -> (ct=1, n1f=1);
+    // n1b = 1 for each of a, b, c -> p_cont = (1+1)/(3+3) = 1/3,
+    // OOV word p_cont = 1/6
+    val lm = NgramLm.trainKn(Seq((1L, "a b a c")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(lm.bTypes === 3L && lm.vocab === 3L)
+    val lp = NgramLm.knScoredGrams(
+        Seq((10L, "a b"), (11L, "a z"), (12L, "z a"), (13L, "z q"))
+          .toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("lp")).toMap
+    // seen/seen:     (max(1-.75,0) + (.75*2)*(1/3)) / 2 = 0.375
+    assert(lp(10L) === math.log(0.375))
+    // seen ctx, unseen word: (0 + 1.5*(1/6)) / 2 = 0.125
+    assert(lp(11L) === math.log(0.125))
+    // unseen ctx, seen word: pure continuation = 1/3
+    assert(lp(12L) === math.log(1.0 / 3.0))
+    // unseen/unseen: OOV floor 1/6
+    assert(lp(13L) === math.log(1.0 / 6.0))
+    intercept[IllegalArgumentException] {
+      NgramLm.knScoredGrams(Seq((1L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", lm, discount = 1.5)
+    }
+  }
+
+  test("knLogProbScore: sub-bigram docs emit no row, the mean sits on " +
+      "the 1e-4 grid, and seen text outscores garbled text") {
+    val s = spark
+    import s.implicits._
+    val lm = NgramLm.trainKn(Seq(
+      (1L, "the table is fast the table is slow"),
+      (2L, "the query is fast and the query is slow")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val out = NgramLm.knLogProbScore(Seq(
+        (10L, "the table is fast"), (11L, "zz qq xx vv"), (12L, "solo"))
+        .toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("kn_lp")))).toMap
+    assert(!out.contains(12L))
+    assert(out(10L)._1 === 3L && out(11L)._1 === 3L)
+    assert(out(10L)._2 > out(11L)._2)
+    out.values.foreach { case (_, v) =>
+      assert(v === graft.functions.Grid.snapD(v, 4) ||
+        math.abs(v - math.rint(v * 1e4) / 1e4) < 1e-12)
+    }
+  }
 }

@@ -55,6 +55,37 @@ class LmStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && !streamed.exists(_._1 == 12L))
   }
 
+  test("knScoredGrams: the Kneser-Ney stage is stateless on a stream " +
+      "and batch-identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val lm = NgramLm.trainKn(Seq(
+      (1L, "the table is fast the table is slow the row is fast"),
+      (2L, "the query is fast and the query is slow")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val docs = Seq(
+      LmDoc(10L, "the table is fast today", ts0),
+      LmDoc(11L, "a volcano erupted yesterday", ts0),
+      LmDoc(12L, "solo", ts0))
+    val mem = MemoryStream[LmDoc]
+    val q = LmStream.knScoredGrams(mem.toDF(), "doc_id", "text", lm)
+      .writeStream.format("memory").queryName("kn_grams")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(t => (t._1, t._2, t._3))
+    val streamed = rows(s.sql("SELECT * FROM kn_grams"))
+    val batch = rows(NgramLm.knScoredGrams(docs.toDF(), "doc_id",
+      "text", lm))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && !streamed.exists(_._1 == 12L))
+  }
+
   test("logProbScores via foreachBatch == batch operator, across " +
       "multiple micro-batches") {
     val s = spark
