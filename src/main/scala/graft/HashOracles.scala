@@ -5117,6 +5117,79 @@ object HashOracles {
       "SELECT acc.cid AS cluster, acc.n, ded.n_dedup, ded.n_kept, " +
         "ded.kept_md5 FROM acc JOIN ded USING (cid) ORDER BY cluster")
 
+  /** Secret-Sharer canary exposure replay (q354): the decoy slot
+    * values (top corpus tokens, count DESC / token ASC), then one
+    * unrolled block per insertion count — augmented trigram/context
+    * counts, candidate grams scored on the integer NANONAT grid
+    * (q340's `floor(ln·1e9 + ½)`), exact integer candidate sums, the
+    * secret's rank by (score DESC, token ASC), exposure bits snapped
+    * at 1e-4 — mirroring
+    * [[graft.operators.Memorization.canaryExposure]] stage for stage.
+    */
+  def q354CanaryExposure(prefix: Seq[String], secret: String,
+      suffix: Seq[String], nDecoys: Int, inserts: Seq[Int]): String = {
+    import graft.functions.Grid.snapSql
+    val toksT = prefix ++ Seq(" ") ++ suffix // slot marker
+    def seg(ts: Seq[String]): String =
+      ts.map(t => if (t == " ") "w" else s"'$t'")
+        .reduce((a, b) => s"$a || ' ' || $b")
+    val tpls = (0 to toksT.size - 3).map { i =>
+      val g = toksT.slice(i, i + 3); val c = toksT.slice(i, i + 2)
+      s"struct_pack(g := ${seg(g)}, c := ${seg(c)})"
+    }
+    val canaryList = (prefix ++ Seq(secret) ++ suffix)
+      .map(t => s"'$t'").mkString("[", ", ", "]")
+    val head = Seq(
+      s"tok AS (SELECT $Toks AS t FROM documents)",
+      "dec AS (SELECT w FROM (SELECT unnest(t) AS w FROM tok) " +
+        s"WHERE w <> '$secret' GROUP BY w " +
+        s"ORDER BY count(*) DESC, w LIMIT $nDecoys)",
+      s"cd AS (SELECT w FROM dec UNION ALL SELECT '$secret')",
+      // N = the ACTUAL candidate count: a corpus with fewer distinct
+      // tokens than nDecoys caps the decoy set (mirrors the Spark
+      // side's decoys.size + 1)
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cd)",
+      s"cg AS (SELECT w, unnest([${tpls.mkString(", ")}]) AS u FROM cd)",
+      "cgf AS (SELECT w, u.g AS gram, u.c AS ctx FROM cg)")
+    val sc9 = "CAST(floor(ln(%s) * 1000000000.0 + 0.5) AS BIGINT)"
+    val blocks = inserts.flatMap { r =>
+      val p = s"i$r"
+      Seq(
+        s"${p}au AS (SELECT t FROM tok UNION ALL " +
+          s"SELECT $canaryList AS t FROM range($r))",
+        s"${p}g3 AS (SELECT array_to_string(t[j + 1 : j + 3], ' ') " +
+          "AS gram, CAST(count(*) AS BIGINT) AS c3 FROM " +
+          "(SELECT t, unnest(range(0, len(t) - 2)) AS j " +
+          s"FROM ${p}au WHERE len(t) >= 3) GROUP BY 1)",
+        s"${p}g2 AS (SELECT array_to_string(t[j + 1 : j + 2], ' ') " +
+          "AS ctx, CAST(count(*) AS BIGINT) AS c2 FROM " +
+          "(SELECT t, unnest(range(0, len(t) - 1)) AS j " +
+          s"FROM ${p}au WHERE len(t) >= 2) GROUP BY 1)",
+        s"${p}vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v " +
+          s"FROM (SELECT unnest(t) AS w FROM ${p}au))",
+        s"${p}sc AS (SELECT cgf.w, " +
+          sc9.format(s"(coalesce(c3, 0) + 0.4) / " +
+            s"(coalesce(c2, 0) + 0.4 * ${p}vv.v)") + " AS lp_sc " +
+          s"FROM cgf LEFT JOIN ${p}g3 USING (gram) " +
+          s"LEFT JOIN ${p}g2 USING (ctx), ${p}vv)",
+        s"${p}ts AS (SELECT w, CAST(sum(lp_sc) AS BIGINT) AS s " +
+          s"FROM ${p}sc GROUP BY w)",
+        s"${p}ss AS (SELECT s FROM ${p}ts WHERE w = '$secret')",
+        s"${p}rk AS (SELECT CAST(count(*) + 1 AS INTEGER) AS rank " +
+          s"FROM ${p}ts t, ${p}ss x WHERE t.s > x.s " +
+          s"OR (t.s = x.s AND t.w < '$secret'))")
+    }
+    val rows = inserts.map { r =>
+      val p = s"i$r"
+      s"SELECT CAST($r AS INTEGER) AS n_insert, rank, " +
+        s"(SELECT s FROM ${p}ss) AS score_sc, " +
+        s"${snapSql("ln(CAST(nn.n AS DOUBLE) / rank) / ln(2.0)", 4)} " +
+        s"AS exposure FROM ${p}rk, nn"
+    }.mkString(" UNION ALL ")
+    withClause(head ++ blocks,
+      s"SELECT * FROM ($rows) ORDER BY n_insert")
+  }
+
   /** Interpolated Kneser–Ney bigram replay (q355): bigram TYPE counts
     * from the train split, context totals/fan-out and continuation
     * fan-in derived from the type table, then per-test-bigram

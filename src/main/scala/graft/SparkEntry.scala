@@ -4276,6 +4276,22 @@ object SparkEntry {
         .orderBy(col("keep_pct"), col("cluster"))
     }),
 
+    // SECRET-SHARER canary exposure (Carlini et al. 2019) — the
+    // memorization audit: plant a canary r ∈ {0, 2, 8} times, train
+    // the trigram LM each time, rank the secret among 64 hold-out
+    // candidates differing only in the slot token. Scores are exact
+    // integer nanonat sums (with r = 0 every unseen candidate scores
+    // the same grams — a float sum would leave the rank to summation
+    // order), so the rank trajectory replays bit-identically.
+    "q354_canary_exposure" -> ((s, dir) =>
+      graft.operators.Memorization.canaryExposure(
+        T(s, dir, "documents"), "doc_id", "text",
+        prefix = Seq("the", "secret", "access", "code", "is"),
+        secret = "zq7canary",
+        suffix = Seq("end", "of", "line"),
+        nDecoys = 63, insertCounts = Seq(0, 2, 8))
+        .orderBy(col("n_insert"))),
+
     // Interpolated KNESER–NEY bigram LM scoring (Kneser & Ney 1995;
     // Chen & Goodman 1998) — the production-grade smoothing upgrade
     // of q100's add-α bigram for ccnet-style perplexity filtering:
@@ -9256,6 +9272,12 @@ object SparkEntry {
 
     // interpolated Kneser-Ney bigram scoring, full train+score replay
     "q355_kn_bigram" -> HashOracles.q355KnBigram(250, 0.75),
+
+    // Secret-Sharer exposure: per insertion count, augmented-corpus
+    // trigram counts, nanonat candidate scores, exact integer rank
+    "q354_canary_exposure" -> HashOracles.q354CanaryExposure(
+      Seq("the", "secret", "access", "code", "is"), "zq7canary",
+      Seq("end", "of", "line"), 63, Seq(0, 2, 8)),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp
