@@ -5117,6 +5117,65 @@ object HashOracles {
       "SELECT acc.cid AS cluster, acc.n, ded.n_dedup, ded.n_kept, " +
         "ded.kept_md5 FROM acc JOIN ded USING (cid) ORDER BY cluster")
 
+  /** aHash-vs-dHash agreement replay (q356): the q236 planted corpus
+    * (base + exact copies + brightness-perturbed copies), BOTH hash
+    * rules recomputed from the pixels (PNG lossless — the q235
+    * device): aHash bit `64·p > Σp`, dHash bit `p[i] < p[j]` with
+    * `j = (i div 8)·8 + (i mod 8 + 1) mod 8` (the cyclic row
+    * gradient), then the all-pairs union of the two ≤ `maxH` pair
+    * sets with per-modality hammings NULLed outside their own set —
+    * the full-outer join [[graft.operators.MediaDedup.nearDupPairs]]
+    * agreement the Spark side plans as two banded equi-joins
+    * (pigeonhole-lossless at maxH ≤ 3, so all-pairs here is exact).
+    */
+  def q356DhashAgreement(maxH: Int): String = {
+    def blk(bits: String, pfx: String): Seq[String] = Seq(
+      s"${pfx}blocks AS (SELECT media_id, i // 16 AS blk, " +
+        "CAST(sum(b * (1::BIGINT << CAST(15 - (i % 16) AS INT))) " +
+        s"AS BIGINT) AS bv FROM $bits GROUP BY 1, 2)",
+      s"${pfx}wide AS (SELECT media_id, " +
+        "max(CASE WHEN blk = 0 THEN bv END) AS b0, " +
+        "max(CASE WHEN blk = 1 THEN bv END) AS b1, " +
+        "max(CASE WHEN blk = 2 THEN bv END) AS b2, " +
+        "max(CASE WHEN blk = 3 THEN bv END) AS b3 " +
+        s"FROM ${pfx}blocks GROUP BY 1)")
+    def ham(a: String, b: String): String =
+      s"bit_count(xor($a.b0, $b.b0)) + bit_count(xor($a.b1, $b.b1)) " +
+        s"+ bit_count(xor($a.b2, $b.b2)) + bit_count(xor($a.b3, $b.b3))"
+    withClause(Seq(
+      "base AS (SELECT vec_id AS media_id, i, " +
+        "CAST(greatest(0, least(255, floor((CAST(embedding[i+1] " +
+        "AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p " +
+        "FROM embeddings, range(64) t(i))",
+      "corpus AS (SELECT media_id, i, p FROM base UNION ALL " +
+        "SELECT media_id + 100000, i, " +
+        "CASE WHEN media_id % 3 = 1 AND i % 16 = 0 " +
+        "THEN least(p + 3, 255) ELSE p END " +
+        "FROM base WHERE media_id % 3 < 2)",
+      "s AS (SELECT media_id, sum(p) AS tot FROM corpus GROUP BY 1)",
+      "abits AS (SELECT c.media_id, i, " +
+        "CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS b " +
+        "FROM corpus c JOIN s USING (media_id))") ++
+      blk("abits", "a") ++ Seq(
+      "dbits AS (SELECT c.media_id, c.i, " +
+        "CASE WHEN c.p < n.p THEN 1 ELSE 0 END AS b " +
+        "FROM corpus c JOIN corpus n ON n.media_id = c.media_id " +
+        "AND n.i = (c.i // 8) * 8 + (c.i % 8 + 1) % 8)") ++
+      blk("dbits", "d") ++ Seq(
+      "pr AS (SELECT a.media_id AS a_id, b.media_id AS b_id, " +
+        s"${ham("a", "b")} AS ha, ${ham("da", "db")} AS hd " +
+        "FROM awide a JOIN awide b ON a.media_id < b.media_id " +
+        "JOIN dwide da ON da.media_id = a.media_id " +
+        "JOIN dwide db ON db.media_id = b.media_id)"),
+      "SELECT a_id, b_id, " +
+        s"CAST(CASE WHEN ha <= $maxH THEN ha END AS INTEGER) " +
+        "AS a_hamming, " +
+        s"CAST(CASE WHEN hd <= $maxH THEN hd END AS INTEGER) " +
+        "AS d_hamming " +
+        s"FROM pr WHERE ha <= $maxH OR hd <= $maxH " +
+        "ORDER BY a_id, b_id")
+  }
+
   /** Secret-Sharer canary exposure replay (q354): the decoy slot
     * values (top corpus tokens, count DESC / token ASC), then one
     * unrolled block per insertion count — augmented trigram/context

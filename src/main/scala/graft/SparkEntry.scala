@@ -4276,6 +4276,37 @@ object SparkEntry {
         .orderBy(col("keep_pct"), col("cluster"))
     }),
 
+    // aHash vs dHash AGREEMENT on the q236 planted image corpus: the
+    // difference hash (cyclic row gradient — brightness-invariant
+    // where aHash is layout-invariant) hashes the same decoded
+    // rasters, both near-dup pair sets full-outer join on the pair
+    // key, per-modality hammings NULL outside their own set — the
+    // audit that says one perceptual hash cannot silently stand in
+    // for the other (the q346 cross-modal story, within-modality).
+    "q356_dhash_agreement" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val copies = base.filter(col("vec_id") % 3 < 2)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("CASE WHEN vec_id % 3 = 1 THEN transform(pixels, " +
+            "(p, i) -> CASE WHEN i % 16 = 0 THEN least(p + 3, 255D) " +
+            "ELSE p END) ELSE pixels END").as("pixels"))
+      val media = graft.CacheScope.register(
+        graft.operators.Multimodal.asMedia(
+          graft.operators.Multimodal.encodePng(base.union(copies),
+            "vec_id", "pixels", side = 8), "media_id", "media")
+          .persist())
+      val aP = graft.operators.MediaDedup.nearDupPairs(
+          graft.operators.MediaDedup.averageHash(media), maxHamming = 3)
+        .withColumnRenamed("hamming", "a_hamming")
+      val dP = graft.operators.MediaDedup.nearDupPairs(
+          graft.operators.MediaDedup.differenceHash(media), maxHamming = 3)
+        .withColumnRenamed("hamming", "d_hamming")
+      aP.join(dP, Seq("a_id", "b_id"), "full_outer")
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // SECRET-SHARER canary exposure (Carlini et al. 2019) — the
     // memorization audit: plant a canary r ∈ {0, 2, 8} times, train
     // the trigram LM each time, rank the secret among 64 hold-out
@@ -9278,6 +9309,9 @@ object SparkEntry {
     "q354_canary_exposure" -> HashOracles.q354CanaryExposure(
       Seq("the", "secret", "access", "code", "is"), "zq7canary",
       Seq("end", "of", "line"), 63, Seq(0, 2, 8)),
+
+    // aHash vs dHash near-dup agreement on the planted image corpus
+    "q356_dhash_agreement" -> HashOracles.q356DhashAgreement(3),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

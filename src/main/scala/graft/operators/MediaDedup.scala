@@ -60,14 +60,14 @@ object MediaDedup {
       }(enc)
   }
 
-  /** The hash core: decode → 8×8 integer pooling → bit rule → 4 blocks
-    * + popcount; `None` when the bytes don't decode. Shared by the
-    * batch [[averageHash]] and the streaming
-    * [[graft.streaming.MediaStream]] (which needs to thread event time
-    * through the same computation).
+  /** The shared decode + 8×8 integer pooling stage: per grid cell the
+    * exact sample sum and sample count, `None` when the bytes don't
+    * decode. Both hash rules ([[hashBytes]]'s cell-vs-image mean,
+    * [[dHashBytes]]'s cell-vs-right-neighbor gradient) read these
+    * pools, so the decode cost is written once.
     */
-  private[graft] def hashBytes(bytes: Array[Byte])
-      : Option[(Array[Long], Int)] = {
+  private[graft] def poolCells(bytes: Array[Byte])
+      : Option[(Array[Long], Array[Long])] = {
     val side = 8
     val img =
       try javax.imageio.ImageIO.read(
@@ -81,7 +81,6 @@ object MediaDedup {
       val w = img.getWidth; val h = img.getHeight
       val cellSum = new Array[Long](side * side)
       val cellCnt = new Array[Long](side * side)
-      var totalSum = 0L; var totalCnt = 0L
       var cy = 0
       while (cy < side) {
         val y0 = cy * h / side
@@ -106,15 +105,32 @@ object MediaDedup {
           }
           cellSum(cy * side + cx) = sum
           cellCnt(cy * side + cx) = cnt
-          totalSum += sum; totalCnt += cnt
           cx += 1
         }
         cy += 1
       }
+      Some((cellSum, cellCnt))
+    }
+  }
+
+  /** The aHash core: decode → 8×8 integer pooling → bit rule → 4
+    * blocks + popcount; `None` when the bytes don't decode. Shared by
+    * the batch [[averageHash]] and the streaming
+    * [[graft.streaming.MediaStream]] (which needs to thread event time
+    * through the same computation).
+    */
+  private[graft] def hashBytes(bytes: Array[Byte])
+      : Option[(Array[Long], Int)] =
+    poolCells(bytes).map { case (cellSum, cellCnt) =>
+      var totalSum = 0L; var totalCnt = 0L
+      var i = 0
+      while (i < 64) {
+        totalSum += cellSum(i); totalCnt += cellCnt(i); i += 1
+      }
       val blocks = new Array[Long](4)
       var ones = 0
-      var i = 0
-      while (i < side * side) {
+      i = 0
+      while (i < 64) {
         // cell mean > image mean, exact: cross-multiply the two
         // integer ratios (cells can have unequal pixel counts when
         // the source image is not a multiple of 8 on a side)
@@ -124,8 +140,52 @@ object MediaDedup {
         }
         i += 1
       }
-      Some((blocks, ones))
+      (blocks, ones)
     }
+
+  /** The dHash core: bit `i` (row r, col c) is set iff cell (r, c) is
+    * strictly DARKER than its right neighbor (r, (c+1) mod 8) — the
+    * published difference hash's row gradient, made cyclic so an 8×8
+    * pooled grid still yields a full 64-bit code (the classic form
+    * pools 9 columns; the wrap bit compares last to first instead).
+    * Exact cross-multiplied integer comparison, same block layout as
+    * [[hashBytes]].
+    */
+  private[graft] def dHashBytes(bytes: Array[Byte])
+      : Option[(Array[Long], Int)] =
+    poolCells(bytes).map { case (cellSum, cellCnt) =>
+      val blocks = new Array[Long](4)
+      var ones = 0
+      var i = 0
+      while (i < 64) {
+        val j = (i / 8) * 8 + (i % 8 + 1) % 8
+        if (cellSum(i) * cellCnt(j) < cellSum(j) * cellCnt(i)) {
+          blocks(i / 16) |= 1L << (15 - (i % 16))
+          ones += 1
+        }
+        i += 1
+      }
+      (blocks, ones)
+    }
+
+  /** 64-bit difference hash (dHash — the gradient member of the
+    * perceptual-hash family): brightness-invariant where [[averageHash]]
+    * is layout-invariant, so the two catch DIFFERENT perturbation
+    * classes and a production dedup runs both
+    * (q356 measures their agreement). Same output layout as
+    * [[averageHash]], so [[nearDupPairs]] consumes either unchanged.
+    */
+  def differenceHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(hashSchema)
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          dHashBytes(r.getAs[Array[Byte]](1)).map { case (blocks, ones) =>
+            Row(r.getLong(0), blocks(0), blocks(1), blocks(2),
+              blocks(3), ones)
+          }
+        }
+      }(enc)
   }
 
   /** 64-bit two-channel AUDIO perceptual hash over

@@ -168,4 +168,42 @@ class MediaDedupSpec extends SparkSpec {
     assert(h(2L).getAs[Long]("b2") === 0xA000L)
     assert(h(2L).getAs[Long]("b1") === 0L)
   }
+
+  test("differenceHash: constant image hashes to 0 (strict gradient), " +
+      "a row ramp sets every non-wrap bit, and the wrap bit compares " +
+      "last column to first") {
+    val flat = Seq.fill(64)(100.0)
+    val hf = MediaDedup.differenceHash(png(Seq((1L, flat)), side = 8))
+      .head()
+    assert(Seq("b0", "b1", "b2", "b3")
+      .forall(c => hf.getAs[Long](c) === 0L))
+    assert(hf.getAs[Int]("n_ones") === 0)
+    // each row 10,20,...,80: cells 0..6 darker than their right
+    // neighbor (bits set); col 7 wraps to col 0 (80 > 10 — not set)
+    val ramp = Seq.tabulate(64)(i => (i % 8 + 1) * 10.0)
+    val hr = MediaDedup.differenceHash(png(Seq((2L, ramp)), side = 8))
+      .head()
+    assert(hr.getAs[Int]("n_ones") === 56)
+    // block 0 = rows 0-1: per row bits 0..6 set, bit 7 clear →
+    // 0xFEFE; all four blocks identical by row periodicity
+    assert(Seq("b0", "b1", "b2", "b3")
+      .forall(c => hr.getAs[Long](c) === 0xFEFEL))
+  }
+
+  test("differenceHash is brightness-shift invariant where " +
+      "averageHash is not") {
+    val base = Seq.tabulate(64)(i => ((i * 29) % 17) * 10.0 + 30.0)
+    // uniform +40 brightness: gradients unchanged, means shift
+    val brighter = base.map(p => math.min(p + 40.0, 255.0))
+    val m = png(Seq((1L, base), (2L, brighter)), side = 8)
+    val d = MediaDedup.differenceHash(m).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(d(1L) === d(2L))
+    // dHash near-dup finds the pair at Hamming 0
+    val pairs = MediaDedup.nearDupPairs(MediaDedup.differenceHash(m), 0)
+      .collect()
+    assert(pairs.length === 1 &&
+      pairs.head.getAs[Int]("hamming") === 0)
+  }
 }
