@@ -5117,6 +5117,37 @@ object HashOracles {
       "SELECT acc.cid AS cluster, acc.n, ded.n_dedup, ded.n_kept, " +
         "ded.kept_md5 FROM acc JOIN ded USING (cid) ORDER BY cluster")
 
+  /** Character-coverage replay (q357): lowercased codepoint counts
+    * (the charGrams n = 1 slicing — substr over the codepoint range),
+    * the (count DESC, char ASC) running sum (INTEGER summand — see
+    * RunningSumGateSpec's whitelist), and per target the min rank
+    * whose cumulative count crosses `target_bp·total / 10000` by the
+    * exact cross-multiplication.
+    */
+  def q357CharCoverage(targetsBp: Seq[Int]): String = {
+    val tg = targetsBp.mkString("[", ", ", "]")
+    s"""WITH lt AS (SELECT lower(text) AS t FROM documents),
+       |chs AS (SELECT unnest(CASE WHEN length(t) >= 1
+       |  THEN list_transform(range(0, length(t)),
+       |    i -> substr(t, CAST(i + 1 AS INTEGER), 1))
+       |  ELSE [t] END) AS ch FROM lt),
+       |cnt AS (SELECT ch, CAST(count(*) AS BIGINT) AS n FROM chs
+       |  WHERE ch <> '' GROUP BY ch),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+       |  CAST(count(*) AS BIGINT) AS alpha FROM cnt),
+       |rk AS (SELECT ch, n, sum(n) OVER (ORDER BY n DESC, ch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |  row_number() OVER (ORDER BY n DESC, ch) AS pos FROM cnt),
+       |tg AS (SELECT unnest($tg) AS target_bp)
+       |SELECT CAST(tg.target_bp AS INTEGER) AS target_bp,
+       |  CAST(min(pos) AS BIGINT) AS n_chars,
+       |  CAST(min(tot.total) AS BIGINT) AS total_chars,
+       |  CAST(min(tot.alpha) AS BIGINT) AS alphabet_size
+       |FROM tg, rk, tot
+       |WHERE cum * 10000 >= CAST(tg.target_bp AS BIGINT) * tot.total
+       |GROUP BY tg.target_bp ORDER BY target_bp""".stripMargin
+  }
+
   /** aHash-vs-dHash agreement replay (q356): the q236 planted corpus
     * (base + exact copies + brightness-perturbed copies), BOTH hash
     * rules recomputed from the pixels (PNG lossless — the q235

@@ -4276,6 +4276,18 @@ object SparkEntry {
         .orderBy(col("keep_pct"), col("cluster"))
     }),
 
+    // CHARACTER-COVERAGE audit (SentencePiece's character_coverage,
+    // Kudo & Richardson 2018): per coverage target, the minimal base
+    // alphabet size — shortest (count DESC, char ASC) prefix reaching
+    // target_bp basis points of all char occurrences, by exact
+    // integer cross-multiplication. Alphabet bounded by contract;
+    // the prefix scan is a driver fold over the bounded count table.
+    "q357_char_coverage" -> ((s, dir) =>
+      graft.operators.TokenizerTraining.charCoverage(
+        T(s, dir, "documents"), "text",
+        targetsBp = Seq(9000, 9900, 9950, 9995, 10000))
+        .orderBy(col("target_bp"))),
+
     // aHash vs dHash AGREEMENT on the q236 planted image corpus: the
     // difference hash (cyclic row gradient — brightness-invariant
     // where aHash is layout-invariant) hashes the same decoded
@@ -9312,6 +9324,10 @@ object SparkEntry {
 
     // aHash vs dHash near-dup agreement on the planted image corpus
     "q356_dhash_agreement" -> HashOracles.q356DhashAgreement(3),
+
+    // character coverage: integer cross-multiplied prefix rank
+    "q357_char_coverage" -> HashOracles.q357CharCoverage(
+      Seq(9000, 9900, 9950, 9995, 10000)),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

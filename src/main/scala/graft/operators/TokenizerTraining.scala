@@ -474,4 +474,56 @@ object TokenizerTraining {
       .orderBy(col("n_uses").desc, col("piece"))
       .limit(topOut)
   }
+
+  /** Character-coverage audit — SentencePiece's `--character_coverage`
+    * knob measured from the corpus (Kudo & Richardson 2018 default
+    * 0.9995): for each coverage target, how many distinct characters a
+    * tokenizer's base alphabet needs. Characters are the lowercased
+    * codepoints of [[graft.functions.TextFunctions.charGrams]] (n = 1,
+    * empty-string grams dropped), ranked by (count DESC, char ASC) — a
+    * total order — and the answer is the shortest prefix whose count
+    * sum reaches `target_bp` basis points of all character
+    * occurrences, decided by the exact integer cross-multiplication
+    * `cum·10000 ≥ target_bp·total`.
+    *
+    * One row per target: `(target_bp, n_chars, total_chars,
+    * alphabet_size)`.
+    *
+    * Execution: ONE distributed char-count aggregation; the alphabet
+    * is bounded BY CONTRACT (`maxAlphabet`, checked distributively
+    * before the collect — the Markov maxStates discipline), so the
+    * ranked prefix scan is a driver fold over ≤ `maxAlphabet` rows,
+    * never a corpus-grain window. Magnitude audit (100 TB):
+    * `total ~ 1e14` chars × `target_bp ≤ 1e4` = 1e18 — inside long
+    * range; `cum·10000` likewise.
+    */
+  def charCoverage(docs: DataFrame, textCol: String,
+      targetsBp: Seq[Int], maxAlphabet: Int = 65536): DataFrame = {
+    require(targetsBp.nonEmpty && targetsBp.size <= 64 &&
+      targetsBp.forall(t => t >= 1 && t <= 10000),
+      s"targetsBp $targetsBp out of (0, 10000]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cnt = docs
+      .select(explode(graft.functions.TextFunctions
+        .charGrams(col(textCol), 1)).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("ch")).agg(count(lit(1)).as("n"))
+    val alphabet = cnt.count() // distributive bound check first
+    require(alphabet <= maxAlphabet,
+      s"$alphabet distinct chars exceed maxAlphabet $maxAlphabet")
+    val ranked = cnt.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (ch, n) => (-n, ch) }
+    val total = ranked.map(_._2).sum
+    val cums = ranked.scanLeft(0L)(_ + _._2).drop(1) // cum at pos k+1
+    val rows = targetsBp.map { t =>
+      val need = cums.indexWhere(c => c * 10000L >= t.toLong * total)
+      val k = if (total == 0L) 0L
+        else (need + 1).toLong // indexWhere always hits: cum_last=total
+      (t, k, total, alphabet)
+    }
+    spark.createDataFrame(rows)
+      .toDF("target_bp", "n_chars", "total_chars", "alphabet_size")
+  }
 }

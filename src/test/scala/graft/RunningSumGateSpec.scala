@@ -119,6 +119,7 @@ class RunningSumGateSpec extends SparkSpec {
       "token counts (integer, the q322 chain over survivors)",
     "q349_corpus_pipeline_langid" ->
       "token counts (integer, the q322 chain keyed by predicted lang)",
+    "q357_char_coverage" -> "char counts (integer prefix sum)",
     "q34_session_window" -> "gap counters (integer)",
     "q40_running_sum" -> "exact cents",
     "q48_token_packing" -> "token lengths (integer)",

@@ -273,4 +273,28 @@ class NoveltyTokenizerSpec extends SparkSpec {
       ("ab", 3L, 3L, math.round(math.log(3.0 / 6) * 1e4) / 1e4),
       ("b", 6L, 3L, math.round(math.log(3.0 / 6) * 1e4) / 1e4)))
   }
+
+  test("charCoverage: exact prefix ranks on a hand-counted alphabet, " +
+      "whitespace counted, case folded, loud bound") {
+    val s = spark
+    import s.implicits._
+    // chars of lower(text): "aAb" -> a,a,b; "a z" -> a,' ',z
+    // counts: a=3, b=1, ' '=1, z=1 -> total 6, order a, then ' ', b, z
+    val docs = Seq((1L, "aAb"), (2L, "a z")).toDF("doc_id", "text")
+    val out = TokenizerTraining.charCoverage(docs, "text",
+        targetsBp = Seq(5000, 8000, 10000))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // 50% of 6 = cum>=3 -> 1 char (a); 80% -> cum*1e4 >= 8000*6=48000:
+    // a=3 (30000), +' '=4 (40000), +b=5 (50000) -> 3 chars; 100% -> 4
+    assert(out.toSeq === Seq(
+      (5000, 1L, 6L, 4L), (8000, 3L, 6L, 4L), (10000, 4L, 6L, 4L)))
+    intercept[IllegalArgumentException] {
+      TokenizerTraining.charCoverage(docs, "text", Seq(5000),
+        maxAlphabet = 2)
+    }
+    intercept[IllegalArgumentException] {
+      TokenizerTraining.charCoverage(docs, "text", Seq(0))
+    }
+  }
 }
