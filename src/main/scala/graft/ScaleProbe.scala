@@ -621,6 +621,55 @@ object ScaleProbe {
                 .cast("long")),
           "doc_id", "f1", "f2", "f3"))
     }
+    // k-center greedy: k rounds, each one map vs the center literal +
+    // a TakeOrdered(1) — cost = k · (linear pass), so fixed k over r×
+    // rows must scale ~linearly
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("kcenter")) {
+        timeWarm(s"kcenter r=$r vecs=${nVecs * r} k=8", () =>
+          operators.Coreset.kCenterGreedy(replicateVecs(r), "vec_id",
+            "embedding", k = 8))
+      }
+    }
+    // prototype prune: map-only assignment + ONE keyed rank window —
+    // linear in rows at fixed k
+    Seq(1, 2, 4, 8).foreach { r =>
+      if (probeEnabled("proto_prune")) {
+        val cents = operators.Clustering.kmeansCentroids(
+          replicateVecs(r), "vec_id", "embedding", k = 4, iters = 1)
+        timeWarm(s"proto_prune r=$r vecs=${nVecs * r}", () =>
+          operators.Clustering.pruneEasiest(replicateVecs(r), "vec_id",
+            "embedding", cents, keepPct = 50))
+      }
+    }
+    // Kneser-Ney: train = one bigram TYPE count shuffle (replicated
+    // text adds occurrences, not types — sublinear), score = explode
+    // + three equi-joins — ~linear in corpus rows
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("kn_lm")) {
+        timeWarm(s"kn_lm r=$r docs=${nDocs * r}", () => {
+          val docs = replicateDocs(r)
+          val lm = operators.NgramLm.trainKn(docs, "doc_id", "text")
+          operators.NgramLm.knLogProbScore(docs, "doc_id", "text", lm)
+        })
+      }
+    }
+    // dHash: one decode+pool pass per partition then the banded
+    // equi-join — linear hash cost, pair cost bounded by bands
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("dhash")) {
+        val px = replicateVecs(r).select(col("vec_id"),
+          expr("transform(embedding, " +
+            "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))")
+            .as("pixels"))
+        timeWarm(s"dhash r=$r imgs=${nVecs * r}", () =>
+          operators.MediaDedup.nearDupPairs(
+            operators.MediaDedup.differenceHash(
+              operators.Multimodal.asMedia(
+                operators.Multimodal.encodePng(px, "vec_id", "pixels",
+                  side = 8), "media_id", "media")), maxHamming = 3))
+      }
+    }
     spark.stop()
   }
 }

@@ -967,6 +967,57 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p346.contains("BroadcastNestedLoopJoin"), p346)
   }
 
+  test("round-15 wave: selection ranks stay keyed, SemDeDup feeds the " +
+      "prune as an equi-join, hashes stay banded, LM scoring stays " +
+      "UDF-free") {
+    // q351/q358: assignment is map-only vs the centroid literal; the
+    // hardness rank is a KEYED window (global policy covers the
+    // unpartitioned case); no cartesian, no UDF
+    Seq("q351_prototype_prune", "q358_prune_sweep").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q:\n$p")
+    }
+    // q358's sweep is an explode, not a join against the pct list
+    assert(plan("q358_prune_sweep").contains("Generate"),
+      "q358 lost its explode sweep")
+    // q353: the D4 chain — SemDeDup candidates are the trained-list
+    // equi-join, the dedup is a left-anti equi-join, never a pair
+    // blowup
+    val p353 = plan("q353_d4_pipeline")
+    assert(!p353.contains("CartesianProduct"), p353)
+    assert(!p353.contains("BroadcastNestedLoopJoin"), p353)
+    // q355: KN scoring is explode + three un-hinted equi-joins — no
+    // UDF, no cartesian, no window
+    val p355 = plan("q355_kn_bigram")
+    assert(!p355.contains("CartesianProduct"), p355)
+    assert(!p355.contains("BroadcastNestedLoopJoin"), p355)
+    assert(!p355.contains("ScalaUDF"), p355)
+    assert(!p355.contains("Window"), s"q355 grew a window:\n$p355")
+    // q356: BOTH hash near-dup joins are banded equi-joins; the
+    // full-outer agreement join is keyed on the pair
+    val p356 = plan("q356_dhash_agreement")
+    assert(!p356.contains("CartesianProduct"), p356)
+    assert(!p356.contains("BroadcastNestedLoopJoin"), p356)
+  }
+
+  test("round-15 driver folds: k-center, canary exposure and char " +
+      "coverage collect only BOUNDED facts — the per-round map is " +
+      "plan-checked at build time, the gate result is a local " +
+      "relation") {
+    // the trajectory/exposure/coverage DataFrames are driver-built
+    // from bounded folds (k ≤ 64 centers, ≤ 256 candidates, ≤ 65536
+    // chars); their own plans must be local — the distributed work
+    // happened in the per-round jobs
+    Seq("q352_kcenter_coreset", "q354_canary_exposure",
+      "q357_char_coverage").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+        s"$q should end in a driver-built local relation:\n$p")
+    }
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible
