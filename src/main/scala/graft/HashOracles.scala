@@ -5289,37 +5289,79 @@ object HashOracles {
     * averaged per doc on the 1e-4 grid (round after the aggregate,
     * the q100 device).
     */
-  def q355KnBigram(splitId: Long, discount: Double): String = {
+  def q355KnBigram(splitId: Long, discount: Double): String =
+    withClause(knCtes(splitId, discount),
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(avg(lp), 4) AS kn_lp " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")
+
+  /** The KN train+score chain ending in `sc(doc_id, lp)` — one row per
+    * test bigram with its interpolated-KN ln-prob. Shared by q355
+    * (per-doc scores) and q359 (per-language smoother comparison);
+    * also leaves `tr`/`te`/`tep`/`bi` in scope for the add-α chain.
+    */
+  private def knCtes(splitId: Long, discount: Double): Seq[String] = {
     val pc = "(CAST(coalesce(bw.n1b, 0) + 1 AS DOUBLE) / " +
       "CAST(bb.btypes + vv.v AS DOUBLE))"
-    s"""WITH tok AS (SELECT doc_id, $Toks AS t FROM documents),
-       |tr AS (SELECT * FROM tok WHERE doc_id < $splitId),
-       |te AS (SELECT * FROM tok WHERE doc_id >= $splitId),
-       |bp AS (SELECT t[j] AS l, t[j + 1] AS r FROM
-       |  (SELECT t, unnest(range(1, len(t))) AS j FROM tr)),
-       |bi AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c2 FROM bp
-       |  GROUP BY l, r),
-       |cx AS (SELECT l, CAST(sum(c2) AS BIGINT) AS ct,
-       |  CAST(count(*) AS BIGINT) AS n1f FROM bi GROUP BY l),
-       |bw AS (SELECT r, CAST(count(*) AS BIGINT) AS n1b FROM bi
-       |  GROUP BY r),
-       |bb AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM bi),
-       |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
-       |  (SELECT unnest(t) AS w FROM tr)),
-       |tep AS (SELECT doc_id, t[j] AS l, t[j + 1] AS r FROM
-       |  (SELECT doc_id, t, unnest(range(1, len(t))) AS j FROM te)),
-       |sc AS (SELECT p.doc_id,
-       |  ln(CASE WHEN coalesce(cx.ct, 0) > 0
-       |    THEN (greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) -
-       |        $discount, CAST(0.0 AS DOUBLE)) +
-       |      ($discount * cx.n1f) * $pc) / cx.ct
-       |    ELSE $pc END) AS lp
-       |  FROM tep p LEFT JOIN bi ON bi.l = p.l AND bi.r = p.r
-       |  LEFT JOIN cx ON cx.l = p.l
-       |  LEFT JOIN bw ON bw.r = p.r, bb, vv)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  round(avg(lp), 4) AS kn_lp
-       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    Seq(
+      s"tok AS (SELECT doc_id, $Toks AS t FROM documents)",
+      s"tr AS (SELECT * FROM tok WHERE doc_id < $splitId)",
+      s"te AS (SELECT * FROM tok WHERE doc_id >= $splitId)",
+      "bp AS (SELECT t[j] AS l, t[j + 1] AS r FROM " +
+        "(SELECT t, unnest(range(1, len(t))) AS j FROM tr))",
+      "bi AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c2 FROM bp " +
+        "GROUP BY l, r)",
+      "cx AS (SELECT l, CAST(sum(c2) AS BIGINT) AS ct, " +
+        "CAST(count(*) AS BIGINT) AS n1f FROM bi GROUP BY l)",
+      "bw AS (SELECT r, CAST(count(*) AS BIGINT) AS n1b FROM bi " +
+        "GROUP BY r)",
+      "bb AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM bi)",
+      "vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM " +
+        "(SELECT unnest(t) AS w FROM tr))",
+      "tep AS (SELECT doc_id, t[j] AS l, t[j + 1] AS r FROM " +
+        "(SELECT doc_id, t, unnest(range(1, len(t))) AS j FROM te))",
+      "sc AS (SELECT p.doc_id, " +
+        "ln(CASE WHEN coalesce(cx.ct, 0) > 0 " +
+        s"THEN (greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) - " +
+        s"$discount, CAST(0.0 AS DOUBLE)) + " +
+        s"($discount * cx.n1f) * $pc) / cx.ct " +
+        s"ELSE $pc END) AS lp " +
+        "FROM tep p LEFT JOIN bi ON bi.l = p.l AND bi.r = p.r " +
+        "LEFT JOIN cx ON cx.l = p.l " +
+        "LEFT JOIN bw ON bw.r = p.r, bb, vv)")
+  }
+
+  /** Smoother comparison replay (q359): per language on the holdout,
+    * the mean of the per-doc add-α scores (q100's exact chain — the
+    * SAME `bi` bigram table, unigram context counts) next to the mean
+    * of the per-doc KN scores, both per-doc values on the 1e-4 grid
+    * BEFORE the per-language mean (mirroring the Spark side averaging
+    * the operators' rounded outputs).
+    */
+  def q359SmoothingEval(splitId: Long, discount: Double,
+      alpha: Double): String = {
+    import graft.functions.Grid.snapSql
+    withClause(knCtes(splitId, discount) ++ Seq(
+      "kdoc AS (SELECT doc_id, round(avg(lp), 4) AS kn_lp FROM sc " +
+        "GROUP BY doc_id)",
+      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM " +
+        "(SELECT unnest(t) AS w FROM tr) GROUP BY w)",
+      "av AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni)",
+      "aal AS (SELECT p.doc_id, " +
+        s"ln((coalesce(bi.c2, 0) + $alpha) / " +
+        s"(coalesce(u.c1, 0) + $alpha * av.vs)) AS lp " +
+        "FROM tep p LEFT JOIN bi ON bi.l = p.l AND bi.r = p.r " +
+        "LEFT JOIN uni u ON u.w = p.l, av)",
+      "adoc AS (SELECT doc_id, round(avg(lp), 4) AS avg_lp FROM aal " +
+        "GROUP BY doc_id)",
+      s"lng AS (SELECT doc_id, lang FROM documents " +
+        s"WHERE doc_id >= $splitId)"),
+      "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"${snapSql("avg(a.avg_lp)", 4)} AS addalpha_lp, " +
+        s"${snapSql("avg(k.kn_lp)", 4)} AS kn_lp " +
+        "FROM lng JOIN adoc a USING (doc_id) " +
+        "JOIN kdoc k USING (doc_id) " +
+        "GROUP BY lang ORDER BY lang")
   }
 
   /** k-center greedy replay (q352): seed = min vec_id, then `k − 1`
@@ -5331,6 +5373,20 @@ object HashOracles {
     */
   def q352KCenterCoreset(k: Int): String = {
     import graft.functions.Grid.snapSql
+    val unionAll = (0 until k).map(i => s"SELECT * FROM c$i")
+      .mkString(" UNION ALL ")
+    withClause(kCenterCtes(k),
+      "SELECT k_idx, CAST(vec_id AS BIGINT) AS vec_id, " +
+        s"${snapSql("dist_sq", 6)} AS dist_sq FROM ($unionAll) " +
+        "ORDER BY k_idx")
+  }
+
+  /** The unrolled k-center chain: `e` (double vectors), per-round
+    * `c{i}(k_idx, vec_id, dist_sq)` picks and the accumulated center
+    * set `a{i}(vec_id, v)` — `a{k-1}` is the full selection. Shared by
+    * q352 (trajectory) and q360 (coverage eval).
+    */
+  private def kCenterCtes(k: Int): Seq[String] = {
     val rounds = (1 until k).flatMap { i => Seq(
       s"d$i AS (SELECT e.vec_id, min(${kmDist("e.v", "a.v")}) AS mind " +
         s"FROM e, a${i - 1} a GROUP BY e.vec_id)",
@@ -5340,16 +5396,34 @@ object HashOracles {
       s"a$i AS (SELECT a.* FROM a${i - 1} a UNION ALL " +
         s"SELECT e.vec_id, e.v FROM e JOIN p$i USING (vec_id))")
     }
-    val unionAll = (0 until k).map(i => s"SELECT * FROM c$i")
-      .mkString(" UNION ALL ")
-    withClause(Seq(
+    Seq(
       "e AS (SELECT vec_id, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
       "a0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
       "c0 AS (SELECT 0 AS k_idx, vec_id, CAST(0.0 AS DOUBLE) " +
-        "AS dist_sq FROM a0)") ++ rounds,
-      "SELECT k_idx, CAST(vec_id AS BIGINT) AS vec_id, " +
-        s"${snapSql("dist_sq", 6)} AS dist_sq FROM ($unionAll) " +
-        "ORDER BY k_idx")
+        "AS dist_sq FROM a0)") ++ rounds
+  }
+
+  /** Coreset coverage eval replay (q360): the q352 selection vs the
+    * first-k-ids baseline, each point's min distance to its center
+    * set (exact double min over the kmDist folds, snapped at 1e-6 —
+    * [[graft.operators.Coreset.assignToCenters]]), then max / 1e-4
+    * mean per method.
+    */
+  def q360CoresetCoverage(k: Int): String = {
+    import graft.functions.Grid.snapSql
+    def cov(name: String, centers: String) =
+      s"$name AS (SELECT e.vec_id, " +
+        snapSql(s"min(${kmDist("e.v", "s.v")})", 6) + " AS cd " +
+        s"FROM e, $centers s GROUP BY e.vec_id)"
+    withClause(kCenterCtes(k) ++ Seq(
+      s"bl AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)",
+      cov("ka", s"a${k - 1}"), cov("kb", "bl"),
+      "un AS (SELECT 'kcenter' AS method, cd FROM ka " +
+        "UNION ALL SELECT 'first_k' AS method, cd FROM kb)"),
+      "SELECT method, CAST(count(*) AS BIGINT) AS n_points, " +
+        "max(cd) AS max_cover, " +
+        s"${snapSql("avg(cd)", 4)} AS mean_cover " +
+        "FROM un GROUP BY method ORDER BY method")
   }
 }

@@ -4276,6 +4276,56 @@ object SparkEntry {
         .orderBy(col("keep_pct"), col("cluster"))
     }),
 
+    // SMOOTHER COMPARISON eval: per held-out language, mean per-doc
+    // score under add-α (q100) vs interpolated Kneser–Ney (q355),
+    // both trained on the same split — the eval a ccnet-style filter
+    // reads before picking its LM. Per-doc values land on the 1e-4
+    // grid BEFORE the per-language mean.
+    "q359_smoothing_eval" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tr = docs.filter(col("doc_id") < 250)
+      val te = docs.filter(col("doc_id") >= 250)
+      val lmA = graft.operators.NgramLm.train(tr, "doc_id", "text")
+      val lmK = graft.operators.NgramLm.trainKn(tr, "doc_id", "text")
+      val a = graft.operators.NgramLm.logProbScore(
+        te, "doc_id", "text", lmA)
+      val k = graft.operators.NgramLm.knLogProbScore(
+        te, "doc_id", "text", lmK)
+      te.select(col("doc_id"), col("lang"))
+        .join(a.select(col("doc_id"), col("avg_lp")), Seq("doc_id"))
+        .join(k.select(col("doc_id"), col("kn_lp")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.Grid.snap(avg(col("avg_lp")), 4)
+            .as("addalpha_lp"),
+          graft.functions.Grid.snap(avg(col("kn_lp")), 4).as("kn_lp"))
+        .orderBy(col("lang"))
+    }),
+
+    // CORESET COVERAGE eval: the q352 k-center selection vs the
+    // first-k-ids baseline — each point's min distance to its center
+    // set (map-only vs the bounded center literal, 1e-6 snap), max
+    // and mean per method. The farthest-first set must cover at a
+    // radius no worse than the naive pick.
+    "q360_coreset_coverage" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val sel = graft.operators.Coreset.centers(
+        e, "vec_id", "embedding", k = 6)
+      val base = e.orderBy(col("vec_id")).limit(6)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      def cov(cs: Seq[Seq[Double]], m: String) =
+        graft.operators.Coreset.assignToCenters(e, "embedding", cs)
+          .select(lit(m).as("method"), col("cover_dist_sq"))
+      cov(sel, "kcenter").union(cov(base, "first_k"))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_points"),
+          max(col("cover_dist_sq")).as("max_cover"),
+          graft.functions.Grid.snap(avg(col("cover_dist_sq")), 4)
+            .as("mean_cover"))
+        .orderBy(col("method"))
+    }),
+
     // CHARACTER-COVERAGE audit (SentencePiece's character_coverage,
     // Kudo & Richardson 2018): per coverage target, the minimal base
     // alphabet size — shortest (count DESC, char ASC) prefix reaching
@@ -9328,6 +9378,13 @@ object SparkEntry {
     // character coverage: integer cross-multiplied prefix rank
     "q357_char_coverage" -> HashOracles.q357CharCoverage(
       Seq(9000, 9900, 9950, 9995, 10000)),
+
+    // smoother comparison: add-alpha chain + KN chain, shared split
+    "q359_smoothing_eval" -> HashOracles.q359SmoothingEval(
+      250, 0.75, 0.4),
+
+    // coreset coverage: q352 selection vs first-k baseline
+    "q360_coreset_coverage" -> HashOracles.q360CoresetCoverage(6),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

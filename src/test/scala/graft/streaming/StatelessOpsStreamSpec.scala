@@ -107,4 +107,34 @@ class StatelessOpsStreamSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
     assert(streamed.find(_._1 == 10L).exists(_._2 === "a b|x|a b a b|c"))
   }
+
+  test("coreset assignToCenters is map-only vs the center literal and " +
+      "runs on a stream batch-identically") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    val rows = Seq(
+      (1L, Seq(0f, 0f), ts0), (2L, Seq(3f, 4f), ts0),
+      (3L, Seq(10f, 0f), ts0), (4L, Seq(7f, 0f), ts0))
+    val mem = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = graft.operators.Coreset.assignToCenters(
+        mem.toDF().toDF("vec_id", "embedding", "ts"),
+        "embedding", centers)
+      .select(col("vec_id"), col("cover_dist_sq"))
+      .writeStream.format("memory").queryName("coreset_cov")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("SELECT * FROM coreset_cov").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val batch = graft.operators.Coreset.assignToCenters(
+        rows.toDF("vec_id", "embedding", "ts"), "embedding", centers)
+      .select(col("vec_id"), col("cover_dist_sq")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.toMap === Map(1L -> 0.0, 2L -> 25.0, 3L -> 0.0,
+      4L -> 9.0))
+  }
 }
