@@ -5404,6 +5404,78 @@ object HashOracles {
         "AS dist_sq FROM a0)") ++ rounds
   }
 
+  /** Grouped k-center replay (q361): per-group seeds (min id via a
+    * keyed row_number), then `k − 1` unrolled rounds — each row's min
+    * distance to ITS group's accumulated centers (label-keyed join,
+    * exact double min), the per-group (mind DESC, vec_id) argmax via
+    * a keyed row_number, and the growing per-group center sets.
+    */
+  def q361GroupedCoreset(k: Int): String = {
+    import graft.functions.Grid.snapSql
+    val rounds = (1 until k).flatMap { i => Seq(
+      s"d$i AS (SELECT e.grp, e.vec_id, " +
+        s"min(${kmDist("e.v", "a.v")}) AS mind " +
+        s"FROM e JOIN a${i - 1} a ON a.grp = e.grp " +
+        "GROUP BY e.grp, e.vec_id)",
+      s"p$i AS (SELECT grp, vec_id, mind FROM (SELECT grp, vec_id, " +
+        "mind, row_number() OVER (PARTITION BY grp " +
+        s"ORDER BY mind DESC, vec_id) AS rn FROM d$i) WHERE rn = 1)",
+      s"c$i AS (SELECT grp, $i AS k_idx, vec_id, mind AS dist_sq " +
+        s"FROM p$i)",
+      s"a$i AS (SELECT a.* FROM a${i - 1} a UNION ALL " +
+        s"SELECT e.grp, e.vec_id, e.v FROM e " +
+        s"JOIN p$i ON p$i.grp = e.grp AND p$i.vec_id = e.vec_id)")
+    }
+    val unionAll = (0 until k).map(i => s"SELECT * FROM c$i")
+      .mkString(" UNION ALL ")
+    withClause(Seq(
+      "e AS (SELECT CAST(label AS BIGINT) AS grp, vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings)",
+      "a0 AS (SELECT grp, vec_id, v FROM (SELECT grp, vec_id, v, " +
+        "row_number() OVER (PARTITION BY grp ORDER BY vec_id) AS rn " +
+        "FROM e) WHERE rn = 1)",
+      "c0 AS (SELECT grp, 0 AS k_idx, vec_id, " +
+        "CAST(0.0 AS DOUBLE) AS dist_sq FROM a0)") ++ rounds,
+      "SELECT grp AS label, k_idx, CAST(vec_id AS BIGINT) AS vec_id, " +
+        s"${snapSql("dist_sq", 6)} AS dist_sq FROM ($unionAll) " +
+        "ORDER BY label, k_idx")
+  }
+
+  /** Dedup × quality ablation replay (q362): per-doc fold-dedup and
+    * quality flags (the q327 fragments as FLAGS instead of filters),
+    * crossed with the four on/off variants, conditional doc/token
+    * sums — always exactly four rows.
+    */
+  def q362AblationGrid: String =
+    withClause(Seq(
+      s"f AS (SELECT doc_id, $FoldedFpSql AS fp FROM documents)",
+      "cn AS (SELECT fp, min(doc_id) AS canonical_id FROM f " +
+        "WHERE fp IS NOT NULL GROUP BY fp)",
+      "dfl AS (SELECT f.doc_id, (cn.canonical_id IS NULL OR " +
+        "f.doc_id = cn.canonical_id) AS d FROM f LEFT JOIN cn " +
+        "USING (fp))",
+      s"qtk AS (SELECT doc_id, text, $Toks AS t FROM documents)",
+      "qg AS (SELECT doc_id, text, len(t) AS n, " +
+        "CAST(len(t) AS BIGINT) AS tk, " +
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2), " +
+        "i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END AS g3 FROM qtk)",
+      "qfl AS (SELECT doc_id, tk, (n >= 30 AND n <= 10000 " +
+        "AND CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) " +
+        "<= 0.05 AND CAST(length(text) - length(regexp_replace(text, " +
+        "'[.,;:!?''\"()-]', '', 'g')) AS DOUBLE) <= n * 0.5) AS q " +
+        "FROM qg)"),
+      "SELECT v.dd AS dedup_on, v.qq AS quality_on, " +
+        "CAST(sum(CASE WHEN (NOT v.dd OR d) AND (NOT v.qq OR q) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN (NOT v.dd OR d) AND (NOT v.qq OR q) " +
+        "THEN tk ELSE 0 END) AS BIGINT) AS n_tokens " +
+        "FROM dfl JOIN qfl USING (doc_id) CROSS JOIN " +
+        "(VALUES (false, false), (false, true), (true, false), " +
+        "(true, true)) v(dd, qq) " +
+        "GROUP BY v.dd, v.qq ORDER BY dedup_on, quality_on")
+
   /** Coreset coverage eval replay (q360): the q352 selection vs the
     * first-k-ids baseline, each point's min distance to its center
     * set (exact double min over the kmDist folds, snapped at 1e-6 —

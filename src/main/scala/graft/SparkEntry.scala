@@ -4276,6 +4276,54 @@ object SparkEntry {
         .orderBy(col("keep_pct"), col("cluster"))
     }),
 
+    // GROUPED k-center coreset: every embedding label gets its own
+    // 4-round farthest-first trajectory, all labels advanced per
+    // round in ONE distributed job (per-group CASE over the bounded
+    // center literals + one keyed window argmax) — the stratified
+    // selection a per-language pipeline runs.
+    "q361_grouped_coreset" -> ((s, dir) =>
+      graft.operators.Coreset.kCenterGreedyGrouped(
+        T(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 4)
+        .orderBy(col("label"), col("k_idx"))),
+
+    // DEDUP × QUALITY ablation grid (the FineWeb-style pipeline
+    // ablation): per-doc survival flags under fold-fingerprint dedup
+    // (min-id canonical, NULL fp passes) and the q327 quality rules,
+    // then doc/token counts for all four on/off variants in one
+    // bounded explode — the decision table behind "which stage pays".
+    "q362_ablation_grid" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val f = docs.withColumn("fp",
+        graft.operators.CrossLingual.foldedFingerprint(col("text")))
+      val canon = f.filter(col("fp").isNotNull)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
+      val kq = graft.operators.QualityFilters.keep(
+          docs.withColumn("toks", toks(col("text"))), "text",
+          graft.operators.QualityFilters.Thresholds(minTokens = 30,
+            maxTokens = 10000, maxDupNgramFraction = 0.05),
+          tokensCol = Some("toks"))
+        .select(col("doc_id"), lit(true).as("__q"))
+      f.join(canon, Seq("fp"), "left")
+        .withColumn("__d", col("canonical_id").isNull ||
+          col("doc_id") === col("canonical_id"))
+        .join(kq, Seq("doc_id"), "left")
+        .withColumn("__q", coalesce(col("__q"), lit(false)))
+        .withColumn("__tk", TF.tokenCount(col("text")).cast("long"))
+        .select(col("__d"), col("__q"), col("__tk"),
+          explode(array(
+            struct(lit(false).as("dd"), lit(false).as("qq")),
+            struct(lit(false).as("dd"), lit(true).as("qq")),
+            struct(lit(true).as("dd"), lit(false).as("qq")),
+            struct(lit(true).as("dd"), lit(true).as("qq")))).as("v"))
+        .withColumn("__keep", (!col("v.dd") || col("__d")) &&
+          (!col("v.qq") || col("__q")))
+        .groupBy(col("v.dd").as("dedup_on"), col("v.qq").as("quality_on"))
+        .agg(sum(when(col("__keep"), 1L).otherwise(0L)).as("n_docs"),
+          sum(when(col("__keep"), col("__tk")).otherwise(0L))
+            .as("n_tokens"))
+        .orderBy(col("dedup_on"), col("quality_on"))
+    }),
+
     // SMOOTHER COMPARISON eval: per held-out language, mean per-doc
     // score under add-α (q100) vs interpolated Kneser–Ney (q355),
     // both trained on the same split — the eval a ccnet-style filter
@@ -9385,6 +9433,12 @@ object SparkEntry {
 
     // coreset coverage: q352 selection vs first-k baseline
     "q360_coreset_coverage" -> HashOracles.q360CoresetCoverage(6),
+
+    // grouped k-center: per-label unrolled farthest-first rounds
+    "q361_grouped_coreset" -> HashOracles.q361GroupedCoreset(4),
+
+    // dedup x quality ablation: q327 fragments as flags, 4 variants
+    "q362_ablation_grid" -> HashOracles.q362AblationGrid,
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

@@ -95,6 +95,73 @@ object Coreset {
     ids.toSeq.map(byId)
   }
 
+  /** [[kCenterGreedy]] per GROUP (the stratified form a per-language
+    * or per-domain selection runs): every group gets its own k-round
+    * farthest-first trajectory, but each round runs over ALL groups in
+    * ONE distributed job — a map computing each row's min distance to
+    * ITS OWN group's selected set (a per-group CASE over the bounded
+    * center literals) followed by one KEYED window argmax
+    * (row_number = 1 per group on (dist DESC, id)). k rounds × one
+    * shuffle each, never a driver loop over groups re-scanning the
+    * corpus per group.
+    *
+    * Group keys must be integral (cast to long — the bounded-contract
+    * shape; `maxGroups` is require-checked distributively before the
+    * seed collect). Output: `(groupCol, k_idx, vec_id, dist_sq)` with
+    * the [[kCenterGreedy]] semantics per group.
+    */
+  def kCenterGreedyGrouped(vectors: DataFrame, idCol: String,
+      vecCol: String, groupCol: String, k: Int, maxGroups: Int = 64,
+      maxK: Int = 64): DataFrame = {
+    require(k >= 1 && k <= maxK && maxK <= 256,
+      s"k $k out of [1, $maxK] (maxK <= 256)")
+    require(maxGroups >= 1 && maxGroups <= 1024, s"maxGroups $maxGroups")
+    val spark = vectors.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val base = vectors.select(col(groupCol).cast("long").as("grp"),
+      col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val par = spark.sparkContext.defaultParallelism
+    val wide = if (base.rdd.getNumPartitions < par)
+      base.repartition(par) else base
+    val src = if (k > 1) graft.CacheScope.register(wide.persist())
+      else wide
+    val nGroups = src.select(col("grp")).distinct().count()
+    require(nGroups >= 1 && nGroups <= maxGroups,
+      s"$nGroups groups out of [1, $maxGroups]")
+    // seeds: per group the min-id row (bounded: one per group)
+    val seedW = Window.partitionBy(col("grp")).orderBy(col("vec_id"))
+    val seeds = src.withColumn("__rn", row_number().over(seedW))
+      .filter(col("__rn") === 1).drop("__rn")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2).toSeq))
+    var selected: Map[Long, Vector[Seq[Double]]] =
+      seeds.map { case (g, (_, v)) => g -> Vector(v) }.toMap
+    var traj = seeds.toVector.map { case (g, (id, _)) => (g, 0, id, 0.0) }
+    val pickW = Window.partitionBy(col("grp"))
+      .orderBy(col("__mind").desc, col("vec_id"))
+    for (i <- 1 until k) {
+      val grps = selected.keys.toSeq.sorted
+      val mind = grps.tail.foldLeft(
+        when(col("grp") === grps.head,
+          minDistSq(col("v"), selected(grps.head)))) { (acc, g) =>
+        acc.when(col("grp") === g, minDistSq(col("v"), selected(g)))
+      }
+      val picks = src.withColumn("__mind", mind)
+        .withColumn("__rn", row_number().over(pickW))
+        .filter(col("__rn") === 1)
+        .collect()
+      picks.foreach { r =>
+        val g = r.getLong(0)
+        selected += g -> (selected(g) :+ r.getSeq[Double](2).toSeq)
+        traj :+= ((g, i, r.getLong(1),
+          graft.functions.Grid.snapD(r.getAs[Double]("__mind"))))
+      }
+    }
+    spark.createDataFrame(traj)
+      .toDF(groupCol, "k_idx", "vec_id", "dist_sq")
+  }
+
   /** Every row plus its coverage distance to the selected set —
     * map-only against the center literal; stateless, so the same
     * Column program runs on a streaming frame unchanged.

@@ -1000,6 +1000,20 @@ class PlanQualitySpec extends SparkSpec {
     val p356 = plan("q356_dhash_agreement")
     assert(!p356.contains("CartesianProduct"), p356)
     assert(!p356.contains("BroadcastNestedLoopJoin"), p356)
+    // q359: both LM chains score through equi-joins only
+    val p359 = plan("q359_smoothing_eval")
+    assert(!p359.contains("CartesianProduct"), p359)
+    assert(!p359.contains("BroadcastNestedLoopJoin"), p359)
+    assert(!p359.contains("ScalaUDF"), p359)
+    // q360: coverage is map-only vs the center literals — no join of
+    // any kind survives into the plan
+    val p360 = plan("q360_coreset_coverage")
+    assert(!p360.contains("Join"), s"q360 must be join-free:\n$p360")
+    // q362: the variant sweep is an explode, the flags are equi-joins
+    val p362 = plan("q362_ablation_grid")
+    assert(!p362.contains("CartesianProduct"), p362)
+    assert(!p362.contains("BroadcastNestedLoopJoin"), p362)
+    assert(p362.contains("Generate"), s"q362 lost its explode:\n$p362")
   }
 
   test("round-15 driver folds: k-center, canary exposure and char " +
@@ -1011,7 +1025,7 @@ class PlanQualitySpec extends SparkSpec {
     // chars); their own plans must be local — the distributed work
     // happened in the per-round jobs
     Seq("q352_kcenter_coreset", "q354_canary_exposure",
-      "q357_char_coverage").foreach { q =>
+      "q357_char_coverage", "q361_grouped_coreset").foreach { q =>
       val p = plan(q)
       assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
         s"$q should end in a driver-built local relation:\n$p")

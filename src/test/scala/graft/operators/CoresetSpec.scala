@@ -64,6 +64,31 @@ class CoresetSpec extends SparkSpec {
     }
   }
 
+  test("grouped k-center == one ungrouped run per group, advanced " +
+      "jointly; group bound is loud") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 24L).map(i =>
+      (i % 3, i, Seq((i * 7 % 13).toFloat, (i * 5 % 11).toFloat)))
+    val df = rows.toDF("label", "vec_id", "embedding")
+    val grouped = Coreset.kCenterGreedyGrouped(df, "vec_id",
+        "embedding", "label", k = 3)
+      .select("label", "k_idx", "vec_id", "dist_sq")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val perGroup = (0L to 2L).flatMap { g =>
+      Coreset.kCenterGreedy(
+          rows.filter(_._1 == g).map(t => (t._2, t._3))
+            .toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3)
+        .collect().map(r => (g, r.getInt(0), r.getLong(1),
+          r.getDouble(2)))
+    }.toSet
+    assert(grouped === perGroup)
+    intercept[IllegalArgumentException] {
+      Coreset.kCenterGreedyGrouped(df, "vec_id", "embedding", "label",
+        k = 3, maxGroups = 2)
+    }
+  }
+
   test("centers returns vectors in selection order; assignToCenters " +
       "covers selected points at distance 0") {
     val df = vecs(1L -> Seq(0f, 0f), 2L -> Seq(3f, 4f), 3L -> Seq(6f, 8f))
