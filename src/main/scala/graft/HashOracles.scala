@@ -4293,6 +4293,50 @@ object HashOracles {
         "FROM ag JOIN tr USING (source) ORDER BY ag.source")
   }
 
+  /** Dedup preflight replay (q363): q123's HLL chain run over the
+    * per-language FOLDED fingerprints (NULL fps excluded — they opt
+    * out of dedup) next to the exact distinct count and doc count —
+    * the cheap pre-flight a 100 TB pipeline reads to decide whether
+    * the dedup shuffle is worth paying.
+    */
+  def q363DedupPreflight(p: Int): String = {
+    val sub = 64 - p
+    val m = (1L << p).toDouble
+    val alpha = graft.operators.Sketches.hllAlpha(p)
+    val subPow = (BigInt(1) << sub).toString
+    val powers = (0 until sub).map(1L << _).mkString("[", ", ", "]")
+    val e = s"($alpha * $m * $m) / (s_occ + ($m - n_occ))"
+    val head = Seq(
+      s"f AS (SELECT lang, $FoldedFpSql AS fp FROM documents)",
+      "ff AS (SELECT lang, fp FROM f WHERE fp IS NOT NULL)",
+      "dt AS (SELECT DISTINCT lang, fp FROM ff)",
+      s"th AS (SELECT lang, ${fnv("fp")} AS z FROM dt)")
+    val mixed = mixStages(Seq("z"), Seq("lang")).zipWithIndex.map {
+      case (body, n) =>
+        val prev = if (n == 0) "th" else s"hm${n - 1}"
+        s"hm$n AS ($body FROM $prev)"
+    }
+    withClause(head ++ mixed ++ Seq(
+      s"hh AS (SELECT lang, z // $subPow AS idx, " +
+        s"CAST(z % $subPow AS BIGINT) AS rest FROM hm5)",
+      s"rr AS (SELECT lang, idx, max($sub + 1 - " +
+        s"len(list_filter($powers, q -> q <= rest))) AS m_j " +
+        "FROM hh GROUP BY lang, idx)",
+      "ag AS (SELECT lang, count(*) AS n_occ, " +
+        "coalesce(sum(power(2.0, -m_j)), 0) AS s_occ, " +
+        "coalesce(sum(m_j), 0) AS reg_sum FROM rr GROUP BY lang)",
+      "tr AS (SELECT lang, count(DISTINCT fp) AS n_distinct, " +
+        "count(*) AS n_docs FROM ff GROUP BY lang)"),
+      s"SELECT ag.lang, CAST(${1L << p} AS BIGINT) AS m, " +
+        "CAST(n_occ AS BIGINT) AS n_registers_used, " +
+        "CAST(reg_sum AS BIGINT) AS reg_sum, " +
+        s"round(CASE WHEN $e <= 2.5 * $m AND ($m - n_occ) > 0 " +
+        s"THEN $m * ln($m / ($m - n_occ)) ELSE $e END, 4) " +
+        "AS hll_estimate, CAST(n_distinct AS BIGINT) AS n_distinct, " +
+        "CAST(n_docs AS BIGINT) AS n_docs " +
+        "FROM ag JOIN tr USING (lang) ORDER BY ag.lang")
+  }
+
   /** Capstone #7 replay: tile rewrite (q118 fragment) → NB classifier
     * gate on the CLEANED text over the splitmix 80% split (q117
     * fragment) → DSIR weights of the accepted pool vs the cleaned
@@ -5205,6 +5249,57 @@ object HashOracles {
         "AS d_hamming " +
         s"FROM pr WHERE ha <= $maxH OR hd <= $maxH " +
         "ORDER BY a_id, b_id")
+  }
+
+  /** pHash replay (q364): pixels as ordered per-media lists (PNG
+    * lossless — the q235 device), the full 8×8 DCT-II with the SAME
+    * 1e-9-snapped cosine table embedded as 17-digit literals
+    * ([[graft.operators.MediaDedup.DctCos]]), every coefficient an
+    * index-ordered `list_reduce` fold in the exact association order
+    * `(cos_w·cos_u)·v`, the AC sum folded in k order, the
+    * coeff·63 > ΣAC bit rule, aHash block packing.
+    */
+  def q364PHash: String = {
+    import graft.functions.Grid.lit17
+    val ct = graft.operators.MediaDedup.DctCos
+      .map(row => row.map(lit17).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    s"""WITH px AS (SELECT vec_id AS media_id, i,
+       |  CAST(greatest(0, least(255, floor((CAST(embedding[i+1]
+       |    AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p
+       |  FROM embeddings, range(64) t(i)),
+       |pl AS (SELECT media_id, list(CAST(p AS DOUBLE) ORDER BY i)
+       |  AS v FROM px GROUP BY media_id),
+       |ct AS (SELECT $ct AS t),
+       |co AS (SELECT media_id, k, list_reduce(list_prepend(
+       |    CAST(0.0 AS DOUBLE), list_transform(range(0, 64),
+       |    i -> (t[CAST(k % 8 AS INT) + 1][CAST(i % 8 AS INT) + 1]
+       |      * t[CAST(k // 8 AS INT) + 1][CAST(i // 8 AS INT) + 1])
+       |      * v[i + 1])), (a, x) -> a + x) AS c
+       |  FROM pl, range(64) s(k), ct),
+       |ac AS (SELECT media_id, list(c ORDER BY k) AS cs FROM co
+       |  GROUP BY media_id),
+       |sa AS (SELECT media_id, cs, list_reduce(list_prepend(
+       |    CAST(0.0 AS DOUBLE), cs[2:64]), (a, x) -> a + x) AS sumac
+       |  FROM ac),
+       |bits AS (SELECT media_id, k,
+       |  CASE WHEN k >= 1 AND cs[CAST(k AS INT) + 1] * 63.0 > sumac
+       |    THEN 1 ELSE 0 END AS b
+       |  FROM sa, range(64) s(k)),
+       |blocks AS (SELECT media_id, k // 16 AS blk,
+       |  CAST(sum(b * (1::BIGINT << CAST(15 - (k % 16) AS INT)))
+       |    AS BIGINT) AS bv FROM bits GROUP BY 1, 2),
+       |wide AS (SELECT media_id,
+       |  max(CASE WHEN blk = 0 THEN bv END) AS b0,
+       |  max(CASE WHEN blk = 1 THEN bv END) AS b1,
+       |  max(CASE WHEN blk = 2 THEN bv END) AS b2,
+       |  max(CASE WHEN blk = 3 THEN bv END) AS b3
+       |  FROM blocks GROUP BY media_id),
+       |ones AS (SELECT media_id, CAST(sum(b) AS INTEGER) AS n_ones
+       |  FROM bits GROUP BY media_id)
+       |SELECT media_id, b0, b1, b2, b3, n_ones
+       |FROM wide JOIN ones USING (media_id)
+       |ORDER BY media_id""".stripMargin
   }
 
   /** Secret-Sharer canary exposure replay (q354): the decoy slot

@@ -4276,6 +4276,43 @@ object SparkEntry {
         .orderBy(col("keep_pct"), col("cluster"))
     }),
 
+    // 64-bit DCT PERCEPTUAL HASH (pHash) of real decoded images — the
+    // frequency-domain member of the hash family (aHash = brightness
+    // layout, dHash = gradient): full 8×8 DCT-II over the pooled
+    // raster with a 1e-9-snapped cosine table, index-ordered folds,
+    // bit = coefficient above the AC mean. PNG lossless, so the
+    // oracle recomputes every bit from the embeddings.
+    "q364_image_phash" -> ((s, dir) => {
+      val px = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(px, "vec_id", "pixels",
+          side = 8), "media_id", "media")
+      graft.operators.MediaDedup.perceptualHash(media)
+        .orderBy(col("media_id"))
+    }),
+
+    // DEDUP PREFLIGHT: the HLL sketch of per-language distinct folded
+    // fingerprints next to the exact count — the cheap estimate a
+    // 100 TB pipeline reads BEFORE paying the dedup shuffle (the
+    // register pass is one (lang, idx) partial agg; no fingerprint
+    // table ever materializes distinct).
+    "q363_dedup_preflight" -> ((s, dir) => {
+      val f = graft.CacheScope.register(T(s, dir, "documents")
+        .select(col("lang"), graft.operators.CrossLingual
+          .foldedFingerprint(col("text")).as("fp"))
+        .filter(col("fp").isNotNull)
+        .persist())
+      graft.operators.Sketches.hllEstimateBy(
+          graft.operators.Sketches.hllRegistersBy(f, "lang", "fp", p = 6),
+          "lang", p = 6)
+        .join(f.groupBy(col("lang")).agg(
+          countDistinct(col("fp")).cast("long").as("n_distinct"),
+          count(lit(1)).as("n_docs")), Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // GROUPED k-center coreset: every embedding label gets its own
     // 4-round farthest-first trajectory, all labels advanced per
     // round in ONE distributed job (per-group CASE over the bounded
@@ -9439,6 +9476,12 @@ object SparkEntry {
 
     // dedup x quality ablation: q327 fragments as flags, 4 variants
     "q362_ablation_grid" -> HashOracles.q362AblationGrid,
+
+    // dedup preflight: q123's HLL chain over folded fingerprints
+    "q363_dedup_preflight" -> HashOracles.q363DedupPreflight(6),
+
+    // pHash: full DCT-II replay with the snapped cosine literals
+    "q364_image_phash" -> HashOracles.q364PHash,
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

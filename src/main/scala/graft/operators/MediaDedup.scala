@@ -188,6 +188,75 @@ object MediaDedup {
       }(enc)
   }
 
+  /** The DCT-II cosine table on the 1e-9 grid: `cos((2x+1)·u·π/16)`
+    * for `u, x ∈ [0, 8)`, snapped once (the survival-curve 1e-9
+    * contract — libm cos agrees within an ulp across engines, and
+    * after the snap every product/sum below is fixed IEEE arithmetic
+    * on identical operands). The oracle embeds the SAME snapped
+    * values as 17-digit literals.
+    */
+  private[graft] val DctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => graft.functions.Grid.snapD(
+      math.cos((2 * x + 1) * u * math.Pi / 16.0), 9))
+
+  /** The pHash core: decode → 8×8 pooling → full 8×8 DCT-II (each
+    * coefficient an INDEX-ORDERED fold of `(cos_w[c]·cos_u[r])·v_i` —
+    * one fixed association order, mirrored by the oracle) → bit
+    * `k ≥ 1` set iff `coeff_k·63 > Σ AC coeffs` (the classic
+    * coeff-vs-AC-mean rule; the DC bit is always 0). Frequency-domain
+    * where [[hashBytes]] is brightness-layout and [[dHashBytes]] is
+    * gradient — robust to smooth global edits the other two flag.
+    */
+  private[graft] def pHashBytes(bytes: Array[Byte])
+      : Option[(Array[Long], Int)] =
+    poolCells(bytes).map { case (cellSum, cellCnt) =>
+      val v = Array.tabulate(64)(i =>
+        cellSum(i).toDouble / cellCnt(i).toDouble)
+      val coeff = new Array[Double](64)
+      var k = 0
+      while (k < 64) {
+        val u = k / 8; val w = k % 8
+        var acc = 0.0
+        var i = 0
+        while (i < 64) {
+          acc += (DctCos(w)(i % 8) * DctCos(u)(i / 8)) * v(i)
+          i += 1
+        }
+        coeff(k) = acc
+        k += 1
+      }
+      var sumAc = 0.0
+      k = 1
+      while (k < 64) { sumAc += coeff(k); k += 1 }
+      val blocks = new Array[Long](4)
+      var ones = 0
+      k = 1
+      while (k < 64) {
+        if (coeff(k) * 63.0 > sumAc) {
+          blocks(k / 16) |= 1L << (15 - (k % 16))
+          ones += 1
+        }
+        k += 1
+      }
+      (blocks, ones)
+    }
+
+  /** 64-bit DCT perceptual hash (pHash) — same output layout as
+    * [[averageHash]], so [[nearDupPairs]] consumes it unchanged.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(hashSchema)
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          pHashBytes(r.getAs[Array[Byte]](1)).map { case (blocks, ones) =>
+            Row(r.getLong(0), blocks(0), blocks(1), blocks(2),
+              blocks(3), ones)
+          }
+        }
+      }(enc)
+  }
+
   /** 64-bit two-channel AUDIO perceptual hash over
     * [[graft.operators.Multimodal.audioFrameFeatures]] output — the
     * audio counterpart of [[averageHash]]: the first 32 frames'

@@ -190,6 +190,40 @@ class MediaDedupSpec extends SparkSpec {
       .forall(c => hr.getAs[Long](c) === 0xFEFEL))
   }
 
+  test("perceptualHash: deterministic across runs and partitioning, " +
+      "DC bit never set, pooling matches the 8x8 core") {
+    // NOTE: a constant image's AC coefficients are cancellation-
+    // dominated fold residue (~level·1e-15) — deterministic (the
+    // oracle replays the identical fold) but NOT scale-invariant,
+    // so no constant-image bit pattern is asserted here
+    val img = Seq.tabulate(64)(i => ((i * 13) % 31) * 8.0)
+    val h1 = MediaDedup.perceptualHash(
+      png(Seq((1L, img)), side = 8)).head()
+    val h2 = MediaDedup.perceptualHash(
+      png(Seq((1L, img), (2L, img.reverse)), side = 8)
+        .repartition(3)).collect()
+      .find(_.getLong(0) == 1L).get
+    Seq("b0", "b1", "b2", "b3").foreach { c =>
+      assert(h1.getAs[Long](c) === h2.getAs[Long](c), c)
+    }
+    assert(h1.getAs[Int]("n_ones") > 0 && h1.getAs[Int]("n_ones") <= 63)
+    val base = Seq.tabulate(64)(i => ((i * 37) % 23) * 11.0)
+    val big = Seq.tabulate(256) { i =>
+      val y = i / 16; val x = i % 16
+      base((y / 2) * 8 + (x / 2))
+    }
+    val hBig = MediaDedup.perceptualHash(png(Seq((2L, big)), side = 16))
+      .head()
+    val hBase = MediaDedup.perceptualHash(png(Seq((1L, base)), side = 8))
+      .head()
+    Seq("b0", "b1", "b2", "b3").foreach { c =>
+      assert(hBig.getAs[Long](c) === hBase.getAs[Long](c), c)
+    }
+    // the DC position (bit 0 of b0, MSB) is never set
+    assert((hBase.getAs[Long]("b0") & (1L << 15)) === 0L)
+    assert(hBase.getAs[Int]("n_ones") > 0)
+  }
+
   test("differenceHash is brightness-shift invariant where " +
       "averageHash is not") {
     val base = Seq.tabulate(64)(i => ((i * 29) % 17) * 10.0 + 30.0)
