@@ -5203,30 +5203,42 @@ object HashOracles {
     * agreement the Spark side plans as two banded equi-joins
     * (pigeonhole-lossless at maxH ≤ 3, so all-pairs here is exact).
     */
+  /** bits(media_id, i, b) → `${pfx}wide(media_id, b0..b3)` — the
+    * 16-bit MSB-first block packing shared by every image-hash
+    * replay (q356, q366).
+    */
+  private def blk(bits: String, pfx: String): Seq[String] = Seq(
+    s"${pfx}blocks AS (SELECT media_id, i // 16 AS blk, " +
+      "CAST(sum(b * (1::BIGINT << CAST(15 - (i % 16) AS INT))) " +
+      s"AS BIGINT) AS bv FROM $bits GROUP BY 1, 2)",
+    s"${pfx}wide AS (SELECT media_id, " +
+      "max(CASE WHEN blk = 0 THEN bv END) AS b0, " +
+      "max(CASE WHEN blk = 1 THEN bv END) AS b1, " +
+      "max(CASE WHEN blk = 2 THEN bv END) AS b2, " +
+      "max(CASE WHEN blk = 3 THEN bv END) AS b3 " +
+      s"FROM ${pfx}blocks GROUP BY 1)")
+
+  /** XOR-popcount Hamming distance over the 4-block layout. */
+  private def ham(a: String, b: String): String =
+    s"bit_count(xor($a.b0, $b.b0)) + bit_count(xor($a.b1, $b.b1)) " +
+      s"+ bit_count(xor($a.b2, $b.b2)) + bit_count(xor($a.b3, $b.b3))"
+
+  /** The q236 planted image corpus (base + exact copies + brightness-
+    * perturbed copies) as per-pixel rows — shared by q356/q366.
+    */
+  private val PlantedCorpusCtes: Seq[String] = Seq(
+    "base AS (SELECT vec_id AS media_id, i, " +
+      "CAST(greatest(0, least(255, floor((CAST(embedding[i+1] " +
+      "AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p " +
+      "FROM embeddings, range(64) t(i))",
+    "corpus AS (SELECT media_id, i, p FROM base UNION ALL " +
+      "SELECT media_id + 100000, i, " +
+      "CASE WHEN media_id % 3 = 1 AND i % 16 = 0 " +
+      "THEN least(p + 3, 255) ELSE p END " +
+      "FROM base WHERE media_id % 3 < 2)")
+
   def q356DhashAgreement(maxH: Int): String = {
-    def blk(bits: String, pfx: String): Seq[String] = Seq(
-      s"${pfx}blocks AS (SELECT media_id, i // 16 AS blk, " +
-        "CAST(sum(b * (1::BIGINT << CAST(15 - (i % 16) AS INT))) " +
-        s"AS BIGINT) AS bv FROM $bits GROUP BY 1, 2)",
-      s"${pfx}wide AS (SELECT media_id, " +
-        "max(CASE WHEN blk = 0 THEN bv END) AS b0, " +
-        "max(CASE WHEN blk = 1 THEN bv END) AS b1, " +
-        "max(CASE WHEN blk = 2 THEN bv END) AS b2, " +
-        "max(CASE WHEN blk = 3 THEN bv END) AS b3 " +
-        s"FROM ${pfx}blocks GROUP BY 1)")
-    def ham(a: String, b: String): String =
-      s"bit_count(xor($a.b0, $b.b0)) + bit_count(xor($a.b1, $b.b1)) " +
-        s"+ bit_count(xor($a.b2, $b.b2)) + bit_count(xor($a.b3, $b.b3))"
-    withClause(Seq(
-      "base AS (SELECT vec_id AS media_id, i, " +
-        "CAST(greatest(0, least(255, floor((CAST(embedding[i+1] " +
-        "AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p " +
-        "FROM embeddings, range(64) t(i))",
-      "corpus AS (SELECT media_id, i, p FROM base UNION ALL " +
-        "SELECT media_id + 100000, i, " +
-        "CASE WHEN media_id % 3 = 1 AND i % 16 = 0 " +
-        "THEN least(p + 3, 255) ELSE p END " +
-        "FROM base WHERE media_id % 3 < 2)",
+    withClause(PlantedCorpusCtes ++ Seq(
       "s AS (SELECT media_id, sum(p) AS tot FROM corpus GROUP BY 1)",
       "abits AS (SELECT c.media_id, i, " +
         "CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS b " +
@@ -5249,6 +5261,65 @@ object HashOracles {
         "AS d_hamming " +
         s"FROM pr WHERE ha <= $maxH OR hd <= $maxH " +
         "ORDER BY a_id, b_id")
+  }
+
+  /** Three-hash consensus replay (q366): aHash + dHash + pHash bits
+    * all recomputed from the planted corpus pixels (the q356/q364
+    * fragments), all-pairs with three hammings, membership flags at
+    * `maxH`, consensus = at least two of three agree.
+    */
+  def q366HashConsensus(maxH: Int): String = {
+    import graft.functions.Grid.lit17
+    val ct = graft.operators.MediaDedup.DctCos
+      .map(row => row.map(lit17).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    def flag(h: String) = s"$h <= $maxH"
+    withClause(PlantedCorpusCtes ++ Seq(
+      "s AS (SELECT media_id, sum(p) AS tot FROM corpus GROUP BY 1)",
+      "abits AS (SELECT c.media_id, i, " +
+        "CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS b " +
+        "FROM corpus c JOIN s USING (media_id))") ++
+      blk("abits", "a") ++ Seq(
+      "dbits AS (SELECT c.media_id, c.i, " +
+        "CASE WHEN c.p < n.p THEN 1 ELSE 0 END AS b " +
+        "FROM corpus c JOIN corpus n ON n.media_id = c.media_id " +
+        "AND n.i = (c.i // 8) * 8 + (c.i % 8 + 1) % 8)") ++
+      blk("dbits", "d") ++ Seq(
+      "pl AS (SELECT media_id, list(CAST(p AS DOUBLE) ORDER BY i) " +
+        "AS v FROM corpus GROUP BY media_id)",
+      s"pct AS (SELECT $ct AS t)",
+      "pco AS (SELECT media_id, k, list_reduce(list_prepend(" +
+        "CAST(0.0 AS DOUBLE), list_transform(range(0, 64), " +
+        "i -> (t[CAST(k % 8 AS INT) + 1][CAST(i % 8 AS INT) + 1] " +
+        "* t[CAST(k // 8 AS INT) + 1][CAST(i // 8 AS INT) + 1]) " +
+        "* v[i + 1])), (a, x) -> a + x) AS c " +
+        "FROM pl, range(64) rk(k), pct)",
+      "pac AS (SELECT media_id, list(c ORDER BY k) AS cs FROM pco " +
+        "GROUP BY media_id)",
+      "psa AS (SELECT media_id, cs, list_reduce(list_prepend(" +
+        "CAST(0.0 AS DOUBLE), cs[2:64]), (a, x) -> a + x) AS sumac " +
+        "FROM pac)",
+      "pbits AS (SELECT media_id, k AS i, " +
+        "CASE WHEN k >= 1 AND cs[CAST(k AS INT) + 1] * 63.0 > sumac " +
+        "THEN 1 ELSE 0 END AS b FROM psa, range(64) rk(k))") ++
+      blk("pbits", "p") ++ Seq(
+      "pr AS (SELECT a.media_id AS a_id, b.media_id AS b_id, " +
+        s"${ham("a", "b")} AS hha, ${ham("da", "db")} AS hhd, " +
+        s"${ham("pa", "pb")} AS hhp " +
+        "FROM awide a JOIN awide b ON a.media_id < b.media_id " +
+        "JOIN dwide da ON da.media_id = a.media_id " +
+        "JOIN dwide db ON db.media_id = b.media_id " +
+        "JOIN pwide pa ON pa.media_id = a.media_id " +
+        "JOIN pwide pb ON pb.media_id = b.media_id)"),
+      "SELECT a_id, b_id, " +
+        s"${flag("hha")} AS in_ahash, ${flag("hhd")} AS in_dhash, " +
+        s"${flag("hhp")} AS in_phash, " +
+        s"(CASE WHEN ${flag("hha")} THEN 1 ELSE 0 END + " +
+        s"CASE WHEN ${flag("hhd")} THEN 1 ELSE 0 END + " +
+        s"CASE WHEN ${flag("hhp")} THEN 1 ELSE 0 END) >= 2 " +
+        "AS consensus " +
+        s"FROM pr WHERE ${flag("hha")} OR ${flag("hhd")} " +
+        s"OR ${flag("hhp")} ORDER BY a_id, b_id")
   }
 
   /** pHash replay (q364): pixels as ordered per-media lists (PNG

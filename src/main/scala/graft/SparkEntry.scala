@@ -4276,6 +4276,62 @@ object SparkEntry {
         .orderBy(col("keep_pct"), col("cluster"))
     }),
 
+    // THREE-HASH CONSENSUS near-dup: aHash + dHash + pHash pair sets
+    // on the planted corpus, full-outer joined on the pair key,
+    // consensus = at least two of three modalities agree — the
+    // production rule that suppresses each hash's solo false
+    // positives without losing the true dups all three see.
+    "q366_hash_consensus" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val copies = base.filter(col("vec_id") % 3 < 2)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("CASE WHEN vec_id % 3 = 1 THEN transform(pixels, " +
+            "(p, i) -> CASE WHEN i % 16 = 0 THEN least(p + 3, 255D) " +
+            "ELSE p END) ELSE pixels END").as("pixels"))
+      val media = graft.CacheScope.register(
+        graft.operators.Multimodal.asMedia(
+          graft.operators.Multimodal.encodePng(base.union(copies),
+            "vec_id", "pixels", side = 8), "media_id", "media")
+          .persist())
+      def flags(h: org.apache.spark.sql.DataFrame, nm: String) =
+        graft.operators.MediaDedup.nearDupPairs(h, maxHamming = 3)
+          .select(col("a_id"), col("b_id"), lit(true).as(nm))
+      flags(graft.operators.MediaDedup.averageHash(media), "in_ahash")
+        .join(flags(graft.operators.MediaDedup.differenceHash(media),
+          "in_dhash"), Seq("a_id", "b_id"), "full_outer")
+        .join(flags(graft.operators.MediaDedup.perceptualHash(media),
+          "in_phash"), Seq("a_id", "b_id"), "full_outer")
+        .withColumn("in_ahash", coalesce(col("in_ahash"), lit(false)))
+        .withColumn("in_dhash", coalesce(col("in_dhash"), lit(false)))
+        .withColumn("in_phash", coalesce(col("in_phash"), lit(false)))
+        .withColumn("consensus",
+          (when(col("in_ahash"), 1).otherwise(0) +
+            when(col("in_dhash"), 1).otherwise(0) +
+            when(col("in_phash"), 1).otherwise(0)) >= 2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SENTENCE-LEVEL language-mix audit: split each doc on '.', run
+    // the stopword langid per sentence, report per-doc sentence
+    // count, distinct predicted languages, und-share and the mixed
+    // flag — the polyglot-document detector that decides whether
+    // doc-grain langid (q26/q340) can be trusted for routing.
+    "q365_sentence_lang_mix" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(filter(transform(split(col("text"), "\\."),
+            x => trim(x)), x => length(x) > 0)).as("sentence"))
+        .withColumn("s_lang", TF.langId(col("sentence")))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_sentences"),
+          countDistinct(col("s_lang")).as("n_langs"),
+          sum(when(col("s_lang") === "und", 1L).otherwise(0L))
+            .as("n_und"))
+        .withColumn("mixed", col("n_langs") > 1)
+        .orderBy(col("doc_id"))),
+
     // 64-bit DCT PERCEPTUAL HASH (pHash) of real decoded images — the
     // frequency-domain member of the hash family (aHash = brightness
     // layout, dHash = gradient): full 8×8 DCT-II over the pooled
@@ -6860,6 +6916,29 @@ object SparkEntry {
          | WHEN ${hitsSql(TF.FrStop)} > 0 THEN 'fr'
          | ELSE 'und' END AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-sentence langid replay: sentences aliased AS text so the
+    // shared tokenizer/stopword fragments apply unchanged (the
+    // FoldedFp aliasing trick)
+    "q365_sentence_lang_mix" ->
+      s"""WITH sen AS (SELECT doc_id, lang, trim(s) AS text FROM
+         |  (SELECT doc_id, lang, unnest(string_split(text, '.')) AS s
+         |   FROM documents) WHERE length(trim(s)) > 0),
+         |sl AS (SELECT doc_id, lang, CASE
+         | WHEN ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.DeStop)}
+         |  AND ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.FrStop)}
+         |  AND ${hitsSql(TF.EnStop)} > 0 THEN 'en'
+         | WHEN ${hitsSql(TF.DeStop)} >= ${hitsSql(TF.FrStop)}
+         |  AND ${hitsSql(TF.DeStop)} > 0 THEN 'de'
+         | WHEN ${hitsSql(TF.FrStop)} > 0 THEN 'fr'
+         | ELSE 'und' END AS s_lang FROM sen)
+         |SELECT doc_id, lang,
+         |  CAST(count(*) AS BIGINT) AS n_sentences,
+         |  CAST(count(DISTINCT s_lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(CASE WHEN s_lang = 'und' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_und,
+         |  count(DISTINCT s_lang) > 1 AS mixed
+         |FROM sl GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
 
     "q27_fingerprint_hash" ->
       s"""SELECT doc_id,
@@ -9482,6 +9561,9 @@ object SparkEntry {
 
     // pHash: full DCT-II replay with the snapped cosine literals
     "q364_image_phash" -> HashOracles.q364PHash,
+
+    // three-hash consensus: all three bit rules replayed, 2-of-3 vote
+    "q366_hash_consensus" -> HashOracles.q366HashConsensus(3),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

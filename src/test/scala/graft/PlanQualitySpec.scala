@@ -1014,6 +1014,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p362.contains("CartesianProduct"), p362)
     assert(!p362.contains("BroadcastNestedLoopJoin"), p362)
     assert(p362.contains("Generate"), s"q362 lost its explode:\n$p362")
+    // q363: the HLL register pass is one keyed partial agg — the only
+    // join is the bounded exact-count comparison, keyed on lang
+    val p363 = plan("q363_dedup_preflight")
+    assert(!p363.contains("CartesianProduct"), p363)
+    assert(!p363.contains("BroadcastNestedLoopJoin"), p363)
+    // q365: sentence explode + one aggregation — join-free
+    val p365 = plan("q365_sentence_lang_mix")
+    assert(!p365.contains("Join"), s"q365 must be join-free:\n$p365")
+    // q366: three banded pair joins + pair-keyed full outers — no
+    // all-pairs shape anywhere
+    val p366 = plan("q366_hash_consensus")
+    assert(!p366.contains("CartesianProduct"), p366)
+    assert(!p366.contains("BroadcastNestedLoopJoin"), p366)
   }
 
   test("round-15 driver folds: k-center, canary exposure and char " +
