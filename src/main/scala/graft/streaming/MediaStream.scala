@@ -35,6 +35,22 @@ object MediaStream {
   def imageNearDupCollisions(media: DataFrame, watermark: String = "1 hour",
       maxBucketIds: Int = 64,
       evictAfterMs: Long = 60L * 60 * 1000)
+      : Dataset[DedupStream.Collision] =
+    imageNearDupCollisionsBy(media, MediaDedup.hashBytes _, watermark,
+      maxBucketIds, evictAfterMs)
+
+  /** [[imageNearDupCollisions]] with a caller-chosen hash core — the
+    * same banding, state machine, eviction, and delivery for any
+    * 4-block 64-bit image hash: `MediaDedup.hashBytes` (aHash,
+    * brightness layout), `MediaDedup.dHashBytes` (gradient — catches
+    * the brightness-shifted dups aHash misses), `MediaDedup.pHashBytes`
+    * (DCT frequency). MediaStreamSpec pins stream-vs-batch parity per
+    * core.
+    */
+  def imageNearDupCollisionsBy(media: DataFrame,
+      hasher: Array[Byte] => Option[(Array[Long], Int)],
+      watermark: String = "1 hour", maxBucketIds: Int = 64,
+      evictAfterMs: Long = 60L * 60 * 1000)
       : Dataset[DedupStream.Collision] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -42,7 +58,7 @@ object MediaStream {
         col("ts"))
       .as[MediaRow]
       .flatMap { m =>
-        MediaDedup.hashBytes(m.media).toSeq.flatMap { case (blocks, _) =>
+        hasher(m.media).toSeq.flatMap { case (blocks, _) =>
           blocks.iterator.zipWithIndex.map { case (bv, j) =>
             DedupStream.BandRow(j, bv, m.media_id, m.ts)
           }

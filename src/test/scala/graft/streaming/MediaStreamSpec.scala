@@ -85,4 +85,44 @@ class MediaStreamSpec extends SparkSpec {
     q.stop()
     assert(s.sql("SELECT * FROM img_redelivery").count() === 0)
   }
+
+  test("imageNearDupCollisionsBy with the dHash core catches a " +
+      "brightness-shifted copy that the aHash core flags differently; " +
+      "each core's stream matches its batch pair set") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = Seq.tabulate(64)(i => ((i * 29) % 17) * 10.0 + 30.0)
+    val brighter = base.map(p => math.min(p + 40.0, 255.0))
+    val bytes = pngBytes(Seq((1L, base), (2L, brighter)))
+    def run(name: String,
+        hasher: Array[Byte] => Option[(Array[Long], Int)]): Set[(Long, Long)] = {
+      val mem = MemoryStream[MediaStream.MediaRow]
+      val q = MediaStream.imageNearDupCollisionsBy(mem.toDF(), hasher)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      mem.addData(MediaStream.MediaRow(1L, bytes(1L), ts(0)))
+      mem.addData(MediaStream.MediaRow(2L, bytes(2L), ts(1)))
+      q.processAllAvailable()
+      q.stop()
+      s.sql(s"SELECT * FROM $name").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("canonical_id"))).toSet
+    }
+    // gradients unchanged under the uniform shift -> dHash collides
+    val dPairs = run("dhash_collisions", MediaDedup.dHashBytes _)
+    assert(dPairs === Set((2L, 1L)))
+    // parity with the batch join per core
+    val media = Seq((1L, bytes(1L)), (2L, bytes(2L)))
+      .toDF("media_id", "media")
+    val dBatch = MediaDedup.nearDupPairs(
+        MediaDedup.differenceHash(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dBatch === Set((1L, 2L)))
+    val pPairs = run("phash_collisions", MediaDedup.pHashBytes _)
+    val pBatch = MediaDedup.nearDupPairs(
+        MediaDedup.perceptualHash(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pPairs === pBatch.map { case (a, b) => (b, a) })
+  }
 }
