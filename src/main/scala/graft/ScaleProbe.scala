@@ -654,20 +654,41 @@ object ScaleProbe {
         })
       }
     }
-    // dHash: one decode+pool pass per partition then the banded
-    // equi-join — linear hash cost, pair cost bounded by bands
+    // dHash / pHash: one decode+pool pass per partition then the
+    // banded equi-join — linear hash cost, pair cost bounded by
+    // bands (pHash adds the fixed 64x64 DCT per image — still
+    // per-row constant work)
     Seq(1, 2, 4).foreach { r =>
-      if (probeEnabled("dhash")) {
+      if (probeEnabled("dhash") || probeEnabled("phash")) {
         val px = replicateVecs(r).select(col("vec_id"),
           expr("transform(embedding, " +
             "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))")
             .as("pixels"))
-        timeWarm(s"dhash r=$r imgs=${nVecs * r}", () =>
-          operators.MediaDedup.nearDupPairs(
-            operators.MediaDedup.differenceHash(
-              operators.Multimodal.asMedia(
-                operators.Multimodal.encodePng(px, "vec_id", "pixels",
-                  side = 8), "media_id", "media")), maxHamming = 3))
+        def media() = operators.Multimodal.asMedia(
+          operators.Multimodal.encodePng(px, "vec_id", "pixels",
+            side = 8), "media_id", "media")
+        if (probeEnabled("dhash"))
+          timeWarm(s"dhash r=$r imgs=${nVecs * r}", () =>
+            operators.MediaDedup.nearDupPairs(
+              operators.MediaDedup.differenceHash(media()),
+              maxHamming = 3))
+        if (probeEnabled("phash"))
+          timeWarm(s"phash r=$r imgs=${nVecs * r}", () =>
+            operators.MediaDedup.nearDupPairs(
+              operators.MediaDedup.perceptualHash(media()),
+              maxHamming = 3))
+      }
+    }
+    // grouped k-center: k rounds, each ONE distributed job for all
+    // groups (per-group CASE map + one keyed window) — linear in
+    // rows at fixed k and group count
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("kcenter_grouped")) {
+        timeWarm(s"kcenter_grouped r=$r vecs=${nVecs * r} k=4", () =>
+          operators.Coreset.kCenterGreedyGrouped(
+            replicateVecs(r).withColumn("label",
+              pmod(col("vec_id"), lit(10L))),
+            "vec_id", "embedding", "label", k = 4))
       }
     }
     spark.stop()
