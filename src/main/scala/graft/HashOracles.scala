@@ -5664,4 +5664,333 @@ object HashOracles {
         s"${snapSql("avg(cd)", 4)} AS mean_cover " +
         "FROM un GROUP BY method ORDER BY method")
   }
+
+  /** The shared one-way ANOVA core replay ([[operators.Abtest
+    * .anovaCore]]): exact HUGEINT moments to the bounded arm table,
+    * the arm-ordered fold of s²/n, the operator's F tree. `src` must
+    * emit `(arm, c)` with `c` already on the integer grid.
+    */
+  private def anovaCoreSql(src: String, ssDivisor: String)
+      : Seq[String] = {
+    import graft.functions.Grid.snapSql
+    Seq(
+      s"aa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sa, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS qa " +
+        s"FROM $src GROUP BY 1)",
+      "ff AS (SELECT CAST(count(*) AS BIGINT) AS k_arms, " +
+        "CAST(sum(n) AS BIGINT) AS n_total, " +
+        "CAST(sum(sa) AS HUGEINT) AS sS, " +
+        "CAST(sum(qa) AS HUGEINT) AS qQ, " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) ORDER BY arm)), (acc, x) -> acc + x) " +
+        "AS sg FROM aa)",
+      "xx AS (SELECT n_total, k_arms, " +
+        "sg - CAST(sS AS DOUBLE) * CAST(sS AS DOUBLE) / " +
+        "CAST(n_total AS DOUBLE) AS ssb, " +
+        "CAST(qQ AS DOUBLE) - sg AS ssw FROM ff)",
+      "res AS (SELECT n_total, k_arms, " +
+        "k_arms - 1 AS df_between, " +
+        "n_total - k_arms AS df_within, " +
+        s"${snapSql("ssb", 4)} / $ssDivisor AS ss_between, " +
+        s"${snapSql("ssw", 4)} / $ssDivisor AS ss_within, " +
+        snapSql("CASE WHEN k_arms >= 2 AND " +
+          "CAST(n_total - k_arms AS DOUBLE) > 0.0e0 AND " +
+          "ssw > 0.0e0 THEN (ssb / CAST(k_arms - 1 AS DOUBLE)) / " +
+          "(ssw / CAST(n_total - k_arms AS DOUBLE)) END", 4) +
+        " AS f_stat, " +
+        snapSql("CASE WHEN ssb + ssw > 0.0e0 " +
+          "THEN ssb / (ssb + ssw) END", 6) + " AS eta_sq FROM xx)")
+  }
+
+  private val anovaSelect: String =
+    "SELECT n_total, k_arms, df_between, df_within, ss_between, " +
+      "ss_within, f_stat, eta_sq FROM res"
+
+  /** One-way ANOVA replay (q367, [[operators.Abtest.anovaF]]): cent
+    * grid, SS rescaled to y units by the same snapped-then-divided
+    * program.
+    */
+  val q367AnovaF: String = withClause(
+    Seq("bb AS (SELECT event_type AS arm, " +
+      "CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS c " +
+      "FROM events WHERE value IS NOT NULL)") ++
+      anovaCoreSql("bb", "10000.0e0"),
+    anovaSelect)
+
+  /** Brown–Forsythe replay (q368, [[operators.Abtest.brownForsythe]]):
+    * per-arm doubled exact median, |2c − m2| deviations, the ANOVA
+    * core on the doubled grid (no SS rescale — the operator's
+    * contract).
+    */
+  val q368BrownForsythe: String = withClause(
+    Seq("bb0 AS (SELECT event_type AS arm, event_id AS id, " +
+      "CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS c " +
+      "FROM events WHERE value IS NOT NULL)",
+      "rr AS (SELECT *, row_number() OVER (PARTITION BY arm " +
+        "ORDER BY c, id) AS rn, " +
+        "count(*) OVER (PARTITION BY arm) AS na FROM bb0)",
+      "mm AS (SELECT arm, (CASE WHEN max(na) % 2 = 1 THEN 2 ELSE 1 " +
+        "END) * CAST(sum(c) AS BIGINT) AS m2 FROM rr " +
+        "WHERE rn = (na + 1) // 2 OR rn = (na + 2) // 2 GROUP BY arm)",
+      "bb AS (SELECT bb0.arm, abs(bb0.c * 2 - mm.m2) AS c " +
+        "FROM bb0 JOIN mm USING (arm))") ++
+      anovaCoreSql("bb", "1.0e0"),
+    anovaSelect)
+
+  /** Friedman replay (q369, [[operators.Abtest.friedman]]): complete
+    * blocks only, block-keyed doubled midranks, exact HUGEINT
+    * quadratic sums, the Conover tie-adjusted χ² tree.
+    */
+  val q369Friedman: String = {
+    import graft.functions.Grid.snapSql
+    val num = "sumRsq - nd * nd * kd * (kd + 1.0e0) * (kd + 1.0e0) " +
+      "/ 4.0e0"
+    val den = "a2d - nd * kd * (kd + 1.0e0) * (kd + 1.0e0) / 4.0e0"
+    val chi = s"(kd - 1.0e0) * ($num) / ($den)"
+    withClause(Seq(
+      "pu AS (SELECT * FROM (SELECT user_id AS b, " +
+        "event_type AS arm, " +
+        "CAST(sum(CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT)) " +
+        "AS BIGINT) AS y FROM events GROUP BY 1, 2) " +
+        "WHERE y IS NOT NULL)",
+      "kk AS (SELECT CAST(count(DISTINCT arm) AS BIGINT) AS k_arms " +
+        "FROM pu)",
+      "cc AS (SELECT pu.*, kk.k_arms, " +
+        "count(*) OVER (PARTITION BY b) AS kb FROM pu, kk)",
+      "co AS (SELECT * FROM cc WHERE kb = k_arms)",
+      "rr AS (SELECT *, row_number() OVER (PARTITION BY b " +
+        "ORDER BY y, arm) AS rn FROM co)",
+      "mm AS (SELECT *, min(rn) OVER (PARTITION BY b, y) + " +
+        "max(rn) OVER (PARTITION BY b, y) AS r2 FROM rr)",
+      "pa AS (SELECT k_arms, arm, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(r2 AS HUGEINT)) AS HUGEINT) AS rr2 " +
+        "FROM mm GROUP BY 1, 2)",
+      "fo AS (SELECT k_arms, CAST(max(n) AS BIGINT) AS n_blocks, " +
+        "CAST(sum(rr2 * rr2) AS HUGEINT) AS sr2 FROM pa GROUP BY 1)",
+      "cs AS (SELECT CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) " +
+        "AS a2 FROM mm)",
+      "xx AS (SELECT n_blocks, k_arms, " +
+        "CAST(k_arms AS DOUBLE) AS kd, " +
+        "CAST(n_blocks AS DOUBLE) AS nd, " +
+        "CAST(sr2 AS DOUBLE) / 4.0e0 AS sumRsq, " +
+        "CAST(a2 AS DOUBLE) / 4.0e0 AS a2d FROM fo, cs)"),
+      s"""SELECT n_blocks, k_arms, k_arms - 1 AS df,
+         |  ${snapSql(s"CASE WHEN n_blocks > 0 AND ($den) > 0.0e0 " +
+          s"THEN $chi END", 4)} AS chi2,
+         |  ${snapSql(s"CASE WHEN n_blocks > 0 AND ($den) > 0.0e0 " +
+          s"AND nd * (kd - 1.0e0) > 0.0e0 " +
+          s"THEN ($chi) / (nd * (kd - 1.0e0)) END", 6)} AS kendall_w
+         |FROM xx""".stripMargin)
+  }
+
+  /** Correlogram replay (q370, [[operators.Seasonal
+    * .autocorrelation]]): row-positioned daily series, the ×n²
+    * integer-carried centered numerator per lag (exact HUGEINT), the
+    * snapped-r Ljung–Box fold in lag order.
+    */
+  def q370AcfLjungbox(maxLag: Int): String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      "se AS (SELECT day, CAST(floor(rev * 100.0e0 + 0.5e0) " +
+        "AS BIGINT) AS y FROM (SELECT " +
+        "date_diff('day', DATE '1992-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS day, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1) " +
+        "WHERE rev IS NOT NULL)",
+      "ii AS (SELECT row_number() OVER (ORDER BY day) AS rn, y " +
+        "FROM se)",
+      "tt AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sS FROM ii)",
+      s"ll AS (SELECT CAST(lag AS BIGINT) AS lag FROM " +
+        s"range(0, ${maxLag + 1}) t(lag))",
+      "pp AS (SELECT ll.lag, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS pP, " +
+        "CAST(sum(CAST(a.y AS HUGEINT)) AS HUGEINT) AS aA, " +
+        "CAST(sum(CAST(b.y AS HUGEINT)) AS HUGEINT) AS bB " +
+        "FROM ll CROSS JOIN ii a JOIN ii b ON b.rn = a.rn + ll.lag " +
+        "GROUP BY 1)",
+      "nn AS (SELECT pp.*, tt.n, tt.sS, " +
+        "n * n * pP - n * sS * (aA + bB) + (n - lag) * sS * sS " +
+        "AS num FROM pp, tt)",
+      "n0 AS (SELECT num AS num0 FROM nn WHERE lag = 0)",
+      "rt AS (SELECT lag, n_pairs, CAST(n AS DOUBLE) AS nd, " +
+        snapSql("CASE WHEN num0 > 0 THEN CAST(num AS DOUBLE) / " +
+          "CAST(num0 AS DOUBLE) END", 6) + " AS acf FROM nn, n0)",
+      "ts AS (SELECT list(struct_pack(lag := lag, acf := acf) " +
+        "ORDER BY lag) AS tl FROM rt)"),
+      s"""SELECT lag, n_pairs, acf,
+         |  ${snapSql("CASE WHEN lag >= 1 THEN nd * (nd + 2.0e0) * " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(list_filter(ts.tl, t -> t.lag >= 1 AND " +
+          "t.lag <= rt.lag), t -> t.acf * t.acf / (nd - t.lag))), " +
+          "(a, x) -> a + x) END", 4)} AS q_lb
+         |FROM rt, ts ORDER BY lag""".stripMargin)
+  }
+
+  /** Image quality replay (q371, [[operators.Multimodal
+    * .imageQualityStats]]): the q235 lossless-PNG pixel device, exact
+    * integer moments for brightness/contrast, the 4-neighbor
+    * Laplacian over the 6×6 interior for sharpness.
+    */
+  val q371ImageQuality: String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      "px AS (SELECT vec_id AS media_id, i, " +
+        "CAST(greatest(0, least(255, floor((CAST(embedding[i+1] " +
+        "AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p " +
+        "FROM embeddings, range(64) t(i))",
+      "gg AS (SELECT media_id, CAST(sum(p) AS BIGINT) AS sv, " +
+        "CAST(sum(p * p) AS BIGINT) AS svv FROM px GROUP BY 1)",
+      "lap AS (SELECT c.media_id, " +
+        "4 * c.p - pw.p - pe.p - pn.p - ps.p AS l FROM px c " +
+        "JOIN px pw ON pw.media_id = c.media_id AND pw.i = c.i - 1 " +
+        "JOIN px pe ON pe.media_id = c.media_id AND pe.i = c.i + 1 " +
+        "JOIN px pn ON pn.media_id = c.media_id AND pn.i = c.i - 8 " +
+        "JOIN px ps ON ps.media_id = c.media_id AND ps.i = c.i + 8 " +
+        "WHERE c.i % 8 BETWEEN 1 AND 6 AND c.i // 8 BETWEEN 1 AND 6)",
+      "ls AS (SELECT media_id, CAST(sum(l) AS BIGINT) AS sl, " +
+        "CAST(sum(l * l) AS BIGINT) AS sll FROM lap GROUP BY 1)"),
+      s"""SELECT gg.media_id,
+         |  ${snapSql("CAST(sv AS DOUBLE) / 64.0e0", 4)} AS brightness,
+         |  ${snapSql("(64.0e0 * CAST(svv AS DOUBLE) - " +
+          "CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / 4096.0e0", 4)}
+         |    AS contrast_var,
+         |  ${snapSql("(36.0e0 * CAST(sll AS DOUBLE) - " +
+          "CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / 1296.0e0", 4)}
+         |    AS sharpness
+         |FROM gg JOIN ls USING (media_id) ORDER BY media_id""".stripMargin)
+  }
+
+  /** URL dedup replay (q372, [[graft.functions.Urls.canonicalize]]):
+    * the identical regex + list program, function for function.
+    */
+  val q372UrlDedup: String = {
+    val tracking = graft.functions.Urls.trackingParams
+      .map(p => s"'$p'").mkString(", ")
+    withClause(Seq(
+      "uu AS (SELECT doc_id, doc_id // 3 AS base FROM documents)",
+      "rw AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.host' || " +
+        "CAST(base % 7 AS VARCHAR) " +
+        "|| '.example.org:443/docs/' || CAST(base AS VARCHAR) " +
+        "|| '/?b=2&utm_source=feed&a=1' " +
+        "WHEN doc_id % 3 = 1 THEN 'https://host' || " +
+        "CAST(base % 7 AS VARCHAR) " +
+        "|| '.example.org/docs/' || CAST(base AS VARCHAR) " +
+        "|| '?a=1&fbclid=x' " +
+        "|| CAST(doc_id AS VARCHAR) || '&b=2' " +
+        "ELSE 'https://host' || CAST(base % 7 AS VARCHAR) || " +
+        "'.example.org/docs/' " +
+        "|| CAST(base AS VARCHAR) || '/?b=2&a=1#frag-' || " +
+        "CAST(doc_id AS VARCHAR) END AS url FROM uu)",
+      "p1 AS (SELECT doc_id, url, " +
+        "lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme, " +
+        "lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) " +
+        "AS hostport, " +
+        "regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) " +
+        "AS raw_path, " +
+        "regexp_extract(url, '\\?([^#]*)', 1) AS raw_q FROM rw)",
+      "p2 AS (SELECT *, " +
+        "regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), " +
+        "'^www\\.', '') AS host, " +
+        "regexp_extract(hostport, ':([0-9]+)$', 1) AS port, " +
+        "regexp_replace(raw_path, '/+$', '') AS pstrip FROM p1)",
+      "p3 AS (SELECT *, " +
+        "port <> '' AND NOT (scheme = 'http' AND port = '80') " +
+        "AND NOT (scheme = 'https' AND port = '443') AS keep_port, " +
+        "CASE WHEN pstrip = '' THEN '/' ELSE pstrip END AS path, " +
+        "array_to_string(list_sort(list_filter(" +
+        "string_split(raw_q, '&'), q -> length(q) > 0 " +
+        "AND NOT starts_with(regexp_extract(q, '^([^=]*)', 1), " +
+        s"'utm_') AND regexp_extract(q, '^([^=]*)', 1) NOT IN " +
+        s"($tracking))), '&') AS qs FROM p2)",
+      "cn AS (SELECT doc_id, url, CASE WHEN scheme = '' THEN NULL " +
+        "ELSE scheme || '://' || host || " +
+        "(CASE WHEN keep_port THEN ':' || port ELSE '' END) || " +
+        "path || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) " +
+        "END AS canonical_url FROM p3)"),
+      "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT url) AS BIGINT) AS n_raw, " +
+        "min(doc_id) AS canonical_doc " +
+        "FROM cn GROUP BY 1 ORDER BY canonical_url")
+  }
+
+  /** JL distortion replay (q373, [[operators.RandomProjection]]): the
+    * embedded sign-matrix literal, index-ordered projection and
+    * distance folds, exact 1e-6-grid ratio moments.
+    */
+  val q373JlDistortion: String = {
+    import graft.functions.Grid.{lit17, snapSql}
+    val m = graft.operators.RandomProjection.signMatrix(64, 16)
+    val signs = graft.operators.RandomProjection.signsDuckSql(m)
+    val inv = lit17(1.0 / math.sqrt(16.0))
+    val projJ = snapSql("list_reduce(list_prepend(" +
+      "CAST(0.0 AS DOUBLE), list_transform(range(64), " +
+      s"i -> CAST(embedding[i + 1] AS DOUBLE) * " +
+      s"(($signs)[j + 1])[i + 1])), (a, x) -> a + x) * $inv", 6)
+    withClause(Seq(
+      "pr AS (SELECT vec_id, embedding, " +
+        s"list_transform(range(16), j -> $projJ) AS proj " +
+        "FROM embeddings)",
+      "pe AS (SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb, " +
+        "a.proj AS pa, b.proj AS pb FROM pr a " +
+        "JOIN pr b ON b.vec_id = a.vec_id + 1)",
+      "dd AS (SELECT *, " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(64), i -> " +
+        "(CAST(ea[i + 1] AS DOUBLE) - CAST(eb[i + 1] AS DOUBLE)) * " +
+        "(CAST(ea[i + 1] AS DOUBLE) - CAST(eb[i + 1] AS DOUBLE)))), " +
+        "(a, x) -> a + x) AS do_, " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(16), i -> " +
+        "(pa[i + 1] - pb[i + 1]) * (pa[i + 1] - pb[i + 1]))), " +
+        "(a, x) -> a + x) AS dp_ FROM pe)",
+      "rr AS (SELECT CAST(floor(dp_ / do_ * 1.0e6 + 0.5e0) " +
+        "AS BIGINT) AS r6 FROM dd WHERE do_ > 0.0e0)"),
+      "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(64 AS INTEGER) AS d_in, CAST(16 AS INTEGER) AS d_out, " +
+        snapSql("CAST(sum(r6) AS DOUBLE) / " +
+          "(CAST(count(*) AS DOUBLE) * 1.0e6)", 6) + " AS mean_ratio, " +
+        "CAST(min(r6) AS DOUBLE) / 1.0e6 AS min_ratio, " +
+        "CAST(max(r6) AS DOUBLE) / 1.0e6 AS max_ratio, " +
+        snapSql("CAST(sum(CASE WHEN abs(r6 - 1000000) <= 300000 " +
+          "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)",
+          6) + " AS frac_within_30pct FROM rr")
+  }
+
+  /** UniMax replay (q374, [[operators.Mixture.waterfill]] with unit
+    * weights and epoch-scaled capacity — the q91 window replay with
+    * `cap = 4·c`, `wt = 1`).
+    */
+  val q374Unimax: String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      s"t0 AS (SELECT lang, len($Toks) AS n FROM documents)",
+      "s0 AS (SELECT lang, CAST(sum(n) AS BIGINT) AS c FROM t0 " +
+        "GROUP BY lang)",
+      "r0 AS (SELECT lang, c, CAST(c AS DOUBLE) * 4 AS cap, " +
+        "1.0e0 AS wt, (CAST(c AS DOUBLE) * 4) / 1.0e0 AS ratio " +
+        "FROM s0)",
+      "x0 AS (SELECT lang, c, cap, wt, ratio, " +
+        "coalesce(sum(cap) OVER (ORDER BY ratio, lang " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0) " +
+        "AS cumb, " +
+        "sum(wt) OVER (ORDER BY ratio, lang " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tailw " +
+        "FROM r0)",
+      "y0 AS (SELECT *, (20000.0e0 - cumb) / tailw AS tc FROM x0)",
+      "z0 AS (SELECT *, first_value(CASE WHEN ratio >= tc THEN tc " +
+        "END IGNORE NULLS) OVER (ORDER BY ratio, lang " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "AS ts FROM y0)",
+      "a0 AS (SELECT lang, c AS c_tokens, " +
+        "CASE WHEN ts IS NULL THEN cap ELSE greatest(0.0e0, " +
+        "least(cap, wt * ts)) END AS alloc FROM z0)"),
+      s"""SELECT lang, c_tokens, ${snapSql("alloc", 2)} AS alloc,
+         |  ${snapSql("alloc / CAST(c_tokens AS DOUBLE)", 4)}
+         |    AS epochs_used
+         |FROM a0 ORDER BY lang""".stripMargin)
+  }
 }

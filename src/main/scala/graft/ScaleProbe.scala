@@ -691,6 +691,72 @@ object ScaleProbe {
             "vec_id", "embedding", "label", k = 4))
       }
     }
+    // one-way ANOVA / Brown-Forsythe: anova is ONE partial-agg pass
+    // to the k-row arm table (pure linear); BF adds the per-arm
+    // median rank window (sort cost within arms)
+    Seq(1, 2, 4, 8).foreach { r =>
+      if (probeEnabled("anova")) {
+        val ev = replicateEvents(r)
+        timeWarm(s"anova r=$r events=n*$r", () =>
+          operators.Abtest.anovaF(ev, "event_type", "event_id",
+            "value", scale = 2))
+        timeWarm(s"brown_forsythe r=$r events=n*$r", () =>
+          operators.Abtest.brownForsythe(ev, "event_type", "event_id",
+            "value", scale = 2))
+      }
+    }
+    // correlogram: the series is an AGGREGATED grain (days), so
+    // replication grows per-day sums, not series length — probe with
+    // a longer synthetic series instead (hour grain x r) to see the
+    // position-join cost grow with series length
+    Seq(1, 2, 4, 8).foreach { r =>
+      if (probeEnabled("acf")) {
+        val series = replicateEvents(r)
+          .groupBy((col("event_id") % lit(2000L * r)).as("t"))
+          .agg(round(sum(col("value")), 2).as("y"))
+        timeWarm(s"acf r=$r points=${2000 * r}", () =>
+          operators.Seasonal.autocorrelation(series, "t", "y",
+            maxLag = 10, scale = 2))
+      }
+    }
+    // URL canonicalization dedup: map-only key derivation + one hash
+    // aggregation — strictly linear
+    Seq(1, 2, 4, 8).foreach { r =>
+      if (probeEnabled("url_dedup")) {
+        val urls = replicateDocs(r).select(col("doc_id"),
+          concat(lit("HTTPS://WWW.h"), col("doc_id") % 97,
+            lit(".example.org:443/d/"), expr("doc_id div 3"),
+            lit("/?b=2&utm_source=x&a=1")).as("url"))
+        timeWarm(s"url_dedup r=$r docs=${nDocs * r}", () =>
+          urls.groupBy(graft.functions.Urls.canonicalize(col("url"))
+              .as("canonical_url"))
+            .agg(count(lit(1)).as("n_docs")))
+      }
+    }
+    // JL projection: map-only d*d' multiply-adds per row — linear;
+    // the distortion probe adds the consecutive-id equi-join
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("jl")) {
+        timeWarm(s"jl_project r=$r vecs=${nVecs * r}", () =>
+          operators.RandomProjection.projectSigned(replicateVecs(r),
+            "embedding", dIn = 64, dOut = 16))
+      }
+    }
+    // image quality stats: one decode+pool mapPartitions pass,
+    // constant per-image work — linear like the hash probes
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("img_quality")) {
+        val px = replicateVecs(r).select(col("vec_id"),
+          expr("transform(embedding, " +
+            "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))")
+            .as("pixels"))
+        timeWarm(s"img_quality r=$r imgs=${nVecs * r}", () =>
+          operators.Multimodal.imageQualityStats(
+            operators.Multimodal.asMedia(
+              operators.Multimodal.encodePng(px, "vec_id", "pixels",
+                side = 8), "media_id", "media")))
+      }
+    }
     spark.stop()
   }
 }

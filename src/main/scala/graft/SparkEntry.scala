@@ -4263,6 +4263,159 @@ object SparkEntry {
         .orderBy(col("cluster"))
     }),
 
+    // One-way ANOVA F across all five event types — the parametric
+    // k-arm mean test completing the family around q315's rank-based
+    // Kruskal-Wallis: exact cent-grid moments in ONE partial-agg pass
+    // to the 5-row arm table, the k-bounded arm-ordered fold of
+    // s_i^2/n_i, one F tree at the readout.
+    "q367_anova_f" -> ((s, dir) =>
+      graft.operators.Abtest.anovaF(events(s, dir), "event_type",
+        "event_id", "value", scale = 2)),
+
+    // Brown-Forsythe variance homogeneity — the assumption check run
+    // BEFORE trusting q367's pooled within-variance: per-arm EXACT
+    // median (doubled, so even counts stay integral), |y - med| on
+    // the doubled grid, the same one-way F over the deviations.
+    "q368_brown_forsythe" -> ((s, dir) =>
+      graft.operators.Abtest.brownForsythe(events(s, dir),
+        "event_type", "event_id", "value", scale = 2)),
+
+    // Friedman repeated-measures rank test: block = user, treatment =
+    // event type, y = the user's total cents in that type; users
+    // missing any of the k types drop (complete-block design), ranks
+    // are block-keyed doubled midranks, and the tie-adjusted Conover
+    // statistic reads off exact decimal quadratic sums.
+    "q369_friedman" -> ((s, dir) => {
+      val peru = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long"))
+          .as("c"))
+      graft.operators.Abtest.friedman(peru, "user_id", "event_type",
+        "c")
+    }),
+
+    // Correlogram of daily order revenue: the standard r_k = c_k/c_0
+    // autocorrelation (fixed full-series mean, x-n^2 integer-carried
+    // numerator — exact decimals end to end) plus the Ljung-Box
+    // portmanteau folded from the SNAPPED grid r's in lag order — the
+    // white-noise gate a forecast-residual audit runs first.
+    "q370_acf_ljungbox" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Seasonal.autocorrelation(daily, "day", "rev",
+          maxLag = 10, scale = 2)
+        .orderBy(col("lag"))
+    }),
+
+    // Image quality stats for corpus filtering: brightness, contrast
+    // and variance-of-Laplacian sharpness over the SAME 8x8 integer
+    // pooling the perceptual hashes read — one decode serves hash and
+    // quality alike. On the lossless 8x8 device every cell is one
+    // pixel, so the oracle replays all three moments exactly from the
+    // embeddings.
+    "q371_image_quality" -> ((s, dir) => {
+      val px = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val media = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.encodePng(px, "vec_id", "pixels",
+          side = 8), "media_id", "media")
+      graft.operators.Multimodal.imageQualityStats(media)
+        .orderBy(col("media_id"))
+    }),
+
+    // URL-canonicalization dedup (the RefinedWeb pre-content key):
+    // three fetch variants per target page — scheme/host case, www.,
+    // default port, trailing slash, tracking params, param order,
+    // fragments — all fold to ONE canonical URL in a single codegen'd
+    // Column program (no UDF), and the dedup is one hash aggregation
+    // on the derived key.
+    "q372_url_dedup" -> ((s, dir) => {
+      val urls = T(s, dir, "documents").select(col("doc_id"),
+        expr("doc_id div 3").as("__base"))
+        .withColumn("url",
+          when(col("doc_id") % 3 === 0, concat(
+            lit("HTTPS://WWW.host"), col("__base") % 7,
+            lit(".example.org:443/docs/"), col("__base"),
+            lit("/?b=2&utm_source=feed&a=1")))
+          .when(col("doc_id") % 3 === 1, concat(
+            lit("https://host"), col("__base") % 7,
+            lit(".example.org/docs/"), col("__base"),
+            lit("?a=1&fbclid=x"), col("doc_id"), lit("&b=2")))
+          .otherwise(concat(
+            lit("https://host"), col("__base") % 7,
+            lit(".example.org/docs/"), col("__base"),
+            lit("/?b=2&a=1#frag-"), col("doc_id"))))
+      urls
+        .groupBy(graft.functions.Urls.canonicalize(col("url"))
+          .as("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw"),
+          min(col("doc_id")).as("canonical_doc"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // Johnson-Lindenstrauss distortion audit: 64-dim embeddings
+    // projected to 16 dims by the deterministic md5-parity sign
+    // matrix (map-only, index-ordered folds), then consecutive-id
+    // pairs compare projected to original squared distance — the
+    // measured evidence for running candidate generation in the
+    // projected space. Ratios land on the 1e-6 grid so the summary
+    // moments are exact integer sums.
+    "q373_jl_distortion" -> ((s, dir) => {
+      val proj = graft.operators.RandomProjection.projectSigned(
+        T(s, dir, "embeddings"), "embedding", dIn = 64, dOut = 16)
+        .select(col("vec_id"), col("embedding"), col("proj"))
+      val pairs = proj.select(col("vec_id").as("__k"),
+          col("embedding").as("ea"), col("proj").as("pa"))
+        .join(proj.select((col("vec_id") - 1L).as("__k"),
+          col("embedding").as("eb"), col("proj").as("pb")), Seq("__k"))
+        .withColumn("__do", expr(
+          "aggregate(zip_with(CAST(ea AS ARRAY<DOUBLE>), " +
+            "CAST(eb AS ARRAY<DOUBLE>), (u, v) -> (u - v) * (u - v)), " +
+            "CAST(0.0 AS DOUBLE), (a, z) -> a + z)"))
+        .withColumn("__dp", expr(
+          "aggregate(zip_with(pa, pb, (u, v) -> (u - v) * (u - v)), " +
+            "CAST(0.0 AS DOUBLE), (a, z) -> a + z)"))
+        .filter(col("__do") > 0.0)
+        .withColumn("__r6",
+          floor(col("__dp") / col("__do") * 1e6 + 0.5).cast("long"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          lit(64).as("d_in"), lit(16).as("d_out"),
+          graft.functions.Grid.snap(
+            sum(col("__r6")).cast("double") /
+              (count(lit(1)).cast("double") * 1e6), 6).as("mean_ratio"),
+          (min(col("__r6")).cast("double") / 1e6).as("min_ratio"),
+          (max(col("__r6")).cast("double") / 1e6).as("max_ratio"),
+          graft.functions.Grid.snap(
+            sum(when(abs(col("__r6") - 1000000L) <= 300000L, 1L)
+              .otherwise(0L)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("frac_within_30pct"))
+    }),
+
+    // UniMax language sampling (Chung et al. 2023): uniform budget
+    // across languages capped at maxEpochs passes of each language's
+    // tokens — exactly the house waterfill with unit weights and the
+    // epoch-scaled capacity; q322's mC4 alpha-sampling is the
+    // frequency-proportional alternative on the same stratum table.
+    "q374_unimax" -> ((s, dir) => {
+      val perLang = T(s, dir, "documents")
+        .select(col("lang"), size(toks(col("text"))).as("n"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).cast("long").as("c_tokens"))
+        .withColumn("weight", lit(1.0))
+      graft.operators.Mixture.waterfill(perLang, "lang", "c_tokens",
+          "weight", budget = 20000.0, maxEpochs = 4)
+        .select(col("lang"), col("c_tokens"),
+          graft.functions.Grid.snap(col("alloc"), 2).as("alloc"),
+          graft.functions.Grid.snap(
+            col("alloc") / col("c_tokens").cast("double"), 4)
+            .as("epochs_used"))
+        .orderBy(col("lang"))
+    }),
+
     // The pruning OPERATING-POINT curve: the q351 rank computed once,
     // swept over keep fractions {25, 50, 75}% via one bounded explode
     // (the q345 threshold-sweep device) — how a selection pipeline
@@ -9564,6 +9717,30 @@ object SparkEntry {
 
     // three-hash consensus: all three bit rules replayed, 2-of-3 vote
     "q366_hash_consensus" -> HashOracles.q366HashConsensus(3),
+
+    // one-way ANOVA: exact cent-grid moments, arm-ordered s^2/n fold
+    "q367_anova_f" -> HashOracles.q367AnovaF,
+
+    // Brown-Forsythe: doubled exact medians, ANOVA core on |2c - m2|
+    "q368_brown_forsythe" -> HashOracles.q368BrownForsythe,
+
+    // Friedman: complete blocks, block-keyed doubled midranks
+    "q369_friedman" -> HashOracles.q369Friedman,
+
+    // correlogram: x-n^2 integer numerators, snapped-r Ljung-Box fold
+    "q370_acf_ljungbox" -> HashOracles.q370AcfLjungbox(10),
+
+    // image quality: q235 pixel device, integer moments + Laplacian
+    "q371_image_quality" -> HashOracles.q371ImageQuality,
+
+    // URL canonicalization: identical regex + list program
+    "q372_url_dedup" -> HashOracles.q372UrlDedup,
+
+    // JL distortion: embedded sign literal, index-ordered folds
+    "q373_jl_distortion" -> HashOracles.q373JlDistortion,
+
+    // UniMax: the q91 waterfill replay with cap = 4c, wt = 1
+    "q374_unimax" -> HashOracles.q374Unimax,
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

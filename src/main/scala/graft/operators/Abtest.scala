@@ -613,6 +613,207 @@ object Abtest {
         Grid.snap(col("__chi"), 4).as("chi2"))
   }
 
+  /** The shared one-way decomposition core behind [[anovaF]] and
+    * [[brownForsythe]]: input is `(__arm: string, __c: long)` with
+    * `__c` already on an exact integer grid, so every moment is
+    * order-free integer arithmetic. Per arm: `n_i` (long), `s_i = Σc`
+    * and `q_i = Σc²` as DECIMAL(38,0) (a long Σc² overflows at
+    * ~10⁶ rows of 10⁷-scaled values; decimal is exact to 1e38 —
+    * headroom past 10⁹ rows of 10¹⁴ squares). The only fractional
+    * step is the k-bounded arm fold of `s_i²/n_i` (each term one
+    * exact-decimal-to-double cast + one division, folded in arm
+    * order — the [[kruskalWallis]] device), then the F tree.
+    *
+    * Output-snap bound: the SS columns snap at 4 dp, so SS·10⁴ must
+    * stay under 2⁶³ (Spark's FLOOR(DOUBLE) lands in a long) —
+    * SS ≤ ~9·10¹⁴ in scaled units. Past that, re-snap at the caller
+    * on a coarser grid; F and η² are ratios and unaffected.
+    */
+  private def anovaCore(base: DataFrame): DataFrame = {
+    import graft.functions.Grid
+    val arms = base.groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__c").cast("decimal(38,0)")).as("__s"),
+        sum(col("__c").cast("decimal(19,0)") * col("__c"))
+          .as("__q"))
+    val folded = arms
+      .select(struct(col("__arm"),
+        (col("__s").cast("double") * col("__s").cast("double") /
+          col("__n").cast("double")).as("v")).as("__t"),
+        col("__n"), col("__s"), col("__q"))
+      .agg(count(lit(1)).as("k_arms"),
+        sum(col("__n")).as("n_total"),
+        sum(col("__s")).as("__S"),
+        sum(col("__q")).as("__Q"),
+        expr("aggregate(sort_array(collect_list(__t)), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)").as("__sg"))
+    val nD = col("n_total").cast("double")
+    val grand = col("__S").cast("double") * col("__S").cast("double") /
+      nD
+    val ssb = col("__sg") - grand
+    val ssw = col("__Q").cast("double") - col("__sg")
+    val df1 = (col("k_arms") - 1L).cast("double")
+    val df2 = (col("n_total") - col("k_arms")).cast("double")
+    val f = (ssb / df1) / (ssw / df2)
+    folded.select(col("n_total"), col("k_arms"),
+      (col("k_arms") - 1L).as("df_between"),
+      (col("n_total") - col("k_arms")).as("df_within"),
+      Grid.snap(ssb, 4).as("ss_between"),
+      Grid.snap(ssw, 4).as("ss_within"),
+      Grid.snap(when(col("k_arms") >= 2L && df2 > 0.0 && ssw > 0.0, f),
+        4).as("f_stat"),
+      Grid.snap(when(ssb + ssw > 0.0, ssb / (ssb + ssw)), 6)
+        .as("eta_sq"))
+  }
+
+  /** One-way ANOVA F (Fisher 1925) — the parametric k-arm mean test
+    * completing the family around [[kruskalWallis]] (its rank-based
+    * twin): `F = (SSB/(k−1)) / (SSW/(N−k))` from the between/within
+    * sum-of-squares decomposition. Returns one row `(n_total, k_arms,
+    * df_between, df_within, ss_between, ss_within, f_stat, eta_sq)`;
+    * `f_stat` is null under zero within-variance, `eta_sq` is
+    * SSB/SST (effect size).
+    *
+    * `scale` declares the metric's decimal grid (the
+    * [[graft.operators.Seasonal.crossCorrelation]] convention):
+    * values scale to exact longs, so all moments are order-free
+    * integer sums in ONE partial-aggregated pass to the k-bounded arm
+    * table — no window, no second scan. The output SS columns stay in
+    * y units (divided by 10^2s once, inside the snapped tree).
+    */
+  def anovaF(units: DataFrame, armCol: String, idCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
+    val p = math.pow(10.0, scale)
+    val core = anovaCore(units
+      .filter(col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        floor(col(yCol).cast("double") * p + 0.5).cast("long")
+          .as("__c")))
+    // SS back to y units: the snap already ran on the scaled tree, so
+    // rescale the snapped grid value (exact: grid/10^2s is one divide)
+    core.withColumn("ss_between", col("ss_between") / (p * p))
+      .withColumn("ss_within", col("ss_within") / (p * p))
+  }
+
+  /** Brown–Forsythe test (1974) — Levene's variance-homogeneity test
+    * with the MEDIAN center: per arm the exact median (doubled, so
+    * even-count midpoints stay integral), per row the absolute
+    * deviation `z = |y − med|` on the doubled grid, then the one-way
+    * F over z ([[anovaCore]] — F is scale-invariant, so the doubled
+    * grid changes no output bit of `f_stat`/`eta_sq`). Rejecting
+    * means the arms' spreads differ — the assumption check run
+    * BEFORE trusting [[anovaF]]'s pooled SSW.
+    *
+    * The per-arm order statistic runs in an arm-keyed window
+    * (partition = one arm's rows): with k bounded and N huge that is
+    * the honest cost of an EXACT median — the approximate path at
+    * corpus scale is the existing quantile-sketch family. Returns
+    * the [[anovaCore]] row with `ss_*` in doubled-scaled-z units.
+    */
+  def brownForsythe(units: DataFrame, armCol: String, idCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
+    val p = math.pow(10.0, scale)
+    val base = units
+      .filter(col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        col(idCol).as("__id"),
+        floor(col(yCol).cast("double") * p + 0.5).cast("long")
+          .as("__c"))
+    val w = Window.partitionBy(col("__arm"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__arm"))
+          .orderBy(col("__c"), col("__id"))))
+      .withColumn("__na", count(lit(1)).over(w))
+    // doubled median = c[(n+1)/2] + c[(n+2)/2] (1-based): odd n takes
+    // the middle twice, even n the two middles — exact longs
+    // integer div, not Column./ (which is DOUBLE division — a
+    // fractional midpoint position would match no row at all)
+    val med2 = ranked
+      .filter(col("__rn") === expr("(__na + 1) div 2") ||
+        col("__rn") === expr("(__na + 2) div 2"))
+      .groupBy(col("__arm"))
+      .agg((when(max(col("__na")) % 2L === 1L, lit(2L))
+        .otherwise(lit(1L)) * sum(col("__c"))).as("__m2"))
+    anovaCore(base.join(med2, Seq("__arm"))
+      .select(col("__arm"),
+        abs(col("__c") * 2L - col("__m2")).as("__c")))
+  }
+
+  /** Friedman test (1937) — the k-treatment repeated-measures rank
+    * test: within each BLOCK (subject) the k arm values take midranks,
+    * and the tie-adjusted statistic (Conover 1999's form)
+    * `χ² = (k−1)·(Σ_j R_j² − n²k(k+1)²/4) / (Σ_{bj} r_{bj}² − nk(k+1)²/4)`
+    * refers to χ²(k−1). The paired generalization [[kruskalWallis]]
+    * can't express: each block is its own stratum, so between-block
+    * spread cancels entirely.
+    *
+    * Contract: `df` holds ONE row per (block, arm) — the caller
+    * aggregates to that grain first. Blocks missing any arm DROP
+    * (complete-block design); `k` is the global distinct-arm count.
+    * Midranks come from a BLOCK-keyed window (bounded: k rows per
+    * block), doubled so ties stay integral; both quadratic sums
+    * accumulate as DECIMAL(38,0) (R_j ~ n·2k: its square overflows a
+    * long past n ~ 10⁸·k⁻¹). Returns one row `(n_blocks, k_arms, df,
+    * chi2, kendall_w)`; `chi2` nulls when every block is fully tied.
+    */
+  def friedman(df: DataFrame, blockCol: String, armCol: String,
+      yCol: String): DataFrame = {
+    import graft.functions.Grid
+    val base = df
+      .filter(col(yCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__b"),
+        col(armCol).cast("string").as("__arm"),
+        col(yCol).cast("double").as("__y"))
+    val k = base.agg(countDistinct(col("__arm")).as("k_arms"))
+    val complete = base
+      .withColumn("__kb", count(lit(1)).over(
+        Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(k))
+      .filter(col("__kb") === col("k_arms"))
+    val ranked = complete
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__b"))
+          .orderBy(col("__y"), col("__arm"))))
+      .withColumn("__r2",
+        min(col("__rn")).over(
+          Window.partitionBy(col("__b"), col("__y"))) +
+        max(col("__rn")).over(
+          Window.partitionBy(col("__b"), col("__y"))))
+    val perArm = ranked.groupBy(col("k_arms"), col("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__r2").cast("decimal(38,0)")).as("__R2"))
+    val folded = perArm.groupBy(col("k_arms"))
+      .agg(max(col("__n")).as("n_blocks"),
+        sum(col("__R2") * col("__R2")).as("__sr2"))
+    val cellSq = ranked.agg(
+      sum((col("__r2").cast("decimal(19,0)") * col("__r2")))
+        .as("__a2"))
+    val kD = col("k_arms").cast("double")
+    val nD = col("n_blocks").cast("double")
+    // doubled-rank algebra: Σ_j R_j² = __sr2/4 and Σ r² = __a2/4 —
+    // the /4 cancels between numerator and denominator, leaving the
+    // doubled identity χ² = (k−1)(__sr2 − n²k(2(k+1))²/4)/(__a2 − ...)
+    // ... expand: with R2 = 2R, num = (ΣR2² − n²k(k+1)²·4/4·...) —
+    // cleanest as doubles: terms below use the un-doubled formula on
+    // __sr2/4 and __a2/4 directly (each one exact-decimal cast)
+    val sumRsq = col("__sr2").cast("double") / 4.0
+    val a2 = col("__a2").cast("double") / 4.0
+    val num = sumRsq - nD * nD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val den = a2 - nD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val chi2 = (kD - 1.0) * num / den
+    folded.crossJoin(broadcast(cellSq))
+      .select(col("n_blocks"), col("k_arms"),
+        (col("k_arms") - 1L).as("df"),
+        Grid.snap(when(col("n_blocks") > 0L && den > 0.0, chi2), 4)
+          .as("chi2"),
+        Grid.snap(when(col("n_blocks") > 0L && den > 0.0 &&
+          nD * (kD - 1.0) > 0.0, chi2 / (nD * (kD - 1.0))), 6)
+          .as("kendall_w"))
+  }
+
   /** Inverse standard-normal CDF — Acklam's (2003) rational
     * approximation (|rel err| < 1.15e-9; public algorithm), used
     * DRIVER-side only: experiment planning needs z-quantiles and SQL

@@ -462,6 +462,68 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-image quality statistics for corpus filtering — the IMAGE
+    * member of the quality-score family ([[graft.operators
+    * .QualityFilters]] for text): brightness (mean level), contrast
+    * (population variance of level), and sharpness (population
+    * variance of the 4-neighbor Laplacian — the variance-of-Laplacian
+    * blur detector, Pech-Pacheco et al. 2000), all over the SAME 8×8
+    * integer pooling every perceptual hash reads
+    * ([[MediaDedup.averageHash]]'s `poolCells`), so one decode serves
+    * hash and quality alike.
+    *
+    * Exactness: cell level = cellSum/cellCnt (exact integers on the
+    * 8×8 lossless device where every cell is one pixel; general
+    * rasters make it an exact single division), the Laplacian
+    * `L = 4v − v_W − v_E − v_N − v_S` over the 6×6 interior, and both
+    * variances use the n·Σv² − (Σv)² integer form in a FIXED
+    * cell-index loop — driver-free, shuffle-free, one mapPartitions
+    * pass. Undecodable rows DROP (the [[MediaDedup.averageHash]]
+    * convention). Returns `(media_id, brightness, contrast_var,
+    * sharpness)`, each snapped at 4.
+    */
+  def imageQualityStats(media: DataFrame): DataFrame = {
+    import graft.functions.Grid
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("brightness", DoubleType),
+      StructField("contrast_var", DoubleType),
+      StructField("sharpness", DoubleType))))
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaDedup.poolCells(r.getAs[Array[Byte]](1)).map {
+            case (cellSum, cellCnt) =>
+              val v = new Array[Double](64)
+              var i = 0
+              while (i < 64) {
+                v(i) = cellSum(i).toDouble / cellCnt(i); i += 1
+              }
+              var sv = 0.0; var svv = 0.0
+              i = 0
+              while (i < 64) { sv += v(i); svv += v(i) * v(i); i += 1 }
+              var sl = 0.0; var sll = 0.0
+              var y = 1
+              while (y < 7) {
+                var x = 1
+                while (x < 7) {
+                  val c = y * 8 + x
+                  val l = 4.0 * v(c) - v(c - 1) - v(c + 1) -
+                    v(c - 8) - v(c + 8)
+                  sl += l; sll += l * l
+                  x += 1
+                }
+                y += 1
+              }
+              Row(r.getLong(0),
+                Grid.snapD(sv / 64.0, 4),
+                Grid.snapD((64.0 * svv - sv * sv) / 4096.0, 4),
+                Grid.snapD((36.0 * sll - sl * sl) / 1296.0, 4))
+          }
+        }
+      }(enc)
+  }
+
   /** Decode REAL image headers to the typed metadata contract
     * ([[mediaMetaSchema]] fields): `(media_id, format, width, height,
     * n_frames)` via ImageIO — rows whose bytes don't decode carry null

@@ -158,4 +158,88 @@ object Seasonal {
     }
     parts.reduce(_ unionByName _)
   }
+
+  /** Correlogram — the standard autocorrelation estimator plus the
+    * Ljung–Box (1978) portmanteau: `r_k = ĉ_k/ĉ_0` with
+    * `ĉ_k = (1/n)Σ(y_t−ȳ)(y_{t+k}−ȳ)` (fixed full-series mean and a
+    * fixed `1/n` normalizer — NOT [[crossCorrelation]]'s per-lag
+    * Pearson, which re-centers per lag), and
+    * `Q_k = n(n+2)Σ_{j≤k} r_j²/(n−j)` against χ²(k). The
+    * is-this-white-noise gate a forecasting residual audit runs
+    * before trusting [[graft.operators.Forecast]] backtests.
+    *
+    * Exactness: `y` scales to longs (`scale` grid), and the centered
+    * numerator is carried ×n² so it stays INTEGER:
+    * `n²·num_k = n²·P_k − n·S·(A_k+B_k) + (n−k)·S²` with
+    * `P_k = Σ y_t·y_{t+k}`, `A_k/B_k` the pair-wise marginal sums —
+    * all DECIMAL(38,0) (bound: n·S² must sit under 1e38; a 10⁶-point
+    * series of 10⁹-scaled values uses ~10³⁰). `r_k` is one exact
+    * decimal-to-double ratio, snapped at 6; `Q_k` folds the SNAPPED
+    * grid r's in lag order (bounded list, fixed association), snapped
+    * at 4 and null at lag 0.
+    *
+    * Plan shape: the series is positioned once (the distributed
+    * sort-rank device — contract: one row per `tCol`, the caller's
+    * aggregation grain), the lag list explodes each row `maxLag+1`
+    * ways (a bounded blow-up of the already-aggregated series, never
+    * of the corpus), and ONE position equi-join + one lag-grain
+    * aggregation produce the bounded lag table everything else folds
+    * over. Returns `(lag, n_pairs, acf, q_lb)` for `lag = 0..maxLag`.
+    */
+  def autocorrelation(df: DataFrame, tCol: String, yCol: String,
+      maxLag: Int, scale: Int = 2): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"bad maxLag $maxLag")
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
+    val p = math.pow(10.0, scale)
+    val series = df.select(col(tCol).as("__t"),
+      floor(col(yCol).cast("double") * p + 0.5).cast("long")
+        .as("__y"))
+      .filter(col("__y").isNotNull)
+    val idx = Ranks.withGlobalRowNumber(series, Seq(col("__t")),
+      "__rn").select(col("__rn"), col("__y"))
+    val tot = idx.agg(count(lit(1)).as("__n"),
+      sum(col("__y").cast("decimal(38,0)")).as("__S"))
+    val left = idx
+      .select(col("__rn"), col("__y"),
+        explode(sequence(lit(0L), lit(maxLag.toLong))).as("lag"))
+      .withColumn("__tgt", col("__rn") + col("lag"))
+    // PINNED: the bounded lag table feeds three branches (the lag-0
+    // numerator, the r table, the Q fold) — uncached each would
+    // re-run the position join and lag aggregation
+    val perLag = graft.CacheScope.register(left
+      .join(idx.select(col("__rn").as("__tgt"),
+        col("__y").as("__y2")), Seq("__tgt"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__y").cast("decimal(19,0)") * col("__y2"))
+          .as("__P"),
+        sum(col("__y").cast("decimal(38,0)")).as("__A"),
+        sum(col("__y2").cast("decimal(38,0)")).as("__B"))
+      .crossJoin(broadcast(tot))
+      // the ×n² centered numerator, exact decimal end to end
+      .withColumn("__num",
+        col("__n") * col("__n") * col("__P") -
+          col("__n") * col("__S") * (col("__A") + col("__B")) +
+          (col("__n") - col("lag")) * col("__S") * col("__S"))
+      .persist())
+    val num0 = perLag.filter(col("lag") === 0)
+      .select(col("__num").as("__num0"))
+    val rTab = perLag.crossJoin(broadcast(num0))
+      .select(col("lag"), col("n_pairs"),
+        col("__n").cast("double").as("__nd"),
+        Grid.snap(when(col("__num0") > 0,
+          col("__num").cast("double") / col("__num0").cast("double")),
+          6).as("acf"))
+    val terms = rTab
+      .agg(expr("sort_array(collect_list(struct(lag, acf)))")
+        .as("__ts"))
+    rTab.crossJoin(broadcast(terms))
+      .select(col("lag"), col("n_pairs"), col("acf"),
+        Grid.snap(when(col("lag") >= 1,
+          col("__nd") * (col("__nd") + 2.0) *
+            expr("aggregate(filter(__ts, t -> t.lag >= 1 AND " +
+              "t.lag <= lag), CAST(0.0 AS DOUBLE), " +
+              "(a, t) -> a + t.acf * t.acf / (__nd - t.lag))")),
+          4).as("q_lb"))
+  }
 }

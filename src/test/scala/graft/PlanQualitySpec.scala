@@ -1045,6 +1045,65 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("inference + JL wave (q367–q374): the stat tests stay one " +
+      "partial-agg pass plus counted scalar crosses, URL dedup and " +
+      "image quality stay join-free, the JL pipeline stays map-only " +
+      "into one equi-join") {
+    // q367: exact moments → 5-row arm table → one-row fold. NO join
+    // of any kind — the whole test is aggregation algebra
+    val p367 = plan("q367_anova_f")
+    assert(!p367.contains("Join"), s"q367 must be join-free:\n$p367")
+    assert(!p367.contains("ScalaUDF"), p367)
+    // q368: the median joins back by arm (broadcast equi), the core
+    // stays join-free — never a cartesian/BNLJ
+    val p368 = plan("q368_brown_forsythe")
+    assert(!p368.contains("CartesianProduct"), p368)
+    assert(!p368.contains("BroadcastNestedLoopJoin"), p368)
+    // q369: ONE counted 1-row scalar cross (the cell quadratic sum);
+    // the global-k completeness cross is rewritten by Catalyst into
+    // a broadcast EQUI-join on __kb = k_arms — strictly better.
+    // Ranks are BLOCK-keyed windows
+    val p369 = plan("q369_friedman")
+    assert(!p369.contains("CartesianProduct"), p369)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p369).size === 1,
+      p369)
+    // q370: the lag pairing is ONE position equi-join over the
+    // exploded bounded lag list; there are exactly three 1-row
+    // scalar crosses (totals, lag-0 numerator, the Q-fold term
+    // list), which the pre-materialization plan STRING prints 7×
+    // because the cached perLag/rTab lineage is embedded in every
+    // consumer branch (1 in perLag, ×2 +1 in rTab, that ×2 +1 at the
+    // final cross) — the count pins both the cross inventory and the
+    // branch shape
+    val p370 = plan("q370_acf_ljungbox")
+    assert(!p370.contains("CartesianProduct"), p370)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p370).size === 7,
+      p370)
+    assert(p370.contains("Generate"), // the bounded lag explode
+      s"q370 lost its lag explode:\n$p370")
+    // q371: one decode mapPartitions pass — no join, no window, no
+    // shuffle before the final sort
+    val p371 = plan("q371_image_quality")
+    assert(!p371.contains("Join"), s"q371 must be join-free:\n$p371")
+    assert(!p371.contains("Window"), p371)
+    // q372: dedup is ONE hash aggregation on the derived key — the
+    // canonicalization is builtin Column algebra, never a UDF
+    val p372 = plan("q372_url_dedup")
+    assert(!p372.contains("Join"), s"q372 must be join-free:\n$p372")
+    assert(!p372.contains("ScalaUDF"), p372)
+    // q373: projection is map-only; the pair join is a keyed
+    // equi-join; no UDF, no window, no pair-space blowup
+    val p373 = plan("q373_jl_distortion")
+    assert(!p373.contains("CartesianProduct"), p373)
+    assert(!p373.contains("BroadcastNestedLoopJoin"), p373)
+    assert(!p373.contains("ScalaUDF"), p373)
+    assert(!p373.contains("Window"), p373)
+    // q374: the waterfill device — bounded-stratum scans, broadcast
+    // joins, no cartesian
+    val p374 = plan("q374_unimax")
+    assert(!p374.contains("CartesianProduct"), p374)
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

@@ -125,6 +125,8 @@ class RunningSumGateSpec extends SparkSpec {
     "q48_token_packing" -> "token lengths (integer)",
     "q49_first_last" -> "frame carries first/last, not sums",
     "q79_token_budget" -> "token counts (integer)",
+    "q374_unimax" ->
+      "integer token capacities x4, unit weights (Mixture scaladoc)",
     "q91_mixture_waterfill" -> "grid-contract weights (Mixture scaladoc)",
     "q96_waterfill_selection" -> "grid-contract weights (Mixture scaladoc)",
     "q99_corpus_pipeline_v4" -> "token counts (integer)")

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlsSpec extends SparkSpec {
+
+  private lazy val sqlImplicits = spark.implicits
+  import sqlImplicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Urls.canonicalize(col("url")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+      .toSeq
+
+  test("canonicalize: case, www, default port, trailing slash, " +
+      "tracking params, param order, fragment all fold") {
+    assert(canon(
+      "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag")
+      === Seq("https://example.com/a/b?a=1&b=2"))
+  }
+
+  test("canonicalize: non-default port kept, root path restored") {
+    assert(canon("http://example.com:8080/") ===
+      Seq("http://example.com:8080/"))
+    assert(canon("http://example.com:80") ===
+      Seq("http://example.com/"))
+    assert(canon("https://example.com") ===
+      Seq("https://example.com/"))
+  }
+
+  test("canonicalize: http:80 default dropped but https:80 kept " +
+      "(default is per scheme)") {
+    assert(canon("https://example.com:80/x") ===
+      Seq("https://example.com:80/x"))
+    assert(canon("http://example.com:443/x") ===
+      Seq("http://example.com:443/x"))
+  }
+
+  test("canonicalize: tracking params drop, bare params keep and " +
+      "sort, empty query drops the '?'") {
+    assert(canon("https://e.com/p?z&a=1&fbclid=123&gclid=9") ===
+      Seq("https://e.com/p?a=1&z"))
+    assert(canon("https://e.com/p?utm_medium=a&utm_campaign=b") ===
+      Seq("https://e.com/p"))
+  }
+
+  test("canonicalize: no scheme means NULL — unparseable inputs opt " +
+      "out of dedup, never merge") {
+    assert(canon("not a url", "example.com/path", "") ===
+      Seq(null, null, null))
+  }
+
+  test("canonicalize: distinct pages stay distinct (different host, " +
+      "path, non-tracking query)") {
+    val c = canon("https://a.com/x", "https://b.com/x",
+      "https://a.com/y", "https://a.com/x?id=2")
+    assert(c.distinct.size === 4)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.ingest.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the classical-inference completions:
+  * one-way ANOVA F, Brown–Forsythe, Friedman (q367–q369).
+  */
+class InferenceTestsSpec extends SparkSpec {
+
+  private lazy val sqlImplicits = spark.implicits
+  import sqlImplicits._
+
+  test("anovaF: textbook two-arm decomposition, exact SS and F") {
+    // A: 1,2,3 (mean 2)  B: 2,4,6 (mean 4); grand mean 3
+    // SSB = 3·1 + 3·1 = 6; SSW = 2 + 8 = 10; F = (6/1)/(10/4) = 2.4
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 4L, 2.0), ("B", 5L, 4.0), ("B", 6L, 6.0))
+      .toDF("arm", "id", "y")
+    val r = Abtest.anovaF(df, "arm", "id", "y", scale = 0).collect()(0)
+    assert(r.getAs[Long]("n_total") === 6L)
+    assert(r.getAs[Long]("k_arms") === 2L)
+    assert(r.getAs[Long]("df_between") === 1L)
+    assert(r.getAs[Long]("df_within") === 4L)
+    assert(r.getAs[Double]("ss_between") === 6.0)
+    assert(r.getAs[Double]("ss_within") === 10.0)
+    assert(r.getAs[Double]("f_stat") === 2.4)
+    assert(r.getAs[Double]("eta_sq") === 0.375)
+  }
+
+  test("anovaF: zero within-variance nulls F, keeps SS") {
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 1.0),
+      ("B", 3L, 5.0), ("B", 4L, 5.0)).toDF("arm", "id", "y")
+    val r = Abtest.anovaF(df, "arm", "id", "y", scale = 0).collect()(0)
+    assert(r.getAs[Double]("ss_within") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+    assert(r.getAs[Double]("eta_sq") === 1.0)
+  }
+
+  test("brownForsythe: odd-count medians, F on |y - med| " +
+      "(doubled grid, F scale-invariant)") {
+    // A: 1,2,3 (med 2, z = 1,0,1)  B: 2,4,6 (med 4, z = 2,0,2)
+    // F over z: SSB = 8/3, SSW = 40/3, F = (8/3)/(40/12) = 0.8
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 4L, 2.0), ("B", 5L, 4.0), ("B", 6L, 6.0))
+      .toDF("arm", "id", "y")
+    val r = Abtest.brownForsythe(df, "arm", "id", "y", scale = 0)
+      .collect()(0)
+    assert(r.getAs[Double]("f_stat") === 0.8)
+    assert(r.getAs[Long]("df_between") === 1L)
+    assert(r.getAs[Long]("df_within") === 4L)
+  }
+
+  test("brownForsythe: even-count median is the exact midpoint; " +
+      "all-constant deviations null F") {
+    // A: 1,3 (med 2 → z2 = 2,2)  B: 10,10 (med 10 → z2 = 0,0)
+    // deviations constant per arm → SSW = 0 → F null; SSB = 4
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 3.0),
+      ("B", 3L, 10.0), ("B", 4L, 10.0)).toDF("arm", "id", "y")
+    val r = Abtest.brownForsythe(df, "arm", "id", "y", scale = 0)
+      .collect()(0)
+    assert(r.getAs[Double]("ss_between") === 4.0)
+    assert(r.getAs[Double]("ss_within") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
+  private val friedmanBase = Seq(
+    // three complete blocks, treatment effect a < b < c, no ties:
+    // every block ranks a=1, b=2, c=3 → chi2 = 6, W = 1
+    ("b1", "a", 1.0), ("b1", "b", 2.0), ("b1", "c", 3.0),
+    ("b2", "a", 2.0), ("b2", "b", 4.0), ("b2", "c", 6.0),
+    ("b3", "a", 1.0), ("b3", "b", 3.0), ("b3", "c", 5.0))
+
+  test("friedman: perfect agreement gives chi2 = 2n, W = 1") {
+    val df = friedmanBase.toDF("block", "arm", "y")
+    val r = Abtest.friedman(df, "block", "arm", "y").collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Long]("k_arms") === 3L)
+    assert(r.getAs[Long]("df") === 2L)
+    assert(r.getAs[Double]("chi2") === 6.0)
+    assert(r.getAs[Double]("kendall_w") === 1.0)
+  }
+
+  test("friedman: incomplete blocks drop without changing the stat") {
+    val df = (friedmanBase ++ Seq(("b4", "a", 9.0), ("b4", "b", 1.0)))
+      .toDF("block", "arm", "y")
+    val r = Abtest.friedman(df, "block", "arm", "y").collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Double]("chi2") === 6.0)
+  }
+
+  test("friedman: fully tied blocks null the statistic") {
+    val df = Seq(
+      ("b1", "a", 1.0), ("b1", "b", 1.0), ("b1", "c", 1.0),
+      ("b2", "a", 2.0), ("b2", "b", 2.0), ("b2", "c", 2.0))
+      .toDF("block", "arm", "y")
+    val r = Abtest.friedman(df, "block", "arm", "y").collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 2L)
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
+
+  test("friedman: midrank ties, hand-computed Conover statistic") {
+    // b1: a=1, b=1, c=2 → doubled midranks a,b = 3, c = 6
+    // b2: a=1, b=2, c=3 → doubled 2, 4, 6
+    // R2: a=5, b=7, c=12; ΣR2² = 25+49+144 = 218; sumRsq = 54.5
+    // a2 = (9+9+36 + 4+16+36)/4 = 110/4 = 27.5
+    // num = 54.5 − 4·3·16/4 = 6.5; den = 27.5 − 2·3·16/4 = 3.5
+    // chi2 = 2·6.5/3.5 = 3.714285…, W = chi2/(2·2) = 0.928571…
+    val df = Seq(
+      ("b1", "a", 1.0), ("b1", "b", 1.0), ("b1", "c", 2.0),
+      ("b2", "a", 1.0), ("b2", "b", 2.0), ("b2", "c", 3.0))
+      .toDF("block", "arm", "y")
+    val r = Abtest.friedman(df, "block", "arm", "y").collect()(0)
+    assert(r.getAs[Double]("chi2") === 3.7143)
+    assert(r.getAs[Double]("kendall_w") === 0.928571)
+  }
+}

@@ -129,4 +129,40 @@ class SeasonalSpec extends SparkSpec {
     assert(!flagged.exists(t => t % 7 == 0 && math.abs(t - 73) > 3),
       s"seasonal peaks wrongly flagged: $flagged")
   }
+
+  test("autocorrelation: hand-computed correlogram on y = 1,2,3") {
+    // mean 2; c0 num = 2, lag1 num = 0, lag2 num = (1−2)(3−2) = −1
+    // → acf = 1, 0, −0.5; Q1 = 15·0 = 0, Q2 = 15·(0 + 0.25/1) = 3.75
+    val sqlImplicits2 = spark.implicits
+    import sqlImplicits2._
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "y")
+    val r = Seasonal.autocorrelation(df, "t", "y", maxLag = 2,
+        scale = 0)
+      .orderBy(col("lag")).collect()
+    assert(r.map(_.getAs[Long]("lag")).toSeq === Seq(0L, 1L, 2L))
+    assert(r.map(_.getAs[Long]("n_pairs")).toSeq === Seq(3L, 2L, 1L))
+    assert(r(0).getAs[Double]("acf") === 1.0)
+    assert(r(1).getAs[Double]("acf") === 0.0)
+    assert(r(2).getAs[Double]("acf") === -0.5)
+    assert(r(0).isNullAt(r(0).fieldIndex("q_lb")))
+    assert(r(1).getAs[Double]("q_lb") === 0.0)
+    assert(r(2).getAs[Double]("q_lb") === 3.75)
+  }
+
+  test("autocorrelation: a constant series nulls every r (zero " +
+      "variance), an alternating one is negatively lag-1 correlated") {
+    val sqlImplicits2 = spark.implicits
+    import sqlImplicits2._
+    val const = (1 to 10).map(t => (t.toLong, 5.0)).toDF("t", "y")
+    val rc = Seasonal.autocorrelation(const, "t", "y", maxLag = 2,
+      scale = 0).collect()
+    assert(rc.forall(r => r.isNullAt(r.fieldIndex("acf"))))
+    val alt = (1 to 20).map(t => (t.toLong, if (t % 2 == 0) 1.0
+      else -1.0)).toDF("t", "y")
+    val ra = Seasonal.autocorrelation(alt, "t", "y", maxLag = 2,
+        scale = 0)
+      .orderBy(col("lag")).collect()
+    assert(ra(1).getAs[Double]("acf") < -0.9)
+    assert(ra(2).getAs[Double]("acf") > 0.8)
+  }
 }

@@ -137,4 +137,77 @@ class StatelessOpsStreamSpec extends SparkSpec {
     assert(streamed.toMap === Map(1L -> 0.0, 2L -> 25.0, 3L -> 0.0,
       4L -> 9.0))
   }
+
+  test("URL canonicalization and the JL projection are pure Column " +
+      "programs — stream ≡ batch bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val vecs = (0L until 6L).map(i => SVec(i,
+      Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat), ts0))
+
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.RandomProjection.projectSigned(
+        df.withColumn("url", concat(lit("HTTPS://WWW.h"),
+            col("vec_id") % 3, lit(".ex.org:443/p/"), col("vec_id"),
+            lit("/?utm_x=1&b=2&a=1")))
+          .withColumn("canonical",
+            graft.functions.Urls.canonicalize(col("url"))),
+        "embedding", dIn = 8, dOut = 4)
+        .select(col("vec_id"), col("canonical"), col("proj"))
+
+    val mem = MemoryStream[SVec]
+    val q = pipeline(mem.toDF())
+      .writeStream.format("memory").queryName("url_jl_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(vecs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("SELECT * FROM url_jl_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Double](2).map(java.lang.Double.doubleToLongBits)))
+      .sortBy(_._1)
+    val batch = pipeline(vecs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Double](2).map(java.lang.Double.doubleToLongBits)))
+      .sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.forall(_._2.startsWith("https://h")))
+  }
+
+  test("imageQualityStats runs on a stream (one stateless decode " +
+      "pass), batch-identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val vecs = (0L until 4L).map(i => SVec(i,
+      Array.tabulate(8)(d => math.cos(i * 0.9 + d * 0.4).toFloat), ts0))
+
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.imageQualityStats(
+        graft.operators.Multimodal.asMedia(
+          graft.operators.Multimodal.encodePng(
+            df.withColumn("pixels", expr("transform(embedding, " +
+              "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))")),
+            "vec_id", "pixels", side = 8), "media_id", "media"))
+
+    val mem = MemoryStream[SVec]
+    val q = pipeline(mem.toDF())
+      .writeStream.format("memory").queryName("img_quality_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(vecs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("SELECT * FROM img_quality_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    val batch = pipeline(vecs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
 }
+
+// top-level: encoder codegen cannot reach a class nested in the suite
+case class SVec(vec_id: Long, embedding: Array[Float], ts: Timestamp)
