@@ -5785,14 +5785,14 @@ object HashOracles {
          |FROM xx""".stripMargin)
   }
 
-  /** Correlogram replay (q370, [[operators.Seasonal
-    * .autocorrelation]]): row-positioned daily series, the ×n²
-    * integer-carried centered numerator per lag (exact HUGEINT), the
-    * snapped-r Ljung–Box fold in lag order.
+  /** The daily-revenue correlogram CTE chain shared by q370/q375/q376
+    * ([[operators.Seasonal.autocorrelation]]'s replay): row-positioned
+    * series, the ×n² integer-carried centered numerator per lag
+    * (exact HUGEINT), snapped r's in `rt`.
     */
-  def q370AcfLjungbox(maxLag: Int): String = {
+  private def acfCtes(maxLag: Int): Seq[String] = {
     import graft.functions.Grid.snapSql
-    withClause(Seq(
+    Seq(
       "se AS (SELECT day, CAST(floor(rev * 100.0e0 + 0.5e0) " +
         "AS BIGINT) AS y FROM (SELECT " +
         "date_diff('day', DATE '1992-01-01', " +
@@ -5817,7 +5817,15 @@ object HashOracles {
       "n0 AS (SELECT num AS num0 FROM nn WHERE lag = 0)",
       "rt AS (SELECT lag, n_pairs, CAST(n AS DOUBLE) AS nd, " +
         snapSql("CASE WHEN num0 > 0 THEN CAST(num AS DOUBLE) / " +
-          "CAST(num0 AS DOUBLE) END", 6) + " AS acf FROM nn, n0)",
+          "CAST(num0 AS DOUBLE) END", 6) + " AS acf FROM nn, n0)")
+  }
+
+  /** Correlogram replay (q370): [[acfCtes]] + the snapped-r Ljung–Box
+    * fold in lag order.
+    */
+  def q370AcfLjungbox(maxLag: Int): String = {
+    import graft.functions.Grid.snapSql
+    withClause(acfCtes(maxLag) ++ Seq(
       "ts AS (SELECT list(struct_pack(lag := lag, acf := acf) " +
         "ORDER BY lag) AS tl FROM rt)"),
       s"""SELECT lag, n_pairs, acf,
@@ -5827,6 +5835,170 @@ object HashOracles {
           "t.lag <= rt.lag), t -> t.acf * t.acf / (nd - t.lag))), " +
           "(a, x) -> a + x) END", 4)} AS q_lb
          |FROM rt, ts ORDER BY lag""".stripMargin)
+  }
+
+  /** PACF replay (q375, [[operators.Seasonal.partialAutocorrelation]]):
+    * the Durbin–Levinson recursion UNROLLED over the bounded lag
+    * count — per round one pkk CTE (j-ascending inner-product folds, a
+    * zero denominator nulls it) and one φ-vector update CTE, every φ
+    * snapped at 6 exactly like the driver fold.
+    */
+  def q375Pacf(maxLag: Int): String = {
+    import graft.functions.Grid.snapSql
+    val dl = (1 to maxLag).flatMap { k =>
+      if (k == 1) Seq(
+        s"e1 AS (SELECT r, ${snapSql("r[1]", 6)} AS pkk FROM ph0)",
+        "d1 AS (SELECT r, [pkk] AS phi FROM e1)")
+      else {
+        val num = s"r[$k] - list_reduce(list_prepend(" +
+          s"CAST(0.0 AS DOUBLE), list_transform(range(1, $k), " +
+          s"j -> phi[j] * r[$k - j])), (a, x) -> a + x)"
+        val den = "1.0e0 - list_reduce(list_prepend(" +
+          s"CAST(0.0 AS DOUBLE), list_transform(range(1, $k), " +
+          "j -> phi[j] * r[j])), (a, x) -> a + x)"
+        Seq(
+          s"e$k AS (SELECT r, phi, CASE WHEN ($den) = 0.0e0 " +
+            s"THEN NULL ELSE ${snapSql(s"($num) / ($den)", 6)} END " +
+            s"AS pkk FROM d${k - 1})",
+          s"d$k AS (SELECT r, list_append(list_transform(phi, " +
+            s"(x, j) -> ${snapSql(s"x - pkk * phi[$k - j]", 6)}), " +
+            s"pkk) AS phi, pkk FROM e$k)")
+      }
+    }
+    val union = (1 to maxLag).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, " +
+        s"(SELECT pkk FROM e$k) AS pacf")
+      .mkString(" UNION ALL ")
+    withClause(acfCtes(maxLag) ++ Seq(
+      "ph0 AS (SELECT list(acf ORDER BY lag) AS r FROM rt " +
+        "WHERE lag >= 1)") ++ dl ++ Seq(s"uu AS ($union)"),
+      "SELECT rt.lag, rt.acf, uu.pacf FROM rt JOIN uu " +
+        "ON uu.lag = rt.lag ORDER BY rt.lag")
+  }
+
+  /** Runs-test replay (q376, [[operators.Seasonal.runsTest]]): exact
+    * doubled median over the positioned series, median ties dropped,
+    * runs = 1 + sign changes via the rn+1 pair join, exact-long
+    * moments into the z tree.
+    */
+  val q376RunsTest: String = {
+    import graft.functions.Grid.snapSql
+    val mu = "CAST(twoab AS DOUBLE) / nd + 1.0e0"
+    val sig2 = "CAST(twoab AS DOUBLE) * CAST(twoab - n AS DOUBLE) / " +
+      "(nd * nd * (nd - 1.0e0))"
+    withClause(Seq(
+      "se AS (SELECT day, CAST(floor(rev * 100.0e0 + 0.5e0) " +
+        "AS BIGINT) AS y FROM (SELECT " +
+        "date_diff('day', DATE '1992-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS day, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1) " +
+        "WHERE rev IS NOT NULL)",
+      "tv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM se)",
+      "rv AS (SELECT se.*, row_number() OVER (ORDER BY y, day) " +
+        "AS rvn FROM se)",
+      "mm AS (SELECT (CASE WHEN max(nv) % 2 = 1 THEN 2 ELSE 1 END) " +
+        "* CAST(sum(y) AS BIGINT) AS m2 FROM rv, tv " +
+        "WHERE rvn = (nv + 1) // 2 OR rvn = (nv + 2) // 2)",
+      "sg AS (SELECT day, CASE WHEN y * 2 > m2 THEN 1 ELSE 0 END " +
+        "AS s FROM se, mm WHERE y * 2 <> m2)",
+      "sq AS (SELECT *, row_number() OVER (ORDER BY day) AS rn " +
+        "FROM sg)",
+      "ch AS (SELECT CAST(coalesce(sum(CASE WHEN a.s <> b.s THEN 1 " +
+        "ELSE 0 END), 0) AS BIGINT) AS c FROM sq a " +
+        "JOIN sq b ON b.rn = a.rn + 1)",
+      "cn AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(coalesce(sum(s), 0) AS BIGINT) AS n_above FROM sg)",
+      "xx AS (SELECT n, n_above, n - n_above AS n_below, " +
+        "CASE WHEN n > 0 THEN c + 1 ELSE 0 END AS runs, " +
+        "2 * n_above * (n - n_above) AS twoab, " +
+        "CAST(n AS DOUBLE) AS nd FROM cn, ch)"),
+      s"""SELECT n, n_above, n_below, runs,
+         |  ${snapSql("CASE WHEN n_above > 0 AND n_below > 0 AND " +
+          s"n >= 2 THEN (CAST(runs AS DOUBLE) - ($mu)) / " +
+          s"sqrt($sig2) END", 4)} AS z
+         |FROM xx""".stripMargin)
+  }
+
+  /** Matryoshka recall replay (q377, [[operators.Similarity
+    * .matryoshkaRecall]]): per width the truncated-cosine folds
+    * (j-ascending, mirroring the zip_with/aggregate program), snapped
+    * before ranking, per-(query, width) row_number top-k, exact
+    * hit-count recall.
+    */
+  def q377Matryoshka(k: Int, full: Int): String = {
+    import graft.functions.Grid.snapSql
+    def fold(a: String, b: String) = "list_reduce(list_prepend(" +
+      "CAST(0.0 AS DOUBLE), list_transform(range(d), " +
+      s"i -> CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE)))" +
+      ", (acc, x) -> acc + x)"
+    withClause(Seq(
+      "qs AS (SELECT vec_id AS qid, embedding AS q_emb " +
+        "FROM embeddings WHERE vec_id % 100 = 7)",
+      "pr AS (SELECT e.vec_id AS nid, q.qid, e.embedding AS v, " +
+        "q.q_emb, t.d FROM embeddings e, qs q, " +
+        "unnest([8, 16, 32, 64]) t(d) WHERE e.vec_id <> q.qid)",
+      s"cf AS (SELECT qid, nid, d, ${fold("v", "q_emb")} AS dd, " +
+        s"sqrt(${fold("v", "v")}) AS na, " +
+        s"sqrt(${fold("q_emb", "q_emb")}) AS nb FROM pr)",
+      "cs AS (SELECT qid, nid, d, " +
+        snapSql("CASE WHEN na * nb = 0.0e0 THEN 0.0e0 " +
+          "ELSE dd / (na * nb) END", 6) + " AS cos FROM cf)",
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY qid, d " +
+        s"ORDER BY cos DESC, nid) AS rn FROM cs QUALIFY rn <= $k)",
+      s"gt AS (SELECT qid, nid FROM rk WHERE d = $full)",
+      "ht AS (SELECT d, CAST(count(*) AS BIGINT) AS hits FROM rk " +
+        "JOIN gt USING (qid, nid) GROUP BY d)",
+      "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qs)"),
+      s"""SELECT d, n_queries,
+         |  ${snapSql(s"CAST(hits AS DOUBLE) / (CAST($k AS DOUBLE) * " +
+          "CAST(n_queries AS DOUBLE))", 6)} AS mean_recall
+         |FROM ht, nq ORDER BY d""".stripMargin)
+  }
+
+  /** Holm step-down replay (q378, [[operators.Multiplicity
+    * .holmBonferroni]]): the q248 z/p chain, ranks by (p, grp), the
+    * first-failure rank as a window max — rejections strictly below
+    * it.
+    */
+  def q378Holm(alphaPct: Int): String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      "u AS (SELECT c.c_mktsegment AS grp, " +
+        "CAST(o.o_custkey % 2 AS VARCHAR) AS arm, " +
+        "o.o_totalprice + CASE WHEN c.c_mktsegment = 'BUILDING' " +
+        "AND o.o_custkey % 2 = 1 THEN 2000.0e0 ELSE 0.0e0 END AS y " +
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)",
+      "ag AS (SELECT grp, arm, CAST(count(*) AS BIGINT) AS n, " +
+        "sum(y) AS sy, sum(y * y) AS syy FROM u GROUP BY 1, 2)",
+      "st AS (SELECT grp, arm, n, sy / CAST(n AS DOUBLE) AS m, " +
+        "((syy - sy * sy / CAST(n AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) - 1)) / CAST(n AS DOUBLE) AS s FROM ag)",
+      "zt AS (SELECT a.grp, a.n AS n_a, b.n AS n_b, " +
+        "round(a.m - b.m, 4) AS diff, " +
+        "round((a.m - b.m) / sqrt(a.s + b.s), 4) AS z " +
+        "FROM st a JOIN st b ON a.grp = b.grp " +
+        "AND a.arm = '0' AND b.arm = '1')",
+      "pv AS (SELECT grp, n_a, n_b, diff, z, " +
+        "round(least(1.0e0, 2.0e0 * " +
+        "(exp(-0.5e0 * abs(z) * abs(z)) * 0.3989422804014327e0) * " +
+        "((1.0e0 / (1.0e0 + 0.2316419e0 * abs(z))) * " +
+        "(0.319381530e0 + (1.0e0 / (1.0e0 + 0.2316419e0 * abs(z))) " +
+        "* (-0.356563782e0 + (1.0e0 / (1.0e0 + 0.2316419e0 * " +
+        "abs(z))) * (1.781477937e0 + (1.0e0 / (1.0e0 + " +
+        "0.2316419e0 * abs(z))) * (-1.821255978e0 + " +
+        "(1.0e0 / (1.0e0 + 0.2316419e0 * abs(z))) * " +
+        "1.330274429e0)))))), 6) AS p FROM zt)",
+      "rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, grp) " +
+        "AS INTEGER) AS rank, " +
+        "CAST(count(*) OVER () AS BIGINT) AS m FROM pv)",
+      s"th AS (SELECT *, ${snapSql(s"$alphaPct / (100.0e0 * " +
+        "CAST(m - rank + 1 AS DOUBLE))", 6)} AS holm_threshold " +
+        "FROM rk)",
+      "kf AS (SELECT *, min(CASE WHEN p > holm_threshold THEN rank " +
+        "END) OVER () AS kfail FROM th)"),
+      "SELECT grp AS segment, n_a, n_b, diff, z, p, rank, " +
+        "holm_threshold, kfail IS NULL OR rank < kfail AS rejected " +
+        "FROM kf ORDER BY rank")
   }
 
   /** Image quality replay (q371, [[operators.Multimodal

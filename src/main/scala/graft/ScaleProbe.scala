@@ -736,7 +736,7 @@ object ScaleProbe {
     // JL projection: map-only d*d' multiply-adds per row — linear;
     // the distortion probe adds the consecutive-id equi-join
     Seq(1, 2, 4).foreach { r =>
-      if (probeEnabled("jl")) {
+      if (probeEnabled("jl_project")) {
         timeWarm(s"jl_project r=$r vecs=${nVecs * r}", () =>
           operators.RandomProjection.projectSigned(replicateVecs(r),
             "embedding", dIn = 64, dOut = 16))

@@ -4416,6 +4416,70 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // PACF via Durbin-Levinson over q370's snapped ACF grid values —
+    // the AR-order identification half of the correlogram. The
+    // recursion is a driver fold over the bounded lag table (the
+    // Markov discipline), every phi snapped per step; the oracle
+    // unrolls the identical recursion in SQL.
+    "q375_pacf" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Seasonal.partialAutocorrelation(daily, "day",
+          "rev", maxLag = 10, scale = 2)
+        .orderBy(col("lag"))
+    }),
+
+    // Wald-Wolfowitz runs test on the daily revenue series: exact
+    // doubled median via the global rank device, median ties drop,
+    // runs counted by ONE position equi-join, exact-long moments into
+    // the z tree — the sign-pattern randomness companion to q370's
+    // linear-dependence gate.
+    "q376_runs_test" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Seasonal.runsTest(daily, "day", "rev",
+        scale = 2)
+    }),
+
+    // Matryoshka truncation recall: top-10 cosine retrieval in the
+    // first-{8,16,32,64}-dims spaces vs the 64-dim exact set, over a
+    // bounded query sample — the measured curve for running
+    // first-stage retrieval at a fraction of the dimension.
+    "q377_matryoshka_recall" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(pmod(col("vec_id"), lit(100L)) === 7L)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Similarity.matryoshkaRecall(e, "vec_id",
+        "embedding", q, Seq(8, 16, 32, 64), k = 10)
+    }),
+
+    // Holm-Bonferroni step-down over the q248 test family — the FWER
+    // companion to BH's FDR: rejections stop at the FIRST rank whose
+    // p exceeds alpha/(m-k+1); no later rank can rescue it.
+    "q378_holm_correction" -> ((s, dir) => {
+      val units = T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          pmod(col("o_custkey"), lit(2)).cast("string").as("arm"),
+          (col("o_totalprice") + when(col("c_mktsegment") === "BUILDING"
+            && pmod(col("o_custkey"), lit(2)) === 1, 2000.0)
+            .otherwise(0.0)).as("y"))
+      val z = graft.operators.Multiplicity.welchZBy(
+        units, "seg", "arm", "y")
+      graft.operators.Multiplicity.holmBonferroni(z, "p", "grp",
+          alphaPct = 5)
+        .select(col("grp").as("segment"), col("n_a"), col("n_b"),
+          col("diff"), col("z"), col("p"), col("rank"),
+          col("holm_threshold"), col("rejected"))
+        .orderBy(col("rank"))
+    }),
+
     // The pruning OPERATING-POINT curve: the q351 rank computed once,
     // swept over keep fractions {25, 50, 75}% via one bounded explode
     // (the q345 threshold-sweep device) — how a selection pipeline
@@ -9741,6 +9805,18 @@ object SparkEntry {
 
     // UniMax: the q91 waterfill replay with cap = 4c, wt = 1
     "q374_unimax" -> HashOracles.q374Unimax,
+
+    // PACF: Durbin-Levinson unrolled in SQL over the snapped ACF grid
+    "q375_pacf" -> HashOracles.q375Pacf(10),
+
+    // runs test: doubled median, rn+1 pair join, exact-long moments
+    "q376_runs_test" -> HashOracles.q376RunsTest,
+
+    // matryoshka: truncated-cosine folds, snapped-before-rank top-k
+    "q377_matryoshka_recall" -> HashOracles.q377Matryoshka(10, 64),
+
+    // Holm: the q248 chain, first-failure rank, strict step-down
+    "q378_holm_correction" -> HashOracles.q378Holm(5),
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

@@ -102,4 +102,44 @@ object Multiplicity {
         col("__kmax").isNotNull && col("rank") <= col("__kmax"))
       .drop("__m", "__pass", "__kmax")
   }
+
+  /** Holm–Bonferroni step-DOWN at FWER level `alphaPct`% — the
+    * familywise companion to [[benjaminiHochberg]]'s FDR step-up:
+    * rank the m tests by (p, key) and reject ranks strictly BELOW the
+    * first rank k where `p_(k) > α/(m − k + 1)` (every test from the
+    * first failure on survives — the step-down; no later rank can
+    * rescue an earlier failure, the mirror image of BH). Controls
+    * FWER under arbitrary dependence, uniformly more powerful than
+    * plain Bonferroni. Emits rank, `holm_threshold`, `rejected`.
+    *
+    * Same execution as BH: ranks from the ordered prefix scan over
+    * the config-bounded m-row test table, the first-failure rank as
+    * one broadcast scalar. Thresholds snap at 6 (the grid handoff) —
+    * mirrored textually by the oracle.
+    */
+  def holmBonferroni(tests: DataFrame, pCol: String, keyCol: String,
+      alphaPct: Int): DataFrame = {
+    import graft.functions.Grid
+    require(alphaPct >= 1 && alphaPct < 100, s"bad alphaPct $alphaPct")
+    val m = tests.agg(count(lit(1)).as("__m"))
+    // PINNED: the first-failure scalar and the final projection both
+    // read the ranked frame
+    val ranked = graft.CacheScope.register(
+      Ranks.withOrderedPrefixScan(tests,
+        Seq(col(pCol), col(keyCol)), Seq.empty, idxCol = "__rk")
+      .withColumn("rank", col("__rk").cast("int")).drop("__rk")
+      .crossJoin(broadcast(m))
+      .withColumn("holm_threshold", Grid.snap(
+        lit(alphaPct) / (lit(100.0) *
+          (col("__m") - col("rank") + 1L).cast("double")), 6))
+      .withColumn("__fail",
+        when(col(pCol) > col("holm_threshold"), col("rank")))
+      .persist())
+    val kfail = ranked.agg(min(col("__fail")).as("__kfail"))
+    ranked
+      .crossJoin(broadcast(kfail))
+      .withColumn("rejected",
+        col("__kfail").isNull || col("rank") < col("__kfail"))
+      .drop("__m", "__fail", "__kfail")
+  }
 }

@@ -242,4 +242,137 @@ object Seasonal {
               "(a, t) -> a + t.acf * t.acf / (__nd - t.lag))")),
           4).as("q_lb"))
   }
+
+  /** Partial autocorrelation via Durbin–Levinson (Box & Jenkins
+    * 1970): `pacf(k)` = the lag-k AR coefficient with lags 1..k−1
+    * partialled out — the AR-order identification column of the
+    * correlogram ([[autocorrelation]] gives the MA side).
+    *
+    * Execution contract (the q352/q354 driver-fold family): the
+    * distributed work is [[autocorrelation]]'s jobs; the recursion
+    * itself runs DRIVER-side over the ≤64-lag bounded r table (the
+    * Markov maxStates discipline — `maxLag ≤ 64` is a require), and
+    * the result is a local relation. Every φ SNAPS at 6 after each
+    * update, so the trajectory is a pure function of the grid r's and
+    * any engine replays it: the inner products fold j-ascending, a
+    * zero denominator nulls that and every later pacf, and a null r
+    * (zero-variance series) nulls everything — both mirrored by the
+    * oracle's unrolled SQL. Returns `(lag, acf, pacf)` for
+    * `lag = 1..maxLag`.
+    */
+  def partialAutocorrelation(df: DataFrame, tCol: String, yCol: String,
+      maxLag: Int, scale: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ac = autocorrelation(df, tCol, yCol, maxLag, scale)
+      .filter(col("lag") >= 1).select(col("lag"), col("acf"))
+      .collect() // bounded: ≤ 64 rows by the maxLag require
+    val r = new Array[Option[Double]](maxLag + 1)
+    (1 to maxLag).foreach(k => r(k) = None)
+    ac.foreach { row =>
+      r(row.getLong(0).toInt) =
+        if (row.isNullAt(1)) None else Some(row.getDouble(1))
+    }
+    val pacf = new Array[Option[Double]](maxLag + 1)
+    var phi = Vector.empty[Option[Double]] // φ_{k−1, 1..k−1}
+    (1 to maxLag).foreach { k =>
+      val pkk: Option[Double] =
+        if (k == 1) r(1).map(Grid.snapD(_, 6))
+        else {
+          val terms = (1 until k).map(j =>
+            for (p <- phi(j - 1); rv <- r(k - j)) yield p * rv)
+          val dens = (1 until k).map(j =>
+            for (p <- phi(j - 1); rv <- r(j)) yield p * rv)
+          for {
+            rk <- r(k)
+            num <- terms.foldLeft(Option(0.0))((a, t) =>
+              for (av <- a; tv <- t) yield av + tv).map(rk - _)
+            den <- dens.foldLeft(Option(0.0))((a, t) =>
+              for (av <- a; tv <- t) yield av + tv).map(1.0 - _)
+            if den != 0.0
+          } yield Grid.snapD(num / den, 6)
+        }
+      pacf(k) = pkk
+      phi = (1 until k).toVector.map(j =>
+        for (p <- phi(j - 1); pk <- pkk; q <- phi(k - j - 1))
+          yield Grid.snapD(p - pk * q, 6)) :+ pkk
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("lag", LongType, nullable = false),
+      StructField("acf", DoubleType, nullable = true),
+      StructField("pacf", DoubleType, nullable = true)))
+    val rows = (1 to maxLag).map { k =>
+      Row(k.toLong, r(k).map(Double.box).orNull,
+        pacf(k).map(Double.box).orNull)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Wald–Wolfowitz runs test (1940) — is the series' above/below-
+    * median sign sequence random? Values equal to the median DROP
+    * (the standard convention), runs `R` = 1 + sign changes in t
+    * order, and `z = (R − μ)/σ` with `μ = 2n₁n₀/n + 1`,
+    * `σ² = 2n₁n₀(2n₁n₀ − n) / (n²(n − 1))` — every moment an exact
+    * long product (documented bound: 2n₁n₀ < 2⁶³ ⇒ n ≲ 4·10⁹ — any
+    * realistic aggregated series), one tree at the readout. The
+    * randomness companion to [[autocorrelation]]'s white-noise gate:
+    * ACF sees linear dependence, runs see any sign-pattern drift.
+    *
+    * Plan shape: the exact median comes from the distributed
+    * sort-rank device + a counted-positions aggregate (no
+    * unpartitioned window); the sign sequence pairs via ONE position
+    * equi-join (the [[autocorrelation]] shift device). Returns one
+    * row `(n, n_above, n_below, runs, z)`; `z` nulls when either
+    * side is empty (σ = 0).
+    */
+  def runsTest(df: DataFrame, tCol: String, yCol: String,
+      scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
+    val p = math.pow(10.0, scale)
+    val base = df.select(col(tCol).as("__t"),
+      floor(col(yCol).cast("double") * p + 0.5).cast("long")
+        .as("__y"))
+      .filter(col("__y").isNotNull)
+    val tot = base.agg(count(lit(1)).as("__nv"))
+    // exact doubled median via the global rank device (value order)
+    val rankedV = Ranks.withGlobalRowNumber(base,
+      Seq(col("__y"), col("__t")), "__rv")
+    val med2 = rankedV.crossJoin(broadcast(tot))
+      .filter(col("__rv") === expr("(__nv + 1) div 2") ||
+        col("__rv") === expr("(__nv + 2) div 2"))
+      .agg((when(max(col("__nv")) % 2L === 1L, lit(2L))
+        .otherwise(lit(1L)) * sum(col("__y"))).as("__m2"))
+    val signs = base.crossJoin(broadcast(med2))
+      .filter(col("__y") * 2L =!= col("__m2")) // median ties drop
+      .withColumn("__s", when(col("__y") * 2L > col("__m2"), 1L)
+        .otherwise(0L))
+    // PINNED: the positioned sign sequence feeds the counts AND the
+    // change join
+    val seq2 = graft.CacheScope.register(Ranks.withGlobalRowNumber(
+      signs.select(col("__t"), col("__s")), Seq(col("__t")), "__rn")
+      .persist())
+    val counts = seq2.agg(count(lit(1)).as("n"),
+      sum(col("__s")).as("n_above"))
+    val changes = seq2.select(col("__rn"), col("__s"))
+      .join(seq2.select((col("__rn") - 1L).as("__rn"),
+        col("__s").as("__s2")), Seq("__rn"))
+      .agg(coalesce(sum(when(col("__s") =!= col("__s2"), 1L)
+        .otherwise(0L)), lit(0L)).as("__ch"))
+    val j = counts.crossJoin(broadcast(changes))
+      .withColumn("n_below", col("n") - col("n_above"))
+      .withColumn("runs",
+        when(col("n") > 0L, col("__ch") + 1L).otherwise(0L))
+    val twoAB = lit(2L) * col("n_above") * col("n_below")
+    val nD = col("n").cast("double")
+    val mu = twoAB.cast("double") / nD + 1.0
+    val sig2 = twoAB.cast("double") *
+      (twoAB - col("n")).cast("double") / (nD * nD * (nD - 1.0))
+    j.select(col("n"), col("n_above"), col("n_below"), col("runs"),
+      Grid.snap(when(col("n_above") > 0L && col("n_below") > 0L &&
+        col("n") >= 2L,
+        (col("runs").cast("double") - mu) / sqrt(sig2)), 4).as("z"))
+  }
 }

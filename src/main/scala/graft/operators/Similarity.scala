@@ -1223,4 +1223,73 @@ object Similarity {
       .select(col("a_id").as("anchor"), col("pos_id"), col("pos_cos"),
         col("neg_id"), col("neg_cos"), col("semi_hard"))
   }
+
+  /** Matryoshka truncation recall (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): for each truncation width `d` in
+    * `dims`, the top-`k` cosine neighbors computed in the FIRST-d-dims
+    * space, graded against the max-width exact set — the measured
+    * evidence for running first-stage retrieval at a fraction of the
+    * dimension (the JL projection's learned-nesting sibling;
+    * [[graft.operators.RandomProjection]] is the data-independent
+    * one). Returns one row per width: `(d, n_queries, mean_recall)`
+    * (the max width anchors at recall 1 by construction).
+    *
+    * Execution: corpus × bounded-QUERY-set cross (the q22 brute
+    * baseline — the scale path is IVF in the truncated space), ONE
+    * pass per pair computing all widths via a bounded `dims` explode;
+    * truncated cosine = the [[graft.functions.VectorFunctions]] fold
+    * over `slice(vec, 1, d)`, SNAPPED at 6 before ranking so the
+    * boundary of the top-k replays on any engine (ties break by id).
+    * Per-(query, width) ranks are keyed windows; recall is an exact
+    * hit-count ratio.
+    */
+  def matryoshkaRecall(vectors: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, dims: Seq[Int],
+      k: Int): DataFrame = {
+    import graft.functions.Grid
+    require(dims.nonEmpty && dims.size <= 8 && dims == dims.sorted,
+      s"bad dims $dims")
+    require(k >= 1 && k <= 1000, s"bad k $k")
+    val full = dims.max
+    val pairs = vectors
+      .select(col(idCol).as("nid"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("q_emb"))))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("__v"), col("q_emb"),
+        explode(array(dims.map(d => lit(d)): _*)).as("d"))
+    val sa = slice(col("__v").cast("array<double>"), lit(1), col("d"))
+    val sb = slice(col("q_emb").cast("array<double>"), lit(1),
+      col("d"))
+    val dot = aggregate(zip_with(sa, sb, (x, y) => x * y), lit(0.0),
+      (acc, v) => acc + v)
+    val na = sqrt(aggregate(zip_with(sa, sa, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(zip_with(sb, sb, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v))
+    val cos = when(na * nb === 0.0, lit(0.0))
+      .otherwise(dot / (na * nb))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("d"))
+      .orderBy(col("__cos").desc, col("nid"))
+    // PINNED: the ranked top-k feeds both the ground-truth slice and
+    // the hit join
+    val ranked = graft.CacheScope.register(pairs
+      .withColumn("__cos", Grid.snap(cos, 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("nid"), col("d"))
+      .persist())
+    val gt = ranked.filter(col("d") === full)
+      .select(col("qid"), col("nid"))
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    ranked.join(gt, Seq("qid", "nid"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("__hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("d"), col("__nq").as("n_queries"),
+        Grid.snap(col("__hits").cast("double") /
+          (lit(k.toDouble) * col("__nq").cast("double")), 6)
+          .as("mean_recall"))
+      .orderBy(col("d"))
+  }
 }

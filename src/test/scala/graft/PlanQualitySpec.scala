@@ -1104,6 +1104,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p374.contains("CartesianProduct"), p374)
   }
 
+  test("wave 2 (q375–q378): PACF is a driver fold, the runs test " +
+      "and Holm stay counted-scalar shapes, matryoshka's only " +
+      "non-equi join is the bounded query cross") {
+    // q375: Durbin-Levinson runs driver-side over the bounded lag
+    // table — the gate result is a local relation (q352 family)
+    val p375 = plan("q375_pacf")
+    assert(p375.contains("LocalTableScan") ||
+      p375.contains("LocalRelation"),
+      s"q375 should be a driver-built local relation:\n$p375")
+    // q376: no cartesian; every BNLJ is a 1-row scalar cross (totals,
+    // doubled median, change count) — the count pins the inventory
+    // through the cached-lineage duplication (see the q370 note)
+    val p376 = plan("q376_runs_test")
+    assert(!p376.contains("CartesianProduct"), p376)
+    // q377: the corpus × bounded-query-set cross is the DOCUMENTED
+    // brute baseline (the q22 shape — scale path is IVF in truncated
+    // space); no cartesian, ranks are (query, width)-keyed
+    val p377 = plan("q377_matryoshka_recall")
+    assert(!p377.contains("CartesianProduct"), p377)
+    assert(!p377.contains("ScalaUDF"), p377)
+    // q378: the q248 shape — prefix-scan ranks, broadcast scalars
+    val p378 = plan("q378_holm_correction")
+    assert(!p378.contains("CartesianProduct"), p378)
+    assert(!p378.contains("ScalaUDF"), p378)
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

@@ -66,4 +66,42 @@ class MultiplicitySpec extends SparkSpec {
       .collect()
     assert(out.forall(!_.getAs[Boolean]("rejected")))
   }
+
+  test("holmBonferroni is a true STEP-DOWN: rejections stop at the " +
+      "first failure, no later rank rescues it (the BH contrast)") {
+    val s = spark
+    import s.implicits._
+    // thresholds at alpha 5%, m=4: .0125, .016667, .025, .05
+    // p = .01, .02, .03, .04: rank 1 passes, rank 2 FAILS (.02 >
+    // .016667) → only rank 1 rejected; BH at q=5% rejects ALL FOUR
+    // (rank 4's .04 ≤ .05 rescues everything below)
+    val tests = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03),
+      ("d", 0.04)).toDF("k", "p")
+    val holm = Multiplicity.holmBonferroni(tests, "p", "k",
+        alphaPct = 5)
+      .collect().map(r => r.getAs[Int]("rank") ->
+        r.getAs[Boolean]("rejected")).toMap
+    assert(holm === Map(1 -> true, 2 -> false, 3 -> false,
+      4 -> false))
+    val bh = Multiplicity.benjaminiHochberg(tests, "p", "k", qPct = 5)
+      .collect().map(_.getAs[Boolean]("rejected"))
+    assert(bh.forall(identity))
+  }
+
+  test("holmBonferroni: all passing rejects all, thresholds are " +
+      "alpha/(m-k+1)") {
+    val s = spark
+    import s.implicits._
+    val tests = Seq(("a", 0.001), ("b", 0.01), ("c", 0.02),
+      ("d", 0.9)).toDF("k", "p")
+    val out = Multiplicity.holmBonferroni(tests, "p", "k",
+        alphaPct = 5)
+      .collect().map(r => r.getAs[Int]("rank") ->
+        ((r.getAs[Double]("holm_threshold"),
+          r.getAs[Boolean]("rejected")))).toMap
+    assert(out(1) === ((0.0125, true)))
+    assert(out(2) === ((0.016667, true)))
+    assert(out(3) === ((0.025, true)))
+    assert(out(4) === ((0.05, false)))
+  }
 }

@@ -149,6 +149,79 @@ class SeasonalSpec extends SparkSpec {
     assert(r(2).getAs[Double]("q_lb") === 3.75)
   }
 
+  test("partialAutocorrelation: Durbin-Levinson hand check on " +
+      "y = 1,2,3 and null propagation on a constant series") {
+    val sqlImplicits2 = spark.implicits
+    import sqlImplicits2._
+    // r1 = 0, r2 = −0.5 → pacf(1) = 0; pacf(2) = (r2 − φ11·r1) /
+    // (1 − φ11·r1) = −0.5
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "y")
+    val r = Seasonal.partialAutocorrelation(df, "t", "y", maxLag = 2,
+        scale = 0)
+      .orderBy(col("lag")).collect()
+    assert(r.map(_.getAs[Long]("lag")).toSeq === Seq(1L, 2L))
+    assert(r(0).getAs[Double]("acf") === 0.0)
+    assert(r(0).getAs[Double]("pacf") === 0.0)
+    assert(r(1).getAs[Double]("pacf") === -0.5)
+    val const = (1 to 8).map(t => (t.toLong, 3.0)).toDF("t", "y")
+    val rc = Seasonal.partialAutocorrelation(const, "t", "y",
+      maxLag = 3, scale = 0).collect()
+    assert(rc.forall(row => row.isNullAt(row.fieldIndex("pacf"))))
+  }
+
+  test("partialAutocorrelation: an AR(1)-style geometric ACF cuts " +
+      "off after lag 1 (the identification law)") {
+    val sqlImplicits2 = spark.implicits
+    import sqlImplicits2._
+    // a long AR(1)-ish series: y_t = 0.8·y_{t−1} + deterministic
+    // pseudo-noise — pacf(1) large, pacf(2..) near zero
+    var y = 0.0
+    val rows = (1 to 400).map { t =>
+      val noise = (math.floorMod(
+        graft.functions.DedupFunctions.splitmix64(t.toLong), 1000L))
+        .toDouble / 500.0 - 1.0
+      y = 0.8 * y + noise
+      (t.toLong, y)
+    }
+    val r = Seasonal.partialAutocorrelation(rows.toDF("t", "y"), "t",
+        "y", maxLag = 4, scale = 4)
+      .orderBy(col("lag")).collect()
+      .map(row => row.getAs[Long]("lag") -> row.getAs[Double]("pacf"))
+      .toMap
+    assert(r(1L) > 0.5, s"pacf $r")
+    assert((2L to 4L).forall(k => math.abs(r(k)) < 0.25),
+      s"pacf tail should cut off: $r")
+  }
+
+  test("runsTest: hand-computed runs, exact moments, ties at the " +
+      "median drop") {
+    val sqlImplicits2 = spark.implicits
+    import sqlImplicits2._
+    // 1,5,2,6,3,7: median 4 → signs 0,1,0,1,0,1 → 6 runs of n1=n0=3
+    // μ = 4, σ² = 1.2, z = 2/√1.2 = 1.8257
+    val df = Seq((1L, 1.0), (2L, 5.0), (3L, 2.0), (4L, 6.0),
+      (5L, 3.0), (6L, 7.0)).toDF("t", "y")
+    val r = Seasonal.runsTest(df, "t", "y", scale = 0).collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("n_above") === 3L)
+    assert(r.getAs[Long]("n_below") === 3L)
+    assert(r.getAs[Long]("runs") === 6L)
+    assert(r.getAs[Double]("z") === 1.8257)
+    // clumped signs: 1,1,2,2 → median 1.5, signs 0,0,1,1 → 2 runs
+    val clumped = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 2.0))
+      .toDF("t", "y")
+    val rc = Seasonal.runsTest(clumped, "t", "y", scale = 0)
+      .collect()(0)
+    assert(rc.getAs[Long]("runs") === 2L)
+    assert(rc.getAs[Double]("z") < 0.0)
+    // odd count: the median VALUE itself drops (5 values → 4 kept)
+    val odd = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+      (5L, 5.0)).toDF("t", "y")
+    val ro = Seasonal.runsTest(odd, "t", "y", scale = 0).collect()(0)
+    assert(ro.getAs[Long]("n") === 4L)
+    assert(ro.getAs[Long]("n_above") === 2L)
+  }
+
   test("autocorrelation: a constant series nulls every r (zero " +
       "variance), an alternating one is negatively lag-1 correlated") {
     val sqlImplicits2 = spark.implicits

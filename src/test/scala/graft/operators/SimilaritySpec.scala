@@ -634,4 +634,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.exists(_._5) && out.values.exists(!_._5),
       "fixture should exercise both the semi-hard and fallback arms")
   }
+
+  test("matryoshkaRecall: max width anchors at recall 1; a planted " +
+      "truncation-only neighbor costs exactly its share") {
+    val s = spark
+    import s.implicits._
+    // query [1,0,0,0]; full-space top-2 = {a, c}; in the first-2-dims
+    // space b ties a at cos 1 (its tail lives in dim 3) and pushes c
+    // out → recall(2) = 1/2
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // a: cos4 = 1,    cos2 = 1
+      (2L, Array(0.5f, 0.0f, 1.0f, 0.0f)),   // b: cos4 ≈ .447, cos2 = 1
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // c: cos4 ≈ .994, cos2 ≈ .994
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)))   // d: cos4 = 0
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("qid", "q_emb")
+    val out = Similarity.matryoshkaRecall(vecs, "vec_id", "embedding",
+        q, Seq(2, 4), k = 2)
+      .collect().map(r => r.getAs[Int]("d") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Double]("mean_recall"))))
+      .toMap
+    assert(out(4) === ((1L, 1.0)))
+    assert(out(2) === ((1L, 0.5)))
+  }
 }
