@@ -6035,15 +6035,13 @@ object HashOracles {
          |FROM gg JOIN ls USING (media_id) ORDER BY media_id""".stripMargin)
   }
 
-  /** URL dedup replay (q372, [[graft.functions.Urls.canonicalize]]):
-    * the identical regex + list program, function for function.
+  /** The q372/q379/q382 web-URL synth (mirrors `SparkEntry.webUrls`):
+    * `src` must provide (doc_id, ...); emits `rw(doc_id, url, ...)`.
     */
-  val q372UrlDedup: String = {
-    val tracking = graft.functions.Urls.trackingParams
-      .map(p => s"'$p'").mkString(", ")
-    withClause(Seq(
-      "uu AS (SELECT doc_id, doc_id // 3 AS base FROM documents)",
-      "rw AS (SELECT doc_id, CASE " +
+  private def urlSynthCtes(src: String, carry: String = ""): Seq[String] =
+    Seq(
+      s"uu AS (SELECT *, doc_id // 3 AS base FROM $src)",
+      s"rw AS (SELECT doc_id$carry, CASE " +
         "WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.host' || " +
         "CAST(base % 7 AS VARCHAR) " +
         "|| '.example.org:443/docs/' || CAST(base AS VARCHAR) " +
@@ -6056,8 +6054,17 @@ object HashOracles {
         "ELSE 'https://host' || CAST(base % 7 AS VARCHAR) || " +
         "'.example.org/docs/' " +
         "|| CAST(base AS VARCHAR) || '/?b=2&a=1#frag-' || " +
-        "CAST(doc_id AS VARCHAR) END AS url FROM uu)",
-      "p1 AS (SELECT doc_id, url, " +
+        "CAST(doc_id AS VARCHAR) END AS url FROM uu)")
+
+  /** [[graft.functions.Urls.canonicalize]] as DuckDB CTEs over `rw`:
+    * emits `cn(doc_id, url, canonical_url, ...)` — the identical
+    * regex + list program, function for function.
+    */
+  private def urlCanonCtes(carry: String = ""): Seq[String] = {
+    val tracking = graft.functions.Urls.trackingParams
+      .map(p => s"'$p'").mkString(", ")
+    Seq(
+      s"p1 AS (SELECT doc_id$carry, url, " +
         "lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme, " +
         "lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) " +
         "AS hostport, " +
@@ -6078,16 +6085,182 @@ object HashOracles {
         "AND NOT starts_with(regexp_extract(q, '^([^=]*)', 1), " +
         s"'utm_') AND regexp_extract(q, '^([^=]*)', 1) NOT IN " +
         s"($tracking))), '&') AS qs FROM p2)",
-      "cn AS (SELECT doc_id, url, CASE WHEN scheme = '' THEN NULL " +
+      s"cn AS (SELECT doc_id$carry, url, CASE WHEN scheme = '' " +
+        "THEN NULL " +
         "ELSE scheme || '://' || host || " +
         "(CASE WHEN keep_port THEN ':' || port ELSE '' END) || " +
         "path || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) " +
-        "END AS canonical_url FROM p3)"),
+        "END AS canonical_url FROM p3)")
+  }
+
+  /** URL dedup replay (q372): synth + canonicalization + one hash
+    * aggregation on the derived key.
+    */
+  val q372UrlDedup: String =
+    withClause(urlSynthCtes("documents") ++ urlCanonCtes(),
       "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(count(DISTINCT url) AS BIGINT) AS n_raw, " +
         "min(doc_id) AS canonical_doc " +
         "FROM cn GROUP BY 1 ORDER BY canonical_url")
+
+  /** Incremental URL dedup replay (q379, [[operators.UrlDedup]]):
+    * corpus-side index of canonical URLs, delta probed with one left
+    * join — unparseable (NULL) keys never index and never match.
+    */
+  val q379IncrementalUrl: String =
+    withClause(urlSynthCtes("documents") ++ urlCanonCtes() ++ Seq(
+      "ix AS (SELECT canonical_url AS curl, min(doc_id) AS matched_id " +
+        "FROM cn WHERE doc_id < 300 AND canonical_url IS NOT NULL " +
+        "GROUP BY 1)",
+      "dl AS (SELECT doc_id, canonical_url FROM cn " +
+        "WHERE doc_id >= 300)"),
+      "SELECT dl.doc_id, dl.canonical_url, " +
+        "ix.matched_id IS NOT NULL AS is_dup, ix.matched_id " +
+        "FROM dl LEFT JOIN ix ON dl.canonical_url = ix.curl " +
+        "ORDER BY dl.doc_id")
+
+  /** The A&S 26.2.17 two-sided normal p as SQL text over a z column
+    * expression — [[operators.Multiplicity.normalTwoSidedP]]'s
+    * polynomial verbatim (the q248 fragment).
+    */
+  private def normalPSql(z: String): String =
+    s"round(least(1.0e0, 2.0e0 * " +
+      s"(exp(-0.5e0 * abs($z) * abs($z)) * 0.3989422804014327e0) * " +
+      s"((1.0e0 / (1.0e0 + 0.2316419e0 * abs($z))) * " +
+      s"(0.319381530e0 + (1.0e0 / (1.0e0 + 0.2316419e0 * abs($z))) " +
+      s"* (-0.356563782e0 + (1.0e0 / (1.0e0 + 0.2316419e0 * " +
+      s"abs($z))) * (1.781477937e0 + (1.0e0 / (1.0e0 + " +
+      s"0.2316419e0 * abs($z))) * (-1.821255978e0 + " +
+      s"(1.0e0 / (1.0e0 + 0.2316419e0 * abs($z))) * " +
+      s"1.330274429e0)))))), 6)"
+
+  /** The exact cent-grid per-arm moment CTEs shared by the Welch
+    * family replays (q380/q381): `mo(arm, n, m, v)`.
+    */
+  private val welchMomentCtes: Seq[String] = Seq(
+    "bb AS (SELECT event_type AS arm, " +
+      "CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS c " +
+      "FROM events WHERE value IS NOT NULL)",
+    "aa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s, " +
+      "CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q " +
+      "FROM bb GROUP BY 1)",
+    "mo AS (SELECT arm, n, " +
+      "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m, " +
+      "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0) AS v " +
+      "FROM aa)")
+
+  /** Pairwise Welch + Holm replay (q380, [[operators.Abtest
+    * .pairwiseWelch]] + [[operators.Multiplicity.holmBonferroni]]).
+    */
+  def q380PairwisePosthoc(alphaPct: Int): String = {
+    import graft.functions.Grid.snapSql
+    withClause(welchMomentCtes ++ Seq(
+      "pw AS (SELECT a.arm || '|' || b.arm AS pair, " +
+        "a.arm AS arm_a, b.arm AS arm_b, a.n AS n_a, b.n AS n_b, " +
+        snapSql("(a.m - b.m) / 100.0e0", 4) + " AS diff, " +
+        "CASE WHEN a.n >= 2 AND b.n >= 2 AND " +
+        "a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE) " +
+        "> 0.0e0 THEN round((a.m - b.m) / " +
+        "sqrt(a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE))" +
+        ", 4) END AS z FROM mo a JOIN mo b ON a.arm < b.arm)",
+      s"pv AS (SELECT *, ${normalPSql("z")} AS p FROM pw)",
+      "rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, pair) " +
+        "AS INTEGER) AS rank, " +
+        "CAST(count(*) OVER () AS BIGINT) AS m FROM pv)",
+      s"th AS (SELECT *, ${snapSql(s"$alphaPct / (100.0e0 * " +
+        "CAST(m - rank + 1 AS DOUBLE))", 6)} AS holm_threshold " +
+        "FROM rk)",
+      "kf AS (SELECT *, min(CASE WHEN p > holm_threshold THEN rank " +
+        "END) OVER () AS kfail FROM th)"),
+      "SELECT pair, arm_a, arm_b, n_a, n_b, diff, z, p, rank, " +
+        "holm_threshold, kfail IS NULL OR rank < kfail AS rejected " +
+        "FROM kf ORDER BY rank")
   }
+
+  /** Welch ANOVA replay (q381, [[operators.Abtest.welchAnova]]): the
+    * moment CTEs, then the four arm-ordered folds (W, weighted mean,
+    * numerator, Λ) and the F-star and df2 tree with the degeneracy guard.
+    */
+  val q381WelchAnova: String = {
+    import graft.functions.Grid.snapSql
+    def fold(term: String) = "list_reduce(list_prepend(" +
+      s"CAST(0.0 AS DOUBLE), list_transform(ml, x -> $term)), " +
+      "(a, t) -> a + t)"
+    withClause(welchMomentCtes ++ Seq(
+      "onr AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, " +
+        "CAST(count(*) AS BIGINT) AS k_arms, " +
+        "CAST(min(n) AS BIGINT) AS minn, " +
+        "min(CASE WHEN n >= 2 THEN v END) AS minv, " +
+        "list(struct_pack(arm := arm, nd := CAST(n AS DOUBLE), " +
+        "m := m, v := v) ORDER BY arm) AS ml FROM mo)",
+      s"w1 AS (SELECT *, ${fold("x.nd / x.v")} AS W, " +
+        "CAST(k_arms AS DOUBLE) AS kd FROM onr)",
+      s"w2 AS (SELECT *, ${fold("(x.nd / x.v) * x.m")} / W AS mb " +
+        "FROM w1)",
+      s"w3 AS (SELECT *, ${fold("(x.nd / x.v) * (x.m - mb) * " +
+        "(x.m - mb)")} / (kd - 1.0e0) AS A, " +
+        s"${fold("(1.0e0 - (x.nd / x.v) / W) * " +
+          "(1.0e0 - (x.nd / x.v) / W) / (x.nd - 1.0e0)")} AS lam " +
+        "FROM w2)",
+      "w4 AS (SELECT *, k_arms >= 2 AND minn >= 2 AND " +
+        "minv > 0.0e0 AND lam > 0.0e0 AS ok FROM w3)"),
+      s"""SELECT n_total, k_arms, k_arms - 1 AS df1,
+         |  ${snapSql("CASE WHEN ok THEN (kd * kd - 1.0e0) / " +
+          "(3.0e0 * lam) END", 4)} AS df2,
+         |  ${snapSql("CASE WHEN ok THEN A / (1.0e0 + 2.0e0 * " +
+          "(kd - 2.0e0) / (kd * kd - 1.0e0) * lam) END", 4)} AS f_stat
+         |FROM w4""".stripMargin)
+  }
+
+  /** Web-pipeline capstone replay (q382): URL canonical dedup →
+    * folded-fingerprint dedup → the q327 quality replay, per-language
+    * counts at every stage.
+    */
+  val q382WebPipeline: String =
+    withClause(
+      urlSynthCtes("documents", carry = ", text, lang") ++
+      urlCanonCtes(carry = ", text, lang") ++ Seq(
+      "ix AS (SELECT canonical_url AS curl, min(doc_id) " +
+        "AS matched_id FROM cn WHERE canonical_url IS NOT NULL " +
+        "GROUP BY 1)",
+      "au AS (SELECT cn.doc_id, cn.text, cn.lang FROM cn " +
+        "LEFT JOIN ix ON cn.canonical_url = ix.curl " +
+        "WHERE ix.matched_id IS NULL OR cn.doc_id = ix.matched_id)",
+      s"ff AS (SELECT doc_id, text, lang, $FoldedFpSql AS fp FROM au)",
+      "fc AS (SELECT fp, min(doc_id) AS fcanon FROM ff " +
+        "WHERE fp IS NOT NULL GROUP BY 1)",
+      "af AS (SELECT ff.doc_id, ff.text, ff.lang FROM ff " +
+        "LEFT JOIN fc USING (fp) " +
+        "WHERE fc.fcanon IS NULL OR ff.doc_id = fc.fcanon)",
+      s"qtk AS (SELECT doc_id, text, lang, $Toks AS t FROM af)",
+      "qg AS (SELECT doc_id, text, len(t) AS n, " +
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(0, " +
+        "len(t) - 2), i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END AS g3 FROM qtk)",
+      "qual AS (SELECT doc_id FROM qg WHERE n >= 30 AND n <= 10000 " +
+        "AND CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / " +
+        "len(g3) <= 0.05 AND CAST(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?''\"()-]', '', 'g')) " +
+        "AS DOUBLE) <= n * 0.5)",
+      "kp AS (SELECT q.doc_id, q.lang, CAST(len(q.t) AS BIGINT) " +
+        "AS tk FROM qtk q JOIN qual USING (doc_id))",
+      "c0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw " +
+        "FROM documents GROUP BY 1)",
+      "c1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_after_url " +
+        "FROM au GROUP BY 1)",
+      "c2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_after_fp " +
+        "FROM af GROUP BY 1)",
+      "c3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "CAST(sum(tk) AS BIGINT) AS tokens_kept FROM kp GROUP BY 1)"),
+      "SELECT c0.lang, c0.n_raw, " +
+        "coalesce(c1.n_after_url, 0) AS n_after_url, " +
+        "coalesce(c2.n_after_fp, 0) AS n_after_fp, " +
+        "coalesce(c3.n_kept, 0) AS n_kept, " +
+        "coalesce(c3.tokens_kept, 0) AS tokens_kept " +
+        "FROM c0 LEFT JOIN c1 USING (lang) LEFT JOIN c2 USING (lang) " +
+        "LEFT JOIN c3 USING (lang) ORDER BY c0.lang")
 
   /** JL distortion replay (q373, [[operators.RandomProjection]]): the
     * embedded sign-matrix literal, index-ordered projection and

@@ -742,6 +742,33 @@ object ScaleProbe {
             "embedding", dIn = 64, dOut = 16))
       }
     }
+    // incremental URL dedup: index build = one hash agg, probe = one
+    // equi-join — both linear, the index side amortized across crawls
+    Seq(1, 2, 4, 8).foreach { r =>
+      if (probeEnabled("url_incr")) {
+        val urls = replicateDocs(r).select(col("doc_id"),
+          concat(lit("https://h"), col("doc_id") % 97,
+            lit(".example.org/d/"), expr("doc_id div 3"),
+            lit("?a=1&b=2")).as("url"))
+        timeWarm(s"url_incr r=$r docs=${nDocs * r}", () =>
+          operators.UrlDedup.flagIncremental(
+            urls.filter(col("doc_id") % 2 === 1),
+            urls.filter(col("doc_id") % 2 === 0), "doc_id", "url"))
+      }
+    }
+    // Welch ANOVA / pairwise posthoc: one partial-agg pass + bounded
+    // folds / the k²-bounded pair join — flat like anova
+    Seq(1, 2, 4, 8).foreach { r =>
+      if (probeEnabled("welch")) {
+        val ev = replicateEvents(r)
+        timeWarm(s"welch_anova r=$r events=n*$r", () =>
+          operators.Abtest.welchAnova(ev, "event_type", "event_id",
+            "value", scale = 2))
+        timeWarm(s"welch_pairwise r=$r events=n*$r", () =>
+          operators.Abtest.pairwiseWelch(ev, "event_type", "value",
+            scale = 2))
+      }
+    }
     // image quality stats: one decode+pool mapPartitions pass,
     // constant per-image work — linear like the hash probes
     Seq(1, 2, 4).foreach { r =>

@@ -95,6 +95,30 @@ object SparkEntry {
   private def toks(c: Column): Column = TF.tokens(c)
   private val ToksSql = HashOracles.Toks // ONE canonical tokenizer fragment
 
+  /** The web-corpus URL synthesizer shared by q372/q379/q382: three
+    * fetch variants per target page (scheme/host case + www + default
+    * port + trailing slash; tracking param; fragment), page identity =
+    * `doc_id div 3`, host spread over 7 virtual hosts. Mirrored
+    * textually by the oracle CTEs ([[HashOracles]]).
+    */
+  private def webUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), col("lang"),
+      expr("doc_id div 3").as("__base"))
+      .withColumn("url",
+        when(col("doc_id") % 3 === 0, concat(
+          lit("HTTPS://WWW.host"), col("__base") % 7,
+          lit(".example.org:443/docs/"), col("__base"),
+          lit("/?b=2&utm_source=feed&a=1")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("https://host"), col("__base") % 7,
+          lit(".example.org/docs/"), col("__base"),
+          lit("?a=1&fbclid=x"), col("doc_id"), lit("&b=2")))
+        .otherwise(concat(
+          lit("https://host"), col("__base") % 7,
+          lit(".example.org/docs/"), col("__base"),
+          lit("/?b=2&a=1#frag-"), col("doc_id"))))
+      .drop("__base")
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -4333,21 +4357,7 @@ object SparkEntry {
     // Column program (no UDF), and the dedup is one hash aggregation
     // on the derived key.
     "q372_url_dedup" -> ((s, dir) => {
-      val urls = T(s, dir, "documents").select(col("doc_id"),
-        expr("doc_id div 3").as("__base"))
-        .withColumn("url",
-          when(col("doc_id") % 3 === 0, concat(
-            lit("HTTPS://WWW.host"), col("__base") % 7,
-            lit(".example.org:443/docs/"), col("__base"),
-            lit("/?b=2&utm_source=feed&a=1")))
-          .when(col("doc_id") % 3 === 1, concat(
-            lit("https://host"), col("__base") % 7,
-            lit(".example.org/docs/"), col("__base"),
-            lit("?a=1&fbclid=x"), col("doc_id"), lit("&b=2")))
-          .otherwise(concat(
-            lit("https://host"), col("__base") % 7,
-            lit(".example.org/docs/"), col("__base"),
-            lit("/?b=2&a=1#frag-"), col("doc_id"))))
+      val urls = webUrls(T(s, dir, "documents"))
       urls
         .groupBy(graft.functions.Urls.canonicalize(col("url"))
           .as("canonical_url"))
@@ -4478,6 +4488,84 @@ object SparkEntry {
           col("diff"), col("z"), col("p"), col("rank"),
           col("holm_threshold"), col("rejected"))
         .orderBy(col("rank"))
+    }),
+
+    // Incremental URL dedup — the production shape of q372: the
+    // corpus holds a canonical-URL index, each crawl batch probes it
+    // with ONE equi-join on the derived key (the q330 convention;
+    // the streaming form joins the same index stream-static).
+    "q379_incremental_url_dedup" -> ((s, dir) => {
+      val docs = webUrls(T(s, dir, "documents"))
+      graft.operators.UrlDedup.flagIncremental(
+          docs.filter(col("doc_id") >= 300), // delta
+          docs.filter(col("doc_id") < 300), // corpus
+          "doc_id", "url")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Pairwise post-hoc after the k-arm omnibus: Welch z for every
+    // arm pair from the same exact-moment table (k^2-bounded
+    // broadcast self-join), then the Holm step-down for the
+    // familywise-safe verdict set — WHICH event types differ.
+    "q380_pairwise_posthoc" -> ((s, dir) => {
+      val pw = graft.operators.Abtest.pairwiseWelch(events(s, dir),
+        "event_type", "value", scale = 2)
+      graft.operators.Multiplicity.holmBonferroni(pw, "p", "pair",
+          alphaPct = 5)
+        .select(col("pair"), col("arm_a"), col("arm_b"), col("n_a"),
+          col("n_b"), col("diff"), col("z"), col("p"), col("rank"),
+          col("holm_threshold"), col("rejected"))
+        .orderBy(col("rank"))
+    }),
+
+    // Welch's heteroscedastic ANOVA — the fallback when q368 rejects
+    // q367's equal-variance assumption: weighted means, four
+    // arm-ordered folds over the bounded moment list, the Welch F*
+    // and its Satterthwaite-style df2.
+    "q381_welch_anova" -> ((s, dir) =>
+      graft.operators.Abtest.welchAnova(events(s, dir), "event_type",
+        "event_id", "value", scale = 2)),
+
+    // Web-corpus capstone: URL-canonical dedup (pre-content, the
+    // cheap key) -> folded-fingerprint content dedup -> quality keep,
+    // with per-language yield accounting at every stage — the
+    // RefinedWeb-shaped chain over the house operators.
+    "q382_corpus_pipeline_web" -> ((s, dir) => {
+      val docs = webUrls(T(s, dir, "documents"))
+      val idx = graft.operators.UrlDedup.urlIndex(docs, "doc_id",
+        "url")
+      val flagged = graft.operators.UrlDedup.flagAgainstIndex(docs,
+        idx, "doc_id", "url")
+      val afterUrl = docs.join(
+        flagged.select(col("doc_id"), col("matched_id")), Seq("doc_id"))
+        .filter(col("matched_id").isNull ||
+          col("doc_id") === col("matched_id"))
+        .select(col("doc_id"), col("text"), col("lang"))
+      val withFp = afterUrl.withColumn("fp",
+        graft.operators.CrossLingual.foldedFingerprint(col("text")))
+      val canon = withFp.filter(col("fp").isNotNull)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("__fc"))
+      val afterFp = withFp.join(canon, Seq("fp"), "left")
+        .filter(col("__fc").isNull || col("doc_id") === col("__fc"))
+        .select(col("doc_id"), col("text"), col("lang"))
+      val kept = graft.operators.QualityFilters.keep(
+          afterFp.withColumn("toks", toks(col("text"))), "text",
+          graft.operators.QualityFilters.Thresholds(minTokens = 30,
+            maxTokens = 10000, maxDupNgramFraction = 0.05),
+          tokensCol = Some("toks"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("__tk"))
+      def langCount(df: DataFrame, name: String) =
+        df.groupBy(col("lang")).agg(count(lit(1)).as(name))
+      langCount(docs, "n_raw")
+        .join(langCount(afterUrl, "n_after_url"), Seq("lang"), "left")
+        .join(langCount(afterFp, "n_after_fp"), Seq("lang"), "left")
+        .join(kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("__tk")).as("tokens_kept")), Seq("lang"), "left")
+        .na.fill(0L, Seq("n_after_url", "n_after_fp", "n_kept",
+          "tokens_kept"))
+        .orderBy(col("lang"))
     }),
 
     // The pruning OPERATING-POINT curve: the q351 rank computed once,
@@ -9817,6 +9905,18 @@ object SparkEntry {
 
     // Holm: the q248 chain, first-failure rank, strict step-down
     "q378_holm_correction" -> HashOracles.q378Holm(5),
+
+    // incremental URL dedup: corpus index, delta left-join probe
+    "q379_incremental_url_dedup" -> HashOracles.q379IncrementalUrl,
+
+    // pairwise Welch + Holm: k^2-bounded moment self-join, step-down
+    "q380_pairwise_posthoc" -> HashOracles.q380PairwisePosthoc(5),
+
+    // Welch ANOVA: four arm-ordered folds over the moment list
+    "q381_welch_anova" -> HashOracles.q381WelchAnova,
+
+    // web capstone: URL dedup -> fp dedup -> quality, staged yields
+    "q382_corpus_pipeline_web" -> HashOracles.q382WebPipeline,
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

@@ -742,6 +742,137 @@ object Abtest {
         abs(col("__c") * 2L - col("__m2")).as("__c")))
   }
 
+  /** Welch's heteroscedastic one-way ANOVA (Welch 1951) — the k-arm
+    * mean test that does NOT pool variances: the fallback when
+    * [[brownForsythe]] rejects [[anovaF]]'s equal-spread assumption.
+    * With `w_i = n_i/s_i²`, `m̄ = Σw_i m_i / W`:
+    * `F* = [Σw_i(m_i − m̄)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ]`,
+    * `Λ = Σ(1 − w_i/W)²/(n_i − 1)`, `df₂ = (k²−1)/(3Λ)`.
+    *
+    * Same execution as [[anovaF]]: ONE partial-agg pass to the k-row
+    * arm table of exact integer-grid moments; every Σ above is an
+    * arm-ORDERED fold over the collected bounded struct list (four
+    * chained folds — W, m̄, the numerator, Λ), one tree at the
+    * readout. Returns `(n_total, k_arms, df1, df2, f_stat)`; null
+    * F/df2 when any arm has n < 2 or zero variance (w undefined), or
+    * k < 2. F and df₂ are ratios — scale-invariant, so no rescale.
+    */
+  def welchAnova(units: DataFrame, armCol: String, idCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    import graft.functions.Grid
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
+    val p = math.pow(10.0, scale)
+    val arms = units
+      .filter(col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        floor(col(yCol).cast("double") * p + 0.5).cast("long")
+          .as("__c"))
+      .groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__c").cast("decimal(38,0)")).as("__s"),
+        sum(col("__c").cast("decimal(19,0)") * col("__c")).as("__q"))
+      .select(col("__arm"), col("__n"),
+        col("__n").cast("double").as("__nd"),
+        (col("__s").cast("double") / col("__n").cast("double"))
+          .as("__m"),
+        // n = 1 would divide by zero under ANSI — null v there (the
+        // degeneracy guard below nulls the outputs anyway)
+        when(col("__n") >= 2L,
+          (col("__q").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") /
+              col("__n").cast("double")) /
+            (col("__n").cast("double") - 1.0)).as("__v"))
+      // the Welch weight, precomputed so no fold divides by a zero
+      // variance under ANSI (null weight → null fold → null output;
+      // the VALUE is the same nd/v double the oracle computes inline)
+      .withColumn("__w",
+        when(col("__v") > 0.0,
+          col("__nd") / col("__v")))
+    val one = arms.agg(
+      sum(col("__n")).as("n_total"),
+      count(lit(1)).as("k_arms"),
+      min(col("__n")).as("__minN"),
+      min(when(col("__n") >= 2L, col("__v"))).as("__minV"),
+      expr("sort_array(collect_list(struct(__arm, __nd, __m, __w)))")
+        .as("__l"))
+    val kD = col("k_arms").cast("double")
+    one
+      .withColumn("__W", expr("aggregate(__l, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + x.__w)"))
+      .withColumn("__mb", expr("aggregate(__l, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + x.__w * x.__m)") / col("__W"))
+      .withColumn("__A", expr("aggregate(__l, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + x.__w * (x.__m - __mb) * " +
+        "(x.__m - __mb))") / (kD - 1.0))
+      .withColumn("__L", expr("aggregate(__l, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + (1.0D - x.__w / __W) * " +
+        "(1.0D - x.__w / __W) / (x.__nd - 1.0D))"))
+      .withColumn("__ok", col("k_arms") >= 2L && col("__minN") >= 2L &&
+        col("__minV") > 0.0 && col("__L") > 0.0)
+      .select(col("n_total"), col("k_arms"),
+        (col("k_arms") - 1L).as("df1"),
+        Grid.snap(when(col("__ok"),
+          (kD * kD - 1.0) / (lit(3.0) * col("__L"))), 4).as("df2"),
+        Grid.snap(when(col("__ok"),
+          col("__A") / (lit(1.0) + lit(2.0) * (kD - 2.0) /
+            (kD * kD - 1.0) * col("__L"))), 4).as("f_stat"))
+  }
+
+  /** All pairwise Welch z contrasts over the k-bounded arm table —
+    * the post-hoc step after [[anovaF]]/[[welchAnova]] rejects the
+    * global null ("the means differ" → "WHICH pairs differ"): per
+    * unordered arm pair the Welch z from the same exact integer-grid
+    * moments, z rounded at 4 then the normal two-sided p
+    * ([[Multiplicity.normalTwoSidedP]] — the q248 convention). Feed
+    * the result to [[Multiplicity.holmBonferroni]] for the
+    * familywise-safe verdict set.
+    *
+    * One moment aggregation + one broadcast self-join of the k-row
+    * arm table (k²/2 pairs, config-bounded). Returns
+    * `(pair, arm_a, arm_b, n_a, n_b, diff, z, p)`; z nulls when
+    * either side has n < 2 or both variances are zero.
+    */
+  def pairwiseWelch(units: DataFrame, armCol: String, yCol: String,
+      scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
+    val p = math.pow(10.0, scale)
+    val arms = units
+      .filter(col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        floor(col(yCol).cast("double") * p + 0.5).cast("long")
+          .as("__c"))
+      .groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__c").cast("decimal(38,0)")).as("__s"),
+        sum(col("__c").cast("decimal(19,0)") * col("__c")).as("__q"))
+      .select(col("__arm"), col("__n"),
+        (col("__s").cast("double") / col("__n").cast("double"))
+          .as("__m"),
+        // n = 1 divides by zero under ANSI — null v, which nulls the
+        // pair's z below (n < 2 is the documented degenerate)
+        when(col("__n") >= 2L,
+          (col("__q").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") /
+              col("__n").cast("double")) /
+            (col("__n").cast("double") - 1.0)).as("__v"))
+    val a = arms.select(col("__arm").as("arm_a"), col("__n").as("n_a"),
+      col("__m").as("__ma"), col("__v").as("__va"))
+    val b = arms.select(col("__arm").as("arm_b"), col("__n").as("n_b"),
+      col("__m").as("__mb"), col("__v").as("__vb"))
+    val se2 = col("__va") / col("n_a").cast("double") +
+      col("__vb") / col("n_b").cast("double")
+    val z = round((col("__ma") - col("__mb")) / sqrt(se2), 4)
+    a.join(broadcast(b), col("arm_a") < col("arm_b"))
+      .select(concat(col("arm_a"), lit("|"), col("arm_b")).as("pair"),
+        col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+        // diff back in y units: one exact division of the mean gap
+        graft.functions.Grid.snap(
+          (col("__ma") - col("__mb")) / p, 4).as("diff"),
+        when(col("n_a") >= 2L && col("n_b") >= 2L && se2 > 0.0, z)
+          .as("z"))
+      .withColumn("p", Multiplicity.normalTwoSidedP(col("z")))
+  }
+
   /** Friedman test (1937) — the k-treatment repeated-measures rank
     * test: within each BLOCK (subject) the k arm values take midranks,
     * and the tie-adjusted statistic (Conover 1999's form)

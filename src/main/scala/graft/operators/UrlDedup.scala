@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental URL-keyed dedup — the production shape of
+  * [[graft.functions.Urls.canonicalize]]'s batch dedup (q372): a web
+  * pipeline does not re-shuffle the corpus per crawl; it holds a
+  * canonical-URL INDEX and probes each new batch against it with one
+  * equi-join (the [[CrossLingual.flagIncremental]] convention — same
+  * three-piece surface: index builder, batch probe, and a streaming
+  * form that joins the index as the static side of a stream-static
+  * join, so batch and stream share one code path).
+  *
+  * NULL canonical keys (unparseable URLs) never index and never match
+  * — unparseable inputs opt out of dedup loudly, exactly the
+  * cross-lingual empty-fold contract.
+  */
+object UrlDedup {
+
+  /** The corpus-side canonical-URL index: one row per distinct
+    * canonical URL, `matched_id` = min id (the canonical document),
+    * `n_variants` = raw-URL variety absorbed by the key.
+    */
+  def urlIndex(corpus: DataFrame, idCol: String,
+      urlCol: String): DataFrame =
+    corpus
+      .select(graft.functions.Urls.canonicalize(col(urlCol))
+        .as("curl"), col(idCol).as("__cid"), col(urlCol).as("__craw"))
+      .filter(col("curl").isNotNull)
+      .groupBy(col("curl"))
+      .agg(min(col("__cid")).as("matched_id"),
+        countDistinct(col("__craw")).as("n_variants"))
+
+  /** Probe `delta` against a prebuilt [[urlIndex]] — ONE equi-join on
+    * the derived key; works identically on a batch frame and on a
+    * STREAMING delta (stream-static join, stateless on the stream
+    * side). Output: one row per delta doc —
+    * `(idCol, canonical_url, is_dup, matched_id)`; docs with
+    * unparseable URLs carry a null key and `is_dup = false`.
+    */
+  def flagAgainstIndex(delta: DataFrame, index: DataFrame,
+      idCol: String, urlCol: String): DataFrame =
+    delta
+      .select(col(idCol),
+        graft.functions.Urls.canonicalize(col(urlCol)).as("curl"))
+      .join(index.select(col("curl").as("__icurl"),
+        col("matched_id")), col("curl") === col("__icurl"), "left")
+      .select(col(idCol), col("curl").as("canonical_url"),
+        col("matched_id").isNotNull.as("is_dup"), col("matched_id"))
+
+  /** Convenience batch form: build the index from `corpus`, probe
+    * `delta`.
+    */
+  def flagIncremental(delta: DataFrame, corpus: DataFrame,
+      idCol: String, urlCol: String): DataFrame =
+    flagAgainstIndex(delta, urlIndex(corpus, idCol, urlCol), idCol,
+      urlCol)
+}

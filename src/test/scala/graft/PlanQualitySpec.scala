@@ -1130,6 +1130,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p378.contains("ScalaUDF"), p378)
   }
 
+  test("wave 3 (q379–q382): the URL probe is one equi-join, the " +
+      "Welch family stays bounded-moment shapes, the web capstone " +
+      "has no pair-space blowup") {
+    // q379: canonical-key derivation is map-only; the probe is ONE
+    // left equi-join against the index — no cartesian, no UDF
+    val p379 = plan("q379_incremental_url_dedup")
+    assert(!p379.contains("CartesianProduct"), p379)
+    assert(!p379.contains("BroadcastNestedLoopJoin"), p379)
+    assert(!p379.contains("ScalaUDF"), p379)
+    // q380: one moment aggregation + the k²-bounded broadcast pair
+    // join (a < b is non-equi but both sides are the 5-row arm
+    // table); the rank machinery adds the counted scalar crosses
+    val p380 = plan("q380_pairwise_posthoc")
+    assert(!p380.contains("CartesianProduct"), p380)
+    assert(!p380.contains("ScalaUDF"), p380)
+    // q381: ONE partial-agg pass to the arm table then a one-row
+    // fold chain — join-free like q367
+    val p381 = plan("q381_welch_anova")
+    assert(!p381.contains("Join"), s"q381 must be join-free:\n$p381")
+    assert(!p381.contains("ScalaUDF"), p381)
+    // q382: every stage joins on a derived key (canonical URL, fp,
+    // lang) — no cartesian, no BNLJ anywhere in the chain
+    val p382 = plan("q382_corpus_pipeline_web")
+    assert(!p382.contains("CartesianProduct"), p382)
+    assert(!p382.contains("BroadcastNestedLoopJoin"), p382)
+    assert(!p382.contains("ScalaUDF"), p382)
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

@@ -99,6 +99,47 @@ class InferenceTestsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("chi2")))
   }
 
+  test("welchAnova: hand-computed two-arm Welch F* and df2") {
+    // A: 1,2,3 (m=2, v=1, w=3)  B: 2,4,6 (m=4, v=4, w=0.75)
+    // W=3.75, m̄=2.4, A=2.4; k=2 → F*=A=2.4; Λ=0.34 → df2=3/1.02
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 4L, 2.0), ("B", 5L, 4.0), ("B", 6L, 6.0))
+      .toDF("arm", "id", "y")
+    val r = Abtest.welchAnova(df, "arm", "id", "y", scale = 0)
+      .collect()(0)
+    assert(r.getAs[Long]("n_total") === 6L)
+    assert(r.getAs[Long]("df1") === 1L)
+    assert(r.getAs[Double]("f_stat") === 2.4)
+    assert(r.getAs[Double]("df2") === 2.9412)
+  }
+
+  test("welchAnova: a zero-variance arm nulls F (w undefined) — " +
+      "where anovaF would still report") {
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0),
+      ("B", 3L, 5.0), ("B", 4L, 5.0)).toDF("arm", "id", "y")
+    val r = Abtest.welchAnova(df, "arm", "id", "y", scale = 0)
+      .collect()(0)
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+    assert(r.isNullAt(r.fieldIndex("df2")))
+  }
+
+  test("pairwiseWelch: all unordered pairs, hand-checked z, n<2 " +
+      "sides null their pair") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 2.0), ("B", 4.0), ("B", 6.0), ("C", 10.0))
+      .toDF("arm", "y")
+    val out = Abtest.pairwiseWelch(df, "arm", "y", scale = 0)
+      .collect().map(r => r.getAs[String]("pair") -> r).toMap
+    assert(out.keySet === Set("A|B", "A|C", "B|C"))
+    val ab = out("A|B")
+    assert(ab.getAs[Double]("diff") === -2.0)
+    // z = −2 / sqrt(1/3 + 4/3) = −1.5492
+    assert(ab.getAs[Double]("z") === -1.5492)
+    assert(ab.getAs[Double]("p") > 0.1 && ab.getAs[Double]("p") < 0.2)
+    assert(out("A|C").isNullAt(out("A|C").fieldIndex("z")))
+    assert(out("B|C").isNullAt(out("B|C").fieldIndex("z")))
+  }
+
   test("friedman: midrank ties, hand-computed Conover statistic") {
     // b1: a=1, b=1, c=2 → doubled midranks a,b = 3, c = 6
     // b2: a=1, b=2, c=3 → doubled 2, 4, 6

@@ -211,3 +211,44 @@ class StatelessOpsStreamSpec extends SparkSpec {
 
 // top-level: encoder codegen cannot reach a class nested in the suite
 case class SVec(vec_id: Long, embedding: Array[Float], ts: Timestamp)
+
+class UrlDedupStreamSpec extends SparkSpec {
+
+  test("UrlDedup.flagAgainstIndex is a stream-static join — the " +
+      "crawl-batch probe runs on a stream, batch-identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = Seq((1L, "https://a.com/x"), (2L, "https://b.com/y"))
+      .toDF("doc_id", "url")
+    val index = graft.operators.UrlDedup.urlIndex(corpus, "doc_id",
+      "url")
+    val delta = Seq(
+      SDoc(10L, "HTTPS://WWW.a.com:443/x?utm_k=1",
+        Timestamp.valueOf("2026-01-01 10:00:00")),
+      SDoc(11L, "https://c.com/new",
+        Timestamp.valueOf("2026-01-01 10:00:01")))
+
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.UrlDedup.flagAgainstIndex(
+        df.withColumnRenamed("text", "url"), index, "doc_id", "url")
+
+    val mem = MemoryStream[SDoc]
+    val q = pipeline(mem.toDF())
+      .writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(delta: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("SELECT * FROM url_dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val batch = pipeline(delta.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.length === 2)
+    assert(streamed.find(_._1 == 10L).exists(_._3 === true))
+    assert(streamed.find(_._1 == 11L).exists(_._3 === false))
+  }
+}
