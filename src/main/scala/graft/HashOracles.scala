@@ -6214,6 +6214,148 @@ object HashOracles {
          |FROM w4""".stripMargin)
   }
 
+  /** Periodogram replay (q383, [[operators.Seasonal.periodogram]]):
+    * the embedded twiddle tables, ×n integer centering, rn-ordered
+    * per-frequency folds, the operator's power tree.
+    */
+  def q383Periodogram(nWindow: Int, maxFreq: Int): String = {
+    import graft.functions.Grid.snapSql
+    val cosL = graft.operators.Seasonal.duckLitArray(
+      graft.operators.Seasonal.cosTable(nWindow))
+    val sinL = graft.operators.Seasonal.duckLitArray(
+      graft.operators.Seasonal.sinTable(nWindow))
+    withClause(Seq(
+      "se AS (SELECT day, CAST(floor(rev * 100.0e0 + 0.5e0) " +
+        "AS BIGINT) AS y FROM (SELECT " +
+        "date_diff('day', DATE '1992-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS day, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1) " +
+        "WHERE rev IS NOT NULL)",
+      "ii AS (SELECT row_number() OVER (ORDER BY day) AS rn, y " +
+        "FROM se)",
+      s"wi AS (SELECT rn, y FROM ii WHERE rn <= $nWindow)",
+      "tt AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS sS FROM wi)",
+      s"cl AS (SELECT $cosL AS ct, $sinL AS st)",
+      s"tm AS (SELECT k, rn, CAST(n * y - sS AS DOUBLE) AS yc, " +
+        s"CAST((k * (rn - 1)) % $nWindow AS BIGINT) AS j, n " +
+        s"FROM wi, tt, range(1, ${maxFreq + 1}) t(k))",
+      "tr AS (SELECT k, n, rn, " +
+        "yc * (SELECT ct FROM cl)[CAST(j + 1 AS INT)] AS tc, " +
+        "yc * (SELECT st FROM cl)[CAST(j + 1 AS INT)] AS ts " +
+        "FROM tm)",
+      "fo AS (SELECT k, n, " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(list(struct_pack(rn := rn, tc := tc, " +
+        "ts := ts) ORDER BY rn), x -> x.tc)), (a, v) -> a + v) " +
+        "AS ca, " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(list(struct_pack(rn := rn, tc := tc, " +
+        "ts := ts) ORDER BY rn), x -> x.ts)), (a, v) -> a + v) " +
+        "AS cb FROM tr GROUP BY 1, 2)",
+      "px AS (SELECT k, CAST(n AS DOUBLE) AS nd, " +
+        "ca / (CAST(n AS DOUBLE) * 100.0e0) AS a, " +
+        "cb / (CAST(n AS DOUBLE) * 100.0e0) AS b FROM fo)"),
+      s"""SELECT CAST(k AS BIGINT) AS k,
+         |  ${snapSql(s"$nWindow.0e0 / CAST(k AS DOUBLE)", 4)}
+         |    AS period,
+         |  ${snapSql("(a * a + b * b) * 2.0e0 / nd", 4)} AS power
+         |FROM px ORDER BY k""".stripMargin)
+  }
+
+  /** Cochran's Q replay (q384, [[operators.Abtest.cochranQ]]): the
+    * ≥2-events binary, bounded-arm grid completion, exact HUGEINT
+    * quadratic sums, the ×k²-carried Q tree.
+    */
+  val q384CochranQ: String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      "bx AS (SELECT user_id AS b, event_type AS arm, " +
+        "CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS x " +
+        "FROM events GROUP BY 1, 2)",
+      "al AS (SELECT DISTINCT arm FROM bx)",
+      "blk AS (SELECT DISTINCT b FROM bx)",
+      "fu AS (SELECT blk.b, al.arm, coalesce(bx.x, 0) AS x " +
+        "FROM blk CROSS JOIN al LEFT JOIN bx USING (b, arm))",
+      "rw AS (SELECT b, CAST(sum(x) AS BIGINT) AS r FROM fu " +
+        "GROUP BY 1)",
+      "rr AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sr2, " +
+        "CAST(sum(CAST(r AS HUGEINT)) AS HUGEINT) AS tT FROM rw)",
+      "cw AS (SELECT arm, CAST(sum(x) AS BIGINT) AS c FROM fu " +
+        "GROUP BY 1)",
+      "cc AS (SELECT CAST(count(*) AS BIGINT) AS k_arms, " +
+        "list(struct_pack(arm := arm, c := c) ORDER BY arm) AS cl " +
+        "FROM cw)",
+      "xx AS (SELECT n_blocks, k_arms, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(cl, t -> CAST(k_arms * t.c - tT AS HUGEINT) " +
+        "* (k_arms * t.c - tT))), (a, v) -> a + v) AS num, " +
+        "CAST(k_arms AS HUGEINT) * (k_arms * tT - sr2) AS den " +
+        "FROM rr, cc)"),
+      s"""SELECT n_blocks, k_arms, k_arms - 1 AS df,
+         |  ${snapSql("CASE WHEN den > 0 THEN " +
+          "CAST(k_arms - 1 AS DOUBLE) * CAST(num AS DOUBLE) / " +
+          "CAST(den AS DOUBLE) END", 4)} AS q_stat
+         |FROM xx""".stripMargin)
+  }
+
+  /** Seasonal/trend strength replay (q385, [[operators.Seasonal
+    * .strength]]): the q332 residual-register CTEs, then exact
+    * HUGEINT moments on the register's own 1e-4 grids and the FPP3
+    * strength trees.
+    */
+  val q385SeasonalStrength: String = {
+    import graft.functions.Grid.snapSql
+    def varOf(c: String) =
+      s"(CAST(count(*) AS DOUBLE) * CAST(sum(CAST($c AS HUGEINT) * " +
+        s"$c) AS DOUBLE) - CAST(sum(CAST($c AS HUGEINT)) AS DOUBLE) " +
+        s"* CAST(sum(CAST($c AS HUGEINT)) AS DOUBLE)) / " +
+        "(CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * " +
+        "1.0e8)"
+    withClause(Seq(
+      "d AS (SELECT o_orderpriority AS k, " +
+        "date_diff('day', DATE '1992-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS day, " +
+        "round(sum(o_totalprice), 2) AS rev FROM orders " +
+        "GROUP BY 1, 2)",
+      "w AS (SELECT k, day, rev, " +
+        "CAST(floor(rev * 100.0 + 0.5) AS BIGINT) AS c FROM d)",
+      "t AS (SELECT k, day, rev, " +
+        snapSql("CAST(sum(c) OVER win AS DOUBLE) / " +
+          "(100.0 * count(*) OVER win)") + " AS trend FROM w " +
+        "WINDOW win AS (PARTITION BY k ORDER BY day " +
+        "RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))",
+      "sr AS (SELECT k, day % 7 AS slot, " +
+        snapSql("avg(rev - trend)", 4) + " AS seasonal " +
+        "FROM t GROUP BY 1, 2)",
+      // the scaled-integer register: floor(x·1e4 + 0.5) on the
+      // snapped resid reproduces the snap's own integer exactly
+      // (floor(m/1e4·1e4 + 0.5) = m), so scaling the RAW expression
+      // is the identical integer
+      "r AS (SELECT t.k, " +
+        s"CAST(floor(${snapSql("(t.rev - t.trend) - sr.seasonal",
+          4)} * 1.0e4 + 0.5e0) AS BIGINT) AS r4, " +
+        "CAST(floor(sr.seasonal * 1.0e4 + 0.5e0) AS BIGINT) AS s4, " +
+        "CAST(floor(t.rev * 1.0e4 + 0.5e0) AS BIGINT) AS y4 " +
+        "FROM t JOIN sr ON sr.k = t.k AND sr.slot = t.day % 7)",
+      "r2 AS (SELECT k, r4, r4 + s4 AS sr4, y4 - s4 AS tr4 FROM r)",
+      "m AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points, " +
+        s"${snapSql(varOf("r4"), 6)} AS var_resid, " +
+        s"${snapSql(varOf("sr4"), 6)} AS var_detrended, " +
+        s"${snapSql(varOf("tr4"), 6)} AS var_deseasonalized " +
+        "FROM r2 GROUP BY k)"),
+      s"""SELECT k AS o_orderpriority, n_points, var_resid,
+         |  var_detrended, var_deseasonalized,
+         |  ${snapSql("CASE WHEN var_detrended > 0.0e0 THEN " +
+          "greatest(0.0e0, 1.0e0 - var_resid / var_detrended) " +
+          "ELSE 0.0e0 END", 6)} AS strength_seasonal,
+         |  ${snapSql("CASE WHEN var_deseasonalized > 0.0e0 THEN " +
+          "greatest(0.0e0, 1.0e0 - var_resid / var_deseasonalized) " +
+          "ELSE 0.0e0 END", 6)} AS strength_trend
+         |FROM m ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Web-pipeline capstone replay (q382): URL canonical dedup →
     * folded-fingerprint dedup → the q327 quality replay, per-language
     * counts at every stage.

@@ -769,6 +769,29 @@ object ScaleProbe {
             scale = 2))
       }
     }
+    // periodogram: fixed nWindow rows regardless of corpus size —
+    // the probe grows the WINDOW (the real cost axis: n·K fold terms)
+    Seq(64, 128, 256, 512).foreach { nw =>
+      if (probeEnabled("periodogram")) {
+        val series = replicateEvents(1)
+          .groupBy((col("event_id") % lit(nw.toLong)).as("t"))
+          .agg(round(sum(col("value")), 2).as("y"))
+        timeWarm(s"periodogram n=$nw k=16", () =>
+          operators.Seasonal.periodogram(series, "t", "y",
+            nWindow = nw, maxFreq = 16, scale = 2))
+      }
+    }
+    // Cochran's Q / seasonal strength: one grid completion + two
+    // aggregations / the keyed decompose chain — linear in rows
+    Seq(1, 2, 4, 8).foreach { r =>
+      if (probeEnabled("cochran")) {
+        val bx = replicateEvents(r)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg((count(lit(1)) >= 2L).cast("long").as("x"))
+        timeWarm(s"cochran r=$r events=n*$r", () =>
+          operators.Abtest.cochranQ(bx, "user_id", "event_type", "x"))
+      }
+    }
     // image quality stats: one decode+pool mapPartitions pass,
     // constant per-image work — linear like the hash probes
     Seq(1, 2, 4).foreach { r =>

@@ -4568,6 +4568,46 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // DFT periodogram over the first 256 days of order revenue —
+    // the seasonality DETECTOR that picks holtWinters/decompose's
+    // period: embedded twiddle-table literals (never in-engine cos),
+    // x-n integer mean-centering, rn-ordered folds per frequency.
+    "q383_periodogram" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Seasonal.periodogram(daily, "day", "rev",
+        nWindow = 256, maxFreq = 16, scale = 2)
+    }),
+
+    // Cochran's Q across all five event types on the PAIRED BINARY
+    // outcome "user has >= 2 events of the type" — McNemar's k-arm
+    // generalization, exact integers until one division; missing
+    // (user, type) cells read 0 via the bounded-arm grid completion.
+    "q384_cochran_q" -> ((s, dir) => {
+      val bx = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg((count(lit(1)) >= 2L).cast("long").as("x"))
+      graft.operators.Abtest.cochranQ(bx, "user_id", "event_type",
+        "x")
+    }),
+
+    // Trend/seasonal strength (FPP3 4.3) of the per-priority weekly
+    // decomposition — the 0..1 gauges that decide whether a forecast
+    // should carry a seasonal register at all; exact integer moments
+    // off the q332 residual register's own grids.
+    "q385_seasonal_strength" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.operators.Seasonal.strength(daily, "o_orderpriority",
+          "day", "rev", period = 7, scale = 2)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // The pruning OPERATING-POINT curve: the q351 rank computed once,
     // swept over keep fractions {25, 50, 75}% via one bounded explode
     // (the q345 threshold-sweep device) — how a selection pipeline
@@ -9917,6 +9957,15 @@ object SparkEntry {
 
     // web capstone: URL dedup -> fp dedup -> quality, staged yields
     "q382_corpus_pipeline_web" -> HashOracles.q382WebPipeline,
+
+    // periodogram: twiddle-literal DFT, rn-ordered folds
+    "q383_periodogram" -> HashOracles.q383Periodogram(256, 16),
+
+    // Cochran's Q: grid completion, exact HUGEINT quadratics
+    "q384_cochran_q" -> HashOracles.q384CochranQ,
+
+    // strength: q332 register CTEs + integer moments on its grids
+    "q385_seasonal_strength" -> HashOracles.q385SeasonalStrength,
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

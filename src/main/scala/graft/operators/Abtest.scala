@@ -945,6 +945,66 @@ object Abtest {
           .as("kendall_w"))
   }
 
+  /** Cochran's Q (1950) — the k-treatment test for PAIRED BINARY
+    * outcomes, completing the repeated-measures family: [[mcNemar]]
+    * is its k = 2 special case, [[friedman]] the continuous
+    * generalization. With block row-sums `R_i`, treatment column-sums
+    * `C_j`, grand total `T`:
+    * `Q = (k−1)·Σ_j(kC_j − T)² / (k·(kT − Σ_i R_i²))` (the textbook
+    * form carried ×k² so everything stays integer until ONE
+    * division), referred to χ²(k−1).
+    *
+    * Contract: `df` holds one row per (block, arm) with a 0/1 `xCol`;
+    * MISSING (block, arm) cells read as 0 (the full grid is completed
+    * by a broadcast cross with the bounded arm list — all-0 and all-1
+    * blocks are harmless, they cancel exactly in both numerator and
+    * denominator). Quadratic sums accumulate as DECIMAL(38,0).
+    * Returns one row `(n_blocks, k_arms, df, q_stat)`; `q_stat`
+    * nulls when the denominator is 0 (every block constant).
+    */
+  def cochranQ(df: DataFrame, blockCol: String, armCol: String,
+      xCol: String): DataFrame = {
+    import graft.functions.Grid
+    val base = df
+      .filter(col(xCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__b"),
+        col(armCol).cast("string").as("__arm"),
+        when(col(xCol).cast("long") =!= 0L, 1L).otherwise(0L)
+          .as("__x"))
+    val armList = base.select(col("__arm")).distinct()
+    val grid = base.select(col("__b")).distinct()
+      .crossJoin(broadcast(armList))
+    val full = grid.join(base, Seq("__b", "__arm"), "left")
+      .na.fill(0L, Seq("__x"))
+    val rows = full.groupBy(col("__b"))
+      .agg(sum(col("__x")).as("__R"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__R").cast("decimal(19,0)") * col("__R"))
+          .as("__sR2"),
+        sum(col("__R").cast("decimal(38,0)")).as("__T"))
+    val cols = full.groupBy(col("__arm"))
+      .agg(sum(col("__x")).as("__C"))
+      .agg(count(lit(1)).as("k_arms"),
+        expr("sort_array(collect_list(struct(__arm, __C)))")
+          .as("__cl"))
+    // Σ(kC_j − T)²: exact decimal terms folded in arm order (each
+    // term < (kT)² — DECIMAL(38,0) holds k·10⁹ blocks comfortably)
+    rows.crossJoin(broadcast(cols))
+      .withColumn("__num", expr("aggregate(__cl, " +
+        "CAST(0 AS DECIMAL(38,0)), (a, x) -> a + " +
+        "CAST((k_arms * x.__C - __T) AS DECIMAL(19,0)) * " +
+        "(k_arms * x.__C - __T))"))
+      .withColumn("__den",
+        col("k_arms").cast("decimal(38,0)") *
+          (col("k_arms") * col("__T") - col("__sR2")))
+      .select(col("n_blocks"), col("k_arms"),
+        (col("k_arms") - 1L).as("df"),
+        Grid.snap(when(col("__den") > 0,
+          (col("k_arms") - 1L).cast("double") *
+            col("__num").cast("double") / col("__den").cast("double")),
+          4).as("q_stat"))
+  }
+
   /** Inverse standard-normal CDF — Acklam's (2003) rational
     * approximation (|rel err| < 1.15e-9; public algorithm), used
     * DRIVER-side only: experiment planning needs z-quantiles and SQL

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Grid
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,142 @@ object Seasonal {
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** The shared DFT twiddle tables for [[periodogram]]: cos/sin of
+    * `2πj/n` for `j = 0..n−1`, driver-computed once (config-bounded)
+    * and embedded as 17-digit literals — the q364 DCT-table device,
+    * exploiting `cos(2πkt/n) = table[(k·t) mod n]` so ONE n-entry
+    * table serves every frequency. Public so specs and oracles
+    * regenerate the identical bits.
+    */
+  def cosTable(n: Int): Array[Double] =
+    Array.tabulate(n)(j => math.cos(2.0 * math.Pi * j / n))
+  def sinTable(n: Int): Array[Double] =
+    Array.tabulate(n)(j => math.sin(2.0 * math.Pi * j / n))
+
+  private def sparkLitArray(a: Array[Double]): String =
+    a.map(Grid.lit17).mkString("array(", ",", ")")
+  private[graft] def duckLitArray(a: Array[Double]): String =
+    a.map(Grid.lit17).mkString("[", ",", "]")
+
+  /** Discrete-Fourier periodogram over the series' FIRST `nWindow`
+    * observations (Schuster 1898; the seasonality detector that
+    * picks [[decompose]]/[[graft.operators.Forecast.holtWinters]]'s
+    * period): for each frequency `k = 1..maxFreq`,
+    * `a_k = Σ(y_t − ȳ)·cos(2πkt/n)`, `b_k` the sine sum, and
+    * `power_k = (a_k² + b_k²)·2/n`, peaking where the series repeats
+    * every `n/k` steps.
+    *
+    * Replay exactness: the mean-centering is carried ×n so it stays
+    * integer (`n·y_t − S`, exact scaled longs — each under 2⁵³, so
+    * their doubles are exact), the twiddle factors come from the
+    * embedded [[cosTable]] literals indexed by `(k·t) mod n` (never
+    * an in-engine `cos`, whose libm could differ), and each a/b sum
+    * is an rn-ORDERED fold over the collected per-frequency list
+    * (bounded: `nWindow ≤ 512` rows × `maxFreq ≤ 32`). A series
+    * shorter than `nWindow` zero-pads implicitly (missing tail terms
+    * contribute nothing — the standard zero-padded DFT reading).
+    * Returns `(k, period, power)` with `period = n/k`.
+    */
+  def periodogram(df: DataFrame, tCol: String, yCol: String,
+      nWindow: Int, maxFreq: Int, scale: Int = 2): DataFrame = {
+    require(nWindow >= 8 && nWindow <= 512, s"bad nWindow $nWindow")
+    require(maxFreq >= 1 && maxFreq <= 32 && maxFreq < nWindow,
+      s"bad maxFreq $maxFreq")
+    require(scale >= 0 && scale <= 6, s"bad scale $scale")
+    val p = math.pow(10.0, scale)
+    val cosL = sparkLitArray(cosTable(nWindow))
+    val sinL = sparkLitArray(sinTable(nWindow))
+    val series = df.select(col(tCol).as("__t"),
+      floor(col(yCol).cast("double") * p + 0.5).cast("long")
+        .as("__y"))
+      .filter(col("__y").isNotNull)
+    val win = Ranks.withGlobalRowNumber(series, Seq(col("__t")),
+      "__rn").filter(col("__rn") <= nWindow)
+      .select(col("__rn"), col("__y"))
+    val tot = win.agg(count(lit(1)).as("__n"),
+      sum(col("__y")).as("__S"))
+    val terms = win
+      .select(col("__rn"), col("__y"),
+        explode(sequence(lit(1L), lit(maxFreq.toLong))).as("k"))
+      .crossJoin(broadcast(tot))
+      // ×n-carried centered sample: exact long, exact in double
+      .withColumn("__yc",
+        (col("__n") * col("__y") - col("__S")).cast("double"))
+      .withColumn("__j",
+        pmod(col("k") * (col("__rn") - 1L), lit(nWindow.toLong)))
+      .select(col("k"), col("__n"), struct(col("__rn"),
+        (col("__yc") * expr(s"element_at($cosL, CAST(__j + 1 " +
+          "AS INT))")).as("tc"),
+        (col("__yc") * expr(s"element_at($sinL, CAST(__j + 1 " +
+          "AS INT))")).as("ts")).as("__s"))
+    val folded = terms.groupBy(col("k"), col("__n"))
+      .agg(expr("aggregate(sort_array(collect_list(__s)), " +
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x.tc)").as("__ca"),
+        expr("aggregate(sort_array(collect_list(__s)), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x.ts)").as("__cb"))
+    val nD = col("__n").cast("double")
+    val a = col("__ca") / (nD * p)
+    val b = col("__cb") / (nD * p)
+    folded.select(col("k"),
+      Grid.snap(lit(nWindow.toDouble) / col("k").cast("double"), 4)
+        .as("period"),
+      Grid.snap((a * a + b * b) * 2.0 / nD, 4).as("power"))
+      .orderBy(col("k"))
+  }
+
+  /** Trend/seasonal STRENGTH of the [[decompose]] decomposition
+    * (Hyndman & Athanasopoulos FPP3 §4.3, Wang-Smith-Hyndman):
+    * `F_seasonal = max(0, 1 − Var(R)/Var(S+R))` and
+    * `F_trend = max(0, 1 − Var(R)/Var(T+R))` per series key — the
+    * 0..1 gauges that decide whether [[graft.operators.Forecast
+    * .holtWinters]] should carry a seasonal register at all.
+    *
+    * Exactness: S and R come from [[residuals]] on their 1e-4 grids,
+    * so `S+R` and `y − S` (= T+R on the input's grid) scale to exact
+    * longs; every variance is the n·Σx²−(Σx)² integer form in
+    * DECIMAL(38,0) — order-free — with ONE double division at the
+    * ratio. Returns `(key, n_points, var_resid, var_detrended,
+    * var_deseasonalized, strength_seasonal, strength_trend)`.
+    */
+  def strength(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, period: Int, scale: Int = 2): DataFrame = {
+    val res = residuals(df, keyCol, tCol, valueCol, period, scale)
+      .select(col(keyCol),
+        floor(col("resid") * 1e4 + 0.5).cast("long").as("__r"),
+        (floor(col("resid") * 1e4 + 0.5) +
+          floor(col("seasonal") * 1e4 + 0.5)).cast("long").as("__sr"),
+        (floor(col(valueCol).cast("double") * 1e4 + 0.5) -
+          floor(col("seasonal") * 1e4 + 0.5)).cast("long").as("__tr"))
+    def varCols(c: String, n: Column) = {
+      val s = sum(col(c).cast("decimal(38,0)"))
+      val q = sum(col(c).cast("decimal(19,0)") * col(c))
+      (n.cast("double") * q.cast("double") -
+        s.cast("double") * s.cast("double")) /
+        (n.cast("double") * n.cast("double") * 1e8)
+    }
+    val n = count(lit(1))
+    val agg = res.groupBy(col(keyCol)).agg(
+      n.as("n_points"),
+      graft.functions.Grid.snap(varCols("__r", n), 6)
+        .as("var_resid"),
+      graft.functions.Grid.snap(varCols("__sr", n), 6)
+        .as("var_detrended"),
+      graft.functions.Grid.snap(varCols("__tr", n), 6)
+        .as("var_deseasonalized"))
+    agg.select(col(keyCol), col("n_points"), col("var_resid"),
+      col("var_detrended"), col("var_deseasonalized"),
+      graft.functions.Grid.snap(
+        when(col("var_detrended") > 0.0,
+          greatest(lit(0.0),
+            lit(1.0) - col("var_resid") / col("var_detrended")))
+          .otherwise(lit(0.0)), 6).as("strength_seasonal"),
+      graft.functions.Grid.snap(
+        when(col("var_deseasonalized") > 0.0,
+          greatest(lit(0.0),
+            lit(1.0) - col("var_resid") / col("var_deseasonalized")))
+          .otherwise(lit(0.0)), 6).as("strength_trend"))
   }
 
   /** Wald–Wolfowitz runs test (1940) — is the series' above/below-

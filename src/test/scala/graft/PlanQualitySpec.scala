@@ -1158,6 +1158,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p382.contains("ScalaUDF"), p382)
   }
 
+  test("wave 4 (q383–q385): the DFT stays a bounded fold over " +
+      "literal twiddles, Cochran's grid completion is a bounded-arm " +
+      "broadcast, strength stays keyed") {
+    // q383: the lag explode over the positioned window + the 1-row
+    // totals cross; twiddles are literals (no in-engine cos UDF)
+    val p383 = plan("q383_periodogram")
+    assert(!p383.contains("CartesianProduct"), p383)
+    assert(!p383.contains("ScalaUDF"), p383)
+    assert(p383.contains("Generate"), s"q383 lost its explode:\n$p383")
+    // q384: the block×arm completion cross is the bounded-arm
+    // broadcast; everything else is aggregation algebra
+    val p384 = plan("q384_cochran_q")
+    assert(!p384.contains("CartesianProduct"), p384)
+    assert(!p384.contains("ScalaUDF"), p384)
+    // q385: the register joins are (key, slot)-keyed equi-joins, the
+    // trend window is key-partitioned — no cross shapes at all
+    val p385 = plan("q385_seasonal_strength")
+    assert(!p385.contains("CartesianProduct"), p385)
+    assert(!p385.contains("BroadcastNestedLoopJoin"), p385)
+    assert(!p385.contains("ScalaUDF"), p385)
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

@@ -140,6 +140,34 @@ class InferenceTestsSpec extends SparkSpec {
     assert(out("B|C").isNullAt(out("B|C").fieldIndex("z")))
   }
 
+  test("cochranQ: textbook hand computation, missing cells read 0, " +
+      "all-constant blocks null the statistic") {
+    // b1: 1,1,0  b2: 1,0,0  b3: 1,1,1  b4: 0,0,0
+    // C = (3,2,1), T = 6, ΣR² = 14 → Q = 2·(9+0+9)/(3·4) = 3
+    val df = Seq(
+      ("b1", "x", 1L), ("b1", "y", 1L), ("b1", "z", 0L),
+      ("b2", "x", 1L), ("b2", "y", 0L), ("b2", "z", 0L),
+      ("b3", "x", 1L), ("b3", "y", 1L), ("b3", "z", 1L),
+      ("b4", "x", 0L), ("b4", "y", 0L), ("b4", "z", 0L))
+      .toDF("block", "arm", "x")
+    val r = Abtest.cochranQ(df, "block", "arm", "x").collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 4L)
+    assert(r.getAs[Long]("k_arms") === 3L)
+    assert(r.getAs[Long]("df") === 2L)
+    assert(r.getAs[Double]("q_stat") === 3.0)
+    // drop b4's explicit zeros — the grid completion restores them
+    val sparse = df.filter(col("block") =!= "b4" || col("x") =!= 0L)
+      .union(Seq(("b4", "x", 0L)).toDF("block", "arm", "x"))
+    val r2 = Abtest.cochranQ(sparse, "block", "arm", "x").collect()(0)
+    assert(r2.getAs[Long]("n_blocks") === 4L)
+    assert(r2.getAs[Double]("q_stat") === 3.0)
+    // every block all-1 → zero denominator → null
+    val tied = Seq(("b1", "x", 1L), ("b1", "y", 1L),
+      ("b2", "x", 1L), ("b2", "y", 1L)).toDF("block", "arm", "x")
+    val r3 = Abtest.cochranQ(tied, "block", "arm", "x").collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("q_stat")))
+  }
+
   test("friedman: midrank ties, hand-computed Conover statistic") {
     // b1: a=1, b=1, c=2 → doubled midranks a,b = 3, c = 6
     // b2: a=1, b=2, c=3 → doubled 2, 4, 6

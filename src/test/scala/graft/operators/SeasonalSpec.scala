@@ -222,6 +222,63 @@ class SeasonalSpec extends SparkSpec {
     assert(ro.getAs[Long]("n_above") === 2L)
   }
 
+  test("periodogram: a planted cosine at k = 8 dominates the " +
+      "spectrum; a constant series is flat zero (mean removed)") {
+    val sqlImplicits2 = spark.implicits
+    import sqlImplicits2._
+    val n = 64
+    val ct = Seasonal.cosTable(n)
+    val planted = (0 until n).map { t =>
+      (t.toLong, 100.0 + 50.0 * ct((8 * t) % n))
+    }.toDF("t", "y")
+    val pw = Seasonal.periodogram(planted, "t", "y", nWindow = n,
+        maxFreq = 12, scale = 2)
+      .collect().map(r => r.getAs[Long]("k") ->
+        r.getAs[Double]("power")).toMap
+    assert(pw(8L) > 50000.0, s"peak missing: $pw")
+    assert(pw.filter(_._1 != 8L).values.forall(_ < pw(8L) / 100.0),
+      s"spectrum not concentrated: $pw")
+    val const = (0 until n).map(t => (t.toLong, 42.0)).toDF("t", "y")
+    val pc = Seasonal.periodogram(const, "t", "y", nWindow = n,
+      maxFreq = 4, scale = 2).collect().map(_.getAs[Double]("power"))
+    assert(pc.forall(_ === 0.0), s"constant series not flat: ${pc.toSeq}")
+  }
+
+  test("periodogram: period column is n/k and a short series " +
+      "zero-pads (no crash, finite powers)") {
+    val sqlImplicits2 = spark.implicits
+    import sqlImplicits2._
+    val df = (0 until 20).map(t => (t.toLong, t.toDouble)).toDF("t", "y")
+    val r = Seasonal.periodogram(df, "t", "y", nWindow = 64,
+      maxFreq = 4, scale = 0).orderBy(col("k")).collect()
+    assert(r.map(_.getAs[Double]("period")).toSeq ===
+      Seq(64.0, 32.0, 21.3333, 16.0))
+    assert(r.forall(row => !row.getAs[Double]("power").isNaN))
+  }
+
+  test("strength: a planted weekly pattern over a trend reads high " +
+      "seasonal strength; an exact linear series reads pure trend") {
+    val sqlImplicits2 = spark.implicits
+    import sqlImplicits2._
+    val weekly = Array(0.0, 10.0, -5.0, 3.0, -8.0, 12.0, -12.0)
+    val rows = (0 until 140).flatMap { t =>
+      Seq(("s", t.toLong, 100.0 + 0.5 * t + weekly(t % 7)),
+        ("lin", t.toLong, 50.0 + 2.0 * t))
+    }.toDF("k", "t", "y")
+    val out = Seasonal.strength(rows, "k", "t", "y", period = 7,
+        scale = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("strength_seasonal"),
+          r.getAs[Double]("strength_trend")))).toMap
+    assert(out("s")._1 > 0.8, s"seasonal strength: $out")
+    assert(out("s")._2 > 0.8, s"trend strength: $out")
+    // the exact linear series: decompose's trend absorbs everything,
+    // residuals ~0 → seasonal strength collapses to ~0 (degenerate
+    // var_detrended), trend strength saturates
+    assert(out("lin")._1 < 0.3, s"linear series seasonal: $out")
+    assert(out("lin")._2 > 0.95, s"linear series trend: $out")
+  }
+
   test("autocorrelation: a constant series nulls every r (zero " +
       "variance), an alternating one is negatively lag-1 correlated") {
     val sqlImplicits2 = spark.implicits
