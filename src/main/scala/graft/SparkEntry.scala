@@ -4608,6 +4608,55 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Byte-grain tokenizer-planning audit: per language the exact
+    // byte/char/token totals, bytes-per-token (the byte-fertility
+    // sibling of q140's wordpiece fertility) and the multibyte share
+    // — what sizes a byte-fallback vocabulary. One aggregation.
+    "q386_byte_fertility" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long")
+          .as("__ch"), octet_length(col("text")).cast("long")
+          .as("__by"), size(toks(col("text"))).cast("long")
+          .as("__tk"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__by")).as("n_bytes"),
+          sum(col("__ch")).as("n_chars"),
+          sum(col("__tk")).as("n_tokens"),
+          graft.functions.Grid.snap(
+            sum(col("__by")).cast("double") /
+              sum(col("__tk")).cast("double"), 4)
+            .as("bytes_per_token"),
+          graft.functions.Grid.snap(
+            (sum(col("__by")) - sum(col("__ch"))).cast("double") /
+              sum(col("__by")).cast("double"), 6)
+            .as("multibyte_share"))
+        .orderBy(col("lang"))),
+
+    // Perplexity DATA-MAP (the ccnet head/middle/tail audit made a
+    // histogram): q103's held-out trigram scores bucketed on the
+    // integer ln-prob grid per source — which sources feed the
+    // low-perplexity head a filter would keep.
+    "q387_perplexity_datamap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val lm = graft.operators.NgramLm.train(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", n = 3)
+      val scored = graft.operators.NgramLm.logProbScore(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", lm)
+      val src = docs.select(col("doc_id"), col("source"))
+      val bins = scored.join(src, Seq("doc_id"))
+        .withColumn("bin", floor(col("avg_lp")).cast("long"))
+      val tot = bins.groupBy(col("source"))
+        .agg(count(lit(1)).as("__n"))
+      bins.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(tot, Seq("source"))
+        .select(col("source"), col("bin"), col("n_docs"),
+          graft.functions.Grid.snap(col("n_docs").cast("double") /
+            col("__n").cast("double"), 6).as("share"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // The pruning OPERATING-POINT curve: the q351 rank computed once,
     // swept over keep fractions {25, 50, 75}% via one bounded explode
     // (the q345 threshold-sweep device) — how a selection pipeline
@@ -9966,6 +10015,64 @@ object SparkEntry {
 
     // strength: q332 register CTEs + integer moments on its grids
     "q385_seasonal_strength" -> HashOracles.q385SeasonalStrength,
+
+    // byte fertility: strlen/length/token integer totals per lang
+    "q386_byte_fertility" -> {
+      import graft.functions.Grid.snapSql
+      s"""WITH d AS (SELECT lang, CAST(strlen(text) AS BIGINT) AS by,
+         |  CAST(length(text) AS BIGINT) AS ch,
+         |  CAST(len($ToksSql) AS BIGINT) AS tk FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(by) AS BIGINT) AS n_bytes,
+         |  CAST(sum(ch) AS BIGINT) AS n_chars,
+         |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+         |  ${snapSql("CAST(sum(by) AS DOUBLE) / " +
+            "CAST(sum(tk) AS DOUBLE)", 4)} AS bytes_per_token,
+         |  ${snapSql("CAST(sum(by) - sum(ch) AS DOUBLE) / " +
+            "CAST(sum(by) AS DOUBLE)", 6)} AS multibyte_share
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // perplexity data-map: the q103 scoring CTEs + integer-grid bins
+    "q387_perplexity_datamap" -> {
+      import graft.functions.Grid.snapSql
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |tr AS (SELECT * FROM tok WHERE doc_id < 250),
+         |te AS (SELECT * FROM tok WHERE doc_id >= 250),
+         |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs FROM
+         |  (SELECT unnest(t) AS w FROM tr)),
+         |n3 AS (SELECT g, count(*) AS cn FROM
+         |  (SELECT array_to_string(t[i + 1 : i + 3], ' ') AS g FROM
+         |    (SELECT t, unnest(range(0, len(t) - 2)) AS i FROM tr
+         |     WHERE len(t) >= 3)) GROUP BY g),
+         |n2 AS (SELECT c, count(*) AS cc FROM
+         |  (SELECT array_to_string(t[i + 1 : i + 2], ' ') AS c FROM
+         |    (SELECT t, unnest(range(0, len(t) - 1)) AS i FROM tr
+         |     WHERE len(t) >= 2)) GROUP BY c),
+         |tep AS (SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ')
+         |    AS g, array_to_string(t[i + 1 : i + 2], ' ') AS c
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i
+         |        FROM te WHERE len(t) >= 3)),
+         |sc AS (SELECT p.doc_id,
+         |  ln((coalesce(n3.cn, 0) + 0.4) / (coalesce(n2.cc, 0) +
+         |    0.4 * v.vs)) AS lp
+         |  FROM tep p
+         |  LEFT JOIN n3 ON n3.g = p.g
+         |  LEFT JOIN n2 ON n2.c = p.c
+         |  CROSS JOIN v),
+         |ds AS (SELECT doc_id, round(avg(lp), 4) AS avg_lp FROM sc
+         |  GROUP BY doc_id),
+         |bn AS (SELECT d.source, CAST(floor(ds.avg_lp) AS BIGINT)
+         |    AS bin FROM ds JOIN documents d USING (doc_id)),
+         |tt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM bn GROUP BY 1)
+         |SELECT bn.source, bn.bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  ${snapSql("CAST(count(*) AS DOUBLE) / " +
+            "CAST(any_value(tt.n) AS DOUBLE)", 6)} AS share
+         |FROM bn JOIN tt USING (source)
+         |GROUP BY bn.source, bn.bin
+         |ORDER BY bn.source, bn.bin""".stripMargin
+    },
 
     // exact integer char-class counts per codepoint (both engines'
     // length() counts codepoints), ratios snapped at 4 dp

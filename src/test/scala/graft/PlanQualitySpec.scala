@@ -1178,6 +1178,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p385.contains("CartesianProduct"), p385)
     assert(!p385.contains("BroadcastNestedLoopJoin"), p385)
     assert(!p385.contains("ScalaUDF"), p385)
+    // q386: ONE aggregation — join-free
+    val p386 = plan("q386_byte_fertility")
+    assert(!p386.contains("Join"), s"q386 must be join-free:\n$p386")
+    // q387: the LM scoring joins are un-hinted equi-joins (q103's
+    // shape) plus the keyed source-total join — no cross blowup
+    val p387 = plan("q387_perplexity_datamap")
+    assert(!p387.contains("CartesianProduct"), p387)
+    assert(!p387.contains("ScalaUDF"), p387)
   }
 
   test("entry: whole-stage codegen covers the join+agg pipeline") {
