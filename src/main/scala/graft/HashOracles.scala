@@ -6356,6 +6356,27 @@ object HashOracles {
          |FROM m ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Host reputation replay (q389): the synth + canonicalization
+    * fragments, host regexp, exact counts and snapped shares.
+    */
+  val q389HostReputation: String = {
+    import graft.functions.Grid.snapSql
+    withClause(
+      urlSynthCtes("documents", carry = ", text") ++
+      urlCanonCtes(carry = ", text") ++ Seq(
+      "hh AS (SELECT doc_id, canonical_url AS curl, " +
+        "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) " +
+        s"AS host, CAST(len($Toks) AS BIGINT) AS tk FROM cn)"),
+      s"""SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT curl) AS BIGINT) AS n_pages,
+         |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+         |  ${snapSql("CAST(count(*) - count(DISTINCT curl) " +
+          "AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS dup_share,
+         |  ${snapSql("CAST(sum(tk) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE)", 4)} AS tokens_per_doc
+         |FROM hh GROUP BY host ORDER BY host""".stripMargin)
+  }
+
   /** Web-pipeline capstone replay (q382): URL canonical dedup →
     * folded-fingerprint dedup → the q327 quality replay, per-language
     * counts at every stage.

@@ -4657,6 +4657,66 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // Quality-aware canonical election for image dedup (the q344
+    // text rule on the media side): among near-dup pairs keep the
+    // SHARPER image — variance-of-Laplacian decides, min id breaks
+    // ties. One hash pass + one quality pass share the decode; the
+    // pair join is the banded equi-join; the election is map-only.
+    "q388_dedup_keep_sharpest" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val copies = base.filter(col("vec_id") % 3 < 2)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("CASE WHEN vec_id % 3 = 1 THEN transform(pixels, " +
+            "(p, i) -> CASE WHEN i % 16 = 0 THEN least(p + 3, 255D) " +
+            "ELSE p END) ELSE pixels END").as("pixels"))
+      val media = graft.CacheScope.register(
+        graft.operators.Multimodal.asMedia(
+          graft.operators.Multimodal.encodePng(base.union(copies),
+            "vec_id", "pixels", side = 8), "media_id", "media")
+          .persist())
+      val pairs = graft.operators.MediaDedup.nearDupPairs(
+        graft.operators.MediaDedup.averageHash(media), maxHamming = 3)
+      val qs = graft.operators.Multimodal.imageQualityStats(media)
+        .select(col("media_id"), col("sharpness"))
+      pairs
+        .join(qs.select(col("media_id").as("a_id"),
+          col("sharpness").as("sharp_a")), Seq("a_id"))
+        .join(qs.select(col("media_id").as("b_id"),
+          col("sharpness").as("sharp_b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          col("sharp_a"), col("sharp_b"),
+          when(col("sharp_a") > col("sharp_b"), col("a_id"))
+            .when(col("sharp_b") > col("sharp_a"), col("b_id"))
+            .otherwise(least(col("a_id"), col("b_id"))).as("keeper"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Host reputation — the RefinedWeb stage AFTER URL dedup: per
+    // canonical host the page/doc counts, the URL-variant dup share,
+    // and token mass; what feeds a host blocklist or crawl budget.
+    "q389_host_reputation" -> ((s, dir) => {
+      val canon = webUrls(T(s, dir, "documents"))
+        .withColumn("curl",
+          graft.functions.Urls.canonicalize(col("url")))
+        .withColumn("host",
+          regexp_extract(col("curl"), "^[a-z]+://([^/:?#]+)", 1))
+        .withColumn("__tk", size(toks(col("text"))).cast("long"))
+      canon.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("curl")).as("n_pages"),
+          sum(col("__tk")).as("n_tokens"),
+          graft.functions.Grid.snap(
+            (count(lit(1)) - countDistinct(col("curl")))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("dup_share"),
+          graft.functions.Grid.snap(
+            sum(col("__tk")).cast("double") /
+              count(lit(1)).cast("double"), 4).as("tokens_per_doc"))
+        .orderBy(col("host"))
+    }),
+
     // The pruning OPERATING-POINT curve: the q351 rank computed once,
     // swept over keep fractions {25, 50, 75}% via one bounded explode
     // (the q345 threshold-sweep device) — how a selection pipeline
@@ -10015,6 +10075,73 @@ object SparkEntry {
 
     // strength: q332 register CTEs + integer moments on its grids
     "q385_seasonal_strength" -> HashOracles.q385SeasonalStrength,
+
+    // keep-sharpest election: the q236 pigeonhole pair set joined to
+    // the q371 sharpness replay over the SAME planted corpus
+    "q388_dedup_keep_sharpest" -> {
+      import graft.functions.Grid.snapSql
+      s"""WITH base AS (SELECT vec_id AS media_id, i,
+        |  CAST(greatest(0, least(255, floor((CAST(embedding[i+1]
+        |    AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p
+        |  FROM embeddings, range(64) t(i)),
+        |corpus AS (
+        |  SELECT media_id, i, p FROM base
+        |  UNION ALL
+        |  SELECT media_id + 100000, i,
+        |    CASE WHEN media_id % 3 = 1 AND i % 16 = 0
+        |      THEN least(p + 3, 255) ELSE p END
+        |  FROM base WHERE media_id % 3 < 2),
+        |s AS (SELECT media_id, sum(p) AS tot FROM corpus GROUP BY 1),
+        |bits AS (SELECT c.media_id, i,
+        |  CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS b
+        |  FROM corpus c JOIN s USING (media_id)),
+        |h AS (SELECT media_id,
+        |  CAST(sum(CASE WHEN i // 16 = 0 THEN b * (1::BIGINT <<
+        |    CAST(15 - (i % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+        |  CAST(sum(CASE WHEN i // 16 = 1 THEN b * (1::BIGINT <<
+        |    CAST(15 - (i % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN i // 16 = 2 THEN b * (1::BIGINT <<
+        |    CAST(15 - (i % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN i // 16 = 3 THEN b * (1::BIGINT <<
+        |    CAST(15 - (i % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b3
+        |  FROM bits GROUP BY media_id),
+        |pr AS (SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        |    AS INTEGER) AS hamming
+        |  FROM h a JOIN h b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        |    <= 3),
+        |lap AS (SELECT c.media_id,
+        |  4 * c.p - pw.p - pe.p - pn.p - ps.p AS l FROM corpus c
+        |  JOIN corpus pw ON pw.media_id = c.media_id
+        |    AND pw.i = c.i - 1
+        |  JOIN corpus pe ON pe.media_id = c.media_id
+        |    AND pe.i = c.i + 1
+        |  JOIN corpus pn ON pn.media_id = c.media_id
+        |    AND pn.i = c.i - 8
+        |  JOIN corpus ps ON ps.media_id = c.media_id
+        |    AND ps.i = c.i + 8
+        |  WHERE c.i % 8 BETWEEN 1 AND 6 AND c.i // 8 BETWEEN 1 AND 6),
+        |qs AS (SELECT media_id,
+        |  ${snapSql("(36.0e0 * CAST(sum(l * l) AS DOUBLE) - " +
+           "CAST(sum(l) AS DOUBLE) * CAST(sum(l) AS DOUBLE)) / " +
+           "1296.0e0", 4)} AS sharpness
+        |  FROM lap GROUP BY media_id)
+        |SELECT pr.a_id, pr.b_id, pr.hamming,
+        |  qa.sharpness AS sharp_a, qb.sharpness AS sharp_b,
+        |  CASE WHEN qa.sharpness > qb.sharpness THEN pr.a_id
+        |       WHEN qb.sharpness > qa.sharpness THEN pr.b_id
+        |       ELSE least(pr.a_id, pr.b_id) END AS keeper
+        |FROM pr JOIN qs qa ON qa.media_id = pr.a_id
+        |JOIN qs qb ON qb.media_id = pr.b_id
+        |ORDER BY pr.a_id, pr.b_id""".stripMargin
+    },
+
+    // host reputation: synth + canonicalization fragments, host
+    // regexp, exact counts + snapped shares
+    "q389_host_reputation" -> HashOracles.q389HostReputation,
 
     // byte fertility: strlen/length/token integer totals per lang
     "q386_byte_fertility" -> {

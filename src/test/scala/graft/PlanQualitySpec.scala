@@ -1186,6 +1186,15 @@ class PlanQualitySpec extends SparkSpec {
     val p387 = plan("q387_perplexity_datamap")
     assert(!p387.contains("CartesianProduct"), p387)
     assert(!p387.contains("ScalaUDF"), p387)
+    // q388: the pair search stays the banded equi-join (never
+    // all-pairs) and the sharpness joins are keyed on the pair ids
+    val p388 = plan("q388_dedup_keep_sharpest")
+    assert(!p388.contains("CartesianProduct"), p388)
+    assert(!p388.contains("BroadcastNestedLoopJoin"), p388)
+    // q389: one hash aggregation on the derived host key — join-free
+    val p389 = plan("q389_host_reputation")
+    assert(!p389.contains("Join"), s"q389 must be join-free:\n$p389")
+    assert(!p389.contains("ScalaUDF"), p389)
   }
 
   test("entry: whole-stage codegen covers the join+agg pipeline") {

@@ -240,4 +240,25 @@ class MediaDedupSpec extends SparkSpec {
     assert(pairs.length === 1 &&
       pairs.head.getAs[Int]("hamming") === 0)
   }
+
+  test("keep-sharpest election (the q388 rule): the higher-variance-" +
+      "of-Laplacian side wins, identical images tie to min id") {
+    import org.apache.spark.sql.functions._
+    // sharp: a checkerboard-ish raster; soft: a constant
+    val sharp = (0 until 64).map(i =>
+      if ((i % 8 + i / 8) % 2 == 0) 200.0 else 40.0)
+    val flat = Seq.fill(64)(120.0)
+    val m = png(Seq((1L, flat), (2L, sharp), (3L, flat)), side = 8)
+    val qs = Multimodal.imageQualityStats(m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(qs(2L) > qs(1L), s"sharpness: $qs")
+    assert(qs(1L) === qs(3L))
+    // election over explicit pairs (the q388 projection)
+    val pairs = Seq((1L, 2L), (1L, 3L))
+    val elected = pairs.map { case (a, b) =>
+      val (sa, sb) = (qs(a), qs(b))
+      if (sa > sb) a else if (sb > sa) b else math.min(a, b)
+    }
+    assert(elected === Seq(2L, 1L))
+  }
 }
