@@ -44,10 +44,10 @@ object RandomProjection {
     }
   }
 
-  /** The matrix as a nested SQL array literal — identical text for
-    * Spark SQL and DuckDB (both accept `array[...]`-free `array(...)`?
-    * no: Spark wants `array(...)`, DuckDB wants `[...]` — so emit per
-    * dialect).
+  /** The matrix as a nested array literal, one renderer per dialect
+    * (Spark SQL spells list literals `array(...)`, DuckDB `[...]`) —
+    * the VALUES are the identical ±1.0 text either way, so both
+    * engines fold the same bits.
     */
   def signsSparkSql(m: Array[Array[Double]]): String =
     m.map(r => "array(" +
