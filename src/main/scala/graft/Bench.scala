@@ -141,7 +141,15 @@ object Bench {
     val top = results.sortBy(-_._2).take(30)
       .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$top,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$top,"sf":"$sfDir"}"""
+    println(line)
+    // stop BEFORE the final print too: Spark's shutdown chatter lands
+    // on stderr AFTER the payload, and a driver that tails the merged
+    // output window has twice (r13, r14 "parsed": null) lost the JSON
+    // line behind it — emit the line again as the very last stdout so
+    // whichever window the driver keeps, the payload is in it
     spark.stop()
+    println(line)
   }
 }

@@ -247,7 +247,12 @@ object HashOracles {
   private def closureCtes(docSetSql: String): Seq[String] = Seq(
     s"dt AS (SELECT doc_id, list_distinct($Toks) AS toks " +
       s"FROM documents $docSetSql)",
-    "ver AS (SELECT c.a_id, c.b_id FROM cand c " +
+    // MATERIALIZED: ver sits under the recursive closure AND under
+    // multiple scalar-subquery consumers (q279/q280's five-way
+    // summaries) — without the pin DuckDB re-inlines the whole
+    // minhash+verify chain per consumer (q280's oracle alone cost
+    // 131 s of the round-14 compare pass; pinned it is ~2 s)
+    "ver AS MATERIALIZED (SELECT c.a_id, c.b_id FROM cand c " +
       "JOIN dt a ON a.doc_id = c.a_id JOIN dt b ON b.doc_id = c.b_id " +
       "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
       "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)",
@@ -2306,6 +2311,87 @@ object HashOracles {
         "JOIN lg ly ON ly.vec_id = b.y " +
         "WHERE b.rn = 1 ORDER BY b.x")
 
+  /** Persisted-index bitext probe replay (q392,
+    * [[operators.Similarity.bitextProbeIndexed]]): centroids train on
+    * the ENGLISH side only (`kmTrainCtes` over the filtered `e`), the
+    * index side assigns nearest-1 (what [[operators.Similarity
+    * .writeIvfIndex]] wrote — the write/append split is invisible,
+    * the q109 disk-round-trip precedent), the foreign delta probes
+    * its `nAssign` nearest lists, and the FORWARD margin ranks each
+    * probe's candidates (`cos / avgK(x)` — the indexed side never
+    * probes back).
+    */
+  def q392BitextIndexProbe(nLists: Int, nAssign: Int,
+      k: Int): String = {
+    import graft.functions.Grid.snapSql
+    val enWhere = " WHERE vec_id IN (SELECT doc_id FROM documents " +
+      "WHERE lang = 'en')"
+    withClause(kmTrainCtes(nLists, enWhere) ++ Seq(
+      kmAssignCte("iasg", "c2", take = 1),
+      "ed AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings " +
+        "WHERE vec_id IN (SELECT doc_id FROM documents " +
+        "WHERE lang <> 'en'))",
+      "dasg AS (SELECT vec_id, v, cid FROM " +
+        "(SELECT vec_id, v, cid, dist, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM " +
+        s"(SELECT d.vec_id, d.v, c.cid, ${kmDist("d.v", "c.vec")} " +
+        "AS dist FROM ed d CROSS JOIN c2 c)) " +
+        s"WHERE rk <= $nAssign)",
+      "p AS (SELECT d.vec_id AS x, i.vec_id AS y, " +
+        "list_cosine_similarity(d.v, i.v) AS cos " +
+        "FROM dasg d JOIN iasg i ON i.cid = d.cid)",
+      "r AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x " +
+        "ORDER BY " + snapSql("cos", 4) + " DESC, y) AS rn FROM p)",
+      s"ak AS (SELECT x, avg(cos) AS avg_k FROM r WHERE rn <= $k " +
+        "GROUP BY x)",
+      "sc AS (SELECT p.x, p.y, p.cos, " +
+        snapSql("p.cos / ax.avg_k", 4) + " AS margin " +
+        "FROM p JOIN ak ax ON ax.x = p.x)",
+      "bst AS (SELECT x, y, cos, margin, row_number() OVER " +
+        "(PARTITION BY x ORDER BY margin DESC, y) AS rn FROM sc)",
+      "lg AS (SELECT doc_id AS vec_id, lang FROM documents)"),
+      "SELECT b.x, b.y AS best_match, " +
+        snapSql("b.cos", 4) + " AS cos, b.margin, " +
+        "lx.lang AS x_lang " +
+        "FROM bst b JOIN lg lx ON lx.vec_id = b.x " +
+        "WHERE b.rn = 1 ORDER BY b.x")
+  }
+
+  /** Semantic-contamination replay (q393): centroids train on the
+    * TRAINING slice, train assigns nearest-1, the benchmark probes
+    * `nAssign` lists, snapped cosine ≥ threshold, per-benchmark-doc
+    * readout (count, max cos, argmax-offender via the keyed
+    * row_number).
+    */
+  def q393SemanticContamination(nLists: Int, nAssign: Int,
+      benchBelow: Long, threshold: Double): String = {
+    import graft.functions.Grid.snapSql
+    withClause(
+      kmTrainCtes(nLists, s" WHERE vec_id >= $benchBelow") ++ Seq(
+      kmAssignCte("tasg", "c2", take = 1),
+      "eb AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings " +
+        s"WHERE vec_id < $benchBelow)",
+      "basg AS (SELECT vec_id, v, cid FROM " +
+        "(SELECT vec_id, v, cid, dist, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM " +
+        s"(SELECT b.vec_id, b.v, c.cid, ${kmDist("b.v", "c.vec")} " +
+        "AS dist FROM eb b CROSS JOIN c2 c)) " +
+        s"WHERE rk <= $nAssign)",
+      "hits AS (SELECT b.vec_id AS bench_id, t.vec_id AS train_id, " +
+        snapSql("list_cosine_similarity(b.v, t.v)", 4) + " AS cos " +
+        "FROM basg b JOIN tasg t ON t.cid = b.cid)",
+      s"hf AS (SELECT * FROM hits WHERE cos >= " +
+        s"${graft.functions.Grid.lit17(threshold)})",
+      "rk2 AS (SELECT *, row_number() OVER (PARTITION BY bench_id " +
+        "ORDER BY cos DESC, train_id) AS rn FROM hf)"),
+      "SELECT bench_id, CAST(count(*) AS BIGINT) AS n_contaminated, " +
+        "max(cos) AS max_cos, " +
+        "max(CASE WHEN rn = 1 THEN train_id END) AS worst_offender " +
+        "FROM rk2 GROUP BY bench_id ORDER BY bench_id")
+  }
+
   /** Cross-lingual semantic near-dup replay (q334): the q93 trained
     * SemDeDup chain (train → nAssign-nearest lists → within-list pairs
     * canonical a<b, min over shared lists) at `threshold`, with the
@@ -2714,7 +2800,12 @@ object HashOracles {
         "(h.ng - coalesce(p.np, 0)) * c.oov_sc AS score " +
         "FROM hb h CROSS JOIN cls c LEFT JOIN pres p " +
         "ON p.doc_id = h.doc_id AND p.lang = c.lang)",
-      "best AS (SELECT doc_id, lang_true, lang AS lang_pred, " +
+      // MATERIALIZED: downstream pipelines (q349's dedup + budget
+      // mix) consume best through several branches — unpinned,
+      // DuckDB re-inlines the whole train+score chain per branch
+      // (~30 s of the round-14 compare pass on q349 alone)
+      "best AS MATERIALIZED (SELECT doc_id, lang_true, " +
+        "lang AS lang_pred, " +
         "row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY score DESC, lang) AS rn FROM sco)")
   }
@@ -4674,13 +4765,17 @@ object HashOracles {
       "fit AS (SELECT g, CAST(count(*) AS BIGINT) AS n_train, " +
         "round(sum(y) / count(*), 4) AS yhat FROM sp " +
         "WHERE split = 'train' GROUP BY g)",
-      "cr AS (SELECT sp.g, sp.id, round(abs(sp.y - fit.yhat), 4) AS r " +
+      // MATERIALIZED (cr, qh): three consumers sit on cr and two on
+      // qh — unpinned, the splitmix split chain re-inlines per
+      // consumer (~12 s of the round-14 compare pass on q247)
+      "cr AS MATERIALIZED (SELECT sp.g, sp.id, " +
+        "round(abs(sp.y - fit.yhat), 4) AS r " +
         "FROM sp JOIN fit USING (g) WHERE split = 'cal')",
       "nc AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal FROM cr " +
         "GROUP BY g)",
       "rk AS (SELECT g, id, r, row_number() OVER " +
         "(PARTITION BY g ORDER BY r, id) AS rn FROM cr)",
-      s"qh AS (SELECT rk.g, nc.n_cal, rk.r AS qhat FROM rk " +
+      s"qh AS MATERIALIZED (SELECT rk.g, nc.n_cal, rk.r AS qhat FROM rk " +
         s"JOIN nc USING (g) WHERE rk.rn = least(nc.n_cal, " +
         s"((nc.n_cal + 1) * $keep + 99) // 100))",
       "tv AS (SELECT sp.g, sp.y, fit.yhat, qh.qhat, qh.n_cal, " +
@@ -4820,13 +4915,20 @@ object HashOracles {
       s"FROM ${p}gh0)",
     s"${p}win AS (SELECT doc_id, unnest(range(1, " +
       s"greatest(ng - ${w - 1}, 1) + 1)) AS s FROM ${p}wbase)",
-    s"${p}ch AS (SELECT w.doc_id, w.s, " +
-      "min(struct_pack(h := g.h, np := -g.pos)) AS pick " +
+    // per-window pick = min h, rightmost-position tie — as a keyed
+    // row_number instead of min(struct_pack(...)): DuckDB's struct-
+    // min aggregate ran at ~5k rows/s (87 s of the round-14 compare
+    // pass in this one CTE); the window form is ~35× faster and
+    // row-for-row identical (h is an exact int64, ties break on the
+    // SAME (h, pos DESC) order the struct min encoded)
+    s"${p}ch AS (SELECT doc_id, s, h, pos, " +
+      "row_number() OVER (PARTITION BY doc_id, s " +
+      "ORDER BY h, pos DESC) AS rn " +
+      s"FROM (SELECT w.doc_id, w.s, g.h, g.pos " +
       s"FROM ${p}win w JOIN ${p}gh g ON g.doc_id = w.doc_id " +
-      s"AND g.pos BETWEEN w.s AND w.s + ${w - 1} " +
-      "GROUP BY w.doc_id, w.s)",
-    s"${p}sel AS (SELECT DISTINCT doc_id, -pick.np AS pos, " +
-      s"pick.h AS h FROM ${p}ch)")
+      s"AND g.pos BETWEEN w.s AND w.s + ${w - 1}))",
+    s"${p}sel AS (SELECT DISTINCT doc_id, pos, h FROM ${p}ch " +
+      "WHERE rn = 1)")
 
   /** Per-doc winnowing profile replay (q262). */
   def q262Winnowing(k: Int, w: Int): String =
@@ -4976,6 +5078,37 @@ object HashOracles {
   val FoldedFpSql: String =
     s"CASE WHEN len($FoldedToksSql) > 0 THEN md5(array_to_string(" +
       s"list_sort($FoldedToksSql), ' ')) END"
+
+  /** The SCRIPT-AWARE fold as SQL — mirrors
+    * [[operators.CrossLingual.foldTextScripted]]: lower → 1:1
+    * translate → keep `\p{L}\p{Nd}` of every script → isolate each
+    * unsegmented-script (Han/kana) character as its own token. The
+    * `\x{...}` range class is the same text RE2 and Java both parse;
+    * the only dialect seam is the backreference spelling (`\1` vs
+    * `$1`).
+    */
+  val ScriptedFoldSql: String = {
+    val from = operators.CrossLingual.AccentFrom
+    val to = operators.CrossLingual.AccentTo
+    val cls = operators.CrossLingual.UnsegmentedClass
+    s"regexp_replace(regexp_replace(translate(lower(text), '$from', " +
+      s"'$to'), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), " +
+      s"'([$cls])', ' \\1 ', 'g')"
+  }
+
+  /** Distinct token list over [[ScriptedFoldSql]]. */
+  val ScriptedToksSql: String =
+    "list_distinct(list_filter(string_split_regex(lower(" +
+      s"$ScriptedFoldSql), '\\s+'), t -> t <> ''))"
+
+  /** Script-aware fingerprint mirroring
+    * [[operators.CrossLingual.foldedFingerprintScripted]] — strings
+    * sort BINARY (UTF-8 bytewise) in both engines, so the sorted
+    * multi-script token join hashes identically.
+    */
+  val ScriptedFpSql: String =
+    s"CASE WHEN len($ScriptedToksSql) > 0 THEN md5(array_to_string(" +
+      s"list_sort($ScriptedToksSql), ' ')) END"
 
   /** Cross-lingual near-dup replay: the q18 banded-candidate CTEs run
     * over the FOLDED text (base subquery aliases the fold AS text so
@@ -5946,13 +6079,26 @@ object HashOracles {
       "rk AS (SELECT *, row_number() OVER (PARTITION BY qid, d " +
         s"ORDER BY cos DESC, nid) AS rn FROM cs QUALIFY rn <= $k)",
       s"gt AS (SELECT qid, nid FROM rk WHERE d = $full)",
-      "ht AS (SELECT d, CAST(count(*) AS BIGINT) AS hits FROM rk " +
-        "JOIN gt USING (qid, nid) GROUP BY d)",
+      "gtc AS (SELECT qid, CAST(count(*) AS BIGINT) AS gtn " +
+        "FROM gt GROUP BY 1)",
+      "ht AS (SELECT qid, d, CAST(count(*) AS BIGINT) AS hits " +
+        "FROM rk JOIN gt USING (qid, nid) GROUP BY 1, 2)",
+      "qd AS (SELECT qid, d FROM qs, unnest([8, 16, 32, 64]) t(d))",
+      // per-query recall as an exact 1e-6-grid integer (the operator's
+      // nano device): zero-hit widths survive via the LEFT join, the
+      // denominator is the ACTUAL per-query ground-truth size
+      "pq AS (SELECT qd.d, CAST(floor(1000000.0e0 * " +
+        "CAST(COALESCE(ht.hits, 0) AS DOUBLE) / " +
+        "CAST(gtc.gtn AS DOUBLE) + 0.5e0) AS BIGINT) AS nano " +
+        "FROM qd LEFT JOIN ht ON ht.qid = qd.qid AND ht.d = qd.d " +
+        "LEFT JOIN gtc ON gtc.qid = qd.qid)",
+      "sm AS (SELECT d, CAST(sum(nano) AS BIGINT) AS sn FROM pq " +
+        "GROUP BY 1)",
       "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qs)"),
       s"""SELECT d, n_queries,
-         |  ${snapSql(s"CAST(hits AS DOUBLE) / (CAST($k AS DOUBLE) * " +
+         |  ${snapSql("CAST(sn AS DOUBLE) / (1000000.0e0 * " +
           "CAST(n_queries AS DOUBLE))", 6)} AS mean_recall
-         |FROM ht, nq ORDER BY d""".stripMargin)
+         |FROM sm, nq ORDER BY d""".stripMargin)
   }
 
   /** Holm step-down replay (q378, [[operators.Multiplicity
@@ -5990,7 +6136,8 @@ object HashOracles {
         "1.330274429e0)))))), 6) AS p FROM zt)",
       "rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, grp) " +
         "AS INTEGER) AS rank, " +
-        "CAST(count(*) OVER () AS BIGINT) AS m FROM pv)",
+        "CAST(count(*) OVER () AS BIGINT) AS m FROM pv " +
+        "WHERE p IS NOT NULL)",
       s"th AS (SELECT *, ${snapSql(s"$alphaPct / (100.0e0 * " +
         "CAST(m - rank + 1 AS DOUBLE))", 6)} AS holm_threshold " +
         "FROM rk)",
@@ -5998,7 +6145,10 @@ object HashOracles {
         "END) OVER () AS kfail FROM th)"),
       "SELECT grp AS segment, n_a, n_b, diff, z, p, rank, " +
         "holm_threshold, kfail IS NULL OR rank < kfail AS rejected " +
-        "FROM kf ORDER BY rank")
+        "FROM kf UNION ALL " +
+        "SELECT grp, n_a, n_b, diff, z, p, CAST(NULL AS INTEGER), " +
+        "CAST(NULL AS DOUBLE), false FROM pv WHERE p IS NULL " +
+        "ORDER BY rank")
   }
 
   /** Image quality replay (q371, [[operators.Multimodal
@@ -6063,14 +6213,37 @@ object HashOracles {
   private def urlCanonCtes(carry: String = ""): Seq[String] = {
     val tracking = graft.functions.Urls.trackingParams
       .map(p => s"'$p'").mkString(", ")
+    // percent normalization mirror ([[graft.functions.Urls
+    // .normalizePercent]]): split on '%', every piece after the
+    // first re-folds its triplet (uppercase hex; unreserved bytes
+    // decode) or re-attaches its '%' untouched
+    val hex = "upper(substr(p, 1, 2))"
+    val code = "((strpos('0123456789ABCDEF', " +
+      s"substr($hex, 1, 1)) - 1) * 16 + " +
+      s"strpos('0123456789ABCDEF', substr($hex, 2, 1)) - 1)"
+    val unres = s"($code BETWEEN 48 AND 57 OR $code BETWEEN 65 AND " +
+      s"90 OR $code BETWEEN 97 AND 122 OR $code IN (45, 46, 95, 126))"
     Seq(
+      s"p00 AS (SELECT doc_id$carry, url, string_split(" +
+        "regexp_extract(url, '^([^#]*)', 1), '%') AS pp FROM rw)",
+      // coalesce: DuckDB's array_to_string over an EMPTY list (a
+      // URL with no '%') is NULL where Spark's array_join is ''
+      s"pn AS (SELECT doc_id$carry, url, pp[1] || " +
+        "coalesce(array_to_string(" +
+        "list_transform(pp[2:], p -> CASE " +
+        "WHEN NOT regexp_matches(substr(p, 1, 2), " +
+        "'^[0-9A-Fa-f]{2}$') THEN '%' || p " +
+        s"WHEN $unres THEN chr(CAST($code AS INTEGER)) " +
+        "|| substr(p, 3) " +
+        s"ELSE '%' || $hex || substr(p, 3) END), ''), '') AS u " +
+        "FROM p00)",
       s"p1 AS (SELECT doc_id$carry, url, " +
-        "lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme, " +
-        "lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) " +
+        "lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS scheme, " +
+        "lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) " +
         "AS hostport, " +
-        "regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) " +
+        "regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) " +
         "AS raw_path, " +
-        "regexp_extract(url, '\\?([^#]*)', 1) AS raw_q FROM rw)",
+        "regexp_extract(u, '\\?([^#]*)', 1) AS raw_q FROM pn)",
       "p2 AS (SELECT *, " +
         "regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), " +
         "'^www\\.', '') AS host, " +
@@ -6118,6 +6291,31 @@ object HashOracles {
         "ix.matched_id IS NOT NULL AS is_dup, ix.matched_id " +
         "FROM dl LEFT JOIN ix ON dl.canonical_url = ix.curl " +
         "ORDER BY dl.doc_id")
+
+  /** Percent-normalization dedup replay (q390): the five-variant
+    * synth (%7E/%7e/~ spellings, fragment-with-'?', query decode +
+    * reserved case fold), then the SAME canonicalization CTE chain —
+    * the percent mirror sits inside [[urlCanonCtes]] for every URL
+    * oracle alike.
+    */
+  val q390UrlPercent: String =
+    withClause(Seq(
+      "uu AS (SELECT doc_id, doc_id // 5 AS base FROM documents)",
+      "rw AS (SELECT doc_id, 'https://host' || " +
+        "CAST(base % 7 AS VARCHAR) || '.example.org' || " +
+        "CASE doc_id % 5 " +
+        "WHEN 0 THEN '/%7Euser' || CAST(base AS VARCHAR) || '/docs' " +
+        "WHEN 1 THEN '/~user' || CAST(base AS VARCHAR) || '/docs' " +
+        "WHEN 2 THEN '/%7euser' || CAST(base AS VARCHAR) || '/docs' " +
+        "WHEN 3 THEN '/~user' || CAST(base AS VARCHAR) || " +
+        "'/docs#sec?x=' || CAST(doc_id AS VARCHAR) " +
+        "ELSE '/~user' || CAST(base AS VARCHAR) || " +
+        "'/docs?x=%41%2f&utm_source=z' END AS url FROM uu)") ++
+      urlCanonCtes(),
+      "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT url) AS BIGINT) AS n_raw, " +
+        "min(doc_id) AS canonical_doc " +
+        "FROM cn GROUP BY 1 ORDER BY canonical_url")
 
   /** The A&S 26.2.17 two-sided normal p as SQL text over a z column
     * expression — [[operators.Multiplicity.normalTwoSidedP]]'s
@@ -6168,7 +6366,8 @@ object HashOracles {
       s"pv AS (SELECT *, ${normalPSql("z")} AS p FROM pw)",
       "rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, pair) " +
         "AS INTEGER) AS rank, " +
-        "CAST(count(*) OVER () AS BIGINT) AS m FROM pv)",
+        "CAST(count(*) OVER () AS BIGINT) AS m FROM pv " +
+        "WHERE p IS NOT NULL)",
       s"th AS (SELECT *, ${snapSql(s"$alphaPct / (100.0e0 * " +
         "CAST(m - rank + 1 AS DOUBLE))", 6)} AS holm_threshold " +
         "FROM rk)",
@@ -6176,7 +6375,10 @@ object HashOracles {
         "END) OVER () AS kfail FROM th)"),
       "SELECT pair, arm_a, arm_b, n_a, n_b, diff, z, p, rank, " +
         "holm_threshold, kfail IS NULL OR rank < kfail AS rejected " +
-        "FROM kf ORDER BY rank")
+        "FROM kf UNION ALL " +
+        "SELECT pair, arm_a, arm_b, n_a, n_b, diff, z, p, " +
+        "CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), false " +
+        "FROM pv WHERE p IS NULL ORDER BY rank")
   }
 
   /** Welch ANOVA replay (q381, [[operators.Abtest.welchAnova]]): the
@@ -6434,14 +6636,20 @@ object HashOracles {
     val m = graft.operators.RandomProjection.signMatrix(64, 16)
     val signs = graft.operators.RandomProjection.signsDuckSql(m)
     val inv = lit17(1.0 / math.sqrt(16.0))
+    // the sign matrix is a ONE-ROW CTE iterated row-wise
+    // (list_transform over the matrix itself): inlining the 16×64
+    // literal inside the per-element lambda made DuckDB rebuild it
+    // N·16·64 times — 281 s of the round-14 compare pass for this
+    // oracle alone. Same i-ascending fold per row, identical bits.
     val projJ = snapSql("list_reduce(list_prepend(" +
       "CAST(0.0 AS DOUBLE), list_transform(range(64), " +
-      s"i -> CAST(embedding[i + 1] AS DOUBLE) * " +
-      s"(($signs)[j + 1])[i + 1])), (a, x) -> a + x) * $inv", 6)
+      "i -> CAST(embedding[i + 1] AS DOUBLE) * " +
+      s"srow[i + 1])), (a, x) -> a + x) * $inv", 6)
     withClause(Seq(
+      s"sg AS (SELECT $signs AS signs)",
       "pr AS (SELECT vec_id, embedding, " +
-        s"list_transform(range(16), j -> $projJ) AS proj " +
-        "FROM embeddings)",
+        s"list_transform(sg.signs, srow -> $projJ) AS proj " +
+        "FROM embeddings, sg)",
       "pe AS (SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb, " +
         "a.proj AS pa, b.proj AS pb FROM pr a " +
         "JOIN pr b ON b.vec_id = a.vec_id + 1)",

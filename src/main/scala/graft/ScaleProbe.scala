@@ -579,6 +579,55 @@ object ScaleProbe {
             nAssign = 2))
       }
     }
+    // round-15 script-aware fingerprint: one hash aggregation —
+    // exact replicas multiply cluster SIZES, not the shuffle key
+    // space, so the cluster table stays bounded by distinct content
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("scripted_fp")) {
+        timeWarm(s"scripted_fp r=$r docs=${nDocs * r}",
+          () => operators.CrossLingual.scriptAwareClusters(
+            replicateDocs(r).withColumn("lang",
+              pmod(col("doc_id"), lit(5L)).cast("string")),
+            "doc_id", "text", "lang"))
+      }
+    }
+    // round-15 percent-normalized URL key: the canonical key is one
+    // map-only Column program (split/transform/join + regexes) into
+    // one hash aggregation — linear by construction, measured so the
+    // percent fold's split-transform doesn't hide a blowup
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("url_percent")) {
+        timeWarm(s"url_percent r=$r docs=${nDocs * r}",
+          () => replicateDocs(r)
+            .withColumn("url", concat(lit("https://h"),
+              pmod(col("doc_id"), lit(97L)),
+              lit(".example.org/%7Eu"), expr("doc_id div 7"),
+              lit("/docs?x=%41%2f&utm_source=z")))
+            .groupBy(graft.functions.Urls.canonicalize(col("url"))
+              .as("curl"))
+            .agg(count(lit(1)).as("n")))
+      }
+    }
+    // round-15 persisted-index bitext probe (lists ∝ n): the index
+    // write is the one-off corpus build; the RECURRING cost is the
+    // probe — one nearest-list explode + equi-join against the list
+    // scan + keyed margin windows, which must stay ~linear as corpus
+    // and index grow together
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("bitext_probe")) {
+        val en = replicateVecs(r).filter(col("vec_id") % 2 === 0)
+        val cents = operators.Clustering.kmeansCentroids(
+          en, "vec_id", "embedding", k = 8 * r, iters = 1)
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_probe_bitext_ivf_$r").getAbsolutePath
+        operators.Similarity.writeIvfIndex(en, "vec_id", "embedding",
+          path, cents)
+        timeWarm(s"bitext_probe r=$r lists=${8 * r}",
+          () => operators.Similarity.bitextProbeIndexed(spark, path,
+            replicateVecs(r).filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", k = 8, nAssign = 2))
+      }
+    }
     // trained langid: train = one (gram, lang) count shuffle (the
     // count table grows with DISTINCT grams, sublinear on replicated
     // text), predict = one explode + equi-join + (doc, class) agg —

@@ -4717,6 +4717,155 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // SEMANTIC contamination at EMBEDDING grain (round-15): token-
+    // level decontamination (q71/q162's n-gram/Bloom gates) misses
+    // PARAPHRASED benchmark leakage — same meaning, zero shared
+    // 13-grams. Here the held-out benchmark (doc_id < 100) probes the
+    // training corpus in embedding space: centroids train on the
+    // TRAINING side (its distribution is what the index would hold),
+    // the train side assigns nearest-1, the benchmark probes nAssign
+    // lists (the q392 shape, in memory), cosine >= 0.35 flags a
+    // semantic hit; readout per benchmark doc — how many training
+    // docs paraphrase it, the worst offender, the max cosine. Every
+    // stage an equi-join on trained list ids — never n².
+    "q393_semantic_contamination" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = T(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") < 100)
+      val train = e.filter(col("vec_id") >= 100)
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        train, "vec_id", "embedding", k = 16, iters = 2)
+      val VF = graft.functions.VectorFunctions
+      val tr = VF.prepForPairs(train, "vec_id", "embedding")
+        .withColumn("__list", element_at(
+          graft.operators.Clustering.nearestLists(col("vd"), cents, 1),
+          1))
+      val pr = VF.prepForPairs(bench, "vec_id", "embedding")
+        .withColumn("__list", explode(
+          graft.operators.Clustering.nearestLists(col("vd"), cents, 4)))
+      val hits = pr.as("b").join(tr.as("t"), col("b.__list") ===
+          col("t.__list"))
+        .select(col("b.id").as("bench_id"), col("t.id").as("train_id"),
+          when(col("b.nrm") * col("t.nrm") === 0.0, lit(0.0))
+            .otherwise(VF.fastDot(col("b.vd"), col("t.vd")) /
+              (col("b.nrm") * col("t.nrm"))).as("cos"))
+        .withColumn("cos", graft.functions.Grid.snap(col("cos"), 4))
+        .filter(col("cos") >= 0.35)
+      val w = Window.partitionBy(col("bench_id"))
+        .orderBy(col("cos").desc, col("train_id"))
+      hits
+        .withColumn("__rn", row_number().over(w))
+        .groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_contaminated"),
+          max(col("cos")).as("max_cos"),
+          max(when(col("__rn") === 1, col("train_id")))
+            .as("worst_offender"))
+        .orderBy(col("bench_id"))
+    }),
+
+    // PERSISTED-INDEX bitext mining (round-15: the q333 trained-list
+    // form composed with the q109 IVF index lifecycle): the English
+    // half of a parallel-corpus build stands as an on-disk IVF index
+    // (written, then FOLDED into with an append — the disk round-trip
+    // must not change a row), and the foreign batch probes its
+    // nAssign nearest lists — at 100 TB a static isin-pruned scan of
+    // just those list directories — mining each probe's best partner
+    // by FORWARD margin (the indexed side never probes back, so the
+    // two-sided ratio is undefined; Artetxe & Schwenk forward
+    // scoring). Incremental mining without recomputing the corpus.
+    "q392_bitext_index_probe" -> ((s, dir) => {
+      val langs = T(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = T(s, dir, "embeddings")
+      val en = e.join(langs.filter(col("lang") === "en")
+        .select(col("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        en, "vec_id", "embedding", k = 16, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q392_bitext_ivf").getAbsolutePath
+      graft.operators.Similarity.writeIvfIndex(
+        en.filter(col("vec_id") < 300), "vec_id", "embedding",
+        path, cents)
+      graft.operators.Similarity.appendToIvfIndex(
+        en.filter(col("vec_id") >= 300), "vec_id", "embedding", path)
+      val delta = e.join(langs.filter(col("lang") =!= "en")
+        .select(col("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.bitextProbeIndexed(s, path, delta,
+          "vec_id", "embedding", k = 8, nAssign = 4)
+        .join(langs.select(col("vec_id").as("x"),
+          col("lang").as("x_lang")), Seq("x"))
+        .orderBy(col("x"))
+    }),
+
+    // SCRIPT-AWARE cross-lingual dedup (round-15 directive: non-Latin
+    // corpora previously folded to NULL and opted out of exact dedup
+    // entirely): a synthetic multilingual corpus plants zh duplicates
+    // (codepoint-grain permutations under zh vs zh-tw labels) and ru
+    // duplicates (token permutations under mislabeled locales) beside
+    // Latin singletons — same-script permutations collide, and NO
+    // cluster ever spans two scripts (tokens keep their native
+    // characters, so cross-script sets can't be equal). Same one-
+    // aggregation plan as q319.
+    "q391_script_aware_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id div 5").as("__b"))
+        .withColumn("lang",
+          when(col("doc_id") % 5 === 0, lit("zh"))
+          .when(col("doc_id") % 5 === 1, lit("zh-tw"))
+          .when(col("doc_id") % 5 === 2, lit("ru"))
+          .when(col("doc_id") % 5 === 3, lit("ru-md"))
+          .otherwise(lit("en")))
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(
+            lit("机器学习模型"), col("__b"), lit("号")))
+          .when(col("doc_id") % 5 === 1, concat(
+            lit("模型。机器, 学习 "), col("__b"), lit("号")))
+          .when(col("doc_id") % 5 === 2, concat(
+            lit("модель машинного обучения "), col("__b")))
+          .when(col("doc_id") % 5 === 3, concat(
+            lit("обучения, модель — машинного "), col("__b")))
+          .otherwise(concat(lit("machine learning model "),
+            col("__b"))))
+      graft.operators.CrossLingual.scriptAwareClusters(
+          docs, "doc_id", "text", "lang")
+        .orderBy(col("canonical_id"))
+    }),
+
+    // Percent-encoding normalization in the URL dedup key (the q372
+    // family, round-15): five crawl variants per target page — %7E /
+    // %7e / literal '~' spellings, a fragment whose '?' must NOT be
+    // read as a query, and a query mixing an unreserved decode (%41
+    // -> A) with a reserved case fold (%2f -> %2F) — all fold into
+    // one canonical per page via the same single codegen'd Column
+    // program; dedup stays one hash aggregation on the derived key.
+    "q390_url_percent_norm" -> ((s, dir) => {
+      val urls = T(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id div 5").as("__base"))
+        .withColumn("__h", concat(lit("https://host"),
+          col("__base") % 7, lit(".example.org")))
+        .withColumn("url",
+          when(col("doc_id") % 5 === 0, concat(col("__h"),
+            lit("/%7Euser"), col("__base"), lit("/docs")))
+          .when(col("doc_id") % 5 === 1, concat(col("__h"),
+            lit("/~user"), col("__base"), lit("/docs")))
+          .when(col("doc_id") % 5 === 2, concat(col("__h"),
+            lit("/%7euser"), col("__base"), lit("/docs")))
+          .when(col("doc_id") % 5 === 3, concat(col("__h"),
+            lit("/~user"), col("__base"), lit("/docs#sec?x="),
+            col("doc_id")))
+          .otherwise(concat(col("__h"), lit("/~user"), col("__base"),
+            lit("/docs?x=%41%2f&utm_source=z"))))
+      urls
+        .groupBy(graft.functions.Urls.canonicalize(col("url"))
+          .as("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw"),
+          min(col("doc_id")).as("canonical_doc"))
+        .orderBy(col("canonical_url"))
+    }),
+
     // The pruning OPERATING-POINT curve: the q351 rank computed once,
     // swept over keep fractions {25, 50, 75}% via one bounded explode
     // (the q345 threshold-sweep device) — how a selection pipeline
@@ -4744,18 +4893,25 @@ object SparkEntry {
           expr("CASE WHEN vec_id % 3 = 1 THEN transform(pixels, " +
             "(p, i) -> CASE WHEN i % 16 = 0 THEN least(p + 3, 255D) " +
             "ELSE p END) ELSE pixels END").as("pixels"))
-      val media = graft.CacheScope.register(
-        graft.operators.Multimodal.asMedia(
-          graft.operators.Multimodal.encodePng(base.union(copies),
-            "vec_id", "pixels", side = 8), "media_id", "media")
+      // decode-once: the cached frame is the POOLED GRID, so the
+      // codec pass runs once for all three hash families (pre-r15 it
+      // cached the PNG bytes and decoded 3x)
+      val cells = graft.CacheScope.register(
+        graft.operators.MediaDedup.pooledGrids(
+          graft.operators.Multimodal.asMedia(
+            graft.operators.Multimodal.encodePng(base.union(copies),
+              "vec_id", "pixels", side = 8), "media_id", "media"))
           .persist())
       def flags(h: org.apache.spark.sql.DataFrame, nm: String) =
         graft.operators.MediaDedup.nearDupPairs(h, maxHamming = 3)
           .select(col("a_id"), col("b_id"), lit(true).as(nm))
-      flags(graft.operators.MediaDedup.averageHash(media), "in_ahash")
-        .join(flags(graft.operators.MediaDedup.differenceHash(media),
+      flags(graft.operators.MediaDedup.averageHashFromCells(cells),
+          "in_ahash")
+        .join(flags(graft.operators.MediaDedup
+            .differenceHashFromCells(cells),
           "in_dhash"), Seq("a_id", "b_id"), "full_outer")
-        .join(flags(graft.operators.MediaDedup.perceptualHash(media),
+        .join(flags(graft.operators.MediaDedup
+            .perceptualHashFromCells(cells),
           "in_phash"), Seq("a_id", "b_id"), "full_outer")
         .withColumn("in_ahash", coalesce(col("in_ahash"), lit(false)))
         .withColumn("in_dhash", coalesce(col("in_dhash"), lit(false)))
@@ -4949,16 +5105,21 @@ object SparkEntry {
           expr("CASE WHEN vec_id % 3 = 1 THEN transform(pixels, " +
             "(p, i) -> CASE WHEN i % 16 = 0 THEN least(p + 3, 255D) " +
             "ELSE p END) ELSE pixels END").as("pixels"))
-      val media = graft.CacheScope.register(
-        graft.operators.Multimodal.asMedia(
-          graft.operators.Multimodal.encodePng(base.union(copies),
-            "vec_id", "pixels", side = 8), "media_id", "media")
+      // decode-once: cache the pooled grid, not the PNG bytes — one
+      // codec pass feeds both hash families (the q366 convention)
+      val cells = graft.CacheScope.register(
+        graft.operators.MediaDedup.pooledGrids(
+          graft.operators.Multimodal.asMedia(
+            graft.operators.Multimodal.encodePng(base.union(copies),
+              "vec_id", "pixels", side = 8), "media_id", "media"))
           .persist())
       val aP = graft.operators.MediaDedup.nearDupPairs(
-          graft.operators.MediaDedup.averageHash(media), maxHamming = 3)
+          graft.operators.MediaDedup.averageHashFromCells(cells),
+          maxHamming = 3)
         .withColumnRenamed("hamming", "a_hamming")
       val dP = graft.operators.MediaDedup.nearDupPairs(
-          graft.operators.MediaDedup.differenceHash(media), maxHamming = 3)
+          graft.operators.MediaDedup.differenceHashFromCells(cells),
+          maxHamming = 3)
         .withColumnRenamed("hamming", "d_hamming")
       aP.join(dP, Seq("a_id", "b_id"), "full_outer")
         .orderBy(col("a_id"), col("b_id"))
@@ -9825,6 +9986,10 @@ object SparkEntry {
     "q219_margin_mining_ivf" -> HashOracles.q219MarginMiningIvf(64, 6, 8),
 
     "q333_bitext_mining_ivf" -> HashOracles.q333BitextMiningIvf(64, 6, 8),
+    "q392_bitext_index_probe" ->
+      HashOracles.q392BitextIndexProbe(16, 4, 8),
+    "q393_semantic_contamination" ->
+      HashOracles.q393SemanticContamination(16, 4, 100L, 0.35),
 
     "q334_xling_semantic_neardup" ->
       HashOracles.q334XlingSemanticNearDup(16, 2, 0.4),
@@ -10036,6 +10201,7 @@ object SparkEntry {
 
     // URL canonicalization: identical regex + list program
     "q372_url_dedup" -> HashOracles.q372UrlDedup,
+    "q390_url_percent_norm" -> HashOracles.q390UrlPercent,
 
     // JL distortion: embedded sign literal, index-ordered folds
     "q373_jl_distortion" -> HashOracles.q373JlDistortion,
@@ -11136,6 +11302,32 @@ object SparkEntry {
     "q320_crosslingual_neardup" ->
       HashOracles.q320CrossLingualNearDup(0.8),
 
+    // the q319 cluster shape under the script-aware fold, over the
+    // planted multilingual synth corpus
+    "q391_script_aware_dedup" ->
+      s"""WITH uu AS (SELECT doc_id, doc_id // 5 AS b FROM documents),
+        |sy AS (SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'zh' WHEN 1 THEN 'zh-tw'
+        |    WHEN 2 THEN 'ru' WHEN 3 THEN 'ru-md'
+        |    ELSE 'en' END AS lang,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN '机器学习模型' || CAST(b AS VARCHAR) || '号'
+        |    WHEN 1 THEN '模型。机器, 学习 ' || CAST(b AS VARCHAR) || '号'
+        |    WHEN 2 THEN 'модель машинного обучения ' || CAST(b AS VARCHAR)
+        |    WHEN 3 THEN 'обучения, модель — машинного ' || CAST(b AS VARCHAR)
+        |    ELSE 'machine learning model ' || CAST(b AS VARCHAR)
+        |  END AS text FROM uu),
+        |f AS (SELECT doc_id, lang,
+        |  ${HashOracles.ScriptedFpSql} AS fp FROM sy)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  min(doc_id) AS canonical_id,
+        |  array_to_string(list_sort(list_distinct(list(lang))), ',')
+        |    AS langs
+        |FROM f WHERE fp IS NOT NULL GROUP BY fp
+        |HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
+        |ORDER BY canonical_id""".stripMargin,
+
     // Page–Hinkley replay: the identical sequential fold as a DuckDB
     // list_reduce (1-based arrays: [i, s, m, mn, ph, at]); both
     // engines fold the ordered list left-to-right, so the raw
@@ -11570,7 +11762,8 @@ object SparkEntry {
         |  FROM zt),
         |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, grp)
         |    AS INTEGER) AS rank,
-        |  CAST(count(*) OVER () AS BIGINT) AS m FROM pv),
+        |  CAST(count(*) OVER () AS BIGINT) AS m FROM pv
+        |  WHERE p IS NOT NULL),
         |th AS (SELECT *, round(CAST(rank AS DOUBLE) * 10 /
         |  (100.0e0 * m), 6) AS bh_threshold FROM rk),
         |km AS (SELECT *, max(CASE WHEN p <= bh_threshold THEN rank END)
@@ -11578,7 +11771,11 @@ object SparkEntry {
         |SELECT grp AS segment, n_a, n_b, diff, z, p, rank,
         |  bh_threshold,
         |  kmax IS NOT NULL AND rank <= kmax AS rejected
-        |FROM km ORDER BY rank""".stripMargin,
+        |FROM km
+        |UNION ALL
+        |SELECT grp, n_a, n_b, diff, z, p, CAST(NULL AS INTEGER),
+        |  CAST(NULL AS DOUBLE), false FROM pv WHERE p IS NULL
+        |ORDER BY rank""".stripMargin,
 
     "q247_conformal_intervals" -> HashOracles.q247Conformal(10),
 

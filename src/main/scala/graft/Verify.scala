@@ -21,18 +21,28 @@ object Verify {
     // unset -> the driver's full gate, unchanged
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    // Per-query wall seconds → a markers file (the Bench convention):
+    // the gate's Spark half is a driver-budget line item (round 14's
+    // CORRECTNESS record came back empty when the full gate outgrew
+    // the driver's window), so its per-query profile must be on
+    // record to know WHAT to shrink.
+    val markers = new java.io.PrintWriter(
+      new java.io.FileWriter("VERIFY_MARKERS.log", false))
+    try SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       // per-query CacheScope: operator-persisted caches are released
       // after each query's write, not stranded for the session
+      val t0 = System.nanoTime()
       try CacheScope.scoped {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-    }
+      markers.println(f"${(System.nanoTime() - t0) / 1e9}%.3f $name")
+      markers.flush()
+    } finally markers.close()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

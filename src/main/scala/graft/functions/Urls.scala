@@ -26,12 +26,26 @@ import org.apache.spark.sql.functions._
   *    (`utm_*` prefixes and the [[trackingParams]] list), the rest
   *    sorted BINARY (ASCII parameter names are the contract — both
   *    engines sort UTF-8 bytewise) and rejoined;
-  *  - the fragment dropped.
+  *  - the fragment stripped FIRST (everything from the first `#`),
+  *    so a `?` hiding inside a fragment can never be misread as the
+  *    query delimiter;
+  *  - percent-encoding normalized over the whole pre-fragment URL
+  *    before the structural split: `%XX` hex digits folded to
+  *    UPPERCASE, and triplets encoding an unreserved character
+  *    (RFC 3986 §2.3: ALPHA / DIGIT / `-._~`) decoded to the
+  *    character itself (`%7Euser` ≡ `~user`; `%2f` ≡ `%2F` but NOT
+  *    `/` — reserved characters stay encoded, so decoding can never
+  *    mint a new delimiter); malformed triplets (`%G1`, trailing
+  *    `%`) pass through untouched.
   *
-  * Out of contract (documented, not folded): percent-encoding
-  * normalization, IDN/punycode, path dot-segment resolution. A URL
-  * with no `scheme://` yields NULL — unparseable inputs opt OUT of
-  * URL dedup loudly (the cross-lingual empty-fold convention), never
+  * Out of contract (documented, not folded): IDN/punycode, path
+  * dot-segment resolution, userinfo (`user@host` — the `@` rides
+  * along inside the host field), bracketed IPv6 hosts (the `:` of
+  * `[::1]:8080` splits at the wrong colon), and percent-encoded
+  * HOSTS (host lowercasing runs after percent normalization, so a
+  * triplet there comes out lowercase — IDN territory). A URL with
+  * no `scheme://` yields NULL — unparseable inputs opt OUT of URL
+  * dedup loudly (the cross-lingual empty-fold convention), never
   * merge.
   */
 object Urls {
@@ -42,9 +56,43 @@ object Urls {
   val trackingParams: Seq[String] =
     Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid")
 
+  /** Percent-encoding normalization (see object doc): split on `%`
+    * (a plain one-char split — RE2 has no lookahead, so the DuckDB
+    * oracle mirrors the split verbatim), then every piece after the
+    * first was preceded by one `%`: a piece opening with two hex
+    * digits is a triplet — uppercase it, or decode it when it
+    * encodes an unreserved byte; anything else re-attaches its `%`
+    * unchanged. Pure Column program (split → transform →
+    * array_join), map-only and codegen-resident like the rest of
+    * the key.
+    */
+  def normalizePercent(s: Column): Column = {
+    val hexChars = "0123456789ABCDEFabcdef".map(_.toString)
+    val parts = split(s, "%", -1)
+    val fixed = transform(parts, (p, i) => {
+      val d1 = substring(p, 1, 1)
+      val d2 = substring(p, 2, 1)
+      val hex = upper(concat(d1, d2))
+      val code = conv(hex, 16, 10).cast("int")
+      val unreserved = (code >= 48 && code <= 57) ||
+        (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+        code.isin(45, 46, 95, 126)
+      when(i === 0, p)
+        .when(!(d1.isin(hexChars: _*) && d2.isin(hexChars: _*)),
+          concat(lit("%"), p))
+        .otherwise(concat(
+          when(unreserved, chr(code)).otherwise(concat(lit("%"), hex)),
+          substring(p, 3, 1 << 24)))
+    })
+    array_join(fixed, "")
+  }
+
   /** The canonical-URL Column program (see object doc). */
   def canonicalize(url: Column): Column = {
-    val u = trim(url)
+    // fragment first (the first '#' ends the parseable region — a
+    // '?' inside a fragment is fragment text, not a query), percent
+    // normalization second, structural split third
+    val u = normalizePercent(regexp_extract(trim(url), "^([^#]*)", 1))
     val scheme = lower(regexp_extract(u, "^([^:/?#]+)://", 1))
     val hostport = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
     val host = regexp_replace(

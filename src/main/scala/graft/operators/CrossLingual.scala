@@ -61,6 +61,68 @@ object CrossLingual {
     when(size(toks) > 0, md5(array_join(array_sort(toks), " ")))
   }
 
+  /** Unsegmented-script codepoint ranges folded at CHARACTER grain by
+    * [[foldTextScripted]]: Han (URO + Extension A), Hiragana,
+    * Katakana. `\x{...}` range syntax parses identically in Java
+    * regex and RE2, so the class is textually mirrorable. Thai / Lao /
+    * Khmer are OUT of contract (segmenting them needs a dictionary,
+    * not a character class) — they tokenize on whitespace like any
+    * other script, which under-merges but never false-merges.
+    */
+  val UnsegmentedClass: String =
+    "\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}"
+
+  /** Script-aware fold (the round-15 answer to "non-Latin corpora get
+    * ZERO exact dedup"): where [[foldText]] deletes everything outside
+    * `[a-z0-9]`, this keeps letters and digits of EVERY script
+    * (`\p{L}\p{Nd}` — one Unicode class swap), then isolates each
+    * unsegmented-script character as its own token so zh/ja text — no
+    * whitespace to split on — still folds order-insensitively at
+    * codepoint grain (the CJK character-shingle convention). Space-
+    * segmented non-Latin scripts (Cyrillic, Greek, Arabic, Hebrew,
+    * Hangul words) keep whitespace token grain. Still one
+    * lower → translate → two-regexp codegen'd Column chain.
+    *
+    * Out of contract: locale special casing (İ→i̇, ß→ss — both
+    * engines must agree on lower(), which holds for the 1:1 default
+    * mappings), and dictionary segmentation (Thai et al., above).
+    */
+  def foldTextScripted(text: Column): Column =
+    regexp_replace(
+      regexp_replace(translate(lower(text), AccentFrom, AccentTo),
+        "[^\\p{L}\\p{Nd}]+", " "),
+      s"([$UnsegmentedClass])", " $1 ")
+
+  /** Order-insensitive SCRIPT-AWARE fingerprint — [[foldedFingerprint]]
+    * over [[foldTextScripted]]: same-script duplicates (a zh doc and
+    * its re-crawled permutation) collide, while cross-script content
+    * can never merge — tokens keep their native characters, so two
+    * token SETS are equal only when the underlying characters are,
+    * and the empty fold still yields NULL (pure-punctuation docs opt
+    * out loudly, the [[foldedFingerprint]] contract).
+    */
+  def foldedFingerprintScripted(text: Column): Column = {
+    val toks = array_distinct(TF.tokens(foldTextScripted(text)))
+    when(size(toks) > 0, md5(array_join(array_sort(toks), " ")))
+  }
+
+  /** One hash aggregation from a fingerprint column to the cluster
+    * table — shared by the Latin-fold and script-aware entry points.
+    */
+  private def clustersBy(docs: DataFrame, idCol: String,
+      langCol: String, fp: Column): DataFrame =
+    docs
+      .select(col(idCol).as("__id"), col(langCol).as("__lang"),
+        fp.as("fp"))
+      .filter(col("fp").isNotNull) // empty-fold docs never cluster
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__lang")).as("n_langs"),
+        min(col("__id")).as("canonical_id"),
+        array_join(array_sort(collect_set(col("__lang"))), ",")
+          .as("langs"))
+      .filter(col("n_docs") >= 2 && col("n_langs") >= 2)
+
   /** Exact cross-lingual duplicate clusters: group documents by
     * [[foldedFingerprint]] and keep clusters that span ≥ 2 documents AND
     * ≥ 2 distinct languages. One hash aggregation — the exact-dedup
@@ -72,17 +134,17 @@ object CrossLingual {
     */
   def crossLingualClusters(docs: DataFrame, idCol: String,
       textCol: String, langCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("__id"), col(langCol).as("__lang"),
-        foldedFingerprint(col(textCol)).as("fp"))
-      .filter(col("fp").isNotNull) // empty-fold docs never cluster
-      .groupBy(col("fp"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("__lang")).as("n_langs"),
-        min(col("__id")).as("canonical_id"),
-        array_join(array_sort(collect_set(col("__lang"))), ",")
-          .as("langs"))
-      .filter(col("n_docs") >= 2 && col("n_langs") >= 2)
+    clustersBy(docs, idCol, langCol, foldedFingerprint(col(textCol)))
+
+  /** [[crossLingualClusters]] under the script-aware fold: non-Latin
+    * corpora dedup WITHIN their script (zh mirrored under zh-tw, ru
+    * under a mislabeled locale) instead of opting out wholesale —
+    * same plan shape, same ≥2-docs ≥2-langs cluster contract.
+    */
+  def scriptAwareClusters(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame =
+    clustersBy(docs, idCol, langCol,
+      foldedFingerprintScripted(col(textCol)))
 
   /** Incremental form — the [[Dedup.incrementalDedupExact]] shape for
     * the folded fingerprint: flag each DELTA document whose

@@ -113,6 +113,30 @@ object MediaDedup {
     }
   }
 
+  /** The aHash bit rule over pooled cells (see [[hashBytes]]). */
+  private[graft] def hashBits(cellSum: Array[Long],
+      cellCnt: Array[Long]): (Array[Long], Int) = {
+    var totalSum = 0L; var totalCnt = 0L
+    var i = 0
+    while (i < 64) {
+      totalSum += cellSum(i); totalCnt += cellCnt(i); i += 1
+    }
+    val blocks = new Array[Long](4)
+    var ones = 0
+    i = 0
+    while (i < 64) {
+      // cell mean > image mean, exact: cross-multiply the two
+      // integer ratios (cells can have unequal pixel counts when
+      // the source image is not a multiple of 8 on a side)
+      if (cellSum(i) * totalCnt > totalSum * cellCnt(i)) {
+        blocks(i / 16) |= 1L << (15 - (i % 16))
+        ones += 1
+      }
+      i += 1
+    }
+    (blocks, ones)
+  }
+
   /** The aHash core: decode → 8×8 integer pooling → bit rule → 4
     * blocks + popcount; `None` when the bytes don't decode. Shared by
     * the batch [[averageHash]] and the streaming
@@ -122,25 +146,7 @@ object MediaDedup {
   private[graft] def hashBytes(bytes: Array[Byte])
       : Option[(Array[Long], Int)] =
     poolCells(bytes).map { case (cellSum, cellCnt) =>
-      var totalSum = 0L; var totalCnt = 0L
-      var i = 0
-      while (i < 64) {
-        totalSum += cellSum(i); totalCnt += cellCnt(i); i += 1
-      }
-      val blocks = new Array[Long](4)
-      var ones = 0
-      i = 0
-      while (i < 64) {
-        // cell mean > image mean, exact: cross-multiply the two
-        // integer ratios (cells can have unequal pixel counts when
-        // the source image is not a multiple of 8 on a side)
-        if (cellSum(i) * totalCnt > totalSum * cellCnt(i)) {
-          blocks(i / 16) |= 1L << (15 - (i % 16))
-          ones += 1
-        }
-        i += 1
-      }
-      (blocks, ones)
+      hashBits(cellSum, cellCnt)
     }
 
   /** The dHash core: bit `i` (row r, col c) is set iff cell (r, c) is
@@ -151,21 +157,26 @@ object MediaDedup {
     * Exact cross-multiplied integer comparison, same block layout as
     * [[hashBytes]].
     */
+  private[graft] def dHashBits(cellSum: Array[Long],
+      cellCnt: Array[Long]): (Array[Long], Int) = {
+    val blocks = new Array[Long](4)
+    var ones = 0
+    var i = 0
+    while (i < 64) {
+      val j = (i / 8) * 8 + (i % 8 + 1) % 8
+      if (cellSum(i) * cellCnt(j) < cellSum(j) * cellCnt(i)) {
+        blocks(i / 16) |= 1L << (15 - (i % 16))
+        ones += 1
+      }
+      i += 1
+    }
+    (blocks, ones)
+  }
+
   private[graft] def dHashBytes(bytes: Array[Byte])
       : Option[(Array[Long], Int)] =
     poolCells(bytes).map { case (cellSum, cellCnt) =>
-      val blocks = new Array[Long](4)
-      var ones = 0
-      var i = 0
-      while (i < 64) {
-        val j = (i / 8) * 8 + (i % 8 + 1) % 8
-        if (cellSum(i) * cellCnt(j) < cellSum(j) * cellCnt(i)) {
-          blocks(i / 16) |= 1L << (15 - (i % 16))
-          ones += 1
-        }
-        i += 1
-      }
-      (blocks, ones)
+      dHashBits(cellSum, cellCnt)
     }
 
   /** 64-bit difference hash (dHash — the gradient member of the
@@ -207,9 +218,8 @@ object MediaDedup {
     * where [[hashBytes]] is brightness-layout and [[dHashBytes]] is
     * gradient — robust to smooth global edits the other two flag.
     */
-  private[graft] def pHashBytes(bytes: Array[Byte])
-      : Option[(Array[Long], Int)] =
-    poolCells(bytes).map { case (cellSum, cellCnt) =>
+  private[graft] def pHashBits(cellSum: Array[Long],
+      cellCnt: Array[Long]): (Array[Long], Int) = {
       val v = Array.tabulate(64)(i =>
         cellSum(i).toDouble / cellCnt(i).toDouble)
       val coeff = new Array[Double](64)
@@ -239,6 +249,12 @@ object MediaDedup {
         k += 1
       }
       (blocks, ones)
+  }
+
+  private[graft] def pHashBytes(bytes: Array[Byte])
+      : Option[(Array[Long], Int)] =
+    poolCells(bytes).map { case (cellSum, cellCnt) =>
+      pHashBits(cellSum, cellCnt)
     }
 
   /** 64-bit DCT perceptual hash (pHash) — same output layout as
@@ -256,6 +272,60 @@ object MediaDedup {
         }
       }(enc)
   }
+
+  private val cellsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sums", ArrayType(LongType)),
+    StructField("cnts", ArrayType(LongType))))
+
+  /** The decode-once stage for MULTI-HASH pipelines (the image
+    * counterpart of the tokenize-once contract): one
+    * decode + 8×8-pooling `mapPartitions` pass emitting the exact
+    * integer cell sums/counts every hash family consumes. An
+    * agreement/consensus query (q356/q366/q346) caches THIS frame and
+    * feeds the `*FromCells` rules below — at 100 TB the codec pass is
+    * the dominant cost and must not run once per hash family.
+    * Undecodable rows drop here (the [[averageHash]] convention).
+    */
+  def pooledGrids(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(cellsSchema)
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          poolCells(r.getAs[Array[Byte]](1)).map { case (s, c) =>
+            Row(r.getLong(0), s.toSeq, c.toSeq)
+          }
+        }
+      }(enc)
+  }
+
+  private def hashFromCells(cells: DataFrame,
+      bits: (Array[Long], Array[Long]) => (Array[Long], Int))
+      : DataFrame = {
+    val enc = RowEncoder.encoderFor(hashSchema)
+    cells.select(col("media_id"), col("sums"), col("cnts"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (blocks, ones) = bits(r.getSeq[Long](1).toArray,
+            r.getSeq[Long](2).toArray)
+          Row(r.getLong(0), blocks(0), blocks(1), blocks(2),
+            blocks(3), ones)
+        }
+      }(enc)
+  }
+
+  /** [[averageHash]] from a cached [[pooledGrids]] frame — identical
+    * bits, zero decode. */
+  def averageHashFromCells(cells: DataFrame): DataFrame =
+    hashFromCells(cells, hashBits)
+
+  /** [[differenceHash]] from a cached [[pooledGrids]] frame. */
+  def differenceHashFromCells(cells: DataFrame): DataFrame =
+    hashFromCells(cells, dHashBits)
+
+  /** [[perceptualHash]] from a cached [[pooledGrids]] frame. */
+  def perceptualHashFromCells(cells: DataFrame): DataFrame =
+    hashFromCells(cells, pHashBits)
 
   /** 64-bit two-channel AUDIO perceptual hash over
     * [[graft.operators.Multimodal.audioFrameFeatures]] output — the

@@ -68,16 +68,39 @@ object Multiplicity {
         col("z"), normalTwoSidedP(col("z")).as("p"))
   }
 
+  /** Null-p tests (a degenerate arm — n < 2 or zero variance makes
+    * [[welchZBy]]/[[Abtest.pairwiseWelch]] emit null z → null p) carry
+    * no evidence and are excluded from the ranked FAMILY: they get
+    * rank NULL, threshold NULL, rejected = false. Without this split,
+    * Spark's NULLS FIRST rank order hands rank 1 to a null p (DuckDB
+    * ranks it LAST), the family size m counts it, and — for the
+    * step-down — a null p can never be the first failure, so an
+    * all-null family would reject everything. Shared by both
+    * correction procedures.
+    */
+  private def splitNullP(tests: DataFrame, pCol: String)
+      : (DataFrame, DataFrame) =
+    (tests.filter(col(pCol).isNotNull), tests.filter(col(pCol).isNull))
+
+  private def nullPSide(nulls: DataFrame, thresholdCol: String)
+      : DataFrame =
+    nulls
+      .withColumn("rank", lit(null).cast("int"))
+      .withColumn(thresholdCol, lit(null).cast("double"))
+      .withColumn("rejected", lit(false))
+
   /** Benjamini–Hochberg step-up at FDR level `qPct`%: rank the m tests
     * by (p, key), reject every test at rank ≤ the LARGEST i with
     * `p_(i) ≤ i·q/m` (the step-up — a test can be rejected even where
     * its own inequality fails, riding a later rank that passes).
     * Emits the full accounting: rank, threshold, rejected. The window
-    * is over the m-row test table only.
+    * is over the m-row test table only. Null-p tests sit outside the
+    * family (see [[splitNullP]]): rank/threshold NULL, never rejected.
     */
-  def benjaminiHochberg(tests: DataFrame, pCol: String, keyCol: String,
+  def benjaminiHochberg(tests0: DataFrame, pCol: String, keyCol: String,
       qPct: Int): DataFrame = {
     require(qPct >= 1 && qPct < 100, s"bad qPct $qPct")
+    val (tests, nulls) = splitNullP(tests0, pCol)
     // ranks from the ordered prefix scan (the m-row test table is
     // config-bounded), m and the step-up cutoff as broadcast scalars —
     // no unpartitioned window anywhere
@@ -101,6 +124,7 @@ object Multiplicity {
       .withColumn("rejected",
         col("__kmax").isNotNull && col("rank") <= col("__kmax"))
       .drop("__m", "__pass", "__kmax")
+      .unionByName(nullPSide(nulls, "bh_threshold"))
   }
 
   /** Holm–Bonferroni step-DOWN at FWER level `alphaPct`% — the
@@ -115,12 +139,16 @@ object Multiplicity {
     * Same execution as BH: ranks from the ordered prefix scan over
     * the config-bounded m-row test table, the first-failure rank as
     * one broadcast scalar. Thresholds snap at 6 (the grid handoff) —
-    * mirrored textually by the oracle.
+    * mirrored textually by the oracle. Null-p tests sit outside the
+    * family (see [[splitNullP]]): rank/threshold NULL, never rejected
+    * — without the split a null p takes rank 1 (NULLS FIRST) yet can
+    * never be the first failure, so it would come out "significant".
     */
-  def holmBonferroni(tests: DataFrame, pCol: String, keyCol: String,
+  def holmBonferroni(tests0: DataFrame, pCol: String, keyCol: String,
       alphaPct: Int): DataFrame = {
     import graft.functions.Grid
     require(alphaPct >= 1 && alphaPct < 100, s"bad alphaPct $alphaPct")
+    val (tests, nulls) = splitNullP(tests0, pCol)
     val m = tests.agg(count(lit(1)).as("__m"))
     // PINNED: the first-failure scalar and the final projection both
     // read the ranked frame
@@ -141,5 +169,6 @@ object Multiplicity {
       .withColumn("rejected",
         col("__kfail").isNull || col("rank") < col("__kfail"))
       .drop("__m", "__fail", "__kfail")
+      .unionByName(nullPSide(nulls, "holm_threshold"))
   }
 }

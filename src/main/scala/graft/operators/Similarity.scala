@@ -946,6 +946,81 @@ object Similarity {
         graft.functions.Grid.snap(col("cos"), 4).as("cos"),
         col("margin"))
 
+  /** ONE-SIDED (forward) margin scoring — the index-probe variant of
+    * [[marginScores]]: when candidates come from probing a PERSISTED
+    * index, the indexed side never probes back, so the Artetxe &
+    * Schwenk ratio's backward term `avgK(y)` does not exist; the
+    * forward margin `cos / avgK(x)` is the published fallback
+    * (forward scoring, Artetxe & Schwenk 2019 §3.1). Same grid
+    * discipline: top-k SET on the 4-decimal snapped cosine, margin
+    * snapped at 4.
+    */
+  private[graft] def marginScoresForward(rawPairs: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.CacheScope.register(rawPairs.persist())
+    val w = Window.partitionBy(col("x"))
+      .orderBy(graft.functions.Grid.snap(col("cos"), 4).desc, col("y"))
+    val avgK = pairs
+      .withColumn("__sm_rn", row_number().over(w))
+      .filter(col("__sm_rn") <= k)
+      .groupBy(col("x"))
+      .agg(avg(col("cos")).as("avg_k"))
+    pairs
+      .join(avgK, Seq("x"))
+      .withColumn("margin", graft.functions.Grid.snap(
+        col("cos") / col("avg_k"), 4))
+  }
+
+  /** INCREMENTAL bitext mining against a persisted IVF index (the
+    * round-15 composition of [[bitextTopMatchesVia]] with the
+    * [[writeIvfIndex]]/[[appendToIvfIndex]] lifecycle): the indexed
+    * side is the standing half of a parallel-corpus build (say, the
+    * English web); each arriving batch of foreign documents probes
+    * its `nAssign` nearest lists — a static `isin`-pruned scan of
+    * ONLY those list directories at 100 TB — and mines its best
+    * partner by FORWARD margin ([[marginScoresForward]]; the index
+    * never probes back, so the two-sided ratio is undefined here).
+    * No distinct needed: an indexed vector lives in exactly one list,
+    * so (x, y) pairs are unique by construction — one join, no
+    * dedup stage, strictly simpler than the in-memory candidate form.
+    *
+    * Output: one row per probe doc — (x, best_match, cos, margin).
+    */
+  def bitextProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      k: Int, nAssign: Int): DataFrame = {
+    require(!ivfIndexIsQuantized(spark, path),
+      s"bitextProbeIndexed needs a float index at $path")
+    val cents = readIvfCentroids(spark, path)
+    require(nAssign >= 1 && nAssign <= cents.size,
+      s"nAssign $nAssign out of range [1, ${cents.size}]")
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("id").as("y"),
+        transform(col("vec"), x => x.cast("double")).as("__yv"),
+        col("list_id"))
+      .withColumn("__ynrm", sqrt(aggregate(col("__yv"), lit(0.0),
+        (acc, x) => acc + x * x)))
+    val probes = VF.prepForPairs(delta, idCol, vecCol)
+      .withColumn("__list",
+        explode(Clustering.nearestLists(col("vd"), cents, nAssign)))
+    val pairs = probes
+      .join(lists, col("__list") === col("list_id"))
+      .select(col("id").as("x"), col("y"),
+        when(col("nrm") * col("__ynrm") === 0.0, lit(0.0))
+          .otherwise(VF.fastDot(col("vd"), col("__yv")) /
+            (col("nrm") * col("__ynrm"))).as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val wBest = Window.partitionBy(col("x"))
+      .orderBy(col("margin").desc, col("y"))
+    marginScoresForward(pairs, k)
+      .withColumn("__sm_rn", row_number().over(wBest))
+      .filter(col("__sm_rn") === 1)
+      .select(col("x"), col("y").as("best_match"),
+        graft.functions.Grid.snap(col("cos"), 4).as("cos"),
+        col("margin"))
+  }
+
   /** Shared margin scoring over a (x, y, cos) candidate table: avgK
     * per x on the rounded-grid top-k, ratio margin, best partner per x.
     */
@@ -1281,14 +1356,34 @@ object Similarity {
       .persist())
     val gt = ranked.filter(col("d") === full)
       .select(col("qid"), col("nid"))
-    val nq = queries.agg(count(lit(1)).as("__nq"))
-    ranked.join(gt, Seq("qid", "nid"))
-      .groupBy(col("d"))
+    // Per-query ground-truth size (≤ k when the corpus is short of
+    // candidates) is the recall denominator, and every (query, width)
+    // cell exists in the output even at zero hits: the base frame is
+    // the bounded queries × dims grid LEFT-joined to the hit counts —
+    // an inner join would silently drop a width that missed
+    // everything, and a constant k denominator would understate
+    // recall on short corpora (the max width must anchor at 1).
+    // The per-query recalls cross the engines as exact 1e-6-grid
+    // integers (floor(x·1e6 + .5) longs) so the mean is an
+    // order-free integer sum, never a float reassociation.
+    val gtc = gt.groupBy(col("qid")).agg(count(lit(1)).as("__gtn"))
+    val hits = ranked.join(gt, Seq("qid", "nid"))
+      .groupBy(col("qid"), col("d"))
       .agg(count(lit(1)).as("__hits"))
+    val qd = queries.select(col("qid"),
+      explode(array(dims.map(d => lit(d)): _*)).as("d"))
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    qd.join(hits, Seq("qid", "d"), "left")
+      .join(gtc, Seq("qid"), "left")
+      .withColumn("__nano", floor(lit(1e6) *
+        coalesce(col("__hits"), lit(0L)).cast("double") /
+        col("__gtn").cast("double") + lit(0.5)).cast("long"))
+      .groupBy(col("d"))
+      .agg(sum(col("__nano")).as("__sn"))
       .crossJoin(broadcast(nq))
       .select(col("d"), col("__nq").as("n_queries"),
-        Grid.snap(col("__hits").cast("double") /
-          (lit(k.toDouble) * col("__nq").cast("double")), 6)
+        Grid.snap(col("__sn").cast("double") /
+          (lit(1e6) * col("__nq").cast("double")), 6)
           .as("mean_recall"))
       .orderBy(col("d"))
   }

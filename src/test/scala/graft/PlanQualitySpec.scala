@@ -1197,6 +1197,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p389.contains("ScalaUDF"), p389)
   }
 
+  test("wave 5 (q390–q393): percent-normalized URL dedup stays one " +
+      "join-free aggregation, script-aware dedup one aggregation, " +
+      "and the index-probe miners are trained-list equi-joins") {
+    // q390: the canonical key (fragment strip + percent fold + split)
+    // is ONE codegen'd Column program feeding one hash aggregation
+    val p390 = plan("q390_url_percent_norm")
+    assert(!p390.contains("Join"), s"q390 must be join-free:\n$p390")
+    assert(!p390.contains("ScalaUDF"), p390)
+    // q391: the q319 shape — fold, one aggregation, no join
+    val p391 = plan("q391_script_aware_dedup")
+    assert(!p391.contains("Join"), s"q391 must be join-free:\n$p391")
+    assert(!p391.contains("ScalaUDF"), p391)
+    // q392: the probe is an equi-join on trained list ids against
+    // the persisted lists scan; margins are keyed windows — no
+    // cartesian, no BNLJ, no UDF
+    val p392 = plan("q392_bitext_index_probe")
+    assert(!p392.contains("CartesianProduct"), p392)
+    assert(!p392.contains("BroadcastNestedLoopJoin"), p392)
+    assert(!p392.contains("ScalaUDF"), p392)
+    // q393: same class — list equi-join between benchmark probes and
+    // train assignments, keyed window for the argmax offender
+    val p393 = plan("q393_semantic_contamination")
+    assert(!p393.contains("CartesianProduct"), p393)
+    assert(!p393.contains("BroadcastNestedLoopJoin"), p393)
+    assert(!p393.contains("ScalaUDF"), p393)
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

@@ -57,4 +57,40 @@ class UrlsSpec extends SparkSpec {
       "https://a.com/y", "https://a.com/x?id=2")
     assert(c.distinct.size === 4)
   }
+
+  test("canonicalize: a '?' inside the fragment is fragment text, " +
+      "never a query (fragment strips FIRST)") {
+    assert(canon("http://h.com/p#a?x=1") === Seq("http://h.com/p"))
+    // and a '#' before the '?' ends parsing even mid-path
+    assert(canon("http://h.com/p#frag",
+      "http://h.com/p?a=1#frag?b=2") ===
+      Seq("http://h.com/p", "http://h.com/p?a=1"))
+  }
+
+  test("percent normalization: unreserved triplets decode, reserved " +
+      "triplets uppercase, malformed pass through") {
+    // %7E/%7e -> '~' (unreserved decodes); %2f -> %2F (reserved
+    // folds case but never decodes — no new '/' delimiter)
+    assert(canon("https://e.com/%7Euser", "https://e.com/%7euser",
+      "https://e.com/~user") ===
+      Seq("https://e.com/~user", "https://e.com/~user",
+        "https://e.com/~user"))
+    assert(canon("https://e.com/a%2fb", "https://e.com/a%2Fb") ===
+      Seq("https://e.com/a%2Fb", "https://e.com/a%2Fb"))
+    // malformed: bad hex, lone trailing % — untouched
+    assert(canon("https://e.com/a%G1b", "https://e.com/a%") ===
+      Seq("https://e.com/a%G1b", "https://e.com/a%"))
+    // decode applies in the query too, and the decoded form sorts
+    // with the plain one
+    assert(canon("https://e.com/p?x=%41&a=1") ===
+      Seq("https://e.com/p?a=1&x=A"))
+  }
+
+  test("normalizePercent alone: digits/letters decode, %25 ('%') " +
+      "stays encoded so the fold is idempotent") {
+    val out = Seq("100%25+%31%32%33", "%", "%%41", "a%25b")
+      .toDF("s").select(Urls.normalizePercent(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("100%25+123", "%", "%A", "a%25b"))
+  }
 }

@@ -182,6 +182,65 @@ class CrossLingualSpec extends SparkSpec {
     assert(sz(9L) !== sz(10L))
   }
 
+  test("script-aware matrix, BOTH sides: same-script duplicates " +
+      "collide (zh codepoint permutation, ru token permutation, ar, " +
+      "latin — with punctuation/case/order noise), and cross-script " +
+      "pairs NEVER merge, digits shared or not") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // zh pair: identical character set, permuted order + punctuation
+      (1L, "气候政策框架", "zh"),
+      (2L, "框架。政策，气候！", "zh-tw"),
+      (3L, "完全不同的内容", "zh"),          // unrelated zh
+      // ru pair: token permutation + case + punctuation
+      (4L, "рамки климатической политики", "ru"),
+      (5L, "Политики — рамки, климатической", "ru-md"),
+      // ar pair: token permutation
+      (6L, "إطار سياسة المناخ", "ar"),
+      (7L, "المناخ إطار سياسة", "ar-eg"),
+      // latin pair (back-compat: the old fold's territory)
+      (8L, "solar energy policy", "en"),
+      (9L, "energy SOLAR policy!", "fr"),
+      // digit-bearing pairs across scripts: '42' is shared but the
+      // letter tokens differ -> never merge
+      (10L, "报告42", "zh"),
+      (11L, "отчёт 42", "ru"),
+      // pure punctuation still opts out (NULL, the empty-fold law)
+      (12L, "!!! --- ...", "xx"),
+      (13L, "???", "yy")).toDF("doc_id", "text", "lang")
+    val fps = docs.select(col("doc_id"),
+        CrossLingual.foldedFingerprintScripted(col("text")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("fp"))).toMap
+    // same-script collisions
+    assert(fps(1L).nonEmpty && fps(1L) === fps(2L), "zh pair")
+    assert(fps(4L).nonEmpty && fps(4L) === fps(5L), "ru pair")
+    assert(fps(6L).nonEmpty && fps(6L) === fps(7L), "ar pair")
+    assert(fps(8L).nonEmpty && fps(8L) === fps(9L), "latin pair")
+    // never across scripts / unrelated content
+    val distinctFps = Seq(1L, 3L, 4L, 6L, 8L, 10L, 11L).map(fps)
+    assert(distinctFps.distinct.size === distinctFps.size,
+      s"cross-script or unrelated merge: $fps")
+    // empty folds opt out, never share a hash
+    assert(fps(12L).isEmpty && fps(13L).isEmpty)
+    // cluster view: exactly the four planted pairs, each single-script
+    val clusters = CrossLingual.scriptAwareClusters(docs, "doc_id",
+        "text", "lang").collect()
+    assert(clusters.length === 4, clusters.mkString("; "))
+    assert(clusters.map(_.getAs[Long]("canonical_id")).sorted.toSeq
+      === Seq(1L, 4L, 6L, 8L))
+    // and the scripted FINGERPRINT is a fixpoint of the fold (the
+    // fold re-spaces CJK chars, so the text is not textually
+    // idempotent — the token-set hash is the invariant that matters)
+    val idem = docs.select(
+        CrossLingual.foldedFingerprintScripted(col("text")).as("f1"),
+        CrossLingual.foldedFingerprintScripted(
+          CrossLingual.foldTextScripted(col("text"))).as("f2"))
+      .collect()
+    idem.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("flagIncremental: delta docs match the corpus fingerprint " +
       "index; cross-lingual only when the delta language is absent " +
       "from the matched cluster") {

@@ -241,6 +241,29 @@ class MediaDedupSpec extends SparkSpec {
       pairs.head.getAs[Int]("hamming") === 0)
   }
 
+  test("decode-once parity: every *FromCells hash over pooledGrids " +
+      "is row-for-row identical to its byte-decoding form, and " +
+      "undecodable rows drop at the pooling stage") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(12)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(256).toDouble)))
+    val m = png(rows, side = 8)
+    val cells = MediaDedup.pooledGrids(m)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("media_id").collect().toSeq
+    assert(sorted(MediaDedup.averageHashFromCells(cells)) ===
+      sorted(MediaDedup.averageHash(m)))
+    assert(sorted(MediaDedup.differenceHashFromCells(cells)) ===
+      sorted(MediaDedup.differenceHash(m)))
+    assert(sorted(MediaDedup.perceptualHashFromCells(cells)) ===
+      sorted(MediaDedup.perceptualHash(m)))
+    // a corrupt-media row never reaches the grid
+    val s = spark
+    import s.implicits._
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+    assert(MediaDedup.pooledGrids(bad).count() === 0L)
+  }
+
   test("keep-sharpest election (the q388 rule): the higher-variance-" +
       "of-Laplacian side wins, identical images tie to min id") {
     import org.apache.spark.sql.functions._

@@ -104,4 +104,40 @@ class MultiplicitySpec extends SparkSpec {
     assert(out(3) === ((0.025, true)))
     assert(out(4) === ((0.05, false)))
   }
+
+  test("null p sits OUTSIDE the family for both corrections: rank and " +
+      "threshold NULL, rejected=false, and the ranked family is " +
+      "exactly what it would be without the null rows") {
+    val s = spark
+    import s.implicits._
+    // a degenerate arm (n<2 / zero variance) emits null z -> null p;
+    // before the split, Spark's NULLS FIRST order handed it rank 1 and
+    // the step-down claimed it significant
+    val tests = Seq(("a", Some(0.001)), ("b", Some(0.9)),
+      ("deg1", None), ("deg2", None)).toDF("k", "p")
+    for (out <- Seq(
+        Multiplicity.holmBonferroni(tests, "p", "k", alphaPct = 5),
+        Multiplicity.benjaminiHochberg(tests, "p", "k", qPct = 5))) {
+      val rows = out.collect().map(r => r.getString(0) ->
+        ((Option(r.getAs[Integer]("rank")),
+          r.getAs[Boolean]("rejected")))).toMap
+      assert(rows("deg1") === ((None, false)))
+      assert(rows("deg2") === ((None, false)))
+      // family of the 2 real tests: m=2, ranks 1..2 unchanged
+      assert(rows("a") === ((Some(Integer.valueOf(1)), true)))
+      assert(rows("b")._1 === Some(Integer.valueOf(2)))
+    }
+  }
+
+  test("an ALL-null family rejects nothing (was: everything)") {
+    val s = spark
+    import s.implicits._
+    val tests = Seq(("x", Option.empty[Double]),
+      ("y", Option.empty[Double])).toDF("k", "p")
+    val holm = Multiplicity.holmBonferroni(tests, "p", "k", alphaPct = 5)
+      .collect()
+    assert(holm.length === 2)
+    assert(holm.forall(!_.getAs[Boolean]("rejected")))
+    assert(holm.forall(_.getAs[Integer]("rank") == null))
+  }
 }

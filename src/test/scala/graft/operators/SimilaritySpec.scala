@@ -658,4 +658,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4) === ((1L, 1.0)))
     assert(out(2) === ((1L, 0.5)))
   }
+
+  test("matryoshkaRecall: a corpus shorter than k anchors the max " +
+      "width at 1 (per-query ground-truth denominator, not k)") {
+    val s = spark
+    import s.implicits._
+    // only TWO candidates but k=5: gtn=2, so full-width recall must
+    // be 2/2=1 (the old constant-k denominator said 2/5)
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("qid", "q_emb")
+    val out = Similarity.matryoshkaRecall(vecs, "vec_id", "embedding",
+        q, Seq(2, 4), k = 5)
+      .collect().map(r => r.getAs[Int]("d") ->
+        r.getAs[Double]("mean_recall")).toMap
+    assert(out.keySet === Set(2, 4))
+    assert(out(4) === 1.0, s"short corpus must anchor at 1: $out")
+  }
+
+  test("matryoshkaRecall: a width with ZERO hits reports its row at " +
+      "recall 0 instead of vanishing from the output") {
+    val s = spark
+    import s.implicits._
+    // query leans on dim 3 with a whisper in dim 1; truncated to 2
+    // dims the impostors (3, 4) own the whole top-2, so the true
+    // neighbors (1, 2) score zero hits there
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f)),  // cos4 ≈ .995, cos2 = 0
+      (2L, Array(0.0f, 0.0f, 0.9f, 0.1f)),  // cos4 ≈ .989, cos2 = 0
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // cos4 ≈ .100, cos2 = 1
+      (4L, Array(0.9f, 0.1f, 0.0f, 0.0f)))  // cos4 ≈ .099, cos2 ≈ .994
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(0.1f, 0.0f, 1.0f, 0.0f)))
+      .toDF("qid", "q_emb")
+    val out = Similarity.matryoshkaRecall(vecs, "vec_id", "embedding",
+        q, Seq(2, 4), k = 2)
+      .collect().map(r => r.getAs[Int]("d") ->
+        r.getAs[Double]("mean_recall")).toMap
+    assert(out(2) === 0.0, s"zero-hit width must report 0: $out")
+    assert(out(4) === 1.0)
+  }
 }
