@@ -2364,11 +2364,14 @@ object HashOracles {
     * readout (count, max cos, argmax-offender via the keyed
     * row_number).
     */
-  def q393SemanticContamination(nLists: Int, nAssign: Int,
-      benchBelow: Long, threshold: Double): String = {
+  /** The shared q393/q396 chain: train-side centroids, nearest-1
+    * train assignment, nAssign benchmark probe, snapped-cosine
+    * threshold → `hf(bench_id, train_id, cos)`.
+    */
+  private def semContamCtes(nLists: Int, nAssign: Int,
+      benchBelow: Long, threshold: Double): Seq[String] = {
     import graft.functions.Grid.snapSql
-    withClause(
-      kmTrainCtes(nLists, s" WHERE vec_id >= $benchBelow") ++ Seq(
+    kmTrainCtes(nLists, s" WHERE vec_id >= $benchBelow") ++ Seq(
       kmAssignCte("tasg", "c2", take = 1),
       "eb AS (SELECT vec_id, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings " +
@@ -2383,13 +2386,82 @@ object HashOracles {
         snapSql("list_cosine_similarity(b.v, t.v)", 4) + " AS cos " +
         "FROM basg b JOIN tasg t ON t.cid = b.cid)",
       s"hf AS (SELECT * FROM hits WHERE cos >= " +
-        s"${graft.functions.Grid.lit17(threshold)})",
-      "rk2 AS (SELECT *, row_number() OVER (PARTITION BY bench_id " +
+        s"${graft.functions.Grid.lit17(threshold)})")
+  }
+
+  def q393SemanticContamination(nLists: Int, nAssign: Int,
+      benchBelow: Long, threshold: Double): String =
+    withClause(
+      semContamCtes(nLists, nAssign, benchBelow, threshold) :+
+      ("rk2 AS (SELECT *, row_number() OVER (PARTITION BY bench_id " +
         "ORDER BY cos DESC, train_id) AS rn FROM hf)"),
       "SELECT bench_id, CAST(count(*) AS BIGINT) AS n_contaminated, " +
         "max(cos) AS max_cos, " +
         "max(CASE WHEN rn = 1 THEN train_id END) AS worst_offender " +
         "FROM rk2 GROUP BY bench_id ORDER BY bench_id")
+
+  /** Decontamination readout replay (q396): distinct flagged train
+    * ids, the language join, per-language counts and the snapped
+    * flag rate.
+    */
+  def q396SemanticDecontamination(nLists: Int, nAssign: Int,
+      benchBelow: Long, threshold: Double): String = {
+    import graft.functions.Grid.snapSql
+    withClause(
+      semContamCtes(nLists, nAssign, benchBelow, threshold) ++ Seq(
+      "fl AS (SELECT DISTINCT train_id FROM hf)",
+      "lg AS (SELECT doc_id AS vec_id, lang FROM documents)",
+      "base AS (SELECT e.vec_id, lg.lang FROM embeddings e " +
+        s"JOIN lg ON lg.vec_id = e.vec_id " +
+        s"WHERE e.vec_id >= $benchBelow)",
+      "agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_train, " +
+        "CAST(sum(CASE WHEN fl.train_id IS NOT NULL THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_flagged " +
+        "FROM base LEFT JOIN fl ON fl.train_id = base.vec_id " +
+        "GROUP BY lang)"),
+      "SELECT lang, n_train, n_flagged, " +
+        "n_train - n_flagged AS n_kept, " +
+        snapSql("CAST(n_flagged AS DOUBLE) / " +
+          "CAST(n_train AS DOUBLE)", 6) + " AS flag_rate " +
+        "FROM agg ORDER BY lang")
+  }
+
+  /** IVF drift-audit replay (q395, [[operators.Similarity
+    * .ivfListProfile]] over a base-write + drifted-append index):
+    * base assigns nearest-1 to its own trained centroids, the
+    * drifted half (float +0.5 on dim 1, then the double cast — the
+    * same arithmetic order as the Spark synth) assigns to the SAME
+    * standing centroids, per-list means cross as exact 1e-6 integer
+    * sums.
+    */
+  def q395IvfDriftAudit(nLists: Int): String = {
+    import graft.functions.Grid.snapSql
+    withClause(kmTrainCtes(nLists, " WHERE vec_id % 2 = 0") ++ Seq(
+      kmAssignCte("iasg", "c2", take = 1),
+      "ed AS (SELECT vec_id, list_transform(range(1, 65), " +
+        "j -> CAST(CASE WHEN j = 1 THEN embedding[j] + " +
+        "CAST(0.5 AS REAL) ELSE embedding[j] END AS DOUBLE)) AS v " +
+        "FROM embeddings WHERE vec_id % 2 = 1)",
+      "dasg AS (SELECT vec_id, v, cid, dist FROM " +
+        "(SELECT vec_id, v, cid, dist, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM " +
+        s"(SELECT d.vec_id, d.v, c.cid, ${kmDist("d.v", "c.vec")} " +
+        "AS dist FROM ed d CROSS JOIN c2 c)) WHERE rk = 1)",
+      "un AS (SELECT cid, 0 AS app, CAST(floor(dist * 1000000.0e0 " +
+        "+ 0.5e0) AS BIGINT) AS nano FROM iasg " +
+        "UNION ALL SELECT cid, 1, CAST(floor(dist * 1000000.0e0 " +
+        "+ 0.5e0) AS BIGINT) FROM dasg)",
+      "agg AS (SELECT cid, CAST(sum(1 - app) AS BIGINT) AS n_base, " +
+        "CAST(sum(app) AS BIGINT) AS n_appended, " +
+        "CAST(sum(CASE WHEN app = 0 THEN nano END) AS BIGINT) AS sb, " +
+        "CAST(sum(CASE WHEN app = 1 THEN nano END) AS BIGINT) AS sa " +
+        "FROM un GROUP BY cid)"),
+      "SELECT CAST(cid AS INTEGER) AS list_id, n_base, n_appended, " +
+        snapSql("CAST(sb AS DOUBLE) / (1000000.0e0 * " +
+          "CAST(n_base AS DOUBLE))", 6) + " AS mean_dist_base, " +
+        snapSql("CAST(sa AS DOUBLE) / (1000000.0e0 * " +
+          "CAST(n_appended AS DOUBLE))", 6) + " AS mean_dist_appended " +
+        "FROM agg ORDER BY list_id")
   }
 
   /** Cross-lingual semantic near-dup replay (q334): the q93 trained
@@ -5109,6 +5181,70 @@ object HashOracles {
   val ScriptedFpSql: String =
     s"CASE WHEN len($ScriptedToksSql) > 0 THEN md5(array_to_string(" +
       s"list_sort($ScriptedToksSql), ' ')) END"
+
+  /** The q391/q394/q397 multilingual synth (mirrors
+    * `SparkEntry.scriptSynth`) as CTEs ending in
+    * `sy(doc_id, lang, text)`.
+    */
+  val ScriptSynthCtes: Seq[String] = Seq(
+    "uu AS (SELECT doc_id, doc_id // 5 AS b FROM documents)",
+    "sy AS (SELECT doc_id, " +
+      "CASE doc_id % 5 WHEN 0 THEN 'zh' WHEN 1 THEN 'zh-tw' " +
+      "WHEN 2 THEN 'ru' WHEN 3 THEN 'ru-md' ELSE 'en' END AS lang, " +
+      "CASE doc_id % 5 " +
+      "WHEN 0 THEN '机器学习模型' || CAST(b AS VARCHAR) || '号' " +
+      "WHEN 1 THEN '模型。机器, 学习 ' || CAST(b AS VARCHAR) || '号' " +
+      "WHEN 2 THEN 'модель машинного обучения ' || CAST(b AS VARCHAR) " +
+      "WHEN 3 THEN 'обучения, модель — машинного ' " +
+      "|| CAST(b AS VARCHAR) " +
+      "ELSE 'machine learning model ' || CAST(b AS VARCHAR) " +
+      "END AS text FROM uu)")
+
+  /** Incremental scripted-dedup replay (q394,
+    * [[operators.CrossLingual.flagIncrementalScripted]]): the corpus
+    * slice's fingerprint index, the delta probed with one left join —
+    * NULL keys never index and never match.
+    */
+  def q394ScriptIncremental(splitAt: Long): String =
+    withClause(ScriptSynthCtes ++ Seq(
+      s"cf AS (SELECT doc_id, lang, $ScriptedFpSql AS fp FROM sy " +
+        s"WHERE doc_id < $splitAt)",
+      "ix AS (SELECT fp, min(doc_id) AS matched_id, " +
+        "list_sort(list_distinct(list(lang))) AS langs FROM cf " +
+        "WHERE fp IS NOT NULL GROUP BY fp)",
+      s"df AS (SELECT doc_id, lang, $ScriptedFpSql AS fp FROM sy " +
+        s"WHERE doc_id >= $splitAt)"),
+      "SELECT d.doc_id, d.lang, " +
+        "ix.matched_id IS NOT NULL AS is_dup, ix.matched_id, " +
+        "CASE WHEN ix.matched_id IS NOT NULL THEN " +
+        "array_to_string(ix.langs, ',') END AS matched_langs, " +
+        "ix.matched_id IS NOT NULL AND " +
+        "NOT list_contains(ix.langs, d.lang) AS is_cross_lingual " +
+        "FROM df d LEFT JOIN ix ON ix.fp = d.fp ORDER BY d.doc_id")
+
+  /** Scripted keep-best replay (q397, [[operators.CrossLingual
+    * .scriptAwareClustersKeepBest]]): the q391 cluster CTEs with the
+    * (score DESC, id) window election; score = char length (both
+    * engines count codepoints).
+    */
+  val q397ScriptKeepBest: String =
+    withClause(ScriptSynthCtes ++ Seq(
+      s"f AS (SELECT doc_id, lang, length(text) AS score, " +
+        s"$ScriptedFpSql AS fp FROM sy)",
+      "cl AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "array_to_string(list_sort(list_distinct(list(lang))), ',') " +
+        "AS langs FROM f WHERE fp IS NOT NULL GROUP BY fp " +
+        "HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2)",
+      "el AS (SELECT fp, doc_id AS canonical_id, " +
+        "CAST(score AS BIGINT) AS canonical_score, " +
+        "row_number() OVER (PARTITION BY fp " +
+        "ORDER BY score DESC, doc_id) AS rn FROM f " +
+        "WHERE fp IS NOT NULL)"),
+      "SELECT cl.fp, cl.n_docs, cl.n_langs, el.canonical_id, " +
+        "el.canonical_score, cl.langs " +
+        "FROM cl JOIN el ON el.fp = cl.fp AND el.rn = 1 " +
+        "ORDER BY el.canonical_id")
 
   /** Cross-lingual near-dup replay: the q18 banded-candidate CTEs run
     * over the FOLDED text (base subquery aliases the fold AS text so

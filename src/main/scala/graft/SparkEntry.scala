@@ -101,6 +101,32 @@ object SparkEntry {
     * `doc_id div 3`, host spread over 7 virtual hosts. Mirrored
     * textually by the oracle CTEs ([[HashOracles]]).
     */
+  // the multilingual synth corpus for the script-aware dedup family
+  // (q391/q394/q397): per base page, zh codepoint-permutation dups
+  // under zh/zh-tw labels, ru token-permutation dups under mislabeled
+  // locales, a Latin singleton control
+  private def scriptSynth(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr("doc_id div 5").as("__b"))
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, lit("zh"))
+        .when(col("doc_id") % 5 === 1, lit("zh-tw"))
+        .when(col("doc_id") % 5 === 2, lit("ru"))
+        .when(col("doc_id") % 5 === 3, lit("ru-md"))
+        .otherwise(lit("en")))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(
+          lit("机器学习模型"), col("__b"), lit("号")))
+        .when(col("doc_id") % 5 === 1, concat(
+          lit("模型。机器, 学习 "), col("__b"), lit("号")))
+        .when(col("doc_id") % 5 === 2, concat(
+          lit("модель машинного обучения "), col("__b")))
+        .when(col("doc_id") % 5 === 3, concat(
+          lit("обучения, модель — машинного "), col("__b")))
+        .otherwise(concat(lit("machine learning model "),
+          col("__b"))))
+      .drop("__b")
+
   private def webUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), col("lang"),
       expr("doc_id div 3").as("__base"))
@@ -4808,30 +4834,127 @@ object SparkEntry {
     // cluster ever spans two scripts (tokens keep their native
     // characters, so cross-script sets can't be equal). Same one-
     // aggregation plan as q319.
-    "q391_script_aware_dedup" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-        .select(col("doc_id"), expr("doc_id div 5").as("__b"))
-        .withColumn("lang",
-          when(col("doc_id") % 5 === 0, lit("zh"))
-          .when(col("doc_id") % 5 === 1, lit("zh-tw"))
-          .when(col("doc_id") % 5 === 2, lit("ru"))
-          .when(col("doc_id") % 5 === 3, lit("ru-md"))
-          .otherwise(lit("en")))
-        .withColumn("text",
-          when(col("doc_id") % 5 === 0, concat(
-            lit("机器学习模型"), col("__b"), lit("号")))
-          .when(col("doc_id") % 5 === 1, concat(
-            lit("模型。机器, 学习 "), col("__b"), lit("号")))
-          .when(col("doc_id") % 5 === 2, concat(
-            lit("модель машинного обучения "), col("__b")))
-          .when(col("doc_id") % 5 === 3, concat(
-            lit("обучения, модель — машинного "), col("__b")))
-          .otherwise(concat(lit("machine learning model "),
-            col("__b"))))
+    "q391_script_aware_dedup" -> ((s, dir) =>
       graft.operators.CrossLingual.scriptAwareClusters(
-          docs, "doc_id", "text", "lang")
-        .orderBy(col("canonical_id"))
+          scriptSynth(T(s, dir, "documents")), "doc_id", "text",
+          "lang")
+        .orderBy(col("canonical_id"))),
+
+    // INCREMENTAL script-aware dedup — the q330 index/probe shape
+    // under the scripted fold: the corpus (< 300) holds the
+    // fingerprint index and each delta doc (≥ 300) is flagged with
+    // its matched canonical and cluster language set. A zh delta doc
+    // now MATCHES the corpus copy of its content where the Latin
+    // fold NULLed it through; same one aggregation + one left
+    // equi-join, stream-static ready.
+    "q394_script_incremental" -> ((s, dir) => {
+      val docs = scriptSynth(T(s, dir, "documents"))
+      graft.operators.CrossLingual.flagIncrementalScripted(
+          docs.filter(col("doc_id") >= 300),
+          docs.filter(col("doc_id") < 300),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
     }),
+
+    // IVF index DRIFT audit — the retrain signal the append-fold
+    // Scaladoc warns about, MEASURED: the base half builds the index
+    // (centroids trained on it), a deterministically DRIFTED half
+    // folds in via append (centroids stand still), and the per-list
+    // profile compares the two populations' mean squared distance to
+    // their own centroid. Appended rows sitting measurably farther is
+    // what schedules the re-train + rewrite. Map-only distance
+    // against the bounded sidecar matrix; means cross engines as
+    // exact 1e-6-grid integer sums.
+    "q395_ivf_drift_audit" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 2 === 0)
+      val drifted = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          expr("transform(embedding, (v, i) -> v + CASE WHEN i = 0 " +
+            "THEN CAST(0.5 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)")
+            .as("embedding"))
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        base, "vec_id", "embedding", k = 8, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q395_drift_ivf").getAbsolutePath
+      graft.operators.Similarity.writeIvfIndex(base, "vec_id",
+        "embedding", path, cents)
+      graft.operators.Similarity.appendToIvfIndex(drifted, "vec_id",
+        "embedding", path)
+      graft.operators.Similarity.ivfListProfile(s, path)
+        .withColumn("__nano",
+          floor(col("dist") * 1e6 + lit(0.5)).cast("long"))
+        .withColumn("__app", (col("id") % 2 === 1).cast("int"))
+        .groupBy(col("list_id"))
+        .agg(sum(lit(1) - col("__app")).cast("long").as("n_base"),
+          sum(col("__app")).cast("long").as("n_appended"),
+          sum(when(col("__app") === 0, col("__nano"))).as("__sb"),
+          sum(when(col("__app") === 1, col("__nano"))).as("__sa"))
+        .select(col("list_id"), col("n_base"), col("n_appended"),
+          graft.functions.Grid.snap(col("__sb").cast("double") /
+            (lit(1e6) * col("n_base").cast("double")), 6)
+            .as("mean_dist_base"),
+          graft.functions.Grid.snap(col("__sa").cast("double") /
+            (lit(1e6) * col("n_appended").cast("double")), 6)
+            .as("mean_dist_appended"))
+        .orderBy(col("list_id"))
+    }),
+
+    // Semantic DECONTAMINATION readout — q393's flags applied: which
+    // training documents drop, accounted per language (the corpus
+    // owner's view of the cut). One distinct on the flagged set + one
+    // broadcast-size language join + one aggregation.
+    "q396_semantic_decontamination" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = T(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") < 100)
+      val train = e.filter(col("vec_id") >= 100)
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        train, "vec_id", "embedding", k = 16, iters = 2)
+      val VF = graft.functions.VectorFunctions
+      val tr = VF.prepForPairs(train, "vec_id", "embedding")
+        .withColumn("__list", element_at(
+          graft.operators.Clustering.nearestLists(col("vd"), cents, 1),
+          1))
+      val pr = VF.prepForPairs(bench, "vec_id", "embedding")
+        .withColumn("__list", explode(
+          graft.operators.Clustering.nearestLists(col("vd"), cents, 4)))
+      val flagged = pr.as("b").join(tr.as("t"), col("b.__list") ===
+          col("t.__list"))
+        .select(col("t.id").as("train_id"),
+          graft.functions.Grid.snap(
+            when(col("b.nrm") * col("t.nrm") === 0.0, lit(0.0))
+              .otherwise(VF.fastDot(col("b.vd"), col("t.vd")) /
+                (col("b.nrm") * col("t.nrm"))), 4).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .select(col("train_id")).distinct()
+      val langs = T(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      train.select(col("vec_id")).join(langs, Seq("vec_id"))
+        .join(flagged.withColumn("__f", lit(1)),
+          col("vec_id") === col("train_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(coalesce(col("__f"), lit(0))).cast("long")
+            .as("n_flagged"))
+        .select(col("lang"), col("n_train"), col("n_flagged"),
+          (col("n_train") - col("n_flagged")).as("n_kept"),
+          graft.functions.Grid.snap(col("n_flagged").cast("double") /
+            col("n_train").cast("double"), 6).as("flag_rate"))
+        .orderBy(col("lang"))
+    }),
+
+    // Script-aware KEEP-BEST election — the q344 quality-aware rule
+    // on the scripted fold: each multilingual cluster keeps its
+    // LONGEST copy (char length as the quality score, tie → smaller
+    // id) instead of whichever crawled first. One keyed window over
+    // cluster members.
+    "q397_script_keep_best" -> ((s, dir) =>
+      graft.operators.CrossLingual.scriptAwareClustersKeepBest(
+          scriptSynth(T(s, dir, "documents"))
+            .withColumn("score", length(col("text")).cast("long")),
+          "doc_id", "text", "lang", "score")
+        .orderBy(col("canonical_id"))),
 
     // Percent-encoding normalization in the URL dedup key (the q372
     // family, round-15): five crawl variants per target page — %7E /
@@ -11305,19 +11428,8 @@ object SparkEntry {
     // the q319 cluster shape under the script-aware fold, over the
     // planted multilingual synth corpus
     "q391_script_aware_dedup" ->
-      s"""WITH uu AS (SELECT doc_id, doc_id // 5 AS b FROM documents),
-        |sy AS (SELECT doc_id,
-        |  CASE doc_id % 5 WHEN 0 THEN 'zh' WHEN 1 THEN 'zh-tw'
-        |    WHEN 2 THEN 'ru' WHEN 3 THEN 'ru-md'
-        |    ELSE 'en' END AS lang,
-        |  CASE doc_id % 5
-        |    WHEN 0 THEN '机器学习模型' || CAST(b AS VARCHAR) || '号'
-        |    WHEN 1 THEN '模型。机器, 学习 ' || CAST(b AS VARCHAR) || '号'
-        |    WHEN 2 THEN 'модель машинного обучения ' || CAST(b AS VARCHAR)
-        |    WHEN 3 THEN 'обучения, модель — машинного ' || CAST(b AS VARCHAR)
-        |    ELSE 'machine learning model ' || CAST(b AS VARCHAR)
-        |  END AS text FROM uu),
-        |f AS (SELECT doc_id, lang,
+      (HashOracles.ScriptSynthCtes.mkString("WITH ", ",\n", ",\n") +
+      s"""f AS (SELECT doc_id, lang,
         |  ${HashOracles.ScriptedFpSql} AS fp FROM sy)
         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -11326,7 +11438,14 @@ object SparkEntry {
         |    AS langs
         |FROM f WHERE fp IS NOT NULL GROUP BY fp
         |HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
-        |ORDER BY canonical_id""".stripMargin,
+        |ORDER BY canonical_id""".stripMargin),
+
+    "q394_script_incremental" ->
+      HashOracles.q394ScriptIncremental(300L),
+    "q395_ivf_drift_audit" -> HashOracles.q395IvfDriftAudit(8),
+    "q396_semantic_decontamination" ->
+      HashOracles.q396SemanticDecontamination(16, 4, 100L, 0.35),
+    "q397_script_keep_best" -> HashOracles.q397ScriptKeepBest,
 
     // Page–Hinkley replay: the identical sequential fold as a DuckDB
     // list_reduce (1-based arrays: [i, s, m, mn, ph, at]); both

@@ -165,23 +165,35 @@ object CrossLingual {
     * STATIC side of a stream-static join: one row per distinct folded
     * fingerprint, canonical = min id, languages sorted.
     */
-  def fingerprintIndex(corpus: DataFrame, idCol: String,
-      textCol: String, langCol: String): DataFrame =
+  private def indexBy(corpus: DataFrame, idCol: String,
+      langCol: String, fp: Column): DataFrame =
     corpus
-      .select(foldedFingerprint(col(textCol)).as("fp"),
+      .select(fp.as("fp"),
         col(idCol).as("__cid"), col(langCol).as("__clang"))
       .filter(col("fp").isNotNull) // empty-fold docs never index
       .groupBy(col("fp"))
       .agg(min(col("__cid")).as("matched_id"),
         array_sort(collect_set(col("__clang"))).as("__langs"))
 
-  def flagIncremental(delta: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, langCol: String): DataFrame = {
-    val corpFp = fingerprintIndex(corpus, idCol, textCol, langCol)
-      .withColumnRenamed("fp", "__fp")
+  def fingerprintIndex(corpus: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame =
+    indexBy(corpus, idCol, langCol, foldedFingerprint(col(textCol)))
+
+  /** [[fingerprintIndex]] under the script-aware fold — what a
+    * multilingual ingest holds so zh/ja/ru deltas probe a REAL index
+    * instead of opting out (the [[foldedFingerprintScripted]]
+    * contract).
+    */
+  def fingerprintIndexScripted(corpus: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame =
+    indexBy(corpus, idCol, langCol,
+      foldedFingerprintScripted(col(textCol)))
+
+  private def flagBy(delta: DataFrame, corpFp0: DataFrame,
+      idCol: String, langCol: String, fp: Column): DataFrame = {
+    val corpFp = corpFp0.withColumnRenamed("fp", "__fp")
     delta
-      .select(col(idCol), col(langCol),
-        foldedFingerprint(col(textCol)).as("__fp"))
+      .select(col(idCol), col(langCol), fp.as("__fp"))
       .join(corpFp, Seq("__fp"), "left")
       .select(col(idCol), col(langCol),
         col("matched_id").isNotNull.as("is_dup"),
@@ -192,6 +204,25 @@ object CrossLingual {
           !array_contains(col("__langs"), col(langCol)))
           .as("is_cross_lingual"))
   }
+
+  def flagIncremental(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, langCol: String): DataFrame =
+    flagBy(delta,
+      fingerprintIndex(corpus, idCol, textCol, langCol),
+      idCol, langCol, foldedFingerprint(col(textCol)))
+
+  /** [[flagIncremental]] under the script-aware fold: a zh delta doc
+    * now MATCHES the corpus copy of its content (same-script
+    * permutation, re-crawl under another locale label) where the
+    * Latin fold gave it a NULL key and waved it through. Same one
+    * index aggregation + one left equi-join; the stream form joins
+    * [[fingerprintIndexScripted]] stream-static unchanged.
+    */
+  def flagIncrementalScripted(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, langCol: String): DataFrame =
+    flagBy(delta,
+      fingerprintIndexScripted(corpus, idCol, textCol, langCol),
+      idCol, langCol, foldedFingerprintScripted(col(textCol)))
 
   /** [[crossLingualClusters]] with QUALITY-aware canonical election —
     * the keep-best form ([[Dedup]]'s q127 device at cross-lingual
@@ -206,12 +237,26 @@ object CrossLingual {
     * langs).
     */
   def crossLingualClustersKeepBest(docs: DataFrame, idCol: String,
-      textCol: String, langCol: String, scoreCol: String): DataFrame = {
+      textCol: String, langCol: String, scoreCol: String): DataFrame =
+    keepBestBy(docs, idCol, langCol, scoreCol,
+      foldedFingerprint(col(textCol)))
+
+  /** [[crossLingualClustersKeepBest]] under the script-aware fold —
+    * the quality-aware election for multilingual corpora where the
+    * Latin fold would have NULLed every non-Latin cluster away.
+    */
+  def scriptAwareClustersKeepBest(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, scoreCol: String): DataFrame =
+    keepBestBy(docs, idCol, langCol, scoreCol,
+      foldedFingerprintScripted(col(textCol)))
+
+  private def keepBestBy(docs: DataFrame, idCol: String,
+      langCol: String, scoreCol: String, fp: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs
       .select(col(idCol).as("__id"), col(langCol).as("__lang"),
         col(scoreCol).as("__score"),
-        foldedFingerprint(col(textCol)).as("fp"))
+        fp.as("fp"))
       .filter(col("fp").isNotNull)
     val clusters = base.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"),

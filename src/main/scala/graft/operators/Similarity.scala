@@ -700,6 +700,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Index-health profile of a persisted float IVF index: every
+    * indexed vector with its list and its squared L2 distance to its
+    * OWN list centroid (from the sidecar — the same matrix probe
+    * choice uses). This is the RETRAIN SIGNAL the [[appendToIvfIndex]]
+    * Scaladoc warns about: folded vectors join existing lists while
+    * centroids stand still, so after drift the appended population
+    * sits measurably farther from its centroids than the base build —
+    * per-list means of this frame are what a maintenance job alarms
+    * on. One scan + a map-only distance against the bounded literal
+    * centroid matrix; no shuffle at all.
+    */
+  def ivfListProfile(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    require(!ivfIndexIsQuantized(spark, path),
+      s"ivfListProfile reads float vectors at $path")
+    val cents = readIvfCentroids(spark, path)
+    val centLit = array(cents.map(c =>
+      array(c.map(lit): _*)): _*)
+    spark.read.parquet(s"$path/lists")
+      .select(col("id"), col("list_id"),
+        VF.l2DistanceSq(col("vec"),
+          element_at(centLit, col("list_id") + 1)).as("dist"))
+  }
+
   /** [[writeIvfIndex]] with int8 codes at rest — the 4× smaller index
     * the memory-cut Scaladoc of [[VF.quantScale]] promises, composed
     * with the IVF layout: each vector stores (id, q int8-codes, scale)

@@ -1224,6 +1224,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p393.contains("ScalaUDF"), p393)
   }
 
+  test("wave 6 (q394–q397): the scripted probe is one left equi-" +
+      "join, the drift audit is map-only distance + one aggregation, " +
+      "decontamination joins stay keyed") {
+    // q394: index aggregation + ONE left equi-join on the fp key
+    val p394 = plan("q394_script_incremental")
+    assert(!p394.contains("CartesianProduct"), p394)
+    assert(!p394.contains("BroadcastNestedLoopJoin"), p394)
+    assert(!p394.contains("ScalaUDF"), p394)
+    // q395: the profile is a scan + literal-matrix distance (no join
+    // in the profile path); the audit adds one aggregation
+    val p395 = plan("q395_ivf_drift_audit")
+    assert(!p395.contains("CartesianProduct"), p395)
+    assert(!p395.contains("ScalaUDF"), p395)
+    // q396: flagged-set distinct + keyed joins, no cross shapes
+    val p396 = plan("q396_semantic_decontamination")
+    assert(!p396.contains("CartesianProduct"), p396)
+    assert(!p396.contains("BroadcastNestedLoopJoin"), p396)
+    assert(!p396.contains("ScalaUDF"), p396)
+    // q397: one aggregation + the keyed election window
+    val p397 = plan("q397_script_keep_best")
+    assert(!p397.contains("CartesianProduct"), p397)
+    assert(!p397.contains("ScalaUDF"), p397)
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

@@ -241,6 +241,39 @@ class CrossLingualSpec extends SparkSpec {
     idem.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("flagIncrementalScripted: a zh delta doc MATCHES the corpus " +
+      "copy of its content (the Latin fold NULLed it through), " +
+      "cross-script content never matches, empty folds never match") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "气候政策框架", "zh"),
+      (2L, "рамки климатической политики", "ru"),
+      (3L, "solar energy policy", "en")).toDF("doc_id", "text", "lang")
+    val delta = Seq(
+      (10L, "框架，政策。气候", "zh-tw"), // permuted zh -> dup, x-lingual
+      (11L, "климатической рамки политики", "ru"), // dup, same lang
+      (12L, "совсем другой текст", "ru"),          // fresh ru
+      (13L, "!!!", "xx"))                          // empty fold
+      .toDF("doc_id", "text", "lang")
+    val out = CrossLingual.flagIncrementalScripted(delta, corpus,
+        "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_dup"), Option(r.getAs[Any]("matched_id")),
+          r.getAs[Boolean]("is_cross_lingual")))).toMap
+    assert(out(10L) === ((true, Some(1L), true)))
+    assert(out(11L) === ((true, Some(2L), false)))
+    assert(out(12L) === ((false, None, false)))
+    assert(out(13L) === ((false, None, false)))
+    // the old Latin fold still waves the zh delta through — pinned so
+    // the two contracts stay distinct
+    val latin = CrossLingual.flagIncremental(delta, corpus, "doc_id",
+        "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_dup")).toMap
+    assert(!latin(10L))
+  }
+
   test("flagIncremental: delta docs match the corpus fingerprint " +
       "index; cross-lingual only when the delta language is absent " +
       "from the matched cluster") {

