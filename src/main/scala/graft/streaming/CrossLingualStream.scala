@@ -31,9 +31,24 @@ object CrossLingualStream {
     * fingerprint exists in the corpus.
     */
   def collisions(docs: DataFrame, corpusFp: DataFrame): DataFrame =
+    collisionsBy(docs, corpusFp,
+      CrossLingual.foldedFingerprint(col("text")))
+
+  /** [[collisions]] under the SCRIPT-AWARE fold — pair with
+    * [[CrossLingual.fingerprintIndexScripted]] as the static side so
+    * zh/ja/ru arrivals collide with their corpus copies instead of
+    * folding to NULL and slipping through (the round-15 scripted
+    * contract; batch form [[CrossLingual.flagIncrementalScripted]]).
+    */
+  def collisionsScripted(docs: DataFrame,
+      corpusFp: DataFrame): DataFrame =
+    collisionsBy(docs, corpusFp,
+      CrossLingual.foldedFingerprintScripted(col("text")))
+
+  private def collisionsBy(docs: DataFrame, corpusFp: DataFrame,
+      fp: org.apache.spark.sql.Column): DataFrame =
     docs
-      .withColumn("fp",
-        CrossLingual.foldedFingerprint(col("text")))
+      .withColumn("fp", fp)
       .join(corpusFp, Seq("fp")) // stream-static equi-join, stateless
       .select(col("doc_id"), col("lang"), col("ts"),
         col("matched_id"),
