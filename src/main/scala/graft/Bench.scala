@@ -8,8 +8,44 @@ import org.apache.spark.sql.SparkSession
   * are comparable across rounds.
   */
 object Bench {
+
+  /** Box-speed calibration: a fixed, deterministic, Spark-free JVM
+    * workload (pinned-seed xorshift fill + sort + hash fold over 4M
+    * longs, min of 3 reps) timed at bench start. Two consecutive
+    * rounds of bench interpretation burned on "is it the box?" — the
+    * r15 judge had to rebuild the r14 commit to prove a 1.5x host
+    * slowdown. With `calib_sec` in every BENCH_DETAIL record,
+    * round-over-round comparisons normalize by it instead: a total
+    * that moved with calib is the box; one that moved against it is
+    * the code. Single-threaded on purpose: per-core speed is what
+    * JIT/GC-bound query reps scale with, and a 1-thread probe cannot
+    * self-contend the way a local[32] warmup would.
+    */
+  private[graft] def calibrate(): Double = {
+    val n = 4 << 20
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L // pinned seed
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        a(i) = x; i += 1
+      }
+      java.util.Arrays.sort(a)
+      var h = 0L
+      i = 0
+      while (i < n) { h = h * 31 + a(i); i += 1 }
+      // fold the hash into a volatile sink so the loop can't be DCE'd
+      calibSink = h
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+  @volatile private var calibSink: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val calibSec = calibrate()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,8 +128,14 @@ object Bench {
     // warnings carry one too, so a slow band still correlates to its
     // CacheManager/storage warnings by time) plus a heap gauge and the
     // raw reps, so sweep-variance questions settle from this file alone.
+    // Partial (BENCH_ONLY) runs write a SEPARATE markers file so a
+    // single-family debug sweep never clobbers the committed full-run
+    // record (the VERIFY_MARKERS lesson, applied here too).
+    val markersPath =
+      if (only.isDefined) "BENCH_MARKERS_partial.log" else "BENCH_MARKERS.log"
     val markers = new java.io.PrintWriter(
-      new java.io.FileWriter("BENCH_MARKERS.log", false))
+      new java.io.FileWriter(markersPath, false))
+    markers.println(f"calib_sec=$calibSec%.3f")
     val rt = Runtime.getRuntime
     def heapMb: Long = (rt.totalMemory - rt.freeMemory) >> 20
     // try/finally: an exception OUTSIDE the per-query catch (CacheScope
@@ -131,8 +173,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val detailLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${r3(calibSec)},"queries":$detail,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get(
+      if (only.isDefined) "BENCH_DETAIL_partial.json" else "BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath,
       (detailLine + "\n").getBytes("UTF-8"))
     // stdout gets ONE compact line that survives a 2000-char tail:
@@ -142,7 +185,16 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$top,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${r3(calibSec)},"detail":"BENCH_DETAIL.json","queries":$top,"sf":"$sfDir"}"""
+    // The summary line ALSO goes to a sidecar file: three rounds of
+    // "parsed": null showed the driver's stdout window is not a
+    // reliable channel for the payload, and a file consumer can't be
+    // confused by the deliberate double stdout emission below either.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        if (only.isDefined) "BENCH_SUMMARY_partial.json"
+        else "BENCH_SUMMARY.json"),
+      (line + "\n").getBytes("UTF-8"))
     println(line)
     // stop BEFORE the final print too: Spark's shutdown chatter lands
     // on stderr AFTER the payload, and a driver that tails the merged

@@ -26,8 +26,12 @@ object Verify {
     // CORRECTNESS record came back empty when the full gate outgrew
     // the driver's window), so its per-query profile must be on
     // record to know WHAT to shrink.
-    val markers = new java.io.PrintWriter(
-      new java.io.FileWriter("VERIFY_MARKERS.log", false))
+    // Partial (SPARK_GRAFT_ONLY) runs write a SEPARATE markers file:
+    // a single-query debug run must not clobber the committed
+    // full-gate per-query timing record.
+    val markers = new java.io.PrintWriter(new java.io.FileWriter(
+      if (only.isDefined) "VERIFY_MARKERS_partial.log"
+      else "VERIFY_MARKERS.log", false))
     try SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -69,11 +69,10 @@ object MediaDedup {
   private[graft] def poolCells(bytes: Array[Byte])
       : Option[(Array[Long], Array[Long])] = {
     val side = 8
-    val img =
-      try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(
-          if (bytes == null) Array.emptyByteArray else bytes))
-      catch { case _: Exception => null }
+    // Multimodal.ImageBytes: the one decode entry point (disables
+    // ImageIO's per-call temp-FILE stream cache once per JVM — see
+    // its scaladoc for the measured 7-16x, variance-heavy cost)
+    val img = Multimodal.ImageBytes.decode(bytes)
     if (img == null) None
     else {
       val raster = img.getRaster

@@ -21,6 +21,38 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** The one ImageIO entry point every decode/encode site goes
+    * through. The object initializer disables ImageIO's stream disk
+    * cache ONCE per JVM (first use on each executor): with the
+    * default `useCache=true`, `ImageIO.read`/`write` back every
+    * in-memory byte-array codec call with a temp FILE in
+    * `java.io.tmpdir` — one create+delete per image. Measured on this
+    * box (32 threads, 4×4 PNGs, 2000 images/thread): 5.3–11.5 s with
+    * the disk cache vs 0.69–0.71 s without — a 7–16× slowdown whose
+    * run-to-run spread tracks tmpfs/page-cache state, not code. That
+    * spread is exactly the round-15 "image family regression": the
+    * per-query cost of the untouched decode queries moved 2–5× with
+    * filesystem state. At cluster scale the cache is strictly worse:
+    * the inputs are already fully in memory as parquet binary
+    * columns, so the temp file adds syscalls and tmp-dir churn on
+    * every executor for zero memory relief.
+    */
+  private[graft] object ImageBytes {
+    javax.imageio.ImageIO.setUseCache(false)
+    /** bytes → decoded image, or null (undecodable / null bytes). */
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          if (bytes == null) Array.emptyByteArray else bytes))
+      catch { case _: Exception => null }
+    /** image → PNG bytes (in-memory, cache-free). */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Typed metadata carried alongside each media blob. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -75,10 +107,7 @@ object Multimodal {
     */
   object ImageIoCodec extends Codec {
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val img =
-        try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+      val img = ImageBytes.decode(bytes)
       if (img == null) FakeCodec.features(bytes, dim)
       else {
         val side = math.max(1, math.sqrt(dim.toDouble).toInt)
@@ -349,12 +378,7 @@ object Multimodal {
     media.select(col("media_id"), col("media"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(
-                if (bytes == null) Array.emptyByteArray else bytes))
-            catch { case _: Exception => null }
+          val img = ImageBytes.decode(r.getAs[Array[Byte]](1))
           if (img == null) Iterator.empty
           else {
             val id = r.getLong(0)
@@ -395,12 +419,7 @@ object Multimodal {
     media.select(col("media_id"), col("media"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(
-                if (bytes == null) Array.emptyByteArray else bytes))
-            catch { case _: Exception => null }
+          val img = ImageBytes.decode(r.getAs[Array[Byte]](1))
           if (img == null) Iterator.empty
           else {
             val id = r.getLong(0)
@@ -455,9 +474,7 @@ object Multimodal {
             raster.setSample(i % side, i / side, 0, v)
             i += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Row(r.getLong(0), bos.toByteArray)
+          Row(r.getLong(0), ImageBytes.encodePng(img))
         }
       }(enc)
   }
@@ -541,12 +558,7 @@ object Multimodal {
     media.select(col("media_id"), col("media"), col("format"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("media")
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(
-                if (bytes == null) Array.emptyByteArray else bytes))
-            catch { case _: Exception => null }
+          val img = ImageBytes.decode(r.getAs[Array[Byte]]("media"))
           if (img == null)
             Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
               null, null, null)
@@ -577,12 +589,7 @@ object Multimodal {
     media.select(col("media_id"), col("media"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(
-                if (bytes == null) Array.emptyByteArray else bytes))
-            catch { case _: Exception => null }
+          val img = ImageBytes.decode(r.getAs[Array[Byte]](1))
           if (img == null) None
           else {
             val raster = img.getRaster
@@ -619,9 +626,7 @@ object Multimodal {
               }
               cy += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(outImg, "png", bos)
-            Some(Row(r.getLong(0), bos.toByteArray))
+            Some(Row(r.getLong(0), ImageBytes.encodePng(outImg)))
           }
         }
       }(enc)
