@@ -2434,13 +2434,18 @@ object HashOracles {
     * standing centroids, per-list means cross as exact 1e-6 integer
     * sums.
     */
-  def q395IvfDriftAudit(nLists: Int): String = {
-    import graft.functions.Grid.snapSql
-    withClause(kmTrainCtes(nLists, " WHERE vec_id % 2 = 0") ++ Seq(
+  /** The shared base-write + drifted-append audit CTE chain (ends in
+    * `agg(cid, n_base, n_appended, sb, sa)`) and the two 1e-6-grid
+    * mean expressions — q395's replay, reused verbatim by the q400
+    * maintenance-plan oracle.
+    */
+  private def ivfDriftCtes(nLists: Int,
+      drift: String = "0.5"): Seq[String] =
+    kmTrainCtes(nLists, " WHERE vec_id % 2 = 0") ++ Seq(
       kmAssignCte("iasg", "c2", take = 1),
       "ed AS (SELECT vec_id, list_transform(range(1, 65), " +
         "j -> CAST(CASE WHEN j = 1 THEN embedding[j] + " +
-        "CAST(0.5 AS REAL) ELSE embedding[j] END AS DOUBLE)) AS v " +
+        s"CAST($drift AS REAL) ELSE embedding[j] END AS DOUBLE)) AS v " +
         "FROM embeddings WHERE vec_id % 2 = 1)",
       "dasg AS (SELECT vec_id, v, cid, dist FROM " +
         "(SELECT vec_id, v, cid, dist, row_number() OVER " +
@@ -2455,13 +2460,216 @@ object HashOracles {
         "CAST(sum(app) AS BIGINT) AS n_appended, " +
         "CAST(sum(CASE WHEN app = 0 THEN nano END) AS BIGINT) AS sb, " +
         "CAST(sum(CASE WHEN app = 1 THEN nano END) AS BIGINT) AS sa " +
+        "FROM un GROUP BY cid)")
+
+  private def driftMeanBaseSql: String =
+    graft.functions.Grid.snapSql("CAST(sb AS DOUBLE) / (1000000.0e0 * " +
+      "CAST(n_base AS DOUBLE))", 6)
+
+  private def driftMeanAppendedSql: String =
+    graft.functions.Grid.snapSql("CAST(sa AS DOUBLE) / (1000000.0e0 * " +
+      "CAST(n_appended AS DOUBLE))", 6)
+
+  def q395IvfDriftAudit(nLists: Int): String =
+    withClause(ivfDriftCtes(nLists),
+      "SELECT CAST(cid AS INTEGER) AS list_id, n_base, n_appended, " +
+        driftMeanBaseSql + " AS mean_dist_base, " +
+        driftMeanAppendedSql + " AS mean_dist_appended " +
+        "FROM agg ORDER BY list_id")
+
+  /** Maintenance-plan replay (q400, [[operators.Similarity
+    * .ivfMaintenancePlan]] over the q395 lifecycle): the drift audit
+    * plus the decision layer. The file count replays as ARITHMETIC —
+    * write and append each produce exactly one file per touched list
+    * (`repartition(list_id)` puts a list's rows in one task, so
+    * `partitionBy` writes one file per (task, list)), so `n_files =
+    * [n_base > 0] + [n_appended > 0]` — the Spark side counts the
+    * REAL directory listing and must agree.
+    */
+  def q400IvfMaintenance(nLists: Int, retrainRatio: Double,
+      maxFilesPerList: Int): String = {
+    val nf = "(CASE WHEN n_base > 0 THEN 1 ELSE 0 END + " +
+      "CASE WHEN n_appended > 0 THEN 1 ELSE 0 END)"
+    val ratio = graft.functions.Grid.lit17(retrainRatio)
+    // the q400 fixture plants a STRONG drift (+2.0 on dim 1) so the
+    // retrain branch actually fires at gate scale (+0.5 reassigns
+    // too gently to trip the 1.5x alarm)
+    withClause(ivfDriftCtes(nLists, drift = "2.0"),
+      "SELECT CAST(cid AS INTEGER) AS list_id, n_base, n_appended, " +
+        driftMeanBaseSql + " AS mean_dist_base, " +
+        driftMeanAppendedSql + " AS mean_dist_appended, " +
+        s"CAST($nf AS BIGINT) AS n_files, " +
+        "CASE WHEN n_appended > 0 AND n_base > 0 AND " +
+        s"$driftMeanAppendedSql > $ratio * $driftMeanBaseSql " +
+        "THEN 'retrain' " +
+        s"WHEN $nf > $maxFilesPerList THEN 'compact' " +
+        "ELSE 'ok' END AS action " +
+        "FROM agg ORDER BY list_id")
+  }
+
+  /** Retrain-executed replay (q402, [[operators.Similarity
+    * .retrainIvfIndex]] closing the q395→q400 lifecycle): k-means
+    * re-trains on the union of the base build and the
+    * drifted-as-written appends (the float +0.5 then double cast —
+    * the exact bytes the index holds), every row re-assigns to the
+    * NEW matrix, and the audit + decision replay over it. n_files
+    * replays as the constant 1 — a fresh rewrite is one file per
+    * populated list.
+    */
+  def q402IvfRetrain(nLists: Int, retrainRatio: Double,
+      maxFilesPerList: Int): String = {
+    val union =
+      "SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings " +
+        "WHERE vec_id % 2 = 0 " +
+        "UNION ALL SELECT vec_id, list_transform(range(1, 65), " +
+        "j -> CAST(CASE WHEN j = 1 THEN embedding[j] + " +
+        "CAST(2.0 AS REAL) ELSE embedding[j] END AS DOUBLE)) " +
+        "FROM embeddings WHERE vec_id % 2 = 1"
+    val ratio = graft.functions.Grid.lit17(retrainRatio)
+    withClause(kmTrainCtesFrom(nLists, union) ++ Seq(
+      kmAssignCte("a3", "c2", take = 1),
+      "un AS (SELECT cid, CAST(vec_id % 2 AS INTEGER) AS app, " +
+        "CAST(floor(dist * 1000000.0e0 + 0.5e0) AS BIGINT) AS nano " +
+        "FROM a3)",
+      "agg AS (SELECT cid, CAST(sum(1 - app) AS BIGINT) AS n_base, " +
+        "CAST(sum(app) AS BIGINT) AS n_appended, " +
+        "CAST(sum(CASE WHEN app = 0 THEN nano END) AS BIGINT) AS sb, " +
+        "CAST(sum(CASE WHEN app = 1 THEN nano END) AS BIGINT) AS sa " +
         "FROM un GROUP BY cid)"),
       "SELECT CAST(cid AS INTEGER) AS list_id, n_base, n_appended, " +
-        snapSql("CAST(sb AS DOUBLE) / (1000000.0e0 * " +
-          "CAST(n_base AS DOUBLE))", 6) + " AS mean_dist_base, " +
-        snapSql("CAST(sa AS DOUBLE) / (1000000.0e0 * " +
-          "CAST(n_appended AS DOUBLE))", 6) + " AS mean_dist_appended " +
+        driftMeanBaseSql + " AS mean_dist_base, " +
+        driftMeanAppendedSql + " AS mean_dist_appended, " +
+        "CAST(1 AS BIGINT) AS n_files, " +
+        "CASE WHEN n_appended > 0 AND n_base > 0 AND " +
+        s"$driftMeanAppendedSql > $ratio * $driftMeanBaseSql " +
+        "THEN 'retrain' " +
+        s"WHEN 1 > $maxFilesPerList THEN 'compact' " +
+        "ELSE 'ok' END AS action " +
         "FROM agg ORDER BY list_id")
+  }
+
+  /** Cross-modal contamination replay (q401, [[operators.MediaDedup
+    * .crossNearDupBest]]): train bits = the q235/q236 integer aHash
+    * replay; eval bits over the planted populations (exact copy,
+    * +3-every-16th perturbation, pixel-REVERSED fresh content — the
+    * reverse replays as the 63−i reindex); cross pairs at
+    * Hamming ≤ 3 (lossless by the 4-block pigeonhole, so the oracle
+    * states plain all-pairs), best match by (hamming, train id),
+    * verdict left-joined over the whole eval set.
+    */
+  val q401CrossmodalContamination: String = {
+    def wide(src: String, out: String): Seq[String] = Seq(
+      s"${out}s AS (SELECT media_id, sum(p) AS tot FROM $src " +
+        "GROUP BY 1)",
+      s"${out}b AS (SELECT c.media_id, i, " +
+        "CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS b " +
+        s"FROM $src c JOIN ${out}s s USING (media_id))",
+      s"${out}k AS (SELECT media_id, i // 16 AS blk, " +
+        "CAST(sum(b * (1::BIGINT << CAST(15 - (i % 16) AS INT))) " +
+        s"AS BIGINT) AS bv FROM ${out}b GROUP BY 1, 2)",
+      s"$out AS (SELECT media_id, " +
+        "max(CASE WHEN blk = 0 THEN bv END) AS b0, " +
+        "max(CASE WHEN blk = 1 THEN bv END) AS b1, " +
+        "max(CASE WHEN blk = 2 THEN bv END) AS b2, " +
+        "max(CASE WHEN blk = 3 THEN bv END) AS b3 " +
+        s"FROM ${out}k GROUP BY 1)")
+    val ham = "bit_count(xor(e.b0, t.b0)) + bit_count(xor(e.b1, " +
+      "t.b1)) + bit_count(xor(e.b2, t.b2)) + bit_count(xor(e.b3, t.b3))"
+    withClause(Seq(
+      "base AS (SELECT vec_id AS media_id, i, " +
+        "CAST(greatest(0, least(255, floor((CAST(embedding[i+1] " +
+        "AS DOUBLE) + 1.0) * 127.5))) AS BIGINT) AS p " +
+        "FROM embeddings, range(64) t(i))",
+      "ev AS (SELECT media_id + 200000 AS media_id, i, p FROM base " +
+        "WHERE media_id % 4 = 0 " +
+        "UNION ALL SELECT media_id + 200000, i, " +
+        "CASE WHEN i % 16 = 0 THEN least(p + 3, 255) ELSE p END " +
+        "FROM base WHERE media_id % 4 = 1 " +
+        "UNION ALL SELECT media_id + 200000, 63 - i, p FROM base " +
+        "WHERE media_id % 4 >= 2)") ++
+      wide("base", "tw") ++ wide("ev", "ew") ++ Seq(
+      s"hits AS (SELECT e.media_id AS e_id, t.media_id AS t_id, " +
+        s"CAST($ham AS INTEGER) AS hamming " +
+        s"FROM ew e JOIN tw t ON $ham <= 3)",
+      "bst AS (SELECT * FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY e_id ORDER BY hamming, t_id) AS rn FROM hits) " +
+        "WHERE rn = 1)"),
+      "SELECT ids.media_id, bst.t_id IS NOT NULL AS contaminated, " +
+        "bst.t_id AS match_id, bst.hamming " +
+        "FROM (SELECT DISTINCT media_id FROM ev) ids " +
+        "LEFT JOIN bst ON bst.e_id = ids.media_id " +
+        "ORDER BY ids.media_id")
+  }
+
+  /** The q328 two-channel audio-hash replay over a population CTE
+    * `src(media_id, i, v)` → 4-block hash table `out(media_id,
+    * b0..b3)` — shared by the q404 cross-corpus probe's two sides.
+    */
+  private def audioHashCtes(src: String, out: String): Seq[String] = Seq(
+    s"${out}f0 AS (SELECT media_id, CAST(i // 2 AS INTEGER) AS f, " +
+      "i, v, lag(v) OVER (PARTITION BY media_id, i // 2 ORDER BY i) " +
+      s"AS p FROM $src)",
+    s"${out}fr AS (SELECT media_id, f, " +
+      "CAST(sum(v * v) AS BIGINT) AS e, " +
+      "CAST(sum(CASE WHEN p IS NOT NULL AND ((p < 0 AND v >= 0) " +
+      "OR (p >= 0 AND v < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS z " +
+      s"FROM ${out}f0 WHERE i // 2 < 32 GROUP BY media_id, f)",
+    s"${out}t AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nf, " +
+      "CAST(sum(e) AS BIGINT) AS te, CAST(sum(z) AS BIGINT) AS tz " +
+      s"FROM ${out}fr GROUP BY media_id)",
+    s"${out}b AS (SELECT fr.media_id, fr.f, " +
+      "CASE WHEN fr.e * t.nf > t.te THEN 1 ELSE 0 END AS be, " +
+      "CASE WHEN fr.z * t.nf > t.tz THEN 1 ELSE 0 END AS bz " +
+      s"FROM ${out}fr fr JOIN ${out}t t USING (media_id))",
+    s"$out AS (SELECT media_id, " +
+      "CAST(sum(CASE WHEN f // 16 = 0 THEN be * (1::BIGINT << " +
+      "CAST(15 - (f % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b0, " +
+      "CAST(sum(CASE WHEN f // 16 = 1 THEN be * (1::BIGINT << " +
+      "CAST(15 - (f % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b1, " +
+      "CAST(sum(CASE WHEN f // 16 = 0 THEN bz * (1::BIGINT << " +
+      "CAST(15 - (f % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b2, " +
+      "CAST(sum(CASE WHEN f // 16 = 1 THEN bz * (1::BIGINT << " +
+      "CAST(15 - (f % 16) AS INT)) ELSE 0 END) AS BIGINT) AS b3 " +
+      s"FROM ${out}b GROUP BY media_id)")
+
+  /** AUDIO cross-corpus contamination replay (q404 — the q401 device
+    * for the audio modality): train = the raw PCM population, eval =
+    * exact copies (%4=0), +40-every-8th perturbations (%4=1), and
+    * sample-REVERSED fresh content (%4∈{2,3}, the 63−i reindex);
+    * both sides hash through the q328 two-channel replay, cross
+    * pairs at Hamming ≤ 3, best by (hamming, train id).
+    */
+  val q404AudioContamination: String = {
+    val ham = "bit_count(xor(e.b0, t.b0)) + bit_count(xor(e.b1, " +
+      "t.b1)) + bit_count(xor(e.b2, t.b2)) + bit_count(xor(e.b3, t.b3))"
+    withClause(Seq(
+      "base AS (SELECT vec_id AS media_id, i, " +
+        "CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 10000.0) " +
+        "AS BIGINT) AS raw FROM embeddings, range(64) t(i))",
+      "tr AS (SELECT media_id, i, " +
+        "greatest(-32768, least(32767, raw)) AS v FROM base)",
+      "ev AS (SELECT media_id + 200000 AS media_id, i, " +
+        "greatest(-32768, least(32767, raw)) AS v FROM base " +
+        "WHERE media_id % 4 = 0 " +
+        "UNION ALL SELECT media_id + 200000, i, " +
+        "greatest(-32768, least(32767, CASE WHEN i % 8 = 0 " +
+        "THEN raw + 40 ELSE raw END)) FROM base WHERE media_id % 4 = 1 " +
+        "UNION ALL SELECT media_id + 200000, 63 - i, " +
+        "greatest(-32768, least(32767, raw)) FROM base " +
+        "WHERE media_id % 4 >= 2)") ++
+      audioHashCtes("tr", "tw") ++ audioHashCtes("ev", "ew") ++ Seq(
+      s"hits AS (SELECT e.media_id AS e_id, t.media_id AS t_id, " +
+        s"CAST($ham AS INTEGER) AS hamming " +
+        s"FROM ew e JOIN tw t ON $ham <= 3)",
+      "bst AS (SELECT * FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY e_id ORDER BY hamming, t_id) AS rn FROM hits) " +
+        "WHERE rn = 1)"),
+      "SELECT ids.media_id, bst.t_id IS NOT NULL AS contaminated, " +
+        "bst.t_id AS match_id, bst.hamming " +
+        "FROM (SELECT DISTINCT media_id FROM ev) ids " +
+        "LEFT JOIN bst ON bst.e_id = ids.media_id " +
+        "ORDER BY ids.media_id")
   }
 
   /** Cross-lingual semantic near-dup replay (q334): the q93 trained
@@ -2993,14 +3201,22 @@ object HashOracles {
     * `where` optionally slices the vector table (" WHERE vec_id < n"),
     * mirroring a Spark side that trains on the same slice.
     */
-  private def kmTrainCtes(k: Int, where: String = ""): Seq[String] = Seq(
-    "e AS (SELECT vec_id, list_transform(embedding, " +
-      s"x -> CAST(x AS DOUBLE)) AS v FROM embeddings$where)",
+  /** [[kmTrainCtes]] over an arbitrary `e` body — the retrain replay
+    * (q402) trains on the INDEX CONTENTS (base ∪ drifted-as-written),
+    * not a plain embeddings slice.
+    */
+  private def kmTrainCtesFrom(k: Int, eBody: String): Seq[String] = Seq(
+    s"e AS ($eBody)",
     "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 " +
       "AS INTEGER) AS cid, v AS vec FROM " +
       s"(SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))",
     kmAssignCte("a1", "c0"), kmUpdateCte("c1", "a1"),
     kmAssignCte("a2", "c1"), kmUpdateCte("c2", "a2"))
+
+  private def kmTrainCtes(k: Int, where: String = ""): Seq[String] =
+    kmTrainCtesFrom(k,
+      "SELECT vec_id, list_transform(embedding, " +
+        s"x -> CAST(x AS DOUBLE)) AS v FROM embeddings$where")
 
   def q87Kmeans(k: Int): String =
     withClause(kmTrainCtes(k) :+ kmAssignCte("a3", "c2"),
@@ -5152,12 +5368,13 @@ object HashOracles {
       s"list_sort($FoldedToksSql), ' ')) END"
 
   /** The SCRIPT-AWARE fold as SQL — mirrors
-    * [[operators.CrossLingual.foldTextScripted]]: lower → 1:1
-    * translate → keep `\p{L}\p{Nd}` of every script → isolate each
-    * unsegmented-script (Han/kana) character as its own token. The
-    * `\x{...}` range class is the same text RE2 and Java both parse;
-    * the only dialect seam is the backreference spelling (`\1` vs
-    * `$1`).
+    * [[operators.CrossLingual.foldTextScripted]]'s regexp stage:
+    * lower → 1:1 translate → keep `\p{L}\p{Nd}` of every script →
+    * isolate each unsegmented-script (Han/kana) character as its own
+    * token. The `\x{...}` range class is the same text RE2 and Java
+    * both parse; the only dialect seam is the backreference spelling
+    * (`\1` vs `$1`). The Thai/Lao/Khmer bigram explosion happens at
+    * token grain in [[ScriptedToksSql]].
     */
   val ScriptedFoldSql: String = {
     val from = operators.CrossLingual.AccentFrom
@@ -5168,10 +5385,22 @@ object HashOracles {
       s"'([$cls])', ' \\1 ', 'g')"
   }
 
-  /** Distinct token list over [[ScriptedFoldSql]]. */
-  val ScriptedToksSql: String =
-    "list_distinct(list_filter(string_split_regex(lower(" +
-      s"$ScriptedFoldSql), '\\s+'), t -> t <> ''))"
+  /** Distinct token list over [[ScriptedFoldSql]], with each
+    * Thai/Lao/Khmer run exploded into its overlapping character
+    * bigrams — DuckDB's `range(1, length)` is exclusive-end, exactly
+    * Spark's `sequence(1, length - 1)` inclusive, and `substr` counts
+    * characters in both engines.
+    */
+  val ScriptedToksSql: String = {
+    val sh = operators.CrossLingual.ShingledClass
+    "list_distinct(list_filter(flatten(list_transform(" +
+      s"list_filter(string_split_regex(lower($ScriptedFoldSql), " +
+      "'\\s+'), t -> t <> ''), " +
+      s"t -> CASE WHEN regexp_matches(t, '^[$sh]{2,}$$') " +
+      "THEN list_transform(range(1, length(t)), " +
+      "i -> substr(t, CAST(i AS INTEGER), 2)) " +
+      "ELSE [t] END)), t -> t <> ''))"
+  }
 
   /** Script-aware fingerprint mirroring
     * [[operators.CrossLingual.foldedFingerprintScripted]] — strings
@@ -5200,20 +5429,44 @@ object HashOracles {
       "ELSE 'machine learning model ' || CAST(b AS VARCHAR) " +
       "END AS text FROM uu)")
 
+  /** The q399 Thai/Lao synth (mirrors `SparkEntry.thaiSynth`) as
+    * CTEs ending in `sy(doc_id, lang, text)` — run-preserving
+    * re-crawl pairs (punctuation / token order change, the unbroken
+    * script runs don't) plus the Latin control.
+    */
+  val ThaiSynthCtes: Seq[String] = Seq(
+    "uu AS (SELECT doc_id, doc_id // 5 AS b FROM documents)",
+    "sy AS (SELECT doc_id, " +
+      "CASE doc_id % 5 WHEN 0 THEN 'th' WHEN 1 THEN 'th-x' " +
+      "WHEN 2 THEN 'lo' WHEN 3 THEN 'lo-x' ELSE 'en' END AS lang, " +
+      "CASE doc_id % 5 " +
+      "WHEN 0 THEN 'การเรียนรู้ ของเครื่อง ' || CAST(b AS VARCHAR) " +
+      "WHEN 1 THEN 'ของเครื่อง, การเรียนรู้! ' || CAST(b AS VARCHAR) " +
+      "WHEN 2 THEN 'ການຮຽນຮູ້ ເຄື່ອງຈັກ ' || CAST(b AS VARCHAR) " +
+      "WHEN 3 THEN 'ເຄື່ອງຈັກ — ການຮຽນຮູ້ ' || CAST(b AS VARCHAR) " +
+      "ELSE 'machine learning model ' || CAST(b AS VARCHAR) " +
+      "END AS text FROM uu)")
+
   /** Incremental scripted-dedup replay (q394,
     * [[operators.CrossLingual.flagIncrementalScripted]]): the corpus
     * slice's fingerprint index, the delta probed with one left join —
     * NULL keys never index and never match.
     */
-  def q394ScriptIncremental(splitAt: Long): String =
-    withClause(ScriptSynthCtes ++ Seq(
+  /** The scripted incremental-dedup replay over an arbitrary synth
+    * (`sy`) and corpus/delta predicates — shared by q394 (zh/ru,
+    * id-threshold split) and q403 (Thai/Lao, PARITY split so every
+    * th/lo delta truly probes its corpus partner).
+    */
+  private def scriptIncrementalSql(synth: Seq[String],
+      corpusWhere: String, deltaWhere: String): String =
+    withClause(synth ++ Seq(
       s"cf AS (SELECT doc_id, lang, $ScriptedFpSql AS fp FROM sy " +
-        s"WHERE doc_id < $splitAt)",
+        s"WHERE $corpusWhere)",
       "ix AS (SELECT fp, min(doc_id) AS matched_id, " +
         "list_sort(list_distinct(list(lang))) AS langs FROM cf " +
         "WHERE fp IS NOT NULL GROUP BY fp)",
       s"df AS (SELECT doc_id, lang, $ScriptedFpSql AS fp FROM sy " +
-        s"WHERE doc_id >= $splitAt)"),
+        s"WHERE $deltaWhere)"),
       "SELECT d.doc_id, d.lang, " +
         "ix.matched_id IS NOT NULL AS is_dup, ix.matched_id, " +
         "CASE WHEN ix.matched_id IS NOT NULL THEN " +
@@ -5221,6 +5474,21 @@ object HashOracles {
         "ix.matched_id IS NOT NULL AND " +
         "NOT list_contains(ix.langs, d.lang) AS is_cross_lingual " +
         "FROM df d LEFT JOIN ix ON ix.fp = d.fp ORDER BY d.doc_id")
+
+  def q394ScriptIncremental(splitAt: Long): String =
+    scriptIncrementalSql(ScriptSynthCtes,
+      s"doc_id < $splitAt", s"doc_id >= $splitAt")
+
+  /** Thai-family incremental replay (q403): the q394 shape over the
+    * bigram-shingled Thai/Lao synth with a PARITY corpus/delta split
+    * — synth pair ids are consecutive, so every th/lo delta doc has
+    * its run-preserving partner in the corpus and must flag, while
+    * the en controls' b values never cross the parity line and come
+    * back clean.
+    */
+  val q403ThaiIncremental: String =
+    scriptIncrementalSql(ThaiSynthCtes,
+      "doc_id % 2 = 0", "doc_id % 2 = 1")
 
   /** Scripted keep-best replay (q397, [[operators.CrossLingual
     * .scriptAwareClustersKeepBest]]): the q391 cluster CTEs with the
@@ -6284,7 +6552,7 @@ object HashOracles {
         "FROM kf UNION ALL " +
         "SELECT grp, n_a, n_b, diff, z, p, CAST(NULL AS INTEGER), " +
         "CAST(NULL AS DOUBLE), false FROM pv WHERE p IS NULL " +
-        "ORDER BY rank")
+        "ORDER BY rank NULLS LAST")
   }
 
   /** Image quality replay (q371, [[operators.Multimodal
@@ -6380,11 +6648,20 @@ object HashOracles {
         "regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) " +
         "AS raw_path, " +
         "regexp_extract(u, '\\?([^#]*)', 1) AS raw_q FROM pn)",
+      // dot-segment resolution ([[graft.functions.Urls
+      // .resolveDotSegments]]): the identical string-buffer fold —
+      // DuckDB's list_reduce seeded with the '' root via
+      // list_prepend mirrors Spark's aggregate('' init) — '.'
+      // keeps, '..' pops (incl. an empty segment), else appends
       "p2 AS (SELECT *, " +
         "regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), " +
         "'^www\\.', '') AS host, " +
         "regexp_extract(hostport, ':([0-9]+)$', 1) AS port, " +
-        "regexp_replace(raw_path, '/+$', '') AS pstrip FROM p1)",
+        "regexp_replace(list_reduce(" +
+        "list_prepend('', string_split(raw_path, '/')[2:]), " +
+        "(acc, s) -> CASE WHEN s = '.' THEN acc " +
+        "WHEN s = '..' THEN regexp_replace(acc, '/[^/]*$', '') " +
+        "ELSE acc || '/' || s END), '/+$', '') AS pstrip FROM p1)",
       "p3 AS (SELECT *, " +
         "port <> '' AND NOT (scheme = 'http' AND port = '80') " +
         "AND NOT (scheme = 'https' AND port = '443') AS keep_port, " +
@@ -6453,6 +6730,32 @@ object HashOracles {
         "min(doc_id) AS canonical_doc " +
         "FROM cn GROUP BY 1 ORDER BY canonical_url")
 
+  /** Dot-segment dedup replay (q398): the five-variant synth
+    * (plain, `/./`, `/tmp/../`, leading `/..`, `%2E`-encoded dot +
+    * trailing slash), then the SAME canonicalization CTE chain —
+    * the list_reduce resolution mirror sits inside [[urlCanonCtes]]
+    * for every URL oracle alike.
+    */
+  val q398UrlDotSegments: String =
+    withClause(Seq(
+      "uu AS (SELECT doc_id, doc_id // 5 AS base FROM documents)",
+      "rw AS (SELECT doc_id, 'https://host' || " +
+        "CAST(base % 7 AS VARCHAR) || '.example.org' || " +
+        "CASE doc_id % 5 " +
+        "WHEN 0 THEN '/docs/' || CAST(base AS VARCHAR) || '/page' " +
+        "WHEN 1 THEN '/docs/./' || CAST(base AS VARCHAR) || '/page' " +
+        "WHEN 2 THEN '/docs/tmp/../' || CAST(base AS VARCHAR) " +
+        "|| '/page' " +
+        "WHEN 3 THEN '/../docs/' || CAST(base AS VARCHAR) " +
+        "|| '/page' " +
+        "ELSE '/docs/%2E/' || CAST(base AS VARCHAR) || '/page/' " +
+        "END AS url FROM uu)") ++
+      urlCanonCtes(),
+      "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT url) AS BIGINT) AS n_raw, " +
+        "min(doc_id) AS canonical_doc " +
+        "FROM cn GROUP BY 1 ORDER BY canonical_url")
+
   /** The A&S 26.2.17 two-sided normal p as SQL text over a z column
     * expression — [[operators.Multiplicity.normalTwoSidedP]]'s
     * polynomial verbatim (the q248 fragment).
@@ -6514,7 +6817,7 @@ object HashOracles {
         "FROM kf UNION ALL " +
         "SELECT pair, arm_a, arm_b, n_a, n_b, diff, z, p, " +
         "CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), false " +
-        "FROM pv WHERE p IS NULL ORDER BY rank")
+        "FROM pv WHERE p IS NULL ORDER BY rank NULLS LAST")
   }
 
   /** Welch ANOVA replay (q381, [[operators.Abtest.welchAnova]]): the

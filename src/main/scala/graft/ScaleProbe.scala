@@ -628,6 +628,27 @@ object ScaleProbe {
             "vec_id", "embedding", k = 8, nAssign = 2))
       }
     }
+    // the pruning law, isolated (round-16): the index GROWS (rows
+    // and lists ∝ r) while the delta batch stays FIXED — with the
+    // literal list_id isin pushed by bitextProbeIndexed the scan
+    // lists/reads only the probed directories, so probe cost must
+    // stay ~flat as the index scales (the "only the probed lists"
+    // promise as a measurement, beside the wave-7 plan assert)
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("bitext_probe_fixed")) {
+        val en = replicateVecs(r).filter(col("vec_id") % 2 === 0)
+        val cents = operators.Clustering.kmeansCentroids(
+          en, "vec_id", "embedding", k = 8 * r, iters = 1)
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_probe_bitext_fix_$r").getAbsolutePath
+        operators.Similarity.writeIvfIndex(en, "vec_id", "embedding",
+          path, cents)
+        timeWarm(s"bitext_probe_fixed r=$r lists=${8 * r}",
+          () => operators.Similarity.bitextProbeIndexed(spark, path,
+            replicateVecs(1).filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", k = 8, nAssign = 2))
+      }
+    }
     // trained langid: train = one (gram, lang) count shuffle (the
     // count table grows with DISTINCT grams, sublinear on replicated
     // text), predict = one explode + equi-join + (doc, class) agg —
@@ -640,6 +661,29 @@ object ScaleProbe {
           val m = operators.TrainedLangId.train(docs, "text", "lang")
           operators.TrainedLangId.predict(docs, "doc_id", "text", m)
         })
+      }
+    }
+    // cross-modal contamination probe (round-16): probe set FIXED,
+    // training corpus grows ∝ r — the banded equi-join's cost is the
+    // probe's bucket fan-out times matching corpus buckets, so the
+    // sweep must stay ~linear in corpus rows (hash cost) and never
+    // pair-quadratic
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("xmodal_probe")) {
+        def px(df: DataFrame) = df.select(col("vec_id"),
+          expr("transform(embedding, " +
+            "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))")
+            .as("pixels"))
+        def hash(df: DataFrame) = operators.MediaDedup.averageHash(
+          operators.Multimodal.asMedia(
+            operators.Multimodal.encodePng(px(df), "vec_id",
+              "pixels", side = 8), "media_id", "media"))
+        timeWarm(s"xmodal_probe r=$r corpus=${nVecs * r}", () =>
+          operators.MediaDedup.crossNearDupBest(
+            hash(emb.limit(200).select(
+              (col("vec_id") + lit(900000000L)).as("vec_id"),
+              col("embedding"))),
+            hash(replicateVecs(r)), maxHamming = 3))
       }
     }
     // layout profile: one decoder pass per partition, rows ∝ image

@@ -127,6 +127,35 @@ object SparkEntry {
           col("__b"))))
       .drop("__b")
 
+  // the Thai/Lao synth corpus for the bigram-shingle dedup family
+  // (q399): per base page, a th pair whose variants keep the SAME
+  // Thai runs but differ in surrounding punctuation and token order
+  // (the re-crawl device — runs intact, dressing changed), a lo pair
+  // likewise, and a Latin singleton control. Combining marks fold
+  // away inside the runs (they are \p{M}, not \p{L}), so the
+  // fingerprint is tone-insensitive by construction.
+  private def thaiSynth(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr("doc_id div 5").as("__b"))
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, lit("th"))
+        .when(col("doc_id") % 5 === 1, lit("th-x"))
+        .when(col("doc_id") % 5 === 2, lit("lo"))
+        .when(col("doc_id") % 5 === 3, lit("lo-x"))
+        .otherwise(lit("en")))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(
+          lit("การเรียนรู้ ของเครื่อง "), col("__b")))
+        .when(col("doc_id") % 5 === 1, concat(
+          lit("ของเครื่อง, การเรียนรู้! "), col("__b")))
+        .when(col("doc_id") % 5 === 2, concat(
+          lit("ການຮຽນຮູ້ ເຄື່ອງຈັກ "), col("__b")))
+        .when(col("doc_id") % 5 === 3, concat(
+          lit("ເຄື່ອງຈັກ — ການຮຽນຮູ້ "), col("__b")))
+        .otherwise(concat(lit("machine learning model "),
+          col("__b"))))
+      .drop("__b")
+
   private def webUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), col("lang"),
       expr("doc_id div 3").as("__base"))
@@ -4513,7 +4542,11 @@ object SparkEntry {
         .select(col("grp").as("segment"), col("n_a"), col("n_b"),
           col("diff"), col("z"), col("p"), col("rank"),
           col("holm_threshold"), col("rejected"))
-        .orderBy(col("rank"))
+        // NULL ranks (the untestable all-null-p rows) sort LAST in
+        // BOTH engines by explicit pin: Spark's asc default is
+        // NULLS FIRST, DuckDB's is NULLS LAST — the ordered
+        // contract must not depend on the gate's canonical re-sort
+        .orderBy(col("rank").asc_nulls_last)
     }),
 
     // Incremental URL dedup — the production shape of q372: the
@@ -4541,7 +4574,7 @@ object SparkEntry {
         .select(col("pair"), col("arm_a"), col("arm_b"), col("n_a"),
           col("n_b"), col("diff"), col("z"), col("p"), col("rank"),
           col("holm_threshold"), col("rejected"))
-        .orderBy(col("rank"))
+        .orderBy(col("rank").asc_nulls_last)
     }),
 
     // Welch's heteroscedastic ANOVA — the fallback when q368 rejects
@@ -4840,6 +4873,20 @@ object SparkEntry {
           "lang")
         .orderBy(col("canonical_id"))),
 
+    // THAI-FAMILY shingle dedup (the r15 what's-missing #2: Thai /
+    // Lao / Khmer write no spaces but carry small alphabets, so the
+    // CJK codepoint device would false-merge nearly everything —
+    // each unbroken run explodes into character BIGRAMS instead):
+    // th and lo re-crawl pairs whose runs are intact but whose
+    // punctuation / token order changed collide; the Latin control
+    // never merges; no cluster spans th and lo (bigrams keep their
+    // native characters). Same one-aggregation plan as q391.
+    "q399_thai_shingle_dedup" -> ((s, dir) =>
+      graft.operators.CrossLingual.scriptAwareClusters(
+          thaiSynth(T(s, dir, "documents")), "doc_id", "text",
+          "lang")
+        .orderBy(col("canonical_id"))),
+
     // INCREMENTAL script-aware dedup — the q330 index/probe shape
     // under the scripted fold: the corpus (< 300) holds the
     // fingerprint index and each delta doc (≥ 300) is flagged with
@@ -4900,6 +4947,187 @@ object SparkEntry {
         .orderBy(col("list_id"))
     }),
 
+    // IVF MAINTENANCE PLAN — the q395 drift signal turned into the
+    // decision a nightly index-keeper executes (the r15 next-round
+    // candidate): same base-write + drifted-append lifecycle, then
+    // per list the REAL on-disk file count (driver FS listing of the
+    // <= nLists partition dirs — a bounded fact) and the action:
+    // retrain when the appended population sits > 1.5x farther than
+    // the base build, compact when the dir holds > 1 file, ok
+    // otherwise. Audit chain is map-only distance + one aggregation;
+    // the file-count join is a broadcast of a <= nLists literal frame.
+    "q400_ivf_maintenance" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 2 === 0)
+      val drifted = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          expr("transform(embedding, (v, i) -> v + CASE WHEN i = 0 " +
+            "THEN CAST(2.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)")
+            .as("embedding"))
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        base, "vec_id", "embedding", k = 8, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q400_maint_ivf").getAbsolutePath
+      graft.operators.Similarity.writeIvfIndex(base, "vec_id",
+        "embedding", path, cents)
+      graft.operators.Similarity.appendToIvfIndex(drifted, "vec_id",
+        "embedding", path)
+      val audit = graft.operators.Similarity.ivfListProfile(s, path)
+        .withColumn("__nano",
+          floor(col("dist") * 1e6 + lit(0.5)).cast("long"))
+        .withColumn("__app", (col("id") % 2 === 1).cast("int"))
+        .groupBy(col("list_id"))
+        .agg(sum(lit(1) - col("__app")).cast("long").as("n_base"),
+          sum(col("__app")).cast("long").as("n_appended"),
+          sum(when(col("__app") === 0, col("__nano"))).as("__sb"),
+          sum(when(col("__app") === 1, col("__nano"))).as("__sa"))
+        .select(col("list_id"), col("n_base"), col("n_appended"),
+          graft.functions.Grid.snap(col("__sb").cast("double") /
+            (lit(1e6) * col("n_base").cast("double")), 6)
+            .as("mean_dist_base"),
+          graft.functions.Grid.snap(col("__sa").cast("double") /
+            (lit(1e6) * col("n_appended").cast("double")), 6)
+            .as("mean_dist_appended"))
+      graft.operators.Similarity.ivfMaintenancePlan(s, path, audit,
+          retrainRatio = 1.5, maxFilesPerList = 1)
+        .orderBy(col("list_id"))
+    }),
+
+    // THAI-FAMILY incremental dedup — the q394 index/probe shape over
+    // the bigram-shingled synth, split on PARITY: the synth pair ids
+    // are consecutive (one even, one odd), so every th/lo delta doc
+    // has its run-preserving partner in the corpus and must flag
+    // is_dup (and is_cross_lingual — the matched cluster carries the
+    // other locale label), while the en controls' b values never
+    // cross the parity line and come back clean. Same one index
+    // aggregation + one left equi-join, stream-static ready.
+    "q403_thai_incremental" -> ((s, dir) => {
+      val docs = thaiSynth(T(s, dir, "documents"))
+      graft.operators.CrossLingual.flagIncrementalScripted(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // AUDIO cross-corpus contamination — the q401 device for the
+    // audio modality: eval CLIPS that are near-copies of training
+    // audio (exact %4=0, +40-every-8th-sample %4=1, sample-REVERSED
+    // fresh content %4 in {2,3}); both sides take the q328
+    // two-channel perceptual hash through REAL WAV bytes, the probe
+    // is the same banded equi-join + keyed best-match min.
+    "q404_audio_contamination" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor(CAST(v AS DOUBLE) * 10000.0))").as("samples"))
+      val evalS = base
+        .select((col("vec_id") + lit(200000L)).as("vec_id"),
+          expr("CASE WHEN vec_id % 4 = 0 THEN samples " +
+            "WHEN vec_id % 4 = 1 THEN transform(samples, (v, i) -> " +
+            "CASE WHEN i % 8 = 0 THEN v + 40 ELSE v END) " +
+            "ELSE reverse(samples) END").as("samples"))
+      def hash(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.MediaDedup.audioHash(
+          graft.operators.Multimodal.audioFrameFeatures(
+            graft.operators.Multimodal.encodeWavPcm16(df, "vec_id",
+              "samples"), frameLen = 2))
+      val evalH = graft.CacheScope.register(hash(evalS).persist())
+      val best = graft.operators.MediaDedup.crossNearDupBest(
+        evalH, hash(base), maxHamming = 3)
+      evalH.select(col("media_id"))
+        .join(best, Seq("media_id"), "left")
+        .select(col("media_id"),
+          col("match_id").isNotNull.as("contaminated"),
+          col("match_id"), col("hamming"))
+        .orderBy(col("media_id"))
+    }),
+
+    // IVF RETRAIN executed — the lifecycle CLOSED: the q400 decision's
+    // 'retrain' action run for real (centroids re-trained on the
+    // index's current contents — base ∪ drifted appends — and the
+    // index rewritten), then the SAME audit + plan over the new
+    // index. The headline the gate pins: post-retrain, the appended
+    // population's per-list mean distance no longer alarms (actions
+    // carry no 'retrain'/'compact' — fresh rewrite = 1 file/list).
+    "q402_ivf_retrain" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 2 === 0)
+      val drifted = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          expr("transform(embedding, (v, i) -> v + CASE WHEN i = 0 " +
+            "THEN CAST(2.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)")
+            .as("embedding"))
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        base, "vec_id", "embedding", k = 8, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q402_src_ivf").getAbsolutePath
+      val dest = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q402_retrained_ivf").getAbsolutePath
+      graft.operators.Similarity.writeIvfIndex(base, "vec_id",
+        "embedding", path, cents)
+      graft.operators.Similarity.appendToIvfIndex(drifted, "vec_id",
+        "embedding", path)
+      graft.operators.Similarity.retrainIvfIndex(s, path, dest,
+        k = 8, iters = 2)
+      val audit = graft.operators.Similarity.ivfListProfile(s, dest)
+        .withColumn("__nano",
+          floor(col("dist") * 1e6 + lit(0.5)).cast("long"))
+        .withColumn("__app", (col("id") % 2 === 1).cast("int"))
+        .groupBy(col("list_id"))
+        .agg(sum(lit(1) - col("__app")).cast("long").as("n_base"),
+          sum(col("__app")).cast("long").as("n_appended"),
+          sum(when(col("__app") === 0, col("__nano"))).as("__sb"),
+          sum(when(col("__app") === 1, col("__nano"))).as("__sa"))
+        .select(col("list_id"), col("n_base"), col("n_appended"),
+          graft.functions.Grid.snap(col("__sb").cast("double") /
+            (lit(1e6) * col("n_base").cast("double")), 6)
+            .as("mean_dist_base"),
+          graft.functions.Grid.snap(col("__sa").cast("double") /
+            (lit(1e6) * col("n_appended").cast("double")), 6)
+            .as("mean_dist_appended"))
+      graft.operators.Similarity.ivfMaintenancePlan(s, dest, audit,
+          retrainRatio = 1.5, maxFilesPerList = 1)
+        .orderBy(col("list_id"))
+    }),
+
+    // CROSS-MODAL contamination — eval IMAGES that are pixel-level
+    // near-copies of training images (the leakage class the token
+    // gates q71/q162 and the embedding gate q393 never see): train =
+    // the q235 corpus, eval = planted exact copies (%4=0), +3-every-
+    // 16th-pixel perturbations (%4=1), and pixel-REVERSED fresh
+    // content (%4 in {2,3}) that must come back clean; both sides
+    // aHash through the REAL codec, probe = the 4-block band
+    // equi-join + keyed best-match min (never all-pairs), verdict a
+    // left join over the eval set.
+    "q401_crossmodal_contamination" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, " +
+          "v -> floor((CAST(v AS DOUBLE) + 1.0) * 127.5))").as("pixels"))
+      val evalPx = base
+        .select((col("vec_id") + lit(200000L)).as("vec_id"),
+          expr("CASE WHEN vec_id % 4 = 0 THEN pixels " +
+            "WHEN vec_id % 4 = 1 THEN transform(pixels, (p, i) -> " +
+            "CASE WHEN i % 16 = 0 THEN least(p + 3, 255D) ELSE p " +
+            "END) ELSE reverse(pixels) END").as("pixels"))
+      def hash(px: org.apache.spark.sql.DataFrame) =
+        graft.operators.MediaDedup.averageHash(
+          graft.operators.Multimodal.asMedia(
+            graft.operators.Multimodal.encodePng(px, "vec_id",
+              "pixels", side = 8), "media_id", "media"))
+      // decode-once: the eval hashes feed both the probe and the
+      // verdict join — cache the HASH frame (6 longs/row), never
+      // re-run the codec pass
+      val evalH = graft.CacheScope.register(hash(evalPx).persist())
+      val best = graft.operators.MediaDedup.crossNearDupBest(
+        evalH, hash(base), maxHamming = 3)
+      evalH.select(col("media_id"))
+        .join(best, Seq("media_id"), "left")
+        .select(col("media_id"),
+          col("match_id").isNotNull.as("contaminated"),
+          col("match_id"), col("hamming"))
+        .orderBy(col("media_id"))
+    }),
+
     // Semantic DECONTAMINATION readout — q393's flags applied: which
     // training documents drop, accounted per language (the corpus
     // owner's view of the cut). One distinct on the flagged set + one
@@ -4957,12 +5185,14 @@ object SparkEntry {
         .orderBy(col("canonical_id"))),
 
     // Percent-encoding normalization in the URL dedup key (the q372
-    // family, round-15): five crawl variants per target page — %7E /
-    // %7e / literal '~' spellings, a fragment whose '?' must NOT be
-    // read as a query, and a query mixing an unreserved decode (%41
-    // -> A) with a reserved case fold (%2f -> %2F) — all fold into
-    // one canonical per page via the same single codegen'd Column
-    // program; dedup stays one hash aggregation on the derived key.
+    // family, round-15): five crawl variants per target page —
+    // variants 0-3 (%7E / %7e / literal '~' spellings, plus a
+    // fragment whose '?' must NOT be read as a query) fold into one
+    // canonical per page, while variant 4 keeps its normalized query
+    // (?x=A%2F) and pins the query-normalization path (unreserved
+    // decode %41 -> A, reserved case fold %2f -> %2F) as its OWN
+    // canonical; the whole rule stays one codegen'd Column program
+    // and dedup stays one hash aggregation on the derived key.
     "q390_url_percent_norm" -> ((s, dir) => {
       val urls = T(s, dir, "documents")
         .select(col("doc_id"), expr("doc_id div 5").as("__base"))
@@ -4980,6 +5210,39 @@ object SparkEntry {
             col("doc_id")))
           .otherwise(concat(col("__h"), lit("/~user"), col("__base"),
             lit("/docs?x=%41%2f&utm_source=z"))))
+      urls
+        .groupBy(graft.functions.Urls.canonicalize(col("url"))
+          .as("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw"),
+          min(col("doc_id")).as("canonical_doc"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // Dot-segment resolution in the URL dedup key (RFC 3986 §5.2.4,
+    // the r15 what's-missing #1): five crawl variants per target
+    // page — plain, '/./' noise, '/tmp/../' detour, a leading '/..'
+    // that must vanish at the root, and a '%2E' dot that only
+    // becomes a dot segment AFTER percent normalization (plus a
+    // trailing slash) — all fold into one canonical per page via
+    // the bounded string-buffer fold inside the same Column
+    // program; dedup stays one hash aggregation on the derived key.
+    "q398_url_dotsegments" -> ((s, dir) => {
+      val urls = T(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id div 5").as("__base"))
+        .withColumn("__h", concat(lit("https://host"),
+          col("__base") % 7, lit(".example.org")))
+        .withColumn("url",
+          when(col("doc_id") % 5 === 0, concat(col("__h"),
+            lit("/docs/"), col("__base"), lit("/page")))
+          .when(col("doc_id") % 5 === 1, concat(col("__h"),
+            lit("/docs/./"), col("__base"), lit("/page")))
+          .when(col("doc_id") % 5 === 2, concat(col("__h"),
+            lit("/docs/tmp/../"), col("__base"), lit("/page")))
+          .when(col("doc_id") % 5 === 3, concat(col("__h"),
+            lit("/../docs/"), col("__base"), lit("/page")))
+          .otherwise(concat(col("__h"), lit("/docs/%2E/"),
+            col("__base"), lit("/page/"))))
       urls
         .groupBy(graft.functions.Urls.canonicalize(col("url"))
           .as("canonical_url"))
@@ -6490,7 +6753,7 @@ object SparkEntry {
         .select(col("grp").as("segment"), col("n_a"), col("n_b"),
           col("diff"), col("z"), col("p"), col("rank"),
           col("bh_threshold"), col("rejected"))
-        .orderBy(col("rank"))
+        .orderBy(col("rank").asc_nulls_last)
     }),
 
     // Split-conformal prediction intervals: distribution-free ±q̂
@@ -10325,6 +10588,7 @@ object SparkEntry {
     // URL canonicalization: identical regex + list program
     "q372_url_dedup" -> HashOracles.q372UrlDedup,
     "q390_url_percent_norm" -> HashOracles.q390UrlPercent,
+    "q398_url_dotsegments" -> HashOracles.q398UrlDotSegments,
 
     // JL distortion: embedded sign literal, index-ordered folds
     "q373_jl_distortion" -> HashOracles.q373JlDistortion,
@@ -11440,9 +11704,33 @@ object SparkEntry {
         |HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
         |ORDER BY canonical_id""".stripMargin),
 
+    // the q391 cluster shape over the Thai/Lao bigram-shingle synth
+    // (ScriptedFpSql already carries the bigram explosion for the
+    // ShingledClass runs, shared by every scripted oracle)
+    "q399_thai_shingle_dedup" ->
+      (HashOracles.ThaiSynthCtes.mkString("WITH ", ",\n", ",\n") +
+      s"""f AS (SELECT doc_id, lang,
+        |  ${HashOracles.ScriptedFpSql} AS fp FROM sy)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  min(doc_id) AS canonical_id,
+        |  array_to_string(list_sort(list_distinct(list(lang))), ',')
+        |    AS langs
+        |FROM f WHERE fp IS NOT NULL GROUP BY fp
+        |HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
+        |ORDER BY canonical_id""".stripMargin),
+
     "q394_script_incremental" ->
       HashOracles.q394ScriptIncremental(300L),
     "q395_ivf_drift_audit" -> HashOracles.q395IvfDriftAudit(8),
+    "q400_ivf_maintenance" ->
+      HashOracles.q400IvfMaintenance(8, 1.5, 1),
+    "q402_ivf_retrain" -> HashOracles.q402IvfRetrain(8, 1.5, 1),
+    "q403_thai_incremental" -> HashOracles.q403ThaiIncremental,
+    "q404_audio_contamination" ->
+      HashOracles.q404AudioContamination,
+    "q401_crossmodal_contamination" ->
+      HashOracles.q401CrossmodalContamination,
     "q396_semantic_decontamination" ->
       HashOracles.q396SemanticDecontamination(16, 4, 100L, 0.35),
     "q397_script_keep_best" -> HashOracles.q397ScriptKeepBest,
@@ -11894,7 +12182,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT grp, n_a, n_b, diff, z, p, CAST(NULL AS INTEGER),
         |  CAST(NULL AS DOUBLE), false FROM pv WHERE p IS NULL
-        |ORDER BY rank""".stripMargin,
+        |ORDER BY rank NULLS LAST""".stripMargin,
 
     "q247_conformal_intervals" -> HashOracles.q247Conformal(10),
 

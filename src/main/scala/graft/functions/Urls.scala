@@ -38,15 +38,20 @@ import org.apache.spark.sql.functions._
   *    mint a new delimiter); malformed triplets (`%G1`, trailing
   *    `%`) pass through untouched.
   *
-  * Out of contract (documented, not folded): IDN/punycode, path
-  * dot-segment resolution, userinfo (`user@host` — the `@` rides
-  * along inside the host field), bracketed IPv6 hosts (the `:` of
-  * `[::1]:8080` splits at the wrong colon), and percent-encoded
-  * HOSTS (host lowercasing runs after percent normalization, so a
-  * triplet there comes out lowercase — IDN territory). A URL with
-  * no `scheme://` yields NULL — unparseable inputs opt OUT of URL
-  * dedup loudly (the cross-lingual empty-fold convention), never
-  * merge.
+  *  - path dot segments resolved (RFC 3986 §5.2.4: `/./` dropped,
+  *    `/seg/../` pops `seg`, leading `..` at the root vanishes) by
+  *    the string-buffer fold in [[resolveDotSegments]] — and because
+  *    percent normalization runs FIRST, a dot segment hiding as
+  *    `%2E` (`.` is unreserved) resolves too.
+  *
+  * Out of contract (documented, not folded): IDN/punycode, userinfo
+  * (`user@host` — the `@` rides along inside the host field),
+  * bracketed IPv6 hosts (the `:` of `[::1]:8080` splits at the
+  * wrong colon), and percent-encoded HOSTS (host lowercasing runs
+  * after percent normalization, so a triplet there comes out
+  * lowercase — IDN territory). A URL with no `scheme://` yields
+  * NULL — unparseable inputs opt OUT of URL dedup loudly (the
+  * cross-lingual empty-fold convention), never merge.
   */
 object Urls {
 
@@ -87,6 +92,33 @@ object Urls {
     array_join(fixed, "")
   }
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over an ABSOLUTE path
+    * column (`""` or starting with `/` — what the [[canonicalize]]
+    * path extraction yields by construction): one `aggregate` fold
+    * over the `/`-split segments with the path-so-far STRING as the
+    * accumulator — `.` keeps it, `..` pops the last segment
+    * (`regexp_replace(acc, "/[^/]*$", "")`, which also pops an
+    * empty segment, the RFC's behavior for `//..`), anything else
+    * appends. A leading `..` pops the empty root and vanishes (the
+    * RFC's merge rule for absolute paths). Bounded by segment count
+    * — paths have bounded depth — and still a pure Column program
+    * (HOF fold, no UDF), mirrored accumulator-for-accumulator by
+    * DuckDB's `list_reduce` in every URL oracle. The RFC's
+    * trailing-slash nuance (`/a/b/..` → `/a/` there, `/a` here) is
+    * immaterial downstream: [[canonicalize]] strips trailing
+    * slashes right after.
+    */
+  def resolveDotSegments(path: Column): Column = {
+    val segs = split(path, "/", -1)
+    val tail = slice(segs, lit(2), greatest(lit(0), size(segs) - 1))
+    val folded = aggregate(tail, lit(""), (acc, s) =>
+      when(s === ".", acc)
+        .when(s === "..", regexp_replace(acc, "/[^/]*$", ""))
+        .otherwise(concat(acc, lit("/"), s)))
+    when(path === "", lit("")).otherwise(
+      when(folded === "", lit("/")).otherwise(folded))
+  }
+
   /** The canonical-URL Column program (see object doc). */
   def canonicalize(url: Column): Column = {
     // fragment first (the first '#' ends the parseable region — a
@@ -102,7 +134,7 @@ object Urls {
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
     val rawPath = regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    val stripped = regexp_replace(rawPath, "/+$", "")
+    val stripped = regexp_replace(resolveDotSegments(rawPath), "/+$", "")
     val path = when(stripped === "", lit("/")).otherwise(stripped)
     val rawQuery = regexp_extract(u, "\\?([^#]*)", 1)
     val kept = filter(split(rawQuery, "&"), p => {

@@ -64,13 +64,30 @@ object CrossLingual {
   /** Unsegmented-script codepoint ranges folded at CHARACTER grain by
     * [[foldTextScripted]]: Han (URO + Extension A), Hiragana,
     * Katakana. `\x{...}` range syntax parses identically in Java
-    * regex and RE2, so the class is textually mirrorable. Thai / Lao /
-    * Khmer are OUT of contract (segmenting them needs a dictionary,
-    * not a character class) — they tokenize on whitespace like any
-    * other script, which under-merges but never false-merges.
+    * regex and RE2, so the class is textually mirrorable. Codepoint
+    * grain is discriminative here because the script alphabets are
+    * HUGE (thousands of distinct characters) — a codepoint set
+    * rarely collides by accident.
     */
   val UnsegmentedClass: String =
     "\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}"
+
+  /** Space-less SMALL-alphabet script ranges folded at BIGRAM grain
+    * by [[foldTextScripted]]: Thai, Lao, Khmer. These scripts rarely
+    * write spaces (like CJK) but carry only a few dozen distinct
+    * letters — at codepoint grain nearly every document of the same
+    * language would share the same character SET and false-merge, so
+    * each unbroken run explodes into its overlapping character
+    * bigrams instead (the character-shingle device at n=2: local
+    * order survives, anagram-level false merges don't happen, and a
+    * re-crawl that only changes surrounding punctuation/whitespace
+    * still collides because the runs themselves are untouched). True
+    * dictionary segmentation stays out of contract — a run SPLIT
+    * differently (a space inserted mid-word) changes the boundary
+    * bigrams and under-merges, never false-merges.
+    */
+  val ShingledClass: String =
+    "\\x{0e00}-\\x{0e7f}\\x{0e80}-\\x{0eff}\\x{1780}-\\x{17ff}"
 
   /** Script-aware fold (the round-15 answer to "non-Latin corpora get
     * ZERO exact dedup"): where [[foldText]] deletes everything outside
@@ -78,20 +95,33 @@ object CrossLingual {
     * (`\p{L}\p{Nd}` — one Unicode class swap), then isolates each
     * unsegmented-script character as its own token so zh/ja text — no
     * whitespace to split on — still folds order-insensitively at
-    * codepoint grain (the CJK character-shingle convention). Space-
+    * codepoint grain (the CJK character-shingle convention), and
+    * explodes each Thai/Lao/Khmer run into its character BIGRAMS
+    * ([[ShingledClass]] — small alphabets need n-gram grain). Space-
     * segmented non-Latin scripts (Cyrillic, Greek, Arabic, Hebrew,
-    * Hangul words) keep whitespace token grain. Still one
-    * lower → translate → two-regexp codegen'd Column chain.
+    * Hangul words) keep whitespace token grain. The chain is
+    * lower → translate → two regexps, plus one split → transform →
+    * rejoin HOF pass for the bigram explosion — still all Column
+    * built-ins, no UDF, mirrored list-function-for-list-function by
+    * the DuckDB oracles.
     *
     * Out of contract: locale special casing (İ→i̇, ß→ss — both
     * engines must agree on lower(), which holds for the 1:1 default
-    * mappings), and dictionary segmentation (Thai et al., above).
+    * mappings), and dictionary segmentation (above).
     */
-  def foldTextScripted(text: Column): Column =
-    regexp_replace(
+  def foldTextScripted(text: Column): Column = {
+    val base = regexp_replace(
       regexp_replace(translate(lower(text), AccentFrom, AccentTo),
         "[^\\p{L}\\p{Nd}]+", " "),
       s"([$UnsegmentedClass])", " $1 ")
+    val toksArr = filter(split(base, " "), t => length(t) > 0)
+    val expanded = transform(toksArr, t =>
+      when(t.rlike(s"^[$ShingledClass]{2,}$$"),
+        array_join(transform(sequence(lit(1), length(t) - 1),
+          i => t.substr(i, lit(2))), " "))
+        .otherwise(t))
+    array_join(expanded, " ")
+  }
 
   /** Order-insensitive SCRIPT-AWARE fingerprint — [[foldedFingerprint]]
     * over [[foldTextScripted]]: same-script duplicates (a zh doc and

@@ -326,6 +326,51 @@ object MediaDedup {
   def perceptualHashFromCells(cells: DataFrame): DataFrame =
     hashFromCells(cells, pHashBits)
 
+  /** Cross-corpus near-dup probe — the CONTAMINATION form of
+    * [[nearDupPairs]] (cross-MODAL leakage: an eval/benchmark IMAGE
+    * that is a pixel-level near-copy of a training image, the gap
+    * token- and embedding-grain contamination gates never see): each
+    * PROBE hash row searches the CORPUS hash table through the same
+    * 4-block band equi-join and reports its best match (smallest
+    * Hamming, corpus-id tie-break) within `maxHamming`. Lossless at
+    * `maxHamming ≤ 3` by the same pigeonhole; one equi-join + one
+    * keyed min aggregation — never all-pairs, never a window over
+    * the corpus side.
+    *
+    * Output: (media_id, match_id, hamming) — one row per
+    * CONTAMINATED probe image; clean probes don't appear (left-join
+    * the output to flag a full eval set).
+    */
+  def crossNearDupBest(probe: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0, s"bad maxHamming $maxHamming")
+    def banded(h: DataFrame, p: String) =
+      h.select(col("media_id").as(p + "id"), col("b0").as(p + "b0"),
+          col("b1").as(p + "b1"), col("b2").as(p + "b2"),
+          col("b3").as(p + "b3"),
+          explode(array(
+            struct(lit(0).as("tbl"), col("b0").as("key")),
+            struct(lit(1).as("tbl"), col("b1").as("key")),
+            struct(lit(2).as("tbl"), col("b2").as("key")),
+            struct(lit(3).as("tbl"), col("b3").as("key")))).as("blk"))
+        .select(col(p + "id"), col(p + "b0"), col(p + "b1"),
+          col(p + "b2"), col(p + "b3"),
+          col("blk.tbl").as(p + "tbl"), col("blk.key").as(p + "key"))
+    banded(probe, "p_").join(banded(corpus, "c_"),
+        col("p_tbl") === col("c_tbl") && col("p_key") === col("c_key"))
+      .withColumn("hamming",
+        (bit_count(col("p_b0").bitwiseXOR(col("c_b0"))) +
+          bit_count(col("p_b1").bitwiseXOR(col("c_b1"))) +
+          bit_count(col("p_b2").bitwiseXOR(col("c_b2"))) +
+          bit_count(col("p_b3").bitwiseXOR(col("c_b3")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("p_id").as("media_id"))
+      .agg(min(struct(col("hamming"), col("c_id"))).as("__best"))
+      .select(col("media_id"),
+        col("__best").getField("c_id").as("match_id"),
+        col("__best").getField("hamming").as("hamming"))
+  }
+
   /** 64-bit two-channel AUDIO perceptual hash over
     * [[graft.operators.Multimodal.audioFrameFeatures]] output — the
     * audio counterpart of [[averageHash]]: the first 32 frames'

@@ -676,6 +676,30 @@ object Similarity {
     graft.sources.Sidecar.write(spark, s"$destPath/$IvfMetaFile", text)
   }
 
+  /** Execute the `retrain` action of [[ivfMaintenancePlan]] — the
+    * other half of the append/maintain lifecycle ([[compactIvfIndex]]
+    * handles `compact`): re-train k-means centroids on the index's
+    * CURRENT contents (base build ∪ every appended fold, drift baked
+    * in as written) and rewrite to `destPath` with the new matrix in
+    * the sidecar — after which the appended population assigns to
+    * centroids that actually fit it and the [[ivfListProfile]] drift
+    * alarm clears (spec'd, and gated end-to-end by the q402 replay).
+    * Same never-in-place contract as compaction: the source reads
+    * lazily while the destination writes.
+    */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String, k: Int, iters: Int): Unit = {
+    require(srcPath != destPath,
+      "retrainIvfIndex reads srcPath lazily while writing destPath; " +
+        "an in-place retrain would destroy the source lists mid-read")
+    require(!ivfIndexIsQuantized(spark, srcPath),
+      s"retrainIvfIndex reads float vectors at $srcPath")
+    val rows = spark.read.parquet(s"$srcPath/lists")
+      .select(col("id"), col("vec"))
+    val cents = Clustering.kmeansCentroids(rows, "id", "vec", k, iters)
+    writeIvfIndex(rows, "id", "vec", destPath, cents)
+  }
+
   /** Top-k by cosine against a persisted index, probing the `nProbe`
     * lists whose centroids are L2-nearest to the query vector. List
     * choice is driver-side arithmetic over the sidecar matrix (k×dim —
@@ -722,6 +746,61 @@ object Similarity {
       .select(col("id"), col("list_id"),
         VF.l2DistanceSq(col("vec"),
           element_at(centLit, col("list_id") + 1)).as("dist"))
+  }
+
+  /** The MAINTENANCE DECISION layer over the drift audit — what a
+    * nightly index-keeper job actually runs (the round-15 q395 family
+    * completed into a policy): given the per-list audit frame
+    * `(list_id, n_base, n_appended, mean_dist_base,
+    * mean_dist_appended)` (the [[ivfListProfile]] aggregation — the
+    * caller decides what "base" vs "appended" means, e.g. id parity,
+    * a write-date column, or a recorded baseline), emit per list the
+    * REAL on-disk file count and the action:
+    *
+    *  - `retrain` when the appended population sits more than
+    *    `retrainRatio`× farther (mean squared L2 to the standing
+    *    centroid) than the base build — the drift alarm
+    *    [[appendToIvfIndex]]'s Scaladoc warns about, now a decision;
+    *    a list with no base or no appended rows cannot evidence
+    *    drift and never retrains (NULL-safe by construction).
+    *  - `compact` when the list directory holds more than
+    *    `maxFilesPerList` files — the [[compactIvfIndex]] trigger
+    *    (each append adds one file per touched list).
+    *  - `ok` otherwise.
+    *
+    * The file count is a driver-side FS listing of the ≤ nLists
+    * partition directories (a bounded fact, the stratum-count
+    * discipline) joined back as a literal frame — never a
+    * Spark-side recursive file scan. Ratio compares happen on the
+    * audit's own 1e-6-grid means, so the decision replays
+    * cross-engine.
+    */
+  def ivfMaintenancePlan(spark: org.apache.spark.sql.SparkSession,
+      path: String, audit: DataFrame, retrainRatio: Double,
+      maxFilesPerList: Int): DataFrame = {
+    require(retrainRatio > 0, s"bad retrainRatio $retrainRatio")
+    require(maxFilesPerList >= 1, s"bad maxFilesPerList $maxFilesPerList")
+    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = lists.getFileSystem(spark.sessionState.newHadoopConf())
+    val counts: Seq[(Int, Long)] = fs.listStatus(lists).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("list_id="))
+      .map { d =>
+        (d.getPath.getName.stripPrefix("list_id=").toInt,
+          fs.listStatus(d.getPath)
+            .count(f => f.isFile &&
+              f.getPath.getName.endsWith(".parquet")).toLong)
+      }
+    import spark.implicits._
+    val files = counts.toDF("list_id", "n_files")
+    audit.join(broadcast(files), Seq("list_id"), "left")
+      .withColumn("n_files", coalesce(col("n_files"), lit(0L)))
+      .withColumn("action",
+        when(col("n_appended") > 0 && col("n_base") > 0 &&
+          col("mean_dist_appended") >
+            lit(retrainRatio) * col("mean_dist_base"), lit("retrain"))
+        .when(col("n_files") > maxFilesPerList, lit("compact"))
+        .otherwise(lit("ok")))
   }
 
   /** [[writeIvfIndex]] with int8 codes at rest — the 4× smaller index
@@ -1011,29 +1090,62 @@ object Similarity {
     *
     * Output: one row per probe doc — (x, best_match, cos, margin).
     */
-  def bitextProbeIndexed(spark: org.apache.spark.sql.SparkSession,
-      path: String, delta: DataFrame, idCol: String, vecCol: String,
-      k: Int, nAssign: Int): DataFrame = {
+  /** The candidate stage shared by [[bitextProbeIndexed]] (batch,
+    * `pruneLists = true`) and the STREAMING form
+    * ([[graft.streaming.AnnStream.bitextCandidates]],
+    * `pruneLists = false` — a streaming delta cannot be collected at
+    * plan time, and a stream-static join re-resolves per batch
+    * anyway): probe docs explode to their `nAssign` nearest lists
+    * and equi-join the persisted lists scan. Emits
+    * `(x, y, list_id, cos)`.
+    */
+  private[graft] def bitextCandidatePairsIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String, vecCol: String, nAssign: Int,
+      pruneLists: Boolean): DataFrame = {
     require(!ivfIndexIsQuantized(spark, path),
       s"bitextProbeIndexed needs a float index at $path")
     val cents = readIvfCentroids(spark, path)
     require(nAssign >= 1 && nAssign <= cents.size,
       s"nAssign $nAssign out of range [1, ${cents.size}]")
-    val lists = spark.read.parquet(s"$path/lists")
+    val probes = VF.prepForPairs(delta, idCol, vecCol)
+      .withColumn("__list",
+        explode(Clustering.nearestLists(col("vd"), cents, nAssign)))
+    val raw = spark.read.parquet(s"$path/lists")
+    // The union of probed lists is a BOUNDED fact (≤ nLists — the
+    // sidecar's own k, the stratum-count discipline): collect it and
+    // push a LITERAL isin on the partition column, so the lists scan
+    // file-prunes to exactly the probed directories at listing time
+    // (PartitionFilters, asserted in PlanQualitySpec) instead of
+    // relying on runtime dynamic pruning to fire. One extra map +
+    // ≤nLists-row distinct over the delta — batch-side, never
+    // index-side — buys a probe cost that stays flat as the INDEX
+    // grows (only the probed lists' files are ever listed or read).
+    val scan = if (pruneLists) {
+      val probedIds = probes.select(col("__list")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      raw.filter(col("list_id").isin(probedIds.map(Int.box): _*))
+    } else raw
+    val lists = scan
       .select(col("id").as("y"),
         transform(col("vec"), x => x.cast("double")).as("__yv"),
         col("list_id"))
       .withColumn("__ynrm", sqrt(aggregate(col("__yv"), lit(0.0),
         (acc, x) => acc + x * x)))
-    val probes = VF.prepForPairs(delta, idCol, vecCol)
-      .withColumn("__list",
-        explode(Clustering.nearestLists(col("vd"), cents, nAssign)))
-    val pairs = probes
+    probes
       .join(lists, col("__list") === col("list_id"))
-      .select(col("id").as("x"), col("y"),
+      .select(col("id").as("x"), col("y"), col("list_id"),
         when(col("nrm") * col("__ynrm") === 0.0, lit(0.0))
           .otherwise(VF.fastDot(col("vd"), col("__yv")) /
             (col("nrm") * col("__ynrm"))).as("cos"))
+  }
+
+  def bitextProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      k: Int, nAssign: Int): DataFrame = {
+    val pairs = bitextCandidatePairsIndexed(spark, path, delta, idCol,
+        vecCol, nAssign, pruneLists = true)
+      .select(col("x"), col("y"), col("cos"))
     import org.apache.spark.sql.expressions.Window
     val wBest = Window.partitionBy(col("x"))
       .orderBy(col("margin").desc, col("y"))

@@ -99,6 +99,52 @@ object AnnStream {
         col("adc_score"))
   }
 
+  /** STREAMING bitext candidates against a persisted IVF index — the
+    * q392 incremental-mining composition as a stream: arriving
+    * foreign documents probe their `nAssign` nearest lists map-only
+    * (sidecar matrix as a literal) and stream-static join the lists
+    * scan, emitting every candidate `(idCol x, y, list_id, cos)`
+    * with `cos ≥ minCos`. Scores are the batch pair stage's own
+    * expressions ([[Similarity.bitextCandidatePairsIndexed]] — the
+    * SAME code), so per-pair cosines are IDENTICAL to the batch
+    * probe's (spec'd). The forward-margin best-match selection is a
+    * per-x top-k window — impossible on a pure stream — so consumers
+    * either feed these candidates to a downstream batch margin job
+    * or run [[bitextProbeRefreshing]] for complete per-batch mining.
+    * The at-least-once multi-list contract of [[indexMatches]]
+    * applies ONLY across restarts (within one batch a pair meets in
+    * at most one list — an indexed vector lives in exactly one).
+    */
+  def bitextCandidates(vectors: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, minCos: Double,
+      nAssign: Int = 2): DataFrame =
+    Similarity.bitextCandidatePairsIndexed(vectors.sparkSession,
+        indexPath, vectors, idCol, vecCol, nAssign,
+        pruneLists = false)
+      .filter(col("cos") >= minCos)
+      .withColumnRenamed("x", idCol)
+
+  /** The complete per-batch bitext mining — [[bitextCandidates]]'
+    * `foreachBatch` sibling (the [[indexMatchesRefreshing]] pattern):
+    * each micro-batch runs the FULL batch probe
+    * ([[Similarity.bitextProbeIndexed]] — literal-isin pruned lists
+    * scan, forward margins, best match per x), so the sink receives
+    * exactly what the batch operator would emit for that batch's
+    * rows, and a nightly index rebuild is picked up at the next
+    * batch (fresh sidecar + file listing per batch).
+    */
+  def bitextProbeRefreshing(vectors: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, k: Int, nAssign: Int = 2)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(Similarity.bitextProbeIndexed(batch.sparkSession,
+          indexPath, batch, idCol, vecCol, k, nAssign), batchId)
+    }
+
   /** The rebuild-tolerant deployment of [[indexMatches]]: a
     * `foreachBatch` writer that re-resolves the ENTIRE static side —
     * centroid sidecar and list files — per micro-batch, so a nightly

@@ -1248,6 +1248,61 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p397.contains("ScalaUDF"), p397)
   }
 
+  test("wave 7 (q398/q399 + the probe-pruning law): dot-segment and " +
+      "thai-shingle dedup stay join-free one-aggregation plans, and " +
+      "the persisted-index probe scan carries a LITERAL list_id " +
+      "partition filter (static file pruning, not a full-index scan)") {
+    // q398: dot-segment resolution is a bounded HOF fold inside the
+    // same canonical-key Column program — still join-free, no UDF
+    val p398 = plan("q398_url_dotsegments")
+    assert(!p398.contains("Join"), s"q398 must be join-free:\n$p398")
+    assert(!p398.contains("ScalaUDF"), p398)
+    // q399: the bigram explosion is token-grain HOF algebra feeding
+    // the same one-aggregation cluster plan as q391
+    val p399 = plan("q399_thai_shingle_dedup")
+    assert(!p399.contains("Join"), s"q399 must be join-free:\n$p399")
+    assert(!p399.contains("ScalaUDF"), p399)
+    // q392's lists scan prunes at FILE-LISTING time: the probed list
+    // union is collected as a bounded fact (≤ nLists) and pushed as
+    // a literal isin on the partition column, so the scan node's
+    // PartitionFilters names list_id with an IN set — the 100 TB
+    // promise "read ONLY the probed list directories" as a plan
+    // property, not a hope that dynamic pruning fires
+    val p392 = plan("q392_bitext_index_probe")
+    val pf = "PartitionFilters: \\[[^\\]]*list_id[^\\]]*\\]".r
+      .findFirstIn(p392)
+    assert(pf.isDefined,
+      s"no list_id partition filter on the lists scan:\n$p392")
+    assert(pf.get.contains("IN"), s"expected a literal IN set: ${pf.get}")
+    // q400: audit = map-only distance + one aggregation; the file
+    // counts ride in as a broadcast literal frame — no cross shapes
+    val p400 = plan("q400_ivf_maintenance")
+    assert(!p400.contains("CartesianProduct"), p400)
+    assert(!p400.contains("BroadcastNestedLoopJoin"), p400)
+    assert(!p400.contains("ScalaUDF"), p400)
+    // q401: the contamination probe is the banded equi-join + keyed
+    // min — never all-pairs between eval and train
+    val p401 = plan("q401_crossmodal_contamination")
+    assert(!p401.contains("CartesianProduct"), p401)
+    assert(!p401.contains("BroadcastNestedLoopJoin"), p401)
+    assert(!p401.contains("ScalaUDF"), p401)
+    // q402: retrain executed — same audit/plan class as q400
+    val p402 = plan("q402_ivf_retrain")
+    assert(!p402.contains("CartesianProduct"), p402)
+    assert(!p402.contains("BroadcastNestedLoopJoin"), p402)
+    assert(!p402.contains("ScalaUDF"), p402)
+    // q403: one fingerprint-index aggregation + ONE left equi-join
+    val p403 = plan("q403_thai_incremental")
+    assert(!p403.contains("CartesianProduct"), p403)
+    assert(!p403.contains("BroadcastNestedLoopJoin"), p403)
+    assert(!p403.contains("ScalaUDF"), p403)
+    // q404: the audio probe stays the banded equi-join + keyed min
+    val p404 = plan("q404_audio_contamination")
+    assert(!p404.contains("CartesianProduct"), p404)
+    assert(!p404.contains("BroadcastNestedLoopJoin"), p404)
+    assert(!p404.contains("ScalaUDF"), p404)
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

@@ -86,6 +86,31 @@ class UrlsSpec extends SparkSpec {
       Seq("https://e.com/p?a=1&x=A"))
   }
 
+  test("dot segments: /./ drops, /seg/../ pops, leading .. vanishes " +
+      "at the root, %2E resolves as a dot AFTER percent decode") {
+    assert(canon("https://e.com/a/./b", "https://e.com/a/x/../b",
+      "https://e.com/a/b") ===
+      Seq("https://e.com/a/b", "https://e.com/a/b",
+        "https://e.com/a/b"))
+    // leading '..' cannot climb above the root; chains resolve
+    assert(canon("https://e.com/../a", "https://e.com/a/../../../b",
+      "https://e.com/a/b/c/../../d") ===
+      Seq("https://e.com/a", "https://e.com/b",
+        "https://e.com/a/d"))
+    // a path that collapses entirely restores '/'
+    assert(canon("https://e.com/..", "https://e.com/a/..",
+      "https://e.com/.") ===
+      Seq("https://e.com/", "https://e.com/", "https://e.com/"))
+    // '..' pops an EMPTY segment too (the RFC '//..' behavior)
+    assert(canon("https://e.com/a//../b") === Seq("https://e.com/a/b"))
+    // %2E is unreserved: it decodes to '.' first, THEN resolves
+    assert(canon("https://e.com/a/%2E/b", "https://e.com/a/%2E%2E/b")
+      === Seq("https://e.com/a/b", "https://e.com/b"))
+    // dots inside a segment name are ordinary characters
+    assert(canon("https://e.com/v1.2/x.html", "https://e.com/a..b")
+      === Seq("https://e.com/v1.2/x.html", "https://e.com/a..b"))
+  }
+
   test("normalizePercent alone: digits/letters decode, %25 ('%') " +
       "stays encoded so the fold is idempotent") {
     val out = Seq("100%25+%31%32%33", "%", "%%41", "a%25b")

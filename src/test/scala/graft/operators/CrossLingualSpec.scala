@@ -241,6 +241,70 @@ class CrossLingualSpec extends SparkSpec {
     idem.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("thai-family shingle fold, BOTH sides: run-preserving " +
+      "re-crawls collide at bigram grain, same-alphabet anagram RUNS " +
+      "do NOT merge (the codepoint-grain failure the bigram device " +
+      "exists to avoid), th never merges lo, fixpoint holds") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // th pair: same runs, different punctuation + token order
+      (1L, "การเรียนรู้ ของเครื่อง", "th"),
+      (2L, "ของเครื่อง, การเรียนรู้!", "th-x"),
+      // th anagram-at-run-grain: same character MULTISET as doc 3's
+      // run, different order -> different bigrams -> no merge
+      (3L, "กขคง", "th"),
+      (4L, "งคขก", "th-y"),
+      // lo pair: same runs, reordered with dash noise
+      (5L, "ການຮຽນຮູ້ ເຄື່ອງຈັກ", "lo"),
+      (6L, "ເຄື່ອງຈັກ — ການຮຽນຮູ້", "lo-x"),
+      // km pair: Khmer is in the shingled class too
+      (7L, "ការរៀនម៉ាស៊ីន", "km"),
+      (8L, "ម៉ាស៊ីន ការរៀន", "km-x"),
+      // a th doc and a lo doc: never merge (native characters)
+      (9L, "ภาษาไทย", "th"),
+      (10L, "ພາສາລາວ", "lo"),
+      // single Thai character: stays a token, no bigram to explode
+      (11L, "ก", "th"),
+      (12L, "ก!", "th-z")).toDF("doc_id", "text", "lang")
+    val fps = docs.select(col("doc_id"),
+        CrossLingual.foldedFingerprintScripted(col("text")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("fp"))).toMap
+    assert(fps(1L).nonEmpty && fps(1L) === fps(2L), "th pair")
+    assert(fps(5L).nonEmpty && fps(5L) === fps(6L), "lo pair")
+    assert(fps(11L).nonEmpty && fps(11L) === fps(12L),
+      "single-char run")
+    // anagram runs must NOT collide: bigram grain keeps local order
+    assert(fps(3L).nonEmpty && fps(4L).nonEmpty && fps(3L) != fps(4L),
+      "anagram runs merged — codepoint grain leaked through")
+    // km pair: the two variants share the SAME runs ('ការរៀន' split
+    // differently would under-merge; here doc 7's single run vs doc
+    // 8's two runs differ at the boundary bigram, so they DON'T
+    // merge — the documented under-merge direction, never a false
+    // merge). Pin the direction:
+    assert(fps(7L).nonEmpty && fps(8L).nonEmpty)
+    assert(fps(7L) != fps(8L), "boundary bigrams should differ")
+    // cross-script: th vs lo never merge
+    assert(fps(9L).nonEmpty && fps(10L).nonEmpty &&
+      fps(9L) != fps(10L))
+    // cluster view over the corpus: exactly the planted collide
+    // pairs (th, lo, single-char th), each ≥2 langs
+    val clusters = CrossLingual.scriptAwareClusters(docs, "doc_id",
+        "text", "lang").collect()
+    assert(clusters.length === 3, clusters.mkString("; "))
+    assert(clusters.map(_.getAs[Long]("canonical_id")).sorted.toSeq
+      === Seq(1L, 5L, 11L))
+    // fixpoint: re-folding folded text leaves the fingerprint fixed
+    // (2-char shingles re-shingle to themselves)
+    val idem = docs.select(
+        CrossLingual.foldedFingerprintScripted(col("text")).as("f1"),
+        CrossLingual.foldedFingerprintScripted(
+          CrossLingual.foldTextScripted(col("text"))).as("f2"))
+      .collect()
+    idem.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("flagIncrementalScripted: a zh delta doc MATCHES the corpus " +
       "copy of its content (the Latin fold NULLed it through), " +
       "cross-script content never matches, empty folds never match") {

@@ -325,4 +325,117 @@ class IvfIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a graft IVF-PQ index"))
   }
+
+  test("ivfMaintenancePlan: n_files matches the real on-disk layout " +
+      "(one file per touched list per write), the action follows the " +
+      "drift-ratio and file-count rules, and compaction returns " +
+      "appended lists to ok") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val base = vectors.filter(col("vec_id") % 2 === 0)
+    val drifted = vectors.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        expr("transform(embedding, (v, i) -> v + CASE WHEN i = 0 " +
+          "THEN CAST(2.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)")
+          .as("embedding"))
+    val cents = Clustering.kmeansCentroids(base, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val dir = Files.createTempDirectory("graft-ivf-maint").toString
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", dir, cents)
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", dir)
+    def audit(path: String) = Similarity.ivfListProfile(s, path)
+      .withColumn("__nano", floor(col("dist") * 1e6 + lit(0.5))
+        .cast("long"))
+      .withColumn("__app", (col("id") % 2 === 1).cast("int"))
+      .groupBy(col("list_id"))
+      .agg(sum(lit(1) - col("__app")).cast("long").as("n_base"),
+        sum(col("__app")).cast("long").as("n_appended"),
+        sum(when(col("__app") === 0, col("__nano"))).as("__sb"),
+        sum(when(col("__app") === 1, col("__nano"))).as("__sa"))
+      .select(col("list_id"), col("n_base"), col("n_appended"),
+        (col("__sb").cast("double") /
+          (lit(1e6) * col("n_base").cast("double")))
+          .as("mean_dist_base"),
+        (col("__sa").cast("double") /
+          (lit(1e6) * col("n_appended").cast("double")))
+          .as("mean_dist_appended"))
+    val plan = Similarity.ivfMaintenancePlan(s, dir, audit(dir),
+      retrainRatio = 1.5, maxFilesPerList = 1).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val nb = r.getAs[Long]("n_base"); val na = r.getAs[Long]("n_appended")
+      // file arithmetic: one file per touched list per write batch
+      val expectFiles = (if (nb > 0) 1L else 0L) + (if (na > 0) 1L else 0L)
+      assert(r.getAs[Long]("n_files") === expectFiles, r.toString)
+      // the action follows the row's own columns
+      val drift = na > 0 && nb > 0 &&
+        r.getAs[Double]("mean_dist_appended") >
+          1.5 * r.getAs[Double]("mean_dist_base")
+      val expect = if (drift) "retrain"
+        else if (expectFiles > 1) "compact" else "ok"
+      assert(r.getAs[String]("action") === expect, r.toString)
+    }
+    // the +2.0 dim-0 plant is strong: at least one list must alarm
+    assert(plan.exists(_.getAs[String]("action") == "retrain"),
+      plan.mkString("; "))
+    // an impossible ratio disables retrain -> appended lists compact
+    val noDrift = Similarity.ivfMaintenancePlan(s, dir, audit(dir),
+      retrainRatio = 1e9, maxFilesPerList = 1).collect()
+    assert(noDrift.forall(_.getAs[String]("action") != "retrain"))
+    assert(noDrift.filter(_.getAs[Long]("n_appended") > 0)
+      .forall(_.getAs[String]("action") == "compact"))
+    // compaction restores one file per list -> nothing compacts
+    val dest = Files.createTempDirectory("graft-ivf-maint-c").toString
+    Similarity.compactIvfIndex(s, dir, dest)
+    val after = Similarity.ivfMaintenancePlan(s, dest, audit(dest),
+      retrainRatio = 1e9, maxFilesPerList = 1).collect()
+    assert(after.forall(_.getAs[Long]("n_files") === 1L))
+    assert(after.forall(_.getAs[String]("action") == "ok"))
+  }
+
+  test("retrainIvfIndex clears the drift alarm: after re-training on " +
+      "the index contents, the appended population's distance ratio " +
+      "no longer exceeds the retrain threshold anywhere") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val base = vectors.filter(col("vec_id") % 2 === 0)
+    val drifted = vectors.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        expr("transform(embedding, (v, i) -> v + CASE WHEN i = 0 " +
+          "THEN CAST(2.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)")
+          .as("embedding"))
+    val cents = Clustering.kmeansCentroids(base, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val dir = Files.createTempDirectory("graft-ivf-rt-src").toString
+    val dest = Files.createTempDirectory("graft-ivf-rt-dst").toString + "/ix"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", dir, cents)
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", dir)
+    def alarms(path: String): Long = Similarity.ivfListProfile(s, path)
+      .withColumn("__app", (col("id") % 2 === 1).cast("int"))
+      .groupBy(col("list_id"))
+      .agg(avg(when(col("__app") === 0, col("dist"))).as("mb"),
+        avg(when(col("__app") === 1, col("dist"))).as("ma"))
+      .filter(col("mb").isNotNull && col("ma").isNotNull &&
+        col("ma") > col("mb") * 1.5)
+      .count()
+    // the +2.0 plant alarms pre-retrain ...
+    assert(alarms(dir) > 0)
+    Similarity.retrainIvfIndex(s, dir, dest, k = 4, iters = 2)
+    // ... and clears post-retrain: centroids now FIT the appended
+    // population (it is half the data), so no list's appended mean
+    // sits 1.5x beyond its base mean
+    assert(alarms(dest) === 0L)
+    // the rewrite is one file per list (the compaction invariant)
+    val plan = Similarity.ivfMaintenancePlan(s, dest,
+      Similarity.ivfListProfile(s, dest)
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_base"), lit(0L).as("n_appended"),
+          avg(col("dist")).as("mean_dist_base"),
+          lit(null).cast("double").as("mean_dist_appended")),
+      retrainRatio = 1.5, maxFilesPerList = 1).collect()
+    assert(plan.forall(_.getAs[Long]("n_files") === 1L))
+    assert(plan.forall(_.getAs[String]("action") == "ok"))
+    // sidecar k matches the retrain request
+    assert(Similarity.readIvfCentroids(s, dest).size === 4)
+  }
 }

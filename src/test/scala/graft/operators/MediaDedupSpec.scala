@@ -284,4 +284,40 @@ class MediaDedupSpec extends SparkSpec {
     }
     assert(elected === Seq(2L, 1L))
   }
+
+  test("crossNearDupBest: best match by (hamming, corpus id), radius " +
+      "respected, clean probes absent, and probe ids never match " +
+      "each other") {
+    val s = spark
+    import s.implicits._
+    // hand-built hash frames (the operator consumes hash rows — no
+    // codec needed): corpus 10 = (1,2,3,4); 11 and 12 tie one bit
+    // away from probe 3
+    val corpus = Seq(
+      (10L, 1L, 2L, 3L, 4L),
+      (11L, 1L, 2L, 3L, 12L),
+      (12L, 1L, 2L, 3L, 12L),
+      (13L, 1L, 2L, 3L, 1L << 15)
+    ).toDF("media_id", "b0", "b1", "b2", "b3")
+    val probe = Seq(
+      (1L, 1L, 2L, 3L, 4L),        // exact copy of 10 -> hamming 0
+      (2L, 1L, 2L, 3L, 8L),        // 1 bit from 11/12, 2 bits from 10
+      (3L, 1L, 2L, 3L, 12L),       // exact copy of 11 AND 12 -> tie
+      (4L, 99L, 98L, 97L, 96L)     // far from everything -> clean
+    ).toDF("media_id", "b0", "b1", "b2", "b3")
+    val out = MediaDedup.crossNearDupBest(probe, corpus, maxHamming = 3)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("match_id"), r.getAs[Int]("hamming"))).toMap
+    assert(out(1L) === ((10L, 0)))
+    // probe 2: hamming 1 to 11 and 12 beats hamming 2 to 10; the
+    // (hamming, id) min takes the smaller corpus id
+    assert(out(2L) === ((11L, 1)))
+    // exact tie on hamming 0 -> smaller corpus id
+    assert(out(3L) === ((11L, 0)))
+    // clean probe emits nothing
+    assert(!out.contains(4L))
+    // probes never pair with probes (cross form, not self-join)
+    assert(out.keySet === Set(1L, 2L, 3L))
+  }
 }

@@ -204,4 +204,60 @@ class AnnStreamSpec extends SparkSpec {
         s"stream ADC $sc != batch ADC ${adcScores(idx)} for $idx")
     }
   }
+
+  test("streaming bitext candidates equal the batch pair stage " +
+      "score-for-score (pruned scan included), and the refreshing " +
+      "probe emits exactly the batch bitextProbeIndexed rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val en = vectors.filter(col("vec_id") % 2 === 0)
+    val cents = Clustering.kmeansCentroids(en, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val dir = Files.createTempDirectory("graft-annstream-bitext").toString
+    Similarity.writeIvfIndex(en, "vec_id", "embedding", dir, cents)
+    val deltaDf = vectors
+      .filter(col("vec_id") % 2 === 1 && col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"))
+    val arrivals = deltaDf.as[AnnVec].collect().toSeq
+
+    val mem = MemoryStream[AnnVec]
+    val q = AnnStream.bitextCandidates(mem.toDF(), dir, "vec_id",
+        "embedding", minCos = -2.0, nAssign = 2)
+      .writeStream.format("memory").queryName("bitext_cands")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("SELECT * FROM bitext_cands").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("y"),
+        r.getAs[Double]("cos"))).toSet
+    // batch pair stage WITH the literal-isin pruning: score-for-score
+    // identical — pruning changes which files are listed, never a bit
+    // of any score
+    val batch = Similarity.bitextCandidatePairsIndexed(s, dir, deltaDf,
+        "vec_id", "embedding", nAssign = 2, pruneLists = true)
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"),
+        r.getAs[Double]("cos"))).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+
+    // refreshing probe: per-batch full mining == the batch operator
+    var got = Set.empty[(Long, Long, Double, Double)]
+    val mem2 = MemoryStream[AnnVec]
+    val q2 = AnnStream.bitextProbeRefreshing(mem2.toDF(), dir,
+        "vec_id", "embedding", k = 4, nAssign = 2) { (df, _) =>
+      got = got ++ df.collect().map(r => (r.getAs[Long]("x"),
+        r.getAs[Long]("best_match"), r.getAs[Double]("cos"),
+        r.getAs[Double]("margin")))
+    }.start()
+    mem2.addData(arrivals: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val batchBest = Similarity.bitextProbeIndexed(s, dir, deltaDf,
+        "vec_id", "embedding", k = 4, nAssign = 2)
+      .collect().map(r => (r.getAs[Long]("x"),
+        r.getAs[Long]("best_match"), r.getAs[Double]("cos"),
+        r.getAs[Double]("margin"))).toSet
+    assert(got.nonEmpty && got === batchBest)
+  }
 }
