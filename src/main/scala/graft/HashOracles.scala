@@ -5376,11 +5376,17 @@ object HashOracles {
     * (`\1` vs `$1`). The Thai/Lao/Khmer bigram explosion happens at
     * token grain in [[ScriptedToksSql]].
     */
-  val ScriptedFoldSql: String = {
+  val ScriptedFoldSql: String = scriptedFoldSqlOf("text")
+
+  /** [[ScriptedFoldSql]] over an arbitrary inner text expression —
+    * the parametric form the width-fold oracle composes with a
+    * `translate` wrapped around the column.
+    */
+  def scriptedFoldSqlOf(inner: String): String = {
     val from = operators.CrossLingual.AccentFrom
     val to = operators.CrossLingual.AccentTo
     val cls = operators.CrossLingual.UnsegmentedClass
-    s"regexp_replace(regexp_replace(translate(lower(text), '$from', " +
+    s"regexp_replace(regexp_replace(translate(lower($inner), '$from', " +
       s"'$to'), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), " +
       s"'([$cls])', ' \\1 ', 'g')"
   }
@@ -5391,10 +5397,13 @@ object HashOracles {
     * Spark's `sequence(1, length - 1)` inclusive, and `substr` counts
     * characters in both engines.
     */
-  val ScriptedToksSql: String = {
+  val ScriptedToksSql: String = scriptedToksSqlOf("text")
+
+  /** [[ScriptedToksSql]] over an arbitrary inner text expression. */
+  def scriptedToksSqlOf(inner: String): String = {
     val sh = operators.CrossLingual.ShingledClass
     "list_distinct(list_filter(flatten(list_transform(" +
-      s"list_filter(string_split_regex(lower($ScriptedFoldSql), " +
+      s"list_filter(string_split_regex(lower(${scriptedFoldSqlOf(inner)}), " +
       "'\\s+'), t -> t <> ''), " +
       s"t -> CASE WHEN regexp_matches(t, '^[$sh]{2,}$$') " +
       "THEN list_transform(range(1, length(t)), " +
@@ -5407,9 +5416,13 @@ object HashOracles {
     * sort BINARY (UTF-8 bytewise) in both engines, so the sorted
     * multi-script token join hashes identically.
     */
-  val ScriptedFpSql: String =
-    s"CASE WHEN len($ScriptedToksSql) > 0 THEN md5(array_to_string(" +
-      s"list_sort($ScriptedToksSql), ' ')) END"
+  val ScriptedFpSql: String = scriptedFpSqlOf("text")
+
+  /** [[ScriptedFpSql]] over an arbitrary inner text expression. */
+  def scriptedFpSqlOf(inner: String): String =
+    s"CASE WHEN len(${scriptedToksSqlOf(inner)}) > 0 THEN " +
+      s"md5(array_to_string(list_sort(${scriptedToksSqlOf(inner)}), " +
+      "' ')) END"
 
   /** The q391/q394/q397 multilingual synth (mirrors
     * `SparkEntry.scriptSynth`) as CTEs ending in
@@ -7016,6 +7029,234 @@ object HashOracles {
          |  ${snapSql("CAST(sum(tk) AS DOUBLE) / " +
           "CAST(count(*) AS DOUBLE)", 4)} AS tokens_per_doc
          |FROM hh GROUP BY host ORDER BY host""".stripMargin)
+  }
+
+  /** Per-host cap replay (q405, [[operators.UrlDedup.capPerHost]]):
+    * the synth + canonicalization fragments, host regexp, ONE rank
+    * window with the identical (score desc, id asc) order.
+    */
+  val q405HostCap: String =
+    withClause(
+      urlSynthCtes("documents", carry = ", text") ++
+      urlCanonCtes(carry = ", text") ++ Seq(
+      "hh AS (SELECT doc_id, " +
+        "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) " +
+        s"AS host, CAST(len($Toks) AS BIGINT) AS n_tokens FROM cn)",
+      "rk AS (SELECT doc_id, host, n_tokens, " +
+        "CAST(row_number() OVER (PARTITION BY host " +
+        "ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS host_rank " +
+        "FROM hh)"),
+      "SELECT doc_id, host, n_tokens, host_rank, " +
+        "host_rank <= 10 AS is_kept FROM rk ORDER BY host, host_rank")
+
+  /** Duplicated-line removal replay (q406,
+    * [[operators.Boilerplate.removeDuplicatedLines]]): the synth
+    * header/chunk/footer assembly, positional line explode (zipped
+    * unnest), document frequency per line STRING, and the ordered
+    * struct-list rebuild — the exact Spark device in list functions.
+    */
+  val q406LineDedup: String = {
+    val hdr = "'subscribe to the newsletter variant ' || (doc_id % 3)"
+    val ftr = "'copyright footer variant ' || (doc_id % 3)"
+    withClause(Seq(
+      s"tk0 AS (SELECT doc_id, lang, $Toks AS t FROM documents)",
+      "ck AS (SELECT doc_id, lang, list_transform(range(0, " +
+        "greatest(CAST(ceil(len(t) / 12.0) AS BIGINT), 1)), " +
+        "i -> array_to_string(t[i * 12 + 1 : i * 12 + 12], ' ')) " +
+        "AS chs FROM tk0)",
+      s"ls AS (SELECT doc_id, lang, $hdr || chr(10) || " +
+        "array_to_string(chs, chr(10)) || chr(10) || " +
+        s"$ftr AS text FROM ck)",
+      "sp AS (SELECT doc_id, lang, string_split(text, chr(10)) " +
+        "AS lines FROM ls)",
+      "ln AS (SELECT doc_id, unnest(range(len(lines))) AS pos, " +
+        "unnest(lines) AS line FROM sp)",
+      "df AS (SELECT line, count(DISTINCT doc_id) AS df FROM ln " +
+        "GROUP BY 1)",
+      "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_removed, array_to_string(list_transform(list_filter(" +
+        "list(struct_pack(p := pos, d := CASE WHEN df > 5 THEN 1 " +
+        "ELSE 0 END, l := line) ORDER BY pos), x -> x.d = 0), " +
+        "x -> x.l), chr(10)) AS clean_text FROM ln JOIN df " +
+        "USING (line) GROUP BY doc_id)"),
+      "SELECT sp.doc_id, sp.lang, n_lines, n_removed, clean_text " +
+        "FROM sp JOIN ag USING (doc_id) ORDER BY doc_id")
+  }
+
+  /** Wasserstein-1 drift replay (q407,
+    * [[operators.Divergence.wasserstein1By]]): the (group, value)
+    * histogram, the bounded groups × values grid, keyed CDF windows,
+    * and the HUGEINT step terms — `|c_g·n_rest − c_rest·n_g|·Δv`
+    * summed exactly, one double division on the 1e-6 grid.
+    */
+  val q407Wasserstein: String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      "dv AS (SELECT source AS g, " +
+        s"CAST(len($Toks) AS BIGINT) AS v FROM documents)",
+      "h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM dv " +
+        "GROUP BY 1, 2)",
+      "tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM h " +
+        "GROUP BY 1)",
+      "gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM h " +
+        "GROUP BY 1)",
+      "tt AS (SELECT CAST(sum(ct) AS BIGINT) AS n_all FROM tv)",
+      "grid AS (SELECT gs.g, gs.n_g, tv.v, tv.ct, " +
+        "coalesce(h.c, 0) AS c FROM gs CROSS JOIN tv " +
+        "LEFT JOIN h ON h.g = gs.g AND h.v = tv.v)",
+      "cum AS (SELECT g, n_g, v, sum(c) OVER w AS cc, " +
+        "sum(ct) OVER w AS cct, lead(v) OVER w AS vn FROM grid " +
+        "WINDOW w AS (PARTITION BY g ORDER BY v))",
+      "sm AS (SELECT g, n_g, n_all, sum(CASE WHEN vn IS NULL THEN " +
+        "CAST(0 AS HUGEINT) ELSE abs(CAST(cc AS HUGEINT) * " +
+        "(n_all - n_g) - CAST(cct - cc AS HUGEINT) * n_g) * " +
+        "(vn - v) END) AS num FROM cum CROSS JOIN tt " +
+        "GROUP BY 1, 2, 3)"),
+      s"""SELECT g AS source, n_g AS n_rows,
+         |  ${snapSql("CASE WHEN n_all > n_g THEN " +
+          "CAST(num AS DOUBLE) / (CAST(n_g AS DOUBLE) * " +
+          "CAST(n_all - n_g AS DOUBLE)) END", 6)} AS w1_vs_rest
+         |FROM sm ORDER BY source""".stripMargin)
+  }
+
+  /** Width-fold dedup replay (q408,
+    * [[operators.CrossLingual.foldWidth]]): the synth pair via the
+    * REVERSE translate of the same literal map, then both
+    * fingerprints — scripted as-is and scripted-over-width-fold —
+    * per planted pair.
+    */
+  val q408WidthFold: String = {
+    val fw = operators.CrossLingual.WidthFrom
+    val asc = operators.CrossLingual.WidthTo.replace("'", "''")
+    withClause(Seq(
+      "w0 AS (SELECT doc_id, doc_id // 2 AS pair_id, " +
+        "'模型训练数据 gpu' || (doc_id // 2) || " +
+        "' benchmark 2024 edition' AS t0 FROM documents)",
+      "ws AS (SELECT pair_id, CASE WHEN doc_id % 2 = 1 THEN " +
+        s"translate(t0, '$asc', '$fw') ELSE t0 END AS text FROM w0)",
+      s"fp AS (SELECT pair_id, ${scriptedFpSqlOf("text")} AS fs, " +
+        s"${scriptedFpSqlOf(s"translate(text, '$fw', '$asc')")} " +
+        "AS fwk FROM ws)"),
+      "SELECT pair_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT fs) AS BIGINT) AS n_keys_scripted, " +
+        "CAST(count(DISTINCT fwk) AS BIGINT) AS n_keys_width " +
+        "FROM fp GROUP BY 1 ORDER BY 1")
+  }
+
+  /** Per-host retention funnel replay (q409): the q382 chain at host
+    * grain — URL canonical dedup → folded-fingerprint dedup → the
+    * quality replay — closed with the q405 cap window at 5.
+    */
+  val q409HostRetention: String =
+    withClause(
+      urlSynthCtes("documents", carry = ", text") ++
+      urlCanonCtes(carry = ", text") ++ Seq(
+      "hh AS (SELECT doc_id, text, canonical_url, " +
+        "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) " +
+        "AS host FROM cn)",
+      "ix AS (SELECT canonical_url AS curl, min(doc_id) " +
+        "AS matched_id FROM cn WHERE canonical_url IS NOT NULL " +
+        "GROUP BY 1)",
+      "au AS (SELECT hh.doc_id, hh.text, hh.host FROM hh " +
+        "LEFT JOIN ix ON hh.canonical_url = ix.curl " +
+        "WHERE ix.matched_id IS NULL OR hh.doc_id = ix.matched_id)",
+      s"ff AS (SELECT doc_id, text, host, $FoldedFpSql AS fp FROM au)",
+      "fc AS (SELECT fp, min(doc_id) AS fcanon FROM ff " +
+        "WHERE fp IS NOT NULL GROUP BY 1)",
+      "af AS (SELECT ff.doc_id, ff.text, ff.host FROM ff " +
+        "LEFT JOIN fc USING (fp) " +
+        "WHERE fc.fcanon IS NULL OR ff.doc_id = fc.fcanon)",
+      s"qtk AS (SELECT doc_id, text, host, $Toks AS t FROM af)",
+      "qg AS (SELECT doc_id, text, len(t) AS n, " +
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(0, " +
+        "len(t) - 2), i -> array_to_string(t[i + 1 : i + 3], ' ')) " +
+        "ELSE [array_to_string(t, ' ')] END AS g3 FROM qtk)",
+      "qual AS (SELECT doc_id FROM qg WHERE n >= 30 AND n <= 10000 " +
+        "AND CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / " +
+        "len(g3) <= 0.05 AND CAST(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?''\"()-]', '', 'g')) " +
+        "AS DOUBLE) <= n * 0.5)",
+      "kp AS (SELECT q.doc_id, q.host, CAST(len(q.t) AS BIGINT) " +
+        "AS tk FROM qtk q JOIN qual USING (doc_id))",
+      "rk AS (SELECT doc_id, host, tk, row_number() OVER " +
+        "(PARTITION BY host ORDER BY tk DESC, doc_id) AS rn FROM kp)",
+      "cp AS (SELECT host, CAST(count(*) AS BIGINT) AS n_capped, " +
+        "CAST(sum(tk) AS BIGINT) AS tokens_capped FROM rk " +
+        "WHERE rn <= 5 GROUP BY 1)",
+      "c0 AS (SELECT host, CAST(count(*) AS BIGINT) AS n_raw " +
+        "FROM hh GROUP BY 1)",
+      "c1 AS (SELECT host, CAST(count(*) AS BIGINT) " +
+        "AS n_after_url FROM au GROUP BY 1)",
+      "c2 AS (SELECT host, CAST(count(*) AS BIGINT) " +
+        "AS n_after_fp FROM af GROUP BY 1)",
+      "c3 AS (SELECT host, CAST(count(*) AS BIGINT) " +
+        "AS n_quality FROM kp GROUP BY 1)"),
+      "SELECT c0.host, c0.n_raw, " +
+        "coalesce(c1.n_after_url, 0) AS n_after_url, " +
+        "coalesce(c2.n_after_fp, 0) AS n_after_fp, " +
+        "coalesce(c3.n_quality, 0) AS n_quality, " +
+        "coalesce(cp.n_capped, 0) AS n_capped, " +
+        "coalesce(cp.tokens_capped, 0) AS tokens_capped " +
+        "FROM c0 LEFT JOIN c1 USING (host) LEFT JOIN c2 USING (host) " +
+        "LEFT JOIN c3 USING (host) LEFT JOIN cp USING (host) " +
+        "ORDER BY c0.host")
+
+  /** Code-switch audit replay (q410,
+    * [[operators.CrossLingual.codeSwitchAudit]]): the mixed-tail
+    * synth, token-list chunk slices (exact — tokens carry no
+    * whitespace, so re-tokenizing a joined chunk is the slice), the
+    * stopword-profile CASE per chunk, bounded per-language counts.
+    */
+  val q410CodeSwitch: String = {
+    import graft.functions.{TextFunctions => TFn}
+    def hitsOf(e: String, words: Seq[String]): String =
+      s"len(list_filter($e, t -> t IN " +
+        words.map(w => s"'$w'").mkString("(", ", ", ")") + "))"
+    val en = hitsOf("x", TFn.EnStop)
+    val de = hitsOf("x", TFn.DeStop)
+    val fr = hitsOf("x", TFn.FrStop)
+    val vote = s"CASE WHEN $en >= $de AND $en >= $fr AND $en > 0 " +
+      s"THEN 'en' WHEN $de >= $fr AND $de > 0 THEN 'de' " +
+      s"WHEN $fr > 0 THEN 'fr' ELSE 'und' END"
+    withClause(Seq(
+      s"hd AS (SELECT doc_id, array_to_string(($Toks)[1:24], ' ') " +
+        "AS head FROM documents)",
+      "mx AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN head || " +
+        "' der die das und ist nicht ein eine zu den von mit auf " +
+        "dem sich des' WHEN doc_id % 4 = 2 THEN head || " +
+        "' le la les et est une dans pour pas sur avec au il elle " +
+        "ne que' ELSE head || " +
+        "' the and of to in is it that for on with as' END " +
+        "AS text FROM hd)",
+      s"tk AS (SELECT doc_id, $Toks AS t FROM mx)",
+      "ch AS (SELECT doc_id, list_transform(range(0, " +
+        "greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)), " +
+        "i -> t[i * 8 + 1 : i * 8 + 8]) AS chs FROM tk)",
+      s"vt AS (SELECT doc_id, list_transform(chs, x -> $vote) " +
+        "AS votes FROM ch)",
+      "ag AS (SELECT doc_id, CAST(len(votes) AS BIGINT) AS n_chunks, " +
+        "CAST(len(list_filter(votes, v -> v = 'en')) AS BIGINT) " +
+        "AS n_en, " +
+        "CAST(len(list_filter(votes, v -> v = 'de')) AS BIGINT) " +
+        "AS n_de, " +
+        "CAST(len(list_filter(votes, v -> v = 'fr')) AS BIGINT) " +
+        "AS n_fr, " +
+        "CAST(len(list_filter(votes, v -> v = 'und')) AS BIGINT) " +
+        "AS n_und FROM vt)"),
+      "SELECT doc_id, n_chunks, n_en, n_de, n_fr, n_und, " +
+        "CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_und " +
+        "THEN 'en' WHEN n_de >= n_fr AND n_de >= n_und THEN 'de' " +
+        "WHEN n_fr >= n_und THEN 'fr' ELSE 'und' END " +
+        "AS primary_lang, " +
+        "CAST((CASE WHEN n_en > 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n_de > 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n_fr > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_langs, " +
+        "((CASE WHEN n_en > 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n_de > 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n_fr > 0 THEN 1 ELSE 0 END)) >= 2 AS is_mixed " +
+        "FROM ag ORDER BY doc_id")
   }
 
   /** Web-pipeline capstone replay (q382): URL canonical dedup →

@@ -608,6 +608,49 @@ object ScaleProbe {
             .agg(count(lit(1)).as("n")))
       }
     }
+    // per-host cap (round-16): ONE window keyed by host — cost is the
+    // hash shuffle + per-host sort, ~linear in rows at fixed host
+    // arity (the worst realistic case: hosts don't grow with the
+    // crawl nearly as fast as pages do)
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("host_cap")) {
+        timeWarm(s"host_cap r=$r docs=${nDocs * r}",
+          () => operators.UrlDedup.capPerHost(
+            replicateDocs(r)
+              .withColumn("host", concat(lit("h"),
+                pmod(col("doc_id"), lit(97L))))
+              .withColumn("score", length(col("text")).cast("long")),
+            "doc_id", "host", "score", maxPerHost = 10))
+      }
+    }
+    // duplicated-line removal (round-16): line explode + (line, df)
+    // partial-agg shuffle + un-hinted join back + doc-grain rebuild —
+    // all keyed, must stay ~linear in corpus rows
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("line_dedup")) {
+        timeWarm(s"line_dedup r=$r docs=${nDocs * r}",
+          () => operators.Boilerplate.removeDuplicatedLines(
+            replicateDocs(r).withColumn("text",
+              concat(lit("shared header "), pmod(col("doc_id"),
+                lit(3L)), lit("\n"), col("text"), lit("\nshared " +
+                "footer "), pmod(col("doc_id"), lit(3L)))),
+            "doc_id", "text", maxDf = 5))
+      }
+    }
+    // Wasserstein-1 drift (round-16): one histogram shuffle, then
+    // windows over the bounded (groups × values) register only —
+    // corpus growth pays the histogram pass, the register stays the
+    // same size, so the sweep must flatten toward the scan cost
+    Seq(1, 2, 4).foreach { r =>
+      if (probeEnabled("wasserstein")) {
+        timeWarm(s"wasserstein r=$r docs=${nDocs * r}",
+          () => operators.Divergence.wasserstein1By(
+            replicateDocs(r).select(
+              pmod(col("doc_id"), lit(20L)).cast("string").as("g"),
+              (length(col("text")) % 512).cast("long").as("v")),
+            "g", "v"))
+      }
+    }
     // round-15 persisted-index bitext probe (lists ∝ n): the index
     // write is the one-off corpus build; the RECURRING cost is the
     // probe — one nearest-list explode + equi-join against the list

@@ -156,6 +156,57 @@ object SparkEntry {
           col("__b"))))
       .drop("__b")
 
+  // the multi-line synth corpus for the duplicated-line removal family
+  // (q406 + the streaming form): three header/footer template variants
+  // (doc_id % 3) wrap each document's own 12-token middle chunks —
+  // headers/footers are each shared by ~a third of the corpus
+  // (df >> maxDf, removed), middles are mostly unique (kept); whatever
+  // middle chunks the tiny fixture vocabulary happens to duplicate
+  // beyond maxDf are removed too, and the oracle replays the same rule.
+  private def lineSynth(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      concat_ws("\n",
+        concat(lit("subscribe to the newsletter variant "),
+          col("doc_id") % 3),
+        array_join(TF.chunksOf(toks(col("text")), 12, 0), "\n"),
+        concat(lit("copyright footer variant "), col("doc_id") % 3))
+        .as("text"))
+
+  // the width-variant synth corpus for the width-fold family (q408):
+  // page identity = doc_id div 2; the even twin carries mixed
+  // zh + ASCII content in plain ASCII spelling, the odd twin the SAME
+  // content re-spelled through the fullwidth block — produced by the
+  // REVERSE translate of the same map, so the pair is exact by
+  // construction and the oracle mirrors it with the same two literals.
+  private def widthSynth(docs: DataFrame): DataFrame = {
+    val base = concat(lit("模型训练数据 gpu"), expr("doc_id div 2"),
+      lit(" benchmark 2024 edition"))
+    docs.select(col("doc_id"), expr("doc_id div 2").as("pair_id"))
+      .withColumn("text", when(col("doc_id") % 2 === 1,
+        translate(base, graft.operators.CrossLingual.WidthTo,
+          graft.operators.CrossLingual.WidthFrom))
+        .otherwise(base))
+  }
+
+  // the code-switch synth corpus for the chunk-grain language audit
+  // (q410): every doc opens with its own first 24 tokens (en-ish
+  // fixture text), then doc_id % 4 == 1 drifts into a German tail,
+  // % 4 == 2 into a French tail, everything else stays English — the
+  // planted mixed docs are the % 4 ∈ {1,2} rows (whether each reads
+  // as mixed also depends on the head chunks' own stopword hits; the
+  // gate is value-exact, not a semantic claim).
+  private def mixSynth(docs: DataFrame): DataFrame = {
+    val head = array_join(slice(toks(col("text")), 1, 24), " ")
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 1, concat(head, lit(" der die das " +
+        "und ist nicht ein eine zu den von mit auf dem sich des")))
+        .when(col("doc_id") % 4 === 2, concat(head, lit(" le la les " +
+          "et est une dans pour pas sur avec au il elle ne que")))
+        .otherwise(concat(head,
+          lit(" the and of to in is it that for on with as")))
+        .as("text"))
+  }
+
   private def webUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), col("lang"),
       expr("doc_id div 3").as("__base"))
@@ -5041,6 +5092,131 @@ object SparkEntry {
           col("match_id"), col("hamming"))
         .orderBy(col("media_id"))
     }),
+
+    // Per-host document CAP — the anti-domination stage (C4/RefinedWeb
+    // cap per-domain contributions) right after URL dedup: host from
+    // the canonical URL, score = token count, keep the best 10 per
+    // host (score desc, id asc). ONE window keyed by host; every row
+    // survives with its rank so the drop set is auditable.
+    "q405_host_cap" -> ((s, dir) => {
+      val canon = webUrls(T(s, dir, "documents"))
+        .withColumn("curl",
+          graft.functions.Urls.canonicalize(col("url")))
+        .withColumn("host",
+          regexp_extract(col("curl"), "^[a-z]+://([^/:?#]+)", 1))
+        .select(col("doc_id"), col("host"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.UrlDedup.capPerHost(canon, "doc_id", "host",
+          "n_tokens", maxPerHost = 10)
+        .orderBy(col("host"), col("host_rank"))
+    }),
+
+    // Duplicated-LINE removal (CCNet's line-grain hygiene pass): lines
+    // occurring in > maxDf distinct documents (planted header/footer
+    // template variants + whatever middles the fixture duplicates)
+    // are deleted IN PLACE, the rest of each document survives with
+    // its line order intact. Line explode → (line, df) → un-hinted
+    // join back → per-doc ordered rebuild.
+    "q406_line_dedup" -> ((s, dir) =>
+      graft.operators.Boilerplate.removeDuplicatedLines(
+          lineSynth(T(s, dir, "documents")), "doc_id", "text",
+          maxDf = 5)
+        .select(col("doc_id"), col("lang"), col("n_lines"),
+          col("n_removed"), col("clean_text"))
+        .orderBy(col("doc_id"))),
+
+    // Exact Wasserstein-1 drift of each source's token-count
+    // distribution vs the REST of the corpus — the transport-cost
+    // drift gauge (KL/JS q135 ignore the metric's geometry, KS q277
+    // reads one point). Histogram register + keyed CDF windows,
+    // DECIMAL(38) integer terms, one final division on the 1e-6 grid.
+    "q407_wasserstein_drift" -> ((s, dir) =>
+      graft.operators.Divergence.wasserstein1By(
+          T(s, dir, "documents").select(col("source"),
+            size(toks(col("text"))).cast("long").as("n_toks")),
+          "source", "n_toks")
+        .orderBy(col("source"))),
+
+    // WIDTH-fold dedup — fullwidth ASCII twins (ＧＰＵ２０２４ vs
+    // gpu2024, the zh/ja mixed-script duplicate class): per planted
+    // pair the scripted fingerprint alone keeps 2 keys (fullwidth
+    // Latin is still \p{L} — under-merge), the width-folded
+    // fingerprint collapses them to 1. Same one-aggregation shape.
+    "q408_width_fold_dedup" -> ((s, dir) =>
+      widthSynth(T(s, dir, "documents"))
+        .select(col("pair_id"),
+          graft.operators.CrossLingual
+            .foldedFingerprintScripted(col("text")).as("__fs"),
+          graft.operators.CrossLingual
+            .foldedFingerprintWide(col("text")).as("__fw"))
+        .groupBy(col("pair_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__fs")).as("n_keys_scripted"),
+          countDistinct(col("__fw")).as("n_keys_width"))
+        .orderBy(col("pair_id"))),
+
+    // Per-HOST retention funnel — the q382 RefinedWeb chain re-read at
+    // host grain and CLOSED with the q405 cap: URL-canonical dedup →
+    // folded-fingerprint dedup → quality gate → best-5-per-host cap,
+    // counts at every stage plus the final token budget. The corpus
+    // owner's per-host answer to "where did my crawl go".
+    "q409_host_retention" -> ((s, dir) => {
+      val docs = webUrls(T(s, dir, "documents"))
+        .withColumn("curl",
+          graft.functions.Urls.canonicalize(col("url")))
+        .withColumn("host",
+          regexp_extract(col("curl"), "^[a-z]+://([^/:?#]+)", 1))
+        .select(col("doc_id"), col("text"), col("host"), col("curl"))
+      val idx = docs.filter(col("curl").isNotNull)
+        .groupBy(col("curl")).agg(min(col("doc_id")).as("__mid"))
+      val afterUrl = docs.join(idx, Seq("curl"), "left")
+        .filter(col("__mid").isNull || col("doc_id") === col("__mid"))
+        .select(col("doc_id"), col("text"), col("host"))
+      val withFp = afterUrl.withColumn("fp",
+        graft.operators.CrossLingual.foldedFingerprint(col("text")))
+      val canon = withFp.filter(col("fp").isNotNull)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("__fc"))
+      val afterFp = withFp.join(canon, Seq("fp"), "left")
+        .filter(col("__fc").isNull || col("doc_id") === col("__fc"))
+        .select(col("doc_id"), col("text"), col("host"))
+      val kept = graft.operators.QualityFilters.keep(
+          afterFp.withColumn("toks", toks(col("text"))), "text",
+          graft.operators.QualityFilters.Thresholds(minTokens = 30,
+            maxTokens = 10000, maxDupNgramFraction = 0.05),
+          tokensCol = Some("toks"))
+        .select(col("doc_id"), col("host"),
+          size(col("toks")).cast("long").as("n_tokens"))
+      val capped = graft.operators.UrlDedup.capPerHost(kept, "doc_id",
+          "host", "n_tokens", maxPerHost = 5)
+        .filter(col("is_kept"))
+      def hostCount(df: DataFrame, name: String) =
+        df.groupBy(col("host")).agg(count(lit(1)).as(name))
+      hostCount(docs, "n_raw")
+        .join(hostCount(afterUrl, "n_after_url"), Seq("host"), "left")
+        .join(hostCount(afterFp, "n_after_fp"), Seq("host"), "left")
+        .join(hostCount(kept, "n_quality"), Seq("host"), "left")
+        .join(capped.groupBy(col("host"))
+          .agg(count(lit(1)).as("n_capped"),
+            sum(col("n_tokens")).as("tokens_capped")),
+          Seq("host"), "left")
+        .na.fill(0L, Seq("n_after_url", "n_after_fp", "n_quality",
+          "n_capped", "tokens_capped"))
+        .orderBy(col("host"))
+    }),
+
+    // Code-switch audit — chunk-grain language votes over documents
+    // that OPEN English and drift into a planted German/French tail:
+    // per doc the per-language chunk counts, majority language and
+    // the is_mixed verdict. ZERO shuffles — the chunk loop is a
+    // per-row transform over the token array.
+    "q410_codeswitch_audit" -> ((s, dir) =>
+      graft.operators.CrossLingual.codeSwitchAudit(
+          mixSynth(T(s, dir, "documents")), "doc_id", "text",
+          chunkTokens = 8)
+        .select(col("doc_id"), col("n_chunks"), col("n_en"),
+          col("n_de"), col("n_fr"), col("n_und"), col("primary_lang"),
+          col("n_langs"), col("is_mixed"))
+        .orderBy(col("doc_id"))),
 
     // IVF RETRAIN executed — the lifecycle CLOSED: the q400 decision's
     // 'retrain' action run for real (centroids re-trained on the
@@ -11734,6 +11910,12 @@ object SparkEntry {
     "q396_semantic_decontamination" ->
       HashOracles.q396SemanticDecontamination(16, 4, 100L, 0.35),
     "q397_script_keep_best" -> HashOracles.q397ScriptKeepBest,
+    "q405_host_cap" -> HashOracles.q405HostCap,
+    "q406_line_dedup" -> HashOracles.q406LineDedup,
+    "q407_wasserstein_drift" -> HashOracles.q407Wasserstein,
+    "q408_width_fold_dedup" -> HashOracles.q408WidthFold,
+    "q409_host_retention" -> HashOracles.q409HostRetention,
+    "q410_codeswitch_audit" -> HashOracles.q410CodeSwitch,
 
     // Page–Hinkley replay: the identical sequential fold as a DuckDB
     // list_reduce (1-based arrays: [i, s, m, mn, ph, at]); both

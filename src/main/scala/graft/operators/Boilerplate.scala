@@ -72,6 +72,120 @@ object Boilerplate {
       .na.fill(false, Seq("is_boilerplate"))
   }
 
+  /** Document frequency per distinct physical LINE: (line, df) where
+    * df counts DOCUMENTS carrying the line at least once. Line
+    * identity is the raw string between `\n` separators — byte-exact,
+    * no trimming — so the operator replays engine-for-engine; callers
+    * wanting whitespace-insensitive matching normalize the text first.
+    * The line STRING (not a hash) is the key, the [[SpanDedup]]
+    * replayability convention: lines partition the text, so the
+    * shuffle payload is ≈ corpus size with no ×k blowup for a hash to
+    * claw back.
+    */
+  def lineDocFrequencies(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    lineRows(corpus, idCol, textCol)
+      .select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+
+  /** The lines duplicated across MORE than `maxDf` documents — the
+    * static index side of the streaming removal form (a stream-static
+    * anti-join on `line`), and the inspection table for "what would
+    * [[removeDuplicatedLines]] delete".
+    */
+  def duplicatedLineIndex(corpus: DataFrame, idCol: String,
+      textCol: String, maxDf: Long): DataFrame =
+    lineDocFrequencies(corpus, idCol, textCol)
+      .filter(col("df") > maxDf)
+
+  /** Duplicate-LINE removal — the CCNet hygiene pass that
+    * [[flagBoilerplate]]'s document-grain verdict cannot perform:
+    * instead of dropping whole documents, delete every line that
+    * occurs in MORE than `maxDf` distinct documents (navigation
+    * chrome, cookie banners, share bars — template text that rides
+    * inside otherwise-unique pages) and keep the rest of each document
+    * intact. Returns all columns of `corpus` plus `n_lines`,
+    * `n_removed`, and `clean_text` (surviving lines joined with `\n`
+    * in original order; `""` when everything was boilerplate).
+    *
+    * Blank lines are lines: an empty string shared by > `maxDf`
+    * documents is removed like any other duplicated line (CCNet's
+    * behavior — blank separators are the most-duplicated "line" on
+    * the web). Null text yields zero lines and an empty rewrite.
+    *
+    * 100 TB shape: one line explode (map-only), one partial-agg
+    * shuffle to the (line, df) table, one UN-hinted equi-join back on
+    * the line string (the duplicated-line set is corpus-scale for a
+    * heavily templated crawl — the [[flagBoilerplate]] degrade-to-
+    * shuffle story; AQE broadcasts it when the runtime size fits), and
+    * one doc-grain reassembly aggregation. The exploded lines feed
+    * both the df aggregation and the rebuild, so they are persisted
+    * under the active [[graft.CacheScope]] (the `Dedup.dedupCorpus`
+    * contract).
+    */
+  def removeDuplicatedLines(corpus: DataFrame, idCol: String,
+      textCol: String, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"bad maxDf $maxDf")
+    val ln = graft.CacheScope.register(
+      lineRows(corpus, idCol, textCol).persist())
+    val dup = ln.select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("line"), lit(1).as("__dup"))
+    val rebuilt = ln
+      .join(dup, Seq("line"), "left") // un-hinted: see Scaladoc
+      .withColumn("__d", coalesce(col("__dup"), lit(0)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("__d")).cast("long").as("n_removed"),
+        array_join(transform(filter(
+          array_sort(collect_list(struct(col("__ln_pos").as("p"),
+            col("__d").as("d"), col("line").as("l")))),
+          x => x.getField("d") === 0), x => x.getField("l")), "\n")
+          .as("clean_text"))
+    corpus.join(rebuilt, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_lines", "n_removed"))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
+  /** [[removeDuplicatedLines]] against a PREBUILT duplicated-line
+    * index ([[duplicatedLineIndex]] output, or any (line) frame) —
+    * the incremental/streaming form: a delta batch is cleaned against
+    * yesterday's corpus index without re-counting corpus frequencies
+    * (the `UrlDedup.flagAgainstIndex` convention; run inside
+    * `foreachBatch` for a streaming delta — the per-doc rebuild is a
+    * doc-grain aggregation, legal there and batch-identical). Same
+    * output contract as [[removeDuplicatedLines]].
+    */
+  def removeLinesAgainstIndex(delta: DataFrame, index: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val dup = index.select(col("line"), lit(1).as("__dup"))
+    val rebuilt = lineRows(delta, idCol, textCol)
+      .join(dup, Seq("line"), "left")
+      .withColumn("__d", coalesce(col("__dup"), lit(0)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("__d")).cast("long").as("n_removed"),
+        array_join(transform(filter(
+          array_sort(collect_list(struct(col("__ln_pos").as("p"),
+            col("__d").as("d"), col("line").as("l")))),
+          x => x.getField("d") === 0), x => x.getField("l")), "\n")
+          .as("clean_text"))
+    delta.join(rebuilt, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_lines", "n_removed"))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
+  /** (id, position, line) — one row per physical line. `split` with
+    * its default unlimited limit keeps trailing empties, so blank
+    * lines keep their positions and the rebuild is lossless.
+    */
+  private def lineRows(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "__ln_pos", "line")
+
   /** (id, gram) pairs, one row per DISTINCT gram per doc. Tokens are
     * materialized in their own projection before the shingle transform
     * (the higher-order-function re-evaluation trap — see

@@ -136,6 +136,98 @@ object CrossLingual {
     when(size(toks) > 0, md5(array_join(array_sort(toks), " ")))
   }
 
+  /** Fullwidth → ASCII width-fold map: U+FF01–FF5E is the fullwidth
+    * twin of ASCII `!`–`~` (CJK input methods and copy flows emit it
+    * for Latin letters, digits and punctuation embedded in zh/ja
+    * text), plus the ideographic space U+3000 → space. Strictly 1:1
+    * codepoint → codepoint, so the SAME literal pair runs codegen'd
+    * in Spark `translate` and verbatim in the DuckDB mirror (the
+    * [[AccentFrom]] contract). Generated, not typed: the blocks are
+    * offset-parallel (U+FF01 + i ↔ 0x21 + i), so the map cannot drift
+    * from the standard.
+    *
+    * Out of contract (documented, same reason ß→ss is): half-width
+    * katakana U+FF61–FF9F — its fold to full-width katakana is not
+    * 1:1 (voicing marks combine two codepoints into one), which a
+    * `translate` map cannot express.
+    */
+  val WidthFrom: String =
+    ((0xFF01 to 0xFF5E).map(_.toChar) :+ '　').mkString
+  val WidthTo: String = ((0x21 to 0x7E).map(_.toChar) :+ ' ').mkString
+
+  /** Width fold for dedup keys: fullwidth ASCII twins and the
+    * ideographic space fold to their ASCII originals BEFORE the script
+    * folds run. Without it `ＧＰＵ２０２４` and `gpu2024` never meet:
+    * fullwidth Latin is still `\p{L}` and fullwidth digits are still
+    * `\p{Nd}`, so [[foldTextScripted]] keeps them as a DISTINCT token
+    * rather than deleting them — width-variant re-crawls (the classic
+    * zh/ja mixed-script duplicate class) silently under-merge. One
+    * `translate`, stays inside whole-stage codegen.
+    */
+  def foldWidth(text: Column): Column =
+    translate(text, WidthFrom, WidthTo)
+
+  /** [[foldedFingerprintScripted]] over [[foldWidth]] — the key that
+    * merges width-variant spellings on top of everything the scripted
+    * fingerprint already folds. Kept as its own fingerprint (rather
+    * than folding width INTO the scripted key) so existing persisted
+    * scripted indexes stay valid: a key function change invalidates
+    * every at-rest fingerprint built with it.
+    */
+  def foldedFingerprintWide(text: Column): Column =
+    foldedFingerprintScripted(foldWidth(text))
+
+  /** Per-chunk language votes → per-document code-switch audit (the
+    * multilingual-corpus QC step that document-grain language ID
+    * cannot see: a document that OPENS in English and drifts into
+    * German scores "en" as a whole, yet poisons both monolingual
+    * pools it could feed). Documents split into non-overlapping
+    * `chunkTokens`-token chunks ([[TF.chunksOf]] — the q118 tiling
+    * grain); each chunk votes via the stopword-profile heuristic
+    * ([[TF.langIdOf]]: en/de/fr/und, deterministic tie order); the
+    * audit reports chunk totals per language, the majority language
+    * (most chunk votes, ties in the en > de > fr > und profile
+    * order), and `is_mixed` — ≥ 2 DISTINCT non-und languages each
+    * holding at least one chunk.
+    *
+    * 100 TB shape: ZERO shuffles — the chunk loop is a per-row
+    * `transform` over the token array (chunks never explode to rows),
+    * the votes fold into four bounded counters per document, and
+    * every stage is built-in Column algebra inside one projection.
+    * The trained-model sibling ([[TrainedLangId]]) stays at document
+    * grain; this heuristic form is the cheap whole-corpus sweep that
+    * decides which documents to re-score there.
+    */
+  def codeSwitchAudit(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"bad chunkTokens $chunkTokens")
+    val tk = TF.tokens(col(textCol))
+    val votes = transform(
+      TF.chunksOf(tk, chunkTokens, overlap = 0),
+      c => TF.langIdOf(TF.tokens(c)))
+    def votesFor(lang: String)(v: Column): Column =
+      size(filter(v, x => x === lang)).cast("long")
+    docs
+      .withColumn("__cs_votes", votes)
+      .withColumn("n_chunks", size(col("__cs_votes")).cast("long"))
+      .withColumn("n_en", votesFor("en")(col("__cs_votes")))
+      .withColumn("n_de", votesFor("de")(col("__cs_votes")))
+      .withColumn("n_fr", votesFor("fr")(col("__cs_votes")))
+      .withColumn("n_und", votesFor("und")(col("__cs_votes")))
+      .withColumn("primary_lang",
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") &&
+          col("n_en") >= col("n_und"), "en")
+          .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_und"),
+            "de")
+          .when(col("n_fr") >= col("n_und"), "fr")
+          .otherwise("und"))
+      .withColumn("n_langs",
+        ((col("n_en") > 0).cast("int") + (col("n_de") > 0).cast("int") +
+          (col("n_fr") > 0).cast("int")).cast("long"))
+      .withColumn("is_mixed", col("n_langs") >= 2)
+      .drop("__cs_votes")
+  }
+
   /** One hash aggregation from a fingerprint column to the cluster
     * table — shared by the Latin-fold and script-aware entry points.
     */

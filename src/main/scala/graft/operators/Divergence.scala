@@ -77,6 +77,75 @@ object Divergence {
       .withColumnRenamed("__dv_g", groupCol)
   }
 
+  /** Exact Wasserstein-1 (earth-mover) distance between each group's
+    * distribution of an integer-grid metric and the REST of the
+    * corpus: `W1(g) = ∫ |F_g(v) − F_rest(v)| dv` over the merged
+    * support — the drift number that KL/JS ([[tokenDivergenceBy]])
+    * and KS (`Abtest.ksTest`) each miss a facet of: KL/JS ignore the
+    * metric's GEOMETRY (how far apart the masses sit), KS reads only
+    * the worst single point; W1 is the total transport cost, the
+    * quantity mixture designers actually budget ("src7's length
+    * distribution sits 40 tokens from everyone else's").
+    * Returns `(groupCol, n_rows, w1_vs_rest)` per group.
+    *
+    * Exactness: `valueCol` must live on an integer grid (counts,
+    * token lengths, money cents — pre-quantize a continuous metric,
+    * the `ksTest` winsorize-cut contract). Each CDF step contributes
+    * `|c_g·n_rest − c_rest·n_g| · Δv` in DECIMAL(38,0) — integers
+    * end to end, one double division at the very end, snapped 1e-6 —
+    * so the oracle replays it bit-for-bit in HUGEINT.
+    *
+    * 100 TB shape: one partial-agg shuffle to the (group, value)
+    * histogram — the BOUNDED register for gridded metrics — then
+    * windows ONLY over that register, keyed by group (every group
+    * carries the full merged support via the bounded
+    * groups × distinct-values grid, the [[tokenDivergenceBy]]
+    * zero-fill device, so the complement CDF needs no second pass).
+    * Totals ride one-row broadcast frames; nothing driver-side.
+    */
+  def wasserstein1By(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.CacheScope.register(df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__w1_g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("__w1_g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .persist())
+    val tv = h.groupBy(col("v")).agg(sum(col("c")).as("ct"))
+    val gs = h.groupBy(col("__w1_g")).agg(sum(col("c")).as("n_g"))
+    val tot = tv.agg(sum(col("ct")).as("__n_all"))
+    val grid = tv
+      .crossJoin(broadcast(gs)) // bounded: mixture-arity groups
+      .join(h, Seq("__w1_g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy(col("__w1_g")).orderBy(col("v"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val steps = grid
+      .withColumn("cc", sum(col("c")).over(w))
+      .withColumn("cct", sum(col("ct")).over(w))
+      .withColumn("vn", lead(col("v"), 1).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", when(col("vn").isNull, dec(lit(0)))
+        .otherwise(abs(
+          dec(col("cc")) * dec(col("__n_all") - col("n_g")) -
+            dec(col("cct") - col("cc")) * dec(col("n_g"))) *
+          dec(col("vn") - col("v"))))
+    steps
+      .groupBy(col("__w1_g"), col("n_g"), col("__n_all"))
+      .agg(sum(col("__term")).as("__num"))
+      .select(col("__w1_g").as(groupCol),
+        col("n_g").cast("long").as("n_rows"),
+        graft.functions.Grid.snap(
+          when(col("__n_all") > col("n_g"),
+            col("__num").cast("double") /
+              (col("n_g").cast("double") *
+                (col("__n_all") - col("n_g")).cast("double"))), 6)
+          .as("w1_vs_rest"))
+  }
+
   /** One-row divergence between two explicit `(token, count)` tables —
     * the reference-vs-candidate form ([[graft.streaming.DriftStream]]
     * scores each micro-batch's counts against a frozen reference with

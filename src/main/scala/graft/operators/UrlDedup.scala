@@ -56,4 +56,38 @@ object UrlDedup {
       idCol: String, urlCol: String): DataFrame =
     flagAgainstIndex(delta, urlIndex(corpus, idCol, urlCol), idCol,
       urlCol)
+
+  /** Per-host document cap — the anti-domination stage the published
+    * web recipes run right after URL dedup (C4 and RefinedWeb both cap
+    * per-domain contributions; Dolma caps URLs per registered domain):
+    * without it a handful of mega-hosts — forums, wikis, mirror farms —
+    * own the token budget and the trained distribution. Keeps the
+    * `maxPerHost` BEST documents per host by (`scoreCol` desc, `idCol`
+    * asc — deterministic ties); every input row survives with
+    * `host_rank` (1-based within its host) and `is_kept`
+    * (`host_rank <= maxPerHost`), so callers can either filter or
+    * audit what the cap would drop. Rows with a NULL host opt OUT of
+    * capping loudly — `host_rank` NULL, `is_kept` true — the null-key
+    * law every dedup operator here follows.
+    *
+    * 100 TB shape: ONE window partitioned by host (one hash shuffle +
+    * per-partition sort). Host-grain partitions are the natural unit;
+    * the honest caveat is that AQE cannot split a window partition, so
+    * a corpus where a single host's rows break executor memory needs a
+    * pre-gate on per-host counts (the q389 host-profile table names
+    * exactly those hosts) — that guard stays with the caller because
+    * the cap must see every row of a host to rank it.
+    */
+  def capPerHost(docs: DataFrame, idCol: String, hostCol: String,
+      scoreCol: String, maxPerHost: Int): DataFrame = {
+    require(maxPerHost >= 1, s"bad maxPerHost $maxPerHost")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs
+      .withColumn("host_rank",
+        when(col(hostCol).isNotNull, row_number().over(w)))
+      .withColumn("is_kept",
+        col(hostCol).isNull || col("host_rank") <= maxPerHost)
+  }
 }

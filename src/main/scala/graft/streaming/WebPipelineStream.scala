@@ -61,4 +61,25 @@ object WebPipelineStream {
       .select(col("doc_id"), col("url"), col("canonical_url"),
         col("text"), col("lang"), col("ts"))
   }
+
+  /** Duplicated-LINE filter as a stream — the
+    * [[graft.operators.Boilerplate.removeDuplicatedLines]] family's
+    * ingest-edge form: arriving docs explode to (doc_id, pos, line)
+    * and each line probes yesterday's duplicated-line index
+    * ([[graft.operators.Boilerplate.duplicatedLineIndex]] output,
+    * static) with ONE stream-static LEFT ANTI join. Emits the KEPT
+    * lines (stateless append — a per-doc string rebuild would need a
+    * doc-grain aggregation, which an un-windowed append stream never
+    * emits; downstream either consumes line-grain or reassembles in
+    * `foreachBatch` via
+    * [[graft.operators.Boilerplate.removeLinesAgainstIndex]], which
+    * is batch-identical by the shared join device).
+    */
+  def keptLines(docs: DataFrame, dupIdx: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"),
+        posexplode(split(col("text"), "\n")))
+      .toDF("doc_id", "ts", "line_pos", "line")
+      .join(dupIdx.select(col("line")), Seq("line"), "left_anti")
+      .select(col("doc_id"), col("line_pos"), col("line"), col("ts"))
 }

@@ -1303,6 +1303,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p404.contains("ScalaUDF"), p404)
   }
 
+  test("wave 8 (q405–q410): the host cap is one keyed window with no " +
+      "join, line removal and the funnel stay keyed-join shapes, the " +
+      "W1 cross is the bounded broadcast grid, and the code-switch " +
+      "audit never shuffles except to sort") {
+    // q405: synth + canonical key + ONE window keyed by host —
+    // join-free end to end
+    val p405 = plan("q405_host_cap")
+    assert(!p405.contains("Join"), s"q405 must be join-free:\n$p405")
+    assert(!p405.contains("ScalaUDF"), p405)
+    // q406: line df table + rebuild are keyed equi-joins (un-hinted,
+    // AQE decides broadcast) — never cross shapes, never a UDF
+    val p406 = plan("q406_line_dedup")
+    assert(!p406.contains("CartesianProduct"), p406)
+    assert(!p406.contains("BroadcastNestedLoopJoin"), p406)
+    assert(!p406.contains("ScalaUDF"), p406)
+    // q407: the groups × values grid is the BOUNDED broadcast cross
+    // (the q135 device — mixture-arity × value register, zero-fill
+    // rows); cartesians between corpus-scale sides stay banned
+    val p407 = plan("q407_wasserstein_drift")
+    assert(!p407.contains("CartesianProduct"), p407)
+    assert(!p407.contains("ScalaUDF"), p407)
+    // q408: both fingerprints are Column programs over the synth —
+    // one aggregation, no join
+    val p408 = plan("q408_width_fold_dedup")
+    assert(!p408.contains("Join"), s"q408 must be join-free:\n$p408")
+    assert(!p408.contains("ScalaUDF"), p408)
+    // q409: every stage an equi-join on its derived key + the cap
+    // window keyed by host — no cross shapes anywhere in the funnel
+    val p409 = plan("q409_host_retention")
+    assert(!p409.contains("CartesianProduct"), p409)
+    assert(!p409.contains("BroadcastNestedLoopJoin"), p409)
+    assert(!p409.contains("ScalaUDF"), p409)
+    // q410: the chunk loop is per-row Column algebra — NO join and no
+    // hash shuffle at all; the only exchange is the final sort's
+    val p410 = plan("q410_codeswitch_audit")
+    assert(!p410.contains("Join"), s"q410 must be join-free:\n$p410")
+    assert(!p410.contains("ScalaUDF"), p410)
+    assert(!p410.contains("hashpartitioning"),
+      s"q410 must not hash-shuffle:\n$p410")
+  }
+
   test("entry: whole-stage codegen covers the join+agg pipeline") {
     val df = SparkEntry.entry(spark)
     df.collect() // let AQE finalize so codegen stages are visible

@@ -487,4 +487,75 @@ class CrossLingualSpec extends SparkSpec {
     assert(a.map(_.toString).sorted.toSeq ===
       b.map(_.toString).sorted.toSeq)
   }
+
+  test("foldWidth: fullwidth ASCII twins and the ideographic space " +
+      "fold to their originals; the map blocks stay offset-parallel") {
+    val s = spark
+    import s.implicits._
+    // the literal pair can never drift from the standard
+    assert(CrossLingual.WidthFrom.length === CrossLingual.WidthTo.length)
+    assert(CrossLingual.WidthFrom.zip(CrossLingual.WidthTo).forall {
+      case ('\u3000', ' ') => true
+      case (f, t) => f - 0xFF01 === t - 0x21
+    })
+    val out = Seq((1L, "\uFF27\uFF30\uFF35\uFF12\uFF10\uFF12\uFF14\u3000ok"))
+      .toDF("id", "text")
+      .select(CrossLingual.foldWidth(col("text"))).head().getString(0)
+    assert(out === "GPU2024 ok")
+  }
+
+  test("foldedFingerprintWide merges width-variant spellings that " +
+      "the scripted fingerprint keeps apart; distinct content stays " +
+      "distinct under both") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "\u6a21\u578b gpu7 benchmark"),
+      (2L, "\u6a21\u578b\u3000\uFF47\uFF50\uFF55\uFF17 \uFF42\uFF45\uFF4E\uFF43\uFF48\uFF4D\uFF41\uFF52\uFF4B"),
+      (3L, "\u6a21\u578b gpu8 benchmark")) // different page
+      .toDF("id", "text")
+    val fps = docs.select(col("id"),
+        CrossLingual.foldedFingerprintScripted(col("text")).as("fs"),
+        CrossLingual.foldedFingerprintWide(col("text")).as("fw"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2)))).toMap
+    assert(fps(1L)._1 !== fps(2L)._1) // scripted alone under-merges
+    assert(fps(1L)._2 === fps(2L)._2) // width fold closes the gap
+    assert(fps(1L)._2 !== fps(3L)._2) // no false merge across pages
+  }
+
+  test("codeSwitchAudit: drifting docs read mixed with the right " +
+      "majority; monolingual docs do not; und-only text stays und") {
+    val s = spark
+    import s.implicits._
+    val en24 = (1 to 3).map(_ => "the and of to in is it that").mkString(" ")
+    val docs = Seq(
+      (1L, en24 + " der die das und ist nicht ein eine"), // en → de
+      (2L, en24 + " le la les et est une dans pour"), // en → fr
+      (3L, en24 + " " + en24), // pure en
+      (4L, "zz yy xx ww vv uu tt ss")) // no profile hits at all
+      .toDF("doc_id", "text")
+    val out = CrossLingual.codeSwitchAudit(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[String]("primary_lang"),
+          r.getAs[Long]("n_langs"), r.getAs[Boolean]("is_mixed"))))
+      .toMap
+    assert(out(1L) === ((4L, "en", 2L, true)))
+    assert(out(2L) === ((4L, "en", 2L, true)))
+    assert(out(3L) === ((6L, "en", 1L, false)))
+    assert(out(4L) === ((1L, "und", 0L, false)))
+  }
+
+  test("codeSwitchAudit: majority and tie order are deterministic — " +
+      "equal de/fr chunk counts resolve de, the langIdOf profile order") {
+    val s = spark
+    import s.implicits._
+    val de8 = "der die das und ist nicht ein eine"
+    val fr8 = "le la les et est une dans pour"
+    val doc = Seq((1L, de8 + " " + fr8)).toDF("doc_id", "text")
+    val r = CrossLingual.codeSwitchAudit(doc, "doc_id", "text", 8).head()
+    assert(r.getAs[Long]("n_de") === 1L && r.getAs[Long]("n_fr") === 1L)
+    assert(r.getAs[String]("primary_lang") === "de")
+    assert(r.getAs[Boolean]("is_mixed"))
+  }
 }

@@ -130,4 +130,59 @@ class DivergenceSpec extends SparkSpec {
     assert(zUniqua < zCat / 2,
       s"prior should shrink the hapax: uniqua=$zUniqua cat=$zCat")
   }
+
+  test("wasserstein1By: hand-computed transport cost vs the rest") {
+    val s = spark
+    import s.implicits._
+    // A = {0, 1}, B = {1, 2}: W1 = ∫|F_A − F_B| = .5·1 + .5·1 = 1
+    val df = Seq(("A", 0L), ("A", 1L), ("B", 1L), ("B", 2L))
+      .toDF("g", "v")
+    val out = Divergence.wasserstein1By(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("w1_vs_rest"))))
+      .toMap
+    assert(out === Map("A" -> ((2L, 1.0)), "B" -> ((2L, 1.0))))
+  }
+
+  test("wasserstein1By: identical groups sit at zero; a constant " +
+      "shift moves W1 by exactly the shift") {
+    val s = spark
+    import s.implicits._
+    val same = Seq(("A", 3L), ("A", 7L), ("B", 3L), ("B", 7L))
+      .toDF("g", "v")
+    val z = Divergence.wasserstein1By(same, "g", "v")
+      .collect().map(_.getAs[Double]("w1_vs_rest"))
+    assert(z.forall(_ === 0.0))
+    // B = A + 10 pointwise → W1 = 10 (mass 2 each side)
+    val shift = Seq(("A", 3L), ("A", 7L), ("B", 13L), ("B", 17L))
+      .toDF("g", "v")
+    val w = Divergence.wasserstein1By(shift, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("w1_vs_rest")).toMap
+    assert(w === Map("A" -> 10.0, "B" -> 10.0))
+  }
+
+  test("wasserstein1By: unequal masses weight the CDF gap — one far " +
+      "outlier among many moves W1 a little") {
+    val s = spark
+    import s.implicits._
+    // A = {0,0,0} vs rest B = {0,0,100}
+    val df = Seq(("A", 0L), ("A", 0L), ("A", 0L),
+      ("B", 0L), ("B", 0L), ("B", 100L)).toDF("g", "v")
+    val out = Divergence.wasserstein1By(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("w1_vs_rest")).toMap
+    // |F_A(0) − F_B(0)| = |1 − 2/3| = 1/3 over the gap of 100
+    assert(out === Map(
+      "A" -> 33.333333, "B" -> 33.333333))
+  }
+
+  test("wasserstein1By: a group owning the whole corpus reads NULL — " +
+      "there is no rest to compare against") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("A", 1L), ("A", 5L)).toDF("g", "v")
+    val row = Divergence.wasserstein1By(df, "g", "v").head()
+    assert(row.isNullAt(row.fieldIndex("w1_vs_rest")))
+  }
 }

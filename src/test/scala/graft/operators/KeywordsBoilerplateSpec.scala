@@ -245,4 +245,61 @@ class KeywordsBoilerplateSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(capped.toSeq === Seq((1L, 0), (1L, 3)))
   }
+
+  test("removeDuplicatedLines: shared header/footer removed, unique " +
+      "middles kept in order, within-doc repeats count one doc") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "HDR\nalpha one\nHDR\nFTR"), // HDR twice in ONE doc: df 1×3
+      (2L, "HDR\nbeta two\nFTR"),
+      (3L, "HDR\ngamma three\nFTR"),
+      (4L, "delta four")) // no template lines at all
+      .toDF("doc_id", "text")
+    // HDR/FTR live in 3 docs each; maxDf = 2 → removed; middles df 1
+    val out = Boilerplate
+      .removeDuplicatedLines(docs, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out === Map(
+      1L -> ((4L, 3L, "alpha one")), // both HDR copies removed
+      2L -> ((3L, 2L, "beta two")),
+      3L -> ((3L, 2L, "gamma three")),
+      4L -> ((1L, 0L, "delta four"))))
+  }
+
+  test("removeDuplicatedLines: blank lines are lines; a doc of pure " +
+      "boilerplate rewrites to the empty string") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "X\n\nbody a"), (2L, "X\n\nbody b"), (3L, "X\n\nbody c"),
+      (4L, "X")) // nothing but the duplicated line
+      .toDF("doc_id", "text")
+    val out = Boilerplate
+      .removeDuplicatedLines(docs, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))))
+      .toMap
+    // X (df 4) and the blank line (df 3) both exceed maxDf = 2
+    assert(out === Map(
+      1L -> ((2L, "body a")), 2L -> ((2L, "body b")),
+      3L -> ((2L, "body c")), 4L -> ((1L, ""))))
+    // the static index names exactly the removed lines
+    val idx = Boilerplate
+      .duplicatedLineIndex(docs, "doc_id", "text", maxDf = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(idx === Set("X", ""))
+  }
+
+  test("lineDocFrequencies counts documents, not occurrences") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "L\nL\nL"), (2L, "L"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val df = Boilerplate.lineDocFrequencies(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df === Map("L" -> 2L, "other" -> 1L))
+  }
 }

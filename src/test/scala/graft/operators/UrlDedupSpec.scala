@@ -41,4 +41,35 @@ class UrlDedupSpec extends SparkSpec {
       11L -> ((false, -1L)),
       12L -> ((false, -1L))))
   }
+
+  test("capPerHost: best-N by (score desc, id asc) per host, ties to " +
+      "the smaller id, null hosts opt out uncapped") {
+    val docs = Seq(
+      (1L, "a.com", 10L), (2L, "a.com", 30L), (3L, "a.com", 30L),
+      (4L, "a.com", 5L), // rank 4 on a.com → dropped at cap 2
+      (5L, "b.com", 1L), // lone doc on b.com → kept
+      (6L, null.asInstanceOf[String], 99L)) // null host → uncapped
+      .toDF("doc_id", "host", "score")
+    val out = UrlDedup.capPerHost(docs, "doc_id", "host", "score", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) -1 else r.getInt(3),
+          r.getAs[Boolean]("is_kept")))).toMap
+    assert(out === Map(
+      1L -> ((3, false)), // 10 ranks below both 30s
+      2L -> ((1, true)), // 30, tie → smaller id first
+      3L -> ((2, true)),
+      4L -> ((4, false)),
+      5L -> ((1, true)),
+      6L -> ((-1, true)))) // null host: rank NULL, always kept
+  }
+
+  test("capPerHost: cap >= host size keeps everything; bad cap throws") {
+    val docs = Seq((1L, "a.com", 1L), (2L, "a.com", 2L))
+      .toDF("doc_id", "host", "score")
+    assert(UrlDedup.capPerHost(docs, "doc_id", "host", "score", 5)
+      .filter(col("is_kept")).count() === 2L)
+    intercept[IllegalArgumentException] {
+      UrlDedup.capPerHost(docs, "doc_id", "host", "score", 0)
+    }
+  }
 }

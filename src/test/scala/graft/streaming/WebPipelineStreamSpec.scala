@@ -91,4 +91,53 @@ class WebPipelineStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.map(_._1) === Set(12L, 13L))
   }
+
+  test("chunked keptLines stream == batch anti-join; foreachBatch " +
+      "rebuild == removeDuplicatedLines on the index's own corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val corpus = Seq(
+      (1L, "HDR\nalpha one\nFTR"), (2L, "HDR\nbeta two\nFTR"),
+      (3L, "HDR\ngamma three\nFTR"))
+      .toDF("doc_id", "text")
+    val dupIdx = graft.operators.Boilerplate
+      .duplicatedLineIndex(corpus, "doc_id", "text", maxDf = 2)
+
+    val deltaRows = Seq(
+      WebPipelineStream.WebDoc(10L, "u", "HDR\nfresh delta body\nFTR",
+        "en", new Timestamp(1000L)),
+      WebPipelineStream.WebDoc(11L, "u", "HDR\nFTR", // pure template
+        "en", new Timestamp(2000L)),
+      WebPipelineStream.WebDoc(12L, "u", "no template at all",
+        "en", new Timestamp(3000L)))
+    val mem = MemoryStream[WebPipelineStream.WebDoc]
+    val q = WebPipelineStream.keptLines(mem.toDF(), dupIdx)
+      .writeStream.format("memory").queryName("kept_lines")
+      .outputMode(OutputMode.Append()).start()
+    deltaRows.grouped(2).foreach { c =>
+      mem.addData(c: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("SELECT doc_id, line_pos, line FROM kept_lines")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(streamed === Set((10L, 1, "fresh delta body"),
+      (12L, 0, "no template at all")))
+
+    // the foreachBatch rebuild is the SAME join device — and against
+    // the index's own corpus it reproduces removeDuplicatedLines
+    val viaIndex = graft.operators.Boilerplate
+      .removeLinesAgainstIndex(corpus, dupIdx, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        col("clean_text"))
+      .collect().map(_.toString).sorted.toSeq
+    val direct = graft.operators.Boilerplate
+      .removeDuplicatedLines(corpus, "doc_id", "text", maxDf = 2)
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        col("clean_text"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex === direct)
+  }
 }
