@@ -7144,6 +7144,73 @@ object HashOracles {
         "FROM fp GROUP BY 1 ORDER BY 1")
   }
 
+  /** Invisible-character dedup replay (q411,
+    * [[operators.CrossLingual.foldedFingerprintCanonical]]): the
+    * dressed-twin synth (BOM + ZWSP + soft hyphen spelled as Scala
+    * escapes, landing as raw chars in both engines' literals), the
+    * width key, and the canonical key = scripted over
+    * width-fold over the `[InvisibleClass]` deletion.
+    */
+  val q411InvisibleDedup: String = {
+    val fw = operators.CrossLingual.WidthFrom
+    val asc = operators.CrossLingual.WidthTo.replace("'", "''")
+    val cls = operators.CrossLingual.InvisibleClass
+    val dressed = "\ufeff数据清洗 data pipe\u200bline" +
+      "\u0020clean\u00adup "
+    val wideInner = s"translate(text, '$fw', '$asc')"
+    val canonInner = s"translate(regexp_replace(text, '[$cls]', " +
+      s"'', 'g'), '$fw', '$asc')"
+    withClause(Seq(
+      "iv AS (SELECT doc_id, doc_id // 2 AS pair_id, " +
+        s"CASE WHEN doc_id % 2 = 1 THEN '$dressed' || (doc_id // 2) " +
+        "ELSE '数据清洗 data pipeline cleanup ' || (doc_id // 2) END " +
+        "AS text FROM documents)",
+      s"fp AS (SELECT pair_id, ${scriptedFpSqlOf(wideInner)} AS fwk, " +
+        s"${scriptedFpSqlOf(canonInner)} AS fck FROM iv)"),
+      "SELECT pair_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT fwk) AS BIGINT) AS n_keys_wide, " +
+        "CAST(count(DISTINCT fck) AS BIGINT) AS n_keys_canonical " +
+        "FROM fp GROUP BY 1 ORDER BY 1")
+  }
+
+  /** Two-sample W1 replay (q412, [[operators.Divergence
+    * .wasserstein1]]): en/de token-count histograms tagged as the two
+    * groups of the q407 core — same grid, windows, HUGEINT terms —
+    * read out at the 'p' row.
+    */
+  val q412W1TwoSample: String = {
+    import graft.functions.Grid.snapSql
+    withClause(Seq(
+      s"pe AS (SELECT 'p' AS g, CAST(len($Toks) AS BIGINT) AS v " +
+        "FROM documents WHERE lang = 'en')",
+      s"qd AS (SELECT 'q' AS g, CAST(len($Toks) AS BIGINT) AS v " +
+        "FROM documents WHERE lang = 'de')",
+      "h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c " +
+        "FROM (SELECT * FROM pe UNION ALL SELECT * FROM qd) " +
+        "GROUP BY 1, 2)",
+      "tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM h " +
+        "GROUP BY 1)",
+      "gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM h " +
+        "GROUP BY 1)",
+      "tt AS (SELECT CAST(sum(ct) AS BIGINT) AS n_all FROM tv)",
+      "grid AS (SELECT gs.g, gs.n_g, tv.v, tv.ct, " +
+        "coalesce(h.c, 0) AS c FROM gs CROSS JOIN tv " +
+        "LEFT JOIN h ON h.g = gs.g AND h.v = tv.v)",
+      "cum AS (SELECT g, n_g, v, sum(c) OVER w AS cc, " +
+        "sum(ct) OVER w AS cct, lead(v) OVER w AS vn FROM grid " +
+        "WINDOW w AS (PARTITION BY g ORDER BY v))",
+      "sm AS (SELECT g, n_g, n_all, sum(CASE WHEN vn IS NULL THEN " +
+        "CAST(0 AS HUGEINT) ELSE abs(CAST(cc AS HUGEINT) * " +
+        "(n_all - n_g) - CAST(cct - cc AS HUGEINT) * n_g) * " +
+        "(vn - v) END) AS num FROM cum CROSS JOIN tt " +
+        "GROUP BY 1, 2, 3)"),
+      s"""SELECT n_g AS n_p, n_all - n_g AS n_q,
+         |  ${snapSql("CASE WHEN n_all > n_g THEN " +
+          "CAST(num AS DOUBLE) / (CAST(n_g AS DOUBLE) * " +
+          "CAST(n_all - n_g AS DOUBLE)) END", 6)} AS w1
+         |FROM sm WHERE g = 'p'""".stripMargin)
+  }
+
   /** Per-host retention funnel replay (q409): the q382 chain at host
     * grain — URL canonical dedup → folded-fingerprint dedup → the
     * quality replay — closed with the q405 cap window at 5.

@@ -188,6 +188,24 @@ object SparkEntry {
         .otherwise(base))
   }
 
+  // the invisible-character synth corpus for the canonical-key family
+  // (q411): page identity = doc_id div 2; the odd twin carries the
+  // SAME mixed zh + ASCII content with a stray BOM, a zero-width
+  // space inside "pipeline" and a soft hyphen inside "cleanup" — the
+  // re-crawl variant class every token-shaped key misses (the Cf
+  // characters split tokens instead of vanishing)
+  private def invisSynth(docs: DataFrame): DataFrame = {
+    val base = concat(lit("数据清洗 data pipeline cleanup "),
+      expr("doc_id div 2"))
+    val dressed = concat(
+      lit("\ufeff数据清洗 data pipe\u200bline" +
+        "\u0020clean\u00adup "),
+      expr("doc_id div 2"))
+    docs.select(col("doc_id"), expr("doc_id div 2").as("pair_id"))
+      .withColumn("text", when(col("doc_id") % 2 === 1, dressed)
+        .otherwise(base))
+  }
+
   // the code-switch synth corpus for the chunk-grain language audit
   // (q410): every doc opens with its own first 24 tokens (en-ish
   // fixture text), then doc_id % 4 == 1 drifts into a German tail,
@@ -5217,6 +5235,38 @@ object SparkEntry {
           col("n_de"), col("n_fr"), col("n_und"), col("primary_lang"),
           col("n_langs"), col("is_mixed"))
         .orderBy(col("doc_id"))),
+
+    // INVISIBLE-character dedup — the canonical key stack closed
+    // (q411): ZWSP/soft-hyphen/BOM re-crawl twins split tokens under
+    // every fold so far (Cf chars become boundaries); the full stack
+    // strip → width → scripted collapses each planted pair to one
+    // key while the width key alone keeps two. Same one-aggregation
+    // cluster shape as q408.
+    "q411_invisible_dedup" -> ((s, dir) =>
+      invisSynth(T(s, dir, "documents"))
+        .select(col("pair_id"),
+          graft.operators.CrossLingual
+            .foldedFingerprintWide(col("text")).as("__fw"),
+          graft.operators.CrossLingual
+            .foldedFingerprintCanonical(col("text")).as("__fc"))
+        .groupBy(col("pair_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__fw")).as("n_keys_wide"),
+          countDistinct(col("__fc")).as("n_keys_canonical"))
+        .orderBy(col("pair_id"))),
+
+    // Two-sample exact Wasserstein-1 (q412): en vs de token-count
+    // histograms through the SAME core as q407's group-vs-rest (and
+    // the streaming DriftStream.w1Batches path) — the snapshot-vs-
+    // snapshot drift number, one row.
+    "q412_w1_two_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      def hist(l: String) = graft.streaming.DriftStream.valueCounts(
+        d.filter(col("lang") === l)
+          .select(size(toks(col("text"))).cast("long").as("n")), "n")
+      graft.operators.Divergence.wasserstein1(hist("en"), hist("de"),
+        "v", "c")
+    }),
 
     // IVF RETRAIN executed — the lifecycle CLOSED: the q400 decision's
     // 'retrain' action run for real (centroids re-trained on the
@@ -11916,6 +11966,8 @@ object SparkEntry {
     "q408_width_fold_dedup" -> HashOracles.q408WidthFold,
     "q409_host_retention" -> HashOracles.q409HostRetention,
     "q410_codeswitch_audit" -> HashOracles.q410CodeSwitch,
+    "q411_invisible_dedup" -> HashOracles.q411InvisibleDedup,
+    "q412_w1_two_sample" -> HashOracles.q412W1TwoSample,
 
     // Page–Hinkley replay: the identical sequential fold as a DuckDB
     // list_reduce (1-based arrays: [i, s, m, mn, ph, at]); both

@@ -177,6 +177,38 @@ object CrossLingual {
   def foldedFingerprintWide(text: Column): Column =
     foldedFingerprintScripted(foldWidth(text))
 
+  /** The INVISIBLE characters that smuggle duplicate content past
+    * every token-shaped key: zero-width space/non-joiner/joiner
+    * (U+200B–200D), the soft hyphen (U+00AD), and the zero-width
+    * no-break space / stray BOM (U+FEFF). All are `Cf`/format
+    * characters, so the script folds turn each one into a token
+    * BOUNDARY — `data​base` (ZWSP inside) fingerprints as two tokens
+    * against `database`'s one, and the re-crawl that dropped the
+    * invisible silently under-merges. The class is spelled in
+    * `\x{...}` so the SAME text parses in Java regex and RE2 (the
+    * [[UnsegmentedClass]] convention).
+    */
+  val InvisibleClass: String =
+    "\\x{200b}\\x{200c}\\x{200d}\\x{00ad}\\x{feff}"
+
+  /** Delete invisible characters (not replace-with-space: they sit
+    * INSIDE words — soft hyphen at a break point, ZWSP from copy
+    * flows — so deletion rejoins the word the writer meant). One
+    * regexp_replace, codegen'd, textually mirrorable.
+    */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text, s"[$InvisibleClass]", "")
+
+  /** The full canonical fingerprint stack — invisible strip → width
+    * fold → script-aware fingerprint: the key a production crawl
+    * dedup would block on, folding (in one pass) diacritics, token
+    * order, every script's duplicates at its right grain, fullwidth
+    * spellings, and invisible-character re-crawl variants. Same
+    * NULL-on-empty opt-out as every fingerprint here.
+    */
+  def foldedFingerprintCanonical(text: Column): Column =
+    foldedFingerprintScripted(foldWidth(stripInvisible(text)))
+
   /** Per-chunk language votes → per-document code-switch audit (the
     * multilingual-corpus QC step that document-grain language ID
     * cannot see: a document that OPENS in English and drifts into

@@ -105,8 +105,6 @@ object Divergence {
     */
   def wasserstein1By(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.expressions.Window
     val h = graft.CacheScope.register(df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("__w1_g"),
@@ -114,6 +112,47 @@ object Divergence {
       .groupBy(col("__w1_g"), col("v"))
       .agg(count(lit(1)).as("c"))
       .persist())
+    w1Core(h)
+      .select(col("__w1_g").as(groupCol),
+        col("n_g").cast("long").as("n_rows"), col("w1").as("w1_vs_rest"))
+  }
+
+  /** Two-sample exact Wasserstein-1 from (value, count) HISTOGRAMS —
+    * the reference-vs-candidate form ([[divergence]]'s sibling;
+    * [[graft.streaming.DriftStream.w1Batches]] scores each micro-batch
+    * with it). Returns one row `(n_p, n_q, w1)` on the same
+    * integer-grid / exact-DECIMAL contract as [[wasserstein1By]] —
+    * under the hood the two histograms tag as the two groups of the
+    * shared group-vs-rest core, so batch and monitoring paths can
+    * never drift apart.
+    */
+  def wasserstein1(pCounts: DataFrame, qCounts: DataFrame,
+      valueCol: String, countCol: String): DataFrame = {
+    val h = pCounts
+      .select(lit("p").as("__w1_g"), col(valueCol).cast("long").as("v"),
+        col(countCol).cast("long").as("c"))
+      .unionByName(qCounts.select(lit("q").as("__w1_g"),
+        col(valueCol).cast("long").as("v"),
+        col(countCol).cast("long").as("c")))
+      .filter(col("v").isNotNull && col("c") > 0)
+      .groupBy(col("__w1_g"), col("v"))
+      .agg(sum(col("c")).as("c"))
+    w1Core(h)
+      .filter(col("__w1_g") === "p")
+      .select(col("n_g").cast("long").as("n_p"),
+        col("n_rest").cast("long").as("n_q"), col("w1"))
+  }
+
+  /** The shared W1 core over a `(__w1_g, v, c)` histogram: per group
+    * `(… , n_g, n_rest, w1)` vs the complement. Zero-fill grid from
+    * the bounded broadcast group table × the value register, keyed
+    * CDF windows over that register only, DECIMAL(38,0) step terms,
+    * one double division, 1e-6 snap (NULL when the group owns the
+    * whole mass).
+    */
+  private def w1Core(h: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
     val tv = h.groupBy(col("v")).agg(sum(col("c")).as("ct"))
     val gs = h.groupBy(col("__w1_g")).agg(sum(col("c")).as("n_g"))
     val tot = tv.agg(sum(col("ct")).as("__n_all"))
@@ -136,14 +175,14 @@ object Divergence {
     steps
       .groupBy(col("__w1_g"), col("n_g"), col("__n_all"))
       .agg(sum(col("__term")).as("__num"))
-      .select(col("__w1_g").as(groupCol),
-        col("n_g").cast("long").as("n_rows"),
+      .select(col("__w1_g"), col("n_g"),
+        (col("__n_all") - col("n_g")).as("n_rest"),
         graft.functions.Grid.snap(
           when(col("__n_all") > col("n_g"),
             col("__num").cast("double") /
               (col("n_g").cast("double") *
                 (col("__n_all") - col("n_g")).cast("double"))), 6)
-          .as("w1_vs_rest"))
+          .as("w1"))
   }
 
   /** One-row divergence between two explicit `(token, count)` tables —

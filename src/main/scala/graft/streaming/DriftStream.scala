@@ -62,4 +62,35 @@ object DriftStream {
         sink(Divergence.divergence(tokenCounts(batch, textCol),
           reference, "token", "c", alpha), batchId)
     }
+
+  /** Value histogram of a static or micro-batch frame over an
+    * integer-grid metric — the shape [[Divergence.wasserstein1]]
+    * consumes (and [[mergeCounts]] folds, after renaming `v` to the
+    * token slot: histograms merge by value-wise sum exactly like
+    * count tables).
+    */
+  def valueCounts(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-micro-batch Wasserstein-1 vs a FROZEN reference histogram —
+    * the GEOMETRY-aware companion to [[driftBatches]]' KL/JS (a batch
+    * whose lengths all shifted +50 tokens moves W1 by exactly 50
+    * while JS only says "different"): `sink(score, batchId)` receives
+    * the one-row `(n_p, n_q, w1)` of this batch's metric histogram vs
+    * `reference` (a `(v, c)` table — pass something cheap, the
+    * [[driftBatches]] reference contract).
+    */
+  def w1Batches(df: DataFrame, valueCol: String,
+      reference: DataFrame)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(Divergence.wasserstein1(valueCounts(batch, valueCol),
+          reference, "v", "c"), batchId)
+    }
 }

@@ -1342,6 +1342,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p410.contains("ScalaUDF"), p410)
     assert(!p410.contains("hashpartitioning"),
       s"q410 must not hash-shuffle:\n$p410")
+    // q411: the canonical-stack fingerprints are Column programs —
+    // the same join-free one-aggregation shape as q408
+    val p411 = plan("q411_invisible_dedup")
+    assert(!p411.contains("Join"), s"q411 must be join-free:\n$p411")
+    assert(!p411.contains("ScalaUDF"), p411)
+    // q412: the two-sample path reuses the W1 core — the only cross
+    // is the bounded broadcast grid, same law as q407
+    val p412 = plan("q412_w1_two_sample")
+    assert(!p412.contains("CartesianProduct"), p412)
+    assert(!p412.contains("ScalaUDF"), p412)
   }
 
   test("entry: whole-stage codegen covers the join+agg pipeline") {

@@ -558,4 +558,28 @@ class CrossLingualSpec extends SparkSpec {
     assert(r.getAs[String]("primary_lang") === "de")
     assert(r.getAs[Boolean]("is_mixed"))
   }
+
+  test("stripInvisible deletes (not spaces) ZWSP/ZWNJ/ZWJ/soft-" +
+      "hyphen/BOM, rejoining the word; the canonical stack merges " +
+      "dressed re-crawl twins the width key keeps apart") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "\u6570\u636e data pipeline cleanup 7"),
+      (2L, "\ufeff\u6570\u636e data pipe\u200bline clean\u00adup 7"),
+      (3L, "\u6570\u636e data pipeline cleanup 8")) // different page
+      .toDF("id", "text")
+    val stripped = docs.filter(col("id") === 2L)
+      .select(CrossLingual.stripInvisible(col("text")))
+      .head().getString(0)
+    assert(stripped === "\u6570\u636e data pipeline cleanup 7")
+    val fps = docs.select(col("id"),
+        CrossLingual.foldedFingerprintWide(col("text")).as("fw"),
+        CrossLingual.foldedFingerprintCanonical(col("text")).as("fc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2)))).toMap
+    assert(fps(1L)._1 !== fps(2L)._1) // Cf chars split the tokens
+    assert(fps(1L)._2 === fps(2L)._2) // the strip closes the gap
+    assert(fps(1L)._2 !== fps(3L)._2) // no false merge across pages
+  }
 }

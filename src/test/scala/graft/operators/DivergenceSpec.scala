@@ -185,4 +185,25 @@ class DivergenceSpec extends SparkSpec {
     val row = Divergence.wasserstein1By(df, "g", "v").head()
     assert(row.isNullAt(row.fieldIndex("w1_vs_rest")))
   }
+
+  test("wasserstein1 (two-sample): histogram weights count — doubled " +
+      "counts leave W1 unchanged, and the two-sample number equals " +
+      "the group-vs-rest core on the same split") {
+    val s = spark
+    import s.implicits._
+    val p = Seq((0L, 1L), (1L, 1L)).toDF("v", "c") // {0, 1}
+    val q = Seq((1L, 1L), (2L, 1L)).toDF("v", "c") // {1, 2}
+    val r = Divergence.wasserstein1(p, q, "v", "c").head()
+    assert(r.getAs[Long]("n_p") === 2L && r.getAs[Long]("n_q") === 2L)
+    assert(r.getAs[Double]("w1") === 1.0)
+    // scale invariance of the empirical CDFs: q at 10× the mass
+    val q10 = Seq((1L, 10L), (2L, 10L)).toDF("v", "c")
+    assert(Divergence.wasserstein1(p, q10, "v", "c").head()
+      .getAs[Double]("w1") === 1.0)
+    // two-sample == the by-group core run on the tagged rows
+    val byG = Divergence.wasserstein1By(
+      Seq(("p", 0L), ("p", 1L), ("q", 1L), ("q", 2L)).toDF("g", "v"),
+      "g", "v").filter(col("g") === "p").head()
+    assert(byG.getAs[Double]("w1_vs_rest") === r.getAs[Double]("w1"))
+  }
 }

@@ -6,6 +6,7 @@ import graft.ingest.SparkSpec
 import graft.operators.Divergence
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, size, split}
 
 /** Drift monitoring over a stream: per-batch JS vs a frozen reference
   * is batch-identical, a shifted batch alarms louder than a matching
@@ -72,5 +73,51 @@ class DriftStreamSpec extends SparkSpec {
     def m(df: DataFrame) = df.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m(folded.get) === m(whole))
+  }
+
+  test("w1Batches: per-batch W1 == batch-mode wasserstein1; a pure " +
+      "length shift moves W1 by exactly the shift") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // reference: doc lengths all 9 tokens
+    val nine = "a b c d e f g h i"
+    val refHist = DriftStream.valueCounts(
+      Seq.tabulate(20)(i => (i.toLong, 9L)).toDF("doc_id", "n"), "n")
+      .cache()
+    refHist.count()
+
+    // batch 0: same 9-token shape; batch 1: every doc +5 tokens
+    val b0 = Seq.tabulate(10)(i => DrDoc(100L + i, nine, ts0))
+    val b1 = Seq.tabulate(10)(i =>
+      DrDoc(200L + i, nine + " j k l m n", ts0))
+    def withLen(rows: Seq[DrDoc]) = rows.toDF()
+      .withColumn("n", size(split(col("text"), " ")).cast("long"))
+
+    var scores = Vector.empty[(Long, Row)]
+    val mem = MemoryStream[DrDoc]
+    val q = DriftStream.w1Batches(
+      mem.toDF().withColumn("n",
+        size(split(col("text"), " ")).cast("long")), "n", refHist) {
+      (score, batchId) => scores :+= (batchId -> score.head())
+    }.start()
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(scores.size === 2)
+    val byBatch = scores.toMap
+    assert(byBatch(0L).getAs[Double]("w1") === 0.0)
+    assert(byBatch(1L).getAs[Double]("w1") === 5.0) // the exact shift
+    // per-batch score == the same batch scored in batch mode
+    val batchScore = Divergence.wasserstein1(
+      DriftStream.valueCounts(withLen(b1), "n"), refHist, "v", "c")
+      .head()
+    assert(byBatch(1L).getAs[Double]("w1") ===
+      batchScore.getAs[Double]("w1"))
+    assert(byBatch(1L).getAs[Long]("n_p") === 10L)
+    assert(byBatch(1L).getAs[Long]("n_q") === 20L)
   }
 }
