@@ -7211,6 +7211,78 @@ object HashOracles {
          |FROM sm WHERE g = 'p'""".stripMargin)
   }
 
+  /** Char-entropy replay (q413, [[operators.Robust.entropyProfile]]
+    * at character grain): the spam plant, char explode, and the
+    * identical `round(ln(n) − Σc·ln(c)/n, 4)` program — the q182
+    * entropy mirror, one grain down.
+    */
+  val q413CharEntropy: String =
+    withClause(Seq(
+      "sx AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN " +
+        "'error ' || repeat('a', 150) ELSE text END AS text " +
+        "FROM documents)",
+      "ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c " +
+        "FROM sx)",
+      "ct AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k " +
+        "FROM ch GROUP BY 1, 2)",
+      "ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS n_cats, " +
+        "sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))) AS clc " +
+        "FROM ct GROUP BY 1)"),
+      """SELECT doc_id, n, n_cats,
+        |  round(ln(CAST(n AS DOUBLE)) - clc / n, 4) AS entropy,
+        |  CASE WHEN n_cats > 1 THEN
+        |    round((ln(CAST(n AS DOUBLE)) - clc / n) /
+        |      ln(CAST(n_cats AS DOUBLE)), 4)
+        |  ELSE 0.0 END AS entropy_norm,
+        |  (CASE WHEN n_cats > 1 THEN
+        |    round((ln(CAST(n AS DOUBLE)) - clc / n) /
+        |      ln(CAST(n_cats AS DOUBLE)), 4)
+        |  ELSE 0.0 END) < 0.35 AS is_garbled
+        |FROM ag ORDER BY doc_id""".stripMargin)
+
+  /** Script-vs-label audit replay (q414,
+    * [[operators.CrossLingual.scriptProfile]]): the removal-device
+    * counts per class, snapped shares, the fixed-tie-order dominant
+    * CASE, and the suspect verdict.
+    */
+  val q414ScriptMislabel: String = {
+    import graft.functions.Grid.snapSql
+    val han = operators.CrossLingual.UnsegmentedClass
+    val cyr = operators.CrossLingual.CyrillicClass
+    val thai = operators.CrossLingual.ShingledClass
+    val arab = operators.CrossLingual.ArabicClass
+    def cnt(cls: String): String =
+      s"CAST(length(text) - length(regexp_replace(text, '[$cls]', " +
+        "'', 'g')) AS BIGINT)"
+    def share(c: String): String =
+      s"CASE WHEN n_chars > 0 THEN ${snapSql(
+        s"CAST($c AS DOUBLE) / CAST(n_chars AS DOUBLE)")} END"
+    withClause(Seq(
+      "pc AS (SELECT doc_id, lang, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        s"${cnt(han)} AS n_han, ${cnt("a-zA-Z")} AS n_latin, " +
+        s"${cnt(cyr)} AS n_cyrillic, ${cnt(thai)} AS n_thai_family, " +
+        s"${cnt(arab)} AS n_arabic FROM documents)",
+      "sh AS (SELECT *, " +
+        s"${share("n_han")} AS han_share, " +
+        s"${share("n_latin")} AS latin_share, " +
+        "CASE WHEN n_han >= n_latin AND n_han >= n_cyrillic AND " +
+        "n_han >= n_thai_family AND n_han >= n_arabic AND n_han > 0 " +
+        "THEN 'han' WHEN n_latin >= n_cyrillic AND " +
+        "n_latin >= n_thai_family AND n_latin >= n_arabic AND " +
+        "n_latin > 0 THEN 'latin' WHEN n_cyrillic >= n_thai_family " +
+        "AND n_cyrillic >= n_arabic AND n_cyrillic > 0 THEN " +
+        "'cyrillic' WHEN n_thai_family >= n_arabic AND " +
+        "n_thai_family > 0 THEN 'thai' WHEN n_arabic > 0 THEN " +
+        "'arabic' ELSE 'none' END AS dominant_script FROM pc)"),
+      "SELECT doc_id, lang, n_chars, n_han, n_latin, n_cyrillic, " +
+        "n_thai_family, n_arabic, han_share, latin_share, " +
+        "dominant_script, (lang = 'zh' AND han_share < 0.2) OR " +
+        "(lang IN ('en', 'de', 'fr', 'es') AND han_share > 0.5) " +
+        "AS is_suspect FROM sh ORDER BY doc_id")
+  }
+
   /** Per-host retention funnel replay (q409): the q382 chain at host
     * grain — URL canonical dedup → folded-fingerprint dedup → the
     * quality replay — closed with the q405 cap window at 5.

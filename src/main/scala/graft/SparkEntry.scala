@@ -5268,6 +5268,44 @@ object SparkEntry {
         "v", "c")
     }),
 
+    // Character-entropy quality gauge (q413): per-doc Shannon entropy
+    // of the CHARACTER mix (the q182 entropyProfile at char grain) —
+    // the encoding-corruption / char-spam detector word-level rules
+    // miss (a doc of 150 'a's has healthy token counts at n=1).
+    // Planted spam rows (%10 = 0) read entropy_norm far below prose.
+    "q413_char_entropy" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("error "), repeat(lit("a"), 150)))
+          .otherwise(col("text")).as("text"))
+      val chars = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), ""),
+          c => length(c) > 0)).as("ch"))
+      graft.operators.Robust.entropyProfile(chars, "doc_id", "ch")
+        .withColumn("is_garbled", col("entropy_norm") < 0.35)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Script-vs-label mislabel audit (q414): per-doc script profile
+    // (map-only removal counts) + the verdict — the fixture's zh rows
+    // carry Latin text, so every one of them flags: exactly the
+    // URL-pattern-assigned locale tag this audit exists to catch.
+    "q414_script_mislabel" -> ((s, dir) =>
+      graft.operators.CrossLingual.scriptProfile(
+          T(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "text")
+        .withColumn("is_suspect",
+          (col("lang") === "zh" && col("han_share") < 0.2) ||
+            (col("lang").isin("en", "de", "fr", "es") &&
+              col("han_share") > 0.5))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_han"), col("n_latin"), col("n_cyrillic"),
+          col("n_thai_family"), col("n_arabic"), col("han_share"),
+          col("latin_share"), col("dominant_script"),
+          col("is_suspect"))
+        .orderBy(col("doc_id"))),
+
     // IVF RETRAIN executed — the lifecycle CLOSED: the q400 decision's
     // 'retrain' action run for real (centroids re-trained on the
     // index's current contents — base ∪ drifted appends — and the
@@ -11968,6 +12006,8 @@ object SparkEntry {
     "q410_codeswitch_audit" -> HashOracles.q410CodeSwitch,
     "q411_invisible_dedup" -> HashOracles.q411InvisibleDedup,
     "q412_w1_two_sample" -> HashOracles.q412W1TwoSample,
+    "q413_char_entropy" -> HashOracles.q413CharEntropy,
+    "q414_script_mislabel" -> HashOracles.q414ScriptMislabel,
 
     // Page–Hinkley replay: the identical sequential fold as a DuckDB
     // list_reduce (1-based arrays: [i, s, m, mn, ph, at]); both

@@ -209,6 +209,64 @@ object CrossLingual {
   def foldedFingerprintCanonical(text: Column): Column =
     foldedFingerprintScripted(foldWidth(stripInvisible(text)))
 
+  /** Additional script ranges for [[scriptProfile]] (the dedup folds
+    * above only need the unsegmented/shingled classes; the AUDIT
+    * wants the big space-segmented scripts named too).
+    */
+  val CyrillicClass: String = "\\x{0400}-\\x{04ff}"
+  val ArabicClass: String = "\\x{0600}-\\x{06ff}"
+
+  /** Per-document script profile + the LABEL-vs-SCRIPT audit's raw
+    * material: character counts per script class (Han/kana, Latin
+    * letters, Cyrillic, Thai/Lao/Khmer, Arabic) via the removal
+    * device (`length − length(after-delete)` — one regexp per class,
+    * no explode, whole-stage codegen), Han/Latin shares on the 1e-6
+    * grid, and the dominant script (most characters; ties resolve in
+    * the fixed han > latin > cyrillic > thai > arabic order, `none`
+    * when no class hits). A corpus whose `lang` column says zh over a
+    * Latin-dominant profile is mislabeled routing — the audit that
+    * catches locale tags assigned by URL patterns instead of content
+    * (every multilingual pipeline's q26/q340 language-ID stages
+    * assume the label is at least script-consistent).
+    *
+    * 100 TB shape: map-only — six regexp counts and a CASE per row,
+    * no shuffle at all until whatever aggregation the caller adds.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, s"[$cls]", ""))).cast("long")
+    def share(c: Column): Column =
+      when(col("n_chars") > 0, graft.functions.Grid.snap(
+        c.cast("double") / col("n_chars").cast("double"), 6))
+    docs
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_han", cnt(UnsegmentedClass))
+      .withColumn("n_latin", cnt("a-zA-Z"))
+      .withColumn("n_cyrillic", cnt(CyrillicClass))
+      .withColumn("n_thai_family", cnt(ShingledClass))
+      .withColumn("n_arabic", cnt(ArabicClass))
+      .withColumn("han_share", share(col("n_han")))
+      .withColumn("latin_share", share(col("n_latin")))
+      .withColumn("dominant_script",
+        when(col("n_han") >= col("n_latin") &&
+          col("n_han") >= col("n_cyrillic") &&
+          col("n_han") >= col("n_thai_family") &&
+          col("n_han") >= col("n_arabic") && col("n_han") > 0, "han")
+          .when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_thai_family") &&
+            col("n_latin") >= col("n_arabic") &&
+            col("n_latin") > 0, "latin")
+          .when(col("n_cyrillic") >= col("n_thai_family") &&
+            col("n_cyrillic") >= col("n_arabic") &&
+            col("n_cyrillic") > 0, "cyrillic")
+          .when(col("n_thai_family") >= col("n_arabic") &&
+            col("n_thai_family") > 0, "thai")
+          .when(col("n_arabic") > 0, "arabic")
+          .otherwise("none"))
+  }
+
   /** Per-chunk language votes → per-document code-switch audit (the
     * multilingual-corpus QC step that document-grain language ID
     * cannot see: a document that OPENS in English and drifts into

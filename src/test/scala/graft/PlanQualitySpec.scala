@@ -1352,6 +1352,17 @@ class PlanQualitySpec extends SparkSpec {
     val p412 = plan("q412_w1_two_sample")
     assert(!p412.contains("CartesianProduct"), p412)
     assert(!p412.contains("ScalaUDF"), p412)
+    // q413: char explode + two keyed aggregations — join-free
+    val p413 = plan("q413_char_entropy")
+    assert(!p413.contains("Join"), s"q413 must be join-free:\n$p413")
+    assert(!p413.contains("ScalaUDF"), p413)
+    // q414: the script profile is MAP-ONLY (removal-device regexp
+    // counts + a CASE) — no join, no hash shuffle, only the sort
+    val p414 = plan("q414_script_mislabel")
+    assert(!p414.contains("Join"), s"q414 must be join-free:\n$p414")
+    assert(!p414.contains("ScalaUDF"), p414)
+    assert(!p414.contains("hashpartitioning"),
+      s"q414 must not hash-shuffle:\n$p414")
   }
 
   test("entry: whole-stage codegen covers the join+agg pipeline") {

@@ -582,4 +582,28 @@ class CrossLingualSpec extends SparkSpec {
     assert(fps(1L)._2 === fps(2L)._2) // the strip closes the gap
     assert(fps(1L)._2 !== fps(3L)._2) // no false merge across pages
   }
+
+  test("scriptProfile: removal-device counts per class, snapped " +
+      "shares, fixed-tie-order dominant, null shares on empty text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "\u6a21\u578b ab"), // 2 han, 2 latin -> tie -> han
+      (2L, "hello \u043c\u0438\u0440"), // 5 latin > 3 cyrillic
+      (3L, "\u0e01\u0e02\u0e03"), // thai only
+      (4L, "1234 !?"), // no class hits -> none
+      (5L, "")) // empty -> shares NULL
+      .toDF("id", "text")
+    val out = CrossLingual.scriptProfile(docs, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_han") === 2L)
+    assert(out(1L).getAs[Long]("n_latin") === 2L)
+    assert(out(1L).getAs[String]("dominant_script") === "han") // tie
+    assert(out(2L).getAs[Long]("n_cyrillic") === 3L)
+    assert(out(2L).getAs[String]("dominant_script") === "latin")
+    assert(out(2L).getAs[Double]("latin_share") === 0.555556)
+    assert(out(3L).getAs[String]("dominant_script") === "thai")
+    assert(out(4L).getAs[String]("dominant_script") === "none")
+    assert(out(5L).isNullAt(out(5L).fieldIndex("han_share")))
+  }
 }
