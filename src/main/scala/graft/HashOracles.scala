@@ -5471,14 +5471,15 @@ object HashOracles {
     * th/lo delta truly probes its corpus partner).
     */
   private def scriptIncrementalSql(synth: Seq[String],
-      corpusWhere: String, deltaWhere: String): String =
+      corpusWhere: String, deltaWhere: String,
+      fpSql: String = ScriptedFpSql): String =
     withClause(synth ++ Seq(
-      s"cf AS (SELECT doc_id, lang, $ScriptedFpSql AS fp FROM sy " +
+      s"cf AS (SELECT doc_id, lang, $fpSql AS fp FROM sy " +
         s"WHERE $corpusWhere)",
       "ix AS (SELECT fp, min(doc_id) AS matched_id, " +
         "list_sort(list_distinct(list(lang))) AS langs FROM cf " +
         "WHERE fp IS NOT NULL GROUP BY fp)",
-      s"df AS (SELECT doc_id, lang, $ScriptedFpSql AS fp FROM sy " +
+      s"df AS (SELECT doc_id, lang, $fpSql AS fp FROM sy " +
         s"WHERE $deltaWhere)"),
       "SELECT d.doc_id, d.lang, " +
         "ix.matched_id IS NOT NULL AS is_dup, ix.matched_id, " +
@@ -5491,6 +5492,41 @@ object HashOracles {
   def q394ScriptIncremental(splitAt: Long): String =
     scriptIncrementalSql(ScriptSynthCtes,
       s"doc_id < $splitAt", s"doc_id >= $splitAt")
+
+  /** The q415 canonical-stack synth (mirrors `SparkEntry.canonSynth`)
+    * — per pair a plain zh+ASCII corpus row and a delta twin dressed
+    * with a BOM, a fullwidth re-spelled tag (the REVERSE width
+    * translate) and a soft hyphen inside a word; ends in
+    * `sy(doc_id, lang, text)`.
+    */
+  val CanonSynthCtes: Seq[String] = {
+    val fw = operators.CrossLingual.WidthFrom
+    val asc = operators.CrossLingual.WidthTo.replace("'", "''")
+    val bom = "\ufeff"
+    val shy = "\u00ad"
+    Seq("sy AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN " +
+      "'zh-tw' ELSE 'zh' END AS lang, CASE WHEN doc_id % 2 = 1 " +
+      s"THEN '${bom}模型训练 ' || translate('gpu' || (doc_id // 2) || " +
+      s"' benchmark', '$asc', '$fw') || ' clean${shy}up' " +
+      "ELSE '模型训练 gpu' || (doc_id // 2) || ' benchmark cleanup' " +
+      "END AS text FROM documents)")
+  }
+
+  /** Canonical-stack incremental replay (q415,
+    * [[operators.CrossLingual.flagIncrementalCanonical]]): the q394
+    * shape with the canonical fingerprint (invisible strip → width
+    * fold → scripted) over the dressed-twin synth at a parity split.
+    */
+  val q415CanonicalIncremental: String = {
+    val fw = operators.CrossLingual.WidthFrom
+    val asc = operators.CrossLingual.WidthTo.replace("'", "''")
+    val cls = operators.CrossLingual.InvisibleClass
+    val canonFp = scriptedFpSqlOf(
+      s"translate(regexp_replace(text, '[$cls]', '', 'g'), '$fw', " +
+        s"'$asc')")
+    scriptIncrementalSql(CanonSynthCtes,
+      "doc_id % 2 = 0", "doc_id % 2 = 1", canonFp)
+  }
 
   /** Thai-family incremental replay (q403): the q394 shape over the
     * bigram-shingled Thai/Lao synth with a PARITY corpus/delta split
@@ -7282,6 +7318,29 @@ object HashOracles {
         "(lang IN ('en', 'de', 'fr', 'es') AND han_share > 0.5) " +
         "AS is_suspect FROM sh ORDER BY doc_id")
   }
+
+  /** URL blocklist replay (q416,
+    * [[operators.UrlDedup.applyBlocklist]]): the synth +
+    * canonicalization fragments, host/path extraction, the VALUES
+    * rule table, and the min-fold verdict.
+    */
+  val q416UrlBlocklist: String =
+    withClause(
+      urlSynthCtes("documents") ++ urlCanonCtes() ++ Seq(
+      "bl AS (SELECT * FROM (VALUES ('host4.example.org', '/'), " +
+        "('host2.example.org', '/docs/1')) t(host, path_prefix))",
+      "hp AS (SELECT doc_id, canonical_url, " +
+        "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) " +
+        "AS host, regexp_extract(canonical_url, " +
+        "'^[a-z]+://[^/?#]*([^?#]*)', 1) AS path FROM cn)",
+      "jn AS (SELECT hp.doc_id, hp.canonical_url, hp.host, " +
+        "CASE WHEN bl.path_prefix IS NOT NULL AND " +
+        "starts_with(hp.path, bl.path_prefix) THEN bl.path_prefix " +
+        "END AS hit FROM hp LEFT JOIN bl USING (host))"),
+      "SELECT doc_id, min(canonical_url) AS canonical_url, " +
+        "min(host) AS host, min(hit) AS blocked_prefix, " +
+        "min(hit) IS NOT NULL AS is_blocked FROM jn " +
+        "GROUP BY doc_id ORDER BY doc_id")
 
   /** Per-host retention funnel replay (q409): the q382 chain at host
     * grain — URL canonical dedup → folded-fingerprint dedup → the

@@ -206,6 +206,28 @@ object SparkEntry {
         .otherwise(base))
   }
 
+  // the canonical-stack incremental synth (q415): per pair a plain
+  // zh+ASCII corpus row (lang zh, even ids) and a delta twin dressed
+  // with a BOM, a fullwidth re-spelled tag (reverse width translate)
+  // and a soft hyphen inside a word (lang zh-tw, odd ids) — every
+  // delta doc must match its corpus partner ONLY under the full
+  // canonical key
+  private def canonSynth(docs: DataFrame): DataFrame = {
+    val CL = graft.operators.CrossLingual
+    val tag = concat(lit("gpu"), expr("doc_id div 2"),
+      lit(" benchmark"))
+    val base = concat(lit("模型训练 gpu"), expr("doc_id div 2"),
+      lit(" benchmark cleanup"))
+    val dressed = concat(lit("\ufeff模型训练 "),
+      translate(tag, CL.WidthTo, CL.WidthFrom),
+      lit(" clean\u00adup"))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 1, lit("zh-tw")).otherwise(lit("zh"))
+        .as("lang"),
+      when(col("doc_id") % 2 === 1, dressed).otherwise(base)
+        .as("text"))
+  }
+
   // the code-switch synth corpus for the chunk-grain language audit
   // (q410): every doc opens with its own first 24 tokens (en-ish
   // fixture text), then doc_id % 4 == 1 drifts into a German tail,
@@ -5305,6 +5327,34 @@ object SparkEntry {
           col("latin_share"), col("dominant_script"),
           col("is_suspect"))
         .orderBy(col("doc_id"))),
+
+    // Canonical-stack INCREMENTAL dedup (q415): the q394 index/probe
+    // shape under foldedFingerprintCanonical — width-respelled,
+    // BOM/soft-hyphen-dressed delta twins match their plain corpus
+    // partners (and read cross-lingual: zh-tw label vs the indexed
+    // zh). One index aggregation + one left equi-join, stream-ready.
+    "q415_canonical_incremental" -> ((s, dir) => {
+      val sy = canonSynth(T(s, dir, "documents"))
+      graft.operators.CrossLingual.flagIncrementalCanonical(
+          sy.filter(col("doc_id") % 2 === 1),
+          sy.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL blocklist gate (q416): the pre-fetch filter the published
+    // recipes run FIRST — (host, path_prefix) rules matched against
+    // the CANONICAL key so case/www/percent/dot-segment games cannot
+    // dodge a rule; one host equi-join + one doc-grain verdict fold.
+    // Planted: all of host4, host2's /docs/1 prefix.
+    "q416_url_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq(("host4.example.org", "/"),
+        ("host2.example.org", "/docs/1")).toDF("host", "path_prefix")
+      graft.operators.UrlDedup.applyBlocklist(
+          webUrls(T(s, dir, "documents")), rules, "doc_id", "url")
+        .orderBy(col("doc_id"))
+    }),
 
     // IVF RETRAIN executed — the lifecycle CLOSED: the q400 decision's
     // 'retrain' action run for real (centroids re-trained on the
@@ -12008,6 +12058,9 @@ object SparkEntry {
     "q412_w1_two_sample" -> HashOracles.q412W1TwoSample,
     "q413_char_entropy" -> HashOracles.q413CharEntropy,
     "q414_script_mislabel" -> HashOracles.q414ScriptMislabel,
+    "q415_canonical_incremental" ->
+      HashOracles.q415CanonicalIncremental,
+    "q416_url_blocklist" -> HashOracles.q416UrlBlocklist,
 
     // Page–Hinkley replay: the identical sequential fold as a DuckDB
     // list_reduce (1-based arrays: [i, s, m, mn, ph, at]); both

@@ -401,6 +401,16 @@ object CrossLingual {
     indexBy(corpus, idCol, langCol,
       foldedFingerprintScripted(col(textCol)))
 
+  /** [[fingerprintIndex]] under the full canonical stack
+    * ([[foldedFingerprintCanonical]]) — what the ingest edge holds
+    * when width-variant and invisible-char re-crawls must hit the
+    * index too.
+    */
+  def fingerprintIndexCanonical(corpus: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame =
+    indexBy(corpus, idCol, langCol,
+      foldedFingerprintCanonical(col(textCol)))
+
   private def flagBy(delta: DataFrame, corpFp0: DataFrame,
       idCol: String, langCol: String, fp: Column): DataFrame = {
     val corpFp = corpFp0.withColumnRenamed("fp", "__fp")
@@ -435,6 +445,17 @@ object CrossLingual {
     flagBy(delta,
       fingerprintIndexScripted(corpus, idCol, textCol, langCol),
       idCol, langCol, foldedFingerprintScripted(col(textCol)))
+
+  /** [[flagIncremental]] under the full canonical stack: a delta doc
+    * that re-spells corpus content through fullwidth twins or smuggles
+    * ZWSP/soft-hyphens past the token keys still matches. Same one
+    * index aggregation + one left equi-join; stream-static unchanged.
+    */
+  def flagIncrementalCanonical(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, langCol: String): DataFrame =
+    flagBy(delta,
+      fingerprintIndexCanonical(corpus, idCol, textCol, langCol),
+      idCol, langCol, foldedFingerprintCanonical(col(textCol)))
 
   /** [[crossLingualClusters]] with QUALITY-aware canonical election —
     * the keep-best form ([[Dedup]]'s q127 device at cross-lingual

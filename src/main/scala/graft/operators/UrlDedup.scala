@@ -78,6 +78,48 @@ object UrlDedup {
     * exactly those hosts) — that guard stays with the caller because
     * the cap must see every row of a host to rank it.
     */
+  /** URL blocklist gate — the pre-fetch filter the published web
+    * recipes run FIRST (RefinedWeb and C4 both gate on curated
+    * URL/domain blocklists before spending a byte of fetch budget):
+    * rules are `(host, path_prefix)` rows — `path_prefix = "/"`
+    * blocks the whole host — matched against the CANONICAL key (so
+    * case/`www.`/percent/dot-segment games cannot dodge a rule).
+    * Every doc survives with `is_blocked`, the matched rule
+    * (`blocked_prefix`, smallest matching prefix for determinism),
+    * and its canonical host/path, so callers either filter or audit.
+    * Unparseable URLs opt out loudly (never blocked) — the null-key
+    * law.
+    *
+    * 100 TB shape: ONE equi-join on host (un-hinted — curated lists
+    * broadcast under AQE, the multi-million-rule case degrades to a
+    * shuffle join) fans each doc out only to ITS host's rules
+    * (bounded per host), then one doc-grain aggregation folds the
+    * verdict. Never a pattern × corpus cross.
+    */
+  def applyBlocklist(docs: DataFrame, blocklist: DataFrame,
+      idCol: String, urlCol: String): DataFrame = {
+    val canon = docs.select(col(idCol),
+      graft.functions.Urls.canonicalize(col(urlCol)).as("canonical_url"))
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1))
+      .withColumn("path",
+        regexp_extract(col("canonical_url"),
+          "^[a-z]+://[^/?#]*([^?#]*)", 1))
+    canon
+      .join(blocklist.select(col("host"),
+        col("path_prefix").as("__pfx")), Seq("host"), "left")
+      .withColumn("__hit",
+        when(col("__pfx").isNotNull &&
+          col("path").startsWith(col("__pfx")), col("__pfx")))
+      .groupBy(col(idCol))
+      // min/max, never first: all fanned-out rows of a doc carry the
+      // same canonical/host, so min is the value — and deterministic
+      .agg(min(col("canonical_url")).as("canonical_url"),
+        min(col("host")).as("host"),
+        min(col("__hit")).as("blocked_prefix"))
+      .withColumn("is_blocked", col("blocked_prefix").isNotNull)
+  }
+
   def capPerHost(docs: DataFrame, idCol: String, hostCol: String,
       scoreCol: String, maxPerHost: Int): DataFrame = {
     require(maxPerHost >= 1, s"bad maxPerHost $maxPerHost")

@@ -1363,6 +1363,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p414.contains("ScalaUDF"), p414)
     assert(!p414.contains("hashpartitioning"),
       s"q414 must not hash-shuffle:\n$p414")
+    // q415: one canonical-fp index aggregation + ONE left equi-join
+    val p415 = plan("q415_canonical_incremental")
+    assert(!p415.contains("CartesianProduct"), p415)
+    assert(!p415.contains("BroadcastNestedLoopJoin"), p415)
+    assert(!p415.contains("ScalaUDF"), p415)
+    // q416: ONE host equi-join + one verdict fold — never a
+    // pattern × corpus cross
+    val p416 = plan("q416_url_blocklist")
+    assert(!p416.contains("CartesianProduct"), p416)
+    assert(!p416.contains("BroadcastNestedLoopJoin"), p416)
+    assert(!p416.contains("ScalaUDF"), p416)
   }
 
   test("entry: whole-stage codegen covers the join+agg pipeline") {

@@ -606,4 +606,26 @@ class CrossLingualSpec extends SparkSpec {
     assert(out(4L).getAs[String]("dominant_script") === "none")
     assert(out(5L).isNullAt(out(5L).fieldIndex("han_share")))
   }
+
+  test("flagIncrementalCanonical: dressed width/invisible twins match " +
+      "their plain corpus partner cross-lingually; fresh content " +
+      "stays clean") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, "zh", "\u6a21\u578b gpu7 benchmark cleanup"))
+      .toDF("doc_id", "lang", "text")
+    val delta = Seq(
+      (1L, "zh-tw",
+        "\ufeff\u6a21\u578b \uFF47\uFF50\uFF55\uFF17 \uFF42\uFF45\uFF4E\uFF43\uFF48\uFF4D\uFF41\uFF52\uFF4B clean\u00adup"),
+      (2L, "zh", "\u6a21\u578b gpu8 benchmark cleanup")) // fresh page
+      .toDF("doc_id", "lang", "text")
+    val out = CrossLingual.flagIncrementalCanonical(delta, corpus,
+        "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Boolean]("is_dup"),
+          r.getAs[Boolean]("is_cross_lingual")))).toMap
+    assert(out === Map(
+      1L -> ((true, true)), // matched, and the index only knows zh
+      2L -> ((false, false))))
+  }
 }

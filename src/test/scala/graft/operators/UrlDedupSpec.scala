@@ -72,4 +72,29 @@ class UrlDedupSpec extends SparkSpec {
       UrlDedup.capPerHost(docs, "doc_id", "host", "score", 0)
     }
   }
+
+  test("applyBlocklist: whole-host and path-prefix rules match the " +
+      "CANONICAL key; clean hosts and unparseable URLs pass") {
+    val docs = Seq(
+      (1L, "HTTPS://WWW.Bad.example.ORG:443/anything?utm_source=x"),
+      (2L, "https://ok.example.org/docs/page"),
+      (3L, "https://mixed.example.org/private/secret"),
+      (4L, "https://mixed.example.org/public/page"),
+      (5L, "not a url")) // opts out — never blocked
+      .toDF("doc_id", "url")
+    val rules = Seq(("bad.example.org", "/"),
+      ("mixed.example.org", "/private"))
+      .toDF("host", "path_prefix")
+    val out = UrlDedup.applyBlocklist(docs, rules, "doc_id", "url")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Boolean]("is_blocked"),
+          Option(r.getAs[String]("blocked_prefix")).getOrElse("-"))))
+      .toMap
+    assert(out === Map(
+      1L -> ((true, "/")), // case/www/port/param games don't dodge
+      2L -> ((false, "-")),
+      3L -> ((true, "/private")),
+      4L -> ((false, "-")),
+      5L -> ((false, "-"))))
+  }
 }
