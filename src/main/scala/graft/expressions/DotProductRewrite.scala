@@ -30,6 +30,16 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def isSqDiffOfVars(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(Multiply(
+          Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+          Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _), _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      x1.exprId == a.exprId && y1.exprId == b.exprId &&
+        x2.exprId == a.exprId && y2.exprId == b.exprId
+    case _ => false
+  }
+
   private def isAddOfVars(f: LambdaFunction): Boolean = f match {
     case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
         Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
@@ -58,5 +68,17 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
               .elementType == DoubleType =>
         DotProduct(left, right)
+      case ArrayAggregate(
+            ZipWith(left, right, sq: LambdaFunction),
+            Literal(0.0, DoubleType),
+            add: LambdaFunction,
+            finish: LambdaFunction)
+          if isSqDiffOfVars(sq) && isAddOfVars(add) && isIdentity(finish) &&
+            left.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType == DoubleType &&
+            right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType == DoubleType =>
+        L2DistanceSq(left, right)
     }
 }

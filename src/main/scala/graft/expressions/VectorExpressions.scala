@@ -88,9 +88,82 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the squared L2 distance of two
+  * `array<double>` columns — the [[DotProduct]] device for the distance
+  * pattern `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)`
+  * ([[graft.functions.VectorFunctions.l2DistanceSq]]): same left-fold
+  * accumulation order (bit-identical sums), NULL on ragged lengths or
+  * null elements. Substituted by [[DotProductRewrite]] so every
+  * distance-verify join and coreset/k-center pass runs a primitive
+  * double loop instead of per-element lambda dispatch.
+  */
+case class L2DistanceSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq requires two array<double> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistanceSq =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]] over two `array<double>` columns. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[L2DistanceSq]] over two `array<double>` columns. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    ColumnBridge.column(L2DistanceSq(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -103,11 +103,15 @@ object Clustering {
     transform(slice(array_sort(scoredByDist(v, centroids)), 1, take),
       s => s.getField("cid"))
 
+  // ONE native node instead of a k-way array(struct(aggregate(zip_with)))
+  // fold: bit-identical dists/ties (see [[graft.expressions
+  // .L2ScoredByMatrix]]), but a primitive double loop per row and a
+  // plan tree that no longer carries k·dim literal leaves through
+  // analysis/codegen at every assignment, trained-list, and IVF site.
+  // The elementwise double cast mirrors l2DistanceSq's asDouble.
   private def scoredByDist(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(VF.l2DistanceSq(v, typedLit(c)).as("dist"),
-        lit(i).as("cid"))
-    }: _*)
+    graft.expressions.MatrixDistances.l2ScoredByMatrix(
+      v.cast("array<double>"), centroids)
 
   /** SSL-prototype data pruning (Sorscher, Geirhos, Shekhar et al.
     * 2022, "Beyond neural scaling laws: beating power law scaling via

@@ -188,18 +188,26 @@ object Graph {
     var a = e.select(col("d")).distinct()
       .withColumn("a", lit(1.0))
     for (_ <- 0 until iters) {
+      // checkpoint the RAW sums FIRST, then read the norm off the
+      // materialized table: norm-before-checkpoint ran the edge
+      // join+agg TWICE per half-round (once for the norm action, once
+      // for the checkpoint — measured ~2x on q169). The normalized
+      // table stays a lazy projection over the checkpoint; next
+      // round's join re-reads the pinned rows, and the division by a
+      // driver double is arithmetic-identical either side of the
+      // materialization.
       val aRaw = e.join(h, Seq("s"))
         .groupBy(col("d")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(true)
       val aNorm = math.sqrt(
         aRaw.agg(sum(col("a") * col("a"))).head().getDouble(0))
       a = aRaw.select(col("d"), (col("a") / aNorm).as("a"))
-        .localCheckpoint(true)
       val hRaw = e.join(a, Seq("d"))
         .groupBy(col("s")).agg(sum(col("a")).as("h"))
+        .localCheckpoint(true)
       val hNorm = math.sqrt(
         hRaw.agg(sum(col("h") * col("h"))).head().getDouble(0))
       h = hRaw.select(col("s"), (col("h") / hNorm).as("h"))
-        .localCheckpoint(true)
     }
     h.select(col("s").as("id"), lit("hub").as("side"),
         col("h").as("score"))

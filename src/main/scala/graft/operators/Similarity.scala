@@ -96,9 +96,12 @@ object Similarity {
     */
   private[graft] def bestLists(v: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]], take: Int) = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(VF.dot(v, typedLit(c)).as("score"), lit(i).as("list_id"))
-    }: _*)
+    // ONE native node instead of the k-way array(struct(dot(v, lit)))
+    // fold — bit-identical scores and null rows (see
+    // [[graft.expressions.ScoredByMatrix]]); the elementwise double
+    // cast mirrors VF.dot's asDouble
+    val scored = graft.expressions.MatrixDistances.dotScoredByMatrix(
+      v.cast("array<double>"), centroids)
     transform(slice(reverse(array_sort(scored)), 1, take),
       s => s.getField("list_id"))
   }
