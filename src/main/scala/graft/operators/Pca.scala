@@ -100,40 +100,67 @@ object Pca {
     * Rayleigh-quotient eigenvalue estimate as column `eigenvalue`
     * (constant across rows — the matvec norm of the last round).
     */
+  /** Spark `round(_, 6)` on a double, replicated exactly (HALF_UP on
+    * the decimal string expansion — `scala.math.BigDecimal(x)` is what
+    * the Round expression constructs).
+    */
+  private def r6(x: Double): Double =
+    scala.math.BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def topComponent(cov: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
-    // the covariance table is read once per round — persist it for the
-    // call (CacheScope contract) so the corpus pass behind it runs ONCE
+    // the covariance table feeds this collect AND the caller's deflate
+    // pass — persist it for the call (CacheScope contract) so the
+    // corpus pass behind it runs ONCE
     val covC = graft.CacheScope.register(cov.persist())
-    val dims = covC.select(col("i").as("__vi")).distinct()
-    val d = dims.count()
-    var v = dims.withColumn("x", round(lit(1.0 / math.sqrt(d.toDouble)), 6))
-    var lastNorm: DataFrame = null
+    // The iteration itself runs ON THE DRIVER: the covariance table is
+    // a d²-BOUNDED fact (the object doc's point — d = 64 → 2 080
+    // cells, broadcast-safe forever), the same bounded-fact class as
+    // the k×dim centroid matrix [[Clustering.kmeansCentroids]] already
+    // collects per Lloyd round. The previous form ran each matvec as a
+    // Spark round (join + agg + localCheckpoint + broadcast ≈ 2 jobs
+    // per iteration — 16 jobs for an 8-round component, 32+ for q217's
+    // two components, all over a ≤ d-row table); collecting once and
+    // folding in-process removes every one of those jobs while the
+    // corpus-grain work (the ONE covariance pass) is untouched. Every
+    // intermediate is re-rounded to the SAME 1e-6 grid with Spark's
+    // own HALF_UP rule, so the trajectory replays exactly as before —
+    // re-associated sums agree on the grid (the object doc's
+    // portability contract, unchanged).
+    val cells = covC.select(col("i"), col("j"), col("cov")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val dims = cells.map(_._1).distinct.sorted
+    val d = dims.length
+    require(d >= 1 && d <= 4096, s"covariance dimension $d out of [1, 4096]")
+    val idx = dims.zipWithIndex.toMap
+    // dense d×d matrix; rows in ascending j order per i so the matvec
+    // fold order is fixed (any order agrees on the 1e-6 grid)
+    val mat = Array.ofDim[Double](d, d)
+    cells.foreach { case (i, j, c) => mat(idx(i))(idx(j)) = c }
+    var x = Array.fill(d)(r6(1.0 / math.sqrt(d.toDouble)))
+    var lastNorm = 0.0
     for (_ <- 1 to iters) {
-      // localCheckpoint per round (the BPE-training device): `w` feeds
-      // BOTH the norm and the update, so an unrolled lineage doubles
-      // per iteration and Catalyst analysis goes exponential — the
-      // checkpoint pins the ≤ d-row table and keeps every round's plan
-      // flat. Values are grid-rounded, so the recomputation-vs-
-      // checkpoint path difference cannot leak into results.
-      val w = covC.join(v, col("j") === col("__vi"))
-        .groupBy(col("i").as("__vi"))
-        .agg(round(sum(col("cov") * col("x")), 6).as("wx"))
-        .localCheckpoint()
-      val norm = w.agg(
-        round(sqrt(sum(col("wx") * col("wx"))), 6).as("nrm"))
-      lastNorm = norm
-      v = w.crossJoin(broadcast(norm))
-        .select(col("__vi"), round(col("wx") / col("nrm"), 6).as("x"))
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += mat(i)(j) * x(j); j += 1 }
+        r6(acc)
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < d) { n2 += w(i) * w(i); i += 1 }
+      lastNorm = r6(math.sqrt(n2))
+      x = w.map(wi => r6(wi / lastNorm))
     }
-    // sign convention: the largest-|x| entry (ties: smaller i)
-    // positive — a TakeOrdered(1) over the d-row vector, no window
-    val pick = v.orderBy(abs(col("x")).desc, col("__vi")).limit(1)
-      .select(signum(col("x")).as("__sgn"))
-    v.crossJoin(broadcast(pick)).crossJoin(broadcast(lastNorm))
-      .select(col("__vi").as("i"),
-        round(col("x") * when(col("__sgn") === 0.0, lit(1.0))
-          .otherwise(col("__sgn")), 6).as("loading"),
-        col("nrm").as("eigenvalue"))
+    // sign convention: the largest-|x| entry (ties: smaller i) positive
+    val pickIdx = dims.indices.minBy(i => (-math.abs(x(i)), dims(i)))
+    val sgn = math.signum(x(pickIdx))
+    val s = if (sgn == 0.0) 1.0 else sgn
+    val norm = lastNorm
+    val spark = cov.sparkSession
+    import spark.implicits._
+    dims.indices.map(i => (dims(i), r6(x(i) * s), norm))
+      .toDF("i", "loading", "eigenvalue")
   }
 }
