@@ -65,21 +65,29 @@ object Graph {
       .join(nd.select(col("__pr_id").as("__pr_src"), col("deg")),
         Seq("__pr_src"))
       .persist())
-    var ranks = nd.select(col("__pr_id"),
+    // ranks CARRY the (static) out-degree through every checkpoint:
+    // the dangling-mass scalar is then a plain filter+sum over the
+    // round's own materialized table — the previous form re-derived
+    // "is this node dangling" per round with a ranks ⋈ nd left-semi
+    // join, one extra shuffle-stage pair per round for a fact that
+    // never changes (measured ~10 AQE stage-jobs/round on q152; the
+    // semi join was ~2 of them). 8 bytes per node of checkpoint width
+    // buys the join's removal; values are identical — same sum over
+    // the same rows.
+    var ranks = nd.select(col("__pr_id"), col("deg"),
       (lit(1.0) / n).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = ew
-        .join(ranks.withColumnRenamed("__pr_id", "__pr_src"),
+        .join(ranks.select(col("__pr_id").as("__pr_src"), col("pr")),
           Seq("__pr_src"))
         .groupBy(col("__pr_dst").as("__pr_id"))
         .agg(sum(col("pr") / col("deg")).as("__pr_c"))
-      val dangling = ranks
-        .join(nd.filter(col("deg") === 0L), Seq("__pr_id"), "left_semi")
+      val dangling = ranks.filter(col("deg") === 0L)
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("__pr_dang"))
-      val next = nd.select(col("__pr_id"))
+      val next = nd.select(col("__pr_id"), col("deg"))
         .join(contrib, Seq("__pr_id"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("__pr_id"),
+        .select(col("__pr_id"), col("deg"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("__pr_c"), lit(0.0)) + col("__pr_dang") / n))
             .as("pr"))
@@ -90,8 +98,10 @@ object Graph {
       // round-sized checkpoint pays)
       ranks = next.localCheckpoint(true)
     }
-    nd.join(ranks, Seq("__pr_id"))
-      .select(col("__pr_id").as(idCol), col("deg"), col("pr"))
+    // no closing join needed: every round's `next` is built FROM nd,
+    // so the final checkpoint already carries exactly nd's node set
+    // (deg included)
+    ranks.select(col("__pr_id").as(idCol), col("deg"), col("pr"))
   }
 
   /** Triangle census of an UNDIRECTED graph: edges normalize to

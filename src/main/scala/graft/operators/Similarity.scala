@@ -904,8 +904,16 @@ object Similarity {
     // per PAIR. The pair table feeds both avgK and the margin scoring —
     // scope-cached so the all-pairs cosine runs once.
     val prepped = VF.prepForPairs(vectors, idCol, vecCol)
+    // broadcast the b-side: this brute form is the bounded-eval
+    // contract (never production — the scaled path is the trained-list
+    // equi-join), so the right side is broadcast-sized BY CONTRACT.
+    // Un-hinted, Spark plans the non-equi self-join as a
+    // CartesianProduct whose partition count is |a|×|b| partitions
+    // (32×32 = 1024 tasks per downstream stage at local[32] — measured
+    // 6.3k tasks for q325's one action); the hint makes it the BNLJ
+    // the bounded-eval shape intends, with stream-side partitioning.
     val pairs = prepped.as("a")
-      .join(prepped.as("b"), col("a.id") =!= col("b.id"))
+      .join(broadcast(prepped.as("b")), col("a.id") =!= col("b.id"))
       .select(col("a.id").as("x"), col("b.id").as("y"),
         when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
           .otherwise(VF.fastDot(col("a.vd"), col("b.vd")) /
@@ -972,8 +980,11 @@ object Similarity {
     val prepped = VF.prepForPairs(vectors, idCol, vecCol)
       .join(vectors.select(col(idCol).as("id"),
         col(groupCol).as("__bt_grp")), Seq("id"))
+    // broadcast the b-side — the [[marginTopMatches]] bounded-eval
+    // rationale: BNLJ with stream-side partitioning, not a 1024-task
+    // CartesianProduct
     val pairs = prepped.as("a")
-      .join(prepped.as("b"),
+      .join(broadcast(prepped.as("b")),
         col("a.id") =!= col("b.id") &&
           col("a.__bt_grp") =!= col("b.__bt_grp"))
       .select(col("a.id").as("x"), col("b.id").as("y"),
