@@ -256,6 +256,13 @@ object Graph {
     val e = graft.CacheScope.register(edges
       .select(col(srcCol).as("__bf_s"), col(dstCol).as("__bf_d"))
       .distinct().persist())
+    // Only the per-hop FRONTIER is ever checkpointed; the settled set
+    // stays a lazy union of those checkpoints. The previous form
+    // re-localCheckpointed `dist.union(next)` every hop — materializing
+    // the WHOLE settled set again per round, O(V·hops) copied rows —
+    // when the union of already-pinned frontiers is lineage-flat by
+    // construction (each leaf is its own checkpoint; the plan grows by
+    // one leaf per hop, bounded by maxHops <= 30).
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = dist.select(col("node"))
@@ -269,7 +276,7 @@ object Graph {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint(true)
+        dist = dist.union(next)
         frontier = next.select(col("node"))
         h += 1
       }
