@@ -372,6 +372,11 @@ object NgramLm {
       bucketCol: String = "bucket"): DataFrame = {
     require(headFrac > 0 && headFrac <= middleFrac && middleFrac <= 1,
       s"bad fractions ($headFrac, $middleFrac)")
+    // NOTE (r16 optimization round): deliberately NOT persisted even
+    // though the frame feeds both the histogram and the join-back —
+    // the two references are plan-identical, so ReuseExchange already
+    // computes the chain once; a persist here measured SLOWER on q104
+    // (6.3 -> 7.2 s: materialization cost without removing any work)
     val hist = scored.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__pb_c"))
     // windows over the bounded histogram, not the corpus

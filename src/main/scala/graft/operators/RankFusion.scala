@@ -32,7 +32,13 @@ object RankFusion {
     */
   def competitionRank(scored: DataFrame, scoreCol: String,
       rankCol: String): DataFrame = {
-    val hist = scored.groupBy(col(scoreCol))
+    // the caller's scored frame is often an expensive trained chain
+    // (q137 fuses an NB classifier, an LM scoring, and a heuristic);
+    // it feeds BOTH the histogram and the join-back below, so pin it
+    // once (CacheScope contract) — unpersisted, every fused signal's
+    // whole upstream ran twice (q137 measured ~2x on the composition)
+    val sc = graft.CacheScope.register(scored.persist())
+    val hist = sc.groupBy(col(scoreCol))
       .agg(count(lit(1)).as("__rf_c"))
     // competition rank = (exclusive cum of better-score counts) + 1,
     // via the ordered prefix scan on the score histogram — exact
@@ -41,7 +47,7 @@ object RankFusion {
         Seq(col(scoreCol).desc), Seq("__rf_c" -> "__rf_cum"))
       .withColumn(rankCol, col("__rf_cum") - col("__rf_c") + 1L)
       .select(col(scoreCol), col(rankCol))
-    scored.join(ranks, Seq(scoreCol)) // un-hinted score join-back
+    sc.join(ranks, Seq(scoreCol)) // un-hinted score join-back
   }
 
   /** Fuse named rankings: each element is `(name, frame)` where the
