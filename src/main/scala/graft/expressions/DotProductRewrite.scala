@@ -54,6 +54,18 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  // pattern-guard BOTH sides: the old form checked only left's type and
+  // asInstanceOf-cast right's, which would throw ClassCastException
+  // inside the optimizer for a non-array right child instead of
+  // skipping the rewrite (safe today only because resolved ZipWith
+  // guarantees array inputs — don't rely on it)
+  private def isDoubleArrays(left: Expression, right: Expression): Boolean =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(DoubleType, _),
+            org.apache.spark.sql.types.ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -62,11 +74,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             add: LambdaFunction,
             finish: LambdaFunction)
           if isMulOfVars(mul) && isAddOfVars(add) && isIdentity(finish) &&
-            left.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-            left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-              .elementType == DoubleType &&
-            right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-              .elementType == DoubleType =>
+            isDoubleArrays(left, right) =>
         DotProduct(left, right)
       case ArrayAggregate(
             ZipWith(left, right, sq: LambdaFunction),
@@ -74,11 +82,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             add: LambdaFunction,
             finish: LambdaFunction)
           if isSqDiffOfVars(sq) && isAddOfVars(add) && isIdentity(finish) &&
-            left.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-            left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-              .elementType == DoubleType &&
-            right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-              .elementType == DoubleType =>
+            isDoubleArrays(left, right) =>
         L2DistanceSq(left, right)
     }
 }

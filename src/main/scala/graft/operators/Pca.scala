@@ -105,7 +105,11 @@ object Pca {
     * the Round expression constructs).
     */
   private def r6(x: Double): Double =
-    scala.math.BigDecimal(x)
+    // Spark's Round passes NaN/Infinity through unchanged;
+    // BigDecimal(NaN) would throw instead (a degenerate all-zero
+    // covariance reaches this via 0/0) — guard exactly like Spark
+    if (x.isNaN || x.isInfinite) x
+    else scala.math.BigDecimal(x)
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def topComponent(cov: DataFrame, iters: Int): DataFrame = {
@@ -130,7 +134,11 @@ object Pca {
     // portability contract, unchanged).
     val cells = covC.select(col("i"), col("j"), col("cov")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    val dims = cells.map(_._1).distinct.sorted
+    // dims from the UNION of i and j: a covariance table where some j
+    // never appears as an i (e.g. a strict-upper-triangle table from
+    // outside covarianceMatrix/deflate) must not throw on mat(idx(j))
+    // — the old join-based matvec silently tolerated such cells
+    val dims = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
     val d = dims.length
     require(d >= 1 && d <= 4096, s"covariance dimension $d out of [1, 4096]")
     val idx = dims.zipWithIndex.toMap

@@ -36,7 +36,15 @@ object RankFusion {
     // (q137 fuses an NB classifier, an LM scoring, and a heuristic);
     // it feeds BOTH the histogram and the join-back below, so pin it
     // once (CacheScope contract) — unpersisted, every fused signal's
-    // whole upstream ran twice (q137 measured ~2x on the composition)
+    // whole upstream ran twice (q137 measured ~2x on the composition).
+    // Without an active scope the persist would be stranded for the
+    // session lifetime (register is a no-op) — warn like
+    // CorpusPipeline.prepare does instead of leaking silently.
+    if (!graft.CacheScope.isActive)
+      System.err.println("[graft] RankFusion.competitionRank called " +
+        "without an active CacheScope: its internal persist cannot be " +
+        "released by the caller and will be stranded for the session " +
+        "lifetime. Wrap the call + your action in CacheScope.scoped {...}.")
     val sc = graft.CacheScope.register(scored.persist())
     val hist = sc.groupBy(col(scoreCol))
       .agg(count(lit(1)).as("__rf_c"))
