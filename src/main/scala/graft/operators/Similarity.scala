@@ -897,6 +897,14 @@ object Similarity {
     * margin scoring; at billion-vector scale compose the same scoring
     * with [[assignLists]]' IVF buckets to bound the pair space, exactly
     * as [[semanticDupPairs]] does for raw cosine.
+    *
+    * INPUT-SIZE CONTRACT: `vectors` must be broadcast-sized (it is
+    * broadcast as the pair join's build side — Spark hard-caps a
+    * broadcast relation at 8 GB / 512 M rows, and driver/executor
+    * memory binds well before that). This brute form is for bounded
+    * eval corpora only; for anything larger use
+    * [[marginTopMatchesVia]], the same scoring over trained-IVF
+    * candidate lists.
     */
   def marginTopMatches(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -974,6 +982,10 @@ object Similarity {
     * fine for bounded eval corpora, NEVER for production); the scale
     * path is [[bitextTopMatchesVia]], the same scoring over trained-
     * IVF candidate lists.
+    *
+    * INPUT-SIZE CONTRACT: `vectors` must be broadcast-sized (it is
+    * broadcast as the pair join's build side — 8 GB / 512 M-row hard
+    * cap, memory binds earlier). Bounded eval corpora only.
     */
   def bitextTopMatches(vectors: DataFrame, idCol: String,
       vecCol: String, groupCol: String, k: Int): DataFrame = {
@@ -1204,16 +1216,26 @@ object Similarity {
   }
 
   private def marginFromPairs(rawPairs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = marginScores(rawPairs, k)
-    val wBest = Window.partitionBy(col("x"))
-      .orderBy(col("margin").desc, col("y"))
+    // Best partner per x as a max_by AGGREGATION instead of a
+    // row_number window (guide §2: same Exchange on x, but the full
+    // per-partition sort becomes a partially-aggregating hash agg —
+    // the map side collapses each x's candidates to one row BEFORE
+    // the shuffle, which at the brute n² grain shuffles n rows
+    // instead of n²). Ordering semantics are the window sort's
+    // exactly: max_by uses the same interpreted total order the sort
+    // used (NaN greatest, -0.0 < 0.0), so `margin desc` ≡ max margin,
+    // and the ascending-id tie-break is max of the NEGATED id — ids
+    // are numeric by the prepForPairs pair-table contract, and (x, y)
+    // is unique per pair so the two-field order is total.
     scored
-      .withColumn("__sm_rn", row_number().over(wBest))
-      .filter(col("__sm_rn") === 1)
-      .select(col("x"), col("y").as("best_match"),
-        graft.functions.Grid.snap(col("cos"), 4).as("cos"),
-        col("margin"))
+      .groupBy(col("x"))
+      .agg(max_by(
+        struct(col("y"), col("cos"), col("margin")),
+        struct(col("margin"), negate(col("y")))).as("__sm_best"))
+      .select(col("x"), col("__sm_best.y").as("best_match"),
+        graft.functions.Grid.snap(col("__sm_best.cos"), 4).as("cos"),
+        col("__sm_best.margin").as("margin"))
   }
 
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein): k
