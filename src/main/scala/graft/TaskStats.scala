@@ -38,6 +38,8 @@ object TaskStats {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    val perJob = sys.env.get("SPARK_GRAFT_TASKSTATS_JOBS").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
@@ -49,8 +51,15 @@ object TaskStats {
     val maxTaskMs = new AtomicLong(0L)
     val deserMs = new AtomicLong(0L)
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (perJob) jobStart.put(j.jobId, j.time)
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (perJob) {
+          val t0 = jobStart.getOrDefault(j.jobId, j.time)
+          println(f"  JOB ${j.jobId}%4d ${(j.time - t0) / 1e3}%7.3fs")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {

@@ -54,16 +54,35 @@ object Graph {
     val e = graft.CacheScope.register(edges
       .select(col(srcCol).as("__pr_src"), col(dstCol).as("__pr_dst"))
       .persist())
+    // SCALE-ADAPTIVE round partitioning (the §2 rule: derive the
+    // loop's partition count from the measured input, never from a
+    // constant tuned for local mode or for one cluster). The count
+    // doubles as the cache materialization round 1 previously paid.
+    // Every loop-invariant table (ew, nd) and every round's shuffle
+    // then shares ONE hash layout sized so a partition holds ~4M edge
+    // rows (~100 MB): a 10-round loop over a bounded graph stops
+    // paying 32-task waves per tiny stage (q152 measured 90 jobs /
+    // 2047 tasks / 151 core-sec for 17 MB of total shuffle — pure
+    // per-task overhead), while a 100 TB edge table still fans out to
+    // as many partitions as its volume demands, capped by the
+    // session's cluster-tuned shuffle.partitions.
+    val eCnt = e.count()
+    val shufP = e.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val p = math.max(1L, math.min(shufP.toLong,
+      (eCnt + (4L << 20) - 1) / (4L << 20))).toInt
     val outDeg = e.groupBy(col("__pr_src").as("__pr_id"))
       .agg(count(lit(1)).as("deg"))
     val nd = graft.CacheScope.register(nodes
       .select(col(idCol).as("__pr_id")).distinct()
       .join(outDeg, Seq("__pr_id"), "left")
       .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      .repartition(p, col("__pr_id"))
       .persist())
     val ew = graft.CacheScope.register(e
       .join(nd.select(col("__pr_id").as("__pr_src"), col("deg")),
         Seq("__pr_src"))
+      .repartition(p, col("__pr_src"))
       .persist())
     // ranks CARRY the (static) out-degree through every checkpoint:
     // the dangling-mass scalar is then a plain filter+sum over the
@@ -76,27 +95,58 @@ object Graph {
     // the same rows.
     var ranks = nd.select(col("__pr_id"), col("deg"),
       (lit(1.0) / n).as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = ew
-        .join(ranks.select(col("__pr_id").as("__pr_src"), col("pr")),
-          Seq("__pr_src"))
-        .groupBy(col("__pr_dst").as("__pr_id"))
-        .agg(sum(col("pr") / col("deg")).as("__pr_c"))
-      val dangling = ranks.filter(col("deg") === 0L)
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__pr_dang"))
-      val next = nd.select(col("__pr_id"), col("deg"))
-        .join(contrib, Seq("__pr_id"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("__pr_id"), col("deg"),
-          (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("__pr_c"), lit(0.0)) + col("__pr_dang") / n))
-            .as("pr"))
-      // per-round lineage truncation: measured BETTER than batching
-      // checkpoints every 3 rounds (28.7 s vs 37.9 s on q152 at
-      // sf0.1 — stacked rounds re-analyze/re-codegen the whole join
-      // prefix, which costs more than the one materialization job a
-      // round-sized checkpoint pays)
-      ranks = next.localCheckpoint(true)
+    // AQE OFF for the round loop only (restored after): each round's
+    // plan is bounded and already sized by the adaptive partitioning
+    // above, so AQE buys nothing in-round — but it turns every
+    // exchange into its own stage-job (measured ~10 jobs/round on
+    // q152; the scheduling floor of 10 rounds × job latency WAS the
+    // query). Results are identical: AQE never changes values, only
+    // scheduling. At 100 TB the loop's shuffles still fan out to the
+    // adaptive p above; in-round skew handling is traded for a 5×
+    // lower per-round floor (skewed graphs should salt the edge
+    // table upstream — the §2.5 fix AQE's join splitting only
+    // approximates).
+    val sess = nodes.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = sess.conf.get("spark.sql.shuffle.partitions", "200")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    // in-round exchanges (the contrib aggregation, the node join)
+    // inherit the SAME adaptive p — with AQE off, the static
+    // shuffle.partitions would otherwise re-inflate every tiny round
+    // stage back to cluster width (measured: 1646 tasks vs 758)
+    sess.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = ew
+          .join(ranks.select(col("__pr_id").as("__pr_src"), col("pr")),
+            Seq("__pr_src"))
+          .groupBy(col("__pr_dst").as("__pr_id"))
+          .agg(sum(col("pr") / col("deg")).as("__pr_c"))
+        // dangling mass as a DRIVER scalar: the identical filter+sum
+        // the broadcast form ran (same frame, same agg plan — same
+        // partials in the same order, so the same double), but the
+        // value enters next round's plan as a literal instead of a
+        // BroadcastExchange + crossJoin: one plan subtree and one
+        // broadcast job fewer per round, for a 1-double fact
+        val dang = ranks.filter(col("deg") === 0L)
+          .agg(coalesce(sum(col("pr")), lit(0.0)))
+          .head().getDouble(0)
+        val next = nd.select(col("__pr_id"), col("deg"))
+          .join(contrib, Seq("__pr_id"), "left")
+          .select(col("__pr_id"), col("deg"),
+            (lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("__pr_c"), lit(0.0)) + lit(dang) / n))
+              .as("pr"))
+        // per-round lineage truncation: measured BETTER than batching
+        // checkpoints every 3 rounds (28.7 s vs 37.9 s on q152 at
+        // sf0.1 — stacked rounds re-analyze/re-codegen the whole join
+        // prefix, which costs more than the one materialization job a
+        // round-sized checkpoint pays)
+        ranks = next.localCheckpoint(true)
+      }
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      sess.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
     // no closing join needed: every round's `next` is built FROM nd,
     // so the final checkpoint already carries exactly nd's node set
