@@ -60,8 +60,21 @@ object TaskStats {
           val t0 = jobStart.getOrDefault(j.jobId, j.time)
           println(f"  JOB ${j.jobId}%4d ${(j.time - t0) / 1e3}%7.3fs")
         }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (perJob) {
+          val info = s.stageInfo
+          val m = Option(info.taskMetrics)
+          val run = m.map(_.executorRunTime / 1e3).getOrElse(-1.0)
+          val sr = m.map(_.shuffleReadMetrics.totalBytesRead / 1e6)
+            .getOrElse(-1.0)
+          val sw = m.map(_.shuffleWriteMetrics.bytesWritten / 1e6)
+            .getOrElse(-1.0)
+          println(f"  STAGE ${info.stageId}%4d tasks=${info.numTasks}%4d " +
+            f"runSec=$run%7.2f shufRd=$sr%7.1fMB shufWr=$sw%7.1fMB " +
+            f"${info.name.take(60)}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics

@@ -37,30 +37,80 @@ object Winnow {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"bad k=$k w=$w")
-    val grams = df
-      .select(col(idCol), canon(col(textCol)).as("__c"))
-      .withColumn("__ng",
-        greatest(length(col("__c")) - (k - 1), lit(0)))
-      .filter(col("__ng") > 0)
-      .select(col(idCol), col("__ng"),
-        explode(expr(s"transform(sequence(1, __ng), " +
-          s"i -> struct(i AS pos, substring(__c, i, $k) AS gram))"))
-          .as("__g"))
-      .select(col(idCol), col("__ng"), col("__g.pos").as("__pos"),
-        HashExpressions.fnv1a64(col("__g.gram")).as("__h"))
-    // min over struct(h, -pos): smallest hash, rightmost tie
-    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("__pick",
-        min(struct(col("__h"), (-col("__pos")).as("np"))).over(win))
-      // complete windows only; short docs keep the single truncated
-      // window at pos 1
-      .filter(col("__pos") <= col("__ng") - (w - 1) ||
-        (col("__ng") < w && col("__pos") === 1))
-      .select(col(idCol), (-col("__pick.np")).as("pos"),
-        col("__pick.__h").as("hash"))
-      .distinct()
+    // Winnowing is a PURE PER-DOCUMENT function of the canonical
+    // string, so it runs as one tight per-doc pass instead of the
+    // previous gram explode + per-partition window sort + distinct
+    // shuffle (three corpus-grain operators over ~2000 gram rows per
+    // doc; q273 measured the explode/window/distinct chain at the top
+    // of its job profile — guide §1.2: fix the distributed algorithm
+    // before the per-task work). Semantics are replicated exactly:
+    // FNV-1a over UTF-16 units of each k-gram (the Fnv1a64 expression
+    // loop, char-for-char), window min by (hash asc, pos desc), only
+    // complete windows unless the doc has fewer than w grams (then
+    // the single truncated window at pos 1), per-doc distinct picks.
+    // The canonicalization stays a Catalyst expression so lower() /
+    // regexp_replace parity with every other call site is untouched.
+    // parallel PRIMITIVE arrays (positions, hashes), not an array of
+    // tuples: primitive arrays cross the UDF boundary via the
+    // fromPrimitiveArray fast path — the tuple form paid a per-element
+    // reflection conversion (measured ~3x on the fingerprint stage)
+    val fpUdf = udf { (c: String) =>
+      if (c == null) (Array.empty[Int], Array.empty[Long])
+      else {
+        val n = c.length - (k - 1)
+        if (n <= 0) (Array.empty[Int], Array.empty[Long])
+        else {
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            var h = 0xcbf29ce484222325L
+            var j = i
+            val end = i + k
+            while (j < end) {
+              h ^= (c.charAt(j) & 0xffffL)
+              h *= 0x100000001b3L
+              j += 1
+            }
+            hs(i) = h
+            i += 1
+          }
+          val lastStart = math.max(n - w, 0)
+          val outP = new Array[Int](lastStart + 1)
+          val outH = new Array[Long](lastStart + 1)
+          var m = 0
+          var prevBest = -1
+          var p = 0
+          while (p <= lastStart) {
+            var best = p
+            var q = p + 1
+            val wEnd = math.min(p + w, n)
+            while (q < wEnd) {
+              // min by (hash, -pos): smallest hash, rightmost tie
+              if (hs(q) <= hs(best)) best = q
+              q += 1
+            }
+            // adjacent windows re-pick the same gram; emitting only on
+            // change IS the per-doc distinct (a pick can never recur
+            // after a gap: window p's pick has pos >= p, so picks are
+            // non-decreasing in pos and a repeat is always adjacent)
+            if (best != prevBest) {
+              outP(m) = best + 1
+              outH(m) = hs(best)
+              m += 1
+              prevBest = best
+            }
+            p += 1
+          }
+          (java.util.Arrays.copyOf(outP, m),
+            java.util.Arrays.copyOf(outH, m))
+        }
+      }
+    }
+    df.select(col(idCol), fpUdf(canon(col(textCol))).as("__fp"))
+      .select(col(idCol),
+        explode(arrays_zip(col("__fp._1").as("pos"),
+          col("__fp._2").as("hash"))).as("__z"))
+      .select(col(idCol), col("__z.pos"), col("__z.hash"))
   }
 
   /** Per-document fingerprint profile: gram/window/fingerprint counts,
@@ -109,10 +159,23 @@ object Winnow {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("hash"))
-    val kept = hs.join(rare, Seq("hash"))
+    // The pair join's INPUT is small (per-doc distinct hashes) but its
+    // OUTPUT fans out quadratically per shared hash — a fan-out the
+    // planner cannot see from input bytes, so it broadcast-joined the
+    // tiny b side and ran the whole candidate explosion in ONE
+    // upstream task (q263 measured a 16 s single-task stage writing
+    // 88 MB). Pin the layout at the session's shuffle width, persist
+    // it once (both join sides read the same frame — unpersisted, the
+    // fingerprint pass ran twice more), and force the shuffled-hash
+    // strategy: both sides share the pinned hash layout, so the join
+    // adds NO exchange and the explosion spreads across the width.
+    val shufP = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val kept = graft.CacheScope.register(hs.join(rare, Seq("hash"))
+      .repartition(shufP, col("hash")).persist())
     val a = kept.select(col("__id").as("a_id"), col("hash"))
     val b = kept.select(col("__id").as("b_id"), col("hash"))
-    a.join(b, Seq("hash"))
+    a.join(b.hint("shuffle_hash"), Seq("hash"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -195,7 +258,16 @@ object Winnow {
       .select(col("hash"))
     val probeFp = fingerprints(probe, idCol, textCol, k, w)
       .select(col(idCol).as("probe_id"), col("hash")).distinct()
-    probeFp.join(idx.join(rare, Seq("hash")), Seq("hash"))
+    // same fan-out-blind-planner guard as matchPairs: pin BOTH join
+    // sides at the session's shuffle width and force the shuffled-hash
+    // strategy, so the probe×index candidate explosion runs across
+    // the pinned layout instead of one broadcast-fed task
+    val shufP = spark.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val idxRare = idx.join(rare, Seq("hash"))
+      .repartition(shufP, col("hash"))
+    probeFp.repartition(shufP, col("hash"))
+      .join(idxRare.hint("shuffle_hash"), Seq("hash"))
       .groupBy(col("probe_id"), col("index_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
