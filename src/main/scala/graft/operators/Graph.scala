@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Scale-adaptive partition count for the iterative loops (§2:
+    * derive from measured input, never a constant tuned for one
+    * deployment): enough partitions to FILL the scheduler's
+    * parallelism while each still holds ≥ 64k edge rows (below that,
+    * per-task overhead beats the parallelism on a bounded round), and
+    * beyond that grow by VOLUME at ~4M rows (~100 MB) per partition,
+    * capped by the session's cluster-tuned shuffle width.
+    */
+  private def roundParts(spark: org.apache.spark.sql.SparkSession,
+      rowCount: Long): Int = {
+    val shufP = spark.conf
+      .get("spark.sql.shuffle.partitions", "200").toLong
+    val par = spark.sparkContext.defaultParallelism.toLong
+    val byVolume = (rowCount + (4L << 20) - 1) / (4L << 20)
+    val fill = math.min(par, (rowCount + (64L << 10) - 1) / (64L << 10))
+    math.max(1L, math.min(shufP, math.max(byVolume, fill))).toInt
+  }
+
   /** Standard damped PageRank over a DIRECTED edge list, fixed
     * iteration count (deterministic — no convergence test whose
     * trip point could differ across engines), uniform teleport, and
@@ -66,11 +84,7 @@ object Graph {
     // per-task overhead), while a 100 TB edge table still fans out to
     // as many partitions as its volume demands, capped by the
     // session's cluster-tuned shuffle.partitions.
-    val eCnt = e.count()
-    val shufP = e.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
-    val p = math.max(1L, math.min(shufP.toLong,
-      (eCnt + (4L << 20) - 1) / (4L << 20))).toInt
+    val p = roundParts(e.sparkSession, e.count())
     val outDeg = e.groupBy(col("__pr_src").as("__pr_id"))
       .agg(count(lit(1)).as("deg"))
     val nd = graft.CacheScope.register(nodes
@@ -243,11 +257,26 @@ object Graph {
       .select(col(srcCol).as("s"), col(dstCol).as("d"))
       .distinct().persist())
     val spark = edges.sparkSession
-    var h = e.select(col("s")).distinct()
+    // the pageRank discipline, applied to the two-sided loop: size the
+    // round layout from the measured edge count (scale-adaptive, §2),
+    // pin the edge table in BOTH join layouts once (two bounded cache
+    // copies buy the removal of two edge-grain shuffles per round —
+    // the only corpus-grain exchanges the loop had), and run the
+    // bounded round plans without AQE's per-exchange stage-jobs
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    val p = roundParts(spark, e.count())
+    val es = graft.CacheScope.register(
+      e.repartition(p, col("s")).persist())
+    val ed = graft.CacheScope.register(
+      e.repartition(p, col("d")).persist())
+    var h = es.select(col("s")).distinct()
       .withColumn("h", lit(1.0))
-    var a = e.select(col("d")).distinct()
+    var a = ed.select(col("d")).distinct()
       .withColumn("a", lit(1.0))
-    for (_ <- 0 until iters) {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try for (_ <- 0 until iters) {
       // checkpoint the RAW sums FIRST, then read the norm off the
       // materialized table: norm-before-checkpoint ran the edge
       // join+agg TWICE per half-round (once for the norm action, once
@@ -256,18 +285,21 @@ object Graph {
       // round's join re-reads the pinned rows, and the division by a
       // driver double is arithmetic-identical either side of the
       // materialization.
-      val aRaw = e.join(h, Seq("s"))
+      val aRaw = es.join(h, Seq("s"))
         .groupBy(col("d")).agg(sum(col("h")).as("a"))
         .localCheckpoint(true)
       val aNorm = math.sqrt(
         aRaw.agg(sum(col("a") * col("a"))).head().getDouble(0))
       a = aRaw.select(col("d"), (col("a") / aNorm).as("a"))
-      val hRaw = e.join(a, Seq("d"))
+      val hRaw = ed.join(a, Seq("d"))
         .groupBy(col("s")).agg(sum(col("a")).as("h"))
         .localCheckpoint(true)
       val hNorm = math.sqrt(
         hRaw.agg(sum(col("h") * col("h"))).head().getDouble(0))
       h = hRaw.select(col("s"), (col("h") / hNorm).as("h"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
     h.select(col("s").as("id"), lit("hub").as("side"),
         col("h").as("score"))
@@ -306,6 +338,17 @@ object Graph {
     val e = graft.CacheScope.register(edges
       .select(col(srcCol).as("__bf_s"), col(dstCol).as("__bf_d"))
       .distinct().persist())
+    // pageRank's scale-adaptive round layout + AQE-free bounded round
+    // plans (§2): partition count from the measured edge count, the
+    // hop join pinned to the edge table's layout
+    val spark = edges.sparkSession
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    val p = roundParts(spark, e.count())
+    val es = graft.CacheScope.register(
+      e.repartition(p, col("__bf_s")).persist())
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
     // Only the per-hop FRONTIER is ever checkpointed; the settled set
     // stays a lazy union of those checkpoints. The previous form
     // re-localCheckpointed `dist.union(next)` every hop — materializing
@@ -313,25 +356,30 @@ object Graph {
     // when the union of already-pinned frontiers is lineage-flat by
     // construction (each leaf is its own checkpoint; the plan grows by
     // one leaf per hop, bounded by maxHops <= 30).
-    var dist = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(true)
-    var frontier = dist.select(col("node"))
-    var h = 1
-    var done = false
-    while (h <= maxHops && !done) {
-      val next = frontier.join(e, col("node") === col("__bf_s"))
-        .select(col("__bf_d").as("node")).distinct()
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("dist", lit(h))
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
-      else {
-        dist = dist.union(next)
-        frontier = next.select(col("node"))
-        h += 1
+    try {
+      var dist = seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("dist", lit(0)).localCheckpoint(true)
+      var frontier = dist.select(col("node"))
+      var h = 1
+      var done = false
+      while (h <= maxHops && !done) {
+        val next = frontier.join(es, col("node") === col("__bf_s"))
+          .select(col("__bf_d").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("dist", lit(h))
+          .localCheckpoint(true)
+        if (next.isEmpty) done = true
+        else {
+          dist = dist.union(next)
+          frontier = next.select(col("node"))
+          h += 1
+        }
       }
+      dist
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
-    dist
   }
 
   def propagateLabels(seeds: DataFrame, idCol: String, labelCol: String,

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** TRAINED language identification — the fastText-langid recipe
@@ -218,12 +217,16 @@ object TrainedLangId {
       .withColumn("__score", col("__prior") +
         coalesce(col("__s"), lit(0L)) +
         (col("__G") - coalesce(col("__np"), lit(0L))) * col("__oov"))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__score").desc, col("lang"))
+    // best class per doc as a min_by AGGREGATION instead of a
+    // row_number window (guide §2: same exchange on __id, no
+    // per-partition sort, and the map side collapses the ≤ classes
+    // rows per doc before the shuffle). __score is an exact scaled
+    // LONG (snap9 grid), so (__score desc, lang asc) is precisely
+    // min of (-__score, lang) — no float-negation caveats.
     val best = scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("lang").as("lang_pred"))
+      .groupBy(col("__id"))
+      .agg(min_by(col("lang"),
+        struct(negate(col("__score")), col("lang"))).as("lang_pred"))
     docs.join(best, docs(idCol) === best("__id")).drop("__id")
   }
 }
